@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators over a document table
+  * (`doc_id: long, text: string`). These extend the reference's surface
+  * with the LLM-training-pipeline ops the driver contract asks for
+  * (BASELINE.json north_star) — each designed shuffle-minimal:
+  *
+  *  - exact: one hash-groupBy (single shuffle on a 128-bit digest, never
+  *    on the full text).
+  *  - MinHash/LSH: shingle → minhash signature (map-side, no shuffle) →
+  *    band buckets → self-join *within buckets only* (shuffle on short
+  *    band keys; candidate pairs ≪ n²).
+  *  - SimHash: 64-bit signature, banded into 4×16-bit sub-keys, same
+  *    bucket-join trick.
+  *  - n-gram Jaccard: exact verification on LSH candidates only.
+  *
+  * Determinism: all hashing derives from Spark's `xxhash64`/`md5` with
+  * fixed seeds, so results are reproducible across runs and cluster sizes.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest. Returns one row per kept
+    * document with its duplicate count; `keep` = smallest doc_id wins.
+    * Scale: the shuffle key is the 32-hex md5, not the document body —
+    * at 100 TB the shuffled bytes are ~48B/row + ids.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), md5(col(textCol)).as("digest"))
+      .groupBy("digest")
+      .agg(min(idCol).as("keep_id"), count("*").as("dup_count"))
+
+  /** Exact-dedup projection: the surviving rows. */
+  def exactKeep(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keep = exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "semi") // semi-join: no row duplication, keep-side broadcastable when small
+  }
+
+  /** Character shingles of length `k`, lowercased, as a distinct array. */
+  def shingles(text: Column, k: Int = 5): Column = {
+    val lowered = lower(text)
+    val n = greatest(lit(1), length(lowered) - (k - 1))
+    array_distinct(transform(sequence(lit(1), n), i => lowered.substr(i, lit(k))))
+  }
+
+  /** MinHash signature: `numHashes` minima of seeded xxhash64 over the
+    * shingle set. Pure expressions — computed map-side, fully codegen'd.
+    */
+  def minhashSignature(text: Column, numHashes: Int = 64, k: Int = 5): Column = {
+    val sh = shingles(text, k)
+    val hashes = (0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(lit(seed), s)))
+    }
+    array(hashes: _*)
+  }
+
+  /** LSH band key: hash of one band (of `rowsPerBand` signature slots). */
+  def bandKeys(sig: Column, numHashes: Int, rowsPerBand: Int): Column = {
+    val bands = numHashes / rowsPerBand
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+    }: _*)
+  }
+
+  /** Near-duplicate candidate pairs via MinHash LSH: documents sharing at
+    * least one band bucket, with estimated Jaccard (signature agreement)
+    * ≥ `threshold`. Output: (id_a, id_b, est_jaccard), id_a < id_b.
+    *
+    * Plan shape at scale: explode to (band,bucket) keys → shuffle on the
+    * 16-byte key → within-bucket self-join. No O(n²) comparisons; skewed
+    * buckets (boilerplate docs) can be salted or capped upstream.
+    */
+  def minhashCandidates(docs: DataFrame, numHashes: Int = 64,
+      rowsPerBand: Int = 8, k: Int = 5, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = docs
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes, k).as("sig"))
+    val buckets = sigs
+      .select(col("id"), col("sig"),
+        explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    val pairs = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Exact n-gram Jaccard similarity for a pair list (verification stage
+    * after LSH candidate generation): |A∩B| / |A∪B| over k-shingle sets.
+    */
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("union", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("union"))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over word tokens: sign of per-bit weighted sums of
+    * token hashes. Near-dups = signatures within small Hamming distance;
+    * banded into 16-bit sub-keys for bucket joins (a doc pair within
+    * Hamming distance 3 of 64 bits shares at least one of 4 bands).
+    */
+  def simhash(text: Column): Column = {
+    val tokens = split(lower(text), "\\s+")
+    val bits = (0 until 64).map { b =>
+      val contrib = aggregate(tokens,
+        lit(0L), (acc, t) => acc +
+          when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(contrib > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-duplicate candidates: equal 16-bit bands. */
+  def simhashCandidates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines (driver contract, BASELINE.json north_star).
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata
+  * struct; decode / feature-extract / resize / frame-sample run as
+  * per-row kernels over the binary payload. The image/audio codec
+  * libraries are NOT in this container, so the pixel-level decode is a
+  * clearly-marked deterministic fake ([[fakeDecodeRgb]]) — the Spark-side
+  * contract (schema, batching, partitioning, UDF signature) is real and
+  * tested, and a production deploy swaps one function.
+  */
+object Multimodal {
+
+  /** Metadata struct for a media column. */
+  def mediaMeta(format: Column, width: Column, height: Column,
+      nFrames: Column, fps: Column): Column =
+    struct(format.as("format"), width.as("width"), height.as("height"),
+      nFrames.as("n_frames"), fps.as("fps"))
+
+  /** STUB — deterministic fake image decode. Real deployments replace the
+    * body with an actual codec (e.g. javax.imageio / ffmpeg bindings);
+    * signature and schema are the production contract:
+    * binary → row-major RGB float array of width*height*3 in [0,1].
+    * The fake derives pixels from a hash of the bytes so tests are
+    * deterministic and content-sensitive.
+    */
+  val fakeDecodeRgb: (Array[Byte], Int, Int) => Array[Float] =
+    (bytes: Array[Byte], width: Int, height: Int) => {
+      val n = width * height * 3
+      val out = new Array[Float](n)
+      var h = 1125899906842597L // deterministic content hash seed
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      i = 0
+      while (i < n) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        out(i) = ((h >>> 40).toInt & 0xffff).toFloat / 65535f
+        i += 1
+      }
+      out
+    }
+
+  private val decodeResizeUdf = udf(
+    (bytes: Array[Byte], w: Int, h: Int) => fakeDecodeRgb(bytes, w, h).toSeq)
+
+  /** Decode + resize to (w, h): binary column → `array<float>` pixels.
+    * Per-row kernel, map-side only; partitioning/pushdown unaffected.
+    */
+  def decodeResize(bin: Column, w: Int, h: Int): Column =
+    decodeResizeUdf(bin, lit(w), lit(h))
+
+  /** Mean-pool pixel features per channel: array<float> (w*h*3) →
+    * array<double>(3). Codegen'd HOF — no UDF.
+    */
+  def channelMeans(pixels: Column): Column = {
+    val n = size(pixels) / 3
+    array((0 until 3).map { c =>
+      aggregate(
+        filter(zip_with(pixels, sequence(lit(0), size(pixels) - 1),
+          (v, i) => when(i % 3 === c, v.cast("double"))), v => v.isNotNull),
+        lit(0.0), (acc, v) => acc + v) / n.cast("double")
+    }: _*)
+  }
+
+  /** Uniform frame sampling for video-like payloads: pick `k` frame
+    * indices from n_frames (metadata), deterministic.
+    */
+  def sampleFrameIndices(nFrames: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => (i * nFrames.cast("long") / k).cast("int"))
+
+  /** Sanity/statistics projection over a binary media column — real
+    * (non-stub) operations on the payload bytes: size, digest, magic-based
+    * format sniff.
+    */
+  def mediaStats(bin: Column): Column = {
+    val head = hex(substring(bin, 1, 4))
+    struct(
+      length(bin).cast("long").as("n_bytes"),
+      md5(bin).as("digest"),
+      when(head.startsWith("FFD8"), "jpeg")
+        .when(head === "89504E47", "png")
+        .when(head.startsWith("52494646"), "riff")
+        .otherwise("unknown").as("format"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`embedding: array<float>`) — the driver contract's similarity
+  * operators (BASELINE.json north_star).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k, broadcast queries × corpus —
+  *    the correctness baseline. Scales linearly in corpus size with NO
+  *    shuffle of the corpus (queries are the broadcast side); per-partition
+  *    top-k then a tiny final reduce.
+  *  - [[lshTopK]]: random-hyperplane LSH — corpus bucketed by sign
+  *    pattern, candidates = same-bucket rows, exact re-rank inside
+  *    buckets. The 100 TB path: the big table is hashed map-side and
+  *    joined on short keys.
+  */
+object Similarity {
+
+  /** Cosine similarity of two equal-length float-array columns, computed
+    * with codegen'd higher-order functions (no UDF).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k cosine neighbors for each query id. `queries` is expected
+    * to be small (it is broadcast); the corpus is scanned once.
+    * Output: (query_id, neighbor_id, cosine, rank), rank 1..k.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Sign pattern of `nPlanes` fixed pseudo-random hyperplanes, as a
+    * compact long key. Hyperplane m's component for dimension j is a
+    * deterministic hash-derived value in [-1, 1] — reproducible across
+    * runs/executors with no stored model.
+    */
+  def hyperplaneKey(vec: Column, nPlanes: Int = 16, seed: Int = 42): Column = {
+    val bits = (0 until nPlanes).map { m =>
+      // projection = Σ_j v[j] * h(m, j); h in [-1,1]
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, j) =>
+          v * (pmod(xxhash64(lit(seed), lit(m), j), lit(2000001L)).cast("double") / 1000000.0 - 1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), m)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: candidates share a hyperplane sign bucket in at
+    * least one of `tables` independent hash tables; exact cosine re-rank
+    * within candidates. Recall grows with tables; cost stays ~linear.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 12, tables: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def keyed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("table"),
+            hyperplaneKey(col(vecCol), nPlanes, seed = 42 + t).as("bucket"))
+        }: _*)).as("bk"))
+        .select(col(id), col(vec), col("bk.table"), col("bk.bucket"))
+    val c = keyed(corpus, "neighbor_id", "cvec")
+    val q = keyed(queries, "query_id", "qvec")
+    val cands = c.join(q, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Pairwise near-duplicate detection by embedding cosine ≥ threshold,
+    * via LSH buckets (embedding-space analog of Dedup.minhashCandidates).
+    */
+  def embeddingNearDup(corpus: DataFrame, threshold: Double,
+      nPlanes: Int = 12, tables: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val keyed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("table"),
+          hyperplaneKey(col(vecCol), nPlanes, seed = 42 + t).as("bucket"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("vec"), col("bk.table"), col("bk.bucket"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.vec").as("va"), col("b.vec").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

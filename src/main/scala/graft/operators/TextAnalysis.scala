@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over a `documents`
+  * table (driver contract, BASELINE.json north_star): language ID, quality
+  * scoring, token counting, fingerprinting. All pure Catalyst expressions
+  * (codegen'd; no UDF, no shuffle — they run at scan speed map-side).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword token estimate: word-ish chunks + punctuation runs,
+    * long words contributing ceil(len/4) subtokens (a public rule-of-thumb
+    * approximation of byte-pair tokenizers; deterministic, no model).
+    */
+  def tokenCountBpe(text: Column): Column = {
+    val pieces = filter(split(text, "(?<=\\W)|(?=\\W)"), t => length(trim(t)) > 0)
+    aggregate(pieces, lit(0L), (acc, t) =>
+      acc + when(length(t) <= 4, 1L).otherwise(ceil(length(t) / 4.0).cast("long")))
+  }
+
+  /** Word list, lowercased, punctuation-stripped. */
+  def words(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9']+"), w => length(w) > 0)
+
+  private val stopwordsEn = Seq("the", "a", "an", "and", "or", "but", "if",
+    "then", "is", "are", "was", "were", "be", "been", "of", "to", "in", "on",
+    "at", "for", "with", "by", "from", "as", "that", "this", "it", "not",
+    "he", "she", "they", "we", "you", "i", "his", "her", "their", "have",
+    "has", "had", "do", "does", "did", "will", "would", "can", "could")
+
+  private val markersByLang: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "un", "que", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "is", "dat", "niet", "met", "op"),
+    "it" -> Seq("il", "la", "di", "e", "che", "un", "una", "per", "non", "sono"))
+
+  /** Heuristic language ID: the language whose stopword-marker list hits
+    * the most tokens; ties break alphabetically; no hits → "und"
+    * (undetermined). N-gram/stopword heuristics are the standard public
+    * approach (langid.py-style) shrunk to an expression.
+    */
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val scored = markersByLang.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((lang, markers), i) =>
+        struct(
+          size(filter(ws, w => w.isin(markers.map(lit): _*))).as("hits"),
+          lit(-i).as("tiebreak"), // greatest → alphabetically-first wins ties
+          lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality features: lengths, ratios used by public corpus filters
+    * (C4/Gopher-style rules): word count, mean word length, stopword
+    * ratio, punctuation ratio, uppercase ratio, digit ratio.
+    */
+  def qualityFeatures(text: Column): Column = {
+    val ws = words(text)
+    val nChars = length(text)
+    val nWords = size(ws)
+    val stopHits = size(filter(ws, w => w.isin(stopwordsEn.map(lit): _*)))
+    struct(
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      (aggregate(ws, lit(0L), (a, w) => a + length(w)).cast("double") /
+        greatest(nWords, lit(1))).as("mean_word_len"),
+      (stopHits.cast("double") / greatest(nWords, lit(1))).as("stopword_ratio"),
+      ((nChars - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+        greatest(nChars, lit(1))).as("punct_ratio"),
+      ((nChars - length(regexp_replace(text, "[A-Z]", ""))).cast("double") /
+        greatest(nChars, lit(1))).as("upper_ratio"),
+      ((nChars - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+        greatest(nChars, lit(1))).as("digit_ratio"))
+  }
+
+  /** Gopher-style keep/drop quality score in [0,1]: fraction of passed
+    * rules (word count in range, mean word length sane, enough stopwords,
+    * not mostly punctuation/digits).
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val rules = Seq(
+      f.getField("n_words").between(5, 100000),
+      f.getField("mean_word_len").between(2.0, 12.0),
+      f.getField("stopword_ratio") >= 0.01,
+      f.getField("punct_ratio") <= 0.3,
+      f.getField("digit_ratio") <= 0.3)
+    rules.map(r => when(r, 1.0).otherwise(0.0)).reduce(_ + _) / rules.length
+  }
+
+  /** Rolling-hash document fingerprint: min of xxhash64 over word
+    * 8-grams — a winnowing-style content fingerprint; identical prose
+    * reordered lightly still collides on shared runs.
+    */
+  def fingerprint(text: Column, ngram: Int = 8): Column =
+    array_min(transform(wordNgrams(text, ngram), g => xxhash64(g)))
+
+  /** Word n-grams as strings (building block for Jaccard / counting).
+    * Full n-grams only; fewer than n words → empty array.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ws = words(text)
+    val cnt = size(ws) - (n - 1)
+    when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(ws, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Full document-analysis projection over a documents table. */
+  def analyze(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      langId(col(textCol)).as("lang_pred"),
+      tokenCountWs(col(textCol)).cast("long").as("n_tokens_ws"),
+      tokenCountBpe(col(textCol)).cast("long").as("n_tokens_bpe"),
+      qualityFeatures(col(textCol)).as("quality"),
+      qualityScore(col(textCol)).as("quality_score"),
+      fingerprint(col(textCol)).as("fingerprint"))
+}

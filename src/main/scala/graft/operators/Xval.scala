@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-validation fold assignment (reference dabstract/dataset/xval.py +
+  * `set_xval`, dataset.py:932-1059).
+  *
+  * The reference materializes per-fold index lists on the driver; at scale
+  * that is a collect of the whole key space, so the engine expresses folds
+  * as *columns* instead: each strategy appends a `fold: int` column (and
+  * train/val/test set columns where the strategy defines them), computed
+  * with window functions or hashes — no driver-side index lists. The
+  * reference's unseeded `np.random` is replaced by seeded `rand(seed)` /
+  * deterministic hashing (SURVEY §4 determinism discipline).
+  *
+  * Reference `test_only==1` routing (dataset.py:981-985): rows flagged
+  * test-only never enter train/val folds — expressed as a filter the
+  * caller applies; [[foldMasks]] reproduces the mask-column layout.
+  */
+object Xval {
+
+  /** Folds = distinct values of a column (reference `xval_from_item`,
+    * xval.py:12-24): dense-rank the value.
+    */
+  def fromItem(df: DataFrame, key: String): DataFrame =
+    df.withColumn("fold", dense_rank().over(Window.orderBy(col(key))) - 1)
+
+  /** K-fold over unique groups, members follow their group (reference
+    * `group_random_kfold`, xval.py:27-43). Group→fold via seeded hash —
+    * deterministic, no shuffle of the big table beyond the hash itself.
+    */
+  def groupKfold(df: DataFrame, folds: Int, key: String, seed: Long = 0): DataFrame =
+    df.withColumn("fold", pmod(xxhash64(lit(seed), col(key)), lit(folds)).cast("int"))
+
+  /** Per-group contiguous split, order-preserving (reference
+    * `sequential_kfold`, xval.py:46-80): ntile over position within group.
+    */
+  def sequentialKfold(df: DataFrame, folds: Int, key: String,
+      orderCol: String = "_idx"): DataFrame =
+    df.withColumn("fold",
+      ntile(folds).over(Window.partitionBy(col(key)).orderBy(col(orderCol))) - 1)
+
+  /** Stratified k-fold on a label (reference `stratified_kfold`,
+    * xval.py:83-111): seeded shuffle within label strata.
+    */
+  def stratifiedKfold(df: DataFrame, folds: Int, label: String,
+      seed: Long = 0): DataFrame =
+    df.withColumn("fold",
+      (row_number().over(Window.partitionBy(col(label)).orderBy(rand(seed))) - 1)
+        % folds)
+
+  /** Plain shuffled k-fold (reference `random_kfold`, xval.py:114-139). */
+  def randomKfold(df: DataFrame, folds: Int, seed: Long = 0): DataFrame =
+    df.withColumn("fold",
+      (row_number().over(Window.orderBy(rand(seed))) - 1) % folds)
+
+  /** Deterministic, shuffle-free k-fold on a key column: seeded hash mod k.
+    * The 100 TB default — no global window, pure map-side.
+    */
+  def hashKfold(df: DataFrame, folds: Int, key: String, seed: Long = 0): DataFrame =
+    groupKfold(df, folds, key, seed)
+
+  /** Single random train/val/test split (reference `random_split`,
+    * xval.py:142-161): seeded, proportions normalized.
+    */
+  def randomSplit(df: DataFrame, train: Double, valFrac: Double, test: Double,
+      seed: Long = 0): DataFrame = {
+    val tot = train + valFrac + test
+    val r = rand(seed)
+    df.withColumn("set",
+      when(r < train / tot, "train")
+        .when(r < (train + valFrac) / tot, "val")
+        .otherwise("test"))
+  }
+
+  /** Reference mask-column layout (`xval.<set>.fold_k` bool columns,
+    * dataset.py:1051-1059) from a `fold` column: train = all other folds,
+    * test = own fold, with `test_only` rows in every test fold and no
+    * train fold (dataset.py:981-985, 1043-1045).
+    */
+  def foldMasks(df: DataFrame, folds: Int,
+      testOnlyCol: Option[String] = None): DataFrame = {
+    val testOnly: Column = testOnlyCol.map(c => col(c) === 1.0).getOrElse(lit(false))
+    (0 until folds).foldLeft(df) { (d, k) =>
+      d.withColumn(s"xval_train_fold_$k", !testOnly && col("fold") =!= k)
+        .withColumn(s"xval_test_fold_$k", testOnly || col("fold") === k)
+    }
+  }
+
+  /** Select one xval set (reference `get_xval_set`, dataset.py:1066-1130). */
+  def xvalSet(df: DataFrame, set: String, fold: Int): DataFrame =
+    df.filter(col(s"xval_${set}_fold_$fold"))
+}

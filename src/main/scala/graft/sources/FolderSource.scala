@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.DabDataset
+
+/** File-backed source table: the Spark-native `FolderDictSeqAbstract`
+  * (reference dabstract/dataset/helpers.py:187-290).
+  *
+  * The reference walks a directory tree (sorted), yielding columns
+  * `filepath, example, filename, subdb, info` plus a lazily-decoded
+  * `data` column. Here the walk is Spark's distributed `binaryFile`
+  * listing (InMemoryFileIndex — parallel, cached), path columns are
+  * `regexp_extract` expressions, decode is [[WavCodec]] in a UDF, and the
+  * reference's `file_info.pickle` metadata cache (helpers.py:377-393)
+  * becomes a parquet sidecar written next to the dataset.
+  */
+object FolderSource {
+
+  private val decodeUdf = udf((bytes: Array[Byte]) => {
+    val w = WavCodec.decode(bytes)
+    (w.samples.toSeq, w.fs, w.channels)
+  })
+
+  /** Scan `path` for `*.ext` files: one row per file, sorted by path for
+    * the reference's deterministic ordering (helpers.py:363-367), with
+    * positional `_idx`.
+    */
+  def scan(spark: SparkSession, path: String, ext: String = "wav"): DabDataset = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"*.$ext")
+      .option("recursiveFileLookup", "true")
+      .load(path)
+      .orderBy("path")
+      .select(
+        regexp_replace(col("path"), "^file:", "").as("filepath"),
+        col("content"))
+      .withColumn("filename", element_at(split(col("filepath"), "/"), -1))
+      .withColumn("subdb", element_at(split(col("filepath"), "/"), -2))
+      .withColumn("example", concat_ws("/", col("subdb"), col("filename")))
+    DabDataset.fromDataFrame(files)
+  }
+
+  /** Add decoded audio + info struct (reference's map_fct on `data`,
+    * helpers.py:263-264): `data: array<double>`,
+    * `info: struct<fs,time_step,output_shape,nfft>`.
+    */
+  def withDecodedAudio(ds: DabDataset, bytesCol: String = "content",
+      dataCol: String = "data"): DabDataset = {
+    val dec = decodeUdf(col(bytesCol))
+    ds.add("_dec", dec)
+      .add(dataCol, col("_dec._1"))
+      .add("info", struct(
+        col("_dec._2").as("fs"),
+        (lit(1.0) / col("_dec._2")).as("time_step"),
+        array(size(col("_dec._1")), col("_dec._3")).as("output_shape"),
+        lit(null).cast("int").as("nfft")))
+      .remove("_dec")
+  }
+
+  /** Probe + cache per-file metadata (reference `get_dir_info`'s
+    * `file_info.pickle`, helpers.py:341-393): writes a parquet sidecar
+    * once, reuses it on the next build (`mode("ignore")` = the
+    * reference's overwrite_file_info=False).
+    */
+  def fileInfoSidecar(ds: DabDataset, sidecarPath: String,
+      overwrite: Boolean = false): DataFrame = {
+    val spark = ds.spark
+    val exists = try {
+      spark.read.parquet(sidecarPath).schema.nonEmpty && !overwrite
+    } catch { case _: Throwable => false }
+    if (!exists) {
+      withDecodedAudio(ds).df
+        .select(col("filepath"), col("info.fs").as("fs"),
+          col("info.time_step").as("time_step"),
+          col("info.output_shape").as("output_shape"))
+        .write.mode(if (overwrite) "overwrite" else "ignore").parquet(sidecarPath)
+    }
+    spark.read.parquet(sidecarPath)
+  }
+}

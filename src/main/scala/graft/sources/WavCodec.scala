@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal RIFF/WAVE PCM decoder — the engine-side equivalent of the
+  * reference's `WavDatareader` (dabstract/dataprocessor/processors/
+  * processors.py:16-68, which delegates to soundfile). Pure JVM: parses
+  * the RIFF chunk list, supports PCM 8/16/24/32-bit and IEEE float32,
+  * returns normalized-as-stored samples plus the sample rate.
+  *
+  * `readRange` (start/stop frame offsets) reproduces the reference's
+  * range pushdown (processors.py:42-47): only the requested frames are
+  * materialized from the byte buffer (the bytes themselves arrive via
+  * Spark's binaryFile scan; sub-file byte-range pushdown would need a
+  * custom DataSource — SURVEY §4 flags this as an acceptable deferral).
+  */
+object WavCodec {
+
+  final case class Wav(samples: Array[Double], fs: Int, channels: Int)
+
+  def decode(bytes: Array[Byte], readRange: Option[(Int, Int)] = None,
+      channel: Option[Int] = None): Wav = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 44, "not a wav file: too short")
+    require(buf.getInt(0) == 0x46464952, "not a wav file: missing RIFF") // "RIFF"
+    require(buf.getInt(8) == 0x45564157, "not a wav file: missing WAVE") // "WAVE"
+
+    var pos = 12
+    var fmtCode = 0; var channels = 1; var fs = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= bytes.length && (dataOff < 0 || fmtCode == 0)) {
+      val id = buf.getInt(pos)
+      val sz = buf.getInt(pos + 4)
+      id match {
+        case 0x20746d66 => // "fmt "
+          fmtCode = buf.getShort(pos + 8) & 0xffff
+          channels = buf.getShort(pos + 10) & 0xffff
+          fs = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22) & 0xffff
+        case 0x61746164 => // "data"
+          dataOff = pos + 8
+          dataLen = math.min(sz, bytes.length - dataOff)
+        case _ => ()
+      }
+      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    require(dataOff >= 0, "wav: no data chunk")
+    require(fmtCode == 1 || fmtCode == 3, s"wav: unsupported format code $fmtCode")
+
+    val bytesPerSample = bits / 8
+    val frameBytes = bytesPerSample * channels
+    val totalFrames = dataLen / frameBytes
+    val (startF, stopF) = readRange match {
+      case Some((a, b)) => (math.max(0, a), math.min(totalFrames, b))
+      case None => (0, totalFrames)
+    }
+    val nFrames = math.max(0, stopF - startF)
+    val chSel = channel.getOrElse(-1)
+    val outCh = if (chSel >= 0) 1 else channels
+    val out = new Array[Double](nFrames * outCh)
+
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      var oi = 0
+      while (c < channels) {
+        if (chSel < 0 || c == chSel) {
+          val off = dataOff + (startF + f) * frameBytes + c * bytesPerSample
+          val v: Double = (fmtCode, bits) match {
+            case (1, 8)  => ((bytes(off) & 0xff) - 128) / 128.0
+            case (1, 16) => buf.getShort(off) / 32768.0
+            case (1, 24) =>
+              val raw = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+                (bytes(off + 2) << 16)
+              raw / 8388608.0
+            case (1, 32) => buf.getInt(off) / 2147483648.0
+            case (3, 32) => buf.getFloat(off).toDouble
+            case (fc, b) => throw new IllegalArgumentException(s"wav: fmt $fc/$b-bit")
+          }
+          out(f * outCh + oi) = v
+          oi += 1
+        }
+        c += 1
+      }
+      f += 1
+    }
+    Wav(out, fs, outCh)
+  }
+
+  /** Encode mono float samples to 16-bit PCM wav (test fixture helper). */
+  def encodePcm16(samples: Array[Double], fs: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(0x46464952); buf.putInt(36 + dataLen); buf.putInt(0x45564157)
+    buf.putInt(0x20746d66); buf.putInt(16)
+    buf.putShort(1); buf.putShort(1); buf.putInt(fs)
+    buf.putInt(fs * 2); buf.putShort(2); buf.putShort(16)
+    buf.putInt(0x61746164); buf.putInt(dataLen)
+    samples.foreach { s =>
+      val clamped = math.max(-1.0, math.min(1.0, s))
+      buf.putShort(math.round(clamped * 32767).toShort)
+    }
+    buf.array()
+  }
+}

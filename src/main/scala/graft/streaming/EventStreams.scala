@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over the `events` table (SURVEY §2.9 —
+  * absent in the reference; the engine ships the standard event-time
+  * toolkit: tumbling/sliding/session windows, watermarked dedup, and
+  * custom state via flatMapGroupsWithState).
+  *
+  * Every transform here is defined on a plain DataFrame, so the SAME
+  * function serves batch (driver correctness checks run it over the
+  * parquet `events` table) and streaming (`spark.readStream` input) —
+  * Spark's unified-API design point.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window aggregate: count + value stats per
+    * (window, event_type).
+    */
+  def tumblingCounts(events: DataFrame, width: String = "1 minute"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count("*").as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding window aggregate. */
+  def slidingCounts(events: DataFrame, width: String = "5 minutes",
+      slide: String = "1 minute"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count("*").as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Session windows per user (gap-based). */
+  def sessions(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count("*").as("n_events"), sum("value").as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Watermarked streaming variant of [[tumblingCounts]] — late data
+    * beyond the watermark is dropped; state is bounded.
+    */
+  def tumblingCountsStream(events: DataFrame, width: String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count("*").as("n"))
+
+  /** Streaming dedup by event_id within the watermark horizon. */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class UserRunning(userId: Long, nEvents: Long, total: Double)
+
+  /** Custom state example: running per-user totals via
+    * flatMapGroupsWithState (the reference has no stateful streaming;
+    * this is the engine's `mapGroupsWithState` surface, SURVEY §2.9).
+    */
+  def runningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.nEvents
+          var tot = prev.total
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserRunning(user, n, tot)
+          state.update(next)
+          Iterator(next)
+      }.toDF("user_id", "n_events", "total")
+  }
+
+  /** Batch-mode run of a streaming query over a bounded source, used by
+    * tests: read the parquet as a stream with one trigger, write to
+    * memory sink, return the result.
+    */
+  def runOnceOnParquet(spark: SparkSession, parquetPath: String,
+      transform: DataFrame => DataFrame, sinkName: String): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    // file-stream sources want a directory; single-file inputs (driver
+    // testdata) are streamed as parent-dir + glob on the file name
+    val parent = parquetPath.replaceAll("/[^/]+$", "")
+    val fileName = parquetPath.substring(parquetPath.lastIndexOf('/') + 1)
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", fileName).parquet(parent)
+    val q = transform(stream).writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(sinkName)
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.DabDataset
+
+/** Core table-layer goldens, mirroring the reference's unit tests
+  * (FIXTURES.md F1/F2; reference tests/test_dataset.py, tests/test_abstract.py).
+  */
+class DabDatasetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toy: DabDataset = {
+    val df = Seq(
+      (1.0, 0.0, "1"), (1.0, 0.0, "2"), (1.0, 0.0, "3"))
+      .toDF("test1", "test2", "test3")
+    DabDataset.dataset(df)
+  }
+
+  test("dataset adds auto-columns and dense _idx (F1)") {
+    val ds = toy
+    assert(ds.len == 3)
+    assert(ds.keys.toSet == Set("test1", "test2", "test3",
+      "test_only", "dataset_id", "dataset_str"))
+    val idx = ds.df.select("_idx").as[Long].collect().sorted
+    assert(idx.toSeq == Seq(0L, 1L, 2L))
+    val row = ds.get(0)
+    assert(row.getAs[Double]("test1") == 1.0)
+    assert(row.getAs[Int]("dataset_id") == 0)
+    assert(row.getAs[String]("dataset_str") == "Dataset")
+  }
+
+  test("add / remove / alias / activeKeys") {
+    val ds = toy.add("test4", col("test3")).addAlias("test3", "alias3")
+    assert(ds.keys.contains("test4") && ds.keys.contains("alias3"))
+    val removed = ds.remove("test4")
+    assert(!removed.keys.contains("test4"))
+    val act = removed.setActiveKeys("test1", "test3")
+    assert(act.active.columns.toSeq == Seq("_idx", "test1", "test3"))
+  }
+
+  test("selectIndices / selectSlice keep positional order and renumber") {
+    val ds = DabDataset.fromDataFrame(
+      spark.range(10).toDF("v").orderBy("v"))
+    val sel = ds.selectIndices(Seq(2L, 5L, 7L))
+    val rows = sel.df.orderBy("_idx").select("_idx", "v").as[(Long, Long)].collect()
+    assert(rows.toSeq == Seq((0L, 2L), (1L, 5L), (2L, 7L)))
+    val sliced = ds.selectSlice(1, 9, 3) // positions 1,4,7
+    assert(sliced.df.orderBy("_idx").select("v").as[Long].collect().toSeq == Seq(1L, 4L, 7L))
+  }
+
+  test("sampleReplicate repeats rows by factor (reference test_abstract.py:4-34)") {
+    val ds = DabDataset.fromDataFrame(
+      Seq("1", "2", "3", "4").toDF("v").orderBy("v"))
+    val rep = ds.sampleReplicate(lit(3))
+    assert(rep.len == 12)
+    val vs = rep.df.orderBy("_idx").select("v").as[String].collect()
+    assert(vs.toSeq == Seq("1", "1", "1", "2", "2", "2", "3", "3", "3", "4", "4", "4"))
+  }
+
+  test("split: 100 samples, win=50 → 2 chunks of 50 (test_abstract.py:125-181)") {
+    val df = Seq(Tuple1((1 to 100).map(_.toDouble))).toDF("data")
+    val ds = DabDataset.fromDataFrame(df).split(Seq("data"), 50)
+    assert(ds.len == 2)
+    val chunks = ds.df.orderBy("_idx").select("data").as[Seq[Double]].collect()
+    assert(chunks(0) == (1 to 50).map(_.toDouble))
+    assert(chunks(1) == (51 to 100).map(_.toDouble))
+  }
+
+  test("split power2: win=4 → 25 chunks of 4; win=5→8 → 12 chunks of 8") {
+    val df = Seq(Tuple1((1 to 100).map(_.toDouble))).toDF("data")
+    val p4 = DabDataset.fromDataFrame(df).split(Seq("data"), 4, power2 = true)
+    assert(p4.len == 25)
+    assert(p4.df.select(size(col("data"))).as[Int].head() == 4)
+    val p8 = DabDataset.fromDataFrame(df).split(Seq("data"), 5, power2 = true)
+    assert(p8.len == 12)
+    assert(p8.df.select(size(col("data"))).as[Int].head() == 8)
+  }
+
+  test("split replicates scalar metadata per chunk (add_split semantics)") {
+    val df = Seq(
+      ("a", (1 to 10).map(_.toDouble)),
+      ("b", (1 to 10).map(_.toDouble))).toDF("label", "data").orderBy("label")
+    val ds = DabDataset.fromDataFrame(df).split(Seq("data"), 5)
+    val rows = ds.df.orderBy("_idx").select("label").as[String].collect()
+    assert(rows.toSeq == Seq("a", "a", "b", "b"))
+  }
+
+  test("split length invariant: Σ max(1, ⌊(len−win)/win⌋+1) (abstract.py:968-987)") {
+    val lens = Seq(3, 10, 17, 32, 100)
+    val df = lens.map(n => Tuple1((1 to n).map(_.toDouble))).toDF("data")
+    val win = 8
+    val expected = lens.map(n => math.max(1, (n - win) / win + 1)).sum
+    // note: for n < win the chunk is short but still emitted once
+    val got = DabDataset.fromDataFrame(df).split(Seq("data"), win).len
+    assert(got == expected)
+  }
+
+  test("concat preserves order, offsets _idx and dataset_id (dataset.py:182-221)") {
+    val a = DabDataset.dataset(Seq(1.0, 2.0).toDF("v").orderBy("v"), "a")
+    val b = DabDataset.dataset(Seq(3.0, 4.0).toDF("v").orderBy("v"), "b")
+    val c = a.concat(b)
+    assert(c.nrDatasets == 2)
+    val rows = c.df.orderBy("_idx")
+      .select("_idx", "v", "dataset_id").as[(Long, Double, Int)].collect()
+    assert(rows.toSeq == Seq((0L, 1.0, 0), (1L, 2.0, 0), (2L, 3.0, 1), (3L, 4.0, 1)))
+  }
+
+  test("concat intersect keeps common columns only (abstract.py:1580-1637)") {
+    val a = DabDataset.fromDataFrame(Seq((1, "x")).toDF("k", "only_a"))
+    val b = DabDataset.fromDataFrame(Seq(2).toDF("k"))
+    val c = a.concat(b, intersect = true)
+    assert(c.keys.toSeq == Seq("k"))
+    assert(c.len == 2)
+  }
+
+  test("filterNonePad keeps row count, nulls payload (FilterAbstract return_none)") {
+    val ds = DabDataset.fromDataFrame(spark.range(5).toDF("v"))
+      .filterNonePad("v", col("v") % 2 === 0)
+    assert(ds.len == 5)
+    assert(ds.df.filter(col("v").isNull).count() == 2)
+  }
+
+  test("subsampleByStr + randomSubsample determinism (select.py)") {
+    val df = Seq("a", "a", "b", "c").toDF("g").orderBy("g")
+    val ds = DabDataset.fromDataFrame(df)
+    assert(ds.subsampleByStr("g", Seq("a")).len == 2)
+    val s1 = ds.randomSubsample(0.5, seed = 7).df.select("g").as[String].collect().toSeq
+    val s2 = ds.randomSubsample(0.5, seed = 7).df.select("g").as[String].collect().toSeq
+    assert(s1 == s2)
+  }
+
+  test("unpack projects columns in order (UnpackAbstract)") {
+    val ds = toy
+    assert(ds.unpack("test3", "test1").columns.toSeq == Seq("test3", "test1"))
+  }
+}

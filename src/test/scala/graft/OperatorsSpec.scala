@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.WavCodec
+
+/** Dedup / similarity / text / multimodal / xval operator behavior on
+  * small controlled fixtures (the driver tables exercise them at scale).
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again", "en"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again", "en"), // exact dup of 0
+    (2L, "the quick brown fox jumped over the lazy dog again and again", "en"), // near dup
+    (3L, "der schnelle braune fuchs springt und springt ein eine mit zu", "de"),
+    (4L, "completely different content about spark query engines at scale", "en"))
+    .toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val g = Dedup.exact(docs).collect()
+    assert(g.length == 4) // 0+1 collapse
+    val dup = g.find(_.getAs[Long]("dup_count") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+    assert(Dedup.exactKeep(docs).count() == 4)
+  }
+
+  test("minhash LSH finds the near-dup pair, not unrelated docs") {
+    val cands = Dedup.minhashCandidates(docs, numHashes = 32, rowsPerBand = 4,
+      k = 5, threshold = 0.5).collect()
+    val pairs = cands.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup always found
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
+  }
+
+  test("jaccard verify: exact dup = 1.0, near dup high, cross-lang low") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val v = Dedup.jaccardVerify(docs, pairs, k = 5).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(v((0L, 1L)) == 1.0)
+    assert(v((0L, 2L)) > 0.6)
+    assert(v((0L, 3L)) < 0.2)
+  }
+
+  test("simhash: identical docs distance 0, near dups close") {
+    val c = Dedup.simhashCandidates(docs).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("hamming"))
+      .toMap
+    assert(c.get((0L, 1L)).contains(0L))
+    c.get((0L, 2L)).foreach(d => assert(d <= 16))
+  }
+
+  test("brute-force knn: nearest neighbor of a vector is its duplicate") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.001f, 0.0f, 0.0f)), // ~dup of 0
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L), k = 1)
+      .collect().head
+    assert(top.getAs[Long]("neighbor_id") == 1L)
+    assert(top.getAs[Double]("cosine") > 0.999)
+  }
+
+  test("LSH ANN recall on clustered vectors") {
+    val base = (0 until 40).map { i =>
+      val cluster = i % 4
+      val v = Array.tabulate(16)(j => if (j / 4 == cluster) 1.0f + 0.01f * i else 0.01f * ((i + j) % 3))
+      (i.toLong, v.toSeq)
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(df, df.filter($"vec_id" < 4), k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(df, df.filter($"vec_id" < 4), k = 3,
+      nPlanes = 8, tables = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("text analysis: counts and language id") {
+    val out = TextAnalysis.analyze(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[String]("lang_pred") == "en")
+    assert(out(3L).getAs[String]("lang_pred") == "de")
+    assert(out(0L).getAs[Long]("n_tokens_ws") == 12)
+    val q = out(0L).getAs[org.apache.spark.sql.Row]("quality")
+    assert(q.getAs[Int]("n_words") == 12)
+  }
+
+  test("word ngrams: full grams only; short docs → empty") {
+    val d = Seq((0L, "a b c d"), (1L, "a b")).toDF("doc_id", "text")
+    val g = d.select($"doc_id", TextAnalysis.wordNgrams($"text", 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(g(0L) == Seq("a b c", "b c d"))
+    assert(g(1L).isEmpty)
+  }
+
+  test("xval: sequential kfold balanced within groups; hash kfold deterministic") {
+    val df = (1 to 40).map(i => (i.toLong, s"g${i % 2}")).toDF("id", "g")
+    val seqF = Xval.sequentialKfold(df, 4, "g", "id")
+    val sizes = seqF.groupBy("g", "fold").count().select("count").as[Long].collect()
+    assert(sizes.forall(_ == 5)) // 40 rows / 2 groups / 4 folds
+    val h1 = Xval.hashKfold(df, 4, "id").select("fold").as[Int].collect().toSeq
+    val h2 = Xval.hashKfold(df, 4, "id").select("fold").as[Int].collect().toSeq
+    assert(h1 == h2)
+    assert(h1.toSet.subsetOf(Set(0, 1, 2, 3)))
+  }
+
+  test("xval fold masks route test_only rows to test only (dataset.py:981-985)") {
+    val df = Seq((1L, 0, 0.0), (2L, 1, 0.0), (3L, 0, 1.0)).toDF("id", "fold", "test_only")
+    val m = Xval.foldMasks(df, 2, Some("test_only"))
+    val r3 = m.filter($"id" === 3L).head()
+    assert(!r3.getAs[Boolean]("xval_train_fold_0") && !r3.getAs[Boolean]("xval_train_fold_1"))
+    assert(r3.getAs[Boolean]("xval_test_fold_0") && r3.getAs[Boolean]("xval_test_fold_1"))
+    assert(Xval.xvalSet(m, "train", 0).select("id").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("wav codec roundtrip pcm16") {
+    val fs = 8000
+    val samples = Array.tabulate(1000)(i => 0.5 * math.sin(2 * math.Pi * 440 * i / fs))
+    val bytes = WavCodec.encodePcm16(samples, fs)
+    val w = WavCodec.decode(bytes)
+    assert(w.fs == fs && w.channels == 1 && w.samples.length == 1000)
+    samples.zip(w.samples).foreach { case (a, b) => assert(math.abs(a - b) < 1e-4) }
+    // range pushdown
+    val part = WavCodec.decode(bytes, readRange = Some((100, 200)))
+    assert(part.samples.length == 100)
+    assert(math.abs(part.samples(0) - w.samples(100)) < 1e-12)
+  }
+
+  test("multimodal: fake decode deterministic, media stats real") {
+    val a = Multimodal.fakeDecodeRgb("img-a".getBytes, 4, 4)
+    val b = Multimodal.fakeDecodeRgb("img-a".getBytes, 4, 4)
+    val c = Multimodal.fakeDecodeRgb("img-b".getBytes, 4, 4)
+    assert(a.toSeq == b.toSeq && a.toSeq != c.toSeq)
+    assert(a.length == 48 && a.forall(v => v >= 0f && v <= 1f))
+    val df = Seq(Tuple1("hello".getBytes)).toDF("bin")
+    val stats = df.select(Multimodal.mediaStats($"bin").as("m")).select("m.*").head()
+    assert(stats.getAs[Long]("n_bytes") == 5L)
+    assert(stats.getAs[String]("digest") == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+  }
+
+  test("embedding near-dup finds planted duplicate pair") {
+    val base = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j).toFloat).toSeq)
+    }
+    val planted = base :+ (100L, base(5)._2.map(v => v * 1.0001f))
+    val df = planted.toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDup(df, threshold = 0.999, tables = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((5L, 100L)))
+  }
+}

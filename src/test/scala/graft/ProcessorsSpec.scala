@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Processor/Chain layer: invertibility properties
+  * (inv_process ∘ process ≈ id, SURVEY §5), Framing shape goldens, the
+  * reference's chain-info propagation, fitted Normalizer two-phase agg.
+  */
+class ProcessorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sig(n: Int): Seq[Double] = (0 until n).map(i => math.sin(0.1 * i) * 100)
+
+  test("Scaler int16 roundtrip (processors.py:168-195)") {
+    val df = Seq(Tuple1(sig(10))).toDF("data")
+    val p = Scaler("int16")
+    val (fwd, _) = p(col("data"), Processor.emptyInfo)
+    val (back, _) = p.invert(fwd, Processor.emptyInfo)
+    val out = df.select(back.as("b")).as[Seq[Double]].head()
+    sig(10).zip(out).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("Logarithm base10 roundtrip on positive data") {
+    val df = Seq(Tuple1(Seq(1.0, 10.0, 100.0))).toDF("data")
+    val p = Logarithm("base10")
+    val (fwd, _) = p(col("data"), Processor.emptyInfo)
+    val out = df.select(fwd.as("f")).as[Seq[Double]].head()
+    assert(out == Seq(0.0, 20.0, 40.0)) // 20*log10
+  }
+
+  test("Framing: 1s @ fs=100, win=0.25/step=0.25, none → 4 frames of 25") {
+    val df = Seq(Tuple1(sig(100))).toDF("data")
+    val p = Framing(0.25, 0.25, "none")
+    val (framed, info) = p(col("data"), Processor.initInfo(100))
+    val out = df.select(framed.as("f"), info.getField("time_step").as("ts"))
+      .as[(Seq[Seq[Double]], Double)].head()
+    assert(out._1.length == 4)
+    assert(out._1.forall(_.length == 25))
+    assert(out._1.head == sig(100).take(25))
+    assert(out._2 == 0.25)
+  }
+
+  test("Framing hamming window scales frame ends down") {
+    val df = Seq(Tuple1(Seq.fill(100)(1.0))).toDF("data")
+    val (framed, _) = Framing(0.1, 0.1, "hamming")(col("data"), Processor.initInfo(100))
+    val f0 = df.select(framed).as[Seq[Seq[Double]]].head().head
+    assert(math.abs(f0.head - 0.08) < 1e-12) // hamming[0]
+    assert(f0.max <= 1.0)
+  }
+
+  test("FFT processor magnitude golden: pure tone (depth=1)") {
+    val n = 32
+    val tone = (0 until n).map(i => math.sin(2 * math.Pi * 4 * i / n))
+    val df = Seq(Tuple1(tone)).toDF("data")
+    val (out, info) = FFTProcessor("magnitude", "nextpow2", depth = 1)(
+      col("data"), Processor.initInfo(n))
+    val (mags, nfft) = df.select(out.as("m"), info.getField("nfft").as("n"))
+      .as[(Seq[Double], Int)].head()
+    assert(mags.length == n / 2 + 1)
+    assert(nfft == n)
+    assert(mags.indexOf(mags.max) == 4)
+  }
+
+  test("chain folds processors and threads info (processing_chain.py:97-108)") {
+    val chain = Chain(Seq(
+      Framing(0.25, 0.25, "none"),
+      FFTProcessor("power", "nextpow2"),
+      AggregationProcessor(Seq("mean", "std"))))
+    val df = Seq(Tuple1(sig(64))).toDF("data")
+    val (feat, info) = chain(col("data"), Processor.initInfo(64))
+    val (out, ts) = df.select(feat.as("f"), info.getField("time_step").as("t"))
+      .as[(Seq[Double], Double)].head()
+    // fs=64, win 0.25 → flen 16, 4 frames; nextpow2(16)=16 → 9 bins; ×2 stats
+    assert(out.length == 18)
+    assert(ts == 0.0) // Aggregation sets time_step=0 (processors.py:517)
+  }
+
+  test("Normalizer minmax fit+apply+invert (processors.py:93-165)") {
+    val df = Seq(Tuple1(Seq(0.0, 5.0, 10.0)), Tuple1(Seq(2.0, 4.0, 20.0)))
+      .toDF("data")
+    val p = Normalizer("minmax").fit(df, "data")
+    val (fwd, _) = p(col("data"), Processor.emptyInfo)
+    val rows = df.select(fwd.as("f")).as[Seq[Double]].collect()
+    val all = rows.flatten
+    assert(math.abs(all.min - 0.0) < 1e-12 && math.abs(all.max - 1.0) < 1e-12)
+    val (back, _) = p.invert(fwd, Processor.emptyInfo)
+    val orig = df.select(back.as("b")).as[Seq[Double]].collect().flatten
+    assert(math.abs(orig.min - 0.0) < 1e-9 && math.abs(orig.max - 20.0) < 1e-9)
+  }
+
+  test("Normalizer standard: fitted mean≈0 std≈1") {
+    val df = (1 to 50).map(i => Tuple1(Seq(i.toDouble))).toDF("data")
+    val p = Normalizer("standard").fit(df, "data")
+    val (fwd, _) = p(col("data"), Processor.emptyInfo)
+    val vals = df.select(fwd).as[Seq[Double]].collect().flatten
+    assert(math.abs(Dsp.mean(vals.toArray)) < 1e-9)
+    assert(math.abs(Dsp.std(vals.toArray) - 1.0) < 1e-9)
+  }
+
+  test("chain fit only fits trainable stages (causal recursion)") {
+    val chain = Chain(Seq(Scaler("wav_2_01"), Normalizer("minmax")))
+    val df = Seq(Tuple1(Seq(-1.0, 0.0, 1.0))).toDF("data")
+    val fitted = chain.fit(df, "data")
+    // Scaler maps [-1,1]→[0,1]; Normalizer fitted on scaled data → minmax over [0,1] = identity-ish
+    val (fwd, _) = fitted(col("data"), Processor.emptyInfo)
+    val out = df.select(fwd).as[Seq[Double]].head()
+    assert(math.abs(out.head - 0.0) < 1e-12 && math.abs(out.last - 1.0) < 1e-12)
+  }
+
+  test("FIRFilter + Resample processors run over DataFrame") {
+    val df = Seq(Tuple1(sig(200))).toDF("data")
+    val fir = FIRFilter("lowpass", f = 10, taps = 31, fs = 100)
+    val (filtered, _) = fir(col("data"), Processor.initInfo(100))
+    assert(df.select(filtered).as[Seq[Double]].head().length == 200)
+    val rs = Resample(targetFs = 50, srcFs = 100)
+    val (resampled, info) = rs(col("data"), Processor.initInfo(100))
+    val (out, fs) = df.select(resampled.as("r"), info.getField("fs").as("fs"))
+      .as[(Seq[Double], Int)].head()
+    assert(out.length == 100)
+    assert(fs == 50)
+  }
+
+  test("ExpandDims wraps innermost elements (processors.py:603-611)") {
+    val df = Seq(Tuple1(Seq(1.0, 2.0))).toDF("data")
+    val (out, _) = ExpandDims()(col("data"), Processor.emptyInfo)
+    assert(df.select(out).as[Seq[Seq[Double]]].head() == Seq(Seq(1.0), Seq(2.0)))
+  }
+
+  test("registry builds processors from string configs (processing_chain.py:69-80)") {
+    val p = Chain.registry("Scaler")(Map("type" -> "int16"))
+    assert(p.name == "Scaler")
+    val f = Chain.registry("Framing")(Map("windowsize" -> "0.1", "stepsize" -> "0.1"))
+    assert(f.name == "Framing")
+  }
+}

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py /tmp/verify_out /root/testdata/sf0.01
+Reads each <out>/<name> parquet (Spark result) + <out>/oracle_sql.json,
+runs the oracle in DuckDB over the sf tables, and compares values
+(columns sorted by name; rows compared both as-emitted and sorted).
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+out_dir, sf_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df):
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    return df
+
+def values_equal(a, b):
+    if a.shape != b.shape:
+        return False, f"shape {a.shape} vs {b.shape}"
+    for c in a.columns:
+        av, bv = a[c].values, b[c].values
+        for i in range(len(av)):
+            x, y = av[i], bv[i]
+            if isinstance(x, (list, np.ndarray)) or isinstance(y, (list, np.ndarray)):
+                xa = np.asarray(x, dtype=float); ya = np.asarray(y, dtype=float)
+                if xa.shape != ya.shape or not np.array_equal(xa, ya):
+                    return False, f"col {c} row {i}: {x} vs {y}"
+            else:
+                if pd.isna(x) and pd.isna(y):
+                    continue
+                if isinstance(x, float) or isinstance(y, float):
+                    if x != y:
+                        return False, f"col {c} row {i}: {x!r} vs {y!r}"
+                elif x != y:
+                    return False, f"col {c} row {i}: {x!r} vs {y!r}"
+    return True, ""
+
+names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/q*") if os.path.isdir(p))
+n_ok = n_fail = n_noracle = 0
+for name in names:
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL  {name}: no spark output"); n_fail += 1; continue
+    spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+    if name not in oracle:
+        print(f"ROWS  {name}: rows={len(spark_df)} (no oracle)"); n_noracle += 1
+        continue
+    try:
+        duck_df = con.execute(oracle[name]).df()
+    except Exception as e:
+        print(f"FAIL  {name}: duckdb error: {e}"); n_fail += 1; continue
+    a, b = canon(spark_df), canon(duck_df)
+    ok, why = values_equal(a, b)
+    if ok:
+        print(f"OK    {name}: rows={len(a)}"); n_ok += 1
+    else:
+        print(f"FAIL  {name}: {why}"); n_fail += 1
+print(f"\n{n_ok} ok, {n_fail} fail, {n_noracle} rows-only")
+sys.exit(1 if n_fail else 0)
