@@ -1,0 +1,116 @@
+package graft.functions
+
+/** Single-pass hashing kernels for the dedup/similarity operators.
+  *
+  * The naive expression formulation (`numHashes` × `transform`/`aggregate`
+  * over the shingle array) re-traverses each document 32–64 times and
+  * dominated the benchmark; these kernels do one pass over the text /
+  * vector with all hash registers in local variables. Hash family:
+  * FNV-1a base hash + splitmix64 finalizer per seed — deterministic
+  * across executors/runs (no stored model), public constants.
+  */
+object Hashing {
+
+  @inline private def splitmix(z0: Long): Long = {
+    var x = z0
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** MinHash signature over distinct character k-shingles, one text pass.
+    * sig[m] = min over shingles of splitmix(fnv(shingle) + C*(m+1)).
+    */
+  def minhashSignature(text: String, k: Int, numHashes: Int): Array[Long] = {
+    val t = text.toLowerCase
+    val n = math.max(1, t.length - (k - 1))
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val seen = new java.util.HashSet[Long](math.min(n * 2, 1 << 16))
+    var i = 0
+    while (i < n) {
+      var h = 0xcbf29ce484222325L
+      val end = math.min(i + k, t.length)
+      var j = i
+      while (j < end) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
+      if (seen.add(h)) {
+        var m = 0
+        while (m < numHashes) {
+          val x = splitmix(h + 0x9e3779b97f4a7c15L * (m + 1))
+          if (x < sig(m)) sig(m) = x
+          m += 1
+        }
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over whitespace tokens, one pass: per-bit counters of
+    * token-hash bits, sign → signature bit.
+    */
+  def simhash(text: String): Long = {
+    val counts = new Array[Int](64)
+    val t = text.toLowerCase
+    var i = 0
+    val len = t.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(t.charAt(i))) i += 1
+      if (i < len) {
+        var h = 0xcbf29ce484222325L
+        while (i < len && !Character.isWhitespace(t.charAt(i))) {
+          h ^= t.charAt(i); h *= 0x100000001b3L; i += 1
+        }
+        h = splitmix(h)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Random-hyperplane LSH bucket: sign pattern of `nPlanes` projections,
+    * one vector pass. Plane components are hash-derived in [-1,1] from
+    * (seed, plane, dim) — reproducible with no stored planes.
+    */
+  def hyperplaneBucket(vec: Array[Float], nPlanes: Int, seed: Int): Long = {
+    val proj = new Array[Double](nPlanes)
+    var j = 0
+    val d = vec.length
+    while (j < d) {
+      val v = vec(j)
+      if (v != 0.0f) {
+        var m = 0
+        while (m < nPlanes) {
+          val h = splitmix(seed.toLong * 0x9e3779b97f4a7c15L + m * 0xc2b2ae3d27d4eb4fL + j)
+          // map to [-1, 1): 53-bit mantissa fraction
+          val comp = (h >>> 11).toDouble / (1L << 52).toDouble - 1.0
+          proj(m) += v * comp
+          m += 1
+        }
+      }
+      j += 1
+    }
+    var key = 0L
+    var m = 0
+    while (m < nPlanes) { if (proj(m) >= 0) key |= (1L << m); m += 1 }
+    key
+  }
+
+  /** Exact cosine similarity, one fused pass. */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+}

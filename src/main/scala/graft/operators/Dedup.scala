@@ -77,9 +77,12 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, numHashes: Int = 64,
       rowsPerBand: Int = 8, k: Int = 5, threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // single-pass kernel: the pure-expression signature (kept above for the
+    // API) re-traverses the shingle set numHashes times — 30× slower
+    val sigUdf = udf((text: String) =>
+      graft.functions.Hashing.minhashSignature(text, k, numHashes).toSeq)
     val sigs = docs
-      .select(col(idCol).as("id"),
-        minhashSignature(col(textCol), numHashes, k).as("sig"))
+      .select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
     val buckets = sigs
       .select(col("id"), col("sig"),
         explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("bk"))
@@ -134,7 +137,8 @@ object Dedup {
   /** SimHash near-duplicate candidates: equal 16-bit bands. */
   def simhashCandidates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val simUdf = udf((text: String) => graft.functions.Hashing.simhash(text))
+    val sigs = docs.select(col(idCol).as("id"), simUdf(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),

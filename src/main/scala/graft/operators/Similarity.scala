@@ -31,6 +31,13 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Single-pass fused cosine kernel (dot + norms in one traversal); the
+    * expression form above is kept for column-level composition but the
+    * hot join paths use this.
+    */
+  private val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) =>
+    graft.functions.Hashing.cosine(a.toArray, b.toArray))
+
   /** Exact top-k cosine neighbors for each query id. `queries` is expected
     * to be small (it is broadcast); the corpus is scanned once.
     * Output: (query_id, neighbor_id, cosine, rank), rank 1..k.
@@ -40,7 +47,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("cosine", cosineUdf(col("qvec"), col("cvec")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -72,19 +79,18 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 12, tables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketUdf = udf((vec: Seq[Float], t: Int) =>
+      graft.functions.Hashing.hyperplaneBucket(vec.toArray, nPlanes, seed = 42 + t))
     def keyed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
-        explode(array((0 until tables).map { t =>
-          struct(lit(t).as("table"),
-            hyperplaneKey(col(vecCol), nPlanes, seed = 42 + t).as("bucket"))
-        }: _*)).as("bk"))
-        .select(col(id), col(vec), col("bk.table"), col("bk.bucket"))
+          explode(sequence(lit(0), lit(tables - 1))).as("table"))
+        .withColumn("bucket", bucketUdf(col(vec), col("table")))
     val c = keyed(corpus, "neighbor_id", "cvec")
     val q = keyed(queries, "query_id", "qvec")
     val cands = c.join(q, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("cosine", cosineUdf(col("qvec"), col("cvec")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -97,12 +103,11 @@ object Similarity {
   def embeddingNearDup(corpus: DataFrame, threshold: Double,
       nPlanes: Int = 12, tables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketUdf = udf((vec: Seq[Float], t: Int) =>
+      graft.functions.Hashing.hyperplaneBucket(vec.toArray, nPlanes, seed = 42 + t))
     val keyed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      explode(array((0 until tables).map { t =>
-        struct(lit(t).as("table"),
-          hyperplaneKey(col(vecCol), nPlanes, seed = 42 + t).as("bucket"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("vec"), col("bk.table"), col("bk.bucket"))
+        explode(sequence(lit(0), lit(tables - 1))).as("table"))
+      .withColumn("bucket", bucketUdf(col("vec"), col("table")))
     keyed.as("a").join(keyed.as("b"),
         col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") &&
@@ -110,7 +115,7 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.vec").as("va"), col("b.vec").as("vb"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine", cosineUdf(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
