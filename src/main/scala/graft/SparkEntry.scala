@@ -460,6 +460,83 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- §2.3 key+range (as-of-style) join, via the SQL frontend ----
+    "q43_range_join" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, COUNT(*) AS n_shipped_60d
+          |FROM orders_v JOIN lineitem_v ON l_orderkey = o_orderkey
+          |  AND datediff(to_date(l_shipdate), to_date(o_orderdate)) BETWEEN 0 AND 60
+          |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // ---- §2.4 exact percentile (sort-based, not approx) ----
+    "q44_median" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- §2.9 session windows (gap-based merge) ----
+    "q45_sessions" -> ((s, dir) => {
+      EventStreams.sessions(events(s, dir), "5 minutes")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
+    // ---- §2.4 distinct + dense-rank encode (stringlist2ind, utils.py:553-569) ----
+    "q46_unique_encode" -> ((s, dir) => {
+      val w = Window.orderBy("c_mktsegment")
+      customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (dense_rank().over(w) - 1).as("seg_id"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- §2.2 KeyAbstract: union with missing columns null-filled ----
+    "q47_union_missing_cols" -> ((s, dir) => {
+      val c = customer(s, dir)
+      val a = c.select(col("c_custkey"), col("c_acctbal")).withColumn("src", lit("a"))
+      val b = c.select(col("c_custkey"), col("c_mktsegment")).withColumn("src", lit("b"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy("src", "c_custkey")
+    }),
+
+    // ---- §2.12 group k-fold via content hash (engine-independent md5) ----
+    "q48_hash_kfold" -> ((s, dir) => {
+      customer(s, dir)
+        .select(col("c_custkey"),
+          (conv(substring(md5(col("c_name")), 1, 8), 16, 10).cast("long") % 4)
+            .cast("int").as("fold"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- north star (rows-only): image decode→resize→pool pipeline ----
+    "q49_image_features" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      d.select(col("doc_id"),
+          Multimodal.decodeResize(col("payload"), 8, 8).as("pixels"))
+        .select(col("doc_id"),
+          Multimodal.channelMeans(col("pixels")).as("rgb_means"),
+          size(col("pixels")).cast("long").as("n_px"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- §2.4 summary: counts per group (dataset.py:260-271) ----
+    "q50_summary" -> ((s, dir) => {
+      documents(s, dir)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang", "source")
+    }),
+
     // ---- §2.9 structured streaming (AvailableNow over parquet) ----
     "q42_stream_tumbling" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -729,6 +806,51 @@ object SparkEntry {
         |  FROM orders) t
         |WHERE idx >= 10 AND idx < 110 AND (idx - 10) % 3 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q43_range_join" ->
+      """SELECT o_orderkey, COUNT(*) AS n_shipped_60d
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  AND (CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)) BETWEEN 0 AND 60
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q44_median" ->
+      """SELECT o_orderpriority,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q45_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us,
+        |    SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 300000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q46_unique_encode" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS INT) AS seg_id
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q47_union_missing_cols" ->
+      """SELECT c_custkey, c_acctbal, NULL AS c_mktsegment, 'a' AS src FROM customer
+        |UNION ALL
+        |SELECT c_custkey, NULL, c_mktsegment, 'b' AS src FROM customer
+        |ORDER BY src, c_custkey""".stripMargin,
+
+    "q48_hash_kfold" ->
+      """SELECT c_custkey,
+        |  CAST(CAST(CONCAT('0x', SUBSTRING(md5(c_name), 1, 8)) AS UBIGINT) % 4 AS INT) AS fold
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q50_summary" ->
+      """SELECT lang, source, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "q41_media_stats" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,

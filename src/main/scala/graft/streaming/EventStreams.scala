@@ -85,18 +85,25 @@ object EventStreams {
     * memory sink, return the result.
     */
   def runOnceOnParquet(spark: SparkSession, parquetPath: String,
-      transform: DataFrame => DataFrame, sinkName: String): DataFrame = {
+      transform: DataFrame => DataFrame, sinkName: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
-    // file-stream sources want a directory; single-file inputs (driver
-    // testdata) are streamed as parent-dir + glob on the file name
-    val parent = parquetPath.replaceAll("/[^/]+$", "")
-    val fileName = parquetPath.substring(parquetPath.lastIndexOf('/') + 1)
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", fileName).parquet(parent)
+    // file-stream sources want a directory; a single-FILE input (driver
+    // testdata ships one file per table) is streamed as parent-dir + glob
+    // on the file name, a directory is streamed directly
+    val stream =
+      if (new java.io.File(parquetPath).isDirectory)
+        spark.readStream.schema(schema).parquet(parquetPath)
+      else {
+        val parent = parquetPath.replaceAll("/[^/]+$", "")
+        val fileName = parquetPath.substring(parquetPath.lastIndexOf('/') + 1)
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", fileName).parquet(parent)
+      }
     val q = transform(stream).writeStream
       .format("memory")
       .queryName(sinkName)
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000)

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+import graft.core.DabDataset
+import graft.functions.{Chain, Scaler}
+import graft.operators.Features
+import graft.sources.{FolderSource, WavCodec}
+import graft.streaming.EventStreams
+
+/** End-to-end source/sink flows: folder scan → wav decode → feature
+  * materialization (the reference's FolderDictSeqAbstract + prepare_feat
+  * paths), and the streaming surface over a bounded source.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wavRoot: String = {
+    val root = Files.createTempDirectory("graft_wavs")
+    for (subdb <- Seq("normal", "abnormal"); k <- 0 until 3) {
+      val dir = root.resolve(subdb)
+      Files.createDirectories(dir)
+      val fs = 8000
+      val samples = Array.tabulate(fs)(i =>
+        0.4 * math.sin(2 * math.Pi * (if (subdb == "normal") 440 else 880) * i / fs))
+      Files.write(dir.resolve(f"$k%03d.wav"), WavCodec.encodePcm16(samples, fs))
+    }
+    root.toString
+  }
+
+  test("folder scan: sorted rows, path columns, dense _idx (helpers.py:187-290)") {
+    val ds = FolderSource.scan(spark, wavRoot)
+    assert(ds.len == 6)
+    val rows = ds.df.orderBy("_idx")
+      .select("subdb", "filename").as[(String, String)].collect()
+    // sorted by full path → abnormal/000..002 then normal/000..002
+    assert(rows.take(3).forall(_._1 == "abnormal"))
+    assert(rows.drop(3).forall(_._1 == "normal"))
+    assert(rows.map(_._2).toSeq == Seq("000.wav", "001.wav", "002.wav",
+      "000.wav", "001.wav", "002.wav"))
+  }
+
+  test("wav decode populates data + info struct (fs, time_step, shape)") {
+    val ds = FolderSource.withDecodedAudio(FolderSource.scan(spark, wavRoot))
+    val r = ds.df.orderBy("_idx")
+      .select(size(col("data")), col("info.fs"), col("info.time_step"))
+      .as[(Int, Int, Double)].head()
+    assert(r == ((8000, 8000, 1.0 / 8000)))
+  }
+
+  test("file-info sidecar: written once, reused (helpers.py:377-393)") {
+    val ds = FolderSource.scan(spark, wavRoot)
+    val sidecar = Files.createTempDirectory("graft_sidecar").toString + "/file_info"
+    val info1 = FolderSource.fileInfoSidecar(ds, sidecar)
+    assert(info1.count() == 6)
+    val info2 = FolderSource.fileInfoSidecar(ds, sidecar) // second call reads cache
+    assert(info2.count() == 6)
+  }
+
+  test("prepareFeat: chain → parquet → joined back lazily; idempotent (dataset.py:703-928)") {
+    val ds = FolderSource.withDecodedAudio(FolderSource.scan(spark, wavRoot))
+    val featPath = Files.createTempDirectory("graft_feat").toString + "/feat"
+    val chain = Chain(Seq(Scaler("wav_2_01")))
+    val out = Features.prepareFeat(ds, "data", Some("info"), chain, "feat", featPath)
+    assert(out.keys.contains("feat"))
+    assert(out.len == 6)
+    // round-trip equality: feat[0] == chain(data[0]) (test_dataset.py:401-415)
+    val (data0, feat0) = out.df.orderBy("_idx")
+      .select(col("data"), col("feat")).as[(Seq[Double], Seq[Double])].head()
+    data0.zip(feat0).take(100).foreach { case (d, f) =>
+      assert(math.abs((d + 1) / 2 - f) < 1e-12)
+    }
+    // idempotence: second call reuses the parquet (no recompute)
+    val again = Features.prepareFeat(ds, "data", Some("info"), chain, "feat", featPath)
+    assert(again.len == 6)
+  }
+
+  test("streaming: tumbling counts over bounded parquet == batch result") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = EventStreams.tumblingCounts(
+      Tables.events(spark, sf()), "1 minute")
+    val streamed = EventStreams.runOnceOnParquet(spark, s"${sf()}/events.parquet",
+      df => EventStreams.tumblingCounts(Tables.normalizeTs(df), "1 minute"),
+      "test_tumbling_sink")
+    assert(streamed.count() == batch.count())
+    val b = batch.orderBy("w_start", "event_type").collect().toSeq
+    val s = streamed.orderBy("w_start", "event_type").collect().toSeq
+    assert(b == s)
+  }
+
+  test("streaming: runningTotals accumulates per-user state") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = Tables.events(spark, sf())
+    val totals = EventStreams.runningTotals(spark, ev)
+    val expected = ev.groupBy("user_id").agg(count(lit(1)), sum("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = totals.collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toMap
+    assert(got == expected)
+  }
+
+  test("streaming: watermarked dedup keeps one row per event_id") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = Tables.events(spark, sf())
+    val dup = Files.createTempDirectory("graft_dup").toString + "/doubled"
+    ev.union(ev).write.parquet(dup) // duplicated source
+    val deduped = EventStreams.runOnceOnParquet(spark, dup,
+      df => EventStreams.dedupStream(df), "test_dedup_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(deduped.count() == ev.count())
+  }
+}
