@@ -28,7 +28,10 @@ object Bench {
     "q23_langid",          // language id
     "q26_split_chunks",    // posexplode
     "q34_minhash_neardup", // LSH self-join
-    "q37_knn_brute")       // ANN broadcast
+    "q37_knn_brute",       // ANN broadcast
+    "q43_range_join",      // key+range join
+    "q45_sessions",        // session windows
+    "q49_image_features")  // multimodal decode
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

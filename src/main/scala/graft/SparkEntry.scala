@@ -489,12 +489,17 @@ object SparkEntry {
         .orderBy("user_id", "session_start_us")
     }),
 
-    // ---- §2.4 distinct + dense-rank encode (stringlist2ind, utils.py:553-569) ----
+    // ---- §2.4 distinct + dense-rank encode (stringlist2ind, utils.py:553-569)
+    // 100 TB shape: rank only the tiny DISTINCT set (a global window over
+    // 5 rows), broadcast-join the ids back — the big table never sees a
+    // single-partition shuffle.
     "q46_unique_encode" -> ((s, dir) => {
-      val w = Window.orderBy("c_mktsegment")
+      val segs = customer(s, dir).select("c_mktsegment").distinct()
+        .withColumn("seg_id",
+          (dense_rank().over(Window.orderBy("c_mktsegment")) - 1))
       customer(s, dir)
-        .select(col("c_custkey"), col("c_mktsegment"),
-          (dense_rank().over(w) - 1).as("seg_id"))
+        .join(broadcast(segs), Seq("c_mktsegment"))
+        .select("c_custkey", "c_mktsegment", "seg_id")
         .orderBy("c_custkey")
     }),
 
@@ -526,6 +531,15 @@ object SparkEntry {
           Multimodal.channelMeans(col("pixels")).as("rgb_means"),
           size(col("pixels")).cast("long").as("n_px"))
         .orderBy("doc_id")
+    }),
+
+    // ---- §2.4 get_unique with member ids (dataset.py:636-701) ----
+    "q51_unique_members" -> ((s, dir) => {
+      documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_members"),
+          sort_array(collect_list(col("doc_id"))).as("member_ids"))
+        .orderBy("lang")
     }),
 
     // ---- §2.4 summary: counts per group (dataset.py:260-271) ----
@@ -851,6 +865,11 @@ object SparkEntry {
     "q50_summary" ->
       """SELECT lang, source, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q51_unique_members" ->
+      """SELECT lang, COUNT(*) AS n_members,
+        |  list_sort(list(doc_id)) AS member_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q41_media_stats" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -54,6 +54,25 @@ object Multimodal {
   def decodeResize(bin: Column, w: Int, h: Int): Column =
     decodeResizeUdf(bin, lit(w), lit(h))
 
+  /** Batched decode via mapPartitions — the Scala analog of a pandas-UDF
+    * `mapInPandas` media pipeline: the decoder is handed a whole partition
+    * iterator so a real implementation can amortize codec init / GPU
+    * transfer per batch instead of per row. Input df must have
+    * (id: long, payload: binary); output (id, pixels: array<float>).
+    */
+  def decodeResizeBatched(df: DataFrame, w: Int, h: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // per-partition (per-"batch") setup happens here — codec handles,
+        // scratch buffers — then each row reuses it
+        batch.map { case (id, payload) =>
+          (id, fakeDecodeRgb(payload, w, h).toSeq)
+        }
+      }
+      .toDF("id", "pixels")
+  }
+
   /** Mean-pool pixel features per channel: array<float> (w*h*3) →
     * array<double>(3). Codegen'd HOF — no UDF.
     */

@@ -144,6 +144,16 @@ class OperatorsSpec extends SparkSpec {
     assert(stats.getAs[String]("digest") == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
   }
 
+  test("multimodal: batched mapPartitions decode matches per-row decode") {
+    val df = Seq((1L, "img-a".getBytes), (2L, "img-b".getBytes))
+      .toDF("id", "payload")
+    val batched = Multimodal.decodeResizeBatched(df, 4, 4)
+      .as[(Long, Seq[Float])].collect().toMap
+    val perRow = df.select($"id", Multimodal.decodeResize($"payload", 4, 4).as("px"))
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(batched == perRow)
+  }
+
   test("embedding near-dup finds planted duplicate pair") {
     val base = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j).toFloat).toSeq)
