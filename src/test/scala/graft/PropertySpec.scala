@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.DabDataset
+import graft.functions._
+
+/** Property tests (SURVEY §5.4): index-algebra invariants of the
+  * positional operators and processor invertibility
+  * (`inv_process ∘ process ≈ id`), swept over seeded case grids.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("split length = Σ max(1, ⌊(len−win)/win⌋+1) (abstract.py:968-987)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 6) {
+      val lens = List.fill(rnd.nextInt(4) + 1)(rnd.nextInt(59) + 1)
+      val win = rnd.nextInt(14) + 2
+      val df = lens.map(n => Tuple1((1 to n).map(_.toDouble))).toDF("data")
+      val expected = lens.map(n => math.max(1, math.floor((n - win).toDouble / win).toInt + 1)).sum
+      assert(DabDataset.fromDataFrame(df).split(Seq("data"), win).len == expected,
+        s"lens=$lens win=$win")
+    }
+  }
+
+  test("concat length and id offsets (SeqAbstract arithmetic, abstract.py:1859-1881)") {
+    for ((na, nb) <- Seq((1, 1), (5, 3), (20, 7), (2, 19))) {
+      val a = DabDataset.dataset(spark.range(na).toDF("v"), "a")
+      val b = DabDataset.dataset(spark.range(nb).toDF("v"), "b")
+      val c = a.concat(b)
+      assert(c.len == na + nb)
+      val ids = c.df.orderBy("_idx").select("_idx", "dataset_id")
+        .as[(Long, Int)].collect()
+      assert(ids.map(_._1).toSeq == (0L until (na + nb)).toSeq) // dense positions
+      assert(ids.count(_._2 == 1) == nb) // appended set re-tagged
+    }
+  }
+
+  test("selectSlice matches Scala slice-by-step semantics") {
+    val n = 50
+    val ds = DabDataset.fromDataFrame(spark.range(n).toDF("v").orderBy("v"))
+    for ((a, b, step) <- Seq((0, 11, 1), (3, 30, 2), (10, 40, 5), (7, 12, 3))) {
+      val got = ds.selectSlice(a, b, step).df.orderBy("_idx")
+        .select("v").as[Long].collect().toSeq
+      val expected = (a.toLong until b.toLong by step.toLong).toSeq
+      assert(got == expected, s"[$a,$b) by $step")
+    }
+  }
+
+  test("sampleReplicate multiplies length by factor") {
+    for ((n, f) <- Seq((1, 1), (7, 3), (15, 4))) {
+      val ds = DabDataset.fromDataFrame(spark.range(n).toDF("v"))
+      assert(ds.sampleReplicate(lit(f)).len == n.toLong * f)
+    }
+  }
+
+  test("Scaler invertibility: inv ∘ fwd ≈ id") {
+    val rnd = new scala.util.Random(7)
+    for (t <- Seq("uint16", "int16", "wav_2_01")) {
+      val xs = Seq.fill(20)(rnd.nextDouble() * 2 - 1)
+      val p = Scaler(t)
+      val df = Seq(Tuple1(xs)).toDF("data")
+      val (fwd, _) = p(col("data"), Processor.emptyInfo)
+      val (back, _) = p.invert(fwd, Processor.emptyInfo)
+      val out = df.select(back).as[Seq[Double]].head()
+      xs.zip(out).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, t) }
+    }
+  }
+
+  test("Normalizer invertibility after fit (minmax + standard)") {
+    val rnd = new scala.util.Random(13)
+    for (t <- Seq("minmax", "standard"); _ <- 1 to 3) {
+      val xs = Seq.fill(10)(rnd.nextDouble() * 100 - 50)
+      val df = xs.map(v => Tuple1(Seq(v))).toDF("data")
+      val p = Normalizer(t).fit(df, "data")
+      val (fwd, _) = p(col("data"), Processor.emptyInfo)
+      val (back, _) = p.invert(fwd, Processor.emptyInfo)
+      val out = df.select(back).as[Seq[Double]].collect().flatten
+      xs.zip(out).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6, t) }
+    }
+  }
+
+  test("fft/ifft roundtrip for arbitrary signals (incl. non-pow2)") {
+    val rnd = new scala.util.Random(99)
+    for (n <- Seq(2, 3, 7, 12, 16, 25, 33, 40)) {
+      val x = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+      val (fr, fi) = Dsp.fft(x, new Array[Double](n))
+      val (br, _) = Dsp.ifft(fr, fi)
+      x.zip(br).foreach { case (a, b) => assert(math.abs(a - b) < 1e-8, s"n=$n") }
+    }
+  }
+
+  test("minhash est-jaccard ≈ exact jaccard on shingle sets") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val words = base.split(" ")
+    for (mutations <- 0 to 4) {
+      val rnd = new scala.util.Random(mutations * 7 + 1)
+      val mutated = words.zipWithIndex.map { case (w, i) =>
+        if (i < mutations * 3) rnd.nextInt(1000).toString else w
+      }.mkString(" ")
+      def shingleSet(t: String) = t.toLowerCase.sliding(5).toSet
+      val exact = {
+        val a = shingleSet(base); val b = shingleSet(mutated)
+        a.intersect(b).size.toDouble / a.union(b).size
+      }
+      val sa = Hashing.minhashSignature(base, 5, 128)
+      val sb = Hashing.minhashSignature(mutated, 5, 128)
+      val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 128
+      assert(math.abs(est - exact) < 0.2, s"est=$est exact=$exact mut=$mutations")
+    }
+  }
+
+  test("resample length = round(target/src * n) across ratios") {
+    val x = Array.tabulate(100)(i => math.sin(0.2 * i))
+    for ((tgt, src) <- Seq((50, 100), (200, 100), (75, 100), (100, 100))) {
+      val out = Dsp.resample(x, math.round(tgt.toDouble / src * x.length).toInt)
+      assert(out.length == math.round(tgt.toDouble / src * 100).toInt)
+    }
+  }
+}
