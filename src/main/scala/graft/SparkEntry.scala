@@ -533,6 +533,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- §2.9 sliding event-time windows (5 min window, 1 min slide) ----
+    "q52_sliding" -> ((s, dir) => {
+      EventStreams.slidingCounts(events(s, dir), "5 minutes", "1 minute")
+        .select(unix_micros(col("w_start")).as("w_start_us"),
+          col("event_type"), col("n"))
+        .orderBy("w_start_us", "event_type")
+    }),
+
     // ---- §2.4 get_unique with member ids (dataset.py:636-701) ----
     "q51_unique_members" -> ((s, dir) => {
       documents(s, dir)
@@ -865,6 +873,14 @@ object SparkEntry {
     "q50_summary" ->
       """SELECT lang, source, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q52_sliding" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |    (CAST(FLOOR(epoch_us(ts) / 60000000) AS BIGINT) - k) * 60000000 AS w_start_us
+        |  FROM events, generate_series(0, 4) AS t(k))
+        |SELECT w_start_us, event_type, COUNT(*) AS n
+        |FROM x GROUP BY w_start_us, event_type ORDER BY w_start_us, event_type""".stripMargin,
 
     "q51_unique_members" ->
       """SELECT lang, COUNT(*) AS n_members,

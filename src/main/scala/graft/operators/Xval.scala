@@ -92,4 +92,15 @@ object Xval {
   /** Select one xval set (reference `get_xval_set`, dataset.py:1066-1130). */
   def xvalSet(df: DataFrame, set: String, fold: Int): DataFrame =
     df.filter(col(s"xval_${set}_fold_$fold"))
+
+  /** Persist fold assignment (reference pickles index lists to
+    * `save_path/xval.pickle`, dataset.py:988-1025; here a parquet of
+    * (key, fold) — scalable and re-joinable instead of driver-side lists).
+    */
+  def saveFolds(df: DataFrame, keyCol: String, path: String): Unit =
+    df.select(col(keyCol), col("fold")).write.mode("overwrite").parquet(path)
+
+  /** Re-attach persisted folds by key. */
+  def loadFolds(df: DataFrame, keyCol: String, path: String): DataFrame =
+    df.join(df.sparkSession.read.parquet(path), Seq(keyCol), "left")
 }

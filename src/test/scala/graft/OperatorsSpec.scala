@@ -119,6 +119,16 @@ class OperatorsSpec extends SparkSpec {
     assert(Xval.xvalSet(m, "train", 0).select("id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("xval folds save/load round-trip via parquet sidecar") {
+    val df = (1L to 20L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val folded = Xval.hashKfold(df, 4, "id")
+    val path = java.nio.file.Files.createTempDirectory("graft_xval").toString + "/folds"
+    Xval.saveFolds(folded, "id", path)
+    val loaded = Xval.loadFolds(df, "id", path)
+    assert(loaded.select("id", "fold").as[(Long, Int)].collect().toMap ==
+      folded.select("id", "fold").as[(Long, Int)].collect().toMap)
+  }
+
   test("wav codec roundtrip pcm16") {
     val fs = 8000
     val samples = Array.tabulate(1000)(i => 0.5 * math.sin(2 * math.Pi * 440 * i / fs))
