@@ -76,17 +76,28 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, numHashes: Int = 64,
       rowsPerBand: Int = 8, k: Int = 5, threshold: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Int = 5000): DataFrame = {
     // single-pass kernel: the pure-expression signature (kept above for the
     // API) re-traverses the shingle set numHashes times — 30× slower
     val sigUdf = udf((text: String) =>
       graft.functions.Hashing.minhashSignature(text, k, numHashes).toSeq)
     val sigs = docs
       .select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
-    val buckets = sigs
+    val allBuckets = sigs
       .select(col("id"), col("sig"),
         explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    // skew guard: a degenerate bucket (boilerplate/empty docs all hashing
+    // together) would make the self-join O(bucket²); cap it. Hot buckets
+    // are near-identical content anyway — they surface through the other
+    // bands or exact dedup. One count-window over the same shuffle key the
+    // join needs, so no extra shuffle at scale.
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val buckets = allBuckets
+      .withColumn("_bsz", count(lit(1)).over(wb))
+      .filter(col("_bsz") <= maxBucket)
+      .drop("_bsz")
     val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&

@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions, SparkSessionExtensionsProvider}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point: registers graft's native expressions with the
+  * session (`spark.sql.extensions=graft.plans.GraftExtensions`, or
+  * programmatically via `withExtensions`). SQL surface:
+  *
+  *   SELECT graft_cosine(a.embedding, b.embedding) FROM ...
+  *
+  * Catalyst sees a first-class expression — codegen'd, null-safe,
+  * foldable-aware — rather than an opaque UDF.
+  */
+class GraftExtensions extends SparkSessionExtensionsProvider {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.register(ext)
+}
+
+object GraftExtensions {
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_cosine(a, b) takes two array<float> args")
+        CosineSimilarity(children.head, children(1))
+      }))
+
+  def register(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
+
+  /** Column-API handle for the native expression (requires the function
+    * registered in the session — see [[register]] / `withExtensions`).
+    */
+  def cosineExpr(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+}

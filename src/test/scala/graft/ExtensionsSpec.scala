@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.Hashing
+import graft.plans.GraftExtensions
+
+/** Native Catalyst expression + SparkSessionExtensions registration:
+  * `graft_cosine` usable from SQL text and the Column API, codegen path
+  * matching the kernel exactly.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  private lazy val extSession: SparkSession = {
+    val base = spark // materialize shared context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(GraftExtensions.register)
+      .getOrCreate()
+    SparkSession.setActiveSession(base)
+    SparkSession.setDefaultSession(base)
+    s
+  }
+
+  test("graft_cosine registered via extensions, callable from SQL") {
+    val s = extSession
+    import s.implicits._
+    val df = Seq(
+      (Seq(1.0f, 0.0f, 2.0f), Seq(1.0f, 0.0f, 2.0f)),
+      (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)),
+      (Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val got = s.sql("SELECT graft_cosine(a, b) AS c FROM vecs").as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    val expected = Hashing.cosine(Array(1f, 2f, 3f), Array(4f, 5f, 6f))
+    assert(math.abs(got(2) - expected) < 1e-12)
+  }
+
+  test("graft_cosine via Column API handle, null-safe") {
+    val s = extSession
+    import s.implicits._
+    val df = Seq(
+      (Some(Seq(1.0f, 1.0f)), Some(Seq(1.0f, 1.0f))),
+      (None: Option[Seq[Float]], Some(Seq(1.0f, 1.0f)))).toDF("a", "b")
+    val out = df.select(GraftExtensions.cosineExpr(df("a"), df("b")).as("c"))
+      .collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
+    assert(out(1).isNullAt(0)) // null input → null, not crash
+  }
+
+  test("expression survives whole-stage codegen (no interpreted fallback)") {
+    val s = extSession
+    import s.implicits._
+    val n = 1000
+    val df = (0 until n).map { i =>
+      (Array.tabulate(8)(j => (i + j).toFloat).toSeq,
+        Array.tabulate(8)(j => (i * j + 1).toFloat).toSeq)
+    }.toDF("a", "b")
+    // repartition defeats ConvertToLocalRelation, so the projection runs
+    // in the real codegen'd executor path rather than driver-side folding
+    df.repartition(2).createOrReplaceTempView("vecs_big")
+    val sum = s.sql("SELECT SUM(graft_cosine(a, b)) AS t FROM vecs_big")
+      .as[Double].head()
+    assert(sum > 0 && sum <= n) // cosines in (0,1] for positive vecs
+    val q = s.sql("SELECT graft_cosine(a, b) FROM vecs_big")
+    q.collect() // finalize the AQE plan; codegen shows only in the final plan
+    val plan = q.queryExecution.executedPlan.toString
+    // AQE renders whole-stage-codegen stages as "*(n) Op"
+    assert(plan.contains("WholeStageCodegen") || "\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
+      plan.take(400))
+  }
+}
