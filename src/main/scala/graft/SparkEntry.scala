@@ -533,6 +533,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- §3.1 config-driven construction (the DDL path, helpers.py:14-93) ----
+    "q53_config_pipeline" -> ((s, dir) => {
+      val cfg =
+        """{"datasets": [
+          |   {"table": "documents", "name": "en_docs", "select": "lang = 'en'"},
+          |   {"table": "documents", "name": "de_docs", "select": "lang = 'de'"}],
+          | "select": "n_chars > 50",
+          | "xval": {"strategy": "md5", "folds": 4, "key": "doc_id"}}""".stripMargin
+      graft.sources.ConfigSource.fromJson(s, dir, cfg).df
+        .select(col("doc_id"), col("dataset_id"), col("fold"))
+        .orderBy("doc_id")
+    }),
+
     // ---- §2.9 sliding event-time windows (5 min window, 1 min slide) ----
     "q52_sliding" -> ((s, dir) => {
       EventStreams.slidingCounts(events(s, dir), "5 minutes", "1 minute")
@@ -873,6 +886,13 @@ object SparkEntry {
     "q50_summary" ->
       """SELECT lang, source, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q53_config_pipeline" ->
+      """SELECT doc_id,
+        |  CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS dataset_id,
+        |  CAST(CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 4 AS INT) AS fold
+        |FROM documents WHERE lang IN ('en', 'de') AND n_chars > 50
+        |ORDER BY doc_id""".stripMargin,
 
     "q52_sliding" ->
       """WITH x AS (

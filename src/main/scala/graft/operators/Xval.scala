@@ -62,6 +62,16 @@ object Xval {
   def hashKfold(df: DataFrame, folds: Int, key: String, seed: Long = 0): DataFrame =
     groupKfold(df, folds, key, seed)
 
+  /** Engine-independent k-fold: md5 of the key's string form, first 8 hex
+    * digits mod k. Slower than [[hashKfold]] but reproducible outside
+    * Spark (any system with md5 assigns identical folds — useful when the
+    * split must be shared across engines/teams).
+    */
+  def md5Kfold(df: DataFrame, folds: Int, key: String): DataFrame =
+    df.withColumn("fold",
+      (conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10).cast("long")
+        % folds).cast("int"))
+
   /** Single random train/val/test split (reference `random_split`,
     * xval.py:142-161): seeded, proportions normalized.
     */

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** Physical layout: bucketed joins must plan without a shuffle on either
+  * side; partitioned writes must prune at scan time.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("co-bucketed join plans with zero Exchange (shuffle-free)") {
+    val li = Tables.lineitem(spark, sf()).select("l_orderkey", "l_quantity")
+    val os = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    Layout.writeBucketed(li, "li_bkt", "l_orderkey", 8)
+    Layout.writeBucketed(os, "os_bkt", "l_orderkey", 8)
+    // disable broadcast so the join would otherwise shuffle both sides
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Layout.colocatedJoin(spark, "li_bkt", "os_bkt", "l_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(600))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(300))
+      // row count matches the unbucketed join
+      val expected = Tables.lineitem(spark, sf()).join(
+        Tables.orders(spark, sf()),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS os_bkt")
+    }
+  }
+
+  test("partitioned write prunes partitions at scan (PartitionFilters)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
+    Layout.writePartitioned(Tables.documents(spark, sf()), path, "lang")
+    val q = spark.read.parquet(path).filter(col("lang") === "en")
+    q.collect()
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan.take(500))
+    // only the en partition contributes
+    val full = Tables.documents(spark, sf())
+    assert(q.count() == full.filter(col("lang") === "en").count())
+  }
+}

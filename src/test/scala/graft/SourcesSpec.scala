@@ -76,6 +76,36 @@ class SourcesSpec extends SparkSpec {
     assert(again.len == 6)
   }
 
+  test("config-driven construction: concat-intersect + select + xval (helpers.py:14-93)") {
+    val cfg =
+      """{"datasets": [
+        |   {"table": "documents", "name": "en_docs", "select": "lang = 'en'"},
+        |   {"table": "documents", "name": "de_docs", "select": "lang = 'de'"}],
+        | "select": "n_chars > 50",
+        | "xval": {"strategy": "hash", "folds": 4, "key": "doc_id"}}""".stripMargin
+    val ds = graft.sources.ConfigSource.fromJson(spark, sf(), cfg)
+    val docs = Tables.documents(spark, sf())
+    val expected = docs.filter("lang IN ('en','de') AND n_chars > 50").count()
+    assert(ds.len == expected)
+    assert(ds.keys.contains("dataset_id") && ds.keys.contains("fold"))
+    assert(ds.keys.exists(_.startsWith("xval_train_fold_")))
+    // dataset_id distinguishes the two config entries
+    val ids = ds.df.select("dataset_id").distinct().as[Int].collect().toSet
+    assert(ids == Set(0, 1))
+    // folds deterministic across rebuilds
+    val ds2 = graft.sources.ConfigSource.fromJson(spark, sf(), cfg)
+    assert(ds2.df.select("doc_id", "fold").as[(Long, Int)].collect().toMap ==
+      ds.df.select("doc_id", "fold").as[(Long, Int)].collect().toMap)
+  }
+
+  test("config split step chunks array columns") {
+    val cfg =
+      """{"datasets": [{"table": "embeddings", "name": "vecs"}],
+        | "split": {"keys": ["embedding"], "win": 16}}""".stripMargin
+    val ds = graft.sources.ConfigSource.fromJson(spark, sf(), cfg)
+    assert(ds.len == Tables.embeddings(spark, sf()).count() * 4) // 64/16
+  }
+
   test("streaming: tumbling counts over bounded parquet == batch result") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = EventStreams.tumblingCounts(
