@@ -533,6 +533,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- §2.8 JSON scalar functions over the events props column ----
+    "q54_json_extract" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("k_mod")
+    }),
+
     // ---- §3.1 config-driven construction (the DDL path, helpers.py:14-93) ----
     "q53_config_pipeline" -> ((s, dir) => {
       val cfg =
@@ -886,6 +896,12 @@ object SparkEntry {
     "q50_summary" ->
       """SELECT lang, source, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q54_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
 
     "q53_config_pipeline" ->
       """SELECT doc_id,

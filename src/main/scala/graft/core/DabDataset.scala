@@ -61,6 +61,23 @@ final class DabDataset private (
   def addAlias(key: String, newKey: String): DabDataset =
     copy(df = df.withColumn(newKey, col(key)))
 
+  /** Lazy per-row map over one column via a processor chain (reference
+    * `MapAbstract`/`Map` factory + `add_map`, abstract.py:475-691): the
+    * chain's column expressions replace `key` (and its info sibling when
+    * present) in place — one codegen'd projection, laziness for free.
+    */
+  def addMap(key: String, chain: graft.functions.Chain,
+      newKey: Option[String] = None): DabDataset = {
+    val infoCol = s"${key}_info"
+    val info =
+      if (df.columns.contains(infoCol)) col(infoCol)
+      else if (df.columns.contains("info")) col("info")
+      else graft.functions.Processor.emptyInfo
+    val (out, outInfo) = chain(col(key), info)
+    val target = newKey.getOrElse(key)
+    copy(df = df.withColumn(target, out).withColumn(s"${target}_info", outInfo))
+  }
+
   /** Projection mask for row materialization (reference
     * `set_active_keys`, abstract.py:1681-1706).
     */

@@ -129,6 +129,17 @@ class DabDatasetSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("addMap applies a chain in place and threads info (MapAbstract)") {
+    import graft.functions.{Chain, Scaler, Logarithm}
+    val df = Seq(Tuple1(Seq(1.0, 10.0, 100.0))).toDF("data")
+    val ds = DabDataset.fromDataFrame(df)
+      .addMap("data", Chain(Seq(Scaler("wav_2_01"), Logarithm("natural"))), Some("mapped"))
+    val out = ds.df.select("mapped").as[Seq[Double]].head()
+    assert(math.abs(out.head - math.log(1.0)) < 1e-12) // (1+1)/2 = 1 → ln 1
+    assert(ds.keys.contains("mapped_info"))
+    assert(ds.keys.contains("data")) // original kept when newKey given
+  }
+
   test("unpack projects columns in order (UnpackAbstract)") {
     val ds = toy
     assert(ds.unpack("test3", "test1").columns.toSeq == Seq("test3", "test1"))

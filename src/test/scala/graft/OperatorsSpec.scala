@@ -119,6 +119,17 @@ class OperatorsSpec extends SparkSpec {
     assert(Xval.xvalSet(m, "train", 0).select("id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("salted aggregation equals plain aggregation (skew path)") {
+    // heavily skewed key: 90% of rows share one key
+    val df = (1 to 2000).map(i =>
+      (if (i % 10 == 0) s"k$i" else "hot", i.toDouble)).toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedSumCount(df, "k", "v", saltBuckets = 8)
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted == plain)
+  }
+
   test("xval folds save/load round-trip via parquet sidecar") {
     val df = (1L to 20L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
     val folded = Xval.hashKfold(df, 4, "id")
