@@ -119,6 +119,18 @@ class OperatorsSpec extends SparkSpec {
     assert(Xval.xvalSet(m, "train", 0).select("id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("approx aggregates within tolerance of exact (HLL++, t-digest)") {
+    val li = Tables.lineitem(spark, sf())
+    val exact = li.select(countDistinct("l_partkey")).as[Long].head()
+    val approx = li.select(approx_count_distinct("l_partkey")).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+    val exactMedian = li.select(expr("percentile(l_extendedprice, 0.5)")).as[Double].head()
+    val approxMedian = li.select(percentile_approx(col("l_extendedprice"),
+      lit(0.5), lit(10000))).as[Double].head()
+    assert(math.abs(approxMedian - exactMedian) / exactMedian < 0.05)
+  }
+
   test("salted aggregation equals plain aggregation (skew path)") {
     // heavily skewed key: 90% of rows share one key
     val df = (1 to 2000).map(i =>
