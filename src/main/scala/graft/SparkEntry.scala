@@ -533,6 +533,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- north star: exact n-gram Jaccard on a deterministic pair set ----
+    "q55_jaccard_pairs" -> ((s, dir) => {
+      val d = documents(s, dir).filter(length(col("text")) > 10)
+      val pairs = d.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1).as("id_b"))
+      Dedup.jaccardVerify(d, pairs, k = 5)
+        .orderBy("id_a")
+    }),
+
     // ---- §2.8 JSON scalar functions over the events props column ----
     "q54_json_extract" -> ((s, dir) => {
       events(s, dir)
@@ -896,6 +905,18 @@ object SparkEntry {
     "q50_summary" ->
       """SELECT lang, source, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q55_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, strlen(lower(text)) - 4),
+        |      i -> substring(lower(text), i, 5))) AS s
+        |  FROM documents WHERE strlen(text) > 10)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(a.s || b.s)) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
 
     "q54_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,

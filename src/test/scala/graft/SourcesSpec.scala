@@ -129,6 +129,36 @@ class SourcesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming: watermark drops late data (append-mode window finalization)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_sink")
+      .outputMode("append").start()
+    def t(min: Int, sec: Int = 0) =
+      Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+    try {
+      input.addData((t(0), "a"), (t(0, 30), "a")) // window [10:00,10:01)
+      q.processAllAvailable()
+      input.addData((t(5), "a")) // advances watermark to 10:04 → 10:00 window finalizes
+      q.processAllAvailable()
+      input.addData((t(0, 45), "a")) // LATE: behind watermark → must be dropped
+      q.processAllAvailable()
+      input.addData((t(10), "a")) // close out the 10:05 window too
+      q.processAllAvailable()
+      val rows = spark.table("wm_sink")
+        .select(col("window.start").cast("string"), col("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("2024-01-01 10:00:00") == 2L,
+        s"late event leaked into finalized window: $rows")
+    } finally q.stop()
+  }
+
   test("streaming: watermarked dedup keeps one row per event_id") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = Tables.events(spark, sf())
