@@ -194,6 +194,19 @@ final class DabDataset private (
       opLog = opLog :+ SplitOp(dataKeys, win))
   }
 
+  /** Split by a duration in seconds (reference `add_split` seconds mode,
+    * dataset.py:287-428): window length = round(seconds / time_step) from
+    * the info struct of `infoKey`. The reference requires one uniform
+    * sample period across rows (dataset.py:411-417), so the engine reads
+    * it once (a 1-row action) and delegates to the sample-based split.
+    */
+  def splitSeconds(dataKeys: Seq[String], seconds: Double,
+      infoKey: String = "info", power2: Boolean = false): DabDataset = {
+    val ts = df.select(col(infoKey).getField("time_step")).head().getDouble(0)
+    val win = math.round(seconds / ts).toInt
+    split(dataKeys, win, power2)
+  }
+
   // ---- set ops (reference abstract.py:1580-1637, dataset.py:182-221) ----
 
   /** UNION ALL preserving order: other's positions are offset by this

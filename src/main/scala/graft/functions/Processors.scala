@@ -163,9 +163,11 @@ final case class FFTProcessor(format: String = "magnitude",
     out.toSeq
   }
   // UDFs can't run inside HOF lambdas, so the 2-D (per-frame) variant maps
-  // the frame axis inside one UDF call.
-  private val u1 = udf(kernel _)
-  private val u2 = udf((frames: Seq[Seq[Double]]) => frames.map(kernel))
+  // the frame axis inside one UDF call. Null-tolerant: a null cell (e.g.
+  // Framing without a sample rate) propagates as null rather than NPE.
+  private val u1 = udf((x: Seq[Double]) => if (x == null) null else kernel(x))
+  private val u2 = udf((frames: Seq[Seq[Double]]) =>
+    if (frames == null) null else frames.map(f => if (f == null) null else kernel(f)))
 
   def apply(data: Column, info: Column): (Column, Column) = {
     val out = if (depth <= 1) u1(data) else u2(data)
