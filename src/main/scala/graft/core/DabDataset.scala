@@ -247,6 +247,24 @@ final class DabDataset private (
   def getRange(a: Long, b: Long): Array[Row] =
     active.filter(col(IdxCol) >= a && col(IdxCol) < b).orderBy(IdxCol).collect()
 
+  /** Collect an array column stacked client-side (reference DataAbstract
+    * auto-stacking, abstract.py:413-439): uniform row lengths → a dense
+    * 2-D array; ragged rows are returned as-is (the reference degrades
+    * ndarray→list the same way). Driver-side by definition — bounded use.
+    */
+  def collectStacked(key: String): Array[Array[Double]] =
+    df.orderBy(IdxCol).select(col(key).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** Streaming row iterator in position order (reference DataAbstract
+    * generator mode / parallel_op prefetch, abstract.py:148-249): rows
+    * arrive partition-by-partition without collecting the whole table.
+    */
+  def iterator: Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    active.orderBy(IdxCol).toLocalIterator().asScala
+  }
+
   private def copy(
       df: DataFrame = df,
       activeKeys: Seq[String] = activeKeys,

@@ -36,6 +36,11 @@ trait Processor extends Serializable {
   /** Whether this processor has trainable state (reference `fit`). */
   def needsFit: Boolean = false
 
+  /** Serializable config (registry params) for chain persistence; fitted
+    * state included where applicable.
+    */
+  def params: Map[String, String] = Map.empty
+
   /** Fit on a column of `df`, returning a fitted processor. Default:
     * stateless, returns this.
     */
@@ -107,6 +112,19 @@ final case class Chain(steps: Seq[Processor]) extends Processor {
   }
 
   def add(p: Processor): Chain = Chain(steps :+ p)
+
+  /** Persist the chain as JSON config (reference chain save/load,
+    * processing_chain.py:174-189 — pickle there, a registry-name + params
+    * document here, so it round-trips across engine versions).
+    */
+  def toJson: String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    steps.map { p =>
+      val ps = (p.params + ("name" -> p.name))
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
+      ps
+    }.mkString("[", ", ", "]")
+  }
 }
 
 object Chain {
@@ -125,9 +143,29 @@ object Chain {
     "FFT"        -> (p => FFTProcessor(p.getOrElse("format", "magnitude"),
                        p.getOrElse("nfft", "nextpow2"))),
     "Filterbank" -> (p => Filterbank(p("n_bands").toInt, p.getOrElse("scale", "mel"))),
-    "Normalizer" -> (p => Normalizer(p.getOrElse("type", "standard"))),
+    "Normalizer" -> (p => Normalizer(p.getOrElse("type", "standard"),
+                       stats = p.get("stats").map { s =>
+                         val Array(a, b) = s.split(","); (a.toDouble, b.toDouble)
+                       })),
     "Aggregation"-> (p => AggregationProcessor(
                        p.getOrElse("methods", "mean,std").split(",").toSeq)),
     "FIRFilter"  -> (p => FIRFilter(p("type"), p("f").toDouble, p.getOrElse("taps", "101").toInt)),
     "Resample"   -> (p => Resample(p("target_fs").toInt)))
+
+  /** Rebuild a chain from [[Chain.toJson]] output via the registry. */
+  def fromJson(json: String): Chain = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val steps = JsonMethods.parse(json) match {
+      case JArray(xs) => xs.map { step =>
+        val m = step.extract[Map[String, String]]
+        val name = m("name")
+        registry.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown processor '$name'"))(m - "name")
+      }
+      case _ => throw new IllegalArgumentException("chain json must be an array")
+    }
+    Chain(steps)
+  }
 }

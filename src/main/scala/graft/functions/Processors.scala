@@ -28,6 +28,7 @@ object ArrayOps {
   */
 final case class Scaler(scaleType: String, depth: Int = 1) extends Processor {
   def name = "Scaler"
+  override def params = Map("type" -> scaleType)
   private def fwd(x: Column): Column = scaleType match {
     case "uint16"   => x / math.pow(2, 16)
     case "int16"    => x / (math.pow(2, 15) - 1)
@@ -48,6 +49,7 @@ final case class Scaler(scaleType: String, depth: Int = 1) extends Processor {
 /** dB / natural log (reference Logarithm, processors.py:464-480). */
 final case class Logarithm(logType: String = "base10", depth: Int = 1) extends Processor {
   def name = "Logarithm"
+  override def params = Map("type" -> logType)
   private def fwd(x: Column): Column = logType match {
     case "base10"  => lit(20) * log10(x)
     case "natural" => log(x)
@@ -90,6 +92,8 @@ final case class DummyProcessor() extends Processor {
 final case class Framing(windowSize: Double, stepSize: Double,
     windowFunc: String = "hamming") extends Processor {
   def name = "Framing"
+  override def params = Map("windowsize" -> windowSize.toString,
+    "stepsize" -> stepSize.toString, "window_func" -> windowFunc)
 
   private def windowExpr(n: Column): Column = windowFunc match {
     case "hamming" => transform(sequence(lit(0), n - 1),
@@ -148,6 +152,7 @@ final case class FFTProcessor(format: String = "magnitude",
     nfftMode: String = "nextpow2", dcReset: Boolean = false,
     depth: Int = 2) extends Processor {
   def name = "FFT"
+  override def params = Map("format" -> format, "nfft" -> nfftMode)
 
   private def kernel(x: Seq[Double]): Seq[Double] = {
     val arr = x.toArray
@@ -190,6 +195,7 @@ final case class Filterbank(nBands: Int, scale: String = "mel",
     fmax: Double = Double.PositiveInfinity, norm: Option[String] = None,
     depth: Int = 2) extends Processor {
   def name = "Filterbank"
+  override def params = Map("n_bands" -> nBands.toString, "scale" -> scale)
   private val fbank = Dsp.filterbank(nBands, nfft, fs, scale, fmin, fmax, norm)
   private val u1 = udf((x: Seq[Double]) => Dsp.applyFilterbank(x.toArray, fbank).toSeq)
   private val u2 = udf((frames: Seq[Seq[Double]]) =>
@@ -204,6 +210,7 @@ final case class Filterbank(nBands: Int, scale: String = "mel",
   */
 final case class AggregationProcessor(methods: Seq[String]) extends Processor {
   def name = "Aggregation"
+  override def params = Map("methods" -> methods.mkString(","))
   private val u = udf((frames: Seq[Seq[Double]]) => {
     if (frames.isEmpty) Seq.empty[Double]
     else {
@@ -231,6 +238,8 @@ final case class Normalizer(normType: String = "standard",
     featureRange: (Double, Double) = (0.0, 1.0),
     stats: Option[(Double, Double)] = None, depth: Int = 1) extends Processor {
   def name = "Normalizer"
+  override def params = Map("type" -> normType) ++
+    stats.map { case (a, b) => "stats" -> s"$a,$b" }
   override def needsFit = true
 
   override def fit(df: DataFrame, dataCol: String): Normalizer = {
@@ -279,6 +288,7 @@ final case class FIRFilter(filterType: String, f: Double, taps: Int = 101,
     fs: Double = 16000, window: String = "hamming", f2: Double = Double.NaN)
     extends Processor {
   def name = "FIRFilter"
+  override def params = Map("type" -> filterType, "f" -> f.toString, "taps" -> taps.toString)
   private val coeffs: Array[Double] = filterType match {
     case "lowpass"  => Dsp.firwin(taps, Array(f), fs, passZero = true, window)
     case "highpass" => Dsp.firwin(taps, Array(f), fs, passZero = false, window)
@@ -295,6 +305,7 @@ final case class FIRFilter(filterType: String, f: Double, taps: Int = 101,
   */
 final case class Resample(targetFs: Int, srcFs: Int = 16000) extends Processor {
   def name = "Resample"
+  override def params = Map("target_fs" -> targetFs.toString)
   private val tf = targetFs
   private val sf = srcFs
   private val u = udf((x: Seq[Double]) => {

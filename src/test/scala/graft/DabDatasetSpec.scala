@@ -129,6 +129,17 @@ class DabDatasetSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("collectStacked and iterator return rows in position order (DataAbstract)") {
+    val df = Seq(Tuple1(Seq(1.0, 2.0)), Tuple1(Seq(3.0, 4.0)), Tuple1(Seq(5.0, 6.0)))
+      .toDF("data")
+    val ds = DabDataset.fromDataFrame(df)
+    val stacked = ds.collectStacked("data")
+    assert(stacked.map(_.toSeq).toSeq ==
+      Seq(Seq(1.0, 2.0), Seq(3.0, 4.0), Seq(5.0, 6.0)))
+    val idxOrder = ds.iterator.map(_.getAs[Long]("_idx")).toSeq
+    assert(idxOrder == Seq(0L, 1L, 2L))
+  }
+
   test("addMap applies a chain in place and threads info (MapAbstract)") {
     import graft.functions.{Chain, Scaler, Logarithm}
     val df = Seq(Tuple1(Seq(1.0, 10.0, 100.0))).toDF("data")

@@ -127,6 +127,20 @@ class ProcessorsSpec extends SparkSpec {
     assert(df.select(out).as[Seq[Seq[Double]]].head() == Seq(Seq(1.0), Seq(2.0)))
   }
 
+  test("chain json round-trip incl. fitted state (processing_chain.py:174-189)") {
+    val df = Seq(Tuple1(Seq(0.0, 5.0, 10.0))).toDF("data")
+    val chain = Chain(Seq(Scaler("int16"), Normalizer("minmax"))).fit(df, "data")
+    val json = chain.toJson
+    val rebuilt = Chain.fromJson(json)
+    assert(rebuilt.steps.map(_.name) == Seq("Scaler", "Normalizer"))
+    // fitted stats survive: same transform without re-fitting
+    val (a, _) = chain(col("data"), Processor.emptyInfo)
+    val (b, _) = rebuilt(col("data"), Processor.emptyInfo)
+    val ra = df.select(a).as[Seq[Double]].head()
+    val rb = df.select(b).as[Seq[Double]].head()
+    ra.zip(rb).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+  }
+
   test("registry builds processors from string configs (processing_chain.py:69-80)") {
     val p = Chain.registry("Scaler")(Map("type" -> "int16"))
     assert(p.name == "Scaler")
