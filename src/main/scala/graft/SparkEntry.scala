@@ -533,6 +533,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- north star (rows-only): LSH → cluster → canonical survivors ----
+    "q56_neardup_keep" -> ((s, dir) => {
+      Dedup.nearDupKeep(documents(s, dir), numHashes = 32, rowsPerBand = 4,
+          k = 5, threshold = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // ---- north star: exact n-gram Jaccard on a deterministic pair set ----
     "q55_jaccard_pairs" -> ((s, dir) => {
       val d = documents(s, dir).filter(length(col("text")) > 10)

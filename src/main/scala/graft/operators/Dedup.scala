@@ -129,6 +129,66 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cluster near-duplicate candidate pairs into groups and pick a
+    * canonical survivor per group: connected components by iterative
+    * min-label propagation over the pair edges (the standard scalable
+    * formulation — each round is one join + one aggregate, converges in
+    * O(log(diameter)) rounds; dedup clusters are tiny so 3-5 rounds
+    * suffice in practice).
+    *
+    * Input: (id_a, id_b) pairs. Output: (doc_id, cluster_id) where
+    * cluster_id = min doc id reachable through the pair graph; rows not
+    * in any pair are absent (they are their own cluster).
+    */
+  def clusterPairs(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .withColumn("cluster_id", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // each node adopts the min label among itself and its neighbors
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster_id", "n_label"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("n_label").as("n_min"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val changed = updated.as("u").join(labels.as("l"), Seq("id"))
+        .filter(col("u.cluster_id") =!= col("l.cluster_id")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup removal: LSH candidates → cluster → keep the
+    * min-id survivor of each cluster (plus all unpaired docs).
+    */
+  def nearDupKeep(docs: DataFrame, numHashes: Int = 64, rowsPerBand: Int = 8,
+      k: Int = 5, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cands = minhashCandidates(docs, numHashes, rowsPerBand, k, threshold,
+      idCol, textCol)
+    val clusters = clusterPairs(cands)
+    val survivors = clusters.groupBy("cluster_id")
+      .agg(min("id").as("keep"))
+      .select(col("keep").as(idCol))
+    val losers = clusters.join(survivors,
+      clusters("id") === survivors(idCol), "anti")
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "anti")
+  }
+
   /** 64-bit SimHash over word tokens: sign of per-bit weighted sums of
     * token hashes. Near-dups = signatures within small Hamming distance;
     * banded into 16-bit sub-keys for bucket joins (a doc pair within

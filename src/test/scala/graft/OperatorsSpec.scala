@@ -45,6 +45,25 @@ class OperatorsSpec extends SparkSpec {
     assert(v((0L, 3L)) < 0.2)
   }
 
+  test("clusterPairs: chains merge into one component, min id wins") {
+    // components: {1,2,3,4} (chain), {10,11}, singletons absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val c = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(c(_) == 1L))
+    assert(c(10L) == 10L && c(11L) == 10L)
+  }
+
+  test("nearDupKeep drops near-dup group members, keeps min id + unpaired") {
+    val kept = Dedup.nearDupKeep(docs, numHashes = 32, rowsPerBand = 4,
+      k = 5, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(0L)) // survivor of the 0/1(/2) group
+    assert(!kept.contains(1L)) // exact dup dropped
+    assert(kept.contains(3L) && kept.contains(4L)) // unrelated docs kept
+  }
+
   test("simhash: identical docs distance 0, near dups close") {
     val c = Dedup.simhashCandidates(docs).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("hamming"))
