@@ -422,6 +422,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- north star (rows-only): IVF-bucketed ANN (k-means coarse cells) ----
+    "q57_knn_ivf" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5,
+          nCells = 16, nProbe = 8)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- north star (rows-only): embedding near-dup pairs ----
     // (driver embeddings are near-orthogonal — max pairwise cosine ≈0.46 —
     // so the threshold exercises the top of the real distribution)

@@ -96,7 +96,6 @@ final case class Chain(steps: Seq[Processor]) extends Processor {
     * per trainable stage (inherent to the semantics, not the engine).
     */
   override def fit(df: DataFrame, dataCol: String): Chain = {
-    var cur = df
     val fitted = Seq.newBuilder[Processor]
     var prefix: Seq[Processor] = Nil
     for (p <- steps) {

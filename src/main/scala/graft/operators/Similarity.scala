@@ -97,6 +97,92 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Spherical k-means coarse quantizer for IVF: Lloyd's iterations with
+    * the corpus staying distributed — per iteration one broadcast of the
+    * (tiny) centroid set, one map-side assignment, one groupBy-average.
+    * Deterministic: seeds are the k hash-smallest corpus vectors.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Float]] = {
+    import org.apache.spark.sql.functions.{udf => mkUdf}
+    var centroids: Array[Array[Float]] = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    var it = 0
+    while (it < iters) {
+      val cs = centroids // stable closure for this round
+      val assignU = mkUdf((v: Seq[Float]) => {
+        val a = v.toArray
+        var best = 0; var bestSim = Double.MinValue
+        var i = 0
+        while (i < cs.length) {
+          val s = graft.functions.Hashing.cosine(a, cs(i))
+          if (s > bestSim) { bestSim = s; best = i }
+          i += 1
+        }
+        best
+      })
+      val means = corpus
+        .select(assignU(col(vecCol)).as("cell"),
+          posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(avg("v").as("m"))
+        .collect()
+      val dim = centroids.head.length
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("m").toFloat
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF ANN: corpus assigned to k-means cells once (map-side, broadcast
+    * centroids); each query probes its `nProbe` nearest cells and exact
+    * cosine re-ranks only those candidates. The 100 TB path alternative
+    * to [[lshTopK]]: cost ≈ corpus-scan + |corpus|·nProbe/k comparisons,
+    * recall tunable via nProbe.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.functions.{udf => mkUdf}
+    val cs = kmeansCentroids(corpus, nCells, kmeansIters, idCol, vecCol)
+    val assignU = mkUdf((v: Seq[Float]) => {
+      val a = v.toArray
+      var best = 0; var bestSim = Double.MinValue
+      var i = 0
+      while (i < cs.length) {
+        val s = graft.functions.Hashing.cosine(a, cs(i))
+        if (s > bestSim) { bestSim = s; best = i }
+        i += 1
+      }
+      best
+    })
+    val probeU = mkUdf((v: Seq[Float]) => {
+      val a = v.toArray
+      cs.indices.map(i => (graft.functions.Hashing.cosine(a, cs(i)), i))
+        .sortBy(-_._1).take(nProbe).map(_._2)
+    })
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("cell", assignU(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("cell", explode(probeU(col("qvec"))))
+    val cands = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosineUdf(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Pairwise near-duplicate detection by embedding cosine ≥ threshold,
     * via LSH buckets (embedding-space analog of Dedup.minhashCandidates).
     */

@@ -100,6 +100,23 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("IVF ANN recall vs brute force on clustered vectors") {
+    val base = (0 until 60).map { i =>
+      val cluster = i % 4
+      val v = Array.tabulate(16)(j =>
+        if (j / 4 == cluster) 1.0f + 0.01f * i else 0.01f * ((i + j) % 3))
+      (i.toLong, v.toSeq)
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(df, df.filter($"vec_id" < 4), k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(df, df.filter($"vec_id" < 4), k = 3,
+      nCells = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.7, s"IVF recall too low: $recall")
+  }
+
   test("text analysis: counts and language id") {
     val out = TextAnalysis.analyze(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
