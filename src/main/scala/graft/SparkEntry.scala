@@ -542,6 +542,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- §2.3 as-of JOIN of two tables (union+window operator) ----
+    "q58_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "us")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"),
+          col("value").as("purchase_value"), col("event_id").as("p_event_id"))
+      graft.operators.Asof.join(clicks, purchases, "user_id",
+          leftTime = "us", rightTime = "us", valueCols = Seq("purchase_value"),
+          tiebreak = Some("p_event_id"))
+        .select("user_id", "event_id", "purchase_value")
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- north star (rows-only): LSH → cluster → canonical survivors ----
     "q56_neardup_keep" -> ((s, dir) => {
       Dedup.nearDupKeep(documents(s, dir), numHashes = 32, rowsPerBand = 4,
@@ -922,6 +937,19 @@ object SparkEntry {
     "q50_summary" ->
       """SELECT lang, source, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q58_asof_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value, event_id FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id,
+        |  (SELECT p.value FROM p
+        |   WHERE p.user_id = c.user_id AND p.us <= c.us
+        |   ORDER BY p.us DESC, p.event_id DESC LIMIT 1) AS purchase_value
+        |FROM c ORDER BY c.user_id, c.event_id""".stripMargin,
 
     "q55_jaccard_pairs" ->
       """WITH sh AS (

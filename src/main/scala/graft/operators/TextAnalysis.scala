@@ -116,6 +116,35 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Hashing-trick term-frequency vector (`dim` buckets): the standard
+    * feature-hashing vectorization for text at scale — no vocabulary
+    * build, no shuffle, fixed-width output. One pass per document.
+    */
+  def hashingTf(text: Column, dim: Int = 1024): Column = {
+    val u = udf((t: String) => {
+      val counts = new Array[Double](dim)
+      if (t != null) {
+        val lower = t.toLowerCase
+        var i = 0
+        val len = lower.length
+        while (i < len) {
+          while (i < len && !Character.isLetterOrDigit(lower.charAt(i))) i += 1
+          if (i < len) {
+            var h = 0xcbf29ce484222325L
+            while (i < len && (Character.isLetterOrDigit(lower.charAt(i)) ||
+                lower.charAt(i) == '\'')) {
+              h ^= lower.charAt(i); h *= 0x100000001b3L; i += 1
+            }
+            val b = ((h % dim) + dim) % dim
+            counts(b.toInt) += 1.0
+          }
+        }
+      }
+      counts.toSeq
+    })
+    u(text)
+  }
+
   /** Full document-analysis projection over a documents table. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =

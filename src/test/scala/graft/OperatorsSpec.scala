@@ -213,6 +213,45 @@ class OperatorsSpec extends SparkSpec {
     assert(stats.getAs[String]("digest") == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
   }
 
+  test("asof join: latest right value at or before each left time") {
+    val clicks = Seq((1L, 100L, 10L), (1L, 101L, 25L), (2L, 102L, 10L))
+      .toDF("user_id", "event_id", "us")
+    val purchases = Seq((1L, 10L, 5.0, 900L), (1L, 20L, 7.0, 901L), (2L, 50L, 9.0, 902L))
+      .toDF("user_id", "us", "purchase_value", "p_event_id")
+    val out = graft.operators.Asof.join(clicks, purchases, "user_id",
+        "us", "us", Seq("purchase_value"), tiebreak = Some("p_event_id"))
+      .select("event_id", "purchase_value")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(100L).contains(5.0)) // t=10: purchase at 10 visible (<=)
+    assert(out(101L).contains(7.0)) // t=25: latest is t=20
+    assert(out(102L).isEmpty)       // t=10 < first purchase at 50 → null
+  }
+
+  test("binned range join equals naive non-equi join") {
+    val points = Seq((1L, 5L), (1L, 15L), (1L, 50L), (2L, 15L))
+      .toDF("k", "t")
+    val intervals = Seq((1L, 0L, 10L, "a"), (1L, 12L, 30L, "b"), (2L, 10L, 20L, "c"))
+      .toDF("k", "s", "e", "tag")
+    val naive = points.join(intervals, points("k") === intervals("k") &&
+        points("t") >= intervals("s") && points("t") <= intervals("e"))
+      .select(points("t"), intervals("tag")).as[(Long, String)].collect().toSet
+    val binned = graft.operators.Asof.binnedRangeJoin(
+        points, intervals, "k", "t", "s", "e", binWidth = 8)
+      .select("t", "tag").as[(Long, String)].collect().toSet
+    assert(binned == naive)
+    assert(naive == Set((5L, "a"), (15L, "b"), (15L, "c")))
+  }
+
+  test("hashingTf: fixed-width, deterministic, counts words") {
+    val df = Seq((0L, "spark spark flies"), (1L, "")).toDF("doc_id", "text")
+    val v = df.select($"doc_id", TextAnalysis.hashingTf($"text", 64).as("tf"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(v(0L).length == 64 && v(1L).length == 64)
+    assert(v(0L).sum == 3.0) // three tokens total
+    assert(v(0L).max == 2.0) // "spark" twice in one bucket
+    assert(v(1L).sum == 0.0)
+  }
+
   test("multimodal: batched mapPartitions decode matches per-row decode") {
     val df = Seq((1L, "img-a".getBytes), (2L, "img-b".getBytes))
       .toDF("id", "payload")
