@@ -31,7 +31,8 @@ object Bench {
     "q37_knn_brute",       // ANN broadcast
     "q43_range_join",      // key+range join
     "q45_sessions",        // session windows
-    "q49_image_features")  // multimodal decode
+    "q49_image_features",  // multimodal decode
+    "q58_asof_join")       // as-of union+window
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

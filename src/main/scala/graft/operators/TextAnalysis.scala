@@ -145,6 +145,29 @@ object TextAnalysis {
     u(text)
   }
 
+  /** TF-IDF over hashing-trick vectors: document frequency per bucket is
+    * one aggregate over the corpus (partial+final, no per-term shuffle),
+    * idf = ln((N+1)/(df+1))+1 (smoothed, the standard sklearn-published
+    * formula), broadcast back as a literal vector.
+    */
+  def tfidf(docs: DataFrame, textCol: String = "text",
+      dim: Int = 1024): DataFrame = {
+    val withTf = docs.withColumn("_tf", hashingTf(col(textCol), dim))
+    val n = docs.count()
+    val dfRow = withTf
+      .select(posexplode(col("_tf")).as(Seq("b", "v")))
+      .filter(col("v") > 0)
+      .groupBy("b").agg(count(lit(1)).as("df"))
+      .collect()
+    val dfCounts = new Array[Double](dim)
+    dfRow.foreach(r => dfCounts(r.getAs[Int]("b")) = r.getAs[Long]("df").toDouble)
+    val idf = dfCounts.map(d => math.log((n + 1.0) / (d + 1.0)) + 1.0)
+    val idfCol = array(idf.map(lit): _*)
+    withTf
+      .withColumn("tfidf", zip_with(col("_tf"), idfCol, (t, i) => t * i))
+      .drop("_tf")
+  }
+
   /** Full document-analysis projection over a documents table. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =

@@ -242,6 +242,18 @@ class OperatorsSpec extends SparkSpec {
     assert(naive == Set((5L, "a"), (15L, "b"), (15L, "c")))
   }
 
+  test("tfidf: common terms downweighted vs rare terms") {
+    val corpus = (0 until 20).map(i =>
+      (i.toLong, if (i == 0) "common rareword" else "common filler" + i))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(corpus, "text", dim = 256)
+      .filter($"doc_id" === 0L).select("tfidf").as[Seq[Double]].head()
+    val nonzero = out.filter(_ > 0).sorted
+    assert(nonzero.length == 2) // "common" and "rareword" buckets
+    // rare term weight strictly above ubiquitous term weight
+    assert(nonzero.last > nonzero.head * 2)
+  }
+
   test("hashingTf: fixed-width, deterministic, counts words") {
     val df = Seq((0L, "spark spark flies"), (1L, "")).toDF("doc_id", "text")
     val v = df.select($"doc_id", TextAnalysis.hashingTf($"text", 64).as("tf"))
