@@ -41,6 +41,12 @@ trait Processor extends Serializable {
     */
   def params: Map[String, String] = Map.empty
 
+  /** Array nesting depth of this processor's output (0 = scalar): lets
+    * the chain maintain info.output_shape (reference appends output_shape
+    * after every process call, processing_chain.py:106-107).
+    */
+  def outputDepth: Int = 1
+
   /** Fit on a column of `df`, returning a fitted processor. Default:
     * stateless, returns this.
     */
@@ -83,7 +89,16 @@ final case class Chain(steps: Seq[Processor]) extends Processor {
   def name = "chain"
 
   def apply(data: Column, info: Column): (Column, Column) =
-    steps.foldLeft((data, info)) { case ((d, i), p) => p(d, i) }
+    steps.foldLeft((data, info)) { case ((d, i), p) =>
+      val (d2, i2) = p(d, i)
+      // thread output_shape after every step (processing_chain.py:106-107)
+      val shape = p.outputDepth match {
+        case 1 => Some(array(size(d2)))
+        case 2 => Some(array(size(d2), size(element_at(d2, 1))))
+        case _ => None
+      }
+      (d2, shape.fold(i2)(sh => Processor.withInfo(i2, outputShape = Some(sh))))
+    }
 
   override def isInvertible: Boolean = steps.forall(_.isInvertible)
 

@@ -28,6 +28,7 @@ object ArrayOps {
   */
 final case class Scaler(scaleType: String, depth: Int = 1) extends Processor {
   def name = "Scaler"
+  override def outputDepth = depth
   override def params = Map("type" -> scaleType)
   private def fwd(x: Column): Column = scaleType match {
     case "uint16"   => x / math.pow(2, 16)
@@ -49,6 +50,7 @@ final case class Scaler(scaleType: String, depth: Int = 1) extends Processor {
 /** dB / natural log (reference Logarithm, processors.py:464-480). */
 final case class Logarithm(logType: String = "base10", depth: Int = 1) extends Processor {
   def name = "Logarithm"
+  override def outputDepth = depth
   override def params = Map("type" -> logType)
   private def fwd(x: Column): Column = logType match {
     case "base10"  => lit(20) * log10(x)
@@ -68,6 +70,7 @@ final case class Logarithm(logType: String = "base10", depth: Int = 1) extends P
   */
 final case class ExpandDims(depth: Int = 1) extends Processor {
   def name = "ExpandDims"
+  override def outputDepth = depth + 1
   def apply(data: Column, info: Column) =
     (ArrayOps.mapAtDepth(data, depth, x => array(x)), info)
 }
@@ -92,6 +95,7 @@ final case class DummyProcessor() extends Processor {
 final case class Framing(windowSize: Double, stepSize: Double,
     windowFunc: String = "hamming") extends Processor {
   def name = "Framing"
+  override def outputDepth = 2
   override def params = Map("windowsize" -> windowSize.toString,
     "stepsize" -> stepSize.toString, "window_func" -> windowFunc)
 
@@ -152,6 +156,7 @@ final case class FFTProcessor(format: String = "magnitude",
     nfftMode: String = "nextpow2", dcReset: Boolean = false,
     depth: Int = 2) extends Processor {
   def name = "FFT"
+  override def outputDepth = depth
   override def params = Map("format" -> format, "nfft" -> nfftMode)
 
   private def kernel(x: Seq[Double]): Seq[Double] = {
@@ -195,6 +200,7 @@ final case class Filterbank(nBands: Int, scale: String = "mel",
     fmax: Double = Double.PositiveInfinity, norm: Option[String] = None,
     depth: Int = 2) extends Processor {
   def name = "Filterbank"
+  override def outputDepth = depth
   override def params = Map("n_bands" -> nBands.toString, "scale" -> scale)
   private val fbank = Dsp.filterbank(nBands, nfft, fs, scale, fmin, fmax, norm)
   private val u1 = udf((x: Seq[Double]) => Dsp.applyFilterbank(x.toArray, fbank).toSeq)
@@ -210,6 +216,7 @@ final case class Filterbank(nBands: Int, scale: String = "mel",
   */
 final case class AggregationProcessor(methods: Seq[String]) extends Processor {
   def name = "Aggregation"
+  override def outputDepth = 1
   override def params = Map("methods" -> methods.mkString(","))
   private val u = udf((frames: Seq[Seq[Double]]) => {
     if (frames.isEmpty) Seq.empty[Double]
@@ -238,6 +245,7 @@ final case class Normalizer(normType: String = "standard",
     featureRange: (Double, Double) = (0.0, 1.0),
     stats: Option[(Double, Double)] = None, depth: Int = 1) extends Processor {
   def name = "Normalizer"
+  override def outputDepth = depth
   override def params = Map("type" -> normType) ++
     stats.map { case (a, b) => "stats" -> s"$a,$b" }
   override def needsFit = true

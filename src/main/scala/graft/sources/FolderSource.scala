@@ -59,6 +59,18 @@ object FolderSource {
       .remove("_dec")
   }
 
+  /** Align a metadata table to the scanned files by filename (reference
+    * DB classes hand-build this equi-join with `filenames.index(...)`,
+    * dbs/DCASE2020Task1B.py:63-70) — a broadcast join here; row order
+    * and `_idx` are untouched (left join keeps every scanned file).
+    */
+  def joinMeta(ds: DabDataset, meta: DataFrame,
+      on: String = "filename"): DabDataset = {
+    val d = ds.df.join(
+      org.apache.spark.sql.functions.broadcast(meta), Seq(on), "left")
+    DabDataset.fromExisting(d)
+  }
+
   /** Probe + cache per-file metadata (reference `get_dir_info`'s
     * `file_info.pickle`, helpers.py:341-393): writes a parquet sidecar
     * once, reuses it on the next build (`mode("ignore")` = the

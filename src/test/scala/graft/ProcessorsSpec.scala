@@ -127,6 +127,17 @@ class ProcessorsSpec extends SparkSpec {
     assert(df.select(out).as[Seq[Seq[Double]]].head() == Seq(Seq(1.0), Seq(2.0)))
   }
 
+  test("chain threads output_shape after each step (processing_chain.py:106-107)") {
+    val chain = Chain(Seq(
+      Framing(0.25, 0.25, "none"),
+      FFTProcessor("magnitude", "nextpow2"),
+      AggregationProcessor(Seq("mean", "std"))))
+    val df = Seq(Tuple1(sig(64))).toDF("data")
+    val (_, info) = chain(col("data"), Processor.initInfo(64))
+    val shape = df.select(info.getField("output_shape")).as[Seq[Int]].head()
+    assert(shape == Seq(18)) // final: 9 bins × 2 stats, 1-D
+  }
+
   test("chain json round-trip incl. fitted state (processing_chain.py:174-189)") {
     val df = Seq(Tuple1(Seq(0.0, 5.0, 10.0))).toDF("data")
     val chain = Chain(Seq(Scaler("int16"), Normalizer("minmax"))).fit(df, "data")

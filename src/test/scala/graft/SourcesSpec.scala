@@ -49,6 +49,16 @@ class SourcesSpec extends SparkSpec {
     assert(r == ((8000, 8000, 1.0 / 8000)))
   }
 
+  test("joinMeta aligns a metadata table by filename (DCASE2020Task1B.py:63-70)") {
+    val ds = FolderSource.scan(spark, wavRoot)
+    val meta = Seq(("000.wav", "scene_a"), ("001.wav", "scene_b"))
+      .toDF("filename", "scene")
+    val joined = FolderSource.joinMeta(ds, meta)
+    assert(joined.len == 6) // left join keeps all files
+    val scenes = joined.df.filter(col("scene").isNotNull).count()
+    assert(scenes == 4) // 2 matching filenames × 2 subdbs
+  }
+
   test("file-info sidecar: written once, reused (helpers.py:377-393)") {
     val ds = FolderSource.scan(spark, wavRoot)
     val sidecar = Files.createTempDirectory("graft_sidecar").toString + "/file_info"
