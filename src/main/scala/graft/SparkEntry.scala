@@ -557,6 +557,22 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- §2.3 interval containment via the binned range-join operator ----
+    "q59_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "us")
+      // window = 2 hours after each purchase
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("us").as("w_start"), (col("us") + 7200000000L).as("w_end"))
+      graft.operators.Asof.binnedRangeJoin(clicks, windows, "user_id",
+          "us", "w_start", "w_end", binWidth = 3600000000L)
+        .groupBy("user_id", "event_id")
+        .agg(count(lit(1)).as("n_windows"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- north star (rows-only): LSH → cluster → canonical survivors ----
     "q56_neardup_keep" -> ((s, dir) => {
       Dedup.nearDupKeep(documents(s, dir), numHashes = 32, rowsPerBand = 4,
@@ -937,6 +953,19 @@ object SparkEntry {
     "q50_summary" ->
       """SELECT lang, source, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q59_interval_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT user_id, epoch_us(ts) AS w_start, epoch_us(ts) + 7200000000 AS w_end
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id, COUNT(*) AS n_windows
+        |FROM c JOIN w ON c.user_id = w.user_id
+        |  AND c.us >= w.w_start AND c.us <= w.w_end
+        |GROUP BY c.user_id, c.event_id
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
 
     "q58_asof_join" ->
       """WITH c AS (
