@@ -954,6 +954,13 @@ object SparkEntry {
       """SELECT lang, source, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
+    // q40 emits only the deterministic feature dimensionality (the values
+    // come from the FFT kernel, not SQL-expressible): the oracle pins the
+    // expected dim for every row, so a chain shape regression fails the gate
+    "q40_dsp_chain" ->
+      """SELECT vec_id, CAST(18 AS BIGINT) AS feat_dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
     "q59_interval_join" ->
       """WITH c AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
