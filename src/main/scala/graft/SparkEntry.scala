@@ -557,6 +557,29 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- §2.5 window frame spec: running per-customer spend ----
+    "q60_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"), 2)).over(w)
+            .cast("double").as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- §2.5 analytic windows: percent_rank / cume_dist / ntile ----
+    "q61_analytic_ranks" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, dir)
+        .select(col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .filter(col("pr") >= 0.99)
+        .orderBy("o_orderkey")
+    }),
+
     // ---- §2.3 interval containment via the binned range-join operator ----
     "q59_interval_join" -> ((s, dir) => {
       val ev = events(s, dir).withColumn("us", unix_micros(col("ts")))
@@ -953,6 +976,21 @@ object SparkEntry {
     "q50_summary" ->
       """SELECT lang, source, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q60_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q61_analytic_ranks" ->
+      """SELECT o_orderkey, pr, cd FROM (
+        |  SELECT o_orderkey,
+        |    percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS pr,
+        |    cume_dist() OVER (ORDER BY o_totalprice, o_orderkey) AS cd
+        |  FROM orders) t
+        |WHERE pr >= 0.99 ORDER BY o_orderkey""".stripMargin,
 
     // q40 emits only the deterministic feature dimensionality (the values
     // come from the FFT kernel, not SQL-expressible): the oracle pins the
