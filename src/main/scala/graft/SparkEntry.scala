@@ -557,6 +557,31 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- §2.8 date/time scalar functions ----
+    "q62_date_funcs" -> ((s, dir) => {
+      orders(s, dir).select(
+        col("o_orderkey"),
+        date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd").as("due_date"),
+        date_format(last_day(to_date(col("o_orderdate"))), "yyyy-MM-dd").as("month_end"),
+        year(col("o_orderdate")).cast("int").as("y"),
+        quarter(col("o_orderdate")).cast("int").as("q"),
+        month(col("o_orderdate")).cast("int").as("m"),
+        (dayofweek(col("o_orderdate")) - 1).cast("int").as("dow"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- §2.8 string scalar functions (pads/translate/levenshtein) ----
+    "q63_string_funcs" -> ((s, dir) => {
+      part(s, dir).select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_padded"),
+        rpad(col("p_name"), 20, ".").as("name_padded"),
+        translate(col("p_type"), "aeiou", "AEIOU").as("type_translated"),
+        reverse(col("p_brand")).as("brand_rev"),
+        levenshtein(col("p_name"), col("p_brand")).cast("int").as("edit_dist"))
+        .orderBy("p_partkey")
+    }),
+
     // ---- §2.5 window frame spec: running per-customer spend ----
     "q60_running_total" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -976,6 +1001,25 @@ object SparkEntry {
     "q50_summary" ->
       """SELECT lang, source, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q62_date_funcs" ->
+      """SELECT o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q63_string_funcs" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS brand_padded,
+        |  rpad(p_name, 20, '.') AS name_padded,
+        |  translate(p_type, 'aeiou', 'AEIOU') AS type_translated,
+        |  reverse(p_brand) AS brand_rev,
+        |  CAST(levenshtein(p_name, p_brand) AS INT) AS edit_dist
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q60_running_total" ->
       """SELECT o_custkey, o_orderkey,
