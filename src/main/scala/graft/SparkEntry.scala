@@ -557,6 +557,18 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- §2.4 explicit GROUPING SETS (via the SQL frontend) ----
+    "q64_grouping_sets" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT COALESCE(l_returnflag, '-') AS flag,
+          |  COALESCE(l_linestatus, '-') AS status,
+          |  COUNT(*) AS n
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY flag, status""".stripMargin)
+    }),
+
     // ---- §2.8 date/time scalar functions ----
     "q62_date_funcs" -> ((s, dir) => {
       orders(s, dir).select(
@@ -1001,6 +1013,14 @@ object SparkEntry {
     "q50_summary" ->
       """SELECT lang, source, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q64_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, '-') AS flag,
+        |  COALESCE(l_linestatus, '-') AS status,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY flag, status""".stripMargin,
 
     "q62_date_funcs" ->
       """SELECT o_orderkey,
