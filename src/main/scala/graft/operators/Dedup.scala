@@ -77,13 +77,28 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, numHashes: Int = 64,
       rowsPerBand: Int = 8, k: Int = 5, threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text",
-      maxBucket: Int = 5000): DataFrame = {
+      maxBucket: Int = 5000, collapseExact: Boolean = true): DataFrame = {
+    // Production dedup order: collapse exact duplicates FIRST (cheap md5
+    // groupBy), then run near-dup LSH on one representative per digest.
+    // Without this, a corpus with d-fold exact duplication pays d× on
+    // signatures and d²× on within-bucket pairs — measured 38× slowdown
+    // on a 10×-duplicated scale test. Candidates are between
+    // representatives (min id per digest), which is what a dedup pipeline
+    // consumes; exact-dup members are handled by exactKeep.
+    val base =
+      if (collapseExact)
+        docs.select(col(idCol).as("id"), col(textCol).as("t"))
+          .withColumn("digest", md5(col("t")))
+          .groupBy("digest")
+          .agg(min("id").as("id"), first("t").as("t"))
+          .drop("digest")
+      else docs.select(col(idCol).as("id"), col(textCol).as("t"))
     // single-pass kernel: the pure-expression signature (kept above for the
     // API) re-traverses the shingle set numHashes times — 30× slower
     val sigUdf = udf((text: String) =>
       graft.functions.Hashing.minhashSignature(text, k, numHashes).toSeq)
-    val sigs = docs
-      .select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+    val sigs = base
+      .select(col("id"), sigUdf(col("t")).as("sig"))
     val allBuckets = sigs
       .select(col("id"), col("sig"),
         explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("bk"))
@@ -177,8 +192,11 @@ object Dedup {
   def nearDupKeep(docs: DataFrame, numHashes: Int = 64, rowsPerBand: Int = 8,
       k: Int = 5, threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val cands = minhashCandidates(docs, numHashes, rowsPerBand, k, threshold,
-      idCol, textCol)
+    // stage 1: exact dedup (drops md5-identical copies, keeps min id)
+    val uniq = exactKeep(docs, idCol, textCol)
+    // stage 2: near-dup LSH over the unique survivors only
+    val cands = minhashCandidates(uniq, numHashes, rowsPerBand, k, threshold,
+      idCol, textCol, collapseExact = false)
     val clusters = clusterPairs(cands)
     val survivors = clusters.groupBy("cluster_id")
       .agg(min("id").as("keep"))
@@ -186,7 +204,7 @@ object Dedup {
     val losers = clusters.join(survivors,
       clusters("id") === survivors(idCol), "anti")
       .select(col("id").as(idCol))
-    docs.join(losers, Seq(idCol), "anti")
+    uniq.join(losers, Seq(idCol), "anti")
   }
 
   /** 64-bit SimHash over word tokens: sign of per-bit weighted sums of

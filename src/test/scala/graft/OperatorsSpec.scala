@@ -27,12 +27,18 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("minhash LSH finds the near-dup pair, not unrelated docs") {
+    // exact dups (0,1) are collapsed to representative 0 before LSH
     val cands = Dedup.minhashCandidates(docs, numHashes = 32, rowsPerBand = 4,
       k = 5, threshold = 0.5).collect()
     val pairs = cands.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
-    assert(pairs.contains((0L, 1L))) // exact dup always found
-    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.contains((0L, 1L))) // exact dup handled by stage-1 collapse
+    assert(pairs.contains((0L, 2L))) // near dup vs the representative
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
+    // opting out restores raw pair generation
+    val raw = Dedup.minhashCandidates(docs, numHashes = 32, rowsPerBand = 4,
+      k = 5, threshold = 0.5, collapseExact = false).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(raw.contains((0L, 1L)))
   }
 
   test("jaccard verify: exact dup = 1.0, near dup high, cross-lang low") {
