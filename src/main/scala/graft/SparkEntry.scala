@@ -45,7 +45,7 @@ object SparkEntry {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        (sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))))
+        round(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))), 2)
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
@@ -61,8 +61,8 @@ object SparkEntry {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("sum_base_price"),
+          round(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))), 2)
             .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -120,7 +120,7 @@ object SparkEntry {
       customer(s, dir)
         .rollup("c_mktsegment")
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("c_acctbal"), 2)).cast("double").as("sum_bal"))
+          round(sum(dec(col("c_acctbal"), 2)), 2).cast("double").as("sum_bal"))
         .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
           col("n"), col("sum_bal"))
         .orderBy("segment")
@@ -205,7 +205,7 @@ object SparkEntry {
       orders(s, dir)
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"), 2)).cast("double").as("total_spent"))
+          round(sum(dec(col("o_totalprice"), 2)), 2).cast("double").as("total_spent"))
         .filter(col("n_orders") >= 3)
         .orderBy("o_custkey")
     }),
@@ -601,7 +601,7 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, 0)
       orders(s, dir)
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(dec(col("o_totalprice"), 2)).over(w)
+          round(sum(dec(col("o_totalprice"), 2)).over(w), 2)
             .cast("double").as("running_spend"))
         .orderBy("o_custkey", "o_orderkey")
     }),
@@ -719,8 +719,8 @@ object SparkEntry {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -733,7 +733,7 @@ object SparkEntry {
 
     "q03_revenue_by_nation" ->
       """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -762,7 +762,7 @@ object SparkEntry {
 
     "q08_rollup_counts" ->
       """SELECT COALESCE(c_mktsegment, 'ALL') AS segment, COUNT(*) AS n,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY ROLLUP(c_mktsegment) ORDER BY segment""".stripMargin,
 
     "q09_union_priority" ->
@@ -816,7 +816,7 @@ object SparkEntry {
 
     "q16_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_spent
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
         |ORDER BY o_custkey""".stripMargin,
 
@@ -1043,9 +1043,9 @@ object SparkEntry {
 
     "q60_running_total" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        |          ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q61_analytic_ranks" ->
