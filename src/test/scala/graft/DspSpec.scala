@@ -112,6 +112,31 @@ class DspSpec extends AnyFunSuite {
     assert(Dsp.resample(x, 3).toSeq == x.toSeq)
   }
 
+  test("rfft zero-pads when nfft exceeds signal length") {
+    val x = Array(1.0, 2.0, 3.0)
+    val (re, im) = Dsp.rfft(x, 8)
+    assert(re.length == 5 && im.length == 5)
+    assert(math.abs(re(0) - 6.0) < 1e-12) // DC = sum of samples
+  }
+
+  test("window: boxcar all-ones; blackman endpoints near zero") {
+    assert(Dsp.window("boxcar", 5).forall(_ == 1.0))
+    val b = Dsp.window("blackman", 16)
+    assert(math.abs(b(0)) < 1e-12)
+    assert(b.max <= 1.0 + 1e-12)
+  }
+
+  test("bandpass passes in-band, rejects out-of-band") {
+    val fs = 1000.0
+    val bp = Dsp.firwin(101, Array(100.0, 200.0), fs, passZero = false)
+    val n = 600
+    def tone(f: Double) = Array.tabulate(n)(i => math.sin(2 * math.Pi * f * i / fs))
+    def rms(a: Array[Double]) = math.sqrt(a.drop(150).map(v => v * v).sum / (n - 150))
+    assert(rms(Dsp.lfilter(bp, tone(150))) > 0.55) // in band
+    assert(rms(Dsp.lfilter(bp, tone(30))) < 0.05)  // below band
+    assert(rms(Dsp.lfilter(bp, tone(350))) < 0.05) // above band
+  }
+
   test("stats: mean/std/kurtosis") {
     val x = Array(1.0, 2.0, 3.0, 4.0)
     assert(Dsp.mean(x) == 2.5)

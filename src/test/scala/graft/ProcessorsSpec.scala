@@ -127,6 +127,21 @@ class ProcessorsSpec extends SparkSpec {
     assert(df.select(out).as[Seq[Seq[Double]]].head() == Seq(Seq(1.0), Seq(2.0)))
   }
 
+  test("FFT split format emits re‖im; dc_reset zeroes bin 0") {
+    val n = 16
+    val x = (0 until n).map(i => math.cos(2 * math.Pi * 2 * i / n) + 1.0)
+    val df = Seq(Tuple1(x)).toDF("data")
+    val (split, _) = FFTProcessor("split", "nextpow2", depth = 1)(
+      col("data"), Processor.initInfo(n))
+    val out = df.select(split).as[Seq[Double]].head()
+    assert(out.length == 2 * (n / 2 + 1)) // re ++ im
+    val (dc, _) = FFTProcessor("magnitude", "nextpow2", dcReset = true, depth = 1)(
+      col("data"), Processor.initInfo(n))
+    val mags = df.select(dc).as[Seq[Double]].head()
+    assert(mags.head == 0.0) // DC zeroed despite +1 offset
+    assert(mags(2) > 1.0)    // tone bin intact
+  }
+
   test("chain threads output_shape after each step (processing_chain.py:106-107)") {
     val chain = Chain(Seq(
       Framing(0.25, 0.25, "none"),
