@@ -311,7 +311,13 @@ object SparkEntry {
       e.select(col("vec_id"),
           posexplode(transform(sequence(lit(0), n - 1),
             i => slice(col("embedding"), i * win + 1, lit(win)))).as(Seq("chunk_id", "chunk")))
-        .select(col("vec_id"), col("chunk_id").cast("int").as("chunk_id"), col("chunk"))
+        // Serialize the float chunk to a canonical fixed-scale string so the
+        // driver's pandas comparator can sort/hash it (arrays are unhashable
+        // there). DECIMAL(18,9) keeps trailing zeros identically in Spark and
+        // DuckDB and avoids scientific-notation divergence.
+        .select(col("vec_id"), col("chunk_id").cast("int").as("chunk_id"),
+          array_join(transform(col("chunk"),
+            x => x.cast("decimal(18,9)").cast("string")), ",").as("chunk"))
         .orderBy("vec_id", "chunk_id")
     }),
 
@@ -537,7 +543,10 @@ object SparkEntry {
       d.select(col("doc_id"),
           Multimodal.decodeResize(col("payload"), 8, 8).as("pixels"))
         .select(col("doc_id"),
-          Multimodal.channelMeans(col("pixels")).as("rgb_means"),
+          // String-serialized so the driver's pandas comparator can sort it
+          // (rows-only check; raw arrays are covered in OperatorsSpec).
+          array_join(transform(Multimodal.channelMeans(col("pixels")),
+            x => round(x, 6).cast("string")), ",").as("rgb_means"),
           size(col("pixels")).cast("long").as("n_px"))
         .orderBy("doc_id")
     }),
@@ -686,7 +695,8 @@ object SparkEntry {
       documents(s, dir)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_members"),
-          sort_array(collect_list(col("doc_id"))).as("member_ids"))
+          // Canonical comma-joined string (driver comparator can't sort arrays).
+          array_join(sort_array(collect_list(col("doc_id"))), ",").as("member_ids"))
         .orderBy("lang")
     }),
 
@@ -803,8 +813,8 @@ object SparkEntry {
 
     "q14_conditional_agg" ->
       """SELECT o_orderpriority,
-        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
         |  COUNT(*) AS n_total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
@@ -927,7 +937,8 @@ object SparkEntry {
 
     "q26_split_chunks" ->
       """SELECT vec_id, CAST(gs AS INT) AS chunk_id,
-        |  list_slice(embedding, gs*16 + 1, gs*16 + 16) AS chunk
+        |  array_to_string(list_transform(list_slice(embedding, gs*16 + 1, gs*16 + 16),
+        |    x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) AS VARCHAR)), ',') AS chunk
         |FROM (
         |  SELECT vec_id, embedding,
         |    unnest(generate_series(0, GREATEST(1, CAST(FLOOR((len(embedding) - 16.0)/16.0) AS BIGINT) + 1) - 1)) AS gs
@@ -1104,7 +1115,7 @@ object SparkEntry {
     "q54_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         |  COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
 
     "q53_config_pipeline" ->
@@ -1124,7 +1135,7 @@ object SparkEntry {
 
     "q51_unique_members" ->
       """SELECT lang, COUNT(*) AS n_members,
-        |  list_sort(list(doc_id)) AS member_ids
+        |  array_to_string(list_sort(list(doc_id)), ',') AS member_ids
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q41_media_stats" ->
