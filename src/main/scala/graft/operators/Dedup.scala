@@ -39,6 +39,22 @@ object Dedup {
     docs.join(keep, Seq(idCol), "semi") // semi-join: no row duplication, keep-side broadcastable when small
   }
 
+  /** Skew guard shared by every banded self-join (MinHash, SimHash,
+    * embedding LSH): drop buckets larger than `maxBucket` rows before the
+    * within-bucket pair join, otherwise one degenerate bucket (empty or
+    * boilerplate content all hashing together) makes the join O(bucket²).
+    * Hot buckets are near-identical content anyway — they surface through
+    * the other bands or exact dedup. Implemented as a count-window over
+    * the same keys the join shuffles on, so it adds no extra shuffle.
+    */
+  private[operators] def capBuckets(df: DataFrame, maxBucket: Int,
+      keys: String*): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    df.withColumn("_bsz", count(lit(1)).over(w))
+      .filter(col("_bsz") <= maxBucket)
+      .drop("_bsz")
+  }
+
   /** Character shingles of length `k`, lowercased, as a distinct array. */
   def shingles(text: Column, k: Int = 5): Column = {
     val lowered = lower(text)
@@ -103,16 +119,7 @@ object Dedup {
       .select(col("id"), col("sig"),
         explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
-    // skew guard: a degenerate bucket (boilerplate/empty docs all hashing
-    // together) would make the self-join O(bucket²); cap it. Hot buckets
-    // are near-identical content anyway — they surface through the other
-    // bands or exact dedup. One count-window over the same shuffle key the
-    // join needs, so no extra shuffle at scale.
-    val wb = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val buckets = allBuckets
-      .withColumn("_bsz", count(lit(1)).over(wb))
-      .filter(col("_bsz") <= maxBucket)
-      .drop("_bsz")
+    val buckets = capBuckets(allBuckets, maxBucket, "band", "bucket")
     val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -145,44 +152,62 @@ object Dedup {
   }
 
   /** Cluster near-duplicate candidate pairs into groups and pick a
-    * canonical survivor per group: connected components by iterative
-    * min-label propagation over the pair edges (the standard scalable
-    * formulation — each round is one join + one aggregate, converges in
-    * O(log(diameter)) rounds; dedup clusters are tiny so 3-5 rounds
-    * suffice in practice).
+    * canonical survivor per group: connected components over the pair
+    * edges by min-label propagation *with pointer-doubling shortcutting*
+    * (each round every node takes the min label of its neighbors, then
+    * follows its label's own label) — chains collapse geometrically, so
+    * convergence is O(log(diameter)) rounds, each one join + one agg +
+    * one self-join on the (small) label table.
+    *
+    * Every round materializes through `localCheckpoint()` so lineage stays
+    * flat across iterations (no re-execution stack at scale), and the
+    * convergence probe reads the already-materialized result instead of
+    * recomputing the round's join.
     *
     * Input: (id_a, id_b) pairs. Output: (doc_id, cluster_id) where
     * cluster_id = min doc id reachable through the pair graph; rows not
     * in any pair are absent (they are their own cluster).
     */
-  def clusterPairs(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxIterations: Int = 15): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint() // reused by every round — materialize once
     var labels = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .distinct()
       .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // each node adopts the min label among itself and its neighbors
+      // hop: each node adopts the min label among itself and its neighbors
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("cluster_id", "n_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("n_label").as("n_min"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("cluster_id").as("old_cid"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("mid_cid"))
+      // shortcut: follow the label's own label (labels are node ids, so
+      // every mid_cid has a row); this is the pointer-doubling step
+      val parents = stepped.select(col("id").as("pid"), col("mid_cid").as("p_label"))
+      val updated = stepped.join(parents, stepped("mid_cid") === parents("pid"), "left")
+        .select(col("id"), col("old_cid"),
+          least(col("mid_cid"), coalesce(col("p_label"), col("mid_cid")))
             .as("cluster_id"))
-        .cache()
-      val changed = updated.as("u").join(labels.as("l"), Seq("id"))
-        .filter(col("u.cluster_id") =!= col("l.cluster_id")).limit(1).count()
-      labels.unpersist()
-      labels = updated
+        .localCheckpoint() // eager: one job materializes the round
+      val changed = updated
+        .filter(col("cluster_id") =!= col("old_cid")).limit(1).count()
+      labels = updated.select("id", "cluster_id")
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      System.err.println(
+        s"[graft] clusterPairs: not converged after $maxIterations rounds; " +
+          "components wider than 2^rounds may be split")
     labels
   }
 
@@ -223,17 +248,22 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** SimHash near-duplicate candidates: equal 16-bit bands. */
+  /** SimHash near-duplicate candidates: equal 16-bit bands. Degenerate
+    * bands (e.g. all-zero signatures of empty docs) are capped at
+    * `maxBucket` rows via [[capBuckets]].
+    */
   def simhashCandidates(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", maxBucket: Int = 5000): DataFrame = {
     val simUdf = udf((text: String) => graft.functions.Hashing.simhash(text))
     val sigs = docs.select(col(idCol).as("id"), simUdf(col(textCol)).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    val banded = capBuckets(
+      sigs.select(col("id"), col("sig"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
+        }: _*)).as("bk"))
+        .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket")),
+      maxBucket, "band", "bucket")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&

@@ -31,25 +31,68 @@ object Similarity {
     dot / (na * nb)
   }
 
-  /** Single-pass fused cosine kernel (dot + norms in one traversal); the
-    * expression form above is kept for column-level composition but the
-    * hot join paths use this.
+  /** Hot-path cosine: the codegen'd native Catalyst expression
+    * ([[graft.plans.CosineSimilarity]]) — fused dot+norms loop inside
+    * whole-stage codegen, no UDF boxing, no session registration needed.
+    * Computes bit-identically to `Hashing.cosine` (same accumulation
+    * order), so the JVM and expression paths agree exactly.
     */
-  private val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) =>
-    graft.functions.Hashing.cosine(a.toArray, b.toArray))
+  private def cosineNative(a: Column, b: Column): Column =
+    graft.plans.GraftExtensions.cosineNative(a, b)
 
   /** Exact top-k cosine neighbors for each query id. `queries` is expected
     * to be small (it is broadcast); the corpus is scanned once.
     * Output: (query_id, neighbor_id, cosine, rank), rank 1..k.
+    *
+    * Scale shape: each corpus partition keeps one bounded heap per query
+    * and emits ≤ |queries|×k rows — the scored (query × corpus) pair set
+    * is never shuffled. The union of per-partition top-k is a superset of
+    * the global top-k, so the final window over ≤ |queries|×k×partitions
+    * rows is exact (tie-break: cosine desc, then neighbor_id).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineUdf(col("qvec"), col("cvec")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q: Array[(Long, Array[Float])] = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qB = spark.sparkContext.broadcast(q)
+    val partial = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val qs = qB.value
+        // worst-first ordering under (cosine desc, neighbor_id asc): the
+        // heap head is the candidate the next better row evicts
+        val ord = new java.util.Comparator[(Double, Long)] {
+          def compare(x: (Double, Long), y: (Double, Long)): Int = {
+            val c = java.lang.Double.compare(x._1, y._1)
+            if (c != 0) c else java.lang.Long.compare(y._2, x._2)
+          }
+        }
+        val heaps = Array.fill(qs.length)(
+          new java.util.PriorityQueue[(Double, Long)](k + 1, ord))
+        rows.foreach { case (nid, vec) =>
+          var i = 0
+          while (i < qs.length) {
+            if (qs(i)._1 != nid) {
+              val c = graft.functions.Hashing.cosine(qs(i)._2, vec)
+              val h = heaps(i)
+              if (h.size < k) h.offer((c, nid))
+              else if (ord.compare((c, nid), h.peek()) > 0) { h.poll(); h.offer((c, nid)) }
+            }
+            i += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator().asScala.map { case (c, nid) => (qs(i)._1, nid, c) }
+        }
+      }
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
+    partial.toDF("query_id", "neighbor_id", "cosine")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
@@ -90,7 +133,7 @@ object Similarity {
     val cands = c.join(q, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosineUdf(col("qvec"), col("cvec")))
+      .withColumn("cosine", cosineNative(col("qvec"), col("cvec")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -176,7 +219,7 @@ object Similarity {
     val cands = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosineUdf(col("qvec"), col("cvec")))
+      .withColumn("cosine", cosineNative(col("qvec"), col("cvec")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -185,15 +228,21 @@ object Similarity {
 
   /** Pairwise near-duplicate detection by embedding cosine ≥ threshold,
     * via LSH buckets (embedding-space analog of Dedup.minhashCandidates).
+    * Degenerate buckets (many near-zero / boilerplate vectors hashing
+    * together) are capped at `maxBucket` rows — same skew guard as the
+    * MinHash path — so the self-join never goes O(bucket²).
     */
   def embeddingNearDup(corpus: DataFrame, threshold: Double,
       nPlanes: Int = 12, tables: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = 5000): DataFrame = {
     val bucketUdf = udf((vec: Seq[Float], t: Int) =>
       graft.functions.Hashing.hyperplaneBucket(vec.toArray, nPlanes, seed = 42 + t))
-    val keyed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        explode(sequence(lit(0), lit(tables - 1))).as("table"))
-      .withColumn("bucket", bucketUdf(col("vec"), col("table")))
+    val keyed = Dedup.capBuckets(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+          explode(sequence(lit(0), lit(tables - 1))).as("table"))
+        .withColumn("bucket", bucketUdf(col("vec"), col("table"))),
+      maxBucket, "table", "bucket")
     keyed.as("a").join(keyed.as("b"),
         col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") &&
@@ -201,7 +250,7 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.vec").as("va"), col("b.vec").as("vb"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosineUdf(col("va"), col("vb")))
+      .withColumn("cosine", cosineNative(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -37,4 +37,14 @@ object GraftExtensions {
     */
   def cosineExpr(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+
+  /** Registration-free Column handle: wraps [[CosineSimilarity]] directly
+    * so the hot ANN/near-dup paths get the codegen'd kernel on ANY session
+    * (the driver's Verify/Bench sessions don't install the extensions).
+    */
+  def cosineNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(
+      CosineSimilarity(ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
 }

@@ -90,6 +90,59 @@ class OperatorsSpec extends SparkSpec {
     assert(top.getAs[Double]("cosine") > 0.999)
   }
 
+  test("brute-force knn: partition-local heaps match naive exact top-k, no join in plan") {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 50).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val df = base.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+      .repartition(7) // multiple partitions: exercises the per-partition heap merge
+    val queries = df.filter($"vec_id" < 5)
+    val got = Similarity.bruteForceTopK(df, queries, k = 4)
+    got.collect() // finalize AQE plan before asserting on it
+    // the scored (query × corpus) pair set must never enter a join/shuffle
+    assert(!got.queryExecution.executedPlan.toString.contains("Join"))
+    val gotSet = got.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // naive oracle: full scoring + sort, same tie-break
+    val naive = (0L until 5L).flatMap { q =>
+      val qv = base(q.toInt)._2
+      base.filter(_._1 != q)
+        .map { case (id, v) => (id, graft.functions.Hashing.cosine(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(4).zipWithIndex
+        .map { case ((id, _), r) => (q, id, r + 1) }
+    }.toSet
+    assert(gotSet == naive)
+  }
+
+  test("banded self-joins stay sub-quadratic on boilerplate corpora (bucket cap)") {
+    val boiler = (0L until 300L).map(i => (i, "identical boilerplate text body"))
+      .toDF("doc_id", "text")
+    // 300 identical docs → every band is one degenerate bucket of 300;
+    // uncapped that is 300²/2 pairs per band. The cap drops them.
+    assert(Dedup.simhashCandidates(boiler, maxBucket = 50).count() == 0)
+    assert(Dedup.simhashCandidates(boiler).count() > 0) // default cap admits them
+    val vecs = (0L until 300L).map(i => (i, Seq(1.0f, 0.5f, 0.25f, 0.125f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.embeddingNearDup(vecs, 0.9, maxBucket = 50).count() == 0)
+    assert(Similarity.embeddingNearDup(vecs, 0.9).count() > 0)
+  }
+
+  test("clusterPairs: long chains converge via shortcutting within default rounds") {
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val c = Dedup.clusterPairs(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c.size == 41 && c.values.forall(_ == 0L)) // 2^15 ≫ 41-node diameter
+  }
+
+  test("ANN join paths score through the native codegen'd cosine expression") {
+    val vecs = (0L until 20L).map(i =>
+      (i, Seq(1.0f + i * 0.01f, 0.5f, 0.25f, 0.125f))).toDF("vec_id", "embedding")
+    val nd = Similarity.embeddingNearDup(vecs, threshold = 0.5)
+    assert(nd.queryExecution.analyzed.toString.contains("graft_cosine"))
+    val lsh = Similarity.lshTopK(vecs, vecs.filter($"vec_id" < 2), k = 2)
+    assert(lsh.queryExecution.analyzed.toString.contains("graft_cosine"))
+  }
+
   test("LSH ANN recall on clustered vectors") {
     val base = (0 until 40).map { i =>
       val cluster = i % 4
