@@ -336,6 +336,14 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- §2.12 xval: seeded group-random k-fold (balanced permutation of
+    // the distinct group set; members follow their group — xval.py:27-43) ----
+    "q65_group_random_kfold" -> ((s, dir) => {
+      Xval.groupRandomKfold(customer(s, dir), 4, "c_nationkey", seed = 7)
+        .select(col("c_custkey"), col("c_nationkey"), col("fold"))
+        .orderBy("c_custkey")
+    }),
+
     // ---- §2.4+§2.8 fitted normalizer (minmax agg → broadcast apply) ----
     "q29_normalize_minmax" -> ((s, dir) => {
       val c = customer(s, dir)
@@ -616,13 +624,16 @@ object SparkEntry {
     }),
 
     // ---- §2.5 analytic windows: percent_rank / cume_dist / ntile ----
+    // Two-phase global ranking (graft.operators.Ranking): quantile-bucketed
+    // parallel windows + broadcast offsets — no partition-less window over
+    // the fact table (the naive Window.orderBy form funnels all of `orders`
+    // through one task; a scale-killer at 100 TB).
     "q61_analytic_ranks" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      orders(s, dir)
-        .select(col("o_orderkey"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"))
+      graft.operators.Ranking.withGlobalRanks(
+          orders(s, dir).select("o_orderkey", "o_totalprice"),
+          Seq("o_totalprice", "o_orderkey"))
         .filter(col("pr") >= 0.99)
+        .select("o_orderkey", "pr", "cd")
         .orderBy("o_orderkey")
     }),
 
@@ -955,6 +966,16 @@ object SparkEntry {
       """SELECT c_custkey,
         |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) - 1 AS INT) AS fold
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // md5-permuted distinct groups, position mod k — engine-independent
+    // shuffle, so DuckDB reproduces the exact fold assignment
+    "q65_group_random_kfold" ->
+      """SELECT c_custkey, c_nationkey, f.fold FROM customer JOIN (
+        |  SELECT c_nationkey,
+        |    CAST((row_number() OVER (
+        |      ORDER BY md5('7#' || CAST(c_nationkey AS VARCHAR)), c_nationkey) - 1) % 4 AS INT) AS fold
+        |  FROM (SELECT DISTINCT c_nationkey FROM customer)
+        |) f USING (c_nationkey) ORDER BY c_custkey""".stripMargin,
 
     "q29_normalize_minmax" ->
       """SELECT c_custkey,

@@ -44,11 +44,14 @@ final class DabDataset private (
 
   /** Add all columns of another equal-length table, positionally aligned
     * (reference `add_dict`, abstract.py:1575-1578): an `_idx` equi-join.
+    * Clashing keys are replaced by `other`'s column — the reference's
+    * `add` is a dict update (abstract.py:1566 `self._data.update`), so
+    * the incoming key wins.
     */
   def addDict(other: DabDataset): DabDataset = {
-    val o = other.df.columns.filterNot(_ == IdxCol)
-      .foldLeft(other.df) { (d, c) => if (df.columns.contains(c)) d.withColumnRenamed(c, c) else d }
-    copy(df = df.join(o, Seq(IdxCol), "inner"))
+    val clash = keys.toSet.intersect(other.keys.toSet)
+    val left = clash.foldLeft(df) { (d, c) => d.drop(c) }
+    copy(df = left.join(other.df, Seq(IdxCol), "inner"))
   }
 
   /** Drop a column (reference `remove`, abstract.py:1639-1643). */
@@ -143,8 +146,14 @@ final class DabDataset private (
     * abstract.py:746-883). Factor may be a literal or any per-row column.
     */
   def sampleReplicate(factor: Column): DabDataset = {
+    // factor 0 (or negative) must DROP the row; unguarded sequence(1, 0)
+    // yields [1, 0] (Spark counts down when start > stop), which would
+    // duplicate it instead. explode of an empty array drops the row.
+    val f = factor.cast(LongType)
+    val reps = when(f >= 1, sequence(lit(1L), f))
+      .otherwise(array().cast("array<bigint>"))
     val rep = df
-      .withColumn("_rep", explode(sequence(lit(1), factor.cast(LongType))))
+      .withColumn("_rep", explode(reps))
       .drop("_rep")
     copy(df = reindex(rep.sortWithinPartitions(IdxCol)),
       opLog = opLog :+ ReplicateOp(factor.toString))

@@ -116,8 +116,14 @@ final case class Framing(windowSize: Double, stepSize: Double,
     val nFrames = greatest(lit(0),
       (floor((size(data) - flen).cast("double") / step) + 1).cast("int"))
     val win = windowExpr(flen)
-    val frames = transform(sequence(lit(0), nFrames - 1),
-      i => zip_with(slice(data, i * step + 1, flen), win, (a, b) => a * b))
+    // Signals shorter than one frame yield zero frames. Guarded because
+    // sequence(0, -1) produces [0, -1] (descending), which would emit two
+    // garbage frames; the reference instead asserts num_frames > 0
+    // (processors.py:242) — an empty 2-D cell is the non-fatal equivalent.
+    val frames = when(nFrames > 0,
+      transform(sequence(lit(0), nFrames - 1),
+        i => zip_with(slice(data, i * step + 1, flen), win, (a, b) => a * b)))
+      .otherwise(array().cast("array<array<double>>"))
     val outInfo = Processor.withInfo(info, timeStep = Some(lit(stepSize)))
     (frames, outInfo)
   }
@@ -183,8 +189,13 @@ final case class FFTProcessor(format: String = "magnitude",
     val out = if (depth <= 1) u1(data) else u2(data)
     // nfft of the innermost axis; for depth=2 use the first frame's length
     val innerLen = if (depth <= 1) size(data) else size(element_at(data, 1))
+    // The 1e-9 backoff keeps the metadata consistent with the kernel's
+    // integer Dsp.nextPow2: at exact powers of two the double-precision
+    // ln-ratio can land a hair above the integer (log2(2^29) =
+    // 29.000000000000004), which would double the reported nfft.
     val nfft = if (nfftMode == "nextpow2")
-      pow(lit(2), ceil(log(2.0, innerLen.cast("double")))).cast("int")
+      greatest(lit(1),
+        pow(lit(2.0), ceil(log(2.0, innerLen.cast("double")) - lit(1e-9))).cast("int"))
     else innerLen
     (out, Processor.withInfo(info, nfft = Some(nfft)))
   }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global analytic ranks: percent_rank / cume_dist over a
+  * total ordering WITHOUT a partition-less window over the data.
+  *
+  * `Window.orderBy(key)` with no partitionBy funnels the whole table
+  * through one task — correct, but the classic 100 TB scale-killer. The
+  * same results compute two-phase:
+  *
+  *   1. bucketize rows by value range: approx-quantile cut points of the
+  *      leading sort column (one sketch pass) → a map-side monotone
+  *      bucket id;
+  *   2. rank locally per bucket — parallel windows after one ordinary
+  *      hash shuffle on the bucket id;
+  *   3. offset by cumulative bucket counts — a tiny aggregate (≤ B rows)
+  *      windowed on the driver-scale side and broadcast-joined back.
+  *
+  * Correctness never depends on the quantile sketch: any monotone
+  * bucketing gives exact ranks (the cut points only balance bucket
+  * sizes), and tie groups cannot straddle buckets because the bucket is
+  * a function of the leading sort value. Ties are handled exactly:
+  * percent_rank uses the tie group's first position (local `rank()`),
+  * cume_dist its last (via the descending-rank identity
+  * #rows≤x = n_bucket − rank_desc(x) + 1).
+  */
+object Ranking {
+
+  /** Append `prCol` (percent_rank) and `cdCol` (cume_dist) computed over
+    * the global ordering `sortCols` (ascending, left-to-right). The
+    * leading sort column must be numeric — it is range-bucketed via
+    * approximate quantiles; the cast to double is monotone so bucket
+    * assignment stays order-consistent.
+    */
+  def withGlobalRanks(df: DataFrame, sortCols: Seq[String],
+      prCol: String = "pr", cdCol: String = "cd",
+      numBuckets: Int = 32): DataFrame = {
+    require(sortCols.nonEmpty, "withGlobalRanks needs at least one sort column")
+    val lead = sortCols.head
+    val cuts = df.select(col(lead).cast("double").as("_v"))
+      .stat.approxQuantile("_v",
+        (1 until numBuckets).map(_.toDouble / numBuckets).toArray, 0.01)
+      .distinct.sorted
+    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(lead).cast("double") > c, 1).otherwise(0)
+    }
+    val b = df.withColumn("_b", bucket)
+    val counts = b.groupBy("_b").agg(count(lit(1)).as("_cnt"))
+    val offW = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    val totW = Window.orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum("_cnt").over(offW), lit(0L)))
+      .withColumn("_n", sum("_cnt").over(totW))
+      .select("_b", "_off", "_n", "_cnt")
+    val asc = Window.partitionBy("_b").orderBy(sortCols.map(col): _*)
+    val desc = Window.partitionBy("_b").orderBy(sortCols.map(c => col(c).desc): _*)
+    b.join(broadcast(offsets), Seq("_b"))
+      .withColumn("_rk", rank().over(asc))
+      .withColumn("_rkd", rank().over(desc))
+      .withColumn(prCol,
+        when(col("_n") > 1,
+          (col("_off") + col("_rk") - 1).cast("double") / (col("_n") - 1))
+          .otherwise(lit(0.0)))
+      .withColumn(cdCol,
+        (col("_off") + col("_cnt") - col("_rkd") + 1).cast("double") / col("_n"))
+      .drop("_b", "_off", "_n", "_cnt", "_rk", "_rkd")
+  }
+}

@@ -121,14 +121,19 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 12, tables: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = 5000): DataFrame = {
     val bucketUdf = udf((vec: Seq[Float], t: Int) =>
       graft.functions.Hashing.hyperplaneBucket(vec.toArray, nPlanes, seed = 42 + t))
     def keyed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
           explode(sequence(lit(0), lit(tables - 1))).as("table"))
         .withColumn("bucket", bucketUdf(col(vec), col("table")))
-    val c = keyed(corpus, "neighbor_id", "cvec")
+    // Same skew guard as the near-dup paths: a degenerate hyperplane
+    // bucket (boilerplate / near-zero vectors) would make the
+    // corpus×query bucket join O(|bucket_c|×|bucket_q|).
+    val c = Dedup.capBuckets(keyed(corpus, "neighbor_id", "cvec"),
+      maxBucket, "table", "bucket")
     val q = keyed(queries, "query_id", "qvec")
     val cands = c.join(q, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -22,17 +22,45 @@ import org.apache.spark.sql.functions._
 object Xval {
 
   /** Folds = distinct values of a column (reference `xval_from_item`,
-    * xval.py:12-24): dense-rank the value.
+    * xval.py:12-24). The distinct value set IS the fold set — small by
+    * definition — so it is ranked alone (a window over ≤ #folds rows) and
+    * joined back broadcast; no partition-less window ever touches the
+    * full table.
     */
-  def fromItem(df: DataFrame, key: String): DataFrame =
-    df.withColumn("fold", dense_rank().over(Window.orderBy(col(key))) - 1)
+  def fromItem(df: DataFrame, key: String): DataFrame = {
+    val vals = df.select(col(key)).distinct()
+      .withColumn("fold", dense_rank().over(Window.orderBy(col(key))) - 1)
+    df.join(broadcast(vals), Seq(key))
+  }
 
   /** K-fold over unique groups, members follow their group (reference
     * `group_random_kfold`, xval.py:27-43). Group→fold via seeded hash —
     * deterministic, no shuffle of the big table beyond the hash itself.
+    * Balanced only in expectation; [[groupRandomKfold]] matches the
+    * reference's exactly-balanced permutation semantics.
     */
   def groupKfold(df: DataFrame, folds: Int, key: String, seed: Long = 0): DataFrame =
     df.withColumn("fold", pmod(xxhash64(lit(seed), col(key)), lit(folds)).cast("int"))
+
+  /** K-fold over unique groups with *balanced* fold sizes (differ by ≤1),
+    * via a seeded pseudo-random permutation of the distinct group set —
+    * the reference's `group_random_kfold` semantics (xval.py:27-43,
+    * `np.random.permutation` over unique groups, folds = contiguous
+    * slices). The permutation orders groups by md5(seed ‖ group) — an
+    * engine-independent shuffle any SQL system reproduces (same trick as
+    * [[md5Kfold]]); fold = position mod k. Scale shape: distinct groups
+    * ≪ rows, so the ranking window is tiny and assignment is a broadcast
+    * join.
+    */
+  def groupRandomKfold(df: DataFrame, folds: Int, key: String,
+      seed: Long = 0): DataFrame = {
+    val groups = df.select(col(key)).distinct()
+      .withColumn("fold",
+        ((row_number().over(Window.orderBy(
+            md5(concat_ws("#", lit(seed), col(key).cast("string"))), col(key))) - 1)
+          % folds).cast("int"))
+    df.join(broadcast(groups), Seq(key))
+  }
 
   /** Per-group contiguous split, order-preserving (reference
     * `sequential_kfold`, xval.py:46-80): ntile over position within group.
@@ -51,10 +79,32 @@ object Xval {
       (row_number().over(Window.partitionBy(col(label)).orderBy(rand(seed))) - 1)
         % folds)
 
-  /** Plain shuffled k-fold (reference `random_kfold`, xval.py:114-139). */
-  def randomKfold(df: DataFrame, folds: Int, seed: Long = 0): DataFrame =
-    df.withColumn("fold",
-      (row_number().over(Window.orderBy(rand(seed))) - 1) % folds)
+  /** Plain shuffled k-fold (reference `random_kfold`, xval.py:114-139):
+    * global seeded shuffle, balanced folds (sizes differ by ≤1).
+    *
+    * Scale shape (two-phase, no partition-less window over the table):
+    * the uniform rand value doubles as its own range partitioner —
+    * `_b = floor(r·B)` is a monotone bucket of the shuffle order — so
+    * rows are ranked per bucket in parallel and offset by broadcast
+    * cumulative bucket counts (the only global window runs over B rows).
+    */
+  def randomKfold(df: DataFrame, folds: Int, seed: Long = 0,
+      buckets: Int = 64): DataFrame = {
+    val b = df
+      .withColumn("_r", rand(seed))
+      .withColumn("_r2", rand(seed + 1)) // tie-break: double collisions happen at 1e12 rows
+      .withColumn("_b", floor(col("_r") * buckets).cast("int"))
+    val counts = b.groupBy("_b").agg(count(lit(1)).as("_cnt"))
+    val offW = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum("_cnt").over(offW), lit(0L)))
+      .select("_b", "_off")
+    val localW = Window.partitionBy("_b").orderBy("_r", "_r2")
+    b.join(broadcast(offsets), Seq("_b"))
+      .withColumn("fold",
+        (((row_number().over(localW) - 1) + col("_off")) % folds).cast("int"))
+      .drop("_b", "_r", "_r2", "_off")
+  }
 
   /** Deterministic, shuffle-free k-fold on a key column: seeded hash mod k.
     * The 100 TB default — no global window, pure map-side.

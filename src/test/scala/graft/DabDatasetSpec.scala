@@ -155,4 +155,23 @@ class DabDatasetSpec extends SparkSpec {
     val ds = toy
     assert(ds.unpack("test3", "test1").columns.toSeq == Seq("test3", "test1"))
   }
+
+  test("sampleReplicate: factor 0 drops the row (abstract.py:746-883)") {
+    val ds = DabDataset.fromDataFrame(
+      Seq(("a", 2), ("b", 0), ("c", 1)).toDF("k", "f"))
+    val out = ds.sampleReplicate(col("f"))
+    val ks = out.df.orderBy("_idx").select("k").as[String].collect().toSeq
+    assert(ks == Seq("a", "a", "c"))
+    assert(out.df.select("_idx").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("addDict: clashing keys replaced by the incoming table (abstract.py:1566 dict update)") {
+    val a = DabDataset.fromDataFrame(Seq((1, "x"), (2, "y")).toDF("n", "s"))
+    val b = DabDataset.fromDataFrame(Seq(("X", 10.0), ("Y", 20.0)).toDF("s", "v"))
+    val out = a.addDict(b)
+    assert(out.keys.sorted == Seq("n", "s", "v"))
+    val rows = out.df.orderBy("_idx").select("n", "s", "v")
+      .as[(Int, String, Double)].collect().toSeq
+    assert(rows == Seq((1, "X", 10.0), (2, "Y", 20.0)))
+  }
 }

@@ -125,6 +125,11 @@ class OperatorsSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     assert(Similarity.embeddingNearDup(vecs, 0.9, maxBucket = 50).count() == 0)
     assert(Similarity.embeddingNearDup(vecs, 0.9).count() > 0)
+    // lshTopK's corpus×query bucket join has the same degenerate-bucket
+    // exposure: 300 identical directions collapse into one bucket per table
+    val qs = vecs.filter($"vec_id" < 3)
+    assert(Similarity.lshTopK(vecs, qs, k = 2, maxBucket = 50).count() == 0)
+    assert(Similarity.lshTopK(vecs, qs, k = 2).count() > 0)
   }
 
   test("clusterPairs: long chains converge via shortcutting within default rounds") {
@@ -342,5 +347,77 @@ class OperatorsSpec extends SparkSpec {
     val pairs = Similarity.embeddingNearDup(df, threshold = 0.999, tables = 6)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((5L, 100L)))
+  }
+
+  /** True iff some window with an empty partitionSpec runs over the data
+    * itself (any empty-partition window must sit above an Aggregate — the
+    * tiny per-bucket counts — never the raw table).
+    */
+  private def hasUnpartitionedDataWindow(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty && w.collectFirst {
+          case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ()
+        }.isEmpty => w
+    }.nonEmpty
+
+  test("two-phase global ranks match the naive global window exactly (ties included)") {
+    val df = (1 to 500).map(i => (i.toLong, (i * 37 % 211).toDouble)).toDF("k", "v")
+    // unique full sort key (v, k)
+    val got = Ranking.withGlobalRanks(df, Seq("v", "k"))
+      .select("k", "pr", "cd").as[(Long, Double, Double)].collect().sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"v", $"k")
+    val naive = df.select($"k", percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == naive.toSeq)
+    // tie groups on the full sort key (v alone; 211 distinct over 500 rows)
+    val gotT = Ranking.withGlobalRanks(df, Seq("v"))
+      .select("k", "pr", "cd").as[(Long, Double, Double)].collect().sortBy(_._1)
+    val wT = org.apache.spark.sql.expressions.Window.orderBy($"v")
+    val naiveT = df.select($"k", percent_rank().over(wT).as("pr"), cume_dist().over(wT).as("cd"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(gotT.toSeq == naiveT.toSeq)
+  }
+
+  test("global ranks plan keeps every data window partitioned (q61 scale shape)") {
+    val df = (1 to 500).map(i => (i.toLong, (i * 37 % 211).toDouble)).toDF("k", "v")
+    assert(!hasUnpartitionedDataWindow(Ranking.withGlobalRanks(df, Seq("v", "k"))))
+    // and the naive formulation is correctly detected as the anti-pattern
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"v", $"k")
+    assert(hasUnpartitionedDataWindow(df.select(percent_rank().over(w).as("pr"))))
+  }
+
+  test("groupRandomKfold: balanced folds, members follow their group (xval.py:27-43)") {
+    val df = (1 to 200).map(i => (i.toLong, s"g${i % 25}")).toDF("id", "grp")
+    val folded = Xval.groupRandomKfold(df, 4, "grp", seed = 3)
+    val assign = folded.select("grp", "fold").distinct()
+    assert(assign.count() == 25) // one fold per group
+    val sizes = assign.groupBy("fold").count().as[(Int, Long)].collect().toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3))
+    assert(sizes.values.max - sizes.values.min <= 1) // 25 groups / 4 folds → 7,6,6,6
+    val again = Xval.groupRandomKfold(df, 4, "grp", seed = 3)
+      .select("id", "fold").as[(Long, Int)].collect().toSet
+    assert(again == folded.select("id", "fold").as[(Long, Int)].collect().toSet)
+    val otherSeed = Xval.groupRandomKfold(df, 4, "grp", seed = 4)
+      .select("id", "fold").as[(Long, Int)].collect().toSet
+    assert(otherSeed != again) // permutation actually depends on the seed
+  }
+
+  test("randomKfold: balanced two-phase shuffle with no global window over the table") {
+    val df = (1 to 1000).map(i => Tuple1(i.toLong)).toDF("id")
+    val folded = Xval.randomKfold(df, 4, seed = 11)
+    val sizes = folded.groupBy("fold").count().as[(Int, Long)].collect().toMap
+    assert(sizes.values.toSeq.sorted == Seq(250L, 250L, 250L, 250L))
+    assert(!hasUnpartitionedDataWindow(folded))
+    assert(folded.columns.toSeq == Seq("id", "fold")) // helper columns dropped
+  }
+
+  test("fromItem: folds = ranked distinct values via broadcast join, not a table-wide window") {
+    val df = (1 to 100).map(i => (i.toLong, s"city${i % 5}")).toDF("id", "city")
+    val folded = Xval.fromItem(df, "city")
+    val folds = folded.select("city", "fold").distinct()
+      .as[(String, Int)].collect().toMap
+    assert(folds == (0 until 5).map(i => s"city$i" -> i).toMap)
+    assert(!hasUnpartitionedDataWindow(folded))
   }
 }

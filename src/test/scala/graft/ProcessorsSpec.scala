@@ -173,4 +173,23 @@ class ProcessorsSpec extends SparkSpec {
     val f = Chain.registry("Framing")(Map("windowsize" -> "0.1", "stepsize" -> "0.1"))
     assert(f.name == "Framing")
   }
+
+  test("Framing: signal shorter than one frame yields zero frames, not garbage") {
+    // 10 samples, frame = 0.25s @ fs=100 = 25 samples → 0 frames; the
+    // reference asserts here (processors.py:242), the engine returns empty
+    val df = Seq(Tuple1(sig(10))).toDF("data")
+    val (framed, _) = Framing(0.25, 0.25, "none")(col("data"), Processor.initInfo(100))
+    val out = df.select(framed.as("f")).as[Seq[Seq[Double]]].head()
+    assert(out.isEmpty)
+  }
+
+  test("FFT nfft metadata matches the kernel's integer nextPow2 (incl. exact powers of two)") {
+    for (n <- Seq(1, 2, 31, 32, 33, 512)) {
+      val df = Seq(Tuple1(sig(n))).toDF("data")
+      val (_, info) = FFTProcessor("magnitude", "nextpow2", depth = 1)(
+        col("data"), Processor.initInfo(n))
+      val got = df.select(info.getField("nfft")).as[Int].head()
+      assert(got == Dsp.nextPow2(n), s"n=$n got=$got want=${Dsp.nextPow2(n)}")
+    }
+  }
 }
