@@ -64,6 +64,28 @@ final class DabDataset private (
   def addAlias(key: String, newKey: String): DabDataset =
     copy(df = df.withColumn(newKey, col(key)))
 
+  /** Pack another equal-length table as ONE nested struct column — the
+    * reference's nested `DictSeqAbstract` (a key whose value is itself a
+    * table, abstract.py:1530-1545; recursive selection via
+    * `iterative_select`, abstract.py:1648-1675). In the columnar
+    * representation a nested table is a StructType column, so outer row
+    * ops (select / split / replicate) keep the nested rows aligned
+    * automatically — the reference's per-key recursion comes for free.
+    * Nested fields are addressable in active keys as `key.field`.
+    */
+  def addNested(key: String, other: DabDataset): DabDataset = {
+    val packed = other.df.select(col(IdxCol),
+      struct(other.keys.map(col): _*).as(key))
+    copy(df = df.join(packed, Seq(IdxCol), "inner"))
+  }
+
+  /** Recover a nested struct column as its own table (reference
+    * `db[key]` yielding the nested `DictSeqAbstract`), with the outer
+    * `_idx` — positions reflect any outer selections already applied.
+    */
+  def nested(key: String): DabDataset =
+    DabDataset.fromExisting(df.select(col(IdxCol), col(s"$key.*")))
+
   /** Lazy per-row map over one column via a processor chain (reference
     * `MapAbstract`/`Map` factory + `add_map`, abstract.py:475-691): the
     * chain's column expressions replace `key` (and its info sibling when
@@ -88,11 +110,13 @@ final class DabDataset private (
   def resetActiveKeys(): DabDataset = copy(activeKeys = Nil)
 
   /** The DataFrame projected to active keys (all keys if none set), `_idx`
-    * first (reference abstract.py:1736-1745).
+    * first (reference abstract.py:1736-1745). Dotted keys (`meta.field`)
+    * reach into nested tables; the alias keeps the qualified name in the
+    * output schema.
     */
   def active: DataFrame = {
     val ks = if (activeKeys.nonEmpty) activeKeys else keys
-    df.select((IdxCol +: ks).map(col): _*)
+    df.select(col(IdxCol) +: ks.map(k => col(k).as(k)): _*)
   }
 
   /** Project keys positionally (reference `UnpackAbstract`,

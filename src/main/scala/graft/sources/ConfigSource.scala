@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -12,37 +12,49 @@ import graft.operators.Xval
   * (reference `load_yaml_config` → `dataset_from_config` →
   * `dataset_factory`, dabstract/utils.py:13-146, dataset/helpers.py:14-93).
   *
-  * The reference resolves dataset classes by name and folds them with
-  * `concat(intersect=True)`, then applies optional split/select/xval.
-  * Here the config is JSON (json4s ships with Spark; no YAML lib in the
-  * offline build), sources resolve from a name→loader registry, and the
-  * pipeline steps map to the DabDataset/Xval operators:
+  * Two frontends over one pipeline: YAML (the reference's primary entry
+  * point, parsed by [[Yaml]] incl. the `!join !usjoin !pathjoin !kwarg
+  * !class` constructors) and JSON (json4s ships with Spark). Sources
+  * resolve from a name→loader registry; the reference resolves dataset
+  * *classes* by module import (helpers.py:148-160) — on the JVM the
+  * registry map plays that role.
   *
-  * {{{
-  * {"datasets": [
-  *    {"table": "documents", "name": "en_docs", "select": "lang = 'en'"},
-  *    {"table": "documents", "name": "de_docs", "select": "lang = 'de'"}],
-  *  "select": "n_chars > 50",
-  *  "split": {"keys": ["embedding"], "win": 16},
-  *  "xval": {"strategy": "hash", "folds": 4, "key": "doc_id"}}
-  * }}}
+  * Per-dataset entries accept both shapes:
+  *  - engine JSON: `{"table": "documents", "select": "lang = 'en'"}`
+  *  - reference YAML (EXAMPLE_anomaly_subsample.yaml):
+  *    `- name: documents` + `parameters: {paths: {...}, select:
+  *    {name: subsample_by_str, parameters: {key, keep}}, test_only: 1}`
+  * Datasets fold with `concat(intersect=True)` like dataset_from_config
+  * (helpers.py:78-83); optional top-level select / split / xval map to
+  * the DabDataset / Xval operators.
   */
 object ConfigSource {
 
   type Loader = (SparkSession, String) => DataFrame
 
-  /** Default registry: the driver test tables (reference resolves from
-    * `dabstract.dataset.dbs` + a custom dir, helpers.py:148-160; callers
-    * extend by passing their own map).
+  /** Default registry: the driver test tables (callers extend by passing
+    * their own map).
     */
   def defaultRegistry: Map[String, Loader] =
     graft.Tables.names.map(n => n -> ((s: SparkSession, d: String) =>
       graft.Tables.load(s, d, n))).toMap
 
   def fromJson(spark: SparkSession, dataDir: String, json: String,
+      registry: Map[String, Loader] = defaultRegistry): DabDataset =
+    fromConfig(spark, dataDir, JsonMethods.parse(json), registry)
+
+  /** YAML frontend (reference `load_yaml_config`, utils.py:13-146):
+    * `kwargs` feeds the `!kwarg` constructor, like the reference's
+    * `load_yaml_config(..., **kwargs)` injection.
+    */
+  def fromYaml(spark: SparkSession, dataDir: String, yaml: String,
+      registry: Map[String, Loader] = defaultRegistry,
+      kwargs: Map[String, Any] = Map.empty): DabDataset =
+    fromConfig(spark, dataDir, Yaml.parse(yaml, kwargs), registry)
+
+  def fromConfig(spark: SparkSession, dataDir: String, root: JValue,
       registry: Map[String, Loader] = defaultRegistry): DabDataset = {
     implicit val fmt: Formats = DefaultFormats
-    val root = JsonMethods.parse(json)
 
     val dsConfigs = (root \ "datasets") match {
       case JArray(xs) => xs
@@ -51,21 +63,29 @@ object ConfigSource {
     require(dsConfigs.nonEmpty, "config needs at least one dataset")
 
     val parts = dsConfigs.map { c =>
-      val table = (c \ "table").extract[String]
+      val params = c \ "parameters"
+      val table = (c \ "table").extractOpt[String]
+        .orElse((c \ "name").extractOpt[String])
+        .getOrElse(throw new IllegalArgumentException(
+          "dataset entry needs 'table' (engine shape) or 'name' (reference shape)"))
       val name = (c \ "name").extractOpt[String].getOrElse(table)
       val loader = registry.getOrElse(table,
         throw new IllegalArgumentException(s"unknown dataset '$table' in registry"))
-      val base = (c \ "select").extractOpt[String] match {
-        case Some(pred) => loader(spark, dataDir).filter(expr(pred))
-        case None => loader(spark, dataDir)
-      }
-      DabDataset.dataset(base, name)
+      // reference shape carries paths.data; absent → the driver data dir
+      val dir = (params \ "paths" \ "data").extractOpt[String].getOrElse(dataDir)
+      val preSelect = Seq(c \ "select", params \ "select")
+        .find(_ != JNothing).getOrElse(JNothing)
+      val base = applySelectDf(loader(spark, dir), preSelect)
+      val testOnly = (params \ "test_only").extractOpt[Double]
+        .orElse((c \ "test_only").extractOpt[Double]).getOrElse(0.0)
+      DabDataset.dataset(base, name, testOnly)
     }
     // fold with key intersection, like dataset_from_config (helpers.py:78-83)
     var ds = parts.reduce((a, b) => a.concat(b, intersect = true))
 
-    (root \ "select").extractOpt[String].foreach { pred =>
-      ds = ds.select(expr(pred))
+    (root \ "select") match {
+      case JNothing => ()
+      case sel => ds = applySelectDs(ds, sel)
     }
     (root \ "split") match {
       case JObject(_) =>
@@ -82,12 +102,13 @@ object ConfigSource {
         val key = (root \ "xval" \ "key").extractOpt[String]
         val seed = (root \ "xval" \ "seed").extractOpt[Long].getOrElse(0L)
         val folded = strategy match {
-          case "hash"       => Xval.hashKfold(ds.df, folds, key.get, seed)
-          case "md5"        => Xval.md5Kfold(ds.df, folds, key.get)
-          case "sequential" => Xval.sequentialKfold(ds.df, folds, key.get)
-          case "stratified" => Xval.stratifiedKfold(ds.df, folds, key.get, seed)
-          case "random"     => Xval.randomKfold(ds.df, folds, seed)
-          case "item"       => Xval.fromItem(ds.df, key.get)
+          case "hash"         => Xval.hashKfold(ds.df, folds, key.get, seed)
+          case "md5"          => Xval.md5Kfold(ds.df, folds, key.get)
+          case "sequential"   => Xval.sequentialKfold(ds.df, folds, key.get)
+          case "stratified"   => Xval.stratifiedKfold(ds.df, folds, key.get, seed)
+          case "random"       => Xval.randomKfold(ds.df, folds, seed)
+          case "group_random" => Xval.groupRandomKfold(ds.df, folds, key.get, seed)
+          case "item"         => Xval.fromItem(ds.df, key.get)
           case s => throw new IllegalArgumentException(s"unknown xval strategy '$s'")
         }
         ds = DabDataset.fromExisting(Xval.foldMasks(folded, folds,
@@ -95,5 +116,112 @@ object ConfigSource {
       case _ => ()
     }
     ds
+  }
+
+  /** Per-dataset select, applied before `_idx` assignment: either a SQL
+    * predicate string (engine shape) or a reference named select
+    * `{name, parameters}` (helpers.py select dispatch; select.py:7-40).
+    */
+  private def applySelectDf(df: DataFrame, sel: JValue): DataFrame = {
+    implicit val fmt: Formats = DefaultFormats
+    sel match {
+      case JNothing | JNull => df
+      case JString(pred) => df.filter(expr(pred))
+      case o: JObject =>
+        val (name, params) = namedSelect(o)
+        name match {
+          case "subsample_by_str" =>
+            df.filter(col((params \ "key").extract[String])
+              .isin(keepValues(params \ "keep"): _*))
+          case "random_subsample" =>
+            val seed = (params \ "seed").extractOpt[Long].getOrElse(0L)
+            df.sample(withReplacement = false, (params \ "ratio").extract[Double], seed)
+          case n => throw new IllegalArgumentException(s"unknown select '$n'")
+        }
+      case other => throw new IllegalArgumentException(s"bad select config: $other")
+    }
+  }
+
+  /** Dataset-wide select (after concat): same shapes, routed through the
+    * order-preserving DabDataset ops so `_idx` is renumbered.
+    */
+  private def applySelectDs(ds: DabDataset, sel: JValue): DabDataset = {
+    implicit val fmt: Formats = DefaultFormats
+    sel match {
+      case JNothing | JNull => ds
+      case JString(pred) => ds.select(expr(pred))
+      case o: JObject =>
+        val (name, params) = namedSelect(o)
+        name match {
+          case "subsample_by_str" =>
+            ds.subsampleByStr((params \ "key").extract[String],
+              keepValues(params \ "keep").map(_.toString))
+          case "random_subsample" =>
+            val seed = (params \ "seed").extractOpt[Long].getOrElse(0L)
+            ds.randomSubsample((params \ "ratio").extract[Double], seed)
+          case n => throw new IllegalArgumentException(s"unknown select '$n'")
+        }
+      case other => throw new IllegalArgumentException(s"bad select config: $other")
+    }
+  }
+
+  private def namedSelect(o: JObject): (String, JValue) = {
+    implicit val fmt: Formats = DefaultFormats
+    ((o \ "name").extract[String], o \ "parameters")
+  }
+
+  /** `keep` may be a scalar or a list (reference keep=0 vs keep=[0,1]). */
+  private def keepValues(v: JValue): Seq[Any] = {
+    def one(x: JValue): Any = x match {
+      case JString(s) => s
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case JDouble(d) => d
+      case JBool(b) => b
+      case other => other.toString
+    }
+    v match {
+      case JArray(xs) => xs.map(one)
+      case JNothing | JNull => Seq.empty
+      case x => Seq(one(x))
+    }
+  }
+
+  /** Processor chain from the reference's dp-config shape
+    * (`chain: [- name: Framing, parameters: {...}]` — e.g.
+    * examples/DCASE2020Task1/configs/dp/DCASE2020Task1.yaml), via the
+    * [[graft.functions.Chain.registry]]. Parameter scalars/lists are
+    * stringified to the registry's string-param convention
+    * (lists join with ',': `methods: [mean,std]` → "mean,std").
+    */
+  def chainFromYaml(yaml: String,
+      kwargs: Map[String, Any] = Map.empty): graft.functions.Chain =
+    chainFromConfig(Yaml.parse(yaml, kwargs))
+
+  def chainFromConfig(root: JValue): graft.functions.Chain = {
+    implicit val fmt: Formats = DefaultFormats
+    val steps = (root \ "chain") match {
+      case JArray(xs) => xs.map { step =>
+        val name = (step \ "name").extract[String]
+        val params: Map[String, String] = (step \ "parameters") match {
+          case JObject(fs) => fs.map { case (k, v) => k -> paramStr(v) }.toMap
+          case _ => Map.empty
+        }
+        graft.functions.Chain.registry.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown processor '$name'"))(params)
+      }
+      case _ => throw new IllegalArgumentException("chain config needs a 'chain' array")
+    }
+    graft.functions.Chain(steps)
+  }
+
+  private def paramStr(v: JValue): String = v match {
+    case JString(s) => s
+    case JInt(n) => n.toString
+    case JLong(n) => n.toString
+    case JDouble(d) => if (d == d.floor && d.abs < 1e15) d.toLong.toString else d.toString
+    case JBool(b) => b.toString
+    case JArray(xs) => xs.map(paramStr).mkString(",")
+    case other => other.toString
   }
 }

@@ -18,10 +18,11 @@ import graft.core.DabDataset
   */
 object FolderSource {
 
-  private val decodeUdf = udf((bytes: Array[Byte]) => {
-    val w = WavCodec.decode(bytes)
-    (w.samples.toSeq, w.fs, w.channels)
-  })
+  private def decodeUdf(targetFs: Option[Int], resample: Boolean) =
+    udf((bytes: Array[Byte]) => {
+      val w = WavCodec.decode(bytes, targetFs = targetFs, resample = resample)
+      (w.samples.toSeq, w.fs, w.channels)
+    })
 
   /** Scan `path` for `*.ext` files: one row per file, sorted by path for
     * the reference's deterministic ordering (helpers.py:363-367), with
@@ -45,10 +46,18 @@ object FolderSource {
   /** Add decoded audio + info struct (reference's map_fct on `data`,
     * helpers.py:263-264): `data: array<double>`,
     * `info: struct<fs,time_step,output_shape,nfft>`.
+    *
+    * `targetFs` + `resample` reproduce the reference's resample-on-read
+    * (`WavDatareader(fs=..., resample=True)`, processors.py:33-37,59-65):
+    * with a targetFs and resample=false, files at another rate fail the
+    * task (the reference's assert); with resample=true they are
+    * FFT-resampled inside the decode UDF, so downstream info.fs/time_step
+    * reflect the requested rate.
     */
   def withDecodedAudio(ds: DabDataset, bytesCol: String = "content",
-      dataCol: String = "data"): DabDataset = {
-    val dec = decodeUdf(col(bytesCol))
+      dataCol: String = "data", targetFs: Option[Int] = None,
+      resample: Boolean = false): DabDataset = {
+    val dec = decodeUdf(targetFs, resample)(col(bytesCol))
     ds.add("_dec", dec)
       .add(dataCol, col("_dec._1"))
       .add("info", struct(

@@ -18,8 +18,47 @@ object WavCodec {
 
   final case class Wav(samples: Array[Double], fs: Int, channels: Int)
 
+  /** Decode, optionally resampling to `targetFs` at read time — the
+    * reference's `WavDatareader(fs=..., resample=True)`
+    * (processors.py:33-37,59-65): with `resample=false` a differing file
+    * rate is an error (the reference's fs assert); with `resample=true`
+    * each channel is FFT-resampled ([[graft.functions.Dsp.resample]], the
+    * same kernel as the Resample processor) to
+    * round(targetFs/fs · nFrames) frames. The returned `fs` is the target
+    * rate — the reference reports the *file* rate in its info dict even
+    * after resampling, which would mis-drive downstream Framing; the
+    * engine reports the rate the data actually has.
+    */
   def decode(bytes: Array[Byte], readRange: Option[(Int, Int)] = None,
-      channel: Option[Int] = None): Wav = {
+      channel: Option[Int] = None, targetFs: Option[Int] = None,
+      resample: Boolean = false): Wav = {
+    val w = decodeRaw(bytes, readRange, channel)
+    targetFs match {
+      case None => w
+      case Some(tf) if w.fs == tf => Wav(w.samples, tf, w.channels)
+      case Some(tf) =>
+        require(resample,
+          s"wav: file fs ${w.fs} != requested fs $tf and resample=false " +
+            "(reference WavDatareader assert, processors.py:62-65)")
+        val nIn = w.samples.length / w.channels
+        val nOut = math.round(tf.toDouble / w.fs * nIn).toInt
+        val out = new Array[Double](nOut * w.channels)
+        var c = 0
+        while (c < w.channels) {
+          val ch = new Array[Double](nIn)
+          var f = 0
+          while (f < nIn) { ch(f) = w.samples(f * w.channels + c); f += 1 }
+          val res = graft.functions.Dsp.resample(ch, nOut)
+          f = 0
+          while (f < nOut) { out(f * w.channels + c) = res(f); f += 1 }
+          c += 1
+        }
+        Wav(out, tf, w.channels)
+    }
+  }
+
+  private def decodeRaw(bytes: Array[Byte], readRange: Option[(Int, Int)],
+      channel: Option[Int]): Wav = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bytes.length >= 44, "not a wav file: too short")
     require(buf.getInt(0) == 0x46464952, "not a wav file: missing RIFF") // "RIFF"

@@ -165,6 +165,26 @@ class DabDatasetSpec extends SparkSpec {
     assert(out.df.select("_idx").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("nested table: recursive selection + nested active keys (abstract.py:1648-1675)") {
+    val outer = DabDataset.fromDataFrame(
+      Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v"))
+    val inner = DabDataset.fromDataFrame(
+      Seq(("x", 10.0), ("y", 20.0), ("z", 30.0)).toDF("name", "score"))
+    val ds = outer.addNested("meta", inner)
+    assert(ds.keys.contains("meta"))
+    // dotted active key projects the nested field under its qualified name
+    val act = ds.setActiveKeys("k", "meta.name").active
+    assert(act.columns.toSeq == Seq("_idx", "k", "meta.name"))
+    assert(act.orderBy("_idx").collect().map(_.getString(2)).toSeq == Seq("x", "y", "z"))
+    // outer selection recurses into the nested table (iterative_select):
+    // nested rows stay aligned and renumber with the outer positions
+    val sel = ds.select(col("v") >= 2)
+    assert(sel.len == 2)
+    val sub = sel.nested("meta")
+    assert(sub.df.orderBy("_idx").select("name").as[String].collect().toSeq == Seq("y", "z"))
+    assert(sub.df.select("_idx").as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+  }
+
   test("addDict: clashing keys replaced by the incoming table (abstract.py:1566 dict update)") {
     val a = DabDataset.fromDataFrame(Seq((1, "x"), (2, "y")).toDF("n", "s"))
     val b = DabDataset.fromDataFrame(Seq(("X", 10.0), ("Y", 20.0)).toDF("s", "v"))

@@ -265,6 +265,24 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(part.samples(0) - w.samples(100)) < 1e-12)
   }
 
+  test("wav resample-on-read equals decode→Resample chain (processors.py:33-37,59-65)") {
+    val fs = 8000
+    val samples = Array.tabulate(fs)(i => 0.5 * math.sin(2 * math.Pi * 440 * i / fs))
+    val bytes = WavCodec.encodePcm16(samples, fs)
+    // golden: read-time resample ≡ plain decode followed by the Resample kernel
+    val onRead = WavCodec.decode(bytes, targetFs = Some(4000), resample = true)
+    assert(onRead.fs == 4000 && onRead.samples.length == 4000)
+    val chained = graft.functions.Dsp.resample(WavCodec.decode(bytes).samples, 4000)
+    onRead.samples.zip(chained).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    // matching rate: no-op
+    val same = WavCodec.decode(bytes, targetFs = Some(fs))
+    assert(same.fs == fs && same.samples.length == fs)
+    // mismatched rate without resample=true fails like the reference assert
+    intercept[IllegalArgumentException] {
+      WavCodec.decode(bytes, targetFs = Some(4000))
+    }
+  }
+
   test("multimodal: fake decode deterministic, media stats real") {
     val a = Multimodal.fakeDecodeRgb("img-a".getBytes, 4, 4)
     val b = Multimodal.fakeDecodeRgb("img-a".getBytes, 4, 4)

@@ -169,6 +169,121 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("folder scan with resample-on-read: info reflects the requested rate") {
+    val ds = FolderSource.withDecodedAudio(FolderSource.scan(spark, wavRoot),
+      targetFs = Some(4000), resample = true)
+    val r = ds.df.orderBy("_idx")
+      .select(size(col("data")), col("info.fs"), col("info.time_step"))
+      .as[(Int, Int, Double)].head()
+    assert(r == ((4000, 4000, 1.0 / 4000))) // 1 s of 8 kHz audio → 4000 frames
+  }
+
+  test("yaml: reference dirs config — anchors, multi-line !pathjoin/!usjoin/!kwarg (utils.py:13-146)") {
+    // mirrors examples/introduction/configs/dirs/local.yaml
+    val yaml =
+      """# base
+        |base_data: &base_data data
+        |base_results: &base_results results
+        |
+        |base_datasets:
+        |    EXAMPLE:
+        |      data: !pathjoin [*base_data, example, data]
+        |      meta: !pathjoin [*base_data, example, data]
+        |
+        |features: features
+        |expname: &results_name !pathjoin [!kwarg [dataset],
+        |                                  !usjoin [!kwarg [features],
+        |                                           !kwarg [proc_chain_data]]]
+        |results: !pathjoin [*base_results, *results_name]
+        |missing: !kwarg [not, there]
+        |""".stripMargin
+    val cfg = graft.sources.Yaml.parse(yaml, Map(
+      "dataset" -> "EXAMPLE", "features" -> "mel40", "proc_chain_data" -> "fft"))
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    assert((cfg \ "base_datasets" \ "EXAMPLE" \ "data").extract[String] == "data/example/data")
+    assert((cfg \ "expname").extract[String] == "EXAMPLE/mel40_fft")
+    assert((cfg \ "results").extract[String] == "results/EXAMPLE/mel40_fft")
+    // reference fallback: unresolved !kwarg yields the dotted lookup path
+    assert((cfg \ "missing").extract[String] == ".not.there")
+  }
+
+  test("yaml: reference dp-chain config builds the processor chain (DCASE2020Task1_avg.yaml)") {
+    val yaml =
+      """chain:
+        |  - name: Framing
+        |    parameters:
+        |      windowsize: 0.040
+        |      stepsize: 0.020
+        |      axis: -1
+        |  - name: FFT
+        |    parameters:
+        |      format: magnitude
+        |  - name: Filterbank
+        |    parameters:
+        |      scale: mel
+        |      n_bands: 40
+        |  - name: Logarithm
+        |  - name: Aggregation
+        |    parameters:
+        |      methods: [mean,std]
+        |      combine: concatenate
+        |      axis: 0
+        |""".stripMargin
+    val chain = graft.sources.ConfigSource.chainFromYaml(yaml)
+    assert(chain.steps.map(_.name) ==
+      Seq("Framing", "FFT", "Filterbank", "Logarithm", "Aggregation"))
+  }
+
+  test("yaml config pipeline: ported EXAMPLE_anomaly_subsample shape end-to-end") {
+    val dir = sf()
+    // the reference config's structure (two filtered instances of one db,
+    // the second test-only, then a dataset-wide random subsample) ported
+    // onto the driver documents table
+    val yaml =
+      s"""base: &base $dir
+        |datasets:
+        |  - name: documents
+        |    parameters:
+        |      paths:
+        |        data: *base
+        |      select:
+        |        name: subsample_by_str
+        |        parameters:
+        |          key: lang
+        |          keep: en
+        |      test_only: 0
+        |  - name: documents
+        |    parameters:
+        |      paths:
+        |        data: *base
+        |      select:
+        |        name: subsample_by_str
+        |        parameters:
+        |          key: lang
+        |          keep: [de]
+        |      test_only: 1
+        |select:
+        |  name: random_subsample
+        |  parameters:
+        |    ratio: 0.5
+        |    seed: 5
+        |""".stripMargin
+    val ds = graft.sources.ConfigSource.fromYaml(spark, dir, yaml)
+    val docs = Tables.load(spark, dir, "documents")
+    val en = docs.filter($"lang" === "en").count()
+    val de = docs.filter($"lang" === "de").count()
+    assert(en > 0 && de > 0)
+    val n = ds.len
+    assert(n > 0 && n < en + de) // subsample actually dropped rows
+    // test_only flags follow their source dataset (dataset_id 0 = en, 1 = de)
+    val flags = ds.df.select("dataset_id", "test_only").distinct()
+      .as[(Int, Double)].collect().toSet
+    assert(flags.subsetOf(Set((0, 0.0), (1, 1.0))) && flags.nonEmpty)
+    // _idx renumbered dense after the subsample
+    val idx = ds.df.select("_idx").as[Long].collect().sorted
+    assert(idx.toSeq == (0L until n).toSeq)
+  }
+
   test("streaming: watermarked dedup keeps one row per event_id") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = Tables.events(spark, sf())
