@@ -43,6 +43,50 @@ object FolderSource {
     DabDataset.fromDataFrame(files)
   }
 
+  /** Scan WITHOUT materializing file bodies: the `binaryFile` source only
+    * reads a file's content when the `content` column is selected, so this
+    * listing job touches directory metadata + file sizes only. Pair with
+    * [[withRangeDecodedAudio]] for sub-file byte-range reads.
+    */
+  def scanPaths(spark: SparkSession, path: String, ext: String = "wav"): DabDataset = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"*.$ext")
+      .option("recursiveFileLookup", "true")
+      .load(path)
+      .orderBy("path")
+      .select(
+        regexp_replace(col("path"), "^file:", "").as("filepath"),
+        col("length").as("file_bytes"))
+      .withColumn("filename", element_at(split(col("filepath"), "/"), -1))
+      .withColumn("subdb", element_at(split(col("filepath"), "/"), -2))
+      .withColumn("example", concat_ws("/", col("subdb"), col("filename")))
+    DabDataset.fromDataFrame(files)
+  }
+
+  /** Decode only frames `[startFrame, stopFrame)` of each file via
+    * [[WavCodec.decodeRange]]: executors open the file and read header +
+    * range — bytes read proportional to the chunk, not the clip
+    * (reference range pushdown, abstract.py:1019-1029 →
+    * processors.py:42-47). Use over [[scanPaths]] output so the listing
+    * never materializes full bodies either.
+    */
+  def withRangeDecodedAudio(ds: DabDataset, startFrame: Int, stopFrame: Int,
+      pathCol: String = "filepath", dataCol: String = "data"): DabDataset = {
+    val u = udf((path: String) => {
+      val w = WavCodec.decodeRange(path, startFrame, stopFrame)
+      (w.samples.toSeq, w.fs, w.channels)
+    })
+    val dec = u(col(pathCol))
+    ds.add("_dec", dec)
+      .add(dataCol, col("_dec._1"))
+      .add("info", struct(
+        col("_dec._2").as("fs"),
+        (lit(1.0) / col("_dec._2")).as("time_step"),
+        array(size(col("_dec._1")), col("_dec._3")).as("output_shape"),
+        lit(null).cast("int").as("nfft")))
+      .remove("_dec")
+  }
+
   /** Add decoded audio + info struct (reference's map_fct on `data`,
     * helpers.py:263-264): `data: array<double>`,
     * `info: struct<fs,time_step,output_shape,nfft>`.

@@ -126,6 +126,71 @@ object WavCodec {
     Wav(out, fs, outCh)
   }
 
+  /** Decode only frames `[startFrame, stopFrame)` of the wav at `path`,
+    * reading the RIFF chunk headers (a few dozen bytes) plus exactly the
+    * requested frame byte range — true sub-file byte-range pushdown
+    * (reference range reads, abstract.py:1019-1029 → processors.py:42-47:
+    * soundfile seeks and reads only the chunk). Unlike [[decode]] over a
+    * `binaryFile` scan, bytes read are proportional to the chunk, not the
+    * clip — the path for long media at scale.
+    *
+    * Uses the Hadoop FileSystem API, so any Spark-reachable scheme
+    * (file://, hdfs://, s3a://) works; executors resolve the filesystem
+    * from a default Configuration (cluster deployments with non-default
+    * auth should broadcast their Hadoop conf into the caller's UDF).
+    */
+  def decodeRange(path: String, startFrame: Int, stopFrame: Int,
+      channel: Option[Int] = None): Wav = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fileLen = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      def readAt(off: Long, n: Int): Array[Byte] = {
+        val a = new Array[Byte](n)
+        in.readFully(off, a)
+        a
+      }
+      def le32(a: Array[Byte], o: Int): Int =
+        (a(o) & 0xff) | ((a(o + 1) & 0xff) << 8) | ((a(o + 2) & 0xff) << 16) | (a(o + 3) << 24)
+      def le16(a: Array[Byte], o: Int): Int = (a(o) & 0xff) | ((a(o + 1) & 0xff) << 8)
+
+      val hdr = readAt(0, 12)
+      require(le32(hdr, 0) == 0x46464952 && le32(hdr, 8) == 0x45564157,
+        "not a wav file: missing RIFF/WAVE")
+      var pos = 12L
+      var fmt: Array[Byte] = null
+      var dataOff = -1L; var dataLen = 0L
+      while ((dataOff < 0 || fmt == null) && pos + 8 <= fileLen) {
+        val ch = readAt(pos, 8)
+        val id = le32(ch, 0); val sz = le32(ch, 4)
+        if (id == 0x20746d66) fmt = readAt(pos + 8, math.min(sz, 16)) // "fmt "
+        else if (id == 0x61746164) { // "data"
+          dataOff = pos + 8
+          dataLen = math.min(sz.toLong, fileLen - dataOff)
+        }
+        pos += 8 + sz + (sz & 1)
+      }
+      require(fmt != null && dataOff >= 0, "wav: missing fmt/data chunk")
+      val fmtCode = le16(fmt, 0); val channels = le16(fmt, 2)
+      val fsr = le32(fmt, 4); val bits = le16(fmt, 14)
+      val frameBytes = (bits / 8) * channels
+      val totalFrames = (dataLen / frameBytes).toInt
+      val a = math.max(0, startFrame); val b = math.min(totalFrames, stopFrame)
+      val n = math.max(0, b - a)
+      val range = readAt(dataOff + a.toLong * frameBytes, n * frameBytes)
+      // re-wrap as a minimal in-memory wav so the PCM conversion is shared
+      val buf = ByteBuffer.allocate(44 + range.length).order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(0x46464952); buf.putInt(36 + range.length); buf.putInt(0x45564157)
+      buf.putInt(0x20746d66); buf.putInt(16)
+      buf.putShort(fmtCode.toShort); buf.putShort(channels.toShort); buf.putInt(fsr)
+      buf.putInt(fsr * frameBytes); buf.putShort(frameBytes.toShort); buf.putShort(bits.toShort)
+      buf.putInt(0x61746164); buf.putInt(range.length)
+      buf.put(range)
+      decodeRaw(buf.array(), None, channel)
+    } finally in.close()
+  }
+
   /** Encode mono float samples to 16-bit PCM wav (test fixture helper). */
   def encodePcm16(samples: Array[Double], fs: Int): Array[Byte] = {
     val dataLen = samples.length * 2

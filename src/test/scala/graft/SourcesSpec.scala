@@ -169,6 +169,47 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("range decode reads bytes proportional to the chunk, not the clip") {
+    val dir = Files.createTempDirectory("graft_bigwav")
+    val fs = 8000
+    // 120 s clip → ~1.9 MB on disk
+    val big = Array.tabulate(fs * 120)(i => 0.3 * math.sin(2 * math.Pi * 220 * i / fs))
+    val f = dir.resolve("big.wav")
+    Files.write(f, WavCodec.encodePcm16(big, fs))
+    val fileLen = Files.size(f)
+
+    // golden: the pushed-down range equals the in-memory slice
+    val w = WavCodec.decodeRange(f.toString, 1000, 1100)
+    assert(w.samples.length == 100 && w.fs == fs)
+    big.slice(1000, 1100).zip(w.samples).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-4)
+    }
+
+    // bytes-read proportionality via Hadoop's per-scheme statistics:
+    // a 200-byte frame range must not pull the whole clip
+    import scala.jdk.CollectionConverters._
+    def fileBytesRead: Long = org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
+      .filter(_.getScheme == "file").map(_.getBytesRead).sum
+    val before = fileBytesRead
+    WavCodec.decodeRange(f.toString, 1000, 1100)
+    val delta = fileBytesRead - before
+    assert(delta < fileLen / 10, s"read $delta of $fileLen bytes for a 100-frame range")
+  }
+
+  test("scanPaths + withRangeDecodedAudio: distributed sub-file reads") {
+    val ds = FolderSource.withRangeDecodedAudio(
+      FolderSource.scanPaths(spark, wavRoot), startFrame = 100, stopFrame = 200)
+    assert(ds.len == 6)
+    val r = ds.df.orderBy("_idx")
+      .select(size(col("data")), col("info.fs")).as[(Int, Int)].collect()
+    assert(r.forall(_ == ((100, 8000))))
+    // matches the full-decode slice
+    val full = FolderSource.withDecodedAudio(FolderSource.scan(spark, wavRoot))
+      .df.orderBy("_idx").select("data").as[Seq[Double]].head()
+    val ranged = ds.df.orderBy("_idx").select("data").as[Seq[Double]].head()
+    assert(ranged == full.slice(100, 200))
+  }
+
   test("folder scan with resample-on-read: info reflects the requested rate") {
     val ds = FolderSource.withDecodedAudio(FolderSource.scan(spark, wavRoot),
       targetFs = Some(4000), resample = true)
