@@ -10,9 +10,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * `readRange` (start/stop frame offsets) reproduces the reference's
   * range pushdown (processors.py:42-47): only the requested frames are
-  * materialized from the byte buffer (the bytes themselves arrive via
-  * Spark's binaryFile scan; sub-file byte-range pushdown would need a
-  * custom DataSource — SURVEY §4 flags this as an acceptable deferral).
+  * materialized from the byte buffer. When the bytes arrive via Spark's
+  * binaryFile scan the whole file is still read; [[decodeRange]] goes
+  * further and seeks in the file itself, reading only header + range.
   */
 object WavCodec {
 
