@@ -311,13 +311,16 @@ object SparkEntry {
       e.select(col("vec_id"),
           posexplode(transform(sequence(lit(0), n - 1),
             i => slice(col("embedding"), i * win + 1, lit(win)))).as(Seq("chunk_id", "chunk")))
-        // Serialize the float chunk to a canonical fixed-scale string so the
-        // driver's pandas comparator can sort/hash it (arrays are unhashable
-        // there). DECIMAL(18,9) keeps trailing zeros identically in Spark and
-        // DuckDB and avoids scientific-notation divergence.
+        // Serialize the float chunk to a canonical string so the driver's
+        // pandas comparator can sort/hash it (arrays are unhashable there).
+        // floor(x·1e9) as BIGINT: IEEE double multiply + floor are
+        // bit-identical across engines, unlike fixed-scale DECIMAL rounding,
+        // where a float landing exactly on a midpoint (e.g. 0.1494140625)
+        // rounds half-up in Spark but half-even in DuckDB.
         .select(col("vec_id"), col("chunk_id").cast("int").as("chunk_id"),
           array_join(transform(col("chunk"),
-            x => x.cast("decimal(18,9)").cast("string")), ",").as("chunk"))
+            x => floor(x.cast("double") * 1e9).cast("long").cast("string")), ",")
+            .as("chunk"))
         .orderBy("vec_id", "chunk_id")
     }),
 
@@ -949,7 +952,7 @@ object SparkEntry {
     "q26_split_chunks" ->
       """SELECT vec_id, CAST(gs AS INT) AS chunk_id,
         |  array_to_string(list_transform(list_slice(embedding, gs*16 + 1, gs*16 + 16),
-        |    x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) AS VARCHAR)), ',') AS chunk
+        |    x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1e9) AS BIGINT) AS VARCHAR)), ',') AS chunk
         |FROM (
         |  SELECT vec_id, embedding,
         |    unnest(generate_series(0, GREATEST(1, CAST(FLOOR((len(embedding) - 16.0)/16.0) AS BIGINT) + 1) - 1)) AS gs
