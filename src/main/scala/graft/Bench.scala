@@ -32,7 +32,8 @@ object Bench {
     "q43_range_join",      // key+range join
     "q45_sessions",        // session windows
     "q49_image_features",  // multimodal decode
-    "q58_asof_join")       // as-of union+window
+    "q58_asof_join",       // as-of union+window
+    "q61_analytic_ranks")  // two-phase global ranking
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

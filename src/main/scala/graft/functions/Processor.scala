@@ -150,21 +150,33 @@ object Chain {
   val registry: Map[String, Map[String, String] => Processor] = Map(
     "Scaler"     -> (p => Scaler(p.getOrElse("type", "uint16"))),
     "Logarithm"  -> (p => Logarithm(p.getOrElse("type", "base10"))),
-    "ExpandDims" -> (_ => ExpandDims()),
+    "ExpandDims" -> (p => ExpandDims(p.getOrElse("depth", "1").toInt)),
     "Dummy"      -> (_ => DummyProcessor()),
     "Framing"    -> (p => Framing(p("windowsize").toDouble, p("stepsize").toDouble,
                        p.getOrElse("window_func", "hamming"))),
+    "Windowing"  -> (p => WindowingProcessor(p.getOrElse("window_func", "hamming"),
+                       p.getOrElse("depth", "1").toInt)),
     "FFT"        -> (p => FFTProcessor(p.getOrElse("format", "magnitude"),
-                       p.getOrElse("nfft", "nextpow2"))),
-    "Filterbank" -> (p => Filterbank(p("n_bands").toInt, p.getOrElse("scale", "mel"))),
+                       p.getOrElse("nfft", "nextpow2"),
+                       p.getOrElse("dc_reset", "false").toBoolean)),
+    "Filterbank" -> (p => Filterbank(p("n_bands").toInt, p.getOrElse("scale", "mel"),
+                       p.getOrElse("fs", "16000").toInt,
+                       p.getOrElse("nfft", "512").toInt,
+                       p.getOrElse("fmin", "0").toDouble,
+                       p.get("fmax").map(_.toDouble).getOrElse(Double.PositiveInfinity))),
     "Normalizer" -> (p => Normalizer(p.getOrElse("type", "standard"),
                        stats = p.get("stats").map { s =>
                          val Array(a, b) = s.split(","); (a.toDouble, b.toDouble)
                        })),
     "Aggregation"-> (p => AggregationProcessor(
                        p.getOrElse("methods", "mean,std").split(",").toSeq)),
-    "FIRFilter"  -> (p => FIRFilter(p("type"), p("f").toDouble, p.getOrElse("taps", "101").toInt)),
-    "Resample"   -> (p => Resample(p("target_fs").toInt)))
+    "FIRFilter"  -> (p => FIRFilter(p("type"), p("f").toDouble,
+                       p.getOrElse("taps", "101").toInt,
+                       p.getOrElse("fs", "16000").toDouble,
+                       p.getOrElse("window", "hamming"),
+                       p.getOrElse("f2", "NaN").toDouble)),
+    "Resample"   -> (p => Resample(p("target_fs").toInt,
+                       p.getOrElse("src_fs", "16000").toInt)))
 
   /** Rebuild a chain from [[Chain.toJson]] output via the registry. */
   def fromJson(json: String): Chain = {

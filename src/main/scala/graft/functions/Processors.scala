@@ -135,6 +135,7 @@ final case class Framing(windowSize: Double, stepSize: Double,
 final case class WindowingProcessor(windowFunc: String = "hamming",
     depth: Int = 1) extends Processor {
   def name = "Windowing"
+  override def params = Map("window_func" -> windowFunc)
   def apply(data: Column, info: Column): (Column, Column) = {
     def winApply(arr: Column): Column = {
       val n = size(arr)

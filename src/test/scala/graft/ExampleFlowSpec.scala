@@ -85,4 +85,39 @@ class ExampleFlowSpec extends SparkSpec {
     // flen = 0.025*8000 = 200 → nfft 256 → 129 bins × 2 stats
     assert(featDim == 258)
   }
+
+  test("config-driven EXAMPLE: yaml dirs + resample-on-read + dp-chain from config") {
+    // dirs-style config (anchors + !pathjoin, like configs/dirs/local.yaml)
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val dirs = graft.sources.Yaml.parse(
+      s"""base: &base $root
+         |paths:
+         |  data: !pathjoin [*base]
+         |""".stripMargin)
+    val dataPath = (dirs \ "paths" \ "data").extract[String]
+
+    // scan with read-time resample to 4 kHz (WavDatareader fs=4000 resample=True)
+    val base = FolderSource.withDecodedAudio(
+      FolderSource.scan(spark, dataPath), targetFs = Some(4000), resample = true)
+    assert(base.df.select(col("info.fs")).as[Int].head() == 4000)
+
+    // dp chain from the reference's config shape (configs/dp/*.yaml)
+    val chain = graft.sources.ConfigSource.chainFromYaml(
+      """chain:
+        |  - name: Framing
+        |    parameters:
+        |      windowsize: 0.025
+        |      stepsize: 0.025
+        |  - name: FFT
+        |    parameters:
+        |      format: power
+        |  - name: Aggregation
+        |    parameters:
+        |      methods: [mean,std]
+        |""".stripMargin)
+    val feat = base.addMap("data", chain, Some("feat"))
+    val dim = feat.df.select(size(col("feat"))).as[Int].head()
+    // flen = 0.025·4000 = 100 → nfft 128 → 65 rfft bins × 2 stats
+    assert(dim == 130)
+  }
 }

@@ -174,6 +174,20 @@ class ProcessorsSpec extends SparkSpec {
     assert(f.name == "Framing")
   }
 
+  test("registry covers the full processor library incl. band/resample params") {
+    assert(Chain.registry("Windowing")(Map.empty).name == "Windowing")
+    val bp = Chain.registry("FIRFilter")(
+      Map("type" -> "bandpass", "f" -> "500", "f2" -> "1500", "fs" -> "8000"))
+    assert(bp.name == "FIRFilter")
+    assert(Chain.registry("Resample")(
+      Map("target_fs" -> "8000", "src_fs" -> "16000")).name == "Resample")
+    val fft = Chain.registry("FFT")(Map("format" -> "power", "dc_reset" -> "true"))
+    assert(fft.params("format") == "power")
+    assert(Chain.registry("Filterbank")(
+      Map("n_bands" -> "20", "fs" -> "8000", "nfft" -> "256")).name == "Filterbank")
+    assert(Chain.registry("ExpandDims")(Map("depth" -> "2")).name == "ExpandDims")
+  }
+
   test("Framing: signal shorter than one frame yields zero frames, not garbage") {
     // 10 samples, frame = 0.25s @ fs=100 = 25 samples → 0 frames; the
     // reference asserts here (processors.py:242), the engine returns empty
