@@ -634,7 +634,7 @@ object SparkEntry {
     "q61_analytic_ranks" -> ((s, dir) => {
       graft.operators.Ranking.withGlobalRanks(
           orders(s, dir).select("o_orderkey", "o_totalprice"),
-          Seq("o_totalprice", "o_orderkey"))
+          Seq("o_totalprice", "o_orderkey"), tieFree = true)
         .filter(col("pr") >= 0.99)
         .select("o_orderkey", "pr", "cd")
         .orderBy("o_orderkey")

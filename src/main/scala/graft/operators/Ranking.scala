@@ -34,15 +34,26 @@ object Ranking {
     * leading sort column must be numeric — it is range-bucketed via
     * approximate quantiles; the cast to double is monotone so bucket
     * assignment stays order-consistent.
+    *
+    * `tieFree = true` asserts the sort key combination is unique (e.g. it
+    * ends in a key column): then rank = row position and #rows≤x = rank,
+    * so the descending-rank window — the only second sort — is skipped.
     */
   def withGlobalRanks(df: DataFrame, sortCols: Seq[String],
       prCol: String = "pr", cdCol: String = "cd",
-      numBuckets: Int = 32): DataFrame = {
+      numBuckets: Int = 32, tieFree: Boolean = false): DataFrame = {
     require(sortCols.nonEmpty, "withGlobalRanks needs at least one sort column")
     val lead = sortCols.head
-    val cuts = df.select(col(lead).cast("double").as("_v"))
-      .stat.approxQuantile("_v",
-        (1 until numBuckets).map(_.toDouble / numBuckets).toArray, 0.01)
+    // Cut points from a 2% sample (like Spark's own range partitioner):
+    // boundaries only balance bucket sizes — any monotone bucketing is
+    // exact — so a sketch over a sample is enough, and a sample that
+    // comes back empty (tiny input) degrades to one bucket, still correct.
+    val cuts = (try {
+      df.select(col(lead).cast("double").as("_v"))
+        .sample(withReplacement = false, 0.02, seed = 7)
+        .stat.approxQuantile("_v",
+          (1 until numBuckets).map(_.toDouble / numBuckets).toArray, 0.01)
+    } catch { case _: Throwable => Array.empty[Double] }) // empty sample → 1 bucket
       .distinct.sorted
     val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
       acc + when(col(lead).cast("double") > c, 1).otherwise(0)
@@ -58,15 +69,19 @@ object Ranking {
       .select("_b", "_off", "_n", "_cnt")
     val asc = Window.partitionBy("_b").orderBy(sortCols.map(col): _*)
     val desc = Window.partitionBy("_b").orderBy(sortCols.map(c => col(c).desc): _*)
-    b.join(broadcast(offsets), Seq("_b"))
+    val ranked = b.join(broadcast(offsets), Seq("_b"))
       .withColumn("_rk", rank().over(asc))
-      .withColumn("_rkd", rank().over(desc))
+    val withLe = // #rows in bucket with key ≤ current
+      if (tieFree) ranked.withColumn("_le", col("_rk"))
+      else ranked.withColumn("_le",
+        col("_cnt") - rank().over(desc) + 1)
+    withLe
       .withColumn(prCol,
         when(col("_n") > 1,
           (col("_off") + col("_rk") - 1).cast("double") / (col("_n") - 1))
           .otherwise(lit(0.0)))
       .withColumn(cdCol,
-        (col("_off") + col("_cnt") - col("_rkd") + 1).cast("double") / col("_n"))
-      .drop("_b", "_off", "_n", "_cnt", "_rk", "_rkd")
+        (col("_off") + col("_le")).cast("double") / col("_n"))
+      .drop("_b", "_off", "_n", "_cnt", "_rk", "_le")
   }
 }

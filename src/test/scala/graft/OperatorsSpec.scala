@@ -388,6 +388,10 @@ class OperatorsSpec extends SparkSpec {
     val naive = df.select($"k", percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
       .as[(Long, Double, Double)].collect().sortBy(_._1)
     assert(got.toSeq == naive.toSeq)
+    // tieFree fast path (skips the desc-rank window) agrees on unique keys
+    val fast = Ranking.withGlobalRanks(df, Seq("v", "k"), tieFree = true)
+      .select("k", "pr", "cd").as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(fast.toSeq == naive.toSeq)
     // tie groups on the full sort key (v alone; 211 distinct over 500 rows)
     val gotT = Ranking.withGlobalRanks(df, Seq("v"))
       .select("k", "pr", "cd").as[(Long, Double, Double)].collect().sortBy(_._1)
