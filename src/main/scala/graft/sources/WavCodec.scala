@@ -140,7 +140,18 @@ object WavCodec {
     * auth should broadcast their Hadoop conf into the caller's UDF).
     */
   def decodeRange(path: String, startFrame: Int, stopFrame: Int,
-      channel: Option[Int] = None): Wav = {
+      channel: Option[Int] = None): Wav =
+    decodeRangeInfo(path, startFrame, stopFrame, channel).wav
+
+  /** [[decodeRange]] plus the clip's total frame count — free from the
+    * header parse, so metadata-only readers ([[WavDataSource]]) get
+    * everything from one open with zero sample bytes (startFrame ==
+    * stopFrame == 0).
+    */
+  final case class WavRange(wav: Wav, totalFrames: Long)
+
+  def decodeRangeInfo(path: String, startFrame: Int, stopFrame: Int,
+      channel: Option[Int] = None): WavRange = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val fileLen = fs.getFileStatus(p).getLen
@@ -187,7 +198,7 @@ object WavCodec {
       buf.putInt(fsr * frameBytes); buf.putShort(frameBytes.toShort); buf.putShort(bits.toShort)
       buf.putInt(0x61746164); buf.putInt(range.length)
       buf.put(range)
-      decodeRaw(buf.array(), None, channel)
+      WavRange(decodeRaw(buf.array(), None, channel), totalFrames)
     } finally in.close()
   }
 

@@ -210,6 +210,53 @@ class SourcesSpec extends SparkSpec {
     assert(ranged == full.slice(100, 200))
   }
 
+  test("graft-wav DataSource V2: schema, values, column pruning, range pushdown") {
+    import scala.jdk.CollectionConverters._
+    def fileBytesRead: Long = org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
+      .filter(_.getScheme == "file").map(_.getBytesRead).sum
+
+    val df = spark.read.format("graft-wav").load(wavRoot)
+    assert(df.columns.toSeq == Seq("filepath", "filename", "subdb", "fs",
+      "channels", "total_frames", "data"))
+
+    // full read matches the UDF decode path
+    val viaDs = df.orderBy("filepath")
+      .select("subdb", "filename", "fs", "data")
+      .as[(String, String, Int, Seq[Double])].collect()
+    val viaUdf = FolderSource.withDecodedAudio(FolderSource.scan(spark, wavRoot))
+      .df.orderBy("_idx").select("subdb", "filename", "info.fs", "data")
+      .as[(String, String, Int, Seq[Double])].collect()
+    assert(viaDs.length == 6 && viaDs.toSeq == viaUdf.toSeq)
+
+    // column pruning: a metadata-only query must not read audio bodies.
+    // Files must dwarf the FS read-buffer granularity (~16 KB/open) for
+    // the byte accounting to discriminate, so probe on 480 KB clips.
+    val bigRoot = Files.createTempDirectory("graft_wav_big")
+    for (k <- 0 until 2) {
+      val samples = Array.tabulate(8000 * 30)(i => 0.3 * math.sin(0.17 * i))
+      Files.write(bigRoot.resolve(f"clip$k%d.wav"), WavCodec.encodePcm16(samples, 8000))
+    }
+    val bigTotal = 2L * (8000 * 30 * 2 + 44)
+    val before = fileBytesRead
+    val meta = spark.read.format("graft-wav").load(bigRoot.toString)
+      .select("filepath", "fs", "total_frames")
+      .as[(String, Int, Long)].collect()
+    val delta = fileBytesRead - before
+    assert(meta.forall { case (_, fs, tf) => fs == 8000 && tf == 8000L * 30 })
+    assert(delta < bigTotal / 5,
+      s"metadata scan read $delta bytes of $bigTotal — pruning not pushed down")
+    // the pruned plan's scan schema carries no data column
+    val scanDesc = spark.read.format("graft-wav").load(wavRoot)
+      .select("filepath").queryExecution.executedPlan.toString
+    assert(!scanDesc.contains("data"), scanDesc)
+
+    // frame-range pushdown: option-driven, matches the slice
+    val ranged = spark.read.format("graft-wav")
+      .option("frameStart", "100").option("frameStop", "200").load(wavRoot)
+      .orderBy("filepath").select("data").as[Seq[Double]].head()
+    assert(ranged == viaDs.head._4.slice(100, 200))
+  }
+
   test("folder scan with resample-on-read: info reflects the requested rate") {
     val ds = FolderSource.withDecodedAudio(FolderSource.scan(spark, wavRoot),
       targetFs = Some(4000), resample = true)
