@@ -83,17 +83,25 @@ object ConfigSource {
     // fold with key intersection, like dataset_from_config (helpers.py:78-83)
     var ds = parts.reduce((a, b) => a.concat(b, intersect = true))
 
-    (root \ "select") match {
-      case JNothing => ()
-      case sel => ds = applySelectDs(ds, sel)
-    }
+    // split first, then select(s) — the reference's application order
+    // (helpers.py:85-91: add_split before add_select)
     (root \ "split") match {
       case JObject(_) =>
         val keys = (root \ "split" \ "keys").extract[List[String]]
-        val win = (root \ "split" \ "win").extract[Int]
         val power2 = (root \ "split" \ "power2").extractOpt[Boolean].getOrElse(false)
-        ds = ds.split(keys, win, power2)
+        ds = (root \ "split" \ "seconds").extractOpt[Double] match {
+          case Some(sec) => // reference add_split type='seconds' mode
+            val infoKey = (root \ "split" \ "info_key").extractOpt[String].getOrElse("info")
+            ds.splitSeconds(keys, sec, infoKey, power2)
+          case None => ds.split(keys, (root \ "split" \ "win").extract[Int], power2)
+        }
       case _ => ()
+    }
+    (root \ "select") match {
+      case JNothing => ()
+      case JArray(xs) => // reference allows a list of selects (helpers.py:87-90)
+        xs.foreach(sel => ds = applySelectDs(ds, sel))
+      case sel => ds = applySelectDs(ds, sel)
     }
     (root \ "xval") match {
       case JObject(_) =>

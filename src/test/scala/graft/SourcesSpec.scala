@@ -116,6 +116,36 @@ class SourcesSpec extends SparkSpec {
     assert(ds.len == Tables.embeddings(spark, sf()).count() * 4) // 64/16
   }
 
+  test("config: seconds-mode split + select list (reference helpers.py:84-91 shapes)") {
+    val mk: graft.sources.ConfigSource.Loader = (s, _) => {
+      import s.implicits._
+      (0 until 6).map(i => (i.toLong, (0 until 80).map(_.toDouble)))
+        .toDF("id", "data")
+        .select(col("id"), col("data"),
+          struct(lit(100).as("fs"), lit(0.01).as("time_step")).as("info"))
+    }
+    val yaml =
+      """datasets:
+        |  - table: clips
+        |split:
+        |  keys: [data]
+        |  seconds: 0.2
+        |select:
+        |  - "id < 4"
+        |  - name: subsample_by_str
+        |    parameters:
+        |      key: id
+        |      keep: [0, 1, 2]
+        |""".stripMargin
+    val ds = graft.sources.ConfigSource.fromYaml(spark, sf(), yaml,
+      registry = Map("clips" -> mk))
+    // 0.2 s at time_step 0.01 → win 20 → 80/20 = 4 chunks/row; selects keep 3 ids
+    assert(ds.len == 3L * 4)
+    assert(ds.df.select(size(col("data"))).as[Int].collect().forall(_ == 20))
+    val idx = ds.df.select("_idx").as[Long].collect().sorted
+    assert(idx.toSeq == (0L until 12L).toSeq) // renumbered dense after selects
+  }
+
   test("streaming: tumbling counts over bounded parquet == batch result") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = EventStreams.tumblingCounts(
