@@ -71,7 +71,10 @@ object Xval {
       ntile(folds).over(Window.partitionBy(col(key)).orderBy(col(orderCol))) - 1)
 
   /** Stratified k-fold on a label (reference `stratified_kfold`,
-    * xval.py:83-111): seeded shuffle within label strata.
+    * xval.py:83-111): seeded shuffle within label strata. Parallelism is
+    * bounded by label cardinality (the window partitions on the label) —
+    * inherent to the semantics; for few huge strata at extreme scale,
+    * compose the [[randomKfold]] two-phase shuffle per stratum instead.
     */
   def stratifiedKfold(df: DataFrame, folds: Int, label: String,
       seed: Long = 0): DataFrame =

@@ -401,6 +401,23 @@ class OperatorsSpec extends SparkSpec {
     assert(gotT.toSeq == naiveT.toSeq)
   }
 
+  test("global ranks: constant leading column degrades to one bucket, still exact") {
+    // worst-case skew: every leading value identical → the quantile sketch
+    // yields no usable cuts → a single bucket; serial but exact
+    val df = (1 to 100).map(i => (i.toLong, 7.0)).toDF("k", "v")
+    val got = Ranking.withGlobalRanks(df, Seq("v", "k"))
+      .select("k", "pr", "cd").as[(Long, Double, Double)].collect().sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"v", $"k")
+    val naive = df.select($"k", percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == naive.toSeq)
+    // single row: percent_rank defined as 0
+    val one = Seq((1L, 5.0)).toDF("k", "v")
+    val r1 = Ranking.withGlobalRanks(one, Seq("v", "k"))
+      .select("pr", "cd").as[(Double, Double)].head()
+    assert(r1 == ((0.0, 1.0)))
+  }
+
   test("global ranks plan keeps every data window partitioned (q61 scale shape)") {
     val df = (1 to 500).map(i => (i.toLong, (i * 37 % 211).toDouble)).toDF("k", "v")
     assert(!hasUnpartitionedDataWindow(Ranking.withGlobalRanks(df, Seq("v", "k"))))

@@ -9,6 +9,16 @@ import graft.operators.Features
 import graft.sources.{FolderSource, WavCodec}
 import graft.streaming.EventStreams
 
+/** Custom processor fixture for the `!class` chain-config path (the
+  * reference's dynamically imported custom_processor,
+  * examples/introduction/.../Readme_1_dp_config_custom.yaml).
+  */
+class CustomDoubler extends graft.functions.Processor {
+  def name = "CustomDoubler"
+  def apply(data: org.apache.spark.sql.Column, info: org.apache.spark.sql.Column) =
+    (org.apache.spark.sql.functions.transform(data, x => x * 2), info)
+}
+
 /** End-to-end source/sink flows: folder scan → wav decode → feature
   * materialization (the reference's FolderDictSeqAbstract + prepare_feat
   * paths), and the streaming surface over a bounded source.
@@ -114,6 +124,23 @@ class SourcesSpec extends SparkSpec {
         | "split": {"keys": ["embedding"], "win": 16}}""".stripMargin
     val ds = graft.sources.ConfigSource.fromJson(spark, sf(), cfg)
     assert(ds.len == Tables.embeddings(spark, sf()).count() * 4) // 64/16
+  }
+
+  test("yaml: !class step resolves a custom processor by JVM class path") {
+    // mirrors Readme_1_dp_config_custom.yaml's final chain step
+    val yaml =
+      """chain:
+        |  - name: Scaler
+        |    parameters:
+        |      type: wav_2_01
+        |  - name: !class [graft.CustomDoubler]
+        |""".stripMargin
+    val chain = graft.sources.ConfigSource.chainFromYaml(yaml)
+    assert(chain.steps.map(_.name) == Seq("Scaler", "CustomDoubler"))
+    val df = Seq(Tuple1(Seq(1.0, 3.0))).toDF("data")
+    val (out, _) = chain(col("data"), graft.functions.Processor.emptyInfo)
+    // (x+1)/2 then ×2 → x+1
+    assert(df.select(out).as[Seq[Double]].head() == Seq(2.0, 4.0))
   }
 
   test("config: seconds-mode split + select list (reference helpers.py:84-91 shapes)") {
