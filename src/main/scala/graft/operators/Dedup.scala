@@ -119,7 +119,14 @@ object Dedup {
       .select(col("id"), col("sig"),
         explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    // Materialize the (id, sig, band, bucket) table ONCE before the
+    // self-join: Spark plans each side of a self-join as its own subtree
+    // (no exchange reuse — verified on the executed plan), so without
+    // this the signature kernel and the scan run twice. The checkpointed
+    // table is compact (ids + 64-int signatures + band keys) — the
+    // classic LSH signature-matrix materialization.
     val buckets = capBuckets(allBuckets, maxBucket, "band", "bucket")
+      .localCheckpoint()
     val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -264,6 +271,7 @@ object Dedup {
         }: _*)).as("bk"))
         .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket")),
       maxBucket, "band", "bucket")
+      .localCheckpoint() // compute the signature table once, not per join side
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&

@@ -248,6 +248,7 @@ object Similarity {
           explode(sequence(lit(0), lit(tables - 1))).as("table"))
         .withColumn("bucket", bucketUdf(col("vec"), col("table"))),
       maxBucket, "table", "bucket")
+      .localCheckpoint() // hash the corpus once, not per self-join side
     keyed.as("a").join(keyed.as("b"),
         col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") &&

@@ -132,6 +132,28 @@ class OperatorsSpec extends SparkSpec {
     assert(Similarity.lshTopK(vecs, qs, k = 2).count() > 0)
   }
 
+  test("banded self-joins compute the signature kernel once, not per join side") {
+    // Spark plans each side of a self-join as its own subtree with no
+    // exchange reuse, so an unmaterialized bucket table would run the
+    // (expensive) signature kernel and source scan twice. The operators
+    // localCheckpoint the signature table; the join must read only the
+    // materialized RDD — any LocalTableScan inside the executed plan
+    // means the upstream was recomputed.
+    val docs = (0L until 120L).map(i => (i, s"document body number $i padded with words " * 3))
+      .toDF("doc_id", "text")
+    val c = Dedup.minhashCandidates(docs, threshold = 0.1)
+    c.count()
+    assert(!c.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    val vecs = (0L until 80L).map(i => (i, Seq.tabulate(8)(j => (i + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val nd = Similarity.embeddingNearDup(vecs, 0.9)
+    nd.count()
+    assert(!nd.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    val sh = Dedup.simhashCandidates(docs)
+    sh.count()
+    assert(!sh.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
   test("clusterPairs: long chains converge via shortcutting within default rounds") {
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val c = Dedup.clusterPairs(chain).collect()
@@ -280,6 +302,34 @@ class OperatorsSpec extends SparkSpec {
     // mismatched rate without resample=true fails like the reference assert
     intercept[IllegalArgumentException] {
       WavCodec.decode(bytes, targetFs = Some(4000))
+    }
+  }
+
+  test("wav stereo: channel select, per-channel resample preserves interleaving") {
+    val fs = 8000
+    val left = Array.tabulate(fs)(i => 0.5 * math.sin(2 * math.Pi * 440 * i / fs))
+    val right = Array.tabulate(fs)(i => 0.3 * math.sin(2 * math.Pi * 880 * i / fs))
+    val inter = Array.tabulate(fs * 2)(i => if (i % 2 == 0) left(i / 2) else right(i / 2))
+    val bytes = WavCodec.encodePcm16(inter, fs, channels = 2)
+
+    val both = WavCodec.decode(bytes)
+    assert(both.channels == 2 && both.samples.length == fs * 2)
+    val chL = WavCodec.decode(bytes, channel = Some(0))
+    assert(chL.channels == 1 && chL.samples.length == fs)
+    assert(math.abs(chL.samples(100) - left(100)) < 1e-4)
+
+    // stereo resample-on-read: each channel independently resampled,
+    // output stays interleaved — equals resampling the deinterleaved
+    // channels with the shared kernel
+    val rs = WavCodec.decode(bytes, targetFs = Some(4000), resample = true)
+    assert(rs.channels == 2 && rs.samples.length == 4000 * 2)
+    val expL = graft.functions.Dsp.resample(both.samples.zipWithIndex.collect {
+      case (v, i) if i % 2 == 0 => v }, 4000)
+    val expR = graft.functions.Dsp.resample(both.samples.zipWithIndex.collect {
+      case (v, i) if i % 2 == 1 => v }, 4000)
+    (0 until 4000).foreach { f =>
+      assert(math.abs(rs.samples(2 * f) - expL(f)) < 1e-12)
+      assert(math.abs(rs.samples(2 * f + 1) - expR(f)) < 1e-12)
     }
   }
 
