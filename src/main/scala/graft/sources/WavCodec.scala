@@ -202,14 +202,17 @@ object WavCodec {
     } finally in.close()
   }
 
-  /** Encode mono float samples to 16-bit PCM wav (test fixture helper). */
-  def encodePcm16(samples: Array[Double], fs: Int): Array[Byte] = {
+  /** Encode float samples to 16-bit PCM wav (test fixture helper).
+    * `samples` is interleaved when `channels > 1`.
+    */
+  def encodePcm16(samples: Array[Double], fs: Int, channels: Int = 1): Array[Byte] = {
     val dataLen = samples.length * 2
+    val frameBytes = 2 * channels
     val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
     buf.putInt(0x46464952); buf.putInt(36 + dataLen); buf.putInt(0x45564157)
     buf.putInt(0x20746d66); buf.putInt(16)
-    buf.putShort(1); buf.putShort(1); buf.putInt(fs)
-    buf.putInt(fs * 2); buf.putShort(2); buf.putShort(16)
+    buf.putShort(1); buf.putShort(channels.toShort); buf.putInt(fs)
+    buf.putInt(fs * frameBytes); buf.putShort(frameBytes.toShort); buf.putShort(16)
     buf.putInt(0x61746164); buf.putInt(dataLen)
     samples.foreach { s =>
       val clamped = math.max(-1.0, math.min(1.0, s))
