@@ -178,7 +178,31 @@ object Chain {
     "Resample"   -> (p => Resample(p("target_fs").toInt,
                        p.getOrElse("src_fs", "16000").toInt)))
 
-  /** Rebuild a chain from [[Chain.toJson]] output via the registry. */
+  /** Resolve a processor by registry name, or — when the name is a dotted
+    * class path (the reference's `!class [pkg.Cls]` constructor,
+    * utils.py:129-135 → safe_import_module) — by JVM reflection: the class
+    * must implement [[Processor]] and expose either a `Map[String,String]`
+    * constructor or a no-arg constructor.
+    */
+  def makeProcessor(name: String, params: Map[String, String]): Processor =
+    registry.get(name) match {
+      case Some(factory) => factory(params)
+      case None if name.contains(".") =>
+        val cls = Class.forName(name)
+        require(classOf[Processor].isAssignableFrom(cls),
+          s"$name does not implement graft.functions.Processor")
+        try cls.getConstructor(classOf[Map[_, _]])
+          .newInstance(params).asInstanceOf[Processor]
+        catch {
+          case _: NoSuchMethodException =>
+            cls.getDeclaredConstructor().newInstance().asInstanceOf[Processor]
+        }
+      case None => throw new IllegalArgumentException(s"unknown processor '$name'")
+    }
+
+  /** Rebuild a chain from [[Chain.toJson]] output via the registry (or a
+    * dotted class path, [[makeProcessor]]).
+    */
   def fromJson(json: String): Chain = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -186,9 +210,7 @@ object Chain {
     val steps = JsonMethods.parse(json) match {
       case JArray(xs) => xs.map { step =>
         val m = step.extract[Map[String, String]]
-        val name = m("name")
-        registry.getOrElse(name,
-          throw new IllegalArgumentException(s"unknown processor '$name'"))(m - "name")
+        makeProcessor(m("name"), m - "name")
       }
       case _ => throw new IllegalArgumentException("chain json must be an array")
     }

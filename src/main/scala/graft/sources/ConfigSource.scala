@@ -215,36 +215,12 @@ object ConfigSource {
           case JObject(fs) => fs.map { case (k, v) => k -> paramStr(v) }.toMap
           case _ => Map.empty
         }
-        makeProcessor(name, params)
+        graft.functions.Chain.makeProcessor(name, params)
       }
       case _ => throw new IllegalArgumentException("chain config needs a 'chain' array")
     }
     graft.functions.Chain(steps)
   }
-
-  /** Resolve a processor by registry name, or — when the name is a dotted
-    * class path (the reference's `!class [pkg.Cls]` constructor,
-    * utils.py:129-135 → safe_import_module) — by JVM reflection: the class
-    * must implement [[graft.functions.Processor]] and expose either a
-    * `Map[String,String]` constructor or a no-arg constructor.
-    */
-  private def makeProcessor(name: String,
-      params: Map[String, String]): graft.functions.Processor =
-    graft.functions.Chain.registry.get(name) match {
-      case Some(factory) => factory(params)
-      case None if name.contains(".") =>
-        val cls = Class.forName(name)
-        require(classOf[graft.functions.Processor].isAssignableFrom(cls),
-          s"$name does not implement graft.functions.Processor")
-        try cls.getConstructor(classOf[Map[_, _]])
-          .newInstance(params).asInstanceOf[graft.functions.Processor]
-        catch {
-          case _: NoSuchMethodException =>
-            cls.getDeclaredConstructor().newInstance()
-              .asInstanceOf[graft.functions.Processor]
-        }
-      case None => throw new IllegalArgumentException(s"unknown processor '$name'")
-    }
 
   private def paramStr(v: JValue): String = v match {
     case JString(s) => s
