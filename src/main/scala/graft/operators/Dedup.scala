@@ -124,7 +124,10 @@ object Dedup {
     // (no exchange reuse — verified on the executed plan), so without
     // this the signature kernel and the scan run twice. The checkpointed
     // table is compact (ids + 64-int signatures + band keys) — the
-    // classic LSH signature-matrix materialization.
+    // classic LSH signature-matrix materialization. localCheckpoint
+    // trades fault-tolerance for speed (executor loss fails the job);
+    // on preemptible clusters swap for persist(MEMORY_AND_DISK_2) or a
+    // reliable checkpoint dir — same plan shape either way.
     val buckets = capBuckets(allBuckets, maxBucket, "band", "bucket")
       .localCheckpoint()
     val pairs = buckets.as("a").join(buckets.as("b"),
