@@ -1,0 +1,260 @@
+package graft
+
+/** Generated DuckDB oracle SQL for the similarity/dedup queries whose
+  * kernels live in [[graft.functions.Hashing]] (FNV-1a + splitmix64 +
+  * fixed-seed hyperplanes — all deterministic integer/IEEE math, chosen in
+  * part so an independent engine can recompute them exactly).
+  *
+  * The SQL re-derives each kernel from first principles in DuckDB:
+  *  - 64-bit wrapping arithmetic runs in HUGEINT mod 2^64 (a 64×64-bit
+  *    product is split into 32-bit halves so no intermediate exceeds the
+  *    signed-128 range);
+  *  - Scala's signed-Long comparisons (MinHash minima) map through an
+  *    explicit unsigned→signed conversion before MIN;
+  *  - LSH banding joins on the raw signature slices rather than the
+  *    engine's xxhash64 bucket key — bucket equality is slice equality, so
+  *    the candidate sets agree (modulo 64-bit hash collisions, absent at
+  *    oracle scale);
+  *  - cosine similarity folds dot/norms sequentially in DOUBLE in array
+  *    order, bit-identical to `Hashing.cosine` (float→double is exact, a
+  *    float×float product is exactly representable in double, and both
+  *    engines round each accumulate identically).
+  *
+  * splitmix64 over every (shingle × seed) pair dominated the runtime, so
+  * signatures are computed once per *globally distinct* shingle hash and
+  * joined back per document (the synthetic corpus has ~2k distinct
+  * 5-shingles for 147k occurrences) — a pure oracle-side optimization
+  * with identical results.
+  *
+  * q57 (IVF) gets no oracle by design: its k-means centroids average
+  * floats with `avg()`, whose accumulation order is engine-defined, so no
+  * cross-engine bit-exact formulation exists; it stays rows-only with
+  * ScalaTest recall coverage instead.
+  */
+object Oracles {
+
+  private val Mask = (BigInt(1) << 64) - 1
+  private val M64 = "18446744073709551616::HUGEINT"
+  private val Gold = BigInt("9e3779b97f4a7c15", 16)
+  private val FnvBasis = BigInt("cbf29ce484222325", 16)
+  private val FnvPrime = BigInt("100000001b3", 16)
+  private val Mix1 = BigInt("bf58476d1ce4e5b9", 16)
+  private val Mix2 = BigInt("94d049bb133111eb", 16)
+  private val PlaneC = BigInt("c2b2ae3d27d4eb4f", 16)
+
+  /** (a * b) mod 2^64 for a HUGEINT expression and a constant, via 32-bit
+    * halves of the constant (largest intermediate < 2^65 << HUGEINT max).
+    */
+  private def mulmod(a: String, b: BigInt): String = {
+    val bl = b & 0xFFFFFFFFL
+    val bh = b >> 32
+    s"(($a)%4294967296::HUGEINT*$bl::HUGEINT" +
+      s" + ((($a)%4294967296::HUGEINT*$bh::HUGEINT" +
+      s" + (($a)//4294967296::HUGEINT)*$bl::HUGEINT)%4294967296::HUGEINT)" +
+      s"*4294967296::HUGEINT) % $M64"
+  }
+
+  /** x ^ (x >>> s) on a nonnegative HUGEINT expression. */
+  private def xshift(a: String, s: Int): String =
+    s"xor(($a), ($a)//${BigInt(1) << s}::HUGEINT)"
+
+  /** splitmix64 finalizer as SELECT-stage rewrites of column `col`. */
+  private def splitmixStages(col: String): Seq[(String, String)] = Seq(
+    "_s1" -> xshift(col, 30),
+    "_s2" -> mulmod("_s1", Mix1),
+    "_s3" -> xshift("_s2", 27),
+    "_s4" -> mulmod("_s3", Mix2),
+    "_sm" -> xshift("_s4", 31))
+
+  /** Unsigned HUGEINT in [0, 2^64) → the BIGINT with the same 64-bit
+    * pattern (Scala Long semantics for comparisons/minima).
+    */
+  private def signed(a: String): String =
+    s"(CASE WHEN ($a) >= 9223372036854775808::HUGEINT" +
+      s" THEN ($a) - $M64 ELSE ($a) END)::BIGINT"
+
+  private def staged(base: String, stages: Seq[(String, String)]): String =
+    stages.foldLeft(base) { case (sql, (nm, ex)) =>
+      s"SELECT *, $ex AS $nm FROM ($sql)"
+    }
+
+  /** CTE chain computing (id, sig BIGINT[num]) — MinHash signatures per
+    * `Hashing.minhashSignature` — from `docSrc` yielding (id, t).
+    */
+  private def minhashSigCtes(docSrc: String, num: Int, k: Int): String = {
+    val seeds = (0 until num)
+      .map(m => s"($m, ${(Gold * (m + 1)) & Mask}::HUGEINT)").mkString(", ")
+    val chars = (0 until k)
+      .map(j => s"ascii(substr(t, i+$j, 1))::HUGEINT AS c$j").mkString(", ")
+    val fnv = staged(
+      s"SELECT id, ${(0 until k).map(j => s"c$j").mkString(", ")} FROM shc",
+      (0 until k).map { j =>
+        val prev = if (j == 0) s"$FnvBasis::HUGEINT" else s"h${j - 1}"
+        s"h$j" -> mulmod(s"xor($prev, c$j)", FnvPrime)
+      })
+    val smx = staged(
+      s"SELECT h, m, (h + km) % $M64 AS z FROM hdist CROSS JOIN seeds",
+      splitmixStages("z"))
+    s"""  low AS (SELECT id, lower(t) AS t FROM ($docSrc)),
+       |  shi AS (SELECT id, unnest(range(1, greatest(2, length(t) - ${k - 2}))) AS i, t FROM low),
+       |  shc AS (SELECT id, $chars FROM shi),
+       |  shh AS (SELECT DISTINCT id, h${k - 1} AS h FROM ($fnv)),
+       |  hdist AS (SELECT DISTINCT h FROM shh),
+       |  seeds(m, km) AS (VALUES $seeds),
+       |  hsm AS (SELECT h, m, ${signed("_sm")} AS v FROM ($smx)),
+       |  sigm AS (SELECT id, m, min(v) AS s FROM shh JOIN hsm USING (h) GROUP BY id, m),
+       |  sig AS (SELECT id, list(s ORDER BY m) AS sig FROM sigm GROUP BY id)""".stripMargin
+  }
+
+  /** CTE chain: exact-collapse reps → signatures → band joins → `cand`
+    * (id_a, id_b, est_jaccard ≥ threshold) — `Dedup.minhashCandidates`.
+    * The engine's maxBucket skew cap (5000) cannot trigger at oracle
+    * scale (≤ the table's row count) and is omitted.
+    */
+  private def minhashCandCtes(threshold: Double, num: Int, rpb: Int,
+      k: Int): String = {
+    val bands = num / rpb
+    val slots = (0 until rpb)
+      .map(j => s"sig[band*$rpb + ${j + 1}] AS s$j").mkString(", ")
+    val joinKeys = ("a.band = b.band" +:
+      (0 until rpb).map(j => s"a.s$j = b.s$j")).mkString(" AND ")
+    val matches = s"list_sum(list_transform(range(1, ${num + 1})," +
+      s" i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END))"
+    s"""  reps AS (SELECT min(doc_id) AS id, min(text) AS t FROM documents GROUP BY md5(text)),
+       |${minhashSigCtes("SELECT id, t FROM reps", num, k)},
+       |  bnd AS (SELECT id, unnest(range(0, $bands)) AS band, sig FROM sig),
+       |  bands AS (SELECT id, band, $slots FROM bnd),
+       |  cand0 AS (SELECT a.id AS id_a, b.id AS id_b FROM bands a JOIN bands b
+       |            ON $joinKeys AND a.id < b.id GROUP BY 1, 2),
+       |  cand AS (SELECT id_a, id_b, $matches::DOUBLE / $num AS est_jaccard
+       |           FROM cand0
+       |           JOIN (SELECT id, sig AS sa FROM sig) x ON cand0.id_a = x.id
+       |           JOIN (SELECT id, sig AS sb FROM sig) y ON cand0.id_b = y.id
+       |           WHERE $matches::DOUBLE / $num >= $threshold)""".stripMargin
+  }
+
+  /** q34: MinHash LSH near-dup candidates (32 hashes, bands of 4, k=5,
+    * est-Jaccard ≥ 0.3).
+    */
+  def q34MinhashNearDup: String =
+    s"""WITH
+       |${minhashCandCtes(0.3, num = 32, rpb = 4, k = 5)}
+       |SELECT id_a, id_b, est_jaccard FROM cand ORDER BY id_a, id_b""".stripMargin
+
+  /** q36: exact 5-shingle Jaccard ≥ 0.4 over the q34 candidate pairs. */
+  def q36JaccardVerify: String =
+    s"""WITH
+       |${minhashCandCtes(0.3, num = 32, rpb = 4, k = 5)},
+       |  shset AS (SELECT DISTINCT id, substr(t, i, 5) AS sh FROM
+       |              (SELECT id, lower(t) AS t,
+       |                 unnest(range(1, greatest(2, length(t) - 3))) AS i
+       |               FROM reps)),
+       |  cnt AS (SELECT id, count(*) AS n FROM shset GROUP BY id),
+       |  inter AS (SELECT c.id_a, c.id_b, count(y.sh) AS i
+       |            FROM cand c
+       |            JOIN shset x ON x.id = c.id_a
+       |            LEFT JOIN shset y ON y.id = c.id_b AND y.sh = x.sh
+       |            GROUP BY 1, 2)
+       |SELECT i.id_a, i.id_b, i.i::DOUBLE / (ca.n + cb.n - i.i) AS jaccard
+       |FROM inter i JOIN cnt ca ON ca.id = i.id_a JOIN cnt cb ON cb.id = i.id_b
+       |WHERE i.i::DOUBLE / (ca.n + cb.n - i.i) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q56: `Dedup.nearDupKeep` — exact-keep reps, candidates at est ≥ 0.5,
+    * connected components (recursive-CTE transitive closure; the engine's
+    * pointer-doubled min-label propagation computes the same fixpoint),
+    * drop every non-minimum member of each component.
+    */
+  def q56NearDupKeep: String =
+    s"""WITH RECURSIVE
+       |${minhashCandCtes(0.5, num = 32, rpb = 4, k = 5)},
+       |  edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM cand
+       |            UNION SELECT id_b, id_a FROM cand),
+       |  reach(s, d) AS (SELECT s, d FROM edges
+       |                  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |  minr AS (SELECT s AS id, least(s, min(d)) AS cid FROM reach GROUP BY s),
+       |  losers AS (SELECT id FROM minr WHERE cid < id)
+       |SELECT d.doc_id, d.lang FROM documents d
+       |JOIN reps ON d.doc_id = reps.id
+       |WHERE d.doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q35: 64-bit SimHash (token FNV → splitmix, per-bit majority vote),
+    * 4×16-bit band buckets, Hamming ≤ 16 — `Hashing.simhash` +
+    * `Dedup.simhashCandidates`. Tokens: `\\s+` on lowered text, empties
+    * dropped (the kernel's isWhitespace scan, identical on this ASCII
+    * corpus).
+    */
+  def q35SimhashNearDup: String = {
+    val step = mulmod("xor(h, c)", FnvPrime)
+    val smx = staged("SELECT doc_id, z FROM th0", splitmixStages("z"))
+    val bitpow = (0 until 64)
+      .map(b => s"($b, ${BigInt(1) << b}::HUGEINT)").mkString(", ")
+    val bandpow = (0 until 4)
+      .map(b => s"($b, ${BigInt(1) << (16 * b)}::HUGEINT)").mkString(", ")
+    s"""WITH
+       |  toks AS (SELECT doc_id,
+       |             unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS tok
+       |           FROM documents),
+       |  th0 AS (SELECT doc_id, list_reduce(
+       |            list_concat([$FnvBasis::HUGEINT],
+       |              list_transform(split(tok, ''), ch -> ascii(ch)::HUGEINT)),
+       |            (h, c) -> $step) AS z FROM toks),
+       |  smx AS ($smx),
+       |  bp(b, p) AS (VALUES $bitpow),
+       |  bits AS (SELECT doc_id, b, p,
+       |             sum(CASE WHEN (_sm // p) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+       |           FROM smx CROSS JOIN bp GROUP BY doc_id, b, p),
+       |  sig AS (SELECT doc_id, sum(CASE WHEN cnt > 0 THEN p ELSE 0::HUGEINT END)::HUGEINT AS sig
+       |          FROM bits GROUP BY doc_id),
+       |  gp(band, bpw) AS (VALUES $bandpow),
+       |  banded AS (SELECT doc_id, band, (sig // bpw) % 65536 AS bucket, sig
+       |             FROM sig CROSS JOIN gp),
+       |  cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |                  ${signed("a.sig")} AS sa, ${signed("b.sig")} AS sb
+       |           FROM banded a JOIN banded b
+       |             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 16
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Sequential-fold sum of a DOUBLE list expression, seeded with +0.0 —
+    * the accumulation order of `Hashing.cosine`.
+    */
+  private def foldSum(lst: String): String =
+    s"list_reduce(list_concat([0.0::DOUBLE], $lst), (a, b) -> a + b)"
+
+  /** Bit-exact `Hashing.cosine` over two FLOAT[] columns. */
+  private def cosExpr(a: String, b: String): String = {
+    val dot = foldSum(s"list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)")
+    val na = foldSum(s"list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)")
+    val nb = foldSum(s"list_transform(range(1, len($b)+1), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)")
+    s"(CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 ELSE $dot / sqrt($na * $nb) END)"
+  }
+
+  /** q37: exact cosine top-5 per query (vec_id < 20), self excluded,
+    * ties by neighbor_id — `Similarity.bruteForceTopK`.
+    */
+  def q37KnnBrute: String =
+    s"""WITH
+       |  q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+       |  scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |               ${cosExpr("qe", "c.embedding")} AS cosine
+       |             FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id),
+       |  ranked AS (SELECT query_id, neighbor_id,
+       |               row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY cosine DESC, neighbor_id)::INT AS rank
+       |             FROM scored)
+       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Map of generated oracles, merged into [[SparkEntry.oracleSql]]. */
+  def generated: Map[String, String] = Map(
+    "q34_minhash_neardup" -> q34MinhashNearDup,
+    "q35_simhash_neardup" -> q35SimhashNearDup,
+    "q36_jaccard_verify" -> q36JaccardVerify,
+    "q37_knn_brute" -> q37KnnBrute,
+    "q56_neardup_keep" -> q56NearDupKeep)
+}

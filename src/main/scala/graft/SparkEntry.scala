@@ -1185,5 +1185,5 @@ object SparkEntry {
         |SELECT _idx, c_custkey, dataset_id FROM a
         |UNION ALL
         |SELECT _idx, c_custkey, dataset_id FROM b
-        |ORDER BY _idx""".stripMargin)
+        |ORDER BY _idx""".stripMargin) ++ Oracles.generated
 }
