@@ -250,11 +250,87 @@ object Oracles {
        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** CTE chain computing (id, tbl, bucket) hyperplane LSH keys for every
+    * vector — `Hashing.hyperplaneBucket` with seeds 42..42+tables-1.
+    * Plane components depend only on (seed, plane, dim), so they are
+    * computed once into per-(table, plane) ordered lists and each
+    * projection is a sequential DOUBLE fold in dim order — bit-identical
+    * to the kernel (its skip-of-zero-components cannot change an IEEE
+    * accumulation: adding ±0.0 to a finite value is the identity here).
+    */
+  private def hyperplaneCtes(tables: Int, nPlanes: Int, src: String,
+      idc: String, vecc: String, out: String): String = {
+    val seeds = (0 until tables)
+      .map(t => s"($t, ${(Gold * (42 + t)) & Mask}::HUGEINT)").mkString(", ")
+    val mrows = (0 until nPlanes)
+      .map(m => s"($m, ${(PlaneC * m) & Mask}::HUGEINT, ${1L << m})")
+      .mkString(", ")
+    val smx = staged(
+      s"SELECT tbl, m, pw, j, (st + mc + j) % $M64 AS z FROM ${out}_tm" +
+        s" CROSS JOIN (SELECT unnest(range(0, (SELECT max(len($vecc)) FROM ($src)))) AS j)",
+      splitmixStages("z"))
+    s"""  ${out}_tm AS (SELECT t.tbl, t.st, m.m, m.mc, m.pw FROM
+       |       (SELECT * FROM (VALUES $seeds) s(tbl, st)) t
+       |       CROSS JOIN (SELECT * FROM (VALUES $mrows) mm(m, mc, pw)) m),
+       |  ${out}_cmp AS (SELECT tbl, m, pw, j,
+       |       ((_sm // 2048)::DOUBLE / 4503599627370496.0) - 1.0 AS comp
+       |     FROM ($smx)),
+       |  ${out}_cl AS (SELECT tbl, m, pw, list(comp ORDER BY j) AS comps
+       |               FROM ${out}_cmp GROUP BY tbl, m, pw),
+       |  ${out}_proj AS (SELECT v.$idc AS id, c.tbl, c.pw,
+       |       list_reduce(list_concat([0.0::DOUBLE],
+       |         list_transform(range(1, len(v.$vecc)+1), j -> v.$vecc[j]::DOUBLE * c.comps[j])),
+       |         (a, b) -> a + b) AS p
+       |     FROM ($src) v CROSS JOIN ${out}_cl c),
+       |  $out AS (SELECT id, tbl, sum(CASE WHEN p >= 0 THEN pw ELSE 0 END)::BIGINT AS bucket
+       |            FROM ${out}_proj GROUP BY id, tbl)""".stripMargin
+  }
+
+  /** q39: `Similarity.embeddingNearDup` — pairs sharing a hyperplane
+    * bucket in ≥1 of 8 tables (8 planes), exact cosine ≥ 0.35.
+    */
+  def q39EmbeddingNearDup: String =
+    s"""WITH
+       |${hyperplaneCtes(tables = 8, nPlanes = 8,
+          "SELECT vec_id, embedding FROM embeddings", "vec_id", "embedding", "bk")},
+       |  cand AS (SELECT a.id AS id_a, b.id AS id_b FROM bk a JOIN bk b
+       |           ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+       |           GROUP BY 1, 2),
+       |  verified AS (SELECT id_a, id_b,
+       |      ${cosExpr("x.embedding", "y.embedding")} AS cosine
+       |    FROM cand JOIN embeddings x ON x.vec_id = cand.id_a
+       |              JOIN embeddings y ON y.vec_id = cand.id_b)
+       |SELECT id_a, id_b FROM verified WHERE cosine >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q38: `Similarity.lshTopK` — LSH candidates (10 planes × 8 tables,
+    * queries vec_id < 20, self excluded), exact-cosine top-5 re-rank.
+    */
+  def q38KnnLsh: String =
+    s"""WITH
+       |${hyperplaneCtes(tables = 8, nPlanes = 10,
+          "SELECT vec_id, embedding FROM embeddings", "vec_id", "embedding", "bk")},
+       |  cand AS (SELECT q.id AS query_id, c.id AS neighbor_id FROM bk q JOIN bk c
+       |           ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.id < 20
+       |              AND q.id <> c.id
+       |           GROUP BY 1, 2),
+       |  scored AS (SELECT query_id, neighbor_id,
+       |      ${cosExpr("x.embedding", "y.embedding")} AS cosine
+       |    FROM cand JOIN embeddings x ON x.vec_id = cand.query_id
+       |              JOIN embeddings y ON y.vec_id = cand.neighbor_id),
+       |  ranked AS (SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::INT AS rank
+       |    FROM scored)
+       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Map of generated oracles, merged into [[SparkEntry.oracleSql]]. */
   def generated: Map[String, String] = Map(
     "q34_minhash_neardup" -> q34MinhashNearDup,
     "q35_simhash_neardup" -> q35SimhashNearDup,
     "q36_jaccard_verify" -> q36JaccardVerify,
     "q37_knn_brute" -> q37KnnBrute,
+    "q38_knn_lsh" -> q38KnnLsh,
+    "q39_embedding_neardup" -> q39EmbeddingNearDup,
     "q56_neardup_keep" -> q56NearDupKeep)
 }
