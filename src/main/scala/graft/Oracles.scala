@@ -324,8 +324,45 @@ object Oracles {
        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** q49: `Multimodal.fakeDecodeRgb` + `channelMeans` — the deterministic
+    * stub image decode is a 31-multiplier byte hash seeding a 64-bit LCG;
+    * the oracle replays the byte fold with list_reduce, walks the 192 LCG
+    * states with a recursive CTE, and reproduces the `v/65535f` pixel in
+    * FLOAT arithmetic (verified equal to float32 for all 65536 inputs).
+    * Channel means fold FLOAT→DOUBLE in pixel order like the engine's
+    * `aggregate` HOF; round-to-6 + string formatting agree on this data.
+    */
+  def q49ImageFeatures: String = {
+    val nPx = 8 * 8 * 3
+    val byteStep = s"(${mulmod("h", BigInt(31))} + c) % $M64"
+    def lcg(h: String) =
+      s"(${mulmod(h, BigInt("6364136223846793005"))} + 1442695040888963407::HUGEINT) % $M64"
+    s"""WITH RECURSIVE
+       |  seed AS (SELECT doc_id, list_reduce(
+       |             list_concat([1125899906842597::HUGEINT],
+       |               list_transform(split(text, ''), ch -> ascii(ch)::HUGEINT)),
+       |             (h, c) -> $byteStep) AS h
+       |           FROM documents),
+       |  states(doc_id, i, h) AS (
+       |    SELECT doc_id, 0, ${lcg("h")} FROM seed
+       |    UNION
+       |    SELECT doc_id, i + 1, ${lcg("states.h")} FROM states WHERE i < ${nPx - 1}),
+       |  px AS (SELECT doc_id, i, i % 3 AS c,
+       |           (((h // 1099511627776::HUGEINT) % 65536)::FLOAT / 65535::FLOAT) AS v
+       |         FROM states),
+       |  chan AS (SELECT doc_id, c,
+       |             list_reduce(list_concat([0.0::DOUBLE], list(v::DOUBLE ORDER BY i)),
+       |               (a, b) -> a + b) / ${nPx / 3}.0 AS mean
+       |           FROM px GROUP BY doc_id, c)
+       |SELECT doc_id,
+       |  string_agg(round(mean, 6)::VARCHAR, ',' ORDER BY c) AS rgb_means,
+       |  $nPx::BIGINT AS n_px
+       |FROM chan GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Map of generated oracles, merged into [[SparkEntry.oracleSql]]. */
   def generated: Map[String, String] = Map(
+    "q49_image_features" -> q49ImageFeatures,
     "q34_minhash_neardup" -> q34MinhashNearDup,
     "q35_simhash_neardup" -> q35SimhashNearDup,
     "q36_jaccard_verify" -> q36JaccardVerify,
