@@ -360,9 +360,74 @@ object Oracles {
        |FROM chan GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** q66: `TextAnalysis.qualityScore`/`qualityFeatures` — pure
+    * length/regex/ratio arithmetic. RE2's `[[:punct:]]` equals Java's
+    * `\\p{Punct}` on ASCII (verified over the full 32..126 range);
+    * DuckDB regexp_replace needs the 'g' flag to match Spark's
+    * replace-all. Every ratio is an int/int IEEE division — exact in
+    * both engines.
+    */
+  def q66QualityScore: String = {
+    val stop = Seq("the", "a", "an", "and", "or", "but", "if", "then",
+      "is", "are", "was", "were", "be", "been", "of", "to", "in", "on",
+      "at", "for", "with", "by", "from", "as", "that", "this", "it",
+      "not", "he", "she", "they", "we", "you", "i", "his", "her",
+      "their", "have", "has", "had", "do", "does", "did", "will",
+      "would", "can", "could").map(w => s"'$w'").mkString(", ")
+    s"""WITH
+       |  base AS (SELECT doc_id, text, length(text) AS n_chars,
+       |             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |               w -> length(w) > 0) AS ws
+       |           FROM documents),
+       |  feat AS (SELECT doc_id, n_chars, len(ws) AS n_words,
+       |             list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+       |               / greatest(len(ws), 1) AS mean_word_len,
+       |             len(list_filter(ws, w -> list_contains([$stop], w)))::DOUBLE
+       |               / greatest(len(ws), 1) AS stopword_ratio,
+       |             (n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+       |               / greatest(n_chars, 1) AS punct_ratio,
+       |             (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+       |               / greatest(n_chars, 1) AS digit_ratio
+       |           FROM base)
+       |SELECT doc_id,
+       |  ((CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+       |   + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+       |   + (CASE WHEN stopword_ratio >= 0.01 THEN 1.0 ELSE 0.0 END)
+       |   + (CASE WHEN punct_ratio <= 0.3 THEN 1.0 ELSE 0.0 END)
+       |   + (CASE WHEN digit_ratio <= 0.3 THEN 1.0 ELSE 0.0 END)) / 5 AS quality,
+       |  n_words::BIGINT AS n_words, mean_word_len, stopword_ratio, punct_ratio
+       |FROM feat ORDER BY doc_id""".stripMargin
+  }
+
+  /** q67: `TextAnalysis.hashingTf` buckets + document frequency — the
+    * kernel's token scan (letter/digit start, apostrophe continuation)
+    * as `[a-z0-9][a-z0-9']*` on the lowered ASCII text, FNV-1a per
+    * token, and Java's signed `%` (DuckDB's % matches: sign of the
+    * dividend). All-integer output.
+    */
+  def q67TfidfBuckets: String = {
+    val step = mulmod("xor(h, c)", FnvPrime)
+    s"""WITH
+       |  toks AS (SELECT doc_id,
+       |             unnest(regexp_extract_all(lower(text), '[a-z0-9][a-z0-9'']*')) AS tok
+       |           FROM documents),
+       |  th AS (SELECT doc_id, list_reduce(
+       |           list_concat([$FnvBasis::HUGEINT],
+       |             list_transform(split(tok, ''), ch -> ascii(ch)::HUGEINT)),
+       |           (h, c) -> $step) AS h FROM toks),
+       |  bkt AS (SELECT doc_id, ((${signed("h")} % 1024) + 1024) % 1024 AS bucket FROM th),
+       |  tf AS (SELECT doc_id, bucket, count(*)::BIGINT AS tf FROM bkt GROUP BY 1, 2),
+       |  dfb AS (SELECT bucket, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+       |SELECT doc_id, bucket::BIGINT AS bucket, tf, df
+       |FROM tf JOIN dfb USING (bucket)
+       |ORDER BY doc_id, bucket""".stripMargin
+  }
+
   /** Map of generated oracles, merged into [[SparkEntry.oracleSql]]. */
   def generated: Map[String, String] = Map(
     "q49_image_features" -> q49ImageFeatures,
+    "q66_quality_score" -> q66QualityScore,
+    "q67_tfidf_buckets" -> q67TfidfBuckets,
     "q34_minhash_neardup" -> q34MinhashNearDup,
     "q35_simhash_neardup" -> q35SimhashNearDup,
     "q36_jaccard_verify" -> q36JaccardVerify,

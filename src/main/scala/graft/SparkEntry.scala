@@ -723,6 +723,37 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    // ---- north star: C4/Gopher-style quality scoring ----
+    "q66_quality_score" -> ((s, dir) => {
+      val f = TextAnalysis.qualityFeatures(col("text"))
+      documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          f.getField("n_words").cast("long").as("n_words"),
+          f.getField("mean_word_len").as("mean_word_len"),
+          f.getField("stopword_ratio").as("stopword_ratio"),
+          f.getField("punct_ratio").as("punct_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- north star: hashing-TF vectorization + document frequency ----
+    // (integer tf/df so the oracle is float-free; the ln-smoothed idf
+    // multiply on top is covered by ProcessorsSpec — libm ln is not
+    // bit-portable across engines)
+    "q67_tfidf_buckets" -> ((s, dir) => {
+      val tf = documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.hashingTf(col("text"), 1024))
+            .as(Seq("bucket", "tf")))
+        .filter(col("tf") > 0)
+        .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+          col("tf").cast("long").as("tf"))
+      val dfb = tf.groupBy("bucket").agg(count(lit(1)).as("df"))
+      tf.join(dfb, Seq("bucket"))
+        .select("doc_id", "bucket", "tf", "df")
+        .orderBy("doc_id", "bucket")
+    }),
+
     // ---- §2.9 structured streaming (AvailableNow over parquet) ----
     "q42_stream_tumbling" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
