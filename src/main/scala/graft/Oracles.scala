@@ -423,11 +423,38 @@ object Oracles {
        |ORDER BY doc_id, bucket""".stripMargin
   }
 
+  /** q68: the salted two-phase aggregation must equal a plain GROUP BY —
+    * DECIMAL partials are exact, so the salt split cannot change the sum.
+    */
+  def q68SaltedAgg: String =
+    """SELECT l_suppkey,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
+  /** q69: streaming dedup of a self-unioned source = the distinct
+    * original rows (event_id is unique in the driver data).
+    */
+  def q69StreamDedup: String =
+    "SELECT event_id, event_type FROM events ORDER BY event_id"
+
+  /** q70: the co-bucketed shuffle-free join must be semantics-preserving
+    * vs a plain join + aggregate.
+    */
+  def q70ColocatedJoin: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Map of generated oracles, merged into [[SparkEntry.oracleSql]]. */
   def generated: Map[String, String] = Map(
     "q49_image_features" -> q49ImageFeatures,
     "q66_quality_score" -> q66QualityScore,
     "q67_tfidf_buckets" -> q67TfidfBuckets,
+    "q68_salted_agg" -> q68SaltedAgg,
+    "q69_stream_dedup" -> q69StreamDedup,
+    "q70_colocated_join" -> q70ColocatedJoin,
     "q34_minhash_neardup" -> q34MinhashNearDup,
     "q35_simhash_neardup" -> q35SimhashNearDup,
     "q36_jaccard_verify" -> q36JaccardVerify,

@@ -754,6 +754,59 @@ object SparkEntry {
         .orderBy("doc_id", "bucket")
     }),
 
+    // ---- §2.4 salted two-phase aggregation (skew guard) ----
+    // DECIMAL partials make the aggregate exact and therefore
+    // salting-order-independent — the salted plan must equal a plain
+    // GROUP BY bit-for-bit, which the oracle checks.
+    "q68_salted_agg" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .withColumn("qty_dec", col("l_quantity").cast("decimal(18,4)"))
+      graft.operators.Skew.saltedAgg(li, "l_suppkey", saltBuckets = 32,
+          partials = Seq(sum("qty_dec").as("_psum"), count(lit(1)).as("_pn")),
+          merges = Seq(sum("_psum").as("_sum"), sum("_pn").as("n")))
+        .select(col("l_suppkey"), col("_sum").cast("double").as("sum_qty"),
+          col("n"))
+        .orderBy("l_suppkey")
+    }),
+
+    // ---- §2.9 streaming dedup within the watermark horizon ----
+    // The bounded source is self-unioned so every event arrives twice;
+    // dropDuplicatesWithinWatermark must emit each event_id once.
+    "q69_stream_dedup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      EventStreams.runOnceOnParquet(s, s"$dir/events.parquet",
+          df => {
+            val e = Tables.normalizeTs(df)
+            EventStreams.dedupStream(e.unionAll(e), "10 minutes")
+              .select(col("event_id"), col("event_type"))
+          },
+          s"dedup_sink_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("event_id")
+    }),
+
+    // ---- §2.3 co-bucketed shuffle-free join (physical layout) ----
+    // Both sides are written bucketed on the join key, so the join plans
+    // with zero Exchange (asserted in LayoutSpec); the oracle checks the
+    // layout is semantics-preserving vs a plain join.
+    "q70_colocated_join" -> ((s, dir) => {
+      graft.operators.Layout.writeBucketed(
+        orders(s, dir).select(col("o_custkey").as("custkey"),
+          col("o_totalprice")),
+        "q70_orders_b", "custkey", buckets = 8)
+      graft.operators.Layout.writeBucketed(
+        customer(s, dir).select(col("c_custkey").as("custkey"),
+          col("c_mktsegment")),
+        "q70_cust_b", "custkey", buckets = 8)
+      graft.operators.Layout.colocatedJoin(s, "q70_orders_b", "q70_cust_b",
+          "custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- §2.9 structured streaming (AvailableNow over parquet) ----
     "q42_stream_tumbling" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
