@@ -447,8 +447,31 @@ object Oracles {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** q71: `TextAnalysis.repetitionRatio` — duplicate word-3-gram share.
+    * Word split and n-gram build mirror `words`/`wordNgrams`; the ratio
+    * is an int/int IEEE division, exact in both engines.
+    */
+  def q71Repetition: String =
+    """WITH
+      |  base AS (SELECT doc_id,
+      |             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |               w -> length(w) > 0) AS ws
+      |           FROM documents),
+      |  ng AS (SELECT doc_id,
+      |           CASE WHEN len(ws) >= 3
+      |             THEN list_transform(range(1, len(ws) - 1),
+      |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |             ELSE [] END AS ng
+      |         FROM base)
+      |SELECT doc_id,
+      |  len(ng)::BIGINT AS n_3grams,
+      |  len(list_distinct(ng))::BIGINT AS distinct_3grams,
+      |  (len(ng) - len(list_distinct(ng)))::DOUBLE / greatest(len(ng), 1) AS rep_ratio
+      |FROM ng ORDER BY doc_id""".stripMargin
+
   /** Map of generated oracles, merged into [[SparkEntry.oracleSql]]. */
   def generated: Map[String, String] = Map(
+    "q71_repetition" -> q71Repetition,
     "q49_image_features" -> q49ImageFeatures,
     "q66_quality_score" -> q66QualityScore,
     "q67_tfidf_buckets" -> q67TfidfBuckets,

@@ -754,6 +754,17 @@ object SparkEntry {
         .orderBy("doc_id", "bucket")
     }),
 
+    // ---- north star: duplicate-ngram repetition filter (Gopher-style) ----
+    "q71_repetition" -> ((s, dir) => {
+      val ng = TextAnalysis.wordNgrams(col("text"), 3)
+      documents(s, dir)
+        .select(col("doc_id"),
+          size(ng).cast("long").as("n_3grams"),
+          size(array_distinct(ng)).cast("long").as("distinct_3grams"),
+          TextAnalysis.repetitionRatio(col("text"), 3).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // ---- §2.4 salted two-phase aggregation (skew guard) ----
     // DECIMAL partials make the aggregate exact and therefore
     // salting-order-independent — the salted plan must equal a plain

@@ -54,6 +54,18 @@ final class DabDataset private (
     copy(df = left.join(other.df, Seq(IdxCol), "inner"))
   }
 
+  /** Point update of one cell (reference `__setitem__` per-row form
+    * `db['key'][i] = v`, abstract.py:1828-1838 via tests
+    * test_dataset.py:126-136): rewrite the column with a conditional —
+    * declarative, so Catalyst folds repeated updates into one projection.
+    * Negative indices wrap like the reference (`index % len`).
+    */
+  def setAt(key: String, idx: Long, value: Column): DabDataset = {
+    val i = if (idx < 0) { val n = len; ((idx % n) + n) % n } else idx
+    copy(df = df.withColumn(key,
+      when(col(IdxCol) === i, value).otherwise(col(key))))
+  }
+
   /** Drop a column (reference `remove`, abstract.py:1639-1643). */
   def remove(key: String): DabDataset =
     copy(df = df.drop(key), activeKeys = activeKeys.filterNot(_ == key))

@@ -15,14 +15,35 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Layout {
 
-  /** Persist `df` as a bucketed+sorted managed table on `key`. */
+  /** Drop a managed table AND its warehouse directory. A fresh session's
+    * catalog does not know tables whose location survived a prior JVM
+    * (file-backed warehouse, in-memory catalog), so Overwrite alone fails
+    * with LOCATION_ALREADY_EXISTS — the orphaned directory must go too.
+    */
+  def dropTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = try new java.net.URI(wh).getPath catch { case _: Exception => wh }
+    val dir = new java.io.File(path, table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete(); ()
+    }
+    if (dir.exists) rm(dir)
+  }
+
+  /** Persist `df` as a bucketed+sorted managed table on `key`, replacing
+    * any previous table or orphaned location of the same name.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    dropTable(df.sparkSession, table)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Join two co-bucketed tables on their bucket key — plans as a
     * sort-merge join with zero shuffle when both sides share bucket

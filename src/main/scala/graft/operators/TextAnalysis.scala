@@ -116,6 +116,17 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Repetition ratio (Gopher-style duplicate n-gram fraction): the share
+    * of word n-grams that are repeats of an earlier one —
+    * `(total − distinct) / total` — a standard published signal for
+    * boilerplate/spam. 0 for texts with fewer than n words.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val ng = wordNgrams(text, n)
+    val total = size(ng)
+    (total - size(array_distinct(ng))).cast("double") / greatest(total, lit(1))
+  }
+
   /** Hashing-trick term-frequency vector (`dim` buckets): the standard
     * feature-hashing vectorization for text at scale — no vocabulary
     * build, no shuffle, fixed-width output. One pass per document.

@@ -38,6 +38,21 @@ class DabDatasetSpec extends SparkSpec {
     assert(act.active.columns.toSeq == Seq("_idx", "test1", "test3"))
   }
 
+  test("setAt point-updates one cell, wraps negative index (test_dataset.py:112-136)") {
+    // db['test_only'][0] = 1; db['dataset_id'][0] = 1
+    val ds = toy
+      .setAt("test_only", 0, lit(1))
+      .setAt("dataset_id", 0, lit(1))
+      .setAt("test3", -1, lit("last"))
+    val rows = ds.df.orderBy("_idx")
+      .select("test_only", "dataset_id", "test3").collect()
+    assert(rows(0).getAs[Double]("test_only") == 1.0)
+    assert(rows(0).getAs[Int]("dataset_id") == 1)
+    assert(rows(1).getAs[Int]("dataset_id") == 0) // others untouched
+    assert(rows(2).getAs[String]("test3") == "last") // -1 → len-1
+    assert(rows(0).getAs[String]("test3") == "1")
+  }
+
   test("selectIndices / selectSlice keep positional order and renumber") {
     val ds = DabDataset.fromDataFrame(
       spark.range(10).toDF("v").orderBy("v"))
