@@ -34,6 +34,23 @@ object Yaml {
     else new Parser(lines, kwargs).parseNode(0)
   }
 
+  /** Parsed YAML as plain Scala values (maps/seqs/scalars) — the shape
+    * `parse`'s `kwargs` expects, so one config can feed another's
+    * `!kwarg` lookups (the reference's `load_yaml_config(..., **kwargs)`
+    * injection, e.g. the dirs→db config flow in examples/DCASE2020Task1).
+    */
+  def toPlain(v: JValue): Any = v match {
+    case JObject(fs) => fs.map { case (k, x) => k -> toPlain(x) }.toMap
+    case JArray(xs) => xs.map(toPlain)
+    case JString(s) => s
+    case JInt(n) => n.toLong
+    case JLong(n) => n
+    case JDouble(d) => d
+    case JBool(b) => b
+    case JNull | JNothing => null
+    case other => other.toString
+  }
+
   /** Strip comments/blank lines, record indentation, and merge lines
     * while a flow `[` is unbalanced (multi-line flow lists).
     */

@@ -352,6 +352,43 @@ class SourcesSpec extends SparkSpec {
     assert((cfg \ "missing").extract[String] == ".not.there")
   }
 
+  test("yaml: dirs→db kwargs injection resolves cross-config paths (DCASE2020Task1A.yaml)") {
+    // verbatim examples/DCASE2020Task1/configs/dirs/local.yaml (EXAMPLE rows)
+    val dirsYaml =
+      """base_data: &base_data data
+        |base_datasets:
+        |    DCASE2020Task1B:
+        |      data: !pathjoin [*base_data, DCASE2020,datasets,TAU-urban-acoustic-scenes-2020-3class-development,audio]
+        |      meta: !pathjoin [*base_data, DCASE2020,datasets,TAU-urban-acoustic-scenes-2020-3class-development]
+        |      feat: !pathjoin [*base_data, DCASE2020,features]
+        |    DCASE2020Task1A:
+        |      data: !pathjoin [*base_data, DCASE2020,datasets,TAU-urban-acoustic-scenes-2020-mobile-development,audio]
+        |      meta: !pathjoin [*base_data, DCASE2020,datasets,TAU-urban-acoustic-scenes-2020-mobile-development]
+        |      feat: !pathjoin [*base_data, DCASE2020,features]
+        |""".stripMargin
+    // verbatim examples/DCASE2020Task1/configs/db/DCASE2020Task1A.yaml
+    val dbYaml =
+      """datasets:
+        |  - name: DCASE2020Task1A
+        |    parameters:
+        |      paths:
+        |        data: !kwarg [base_datasets,DCASE2020Task1A,data]
+        |        meta: !kwarg [base_datasets,DCASE2020Task1A,meta]
+        |        feat: !kwarg [base_datasets,DCASE2020Task1B,feat]
+        |""".stripMargin
+    val dirs = graft.sources.Yaml.toPlain(graft.sources.Yaml.parse(dirsYaml))
+      .asInstanceOf[Map[String, Any]]
+    val db = graft.sources.Yaml.parse(dbYaml, dirs)
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val paths = (db \ "datasets")(0) \ "parameters" \ "paths"
+    assert((paths \ "data").extract[String] ==
+      "data/DCASE2020/datasets/TAU-urban-acoustic-scenes-2020-mobile-development/audio")
+    assert((paths \ "meta").extract[String] ==
+      "data/DCASE2020/datasets/TAU-urban-acoustic-scenes-2020-mobile-development")
+    // feat deliberately borrows Task1B's feature dir in the reference config
+    assert((paths \ "feat").extract[String] == "data/DCASE2020/features")
+  }
+
   test("yaml: reference dp-chain config builds the processor chain (DCASE2020Task1_avg.yaml)") {
     val yaml =
       """chain:
