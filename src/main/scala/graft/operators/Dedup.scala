@@ -44,15 +44,27 @@ object Dedup {
     * within-bucket pair join, otherwise one degenerate bucket (empty or
     * boilerplate content all hashing together) makes the join O(bucket²).
     * Hot buckets are near-identical content anyway — they surface through
-    * the other bands or exact dedup. Implemented as a count-window over
-    * the same keys the join shuffles on, so it adds no extra shuffle.
+    * the other bands or exact dedup.
+    *
+    * Shape: the bucket table is materialized once (`localCheckpoint` —
+    * the hash kernels upstream must not re-run per consumer), then
+    * partial-aggregated counts (map-side combine shrinks them to
+    * ~#distinct buckets) feed a blacklist holding only the over-cap
+    * buckets (by construction ≤ |rows|/maxBucket entries — tiny) for a
+    * broadcast anti-join. Unlike a count-window formulation this never
+    * shuffles or sorts the full signature table just to count it — the
+    * only full shuffle left in an LSH pipeline is the pair join's own.
+    * Callers need no further checkpoint: each self-join side rebuilds
+    * only the near-free anti-join on top of the materialized table.
     */
   private[operators] def capBuckets(df: DataFrame, maxBucket: Int,
       keys: String*): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
-    df.withColumn("_bsz", count(lit(1)).over(w))
-      .filter(col("_bsz") <= maxBucket)
-      .drop("_bsz")
+    val mat = df.localCheckpoint()
+    val hot = mat.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > maxBucket)
+      .select(keys.map(col): _*)
+    mat.join(broadcast(hot), keys.toSeq, "left_anti")
   }
 
   /** Character shingles of length `k`, lowercased, as a distinct array. */
@@ -119,17 +131,17 @@ object Dedup {
       .select(col("id"), col("sig"),
         explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
-    // Materialize the (id, sig, band, bucket) table ONCE before the
-    // self-join: Spark plans each side of a self-join as its own subtree
-    // (no exchange reuse — verified on the executed plan), so without
-    // this the signature kernel and the scan run twice. The checkpointed
-    // table is compact (ids + 64-int signatures + band keys) — the
-    // classic LSH signature-matrix materialization. localCheckpoint
-    // trades fault-tolerance for speed (executor loss fails the job);
-    // on preemptible clusters swap for persist(MEMORY_AND_DISK_2) or a
-    // reliable checkpoint dir — same plan shape either way.
+    // capBuckets materializes the (id, sig, band, bucket) table ONCE
+    // (Spark plans each side of a self-join as its own subtree — no
+    // exchange reuse, verified on the executed plan — so an
+    // unmaterialized signature kernel would run once per side and once
+    // for the skew count). The checkpointed table is compact (ids +
+    // 64-int signatures + band keys) — the classic LSH signature-matrix
+    // materialization. localCheckpoint trades fault-tolerance for speed
+    // (executor loss fails the job); on preemptible clusters swap for
+    // persist(MEMORY_AND_DISK_2) or a reliable checkpoint dir — same
+    // plan shape either way.
     val buckets = capBuckets(allBuckets, maxBucket, "band", "bucket")
-      .localCheckpoint()
     val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -273,8 +285,7 @@ object Dedup {
             shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
         }: _*)).as("bk"))
         .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket")),
-      maxBucket, "band", "bucket")
-      .localCheckpoint() // compute the signature table once, not per join side
+      maxBucket, "band", "bucket") // capBuckets materializes the signature table once
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&

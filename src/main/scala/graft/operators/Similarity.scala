@@ -247,8 +247,7 @@ object Similarity {
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
           explode(sequence(lit(0), lit(tables - 1))).as("table"))
         .withColumn("bucket", bucketUdf(col("vec"), col("table"))),
-      maxBucket, "table", "bucket")
-      .localCheckpoint() // hash the corpus once, not per self-join side
+      maxBucket, "table", "bucket") // capBuckets materializes the hashed corpus once
     keyed.as("a").join(keyed.as("b"),
         col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") &&
