@@ -132,6 +132,25 @@ class OperatorsSpec extends SparkSpec {
     assert(Similarity.lshTopK(vecs, qs, k = 2).count() > 0)
   }
 
+  test("minhash cap drops hot bands; skew guard plans as anti-join, not a window") {
+    // Near-identical docs (shared prefix, unique tail): most signature
+    // slots agree, so the shared-prefix band buckets go degenerate while
+    // tail-perturbed ones stay small — the exact-collapse stage cannot
+    // hide them (all texts are distinct).
+    val nearBoiler = (0L until 200L)
+      .map(i => (i, s"shared boilerplate content repeated across the corpus $i"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(nearBoiler, numHashes = 32,
+      rowsPerBand = 4, k = 5, threshold = 0.0, maxBucket = 20,
+      collapseExact = false)
+    val n = cands.count()
+    assert(n < 2000, s"cap failed: $n pairs (uncapped ≈ 19900)")
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), "expected broadcast anti-join skew guard")
+    assert(!plan.toLowerCase.contains("window"),
+      "skew guard must not shuffle the signature table through a window")
+  }
+
   test("banded self-joins compute the signature kernel once, not per join side") {
     // Spark plans each side of a self-join as its own subtree with no
     // exchange reuse, so an unmaterialized bucket table would run the
