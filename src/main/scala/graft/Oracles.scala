@@ -469,9 +469,28 @@ object Oracles {
       |  (len(ng) - len(list_distinct(ng)))::DOUBLE / greatest(len(ng), 1) AS rep_ratio
       |FROM ng ORDER BY doc_id""".stripMargin
 
+  /** q72: TPC-H Q15 shape — suppliers achieving the max quarterly
+    * revenue. Revenue stays DECIMAL (exact) through the max-equality;
+    * only the output casts to double after ROUND.
+    */
+  def q72TopSupplier: String =
+    """WITH r AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS total_dec
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(ROUND(total_dec, 2) AS DOUBLE) AS total_revenue
+      |FROM r JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_dec = (SELECT MAX(total_dec) FROM r)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Map of generated oracles, merged into [[SparkEntry.oracleSql]]. */
   def generated: Map[String, String] = Map(
     "q71_repetition" -> q71Repetition,
+    "q72_top_supplier" -> q72TopSupplier,
     "q49_image_features" -> q49ImageFeatures,
     "q66_quality_score" -> q66QualityScore,
     "q67_tfidf_buckets" -> q67TfidfBuckets,

@@ -754,6 +754,31 @@ object SparkEntry {
         .orderBy("doc_id", "bucket")
     }),
 
+    // ---- §2.4 TPC-H Q15 shape: top supplier by windowed revenue ----
+    // (also the only query over the supplier dimension). The max runs
+    // over the ~|suppliers| aggregate table — tiny by construction —
+    // never over lineitem; revenue stays DECIMAL until the final cast so
+    // the max-equality compare is exact.
+    "q72_top_supplier" -> ((s, dir) => {
+      val rev = lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") -
+              col("l_discount").cast("decimal(18,4)"))).as("total_dec"))
+      val top = rev
+        .withColumn("_max",
+          max("total_dec").over(org.apache.spark.sql.expressions.Window
+            .partitionBy()))
+        .filter(col("total_dec") === col("_max"))
+      top.join(broadcast(supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_dec"), 2).cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
     // ---- north star: duplicate-ngram repetition filter (Gopher-style) ----
     "q71_repetition" -> ((s, dir) => {
       val ng = TextAnalysis.wordNgrams(col("text"), 3)
