@@ -767,10 +767,11 @@ object SparkEntry {
         .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1).cast("decimal(18,4)") -
               col("l_discount").cast("decimal(18,4)"))).as("total_dec"))
+      // max as a 1-row aggregate + broadcast cross-join (a global window
+      // would single-task the per-supplier table, which grows linearly
+      // with scale under TPC-H scaling)
       val top = rev
-        .withColumn("_max",
-          max("total_dec").over(org.apache.spark.sql.expressions.Window
-            .partitionBy()))
+        .crossJoin(broadcast(rev.agg(max("total_dec").as("_max"))))
         .filter(col("total_dec") === col("_max"))
       top.join(broadcast(supplier(s, dir)),
           col("l_suppkey") === col("s_suppkey"))
@@ -813,7 +814,7 @@ object SparkEntry {
       EventStreams.runOnceOnParquet(s, s"$dir/events.parquet",
           df => {
             val e = Tables.normalizeTs(df)
-            EventStreams.dedupStream(e.unionAll(e), "10 minutes")
+            EventStreams.dedupStream(e.union(e), "10 minutes")
               .select(col("event_id"), col("event_type"))
           },
           s"dedup_sink_${System.nanoTime()}",
