@@ -32,8 +32,10 @@ object Bench {
     "q43_range_join",      // key+range join
     "q45_sessions",        // session windows
     "q49_image_features",  // multimodal decode
+    "q56_neardup_keep",    // end-to-end near-dedup (LSH → cluster → keep)
     "q58_asof_join",       // as-of union+window
-    "q61_analytic_ranks")  // two-phase global ranking
+    "q61_analytic_ranks",  // two-phase global ranking
+    "q67_tfidf_buckets")   // feature-hashing vectorization
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -29,7 +29,10 @@ package graft
   * q57 (IVF) gets no oracle by design: its k-means centroids average
   * floats with `avg()`, whose accumulation order is engine-defined, so no
   * cross-engine bit-exact formulation exists; it stays rows-only with
-  * ScalaTest recall coverage instead.
+  * ScalaTest recall coverage instead. (A DECIMAL-exact reformulation was
+  * tried and measured: the engines' FLOAT→DECIMAL casts themselves
+  * diverge — DuckDB scales through float arithmetic, losing digits — so
+  * even order-independent decimal sums are not portable.)
   */
 object Oracles {
 

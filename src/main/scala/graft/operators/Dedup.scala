@@ -194,10 +194,14 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint() // reused by every round — materialize once
-    var labels = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
-      .distinct()
-      .withColumn("cluster_id", col("id"))
+    // init folds the first hop in: label = min(self, direct neighbors).
+    // Every node appears as a src (edges are bidirectional), so this one
+    // aggregation replaces the distinct-nodes scan AND saves a full
+    // propagation round — pairs/cliques then converge in a single
+    // confirming iteration.
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min("dst")).as("cluster_id"))
+      .select(col("src").as("id"), col("cluster_id"))
       .localCheckpoint()
     var converged = false
     var iter = 0
@@ -244,12 +248,11 @@ object Dedup {
     // stage 2: near-dup LSH over the unique survivors only
     val cands = minhashCandidates(uniq, numHashes, rowsPerBand, k, threshold,
       idCol, textCol, collapseExact = false)
-    val clusters = clusterPairs(cands)
-    val survivors = clusters.groupBy("cluster_id")
-      .agg(min("id").as("keep"))
-      .select(col("keep").as(idCol))
-    val losers = clusters.join(survivors,
-      clusters("id") === survivors(idCol), "anti")
+    // converged min-label = the component minimum, so the survivor of a
+    // cluster is exactly the node labeled with itself — non-survivors
+    // fall out of one filter (no extra groupBy/anti-join round trip)
+    val losers = clusterPairs(cands)
+      .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     uniq.join(losers, Seq(idCol), "anti")
   }
