@@ -199,10 +199,12 @@ object Dedup {
     // aggregation replaces the distinct-nodes scan AND saves a full
     // propagation round — pairs/cliques then converge in a single
     // confirming iteration.
+    // not checkpointed: consumed exactly once (by round 1's joins), so
+    // materializing it would only add a job — every later `labels` is the
+    // round's own checkpointed result
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min("dst")).as("cluster_id"))
       .select(col("src").as("id"), col("cluster_id"))
-      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
