@@ -490,10 +490,23 @@ object Oracles {
       |WHERE total_dec = (SELECT MAX(total_dec) FROM r)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** q73: `Dedup.capPerKey` — the md5-permutation rank is the same
+    * cross-engine idiom as q65 (`md5('seed#'||id)` orders identically in
+    * both engines).
+    */
+  def q73CapPerSource: String =
+    """SELECT doc_id, source, lang FROM (
+      |  SELECT doc_id, source, lang,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5('7#' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 10 ORDER BY doc_id""".stripMargin
+
   /** Map of generated oracles, merged into [[SparkEntry.oracleSql]]. */
   def generated: Map[String, String] = Map(
     "q71_repetition" -> q71Repetition,
     "q72_top_supplier" -> q72TopSupplier,
+    "q73_cap_per_source" -> q73CapPerSource,
     "q49_image_features" -> q49ImageFeatures,
     "q66_quality_score" -> q66QualityScore,
     "q67_tfidf_buckets" -> q67TfidfBuckets,

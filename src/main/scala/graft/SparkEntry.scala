@@ -780,6 +780,13 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // ---- north star: per-source cap (corpus curation, ≤10 docs/source) ----
+    "q73_cap_per_source" -> ((s, dir) => {
+      Dedup.capPerKey(documents(s, dir), "source", n = 10, seed = 7)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    }),
+
     // ---- north star: duplicate-ngram repetition filter (Gopher-style) ----
     "q71_repetition" -> ((s, dir) => {
       val ng = TextAnalysis.wordNgrams(col("text"), 3)

@@ -259,6 +259,22 @@ object Dedup {
     uniq.join(losers, Seq(idCol), "anti")
   }
 
+  /** Deterministic per-key cap (corpus curation's "at most n docs per
+    * domain/source"): rows ranked by a seeded md5 permutation within each
+    * key, keep the first `n`. The window partitions by the key — no
+    * global funnel — and md5 order is engine-independent, so the kept
+    * set is reproducible anywhere (same idiom as `Xval.groupRandomKfold`).
+    */
+  def capPerKey(df: DataFrame, keyCol: String, n: Int, seed: Long = 0,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+      .orderBy(md5(concat_ws("#", lit(seed), col(idCol).cast("string"))),
+        col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n)
+      .drop("_rk")
+  }
+
   /** 64-bit SimHash over word tokens: sign of per-bit weighted sums of
     * token hashes. Near-dups = signatures within small Hamming distance;
     * banded into 16-bit sub-keys for bucket joins (a doc pair within
