@@ -502,8 +502,80 @@ object Oracles {
       |  FROM documents)
       |WHERE rk <= 10 ORDER BY doc_id""".stripMargin
 
+  /** q74: `TextAnalysis.redactPii` — the PII patterns are restricted to
+    * the Java∩RE2 regex subset (classes, bounded repetition, ASCII `\b`),
+    * so DuckDB's RE2 picks the same non-overlapping spans as Spark's
+    * `java.util.regex`. DuckDB `regexp_replace` needs the explicit 'g'
+    * flag to match Spark's replace-all. The injected suffix mirrors the
+    * query's concat exactly (`%` matches sign-of-dividend in both engines;
+    * doc_ids are non-negative).
+    */
+  def q74PiiRedaction: String = {
+    import graft.operators.TextAnalysis.{emailPattern, ipv4Pattern, phonePattern}
+    s"""WITH pii AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@mail.example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |      || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+       |      || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |      || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t, '$emailPattern'))::BIGINT AS n_email,
+       |  len(regexp_extract_all(t, '$ipv4Pattern'))::BIGINT AS n_ip,
+       |  len(regexp_extract_all(t, '$phonePattern'))::BIGINT AS n_phone,
+       |  regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$emailPattern', '<EMAIL>', 'g'),
+       |    '$ipv4Pattern', '<IP>', 'g'),
+       |    '$phonePattern', '<PHONE>', 'g') AS clean
+       |FROM pii ORDER BY doc_id""".stripMargin
+  }
+
+  /** q75: `Dedup.decontaminate` — word split + 3-gram build mirror q71;
+    * the overlap count joins *raw n-gram strings* (the query passes
+    * `hashNgrams=false`; OperatorsSpec asserts the hashed production path
+    * agrees), distinct-per-side so COUNT(*) equals distinct-overlap.
+    */
+  def q75Decontaminate: String =
+    """WITH
+      |  base AS (SELECT doc_id,
+      |             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |               w -> length(w) > 0) AS ws
+      |           FROM documents),
+      |  ngrams AS (SELECT doc_id,
+      |           CASE WHEN len(ws) >= 3
+      |             THEN list_transform(range(1, len(ws) - 1),
+      |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |             ELSE [] END AS ng
+      |         FROM base),
+      |  bench AS (SELECT DISTINCT unnest(ng) AS g FROM ngrams WHERE doc_id % 97 = 0),
+      |  train AS (SELECT doc_id, unnest(list_distinct(ng)) AS g FROM ngrams),
+      |  ov AS (SELECT doc_id, COUNT(*) AS n_overlap
+      |         FROM train JOIN bench USING (g) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(o.n_overlap, 0)::BIGINT AS n_overlap,
+      |  COALESCE(o.n_overlap, 0) >= 50 AS contaminated
+      |FROM documents d LEFT JOIN ov o USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** q76: `Dedup.weightedSample` — survival test on the first 32 md5 bits
+    * (`CAST('0x'||hex AS UBIGINT)` ↔ Spark `conv(…,16,10)`), thresholds
+    * computed with the *same* `(f * 2³²).toLong` expression the operator
+    * uses so both engines compare against identical integers.
+    */
+  def q76WeightedSample: String = {
+    def th(f: Double): Long = (f * 4294967296d).toLong
+    s"""SELECT doc_id, source, lang FROM documents
+       |WHERE CAST('0x' || substr(md5('11#' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+       |  < CASE source WHEN 'src0' THEN ${th(0.75)} WHEN 'src1' THEN ${th(0.5)}
+       |      WHEN 'src2' THEN ${th(0.25)} ELSE ${th(0.1)} END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Map of generated oracles, merged into [[SparkEntry.oracleSql]]. */
   def generated: Map[String, String] = Map(
+    "q74_pii_redaction" -> q74PiiRedaction,
+    "q75_decontaminate" -> q75Decontaminate,
+    "q76_weighted_sample" -> q76WeightedSample,
     "q71_repetition" -> q71Repetition,
     "q72_top_supplier" -> q72TopSupplier,
     "q73_cap_per_source" -> q73CapPerSource,

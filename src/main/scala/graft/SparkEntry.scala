@@ -787,6 +787,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- north star: PII redaction scrub (emails / IPv4 / phones) ----
+    // The synthetic corpus carries no natural PII, so the query injects a
+    // deterministic doc_id-derived email+ip+phone suffix (identically in
+    // the oracle SQL) — every row exercises all three regexes for real.
+    "q74_pii_redaction" -> ((s, dir) => {
+      val pii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com ip 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 7) % 256).cast("string"),
+        lit(" tel 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad(((col("doc_id") * 3) % 10000).cast("string"), 4, "0"))
+      documents(s, dir)
+        .select(col("doc_id"), pii.as("_pii"))
+        .select(col("doc_id"),
+          TextAnalysis.piiCounts(col("_pii")).as("_c"),
+          TextAnalysis.redactPii(col("_pii")).as("clean"))
+        .select(col("doc_id"), col("_c.n_email").as("n_email"),
+          col("_c.n_ip").as("n_ip"), col("_c.n_phone").as("n_phone"),
+          col("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- north star: benchmark decontamination (eval-leak scrub) ----
+    "q75_decontaminate" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0),
+          n = 3, threshold = 50, hashNgrams = false)
+        .orderBy("doc_id")
+    }),
+
+    // ---- north star: weighted per-source mixture sampling ----
+    "q76_weighted_sample" -> ((s, dir) => {
+      Dedup.weightedSample(documents(s, dir), "source",
+          fractions = Map("src0" -> 0.75, "src1" -> 0.5, "src2" -> 0.25),
+          default = 0.1, seed = 11)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    }),
+
     // ---- north star: duplicate-ngram repetition filter (Gopher-style) ----
     "q71_repetition" -> ((s, dir) => {
       val ng = TextAnalysis.wordNgrams(col("text"), 3)

@@ -275,6 +275,58 @@ object Dedup {
       .drop("_rk")
   }
 
+  /** Benchmark decontamination (the standard eval-leak scrub before
+    * training): a document is contaminated if it shares at least
+    * `threshold` distinct word-`n`-grams with the benchmark corpus.
+    * Returns one row per document: (idCol, n_overlap, contaminated).
+    *
+    * Scale shape: the benchmark side (eval sets — tiny next to a 100 TB
+    * corpus) collapses to distinct n-grams and broadcasts, so the overlap
+    * join is map-side; the only shuffle is the final per-doc count
+    * aggregate, which is partial-aggregated (map-side combine) on doc ids.
+    * `hashNgrams=true` (default) joins on `xxhash64` of the n-gram — 8 B
+    * per key instead of the n-word string — the right trade at scale; the
+    * oracle-checked query uses `false` so DuckDB can replay the join on
+    * raw strings bit-exactly (a spec asserts both paths agree).
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+      threshold: Int = 1, idCol: String = "doc_id", textCol: String = "text",
+      hashNgrams: Boolean = true): DataFrame = {
+    def grams(df: DataFrame, keep: Seq[String]): DataFrame = df
+      .select(keep.map(col) :+
+        explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("_g"): _*)
+      .select(keep.map(col) :+
+        (if (hashNgrams) xxhash64(col("_g")) else col("_g")).as("_gram"): _*)
+    val bench = grams(benchmark, Nil).distinct()
+    val overlap = grams(docs, Seq(idCol))
+      .join(broadcast(bench), "_gram")
+      .groupBy(idCol).agg(count("*").as("n_overlap"))
+    docs.select(idCol).join(overlap, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= threshold)
+  }
+
+  /** Deterministic weighted sampling per key (corpus mixture control:
+    * "keep 50% of src_a, 10% of src_b"): a row survives iff the first
+    * 32 bits of a seeded md5 over its id fall under `fraction × 2³²`.
+    * Fully map-side — no counts, no window, no shuffle — so unlike
+    * [[capPerKey]] it costs nothing beyond the scan at any scale, and the
+    * kept set is a stable function of (seed, id): re-runs, retries, and
+    * different cluster sizes keep exactly the same rows.
+    */
+  def weightedSample(df: DataFrame, keyCol: String,
+      fractions: Map[String, Double], default: Double = 1.0,
+      seed: Long = 0, idCol: String = "doc_id"): DataFrame = {
+    val bucket = conv(substring(
+      md5(concat_ws("#", lit(seed), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val threshold = fractions.foldLeft(lit((default * 4294967296d).toLong)) {
+      case (acc, (k, f)) =>
+        when(col(keyCol) === k, lit((f * 4294967296d).toLong)).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
   /** 64-bit SimHash over word tokens: sign of per-bit weighted sums of
     * token hashes. Near-dups = signatures within small Hamming distance;
     * banded into 16-bit sub-keys for bucket joins (a doc pair within

@@ -116,6 +116,39 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** PII patterns (email, dotted-quad IPv4, NANP-style phone). Kept to
+    * the regex subset with identical semantics in Java (`java.util.regex`,
+    * Spark's `regexp_replace`) and RE2 (DuckDB): character classes,
+    * bounded repetition, and ASCII word boundaries — no backreferences or
+    * lookaround, so left-to-right non-overlapping matching picks the same
+    * spans in both engines.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII redaction (corpus-curation scrub stage): masks emails, IPv4
+    * addresses, and phone numbers, in that fixed order (the order is part
+    * of the contract — digit-bearing spans like `user99@h5.example.com`
+    * must be consumed by the email pass before the numeric passes scan).
+    * Pure codegen'd `regexp_replace` chain — runs at scan speed map-side,
+    * the shape a 100 TB scrub pass needs.
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, emailPattern, "<EMAIL>")
+    val i = regexp_replace(e, ipv4Pattern, "<IP>")
+    regexp_replace(i, phonePattern, "<PHONE>")
+  }
+
+  /** Per-kind PII hit counts over the *original* text (audit metric to
+    * pair with [[redactPii]]). Counts are independent per pattern — a
+    * span matching two patterns counts once in each.
+    */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(emailPattern)).cast("long").as("n_email"),
+    regexp_count(text, lit(ipv4Pattern)).cast("long").as("n_ip"),
+    regexp_count(text, lit(phonePattern)).cast("long").as("n_phone"))
+
   /** Repetition ratio (Gopher-style duplicate n-gram fraction): the share
     * of word n-grams that are repeats of an earlier one —
     * `(total − distinct) / total` — a standard published signal for

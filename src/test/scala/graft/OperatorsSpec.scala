@@ -528,4 +528,66 @@ class OperatorsSpec extends SparkSpec {
     assert(folds == (0 until 5).map(i => s"city$i" -> i).toMap)
     assert(!hasUnpartitionedDataWindow(folded))
   }
+
+  test("redactPii masks emails, IPs, and phones; piiCounts audits the original") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail me at alice.smith+x@corp.example.org today"),
+      (2L, "server 192.168.0.1 and 8.8.8.8 tel 555-123-4567"),
+      (3L, "no pii here at all"),
+      (4L, "combo u@1.2.3.4 left")) // digit TLD ⇒ the IP pass owns it
+      .toDF("doc_id", "text")
+    val out = df
+      .select($"doc_id", TextAnalysis.redactPii($"text").as("clean"),
+        TextAnalysis.piiCounts($"text").as("c"))
+      .select($"doc_id", $"clean", $"c.n_email", $"c.n_ip", $"c.n_phone")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out(0) == ((1L, "mail me at <EMAIL> today", 1L, 0L, 0L)))
+    assert(out(1) == ((2L, "server <IP> and <IP> tel <PHONE>", 0L, 2L, 1L)))
+    assert(out(2) == ((3L, "no pii here at all", 0L, 0L, 0L)))
+    assert(out(3) == ((4L, "combo u@<IP> left", 0L, 1L, 0L)))
+  }
+
+  test("decontaminate counts distinct shared n-grams vs the benchmark; hashed path agrees") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "quick brown fox runs"),
+      (3L, "completely different words entirely"),
+      (4L, "tiny")) // fewer than n words → zero n-grams, still reported
+      .toDF("doc_id", "text")
+    val bench = Seq((99L, "a quick brown fox jumps high")).toDF("doc_id", "text")
+    // bench 3-grams: {a quick brown, quick brown fox, brown fox jumps, fox jumps high}
+    val out = Dedup.decontaminate(docs, bench, n = 3, threshold = 2,
+        hashNgrams = false)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect()
+    assert(out(0) == ((1L, 2L, true)))  // quick brown fox + brown fox jumps
+    assert(out(1) == ((2L, 1L, false)))
+    assert(out(2) == ((3L, 0L, false)))
+    assert(out(3) == ((4L, 0L, false)))
+    val hashed = Dedup.decontaminate(docs, bench, n = 3, threshold = 2)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect()
+    assert(hashed.toSeq == out.toSeq)
+  }
+
+  test("weightedSample: seed-stable per-key fractions with a shuffle-free plan") {
+    import spark.implicits._
+    val df = (0 until 4000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "src")
+    val kept = Dedup.weightedSample(df, "src", Map("a" -> 0.5, "b" -> 0.1),
+      default = 0.0, seed = 3)
+    kept.count()
+    assert(!kept.queryExecution.executedPlan.toString.contains("Exchange"))
+    val counts = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts("a") > 850 && counts("a") < 1150)  // 2000 rows × 0.5
+    assert(counts("b") > 120 && counts("b") < 280)   // 2000 rows × 0.1
+    val again = Dedup.weightedSample(df, "src", Map("a" -> 0.5, "b" -> 0.1),
+      default = 0.0, seed = 3).select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+    val all = Dedup.weightedSample(df, "src", Map.empty, default = 1.0, seed = 3)
+    assert(all.count() == 4000)
+    val none = Dedup.weightedSample(df, "src", Map.empty, default = 0.0, seed = 3)
+    assert(none.count() == 0)
+  }
 }
