@@ -571,8 +571,57 @@ object Oracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q77: `Dedup.dedupSegments` — 0-based fixed 10-word segments (DuckDB
+    * list slices are 1-based inclusive and clamp like Spark `slice`);
+    * first occurrence = row_number over (doc, pos) within the segment
+    * (the engine partitions by md5(segment) — same grouping, shorter
+    * shuffle key); rebuild order is the unique per-doc pos, so
+    * `string_agg ORDER BY pos` equals the engine's sorted-struct concat.
+    */
+  def q77DedupSegments: String =
+    """WITH
+      |  base AS (SELECT doc_id,
+      |             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |               w -> length(w) > 0) AS ws
+      |           FROM documents),
+      |  segs AS (SELECT doc_id,
+      |             unnest(list_transform(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+      |               i -> {'pos': i, 'seg': array_to_string(ws[i*10+1 : i*10+10], ' ')})) AS s
+      |           FROM base WHERE len(ws) >= 1),
+      |  flat AS (SELECT doc_id, s.pos AS pos, s.seg AS seg FROM segs),
+      |  kept AS (SELECT doc_id, pos, seg FROM (
+      |             SELECT doc_id, pos, seg,
+      |               row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rk
+      |             FROM flat) WHERE rk = 1),
+      |  rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |                string_agg(seg, ' ' ORDER BY pos) AS clean
+      |              FROM kept GROUP BY doc_id)
+      |SELECT b.doc_id,
+      |  CAST(ceil(len(b.ws) / 10.0) AS BIGINT) AS n_segs,
+      |  COALESCE(r.n_kept, 0)::BIGINT AS n_kept,
+      |  COALESCE(r.clean, '') AS clean
+      |FROM base b LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** q78: `TextAnalysis.topNgrams` — corpus bigram counts, total-ordered
+    * by (count desc, gram) so LIMIT picks the same 100 rows both sides.
+    */
+  def q78TopNgrams: String =
+    """WITH
+      |  base AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |             w -> length(w) > 0) AS ws
+      |           FROM documents),
+      |  ngrams AS (SELECT CASE WHEN len(ws) >= 2
+      |               THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      |               ELSE [] END AS ng
+      |             FROM base)
+      |SELECT g AS gram, COUNT(*)::BIGINT AS cnt
+      |FROM (SELECT unnest(ng) AS g FROM ngrams)
+      |GROUP BY g ORDER BY cnt DESC, gram LIMIT 100""".stripMargin
+
   /** Map of generated oracles, merged into [[SparkEntry.oracleSql]]. */
   def generated: Map[String, String] = Map(
+    "q77_dedup_segments" -> q77DedupSegments,
+    "q78_top_ngrams" -> q78TopNgrams,
     "q74_pii_redaction" -> q74PiiRedaction,
     "q75_decontaminate" -> q75Decontaminate,
     "q76_weighted_sample" -> q76WeightedSample,

@@ -826,6 +826,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- north star: segment-level exact dedup (C4-style span removal) ----
+    "q77_dedup_segments" -> ((s, dir) => {
+      Dedup.dedupSegments(documents(s, dir), segWords = 10)
+        .orderBy("doc_id")
+    }),
+
+    // ---- north star: top-k n-gram vocabulary (boilerplate mining) ----
+    "q78_top_ngrams" -> ((s, dir) => {
+      TextAnalysis.topNgrams(documents(s, dir), n = 2, k = 100)
+    }),
+
     // ---- north star: duplicate-ngram repetition filter (Gopher-style) ----
     "q71_repetition" -> ((s, dir) => {
       val ng = TextAnalysis.wordNgrams(col("text"), 3)

@@ -306,6 +306,55 @@ object Dedup {
       .withColumn("contaminated", col("n_overlap") >= threshold)
   }
 
+  /** Fixed-width word segments (0-based position, partial tail kept):
+    * the deterministic segmentation under [[dedupSegments]]. Corpora with
+    * real sentence boundaries would segment on those instead; the fixed
+    * window is the delimiter-free equivalent and keeps the oracle replay
+    * exact.
+    */
+  private[operators] def segments(text: Column, segWords: Int): Column = {
+    val ws = TextAnalysis.words(text)
+    val nseg = ceil(size(ws) / segWords.toDouble).cast("int")
+    when(size(ws) >= 1,
+      transform(sequence(lit(0), nseg - 1),
+        i => concat_ws(" ", slice(ws, i * segWords + 1, lit(segWords)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Segment-level exact dedup (C4-style duplicate-span removal): every
+    * `segWords`-word segment that occurs more than once corpus-wide is
+    * kept only at its first occurrence (min (doc, pos)); documents are
+    * rebuilt from their surviving segments. Returns
+    * (idCol, n_segs, n_kept, clean).
+    *
+    * Scale shape: first-occurrence selection is a `row_number` window
+    * partitioned by the segment's md5 — thousands of rows per digest at
+    * worst, never a global funnel — and the rebuild is a per-doc
+    * aggregate; both shuffles are on short keys but carry the segment
+    * text once each (unavoidable: the rebuild needs the bytes). Counts
+    * stay partial-aggregated map-side.
+    */
+  def dedupSegments(docs: DataFrame, segWords: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val seg = docs
+      .select(col(idCol), posexplode(segments(col(textCol), segWords)).as(Seq("pos", "seg")))
+      .withColumn("_d", md5(col("seg")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_d")
+      .orderBy(col(idCol), col("pos"))
+    val kept = seg.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+    val rebuilt = kept.groupBy(idCol).agg(
+      count("*").as("n_kept"),
+      concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("pos"), col("seg")))),
+        s => s("seg"))).as("clean"))
+    docs
+      .select(col(idCol),
+        ceil(size(TextAnalysis.words(col(textCol))) / segWords.toDouble)
+          .cast("long").as("n_segs"))
+      .join(rebuilt, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_kept")).na.fill("", Seq("clean"))
+  }
+
   /** Deterministic weighted sampling per key (corpus mixture control:
     * "keep 50% of src_a, 10% of src_b"): a row survives iff the first
     * 32 bits of a seeded md5 over its id fall under `fraction × 2³²`.

@@ -160,6 +160,20 @@ object TextAnalysis {
     (total - size(array_distinct(ng))).cast("double") / greatest(total, lit(1))
   }
 
+  /** Corpus-wide top-`k` word n-grams by occurrence count (vocabulary /
+    * boilerplate mining). Ties break on the gram so the result is total-
+    * ordered. Scale shape: map-side partial counts shrink the shuffle to
+    * ~|vocab| rows, and the `orderBy.limit` compiles to
+    * `TakeOrderedAndProject` — a per-partition top-k plus a single
+    * k-row reduce, never a global sort of the vocabulary.
+    */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 100,
+      textCol: String = "text"): DataFrame =
+    docs.select(explode(wordNgrams(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count("*").as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+
   /** Hashing-trick term-frequency vector (`dim` buckets): the standard
     * feature-hashing vectorization for text at scale — no vocabulary
     * build, no shuffle, fixed-width output. One pass per document.

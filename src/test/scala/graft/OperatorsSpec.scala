@@ -571,6 +571,33 @@ class OperatorsSpec extends SparkSpec {
     assert(hashed.toSeq == out.toSeq)
   }
 
+  test("dedupSegments removes repeated spans at all but their first occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),           // segs (w=2): "alpha beta", "gamma delta"
+      (2L, "alpha beta epsilon"),               // "alpha beta" dup → kept only in doc 1
+      (3L, "zeta eta zeta eta"),                // intra-doc dup: pos 1 dropped
+      (4L, "")) // empty → 0 segments, still present in the output
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(docs, segWords = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 2L, 2L, "alpha beta gamma delta")))
+    assert(out(1) == ((2L, 2L, 1L, "epsilon")))
+    assert(out(2) == ((3L, 2L, 1L, "zeta eta")))
+    assert(out(3) == ((4L, 0L, 0L, "")))
+  }
+
+  test("topNgrams counts every occurrence and total-orders ties by gram") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"), // bigrams: a b, b a, a b, b c
+      (2L, "b c d"))     // bigrams: b c, c d
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.topNgrams(docs, n = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a b", 2L), ("b c", 2L), ("b a", 1L)))
+  }
+
   test("weightedSample: seed-stable per-key fractions with a shuffle-free plan") {
     import spark.implicits._
     val df = (0 until 4000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
