@@ -148,8 +148,10 @@ object Chain {
     * processing_chain.py:69-80).
     */
   val registry: Map[String, Map[String, String] => Processor] = Map(
-    "Scaler"     -> (p => Scaler(p.getOrElse("type", "uint16"))),
-    "Logarithm"  -> (p => Logarithm(p.getOrElse("type", "base10"))),
+    "Scaler"     -> (p => Scaler(p.getOrElse("type", "uint16"),
+                       p.getOrElse("depth", "1").toInt)),
+    "Logarithm"  -> (p => Logarithm(p.getOrElse("type", "base10"),
+                       p.getOrElse("depth", "1").toInt)),
     "ExpandDims" -> (p => ExpandDims(p.getOrElse("depth", "1").toInt)),
     "Dummy"      -> (_ => DummyProcessor()),
     "Framing"    -> (p => Framing(p("windowsize").toDouble, p("stepsize").toDouble,
@@ -158,16 +160,23 @@ object Chain {
                        p.getOrElse("depth", "1").toInt)),
     "FFT"        -> (p => FFTProcessor(p.getOrElse("format", "magnitude"),
                        p.getOrElse("nfft", "nextpow2"),
-                       p.getOrElse("dc_reset", "false").toBoolean)),
+                       p.getOrElse("dc_reset", "false").toBoolean,
+                       p.getOrElse("depth", "2").toInt)),
     "Filterbank" -> (p => Filterbank(p("n_bands").toInt, p.getOrElse("scale", "mel"),
                        p.getOrElse("fs", "16000").toInt,
                        p.getOrElse("nfft", "512").toInt,
                        p.getOrElse("fmin", "0").toDouble,
-                       p.get("fmax").map(_.toDouble).getOrElse(Double.PositiveInfinity))),
+                       p.get("fmax").map(_.toDouble).getOrElse(Double.PositiveInfinity),
+                       p.get("norm"),
+                       p.getOrElse("depth", "2").toInt)),
     "Normalizer" -> (p => Normalizer(p.getOrElse("type", "standard"),
+                       featureRange = p.get("feature_range").map { s =>
+                         val Array(a, b) = s.split(","); (a.toDouble, b.toDouble)
+                       }.getOrElse((0.0, 1.0)),
                        stats = p.get("stats").map { s =>
                          val Array(a, b) = s.split(","); (a.toDouble, b.toDouble)
-                       })),
+                       },
+                       depth = p.getOrElse("depth", "1").toInt)),
     "Aggregation"-> (p => AggregationProcessor(
                        p.getOrElse("methods", "mean,std").split(",").toSeq)),
     "FIRFilter"  -> (p => FIRFilter(p("type"), p("f").toDouble,

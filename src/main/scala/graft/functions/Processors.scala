@@ -29,7 +29,7 @@ object ArrayOps {
 final case class Scaler(scaleType: String, depth: Int = 1) extends Processor {
   def name = "Scaler"
   override def outputDepth = depth
-  override def params = Map("type" -> scaleType)
+  override def params = Map("type" -> scaleType, "depth" -> depth.toString)
   private def fwd(x: Column): Column = scaleType match {
     case "uint16"   => x / math.pow(2, 16)
     case "int16"    => x / (math.pow(2, 15) - 1)
@@ -51,7 +51,7 @@ final case class Scaler(scaleType: String, depth: Int = 1) extends Processor {
 final case class Logarithm(logType: String = "base10", depth: Int = 1) extends Processor {
   def name = "Logarithm"
   override def outputDepth = depth
-  override def params = Map("type" -> logType)
+  override def params = Map("type" -> logType, "depth" -> depth.toString)
   private def fwd(x: Column): Column = logType match {
     case "base10"  => lit(20) * log10(x)
     case "natural" => log(x)
@@ -71,6 +71,7 @@ final case class Logarithm(logType: String = "base10", depth: Int = 1) extends P
 final case class ExpandDims(depth: Int = 1) extends Processor {
   def name = "ExpandDims"
   override def outputDepth = depth + 1
+  override def params = Map("depth" -> depth.toString)
   def apply(data: Column, info: Column) =
     (ArrayOps.mapAtDepth(data, depth, x => array(x)), info)
 }
@@ -135,7 +136,7 @@ final case class Framing(windowSize: Double, stepSize: Double,
 final case class WindowingProcessor(windowFunc: String = "hamming",
     depth: Int = 1) extends Processor {
   def name = "Windowing"
-  override def params = Map("window_func" -> windowFunc)
+  override def params = Map("window_func" -> windowFunc, "depth" -> depth.toString)
   def apply(data: Column, info: Column): (Column, Column) = {
     def winApply(arr: Column): Column = {
       val n = size(arr)
@@ -164,7 +165,8 @@ final case class FFTProcessor(format: String = "magnitude",
     depth: Int = 2) extends Processor {
   def name = "FFT"
   override def outputDepth = depth
-  override def params = Map("format" -> format, "nfft" -> nfftMode)
+  override def params = Map("format" -> format, "nfft" -> nfftMode,
+    "dc_reset" -> dcReset.toString, "depth" -> depth.toString)
 
   private def kernel(x: Seq[Double]): Seq[Double] = {
     val arr = x.toArray
@@ -213,7 +215,10 @@ final case class Filterbank(nBands: Int, scale: String = "mel",
     depth: Int = 2) extends Processor {
   def name = "Filterbank"
   override def outputDepth = depth
-  override def params = Map("n_bands" -> nBands.toString, "scale" -> scale)
+  override def params = Map("n_bands" -> nBands.toString, "scale" -> scale,
+    "fs" -> fs.toString, "nfft" -> nfft.toString, "fmin" -> fmin.toString,
+    "fmax" -> fmax.toString, "depth" -> depth.toString) ++
+    norm.map("norm" -> _)
   private val fbank = Dsp.filterbank(nBands, nfft, fs, scale, fmin, fmax, norm)
   private val u1 = udf((x: Seq[Double]) => Dsp.applyFilterbank(x.toArray, fbank).toSeq)
   private val u2 = udf((frames: Seq[Seq[Double]]) =>
@@ -258,7 +263,9 @@ final case class Normalizer(normType: String = "standard",
     stats: Option[(Double, Double)] = None, depth: Int = 1) extends Processor {
   def name = "Normalizer"
   override def outputDepth = depth
-  override def params = Map("type" -> normType) ++
+  override def params = Map("type" -> normType,
+    "feature_range" -> s"${featureRange._1},${featureRange._2}",
+    "depth" -> depth.toString) ++
     stats.map { case (a, b) => "stats" -> s"$a,$b" }
   override def needsFit = true
 
@@ -308,7 +315,9 @@ final case class FIRFilter(filterType: String, f: Double, taps: Int = 101,
     fs: Double = 16000, window: String = "hamming", f2: Double = Double.NaN)
     extends Processor {
   def name = "FIRFilter"
-  override def params = Map("type" -> filterType, "f" -> f.toString, "taps" -> taps.toString)
+  override def params = Map("type" -> filterType, "f" -> f.toString,
+    "taps" -> taps.toString, "fs" -> fs.toString, "window" -> window,
+    "f2" -> f2.toString)
   private val coeffs: Array[Double] = filterType match {
     case "lowpass"  => Dsp.firwin(taps, Array(f), fs, passZero = true, window)
     case "highpass" => Dsp.firwin(taps, Array(f), fs, passZero = false, window)
@@ -325,7 +334,7 @@ final case class FIRFilter(filterType: String, f: Double, taps: Int = 101,
   */
 final case class Resample(targetFs: Int, srcFs: Int = 16000) extends Processor {
   def name = "Resample"
-  override def params = Map("target_fs" -> targetFs.toString)
+  override def params = Map("target_fs" -> targetFs.toString, "src_fs" -> srcFs.toString)
   private val tf = targetFs
   private val sf = srcFs
   private val u = udf((x: Seq[Double]) => {

@@ -59,7 +59,13 @@ object Dedup {
     */
   private[operators] def capBuckets(df: DataFrame, maxBucket: Int,
       keys: String*): DataFrame = {
-    val mat = df.localCheckpoint()
+    // Lazy checkpoint: materializes on the FIRST action that touches the
+    // result (building the candidate DataFrame stays free), after which the
+    // two consumers (blacklist agg + anti-join) share the one materialized
+    // copy. The checkpoint blocks live until the returned plan is GC'd,
+    // when the ContextCleaner drops them — callers composing many pipelines
+    // in one session should release references between runs.
+    val mat = df.localCheckpoint(eager = false)
     val hot = mat.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") > maxBucket)

@@ -175,6 +175,10 @@ object WavCodec {
       while ((dataOff < 0 || fmt == null) && pos + 8 <= fileLen) {
         val ch = readAt(pos, 8)
         val id = le32(ch, 0); val sz = le32(ch, 4)
+        // sz is unvalidated little-endian from disk: a corrupt/truncated
+        // file can yield a negative size, which would stall the walk
+        // (pos += 8 + (-8) = pos) or seek backwards. Fail like a bad header.
+        require(sz >= 0, s"not a wav file: negative chunk size $sz at offset $pos")
         if (id == 0x20746d66) fmt = readAt(pos + 8, math.min(sz, 16)) // "fmt "
         else if (id == 0x61746164) { // "data"
           dataOff = pos + 8
@@ -185,7 +189,10 @@ object WavCodec {
       require(fmt != null && dataOff >= 0, "wav: missing fmt/data chunk")
       val fmtCode = le16(fmt, 0); val channels = le16(fmt, 2)
       val fsr = le32(fmt, 4); val bits = le16(fmt, 14)
+      require(bits > 0 && channels > 0,
+        s"not a wav file: fmt declares bits=$bits channels=$channels")
       val frameBytes = (bits / 8) * channels
+      require(frameBytes > 0, s"not a wav file: zero frame size (bits=$bits)")
       val totalFrames = (dataLen / frameBytes).toInt
       val a = math.max(0, startFrame); val b = math.min(totalFrames, stopFrame)
       val n = math.max(0, b - a)

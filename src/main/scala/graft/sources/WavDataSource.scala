@@ -70,7 +70,10 @@ object WavDataSource {
     while (it.hasNext) {
       val f = it.next()
       if (f.isFile && f.getPath.getName.endsWith(s".$ext"))
-        out += f.getPath.toUri.getPath
+        // Full qualified URI (scheme + authority): executors re-resolve the
+        // string against a fresh Configuration, so a bare path would silently
+        // rebind hdfs://… or s3a://… files to the default filesystem.
+        out += f.getPath.toString
     }
     out.result().sorted
   }

@@ -120,7 +120,7 @@ object Yaml {
         val rest = txt.drop(ci + 1).trim
         i += 1
         val value =
-          if (rest.nonEmpty) flowValue(rest)
+          if (rest.nonEmpty) blockAnchorOr(rest, indent)
           else if (i < lines.length && lines(i)._1 > indent) parseNode(lines(i)._1)
           else JNull
         fields += key -> value
@@ -143,6 +143,26 @@ object Yaml {
         } else { i += 1; items += flowValue(rest) }
       }
       JArray(items.result())
+    }
+
+    /** Inline map value that may be a bare `&name` anchoring a BLOCK value
+      * (the common YAML defaults pattern: `key: &a` followed by an indented
+      * map). flowValue alone would bind the anchor to an empty scalar and
+      * parseMap's indent check would silently drop the block lines; here the
+      * following indented node is parsed and bound to the anchor instead.
+      * Any other inline rest (including `&name <inline scalar/list>`) goes
+      * through flowValue unchanged.
+      */
+    private def blockAnchorOr(rest: String, indent: Int): JValue = {
+      if (rest.startsWith("&") &&
+          rest.drop(1).forall(c => !c.isWhitespace) && rest.length > 1) {
+        val name = rest.drop(1)
+        val v =
+          if (i < lines.length && lines(i)._1 > indent) parseNode(lines(i)._1)
+          else JNull
+        anchors(name) = v
+        v
+      } else flowValue(rest)
     }
 
     /** `key:` separator — first ':' at flow depth 0 outside quotes that

@@ -188,6 +188,35 @@ class ProcessorsSpec extends SparkSpec {
     assert(Chain.registry("ExpandDims")(Map("depth" -> "2")).name == "ExpandDims")
   }
 
+  test("every registry processor round-trips through params with nothing reset to defaults") {
+    // Non-default values everywhere, so a dropped param can't hide behind a
+    // matching default (the ADVICE round-3 regression: Chain.toJson →
+    // fromJson silently rebuilding e.g. Resample(48000) with srcFs=16000).
+    val samples: Seq[Processor] = Seq(
+      Scaler("int16", depth = 2),
+      Logarithm("natural", depth = 2),
+      ExpandDims(depth = 3),
+      DummyProcessor(),
+      Framing(0.2, 0.05, "hann"),
+      WindowingProcessor("hann", depth = 2),
+      FFTProcessor("split", "original", dcReset = true, depth = 1),
+      Filterbank(40, "linear", fs = 48000, nfft = 1024, fmin = 50.0,
+        fmax = 8000.0, norm = Some("slaney"), depth = 1),
+      Normalizer("minmax", featureRange = (-1.0, 1.0),
+        stats = Some((2.5, 7.5)), depth = 2),
+      AggregationProcessor(Seq("mean", "kurtosis")),
+      FIRFilter("bandpass", 500.0, taps = 51, fs = 8000.0, window = "hann", f2 = 1500.0),
+      Resample(16000, srcFs = 48000))
+    for (p <- samples) {
+      val rebuilt = Chain.makeProcessor(p.name, p.params)
+      assert(rebuilt == p, s"${p.name}: $rebuilt != $p")
+    }
+    // f2=NaN defeats case-class == (NaN != NaN); identity via params instead
+    val lp = FIRFilter("lowpass", 1000.0, taps = 31, fs = 44100.0, window = "hamming")
+    val lpR = Chain.makeProcessor(lp.name, lp.params)
+    assert(lpR.params == lp.params && lpR.name == lp.name)
+  }
+
   test("Framing: signal shorter than one frame yields zero frames, not garbage") {
     // 10 samples, frame = 0.25s @ fs=100 = 25 samples → 0 frames; the
     // reference asserts here (processors.py:242), the engine returns empty

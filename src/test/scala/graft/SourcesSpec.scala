@@ -352,6 +352,27 @@ class SourcesSpec extends SparkSpec {
     assert((cfg \ "missing").extract[String] == ".not.there")
   }
 
+  test("yaml: anchor on a block value binds the indented map, not an empty scalar") {
+    // the common defaults pattern: `key: &a` + indented block; the parser
+    // must parse the block AND make it available through the alias
+    val yaml =
+      """common: &proc
+        |  name: FFT
+        |  params:
+        |    nfft: 512
+        |    format: magnitude
+        |chain1: *proc
+        |inline_anchor: &num 42
+        |inline_alias: *num
+        |""".stripMargin
+    val cfg = graft.sources.Yaml.parse(yaml)
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    assert((cfg \ "common" \ "params" \ "nfft").extract[Int] == 512)
+    assert((cfg \ "chain1" \ "name").extract[String] == "FFT")
+    assert((cfg \ "chain1" \ "params" \ "format").extract[String] == "magnitude")
+    assert((cfg \ "inline_alias").extract[Int] == 42)
+  }
+
   test("yaml: dirs→db kwargs injection resolves cross-config paths (DCASE2020Task1A.yaml)") {
     // verbatim examples/DCASE2020Task1/configs/dirs/local.yaml (EXAMPLE rows)
     val dirsYaml =
