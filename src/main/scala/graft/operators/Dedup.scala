@@ -181,11 +181,18 @@ object Dedup {
 
   /** Cluster near-duplicate candidate pairs into groups and pick a
     * canonical survivor per group: connected components over the pair
-    * edges by min-label propagation *with pointer-doubling shortcutting*
-    * (each round every node takes the min label of its neighbors, then
-    * follows its label's own label) — chains collapse geometrically, so
-    * convergence is O(log(diameter)) rounds, each one join + one agg +
-    * one self-join on the (small) label table.
+    * edges, labels = component-minimum ids. Two physical paths, same
+    * result:
+    *
+    *  - edge sets up to `driverMaxEdges` (the common case — LSH exists to
+    *    make candidates ≪ corpus) collect to the driver and solve in one
+    *    union-find pass: a single action, no iteration;
+    *  - larger graphs run distributed min-label propagation *with
+    *    pointer-doubling shortcutting* (each round every node takes the
+    *    min label of its neighbors, then follows its label's own label) —
+    *    chains collapse geometrically, so convergence is O(log(diameter))
+    *    rounds, each one join + one agg + one self-join on the (small)
+    *    label table.
     *
     * Every round materializes through `localCheckpoint()` so lineage stays
     * flat across iterations (no re-execution stack at scale), and the
@@ -196,7 +203,61 @@ object Dedup {
     * cluster_id = min doc id reachable through the pair graph; rows not
     * in any pair are absent (they are their own cluster).
     */
-  def clusterPairs(pairs: DataFrame, maxIterations: Int = 15): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxIterations: Int = 15,
+      driverMaxEdges: Int = 1000000): DataFrame = {
+    // Fit-then-broadcast fast path: after LSH the candidate edge set is
+    // normally tiny next to the corpus (it is the point of LSH), so below
+    // `driverMaxEdges` edges connected components solve on the driver in
+    // one union-find pass — one action, zero per-round stage barriers —
+    // the same driver-scale discipline as Normalizer.fit / IVF centroids.
+    // The size probe is limit(N+1).collect: if it comes back short we
+    // already hold every edge (no separate count, no plan re-execution —
+    // the signature table upstream is checkpointed). Corpora whose
+    // near-dup graph exceeds the threshold take the distributed loop
+    // below unchanged.
+    val idType = pairs.schema("id_a").dataType
+    val isIntegral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    if (isIntegral) {
+      val probe = pairs
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .limit(driverMaxEdges + 1)
+        .collect()
+      if (probe.length <= driverMaxEdges) {
+        // union-find, roots kept at the component minimum: attach the
+        // larger root under the smaller, halve paths on find
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) {
+            val gp = parent.getOrDefault(p, p)
+            parent.put(x, gp) // path halving
+            x = gp
+            p = parent.getOrDefault(x, x)
+          }
+          x
+        }
+        probe.foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val ids = {
+          val s = new java.util.TreeSet[java.lang.Long]()
+          probe.foreach { r => s.add(r.getLong(0)); s.add(r.getLong(1)) }
+          s
+        }
+        val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](ids.size)
+        ids.forEach(id => rows += ((id, find(id))))
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        return rows.toSeq.toDF("id", "cluster_id")
+          .select(col("id").cast(idType), col("cluster_id").cast(idType))
+      }
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint() // reused by every round — materialize once

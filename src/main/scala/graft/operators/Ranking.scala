@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *      bucket id;
   *   2. rank locally per bucket — parallel windows after one ordinary
   *      hash shuffle on the bucket id;
-  *   3. offset by cumulative bucket counts — a tiny aggregate (≤ B rows)
-  *      windowed on the driver-scale side and broadcast-joined back.
+  *   3. offset by cumulative bucket counts — a tiny aggregate (≤ B rows
+  *      by construction) collected, prefix-summed on the driver, and
+  *      broadcast-joined back.
   *
   * Correctness never depends on the quantile sketch: any monotone
   * bucketing gives exact ranks (the cut points only balance bucket
@@ -28,6 +29,28 @@ import org.apache.spark.sql.functions._
   * #rows≤x = n_bucket − rank_desc(x) + 1).
   */
 object Ranking {
+
+  /** Monotone range-bucket id for `lead` (numeric): cut points from an
+    * approx-quantile sketch over a 2% sample (like Spark's own range
+    * partitioner). Correctness of two-phase global operators built on it
+    * never depends on the sketch — any monotone bucketing is exact; the
+    * cuts only balance bucket sizes — and an empty sample (tiny input)
+    * degrades to one bucket, still correct. Shared by [[withGlobalRanks]]
+    * and [[Packing.withRunningTotal]].
+    */
+  private[operators] def rangeBucketCol(df: DataFrame, lead: String,
+      numBuckets: Int): Column = {
+    val cuts = (try {
+      df.select(col(lead).cast("double").as("_v"))
+        .sample(withReplacement = false, 0.02, seed = 7)
+        .stat.approxQuantile("_v",
+          (1 until numBuckets).map(_.toDouble / numBuckets).toArray, 0.01)
+    } catch { case _: Throwable => Array.empty[Double] }) // empty sample → 1 bucket
+      .distinct.sorted
+    cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(lead).cast("double") > c, 1).otherwise(0)
+    }
+  }
 
   /** Append `prCol` (percent_rank) and `cdCol` (cume_dist) computed over
     * the global ordering `sortCols` (ascending, left-to-right). The
@@ -43,30 +66,25 @@ object Ranking {
       prCol: String = "pr", cdCol: String = "cd",
       numBuckets: Int = 32, tieFree: Boolean = false): DataFrame = {
     require(sortCols.nonEmpty, "withGlobalRanks needs at least one sort column")
-    val lead = sortCols.head
-    // Cut points from a 2% sample (like Spark's own range partitioner):
-    // boundaries only balance bucket sizes — any monotone bucketing is
-    // exact — so a sketch over a sample is enough, and a sample that
-    // comes back empty (tiny input) degrades to one bucket, still correct.
-    val cuts = (try {
-      df.select(col(lead).cast("double").as("_v"))
-        .sample(withReplacement = false, 0.02, seed = 7)
-        .stat.approxQuantile("_v",
-          (1 until numBuckets).map(_.toDouble / numBuckets).toArray, 0.01)
-    } catch { case _: Throwable => Array.empty[Double] }) // empty sample → 1 bucket
-      .distinct.sorted
-    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(col(lead).cast("double") > c, 1).otherwise(0)
-    }
-    val b = df.withColumn("_b", bucket)
-    val counts = b.groupBy("_b").agg(count(lit(1)).as("_cnt"))
-    val offW = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    val totW = Window.orderBy("_b")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsets = counts
-      .withColumn("_off", coalesce(sum("_cnt").over(offW), lit(0L)))
-      .withColumn("_n", sum("_cnt").over(totW))
-      .select("_b", "_off", "_n", "_cnt")
+    val b = df.withColumn("_b", rangeBucketCol(df, sortCols.head, numBuckets))
+    // Cumulative offsets on the driver: the per-bucket count table is
+    // ≤ numBuckets rows BY CONSTRUCTION (driver-scale regardless of input
+    // size), so collecting it is the fit-then-broadcast shape — no window
+    // at all, one fewer shuffle, and no partition-less WindowExec anywhere
+    // in the plan (the previous formulation windowed the tiny counts table,
+    // which was harmless but tripped Spark's single-partition warning on
+    // every run).
+    val cnt = b.groupBy("_b").agg(count(lit(1)).as("_cnt"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val n = cnt.map(_._2).sum
+    val offRows = cnt.scanLeft((0, 0L, 0L)) { case ((_, off, c0), (bid, c)) =>
+      (bid, off + c0, c)
+    }.drop(1).map { case (bid, off, c) => (bid, off, n, c) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = offRows.toSeq.toDF("_b", "_off", "_n", "_cnt")
     val asc = Window.partitionBy("_b").orderBy(sortCols.map(col): _*)
     val desc = Window.partitionBy("_b").orderBy(sortCols.map(c => col(c).desc): _*)
     val ranked = b.join(broadcast(offsets), Seq("_b"))
