@@ -618,8 +618,32 @@ object Oracles {
       |FROM (SELECT unnest(ng) AS g FROM ngrams)
       |GROUP BY g ORDER BY cnt DESC, gram LIMIT 100""".stripMargin
 
+  /** q79: `Packing.packSequences` — the DuckDB replay is the naive global
+    * window (fine on oracle-scale data); the engine computes the same
+    * prefix sums two-phase without a partition-less window. All layout
+    * arithmetic is integral, so the comparison is bit-exact.
+    */
+  def q79PackSequences: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |      w -> length(w) > 0)) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM t)
+      |SELECT doc_id, n_tokens, cum_before,
+      |  cum_before // 2048 AS seq_start,
+      |  (cum_before + GREATEST(n_tokens, 1) - 1) // 2048 AS seq_end,
+      |  cum_before % 2048 AS offset_in_seq
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** Map of generated oracles, merged into [[SparkEntry.oracleSql]]. */
   def generated: Map[String, String] = Map(
+    "q79_pack_sequences" -> q79PackSequences,
     "q77_dedup_segments" -> q77DedupSegments,
     "q78_top_ngrams" -> q78TopNgrams,
     "q74_pii_redaction" -> q74PiiRedaction,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.DabDataset
 import graft.functions.{AggregationProcessor, Chain, FFTProcessor, Framing, Processor}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, Xval}
+import graft.operators.{Dedup, Multimodal, Packing, Similarity, TextAnalysis, Xval}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -835,6 +835,12 @@ object SparkEntry {
     // ---- north star: top-k n-gram vocabulary (boilerplate mining) ----
     "q78_top_ngrams" -> ((s, dir) => {
       TextAnalysis.topNgrams(documents(s, dir), n = 2, k = 100)
+    }),
+
+    // ---- north star: sequence packing (concat-and-chunk layout) ----
+    "q79_pack_sequences" -> ((s, dir) => {
+      Packing.packSequences(documents(s, dir), budget = 2048)
+        .orderBy("doc_id")
     }),
 
     // ---- north star: duplicate-ngram repetition filter (Gopher-style) ----

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining: lay the corpus out as one long
+  * token stream in a deterministic document order and chunk it into
+  * fixed-budget training sequences (the "concatenate and chunk" scheme of
+  * GPT-style pretraining). Each document maps to a span
+  * [seq_start, seq_end] of sequence ids plus its offset inside the first
+  * one — exactly what a downstream batch writer needs to emit packed
+  * examples without ever materializing the concatenation.
+  *
+  * The primitive underneath is an EXACT global prefix sum over a total
+  * ordering — the classic scale trap (a partition-less
+  * `sum().over(Window.orderBy(...))` funnels the whole table through one
+  * task). [[withRunningTotal]] is the two-phase scale-safe form, sharing
+  * its monotone range-bucketing with [[Ranking.withGlobalRanks]]:
+  * bucket map-side → per-bucket windows after one hash shuffle → tiny
+  * per-bucket totals collected, prefix-summed on the driver (≤ numBuckets
+  * rows by construction), broadcast back. No partition-less window
+  * anywhere in the plan.
+  */
+object Packing {
+
+  /** Append `outCol` = running total of `valueCol` (inclusive of the
+    * current row) over the global ordering `sortCols`. Values are summed
+    * as BIGINT — exact — so `valueCol` must be integral (token counts,
+    * byte sizes, row weights). The leading sort column must be numeric
+    * (it is range-bucketed; the cast to double is monotone so bucket
+    * assignment is order-consistent); ties must be broken by the
+    * remaining sort columns for a deterministic result.
+    */
+  def withRunningTotal(df: DataFrame, sortCols: Seq[String], valueCol: String,
+      outCol: String = "running", numBuckets: Int = 32): DataFrame = {
+    require(sortCols.nonEmpty, "withRunningTotal needs at least one sort column")
+    val b = df.withColumn("_b", Ranking.rangeBucketCol(df, sortCols.head, numBuckets))
+    // per-bucket totals: ≤ numBuckets rows by construction — collect,
+    // prefix-sum on the driver, broadcast back (same fit-then-broadcast
+    // shape as Ranking's offsets; no window over the counts table)
+    val perBucket = b.groupBy("_b")
+      .agg(sum(col(valueCol).cast("long")).as("_s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offRows = perBucket.scanLeft((0, 0L, 0L)) { case ((_, off, s0), (bid, s)) =>
+      (bid, off + s0, s)
+    }.drop(1).map { case (bid, off, _) => (bid, off) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = offRows.toSeq.toDF("_b", "_boff")
+    val w = Window.partitionBy("_b").orderBy(sortCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(offsets), Seq("_b"))
+      .withColumn(outCol, col("_boff") + sum(col(valueCol).cast("long")).over(w))
+      .drop("_b", "_boff")
+  }
+
+  /** Pack documents into fixed-`budget` token sequences in `idCol` order.
+    * Output per document: (`idCol`, n_tokens, cum_before, seq_start,
+    * seq_end, offset_in_seq) where cum_before is the exclusive prefix sum
+    * of token counts, seq_start/seq_end the first/last sequence id the
+    * document's tokens land in (empty documents occupy a zero-width slot
+    * in their current sequence), and offset_in_seq its starting position
+    * inside seq_start. Token counts are whitespace tokens
+    * ([[TextAnalysis.tokenCountWs]]); pass a different `tokenCol`
+    * expression for model-specific counting.
+    *
+    * All arithmetic is integral (DIV / %), so the layout is bit-exact on
+    * any engine and any cluster size.
+    */
+  def packSequences(docs: DataFrame, budget: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val withTok = docs.select(col(idCol),
+      TextAnalysis.tokenCountWs(col(textCol)).cast("long").as("n_tokens"))
+    withRunningTotal(withTok, Seq(idCol), "n_tokens", outCol = "_run")
+      .withColumn("cum_before", col("_run") - col("n_tokens"))
+      .withColumn("seq_start", expr(s"cum_before DIV $budget"))
+      .withColumn("seq_end",
+        expr(s"(cum_before + greatest(n_tokens, 1L) - 1L) DIV $budget"))
+      .withColumn("offset_in_seq", col("cum_before") % budget)
+      .select(col(idCol), col("n_tokens"), col("cum_before"),
+        col("seq_start"), col("seq_end"), col("offset_in_seq"))
+  }
+}

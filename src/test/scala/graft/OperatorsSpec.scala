@@ -175,9 +175,28 @@ class OperatorsSpec extends SparkSpec {
 
   test("clusterPairs: long chains converge via shortcutting within default rounds") {
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val c = Dedup.clusterPairs(chain).collect()
+    // driverMaxEdges = 0 forces the distributed min-label loop
+    val c = Dedup.clusterPairs(chain, driverMaxEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(c.size == 41 && c.values.forall(_ == 0L)) // 2^15 ≫ 41-node diameter
+  }
+
+  test("clusterPairs: driver union-find path equals the distributed loop") {
+    // chains, a star, a clique, reversed edges, duplicates — both paths
+    // must produce identical component-min labels
+    val edges = Seq(
+      (5L, 3L), (3L, 1L), (2L, 3L),            // star-ish with a non-min hub
+      (10L, 11L), (11L, 12L), (12L, 13L),      // chain
+      (20L, 21L), (21L, 22L), (20L, 22L),      // clique
+      (31L, 30L), (31L, 30L))                  // reversed + duplicate
+      .toDF("id_a", "id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = asMap(Dedup.clusterPairs(edges))
+    val dist = asMap(Dedup.clusterPairs(edges, driverMaxEdges = 0))
+    assert(fast == dist)
+    assert(fast(5L) == 1L && fast(2L) == 1L && fast(13L) == 10L &&
+      fast(22L) == 20L && fast(31L) == 30L)
   }
 
   test("ANN join paths score through the native codegen'd cosine expression") {
@@ -493,6 +512,42 @@ class OperatorsSpec extends SparkSpec {
     // and the naive formulation is correctly detected as the anti-pattern
     val w = org.apache.spark.sql.expressions.Window.orderBy($"v", $"k")
     assert(hasUnpartitionedDataWindow(df.select(percent_rank().over(w).as("pr"))))
+  }
+
+  test("running total matches the naive global window; plan stays partitioned") {
+    val df = (1 to 500).map(i => (i.toLong, (i * 13 % 97).toLong)).toDF("k", "v")
+    val got = Packing.withRunningTotal(df, Seq("k"), "v", outCol = "rt")
+      .select("k", "rt").as[(Long, Long)].collect().sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = df.select($"k", sum($"v").over(w).as("rt"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == naive.toSeq)
+    assert(!hasUnpartitionedDataWindow(Packing.withRunningTotal(df, Seq("k"), "v")))
+  }
+
+  test("packSequences: spans partition the token stream; empty docs zero-width") {
+    // budget 10; docs: 4, 0, 13, 10, 3 tokens
+    val docs = Seq(
+      (1L, "a b c d"),            // cb=0  → seq 0..0, off 0
+      (2L, "   "),                // cb=4  → empty: seq 0..0, off 4
+      (3L, (1 to 13).map(i => s"t$i").mkString(" ")), // cb=4 → seqs 0..1, off 4
+      (4L, (1 to 10).map(i => s"u$i").mkString(" ")), // cb=17 → seqs 1..2, off 7
+      (5L, "x y z"))              // cb=27 → seq 2..2, off 7
+      .toDF("doc_id", "text")
+    val got = Packing.packSequences(docs, budget = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "cum_before", "seq_start", "seq_end", "offset_in_seq")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 0L, 0L, 0L, 0L),
+      (2L, 0L, 4L, 0L, 0L, 4L),
+      (3L, 13L, 4L, 0L, 1L, 4L),
+      (4L, 10L, 17L, 1L, 2L, 7L),
+      (5L, 3L, 27L, 2L, 2L, 7L)))
+    // invariant: consecutive docs tile the stream (cum_before is exact)
+    val cb = got.map(_._3); val nt = got.map(_._2)
+    assert(cb.zip(nt).map { case (c, n) => c + n }.dropRight(1) == cb.drop(1))
   }
 
   test("groupRandomKfold: balanced folds, members follow their group (xval.py:27-43)") {
