@@ -641,8 +641,81 @@ object Oracles {
       |  cum_before % 2048 AS offset_in_seq
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** q80: `TextAnalysis.scoreLinear` — the q67 tokenizer/FNV/bucket replay
+    * joined against the splitmix64 stand-in weight table
+    * (`Hashing.qualityWeights`: w(b) = unsigned(splitmix64(42+b)) % 2001
+    * − 1000). Score sum is BIGINT (exact); the normalized score is one
+    * BIGINT/BIGINT IEEE division — identical on both engines.
+    */
+  def q80QualityFilter: String = {
+    val step = mulmod("xor(h, c)", FnvPrime)
+    val smx = staged(
+      "SELECT b, (42 + b)::HUGEINT AS z FROM (SELECT unnest(range(0, 1024)) AS b)",
+      splitmixStages("z"))
+    s"""WITH
+       |  toks AS (SELECT doc_id,
+       |             unnest(regexp_extract_all(lower(text), '[a-z0-9][a-z0-9'']*')) AS tok
+       |           FROM documents),
+       |  th AS (SELECT doc_id, list_reduce(
+       |           list_concat([$FnvBasis::HUGEINT],
+       |             list_transform(split(tok, ''), ch -> ascii(ch)::HUGEINT)),
+       |           (h, c) -> $step) AS h FROM toks),
+       |  bkt AS (SELECT doc_id, ((${signed("h")} % 1024) + 1024) % 1024 AS bucket FROM th),
+       |  wts AS (SELECT b, (_sm % 2001 - 1000)::BIGINT AS w FROM ($smx)),
+       |  sc AS (SELECT doc_id, SUM(w)::BIGINT AS score_raw,
+       |           COUNT(*)::BIGINT AS n_toks
+       |         FROM bkt JOIN wts ON bucket = b GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(sc.score_raw, 0)::BIGINT AS score_raw,
+       |  COALESCE(sc.n_toks, 0)::BIGINT AS n_toks,
+       |  (COALESCE(sc.score_raw, 0)::DOUBLE / GREATEST(COALESCE(sc.n_toks, 0), 1)) AS score,
+       |  ((COALESCE(sc.score_raw, 0)::DOUBLE / GREATEST(COALESCE(sc.n_toks, 0), 1)) >= 0) AS keep
+       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** q81: `Embeddings.withInt8Quantized` + `l2Norm` — norm is the same
+    * seeded sequential double fold as the cosine replays (bit-exact);
+    * max-abs and the scale division are order-independent IEEE ops;
+    * quantized values are integers serialized to CSV.
+    */
+  def q81EmbedQuantize: String = {
+    val sq = foldSum(
+      "list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt($sq) AS l2norm,
+       |    COALESCE(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) AS maxabs
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, len(embedding)::BIGINT AS n_dims, l2norm,
+       |    CASE WHEN maxabs = 0.0 THEN 1.0 ELSE 127.0 / maxabs END AS scale,
+       |    embedding
+       |  FROM base)
+       |SELECT vec_id, n_dims, l2norm, scale,
+       |  array_to_string(list_transform(embedding,
+       |    x -> CAST(CAST(floor(x::DOUBLE * scale + 0.5) AS BIGINT) AS VARCHAR)), ',') AS q_csv
+       |FROM s ORDER BY vec_id""".stripMargin
+  }
+
+  /** q82: `EventStreams.clickPurchaseJoin` — the streaming interval join
+    * replayed as a batch join on epoch-µs longs (inner stream-stream
+    * joins emit every match, so the streamed result equals the batch
+    * join; timestamps compare at µs like every other events oracle).
+    */
+  def q82StreamIntervalJoin: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND epoch_us(c.ts) >= epoch_us(p.ts)
+      | AND epoch_us(c.ts) <= epoch_us(p.ts) + 7200000000
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   /** Map of generated oracles, merged into [[SparkEntry.oracleSql]]. */
   def generated: Map[String, String] = Map(
+    "q82_stream_interval_join" -> q82StreamIntervalJoin,
+    "q81_embed_quantize" -> q81EmbedQuantize,
+    "q80_quality_filter" -> q80QualityFilter,
     "q79_pack_sequences" -> q79PackSequences,
     "q77_dedup_segments" -> q77DedupSegments,
     "q78_top_ngrams" -> q78TopNgrams,

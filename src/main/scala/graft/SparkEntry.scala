@@ -843,6 +843,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- north star: model-based quality filtering (linear apply) ----
+    "q80_quality_filter" -> ((s, dir) => {
+      TextAnalysis.scoreLinear(documents(s, dir), dim = 1024, seed = 42L)
+        .orderBy("doc_id")
+    }),
+
+    // ---- north star: embedding L2 norm + int8 quantization ----
+    "q81_embed_quantize" -> ((s, dir) => {
+      graft.operators.Embeddings.withInt8Quantized(embeddings(s, dir))
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          graft.operators.Embeddings.l2Norm(col("embedding")).as("l2norm"),
+          col("scale"),
+          // CSV-serialized ints: exact, and sortable by the driver compare
+          array_join(transform(col("q"), v => v.cast("string")), ",").as("q_csv"))
+        .orderBy("vec_id")
+    }),
+
     // ---- north star: duplicate-ngram repetition filter (Gopher-style) ----
     "q71_repetition" -> ((s, dir) => {
       val ng = TextAnalysis.wordNgrams(col("text"), 3)
@@ -908,6 +926,16 @@ object SparkEntry {
     }),
 
     // ---- §2.9 structured streaming (AvailableNow over parquet) ----
+    // ---- §2.9 stream-stream interval join (real Append-mode stream) ----
+    "q82_stream_interval_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      EventStreams.runOnceOnParquet(s, s"$dir/events.parquet",
+          df => EventStreams.clickPurchaseJoin(Tables.normalizeTs(df)),
+          s"stream_join_sink_${System.nanoTime()}",
+          mode = org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
     "q42_stream_tumbling" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       EventStreams.runOnceOnParquet(s, s"$dir/events.parquet",

@@ -102,6 +102,47 @@ object Hashing {
     key
   }
 
+  /** Deterministic stand-in weight vector for the linear quality scorer:
+    * w(b) = unsigned(splitmix64(seed + b)) mod 2001 − 1000 ∈ [−1000, 1000].
+    * Integer weights keep the dot product exact on any engine; a trained
+    * model's coefficients would be loaded here instead — the scoring path
+    * ([[linearScore]]) is identical either way.
+    */
+  def qualityWeights(dim: Int, seed: Long): Array[Long] =
+    Array.tabulate(dim)(b =>
+      java.lang.Long.remainderUnsigned(splitmix(seed + b), 2001L) - 1000L)
+
+  /** Linear classifier apply, one text pass: tokenize exactly like
+    * `TextAnalysis.hashingTf` (letter/digit start, apostrophe
+    * continuation, FNV-1a over the lowered chars, signed-mod bucket) and
+    * sum the bucket weights. Returns (score_raw, n_toks) — both exact
+    * integers.
+    */
+  def linearScore(text: String, weights: Array[Long]): (Long, Long) = {
+    val dim = weights.length
+    var score = 0L
+    var n = 0L
+    if (text != null) {
+      val lower = text.toLowerCase
+      var i = 0
+      val len = lower.length
+      while (i < len) {
+        while (i < len && !Character.isLetterOrDigit(lower.charAt(i))) i += 1
+        if (i < len) {
+          var h = 0xcbf29ce484222325L
+          while (i < len && (Character.isLetterOrDigit(lower.charAt(i)) ||
+              lower.charAt(i) == '\'')) {
+            h ^= lower.charAt(i); h *= 0x100000001b3L; i += 1
+          }
+          val b = ((h % dim) + dim) % dim
+          score += weights(b.toInt)
+          n += 1L
+        }
+      }
+    }
+    (score, n)
+  }
+
   /** Exact cosine similarity, one fused pass. */
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0

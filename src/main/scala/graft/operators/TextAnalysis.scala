@@ -226,6 +226,36 @@ object TextAnalysis {
       .drop("_tf")
   }
 
+  /** Model-based quality filtering (the fasttext-style classifier pass of
+    * public LLM-data pipelines, e.g. the CCNet/GPT-3 quality filters):
+    * score = Σ_tokens w(bucket(token)) with the weight vector broadcast
+    * to executors and applied in one map-side text pass — at 100 TB this
+    * runs at scan speed with zero shuffle. Buckets reuse the
+    * [[hashingTf]] tokenizer/hash; weights are integral so the raw score
+    * is exact on any engine.
+    *
+    * The default weights are a DETERMINISTIC STAND-IN
+    * ([[graft.functions.Hashing.qualityWeights]] — splitmix64 of the
+    * bucket id; no trained model ships in this offline build). Pass real
+    * trained coefficients via `weights` — the scoring path is identical.
+    *
+    * Output: (idCol, score_raw, n_toks, score = raw/max(n,1), keep).
+    */
+  def scoreLinear(docs: DataFrame, dim: Int = 1024, seed: Long = 42L,
+      weights: Option[Array[Long]] = None, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = weights.getOrElse(graft.functions.Hashing.qualityWeights(dim, seed))
+    require(w.length == dim, s"weight vector length ${w.length} != dim $dim")
+    val u = udf((t: String) => graft.functions.Hashing.linearScore(t, w))
+    docs
+      .select(col(idCol), u(col(textCol)).as("_s"))
+      .select(col(idCol),
+        col("_s._1").as("score_raw"), col("_s._2").as("n_toks"))
+      .withColumn("score",
+        col("score_raw").cast("double") / greatest(col("n_toks"), lit(1L)))
+      .withColumn("keep", col("score") >= 0.0)
+  }
+
   /** Full document-analysis projection over a documents table. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =

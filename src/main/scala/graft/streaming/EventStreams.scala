@@ -57,6 +57,32 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval self-join (the attribution join): every click
+    * matched to the same user's purchases in the 2 hours before it. Both
+    * sides carry watermarks and the join condition ranges over event
+    * time, so Spark bounds the join state to the watermark horizon —
+    * the requirement for an unbounded 100 TB/day stream. Inner joins
+    * emit matches eagerly (watermarks only govern state cleanup), so the
+    * same function is exact in batch mode — which is how the oracle
+    * checks it.
+    */
+  def clickPurchaseJoin(events: DataFrame, watermark: String = "2 hours",
+      horizon: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   final case class UserRunning(userId: Long, nEvents: Long, total: Double)
 
   /** Custom state example: running per-user totals via

@@ -434,6 +434,65 @@ class OperatorsSpec extends SparkSpec {
     assert(v(1L).sum == 0.0)
   }
 
+  test("scoreLinear: one-pass kernel equals hashingTf · weights; custom weights plumb through") {
+    val df = Seq((0L, "spark spark flies high"), (1L, ""), (2L, "don't stop"))
+      .toDF("doc_id", "text")
+    val dim = 64
+    val w = graft.functions.Hashing.qualityWeights(dim, seed = 42L)
+    val got = TextAnalysis.scoreLinear(df, dim = dim, seed = 42L)
+      .select("doc_id", "score_raw", "n_toks")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, raw, n) => id -> ((raw, n)) }.toMap
+    // independent recomputation: dense tf vector dotted with the weights
+    val tf = df.select($"doc_id", TextAnalysis.hashingTf($"text", dim).as("tf"))
+      .as[(Long, Seq[Double])].collect().toMap
+    for ((id, (raw, n)) <- got) {
+      val expect = tf(id).zipWithIndex.map { case (c, b) => c.toLong * w(b) }.sum
+      assert(raw == expect, s"doc $id")
+      assert(n == tf(id).sum.toLong)
+    }
+    // empty doc: zero tokens, score 0, kept (score >= 0)
+    val row1 = TextAnalysis.scoreLinear(df, dim = dim)
+      .filter($"doc_id" === 1L)
+      .select("score", "keep").as[(Double, Boolean)].head()
+    assert(row1 == ((0.0, true)))
+    // custom weight vector overrides the stand-in
+    val allNeg = Array.fill(dim)(-1L)
+    val neg = TextAnalysis.scoreLinear(df, dim = dim, weights = Some(allNeg))
+      .filter($"doc_id" === 0L)
+      .select("score_raw", "keep").as[(Long, Boolean)].head()
+    assert(neg == ((-4L, false))) // 4 tokens × −1
+  }
+
+  test("embeddings: L2-normalize yields unit vectors; int8 quantize bounds error") {
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f)),          // norm 5
+      (2L, Seq(0.0f, 0.0f)),          // zero vector: passes through
+      (3L, Seq(-1.5f, 0.5f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val unit = Embeddings.withL2Normalized(df)
+      .select("vec_id", "unit").as[(Long, Seq[Double])].collect().toMap
+    assert(unit(1L) == Seq(0.6, 0.8))
+    assert(unit(2L) == Seq(0.0, 0.0)) // no NaN from the zero vector
+    assert(math.abs(unit(3L).map(x => x * x).sum - 1.0) < 1e-12)
+
+    val quant = Embeddings.withInt8Quantized(df)
+    val rows = quant.select("vec_id", "scale", "q")
+      .as[(Long, Double, Seq[Int])].collect()
+      .map { case (id, s, q) => id -> ((s, q)) }.toMap
+    assert(rows(1L)._1 == 127.0 / 4.0 && rows(1L)._2 == Seq(95, 127))
+    assert(rows(2L) == ((1.0, Seq(0, 0))))
+    assert(rows.values.forall(_._1 > 0))
+    assert(rows.values.forall(_._2.forall(v => v >= -127 && v <= 127)))
+    // dequantized error ≤ 0.5/scale per element
+    val deq = quant
+      .select($"vec_id", $"embedding", $"scale",
+        Embeddings.dequantize($"q", $"scale").as("d"))
+      .as[(Long, Seq[Float], Double, Seq[Double])].collect()
+    for ((_, orig, scale, d) <- deq; (o, r) <- orig.zip(d))
+      assert(math.abs(o - r) <= 0.5 / scale + 1e-12)
+  }
+
   test("multimodal: batched mapPartitions decode matches per-row decode") {
     val df = Seq((1L, "img-a".getBytes), (2L, "img-b".getBytes))
       .toDF("id", "payload")

@@ -226,6 +226,34 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: matches within horizon, state bounded by watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Timestamp)]
+    val joined = graft.streaming.EventStreams.clickPurchaseJoin(
+      input.toDF().toDF("event_id", "user_id", "event_type", "ts"),
+      watermark = "10 minutes", horizon = "2 hours")
+    val q = joined.writeStream.format("memory").queryName("ssj_sink")
+      .outputMode("append").start()
+    def t(h: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+    try {
+      input.addData(
+        (1L, 7L, "purchase", t(10, 0)),
+        (2L, 7L, "click", t(9, 59)),    // before the purchase → no match
+        (3L, 7L, "click", t(10, 30)),   // within 2 h → match
+        (4L, 7L, "click", t(12, 30)),   // 2.5 h later → outside horizon
+        (5L, 8L, "click", t(10, 30)))   // other user → no match
+      q.processAllAvailable()
+      input.addData((6L, 7L, "click", t(12, 0))) // exactly at the boundary → match
+      q.processAllAvailable()
+      val rows = spark.table("ssj_sink")
+        .select("user_id", "click_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((7L, 3L, 1L), (7L, 6L, 1L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("range decode reads bytes proportional to the chunk, not the clip") {
     val dir = Files.createTempDirectory("graft_bigwav")
     val fs = 8000
