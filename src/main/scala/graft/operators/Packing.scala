@@ -42,7 +42,8 @@ object Packing {
     val perBucket = b.groupBy("_b")
       .agg(sum(col(valueCol).cast("long")).as("_s"))
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
+      // an all-NULL bucket sums to NULL — treat as contributing nothing
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
       .sortBy(_._1)
     val offRows = perBucket.scanLeft((0, 0L, 0L)) { case ((_, off, s0), (bid, s)) =>
       (bid, off + s0, s)
@@ -72,8 +73,12 @@ object Packing {
     */
   def packSequences(docs: DataFrame, budget: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // null text counts as 0 tokens (a zero-width slot, like the empty
+    // string) — without the coalesce the NULL poisons the running sum and
+    // this row's span, diverging from the oracle's COALESCEd prefix sum
     val withTok = docs.select(col(idCol),
-      TextAnalysis.tokenCountWs(col(textCol)).cast("long").as("n_tokens"))
+      coalesce(TextAnalysis.tokenCountWs(col(textCol)).cast("long"), lit(0L))
+        .as("n_tokens"))
     withRunningTotal(withTok, Seq(idCol), "n_tokens", outCol = "_run")
       .withColumn("cum_before", col("_run") - col("n_tokens"))
       .withColumn("seq_start", expr(s"cum_before DIV $budget"))

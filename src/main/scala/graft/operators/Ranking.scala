@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import scala.util.control.NonFatal
+
 /** Scale-safe global analytic ranks: percent_rank / cume_dist over a
   * total ordering WITHOUT a partition-less window over the data.
   *
@@ -45,7 +47,7 @@ object Ranking {
         .sample(withReplacement = false, 0.02, seed = 7)
         .stat.approxQuantile("_v",
           (1 until numBuckets).map(_.toDouble / numBuckets).toArray, 0.01)
-    } catch { case _: Throwable => Array.empty[Double] }) // empty sample → 1 bucket
+    } catch { case NonFatal(_) => Array.empty[Double] }) // empty sample → 1 bucket
       .distinct.sorted
     cuts.foldLeft(lit(0)) { (acc, c) =>
       acc + when(col(lead).cast("double") > c, 1).otherwise(0)

@@ -70,6 +70,10 @@ object WavCodec {
     while (pos + 8 <= bytes.length && (dataOff < 0 || fmtCode == 0)) {
       val id = buf.getInt(pos)
       val sz = buf.getInt(pos + 4)
+      // Same guard as decodeRangeInfo: a corrupt little-endian size can be
+      // negative, which would stall the walk (pos += 8 + (-8) = pos) or
+      // seek backwards. Fail like a bad header instead of looping forever.
+      require(sz >= 0, s"not a wav file: negative chunk size $sz at offset $pos")
       id match {
         case 0x20746d66 => // "fmt "
           fmtCode = buf.getShort(pos + 8) & 0xffff
@@ -85,9 +89,12 @@ object WavCodec {
     }
     require(dataOff >= 0, "wav: no data chunk")
     require(fmtCode == 1 || fmtCode == 3, s"wav: unsupported format code $fmtCode")
+    require(bits > 0 && channels > 0,
+      s"not a wav file: fmt declares bits=$bits channels=$channels")
 
     val bytesPerSample = bits / 8
     val frameBytes = bytesPerSample * channels
+    require(frameBytes > 0, s"not a wav file: zero frame size (bits=$bits)")
     val totalFrames = dataLen / frameBytes
     val (startF, stopF) = readRange match {
       case Some((a, b)) => (math.max(0, a), math.min(totalFrames, b))

@@ -142,11 +142,16 @@ private[sources] final class WavReaderFactory(cols: Array[String],
           if (needData) WavCodec.decodeRangeInfo(file,
             range.map(_._1).getOrElse(0), range.map(_._2).getOrElse(Int.MaxValue))
           else WavCodec.decodeRangeInfo(file, 0, 0)
-        val name = file.substring(file.lastIndexOf('/') + 1)
-        val parent = file.substring(0, file.lastIndexOf('/'))
+        // Exposed filepath matches FolderSource (FolderSource.scala:38):
+        // local "file:" scheme stripped, remote schemes (hdfs/s3a) kept —
+        // so filepath joins across the two sources never silently miss.
+        // The qualified URI `file` is still what we open with above.
+        val exposed = file.replaceFirst("^file:", "")
+        val name = exposed.substring(exposed.lastIndexOf('/') + 1)
+        val parent = exposed.substring(0, exposed.lastIndexOf('/'))
         val subdb = parent.substring(parent.lastIndexOf('/') + 1)
         val values: Array[Any] = cols.map {
-          case "filepath" => UTF8String.fromString(file)
+          case "filepath" => UTF8String.fromString(exposed)
           case "filename" => UTF8String.fromString(name)
           case "subdb" => UTF8String.fromString(subdb)
           case "fs" => r.wav.fs
