@@ -26,13 +26,15 @@ package graft
   * 5-shingles for 147k occurrences) — a pure oracle-side optimization
   * with identical results.
   *
-  * q57 (IVF) gets no oracle by design: its k-means centroids average
-  * floats with `avg()`, whose accumulation order is engine-defined, so no
-  * cross-engine bit-exact formulation exists; it stays rows-only with
-  * ScalaTest recall coverage instead. (A DECIMAL-exact reformulation was
-  * tried and measured: the engines' FLOAT→DECIMAL casts themselves
-  * diverge — DuckDB scales through float arithmetic, losing digits — so
-  * even order-independent decimal sums are not portable.)
+  * q57 (IVF) is gated through the integer-exact variant
+  * (`Similarity.ivfTopKInt8`): float-averaged centroids are not portable
+  * across engines (engine-defined accumulation order; and FLOAT→DECIMAL
+  * casts themselves diverge — DuckDB scales through float arithmetic), so
+  * the oracle-facing IVF quantizes to int8 first (q81-proven rounding),
+  * assigns cells by integer squared-L2 and updates centroids with
+  * truncating integer division — every Lloyd round replayable bit-for-bit
+  * ([[q57KnnIvf]] unrolls them as CTEs). The float-cosine `ivfTopK` keeps
+  * its ScalaTest recall gate.
   */
 object Oracles {
 
@@ -697,6 +699,72 @@ object Oracles {
        |FROM s ORDER BY vec_id""".stripMargin
   }
 
+  /** q57: `Similarity.ivfTopKInt8` — int8 quantization (the q81 replay),
+    * splitmix64-seeded cells, unrolled integer Lloyd rounds (truncating
+    * `//` centroid update ≡ Scala `Long./`; empty cells keep the previous
+    * centroid via COALESCE), integer squared-L2 cell assignment with
+    * tie → lowest cell, nProbe probing, and an exact integer-cosine top-k
+    * re-rank (dot/norms are exact integer sums, so the final
+    * `dot / sqrt(na·nb)` double is engine-identical).
+    */
+  def q57KnnIvf: String = {
+    val nCells = 16; val nProbe = 4; val iters = 2; val k = 5
+    val smx = staged(s"SELECT vec_id, vec_id::HUGEINT AS z FROM qz",
+      splitmixStages("z"))
+    // d<i>: per-(vector, cell) integer squared-L2 vs cent<i>;
+    // asgn<i>: argmin cell per vector (tie → lowest cell index)
+    def dCtes(i: Int) =
+      s"""  d$i AS (SELECT v.vec_id, c.cell, sum((v.v - c.c) * (v.v - c.c)) AS d2
+         |          FROM vpos v JOIN cent$i c ON v.pos = c.pos GROUP BY 1, 2),
+         |  asgn$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d$i)
+         |    WHERE rn = 1)""".stripMargin
+    val lloyd = (0 until iters).map { i =>
+      dCtes(i) + ",\n" +
+        s"""  cent${i + 1} AS (SELECT p.cell, p.pos, COALESCE(s.s // s.n, p.c) AS c
+           |    FROM cent$i p LEFT JOIN
+           |      (SELECT a.cell, v.pos, sum(v.v)::BIGINT AS s, count(*) AS n
+           |       FROM asgn$i a JOIN vpos v ON a.vec_id = v.vec_id GROUP BY 1, 2) s
+           |    ON p.cell = s.cell AND p.pos = s.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |  qz AS (SELECT vec_id,
+       |      list_transform(embedding, x -> CAST(floor(x::DOUBLE *
+       |        (CASE WHEN maxabs = 0.0 THEN 1.0 ELSE 127.0 / maxabs END) + 0.5) AS BIGINT)) AS qv
+       |    FROM (SELECT vec_id, embedding,
+       |            COALESCE(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) AS maxabs
+       |          FROM embeddings)),
+       |  vpos0 AS (SELECT vec_id, qv, unnest(range(len(qv))) AS pos FROM qz),
+       |  vpos AS (SELECT vec_id, pos, qv[pos + 1] AS v FROM vpos0),
+       |  sm AS (SELECT vec_id, ${signed("_sm")} AS h FROM ($smx)),
+       |  seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY h, vec_id) - 1)::INT AS cell
+       |            FROM sm ORDER BY h, vec_id LIMIT $nCells),
+       |  cent0 AS (SELECT s.cell, v.pos, v.v AS c FROM seeds s JOIN vpos v ON s.vec_id = v.vec_id),
+       |$lloyd,
+       |${dCtes(iters)},
+       |  probe AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |      FROM d$iters WHERE vec_id < 20) WHERE rn <= $nProbe),
+       |  cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
+       |           FROM probe p JOIN asgn$iters a
+       |           ON p.cell = a.cell AND a.vec_id <> p.query_id),
+       |  scored AS (SELECT c.query_id, c.neighbor_id, c.cell,
+       |      sum(a.v * b.v)::BIGINT AS dot,
+       |      sum(a.v * a.v)::BIGINT AS na, sum(b.v * b.v)::BIGINT AS nb
+       |    FROM cand c
+       |    JOIN vpos a ON a.vec_id = c.query_id
+       |    JOIN vpos b ON b.vec_id = c.neighbor_id AND b.pos = a.pos
+       |    GROUP BY 1, 2, 3),
+       |  ranked AS (SELECT query_id, neighbor_id, cell, dot,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY
+       |        (CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |              ELSE dot::DOUBLE / sqrt((na * nb)::DOUBLE) END) DESC,
+       |        neighbor_id)::INT AS rank
+       |    FROM scored)
+       |SELECT query_id, neighbor_id, cell, dot, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q82: `EventStreams.clickPurchaseJoin` — the streaming interval join
     * replayed as a batch join on epoch-µs longs (inner stream-stream
     * joins emit every match, so the streamed result equals the batch
@@ -714,6 +782,7 @@ object Oracles {
   /** Map of generated oracles, merged into [[SparkEntry.oracleSql]]. */
   def generated: Map[String, String] = Map(
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
+    "q57_knn_ivf" -> q57KnnIvf,
     "q81_embed_quantize" -> q81EmbedQuantize,
     "q80_quality_filter" -> q80QualityFilter,
     "q79_pack_sequences" -> q79PackSequences,

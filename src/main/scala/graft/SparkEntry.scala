@@ -439,12 +439,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- north star (rows-only): IVF-bucketed ANN (k-means coarse cells) ----
+    // ---- north star: IVF-bucketed ANN (k-means coarse cells) ----
+    // Integer-exact variant so the full IVF path — quantize, seed, Lloyd
+    // rounds, cell assignment, probing, re-rank — is DuckDB-replayable
+    // bit-for-bit (Oracles.q57KnnIvf). The float-cosine path
+    // (Similarity.ivfTopK, same plan shape) keeps its ScalaTest recall
+    // gate vs bruteForceTopK.
     "q57_knn_ivf" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5,
-          nCells = 16, nProbe = 8)
-        .select("query_id", "neighbor_id", "rank")
+      Similarity.ivfTopKInt8(e, e.filter(col("vec_id") < 20), k = 5,
+          nCells = 16, nProbe = 4, iters = 2)
         .orderBy("query_id", "rank")
     }),
 

@@ -18,6 +18,11 @@ object Hashing {
     x ^ (x >>> 31)
   }
 
+  /** splitmix64 finalizer (public for deterministic, oracle-replayable
+    * orderings — e.g. IVF seed selection in `Similarity.ivfTopKInt8`).
+    */
+  def splitmix64(x: Long): Long = splitmix(x)
+
   /** MinHash signature over distinct character k-shingles, one text pass.
     * sig[m] = min over shingles of splitmix(fnv(shingle) + C*(m+1)).
     */

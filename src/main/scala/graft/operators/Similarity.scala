@@ -231,6 +231,113 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Integer-exact IVF ANN — the oracle-gated variant of [[ivfTopK]].
+    *
+    * Same plan shape as the float path (tiny broadcast centroid set,
+    * map-side cell assignment, nProbe probing, in-cell exact re-rank), but
+    * every engine-visible comparison is exact integer / single-rounding
+    * IEEE math, so an independent engine (the DuckDB oracle,
+    * [[graft.Oracles.q57KnnIvf]]) reproduces the result bit-for-bit:
+    *
+    *  - vectors are symmetric-int8 quantized first
+    *    ([[graft.operators.Embeddings.withInt8Quantized]] — rounding
+    *    proven engine-identical by q81);
+    *  - cell seeds are the `nCells` splitmix64-smallest corpus ids (pure
+    *    integer hash, no RNG state);
+    *  - Lloyd's rounds assign by integer squared-L2 distance (tie →
+    *    lowest cell index) and update centroids with truncating integer
+    *    division (Scala `Long./` ≡ DuckDB `//` on BIGINT), so the final
+    *    cell layout is exactly reproducible; cells that lose all members
+    *    keep their previous centroid;
+    *  - the re-rank is cosine over the integer vectors: dot and norms are
+    *    exact integer sums (≤ 2^41 — exactly representable in double),
+    *    leaving one IEEE sqrt + divide, identical on any engine.
+    *
+    * Scale shape is unchanged from [[ivfTopK]]: per Lloyd round one
+    * broadcast of nCells×dim longs, one map-side assignment, one
+    * nCells×dim-row aggregate; the corpus never shuffles and the
+    * candidate set is ≈ |corpus|·nProbe/nCells per query. Requires
+    * |corpus| ≥ nCells.
+    */
+  def ivfTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.functions.{udf => mkUdf}
+
+    def quant(df: DataFrame): DataFrame =
+      Embeddings.withInt8Quantized(df, vecCol, qCol = "qv", scaleCol = "_qs")
+        .select(col(idCol).cast("long").as("id"), col("qv"))
+    val qc = quant(corpus)
+
+    def dist2(v: Seq[Int], c: Array[Long]): Long = {
+      var d = 0L; var j = 0
+      while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+      d
+    }
+
+    // seeds: the nCells hash-smallest corpus vectors (signed splitmix64
+    // of id, tie by id); cell index = rank in that order
+    val smxU = mkUdf((id: Long) => graft.functions.Hashing.splitmix64(id))
+    var cents: Array[Array[Long]] = qc
+      .withColumn("_h", smxU(col("id")))
+      .orderBy(col("_h"), col("id"))
+      .limit(nCells)
+      .collect()
+      .map(_.getSeq[Int](1).map(_.toLong).toArray)
+
+    def assigner(cs: Array[Array[Long]]) = mkUdf((v: Seq[Int]) => {
+      var best = 0; var bestD = Long.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        val d = dist2(v, cs(i))
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    })
+
+    var it = 0
+    while (it < iters) {
+      val sums = qc.withColumn("cell", assigner(cents)(col("qv")))
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
+          r.getAs[Long]("s") / r.getAs[Long]("n")
+      }
+      cents = next
+      it += 1
+    }
+
+    val cs = cents
+    val probeU = mkUdf((v: Seq[Int]) =>
+      cs.indices.map(i => (dist2(v, cs(i)), i)).sorted.take(nProbe).map(_._2))
+    val c = qc.select(col("id").as("neighbor_id"), col("qv").as("nv"))
+      .withColumn("cell", assigner(cs)(col("nv")))
+    val q = quant(queries)
+      .select(col("id").as("query_id"), col("qv").as("qvq"))
+      .withColumn("cell", explode(probeU(col("qvq"))))
+    def n2(cc: Column) =
+      aggregate(cc, lit(0L), (a, v) => a + v.cast("long") * v.cast("long"))
+    val cands = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", aggregate(
+        zip_with(col("qvq"), col("nv"), (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (a, v) => a + v))
+      .withColumn("na", n2(col("qvq")))
+      .withColumn("nb", n2(col("nv")))
+      .withColumn("cosine",
+        when(col("na") === 0L || col("nb") === 0L, lit(0.0))
+          .otherwise(col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cell", "dot", "rank")
+  }
+
   /** Pairwise near-duplicate detection by embedding cosine ≥ threshold,
     * via LSH buckets (embedding-space analog of Dedup.minhashCandidates).
     * Degenerate buckets (many near-zero / boilerplate vectors hashing
