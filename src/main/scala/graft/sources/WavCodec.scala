@@ -64,28 +64,34 @@ object WavCodec {
     require(buf.getInt(0) == 0x46464952, "not a wav file: missing RIFF") // "RIFF"
     require(buf.getInt(8) == 0x45564157, "not a wav file: missing WAVE") // "WAVE"
 
-    var pos = 12
+    // pos is Long: a corrupt huge positive chunk size (e.g. 0x7FFFFFF0)
+    // would overflow an Int walk to a negative index and die with
+    // IndexOutOfBounds instead of the clean require below.
+    var pos = 12L
     var fmtCode = 0; var channels = 1; var fs = 0; var bits = 0
     var dataOff = -1; var dataLen = 0
     while (pos + 8 <= bytes.length && (dataOff < 0 || fmtCode == 0)) {
-      val id = buf.getInt(pos)
-      val sz = buf.getInt(pos + 4)
+      val p = pos.toInt
+      val id = buf.getInt(p)
+      val sz = buf.getInt(p + 4)
       // Same guard as decodeRangeInfo: a corrupt little-endian size can be
       // negative, which would stall the walk (pos += 8 + (-8) = pos) or
       // seek backwards. Fail like a bad header instead of looping forever.
       require(sz >= 0, s"not a wav file: negative chunk size $sz at offset $pos")
       id match {
         case 0x20746d66 => // "fmt "
-          fmtCode = buf.getShort(pos + 8) & 0xffff
-          channels = buf.getShort(pos + 10) & 0xffff
-          fs = buf.getInt(pos + 12)
-          bits = buf.getShort(pos + 22) & 0xffff
+          require(sz >= 16 && pos + 24 <= bytes.length,
+            s"not a wav file: truncated fmt chunk (size $sz) at offset $pos")
+          fmtCode = buf.getShort(p + 8) & 0xffff
+          channels = buf.getShort(p + 10) & 0xffff
+          fs = buf.getInt(p + 12)
+          bits = buf.getShort(p + 22) & 0xffff
         case 0x61746164 => // "data"
-          dataOff = pos + 8
+          dataOff = p + 8
           dataLen = math.min(sz, bytes.length - dataOff)
         case _ => ()
       }
-      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+      pos += 8L + sz + (sz & 1) // chunks are word-aligned; 8L: keep Long math
     }
     require(dataOff >= 0, "wav: no data chunk")
     require(fmtCode == 1 || fmtCode == 3, s"wav: unsupported format code $fmtCode")
@@ -186,12 +192,16 @@ object WavCodec {
         // file can yield a negative size, which would stall the walk
         // (pos += 8 + (-8) = pos) or seek backwards. Fail like a bad header.
         require(sz >= 0, s"not a wav file: negative chunk size $sz at offset $pos")
-        if (id == 0x20746d66) fmt = readAt(pos + 8, math.min(sz, 16)) // "fmt "
-        else if (id == 0x61746164) { // "data"
+        if (id == 0x20746d66) { // "fmt "
+          require(sz >= 16 && pos + 24 <= fileLen,
+            s"not a wav file: truncated fmt chunk (size $sz) at offset $pos")
+          fmt = readAt(pos + 8, 16)
+        } else if (id == 0x61746164) { // "data"
           dataOff = pos + 8
           dataLen = math.min(sz.toLong, fileLen - dataOff)
         }
-        pos += 8 + sz + (sz & 1)
+        // 8L: the addend must not wrap in Int for a corrupt huge sz
+        pos += 8L + sz + (sz & 1)
       }
       require(fmt != null && dataOff >= 0, "wav: missing fmt/data chunk")
       val fmtCode = le16(fmt, 0); val channels = le16(fmt, 2)

@@ -342,6 +342,51 @@ class SourcesSpec extends SparkSpec {
     assert(ranged == viaDs.head._4.slice(100, 200))
   }
 
+  test("corrupt wav headers fail cleanly on both decode paths") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val good = WavCodec.encodePcm16(
+      Array.tabulate(100)(i => 0.3 * math.sin(0.1 * i)), 8000)
+    // encodePcm16 layout: fmt-chunk size at 16, channels at 22, bits at 34
+    def mutated(patch: ByteBuffer => Unit): Array[Byte] = {
+      val b = good.clone()
+      patch(ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN))
+      b
+    }
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "negative chunk size" -> mutated(_.putInt(16, -8)),
+      // would overflow an Int chunk walk to a negative offset
+      "huge chunk size" -> mutated(_.putInt(16, 0x7FFFFF00)),
+      "zero bits" -> mutated(_.putShort(34, 0)),
+      "zero channels" -> mutated(_.putShort(22, 0)),
+      "truncated fmt chunk" -> mutated(_.putInt(16, 8)))
+    val dir = Files.createTempDirectory("graft_badwav")
+    cases.foreach { case (label, bytes) =>
+      // in-memory path (decode → decodeRaw)
+      val e1 = intercept[IllegalArgumentException](WavCodec.decode(bytes))
+      assert(e1.getMessage.contains("wav"), s"$label via decode: ${e1.getMessage}")
+      // positioned-read path (decodeRange → decodeRangeInfo)
+      val f = dir.resolve(label.replace(' ', '_') + ".wav")
+      Files.write(f, bytes)
+      val e2 = intercept[IllegalArgumentException](
+        WavCodec.decodeRange(f.toString, 0, 10))
+      assert(e2.getMessage.contains("wav"), s"$label via decodeRange: ${e2.getMessage}")
+    }
+  }
+
+  test("filepath is a shared join key across FolderSource and graft-wav DSv2") {
+    // pins the scheme normalization (WavDataSource strips "file:" like
+    // FolderSource does) — a revert would silently empty this join
+    val viaFolder = FolderSource.scan(spark, wavRoot).df
+      .select("filepath").as[String].collect().toSet
+    val viaDsv2 = spark.read.format("graft-wav").load(wavRoot)
+      .select("filepath").as[String].collect().toSet
+    assert(viaFolder.size == 6 && viaFolder == viaDsv2)
+    val joined = FolderSource.scan(spark, wavRoot).df
+      .join(spark.read.format("graft-wav").load(wavRoot)
+        .select(col("filepath"), col("total_frames")), Seq("filepath"))
+    assert(joined.count() == 6)
+  }
+
   test("folder scan with resample-on-read: info reflects the requested rate") {
     val ds = FolderSource.withDecodedAudio(FolderSource.scan(spark, wavRoot),
       targetFs = Some(4000), resample = true)
