@@ -347,6 +347,20 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- §2.12 xval train/val/test masks (reference val_frac semantics:
+    // val sampled out of each fold's train side, xval.py:69-78; sampling is
+    // the engine's md5-uniform so DuckDB replays it bit-for-bit) ----
+    "q83_xval_val_masks" -> ((s, dir) => {
+      val d = Xval.md5Kfold(documents(s, dir).select(col("doc_id")), 4, "doc_id")
+      val m = Xval.foldMasksVal(d, 4, valFrac = 1.0 / 3, valKey = "doc_id", seed = 7)
+      m.select(col("doc_id"), col("fold"),
+          when(col("xval_train_fold_0"), "train")
+            .when(col("xval_val_fold_0"), "val").otherwise("test").as("set_f0"),
+          when(col("xval_train_fold_1"), "train")
+            .when(col("xval_val_fold_1"), "val").otherwise("test").as("set_f1"))
+        .orderBy("doc_id")
+    }),
+
     // ---- §2.4+§2.8 fitted normalizer (minmax agg → broadcast apply) ----
     "q29_normalize_minmax" -> ((s, dir) => {
       val c = customer(s, dir)
@@ -1260,6 +1274,22 @@ object SparkEntry {
       """SELECT c_custkey,
         |  CAST(CAST(CONCAT('0x', SUBSTRING(md5(c_name), 1, 8)) AS UBIGINT) % 4 AS INT) AS fold
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // md5-uniform val sampling: u_k = first-8-hex(md5('seed#tag#key'))/2^32
+    // — an exact integer over 2^32, so the double and the < compare are
+    // engine-identical (same layout-independent sample as the engine)
+    "q83_xval_val_masks" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 4 AS INT) AS fold
+        |  FROM documents),
+        |u AS (SELECT doc_id, fold,
+        |    CAST(CONCAT('0x', SUBSTRING(md5('7#1000#' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)::DOUBLE / 4294967296.0 AS u0,
+        |    CAST(CONCAT('0x', SUBSTRING(md5('7#1001#' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)::DOUBLE / 4294967296.0 AS u1
+        |  FROM f)
+        |SELECT doc_id, fold,
+        |  CASE WHEN fold = 0 THEN 'test' WHEN u0 < 1.0/3 THEN 'val' ELSE 'train' END AS set_f0,
+        |  CASE WHEN fold = 1 THEN 'test' WHEN u1 < 1.0/3 THEN 'val' ELSE 'train' END AS set_f1
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     "q50_summary" ->
       """SELECT lang, source, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id

@@ -70,17 +70,38 @@ object Xval {
     df.withColumn("fold",
       ntile(folds).over(Window.partitionBy(col(key)).orderBy(col(orderCol))) - 1)
 
+  /** Uniform in [0, 1) derived from md5(seed ‖ tag ‖ key) — the
+    * engine-independent, layout-independent stand-in for `rand(seed)`
+    * wherever a row has a stable key: identical on any cluster layout and
+    * replayable by any engine with md5 (first 8 hex digits / 2^32).
+    */
+  private def md5Uniform(seed: Long, tag: Long, key: Column): Column =
+    conv(substring(md5(concat_ws("#", lit(seed), lit(tag), key.cast("string"))),
+      1, 8), 16, 10).cast("double") / 4294967296.0
+
   /** Stratified k-fold on a label (reference `stratified_kfold`,
     * xval.py:83-111): seeded shuffle within label strata. Parallelism is
     * bounded by label cardinality (the window partitions on the label) —
     * inherent to the semantics; for few huge strata at extreme scale,
     * compose the [[randomKfold]] two-phase shuffle per stratum instead.
+    *
+    * With `keyCol` set (any unique row key) the shuffle order is
+    * md5(seed ‖ key) — layout-independent: the same rows land in the same
+    * folds on any partitioning/cluster (spec-pinned). Without a key it
+    * falls back to `rand(seed)`, which depends on the physical row
+    * layout — folds differ across cluster layouts; prefer `keyCol`, or
+    * [[md5Kfold]] when per-stratum balance isn't required.
     */
   def stratifiedKfold(df: DataFrame, folds: Int, label: String,
-      seed: Long = 0): DataFrame =
+      seed: Long = 0, keyCol: Option[String] = None): DataFrame = {
+    val order: Seq[Column] = keyCol match {
+      case Some(k) => Seq(md5Uniform(seed, 0, col(k)), col(k))
+      case None => Seq(rand(seed))
+    }
     df.withColumn("fold",
-      (row_number().over(Window.partitionBy(col(label)).orderBy(rand(seed))) - 1)
+      (row_number().over(Window.partitionBy(col(label)).orderBy(order: _*)) - 1)
         % folds)
+  }
 
   /** Plain shuffled k-fold (reference `random_kfold`, xval.py:114-139):
     * global seeded shuffle, balanced folds (sizes differ by ≤1).
@@ -92,10 +113,19 @@ object Xval {
     * cumulative bucket counts (the only global window runs over B rows).
     */
   def randomKfold(df: DataFrame, folds: Int, seed: Long = 0,
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = 64, keyCol: Option[String] = None): DataFrame = {
+    // With a stable row key the shuffle is md5-derived — identical folds on
+    // any cluster layout (spec-pinned under repartition(1) vs (64)).
+    // Without one, rand(seed) is seeded-but-layout-dependent: a different
+    // partitioning assigns different folds (the reference's in-memory
+    // np.random has no distributed analog) — prefer keyCol or md5Kfold.
+    val (r1, r2) = keyCol match {
+      case Some(k) => (md5Uniform(seed, 1, col(k)), md5Uniform(seed, 2, col(k)))
+      case None => (rand(seed), rand(seed + 1))
+    }
     val b = df
-      .withColumn("_r", rand(seed))
-      .withColumn("_r2", rand(seed + 1)) // tie-break: double collisions happen at 1e12 rows
+      .withColumn("_r", r1)
+      .withColumn("_r2", r2) // tie-break: double collisions happen at 1e12 rows
       .withColumn("_b", floor(col("_r") * buckets).cast("int"))
     val counts = b.groupBy("_b").agg(count(lit(1)).as("_cnt"))
     val offW = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
@@ -152,7 +182,42 @@ object Xval {
     }
   }
 
-  /** Select one xval set (reference `get_xval_set`, dataset.py:1066-1130). */
+  /** Reference train/**val**/test mask layout (xval.py:69-78,99-110,
+    * 126-137 + dataset.py:1043-1059): every reference kfold carves a
+    * validation set out of each fold's train side — `val_frac` of the
+    * train rows, sampled without replacement — so per fold k the three
+    * masks partition the table: test = own fold (∪ test_only rows),
+    * val ⊂ train-side, train = the train-side remainder. test_only rows
+    * (dataset.py:981-985) are in every test fold and never train/val.
+    *
+    * The reference samples val with unseeded `np.random.choice`; per the
+    * engine's determinism discipline the sample here is the rows whose
+    * md5(seed ‖ fold ‖ key)-derived uniform < valFrac — deterministic,
+    * layout-independent, pure map-side (zero shuffle, no global window).
+    * The val set size is exact-in-expectation (|train side|·valFrac)
+    * rather than the reference's exact ceil — at scale an exact count
+    * would need a global rank of every train side; compose
+    * [[randomKfold]]'s bucketed ranking per fold if exactness matters.
+    *
+    * `valKey` must be a stable unique row key (e.g. `_idx` or a doc id).
+    */
+  def foldMasksVal(df: DataFrame, folds: Int, valFrac: Double,
+      valKey: String, testOnlyCol: Option[String] = None,
+      seed: Long = 0): DataFrame = {
+    require(valFrac >= 0.0 && valFrac < 1.0, s"valFrac $valFrac not in [0,1)")
+    val testOnly: Column = testOnlyCol.map(c => col(c) === 1.0).getOrElse(lit(false))
+    (0 until folds).foldLeft(df) { (d, k) =>
+      val trainSide = !testOnly && col("fold") =!= k
+      val isVal = trainSide && md5Uniform(seed, 1000 + k, col(valKey)) < valFrac
+      d.withColumn(s"xval_train_fold_$k", trainSide && !isVal)
+        .withColumn(s"xval_val_fold_$k", isVal)
+        .withColumn(s"xval_test_fold_$k", testOnly || col("fold") === k)
+    }
+  }
+
+  /** Select one xval set (reference `get_xval_set`, dataset.py:1066-1130;
+    * `set` ∈ train/val/test — val columns come from [[foldMasksVal]]).
+    */
   def xvalSet(df: DataFrame, set: String, fold: Int): DataFrame =
     df.filter(col(s"xval_${set}_fold_$fold"))
 

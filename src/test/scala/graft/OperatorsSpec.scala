@@ -304,6 +304,53 @@ class OperatorsSpec extends SparkSpec {
     assert(Xval.xvalSet(m, "train", 0).select("id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("foldMasksVal: train/val/test partition each fold; test_only → test (xval.py:69-78)") {
+    val df = (0 until 200).map(i =>
+      (i.toLong, if (i % 10 == 0) 1.0 else 0.0)).toDF("id", "test_only")
+    val folded = Xval.hashKfold(df, 4, "id")
+    val m = Xval.foldMasksVal(folded, 4, valFrac = 1.0 / 3, valKey = "id",
+      testOnlyCol = Some("test_only"), seed = 7)
+    val testOnlyIds = (0 until 200 by 10).map(_.toLong).toSet
+    for (k <- 0 until 4) {
+      val tr = Xval.xvalSet(m, "train", k).select("id").as[Long].collect().toSet
+      val va = Xval.xvalSet(m, "val", k).select("id").as[Long].collect().toSet
+      val te = Xval.xvalSet(m, "test", k).select("id").as[Long].collect().toSet
+      // disjoint and exhaustive per fold
+      assert((tr & va).isEmpty && (tr & te).isEmpty && (va & te).isEmpty)
+      assert((tr | va | te).size == 200)
+      // test_only rows sit in every test fold, never in train/val
+      assert(testOnlyIds.subsetOf(te))
+      assert((tr & testOnlyIds).isEmpty && (va & testOnlyIds).isEmpty)
+      // val is a nonempty sample of the train side, ~valFrac of it
+      val side = tr.size + va.size
+      assert(va.nonEmpty && math.abs(va.size.toDouble / side - 1.0 / 3) < 0.15)
+    }
+    // layout-independent: same masks on any partitioning
+    val m64 = Xval.foldMasksVal(Xval.hashKfold(df.repartition(64), 4, "id"), 4,
+      valFrac = 1.0 / 3, valKey = "id", testOnlyCol = Some("test_only"), seed = 7)
+    assert(Xval.xvalSet(m64, "val", 2).select("id").as[Long].collect().toSet ==
+      Xval.xvalSet(m, "val", 2).select("id").as[Long].collect().toSet)
+  }
+
+  test("keyed randomKfold/stratifiedKfold: identical folds under any layout") {
+    val df = (0 until 400).map(i => (i.toLong, s"l${i % 3}")).toDF("id", "label")
+    def collectFolds(d: org.apache.spark.sql.DataFrame): Set[(Long, Int)] =
+      d.select($"id", $"fold".cast("int")).as[(Long, Int)].collect().toSet
+    val r1 = collectFolds(Xval.randomKfold(df.repartition(1), 4, seed = 3,
+      keyCol = Some("id")))
+    val r64 = collectFolds(Xval.randomKfold(df.repartition(64), 4, seed = 3,
+      keyCol = Some("id")))
+    assert(r1 == r64)
+    // rank-based assignment stays exactly balanced
+    val sizes = r1.groupBy(_._2).map(_._2.size).toSeq
+    assert(sizes.size == 4 && sizes.max - sizes.min <= 1)
+    val s1 = collectFolds(Xval.stratifiedKfold(df.repartition(1), 4, "label",
+      seed = 3, keyCol = Some("id")))
+    val s64 = collectFolds(Xval.stratifiedKfold(df.repartition(64), 4, "label",
+      seed = 3, keyCol = Some("id")))
+    assert(s1 == s64)
+  }
+
   test("approx aggregates within tolerance of exact (HLL++, t-digest)") {
     val li = Tables.lineitem(spark, sf())
     val exact = li.select(countDistinct("l_partkey")).as[Long].head()
