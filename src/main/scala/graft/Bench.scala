@@ -55,8 +55,10 @@ object Bench {
       val fn = qs(name)
       try { fn(spark, sfDir).queryExecution.executedPlan; fn(spark, sfDir).count() } // warm
       catch { case _: Throwable => () }
-      // best of 2 timed runs: single-run numbers at this scale wobble with
-      // JIT/GC; the min is the stable estimate of the plan's cost
+      // median of 3 timed runs: single-run numbers at this scale wobble
+      // ±50% with JIT/GC, which made round-over-round per-query deltas
+      // unattributable; the median is robust to one outlier in either
+      // direction (reported as "stat":"median" in the JSON)
       def timed(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -64,14 +66,13 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val a = timed()
-      val b = if (a >= 0) timed() else a
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val runs = Seq.fill(3)(timed())
+      name -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1))
     }
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
