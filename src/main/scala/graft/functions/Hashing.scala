@@ -117,11 +117,23 @@ object Hashing {
     Array.tabulate(dim)(b =>
       java.lang.Long.remainderUnsigned(splitmix(seed + b), 2001L) - 1000L)
 
+  /** ASCII token character after lowercasing: [a-z0-9]. The feature-
+    * hashing tokenizers are ASCII BY DEFINITION — it makes the engine and
+    * the DuckDB oracle regex (`[a-z0-9][a-z0-9']*`) definitionally
+    * identical rather than coincidentally equal on ASCII corpora (a
+    * Unicode `isLetterOrDigit` here would silently diverge from the
+    * replay on the first non-ASCII letter), and matches the ASCII
+    * normalization of the published fasttext/CCNet-style quality filters
+    * this path models. Non-ASCII letters act as token separators.
+    */
+  @inline private[graft] def isTokenChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
   /** Linear classifier apply, one text pass: tokenize exactly like
-    * `TextAnalysis.hashingTf` (letter/digit start, apostrophe
-    * continuation, FNV-1a over the lowered chars, signed-mod bucket) and
-    * sum the bucket weights. Returns (score_raw, n_toks) — both exact
-    * integers.
+    * `TextAnalysis.hashingTf` (ASCII letter/digit start — see
+    * [[isTokenChar]] — apostrophe continuation, FNV-1a over the lowered
+    * chars, signed-mod bucket) and sum the bucket weights. Returns
+    * (score_raw, n_toks) — both exact integers.
     */
   def linearScore(text: String, weights: Array[Long]): (Long, Long) = {
     val dim = weights.length
@@ -132,10 +144,10 @@ object Hashing {
       var i = 0
       val len = lower.length
       while (i < len) {
-        while (i < len && !Character.isLetterOrDigit(lower.charAt(i))) i += 1
+        while (i < len && !isTokenChar(lower.charAt(i))) i += 1
         if (i < len) {
           var h = 0xcbf29ce484222325L
-          while (i < len && (Character.isLetterOrDigit(lower.charAt(i)) ||
+          while (i < len && (isTokenChar(lower.charAt(i)) ||
               lower.charAt(i) == '\'')) {
             h ^= lower.charAt(i); h *= 0x100000001b3L; i += 1
           }

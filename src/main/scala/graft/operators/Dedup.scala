@@ -22,6 +22,41 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Lifecycle for the checkpoint blocks a dedup pipeline materializes
+    * ([[capBuckets]]'s signature tables, [[clusterPairs]]'s per-round
+    * results). Without it the blocks live until the plans are GC'd and the
+    * ContextCleaner runs — correct, but operationally sharp in a
+    * long-lived session composing many pipelines. [[withPipeline]] scopes
+    * a run and frees every block the scope created on exit;
+    * [[releaseCheckpoints]] is the explicit form.
+    *
+    * Contract: MATERIALIZE results inside the scope (collect/write/count)
+    * — a local checkpoint truncates lineage, so a lazy DataFrame that
+    * escapes the scope cannot recompute its freed blocks.
+    */
+  private val trackedCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** Register a localCheckpoint'd Dataset's backing RDD for release. */
+  private def tracked(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        trackedCheckpoints.add(lr.rdd)
+      case _ => ()
+    }
+    df
+  }
+
+  /** Free every checkpoint block registered since the last release. */
+  def releaseCheckpoints(): Unit = {
+    var r = trackedCheckpoints.poll()
+    while (r != null) { r.unpersist(blocking = false); r = trackedCheckpoints.poll() }
+  }
+
+  /** Run a dedup pipeline and free its checkpoint blocks on exit. */
+  def withPipeline[T](body: => T): T =
+    try body finally releaseCheckpoints()
+
   /** Exact duplicate groups by content digest. Returns one row per kept
     * document with its duplicate count; `keep` = smallest doc_id wins.
     * Scale: the shuffle key is the 32-hex md5, not the document body —
@@ -62,10 +97,9 @@ object Dedup {
     // Lazy checkpoint: materializes on the FIRST action that touches the
     // result (building the candidate DataFrame stays free), after which the
     // two consumers (blacklist agg + anti-join) share the one materialized
-    // copy. The checkpoint blocks live until the returned plan is GC'd,
-    // when the ContextCleaner drops them — callers composing many pipelines
-    // in one session should release references between runs.
-    val mat = df.localCheckpoint(eager = false)
+    // copy. Blocks are freed by Dedup.withPipeline/releaseCheckpoints, or
+    // (default) by plan GC + ContextCleaner.
+    val mat = tracked(df.localCheckpoint(eager = false))
     val hot = mat.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") > maxBucket)
@@ -204,7 +238,7 @@ object Dedup {
     * in any pair are absent (they are their own cluster).
     */
   def clusterPairs(pairs: DataFrame, maxIterations: Int = 15,
-      driverMaxEdges: Int = 1000000): DataFrame = {
+      driverMaxEdges: Int = -1): DataFrame = {
     // Fit-then-broadcast fast path: after LSH the candidate edge set is
     // normally tiny next to the corpus (it is the point of LSH), so below
     // `driverMaxEdges` edges connected components solve on the driver in
@@ -215,15 +249,25 @@ object Dedup {
     // the signature table upstream is checkpointed). Corpora whose
     // near-dup graph exceeds the threshold take the distributed loop
     // below unchanged.
+    //
+    // The threshold caps the probe's driver heap (~100 B/edge Row), so it
+    // is conf-driven: driverMaxEdges < 0 (the default) reads
+    // spark.graft.dedup.driverMaxEdges (default 100000 ≈ 10 MB probe);
+    // pass an explicit value to override per call, 0 to force the
+    // distributed path.
+    val maxEdges =
+      if (driverMaxEdges >= 0) driverMaxEdges
+      else pairs.sparkSession.conf
+        .get("spark.graft.dedup.driverMaxEdges", "100000").toInt
     val idType = pairs.schema("id_a").dataType
     val isIntegral = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType
     if (isIntegral) {
       val probe = pairs
         .select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .limit(driverMaxEdges + 1)
+        .limit(maxEdges + 1)
         .collect()
-      if (probe.length <= driverMaxEdges) {
+      if (probe.length <= maxEdges) {
         // union-find, roots kept at the component minimum: attach the
         // larger root under the smaller, halve paths on find
         val parent = new java.util.HashMap[Long, Long]()
@@ -258,9 +302,9 @@ object Dedup {
           .select(col("id").cast(idType), col("cluster_id").cast(idType))
       }
     }
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = tracked(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint() // reused by every round — materialize once
+      .localCheckpoint()) // reused by every round — materialize once
     // init folds the first hop in: label = min(self, direct neighbors).
     // Every node appears as a src (edges are bidirectional), so this one
     // aggregation replaces the distinct-nodes scan AND saves a full
@@ -288,11 +332,12 @@ object Dedup {
       // shortcut: follow the label's own label (labels are node ids, so
       // every mid_cid has a row); this is the pointer-doubling step
       val parents = stepped.select(col("id").as("pid"), col("mid_cid").as("p_label"))
-      val updated = stepped.join(parents, stepped("mid_cid") === parents("pid"), "left")
-        .select(col("id"), col("old_cid"),
-          least(col("mid_cid"), coalesce(col("p_label"), col("mid_cid")))
-            .as("cluster_id"))
-        .localCheckpoint() // eager: one job materializes the round
+      val updated = tracked(
+        stepped.join(parents, stepped("mid_cid") === parents("pid"), "left")
+          .select(col("id"), col("old_cid"),
+            least(col("mid_cid"), coalesce(col("p_label"), col("mid_cid")))
+              .as("cluster_id"))
+          .localCheckpoint()) // eager: one job materializes the round
       val changed = updated
         .filter(col("cluster_id") =!= col("old_cid")).limit(1).count()
       labels = updated.select("id", "cluster_id")

@@ -53,8 +53,13 @@ object Packing {
     val offsets = offRows.toSeq.toDF("_b", "_boff")
     val w = Window.partitionBy("_b").orderBy(sortCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL values contribute 0 — both inside the sum (a NULL row must not
+    // poison its successors) and around it (a bucket prefix that is all
+    // NULL is an empty contribution, matching the all-NULL bucket
+    // treatment of the driver-side offsets above)
     b.join(broadcast(offsets), Seq("_b"))
-      .withColumn(outCol, col("_boff") + sum(col(valueCol).cast("long")).over(w))
+      .withColumn(outCol, col("_boff") +
+        coalesce(sum(coalesce(col(valueCol).cast("long"), lit(0L))).over(w), lit(0L)))
       .drop("_b", "_boff")
   }
 

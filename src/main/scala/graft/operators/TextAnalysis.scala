@@ -177,6 +177,9 @@ object TextAnalysis {
   /** Hashing-trick term-frequency vector (`dim` buckets): the standard
     * feature-hashing vectorization for text at scale — no vocabulary
     * build, no shuffle, fixed-width output. One pass per document.
+    * Tokens are ASCII [a-z0-9] runs with apostrophe continuation
+    * ([[graft.functions.Hashing.isTokenChar]] — ASCII by definition, so
+    * the q67 oracle regex is the same tokenizer, not an approximation).
     */
   def hashingTf(text: Column, dim: Int = 1024): Column = {
     val u = udf((t: String) => {
@@ -186,10 +189,10 @@ object TextAnalysis {
         var i = 0
         val len = lower.length
         while (i < len) {
-          while (i < len && !Character.isLetterOrDigit(lower.charAt(i))) i += 1
+          while (i < len && !graft.functions.Hashing.isTokenChar(lower.charAt(i))) i += 1
           if (i < len) {
             var h = 0xcbf29ce484222325L
-            while (i < len && (Character.isLetterOrDigit(lower.charAt(i)) ||
+            while (i < len && (graft.functions.Hashing.isTokenChar(lower.charAt(i)) ||
                 lower.charAt(i) == '\'')) {
               h ^= lower.charAt(i); h *= 0x100000001b3L; i += 1
             }

@@ -3,8 +3,8 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Consistency of the driver contract surface: every oracle belongs to a
-  * real query, and the rows-only set stays the documented singleton
-  * (q57 — float-aggregation order in k-means; Oracles scaladoc).
+  * real query, and every query has an oracle (q57's integer-exact IVF
+  * variant closed the last rows-only gap; Oracles scaladoc).
   */
 class EntrySpec extends AnyFunSuite {
 
@@ -13,9 +13,9 @@ class EntrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("rows-only queries are exactly the documented set") {
+  test("every query is oracle-gated (no rows-only queries)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q57_knn_ivf"), s"undocumented rows-only: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"rows-only queries crept in: $rowsOnly")
   }
 
   test("generated oracle SQL is single-statement and ordered") {

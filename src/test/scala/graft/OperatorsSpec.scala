@@ -197,6 +197,30 @@ class OperatorsSpec extends SparkSpec {
     assert(fast == dist)
     assert(fast(5L) == 1L && fast(2L) == 1L && fast(13L) == 10L &&
       fast(22L) == 20L && fast(31L) == 30L)
+    // the probe threshold is conf-driven when not passed explicitly:
+    // 0 forces the distributed loop, which must agree with the default
+    spark.conf.set("spark.graft.dedup.driverMaxEdges", "0")
+    try assert(asMap(Dedup.clusterPairs(edges)) == fast)
+    finally spark.conf.unset("spark.graft.dedup.driverMaxEdges")
+  }
+
+  test("withPipeline frees the pipeline's checkpoint blocks on exit") {
+    val sc = spark.sparkContext
+    // force the distributed path (edges + per-round checkpoints) and run
+    // an LSH candidate pass (capBuckets' lazy checkpoint)
+    val before = sc.getPersistentRDDs.keySet
+    Dedup.withPipeline {
+      val edges = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      assert(Dedup.clusterPairs(edges, driverMaxEdges = 0).count() == 31)
+      assert(Dedup.minhashCandidates(docs, numHashes = 16, rowsPerBand = 4)
+        .count() >= 0)
+      val during = sc.getPersistentRDDs.keySet -- before
+      assert(during.nonEmpty, "pipeline should have live checkpoint blocks")
+    }
+    val leaked = (sc.getPersistentRDDs.keySet -- before)
+      .filter(id => sc.getPersistentRDDs(id).getStorageLevel
+        != org.apache.spark.storage.StorageLevel.NONE)
+    assert(leaked.isEmpty, s"checkpoint blocks still persisted: $leaked")
   }
 
   test("ANN join paths score through the native codegen'd cosine expression") {
@@ -534,6 +558,11 @@ class OperatorsSpec extends SparkSpec {
       .filter($"doc_id" === 0L)
       .select("score_raw", "keep").as[(Long, Boolean)].head()
     assert(neg == ((-4L, false))) // 4 tokens × −1
+    // the tokenizer is ASCII by definition (== the oracle regex): a
+    // non-ASCII letter separates tokens rather than joining one
+    val (sUml, _) = graft.functions.Hashing.linearScore("über café", w)
+    val (sAsc, _) = graft.functions.Hashing.linearScore("ber caf", w)
+    assert(sUml == sAsc)
   }
 
   test("embeddings: L2-normalize yields unit vectors; int8 quantize bounds error") {
