@@ -259,6 +259,47 @@ object TextAnalysis {
       .withColumn("keep", col("score") >= 0.0)
   }
 
+  /** Load a [[scoreLinear]] weight vector from a file — the production
+    * shape: a trained classifier's coefficients ship as a tiny sidecar
+    * next to the pipeline, not as code. Two formats:
+    *
+    *  - parquet (path contains ".parquet" or points at a directory of
+    *    part files): rows of (bucket INT, weight LONG); missing buckets
+    *    default to 0;
+    *  - plain text: one integer weight per line, bucket = line number.
+    *
+    * Reads through the Hadoop FS API on the driver (any Spark-reachable
+    * scheme), because the vector is dim entries (~8 KB at dim=1024) and
+    * must arrive in index order — the scoring path then broadcasts it to
+    * executors exactly like the in-memory variant.
+    */
+  def loadWeights(spark: org.apache.spark.sql.SparkSession, path: String,
+      dim: Int = 1024): Array[Long] = {
+    val w = new Array[Long](dim)
+    if (path.contains(".parquet")) {
+      spark.read.parquet(path).select(col("bucket").cast("int"),
+          col("weight").cast("long"))
+        .collect().foreach { r =>
+          val b = r.getInt(0)
+          require(b >= 0 && b < dim, s"weight bucket $b outside [0, $dim)")
+          w(b) = r.getLong(1)
+        }
+    } else {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      try {
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toArray
+        require(lines.length == dim,
+          s"weight file has ${lines.length} lines, expected dim=$dim")
+        var i = 0
+        while (i < dim) { w(i) = lines(i).toLong; i += 1 }
+      } finally in.close()
+    }
+    w
+  }
+
   /** Full document-analysis projection over a documents table. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =

@@ -387,6 +387,34 @@ class SourcesSpec extends SparkSpec {
     assert(joined.count() == 6)
   }
 
+  test("scoreLinear weights load from text and parquet sidecars identically") {
+    import graft.operators.TextAnalysis
+    val dim = 64
+    val w = graft.functions.Hashing.qualityWeights(dim, seed = 42L)
+    val docs = Seq((0L, "spark streams fast"), (1L, "don't stop me now"))
+      .toDF("doc_id", "text")
+    val expect = TextAnalysis.scoreLinear(docs, dim = dim, seed = 42L)
+      .select("doc_id", "score_raw").as[(Long, Long)].collect().toMap
+
+    val dir = Files.createTempDirectory("graft_weights")
+    // text: one weight per line, bucket = line number
+    val txt = dir.resolve("weights.txt")
+    Files.write(txt, w.mkString("\n").getBytes("UTF-8"))
+    val fromTxt = TextAnalysis.loadWeights(spark, txt.toString, dim)
+    assert(fromTxt.toSeq == w.toSeq)
+    // parquet: (bucket, weight) rows in any order
+    val pq = dir.resolve("weights.parquet").toString
+    w.zipWithIndex.map { case (v, b) => (b, v) }.toSeq.toDF("bucket", "weight")
+      .write.parquet(pq)
+    val fromPq = TextAnalysis.loadWeights(spark, pq, dim)
+    assert(fromPq.toSeq == w.toSeq)
+    // the scoring path is identical with file-loaded weights
+    val got = TextAnalysis.scoreLinear(docs, dim = dim,
+        weights = Some(fromTxt))
+      .select("doc_id", "score_raw").as[(Long, Long)].collect().toMap
+    assert(got == expect)
+  }
+
   test("folder scan with resample-on-read: info reflects the requested rate") {
     val ds = FolderSource.withDecodedAudio(FolderSource.scan(spark, wavRoot),
       targetFs = Some(4000), resample = true)
