@@ -35,7 +35,10 @@ object Bench {
     "q56_neardup_keep",    // end-to-end near-dedup (LSH → cluster → keep)
     "q58_asof_join",       // as-of union+window
     "q61_analytic_ranks",  // two-phase global ranking
-    "q67_tfidf_buckets")   // feature-hashing vectorization
+    "q67_tfidf_buckets",   // feature-hashing vectorization
+    "q79_pack_sequences",  // exact global prefix sum (two-phase)
+    "q80_quality_filter",  // broadcast-weights linear scorer
+    "q81_embed_quantize")  // embedding norm + int8 quantization
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
