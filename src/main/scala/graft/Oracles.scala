@@ -707,10 +707,29 @@ object Oracles {
     * re-rank (dot/norms are exact integer sums, so the final
     * `dot / sqrt(na·nb)` double is engine-identical).
     */
-  def q57KnnIvf: String = {
-    val nCells = 16; val nProbe = 4; val iters = 2; val k = 5
+  /** Shared CTE prefix for the integer-exact ANN replays (q57 IVF, q84
+    * PQ): int8 quantization (the q81 replay) → per-position values →
+    * splitmix64 seed ranking (`nSeeds` hash-smallest vectors, cell index
+    * = rank).
+    */
+  private def quantSeedCtes(nSeeds: Int): String = {
     val smx = staged(s"SELECT vec_id, vec_id::HUGEINT AS z FROM qz",
       splitmixStages("z"))
+    s"""  qz AS (SELECT vec_id,
+       |      list_transform(embedding, x -> CAST(floor(x::DOUBLE *
+       |        (CASE WHEN maxabs = 0.0 THEN 1.0 ELSE 127.0 / maxabs END) + 0.5) AS BIGINT)) AS qv
+       |    FROM (SELECT vec_id, embedding,
+       |            COALESCE(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) AS maxabs
+       |          FROM embeddings)),
+       |  vpos0 AS (SELECT vec_id, qv, unnest(range(len(qv))) AS pos FROM qz),
+       |  vpos AS (SELECT vec_id, pos, qv[pos + 1] AS v FROM vpos0),
+       |  sm AS (SELECT vec_id, ${signed("_sm")} AS h FROM ($smx)),
+       |  seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY h, vec_id) - 1)::INT AS cell
+       |            FROM sm ORDER BY h, vec_id LIMIT $nSeeds)""".stripMargin
+  }
+
+  def q57KnnIvf: String = {
+    val nCells = 16; val nProbe = 4; val iters = 2; val k = 5
     // d<i>: per-(vector, cell) integer squared-L2 vs cent<i>;
     // asgn<i>: argmin cell per vector (tie → lowest cell index)
     def dCtes(i: Int) =
@@ -728,17 +747,7 @@ object Oracles {
            |    ON p.cell = s.cell AND p.pos = s.pos)""".stripMargin
     }.mkString(",\n")
     s"""WITH
-       |  qz AS (SELECT vec_id,
-       |      list_transform(embedding, x -> CAST(floor(x::DOUBLE *
-       |        (CASE WHEN maxabs = 0.0 THEN 1.0 ELSE 127.0 / maxabs END) + 0.5) AS BIGINT)) AS qv
-       |    FROM (SELECT vec_id, embedding,
-       |            COALESCE(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) AS maxabs
-       |          FROM embeddings)),
-       |  vpos0 AS (SELECT vec_id, qv, unnest(range(len(qv))) AS pos FROM qz),
-       |  vpos AS (SELECT vec_id, pos, qv[pos + 1] AS v FROM vpos0),
-       |  sm AS (SELECT vec_id, ${signed("_sm")} AS h FROM ($smx)),
-       |  seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY h, vec_id) - 1)::INT AS cell
-       |            FROM sm ORDER BY h, vec_id LIMIT $nCells),
+       |${quantSeedCtes(nCells)},
        |  cent0 AS (SELECT s.cell, v.pos, v.v AS c FROM seeds s JOIN vpos v ON s.vec_id = v.vec_id),
        |$lloyd,
        |${dCtes(iters)},
@@ -765,6 +774,54 @@ object Oracles {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q84: `Similarity.pqTopKInt8` — product quantization with
+    * asymmetric-distance scoring, all-integer: the [[quantSeedCtes]]
+    * prefix, per-subvector integer Lloyd rounds (sub = pos // ds;
+    * truncating `//` centroid update, empty cells keep the previous
+    * centroid), per-(vector, sub) nearest-cell codes (tie → lowest cell),
+    * then ADC — for a query, d<iters> IS its distance table, so the
+    * score is one join of corpus codes onto it summed over subs.
+    */
+  def q84PqTopK: String = {
+    val ksub = 16; val m = 8; val iters = 2; val k = 5
+    val dsExpr = s"(SELECT len(qv) FROM qz LIMIT 1) // $m"
+    // d<i>: per-(vector, sub, cell) integer squared-L2 vs cent<i>;
+    // code<i>: argmin cell per (vector, sub)
+    def dCtes(i: Int) =
+      s"""  d$i AS (SELECT v.vec_id, c.sub, c.cell, sum((v.v - c.c) * (v.v - c.c)) AS d2
+         |          FROM vpos v JOIN cent$i c ON v.pos = c.pos GROUP BY 1, 2, 3),
+         |  code$i AS (SELECT vec_id, sub, cell FROM (SELECT vec_id, sub, cell,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cell) AS rn FROM d$i)
+         |    WHERE rn = 1)""".stripMargin
+    val lloyd = (0 until iters).map { i =>
+      dCtes(i) + ",\n" +
+        s"""  cent${i + 1} AS (SELECT p.sub, p.cell, p.pos, COALESCE(s.s // s.n, p.c) AS c
+           |    FROM cent$i p LEFT JOIN
+           |      (SELECT a.sub, a.cell, v.pos, sum(v.v)::BIGINT AS s, count(*) AS n
+           |       FROM code$i a JOIN vpos v
+           |       ON a.vec_id = v.vec_id AND (v.pos // (SELECT ds FROM ds)) = a.sub
+           |       GROUP BY 1, 2, 3) s
+           |    ON p.sub = s.sub AND p.cell = s.cell AND p.pos = s.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |${quantSeedCtes(ksub)},
+       |  ds AS (SELECT $dsExpr AS ds),
+       |  cent0 AS (SELECT (v.pos // (SELECT ds FROM ds)) AS sub, s.cell, v.pos, v.v AS c
+       |            FROM seeds s JOIN vpos v ON s.vec_id = v.vec_id),
+       |$lloyd,
+       |${dCtes(iters)},
+       |  scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      sum(q.d2)::BIGINT AS adist
+       |    FROM d$iters q JOIN code$iters c ON q.sub = c.sub AND q.cell = c.cell
+       |    WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+       |    GROUP BY 1, 2),
+       |  ranked AS (SELECT query_id, neighbor_id, adist,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id)::INT AS rank
+       |    FROM scored)
+       |SELECT query_id, neighbor_id, adist, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q82: `EventStreams.clickPurchaseJoin` — the streaming interval join
     * replayed as a batch join on epoch-µs longs (inner stream-stream
     * joins emit every match, so the streamed result equals the batch
@@ -783,6 +840,7 @@ object Oracles {
   def generated: Map[String, String] = Map(
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,
+    "q84_knn_pq" -> q84PqTopK,
     "q81_embed_quantize" -> q81EmbedQuantize,
     "q80_quality_filter" -> q80QualityFilter,
     "q79_pack_sequences" -> q79PackSequences,

@@ -466,6 +466,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- north star: product-quantization ANN (ADC scan over codes) ----
+    // Integer-exact end to end (int8 quantize → per-sub integer Lloyd →
+    // code join), so DuckDB replays encode + asymmetric-distance scoring
+    // bit-for-bit (Oracles.q84PqTopK).
+    "q84_knn_pq" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.pqTopKInt8(e, e.filter(col("vec_id") < 20), k = 5,
+          m = 8, ksub = 16, iters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- north star (rows-only): embedding near-dup pairs ----
     // (driver embeddings are near-orthogonal — max pairwise cosine ≈0.46 —
     // so the threshold exercises the top of the real distribution)

@@ -338,6 +338,142 @@ object Similarity {
       .select("query_id", "neighbor_id", "cell", "dot", "rank")
   }
 
+  /** Product-quantization ANN (integer-exact): the memory-compression
+    * tier of the ANN ladder (brute → LSH → IVF → PQ). Vectors are split
+    * into `m` subvectors, each encoded as the index of its nearest
+    * per-subspace centroid — the corpus side shrinks to m small ints per
+    * row (~m bytes at ksub ≤ 256; 32× vs float32 at dim 64 / m 8), and
+    * query scoring is asymmetric-distance (ADC): one (m × ksub) integer
+    * distance table per query, then each candidate costs m table lookups
+    * — no vector arithmetic in the scan loop.
+    *
+    * Scale shape: codebooks are nCells×dim longs trained with the same
+    * driver-iterated integer Lloyd rounds as [[ivfTopKInt8]] (one
+    * broadcast + one map-side assignment + one tiny aggregate per round);
+    * the scan is [[bruteForceTopK]]'s per-partition bounded-heap pattern
+    * over the CODES table — the corpus vectors themselves are never
+    * scanned, never shuffled. Exactness: int8 quantization (q81-proven),
+    * splitmix64-seeded codebooks, integer squared-L2 everywhere — the
+    * DuckDB oracle ([[graft.Oracles.q84PqTopK]]) replays encode + ADC
+    * bit-for-bit. Approximation error vs exact distance comes only from
+    * the PQ encoding itself (recall property-tested vs brute force).
+    *
+    * Output: (query_id, neighbor_id, adist, rank) — adist the integer ADC
+    * distance, rank 1..k by (adist asc, neighbor_id). Requires
+    * dim % m == 0 and |corpus| ≥ ksub.
+    */
+  def pqTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.functions.{udf => mkUdf}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    def quant(df: DataFrame): DataFrame =
+      Embeddings.withInt8Quantized(df, vecCol, qCol = "qv", scaleCol = "_qs")
+        .select(col(idCol).cast("long").as("id"), col("qv"))
+    val qc = quant(corpus)
+
+    // codebook seeds: the ksub hash-smallest corpus vectors, sliced per sub
+    val smxU = mkUdf((id: Long) => graft.functions.Hashing.splitmix64(id))
+    val seedRows: Array[Array[Int]] = qc
+      .withColumn("_h", smxU(col("id")))
+      .orderBy(col("_h"), col("id"))
+      .limit(ksub)
+      .collect()
+      .map(_.getSeq[Int](1).toArray)
+    val dim = seedRows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subvectors")
+    val ds = dim / m
+    var cents: Array[Array[Array[Long]]] = // (sub)(cell)(j)
+      Array.tabulate(m)(s => seedRows.map(v =>
+        v.slice(s * ds, (s + 1) * ds).map(_.toLong)))
+
+    def subDist2(v: Seq[Int], off: Int, c: Array[Long]): Long = {
+      var d = 0L; var j = 0
+      while (j < c.length) { val t = v(off + j) - c(j); d += t * t; j += 1 }
+      d
+    }
+    def encoder(cs: Array[Array[Array[Long]]]) = mkUdf((v: Seq[Int]) =>
+      Array.tabulate(m) { s =>
+        var best = 0; var bestD = Long.MaxValue
+        var c = 0
+        while (c < cs(s).length) {
+          val d = subDist2(v, s * ds, cs(s)(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      })
+
+    var it = 0
+    while (it < iters) {
+      val sums = qc.withColumn("codes", encoder(cents)(col("qv")))
+        .select(posexplode(col("qv")).as(Seq("pos", "v")), col("codes"))
+        .withColumn("sub", expr(s"pos DIV $ds"))
+        .withColumn("cell", element_at(col("codes"), col("sub").cast("int") + 1))
+        .groupBy("sub", "cell", "pos")
+        .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      sums.foreach { r =>
+        val sub = r.getAs[Long]("sub").toInt
+        val pos = r.getAs[Int]("pos")
+        next(sub)(r.getAs[Int]("cell"))(pos - sub * ds) =
+          r.getAs[Long]("s") / r.getAs[Long]("n")
+      }
+      cents = next
+      it += 1
+    }
+
+    val cs = cents
+    val coded = qc.select(col("id"), encoder(cs)(col("qv")).as("codes"))
+    // ADC tables: per query, dt(s)(c) = d²(query subvector s, centroid c)
+    val qTables: Array[(Long, Array[Array[Long]])] = quant(queries).collect()
+      .map { r =>
+        val qv = r.getSeq[Int](1)
+        (r.getLong(0), Array.tabulate(m, ksub)((s, c) => subDist2(qv, s * ds, cs(s)(c))))
+      }
+    val qB = spark.sparkContext.broadcast(qTables)
+    val partial = coded.as[(Long, Seq[Int])].mapPartitions { rows =>
+      val qs = qB.value
+      // worst-first under (adist asc, neighbor_id asc): head is the
+      // candidate the next better row evicts — larger dist is worse, and
+      // on equal dist the LARGER neighbor_id is worse (ties keep small ids)
+      val ord = new java.util.Comparator[(Long, Long)] {
+        def compare(x: (Long, Long), y: (Long, Long)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1) // larger dist = worse = first
+          if (c != 0) c else java.lang.Long.compare(y._2, x._2)
+        }
+      }
+      val heaps = Array.fill(qs.length)(
+        new java.util.PriorityQueue[(Long, Long)](k + 1, ord))
+      rows.foreach { case (nid, codes) =>
+        var i = 0
+        while (i < qs.length) {
+          if (qs(i)._1 != nid) {
+            val dt = qs(i)._2
+            var d = 0L; var s = 0
+            while (s < m) { d += dt(s)(codes(s)); s += 1 }
+            val h = heaps(i)
+            if (h.size < k) h.offer((d, nid))
+            else if (ord.compare((d, nid), h.peek()) > 0) { h.poll(); h.offer((d, nid)) }
+          }
+          i += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+        h.iterator().asScala.map { case (d, nid) => (qs(i)._1, nid, d) }
+      }
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    partial.toDF("query_id", "neighbor_id", "adist")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
+  }
+
   /** Pairwise near-duplicate detection by embedding cosine ≥ threshold,
     * via LSH buckets (embedding-space analog of Dedup.minhashCandidates).
     * Degenerate buckets (many near-zero / boilerplate vectors hashing
