@@ -822,6 +822,88 @@ object Oracles {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q85: `Similarity.ivfPqTopKInt8` — IVF-PQ with residual encoding,
+    * all-integer: the q57 coarse-quantizer chain (cent/asgn), residuals
+    * rv = v − cent[own cell], per-subvector residual Lloyd rounds (PQ
+    * seeds = residuals of the first `ksub` hash-ranked ids, reusing the
+    * shared `seeds` ranking), corpus coded per (cell, sub); queries probe
+    * `nProbe` cells, build per-(query, cell) residual distance tables
+    * (`qdt` — exactly the engine's broadcast ADC tables), and candidates
+    * in probed cells score by one (cell, sub, code) join summed over
+    * subs.
+    */
+  def q85IvfPq: String = {
+    val nCells = 16; val nProbe = 4; val m = 8; val ksub = 16
+    val iters = 2; val k = 5
+    // ---- coarse quantizer: identical chain to q57 ----
+    def dCtes(i: Int) =
+      s"""  d$i AS (SELECT v.vec_id, c.cell, sum((v.v - c.c) * (v.v - c.c)) AS d2
+         |          FROM vpos v JOIN cent$i c ON v.pos = c.pos GROUP BY 1, 2),
+         |  asgn$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d$i)
+         |    WHERE rn = 1)""".stripMargin
+    val lloyd = (0 until iters).map { i =>
+      dCtes(i) + ",\n" +
+        s"""  cent${i + 1} AS (SELECT p.cell, p.pos, COALESCE(s.s // s.n, p.c) AS c
+           |    FROM cent$i p LEFT JOIN
+           |      (SELECT a.cell, v.pos, sum(v.v)::BIGINT AS s, count(*) AS n
+           |       FROM asgn$i a JOIN vpos v ON a.vec_id = v.vec_id GROUP BY 1, 2) s
+           |    ON p.cell = s.cell AND p.pos = s.pos)""".stripMargin
+    }.mkString(",\n")
+    // ---- residual PQ: q84's per-sub chain over rpos instead of vpos ----
+    def pdCtes(i: Int) =
+      s"""  pd$i AS (SELECT r.vec_id, pc.sub, pc.pc, sum((r.rv - pc.c) * (r.rv - pc.c)) AS d2
+         |           FROM rpos r JOIN pqcent$i pc ON r.pos = pc.pos GROUP BY 1, 2, 3),
+         |  pcode$i AS (SELECT vec_id, sub, pc FROM (SELECT vec_id, sub, pc,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, pc) AS rn FROM pd$i)
+         |    WHERE rn = 1)""".stripMargin
+    val pqLloyd = (0 until iters).map { i =>
+      pdCtes(i) + ",\n" +
+        s"""  pqcent${i + 1} AS (SELECT p.sub, p.pc, p.pos, COALESCE(s.s // s.n, p.c) AS c
+           |    FROM pqcent$i p LEFT JOIN
+           |      (SELECT a.sub, a.pc, r.pos, sum(r.rv)::BIGINT AS s, count(*) AS n
+           |       FROM pcode$i a JOIN rpos r
+           |       ON a.vec_id = r.vec_id AND (r.pos // (SELECT ds FROM ds)) = a.sub
+           |       GROUP BY 1, 2, 3) s
+           |    ON p.sub = s.sub AND p.pc = s.pc AND p.pos = s.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |${quantSeedCtes(math.max(nCells, ksub))},
+       |  ds AS (SELECT (SELECT len(qv) FROM qz LIMIT 1) // $m AS ds),
+       |  cent0 AS (SELECT s.cell, v.pos, v.v AS c FROM seeds s JOIN vpos v
+       |            ON s.vec_id = v.vec_id WHERE s.cell < $nCells),
+       |$lloyd,
+       |${dCtes(iters)},
+       |  rpos AS (SELECT v.vec_id, a.cell, v.pos, v.v - c.c AS rv
+       |           FROM vpos v JOIN asgn$iters a ON v.vec_id = a.vec_id
+       |           JOIN cent$iters c ON c.cell = a.cell AND c.pos = v.pos),
+       |  pqcent0 AS (SELECT (r.pos // (SELECT ds FROM ds)) AS sub, s.cell AS pc, r.pos, r.rv AS c
+       |              FROM seeds s JOIN rpos r ON s.vec_id = r.vec_id WHERE s.cell < $ksub),
+       |$pqLloyd,
+       |${pdCtes(iters)},
+       |  probe AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |      FROM d$iters WHERE vec_id < 20) WHERE rn <= $nProbe),
+       |  qrpos AS (SELECT p.query_id, p.cell, v.pos, v.v - c.c AS rv
+       |            FROM probe p JOIN vpos v ON v.vec_id = p.query_id
+       |            JOIN cent$iters c ON c.cell = p.cell AND c.pos = v.pos),
+       |  qdt AS (SELECT q.query_id, q.cell, pc.sub, pc.pc,
+       |      sum((q.rv - pc.c) * (q.rv - pc.c)) AS d2
+       |    FROM qrpos q JOIN pqcent$iters pc ON pc.pos = q.pos
+       |    GROUP BY 1, 2, 3, 4),
+       |  scored AS (SELECT t.query_id, a.vec_id AS neighbor_id,
+       |      any_value(t.cell) AS cell, sum(t.d2)::BIGINT AS adist
+       |    FROM qdt t
+       |    JOIN asgn$iters a ON a.cell = t.cell AND a.vec_id <> t.query_id
+       |    JOIN pcode$iters n ON n.vec_id = a.vec_id AND n.sub = t.sub AND n.pc = t.pc
+       |    GROUP BY 1, 2),
+       |  ranked AS (SELECT query_id, neighbor_id, cell, adist,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id)::INT AS rank
+       |    FROM scored)
+       |SELECT query_id, neighbor_id, cell, adist, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q82: `EventStreams.clickPurchaseJoin` — the streaming interval join
     * replayed as a batch join on epoch-µs longs (inner stream-stream
     * joins emit every match, so the streamed result equals the batch
@@ -841,6 +923,7 @@ object Oracles {
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,
     "q84_knn_pq" -> q84PqTopK,
+    "q85_knn_ivfpq" -> q85IvfPq,
     "q81_embed_quantize" -> q81EmbedQuantize,
     "q80_quality_filter" -> q80QualityFilter,
     "q79_pack_sequences" -> q79PackSequences,

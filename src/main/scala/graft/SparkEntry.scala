@@ -477,6 +477,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- north star: IVF-PQ ANN (residual encoding, the FAISS shape) ----
+    // Coarse cells prune, residual PQ codes score; all-integer so DuckDB
+    // replays both trainings + ADC bit-for-bit (Oracles.q85IvfPq).
+    "q85_knn_ivfpq" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.ivfPqTopKInt8(e, e.filter(col("vec_id") < 20), k = 5,
+          nCells = 16, nProbe = 4, m = 8, ksub = 16, iters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- north star (rows-only): embedding near-dup pairs ----
     // (driver embeddings are near-orthogonal — max pairwise cosine ≈0.46 —
     // so the threshold exercises the top of the real distribution)

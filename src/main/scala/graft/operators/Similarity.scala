@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   *    buckets. The 100 TB path: the big table is hashed map-side and
   *    joined on short keys.
   */
-object Similarity {
+// Serializable: the ANN UDF closures reference module-level helpers
+// (dist2At, the encoders), so the module instance rides along in the
+// serialized task closure.
+object Similarity extends Serializable {
 
   /** Cosine similarity of two equal-length float-array columns, computed
     * with codegen'd higher-order functions (no UDF).
@@ -259,46 +262,59 @@ object Similarity {
     * candidate set is ≈ |corpus|·nProbe/nCells per query. Requires
     * |corpus| ≥ nCells.
     */
-  def ivfTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, iters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.functions.{udf => mkUdf}
+  // ---- shared machinery of the integer-exact ANN variants (IVF / PQ /
+  // IVF-PQ): int8-quantized table, splitmix64 seed selection, integer
+  // Lloyd training (whole-vector and per-subvector), argmin encoders.
+  // All integer / truncating-division math — the property that lets the
+  // DuckDB oracles replay training and scoring bit-for-bit.
 
-    def quant(df: DataFrame): DataFrame =
-      Embeddings.withInt8Quantized(df, vecCol, qCol = "qv", scaleCol = "_qs")
-        .select(col(idCol).cast("long").as("id"), col("qv"))
-    val qc = quant(corpus)
+  /** (id, qv: array<int>) projection with q81-proven int8 quantization. */
+  private def quantIds(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    Embeddings.withInt8Quantized(df, vecCol, qCol = "qv", scaleCol = "_qs")
+      .select(col(idCol).cast("long").as("id"), col("qv"))
 
-    def dist2(v: Seq[Int], c: Array[Long]): Long = {
-      var d = 0L; var j = 0
-      while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-      d
-    }
+  /** Integer squared-L2 of v[off..off+|c|) vs c. */
+  @inline private def dist2At(v: Seq[Int], off: Int, c: Array[Long]): Long = {
+    var d = 0L; var j = 0
+    while (j < c.length) { val t = v(off + j) - c(j); d += t * t; j += 1 }
+    d
+  }
 
-    // seeds: the nCells hash-smallest corpus vectors (signed splitmix64
-    // of id, tie by id); cell index = rank in that order
-    val smxU = mkUdf((id: Long) => graft.functions.Hashing.splitmix64(id))
-    var cents: Array[Array[Long]] = qc
-      .withColumn("_h", smxU(col("id")))
+  /** The n hash-smallest vectors of (id, qv) — signed splitmix64 of id,
+    * tie by id; seed index = rank in that order.
+    */
+  private def hashSeedVecs(qc: DataFrame, n: Int): Array[Array[Int]] = {
+    val smxU = udf((id: Long) => graft.functions.Hashing.splitmix64(id))
+    qc.withColumn("_h", smxU(col("id")))
       .orderBy(col("_h"), col("id"))
-      .limit(nCells)
+      .limit(n)
       .collect()
-      .map(_.getSeq[Int](1).map(_.toLong).toArray)
+      .map(_.getSeq[Int](1).toArray)
+  }
 
-    def assigner(cs: Array[Array[Long]]) = mkUdf((v: Seq[Int]) => {
-      var best = 0; var bestD = Long.MaxValue
-      var i = 0
-      while (i < cs.length) {
-        val d = dist2(v, cs(i))
-        if (d < bestD) { bestD = d; best = i }
-        i += 1
-      }
-      best
-    })
+  /** Whole-vector argmin-cell UDF: (d², cell) ascending. */
+  private def cellAssigner(cs: Array[Array[Long]]) = udf((v: Seq[Int]) => {
+    var best = 0; var bestD = Long.MaxValue
+    var i = 0
+    while (i < cs.length) {
+      val d = dist2At(v, 0, cs(i))
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  })
 
+  /** Integer Lloyd rounds over whole vectors of `qc`(id, qv): assignment
+    * by (d², cell), centroid update by truncating division, empty cells
+    * keep their previous centroid. One broadcast + one map-side
+    * assignment + one nCells×dim aggregate per round.
+    */
+  private def trainCellCentroids(qc: DataFrame, seeds: Array[Array[Int]],
+      iters: Int): Array[Array[Long]] = {
+    var cents: Array[Array[Long]] = seeds.map(_.map(_.toLong))
     var it = 0
     while (it < iters) {
-      val sums = qc.withColumn("cell", assigner(cents)(col("qv")))
+      val sums = qc.withColumn("cell", cellAssigner(cents)(col("qv")))
         .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy("cell", "pos")
         .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
@@ -311,8 +327,66 @@ object Similarity {
       cents = next
       it += 1
     }
+    cents
+  }
 
-    val cs = cents
+  /** Per-subvector argmin-code UDF over (sub)(cell)(j) codebooks. */
+  private def subEncoder(cs: Array[Array[Array[Long]]], m: Int, ds: Int) =
+    udf((v: Seq[Int]) =>
+      Array.tabulate(m) { s =>
+        var best = 0; var bestD = Long.MaxValue
+        var c = 0
+        while (c < cs(s).length) {
+          val d = dist2At(v, s * ds, cs(s)(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      })
+
+  /** Integer Lloyd rounds per subvector over `qc`(id, qv): the PQ
+    * codebook trainer. Same exactness discipline as
+    * [[trainCellCentroids]]; returns (sub)(cell)(j) codebooks.
+    */
+  private def trainSubCentroids(qc: DataFrame, seeds: Array[Array[Int]],
+      m: Int, iters: Int): Array[Array[Array[Long]]] = {
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subvectors")
+    val ds = dim / m
+    var cents: Array[Array[Array[Long]]] =
+      Array.tabulate(m)(s => seeds.map(v =>
+        v.slice(s * ds, (s + 1) * ds).map(_.toLong)))
+    var it = 0
+    while (it < iters) {
+      val sums = qc.withColumn("codes", subEncoder(cents, m, ds)(col("qv")))
+        .select(posexplode(col("qv")).as(Seq("pos", "v")), col("codes"))
+        .withColumn("sub", expr(s"pos DIV $ds"))
+        .withColumn("cell", element_at(col("codes"), col("sub").cast("int") + 1))
+        .groupBy("sub", "cell", "pos")
+        .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      sums.foreach { r =>
+        val sub = r.getAs[Long]("sub").toInt
+        val pos = r.getAs[Int]("pos")
+        next(sub)(r.getAs[Int]("cell"))(pos - sub * ds) =
+          r.getAs[Long]("s") / r.getAs[Long]("n")
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  def ivfTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def quant(df: DataFrame): DataFrame = quantIds(df, idCol, vecCol)
+    val qc = quant(corpus)
+    def dist2(v: Seq[Int], c: Array[Long]): Long = dist2At(v, 0, c)
+    def assigner(cs: Array[Array[Long]]) = cellAssigner(cs)
+    import org.apache.spark.sql.functions.{udf => mkUdf}
+    val cs = trainCellCentroids(qc, hashSeedVecs(qc, nCells), iters)
     val probeU = mkUdf((v: Seq[Int]) =>
       cs.indices.map(i => (dist2(v, cs(i)), i)).sorted.take(nProbe).map(_._2))
     val c = qc.select(col("id").as("neighbor_id"), col("qv").as("nv"))
@@ -365,74 +439,24 @@ object Similarity {
   def pqTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, ksub: Int = 16, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.functions.{udf => mkUdf}
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    def quant(df: DataFrame): DataFrame =
-      Embeddings.withInt8Quantized(df, vecCol, qCol = "qv", scaleCol = "_qs")
-        .select(col(idCol).cast("long").as("id"), col("qv"))
+    def quant(df: DataFrame): DataFrame = quantIds(df, idCol, vecCol)
     val qc = quant(corpus)
 
-    // codebook seeds: the ksub hash-smallest corpus vectors, sliced per sub
-    val smxU = mkUdf((id: Long) => graft.functions.Hashing.splitmix64(id))
-    val seedRows: Array[Array[Int]] = qc
-      .withColumn("_h", smxU(col("id")))
-      .orderBy(col("_h"), col("id"))
-      .limit(ksub)
-      .collect()
-      .map(_.getSeq[Int](1).toArray)
+    val seedRows = hashSeedVecs(qc, ksub)
     val dim = seedRows.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subvectors")
     val ds = dim / m
-    var cents: Array[Array[Array[Long]]] = // (sub)(cell)(j)
-      Array.tabulate(m)(s => seedRows.map(v =>
-        v.slice(s * ds, (s + 1) * ds).map(_.toLong)))
+    val cs = trainSubCentroids(qc, seedRows, m, iters)
 
-    def subDist2(v: Seq[Int], off: Int, c: Array[Long]): Long = {
-      var d = 0L; var j = 0
-      while (j < c.length) { val t = v(off + j) - c(j); d += t * t; j += 1 }
-      d
-    }
-    def encoder(cs: Array[Array[Array[Long]]]) = mkUdf((v: Seq[Int]) =>
-      Array.tabulate(m) { s =>
-        var best = 0; var bestD = Long.MaxValue
-        var c = 0
-        while (c < cs(s).length) {
-          val d = subDist2(v, s * ds, cs(s)(c))
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        best
-      })
-
-    var it = 0
-    while (it < iters) {
-      val sums = qc.withColumn("codes", encoder(cents)(col("qv")))
-        .select(posexplode(col("qv")).as(Seq("pos", "v")), col("codes"))
-        .withColumn("sub", expr(s"pos DIV $ds"))
-        .withColumn("cell", element_at(col("codes"), col("sub").cast("int") + 1))
-        .groupBy("sub", "cell", "pos")
-        .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = cents.map(_.map(_.clone()))
-      sums.foreach { r =>
-        val sub = r.getAs[Long]("sub").toInt
-        val pos = r.getAs[Int]("pos")
-        next(sub)(r.getAs[Int]("cell"))(pos - sub * ds) =
-          r.getAs[Long]("s") / r.getAs[Long]("n")
-      }
-      cents = next
-      it += 1
-    }
-
-    val cs = cents
-    val coded = qc.select(col("id"), encoder(cs)(col("qv")).as("codes"))
+    val coded = qc.select(col("id"), subEncoder(cs, m, ds)(col("qv")).as("codes"))
     // ADC tables: per query, dt(s)(c) = d²(query subvector s, centroid c)
     val qTables: Array[(Long, Array[Array[Long]])] = quant(queries).collect()
       .map { r =>
         val qv = r.getSeq[Int](1)
-        (r.getLong(0), Array.tabulate(m, ksub)((s, c) => subDist2(qv, s * ds, cs(s)(c))))
+        (r.getLong(0), Array.tabulate(m, ksub)((s, c) => dist2At(qv, s * ds, cs(s)(c))))
       }
     val qB = spark.sparkContext.broadcast(qTables)
     val partial = coded.as[(Long, Seq[Int])].mapPartitions { rows =>
@@ -472,6 +496,112 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "adist", "rank")
+  }
+
+  /** IVF-PQ ANN with residual encoding (integer-exact) — the production
+    * composition of the ladder, the FAISS `IVFx,PQy` shape: IVF cells
+    * prune the search to nProbe/nCells of the corpus, and within cells
+    * candidates are scored from PQ codes of their RESIDUAL (vector −
+    * cell centroid) — residuals concentrate around zero, so the same
+    * codebook budget quantizes them much more accurately than raw
+    * vectors. At 100 TB the corpus persists as (cell, m codes) per row:
+    * pruning AND ~32× compression, with the scan reading codes only.
+    *
+    * Exactness discipline is [[ivfTopKInt8]]'s: int8 quantization, both
+    * trainings (cell centroids, then per-sub residual codebooks) are
+    * integer Lloyd rounds, residuals are integer differences, and ADC
+    * tables are integer d² — the DuckDB oracle
+    * ([[graft.Oracles.q85IvfPq]]) replays the whole pipeline. Queries
+    * probe nProbe cells with a per-(query, cell) residual table.
+    *
+    * Output: (query_id, neighbor_id, cell, adist, rank), rank by
+    * (adist asc, neighbor_id) over candidates in probed cells.
+    */
+  def ivfPqTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.functions.{udf => mkUdf}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val qc = quantIds(corpus, idCol, vecCol)
+    val ivfSeeds = hashSeedVecs(qc, math.max(nCells, ksub))
+    val dim = ivfSeeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subvectors")
+    val ds = dim / m
+
+    // coarse quantizer, then residuals r = v − cent[cell] (still ints)
+    val ivfCents = trainCellCentroids(qc, ivfSeeds.take(nCells), iters)
+    val resU = mkUdf((v: Seq[Int], cell: Int) => {
+      val c = ivfCents(cell)
+      Array.tabulate(v.length)(j => (v(j) - c(j)).toInt)
+    })
+    val withRes = qc.withColumn("cell", cellAssigner(ivfCents)(col("qv")))
+      .withColumn("rv", resU(col("qv"), col("cell")))
+    // PQ codebooks on residuals; seeds = residuals of the ksub
+    // hash-smallest ids (their own cells' residuals)
+    val resTable = withRes.select(col("id"), col("rv").as("qv"))
+    val pqSeeds = hashSeedVecs(resTable, ksub)
+    val pqCents = trainSubCentroids(resTable, pqSeeds, m, iters)
+
+    val coded = withRes.select(col("id"), col("cell"),
+      subEncoder(pqCents, m, ds)(col("rv")).as("codes"))
+
+    // per-query probes + per-(query, probed-cell) residual ADC tables
+    val qRows: Array[(Long, Map[Int, Array[Array[Long]]])] =
+      quantIds(queries, idCol, vecCol).collect().map { r =>
+        val qv = r.getSeq[Int](1)
+        val cells = ivfCents.indices
+          .map(i => (dist2At(qv, 0, ivfCents(i)), i)).sorted.take(nProbe).map(_._2)
+        val tables = cells.map { cell =>
+          val res = Array.tabulate(dim)(j => (qv(j) - ivfCents(cell)(j)).toInt).toSeq
+          cell -> Array.tabulate(m, ksub)((s, c) => dist2At(res, s * ds, pqCents(s)(c)))
+        }.toMap
+        (r.getLong(0), tables)
+      }
+    val qB = spark.sparkContext.broadcast(qRows)
+
+    val partial = coded.as[(Long, Int, Seq[Int])].mapPartitions { rows =>
+      val qs = qB.value
+      // worst-first under (adist asc, neighbor_id asc), as in pqTopKInt8
+      val ord = new java.util.Comparator[(Long, Long, Int)] {
+        def compare(x: (Long, Long, Int), y: (Long, Long, Int)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1)
+          if (c != 0) c else java.lang.Long.compare(y._2, x._2)
+        }
+      }
+      val heaps = Array.fill(qs.length)(
+        new java.util.PriorityQueue[(Long, Long, Int)](k + 1, ord))
+      rows.foreach { case (nid, cell, codes) =>
+        var i = 0
+        while (i < qs.length) {
+          if (qs(i)._1 != nid) {
+            qs(i)._2.get(cell) match {
+              case Some(dt) =>
+                var d = 0L; var s = 0
+                while (s < m) { d += dt(s)(codes(s)); s += 1 }
+                val h = heaps(i)
+                if (h.size < k) h.offer((d, nid, cell))
+                else if (ord.compare((d, nid, cell), h.peek()) > 0) {
+                  h.poll(); h.offer((d, nid, cell))
+                }
+              case None => () // neighbor's cell not probed by this query
+            }
+          }
+          i += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+        h.iterator().asScala.map { case (d, nid, cell) => (qs(i)._1, nid, cell, d) }
+      }
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    partial.toDF("query_id", "neighbor_id", "cell", "adist")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cell", "adist", "rank")
   }
 
   /** Pairwise near-duplicate detection by embedding cosine ≥ threshold,

@@ -313,6 +313,29 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall too low: $recall")
   }
 
+  test("IVF-PQ ANN (residual codes): recall vs brute force and layout independence") {
+    val base = (0 until 60).map { i =>
+      val cluster = i % 4
+      val v = Array.tabulate(16)(j =>
+        if (j / 4 == cluster) 1.0f + 0.01f * i else 0.01f * ((i + j) % 3))
+      (i.toLong, v.toSeq)
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(df, df.filter($"vec_id" < 4), k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopKInt8(d, d.filter($"vec_id" < 4), k = 3,
+          nCells = 8, nProbe = 4, m = 4, ksub = 8, iters = 2)
+        .select("query_id", "neighbor_id", "cell", "adist", "rank")
+        .as[(Long, Long, Int, Long, Int)].collect().toSet
+    val r1 = run(df.repartition(1))
+    val r64 = run(df.repartition(64))
+    assert(r1 == r64) // integer trainings + integer ADC: layout-invariant
+    val got = r1.map { case (q, n, _, _, _) => (q, n) }
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF-PQ recall too low: $recall")
+  }
+
   test("text analysis: counts and language id") {
     val out = TextAnalysis.analyze(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
