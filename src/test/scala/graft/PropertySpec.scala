@@ -118,4 +118,42 @@ class PropertySpec extends SparkSpec {
       assert(out.length == math.round(tgt.toDouble / src * 100).toInt)
     }
   }
+
+  test("withRunningTotal equals the naive driver cumsum across seeds/NULL mixes") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val n = 40 + rnd.nextInt(60)
+      val rows = (0 until n).map { i =>
+        val v: java.lang.Long =
+          if (rnd.nextInt(5) == 0) null else java.lang.Long.valueOf(rnd.nextInt(100).toLong)
+        (i.toLong, v)
+      }
+      val df = rows.toDF("k", "v").repartition(1 + rnd.nextInt(8))
+      val got = graft.operators.Packing
+        .withRunningTotal(df, Seq("k"), "v", numBuckets = 1 + rnd.nextInt(6))
+        .select("k", "running").as[(Long, Long)].collect().toMap
+      var acc = 0L
+      rows.sortBy(_._1).foreach { case (k, v) =>
+        acc += (if (v == null) 0L else v.longValue())
+        assert(got(k) == acc, s"trial=$trial k=$k")
+      }
+    }
+  }
+
+  test("foldMasksVal partitions every fold across seeds and val fractions") {
+    val df = (0L until 120L).map(i => (i, (i % 7).toDouble.min(1.0) * 0)).toDF("id", "test_only")
+    for (seed <- Seq(0L, 1L, 99L); vf <- Seq(0.1, 1.0 / 3, 0.7)) {
+      val m = graft.operators.Xval.foldMasksVal(
+        graft.operators.Xval.md5Kfold(df, 3, "id"), 3, vf, "id", seed = seed)
+      for (k <- 0 until 3) {
+        val sets = m.select(
+          col(s"xval_train_fold_$k").cast("int") +
+            col(s"xval_val_fold_$k").cast("int") * 2 +
+            col(s"xval_test_fold_$k").cast("int") * 4)
+          .as[Int].collect()
+        // exactly one of train(1) / val(2) / test(4) per row
+        assert(sets.forall(s => s == 1 || s == 2 || s == 4), s"seed=$seed vf=$vf k=$k")
+      }
+    }
+  }
 }
