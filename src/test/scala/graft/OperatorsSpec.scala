@@ -313,6 +313,27 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall too low: $recall")
   }
 
+  test("ANN scan plans never shuffle the corpus (codes/vectors stay map-side)") {
+    val df = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(16)(j => (0.1f * ((i + j) % 7))).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 4)
+    def exchanges(plan: String): Int = "Exchange".r.findAllIn(plan).length
+    // brute force and PQ scans: per-partition heaps over the corpus (or
+    // its codes) — the only Exchange allowed is the final tiny window
+    // over ≤ |queries|×k×partitions partial top-k rows
+    val brute = Similarity.bruteForceTopK(df, q, k = 3)
+    assert(exchanges(brute.queryExecution.executedPlan.toString) <= 1,
+      brute.queryExecution.executedPlan.toString.take(800))
+    val pq = Similarity.pqTopKInt8(df, q, k = 3, m = 4, ksub = 8, iters = 1)
+    assert(exchanges(pq.queryExecution.executedPlan.toString) <= 1,
+      pq.queryExecution.executedPlan.toString.take(800))
+    val ivfpq = Similarity.ivfPqTopKInt8(df, q, k = 3, nCells = 4, nProbe = 2,
+      m = 4, ksub = 8, iters = 1)
+    assert(exchanges(ivfpq.queryExecution.executedPlan.toString) <= 1,
+      ivfpq.queryExecution.executedPlan.toString.take(800))
+  }
+
   test("IVF-PQ ANN (residual codes): recall vs brute force and layout independence") {
     val base = (0 until 60).map { i =>
       val cluster = i % 4
