@@ -387,6 +387,50 @@ class SourcesSpec extends SparkSpec {
     assert(joined.count() == 6)
   }
 
+  test("streaming near-dup: stateful LSH equals batch candidates; cross-batch pairs found") {
+    import graft.streaming.StreamingDedup
+    import graft.operators.Dedup
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "the quick brown fox jumps over the lazy dog!", // near-dup of 0
+      2L -> "completely different content about spark engines",
+      3L -> "completely different content about spark engines!!", // near-dup of 2
+      4L -> "unrelated third topic with its own words entirely")
+    val docs = texts.toDF("doc_id", "text")
+
+    // batch-mode equivalence: same within-bucket candidate semantics as
+    // the batch LSH operator (no exact-collapse so ids line up)
+    val stream = StreamingDedup.nearDupCandidates(spark, docs,
+        numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    val batch = Dedup.minhashCandidates(docs, numHashes = 32, rowsPerBand = 4,
+        threshold = 0.5, collapseExact = false)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(stream == batch, s"stream=$stream batch=$batch")
+    assert(stream.contains((0L, 1L)) && stream.contains((2L, 3L)))
+
+    // true streaming: the match arrives in a LATER batch than its partner
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingDedup.nearDupCandidates(spark,
+      input.toDF().toDF("doc_id", "text"), numHashes = 32, rowsPerBand = 4,
+      threshold = 0.5)
+    val q = out.writeStream.format("memory").queryName("neardup_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(0L -> texts(0)._2, 2L -> texts(2)._2)
+      q.processAllAvailable()
+      assert(spark.table("neardup_sink").count() == 0) // nothing similar yet
+      input.addData(1L -> texts(1)._2, 4L -> texts(4)._2)
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_sink")
+        .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+      assert(pairs == Set((0L, 1L))) // cross-batch pair vs stored state
+    } finally q.stop()
+  }
+
   test("scoreLinear weights load from text and parquet sidecars identically") {
     import graft.operators.TextAnalysis
     val dim = 64
