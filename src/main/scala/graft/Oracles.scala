@@ -146,6 +146,18 @@ object Oracles {
        |${minhashCandCtes(0.3, num = 32, rpb = 4, k = 5)}
        |SELECT id_a, id_b, est_jaccard FROM cand ORDER BY id_a, id_b""".stripMargin
 
+  /** q86: `StreamingDedup.nearDupCandidates` run in batch mode over the
+    * exact-dedup representatives, distinct pairs — the stateful
+    * per-bucket comparison yields exactly the within-bucket candidate set
+    * of the batch LSH, so the oracle is the same band-join replay as q34.
+    * est_jaccard = agreement/32 is an exact dyadic division, identical on
+    * any engine.
+    */
+  def q86StreamNearDup: String =
+    s"""WITH
+       |${minhashCandCtes(0.3, num = 32, rpb = 4, k = 5)}
+       |SELECT id_a, id_b, est_jaccard FROM cand ORDER BY id_a, id_b""".stripMargin
+
   /** q36: exact 5-shingle Jaccard ≥ 0.4 over the q34 candidate pairs. */
   def q36JaccardVerify: String =
     s"""WITH
@@ -924,6 +936,7 @@ object Oracles {
     "q57_knn_ivf" -> q57KnnIvf,
     "q84_knn_pq" -> q84PqTopK,
     "q85_knn_ivfpq" -> q85IvfPq,
+    "q86_stream_neardup" -> q86StreamNearDup,
     "q81_embed_quantize" -> q81EmbedQuantize,
     "q80_quality_filter" -> q80QualityFilter,
     "q79_pack_sequences" -> q79PackSequences,

@@ -419,6 +419,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- §2.9 + north star: streaming near-dup, batch-mode replay ----
+    // The stateful per-bucket LSH (streaming/StreamingDedup) yields the
+    // same candidate set as the batch band join, so the q34 oracle gates
+    // the streaming code path too (distinct pairs; est = agreement/32).
+    "q86_stream_neardup" -> ((s, dir) => {
+      val reps = Dedup.exactKeep(documents(s, dir))
+      graft.streaming.StreamingDedup.nearDupCandidates(s, reps,
+          numHashes = 32, rowsPerBand = 4, k = 5, threshold = 0.3,
+          maxPerBucket = 1000000)
+        .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- north star (rows-only): SimHash near-dup candidates ----
     "q35_simhash_neardup" -> ((s, dir) => {
       Dedup.simhashCandidates(documents(s, dir))
