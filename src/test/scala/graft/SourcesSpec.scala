@@ -410,6 +410,17 @@ class SourcesSpec extends SparkSpec {
     assert(stream == batch, s"stream=$stream batch=$batch")
     assert(stream.contains((0L, 1L)) && stream.contains((2L, 3L)))
 
+    // maxPerBucket eviction: with capacity 1 per bucket, doc 0's
+    // signature is evicted by doc 2's arrival (id order), so the (0,1)
+    // pair can only surface if 0 survived — with the near-dup corpus all
+    // in distinct buckets except the dup pairs, capacity 1 still finds
+    // pairs whose partners arrive consecutively but drops none here
+    // beyond bucket history; assert the op stays consistent (subset)
+    val capped = StreamingDedup.nearDupCandidates(spark, docs,
+        numHashes = 32, rowsPerBand = 4, threshold = 0.5, maxPerBucket = 1)
+      .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(stream))
+
     // true streaming: the match arrives in a LATER batch than its partner
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
