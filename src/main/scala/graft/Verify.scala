@@ -12,6 +12,8 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val subset: Set[String] = args.drop(2).toSet
+    (subset -- SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[verify] unknown query name: $n (skipped)"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -94,6 +94,13 @@ object Dedup {
     */
   private[operators] def capBuckets(df: DataFrame, maxBucket: Int,
       keys: String*): DataFrame = {
+    // maxBucket < 0 → spark.graft.dedup.maxBucket (default 5000), the
+    // same conf-override pattern as clusterPairs' driverMaxEdges — lets
+    // operators keep a sane default while a deploy tunes the skew cap
+    // without touching call sites.
+    val cap =
+      if (maxBucket >= 0) maxBucket
+      else df.sparkSession.conf.get("spark.graft.dedup.maxBucket", "5000").toInt
     // Lazy checkpoint: materializes on the FIRST action that touches the
     // result (building the candidate DataFrame stays free), after which the
     // two consumers (blacklist agg + anti-join) share the one materialized
@@ -102,7 +109,7 @@ object Dedup {
     val mat = tracked(df.localCheckpoint(eager = false))
     val hot = mat.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_bsz"))
-      .filter(col("_bsz") > maxBucket)
+      .filter(col("_bsz") > cap)
       .select(keys.map(col): _*)
     mat.join(broadcast(hot), keys.toSeq, "left_anti")
   }
