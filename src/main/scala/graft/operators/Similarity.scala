@@ -285,11 +285,14 @@ object Similarity extends Serializable {
     */
   private def hashSeedVecs(qc: DataFrame, n: Int): Array[Array[Int]] = {
     val smxU = udf((id: Long) => graft.functions.Hashing.splitmix64(id))
-    qc.withColumn("_h", smxU(col("id")))
+    val seeds = qc.withColumn("_h", smxU(col("id")))
       .orderBy(col("_h"), col("id"))
       .limit(n)
       .collect()
       .map(_.getSeq[Int](1).toArray)
+    require(seeds.length == n,
+      s"corpus has only ${seeds.length} vectors, need ≥ $n for the codebook seeds")
+    seeds
   }
 
   /** Whole-vector argmin-cell UDF: (d², cell) ascending. */
