@@ -442,6 +442,35 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DocumentSource reads jsonl/csv corpora into (doc_id, text, ...)") {
+    import graft.sources.DocumentSource
+    val dir = Files.createTempDirectory("graft_docs")
+    val jsonl = dir.resolve("corpus.jsonl")
+    Files.write(jsonl, Seq(
+      """{"id": 10, "text": "first document", "lang": "en"}""",
+      """{"id": 11, "text": "second document", "lang": "de"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    val viaId = DocumentSource.read(spark, jsonl.toString, idField = Some("id"))
+    assert(viaId.columns.contains("doc_id") && viaId.columns.contains("text"))
+    assert(viaId.select("doc_id", "text").as[(Long, String)].collect().toSet ==
+      Set((10L, "first document"), (11L, "second document")))
+    // no id column → synthesized doc_id is stable across reads
+    val synth1 = DocumentSource.read(spark, jsonl.toString)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    val synth2 = DocumentSource.read(spark, jsonl.toString)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(synth1 == synth2 && synth1.map(_._1).size == 2)
+    // csv with a custom text field name
+    val csv = dir.resolve("corpus.csv")
+    Files.write(csv, "content,source\nhello world,web\n".getBytes("UTF-8"))
+    val viaCsv = DocumentSource.read(spark, csv.toString, textField = "content")
+    assert(viaCsv.select("text").as[String].collect().toSeq == Seq("hello world"))
+    // missing text column fails with a clear message
+    val e = intercept[IllegalArgumentException](
+      DocumentSource.read(spark, csv.toString, textField = "body"))
+    assert(e.getMessage.contains("body"))
+  }
+
   test("scoreLinear weights load from text and parquet sidecars identically") {
     import graft.operators.TextAnalysis
     val dim = 64
