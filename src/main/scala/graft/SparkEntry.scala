@@ -432,6 +432,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- north star: C4-style line-level cleaning (pre-scoring pass) ----
+    "q87_clean_lines" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.cleanLines(col("text"), minWords = 3).as("clean_text"),
+          TextAnalysis.cleanLineCount(col("text"), minWords = 3)
+            .cast("long").as("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     // ---- north star (rows-only): SimHash near-dup candidates ----
     "q35_simhash_neardup" -> ((s, dir) => {
       Dedup.simhashCandidates(documents(s, dir))
@@ -1308,6 +1318,19 @@ object SparkEntry {
       """SELECT c_custkey,
         |  CAST(CAST(CONCAT('0x', SUBSTRING(md5(c_name), 1, 8)) AS UBIGINT) % 4 AS INT) AS fold
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // C4 line filter: same trim/split/regex semantics in DuckDB (both
+    // trims are space-only; both regex engines anchor $ without multiline)
+    "q87_clean_lines" ->
+      """WITH kept AS (
+        |  SELECT doc_id, list_filter(string_split(text, chr(10)),
+        |    l -> len(regexp_split_to_array(trim(l), '\s+')) >= 3
+        |         AND regexp_matches(trim(l), '[.!?]$')) AS ls
+        |  FROM documents)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(ls, chr(10)), '') AS clean_text,
+        |  len(ls)::BIGINT AS n_kept
+        |FROM kept ORDER BY doc_id""".stripMargin,
 
     // md5-uniform val sampling: u_k = first-8-hex(md5('seed#tag#key'))/2^32
     // — an exact integer over 2^32, so the double and the < compare are

@@ -259,6 +259,25 @@ object TextAnalysis {
       .withColumn("keep", col("score") >= 0.0)
   }
 
+  /** C4-style line-level cleaning: inside each document, keep only lines
+    * with ≥ `minWords` whitespace words that end in terminal punctuation
+    * (. ! ?) — the published C4 rule that strips navigation stubs,
+    * headings, and boilerplate fragments BEFORE document-level scoring.
+    * Pure codegen'd expressions (split → filter(lambda) → array_join):
+    * runs at scan speed map-side, and replays exactly in SQL (the q87
+    * oracle) — trim/split/regex semantics agree across engines.
+    */
+  def cleanLines(text: Column, minWords: Int = 3): Column = {
+    val kept = filter(split(text, "\n"), l =>
+      (size(split(trim(l), "\\s+")) >= minWords) && trim(l).rlike("[.!?]$"))
+    array_join(kept, "\n")
+  }
+
+  /** Count of lines [[cleanLines]] keeps (same predicate). */
+  def cleanLineCount(text: Column, minWords: Int = 3): Column =
+    size(filter(split(text, "\n"), l =>
+      (size(split(trim(l), "\\s+")) >= minWords) && trim(l).rlike("[.!?]$")))
+
   /** Load a [[scoreLinear]] weight vector from a file — the production
     * shape: a trained classifier's coefficients ship as a tiny sidecar
     * next to the pipeline, not as code. Two formats:

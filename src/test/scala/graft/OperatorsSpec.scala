@@ -367,6 +367,27 @@ class OperatorsSpec extends SparkSpec {
     assert(q.getAs[Int]("n_words") == 12)
   }
 
+  test("cleanLines keeps only ≥3-word lines with terminal punctuation (C4 rule)") {
+    val doc =
+      "Home | About | Contact\n" +          // nav stub: no terminal punct
+      "This is a real sentence.\n" +        // kept
+      "Short one.\n" +                      // < 3 words
+      "  Another good line here!  \n" +     // kept (trimmed)
+      "heading without punctuation\n" +     // dropped
+      "Is this kept too?"                   // kept
+    val out = Seq((1L, doc), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        TextAnalysis.cleanLines($"text").as("c"),
+        TextAnalysis.cleanLineCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.get(2)))).toMap
+    assert(out(1L)._1 ==
+      "This is a real sentence.\n  Another good line here!  \nIs this kept too?")
+    assert(out(1L)._2 == 3)
+    assert(out(2L) == (("", 0)))
+    assert(out(3L)._1 == null) // NULL text propagates
+  }
+
   test("word ngrams: full grams only; short docs → empty") {
     val d = Seq((0L, "a b c d"), (1L, "a b")).toDF("doc_id", "text")
     val g = d.select($"doc_id", TextAnalysis.wordNgrams($"text", 3).as("g"))
