@@ -267,16 +267,24 @@ object TextAnalysis {
     * runs at scan speed map-side, and replays exactly in SQL (the q87
     * oracle) — trim/split/regex semantics agree across engines.
     */
-  def cleanLines(text: Column, minWords: Int = 3): Column = {
-    val kept = filter(split(text, "\n"), l =>
-      (size(split(trim(l), "\\s+")) >= minWords) && trim(l).rlike("[.!?]$"))
-    array_join(kept, "\n")
-  }
+  def cleanLines(text: Column, minWords: Int = 3,
+      requireTerminal: Boolean = true): Column =
+    array_join(filter(split(text, "\n"),
+      cleanLinePred(_, minWords, requireTerminal)), "\n")
 
   /** Count of lines [[cleanLines]] keeps (same predicate). */
-  def cleanLineCount(text: Column, minWords: Int = 3): Column =
-    size(filter(split(text, "\n"), l =>
-      (size(split(trim(l), "\\s+")) >= minWords) && trim(l).rlike("[.!?]$")))
+  def cleanLineCount(text: Column, minWords: Int = 3,
+      requireTerminal: Boolean = true): Column =
+    size(filter(split(text, "\n"), cleanLinePred(_, minWords, requireTerminal)))
+
+  /** The C4 line predicate: ≥ minWords words, and (optionally — corpora
+    * of prose want it, token-stream corpora don't) terminal punctuation.
+    */
+  private def cleanLinePred(l: Column, minWords: Int,
+      requireTerminal: Boolean): Column = {
+    val words = size(split(trim(l), "\\s+")) >= minWords
+    if (requireTerminal) words && trim(l).rlike("[.!?]$") else words
+  }
 
   /** Load a [[scoreLinear]] weight vector from a file — the production
     * shape: a trained classifier's coefficients ship as a tiny sidecar

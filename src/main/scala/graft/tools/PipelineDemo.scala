@@ -35,12 +35,16 @@ object PipelineDemo {
       val docs = Tables.documents(spark, sfDir)
       stage("input", docs.count())
 
-      // 1. heuristic quality gate (C4/Gopher-style features)
-      val gated = docs
+      // 1. line-level C4 cleaning (the test corpus is a token stream, so
+      // the terminal-punctuation rule is off), then the document gate
+      val cleaned = docs.withColumn("text",
+        TextAnalysis.cleanLines(col("text"), minWords = 2,
+          requireTerminal = false))
+      val gated = cleaned
         .withColumn("q", TextAnalysis.qualityFeatures(col("text")))
         .filter(col("q.n_words") >= 5 && col("q.mean_word_len").between(2, 12))
         .drop("q")
-      stage("heuristic quality gate", gated.count())
+      stage("clean + quality gate", gated.count())
 
       // 2. exact dedup (md5 digest groupBy — survivors)
       val exact = Dedup.exactKeep(gated)
