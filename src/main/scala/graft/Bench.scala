@@ -58,10 +58,10 @@ object Bench {
       val fn = qs(name)
       try { fn(spark, sfDir).queryExecution.executedPlan; fn(spark, sfDir).count() } // warm
       catch { case _: Throwable => () }
-      // median of 3 timed runs: single-run numbers at this scale wobble
-      // ±50% with JIT/GC, which made round-over-round per-query deltas
-      // unattributable; the median is robust to one outlier in either
-      // direction (reported as "stat":"median" in the JSON)
+      // 3 timed runs; BOTH the median (robust to one outlier — the
+      // headline stat since round 6) and the min (the round-5-and-earlier
+      // stat) are reported per query, so round-over-round comparisons
+      // stay possible on either axis across the statistic change.
       def timed(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -70,12 +70,20 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val runs = Seq.fill(3)(timed())
-      name -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1))
+      val failed = runs.exists(_ < 0)
+      (name, if (failed) -1.0 else runs.sorted.apply(1),
+        if (failed) -1.0 else runs.min)
     }
-    val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qJson = results.map { case (k, med, _) => "\"" + k + f"\":$med%.3f" }
       .mkString("{", ",", "}")
+    val minJson = results.map { case (k, _, mn) => "\"" + k + f"\":$mn%.3f" }
+      .mkString("{", ",", "}")
+    // a failed query must be visible in the total, not silently summed
+    // around: the total covers only clean runs and "failed" names the rest
+    val failedNames = results.collect { case (k, med, _) if med < 0 => "\"" + k + "\"" }
+    val failedJson = failedNames.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","queries":$qJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"failed":$failedJson,"queries":$qJson,"queries_min":$minJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1320,10 +1320,11 @@ object SparkEntry {
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // C4 line filter: same trim/split/regex semantics in DuckDB (both
-    // trims are space-only; both regex engines anchor $ without multiline)
+    // trims are space-only; both regex engines anchor $ without multiline;
+    // both split on \r?\n so CRLF input is LF-normalized identically)
     "q87_clean_lines" ->
       """WITH kept AS (
-        |  SELECT doc_id, list_filter(string_split(text, chr(10)),
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\r?\n'),
         |    l -> len(regexp_split_to_array(trim(l), '\s+')) >= 3
         |         AND regexp_matches(trim(l), '[.!?]$')) AS ls
         |  FROM documents)

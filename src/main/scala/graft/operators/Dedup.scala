@@ -22,40 +22,68 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Lifecycle for the checkpoint blocks a dedup pipeline materializes
+  /** Lifecycle for the checkpoint blocks a pipeline materializes
     * ([[capBuckets]]'s signature tables, [[clusterPairs]]'s per-round
-    * results). Without it the blocks live until the plans are GC'd and the
-    * ContextCleaner runs — correct, but operationally sharp in a
-    * long-lived session composing many pipelines. [[withPipeline]] scopes
-    * a run and frees every block the scope created on exit;
-    * [[releaseCheckpoints]] is the explicit form.
+    * results, [[Ranking]]/[[Packing]]'s bucketed projections). Without it
+    * the blocks live until the plans are GC'd and the ContextCleaner runs
+    * — correct, but operationally sharp in a long-lived session composing
+    * many pipelines. [[withPipeline]] scopes a run and frees ONLY the
+    * blocks registered inside that scope on exit — the registry is a
+    * per-thread stack of scopes, so nested `withPipeline` calls and
+    * pipelines built concurrently on other driver threads never release
+    * each other's blocks. [[releaseCheckpoints]] is the explicit form:
+    * it drains the calling thread's innermost open scope.
+    *
+    * Scoping is thread-local because registration happens at
+    * plan-CONSTRUCTION time (building the DataFrame), which runs on the
+    * caller's thread; a plan built inside the scope and executed later
+    * from another thread is still owned by the scope that built it.
     *
     * Contract: MATERIALIZE results inside the scope (collect/write/count)
     * — a local checkpoint truncates lineage, so a lazy DataFrame that
     * escapes the scope cannot recompute its freed blocks.
     */
-  private val trackedCheckpoints =
-    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+  private val checkpointScopes =
+    new ThreadLocal[java.util.ArrayDeque[
+        java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]]] {
+      override def initialValue() = {
+        val d = new java.util.ArrayDeque[
+          java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]]()
+        d.push(new java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]()) // root scope
+        d
+      }
+    }
 
-  /** Register a localCheckpoint'd Dataset's backing RDD for release. */
-  private def tracked(df: DataFrame): DataFrame = {
+  /** Register a localCheckpoint'd Dataset's backing RDD for release by
+    * the calling thread's innermost open scope.
+    */
+  private[operators] def tracked(df: DataFrame): DataFrame = {
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        trackedCheckpoints.add(lr.rdd)
+        checkpointScopes.get().peek().push(lr.rdd)
       case _ => ()
     }
     df
   }
 
-  /** Free every checkpoint block registered since the last release. */
-  def releaseCheckpoints(): Unit = {
-    var r = trackedCheckpoints.poll()
-    while (r != null) { r.unpersist(blocking = false); r = trackedCheckpoints.poll() }
+  /** Free every checkpoint block registered in the calling thread's
+    * innermost open scope since it opened (or since the last release).
+    */
+  def releaseCheckpoints(): Unit = drain(checkpointScopes.get().peek())
+
+  private def drain(q: java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]): Unit = {
+    var r = q.poll()
+    while (r != null) { r.unpersist(blocking = false); r = q.poll() }
   }
 
-  /** Run a dedup pipeline and free its checkpoint blocks on exit. */
-  def withPipeline[T](body: => T): T =
-    try body finally releaseCheckpoints()
+  /** Run a pipeline in a fresh checkpoint scope and free (only) the
+    * blocks that scope created on exit.
+    */
+  def withPipeline[T](body: => T): T = {
+    val scopes = checkpointScopes.get()
+    scopes.push(new java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]())
+    try body finally drain(scopes.pop())
+  }
 
   /** Exact duplicate groups by content digest. Returns one row per kept
     * document with its duplicate count; `keep` = smallest doc_id wins.

@@ -35,7 +35,14 @@ object Packing {
   def withRunningTotal(df: DataFrame, sortCols: Seq[String], valueCol: String,
       outCol: String = "running", numBuckets: Int = 32): DataFrame = {
     require(sortCols.nonEmpty, "withRunningTotal needs at least one sort column")
-    val b = df.withColumn("_b", Ranking.rangeBucketCol(df, sortCols.head, numBuckets))
+    // One source scan (same shape as Ranking.withGlobalRanks): lazily
+    // localCheckpoint the input, let the quantile sketch materialize it,
+    // and feed both the per-bucket totals and the final query from the
+    // materialized copy.
+    val mat = Dedup.tracked(df.localCheckpoint(eager = false))
+    val b = mat.withColumn("_b",
+      Ranking.bucketCol(sortCols.head,
+        Ranking.rangeCuts(mat, sortCols.head, numBuckets)))
     // per-bucket totals: ≤ numBuckets rows by construction — collect,
     // prefix-sum on the driver, broadcast back (same fit-then-broadcast
     // shape as Ranking's offsets; no window over the counts table)

@@ -32,27 +32,31 @@ import scala.util.control.NonFatal
   */
 object Ranking {
 
-  /** Monotone range-bucket id for `lead` (numeric): cut points from an
-    * approx-quantile sketch over a 2% sample (like Spark's own range
-    * partitioner). Correctness of two-phase global operators built on it
-    * never depends on the sketch — any monotone bucketing is exact; the
-    * cuts only balance bucket sizes — and an empty sample (tiny input)
+  /** Range-bucket cut points for `lead` (numeric): an approx-quantile
+    * sketch over a 2% sample (like Spark's own range partitioner).
+    * Correctness of two-phase global operators built on the buckets never
+    * depends on the sketch — any monotone bucketing is exact; the cuts
+    * only balance bucket sizes — and an empty sample (tiny input)
     * degrades to one bucket, still correct. Shared by [[withGlobalRanks]]
-    * and [[Packing.withRunningTotal]].
+    * and [[Packing.withRunningTotal]], which call it on their
+    * materialized projection so the sketch pass doubles as the (one)
+    * source scan.
     */
-  private[operators] def rangeBucketCol(df: DataFrame, lead: String,
-      numBuckets: Int): Column = {
-    val cuts = (try {
+  private[operators] def rangeCuts(df: DataFrame, lead: String,
+      numBuckets: Int): Array[Double] =
+    (try {
       df.select(col(lead).cast("double").as("_v"))
         .sample(withReplacement = false, 0.02, seed = 7)
         .stat.approxQuantile("_v",
           (1 until numBuckets).map(_.toDouble / numBuckets).toArray, 0.01)
     } catch { case NonFatal(_) => Array.empty[Double] }) // empty sample → 1 bucket
       .distinct.sorted
+
+  /** Monotone bucket id of `lead` given [[rangeCuts]] cut points. */
+  private[operators] def bucketCol(lead: String, cuts: Array[Double]): Column =
     cuts.foldLeft(lit(0)) { (acc, c) =>
       acc + when(col(lead).cast("double") > c, 1).otherwise(0)
     }
-  }
 
   /** Append `prCol` (percent_rank) and `cdCol` (cume_dist) computed over
     * the global ordering `sortCols` (ascending, left-to-right). The
@@ -68,7 +72,16 @@ object Ranking {
       prCol: String = "pr", cdCol: String = "cd",
       numBuckets: Int = 32, tieFree: Boolean = false): DataFrame = {
     require(sortCols.nonEmpty, "withGlobalRanks needs at least one sort column")
-    val b = df.withColumn("_b", rangeBucketCol(df, sortCols.head, numBuckets))
+    // Materialize the input ONCE (lazy local checkpoint — the quantile
+    // sketch's job populates the blocks) and run all three passes against
+    // the materialized copy: sketch, per-bucket counts, final ranked
+    // query. Without this the upstream scan runs three times — 1–2
+    // redundant full scans of the fact table at 100 TB. Blocks are freed
+    // by Dedup.withPipeline/releaseCheckpoints (consume the result inside
+    // the scope), or by plan GC + ContextCleaner.
+    val mat = Dedup.tracked(df.localCheckpoint(eager = false))
+    val b = mat.withColumn("_b",
+      bucketCol(sortCols.head, rangeCuts(mat, sortCols.head, numBuckets)))
     // Cumulative offsets on the driver: the per-bucket count table is
     // ≤ numBuckets rows BY CONSTRUCTION (driver-scale regardless of input
     // size), so collecting it is the fit-then-broadcast shape — no window

@@ -266,16 +266,21 @@ object TextAnalysis {
     * Pure codegen'd expressions (split → filter(lambda) → array_join):
     * runs at scan speed map-side, and replays exactly in SQL (the q87
     * oracle) — trim/split/regex semantics agree across engines.
+    *
+    * Lines split on `\r?\n`, so CRLF corpora behave like LF ones: the
+    * stray `\r` would otherwise defeat the `[.!?]$` anchor (Spark's trim
+    * strips only spaces) and survive into the joined output. Output is
+    * LF-normalized.
     */
   def cleanLines(text: Column, minWords: Int = 3,
       requireTerminal: Boolean = true): Column =
-    array_join(filter(split(text, "\n"),
+    array_join(filter(split(text, "\r?\n"),
       cleanLinePred(_, minWords, requireTerminal)), "\n")
 
   /** Count of lines [[cleanLines]] keeps (same predicate). */
   def cleanLineCount(text: Column, minWords: Int = 3,
       requireTerminal: Boolean = true): Column =
-    size(filter(split(text, "\n"), cleanLinePred(_, minWords, requireTerminal)))
+    size(filter(split(text, "\r?\n"), cleanLinePred(_, minWords, requireTerminal)))
 
   /** The C4 line predicate: ≥ minWords words, and (optionally — corpora
     * of prose want it, token-stream corpora don't) terminal punctuation.

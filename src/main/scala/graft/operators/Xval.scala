@@ -175,7 +175,11 @@ object Xval {
     */
   def foldMasks(df: DataFrame, folds: Int,
       testOnlyCol: Option[String] = None): DataFrame = {
-    val testOnly: Column = testOnlyCol.map(c => col(c) === 1.0).getOrElse(lit(false))
+    // NULL test_only means not-test-only (reference boolean-mask semantics):
+    // without the coalesce a NULL poisons all masks via three-valued logic
+    // and the row lands in no set, breaking the partition invariant.
+    val testOnly: Column =
+      testOnlyCol.map(c => coalesce(col(c) === 1.0, lit(false))).getOrElse(lit(false))
     (0 until folds).foldLeft(df) { (d, k) =>
       d.withColumn(s"xval_train_fold_$k", !testOnly && col("fold") =!= k)
         .withColumn(s"xval_test_fold_$k", testOnly || col("fold") === k)
@@ -205,7 +209,11 @@ object Xval {
       valKey: String, testOnlyCol: Option[String] = None,
       seed: Long = 0): DataFrame = {
     require(valFrac >= 0.0 && valFrac < 1.0, s"valFrac $valFrac not in [0,1)")
-    val testOnly: Column = testOnlyCol.map(c => col(c) === 1.0).getOrElse(lit(false))
+    // NULL test_only means not-test-only (reference boolean-mask semantics):
+    // without the coalesce a NULL poisons all masks via three-valued logic
+    // and the row lands in no set, breaking the partition invariant.
+    val testOnly: Column =
+      testOnlyCol.map(c => coalesce(col(c) === 1.0, lit(false))).getOrElse(lit(false))
     (0 until folds).foldLeft(df) { (d, k) =>
       val trainSide = !testOnly && col("fold") =!= k
       val isVal = trainSide && md5Uniform(seed, 1000 + k, col(valKey)) < valFrac

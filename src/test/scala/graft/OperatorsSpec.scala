@@ -223,6 +223,34 @@ class OperatorsSpec extends SparkSpec {
     assert(leaked.isEmpty, s"checkpoint blocks still persisted: $leaked")
   }
 
+  test("nested withPipeline: inner scope exit leaves outer blocks live") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    Dedup.withPipeline {
+      val outer = Dedup.minhashCandidates(docs, numHashes = 16, rowsPerBand = 4)
+      assert(outer.count() >= 0) // materializes the outer scope's blocks
+      val outerLive = (sc.getPersistentRDDs.keySet -- before)
+        .filter(id => sc.getPersistentRDDs(id).getStorageLevel
+          != org.apache.spark.storage.StorageLevel.NONE)
+      assert(outerLive.nonEmpty, "outer pipeline should hold live blocks")
+      Dedup.withPipeline {
+        val edges = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+        assert(Dedup.clusterPairs(edges, driverMaxEdges = 0).count() == 31)
+      }
+      // the inner scope drained only its own registrations: the outer
+      // plan's checkpoint blocks must still be persisted and usable
+      val survivors = outerLive.filter(id => sc.getPersistentRDDs.get(id)
+        .exists(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE))
+      assert(survivors == outerLive,
+        s"inner scope freed outer blocks: ${outerLive -- survivors}")
+      assert(outer.count() >= 0) // lineage-truncated plan still executes
+    }
+    val leaked = (sc.getPersistentRDDs.keySet -- before)
+      .filter(id => sc.getPersistentRDDs(id).getStorageLevel
+        != org.apache.spark.storage.StorageLevel.NONE)
+    assert(leaked.isEmpty, s"outer exit should free everything: $leaked")
+  }
+
   test("ANN join paths score through the native codegen'd cosine expression") {
     val vecs = (0L until 20L).map(i =>
       (i, Seq(1.0f + i * 0.01f, 0.5f, 0.25f, 0.125f))).toDF("vec_id", "embedding")
@@ -388,6 +416,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L)._1 == null) // NULL text propagates
   }
 
+  test("cleanLines: CRLF input behaves like LF; output LF-normalized") {
+    val crlf = "Home | About | Contact\r\nA real kept sentence.\r\nshort.\r\n" +
+      "Is this kept too?"
+    val lf = crlf.replace("\r\n", "\n")
+    val out = Seq((1L, crlf), (2L, lf)).toDF("doc_id", "text")
+      .select($"doc_id",
+        TextAnalysis.cleanLines($"text").as("c"),
+        TextAnalysis.cleanLineCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) == out(2L)) // CRLF ≡ LF
+    assert(out(1L)._1 == "A real kept sentence.\nIs this kept too?")
+    assert(out(1L)._2 == 2)
+    assert(!out(1L)._1.contains("\r")) // no stray carriage returns survive
+  }
+
   test("word ngrams: full grams only; short docs → empty") {
     val d = Seq((0L, "a b c d"), (1L, "a b")).toDF("doc_id", "text")
     val g = d.select($"doc_id", TextAnalysis.wordNgrams($"text", 3).as("g"))
@@ -414,6 +457,29 @@ class OperatorsSpec extends SparkSpec {
     assert(!r3.getAs[Boolean]("xval_train_fold_0") && !r3.getAs[Boolean]("xval_train_fold_1"))
     assert(r3.getAs[Boolean]("xval_test_fold_0") && r3.getAs[Boolean]("xval_test_fold_1"))
     assert(Xval.xvalSet(m, "train", 0).select("id").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("fold masks: NULL test_only means not-test-only (partition invariant holds)") {
+    // a NULL in test_only must not drop the row from every set via
+    // three-valued logic — it is an ordinary (non-test-only) row
+    val df = Seq[(Long, Int, java.lang.Double)]((1L, 0, 0.0), (2L, 1, null),
+      (3L, 0, 1.0)).toDF("id", "fold", "test_only")
+    val m = Xval.foldMasks(df, 2, Some("test_only"))
+    for (k <- 0 until 2) {
+      val tr = Xval.xvalSet(m, "train", k).select("id").as[Long].collect().toSet
+      val te = Xval.xvalSet(m, "test", k).select("id").as[Long].collect().toSet
+      assert((tr & te).isEmpty && (tr | te) == Set(1L, 2L, 3L)) // exhaustive
+    }
+    assert(Xval.xvalSet(m, "train", 0).select("id").as[Long].collect().toSet == Set(2L))
+    val mv = Xval.foldMasksVal(df, 2, valFrac = 0.5, valKey = "id",
+      testOnlyCol = Some("test_only"), seed = 7)
+    for (k <- 0 until 2) {
+      val tr = Xval.xvalSet(mv, "train", k).select("id").as[Long].collect().toSet
+      val va = Xval.xvalSet(mv, "val", k).select("id").as[Long].collect().toSet
+      val te = Xval.xvalSet(mv, "test", k).select("id").as[Long].collect().toSet
+      assert((tr | va | te) == Set(1L, 2L, 3L)) // NULL row lands somewhere
+      assert((tr & va).isEmpty && (tr & te).isEmpty && (va & te).isEmpty)
+    }
   }
 
   test("foldMasksVal: train/val/test partition each fold; test_only → test (xval.py:69-78)") {
@@ -760,6 +826,26 @@ class OperatorsSpec extends SparkSpec {
     // and the naive formulation is correctly detected as the anti-pattern
     val w = org.apache.spark.sql.expressions.Window.orderBy($"v", $"k")
     assert(hasUnpartitionedDataWindow(df.select(percent_rank().over(w).as("pr"))))
+  }
+
+  test("two-phase global operators scan their input exactly once") {
+    // count upstream row evaluations with an accumulator inside a
+    // nondeterministic udf: the quantile sketch, the per-bucket counts,
+    // and the final query must all feed off ONE materialized pass
+    // (1–2 redundant fact-table scans is real money at 100 TB)
+    val acc = spark.sparkContext.longAccumulator("rows-scanned")
+    val bump = udf { (x: Long) => acc.add(1L); x }.asNondeterministic()
+    def src = spark.range(0, 1000, 1, 8)
+      .select(bump($"id").as("v"), $"id".as("k"))
+    val ranked = Ranking.withGlobalRanks(src, Seq("v", "k"), tieFree = true)
+    assert(ranked.count() == 1000)
+    assert(acc.value == 1000L,
+      s"withGlobalRanks evaluated the input ${acc.value / 1000.0}x (want 1x)")
+    acc.reset()
+    val run = Packing.withRunningTotal(src, Seq("k"), "v")
+    assert(run.count() == 1000)
+    assert(acc.value == 1000L,
+      s"withRunningTotal evaluated the input ${acc.value / 1000.0}x (want 1x)")
   }
 
   test("running total matches the naive global window; plan stays partitioned") {
