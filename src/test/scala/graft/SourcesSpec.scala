@@ -442,6 +442,51 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup TTL: expired bucket entries stop matching; fresh ones still do") {
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val a = "the quick brown fox jumps over the lazy dog"
+    val aDup = "the quick brown fox jumps over the lazy dog!"
+    val b = "completely different content about spark engines"
+    val bDup = "completely different content about spark engines!!"
+    val input = MemoryStream[(Long, String)]
+    val ttlMs = 5000L
+    val out = StreamingDedup.nearDupCandidates(spark,
+      input.toDF().toDF("doc_id", "text"), numHashes = 32, rowsPerBand = 4,
+      threshold = 0.5, stateTtlMs = ttlMs)
+    // NOTE: processAllAvailable would hang here — with ProcessingTimeTimeout
+    // the engine keeps constructing timeout-check batches, so the no-new-data
+    // signal never fires. Synchronize on reported source progress instead.
+    val q = out.writeStream.format("memory").queryName("neardup_ttl_sink")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def awaitInputRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (q.recentProgress.map(_.numInputRows).sum < n) {
+        assert(System.currentTimeMillis() < deadline, s"timed out waiting for $n input rows")
+        assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+        Thread.sleep(50)
+      }
+    }
+    try {
+      input.addData(0L -> a)
+      awaitInputRows(1)
+      Thread.sleep(ttlMs + 1500) // > TTL: doc 0's state entries expire
+      input.addData(1L -> aDup, 2L -> b)
+      awaitInputRows(3)
+      // doc 0 aged out → its near-dup arriving after the TTL finds nothing
+      assert(spark.table("neardup_ttl_sink").count() == 0,
+        "expired entry must not match")
+      input.addData(3L -> bDup) // within TTL of doc 2's arrival
+      awaitInputRows(4)
+      val pairs = spark.table("neardup_ttl_sink")
+        .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+      assert(pairs == Set((2L, 3L)), s"fresh entries must still match: $pairs")
+    } finally q.stop()
+  }
+
   test("DocumentSource reads jsonl/csv corpora into (doc_id, text, ...)") {
     import graft.sources.DocumentSource
     val dir = Files.createTempDirectory("graft_docs")
