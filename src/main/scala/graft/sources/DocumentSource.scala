@@ -10,13 +10,31 @@ import org.apache.spark.sql.functions._
   *
   * Columns: the text field is required (`textField`, default "text";
   * renamed to `text`). If the input carries no usable id column, a
-  * stable one is synthesized: `doc_id = xxhash64(file, offset-in-file)`
-  * via `input_file_name` + a per-file row ordinal — deterministic for a
-  * fixed input layout and computed map-side (no global ordering pass,
-  * which at 100 TB would be a full-shuffle non-starter). For a dense
-  * 0..n−1 id (the reference's `_idx` semantics), wrap the result in
-  * `DabDataset.fromDataFrame` instead — that is the two-narrow-pass
-  * zipWithIndex path and costs a materialization.
+  * stable one is synthesized; how depends on `idStrategy`:
+  *
+  *  - `"file-ordinal"` (default): `doc_id = xxhash64(file, ordinal of
+  *    the row within its file)`. Deterministic for a fixed input layout
+  *    regardless of how Spark splits the files, so ids survive re-reads
+  *    under different split configs. **ASSUMES A SHARDED CORPUS**: the
+  *    per-file ordinal is a `row_number` window partitioned by file
+  *    name, so every row of one file passes through one task — fine for
+  *    the usual many-shards layout (each shard ≲ a few GB), wrong for a
+  *    single monolithic 500 GB jsonl, which funnels the whole input
+  *    through one task. The in-file order comes from
+  *    `monotonically_increasing_id`, which tracks split order — correct
+  *    for line-oriented formats read in order, heuristic in general.
+  *  - `"split-ordinal"`: `doc_id = xxhash64(file, split-encoded
+  *    ordinal)` where the ordinal is `monotonically_increasing_id`'s
+  *    (partition, position) encoding. Pure map-side — no window, no
+  *    shuffle — so a single giant file parallelizes across its splits;
+  *    the trade is that ids are stable only for a fixed split layout
+  *    (same Spark version + `spark.sql.files.maxPartitionBytes` etc.).
+  *    Use for monolithic inputs or when ids only need to be unique
+  *    within one run.
+  *
+  * For a dense 0..n−1 id (the reference's `_idx` semantics), wrap the
+  * result in `DabDataset.fromDataFrame` instead — that is the
+  * two-narrow-pass zipWithIndex path and costs a materialization.
   */
 object DocumentSource {
 
@@ -24,7 +42,10 @@ object DocumentSource {
     * override), normalize to (doc_id, text, …rest).
     */
   def read(spark: SparkSession, path: String, textField: String = "text",
-      idField: Option[String] = None, format: Option[String] = None): DataFrame = {
+      idField: Option[String] = None, format: Option[String] = None,
+      idStrategy: String = "file-ordinal"): DataFrame = {
+    require(Set("file-ordinal", "split-ordinal").contains(idStrategy),
+      s"unknown idStrategy '$idStrategy' (file-ordinal | split-ordinal)")
     val fmt = format.getOrElse {
       val p = path.toLowerCase
       if (p.endsWith(".jsonl") || p.endsWith(".json") || p.endsWith(".jsonl.gz")) "json"
@@ -45,11 +66,17 @@ object DocumentSource {
       case Some(f) =>
         require(withText.columns.contains(f), s"no id column '$f' in $path")
         withText.withColumn("doc_id", col(f).cast("long"))
+      case None if idStrategy == "split-ordinal" =>
+        // map-side id for monolithic inputs: monotonically_increasing_id
+        // encodes (partition, position-in-partition), so hashing it with
+        // the file name is unique with no window and no shuffle; each
+        // split of a giant file proceeds in parallel
+        withText.withColumn("doc_id",
+          xxhash64(input_file_name(), monotonically_increasing_id()))
       case None =>
-        // map-side stable id: hash of (file, row ordinal within file).
-        // monotonically_increasing_id is partition-prefixed (layout-
-        // dependent); the per-file ordinal + file name is stable for a
-        // fixed input layout and needs no shuffle.
+        // split-layout-stable id: hash of (file, row ordinal within
+        // file). The per-file window is the sharded-corpus funnel
+        // documented in the object scaladoc.
         withText
           .withColumn("_file", input_file_name())
           .withColumn("_ord",

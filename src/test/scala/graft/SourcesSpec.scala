@@ -516,6 +516,38 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("body"))
   }
 
+  test("DocumentSource split-ordinal ids: one giant file, many splits, no shuffle") {
+    import graft.sources.DocumentSource
+    val dir = Files.createTempDirectory("graft_monolith")
+    val jsonl = dir.resolve("monolith.jsonl")
+    val n = 2000
+    Files.write(jsonl, (0 until n).map(i =>
+      s"""{"text": "document number $i with some padding words to take space"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    // force Spark to split the single file into many partitions — the
+    // monolithic-ingest case the file-ordinal strategy funnels
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    try {
+      val df = DocumentSource.read(spark, jsonl.toString,
+        idStrategy = "split-ordinal")
+      assert(df.rdd.getNumPartitions > 4,
+        s"file should have split (got ${df.rdd.getNumPartitions} partitions)")
+      // fully map-side: no Exchange (shuffle) and no Window in the plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange") && !plan.contains("Window"),
+        s"split-ordinal id must be map-side, got:\n$plan")
+      // ids unique across all splits; count intact
+      val ids = df.select("doc_id").as[Long].collect()
+      assert(ids.length == n && ids.toSet.size == n)
+      // the default strategy still yields unique ids here (documented
+      // funnel aside) and stays layout-stable
+      val fileOrd = DocumentSource.read(spark, jsonl.toString)
+        .select("doc_id").as[Long].collect()
+      assert(fileOrd.length == n && fileOrd.toSet.size == n)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("scoreLinear weights load from text and parquet sidecars identically") {
     import graft.operators.TextAnalysis
     val dim = 64
