@@ -930,8 +930,64 @@ object Oracles {
       | AND epoch_us(c.ts) <= epoch_us(p.ts) + 7200000000
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** q88: [[graft.functions.Bpe]] — the GPT-2-style merge walk replayed
+    * in SQL. The state string wraps each symbol as chr(30)‖sym‖chr(31)
+    * (control chars the pre-tokenizer excludes from tokens), so one
+    * `replace()` of chr(30)‖a‖chr(31)‖chr(30)‖b‖chr(31) with
+    * chr(30)‖ab‖chr(31) IS the BPE step: SQL replace substitutes every
+    * non-overlapping occurrence left-to-right, exactly the published
+    * merge semantics, and the delimiters make a match possible only
+    * where a whole symbol equals `a` and the next whole symbol equals
+    * `b`. The recursive CTE picks the present pair with the lowest rank
+    * each round (LATERAL … ORDER BY rnk LIMIT 1) until none applies;
+    * the walk runs per globally DISTINCT pre-token and joins back — the
+    * same dedup the oracle uses for minhash shingles. Pre-tokenizer and
+    * fixture merges come verbatim from [[graft.functions.Bpe]]
+    * (alphanumeric pairs only, so no LIKE/quote escaping is needed).
+    */
+  def q88BpeTokens: String = {
+    val values = graft.functions.Bpe.defaultMerges.zipWithIndex
+      .map { case ((a, b), i) => s"('$a','$b',$i)" }.mkString(", ")
+    val head = "WITH RECURSIVE\nmerges(a, b, rnk) AS (VALUES "
+    val body =
+      """),
+        |pre AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s\x00-\x1f]+') AS ws
+        |  FROM documents),
+        |flat AS (SELECT doc_id, s.pos AS widx, s.w AS w FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+        |    i -> {'pos': i, 'w': ws[i+1]})) AS s FROM pre)),
+        |uw AS (SELECT DISTINCT w FROM flat),
+        |init AS (SELECT w, list_aggregate(list_transform(string_split(w, ''),
+        |    c -> chr(30) || c || chr(31)), 'string_agg', '') AS s FROM uw),
+        |walk AS (
+        |  SELECT w, s FROM init
+        |  UNION ALL
+        |  SELECT walk.w, replace(walk.s,
+        |      chr(30)||bm.a||chr(31)||chr(30)||bm.b||chr(31),
+        |      chr(30)||bm.a||bm.b||chr(31))
+        |  FROM walk, LATERAL (SELECT a, b FROM merges
+        |    WHERE walk.s LIKE '%'||chr(30)||a||chr(31)||chr(30)||b||chr(31)||'%'
+        |    ORDER BY rnk LIMIT 1) bm),
+        |fin AS (SELECT w, s FROM walk t WHERE NOT EXISTS (
+        |  SELECT 1 FROM merges m
+        |  WHERE t.s LIKE '%'||chr(30)||m.a||chr(31)||chr(30)||m.b||chr(31)||'%')),
+        |toks AS (SELECT w,
+        |    len(s) - length(replace(s, chr(30), '')) AS n_toks,
+        |    array_to_string(string_split(trim(s, chr(30)||chr(31)), chr(31)||chr(30)), ' ') AS tstr
+        |  FROM fin),
+        |agg AS (SELECT f.doc_id, SUM(t.n_toks)::BIGINT AS n_tokens_bpe,
+        |    string_agg(t.tstr, ' ' ORDER BY f.widx) AS tokens_str
+        |  FROM flat f JOIN toks t USING (w) GROUP BY f.doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_tokens_bpe, 0)::BIGINT AS n_tokens_bpe,
+        |  COALESCE(a.tokens_str, '') AS tokens_str
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
+    head + values + body
+  }
+
   /** Map of generated oracles, merged into [[SparkEntry.oracleSql]]. */
   def generated: Map[String, String] = Map(
+    "q88_bpe_tokens" -> q88BpeTokens,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,
     "q84_knn_pq" -> q84PqTopK,

@@ -442,6 +442,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- north star: loadable BPE tokenizer (merge walk, q88 oracle) ----
+    // graft.functions.Bpe: GPT-2-style merge walk over the built-in demo
+    // merges table (deployments load merges.txt via Bpe.loadMerges); the
+    // oracle replays the walk in recursive SQL (Oracles.q88BpeTokens)
+    "q88_bpe_tokens" -> ((s, dir) => {
+      import graft.functions.Bpe
+      documents(s, dir)
+        .select(col("doc_id"),
+          coalesce(Bpe.tokenCount(col("text")).cast("long"), lit(0L))
+            .as("n_tokens_bpe"),
+          coalesce(array_join(Bpe.tokens(col("text")), " "), lit(""))
+            .as("tokens_str"))
+        .orderBy("doc_id")
+    }),
+
     // ---- north star (rows-only): SimHash near-dup candidates ----
     "q35_simhash_neardup" -> ((s, dir) => {
       Dedup.simhashCandidates(documents(s, dir))

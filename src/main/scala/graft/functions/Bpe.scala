@@ -1,0 +1,180 @@
+package graft.functions
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loadable byte-pair-encoding tokenizer: the GPT-2-style merge walk
+  * over a merges table that ships as a tiny sidecar file (the public
+  * `merges.txt` format — optional `#version` header, one "a b" pair per
+  * line, rank = line order), same deployment shape as
+  * [[graft.operators.TextAnalysis.loadWeights]].
+  *
+  * The merge walk is the published BPE algorithm (Sennrich et al. 2016;
+  * the GPT-2 encoder's loop): start from single-character symbols,
+  * repeatedly pick the PRESENT pair with the lowest merge rank and fuse
+  * every non-overlapping occurrence left-to-right, until no pair in the
+  * table remains. Rank order is semantic: a lower-rank merge starves a
+  * higher-rank one that shares a symbol (e.g. with ranks
+  * (k,e) < (e,y), "key" → [ke, y] → [key], never [k, ey]).
+  *
+  * Two published-BPE details are deliberately simplified (documented
+  * semantic pins, not bugs): no byte-level fallback (symbols are unicode
+  * codepoints, so any character outside the merge alphabet simply stays
+  * a single-codepoint token) and a simplified pre-tokenizer
+  * (`[a-z]+|[0-9]+|[^a-z0-9\s\x00-\x1f]+` on the lowercased text — no
+  * space-marker Ġ, no lookahead — chosen so the exact same regex runs
+  * in any RE2/PCRE engine, which is what lets the q88 oracle replay the
+  * whole tokenizer in SQL).
+  *
+  * Scale: merges/vocab are driver-loaded (a real GPT-2 table is 50k
+  * rows ≈ 0.5 MB) and ride to executors in the task closure (itself a
+  * torrent broadcast); tokenization is then a pure map-side scalar
+  * kernel — no shuffle anywhere.
+  */
+object Bpe {
+
+  /** Merge ranks: pair → rank (lower merges first). */
+  type Rank = Map[(String, String), Int]
+
+  /** Built-in demo merge table for the driver corpus (multi-level:
+    * t+h→th, th+e→the; t+a-b-l-e climbs to the full word "table"; the
+    * (k,e)<(e,y) pair pins rank-order semantics). Real deployments load
+    * their trained table with [[loadMerges]].
+    */
+  val defaultMerges: Vector[(String, String)] = Vector(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("r", "t"), ("s", "t"), ("a", "st"), ("l", "e"), ("b", "le"),
+    ("a", "ble"), ("t", "able"), ("a", "r"), ("p", "ar"), ("in", "e"),
+    ("l", "ine"), ("in", "d"), ("o", "w"), ("h", "a"), ("s", "h"),
+    ("v", "a"), ("k", "e"), ("ke", "y"), ("e", "y"), ("g", "g"),
+    ("a", "gg"), ("c", "an"), ("s", "can"), ("g", "e"), ("er", "ge"),
+    ("m", "erge"))
+
+  def rankOf(merges: Seq[(String, String)]): Rank =
+    merges.zipWithIndex.toMap
+
+  /** Load a merges sidecar in the public `merges.txt` format: optional
+    * `#...` header lines, then one "left right" pair per line, rank =
+    * order. Reads through the Hadoop FS API on the driver (any
+    * Spark-reachable scheme) — the table is KBs, and must arrive in
+    * rank order.
+    */
+  def loadMerges(spark: SparkSession, path: String): Vector[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val sp = l.split(" ", 2)
+          require(sp.length == 2, s"malformed merges line: '$l'")
+          (sp(0), sp(1))
+        }
+        .toVector
+    } finally in.close()
+  }
+
+  /** Load a vocab sidecar: one token per line, id = line number. */
+  def loadVocab(spark: SparkSession, path: String): Map[String, Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .zipWithIndex.map { case (t, i) => (t, i) }.toMap
+    } finally in.close()
+  }
+
+  private val preTokenPattern =
+    java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s\\x00-\\x1f]+")
+
+  /** Simplified pre-tokenizer (see object doc): runs of letters, runs of
+    * digits, runs of other printable non-space characters, over the
+    * lowercased text.
+    */
+  def preTokenize(text: String): Vector[String] = {
+    val m = preTokenPattern.matcher(text.toLowerCase(Locale.ROOT))
+    val out = Vector.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  /** The BPE merge walk on one pre-token. Symbols start as unicode
+    * codepoints; each step fuses every non-overlapping occurrence
+    * (left-to-right) of the present pair with the lowest rank.
+    */
+  def encodeWord(word: String, rank: Rank): Vector[String] = {
+    var syms: Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
+    var continue = syms.length >= 2
+    while (continue) {
+      var best: (String, String) = null
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = (syms(i), syms(i + 1)) }
+        i += 1
+      }
+      if (best == null) continue = false
+      else {
+        val (a, b) = best
+        val nb = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            nb += (a + b); j += 2
+          } else { nb += syms(j); j += 1 }
+        }
+        syms = nb.result()
+        continue = syms.length >= 2
+      }
+    }
+    syms
+  }
+
+  /** Full-document token sequence (pre-tokenize, then merge-walk each
+    * pre-token, concatenated in order). NULL text → NULL.
+    */
+  def tokens(text: Column, merges: Seq[(String, String)] = defaultMerges): Column = {
+    val r = rankOf(merges)
+    val u = udf { (t: String) =>
+      if (t == null) null
+      else preTokenize(t).flatMap(w => encodeWord(w, r))
+    }
+    u(text)
+  }
+
+  /** Token count under the loaded BPE table — drop-in for the token
+    * column of [[graft.operators.Packing.packSequences]].
+    */
+  def tokenCount(text: Column, merges: Seq[(String, String)] = defaultMerges): Column =
+    size(tokens(text, merges))
+
+  /** Token ids via a vocab table; out-of-vocabulary → -1 (real BPE
+    * walks always land in-vocab when the vocab contains every merge
+    * product and all single characters; -1 marks a mismatched
+    * merges/vocab pair loudly rather than silently).
+    */
+  def tokenIds(text: Column, merges: Seq[(String, String)],
+      vocab: Map[String, Int]): Column = {
+    val r = rankOf(merges)
+    val u = udf { (t: String) =>
+      if (t == null) null
+      else preTokenize(t).flatMap(w => encodeWord(w, r)).map(vocab.getOrElse(_, -1))
+    }
+    u(text)
+  }
+}

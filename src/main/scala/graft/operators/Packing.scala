@@ -76,21 +76,24 @@ object Packing {
     * of token counts, seq_start/seq_end the first/last sequence id the
     * document's tokens land in (empty documents occupy a zero-width slot
     * in their current sequence), and offset_in_seq its starting position
-    * inside seq_start. Token counts are whitespace tokens
-    * ([[TextAnalysis.tokenCountWs]]); pass a different `tokenCol`
-    * expression for model-specific counting.
+    * inside seq_start. Token counts default to whitespace tokens
+    * ([[TextAnalysis.tokenCountWs]]); pass `tokenCount` for
+    * model-specific counting — e.g.
+    * `Some(graft.functions.Bpe.tokenCount(col("text"), merges))` packs
+    * by a loaded BPE tokenizer's counts.
     *
     * All arithmetic is integral (DIV / %), so the layout is bit-exact on
     * any engine and any cluster size.
     */
   def packSequences(docs: DataFrame, budget: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      tokenCount: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     // null text counts as 0 tokens (a zero-width slot, like the empty
     // string) — without the coalesce the NULL poisons the running sum and
     // this row's span, diverging from the oracle's COALESCEd prefix sum
+    val tc = tokenCount.getOrElse(TextAnalysis.tokenCountWs(col(textCol)))
     val withTok = docs.select(col(idCol),
-      coalesce(TextAnalysis.tokenCountWs(col(textCol)).cast("long"), lit(0L))
-        .as("n_tokens"))
+      coalesce(tc.cast("long"), lit(0L)).as("n_tokens"))
     withRunningTotal(withTok, Seq(idCol), "n_tokens", outCol = "_run")
       .withColumn("cum_before", col("_run") - col("n_tokens"))
       .withColumn("seq_start", expr(s"cum_before DIV $budget"))

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bpe
+
+/** The loadable BPE tokenizer: merge-walk semantics (rank order,
+  * all-occurrences-left-to-right), the public merges.txt loader, vocab
+  * ids, and the packSequences integration.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rank = Bpe.rankOf(Bpe.defaultMerges)
+
+  test("merge walk climbs multi-level merges to whole words") {
+    assert(Bpe.encodeWord("the", rank) == Vector("the"))
+    assert(Bpe.encodeWord("table", rank) == Vector("table"))
+    assert(Bpe.encodeWord("scan", rank) == Vector("scan"))
+    assert(Bpe.encodeWord("merge", rank) == Vector("merge"))
+    assert(Bpe.encodeWord("window", rank) == Vector("w", "ind", "ow"))
+    assert(Bpe.encodeWord("fast", rank) == Vector("f", "ast"))
+    assert(Bpe.encodeWord("xyz", rank) == Vector("x", "y", "z")) // no merges
+    assert(Bpe.encodeWord("a", rank) == Vector("a")) // single symbol
+  }
+
+  test("rank order is semantic: the lower-rank merge starves the higher") {
+    // (k,e) outranks (e,y): "key" must go k+e -> ke, ke+y -> key,
+    // never e+y -> ey
+    assert(Bpe.encodeWord("key", rank) == Vector("key"))
+    val flipped = Bpe.rankOf(Vector(("e", "y"), ("k", "e"), ("ke", "y")))
+    assert(Bpe.encodeWord("key", flipped) == Vector("k", "ey"))
+  }
+
+  test("one step merges every non-overlapping occurrence left-to-right") {
+    val r = Bpe.rankOf(Vector(("a", "a")))
+    // 'aaaa' -> aa, aa (both pairs fuse in the single (a,a) step);
+    // 'aaaaa' -> aa, aa, a (odd one out stays)
+    assert(Bpe.encodeWord("aaaa", r) == Vector("aa", "aa"))
+    assert(Bpe.encodeWord("aaaaa", r) == Vector("aa", "aa", "a"))
+  }
+
+  test("pre-tokenizer: letter/digit/punct runs over lowercased text") {
+    assert(Bpe.preTokenize("The quick  123 ok?!") ==
+      Vector("the", "quick", "123", "ok", "?!"))
+    assert(Bpe.preTokenize("") == Vector())
+    assert(Bpe.preTokenize("  \n\t ") == Vector()) // whitespace only
+    // control chars are excluded from tokens entirely
+    assert(Bpe.preTokenize("ab\u001e\u001fcd") == Vector("ab", "cd"))
+  }
+
+  test("loadMerges reads the public merges.txt format in rank order") {
+    val dir = Files.createTempDirectory("graft_bpe")
+    val f = dir.resolve("merges.txt")
+    Files.write(f,
+      "#version: 0.2\nt h\nth e\ni n\n\nin g\n".getBytes("UTF-8"))
+    val merges = Bpe.loadMerges(spark, f.toString)
+    assert(merges == Vector(("t", "h"), ("th", "e"), ("i", "n"), ("in", "g")))
+    val r = Bpe.rankOf(merges)
+    assert(Bpe.encodeWord("thinking", r) == Vector("th", "in", "k", "ing"))
+  }
+
+  test("vocab ids map tokens; OOV surfaces as -1, not a silent drop") {
+    val dir = Files.createTempDirectory("graft_bpe_vocab")
+    val f = dir.resolve("vocab.txt")
+    Files.write(f, "the\ntable\nw\nind\now\n".getBytes("UTF-8"))
+    val vocab = Bpe.loadVocab(spark, f.toString)
+    val out = Seq((0L, "the table window unseen"))
+      .toDF("doc_id", "text")
+      .select(Bpe.tokenIds($"text", Bpe.defaultMerges, vocab).as("ids"))
+      .as[Seq[Int]].head()
+    // the=0 table=1 w=2 ind=3 ow=4; "unseen" decomposes to symbols with
+    // some merged units absent from this tiny vocab -> -1s
+    assert(out.take(5) == Seq(0, 1, 2, 3, 4))
+    assert(out.drop(5).contains(-1))
+  }
+
+  test("column functions agree with the driver-side kernel row by row") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val viaCol = docs
+      .select($"doc_id", Bpe.tokens($"text").as("toks"),
+        Bpe.tokenCount($"text").as("n"))
+      .as[(Long, Seq[String], Int)].collect().sortBy(_._1)
+    val viaKernel = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1)
+      .map { case (id, t) =>
+        val toks = Bpe.preTokenize(t).flatMap(w => Bpe.encodeWord(w, rank))
+        (id, toks, toks.length)
+      }
+    assert(viaCol.map(v => (v._1, v._2.toVector, v._3)).toSeq ==
+      viaKernel.map(v => (v._1, v._2, v._3)).toSeq)
+    assert(viaCol.exists(_._3 > 0))
+  }
+
+  test("packSequences packs by the BPE count when given the token column") {
+    val docs = Seq((0L, "the table"), (1L, "window fast"), (2L, "key"))
+      .toDF("doc_id", "text")
+    // BPE counts: 2 (the, table), 5 (w ind ow f ast), 1 (key)
+    val packed = graft.operators.Packing.packSequences(docs, budget = 4,
+        tokenCount = Some(Bpe.tokenCount($"text")))
+      .select("doc_id", "n_tokens", "cum_before", "seq_start")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed.map(_._2).toSeq == Seq(2L, 5L, 1L))
+    assert(packed.map(_._3).toSeq == Seq(0L, 2L, 7L)) // exclusive prefix sum
+    assert(packed.map(_._4).toSeq == Seq(0L, 0L, 1L)) // budget-4 sequences
+  }
+}
