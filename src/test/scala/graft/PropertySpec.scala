@@ -140,6 +140,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lshTopK recall@k vs brute force holds across seeded corpora (10× of the fixture)") {
+    // property bound, not a fixed fixture: on any clustered corpus the
+    // multi-table hyperplane LSH must recover most of the true top-k —
+    // mean recall ≥ 0.7 per corpus, and never a total miss per query.
+    // 400 vectors = 10× the fixed OperatorsSpec fixture.
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val nClusters = 4 + rnd.nextInt(3)
+      val base = (0 until 400).map { i =>
+        val c = i % nClusters
+        val v = Array.tabulate(16) { j =>
+          val centroid = if (j % nClusters == c) 1.0f else 0.0f
+          centroid + (rnd.nextFloat() - 0.5f) * 0.2f
+        }
+        (i.toLong, v.toSeq)
+      }
+      val df = base.toDF("vec_id", "embedding")
+      val queries = df.filter($"vec_id" < 8)
+      val brute = Similarity.bruteForceTopK(df, queries, k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val lsh = Similarity.lshTopK(df, queries, k = 5, nPlanes = 8, tables = 8)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val perQuery = brute.map { case (q, truth) =>
+        (lsh.getOrElse(q, Set.empty) intersect truth).size.toDouble / truth.size
+      }.toSeq
+      val mean = perQuery.sum / perQuery.size
+      assert(mean >= 0.7, s"trial $trial: mean recall@5 $mean < 0.7")
+      assert(perQuery.forall(_ > 0.0), s"trial $trial: a query missed entirely")
+    }
+  }
+
   test("foldMasksVal partitions every fold across seeds and val fractions") {
     val df = (0L until 120L).map(i => (i, (i % 7).toDouble.min(1.0) * 0)).toDF("id", "test_only")
     for (seed <- Seq(0L, 1L, 99L); vf <- Seq(0.1, 1.0 / 3, 0.7)) {
