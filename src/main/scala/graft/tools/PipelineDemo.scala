@@ -70,10 +70,13 @@ object PipelineDemo {
         .join(clean, Seq("doc_id"))
       stage("model quality filter", scored.count())
 
-      // 6. pack into fixed-budget training sequences
-      val packed = Packing.packSequences(scored, budget = 512)
+      // 6. pack into fixed-budget training sequences, counting tokens
+      // with the loadable BPE tokenizer (demo merges; production loads
+      // its trained table via Bpe.loadMerges)
+      val packed = Packing.packSequences(scored, budget = 512,
+        tokenCount = Some(graft.functions.Bpe.tokenCount(col("text"))))
       val nSeqs = packed.agg(max("seq_end")).as[Long].head() + 1
-      stage("packed (512-tok seqs)", nSeqs)
+      stage("packed (512 BPE-tok seqs)", nSeqs)
 
       // 7. train/val/test folds (layout-independent, engine-replayable)
       val folded = Xval.foldMasksVal(
