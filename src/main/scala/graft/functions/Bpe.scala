@@ -55,27 +55,42 @@ object Bpe {
   def rankOf(merges: Seq[(String, String)]): Rank =
     merges.zipWithIndex.toMap
 
-  /** Load a merges sidecar in the public `merges.txt` format: optional
-    * `#...` header lines, then one "left right" pair per line, rank =
-    * order. Reads through the Hadoop FS API on the driver (any
-    * Spark-reachable scheme) — the table is KBs, and must arrive in
-    * rank order.
+  /** Load a merges sidecar (same two formats as
+    * [[graft.operators.TextAnalysis.loadWeights]]):
+    *
+    *  - plain text, the public `merges.txt` format: optional `#...`
+    *    header lines, then one "left right" pair per line, rank = order;
+    *  - parquet (path contains ".parquet"): rows of
+    *    (rank INT, a STRING, b STRING), returned in rank order.
+    *
+    * Reads on the driver (Hadoop FS / any Spark-reachable scheme) — the
+    * table is KBs-to-half-a-MB, and must arrive in rank order.
     */
   def loadMerges(spark: SparkSession, path: String): Vector[(String, String)] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    try {
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim)
-        .filter(l => l.nonEmpty && !l.startsWith("#"))
-        .map { l =>
-          val sp = l.split(" ", 2)
-          require(sp.length == 2, s"malformed merges line: '$l'")
-          (sp(0), sp(1))
-        }
+    if (path.contains(".parquet")) {
+      spark.read.parquet(path)
+        .select(col("rank").cast("int"), col("a").cast("string"),
+          col("b").cast("string"))
+        .collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2)))
         .toVector
-    } finally in.close()
+    } else {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      try {
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map { l =>
+            val sp = l.split(" ", 2)
+            require(sp.length == 2, s"malformed merges line: '$l'")
+            (sp(0), sp(1))
+          }
+          .toVector
+      } finally in.close()
+    }
   }
 
   /** Load a vocab sidecar: one token per line, id = line number. */

@@ -62,6 +62,18 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encodeWord("thinking", r) == Vector("th", "in", "k", "ing"))
   }
 
+  test("loadMerges parquet sidecar: rank-ordered, format-equivalent to text") {
+    val dir = Files.createTempDirectory("graft_bpe_pq")
+    val pq = dir.resolve("merges.parquet").toString
+    // write deliberately shuffled; the loader must restore rank order
+    Bpe.defaultMerges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .sortBy(t => t._2 + t._3) // scramble physical order
+      .toDF("rank", "a", "b")
+      .coalesce(1).write.parquet(pq)
+    assert(Bpe.loadMerges(spark, pq) == Bpe.defaultMerges)
+  }
+
   test("vocab ids map tokens; OOV surfaces as -1, not a silent drop") {
     val dir = Files.createTempDirectory("graft_bpe_vocab")
     val f = dir.resolve("vocab.txt")
