@@ -795,7 +795,41 @@ object Oracles {
     * score is one join of corpus codes onto it summed over subs.
     */
   def q84PqTopK: String = {
-    val ksub = 16; val m = 8; val iters = 2; val k = 5
+    val k = 5
+    s"""${pqAdcRankedCtes(ksub = 16, m = 8, iters = 2)}
+       |SELECT query_id, neighbor_id, adist, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q89: `Similarity.pqRefineTopK` — q84's ADC chain shortlists
+    * k×refineFactor candidates, then the exact integer squared-L2 on the
+    * int8 vectors re-ranks the true top-k out of the shortlist. The
+    * exact distance is one (query, neighbor) positional join over vpos —
+    * the same quantized table the PQ training used, so engine and oracle
+    * agree bit-for-bit.
+    */
+  def q89PqRefine: String = {
+    val k = 5; val rf = 4
+    s"""${pqAdcRankedCtes(ksub = 16, m = 8, iters = 2)},
+       |  cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= ${k * rf}),
+       |  exact AS (SELECT c.query_id, c.neighbor_id,
+       |      sum((q.v - n.v) * (q.v - n.v))::BIGINT AS dist2
+       |    FROM cand c
+       |    JOIN vpos q ON q.vec_id = c.query_id
+       |    JOIN vpos n ON n.vec_id = c.neighbor_id AND n.pos = q.pos
+       |    GROUP BY 1, 2),
+       |  rranked AS (SELECT query_id, neighbor_id, dist2,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY dist2, neighbor_id)::INT AS rank
+       |    FROM exact)
+       |SELECT query_id, neighbor_id, dist2, rank FROM rranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Shared q84/q89 prefix: int8 quantize + per-subvector integer Lloyd
+    * rounds + code assignment + ADC scoring, ending at the `ranked` CTE
+    * (rank over ALL candidates, unfiltered — callers cut at their k).
+    */
+  private def pqAdcRankedCtes(ksub: Int, m: Int, iters: Int): String = {
     val dsExpr = s"(SELECT len(qv) FROM qz LIMIT 1) // $m"
     // d<i>: per-(vector, sub, cell) integer squared-L2 vs cent<i>;
     // code<i>: argmin cell per (vector, sub)
@@ -829,9 +863,7 @@ object Oracles {
        |    GROUP BY 1, 2),
        |  ranked AS (SELECT query_id, neighbor_id, adist,
        |      row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id)::INT AS rank
-       |    FROM scored)
-       |SELECT query_id, neighbor_id, adist, rank FROM ranked WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
+       |    FROM scored)""".stripMargin
   }
 
   /** q85: `Similarity.ivfPqTopKInt8` — IVF-PQ with residual encoding,
@@ -988,6 +1020,7 @@ object Oracles {
   /** Map of generated oracles, merged into [[SparkEntry.oracleSql]]. */
   def generated: Map[String, String] = Map(
     "q88_bpe_tokens" -> q88BpeTokens,
+    "q89_knn_pq_refine" -> q89PqRefine,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,
     "q84_knn_pq" -> q84PqTopK,

@@ -515,6 +515,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- north star: PQ + exact refine (FAISS RFlat composition) ----
+    // ADC shortlist of k×4 per query, exact integer-L2 re-rank of only
+    // the shortlist (broadcast back against the corpus — point lookups,
+    // not a rescan); oracle replays shortlist + re-rank (Oracles.q89PqRefine)
+    "q89_knn_pq_refine" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.pqRefineTopK(e, e.filter(col("vec_id") < 20), k = 5,
+          refineFactor = 4, m = 8, ksub = 16, iters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- north star: IVF-PQ ANN (residual encoding, the FAISS shape) ----
     // Coarse cells prune, residual PQ codes score; all-integer so DuckDB
     // replays both trainings + ADC bit-for-bit (Oracles.q85IvfPq).

@@ -501,6 +501,48 @@ object Similarity extends Serializable {
       .select("query_id", "neighbor_id", "adist", "rank")
   }
 
+  /** PQ ANN with an exact refine pass — FAISS's `RFlat` composition:
+    * the ADC code scan shortlists `k × refineFactor` candidates per
+    * query, then ONLY those candidates are re-scored with the exact
+    * integer squared-L2 on the int8-quantized vectors and the true
+    * top-k re-ranked out. Refine repairs most of PQ's quantization
+    * error at a cost proportional to |queries|·k·refineFactor point
+    * lookups — not corpus size.
+    *
+    * Scale shape: the shortlist (a few thousand (query, neighbor) ids)
+    * is BROADCAST back against the corpus, so the refine join is one
+    * map-side hash probe per corpus row — no shuffle of vectors, and
+    * the full-precision column is touched only for shortlist hits
+    * (columnar scan prunes everything else). All-integer like the rest
+    * of the ladder, so the q89 oracle replays shortlist + re-rank
+    * bit-for-bit.
+    */
+  def pqRefineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      refineFactor: Int = 4, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor $refineFactor must be >= 1")
+    val spark = corpus.sparkSession
+    val shortlist = pqTopKInt8(corpus, queries, k * refineFactor,
+        m, ksub, iters, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val qQueries = quantIds(queries, idCol, vecCol).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toArray)).toMap
+    val qB = spark.sparkContext.broadcast(qQueries)
+    val exactU = udf { (qid: Long, nv: Seq[Int]) =>
+      val qv = qB.value(qid)
+      var d = 0L; var i = 0
+      while (i < qv.length) { val t = (qv(i) - nv(i)).toLong; d += t * t; i += 1 }
+      d
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("dist2"), col("neighbor_id"))
+    quantIds(corpus, idCol, vecCol).withColumnRenamed("id", "neighbor_id")
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .withColumn("dist2", exactU(col("query_id"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dist2", "rank")
+  }
+
   /** IVF-PQ ANN with residual encoding (integer-exact) — the production
     * composition of the ladder, the FAISS `IVFx,PQy` shape: IVF cells
     * prune the search to nProbe/nCells of the corpus, and within cells

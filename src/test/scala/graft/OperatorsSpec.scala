@@ -341,6 +341,40 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall too low: $recall")
   }
 
+  test("PQ refine: exact re-rank of the shortlist; recall >= plain PQ") {
+    val base = (0 until 60).map { i =>
+      val cluster = i % 4
+      val v = Array.tabulate(16)(j =>
+        if (j / 4 == cluster) 1.0f + 0.01f * i else 0.01f * ((i + j) % 3))
+      (i.toLong, v.toSeq)
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 4)
+    val brute = Similarity.bruteForceTopK(df, q, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(s: Set[(Long, Long)]) = (brute intersect s).size.toDouble / brute.size
+    val pq = Similarity.pqTopKInt8(df, q, k = 3, m = 4, ksub = 8, iters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val refined = Similarity.pqRefineTopK(df, q, k = 3, refineFactor = 4,
+        m = 4, ksub = 8, iters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(recall(refined) >= recall(pq),
+      s"refine recall ${recall(refined)} < PQ recall ${recall(pq)}")
+    // the refined ranks ARE the exact-distance order of the shortlist:
+    // recompute driver-side from the quantized vectors and compare
+    val qv = graft.operators.Embeddings.withInt8Quantized(df)
+      .select($"vec_id", $"q").as[(Long, Seq[Int])].collect().toMap
+    val shortlist = Similarity.pqTopKInt8(df, q, k = 12, m = 4, ksub = 8, iters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    def d2(a: Seq[Int], b: Seq[Int]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => val t = (x - y).toLong; t * t }.sum
+    val expected = shortlist.groupBy(_._1).toSeq.flatMap { case (qid, ns) =>
+      ns.toSeq.map(n => (n._2, d2(qv(qid), qv(n._2))))
+        .sortBy { case (nid, d) => (d, nid) }.take(3).map(p => (qid, p._1))
+    }.toSet
+    assert(refined == expected)
+  }
+
   test("ANN scan plans never shuffle the corpus (codes/vectors stay map-side)") {
     val df = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(16)(j => (0.1f * ((i + j) % 7))).toSeq)
