@@ -1018,9 +1018,38 @@ object Oracles {
   }
 
   /** Map of generated oracles, merged into [[SparkEntry.oracleSql]]. */
+  /** q90: `TextAnalysis.perplexityScore` — the hash-derived bigram lp
+    * (−500 − md5₃₂("lm#a#b") mod 4500) replayed with the same md5-int
+    * idiom as the q83 val-mask sampling; mean via the positive domain so
+    * truncating division agrees across engines on negative sums.
+    */
+  def q90PerplexityScore: String =
+    """WITH
+      |  base AS (SELECT doc_id,
+      |      list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |        w -> length(w) > 0) AS ws
+      |    FROM documents),
+      |  bg AS (SELECT doc_id,
+      |      unnest(list_transform(range(1, len(ws)),
+      |        i -> {'a': ws[i], 'b': ws[i+1]})) AS g
+      |    FROM base WHERE len(ws) >= 2),
+      |  lp AS (SELECT doc_id,
+      |      -(500 + CAST(CONCAT('0x', SUBSTRING(md5('lm#' || g.a || '#' || g.b), 1, 8)) AS UBIGINT) % 4500)::BIGINT AS lp
+      |    FROM bg),
+      |  agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |      sum(lp)::BIGINT AS lp_sum
+      |    FROM lp GROUP BY doc_id)
+      |SELECT b.doc_id,
+      |  COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+      |  COALESCE(a.lp_sum, 0)::BIGINT AS lp_sum,
+      |  CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+      |       THEN -((-a.lp_sum) // a.n_bigrams) ELSE 0 END::BIGINT AS mean_lp
+      |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""".stripMargin
+
   def generated: Map[String, String] = Map(
     "q88_bpe_tokens" -> q88BpeTokens,
     "q89_knn_pq_refine" -> q89PqRefine,
+    "q90_perplexity_score" -> q90PerplexityScore,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,
     "q84_knn_pq" -> q84PqTopK,

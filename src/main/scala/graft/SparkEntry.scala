@@ -457,6 +457,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- north star: CCNet-style bigram-LM perplexity scoring ----
+    // Hash-derived stand-in log-probs (the q80 seed-weights discipline);
+    // real models load a sidecar via TextAnalysis.scoreBigramLm
+    "q90_perplexity_score" -> ((s, dir) => {
+      TextAnalysis.perplexityScore(documents(s, dir)).orderBy("doc_id")
+    }),
+
     // ---- north star (rows-only): SimHash near-dup candidates ----
     "q35_simhash_neardup" -> ((s, dir) => {
       Dedup.simhashCandidates(documents(s, dir))

@@ -332,6 +332,76 @@ object TextAnalysis {
     w
   }
 
+  /** CCNet-style n-gram LM perplexity scoring: per document, sum the
+    * (fixed-point integer) log-probabilities of its word bigrams under a
+    * language model and average — the published recipe buckets a corpus
+    * by this score and samples the mixture by bucket. Pure higher-order
+    * expressions (words → bigram array → `aggregate` fold): map-side,
+    * codegen'd, zero shuffle — a full-corpus scoring pass touches each
+    * document once at scan speed.
+    *
+    * The default "model" is hash-derived: lp(a,b) = −500 −
+    * (md5₃₂("lm#a#b") mod 4500), in millibels-ish fixed point — the
+    * q90-oracle-replayable stand-in (exactly the q80 seed-weights
+    * discipline: it gates the scoring machinery; linguistics ship as a
+    * sidecar). [[scoreBigramLm]] takes a loaded table for real models
+    * (same deployment shape as [[loadWeights]]/`Bpe.loadMerges`).
+    */
+  def bigramLogProb(a: Column, b: Column): Column =
+    -(lit(500L) + conv(substring(md5(concat_ws("#", lit("lm"), a, b)), 1, 8),
+      16, 10).cast("long") % 4500L)
+
+  /** Per-document bigram-LM score projection: (idCol, n_bigrams, lp_sum,
+    * mean_lp). mean_lp divides via the positive domain (lp is always
+    * negative; truncating division on the negated sum is engine-portable
+    * by construction). Documents with < 2 words score (0, 0, 0).
+    */
+  def perplexityScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // NB: the bigram sequence is guarded by `when(size >= 2)` — a bare
+    // sequence(1, size-1) would run DESCENDING for 1-word docs (Spark's
+    // sequence(1, 0) is [1, 0]) and fabricate a bogus bigram.
+    docs
+      .select(col(idCol), coalesce(words(col(textCol)), array()).as("_ws"))
+      .withColumn("_bg", when(size(col("_ws")) >= 2,
+        transform(sequence(lit(1), size(col("_ws")) - 1),
+          i => struct(element_at(col("_ws"), i).as("a"),
+            element_at(col("_ws"), i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>")))
+      .select(col(idCol),
+        size(col("_bg")).cast("long").as("n_bigrams"),
+        coalesce(aggregate(col("_bg"), lit(0L),
+          (acc, g) => acc + bigramLogProb(g("a"), g("b"))), lit(0L))
+          .as("lp_sum"))
+      .withColumn("mean_lp",
+        when(col("n_bigrams") > 0,
+          -expr("(-lp_sum) DIV n_bigrams")).otherwise(lit(0L)))
+  }
+
+  /** [[perplexityScore]] with a LOADED bigram table (pairs absent from
+    * the table score `unkLp`) — the production path for a real trained
+    * LM shipped as a sidecar; the table (≤ a few M entries) rides to
+    * executors in the task closure.
+    */
+  def scoreBigramLm(docs: DataFrame, lm: Map[(String, String), Long],
+      unkLp: Long, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val u = udf { (t: String) =>
+      if (t == null) (0L, 0L)
+      else {
+        val ws = t.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9']+").filter(_.nonEmpty)
+        var s = 0L; var i = 0
+        while (i < ws.length - 1) { s += lm.getOrElse((ws(i), ws(i + 1)), unkLp); i += 1 }
+        (math.max(ws.length - 1, 0).toLong, s)
+      }
+    }
+    docs.select(col(idCol), u(col(textCol)).as("_s"))
+      .select(col(idCol), col("_s._1").as("n_bigrams"), col("_s._2").as("lp_sum"))
+      .withColumn("mean_lp",
+        when(col("n_bigrams") > 0,
+          -expr("(-lp_sum) DIV n_bigrams")).otherwise(lit(0L)))
+  }
+
   /** Full document-analysis projection over a documents table. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =

@@ -465,6 +465,37 @@ class OperatorsSpec extends SparkSpec {
     assert(!out(1L)._1.contains("\r")) // no stray carriage returns survive
   }
 
+  test("perplexity score: bigram fold, short docs zero, loaded-LM path agrees") {
+    val d = Seq(
+      (0L, "the quick brown fox"), // 3 bigrams
+      (1L, "one"),                 // 1 word → no bigrams
+      (2L, ""),                    // empty
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityScore(d)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(3L, 0L, 0L, 0L))
+    assert(out(0)._3 < 0 && out(0)._4 < 0) // negative log-probs
+    assert(out(0)._4 >= out(0)._3) // mean ≥ sum for ≥1 bigram
+    assert(out.drop(1).forall(r => r._3 == 0L && r._4 == 0L))
+    // loaded-LM path: a table holding the same hash-derived values must
+    // reproduce the expression path exactly (production = real sidecar)
+    val ws = Seq("the", "quick", "brown", "fox")
+    val lmVals = ws.zip(ws.tail).map { case (a, b) =>
+      val lp = d.sparkSession.range(1).select(
+        TextAnalysis.bigramLogProb(lit(a), lit(b))).as[Long].head()
+      ((a, b), lp)
+    }.toMap
+    val loaded = TextAnalysis.scoreBigramLm(d, lmVals, unkLp = -9999L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(loaded(0) == out(0))
+    // unseen bigrams hit unkLp, not silence
+    val unk = TextAnalysis.scoreBigramLm(
+      Seq((9L, "alpha beta")).toDF("doc_id", "text"), lmVals, unkLp = -9999L)
+      .as[(Long, Long, Long, Long)].head()
+    assert(unk == ((9L, 1L, -9999L, -9999L)))
+  }
+
   test("word ngrams: full grams only; short docs → empty") {
     val d = Seq((0L, "a b c d"), (1L, "a b")).toDF("doc_id", "text")
     val g = d.select($"doc_id", TextAnalysis.wordNgrams($"text", 3).as("g"))
