@@ -1024,6 +1024,33 @@ object Oracles {
     * truncating division agrees across engines on negative sums.
     */
   def q90PerplexityScore: String =
+    s"""$perplexityScoredCtes
+       |SELECT doc_id, n_bigrams, lp_sum, mean_lp
+       |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** q91: `TextAnalysis.ccnetSample` — q90's scoring + fixed-threshold
+    * head/middle/tail buckets + the q76 md5-threshold sampler per bucket
+    * (head 1.0 / middle 0.5 / tail 0.1, seed 13).
+    */
+  def q91CcnetSample: String = {
+    def th(f: Double): Long = (f * 4294967296d).toLong
+    s"""$perplexityScoredCtes,
+       |  bucketed AS (SELECT *,
+       |      CASE WHEN mean_lp >= -2695 THEN 'head'
+       |           WHEN mean_lp >= -2849 THEN 'middle'
+       |           ELSE 'tail' END AS ppl_bucket
+       |    FROM scored)
+       |SELECT doc_id, n_bigrams, lp_sum, mean_lp, ppl_bucket FROM bucketed
+       |WHERE CAST('0x' || substr(md5('13#' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+       |  < CASE ppl_bucket WHEN 'head' THEN ${th(1.0)}
+       |      WHEN 'middle' THEN ${th(0.5)} ELSE ${th(0.1)} END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared q90/q91 prefix ending at `scored`: per-doc bigram count,
+    * fixed-point lp sum, and truncating mean via the positive domain.
+    */
+  private def perplexityScoredCtes: String =
     """WITH
       |  base AS (SELECT doc_id,
       |      list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
@@ -1038,18 +1065,19 @@ object Oracles {
       |    FROM bg),
       |  agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
       |      sum(lp)::BIGINT AS lp_sum
-      |    FROM lp GROUP BY doc_id)
-      |SELECT b.doc_id,
-      |  COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
-      |  COALESCE(a.lp_sum, 0)::BIGINT AS lp_sum,
-      |  CASE WHEN COALESCE(a.n_bigrams, 0) > 0
-      |       THEN -((-a.lp_sum) // a.n_bigrams) ELSE 0 END::BIGINT AS mean_lp
-      |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""".stripMargin
+      |    FROM lp GROUP BY doc_id),
+      |  scored AS (SELECT b.doc_id,
+      |      COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+      |      COALESCE(a.lp_sum, 0)::BIGINT AS lp_sum,
+      |      CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+      |           THEN -((-a.lp_sum) // a.n_bigrams) ELSE 0 END::BIGINT AS mean_lp
+      |    FROM base b LEFT JOIN agg a USING (doc_id))""".stripMargin
 
   def generated: Map[String, String] = Map(
     "q88_bpe_tokens" -> q88BpeTokens,
     "q89_knn_pq_refine" -> q89PqRefine,
     "q90_perplexity_score" -> q90PerplexityScore,
+    "q91_ccnet_sample" -> q91CcnetSample,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,
     "q84_knn_pq" -> q84PqTopK,

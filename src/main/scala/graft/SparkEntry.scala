@@ -464,6 +464,18 @@ object SparkEntry {
       TextAnalysis.perplexityScore(documents(s, dir)).orderBy("doc_id")
     }),
 
+    // ---- north star: CCNet composition — score, bucket, mixture-sample ----
+    // thresholds are the sf0.01 mean_lp terciles (fixed constants: the
+    // split is a pure function of the score; see ccnetSample's contract)
+    "q91_ccnet_sample" -> ((s, dir) => {
+      TextAnalysis.ccnetSample(documents(s, dir), headLp = -2695L,
+          tailLp = -2849L,
+          fractions = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1),
+          seed = 13)
+        .select("doc_id", "n_bigrams", "lp_sum", "mean_lp", "ppl_bucket")
+        .orderBy("doc_id")
+    }),
+
     // ---- north star (rows-only): SimHash near-dup candidates ----
     "q35_simhash_neardup" -> ((s, dir) => {
       Dedup.simhashCandidates(documents(s, dir))

@@ -402,6 +402,28 @@ object TextAnalysis {
           -expr("(-lp_sum) DIV n_bigrams")).otherwise(lit(0L)))
   }
 
+  /** The full CCNet curation composition: perplexity-score the corpus
+    * ([[perplexityScore]]), bucket head/middle/tail by mean log-prob
+    * thresholds (CCNet buckets by LM-perplexity terciles; thresholds are
+    * explicit here so the split is a deterministic function of the score,
+    * not a second quantile pass — compute them once offline or with
+    * `approxQuantile`), and keep a per-bucket fraction via the map-side
+    * seeded sampler ([[Dedup.weightedSample]]). End to end this is one
+    * scan: score, bucket, and sample are all row-local expressions.
+    */
+  def ccnetSample(docs: DataFrame, headLp: Long, tailLp: Long,
+      fractions: Map[String, Double], seed: Long = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(headLp >= tailLp, s"headLp $headLp must be >= tailLp $tailLp")
+    val bucketed = perplexityScore(docs, idCol, textCol)
+      .withColumn("ppl_bucket",
+        when(col("mean_lp") >= headLp, "head")
+          .when(col("mean_lp") >= tailLp, "middle")
+          .otherwise("tail"))
+    Dedup.weightedSample(bucketed, "ppl_bucket", fractions,
+      default = 1.0, seed = seed, idCol = idCol)
+  }
+
   /** Full document-analysis projection over a documents table. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =

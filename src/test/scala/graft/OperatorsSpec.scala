@@ -496,6 +496,29 @@ class OperatorsSpec extends SparkSpec {
     assert(unk == ((9L, 1L, -9999L, -9999L)))
   }
 
+  test("ccnetSample: head kept whole, tail thinned, split is score-deterministic") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val scored = TextAnalysis.perplexityScore(docs)
+    // thresholds from this corpus's rough terciles
+    val Array(t1, t2) = scored.stat.approxQuantile("mean_lp", Array(1.0 / 3, 2.0 / 3), 0.0)
+    val out = TextAnalysis.ccnetSample(docs, headLp = t2.toLong, tailLp = t1.toLong,
+      fractions = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1), seed = 13)
+    val byBucket = out.groupBy("ppl_bucket").count()
+      .as[(String, Long)].collect().toMap
+    val totalByBucket = scored.withColumn("ppl_bucket",
+        when($"mean_lp" >= t2.toLong, "head")
+          .when($"mean_lp" >= t1.toLong, "middle").otherwise("tail"))
+      .groupBy("ppl_bucket").count().as[(String, Long)].collect().toMap
+    assert(byBucket("head") == totalByBucket("head")) // fraction 1.0 keeps all
+    assert(byBucket.getOrElse("tail", 0L) < totalByBucket("tail")) // thinned
+    // deterministic: identical kept set on re-run
+    val ids1 = out.select("doc_id").as[Long].collect().toSet
+    val ids2 = TextAnalysis.ccnetSample(docs, headLp = t2.toLong, tailLp = t1.toLong,
+        fractions = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1), seed = 13)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
   test("word ngrams: full grams only; short docs → empty") {
     val d = Seq((0L, "a b c d"), (1L, "a b")).toDF("doc_id", "text")
     val g = d.select($"doc_id", TextAnalysis.wordNgrams($"text", 3).as("g"))
