@@ -487,6 +487,36 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation scorers are batch/stream unified (stateless projections)") {
+    // quality + perplexity scoring are row-local expressions, so the same
+    // code runs under readStream unchanged — the incremental-ingest shape
+    // of a curation pipeline (score each arriving shard, no state)
+    import graft.operators.TextAnalysis
+    val dir = Files.createTempDirectory("graft_stream_docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf("sf0.001") + "/documents.parquet"),
+      dir.resolve("part-0.parquet"))
+    val schema = spark.read.parquet(dir.toString).schema
+    def stream() = spark.readStream.schema(schema).parquet(dir.toString)
+    def drain(df: org.apache.spark.sql.DataFrame, sink: String): Unit = {
+      val q = df.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    drain(TextAnalysis.perplexityScore(stream()), "ppl_stream")
+    assert(spark.table("ppl_stream").as[(Long, Long, Long, Long)].collect().toSet ==
+      TextAnalysis.perplexityScore(spark.read.parquet(dir.toString))
+        .as[(Long, Long, Long, Long)].collect().toSet)
+    drain(TextAnalysis.scoreLinear(stream(), dim = 1024, seed = 42L)
+      .select($"doc_id", $"score"), "lin_stream")
+    assert(spark.table("lin_stream").as[(Long, Double)].collect().toSet ==
+      TextAnalysis.scoreLinear(spark.read.parquet(dir.toString), dim = 1024, seed = 42L)
+        .select($"doc_id", $"score").as[(Long, Double)].collect().toSet)
+    assert(spark.table("ppl_stream").count() > 0)
+  }
+
   test("DocumentSource reads jsonl/csv corpora into (doc_id, text, ...)") {
     import graft.sources.DocumentSource
     val dir = Files.createTempDirectory("graft_docs")
