@@ -38,7 +38,10 @@ object Bench {
     "q67_tfidf_buckets",   // feature-hashing vectorization
     "q79_pack_sequences",  // exact global prefix sum (two-phase)
     "q80_quality_filter",  // broadcast-weights linear scorer
-    "q81_embed_quantize")  // embedding norm + int8 quantization
+    "q81_embed_quantize",  // embedding norm + int8 quantization
+    "q84_knn_pq",          // PQ ADC code scan (NEW r7)
+    "q88_bpe_tokens",      // loadable-BPE merge walk (NEW r7)
+    "q90_perplexity_score") // bigram-LM scoring fold (NEW r7)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -385,7 +385,11 @@ object Similarity extends Serializable {
       nCells: Int = 16, nProbe: Int = 4, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def quant(df: DataFrame): DataFrame = quantIds(df, idCol, vecCol)
-    val qc = quant(corpus)
+    // The quantized corpus feeds seed ranking, every Lloyd round, and the
+    // final cell assignment — materialize it once (lazy local checkpoint,
+    // the Ranking/Packing idiom) instead of re-reading + re-quantizing
+    // the source per pass. Freed via Dedup.withPipeline or plan GC.
+    val qc = Dedup.tracked(quant(corpus).localCheckpoint(eager = false))
     def dist2(v: Seq[Int], c: Array[Long]): Long = dist2At(v, 0, c)
     def assigner(cs: Array[Array[Long]]) = cellAssigner(cs)
     import org.apache.spark.sql.functions.{udf => mkUdf}
@@ -446,7 +450,9 @@ object Similarity extends Serializable {
     import spark.implicits._
 
     def quant(df: DataFrame): DataFrame = quantIds(df, idCol, vecCol)
-    val qc = quant(corpus)
+    // one materialization feeds seeds + every per-sub Lloyd round + the
+    // final coding pass (see ivfTopKInt8)
+    val qc = Dedup.tracked(quant(corpus).localCheckpoint(eager = false))
 
     val seedRows = hashSeedVecs(qc, ksub)
     val dim = seedRows.head.length
@@ -570,7 +576,8 @@ object Similarity extends Serializable {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val qc = quantIds(corpus, idCol, vecCol)
+    val qc = Dedup.tracked(
+      quantIds(corpus, idCol, vecCol).localCheckpoint(eager = false))
     val ivfSeeds = hashSeedVecs(qc, math.max(nCells, ksub))
     val dim = ivfSeeds.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subvectors")
@@ -582,8 +589,12 @@ object Similarity extends Serializable {
       val c = ivfCents(cell)
       Array.tabulate(v.length)(j => (v(j) - c(j)).toInt)
     })
-    val withRes = qc.withColumn("cell", cellAssigner(ivfCents)(col("qv")))
-      .withColumn("rv", resU(col("qv"), col("cell")))
+    // residuals feed the PQ seed ranking, every residual Lloyd round, AND
+    // the coding pass — second materialization point
+    val withRes = Dedup.tracked(
+      qc.withColumn("cell", cellAssigner(ivfCents)(col("qv")))
+        .withColumn("rv", resU(col("qv"), col("cell")))
+        .localCheckpoint(eager = false))
     // PQ codebooks on residuals; seeds = residuals of the ksub
     // hash-smallest ids (their own cells' residuals)
     val resTable = withRes.select(col("id"), col("rv").as("qv"))
