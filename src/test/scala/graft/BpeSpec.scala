@@ -89,6 +89,34 @@ class BpeSpec extends SparkSpec {
     assert(out.drop(5).contains(-1))
   }
 
+  test("merge-walk invariants across random merge tables (property)") {
+    // for ANY merge table: tokens concatenate back to the word, token
+    // count never exceeds codepoint count, and extending the merge table
+    // never increases the token count of a word it already tokenized
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcd"
+    def randWord() = (0 until 1 + rnd.nextInt(10))
+      .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    for (_ <- 1 to 30) {
+      val pool = for (a <- alpha.map(_.toString); b <- alpha.map(_.toString)) yield (a, b)
+      val merges = rnd.shuffle(pool).take(1 + rnd.nextInt(8)).toVector
+      // grow the table with products of earlier merges half the time
+      val extended = merges ++ merges.take(2).map { case (a, b) => (a + b, a) }
+      val r1 = Bpe.rankOf(merges)
+      val r2 = Bpe.rankOf(extended)
+      for (_ <- 1 to 10) {
+        val w = randWord()
+        val t1 = Bpe.encodeWord(w, r1)
+        assert(t1.mkString == w, s"concat broke: $w -> $t1 (merges=$merges)")
+        assert(t1.length <= w.length)
+        val t2 = Bpe.encodeWord(w, r2)
+        assert(t2.mkString == w)
+        assert(t2.length <= t1.length, // more merges never fragment more
+          s"$w: extended table gave ${t2.length} > ${t1.length} tokens")
+      }
+    }
+  }
+
   test("column functions agree with the driver-side kernel row by row") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val viaCol = docs
