@@ -138,6 +138,38 @@ object Oracles {
        |           WHERE $matches::DOUBLE / $num >= $threshold)""".stripMargin
   }
 
+  /** q92: `Dedup.minhashCandidatesAgainst` — the same signature + raw
+    * band-slice join as q34, but across the corpus split (index =
+    * doc_id < 400, incoming = ≥ 400) with no exact-collapse (the index
+    * builder indexes documents as given). The split predicate replaces
+    * the self-join's `a.id < b.id`.
+    */
+  def q92DedupIncremental: String = {
+    val num = 32; val rpb = 4; val k = 5; val threshold = 0.3
+    val bands = num / rpb
+    val slots = (0 until rpb)
+      .map(j => s"sig[band*$rpb + ${j + 1}] AS s$j").mkString(", ")
+    val joinKeys = ("a.band = b.band" +:
+      (0 until rpb).map(j => s"a.s$j = b.s$j")).mkString(" AND ")
+    val matches = s"list_sum(list_transform(range(1, ${num + 1})," +
+      s" i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END))"
+    s"""WITH
+       |${minhashSigCtes("SELECT doc_id AS id, text AS t FROM documents", num, k)},
+       |  bnd AS (SELECT id, unnest(range(0, $bands)) AS band, sig FROM sig),
+       |  bands AS (SELECT id, band, $slots FROM bnd),
+       |  cand0 AS (SELECT a.id AS index_id, b.id AS incoming_id
+       |            FROM bands a JOIN bands b
+       |            ON $joinKeys AND a.id < 400 AND b.id >= 400 GROUP BY 1, 2),
+       |  cand AS (SELECT index_id, incoming_id,
+       |             $matches::DOUBLE / $num AS est_jaccard
+       |           FROM cand0
+       |           JOIN (SELECT id, sig AS sa FROM sig) x ON cand0.index_id = x.id
+       |           JOIN (SELECT id, sig AS sb FROM sig) y ON cand0.incoming_id = y.id
+       |           WHERE $matches::DOUBLE / $num >= $threshold)
+       |SELECT index_id, incoming_id, est_jaccard FROM cand
+       |ORDER BY index_id, incoming_id""".stripMargin
+  }
+
   /** q34: MinHash LSH near-dup candidates (32 hashes, bands of 4, k=5,
     * est-Jaccard ≥ 0.3).
     */
@@ -1078,6 +1110,7 @@ object Oracles {
     "q89_knn_pq_refine" -> q89PqRefine,
     "q90_perplexity_score" -> q90PerplexityScore,
     "q91_ccnet_sample" -> q91CcnetSample,
+    "q92_dedup_incremental" -> q92DedupIncremental,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,
     "q84_knn_pq" -> q84PqTopK,

@@ -476,6 +476,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- north star: incremental dedup (new shard vs signature index) ----
+    // index = first 400 docs' banded signatures (production persists this
+    // as parquet); incoming = last 100; candidates across only
+    "q92_dedup_incremental" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val index = Dedup.minhashIndex(d.filter(col("doc_id") < 400),
+        numHashes = 32, rowsPerBand = 4, k = 5)
+      Dedup.minhashCandidatesAgainst(index, d.filter(col("doc_id") >= 400),
+          numHashes = 32, rowsPerBand = 4, k = 5, threshold = 0.3)
+        .orderBy("index_id", "incoming_id")
+    }),
+
     // ---- north star (rows-only): SimHash near-dup candidates ----
     "q35_simhash_neardup" -> ((s, dir) => {
       Dedup.simhashCandidates(documents(s, dir))

@@ -142,6 +142,61 @@ object Dedup {
     mat.join(broadcast(hot), keys.toSeq, "left_anti")
   }
 
+  /** Banded MinHash signature index of a corpus: (id, sig, band, bucket),
+    * skew-capped — the persistable half of incremental dedup. Build once
+    * over the accumulated corpus, write as parquet, and join every new
+    * shard against it with [[minhashCandidatesAgainst]] instead of
+    * re-running LSH over old+new ([[StreamingDedup]] is the continuous
+    * counterpart). Index size ≈ ids + numHashes longs + band keys per
+    * row — the classic signature matrix, ~1–2% of a text corpus.
+    */
+  def minhashIndex(docs: DataFrame, numHashes: Int = 64,
+      rowsPerBand: Int = 8, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Int = 5000): DataFrame = {
+    val sigUdf = udf((text: String) =>
+      graft.functions.Hashing.minhashSignature(text, k, numHashes).toSeq)
+    val all = docs
+      .select(col(idCol).cast("long").as("id"), sigUdf(col(textCol)).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    capBuckets(all, maxBucket, "band", "bucket")
+  }
+
+  /** Incremental near-dup: candidate pairs between `incoming` documents
+    * and an existing signature `index` ([[minhashIndex]], typically read
+    * back from parquet). Emits (index_id, incoming_id, est_jaccard ≥
+    * threshold). Pairs WITHIN the incoming shard are
+    * `minhashCandidates(incoming)` — compose both for full incremental
+    * dedup; build parameters (numHashes, rowsPerBand, k) must match the
+    * index's.
+    *
+    * Scale: the join shuffles on (band, bucket) keys only; a small
+    * incoming shard against a huge index broadcasts under AQE. The index
+    * is NOT rescanned per band — it is already exploded.
+    */
+  def minhashCandidatesAgainst(index: DataFrame, incoming: DataFrame,
+      numHashes: Int = 64, rowsPerBand: Int = 8, k: Int = 5,
+      threshold: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text", maxBucket: Int = 5000): DataFrame = {
+    val inc = minhashIndex(incoming, numHashes, rowsPerBand, k,
+      idCol, textCol, maxBucket)
+    index.as("a").join(inc.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("index_id"), col("b.id").as("incoming_id"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("index_id", "incoming_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("index_id", "incoming_id", "est_jaccard")
+  }
+
   /** Character shingles of length `k`, lowercased, as a distinct array. */
   def shingles(text: Column, k: Int = 5): Column = {
     val lowered = lower(text)

@@ -204,6 +204,25 @@ class OperatorsSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.dedup.driverMaxEdges")
   }
 
+  test("incremental dedup: index+shard composition equals full-corpus LSH") {
+    val d = Tables.documents(spark, sf("sf0.001"))
+    val idx = d.filter($"doc_id" < 400)
+    val inc = d.filter($"doc_id" >= 400)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashCandidates(df, numHashes = 32, rowsPerBand = 4, k = 5,
+          threshold = 0.3, collapseExact = false)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val index = Dedup.minhashIndex(idx, numHashes = 32, rowsPerBand = 4, k = 5)
+    val cross = Dedup.minhashCandidatesAgainst(index, inc,
+        numHashes = 32, rowsPerBand = 4, k = 5, threshold = 0.3)
+      .select("index_id", "incoming_id").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    // incremental composition: within-index + within-shard + cross ==
+    // one LSH pass over the whole corpus (ids are disjoint across sides)
+    assert((pairsOf(idx) | pairsOf(inc) | cross) == pairsOf(d))
+    assert(cross.nonEmpty, "split corpus should have cross-side near-dups")
+  }
+
   test("withPipeline frees the pipeline's checkpoint blocks on exit") {
     val sc = spark.sparkContext
     // force the distributed path (edges + per-round checkpoints) and run
