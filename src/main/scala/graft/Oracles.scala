@@ -170,6 +170,40 @@ object Oracles {
        |ORDER BY index_id, incoming_id""".stripMargin
   }
 
+  /** q93: `Dedup.duplicateSpans` — stride-1 5-word window digests,
+    * corpus-frequency > 1, overlapping/adjacent windows merged per doc
+    * via the running-max gaps-and-islands (both engines: ROWS frame over
+    * unique starts, so the islands are identical).
+    */
+  def q93DuplicateSpans: String = {
+    val w = 5
+    s"""WITH
+       |  base AS (SELECT doc_id,
+       |      list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |        x -> length(x) > 0) AS ws
+       |    FROM documents),
+       |  wins AS (SELECT doc_id, s.i AS start,
+       |      md5(array_to_string(ws[s.i+1 : s.i+$w], ' ')) AS digest
+       |    FROM (SELECT doc_id, ws, unnest(list_transform(range(0, len(ws) - ${w - 1}),
+       |        i -> {'i': i})) AS s
+       |      FROM base WHERE len(ws) >= $w)),
+       |  dupd AS (SELECT digest FROM wins GROUP BY digest HAVING count(*) > 1),
+       |  dw AS (SELECT wi.doc_id, wi.start, wi.start + ${w - 1} AS fin
+       |    FROM wins wi JOIN dupd USING (digest)),
+       |  m AS (SELECT doc_id, start, fin,
+       |      max(fin) OVER (PARTITION BY doc_id ORDER BY start
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |    FROM dw),
+       |  g AS (SELECT doc_id, start, fin,
+       |      sum(CASE WHEN pmax IS NULL OR start > pmax + 1 THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY doc_id ORDER BY start
+       |          ROWS UNBOUNDED PRECEDING) AS grp
+       |    FROM m)
+       |SELECT doc_id, min(start)::BIGINT AS span_start,
+       |  max(fin)::BIGINT AS span_end, count(*)::BIGINT AS n_windows
+       |FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+  }
+
   /** q34: MinHash LSH near-dup candidates (32 hashes, bands of 4, k=5,
     * est-Jaccard ≥ 0.3).
     */
@@ -1111,6 +1145,7 @@ object Oracles {
     "q90_perplexity_score" -> q90PerplexityScore,
     "q91_ccnet_sample" -> q91CcnetSample,
     "q92_dedup_incremental" -> q92DedupIncremental,
+    "q93_duplicate_spans" -> q93DuplicateSpans,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,
     "q84_knn_pq" -> q84PqTopK,

@@ -488,6 +488,12 @@ object SparkEntry {
         .orderBy("index_id", "incoming_id")
     }),
 
+    // ---- north star: duplicated-span detection (ExactSubstr-style) ----
+    "q93_duplicate_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(documents(s, dir), window = 5)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // ---- north star (rows-only): SimHash near-dup candidates ----
     "q35_simhash_neardup" -> ((s, dir) => {
       Dedup.simhashCandidates(documents(s, dir))

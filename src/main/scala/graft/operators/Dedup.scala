@@ -523,6 +523,54 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Corpus-wide duplicated window spans — the sliding-window form of
+    * exact-substring dedup (the published suffix-array recipe finds
+    * duplicated ≥N-token substrings; stride-1 `window`-word digests find
+    * the same spans up to window granularity at the same O(corpus
+    * tokens) cost, with no suffix array to build or hold). A window is
+    * duplicated if its digest occurs at any other (doc, position);
+    * overlapping/adjacent duplicated windows merge into maximal spans.
+    * Returns (idCol, span_start, span_end, n_windows) in word offsets —
+    * the input a span-removal or span-masking pass consumes.
+    *
+    * Scale shape: the digest table is O(words) rows of ~50 B (shuffle on
+    * the digest only); the merge is a per-doc running-max window
+    * (bounded by the doc's own spans, never cross-doc). The
+    * corpus-frequency pass is a partial-aggregated count + semi-join —
+    * no digest carries its text.
+    */
+  def duplicateSpans(docs: DataFrame, window: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = graft.operators.TextAnalysis.words(col(textCol))
+    val wins = docs
+      .select(col(idCol), ws.as("_ws"))
+      .filter(size(col("_ws")) >= window)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("_ws")) - window),
+          i => md5(array_join(slice(col("_ws"), i + 1, lit(window)), " "))))
+        .as(Seq("start", "digest")))
+    val dupDigests = wins.groupBy("digest")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).select("digest")
+    val dw = wins.join(dupDigests, Seq("digest"), "semi")
+      .withColumn("end", col("start") + (window - 1))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("start")
+    val prevMax = max(col("end"))
+      .over(byDoc.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1))
+    dw
+      .withColumn("_new",
+        when(prevMax.isNull || col("start") > prevMax + 1, 1).otherwise(0))
+      .withColumn("_grp", sum(col("_new")).over(
+        byDoc.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min("start").cast("long").as("span_start"),
+        max("end").cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("_grp")
+  }
+
   /** Segment-level exact dedup (C4-style duplicate-span removal): every
     * `segWords`-word segment that occurs more than once corpus-wide is
     * kept only at its first occurrence (min (doc, pos)); documents are

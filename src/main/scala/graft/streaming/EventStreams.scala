@@ -88,6 +88,12 @@ object EventStreams {
   /** Custom state example: running per-user totals via
     * flatMapGroupsWithState (the reference has no stateful streaming;
     * this is the engine's `mapGroupsWithState` surface, SURVEY §2.9).
+    *
+    * State is one fixed-size record per distinct user — O(|users|),
+    * which running-forever totals inherently require. On an unbounded
+    * key space (e.g. session ids), bound it with a timeout the way
+    * [[StreamingDedup.nearDupCandidates]]'s `stateTtlMs` does; a TTL
+    * here would silently reset totals, so it is deliberately absent.
     */
   def runningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._

@@ -204,6 +204,31 @@ class OperatorsSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.dedup.driverMaxEdges")
   }
 
+  test("duplicateSpans: planted shared run becomes one merged span per doc") {
+    // docs 1 and 2 share the 7-word run "one two three four five six seven"
+    // → with window 5 that is 3 overlapping duplicated windows → ONE span
+    val shared = "one two three four five six seven"
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon zeta eta theta"),
+      (2L, s"iota kappa lambda $shared mu nu xi omicron pi rho"),
+      (3L, "totally unique words without any repeated run at all here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(d, window = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: shared run at word offsets 2..8; doc 2: at 3..9; doc 3: none
+    assert(out.toSeq == Seq((1L, 2L, 8L, 3L), (2L, 3L, 9L, 3L)))
+    // disjoint duplicated runs stay separate spans (distinct gap words —
+    // a repeated gap word would itself form duplicated windows and
+    // legitimately bridge the spans)
+    val d2 = Seq(
+      (1L, s"$shared gap1 gap2 gap3 gap4 gap5 gap6 $shared"),
+      (2L, shared)).toDF("doc_id", "text")
+    val spans1 = Dedup.duplicateSpans(d2, window = 5)
+      .filter($"doc_id" === 1).as[(Long, Long, Long, Long)].collect()
+      .sortBy(_._2)
+    assert(spans1.toSeq == Seq((1L, 0L, 6L, 3L), (1L, 13L, 19L, 3L)))
+  }
+
   test("incremental dedup: index+shard composition equals full-corpus LSH") {
     val d = Tables.documents(spark, sf("sf0.001"))
     val idx = d.filter($"doc_id" < 400)
