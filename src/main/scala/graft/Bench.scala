@@ -41,7 +41,10 @@ object Bench {
     "q81_embed_quantize",  // embedding norm + int8 quantization
     "q84_knn_pq",          // PQ ADC code scan (NEW r7)
     "q88_bpe_tokens",      // loadable-BPE merge walk (NEW r7)
-    "q90_perplexity_score") // bigram-LM scoring fold (NEW r7)
+    "q90_perplexity_score", // bigram-LM scoring fold (NEW r7)
+    "q94_semantic_dedup",  // SemDeDup: int-Lloyd cells + in-cell prune (NEW r7)
+    "q96_gopher_rules",    // Gopher quality rules, scan-speed (NEW r7)
+    "q97_chunk_words")     // context-window chunking generator (NEW r7)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

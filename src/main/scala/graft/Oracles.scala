@@ -806,10 +806,14 @@ object Oracles {
        |            FROM sm ORDER BY h, vec_id LIMIT $nSeeds)""".stripMargin
   }
 
-  def q57KnnIvf: String = {
-    val nCells = 16; val nProbe = 4; val iters = 2; val k = 5
-    // d<i>: per-(vector, cell) integer squared-L2 vs cent<i>;
-    // asgn<i>: argmin cell per vector (tie → lowest cell index)
+  /** Shared whole-vector integer-Lloyd chain (q57/q94):
+    * [[quantSeedCtes]] + seed centroids + `iters` Lloyd rounds, ending
+    * at `d<iters>` / `asgn<iters>` — the exact replay of
+    * `Similarity.trainCellCentroids` + final cell assignment.
+    * d<i>: per-(vector, cell) integer squared-L2 vs cent<i>;
+    * asgn<i>: argmin cell per vector (tie → lowest cell index).
+    */
+  private def cellAsgnCtes(nCells: Int, iters: Int): String = {
     def dCtes(i: Int) =
       s"""  d$i AS (SELECT v.vec_id, c.cell, sum((v.v - c.c) * (v.v - c.c)) AS d2
          |          FROM vpos v JOIN cent$i c ON v.pos = c.pos GROUP BY 1, 2),
@@ -824,11 +828,16 @@ object Oracles {
            |       FROM asgn$i a JOIN vpos v ON a.vec_id = v.vec_id GROUP BY 1, 2) s
            |    ON p.cell = s.cell AND p.pos = s.pos)""".stripMargin
     }.mkString(",\n")
-    s"""WITH
-       |${quantSeedCtes(nCells)},
+    s"""${quantSeedCtes(nCells)},
        |  cent0 AS (SELECT s.cell, v.pos, v.v AS c FROM seeds s JOIN vpos v ON s.vec_id = v.vec_id),
        |$lloyd,
-       |${dCtes(iters)},
+       |${dCtes(iters)}""".stripMargin
+  }
+
+  def q57KnnIvf: String = {
+    val nCells = 16; val nProbe = 4; val iters = 2; val k = 5
+    s"""WITH
+       |${cellAsgnCtes(nCells, iters)},
        |  probe AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
        |      FROM d$iters WHERE vec_id < 20) WHERE rn <= $nProbe),
@@ -851,6 +860,37 @@ object Oracles {
        |SELECT query_id, neighbor_id, cell, dot, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** q94: `Similarity.semanticDedup` — SemDeDup. The q57 training chain
+    * ([[cellAsgnCtes]], same nCells/iters) assigns every vector a cell;
+    * within-cell smaller-id pairs are scored with the all-integer
+    * rational-threshold cosine test (dot > 0 ∧ den²·dot² ≥ num²·na·nb,
+    * threshold 7/10), and each vector reports its earlier-id near-dup
+    * count / smallest matching id / keep flag.
+    */
+  def q94SemanticDedup: String =
+    s"""WITH
+       |${cellAsgnCtes(16, 2)},
+       |  pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |            FROM asgn2 a JOIN asgn2 b
+       |            ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |  scored AS (SELECT p.id_a, p.id_b,
+       |      sum(x.v * y.v)::BIGINT AS dot,
+       |      sum(x.v * x.v)::BIGINT AS na, sum(y.v * y.v)::BIGINT AS nb
+       |    FROM pairs p
+       |    JOIN vpos x ON x.vec_id = p.id_a
+       |    JOIN vpos y ON y.vec_id = p.id_b AND y.pos = x.pos
+       |    GROUP BY 1, 2),
+       |  dup AS (SELECT id_b AS vec_id, count(*)::BIGINT AS n_dups_earlier,
+       |      min(id_a)::BIGINT AS dup_of
+       |    FROM scored WHERE dot > 0 AND 100 * dot * dot >= 49 * na * nb
+       |    GROUP BY 1)
+       |SELECT a.vec_id, a.cell,
+       |  COALESCE(d.n_dups_earlier, 0)::BIGINT AS n_dups_earlier,
+       |  COALESCE(d.dup_of, -1)::BIGINT AS dup_of,
+       |  (d.vec_id IS NULL) AS keep
+       |FROM asgn2 a LEFT JOIN dup d USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
 
   /** q84: `Similarity.pqTopKInt8` — product quantization with
     * asymmetric-distance scoring, all-integer: the [[quantSeedCtes]]
@@ -1113,6 +1153,122 @@ object Oracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q95: `TextAnalysis.dsirSelect` — DSIR top-n. The q90 bigram fold
+    * with TWO hash-derived fixed-point LMs (salts dsir_t / dsir_b),
+    * weight = Σ(lp_t − lp_b), then the deterministic top-100 by
+    * (weight DESC, doc_id).
+    */
+  def q95DsirSelect: String = {
+    def lp(salt: String) =
+      s"-(500 + CAST(CONCAT('0x', SUBSTRING(md5('$salt#' || g.a || '#' || g.b), 1, 8)) AS UBIGINT) % 4500)::BIGINT"
+    s"""WITH
+       |  base AS (SELECT doc_id,
+       |      list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |        w -> length(w) > 0) AS ws
+       |    FROM documents),
+       |  bg AS (SELECT doc_id,
+       |      unnest(list_transform(range(1, len(ws)),
+       |        i -> {'a': ws[i], 'b': ws[i+1]})) AS g
+       |    FROM base WHERE len(ws) >= 2),
+       |  lr AS (SELECT doc_id, (${lp("dsir_t")}) - (${lp("dsir_b")}) AS lr
+       |    FROM bg),
+       |  agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |      sum(lr)::BIGINT AS weight
+       |    FROM lr GROUP BY doc_id),
+       |  scored AS (SELECT b.doc_id,
+       |      COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       |      COALESCE(a.weight, 0)::BIGINT AS weight
+       |    FROM base b LEFT JOIN agg a USING (doc_id))
+       |SELECT doc_id, n_bigrams, weight FROM scored
+       |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin
+  }
+
+  /** q96: `TextAnalysis.gopherRules` — every flag is an integer-ratio
+    * compare; tokenization/line-split/trim semantics are the shared
+    * engine-portable ones (space-only trims, `\r?\n` lines, the q22
+    * ASCII word tokenizer).
+    */
+  def q96GopherRules: String = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = stops.map(s =>
+      s"(CASE WHEN list_contains(ws, '$s') THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH
+       |  f AS (SELECT doc_id,
+       |      list_filter(string_split_regex(lower(COALESCE(text, '')), '[^a-z0-9'']+'),
+       |        w -> length(w) > 0) AS ws,
+       |      regexp_split_to_array(COALESCE(text, ''), '\\r?\\n') AS ls,
+       |      COALESCE(text, '') AS t
+       |    FROM documents),
+       |  m AS (SELECT doc_id,
+       |      len(ws)::BIGINT AS n_words,
+       |      COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)::BIGINT AS n_word_chars,
+       |      len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))::BIGINT AS n_alpha,
+       |      ($stopHits)::BIGINT AS stop_hits,
+       |      len(ls)::BIGINT AS n_lines,
+       |      len(list_filter(ls, l -> starts_with(ltrim(l), '- ')
+       |        OR starts_with(ltrim(l), '* ')))::BIGINT AS n_bullet,
+       |      len(list_filter(ls, l -> ends_with(rtrim(l), '...')))::BIGINT AS n_ell_lines,
+       |      (length(t) - length(replace(t, '#', '')))::BIGINT AS n_hash,
+       |      ((length(t) - length(replace(t, '...', ''))) // 3)::BIGINT AS n_ellipsis
+       |    FROM f)
+       |SELECT doc_id, n_words, n_word_chars, n_lines,
+       |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       |  (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words) AS r_word_len,
+       |  (10 * (n_hash + n_ellipsis) <= n_words) AS r_symbol,
+       |  (10 * n_bullet <= 9 * n_lines) AS r_bullet,
+       |  (10 * n_ell_lines <= 3 * n_lines) AS r_ellipsis,
+       |  (5 * n_alpha >= 4 * n_words) AS r_alpha,
+       |  (stop_hits >= 2) AS r_stop,
+       |  ((n_words >= 50 AND n_words <= 100000)
+       |    AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+       |    AND (10 * (n_hash + n_ellipsis) <= n_words)
+       |    AND (10 * n_bullet <= 9 * n_lines)
+       |    AND (10 * n_ell_lines <= 3 * n_lines)
+       |    AND (5 * n_alpha >= 4 * n_words)
+       |    AND (stop_hits >= 2)) AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** q97: `TextAnalysis.chunkByWords(win=50, stride=40)` — starts at
+    * 0, 40, 80, … while < |words|; 1-based inclusive list_slice matches
+    * Spark's `slice(ws, start+1, win)`.
+    */
+  def q97ChunkWords: String =
+    s"""WITH
+       |  base AS (SELECT doc_id,
+       |      list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |        w -> length(w) > 0) AS ws
+       |    FROM documents),
+       |  st AS (SELECT doc_id, ws,
+       |      unnest(range(0, len(ws), 40)) AS chunk_start
+       |    FROM base WHERE len(ws) > 0)
+       |SELECT doc_id,
+       |  (chunk_start // 40)::BIGINT AS chunk_id,
+       |  chunk_start::BIGINT AS chunk_start,
+       |  len(list_slice(ws, chunk_start + 1, chunk_start + 50))::BIGINT AS n_chunk_words,
+       |  array_to_string(list_slice(ws, chunk_start + 1, chunk_start + 50), ' ') AS chunk_text
+       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** q98: `Dedup.rebalanceMixture` — counts → T = min⌊cₖ·W/wₖ⌋ →
+    * per-source HUGEINT thresholds → the q76 md5 keep rule (seed 7,
+    * weights src0:5 src1:3 src2:2 src3:1, W = 11).
+    */
+  def q98RebalanceMixture: String =
+    s"""WITH
+       |  w(source, wt) AS (SELECT * FROM (VALUES
+       |    ('src0', 5), ('src1', 3), ('src2', 2), ('src3', 1))),
+       |  counts AS (SELECT source, count(*)::HUGEINT AS c
+       |    FROM documents GROUP BY 1),
+       |  t AS (SELECT min((c * 11) // wt) AS t FROM counts JOIN w USING (source)),
+       |  thr AS (SELECT w.source,
+       |      LEAST((4294967296::HUGEINT * w.wt * t.t) // (11 * c.c),
+       |        4294967296::HUGEINT) AS thr
+       |    FROM w JOIN counts c USING (source) CROSS JOIN t)
+       |SELECT d.doc_id, d.source FROM documents d
+       |JOIN thr ON d.source = thr.source
+       |WHERE CAST('0x' || substr(md5('7#' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS UBIGINT) < thr.thr
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Shared q90/q91 prefix ending at `scored`: per-doc bigram count,
     * fixed-point lp sum, and truncating mean via the positive domain.
     */
@@ -1140,6 +1296,11 @@ object Oracles {
       |    FROM base b LEFT JOIN agg a USING (doc_id))""".stripMargin
 
   def generated: Map[String, String] = Map(
+    "q94_semantic_dedup" -> q94SemanticDedup,
+    "q95_dsir_select" -> q95DsirSelect,
+    "q96_gopher_rules" -> q96GopherRules,
+    "q97_chunk_words" -> q97ChunkWords,
+    "q98_rebalance_mixture" -> q98RebalanceMixture,
     "q88_bpe_tokens" -> q88BpeTokens,
     "q89_knn_pq_refine" -> q89PqRefine,
     "q90_perplexity_score" -> q90PerplexityScore,

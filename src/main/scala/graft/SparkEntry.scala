@@ -494,6 +494,45 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // ---- north star: SemDeDup — cluster-then-prune semantic dedup ----
+    // q57's integer Lloyd training + within-cell rational-threshold
+    // cosine (7/10); oracle replays training and the dup rule exactly
+    "q94_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(embeddings(s, dir), nCells = 16, iters = 2,
+          thresholdNum = 7, thresholdDen = 10)
+        .orderBy("vec_id")
+    }),
+
+    // ---- north star: DSIR importance resampling (top-n selection) ----
+    // target/background LMs are the hash-derived fixed-point stand-ins
+    // (q80/q90 discipline); real LMs load as sidecar tables
+    "q95_dsir_select" -> ((s, dir) => {
+      TextAnalysis.dsirSelect(documents(s, dir), n = 100)
+        .orderBy(col("weight").desc, col("doc_id"))
+    }),
+
+    // ---- north star: Gopher-rules quality filter (integer-exact) ----
+    "q96_gopher_rules" -> ((s, dir) => {
+      TextAnalysis.gopherRules(documents(s, dir)).orderBy("doc_id")
+    }),
+
+    // ---- north star: context-window chunking (win 50, stride 40) ----
+    "q97_chunk_words" -> ((s, dir) => {
+      TextAnalysis.chunkByWords(documents(s, dir), win = 50, stride = 40)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // ---- north star: mixture rebalance to target source weights ----
+    // src0:5 src1:3 src2:2 src3:1 (others dropped), seed 7 — counts →
+    // max feasible total → integer thresholds → md5 keep rule
+    "q98_rebalance_mixture" -> ((s, dir) => {
+      Dedup.rebalanceMixture(documents(s, dir), "source",
+          weights = Map("src0" -> 5L, "src1" -> 3L, "src2" -> 2L, "src3" -> 1L),
+          seed = 7)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // ---- north star (rows-only): SimHash near-dup candidates ----
     "q35_simhash_neardup" -> ((s, dir) => {
       Dedup.simhashCandidates(documents(s, dir))

@@ -626,6 +626,61 @@ object Dedup {
     df.filter(bucket < threshold)
   }
 
+  /** Rebalance a corpus to a target source mixture by integer-exact
+    * downsampling — the Pile/Dolma-style mixing step: given integer
+    * mixture weights per source, compute the LARGEST total T such that
+    * no source must be upsampled (T = min over weighted sources of
+    * ⌊cₖ·W/wₖ⌋, W = Σwₖ), then keep each source k with probability
+    * wₖ·T/(W·cₖ) via the [[weightedSample]] md5-threshold sampler.
+    * Sources absent from `weights` (or weighted 0) are dropped. The
+    * kept corpus has source proportions ≈ wₖ/W exactly-in-expectation,
+    * and no source is sampled above its size.
+    *
+    * All threshold arithmetic is BigInt truncating division — the
+    * DuckDB oracle replays counts → T → thresholds → the md5 keep rule
+    * in HUGEINT, bit-for-bit.
+    *
+    * Scale shape: one groupBy(keyCol).count() whose cardinality is the
+    * number of DISTINCT SOURCES (guarded by
+    * `spark.graft.mixture.maxKeys`, default 100 000 — mixtures are
+    * per-corpus/domain labels, not per-document), then a pure map-side
+    * threshold filter: no second shuffle, no global sort, nothing
+    * proportional to |corpus| ever reaches the driver.
+    */
+  def rebalanceMixture(df: DataFrame, keyCol: String,
+      weights: Map[String, Long], seed: Long = 0,
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0L) &&
+      weights.values.sum > 0L, s"weights must be nonnegative, not all zero")
+    val maxKeys = df.sparkSession.conf
+      .get("spark.graft.mixture.maxKeys", "100000").toInt
+    val countRows = df.groupBy(col(keyCol).cast("string").as("_k"))
+      .agg(count(lit(1)).as("_n"))
+      .limit(maxKeys + 1).collect()
+    require(countRows.length <= maxKeys,
+      s"$keyCol has > $maxKeys distinct values — not a mixture label " +
+        "(raise spark.graft.mixture.maxKeys if intended)")
+    val counts: Map[String, Long] =
+      countRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val W = weights.values.sum
+    val present = weights.filter { case (k, w) =>
+      w > 0L && counts.getOrElse(k, 0L) > 0L }
+    require(present.nonEmpty,
+      "no weighted source present in the data — empty mixture")
+    val T = present.map { case (k, w) => counts(k) * W / w }.min
+    val full = BigInt(4294967296L)
+    val thresholds: Map[String, Long] = present.map { case (k, w) =>
+      k -> ((full * w * T) / (BigInt(W) * counts(k))).min(full).toLong
+    }
+    val bucket = conv(substring(
+      md5(concat_ws("#", lit(seed), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val thrCol = thresholds.foldLeft(lit(0L)) { case (acc, (k, t)) =>
+      when(col(keyCol) === k, lit(t)).otherwise(acc)
+    }
+    df.filter(bucket < thrCol)
+  }
+
   /** 64-bit SimHash over word tokens: sign of per-bit weighted sums of
     * token hashes. Near-dups = signatures within small Hamming distance;
     * banded into 16-bit sub-keys for bucket joins (a doc pair within

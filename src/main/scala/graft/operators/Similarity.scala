@@ -688,4 +688,73 @@ object Similarity extends Serializable {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): k-means-cluster the embedding space, then mark as
+    * duplicate every vector whose cosine similarity to a LOWER-id vector
+    * in the SAME cluster meets the threshold — pairwise comparison only
+    * ever happens inside a cell, which is the whole point of the recipe
+    * (within-cluster ε-balls, never an all-pairs pass).
+    *
+    * Exactness discipline (the q57/q84 pattern): int8 quantization,
+    * splitmix64-seeded integer Lloyd training, and a RATIONAL threshold
+    * `thresholdNum/thresholdDen` compared as
+    * `dot > 0 && den²·dot² ≥ num²·‖a‖²·‖b‖²` — all-integer, no sqrt, no
+    * float compare, so the DuckDB oracle ([[graft.Oracles.q94SemanticDedup]])
+    * replays training and the dup decision bit-for-bit.
+    *
+    * Scale shape: training is iters × (one nCells×dim broadcast + one
+    * map-side assignment + one nCells×dim-row aggregate); the only join
+    * is the within-cell self-join, whose cost is Σ|cell|² — tune
+    * `nCells` ∝ |corpus|/(target cell size) to bound it (SemDeDup used
+    * 11k clusters for 100M+ embeddings). Degenerate cells (boilerplate
+    * embeddings collapsing into one cluster) are excluded from PAIR
+    * GENERATION above `maxCell` rows via the shared skew guard — capped
+    * cells' members stay in the output as keepers (the guard degrades
+    * recall, never drops rows). Vectors ride the join as int8 arrays
+    * (dim bytes-ish per row, not float32).
+    *
+    * Output: one row per corpus vector — (idCol, cell, n_dups_earlier,
+    * dup_of, keep); `dup_of` = the smallest matching earlier id (−1 when
+    * none), `keep` = no earlier in-cell near-duplicate. Filtering to
+    * `keep` yields the deduplicated corpus deterministically (the
+    * lowest-id representative of every semantic group survives).
+    */
+  def semanticDedup(corpus: DataFrame, nCells: Int = 16, iters: Int = 2,
+      thresholdNum: Long = 7, thresholdDen: Long = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCell: Int = -1): DataFrame = {
+    require(thresholdDen > 0 && thresholdNum >= 0,
+      s"threshold $thresholdNum/$thresholdDen not a nonnegative rational")
+    // den²·dot² must stay in Long: dot ≤ dim·127² (≈2^20 at dim 64), so
+    // den ≤ 1000 keeps den²·dot² < 2^60 with headroom.
+    require(thresholdDen <= 1000, s"thresholdDen $thresholdDen too large (≤1000)")
+    val qc = Dedup.tracked(
+      quantIds(corpus, idCol, vecCol).localCheckpoint(eager = false))
+    val cs = trainCellCentroids(qc, hashSeedVecs(qc, nCells), iters)
+    val assigned = Dedup.tracked(
+      qc.withColumn("cell", cellAssigner(cs)(col("qv")))
+        .localCheckpoint(eager = false))
+    val capped = Dedup.capBuckets(assigned, maxCell, "cell")
+    def n2(c: Column) = aggregate(c, lit(0L),
+      (acc, v) => acc + v.cast("long") * v.cast("long"))
+    val dup = capped.select(col("id").as("id_a"), col("qv").as("va"), col("cell"))
+      .join(capped.select(col("id").as("id_b"), col("qv").as("vb"), col("cell")),
+        Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", aggregate(
+        zip_with(col("va"), col("vb"), (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, v) => acc + v))
+      .filter(col("dot") > 0 &&
+        lit(thresholdDen * thresholdDen) * col("dot") * col("dot") >=
+          lit(thresholdNum * thresholdNum) * n2(col("va")) * n2(col("vb")))
+      .groupBy(col("id_b").as("id"))
+      .agg(count(lit(1)).as("n_dups_earlier"), min(col("id_a")).as("dup_of"))
+    assigned.select(col("id"), col("cell"))
+      .join(dup, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        coalesce(col("n_dups_earlier"), lit(0L)).as("n_dups_earlier"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("n_dups_earlier").isNull.as("keep"))
+  }
 }

@@ -351,16 +351,14 @@ object TextAnalysis {
     -(lit(500L) + conv(substring(md5(concat_ws("#", lit("lm"), a, b)), 1, 8),
       16, 10).cast("long") % 4500L)
 
-  /** Per-document bigram-LM score projection: (idCol, n_bigrams, lp_sum,
-    * mean_lp). mean_lp divides via the positive domain (lp is always
-    * negative; truncating division on the negated sum is engine-portable
-    * by construction). Documents with < 2 words score (0, 0, 0).
+  /** Shared bigram-fold plumbing of the LM scorers: (idCol, n_bigrams,
+    * outCol = Σ score(wᵢ, wᵢ₊₁)). Documents with < 2 words fold to
+    * (0, 0). NB: the bigram sequence is guarded by `when(size >= 2)` — a
+    * bare sequence(1, size-1) would run DESCENDING for 1-word docs
+    * (Spark's sequence(1, 0) is [1, 0]) and fabricate a bogus bigram.
     */
-  def perplexityScore(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    // NB: the bigram sequence is guarded by `when(size >= 2)` — a bare
-    // sequence(1, size-1) would run DESCENDING for 1-word docs (Spark's
-    // sequence(1, 0) is [1, 0]) and fabricate a bogus bigram.
+  private def bigramFold(docs: DataFrame, idCol: String, textCol: String,
+      outCol: String, score: (Column, Column) => Column): DataFrame =
     docs
       .select(col(idCol), coalesce(words(col(textCol)), array()).as("_ws"))
       .withColumn("_bg", when(size(col("_ws")) >= 2,
@@ -371,12 +369,57 @@ object TextAnalysis {
       .select(col(idCol),
         size(col("_bg")).cast("long").as("n_bigrams"),
         coalesce(aggregate(col("_bg"), lit(0L),
-          (acc, g) => acc + bigramLogProb(g("a"), g("b"))), lit(0L))
-          .as("lp_sum"))
+          (acc, g) => acc + score(g("a"), g("b"))), lit(0L))
+          .as(outCol))
+
+  /** Per-document bigram-LM score projection: (idCol, n_bigrams, lp_sum,
+    * mean_lp). mean_lp divides via the positive domain (lp is always
+    * negative; truncating division on the negated sum is engine-portable
+    * by construction). Documents with < 2 words score (0, 0, 0).
+    */
+  def perplexityScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    bigramFold(docs, idCol, textCol, "lp_sum", bigramLogProb)
       .withColumn("mean_lp",
         when(col("n_bigrams") > 0,
           -expr("(-lp_sum) DIV n_bigrams")).otherwise(lit(0L)))
+
+  /** DSIR-style importance weight contribution of one bigram (Xie et al.
+    * 2023, arXiv 2302.03169): log p_target − log p_background under two
+    * hashed n-gram bigram LMs. Both sides are the [[bigramLogProb]]
+    * fixed-point hash-derived stand-ins (salts `dsir_t` / `dsir_b` — the
+    * q80/q90 seed-model discipline: gates the machinery; real target and
+    * background LMs ship as sidecars via [[scoreBigramLm]]-shaped tables).
+    */
+  def dsirLogRatio(a: Column, b: Column): Column = {
+    def lp(salt: String): Column =
+      -(lit(500L) + conv(substring(
+        md5(concat_ws("#", lit(salt), a, b)), 1, 8), 16, 10)
+        .cast("long") % 4500L)
+    lp("dsir_t") - lp("dsir_b")
   }
+
+  /** Per-document DSIR importance weight: (idCol, n_bigrams, weight =
+    * Σ log p_target/p_background over word bigrams). Pure map-side fold
+    * — a full-corpus scoring pass touches each document once.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    bigramFold(docs, idCol, textCol, "weight", dsirLogRatio)
+
+  /** DSIR data selection: the `n` highest-importance documents
+    * (deterministic tie-break by id). The published recipe samples
+    * ∝ importance with Gumbel top-k; the deterministic top-n is the
+    * engine-portable form (integer weights, total order). Scale shape:
+    * map-side scoring + `orderBy().limit(n)` — Catalyst plans a
+    * TakeOrderedAndProject (per-partition bounded heaps, one tiny final
+    * merge on the driver), never a global sort shuffle.
+    */
+  def dsirSelect(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    dsirWeights(docs, idCol, textCol)
+      .orderBy(col("weight").desc, col(idCol))
+      .limit(n)
 
   /** [[perplexityScore]] with a LOADED bigram table (pairs absent from
     * the table score `unkLp`) — the production path for a real trained
@@ -422,6 +465,101 @@ object TextAnalysis {
           .otherwise("tail"))
     Dedup.weightedSample(bucketed, "ppl_bucket", fractions,
       default = 1.0, seed = seed, idCol = idCol)
+  }
+
+  /** The eight Gopher stopwords (Rae et al. 2021, appendix A1.1 —
+    * "must contain at least two of" these).
+    */
+  private val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rules document quality filter (Rae et al. 2021, arXiv
+    * 2112.11446 appendix A1.1 — the published MassiveWeb heuristics).
+    * Every rule is an INTEGER-ratio comparison (`10·bullets ≤ 9·lines`
+    * instead of `bullets/lines ≤ 0.9`), so there is no float anywhere
+    * and the DuckDB oracle replays each flag exactly.
+    *
+    * Rules (flag true = passes):
+    *  - `r_word_count`: 50 ≤ words ≤ 100 000
+    *  - `r_word_len`:   mean word length in [3, 10] chars
+    *  - `r_symbol`:     (hash signs + ellipses) ≤ 0.1 × words
+    *  - `r_bullet`:     ≤ 90% of lines start with a bullet (`- ` / `* `)
+    *  - `r_ellipsis`:   ≤ 30% of lines end with "..."
+    *  - `r_alpha`:      ≥ 80% of words contain an alphabetic character
+    *  - `r_stop`:       ≥ 2 distinct Gopher stopwords present
+    *  - `pass`:         all of the above
+    *
+    * Pure codegen'd expressions — one scan-speed map-side pass, the
+    * same shape as [[qualityFeatures]]. Tokenization is the shared
+    * [[words]] ASCII tokenizer (oracle agreement by construction);
+    * lines split on `\r?\n` (the q87 CRLF discipline).
+    */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val ws = words(text)
+    val lines = split(text, "\r?\n")
+    val nWords = size(ws).cast("long")
+    val totalChars = coalesce(aggregate(ws, lit(0L),
+      (acc, w) => acc + length(w).cast("long")), lit(0L))
+    val alphaWords = size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
+    val stopHits = gopherStops.map(s =>
+      when(array_contains(ws, s), 1L).otherwise(0L)).reduce(_ + _)
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      startswith(ltrim(l), lit("- ")) || startswith(ltrim(l), lit("* "))))
+      .cast("long")
+    val ellipsisLines = size(filter(lines, l =>
+      endswith(rtrim(l), lit("...")))).cast("long")
+    val nHash = length(text).cast("long") -
+      length(replace(text, lit("#"), lit(""))).cast("long")
+    val nEllipsis = (length(text).cast("long") -
+      length(replace(text, lit("..."), lit(""))).cast("long")) / lit(3L)
+    docs.select(col(idCol),
+        nWords.as("n_words"), totalChars.as("n_word_chars"),
+        nLines.as("n_lines"),
+        (nWords >= 50L && nWords <= 100000L).as("r_word_count"),
+        (lit(3L) * nWords <= totalChars &&
+          totalChars <= lit(10L) * nWords).as("r_word_len"),
+        (lit(10L) * (nHash + nEllipsis) <= nWords).as("r_symbol"),
+        (lit(10L) * bulletLines <= lit(9L) * nLines).as("r_bullet"),
+        (lit(10L) * ellipsisLines <= lit(3L) * nLines).as("r_ellipsis"),
+        (lit(5L) * alphaWords >= lit(4L) * nWords).as("r_alpha"),
+        (stopHits >= 2L).as("r_stop"))
+      .withColumn("pass",
+        col("r_word_count") && col("r_word_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stop"))
+  }
+
+  /** Context-window chunking: split each document's word sequence into
+    * windows of `win` words advancing by `stride` (overlap = win −
+    * stride) — the standard training-example prep ahead of
+    * [[graft.operators.Packing]]. Chunk starts are 0, stride, 2·stride,
+    * … while < |words|, so every word is covered and trailing chunks may
+    * be short; empty documents emit no rows.
+    *
+    * Scale shape: one generator (`posexplode` of the start sequence) per
+    * document, row-local slicing — map-side only, output rows ≈
+    * |corpus|·(mean words/stride), no shuffle. Output: (idCol, chunk_id,
+    * chunk_start, n_chunk_words, chunk_text), chunk_id = chunk_start /
+    * stride.
+    */
+  def chunkByWords(docs: DataFrame, win: Int = 50, stride: Int = 40,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(win > 0 && stride > 0, s"win $win / stride $stride must be > 0")
+    docs
+      .select(col(idCol), coalesce(words(col(textCol)), array()).as("_ws"))
+      .filter(size(col("_ws")) > 0)
+      .select(col(idCol), col("_ws"),
+        posexplode(sequence(lit(0), size(col("_ws")) - 1, lit(stride)))
+          .as(Seq("_pos", "chunk_start")))
+      .withColumn("_chunk", slice(col("_ws"), col("chunk_start") + 1, lit(win)))
+      .select(col(idCol),
+        expr(s"chunk_start DIV $stride").cast("long").as("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        size(col("_chunk")).cast("long").as("n_chunk_words"),
+        array_join(col("_chunk"), " ").as("chunk_text"))
   }
 
   /** Full document-analysis projection over a documents table. */

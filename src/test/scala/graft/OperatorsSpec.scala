@@ -1138,4 +1138,115 @@ class OperatorsSpec extends SparkSpec {
     val none = Dedup.weightedSample(df, "src", Map.empty, default = 0.0, seed = 3)
     assert(none.count() == 0)
   }
+
+  test("semanticDedup: copies pruned to lowest id, orthogonals kept, layout-independent") {
+    // 10 one-hot patterns (dim 16, pairwise orthogonal → cosine 0) × 2
+    // copies each (cosine 1): the ONLY near-dups are the copies.
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(16)(j => if (j == i % 10) 1.0f else 0.0f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, nCells = 4, iters = 2)
+      .as[(Long, Int, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.length == 20) // every vector reported exactly once
+    out.foreach { case (id, _, nDup, dupOf, keep) =>
+      if (id < 10) { assert(keep && nDup == 0L && dupOf == -1L) }
+      else { assert(!keep && nDup == 1L && dupOf == id - 10) }
+    }
+    // layout independence: same verdicts from a different partitioning
+    val again = Similarity.semanticDedup(df.repartition(7), nCells = 4, iters = 2)
+      .as[(Long, Int, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+  }
+
+  test("dsirWeights/dsirSelect: deterministic weights, exact top-n order") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "one"),
+      (2L, ""),
+      (3L, "alpha beta gamma delta epsilon"),
+      (4L, "the quick brown fox jumps over the lazy dog")) // dup of 0
+      .toDF("doc_id", "text")
+    val w = TextAnalysis.dsirWeights(d)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(w(0)._2 == 8L && w(3)._2 == 4L) // bigram counts
+    assert(w(1) == ((1L, 0L, 0L)) && w(2) == ((2L, 0L, 0L))) // short → 0
+    assert(w(0)._3 == w(4)._3) // same text, same weight
+    val byWeight = w.sortBy(r => (-r._3, r._1)).map(_._1).toSeq
+    val sel = TextAnalysis.dsirSelect(d, n = 3)
+      .as[(Long, Long, Long)].collect().map(_._1).toSeq
+    assert(sel == byWeight.take(3))
+    assert(TextAnalysis.dsirSelect(d, n = 99).count() == 5) // n > corpus → all
+  }
+
+  test("gopherRules: each published rule trips on its crafted violation") {
+    val fifty = Seq.fill(5)("the model and data that have with more signal here").mkString(" ")
+    val d = Seq(
+      (0L, fifty),                                    // 50 sane words → pass
+      (1L, "the and of short"),                       // < 50 words
+      (2L, (1 to 60).map(_ => "- item one two").mkString("\n")),   // all bullets
+      (3L, (1 to 60).map(_ => "trailing words here...").mkString("\n")), // all "..." ends
+      (4L, fifty + " " + Seq.fill(10)("#####").mkString(" ")),     // symbol-heavy
+      (5L, Seq.fill(60)("12345").mkString(" ")),      // numeric → no alpha, no stops
+      (6L, fifty.replace("the ", "zz ").replace("and ", "qq ").replace("that ", "rr ").replace("have ", "ss ").replace("with ", "tt ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Boolean]("pass"))
+    assert(!out(1L).getAs[Boolean]("r_word_count") && out(1L).getAs[Boolean]("r_stop"))
+    assert(!out(2L).getAs[Boolean]("r_bullet"))
+    assert(!out(3L).getAs[Boolean]("r_ellipsis"))
+    assert(!out(4L).getAs[Boolean]("r_symbol"))
+    assert(!out(5L).getAs[Boolean]("r_alpha") && !out(5L).getAs[Boolean]("r_stop"))
+    assert(!out(6L).getAs[Boolean]("r_stop") && !out(6L).getAs[Boolean]("pass"))
+  }
+
+  test("chunkByWords: stride coverage, overlap, short tail, empty docs dropped") {
+    val words100 = (0 until 100).map(i => s"w$i").mkString(" ")
+    val d = Seq((0L, words100), (1L, ""), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByWords(d, win = 50, stride = 40)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    val doc0 = out.filter(_._1 == 0L)
+    assert(doc0.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0L, 0L, 50L), (1L, 40L, 50L), (2L, 80L, 20L)))
+    // overlap: words 40..49 appear in both chunk 0 and chunk 1
+    assert(doc0(0)._5.split(" ").takeRight(10).toSeq ==
+      doc0(1)._5.split(" ").take(10).toSeq)
+    // full coverage: union of chunk words = original sequence
+    assert(doc0.flatMap(_._5.split(" ")).distinct.length == 100)
+    assert(out.count(_._1 == 1L) == 0) // empty doc → no rows
+    assert(out.filter(_._1 == 2L).map(r => (r._2, r._4)).toSeq == Seq((0L, 3L)))
+    // win == stride → exact partition, sizes sum to n
+    val part = TextAnalysis.chunkByWords(d.filter($"doc_id" === 0L),
+      win = 40, stride = 40).as[(Long, Long, Long, Long, String)].collect()
+    assert(part.map(_._4).sum == 100L)
+  }
+
+  test("rebalanceMixture: no upsampling, unweighted dropped, map-side keep filter") {
+    val rows = (0 until 100).map(i => (i.toLong, "a")) ++
+      (100 until 150).map(i => (i.toLong, "b")) ++
+      (150 until 350).map(i => (i.toLong, "c"))
+    val df = rows.toDF("doc_id", "source")
+    // W = 2, T = min(100·2/1, 50·2/1) = 100 → thr_a = 0.5, thr_b = 1.0
+    val kept = Dedup.rebalanceMixture(df, "source",
+      Map("a" -> 1L, "b" -> 1L), seed = 7)
+    val counts = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(!counts.contains("c"))                  // unweighted → dropped
+    assert(counts("b") == 50L)                     // threshold 1.0 keeps all
+    assert(counts("a") > 30L && counts("a") < 70L) // ≈ 100 × 0.5
+    kept.count()
+    // the keep filter itself is map-side over the input (the only
+    // shuffle in the operator is the tiny per-source count)
+    assert(!kept.queryExecution.executedPlan.toString.contains("Exchange"))
+    val again = Dedup.rebalanceMixture(df, "source",
+      Map("a" -> 1L, "b" -> 1L), seed = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+    // a key-cardinality explosion is refused, not silently collected
+    spark.conf.set("spark.graft.mixture.maxKeys", "2")
+    try intercept[IllegalArgumentException] {
+      Dedup.rebalanceMixture(df, "source",
+        Map("a" -> 1L, "b" -> 1L, "c" -> 1L), seed = 7).count()
+    } finally spark.conf.unset("spark.graft.mixture.maxKeys")
+  }
 }
