@@ -9,9 +9,11 @@ import graft.operators.{Dedup, Packing, TextAnalysis, Xval}
   * the driver testdata — the flow a user of the reference library would
   * assemble from this engine's operators:
   *
-  *   documents → text stats/quality gate → exact dedup → MinHash near-dup
-  *   clustering (keep cluster minimum) → benchmark decontamination →
-  *   model-based quality filter → sequence packing → train/val/test folds
+  *   documents → text stats/quality gate → Gopher-rules gate → exact
+  *   dedup → MinHash near-dup clustering (keep cluster minimum) →
+  *   benchmark decontamination → model-based quality filter → mixture
+  *   rebalance to target source weights → context-window chunking →
+  *   sequence packing → train/val/test folds
   *
   * Each stage is the scale-shaped operator (digest shuffles, banded LSH
   * with skew caps, broadcast decontamination, two-phase prefix sums,
@@ -46,8 +48,21 @@ object PipelineDemo {
         .drop("q")
       stage("clean + quality gate", gated.count())
 
+      // 1b. Gopher-rules gate (integer-ratio compares, scan-speed).
+      // The synthetic corpus is 10-99-word token streams drawn from a
+      // query-engine vocabulary, so the 50-word floor (r_word_count) and
+      // the English-stopword rule (r_stop) are waived here; production
+      // gates on `pass`.
+      val gophered = gated.join(
+        TextAnalysis.gopherRules(gated)
+          .filter(col("r_word_len") && col("r_symbol") && col("r_bullet") &&
+            col("r_ellipsis") && col("r_alpha"))
+          .select("doc_id"),
+        Seq("doc_id"))
+      stage("gopher-rules gate", gophered.count())
+
       // 2. exact dedup (md5 digest groupBy — survivors)
-      val exact = Dedup.exactKeep(gated)
+      val exact = Dedup.exactKeep(gophered)
       stage("exact dedup", exact.count())
 
       // 3. near-dup clustering, keep each cluster's min doc_id
@@ -70,18 +85,31 @@ object PipelineDemo {
         .join(clean, Seq("doc_id"))
       stage("model quality filter", scored.count())
 
-      // 6. pack into fixed-budget training sequences, counting tokens
-      // with the loadable BPE tokenizer (demo merges; production loads
-      // its trained table via Bpe.loadMerges)
-      val packed = Packing.packSequences(scored, budget = 512,
-        tokenCount = Some(graft.functions.Bpe.tokenCount(col("text"))))
+      // 5b. rebalance to a target source mixture (upweight the first ten
+      // sources 2:1) — integer-exact thresholds, no source upsampled
+      val mixture = (0 until 20).map(i =>
+        s"src$i" -> (if (i < 10) 2L else 1L)).toMap
+      val balanced = Dedup.rebalanceMixture(scored, "source", mixture, seed = 7)
+      stage("mixture rebalance", balanced.count())
+
+      // 5c. context-window chunking ahead of packing (overlap win−stride)
+      val chunks = TextAnalysis.chunkByWords(balanced, win = 64, stride = 48)
+        .withColumn("chunk_uid", col("doc_id") * 1024 + col("chunk_id"))
+      stage("context chunks (64/48)", chunks.count())
+
+      // 6. pack the chunks into fixed-budget training sequences, counting
+      // tokens with the loadable BPE tokenizer (demo merges; production
+      // loads its trained table via Bpe.loadMerges)
+      val packed = Packing.packSequences(chunks, budget = 512,
+        idCol = "chunk_uid", textCol = "chunk_text",
+        tokenCount = Some(graft.functions.Bpe.tokenCount(col("chunk_text"))))
       val nSeqs = packed.agg(max("seq_end")).as[Long].head() + 1
       stage("packed (512 BPE-tok seqs)", nSeqs)
 
       // 7. train/val/test folds (layout-independent, engine-replayable)
       val folded = Xval.foldMasksVal(
-        Xval.md5Kfold(packed, 4, "doc_id"), 4,
-        valFrac = 0.1, valKey = "doc_id", seed = 7)
+        Xval.md5Kfold(packed, 4, "chunk_uid"), 4,
+        valFrac = 0.1, valKey = "chunk_uid", seed = 7)
       val train0 = Xval.xvalSet(folded, "train", 0).count()
       val val0 = Xval.xvalSet(folded, "val", 0).count()
       val test0 = Xval.xvalSet(folded, "test", 0).count()
