@@ -1188,12 +1188,14 @@ object Oracles {
     * engine-portable ones (space-only trims, `\r?\n` lines, the q22
     * ASCII word tokenizer).
     */
-  def q96GopherRules: String = {
+  /** Shared q96/q100 WITH-fragment ending at `flags`: per-doc Gopher
+    * counts and the seven integer-ratio rule flags + `pass`.
+    */
+  private def gopherFlagsCtes: String = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val stopHits = stops.map(s =>
       s"(CASE WHEN list_contains(ws, '$s') THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH
-       |  f AS (SELECT doc_id,
+    s"""  f AS (SELECT doc_id,
        |      list_filter(string_split_regex(lower(COALESCE(text, '')), '[^a-z0-9'']+'),
        |        w -> length(w) > 0) AS ws,
        |      regexp_split_to_array(COALESCE(text, ''), '\\r?\\n') AS ls,
@@ -1210,24 +1212,65 @@ object Oracles {
        |      len(list_filter(ls, l -> ends_with(rtrim(l), '...')))::BIGINT AS n_ell_lines,
        |      (length(t) - length(replace(t, '#', '')))::BIGINT AS n_hash,
        |      ((length(t) - length(replace(t, '...', ''))) // 3)::BIGINT AS n_ellipsis
-       |    FROM f)
-       |SELECT doc_id, n_words, n_word_chars, n_lines,
-       |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
-       |  (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words) AS r_word_len,
-       |  (10 * (n_hash + n_ellipsis) <= n_words) AS r_symbol,
-       |  (10 * n_bullet <= 9 * n_lines) AS r_bullet,
-       |  (10 * n_ell_lines <= 3 * n_lines) AS r_ellipsis,
-       |  (5 * n_alpha >= 4 * n_words) AS r_alpha,
-       |  (stop_hits >= 2) AS r_stop,
-       |  ((n_words >= 50 AND n_words <= 100000)
-       |    AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
-       |    AND (10 * (n_hash + n_ellipsis) <= n_words)
-       |    AND (10 * n_bullet <= 9 * n_lines)
-       |    AND (10 * n_ell_lines <= 3 * n_lines)
-       |    AND (5 * n_alpha >= 4 * n_words)
-       |    AND (stop_hits >= 2)) AS pass
-       |FROM m ORDER BY doc_id""".stripMargin
+       |    FROM f),
+       |  flags AS (SELECT doc_id, n_words, n_word_chars, n_lines,
+       |      (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       |      (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words) AS r_word_len,
+       |      (10 * (n_hash + n_ellipsis) <= n_words) AS r_symbol,
+       |      (10 * n_bullet <= 9 * n_lines) AS r_bullet,
+       |      (10 * n_ell_lines <= 3 * n_lines) AS r_ellipsis,
+       |      (5 * n_alpha >= 4 * n_words) AS r_alpha,
+       |      (stop_hits >= 2) AS r_stop,
+       |      ((n_words >= 50 AND n_words <= 100000)
+       |        AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+       |        AND (10 * (n_hash + n_ellipsis) <= n_words)
+       |        AND (10 * n_bullet <= 9 * n_lines)
+       |        AND (10 * n_ell_lines <= 3 * n_lines)
+       |        AND (5 * n_alpha >= 4 * n_words)
+       |        AND (stop_hits >= 2)) AS pass
+       |    FROM m)""".stripMargin
   }
+
+  def q96GopherRules: String =
+    s"""WITH
+       |$gopherFlagsCtes
+       |SELECT doc_id, n_words, n_word_chars, n_lines, r_word_count,
+       |  r_word_len, r_symbol, r_bullet, r_ellipsis, r_alpha, r_stop, pass
+       |FROM flags ORDER BY doc_id""".stripMargin
+
+  /** q100: `TextAnalysis.corpusReport` — the q96 flags aggregated per
+    * source label.
+    */
+  def q100CorpusReport: String =
+    s"""WITH
+       |$gopherFlagsCtes
+       |SELECT d.source, count(*)::BIGINT AS n_docs,
+       |  sum(f.n_words)::BIGINT AS n_words,
+       |  sum(f.n_word_chars)::BIGINT AS n_word_chars,
+       |  sum(CASE WHEN f.pass THEN 1 ELSE 0 END)::BIGINT AS n_gopher_pass
+       |FROM flags f JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** q99: `Dedup.nearDupKeepBy(score = n_chars)` — q56's exact-collapse
+    * + LSH + connected components, but each cluster keeps its LONGEST
+    * member (n_chars DESC, tie lowest id) instead of the min id.
+    */
+  def q99NearDupKeepBest: String =
+    s"""WITH RECURSIVE
+       |${minhashCandCtes(0.5, num = 32, rpb = 4, k = 5)},
+       |  edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM cand
+       |            UNION SELECT id_b, id_a FROM cand),
+       |  reach(s, d) AS (SELECT s, d FROM edges
+       |                  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |  minr AS (SELECT s AS id, least(s, min(d)) AS cid FROM reach GROUP BY s),
+       |  rankd AS (SELECT m.id, row_number() OVER (PARTITION BY m.cid
+       |      ORDER BY d.n_chars DESC, m.id) AS rk
+       |    FROM minr m JOIN documents d ON d.doc_id = m.id),
+       |  losers AS (SELECT id FROM rankd WHERE rk > 1)
+       |SELECT d.doc_id, d.n_chars, d.lang FROM documents d
+       |JOIN reps ON d.doc_id = reps.id
+       |WHERE d.doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** q97: `TextAnalysis.chunkByWords(win=50, stride=40)` — starts at
     * 0, 40, 80, … while < |words|; 1-based inclusive list_slice matches
@@ -1297,6 +1340,8 @@ object Oracles {
 
   def generated: Map[String, String] = Map(
     "q94_semantic_dedup" -> q94SemanticDedup,
+    "q99_neardup_keep_best" -> q99NearDupKeepBest,
+    "q100_corpus_report" -> q100CorpusReport,
     "q95_dsir_select" -> q95DsirSelect,
     "q96_gopher_rules" -> q96GopherRules,
     "q97_chunk_words" -> q97ChunkWords,

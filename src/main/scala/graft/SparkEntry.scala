@@ -522,6 +522,19 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // ---- north star: near-dup keep-best (longest survives per cluster) ----
+    "q99_neardup_keep_best" -> ((s, dir) => {
+      Dedup.nearDupKeepBy(documents(s, dir), score = col("n_chars"),
+          numHashes = 32, rowsPerBand = 4, k = 5, threshold = 0.5)
+        .select("doc_id", "n_chars", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // ---- north star: one-scan corpus health report per source ----
+    "q100_corpus_report" -> ((s, dir) => {
+      TextAnalysis.corpusReport(documents(s, dir)).orderBy("source")
+    }),
+
     // ---- north star: mixture rebalance to target source weights ----
     // src0:5 src1:3 src2:2 src3:1 (others dropped), seed 7 — counts →
     // max feasible total → integer thresholds → md5 keep rule

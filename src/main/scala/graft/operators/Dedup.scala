@@ -461,6 +461,35 @@ object Dedup {
     uniq.join(losers, Seq(idCol), "anti")
   }
 
+  /** [[nearDupKeep]] with a caller-chosen representative: cluster
+    * members rank by `score` DESC (tie: lowest id) and only the top one
+    * survives — curation's "keep the best copy" (longest, highest
+    * quality score, freshest) instead of the min-id default. `score` is
+    * any deterministic expression over the doc row (e.g.
+    * `col("n_chars")` to keep the longest version).
+    *
+    * Scale shape is [[nearDupKeep]]'s plus one window PARTITIONED BY
+    * cluster id — clusters are near-dup groups (small by construction;
+    * the LSH skew cap bounds pathological ones), so there is no global
+    * funnel; the rank never sees more rows than the cluster.
+    */
+  def nearDupKeepBy(docs: DataFrame, score: Column, numHashes: Int = 64,
+      rowsPerBand: Int = 8, k: Int = 5, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val uniq = exactKeep(docs, idCol, textCol)
+    val cands = minhashCandidates(uniq, numHashes, rowsPerBand, k, threshold,
+      idCol, textCol, collapseExact = false)
+    val labels = clusterPairs(cands)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(score.desc, col(idCol))
+    val losers = uniq.join(labels, Seq(idCol))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") > 1)
+      .select(col(idCol))
+    uniq.join(losers, Seq(idCol), "anti")
+  }
+
   /** Deterministic per-key cap (corpus curation's "at most n docs per
     * domain/source"): rows ranked by a seeded md5 permutation within each
     * key, keep the first `n`. The window partitions by the key — no

@@ -495,7 +495,7 @@ object TextAnalysis {
     * lines split on `\r?\n` (the q87 CRLF discipline).
     */
   def gopherRules(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", carry: Seq[String] = Nil): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
     val ws = words(text)
     val lines = split(text, "\r?\n")
@@ -515,7 +515,7 @@ object TextAnalysis {
       length(replace(text, lit("#"), lit(""))).cast("long")
     val nEllipsis = (length(text).cast("long") -
       length(replace(text, lit("..."), lit(""))).cast("long")) / lit(3L)
-    docs.select(col(idCol),
+    docs.select(col(idCol) +: carry.map(col) ++: Seq(
         nWords.as("n_words"), totalChars.as("n_word_chars"),
         nLines.as("n_lines"),
         (nWords >= 50L && nWords <= 100000L).as("r_word_count"),
@@ -525,12 +525,28 @@ object TextAnalysis {
         (lit(10L) * bulletLines <= lit(9L) * nLines).as("r_bullet"),
         (lit(10L) * ellipsisLines <= lit(3L) * nLines).as("r_ellipsis"),
         (lit(5L) * alphaWords >= lit(4L) * nWords).as("r_alpha"),
-        (stopHits >= 2L).as("r_stop"))
+        (stopHits >= 2L).as("r_stop")): _*)
       .withColumn("pass",
         col("r_word_count") && col("r_word_len") && col("r_symbol") &&
           col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
           col("r_stop"))
   }
+
+  /** One-scan corpus health report, grouped by a corpus label (source /
+    * domain / shard): doc count, word and word-char totals, and how many
+    * docs clear the full Gopher gate. The projection is [[gopherRules]]
+    * (codegen'd, map-side) and the aggregate is partial-aggregated on
+    * the label — cardinality = number of distinct labels, so the result
+    * is dashboard-sized however big the corpus is.
+    */
+  def corpusReport(docs: DataFrame, keyCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    gopherRules(docs, idCol, textCol, carry = Seq(keyCol))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_word_chars").as("n_word_chars"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_gopher_pass"))
 
   /** Context-window chunking: split each document's word sequence into
     * windows of `win` words advancing by `stride` (overlap = win −

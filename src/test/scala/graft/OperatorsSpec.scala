@@ -1222,6 +1222,44 @@ class OperatorsSpec extends SparkSpec {
     assert(part.map(_._4).sum == 100L)
   }
 
+  test("nearDupKeepBy: cluster keeps highest-score member, not min id") {
+    // docs 0/1 near-identical (1 is longer), 2 unrelated
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (0L, base),
+      (1L, base + " extra trailing tokens here"),
+      (2L, (100 to 140).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val byLen = Dedup.nearDupKeepBy(d, score = col("n_chars"),
+        numHashes = 32, rowsPerBand = 4, k = 5, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(byLen == Set(1L, 2L)) // longest copy survives
+    val byMin = Dedup.nearDupKeep(d, numHashes = 32, rowsPerBand = 4,
+        k = 5, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(byMin == Set(0L, 2L)) // min-id default keeps the other copy
+  }
+
+  test("corpusReport: per-label aggregates agree with the flag projection") {
+    val d = Seq(
+      (0L, "web", "the data and model that have with more signal " * 6),
+      (1L, "web", "short one"),
+      (2L, "wiki", "12345 " * 60))
+      .toDF("doc_id", "source", "text")
+    val rep = TextAnalysis.corpusReport(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val flags = TextAnalysis.gopherRules(d, carry = Seq("source")).collect()
+    assert(rep("web").getAs[Long]("n_docs") == 2L)
+    assert(rep("wiki").getAs[Long]("n_docs") == 1L)
+    for (src <- Seq("web", "wiki")) {
+      val fs = flags.filter(_.getAs[String]("source") == src)
+      assert(rep(src).getAs[Long]("n_words") == fs.map(_.getAs[Long]("n_words")).sum)
+      assert(rep(src).getAs[Long]("n_gopher_pass") ==
+        fs.count(_.getAs[Boolean]("pass")).toLong)
+    }
+  }
+
   test("rebalanceMixture: no upsampling, unweighted dropped, map-side keep filter") {
     val rows = (0 until 100).map(i => (i.toLong, "a")) ++
       (100 until 150).map(i => (i.toLong, "b")) ++

@@ -515,6 +515,22 @@ class SourcesSpec extends SparkSpec {
       TextAnalysis.scoreLinear(spark.read.parquet(dir.toString), dim = 1024, seed = 42L)
         .select($"doc_id", $"score").as[(Long, Double)].collect().toSet)
     assert(spark.table("ppl_stream").count() > 0)
+    // round-7 scorers are equally row-local: Gopher rules, DSIR weights,
+    // and context chunking all run under readStream unchanged
+    drain(TextAnalysis.gopherRules(stream()), "gopher_stream")
+    assert(spark.table("gopher_stream").collect().map(_.toSeq).toSet ==
+      TextAnalysis.gopherRules(spark.read.parquet(dir.toString))
+        .collect().map(_.toSeq).toSet)
+    drain(TextAnalysis.dsirWeights(stream()), "dsir_stream")
+    assert(spark.table("dsir_stream").as[(Long, Long, Long)].collect().toSet ==
+      TextAnalysis.dsirWeights(spark.read.parquet(dir.toString))
+        .as[(Long, Long, Long)].collect().toSet)
+    drain(TextAnalysis.chunkByWords(stream(), win = 20, stride = 15), "chunk_stream")
+    assert(spark.table("chunk_stream").collect().map(_.toSeq).toSet ==
+      TextAnalysis.chunkByWords(spark.read.parquet(dir.toString),
+        win = 20, stride = 15).collect().map(_.toSeq).toSet)
+    assert(spark.table("gopher_stream").count() > 0 &&
+      spark.table("chunk_stream").count() > 0)
   }
 
   test("DocumentSource reads jsonl/csv corpora into (doc_id, text, ...)") {
