@@ -1312,6 +1312,44 @@ object Oracles {
        |WHERE CAST('0x' || substr(md5('7#' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS UBIGINT) < thr.thr
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q101: `TextAnalysis.dedupLinesWithinDoc` — the engine folds each
+    * line array keeping first occurrences; the oracle cross-validates
+    * with the independent relational form (min position per distinct
+    * line, re-aggregated in first-occurrence order).
+    */
+  def q101DedupLines: String =
+    s"""WITH
+       |  l AS (SELECT doc_id,
+       |      regexp_split_to_array(COALESCE(text, ''), '\\r?\\n') AS ls
+       |    FROM documents),
+       |  p AS (SELECT doc_id, ls, unnest(range(len(ls))) AS pos FROM l),
+       |  lines AS (SELECT doc_id, pos, ls[pos + 1] AS line FROM p),
+       |  firsts AS (SELECT doc_id, line, min(pos) AS fp
+       |    FROM lines GROUP BY 1, 2),
+       |  agg AS (SELECT doc_id,
+       |      string_agg(line, chr(10) ORDER BY fp) AS clean_text,
+       |      count(*)::BIGINT AS n_lines_kept
+       |    FROM firsts GROUP BY doc_id)
+       |SELECT l.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       |  len(l.ls)::BIGINT AS n_lines_in,
+       |  COALESCE(a.n_lines_kept, 0)::BIGINT AS n_lines_kept
+       |FROM l LEFT JOIN agg a USING (doc_id) ORDER BY l.doc_id""".stripMargin
+
+  /** q102: `Dedup.exactKeepAgainst` — incremental EXACT dedup (the q92
+    * shape for md5 digests): index = distinct digests of docs < 400,
+    * incoming = docs ≥ 400; survivors are unindexed digests' min-id
+    * shard representatives.
+    */
+  def q102ExactIncremental: String =
+    s"""WITH
+       |  idx AS (SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 400),
+       |  inc AS (SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id >= 400),
+       |  novel AS (SELECT * FROM inc
+       |    WHERE digest NOT IN (SELECT digest FROM idx)),
+       |  keep AS (SELECT min(doc_id) AS doc_id FROM novel GROUP BY digest)
+       |SELECT d.doc_id, d.source FROM documents d
+       |JOIN keep USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   /** Shared q90/q91 prefix ending at `scored`: per-doc bigram count,
     * fixed-point lp sum, and truncating mean via the positive domain.
     */
@@ -1342,6 +1380,8 @@ object Oracles {
     "q94_semantic_dedup" -> q94SemanticDedup,
     "q99_neardup_keep_best" -> q99NearDupKeepBest,
     "q100_corpus_report" -> q100CorpusReport,
+    "q101_dedup_lines" -> q101DedupLines,
+    "q102_exact_incremental" -> q102ExactIncremental,
     "q95_dsir_select" -> q95DsirSelect,
     "q96_gopher_rules" -> q96GopherRules,
     "q97_chunk_words" -> q97ChunkWords,

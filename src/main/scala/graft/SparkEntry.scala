@@ -535,6 +535,21 @@ object SparkEntry {
       TextAnalysis.corpusReport(documents(s, dir)).orderBy("source")
     }),
 
+    // ---- north star: intra-doc line dedup (RefinedWeb boilerplate) ----
+    "q101_dedup_lines" -> ((s, dir) => {
+      TextAnalysis.dedupLinesWithinDoc(documents(s, dir)).orderBy("doc_id")
+    }),
+
+    // ---- north star: incremental EXACT dedup (shard vs digest index) ----
+    "q102_exact_incremental" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Dedup.exactKeepAgainst(
+          Dedup.exactIndex(d.filter(col("doc_id") < 400)),
+          d.filter(col("doc_id") >= 400))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // ---- north star: mixture rebalance to target source weights ----
     // src0:5 src1:3 src2:2 src3:1 (others dropped), seed 7 — counts →
     // max feasible total → integer thresholds → md5 keep rule

@@ -102,6 +102,32 @@ object Dedup {
     docs.join(keep, Seq(idCol), "semi") // semi-join: no row duplication, keep-side broadcastable when small
   }
 
+  /** Persistable exact-dedup digest index — the exact-dedup counterpart
+    * of [[minhashIndex]]: one md5 digest per distinct document body.
+    * Build over the accumulated corpus, write as parquet (~16 B/doc),
+    * and screen every new shard with [[exactKeepAgainst]] instead of
+    * re-deduping old+new.
+    */
+  def exactIndex(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(md5(col(textCol)).as("digest")).distinct()
+
+  /** Incremental exact dedup: the `incoming` shard's survivors against
+    * an existing digest `index` ([[exactIndex]], typically read back
+    * from parquet) — drop docs whose body is already indexed, then keep
+    * the min-id representative of each digest WITHIN the shard. Both
+    * joins shuffle 16-byte digests, never bodies; the per-digest min is
+    * partial-aggregated.
+    */
+  def exactKeepAgainst(index: DataFrame, incoming: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val novel = incoming
+      .withColumn("_digest", md5(col(textCol)))
+      .join(index.select(col("digest").as("_digest")), Seq("_digest"), "anti")
+    val keep = novel.groupBy("_digest").agg(min(idCol).as(idCol))
+      .select(idCol)
+    incoming.join(keep, Seq(idCol), "semi")
+  }
+
   /** Skew guard shared by every banded self-join (MinHash, SimHash,
     * embedding LSH): drop buckets larger than `maxBucket` rows before the
     * within-bucket pair join, otherwise one degenerate bucket (empty or

@@ -532,6 +532,34 @@ object TextAnalysis {
           col("r_stop"))
   }
 
+  /** Intra-document line deduplication (RefinedWeb-style boilerplate
+    * removal): keep each document's FIRST occurrence of every exact
+    * line, preserving order — repeated nav/footer/boilerplate lines
+    * collapse to one. Implemented as a pure expression fold over the
+    * line array (seen-set = the kept prefix itself), so it runs at scan
+    * speed map-side with NO shuffle — the per-doc cost is O(lines²)
+    * membership checks, fine for real documents (thousands of lines)
+    * and linear in corpus size. The q101 oracle cross-validates against
+    * an independent relational formulation (min-position per line +
+    * ordered re-aggregation).
+    *
+    * Output: (idCol, clean_text LF-joined, n_lines_in, n_lines_kept).
+    * Lines split on `\r?\n` (the q87 CRLF discipline).
+    */
+  def dedupLinesWithinDoc(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol),
+        split(coalesce(col(textCol), lit("")), "\r?\n").as("_ls"))
+      .withColumn("_kept", aggregate(col("_ls"),
+        array().cast("array<string>"),
+        (acc, l) => when(array_contains(acc, l), acc)
+          .otherwise(concat(acc, array(l)))))
+      .select(col(idCol),
+        array_join(col("_kept"), "\n").as("clean_text"),
+        size(col("_ls")).cast("long").as("n_lines_in"),
+        size(col("_kept")).cast("long").as("n_lines_kept"))
+
   /** One-scan corpus health report, grouped by a corpus label (source /
     * domain / shard): doc count, word and word-char totals, and how many
     * docs clear the full Gopher gate. The projection is [[gopherRules]]

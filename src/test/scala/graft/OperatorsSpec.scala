@@ -1222,6 +1222,41 @@ class OperatorsSpec extends SparkSpec {
     assert(part.map(_._4).sum == 100L)
   }
 
+  test("dedupLinesWithinDoc: first occurrence wins, order kept, CRLF safe") {
+    val d = Seq(
+      (0L, "nav bar\nreal content one\nnav bar\nreal content two\nnav bar"),
+      (1L, "a\r\nb\r\na"),   // CRLF input behaves like LF
+      (2L, ""),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLinesWithinDoc(d)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, "nav bar\nreal content one\nreal content two", 5L, 3L)))
+    assert(out(1) == ((1L, "a\nb", 3L, 2L)))
+    assert(out(2) == ((2L, "", 1L, 1L)))   // empty text = one empty line
+    assert(out(3) == ((3L, "", 1L, 1L)))   // null text treated as empty
+  }
+
+  test("exactKeepAgainst: indexed bodies dropped, shard dups collapse to min id") {
+    val old = Seq((0L, "body A"), (1L, "body B")).toDF("doc_id", "text")
+    val idx = Dedup.exactIndex(old)
+    val shard = Seq(
+      (10L, "body A"),   // already indexed → dropped
+      (11L, "body C"), (12L, "body C"), // new dup pair → keep 11
+      (13L, "body D"))   // new unique → kept
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactKeepAgainst(idx, shard)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L))
+    // index roundtrips through parquet (the persistable deployment shape)
+    val dir = java.nio.file.Files.createTempDirectory("graft_exact_idx")
+    idx.write.mode("overwrite").parquet(dir.toString + "/idx")
+    val kept2 = Dedup.exactKeepAgainst(
+        spark.read.parquet(dir.toString + "/idx"), shard)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == kept)
+  }
+
   test("nearDupKeepBy: cluster keeps highest-score member, not min id") {
     // docs 0/1 near-identical (1 is longer), 2 unrelated
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
