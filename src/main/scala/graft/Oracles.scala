@@ -207,6 +207,54 @@ object Oracles {
   /** q34: MinHash LSH near-dup candidates (32 hashes, bands of 4, k=5,
     * est-Jaccard ≥ 0.3).
     */
+  /** q103: `Dedup.removeDuplicateSpans(window=5)` — q93's window scan,
+    * but non-first occurrences (row_number per digest by (doc, start) >
+    * 1) merge into spans and are cut from the word sequence; docs
+    * rebuild from the survivors.
+    */
+  def q103RemoveSpans: String = {
+    val w = 5
+    s"""WITH
+       |  base AS (SELECT doc_id,
+       |      list_filter(string_split_regex(lower(COALESCE(text, '')), '[^a-z0-9'']+'),
+       |        x -> length(x) > 0) AS ws
+       |    FROM documents),
+       |  wins AS (SELECT doc_id, s.i AS start,
+       |      md5(array_to_string(ws[s.i+1 : s.i+$w], ' ')) AS digest
+       |    FROM (SELECT doc_id, ws, unnest(list_transform(range(0, len(ws) - ${w - 1}),
+       |        i -> {'i': i})) AS s
+       |      FROM base WHERE len(ws) >= $w)),
+       |  rk AS (SELECT doc_id, start,
+       |      row_number() OVER (PARTITION BY digest ORDER BY doc_id, start) AS rk
+       |    FROM wins),
+       |  dw AS (SELECT doc_id, start, start + ${w - 1} AS fin FROM rk WHERE rk > 1),
+       |  m AS (SELECT doc_id, start, fin,
+       |      max(fin) OVER (PARTITION BY doc_id ORDER BY start
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |    FROM dw),
+       |  g AS (SELECT doc_id, start, fin,
+       |      sum(CASE WHEN pmax IS NULL OR start > pmax + 1 THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY doc_id ORDER BY start
+       |          ROWS UNBOUNDED PRECEDING) AS grp
+       |    FROM m),
+       |  spans AS (SELECT doc_id, min(start) AS s, max(fin) AS e
+       |    FROM g GROUP BY doc_id, grp),
+       |  covered AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans),
+       |  idx AS (SELECT doc_id, ws, unnest(range(0, len(ws))) AS pos FROM base),
+       |  keptw AS (SELECT i.doc_id, i.pos, i.ws[i.pos + 1] AS word
+       |    FROM idx i LEFT JOIN covered c
+       |    ON c.doc_id = i.doc_id AND c.pos = i.pos
+       |    WHERE c.doc_id IS NULL),
+       |  agg AS (SELECT doc_id,
+       |      string_agg(word, ' ' ORDER BY pos) AS clean_text,
+       |      count(*)::BIGINT AS n_kept
+       |    FROM keptw GROUP BY doc_id)
+       |SELECT b.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       |  len(b.ws)::BIGINT AS n_words_in,
+       |  COALESCE(a.n_kept, 0)::BIGINT AS n_words_kept
+       |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""".stripMargin
+  }
+
   def q34MinhashNearDup: String =
     s"""WITH
        |${minhashCandCtes(0.3, num = 32, rpb = 4, k = 5)}
@@ -1382,6 +1430,7 @@ object Oracles {
     "q100_corpus_report" -> q100CorpusReport,
     "q101_dedup_lines" -> q101DedupLines,
     "q102_exact_incremental" -> q102ExactIncremental,
+    "q103_remove_spans" -> q103RemoveSpans,
     "q95_dsir_select" -> q95DsirSelect,
     "q96_gopher_rules" -> q96GopherRules,
     "q97_chunk_words" -> q97ChunkWords,

@@ -535,6 +535,12 @@ object SparkEntry {
       TextAnalysis.corpusReport(documents(s, dir)).orderBy("source")
     }),
 
+    // ---- north star: duplicate-span REMOVAL (keep global first copy) ----
+    "q103_remove_spans" -> ((s, dir) => {
+      Dedup.removeDuplicateSpans(documents(s, dir), window = 5)
+        .orderBy("doc_id")
+    }),
+
     // ---- north star: intra-doc line dedup (RefinedWeb boilerplate) ----
     "q101_dedup_lines" -> ((s, dir) => {
       TextAnalysis.dedupLinesWithinDoc(documents(s, dir)).orderBy("doc_id")

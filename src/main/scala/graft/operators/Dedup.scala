@@ -626,6 +626,66 @@ object Dedup {
       .drop("_grp")
   }
 
+  /** ExactSubstr-style duplicate-span REMOVAL — [[duplicateSpans]]'s
+    * rewrite half: every `window`-word sliding window that duplicates an
+    * earlier occurrence (global first = min (doc, start) per digest,
+    * like the published train-dedup recipe keeps one copy) is merged
+    * into per-doc spans and cut out; documents are rebuilt from the
+    * surviving words. Window-granularity is the standard sliding-window
+    * compromise: overlapping periodic repeats may truncate into the
+    * retained copy's neighborhood, deterministically.
+    *
+    * Scale shape: first-occurrence choice is a row_number window
+    * PARTITIONED BY the 16-byte window digest (occurrence lists, never
+    * a global funnel), span merge is the per-doc gaps-and-islands pass,
+    * and the rebuild is one row-local array filter against the doc's
+    * merged span list (collected per doc — bounded by words/1). The
+    * tokenized corpus is materialized once (lazy localCheckpoint) and
+    * shared by the window pass and the rebuild.
+    *
+    * Output: (idCol, clean_text, n_words_in, n_words_kept).
+    */
+  def removeDuplicateSpans(docs: DataFrame, window: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val base = tracked(docs
+      .select(col(idCol),
+        coalesce(graft.operators.TextAnalysis.words(col(textCol)), array())
+          .as("_ws"))
+      .localCheckpoint(eager = false))
+    val wins = base.filter(size(col("_ws")) >= window)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("_ws")) - window),
+          i => md5(array_join(slice(col("_ws"), i + 1, lit(window)), " "))))
+        .as(Seq("start", "digest")))
+    val firstW = W.partitionBy("digest").orderBy(col(idCol), col("start"))
+    val losers = wins.withColumn("_rk", row_number().over(firstW))
+      .filter(col("_rk") > 1)
+      .withColumn("end", col("start") + (window - 1))
+    val byDoc = W.partitionBy(idCol).orderBy("start")
+    val prevMax = max(col("end"))
+      .over(byDoc.rowsBetween(W.unboundedPreceding, -1))
+    val spans = losers
+      .withColumn("_new",
+        when(prevMax.isNull || col("start") > prevMax + 1, 1).otherwise(0))
+      .withColumn("_grp", sum(col("_new"))
+        .over(byDoc.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min("start").as("s"), max("end").as("e"))
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("s"), col("e"))).as("_spans"))
+    base.join(spans, Seq(idCol), "left")
+      .withColumn("_spans",
+        coalesce(col("_spans"), array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("_kept", filter(col("_ws"),
+        (w, i) => !exists(col("_spans"),
+          sp => i >= sp("s") && i <= sp("e"))))
+      .select(col(idCol),
+        array_join(col("_kept"), " ").as("clean_text"),
+        size(col("_ws")).cast("long").as("n_words_in"),
+        size(col("_kept")).cast("long").as("n_words_kept"))
+  }
+
   /** Segment-level exact dedup (C4-style duplicate-span removal): every
     * `segWords`-word segment that occurs more than once corpus-wide is
     * kept only at its first occurrence (min (doc, pos)); documents are

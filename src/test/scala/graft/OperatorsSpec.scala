@@ -1222,6 +1222,45 @@ class OperatorsSpec extends SparkSpec {
     assert(part.map(_._4).sum == 100L)
   }
 
+  test("curation scorers keep scale-shaped plans (no shuffle / bounded top-n)") {
+    val d = Tables.documents(spark, sf("sf0.001"))
+    // row-local projections: the whole operator is one map-side stage
+    for (df <- Seq(
+        TextAnalysis.gopherRules(d),
+        TextAnalysis.chunkByWords(d, win = 50, stride = 40),
+        TextAnalysis.dedupLinesWithinDoc(d),
+        TextAnalysis.dsirWeights(d))) {
+      df.count()
+      assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+        df.queryExecution.executedPlan.toString.linesIterator.take(3).mkString("|"))
+    }
+    // dsirSelect's top-n must plan as TakeOrderedAndProject (per-partition
+    // bounded heaps + driver merge of n rows), never a global sort
+    val sel = TextAnalysis.dsirSelect(d, n = 10)
+    sel.count()
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
+  test("removeDuplicateSpans: global first copy survives, later copies cut") {
+    val phrase = (1 to 5).map(i => s"p$i").mkString(" ") // the 5-word window
+    val d = Seq(
+      (0L, phrase + " tail0 tail1 tail2"),            // first occurrence
+      (1L, "lead0 lead1 " + phrase + " tail3"),       // later copy → cut
+      (2L, "solo0 solo1 solo2 solo3 solo4 solo5"))    // unique → untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(d, window = 5)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, phrase + " tail0 tail1 tail2", 8L, 8L)))
+    assert(out(1) == ((1L, "lead0 lead1 tail3", 8L, 3L)))
+    assert(out(2)._2 == "solo0 solo1 solo2 solo3 solo4 solo5" && out(2)._4 == 6L)
+    // intra-doc repetition: the second copy inside one doc is removed too
+    val rep = Dedup.removeDuplicateSpans(
+      Seq((7L, phrase + " mid " + phrase)).toDF("doc_id", "text"), window = 5)
+      .as[(Long, String, Long, Long)].head()
+    assert(rep._2 == phrase + " mid" && rep._4 == 6L)
+  }
+
   test("dedupLinesWithinDoc: first occurrence wins, order kept, CRLF safe") {
     val d = Seq(
       (0L, "nav bar\nreal content one\nnav bar\nreal content two\nnav bar"),
