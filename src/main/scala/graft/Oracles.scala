@@ -940,6 +940,29 @@ object Oracles {
        |FROM asgn2 a LEFT JOIN dup d USING (vec_id)
        |ORDER BY vec_id""".stripMargin
 
+  /** q104: `Similarity.knnClassify` — q37's exact-cosine top-k joined
+    * to the neighbors' labels, majority vote per query (ties: more
+    * votes, then smallest label).
+    */
+  def q104KnnClassify: String =
+    s"""WITH
+       |  q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+       |  scored AS (SELECT query_id, c.vec_id AS neighbor_id, c.label AS lbl,
+       |               ${cosExpr("qe", "c.embedding")} AS cosine
+       |             FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id),
+       |  ranked AS (SELECT query_id, neighbor_id, lbl,
+       |               row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY cosine DESC, neighbor_id) AS rank
+       |             FROM scored),
+       |  votes AS (SELECT query_id, lbl, count(*)::BIGINT AS votes
+       |            FROM ranked WHERE rank <= 5 GROUP BY 1, 2),
+       |  best AS (SELECT query_id, lbl, votes,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY votes DESC, lbl) AS rk
+       |           FROM votes)
+       |SELECT query_id, lbl AS pred_label, votes FROM best WHERE rk = 1
+       |ORDER BY query_id""".stripMargin
+
   /** q84: `Similarity.pqTopKInt8` — product quantization with
     * asymmetric-distance scoring, all-integer: the [[quantSeedCtes]]
     * prefix, per-subvector integer Lloyd rounds (sub = pos // ds;
@@ -1431,6 +1454,7 @@ object Oracles {
     "q101_dedup_lines" -> q101DedupLines,
     "q102_exact_incremental" -> q102ExactIncremental,
     "q103_remove_spans" -> q103RemoveSpans,
+    "q104_knn_classify" -> q104KnnClassify,
     "q95_dsir_select" -> q95DsirSelect,
     "q96_gopher_rules" -> q96GopherRules,
     "q97_chunk_words" -> q97ChunkWords,

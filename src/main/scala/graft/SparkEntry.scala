@@ -535,6 +535,13 @@ object SparkEntry {
       TextAnalysis.corpusReport(documents(s, dir)).orderBy("source")
     }),
 
+    // ---- north star: kNN label propagation (embedding classifier) ----
+    "q104_knn_classify" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.knnClassify(e, e.filter(col("vec_id") < 20), k = 5)
+        .orderBy("query_id")
+    }),
+
     // ---- north star: duplicate-span REMOVAL (keep global first copy) ----
     "q103_remove_spans" -> ((s, dir) => {
       Dedup.removeDuplicateSpans(documents(s, dir), window = 5)

@@ -689,6 +689,34 @@ object Similarity extends Serializable {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** kNN label propagation: classify each query vector by the MAJORITY
+    * label of its k nearest corpus neighbors (exact cosine; ties break
+    * toward more votes then the smallest label) — the standard
+    * embedding-space quality/domain classifier used in corpus curation
+    * when only a seed set is hand-labeled.
+    *
+    * Scale shape: the neighbor search is [[bruteForceTopK]] (queries
+    * broadcast, per-partition bounded heaps, corpus never shuffled); the
+    * label join touches only k×|queries| rows and the vote aggregate is
+    * per-query — nothing downstream of the scan is proportional to the
+    * corpus. Output: (query_id, pred_label, votes).
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val top = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    val labels = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(labelCol).as("_lbl"))
+    val votes = top.join(labels, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("_lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("_lbl"))
+    votes.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("query_id"), col("_lbl").as("pred_label"), col("votes"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     * 2303.09540): k-means-cluster the embedding space, then mark as
     * duplicate every vector whose cosine similarity to a LOWER-id vector

@@ -1139,6 +1139,26 @@ class OperatorsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("knnClassify: majority label of the nearest cluster wins") {
+    // three tight clusters around orthogonal axes, labels 0/1/2; one
+    // mislabeled point per cluster can't outvote the other four
+    def v(axis: Int, jit: Int): Array[Float] =
+      Array.tabulate(12)(j => (if (j == axis) 100f else 0f) +
+        (if (j == (axis + 1) % 12) jit.toFloat else 0f))
+    val corpus = (0 until 15).map { i =>
+      val axis = i / 5
+      val lbl = if (i % 5 == 4) (axis + 1) % 3 else axis // one outlier label
+      (i.toLong, v(axis * 4, i % 5), lbl)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = Seq((100L, v(0, 2), -1), (101L, v(4, 2), -1),
+      (102L, v(8, 2), -1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(corpus, queries, k = 5)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toSeq ==
+      Seq((100L, 0), (101L, 1), (102L, 2)))
+    assert(out.forall(_._3 == 4L)) // 4 correct votes vs 1 outlier
+  }
+
   test("semanticDedup: copies pruned to lowest id, orthogonals kept, layout-independent") {
     // 10 one-hot patterns (dim 16, pairwise orthogonal → cosine 0) × 2
     // copies each (cosine 1): the ONLY near-dups are the copies.
