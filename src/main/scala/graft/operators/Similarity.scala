@@ -396,20 +396,22 @@ object Similarity extends Serializable {
     val cs = trainCellCentroids(qc, hashSeedVecs(qc, nCells), iters)
     val probeU = mkUdf((v: Seq[Int]) =>
       cs.indices.map(i => (dist2(v, cs(i)), i)).sorted.take(nProbe).map(_._2))
-    val c = qc.select(col("id").as("neighbor_id"), col("qv").as("nv"))
-      .withColumn("cell", assigner(cs)(col("nv")))
-    val q = quant(queries)
-      .select(col("id").as("query_id"), col("qv").as("qvq"))
-      .withColumn("cell", explode(probeU(col("qvq"))))
     def n2(cc: Column) =
       aggregate(cc, lit(0L), (a, v) => a + v.cast("long") * v.cast("long"))
+    // norms once per corpus/query vector, carried through the join —
+    // never recomputed per candidate pair
+    val c = qc.select(col("id").as("neighbor_id"), col("qv").as("nv"))
+      .withColumn("cell", assigner(cs)(col("nv")))
+      .withColumn("nb", n2(col("nv")))
+    val q = quant(queries)
+      .select(col("id").as("query_id"), col("qv").as("qvq"))
+      .withColumn("na", n2(col("qvq")))
+      .withColumn("cell", explode(probeU(col("qvq"))))
     val cands = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", aggregate(
         zip_with(col("qvq"), col("nv"), (x, y) => x.cast("long") * y.cast("long")),
         lit(0L), (a, v) => a + v))
-      .withColumn("na", n2(col("qvq")))
-      .withColumn("nb", n2(col("nv")))
       .withColumn("cosine",
         when(col("na") === 0L || col("nb") === 0L, lit(0.0))
           .otherwise(col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double"))))
@@ -760,22 +762,27 @@ object Similarity extends Serializable {
     val qc = Dedup.tracked(
       quantIds(corpus, idCol, vecCol).localCheckpoint(eager = false))
     val cs = trainCellCentroids(qc, hashSeedVecs(qc, nCells), iters)
-    val assigned = Dedup.tracked(
-      qc.withColumn("cell", cellAssigner(cs)(col("qv")))
-        .localCheckpoint(eager = false))
-    val capped = Dedup.capBuckets(assigned, maxCell, "cell")
     def n2(c: Column) = aggregate(c, lit(0L),
       (acc, v) => acc + v.cast("long") * v.cast("long"))
-    val dup = capped.select(col("id").as("id_a"), col("qv").as("va"), col("cell"))
-      .join(capped.select(col("id").as("id_b"), col("qv").as("vb"), col("cell")),
-        Seq("cell"))
+    // norms computed ONCE per vector here (O(N·dim)) and carried through
+    // the pair join — recomputing them per pair would triple the
+    // pair-stage arithmetic, the dominant cost at scale
+    val assigned = Dedup.tracked(
+      qc.withColumn("cell", cellAssigner(cs)(col("qv")))
+        .withColumn("n2", n2(col("qv")))
+        .localCheckpoint(eager = false))
+    val capped = Dedup.capBuckets(assigned, maxCell, "cell")
+    val dup = capped.select(col("id").as("id_a"), col("qv").as("va"),
+        col("n2").as("na"), col("cell"))
+      .join(capped.select(col("id").as("id_b"), col("qv").as("vb"),
+        col("n2").as("nb"), col("cell")), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dot", aggregate(
         zip_with(col("va"), col("vb"), (x, y) => x.cast("long") * y.cast("long")),
         lit(0L), (acc, v) => acc + v))
       .filter(col("dot") > 0 &&
         lit(thresholdDen * thresholdDen) * col("dot") * col("dot") >=
-          lit(thresholdNum * thresholdNum) * n2(col("va")) * n2(col("vb")))
+          lit(thresholdNum * thresholdNum) * col("na") * col("nb"))
       .groupBy(col("id_b").as("id"))
       .agg(count(lit(1)).as("n_dups_earlier"), min(col("id_a")).as("dup_of"))
     assigned.select(col("id"), col("cell"))
