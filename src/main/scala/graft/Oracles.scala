@@ -1421,6 +1421,22 @@ object Oracles {
        |SELECT d.doc_id, d.source FROM documents d
        |JOIN keep USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** q105: `TextAnalysis.bigramCounts(topN=200)` — corpus bigram
+    * frequency table, the bigram-LM training pass.
+    */
+  def q105BigramCounts: String =
+    s"""WITH
+       |  base AS (SELECT doc_id,
+       |      list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |        w -> length(w) > 0) AS ws
+       |    FROM documents),
+       |  bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+       |      i -> {'a': ws[i], 'b': ws[i+1]})) AS g
+       |    FROM base WHERE len(ws) >= 2)
+       |SELECT g.a AS a, g.b AS b, count(*)::BIGINT AS n
+       |FROM bg GROUP BY 1, 2
+       |ORDER BY n DESC, a, b LIMIT 200""".stripMargin
+
   /** Shared q90/q91 prefix ending at `scored`: per-doc bigram count,
     * fixed-point lp sum, and truncating mean via the positive domain.
     */
@@ -1455,6 +1471,7 @@ object Oracles {
     "q102_exact_incremental" -> q102ExactIncremental,
     "q103_remove_spans" -> q103RemoveSpans,
     "q104_knn_classify" -> q104KnnClassify,
+    "q105_bigram_counts" -> q105BigramCounts,
     "q95_dsir_select" -> q95DsirSelect,
     "q96_gopher_rules" -> q96GopherRules,
     "q97_chunk_words" -> q97ChunkWords,

@@ -535,6 +535,12 @@ object SparkEntry {
       TextAnalysis.corpusReport(documents(s, dir)).orderBy("source")
     }),
 
+    // ---- north star: bigram-LM training pass (corpus frequency table) ----
+    "q105_bigram_counts" -> ((s, dir) => {
+      TextAnalysis.bigramCounts(documents(s, dir), topN = 200)
+        .orderBy(col("n").desc, col("a"), col("b"))
+    }),
+
     // ---- north star: kNN label propagation (embedding classifier) ----
     "q104_knn_classify" -> ((s, dir) => {
       val e = embeddings(s, dir)

@@ -445,6 +445,31 @@ object TextAnalysis {
           -expr("(-lp_sum) DIV n_bigrams")).otherwise(lit(0L)))
   }
 
+  /** Corpus bigram counts, highest-frequency first — the TRAINING half
+    * of the bigram-LM loop: count word bigrams over a reference corpus,
+    * persist as a sidecar, derive log-probs offline, and score with
+    * [[scoreBigramLm]]. Output: (a, b, n) for the `topN` most frequent
+    * bigrams (ties: smaller (a, b) first).
+    *
+    * Scale shape: the count is partial-aggregated map-side on (a, b)
+    * word pairs and the top-n is `orderBy().limit(n)` —
+    * TakeOrderedAndProject, bounded per-partition heaps, no global
+    * sort. Vocabulary-squared cardinality never materializes anywhere
+    * but the (already tiny) aggregate state.
+    */
+  def bigramCounts(docs: DataFrame, topN: Int,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(coalesce(words(col(textCol)), array()).as("_ws"))
+      .filter(size(col("_ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("_ws")) - 1),
+        i => struct(element_at(col("_ws"), i).as("a"),
+          element_at(col("_ws"), i + 1).as("b")))).as("_g"))
+      .groupBy(col("_g.a").as("a"), col("_g.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(topN)
+
   /** The full CCNet curation composition: perplexity-score the corpus
     * ([[perplexityScore]]), bucket head/middle/tail by mean log-prob
     * thresholds (CCNet buckets by LM-perplexity terciles; thresholds are

@@ -1139,6 +1139,22 @@ class OperatorsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("bigramCounts: frequency table feeds the loaded-LM scorer (train→score)") {
+    val d = Seq((0L, "a b a b c"), (1L, "a b x")).toDF("doc_id", "text")
+    val counts = TextAnalysis.bigramCounts(d, topN = 10)
+      .as[(String, String, Long)].collect()
+    assert(counts.head == (("a", "b", 3L))) // most frequent first
+    assert(counts.toSet == Set(("a", "b", 3L), ("b", "a", 1L),
+      ("b", "c", 1L), ("b", "x", 1L)))
+    // the training loop closes: derive a fixed-point LM from the counts
+    // and score with the loaded-table path
+    val lm = counts.map { case (a, b, n) => ((a, b), -1000L + n) }.toMap
+    val scored = TextAnalysis.scoreBigramLm(d, lm, unkLp = -5000L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(scored(0)._3 == -997L - 999L - 997L - 999L)
+    assert(scored(1)._3 == -997L - 999L)
+  }
+
   test("knnClassify: majority label of the nearest cluster wins") {
     // three tight clusters around orthogonal axes, labels 0/1/2; one
     // mislabeled point per cluster can't outvote the other four
