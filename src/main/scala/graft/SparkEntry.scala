@@ -498,8 +498,11 @@ object SparkEntry {
     // q57's integer Lloyd training + within-cell rational-threshold
     // cosine (7/10); oracle replays training and the dup rule exactly
     "q94_semantic_dedup" -> ((s, dir) => {
+      // maxCell pinned to no-drop: the skew cap is a production guard the
+      // oracle deliberately doesn't replay — the gate must stay exact at
+      // any sf the driver runs it at
       Similarity.semanticDedup(embeddings(s, dir), nCells = 16, iters = 2,
-          thresholdNum = 7, thresholdDen = 10)
+          thresholdNum = 7, thresholdDen = 10, maxCell = Int.MaxValue)
         .orderBy("vec_id")
     }),
 
