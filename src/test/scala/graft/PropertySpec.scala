@@ -190,4 +190,27 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("semanticDedup: planted exact duplicates always pruned (seeded corpora)") {
+    import graft.operators.Similarity
+    for (seed <- Seq(1, 17, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val basis = Array.fill(40)(
+        Array.fill(16)((rnd.nextInt(255) - 127).toFloat))
+      // 40 random vectors + 20 exact copies at higher ids: identical
+      // vectors quantize identically → same cell, cosine 1 → every
+      // planted copy must be pruned whatever the clustering did
+      val rows = (0 until 40).map(i => (i.toLong, basis(i))) ++
+        (40 until 60).map(i => (i.toLong, basis(i - 40)))
+      val out = Similarity.semanticDedup(
+        rows.toDF("vec_id", "embedding"), nCells = 8, iters = 2)
+        .as[(Long, Int, Long, Long, Boolean)].collect()
+      assert(out.length == 60, s"seed=$seed: every vector reported")
+      val pruned = out.filter(!_._5)
+      assert((40L until 60L).forall(id => pruned.exists(_._1 == id)),
+        s"seed=$seed: a planted copy survived")
+      // pruned rows always point at a strictly earlier representative
+      assert(pruned.forall(r => r._4 >= 0 && r._4 < r._1), s"seed=$seed")
+    }
+  }
 }
