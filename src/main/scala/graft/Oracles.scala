@@ -963,6 +963,30 @@ object Oracles {
        |SELECT query_id, lbl AS pred_label, votes FROM best WHERE rk = 1
        |ORDER BY query_id""".stripMargin
 
+  /** q106: `Similarity.hardNegatives(k=5, overfetch=4)` — q104's cosine
+    * rank cut at k×overfetch, then different-label filter and re-rank.
+    * The oracle replays the overfetch semantics exactly (shortlist
+    * first, filter second) so the gate matches the engine even when a
+    * neighborhood is label-homogeneous.
+    */
+  def q106HardNegatives: String =
+    s"""WITH
+       |  q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlbl
+       |        FROM embeddings WHERE vec_id < 20),
+       |  scored AS (SELECT query_id, qlbl, c.vec_id AS neighbor_id, c.label AS lbl,
+       |               ${cosExpr("qe", "c.embedding")} AS cosine
+       |             FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id),
+       |  ranked AS (SELECT query_id, qlbl, neighbor_id, lbl,
+       |               row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY cosine DESC, neighbor_id) AS rank
+       |             FROM scored),
+       |  short AS (SELECT * FROM ranked WHERE rank <= 20),
+       |  neg AS (SELECT query_id, neighbor_id, lbl,
+       |            row_number() OVER (PARTITION BY query_id ORDER BY rank) AS rk
+       |          FROM short WHERE lbl <> qlbl)
+       |SELECT query_id, neighbor_id, lbl AS neg_label, rk::BIGINT AS rank
+       |FROM neg WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** q84: `Similarity.pqTopKInt8` — product quantization with
     * asymmetric-distance scoring, all-integer: the [[quantSeedCtes]]
     * prefix, per-subvector integer Lloyd rounds (sub = pos // ds;
@@ -1472,6 +1496,7 @@ object Oracles {
     "q103_remove_spans" -> q103RemoveSpans,
     "q104_knn_classify" -> q104KnnClassify,
     "q105_bigram_counts" -> q105BigramCounts,
+    "q106_hard_negatives" -> q106HardNegatives,
     "q95_dsir_select" -> q95DsirSelect,
     "q96_gopher_rules" -> q96GopherRules,
     "q97_chunk_words" -> q97ChunkWords,

@@ -538,6 +538,14 @@ object SparkEntry {
       TextAnalysis.corpusReport(documents(s, dir)).orderBy("source")
     }),
 
+    // ---- north star: hard-negative mining (contrastive training prep) ----
+    "q106_hard_negatives" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 20), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- north star: bigram-LM training pass (corpus frequency table) ----
     "q105_bigram_counts" -> ((s, dir) => {
       TextAnalysis.bigramCounts(documents(s, dir), topN = 200)

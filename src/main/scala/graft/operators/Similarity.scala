@@ -719,6 +719,40 @@ object Similarity extends Serializable {
       .select(col("query_id"), col("_lbl").as("pred_label"), col("votes"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * `k` most cosine-similar corpus vectors with a DIFFERENT label —
+    * near the anchor in embedding space yet labeled otherwise, the
+    * informative negatives. Rank is over the label-filtered candidate
+    * set (cosine DESC, neighbor id).
+    *
+    * Scale shape mirrors [[knnClassify]]: [[bruteForceTopK]]'s bounded
+    * per-partition heaps do the search with an overfetch of
+    * `k × overfetch` (the label filter discards same-label neighbors;
+    * overfetch must exceed the worst-case same-label run in a
+    * neighborhood — raise it for label-clustered corpora), labels join
+    * on the shortlist only, and the re-rank window sees ≤ k×overfetch
+    * rows per query. Output: (query_id, neighbor_id, neg_label, rank).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding", overfetch: Int = 4): DataFrame = {
+    require(overfetch >= 2, s"overfetch $overfetch must be >= 2")
+    val top = bruteForceTopK(corpus, queries, k * overfetch, idCol, vecCol)
+    val labels = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(labelCol).as("neg_label"))
+    val qLabels = queries.select(col(idCol).cast("long").as("query_id"),
+      col(labelCol).as("_qlbl"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rank")) // preserves the cosine order of the shortlist
+    top.join(labels, Seq("neighbor_id"))
+      .join(broadcast(qLabels), Seq("query_id"))
+      .filter(col("neg_label") =!= col("_qlbl"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        col("_rk").as("rank"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     * 2303.09540): k-means-cluster the embedding space, then mark as
     * duplicate every vector whose cosine similarity to a LOWER-id vector

@@ -1175,6 +1175,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_._3 == 4L)) // 4 correct votes vs 1 outlier
   }
 
+  test("hardNegatives: nearest different-label vectors, same-label excluded") {
+    // cluster A (label 0) around axis 0 with one label-1 infiltrator;
+    // cluster B (label 1) around axis 6
+    def v(axis: Int, jit: Int): Array[Float] =
+      Array.tabulate(12)(j => (if (j == axis) 100f else 0f) +
+        (if (j == (axis + 1) % 12) jit.toFloat else 0f))
+    val corpus = (
+      (0 until 5).map(i => (i.toLong, v(0, i), if (i == 4) 1 else 0)) ++
+      (5 until 10).map(i => (i.toLong, v(6, i - 5), 1))).toDF(
+      "vec_id", "embedding", "label")
+    val queries = Seq((100L, v(0, 2), 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(corpus, queries, k = 3)
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._4)
+    assert(out.length == 3)
+    assert(out.forall(_._3 == 1))          // all negatives labeled differently
+    assert(out.head._2 == 4L)              // the in-cluster infiltrator is
+    assert(out.forall(_._1 == 100L))       //   the hardest negative
+  }
+
   test("semanticDedup: copies pruned to lowest id, orthogonals kept, layout-independent") {
     // 10 one-hot patterns (dim 16, pairwise orthogonal → cosine 0) × 2
     // copies each (cosine 1): the ONLY near-dups are the copies.
