@@ -1461,6 +1461,22 @@ object Oracles {
        |FROM bg GROUP BY 1, 2
        |ORDER BY n DESC, a, b LIMIT 200""".stripMargin
 
+  /** q107: `TextAnalysis.pplTerciles` — the q90 scoring prefix, a total
+    * (mean_lp, doc_id) row number, and the scores at descending
+    * positions ⌈N/3⌉ / ⌈2N/3⌉ (the oracle may use a global window; the
+    * engine's two-phase formulation is the scale-shaped one).
+    */
+  def q107PplTerciles: String =
+    s"""$perplexityScoredCtes,
+       |  rk AS (SELECT doc_id, mean_lp,
+       |      row_number() OVER (ORDER BY mean_lp, doc_id) AS grank,
+       |      count(*) OVER () AS gn
+       |    FROM scored)
+       |SELECT max(gn)::BIGINT AS n_docs,
+       |  max(CASE WHEN grank = gn - (gn + 2) // 3 + 1 THEN mean_lp END)::BIGINT AS head_lp,
+       |  max(CASE WHEN grank = gn - (2 * gn + 2) // 3 + 1 THEN mean_lp END)::BIGINT AS tail_lp
+       |FROM rk""".stripMargin
+
   /** Shared q90/q91 prefix ending at `scored`: per-doc bigram count,
     * fixed-point lp sum, and truncating mean via the positive domain.
     */
@@ -1497,6 +1513,7 @@ object Oracles {
     "q104_knn_classify" -> q104KnnClassify,
     "q105_bigram_counts" -> q105BigramCounts,
     "q106_hard_negatives" -> q106HardNegatives,
+    "q107_ppl_terciles" -> q107PplTerciles,
     "q95_dsir_select" -> q95DsirSelect,
     "q96_gopher_rules" -> q96GopherRules,
     "q97_chunk_words" -> q97ChunkWords,

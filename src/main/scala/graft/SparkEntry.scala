@@ -538,6 +538,11 @@ object SparkEntry {
       TextAnalysis.corpusReport(documents(s, dir)).orderBy("source")
     }),
 
+    // ---- north star: exact CCNet tercile thresholds (two-phase rank) ----
+    "q107_ppl_terciles" -> ((s, dir) => {
+      TextAnalysis.pplTerciles(documents(s, dir))
+    }),
+
     // ---- north star: hard-negative mining (contrastive training prep) ----
     "q106_hard_negatives" -> ((s, dir) => {
       val e = embeddings(s, dir)

@@ -58,6 +58,39 @@ object Ranking {
       acc + when(col(lead).cast("double") > c, 1).otherwise(0)
     }
 
+  /** Append an exact global row number 1..N (`outCol`) by `sortCols`
+    * (which must be a TOTAL order — end it with a unique key) plus the
+    * total count (`nCol`), with the same two-phase shape as
+    * [[withGlobalRanks]]: range-bucket on the leading column, local
+    * row_number per bucket, broadcast cumulative offsets — no global
+    * window anywhere. The per-bucket count table collected on the
+    * driver is ≤ numBuckets rows by construction.
+    */
+  def withGlobalRowNumber(df: DataFrame, sortCols: Seq[String],
+      outCol: String = "grank", nCol: String = "gn",
+      numBuckets: Int = 32): DataFrame = {
+    require(sortCols.nonEmpty, "withGlobalRowNumber needs sort columns")
+    val mat = Dedup.tracked(df.localCheckpoint(eager = false))
+    val b = mat.withColumn("_b",
+      bucketCol(sortCols.head, rangeCuts(mat, sortCols.head, numBuckets)))
+    val cnt = b.groupBy("_b").agg(count(lit(1)).as("_cnt"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val n = cnt.map(_._2).sum
+    val offRows = cnt.scanLeft((0, 0L, 0L)) { case ((_, off, c0), (bid, c)) =>
+      (bid, off + c0, c)
+    }.drop(1).map { case (bid, off, _) => (bid, off) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = offRows.toSeq.toDF("_b", "_off")
+    val w = Window.partitionBy("_b").orderBy(sortCols.map(col): _*)
+    b.join(broadcast(offsets), Seq("_b"))
+      .withColumn(outCol, col("_off") + row_number().over(w))
+      .withColumn(nCol, lit(n))
+      .drop("_b", "_off")
+  }
+
   /** Append `prCol` (percent_rank) and `cdCol` (cume_dist) computed over
     * the global ordering `sortCols` (ascending, left-to-right). The
     * leading sort column must be numeric — it is range-bucketed via

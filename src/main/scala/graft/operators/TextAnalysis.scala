@@ -470,6 +470,31 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("a"), col("b"))
       .limit(topN)
 
+  /** Exact CCNet tercile thresholds from the corpus itself — the
+    * derivation step [[ccnetSample]]'s contract defers to ("compute them
+    * once offline"): rank every document by (mean_lp, id) with the
+    * two-phase exact global row number ([[graft.operators.Ranking
+    * .withGlobalRowNumber]] — range-bucketed, NO global window) and read
+    * off the scores at descending positions ⌈N/3⌉ and ⌈2N/3⌉. Feeding
+    * the result into `ccnetSample(headLp, tailLp)` reproduces CCNet's
+    * head/middle/tail split exactly, at any corpus size.
+    *
+    * Output: one row (n_docs, head_lp, tail_lp); `mean_lp ≥ head_lp` ⇒
+    * head (≥ N/3 docs, ties included), `≥ tail_lp` ⇒ middle.
+    */
+  def pplTerciles(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ranked = graft.operators.Ranking.withGlobalRowNumber(
+      perplexityScore(docs, idCol, textCol), Seq("mean_lp", idCol))
+    val headRank = col("gn") - expr("(gn + 2) DIV 3") + 1
+    val tailRank = col("gn") - expr("(2 * gn + 2) DIV 3") + 1
+    ranked.filter(col("grank") === headRank || col("grank") === tailRank)
+      .groupBy()
+      .agg(max(col("gn")).as("n_docs"),
+        max(when(col("grank") === headRank, col("mean_lp"))).as("head_lp"),
+        max(when(col("grank") === tailRank, col("mean_lp"))).as("tail_lp"))
+  }
+
   /** The full CCNet curation composition: perplexity-score the corpus
     * ([[perplexityScore]]), bucket head/middle/tail by mean log-prob
     * thresholds (CCNet buckets by LM-perplexity terciles; thresholds are

@@ -935,6 +935,32 @@ class OperatorsSpec extends SparkSpec {
     assert(gotT.toSeq == naiveT.toSeq)
   }
 
+  test("withGlobalRowNumber + pplTerciles: exact positions, brute-force agreement") {
+    // row numbers match a naive global window on a total order
+    val df = (1 to 500).map(i => ((i * 37 % 211).toLong, i.toLong)).toDF("v", "k")
+    val got = Ranking.withGlobalRowNumber(df, Seq("v", "k"))
+      .select("k", "grank", "gn").as[(Long, Long, Long)].collect().sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"v", $"k")
+    val naive = df.select($"k",
+        row_number().over(w).cast("long").as("grank"), lit(500L).as("gn"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == naive.toSeq)
+    // tercile thresholds equal the brute-force positional read-off
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val row = TextAnalysis.pplTerciles(docs).head()
+    val (n, head, tail) = (row.getAs[Long]("n_docs"),
+      row.getAs[Long]("head_lp"), row.getAs[Long]("tail_lp"))
+    val scored = TextAnalysis.perplexityScore(docs)
+      .select("mean_lp", "doc_id").as[(Long, Long)].collect()
+      .sortBy(identity)
+    assert(n == scored.length)
+    def atDescRank(k: Long): Long = scored((n - k + 1 - 1).toInt)._1
+    assert(head == atDescRank((n + 2) / 3))
+    assert(tail == atDescRank((2 * n + 2) / 3))
+    // the head bucket the thresholds induce holds at least a third
+    assert(scored.count(_._1 >= head) >= (n + 2) / 3)
+  }
+
   test("global ranks: constant leading column degrades to one bucket, still exact") {
     // worst-case skew: every leading value identical → the quantile sketch
     // yields no usable cuts → a single bucket; serial but exact
