@@ -533,6 +533,35 @@ class SourcesSpec extends SparkSpec {
       spark.table("chunk_stream").count() > 0)
   }
 
+  test("incremental exact dedup runs under readStream (stream-static anti-join)") {
+    // the continuous form of the q102 shape: a static digest index from
+    // the accumulated corpus, arriving shards anti-join it and dedup
+    // within the stream by digest — same operators, stream input
+    import graft.operators.Dedup
+    val idx = Dedup.exactIndex(
+      Seq((0L, "body A"), (1L, "body B")).toDF("doc_id", "text"))
+    val dir = Files.createTempDirectory("graft_stream_shard")
+    Seq((10L, "body A"), (11L, "body C"), (12L, "body C"), (13L, "body D"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val novel = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("_digest", md5(col("text")))
+      .join(idx.select(col("digest").as("_digest")), Seq("_digest"), "left_anti")
+      .dropDuplicates("_digest")
+    val q = novel.writeStream.format("memory").queryName("exact_inc_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    val kept = spark.table("exact_inc_stream")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size == 2)                     // one C survivor + D
+    assert(kept.contains(13L))                 // the unique new doc
+    assert(kept.contains(11L) || kept.contains(12L)) // one of the C pair
+    assert(!kept.contains(10L))                // indexed body dropped
+  }
+
   test("DocumentSource reads jsonl/csv corpora into (doc_id, text, ...)") {
     import graft.sources.DocumentSource
     val dir = Files.createTempDirectory("graft_docs")
