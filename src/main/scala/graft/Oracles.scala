@@ -1311,14 +1311,14 @@ object Oracles {
        |  flags AS (SELECT doc_id, n_words, n_word_chars, n_lines,
        |      (n_words >= 50 AND n_words <= 100000) AS r_word_count,
        |      (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words) AS r_word_len,
-       |      (10 * (n_hash + n_ellipsis) <= n_words) AS r_symbol,
+       |      (10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words) AS r_symbol,
        |      (10 * n_bullet <= 9 * n_lines) AS r_bullet,
        |      (10 * n_ell_lines <= 3 * n_lines) AS r_ellipsis,
        |      (5 * n_alpha >= 4 * n_words) AS r_alpha,
        |      (stop_hits >= 2) AS r_stop,
        |      ((n_words >= 50 AND n_words <= 100000)
        |        AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
-       |        AND (10 * (n_hash + n_ellipsis) <= n_words)
+       |        AND (10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words)
        |        AND (10 * n_bullet <= 9 * n_lines)
        |        AND (10 * n_ell_lines <= 3 * n_lines)
        |        AND (5 * n_alpha >= 4 * n_words)
@@ -1437,10 +1437,12 @@ object Oracles {
     */
   def q102ExactIncremental: String =
     s"""WITH
-       |  idx AS (SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 400),
-       |  inc AS (SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id >= 400),
-       |  novel AS (SELECT * FROM inc
-       |    WHERE digest NOT IN (SELECT digest FROM idx)),
+       |  idx AS (SELECT DISTINCT md5(COALESCE(text, '')) AS digest
+       |    FROM documents WHERE doc_id < 400),
+       |  inc AS (SELECT doc_id, md5(COALESCE(text, '')) AS digest
+       |    FROM documents WHERE doc_id >= 400),
+       |  novel AS (SELECT inc.* FROM inc
+       |    ANTI JOIN idx USING (digest)),
        |  keep AS (SELECT min(doc_id) AS doc_id FROM novel GROUP BY digest)
        |SELECT d.doc_id, d.source FROM documents d
        |JOIN keep USING (doc_id) ORDER BY d.doc_id""".stripMargin

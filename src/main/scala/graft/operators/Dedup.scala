@@ -109,7 +109,7 @@ object Dedup {
     * re-deduping old+new.
     */
   def exactIndex(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(md5(col(textCol)).as("digest")).distinct()
+    docs.select(md5(coalesce(col(textCol), lit(""))).as("digest")).distinct()
 
   /** Incremental exact dedup: the `incoming` shard's survivors against
     * an existing digest `index` ([[exactIndex]], typically read back
@@ -121,7 +121,7 @@ object Dedup {
   def exactKeepAgainst(index: DataFrame, incoming: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val novel = incoming
-      .withColumn("_digest", md5(col(textCol)))
+      .withColumn("_digest", md5(coalesce(col(textCol), lit(""))))
       .join(index.select(col("digest").as("_digest")), Seq("_digest"), "anti")
     val keep = novel.groupBy("_digest").agg(min(idCol).as(idCol))
       .select(idCol)
@@ -782,7 +782,9 @@ object Dedup {
       w > 0L && counts.getOrElse(k, 0L) > 0L }
     require(present.nonEmpty,
       "no weighted source present in the data — empty mixture")
-    val T = present.map { case (k, w) => counts(k) * W / w }.min
+    // T in BigInt: counts(k) * W overflows Long for large corpora with
+    // token-count-style weights; the oracle does this step in HUGEINT.
+    val T = present.map { case (k, w) => BigInt(counts(k)) * W / w }.min
     val full = BigInt(4294967296L)
     val thresholds: Map[String, Long] = present.map { case (k, w) =>
       k -> ((full * w * T) / (BigInt(W) * counts(k))).min(full).toLong

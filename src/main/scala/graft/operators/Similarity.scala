@@ -793,6 +793,10 @@ object Similarity extends Serializable {
     // den²·dot² must stay in Long: dot ≤ dim·127² (≈2^20 at dim 64), so
     // den ≤ 1000 keeps den²·dot² < 2^60 with headroom.
     require(thresholdDen <= 1000, s"thresholdDen $thresholdDen too large (≤1000)")
+    // num²·na·nb must stay in Long too (na,nb up to ~2^20 each at dim
+    // 64): a cosine threshold > 1 is meaningless, so num ≤ den ≤ 1000.
+    require(thresholdNum <= thresholdDen,
+      s"thresholdNum $thresholdNum > thresholdDen $thresholdDen (cosine threshold > 1)")
     val qc = Dedup.tracked(
       quantIds(corpus, idCol, vecCol).localCheckpoint(eager = false))
     val cs = trainCellCentroids(qc, hashSeedVecs(qc, nCells), iters)

@@ -571,7 +571,10 @@ object TextAnalysis {
         (nWords >= 50L && nWords <= 100000L).as("r_word_count"),
         (lit(3L) * nWords <= totalChars &&
           totalChars <= lit(10L) * nWords).as("r_word_len"),
-        (lit(10L) * (nHash + nEllipsis) <= nWords).as("r_symbol"),
+        // Rae et al. A1.1 applies the 0.1 symbol-to-word ratio to the
+        // hash symbol and the ellipsis SEPARATELY, not to their sum.
+        (lit(10L) * nHash <= nWords &&
+          lit(10L) * nEllipsis <= nWords).as("r_symbol"),
         (lit(10L) * bulletLines <= lit(9L) * nLines).as("r_bullet"),
         (lit(10L) * ellipsisLines <= lit(3L) * nLines).as("r_ellipsis"),
         (lit(5L) * alphaWords >= lit(4L) * nWords).as("r_alpha"),

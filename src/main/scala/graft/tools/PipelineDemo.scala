@@ -93,8 +93,14 @@ object PipelineDemo {
       stage("mixture rebalance", balanced.count())
 
       // 5c. context-window chunking ahead of packing (overlap win−stride)
+      // chunk_uid headroom: with stride 48 a 100k-word Gopher-max doc
+      // yields ~2,083 chunks, so 1M ids per doc never collides; the
+      // guard turns a silent key collision into a loud failure.
       val chunks = TextAnalysis.chunkByWords(balanced, win = 64, stride = 48)
-        .withColumn("chunk_uid", col("doc_id") * 1024 + col("chunk_id"))
+        .withColumn("chunk_uid",
+          when(col("chunk_id") < 1000000L,
+            col("doc_id") * 1000000L + col("chunk_id"))
+            .otherwise(raise_error(lit("chunk_id >= 1e6: widen chunk_uid"))))
       stage("context chunks (64/48)", chunks.count())
 
       // 6. pack the chunks into fixed-budget training sequences, counting

@@ -1269,7 +1269,11 @@ class OperatorsSpec extends SparkSpec {
       (3L, (1 to 60).map(_ => "trailing words here...").mkString("\n")), // all "..." ends
       (4L, fifty + " " + Seq.fill(10)("#####").mkString(" ")),     // symbol-heavy
       (5L, Seq.fill(60)("12345").mkString(" ")),      // numeric → no alpha, no stops
-      (6L, fifty.replace("the ", "zz ").replace("and ", "qq ").replace("that ", "rr ").replace("have ", "ss ").replace("with ", "tt ")))
+      (6L, fifty.replace("the ", "zz ").replace("and ", "qq ").replace("that ", "rr ").replace("have ", "ss ").replace("with ", "tt ")),
+      // 3 hashes + 3 ellipses in 50 words: each ratio 0.06 ≤ 0.1 so the
+      // paper's per-symbol rule passes, while a combined-sum rule
+      // (0.12 > 0.1) would fail — pins Rae et al. A1.1 fidelity.
+      (7L, fifty + " ### ... ... ..."))
       .toDF("doc_id", "text")
     val out = TextAnalysis.gopherRules(d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -1280,6 +1284,7 @@ class OperatorsSpec extends SparkSpec {
     assert(!out(4L).getAs[Boolean]("r_symbol"))
     assert(!out(5L).getAs[Boolean]("r_alpha") && !out(5L).getAs[Boolean]("r_stop"))
     assert(!out(6L).getAs[Boolean]("r_stop") && !out(6L).getAs[Boolean]("pass"))
+    assert(out(7L).getAs[Boolean]("r_symbol"))
   }
 
   test("chunkByWords: stride coverage, overlap, short tail, empty docs dropped") {
