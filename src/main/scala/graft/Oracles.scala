@@ -838,7 +838,14 @@ object Oracles {
     * splitmix64 seed ranking (`nSeeds` hash-smallest vectors, cell index
     * = rank).
     */
-  private def quantSeedCtes(nSeeds: Int): String = {
+  private def quantSeedCtes(nSeeds: Int): String =
+    quantSeedCtes(nSeeds.toString)
+
+  /** As [[quantSeedCtes(nSeeds:Int)*]] but the seed count is an
+    * arbitrary scalar SQL expression (e.g. a subquery over a count
+    * CTE) — the replay of the engine's auto-scaled nCells.
+    */
+  private def quantSeedCtes(nSeedsExpr: String): String = {
     val smx = staged(s"SELECT vec_id, vec_id::HUGEINT AS z FROM qz",
       splitmixStages("z"))
     s"""  qz AS (SELECT vec_id,
@@ -851,7 +858,7 @@ object Oracles {
        |  vpos AS (SELECT vec_id, pos, qv[pos + 1] AS v FROM vpos0),
        |  sm AS (SELECT vec_id, ${signed("_sm")} AS h FROM ($smx)),
        |  seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY h, vec_id) - 1)::INT AS cell
-       |            FROM sm ORDER BY h, vec_id LIMIT $nSeeds)""".stripMargin
+       |            FROM sm ORDER BY h, vec_id LIMIT $nSeedsExpr)""".stripMargin
   }
 
   /** Shared whole-vector integer-Lloyd chain (q57/q94):
@@ -861,7 +868,10 @@ object Oracles {
     * d<i>: per-(vector, cell) integer squared-L2 vs cent<i>;
     * asgn<i>: argmin cell per vector (tie → lowest cell index).
     */
-  private def cellAsgnCtes(nCells: Int, iters: Int): String = {
+  private def cellAsgnCtes(nCells: Int, iters: Int): String =
+    cellAsgnCtes(nCells.toString, iters)
+
+  private def cellAsgnCtes(nCellsExpr: String, iters: Int): String = {
     def dCtes(i: Int) =
       s"""  d$i AS (SELECT v.vec_id, c.cell, sum((v.v - c.c) * (v.v - c.c)) AS d2
          |          FROM vpos v JOIN cent$i c ON v.pos = c.pos GROUP BY 1, 2),
@@ -876,7 +886,7 @@ object Oracles {
            |       FROM asgn$i a JOIN vpos v ON a.vec_id = v.vec_id GROUP BY 1, 2) s
            |    ON p.cell = s.cell AND p.pos = s.pos)""".stripMargin
     }.mkString(",\n")
-    s"""${quantSeedCtes(nCells)},
+    s"""${quantSeedCtes(nCellsExpr)},
        |  cent0 AS (SELECT s.cell, v.pos, v.v AS c FROM seeds s JOIN vpos v ON s.vec_id = v.vec_id),
        |$lloyd,
        |${dCtes(iters)}""".stripMargin
@@ -914,11 +924,16 @@ object Oracles {
     * within-cell smaller-id pairs are scored with the all-integer
     * rational-threshold cosine test (dot > 0 ∧ den²·dot² ≥ num²·na·nb,
     * threshold 7/10), and each vector reports its earlier-id near-dup
-    * count / smallest matching id / keep flag.
+    * count / smallest matching id / keep flag. nCells replays the
+    * engine's AUTO-SCALE rule — LEAST(65536, ⌈count/1024⌉) derived from
+    * the data itself — so the gate stays exact at every sf the driver
+    * runs it at.
     */
   def q94SemanticDedup: String =
     s"""WITH
-       |${cellAsgnCtes(16, 2)},
+       |  ncauto AS (SELECT LEAST(65536, (count(*) + 1023) // 1024)::INT AS n
+       |             FROM embeddings),
+       |${cellAsgnCtes("(SELECT n FROM ncauto)", 2)},
        |  pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |            FROM asgn2 a JOIN asgn2 b
        |            ON a.cell = b.cell AND a.vec_id < b.vec_id),

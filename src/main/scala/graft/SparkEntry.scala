@@ -496,12 +496,15 @@ object SparkEntry {
 
     // ---- north star: SemDeDup — cluster-then-prune semantic dedup ----
     // q57's integer Lloyd training + within-cell rational-threshold
-    // cosine (7/10); oracle replays training and the dup rule exactly
+    // cosine (7/10); oracle replays training and the dup rule exactly,
+    // INCLUDING the auto-scaled cell count (⌈N/1024⌉ capped at 65536 —
+    // nCells <= 0 triggers the auto rule; the oracle derives the same
+    // number from count(*))
     "q94_semantic_dedup" -> ((s, dir) => {
       // maxCell pinned to no-drop: the skew cap is a production guard the
       // oracle deliberately doesn't replay — the gate must stay exact at
       // any sf the driver runs it at
-      Similarity.semanticDedup(embeddings(s, dir), nCells = 16, iters = 2,
+      Similarity.semanticDedup(embeddings(s, dir), nCells = -1, iters = 2,
           thresholdNum = 7, thresholdDen = 10, maxCell = Int.MaxValue)
         .orderBy("vec_id")
     }),

@@ -769,9 +769,17 @@ object Similarity extends Serializable {
     *
     * Scale shape: training is iters × (one nCells×dim broadcast + one
     * map-side assignment + one nCells×dim-row aggregate); the only join
-    * is the within-cell self-join, whose cost is Σ|cell|² — tune
-    * `nCells` ∝ |corpus|/(target cell size) to bound it (SemDeDup used
-    * 11k clusters for 100M+ embeddings). Degenerate cells (boilerplate
+    * is the within-cell self-join, whose cost is Σ|cell|² — `nCells`
+    * must grow ∝ |corpus|/(target cell size) to bound it (SemDeDup used
+    * 11k clusters for 100M+ embeddings). `nCells ≤ 0` (the default)
+    * AUTO-SCALES: nCells = clamp(⌈N / targetCellSize⌉, 1, 65536) from
+    * one count of the (about-to-be-materialized-anyway) quantized
+    * corpus, so the expected pair count stays ≈ N·targetCellSize/2
+    * without hand-tuning. The 65536 cap bounds the driver-side Lloyd
+    * state (cap × dim longs ≈ 32 MB at dim 64) — it saturates at ~67M
+    * vectors at the default target; past that, cells grow linearly and
+    * a sharded / hierarchical clustering pass is the right tool.
+    * Degenerate cells (boilerplate
     * embeddings collapsing into one cluster) are excluded from PAIR
     * GENERATION above `maxCell` rows via the shared skew guard — capped
     * cells' members stay in the output as keepers (the guard degrades
@@ -784,12 +792,13 @@ object Similarity extends Serializable {
     * `keep` yields the deduplicated corpus deterministically (the
     * lowest-id representative of every semantic group survives).
     */
-  def semanticDedup(corpus: DataFrame, nCells: Int = 16, iters: Int = 2,
+  def semanticDedup(corpus: DataFrame, nCells: Int = -1, iters: Int = 2,
       thresholdNum: Long = 7, thresholdDen: Long = 10,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxCell: Int = -1): DataFrame = {
+      maxCell: Int = -1, targetCellSize: Int = 1024): DataFrame = {
     require(thresholdDen > 0 && thresholdNum >= 0,
       s"threshold $thresholdNum/$thresholdDen not a nonnegative rational")
+    require(targetCellSize > 0, s"targetCellSize $targetCellSize must be positive")
     // den²·dot² must stay in Long: dot ≤ dim·127² (≈2^20 at dim 64), so
     // den ≤ 1000 keeps den²·dot² < 2^60 with headroom.
     require(thresholdDen <= 1000, s"thresholdDen $thresholdDen too large (≤1000)")
@@ -799,7 +808,15 @@ object Similarity extends Serializable {
       s"thresholdNum $thresholdNum > thresholdDen $thresholdDen (cosine threshold > 1)")
     val qc = Dedup.tracked(
       quantIds(corpus, idCol, vecCol).localCheckpoint(eager = false))
-    val cs = trainCellCentroids(qc, hashSeedVecs(qc, nCells), iters)
+    // nCells ≤ 0 → auto-scale with corpus size (see scaladoc). The
+    // count() forces the checkpoint that training re-reads — one extra
+    // job over materialized data, nothing shuffled.
+    val nc = if (nCells > 0) nCells else {
+      val n = qc.count()
+      require(n > 0, "semanticDedup on an empty corpus")
+      math.min(65536L, (n + targetCellSize - 1) / targetCellSize).toInt
+    }
+    val cs = trainCellCentroids(qc, hashSeedVecs(qc, nc), iters)
     def n2(c: Column) = aggregate(c, lit(0L),
       (acc, v) => acc + v.cast("long") * v.cast("long"))
     // norms computed ONCE per vector here (O(N·dim)) and carried through

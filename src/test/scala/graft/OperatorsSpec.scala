@@ -1240,6 +1240,28 @@ class OperatorsSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("semanticDedup: auto-scaled nCells = ceil(N/target), bounds pair work") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.fill(16)((rnd.nextInt(255) - 127).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // auto (nCells <= 0) must equal an explicit ceil(300/50) = 6
+    val auto = Similarity.semanticDedup(df, targetCellSize = 50)
+      .as[(Long, Int, Long, Long, Boolean)].collect().sortBy(_._1)
+    val explicit = Similarity.semanticDedup(df, nCells = 6)
+      .as[(Long, Int, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(auto.toSeq == explicit.toSeq)
+    // the auto cells actually split the corpus: ids land in ≥ 2 of the 6
+    // cells, and the within-cell pair count Σ|cell|²/2 is strictly below
+    // the all-pairs N²/2 it exists to avoid
+    val sizes = auto.groupBy(_._2).map(_._2.length.toLong)
+    assert(auto.forall(r => r._2 >= 0 && r._2 < 6))
+    assert(sizes.size >= 2, s"all 300 vectors in one cell: $sizes")
+    val pairWork = sizes.map(s => s * s).sum
+    assert(pairWork < 300L * 300L, s"pair work $pairWork not reduced")
+  }
+
   test("dsirWeights/dsirSelect: deterministic weights, exact top-n order") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
