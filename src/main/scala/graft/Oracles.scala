@@ -1233,6 +1233,64 @@ object Oracles {
     head + values + body
   }
 
+  /** q108: [[graft.functions.Bpe]] byteLevel mode — q88's recursive
+    * merge-walk replay, upgraded to the real GPT-2 byte-level (Ġ)
+    * convention on the fragment RE2 can express. Domain: ASCII-only
+    * docs, whitespace-normalized (explicit `[ \t\n\f\r\x0B]+` class on
+    * both engines — Java and RE2 disagree on whether \s has \x0B) and
+    * trimmed, so the GPT-2 pre-tokenizer's `\s+(?!\S)` lookahead branch
+    * can never match and the RE2 alternation below is exactly
+    * equivalent. Each pre-token char then maps through the published
+    * byte↔unicode bijection (identity for `!`..`~`, 256+b for b ≤ 32 —
+    * space lands on Ġ — and DEL on 289) before the same walk.
+    */
+  def q108BpeByteTokens: String = {
+    val values = graft.functions.Bpe.gpt2DemoMerges.zipWithIndex
+      .map { case ((a, b), i) => s"('$a','$b',$i)" }.mkString(", ")
+    val head = "WITH RECURSIVE\nmerges(a, b, rnk) AS (VALUES "
+    val body =
+      """),
+        |base AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '[ \t\n\f\r\x0b]+', ' ', 'g')) AS ct
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND regexp_matches(text, '^[\x00-\x7f]*$')),
+        |pre AS (SELECT doc_id, regexp_extract_all(ct,
+        |  '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+') AS ws
+        |  FROM base),
+        |flat AS (SELECT doc_id, s.pos AS widx, s.w AS w FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+        |    i -> {'pos': i, 'w': ws[i+1]})) AS s FROM pre)),
+        |uw AS (SELECT DISTINCT w FROM flat),
+        |init AS (SELECT w, list_aggregate(list_transform(string_split(w, ''),
+        |    c -> chr(30) || CASE WHEN ord(c) BETWEEN 33 AND 126 THEN c
+        |                         WHEN ord(c) <= 32 THEN chr(256 + ord(c))
+        |                         ELSE chr(289) END || chr(31)),
+        |    'string_agg', '') AS s FROM uw),
+        |walk AS (
+        |  SELECT w, s FROM init
+        |  UNION ALL
+        |  SELECT walk.w, replace(walk.s,
+        |      chr(30)||bm.a||chr(31)||chr(30)||bm.b||chr(31),
+        |      chr(30)||bm.a||bm.b||chr(31))
+        |  FROM walk, LATERAL (SELECT a, b FROM merges
+        |    WHERE walk.s LIKE '%'||chr(30)||a||chr(31)||chr(30)||b||chr(31)||'%'
+        |    ORDER BY rnk LIMIT 1) bm),
+        |fin AS (SELECT w, s FROM walk t WHERE NOT EXISTS (
+        |  SELECT 1 FROM merges m
+        |  WHERE t.s LIKE '%'||chr(30)||m.a||chr(31)||chr(30)||m.b||chr(31)||'%')),
+        |toks AS (SELECT w,
+        |    len(s) - length(replace(s, chr(30), '')) AS n_toks,
+        |    array_to_string(string_split(trim(s, chr(30)||chr(31)), chr(31)||chr(30)), ' ') AS tstr
+        |  FROM fin),
+        |agg AS (SELECT f.doc_id, SUM(t.n_toks)::BIGINT AS n_tokens_bpe,
+        |    string_agg(t.tstr, ' ' ORDER BY f.widx) AS tokens_str
+        |  FROM flat f JOIN toks t USING (w) GROUP BY f.doc_id)
+        |SELECT b.doc_id, COALESCE(a.n_tokens_bpe, 0)::BIGINT AS n_tokens_bpe,
+        |  COALESCE(a.tokens_str, '') AS tokens_str
+        |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""".stripMargin
+    head + values + body
+  }
+
   /** Map of generated oracles, merged into [[SparkEntry.oracleSql]]. */
   /** q90: `TextAnalysis.perplexityScore` — the hash-derived bigram lp
     * (−500 − md5₃₂("lm#a#b") mod 4500) replayed with the same md5-int
@@ -1536,6 +1594,7 @@ object Oracles {
     "q97_chunk_words" -> q97ChunkWords,
     "q98_rebalance_mixture" -> q98RebalanceMixture,
     "q88_bpe_tokens" -> q88BpeTokens,
+    "q108_bpe_byte_tokens" -> q108BpeByteTokens,
     "q89_knn_pq_refine" -> q89PqRefine,
     "q90_perplexity_score" -> q90PerplexityScore,
     "q91_ccnet_sample" -> q91CcnetSample,

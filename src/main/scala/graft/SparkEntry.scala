@@ -457,6 +457,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- north star: byte-level (Ġ) BPE — the real GPT-2 convention ----
+    // Same merge walk as q88 but over byte symbols with the published
+    // byte↔unicode map (space → Ġ). Gated on the ASCII-only, whitespace-
+    // normalized subset, where the GPT-2 pre-tokenizer's lookahead branch
+    // can never fire — exactly the fragment RE2 (DuckDB) can replay.
+    "q108_bpe_byte_tokens" -> ((s, dir) => {
+      import graft.functions.Bpe
+      val ct = trim(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r\\x0B]+", " "))
+      documents(s, dir)
+        .filter(col("text").isNotNull && col("text").rlike("^[\\x00-\\x7F]*$"))
+        .withColumn("ct", ct)
+        .select(col("doc_id"),
+          coalesce(size(Bpe.tokens(col("ct"), Bpe.gpt2DemoMerges,
+            byteLevel = true)).cast("long"), lit(0L)).as("n_tokens_bpe"),
+          coalesce(array_join(Bpe.tokens(col("ct"), Bpe.gpt2DemoMerges,
+            byteLevel = true), " "), lit("")).as("tokens_str"))
+        .orderBy("doc_id")
+    }),
+
     // ---- north star: CCNet-style bigram-LM perplexity scoring ----
     // Hash-derived stand-in log-probs (the q80 seed-weights discipline);
     // real models load a sidecar via TextAnalysis.scoreBigramLm

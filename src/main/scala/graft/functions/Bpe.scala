@@ -19,14 +19,26 @@ import org.apache.spark.sql.functions._
   * higher-rank one that shares a symbol (e.g. with ranks
   * (k,e) < (e,y), "key" → [ke, y] → [key], never [k, ey]).
   *
-  * Two published-BPE details are deliberately simplified (documented
-  * semantic pins, not bugs): no byte-level fallback (symbols are unicode
-  * codepoints, so any character outside the merge alphabet simply stays
-  * a single-codepoint token) and a simplified pre-tokenizer
-  * (`[a-z]+|[0-9]+|[^a-z0-9\s\x00-\x1f]+` on the lowercased text — no
-  * space-marker Ġ, no lookahead — chosen so the exact same regex runs
-  * in any RE2/PCRE engine, which is what lets the q88 oracle replay the
-  * whole tokenizer in SQL).
+  * Two modes:
+  *
+  *  - **simplified** (default, what the q88 oracle replays): no
+  *    byte-level fallback (symbols are unicode codepoints, so any
+  *    character outside the merge alphabet simply stays a
+  *    single-codepoint token) and a simplified pre-tokenizer
+  *    (`[a-z]+|[0-9]+|[^a-z0-9\s\x00-\x1f]+` on the lowercased text —
+  *    no space-marker Ġ, no lookahead — chosen so the exact same regex
+  *    runs in any RE2/PCRE engine, which is what lets the q88 oracle
+  *    replay the whole tokenizer in SQL);
+  *  - **byteLevel = true**: the real GPT-2 convention (Radford et al.
+  *    2019, `encoder.py`) — the GPT-2 pre-tokenizer regex
+  *    (case-preserving, contraction splits, a leading space binds to
+  *    the following word), each pre-token expanded to its UTF-8 bytes,
+  *    each byte mapped through the published 256-entry byte↔unicode
+  *    bijection (0x20 → 'Ġ', hence the Ġ-prefixed entries in a real
+  *    `merges.txt`), then the same merge walk. Every symbol is one of
+  *    the 256 byte characters, so NOTHING is out-of-alphabet — the
+  *    byte-level mapping IS the byte fallback, and a table+vocab that
+  *    covers the 256 singles can never emit -1.
   *
   * Scale: merges/vocab are driver-loaded (a real GPT-2 table is 50k
   * rows ≈ 0.5 MB) and ride to executors in the task closure (itself a
@@ -51,6 +63,21 @@ object Bpe {
     ("v", "a"), ("k", "e"), ("ke", "y"), ("e", "y"), ("g", "g"),
     ("a", "gg"), ("c", "an"), ("s", "can"), ("g", "e"), ("er", "ge"),
     ("m", "erge"))
+
+  /** Built-in demo merge table in the BYTE-LEVEL (Ġ) convention — the
+    * real-merges.txt shape, Ġ = the mapped space byte: " the" climbs to
+    * a single Ġthe while sentence-initial "the" stays t+he apart, " row"
+    * stops at [Ġ, row] (no Ġrow merge), and scan/key/table/value climb
+    * multi-level. Symbols are Ġ + alphanumerics only, which is what
+    * lets the q108 oracle replay the walk in SQL with no LIKE/quote
+    * escaping. Real deployments load a trained table with [[loadMerges]].
+    */
+  val gpt2DemoMerges: Vector[(String, String)] = Vector(
+    ("Ġ", "t"), ("h", "e"), ("Ġt", "he"), ("a", "n"), ("Ġ", "s"),
+    ("Ġs", "c"), ("Ġsc", "an"), ("e", "y"), ("k", "ey"), ("Ġ", "k"),
+    ("Ġk", "ey"), ("a", "b"), ("l", "e"), ("ab", "le"), ("Ġt", "able"),
+    ("r", "o"), ("ro", "w"), ("a", "l"), ("v", "al"), ("u", "e"),
+    ("val", "ue"), ("Ġ", "a"))
 
   def rankOf(merges: Seq[(String, String)]): Rank =
     merges.zipWithIndex.toMap
@@ -107,6 +134,52 @@ object Bpe {
   private val preTokenPattern =
     java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s\\x00-\\x1f]+")
 
+  /** The GPT-2 byte↔unicode bijection (`bytes_to_unicode` in the
+    * published encoder): printable non-space bytes — `!`..`~`, `¡`..`¬`,
+    * `®`..`ÿ` — map to themselves; the remaining 68 bytes map to
+    * 256+n in byte order, which lands 0x20 (space) on U+0120 'Ġ' — the
+    * space marker seen throughout a real `merges.txt`/vocab.
+    */
+  val byteEncoder: Array[Char] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val enc = new Array[Char](256)
+    var n = 0
+    (0 until 256).foreach { b =>
+      if (keep(b)) enc(b) = b.toChar
+      else { enc(b) = (256 + n).toChar; n += 1 }
+    }
+    enc
+  }
+
+  /** The GPT-2 pre-tokenizer regex, verbatim (contractions, ` ?`-bound
+    * words/numbers/punctuation runs, trailing-space lookahead) with
+    * unicode classes on, case preserved.
+    */
+  private val gpt2Pattern = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** GPT-2 pre-tokenization: raw (case-preserved) text split by
+    * [[gpt2Pattern]]; a single leading space rides with its word.
+    */
+  def preTokenizeByteLevel(text: String): Vector[String] = {
+    val m = gpt2Pattern.matcher(text)
+    val out = Vector.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  /** A pre-token as byte-level symbols: UTF-8 bytes, each mapped through
+    * [[byteEncoder]] to a one-char string (" the" → Ġ,t,h,e).
+    */
+  def byteSymbols(word: String): Vector[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < bytes.length) { b += byteEncoder(bytes(i) & 0xff).toString; i += 1 }
+    b.result()
+  }
+
   /** Simplified pre-tokenizer (see object doc): runs of letters, runs of
     * digits, runs of other printable non-space characters, over the
     * lowercased text.
@@ -123,7 +196,7 @@ object Bpe {
     * (left-to-right) of the present pair with the lowest rank.
     */
   def encodeWord(word: String, rank: Rank): Vector[String] = {
-    var syms: Vector[String] = {
+    val syms = {
       val b = Vector.newBuilder[String]
       var i = 0
       while (i < word.length) {
@@ -133,6 +206,20 @@ object Bpe {
       }
       b.result()
     }
+    mergeWalk(syms, rank)
+  }
+
+  /** The merge walk over byte-level symbols ([[byteSymbols]]) — real
+    * GPT-2 encoding of one pre-token.
+    */
+  def encodeWordByteLevel(word: String, rank: Rank): Vector[String] =
+    mergeWalk(byteSymbols(word), rank)
+
+  /** The shared merge loop: fuse every non-overlapping occurrence
+    * (left-to-right) of the present lowest-rank pair until none remains.
+    */
+  private def mergeWalk(start: Vector[String], rank: Rank): Vector[String] = {
+    var syms = start
     var continue = syms.length >= 2
     while (continue) {
       var best: (String, String) = null
@@ -161,35 +248,49 @@ object Bpe {
   }
 
   /** Full-document token sequence (pre-tokenize, then merge-walk each
-    * pre-token, concatenated in order). NULL text → NULL.
+    * pre-token, concatenated in order). NULL text → NULL. `byteLevel`
+    * switches to the real GPT-2 convention (see object doc).
     */
-  def tokens(text: Column, merges: Seq[(String, String)] = defaultMerges): Column = {
+  def tokens(text: Column, merges: Seq[(String, String)] = defaultMerges,
+      byteLevel: Boolean = false): Column = {
     val r = rankOf(merges)
-    val u = udf { (t: String) =>
-      if (t == null) null
-      else preTokenize(t).flatMap(w => encodeWord(w, r))
-    }
+    val u =
+      if (byteLevel) udf { (t: String) =>
+        if (t == null) null
+        else preTokenizeByteLevel(t).flatMap(w => encodeWordByteLevel(w, r))
+      }
+      else udf { (t: String) =>
+        if (t == null) null
+        else preTokenize(t).flatMap(w => encodeWord(w, r))
+      }
     u(text)
   }
 
   /** Token count under the loaded BPE table — drop-in for the token
     * column of [[graft.operators.Packing.packSequences]].
     */
-  def tokenCount(text: Column, merges: Seq[(String, String)] = defaultMerges): Column =
-    size(tokens(text, merges))
+  def tokenCount(text: Column, merges: Seq[(String, String)] = defaultMerges,
+      byteLevel: Boolean = false): Column =
+    size(tokens(text, merges, byteLevel))
 
-  /** Token ids via a vocab table; out-of-vocabulary → -1 (real BPE
-    * walks always land in-vocab when the vocab contains every merge
-    * product and all single characters; -1 marks a mismatched
+  /** Token ids via a vocab table; out-of-vocabulary → -1 (byte-level
+    * walks with a 256-single-byte vocab never emit -1 — the byte
+    * alphabet is the fallback; in simplified mode -1 marks a mismatched
     * merges/vocab pair loudly rather than silently).
     */
   def tokenIds(text: Column, merges: Seq[(String, String)],
-      vocab: Map[String, Int]): Column = {
+      vocab: Map[String, Int], byteLevel: Boolean = false): Column = {
     val r = rankOf(merges)
-    val u = udf { (t: String) =>
-      if (t == null) null
-      else preTokenize(t).flatMap(w => encodeWord(w, r)).map(vocab.getOrElse(_, -1))
-    }
+    val u =
+      if (byteLevel) udf { (t: String) =>
+        if (t == null) null
+        else preTokenizeByteLevel(t).flatMap(w => encodeWordByteLevel(w, r))
+          .map(vocab.getOrElse(_, -1))
+      }
+      else udf { (t: String) =>
+        if (t == null) null
+        else preTokenize(t).flatMap(w => encodeWord(w, r)).map(vocab.getOrElse(_, -1))
+      }
     u(text)
   }
 }

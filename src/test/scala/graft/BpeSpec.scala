@@ -134,6 +134,97 @@ class BpeSpec extends SparkSpec {
     assert(viaCol.exists(_._3 > 0))
   }
 
+  test("byte encoder is the published GPT-2 bijection") {
+    // printable non-space bytes map to themselves...
+    assert(Bpe.byteEncoder('!') == '!' && Bpe.byteEncoder('~') == '~')
+    assert(Bpe.byteEncoder(0xC3) == 'Ã' && Bpe.byteEncoder(0xA9) == '©')
+    // ...the 68 others shift to 256+n in byte order: NUL→Ā, \n→Ċ,
+    // space→Ġ (the marker all real merges.txt files use), DEL→ġ
+    assert(Bpe.byteEncoder(0x00) == 'Ā')
+    assert(Bpe.byteEncoder(0x0A) == 'Ċ')
+    assert(Bpe.byteEncoder(0x20) == 'Ġ')
+    assert(Bpe.byteEncoder(0x7F) == 'ġ')
+    assert(Bpe.byteEncoder.distinct.length == 256) // a true bijection
+  }
+
+  test("byte-level pre-tokenizer: GPT-2 regex — case, contractions, space binding") {
+    // case preserved, a single leading space binds to its word
+    assert(Bpe.preTokenizeByteLevel("The quick brown") ==
+      Vector("The", " quick", " brown"))
+    // contractions split off; punctuation runs keep their leading space
+    assert(Bpe.preTokenizeByteLevel("it's done, ok?!") ==
+      Vector("it", "'s", " done", ",", " ok", "?!"))
+    // of an interior space run, only the LAST space binds forward; a
+    // trailing run stays whole (the (?!\S) lookahead)
+    assert(Bpe.preTokenizeByteLevel("a  b  ") == Vector("a", " ", " b", "  "))
+    // digits split from letters
+    assert(Bpe.preTokenizeByteLevel("v2 go") == Vector("v", "2", " go"))
+  }
+
+  /** A real-format merges.txt fragment (GPT-2 convention: Ġ = the
+    * mapped space byte). Ranks: Ġt=0, he=1, Ġthe=2, is=3, Ġa=4, Ġw=5,
+    * or=6, ld=7, orld=8, Ġworld=9.
+    */
+  private val gpt2Style = Vector(
+    ("Ġ", "t"), ("h", "e"), ("Ġt", "he"), ("i", "s"),
+    ("Ġ", "a"), ("Ġ", "w"), ("o", "r"), ("l", "d"),
+    ("or", "ld"), ("Ġw", "orld"))
+  private val gRank = Bpe.rankOf(gpt2Style)
+
+  test("byte-level goldens: hand-computed GPT-2 walks with Ġ climbing") {
+    // " the": [Ġ,t,h,e] —(Ġ,t)@0→ [Ġt,h,e] —(h,e)@1→ [Ġt,he]
+    //   —(Ġt,he)@2→ [Ġthe]: the classic single-token " the"
+    assert(Bpe.encodeWordByteLevel(" the", gRank) == Vector("Ġthe"))
+    // "the" (no leading space): [t,h,e] —(h,e)@1→ [t,he]; (t,he) is NOT
+    // a merge — sentence-initial and mid-sentence forms differ, the
+    // hallmark of the Ġ convention
+    assert(Bpe.encodeWordByteLevel("the", gRank) == Vector("t", "he"))
+    // " world": [Ġ,w,o,r,l,d] —(Ġ,w)@5→ [Ġw,o,r,l,d] —(o,r)@6→
+    //   [Ġw,or,l,d] —(l,d)@7→ [Ġw,or,ld] —(or,ld)@8→ [Ġw,orld]
+    //   —(Ġw,orld)@9→ [Ġworld]
+    assert(Bpe.encodeWordByteLevel(" world", gRank) == Vector("Ġworld"))
+    // document-level: pre-tokenize + walk, concatenated
+    val toks = Bpe.preTokenizeByteLevel("the world is")
+      .flatMap(w => Bpe.encodeWordByteLevel(w, gRank))
+    assert(toks == Vector("t", "he", "Ġworld", "Ġ", "is"))
+  }
+
+  test("byte-level fallback: non-ASCII and control bytes stay in-alphabet") {
+    // "café": é = UTF-8 C3 A9 — both bytes are identity-mapped symbols;
+    // with no applicable merges the word is its mapped byte sequence
+    assert(Bpe.encodeWordByteLevel("café", gRank) ==
+      Vector("c", "a", "f", "Ã", "©"))
+    // a control byte maps into the shifted page, never drops
+    assert(Bpe.byteSymbols("\u0001") == Vector("ā"))
+    // any string round-trips: mapped symbols concatenate to the mapped
+    // bytes, one symbol per UTF-8 byte
+    val s = "Ωmega  ok"
+    assert(Bpe.byteSymbols(s).length == s.getBytes("UTF-8").length)
+    // with a 256-single + products vocab, ids never hit -1 (the byte
+    // alphabet IS the fallback)
+    val vocab = (0 until 256).map(b => Bpe.byteEncoder(b).toString).zipWithIndex.toMap ++
+      gpt2Style.map { case (a, b) => a + b }.zipWithIndex.map { case (t, i) => (t, 256 + i) }
+    val ids = spark.createDataset(Seq("café  the world"))
+      .toDF("text")
+      .select(Bpe.tokenIds(col("text"), gpt2Style, vocab, byteLevel = true).as("ids"))
+      .as[Seq[Int]].head()
+    assert(ids.nonEmpty && ids.forall(_ >= 0))
+  }
+
+  test("byte-level column function agrees with the driver-side kernel") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val viaCol = docs
+      .select($"doc_id", Bpe.tokens($"text", gpt2Style, byteLevel = true).as("toks"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    val viaKernel = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1)
+      .map { case (id, t) =>
+        (id, Bpe.preTokenizeByteLevel(t).flatMap(w => Bpe.encodeWordByteLevel(w, gRank)))
+      }
+    assert(viaCol.map(v => (v._1, v._2.toVector)).toSeq == viaKernel.toSeq)
+    assert(viaCol.exists(_._2.nonEmpty))
+  }
+
   test("packSequences packs by the BPE count when given the token column") {
     val docs = Seq((0L, "the table"), (1L, "window fast"), (2L, "key"))
       .toDF("doc_id", "text")
