@@ -588,30 +588,52 @@ object TextAnalysis {
   /** Intra-document line deduplication (RefinedWeb-style boilerplate
     * removal): keep each document's FIRST occurrence of every exact
     * line, preserving order — repeated nav/footer/boilerplate lines
-    * collapse to one. Implemented as a pure expression fold over the
-    * line array (seen-set = the kept prefix itself), so it runs at scan
-    * speed map-side with NO shuffle — the per-doc cost is O(lines²)
-    * membership checks, fine for real documents (thousands of lines)
-    * and linear in corpus size. The q101 oracle cross-validates against
-    * an independent relational formulation (min-position per line +
-    * ordered re-aggregation).
+    * collapse to one. Map-side only, NO shuffle, two per-row paths with
+    * identical output:
+    *
+    *  - docs at or under `spark.graft.lineDedup.maxExprLines` lines
+    *    (default 10 000) run a pure expression fold over the line array
+    *    (seen-set = the kept prefix itself) — codegen'd scan speed, but
+    *    O(lines²) membership checks;
+    *  - longer docs route through a hash-set kernel UDF (insertion-
+    *    ordered set, O(lines)) — the per-row analog of the bucket-size
+    *    skew caps elsewhere: one pathological many-line document must
+    *    not own a task for hours. `when()` picks the branch per row, so
+    *    the quadratic fold never executes for routed rows.
+    *
+    * The q101 oracle cross-validates against an independent relational
+    * formulation (min-position per line + ordered re-aggregation); a
+    * property spec pins path agreement on seeded corpora.
     *
     * Output: (idCol, clean_text LF-joined, n_lines_in, n_lines_kept).
     * Lines split on `\r?\n` (the q87 CRLF discipline).
     */
   def dedupLinesWithinDoc(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    val maxExprLines = docs.sparkSession.conf
+      .get("spark.graft.lineDedup.maxExprLines", "10000").toInt
+    val keptKernel = udf { (ls: Seq[String]) =>
+      val seen = new java.util.LinkedHashSet[String]
+      ls.foreach(seen.add)
+      val out = Seq.newBuilder[String]
+      seen.forEach(l => out += l)
+      out.result()
+    }
     docs
       .select(col(idCol),
         split(coalesce(col(textCol), lit("")), "\r?\n").as("_ls"))
-      .withColumn("_kept", aggregate(col("_ls"),
-        array().cast("array<string>"),
-        (acc, l) => when(array_contains(acc, l), acc)
-          .otherwise(concat(acc, array(l)))))
+      .withColumn("_kept",
+        when(size(col("_ls")) <= maxExprLines,
+          aggregate(col("_ls"),
+            array().cast("array<string>"),
+            (acc, l) => when(array_contains(acc, l), acc)
+              .otherwise(concat(acc, array(l)))))
+        .otherwise(keptKernel(col("_ls"))))
       .select(col(idCol),
         array_join(col("_kept"), "\n").as("clean_text"),
         size(col("_ls")).cast("long").as("n_lines_in"),
         size(col("_kept")).cast("long").as("n_lines_kept"))
+  }
 
   /** One-scan corpus health report, grouped by a corpus label (source /
     * domain / shard): doc count, word and word-char totals, and how many

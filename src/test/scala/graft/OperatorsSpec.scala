@@ -1384,6 +1384,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3) == ((3L, "", 1L, 1L)))   // null text treated as empty
   }
 
+  test("dedupLinesWithinDoc: kernel path agrees with the fold; pathological doc is linear") {
+    // seeded corpora through BOTH per-row paths: expression fold
+    // (threshold above every doc) vs hash-set kernel (threshold 0)
+    val rnd = new scala.util.Random(23)
+    val docs = (0L until 40L).map { id =>
+      val lines = (0 until 1 + rnd.nextInt(60))
+        .map(_ => s"line ${rnd.nextInt(12)}") // small alphabet → many dups
+      (id, lines.mkString(if (rnd.nextBoolean()) "\n" else "\r\n"))
+    }
+    val d = docs.toDF("doc_id", "text")
+    def run() = TextAnalysis.dedupLinesWithinDoc(d)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val viaFold = run()
+    spark.conf.set("spark.graft.lineDedup.maxExprLines", "0")
+    try {
+      val viaKernel = run()
+      assert(viaKernel == viaFold)
+    } finally spark.conf.unset("spark.graft.lineDedup.maxExprLines")
+    // a 50k-line doc (1k distinct lines) crosses the default 10k
+    // threshold into the O(lines) kernel — the fold's ~1.25G quadratic
+    // membership checks would stall here; the kernel is instant
+    val big = (0 until 50000).map(i => s"ln ${i % 1000}").mkString("\n")
+    val bigOut = TextAnalysis.dedupLinesWithinDoc(
+      Seq((99L, big)).toDF("doc_id", "text"))
+      .as[(Long, String, Long, Long)].head()
+    assert(bigOut._3 == 50000L && bigOut._4 == 1000L)
+    assert(bigOut._2 == (0 until 1000).map(i => s"ln $i").mkString("\n"))
+  }
+
   test("exactKeepAgainst: indexed bodies dropped, shard dups collapse to min id") {
     val old = Seq((0L, "body A"), (1L, "body B")).toDF("doc_id", "text")
     val idx = Dedup.exactIndex(old)
