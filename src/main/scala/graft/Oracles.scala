@@ -982,7 +982,9 @@ object Oracles {
     * rank cut at k×overfetch, then different-label filter and re-rank.
     * The oracle replays the overfetch semantics exactly (shortlist
     * first, filter second) so the gate matches the engine even when a
-    * neighborhood is label-homogeneous.
+    * neighborhood is label-homogeneous; `n_found` (the per-query
+    * different-label candidate count — the saturation signal) is the
+    * same pre-cut window count.
     */
   def q106HardNegatives: String =
     s"""WITH
@@ -997,9 +999,11 @@ object Oracles {
        |             FROM scored),
        |  short AS (SELECT * FROM ranked WHERE rank <= 20),
        |  neg AS (SELECT query_id, neighbor_id, lbl,
-       |            row_number() OVER (PARTITION BY query_id ORDER BY rank) AS rk
+       |            row_number() OVER (PARTITION BY query_id ORDER BY rank) AS rk,
+       |            count(*) OVER (PARTITION BY query_id) AS n_found
        |          FROM short WHERE lbl <> qlbl)
-       |SELECT query_id, neighbor_id, lbl AS neg_label, rk::BIGINT AS rank
+       |SELECT query_id, neighbor_id, lbl AS neg_label, rk::BIGINT AS rank,
+       |  n_found::BIGINT AS n_found
        |FROM neg WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** q84: `Similarity.pqTopKInt8` — product quantization with

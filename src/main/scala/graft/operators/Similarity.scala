@@ -731,7 +731,14 @@ object Similarity extends Serializable {
     * overfetch must exceed the worst-case same-label run in a
     * neighborhood — raise it for label-clustered corpora), labels join
     * on the shortlist only, and the re-rank window sees ≤ k×overfetch
-    * rows per query. Output: (query_id, neighbor_id, neg_label, rank).
+    * rows per query.
+    *
+    * Output: (query_id, neighbor_id, neg_label, rank, n_found) —
+    * `n_found` = how many different-label candidates the whole
+    * shortlist held for that query. `n_found < k` means the
+    * neighborhood was label-saturated and the query under-delivered:
+    * the SIGNAL to escalate `overfetch` for those queries, visible in
+    * the output instead of silently missing rows.
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
       labelCol: String = "label", idCol: String = "vec_id",
@@ -748,9 +755,12 @@ object Similarity extends Serializable {
       .join(broadcast(qLabels), Seq("query_id"))
       .filter(col("neg_label") =!= col("_qlbl"))
       .withColumn("_rk", row_number().over(w))
+      // same partition+sort as _rk — one window exchange, not two
+      .withColumn("n_found",
+        count(lit(1)).over(Window.partitionBy("query_id")))
       .filter(col("_rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("neg_label"),
-        col("_rk").as("rank"))
+        col("_rk").as("rank"), col("n_found"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv

@@ -1213,11 +1213,31 @@ class OperatorsSpec extends SparkSpec {
       "vec_id", "embedding", "label")
     val queries = Seq((100L, v(0, 2), 0)).toDF("vec_id", "embedding", "label")
     val out = Similarity.hardNegatives(corpus, queries, k = 3)
-      .as[(Long, Long, Int, Long)].collect().sortBy(_._4)
+      .as[(Long, Long, Int, Long, Long)].collect().sortBy(_._4)
     assert(out.length == 3)
     assert(out.forall(_._3 == 1))          // all negatives labeled differently
     assert(out.head._2 == 4L)              // the in-cluster infiltrator is
     assert(out.forall(_._1 == 100L))       //   the hardest negative
+    // 6 of the 10 corpus vectors carry a different label and the k*4=12
+    // shortlist holds all 9 non-query... the full corpus: n_found = 6
+    assert(out.forall(_._5 == 6L))
+  }
+
+  test("hardNegatives: label-saturated neighborhood surfaces n_found < k") {
+    // every corpus vector shares the query's label except ONE: with
+    // k=3 only that one negative exists — the query must still emit it,
+    // with n_found=1 announcing the under-delivery instead of silence
+    def v(axis: Int, jit: Int): Array[Float] =
+      Array.tabulate(8)(j => (if (j == axis) 100f else 0f) +
+        (if (j == (axis + 1) % 8) jit.toFloat else 0f))
+    val corpus = ((0 until 7).map(i => (i.toLong, v(0, i), 0)) :+
+      ((7L, v(4, 0), 1))).toDF("vec_id", "embedding", "label")
+    val queries = Seq((100L, v(0, 2), 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(corpus, queries, k = 3)
+      .as[(Long, Long, Int, Long, Long)].collect()
+    assert(out.length == 1)                // under-delivered: 1 < k rows
+    assert(out.head._2 == 7L && out.head._3 == 1)
+    assert(out.head._5 == 1L)              // the saturation signal
   }
 
   test("semanticDedup: copies pruned to lowest id, orthogonals kept, layout-independent") {
