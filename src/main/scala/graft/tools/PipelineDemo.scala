@@ -121,6 +121,42 @@ object PipelineDemo {
       val test0 = Xval.xvalSet(folded, "test", 0).count()
       stage("fold 0 train/val/test", train0)
       println(s"FOLD0 train=$train0 val=$val0 test=$test0")
+
+      // 8. day-2 incremental ingest — the production overnight loop:
+      // persist the day-1 digest + signature indexes, screen the next
+      // shard against them (re-ingested bodies drop on the digest
+      // anti-join, near-variants on the banded signature join — the
+      // accumulated corpus is never re-deduped), then fold the novel
+      // survivors into the indexes for day 3. Batch-equivalence of this
+      // composition is spec-gated (OperatorsSpec "two-day incremental").
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_demo_idx").toString
+      Dedup.exactIndex(exact).write.mode("overwrite")
+        .parquet(s"$idxDir/exact")
+      Dedup.minhashIndex(kept, numHashes = 32, rowsPerBand = 4, k = 5)
+        .write.mode("overwrite").parquet(s"$idxDir/minhash")
+      // simulated next-day shard, ids above the day-1 range: half
+      // re-ingested bodies (exact dups), half lightly edited variants
+      val day2 = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" day2 edit"))))
+      val exactIdx = spark.read.parquet(s"$idxDir/exact")
+      val mhIdx = spark.read.parquet(s"$idxDir/minhash")
+      val d2exact = Dedup.exactKeepAgainst(exactIdx, day2)
+      stage("day2 exact screen", d2exact.count())
+      val d2kept0 = Dedup.nearDupKeep(d2exact, numHashes = 32,
+        rowsPerBand = 4, k = 5, threshold = 0.5)
+      val d2novel = d2kept0.join(
+        Dedup.minhashCandidatesAgainst(mhIdx, d2kept0, numHashes = 32,
+          rowsPerBand = 4, k = 5, threshold = 0.5)
+          .select(col("incoming_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "anti")
+      stage("day2 novel survivors", d2novel.count())
+      val exactIdx2 = exactIdx
+        .union(Dedup.exactIndex(day2)).distinct()
+      stage("updated exact index", exactIdx2.count())
+
       println("PIPELINE OK")
     }
     spark.stop()

@@ -1433,6 +1433,73 @@ class OperatorsSpec extends SparkSpec {
     assert(bigOut._2 == (0 until 1000).map(i => s"ln $i").mkString("\n"))
   }
 
+  test("two-day incremental dedup (persisted exact+minhash indexes) == batch rerun") {
+    // 20 duplicate groups, each a base text plus ONE near-variant (last
+    // 3 of 30 words changed → char-shingle jaccard ≈ 0.9), with 1–3
+    // exact copies of each scattered across both days. Groups share no
+    // vocabulary, and each group holds at most two distinct texts, so
+    // every cross-day near-dup decision is the SAME signature pair in
+    // both pipelines — no transitive-chain asymmetry — and incremental
+    // must reproduce batch exactly.
+    val rnd = new scala.util.Random(31)
+    // random 10-char words: cross-group CHAR-shingle overlap ~0 (a
+    // patterned vocab like "g3w17" shares shingles across groups and
+    // reintroduces chains)
+    def rw() = (0 until 10).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val texts = scala.collection.mutable.ArrayBuffer[String]()
+    for (_ <- 0 until 20) {
+      val ws = Vector.fill(30)(rw())
+      val base = ws.mkString(" ")
+      val variant = (ws.dropRight(3) ++ Vector.fill(3)(rw())).mkString(" ")
+      for (_ <- 0 to rnd.nextInt(2)) texts += base
+      for (_ <- 0 until rnd.nextInt(3)) texts += variant
+    }
+    val all = rnd.shuffle(texts.toVector).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val split = texts.length / 2
+    val day1 = all.filter(col("doc_id") < split)
+    val day2 = all.filter(col("doc_id") >= split)
+
+    val batch = Dedup.nearDupKeep(Dedup.exactKeep(all),
+        numHashes = 32, rowsPerBand = 4, k = 5, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+
+    // day 1: dedup, persist BOTH indexes through parquet (the digest
+    // index covers the whole day-1 stream — dropped near-dups included —
+    // so a day-2 exact copy of a dropped body still screens out; the
+    // signature index covers day-1 SURVIVORS, the only docs a novel
+    // day-2 body can legitimately near-dup against)
+    val d1kept = Dedup.nearDupKeep(Dedup.exactKeep(day1),
+      numHashes = 32, rowsPerBand = 4, k = 5, threshold = 0.5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    Dedup.exactIndex(day1).write.parquet(s"$dir/exact")
+    Dedup.minhashIndex(d1kept, numHashes = 32, rowsPerBand = 4, k = 5)
+      .write.parquet(s"$dir/minhash")
+    val exactIdx = spark.read.parquet(s"$dir/exact")
+    val mhIdx = spark.read.parquet(s"$dir/minhash")
+
+    // day 2: digest screen → within-shard dedup → signature screen
+    val d2exact = Dedup.exactKeepAgainst(exactIdx, day2)
+    val d2kept0 = Dedup.nearDupKeep(d2exact,
+      numHashes = 32, rowsPerBand = 4, k = 5, threshold = 0.5)
+    val d2kept = d2kept0.join(
+      Dedup.minhashCandidatesAgainst(mhIdx, d2kept0, numHashes = 32,
+        rowsPerBand = 4, k = 5, threshold = 0.5)
+        .select(col("incoming_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "anti")
+
+    val incremental = d1kept.select("doc_id").as[Long].collect().toSet ++
+      d2kept.select("doc_id").as[Long].collect().toSet
+    assert(incremental == batch,
+      s"incremental-only=${incremental -- batch} batch-only=${batch -- incremental}")
+    assert(batch.size < texts.length) // the corpus actually had dups
+
+    // index update closes the loop: after folding day-2 digests in,
+    // re-screening the same shard drops every row
+    val exactIdx2 = exactIdx.union(Dedup.exactIndex(day2)).distinct()
+    assert(Dedup.exactKeepAgainst(exactIdx2, day2).count() == 0)
+  }
+
   test("exactKeepAgainst: indexed bodies dropped, shard dups collapse to min id") {
     val old = Seq((0L, "body A"), (1L, "body B")).toDF("doc_id", "text")
     val idx = Dedup.exactIndex(old)
