@@ -1603,6 +1603,9 @@ object Oracles {
     "q90_perplexity_score" -> q90PerplexityScore,
     "q91_ccnet_sample" -> q91CcnetSample,
     "q92_dedup_incremental" -> q92DedupIncremental,
+    // q109 = q102's relational semantics through the bloom-screened
+    // engine path: one oracle, two independent engine formulations
+    "q109_bloom_incremental" -> q102ExactIncremental,
     "q93_duplicate_spans" -> q93DuplicateSpans,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,

@@ -607,6 +607,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- north star: bloom-screened incremental exact dedup ----
+    // Same relational semantics as q102 through a different engine path
+    // (broadcast bloom rules digests out map-side; maybes confirm
+    // against the real index) — the established cross-validation
+    // pattern: one oracle, two independent formulations must agree
+    "q109_bloom_incremental" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val idx = Dedup.exactIndex(d.filter(col("doc_id") < 400))
+      Dedup.exactKeepAgainstBloom(
+          Dedup.bloomIndex(idx), idx, d.filter(col("doc_id") >= 400))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // ---- north star: mixture rebalance to target source weights ----
     // src0:5 src1:3 src2:2 src3:1 (others dropped), seed 7 — counts →
     // max feasible total → integer thresholds → md5 keep rule

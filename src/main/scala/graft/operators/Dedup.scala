@@ -128,6 +128,76 @@ object Dedup {
     incoming.join(keep, Seq(idCol), "semi")
   }
 
+  /** Bloom filter over a digest `index` ([[exactIndex]] output) — the
+    * broadcastable screen for [[exactKeepAgainstBloom]]. At 10⁹ indexed
+    * digests and 1% fpp the filter is ~1.2 GB where the parquet index
+    * is ~16 GB and the anti-join shuffles every incoming digest; the
+    * bloom rides a broadcast and answers "definitely novel" map-side.
+    * Sized from `expectedItems` (≤ 0 → one count of the index);
+    * `spark.graft.bloom.maxBytes` (default 268435456 = 256 MB) refuses
+    * a filter too big to broadcast rather than silently OOMing the
+    * driver — shard the index (one bloom per digest prefix) past that.
+    */
+  def bloomIndex(index: DataFrame, expectedItems: Long = -1L,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    require(fpp > 0 && fpp < 1, s"fpp $fpp not in (0,1)")
+    val n = if (expectedItems > 0) expectedItems else index.count()
+    require(n > 0, "bloomIndex over an empty index")
+    val bits = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val maxBytes = index.sparkSession.conf
+      .get("spark.graft.bloom.maxBytes", (256L * 1024 * 1024).toString).toLong
+    require(bits / 8 <= maxBytes,
+      s"bloom for $n items at fpp=$fpp needs ~${bits / 8} bytes > " +
+        s"spark.graft.bloom.maxBytes=$maxBytes — shard the index instead")
+    index.stat.bloomFilter("digest", n, fpp)
+  }
+
+  /** Save/load a [[bloomIndex]] sidecar (Hadoop FS, any Spark-reachable
+    * scheme) — the persistence shape of the other index artifacts.
+    */
+  def saveBloom(spark: org.apache.spark.sql.SparkSession,
+      bloom: org.apache.spark.util.sketch.BloomFilter, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try bloom.writeTo(out) finally out.close()
+  }
+
+  def loadBloom(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.util.sketch.BloomFilter = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+  }
+
+  /** [[exactKeepAgainst]] with a bloom pre-screen — identical output
+    * (the bloom has no false negatives, and every "maybe" is confirmed
+    * against the real index), different cost shape: incoming digests
+    * that the broadcast bloom rules out never reach the anti-join, so
+    * the shuffle carries only true duplicates + fpp of the novel rows.
+    * For the daily-ingest steady state (mostly-novel shards against a
+    * huge accumulated index) that turns a full-shard digest shuffle
+    * into a ~1% one; the within-shard per-digest min keep is unchanged.
+    */
+  def exactKeepAgainstBloom(bloom: org.apache.spark.util.sketch.BloomFilter,
+      index: DataFrame, incoming: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val mightU = udf((d: String) => bc.value.mightContainString(d))
+    val dig = incoming
+      .withColumn("_digest", md5(coalesce(col(textCol), lit(""))))
+      .withColumn("_maybe", mightU(col("_digest")))
+    val sureNovel = dig.filter(!col("_maybe"))
+    val confirmedNovel = dig.filter(col("_maybe"))
+      .join(index.select(col("digest").as("_digest")), Seq("_digest"), "anti")
+      .select(sureNovel.columns.map(col): _*)
+    val keep = sureNovel.unionByName(confirmedNovel)
+      .groupBy("_digest").agg(min(idCol).as(idCol))
+      .select(idCol)
+    incoming.join(keep, Seq(idCol), "semi")
+  }
+
   /** Skew guard shared by every banded self-join (MinHash, SimHash,
     * embedding LSH): drop buckets larger than `maxBucket` rows before the
     * within-bucket pair join, otherwise one degenerate bucket (empty or

@@ -1500,6 +1500,44 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.exactKeepAgainst(exactIdx2, day2).count() == 0)
   }
 
+  test("bloom-screened incremental dedup == plain anti-join, incl. persistence") {
+    val rnd = new scala.util.Random(41)
+    // seeded corpus with planted cross-day and within-shard dups
+    val bodies = Vector.fill(60)(Vector.fill(20)(
+      (0 until 8).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString).mkString(" "))
+    val day1 = (0 until 80).map(i => (i.toLong, bodies(rnd.nextInt(60))))
+      .toDF("doc_id", "text")
+    val day2 = (100 until 200).map(i => (i.toLong, bodies(rnd.nextInt(60))))
+      .toDF("doc_id", "text")
+    val idx = Dedup.exactIndex(day1)
+    val plain = Dedup.exactKeepAgainst(idx, day2)
+      .select("doc_id").as[Long].collect().toSet
+    // a DELIBERATELY saturated bloom (fpp 0.5): many false positives,
+    // every one of which the confirm join must reject — equality cannot
+    // come from the bloom being accidentally perfect
+    for (fpp <- Seq(0.5, 0.01)) {
+      val viaBloom = Dedup.exactKeepAgainstBloom(
+          Dedup.bloomIndex(idx, fpp = fpp), idx, day2)
+        .select("doc_id").as[Long].collect().toSet
+      assert(viaBloom == plain, s"fpp=$fpp")
+    }
+    // persistence roundtrip (the sidecar deployment shape)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    Dedup.saveBloom(spark, Dedup.bloomIndex(idx), s"$dir/idx.bloom")
+    val loaded = Dedup.loadBloom(spark, s"$dir/idx.bloom")
+    val viaLoaded = Dedup.exactKeepAgainstBloom(loaded, idx, day2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaLoaded == plain)
+    // no false negatives: every indexed digest answers maybe
+    val digests = idx.as[String].collect()
+    assert(digests.forall(loaded.mightContainString))
+    // a filter too big to broadcast is refused up front
+    spark.conf.set("spark.graft.bloom.maxBytes", "8")
+    try intercept[IllegalArgumentException] {
+      Dedup.bloomIndex(idx)
+    } finally spark.conf.unset("spark.graft.bloom.maxBytes")
+  }
+
   test("exactKeepAgainst: indexed bodies dropped, shard dups collapse to min id") {
     val old = Seq((0L, "body A"), (1L, "body B")).toDF("doc_id", "text")
     val idx = Dedup.exactIndex(old)
@@ -1584,5 +1622,31 @@ class OperatorsSpec extends SparkSpec {
       Dedup.rebalanceMixture(df, "source",
         Map("a" -> 1L, "b" -> 1L, "c" -> 1L), seed = 7).count()
     } finally spark.conf.unset("spark.graft.mixture.maxKeys")
+  }
+
+  test("rebalanceMixture: token-count-scale weights do not overflow the threshold") {
+    // weights in the billions (token-count style): counts(k)·W would
+    // overflow Long (~150 · 7e9 · … fine here, but 1e18-scale weights
+    // wouldn't be) — the BigInt threshold path must keep ratios exact.
+    // equal giant weights ≡ equal unit weights, row for row.
+    val rows = (0 until 100).map(i => (i.toLong, "a")) ++
+      (100 until 150).map(i => (i.toLong, "b"))
+    val df = rows.toDF("doc_id", "source")
+    val giant = Dedup.rebalanceMixture(df, "source",
+      Map("a" -> 4000000000000000000L, "b" -> 4000000000000000000L), seed = 7)
+      .select("doc_id").as[Long].collect().toSet
+    val unit = Dedup.rebalanceMixture(df, "source",
+      Map("a" -> 1L, "b" -> 1L), seed = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(giant == unit)
+    // asymmetric giant weights: the minority-weighted source still caps
+    // the total (no upsampling) and nothing goes negative/empty
+    val skewed = Dedup.rebalanceMixture(df, "source",
+      Map("a" -> 3000000000000000000L, "b" -> 1000000000000000000L), seed = 7)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // W=4e18, T = min(⌊100·4/3⌋, 50·4/1) = 133 → thr_a = 399/400 ≈ 1.0,
+    // thr_b = 133/200 = 0.665 — sane fractions, not overflow garbage
+    assert(skewed("a") >= 95L)
+    assert(skewed("b") > 15L && skewed("b") < 50L)
   }
 }
