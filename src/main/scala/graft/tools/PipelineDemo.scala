@@ -141,9 +141,14 @@ object PipelineDemo {
         .withColumn("text",
           when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
             .otherwise(concat(col("text"), lit(" day2 edit"))))
+      Dedup.saveBloom(spark,
+        Dedup.bloomIndex(Dedup.exactIndex(exact)), s"$idxDir/exact.bloom")
       val exactIdx = spark.read.parquet(s"$idxDir/exact")
       val mhIdx = spark.read.parquet(s"$idxDir/minhash")
-      val d2exact = Dedup.exactKeepAgainst(exactIdx, day2)
+      // bloom pre-screen (loaded from its sidecar): digests the filter
+      // rules out never reach the anti-join — output ≡ exactKeepAgainst
+      val d2exact = Dedup.exactKeepAgainstBloom(
+        Dedup.loadBloom(spark, s"$idxDir/exact.bloom"), exactIdx, day2)
       stage("day2 exact screen", d2exact.count())
       val d2kept0 = Dedup.nearDupKeep(d2exact, numHashes = 32,
         rowsPerBand = 4, k = 5, threshold = 0.5)
