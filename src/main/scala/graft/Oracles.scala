@@ -1507,6 +1507,37 @@ object Oracles {
        |  COALESCE(a.n_lines_kept, 0)::BIGINT AS n_lines_kept
        |FROM l LEFT JOIN agg a USING (doc_id) ORDER BY l.doc_id""".stripMargin
 
+  /** q110: `TextAnalysis.removeBoilerplateLines` — corpus-level
+    * boilerplate removal over a deterministic multi-line view of the
+    * corpus (shared NAV header + per-source footer around each body):
+    * lines in ≥ 2 distinct docs are dropped EVERYWHERE (first
+    * occurrence included), bodies survive; the engine's digest-keyed
+    * count + map-side rebuild must equal this direct relational
+    * formulation.
+    */
+  def q110BoilerplateLines: String =
+    s"""WITH
+       |  d AS (SELECT doc_id,
+       |      concat_ws(chr(10), 'NAV', text, 'footer ' || source) AS text
+       |    FROM documents),
+       |  l AS (SELECT doc_id,
+       |      regexp_split_to_array(COALESCE(text, ''), '\\r?\\n') AS ls
+       |    FROM d),
+       |  p AS (SELECT doc_id, ls, unnest(range(len(ls))) AS pos FROM l),
+       |  lines AS (SELECT doc_id, pos, ls[pos + 1] AS line FROM p),
+       |  hot AS (SELECT line FROM (
+       |      SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY 1)
+       |    WHERE nd >= 2),
+       |  kept AS (SELECT lines.* FROM lines ANTI JOIN hot USING (line)),
+       |  agg AS (SELECT doc_id,
+       |      string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+       |      count(*)::BIGINT AS n_lines_kept
+       |    FROM kept GROUP BY doc_id)
+       |SELECT l.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       |  len(l.ls)::BIGINT AS n_lines_in,
+       |  COALESCE(a.n_lines_kept, 0)::BIGINT AS n_lines_kept
+       |FROM l LEFT JOIN agg a USING (doc_id) ORDER BY l.doc_id""".stripMargin
+
   /** q102: `Dedup.exactKeepAgainst` — incremental EXACT dedup (the q92
     * shape for md5 digests): index = distinct digests of docs < 400,
     * incoming = docs ≥ 400; survivors are unindexed digests' min-id
@@ -1606,6 +1637,7 @@ object Oracles {
     // q109 = q102's relational semantics through the bloom-screened
     // engine path: one oracle, two independent engine formulations
     "q109_bloom_incremental" -> q102ExactIncremental,
+    "q110_boilerplate_lines" -> q110BoilerplateLines,
     "q93_duplicate_spans" -> q93DuplicateSpans,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,

@@ -597,6 +597,19 @@ object SparkEntry {
       TextAnalysis.dedupLinesWithinDoc(documents(s, dir)).orderBy("doc_id")
     }),
 
+    // ---- north star: CORPUS-level boilerplate-line removal (CCNet) ----
+    // The corpus is wrapped in a deterministic multi-line view (shared
+    // NAV header + per-source footer) so hot-line detection, everywhere-
+    // removal (first copy included), and the order-preserving map-side
+    // rebuild are all load-bearing; the oracle replays the wrap and a
+    // direct relational formulation
+    "q110_boilerplate_lines" -> ((s, dir) => {
+      val d = documents(s, dir).withColumn("text",
+        concat_ws("\n", lit("NAV"), col("text"),
+          concat(lit("footer "), col("source"))))
+      TextAnalysis.removeBoilerplateLines(d, minDocs = 2).orderBy("doc_id")
+    }),
+
     // ---- north star: incremental EXACT dedup (shard vs digest index) ----
     "q102_exact_incremental" -> ((s, dir) => {
       val d = documents(s, dir)

@@ -635,6 +635,50 @@ object TextAnalysis {
         size(col("_kept")).cast("long").as("n_lines_kept"))
   }
 
+  /** Corpus-level boilerplate-line removal (the CCNet paragraph-dedup /
+    * RefinedWeb line-correction step): a line occurring in at least
+    * `minDocs` DISTINCT documents is boilerplate (nav bars, footers,
+    * cookie banners) and is removed from EVERY document — including its
+    * first occurrence, which is what distinguishes this from the
+    * first-copy-wins segment dedup ([[graft.operators.Dedup]]). A line
+    * repeated many times WITHIN one document is NOT boilerplate here
+    * (the count is distinct-docs); [[dedupLinesWithinDoc]] handles that
+    * axis.
+    *
+    * Scale shape: lines travel as 16-byte md5 digests for the
+    * distinct-doc count (full text never shuffles); the rebuild is
+    * MAP-SIDE — each doc left-joins only its own hot-line digest set
+    * (rows ∝ boilerplate hits, not lines) and drops those lines with a
+    * row-local array filter, so the corpus's line set is never
+    * regrouped by doc.
+    *
+    * Output: (idCol, clean_text LF-joined, n_lines_in, n_lines_kept);
+    * `\r?\n` splits (the q87 CRLF discipline).
+    */
+  def removeBoilerplateLines(docs: DataFrame, minDocs: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, s"minDocs $minDocs must be >= 2 (1 would empty the corpus)")
+    val lines = docs.select(col(idCol),
+        explode(split(coalesce(col(textCol), lit("")), "\r?\n")).as("_line"))
+      .select(col(idCol), md5(col("_line")).as("_ld"))
+    val hot = lines.groupBy("_ld")
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select("_ld")
+    val hits = lines.join(hot, Seq("_ld"), "semi")
+      .groupBy(idCol).agg(collect_set(col("_ld")).as("_hot"))
+    docs
+      .join(hits, Seq(idCol), "left")
+      .withColumn("_ls", split(coalesce(col(textCol), lit("")), "\r?\n"))
+      .withColumn("_kept", when(col("_hot").isNull, col("_ls"))
+        .otherwise(filter(col("_ls"),
+          l => !array_contains(col("_hot"), md5(l)))))
+      .select(col(idCol),
+        array_join(col("_kept"), "\n").as("clean_text"),
+        size(col("_ls")).cast("long").as("n_lines_in"),
+        size(col("_kept")).cast("long").as("n_lines_kept"))
+  }
+
   /** One-scan corpus health report, grouped by a corpus label (source /
     * domain / shard): doc count, word and word-char totals, and how many
     * docs clear the full Gopher gate. The projection is [[gopherRules]]

@@ -1404,6 +1404,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3) == ((3L, "", 1L, 1L)))   // null text treated as empty
   }
 
+  test("removeBoilerplateLines: cross-doc lines drop everywhere, within-doc repeats stay") {
+    val d = Seq(
+      (0L, "NAV\ncontent zero\nNAV\nfooter x"),   // NAV repeated within + across
+      (1L, "NAV\ncontent one\r\nfooter x"),       // CRLF, shares NAV + footer
+      (2L, "solo only\nsolo only\nsolo only"),    // within-doc repeat ONLY → stays
+      (3L, "NAV"),                                // all-boilerplate doc → empty
+      (4L, null.asInstanceOf[String]))            // null text
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(d, minDocs = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // hot (≥2 distinct docs): "NAV" (docs 0,1,3), "footer x" (0,1),
+    // "" (3? no — doc 3 is "NAV", no empty line; doc 4 null → one "" line;
+    // only doc 4 has "" → not hot)
+    assert(out(0) == ((0L, "content zero", 4L, 1L))) // both NAVs removed
+    assert(out(1) == ((1L, "content one", 3L, 1L)))
+    assert(out(2) == ((2L, "solo only\nsolo only\nsolo only", 3L, 3L)))
+    assert(out(3) == ((3L, "", 1L, 0L)))
+    assert(out(4) == ((4L, "", 1L, 1L))) // the lone "" line is not hot
+    // minDocs = 3: the footer (2 docs) survives, NAV (3 docs) still drops
+    val loose = TextAnalysis.removeBoilerplateLines(d, minDocs = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(loose(0) == ((0L, "content zero\nfooter x", 4L, 2L)))
+    assert(loose(1) == ((1L, "content one\nfooter x", 3L, 2L)))
+  }
+
   test("dedupLinesWithinDoc: kernel path agrees with the fold; pathological doc is linear") {
     // seeded corpora through BOTH per-row paths: expression fold
     // (threshold above every doc) vs hash-set kernel (threshold 0)
