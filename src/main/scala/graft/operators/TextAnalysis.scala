@@ -646,11 +646,19 @@ object TextAnalysis {
     * axis.
     *
     * Scale shape: lines travel as 16-byte md5 digests for the
-    * distinct-doc count (full text never shuffles); the rebuild is
-    * MAP-SIDE — each doc left-joins only its own hot-line digest set
-    * (rows ∝ boilerplate hits, not lines) and drops those lines with a
-    * row-local array filter, so the corpus's line set is never
-    * regrouped by doc.
+    * distinct-doc count (full text never shuffles into the count). The
+    * rebuild has two paths with identical output:
+    *
+    *  - the hot LEXICON is usually tiny even when hot HITS are huge
+    *    (one footer shared by 10⁹ docs is one digest), so when it fits
+    *    `spark.graft.boilerplate.broadcastHotMax` (default 1 000 000
+    *    digests, checked with a bounded count) the digest set
+    *    broadcasts and each doc drops its hot lines row-locally — the
+    *    corpus is NEVER shuffled;
+    *  - past the cap, hot hits regroup per doc (rows ∝ hits) and the
+    *    corpus joins them on the id — one corpus hash-partition, the
+    *    unavoidable exact fallback for a boilerplate lexicon too big
+    *    to broadcast.
     *
     * Output: (idCol, clean_text LF-joined, n_lines_in, n_lines_kept);
     * `\r?\n` splits (the q87 CRLF discipline).
@@ -658,6 +666,8 @@ object TextAnalysis {
   def removeBoilerplateLines(docs: DataFrame, minDocs: Long = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minDocs >= 2, s"minDocs $minDocs must be >= 2 (1 would empty the corpus)")
+    val broadcastMax = docs.sparkSession.conf
+      .get("spark.graft.boilerplate.broadcastHotMax", "1000000").toLong
     val lines = docs.select(col(idCol),
         explode(split(coalesce(col(textCol), lit("")), "\r?\n")).as("_line"))
       .select(col(idCol), md5(col("_line")).as("_ld"))
@@ -665,18 +675,37 @@ object TextAnalysis {
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= minDocs)
       .select("_ld")
-    val hits = lines.join(hot, Seq("_ld"), "semi")
-      .groupBy(idCol).agg(collect_set(col("_ld")).as("_hot"))
-    docs
-      .join(hits, Seq(idCol), "left")
-      .withColumn("_ls", split(coalesce(col(textCol), lit("")), "\r?\n"))
-      .withColumn("_kept", when(col("_hot").isNull, col("_ls"))
-        .otherwise(filter(col("_ls"),
-          l => !array_contains(col("_hot"), md5(l)))))
-      .select(col(idCol),
-        array_join(col("_kept"), "\n").as("clean_text"),
-        size(col("_ls")).cast("long").as("n_lines_in"),
-        size(col("_kept")).cast("long").as("n_lines_kept"))
+    val splitCol = split(coalesce(col(textCol), lit("")), "\r?\n")
+    val hotCount = hot.limit((broadcastMax + 1).toInt).count()
+    val withKept =
+      if (hotCount <= broadcastMax) {
+        // broadcast path: hot digests ride a broadcast, the filter is a
+        // row-local kernel — zero shuffle touches the corpus
+        val bc = docs.sparkSession.sparkContext
+          .broadcast(hot.as(org.apache.spark.sql.Encoders.STRING).collect().toSet)
+        val keepU = udf { (ls: Seq[String]) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          ls.filterNot { l =>
+            md.reset()
+            val hex = md.digest(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
+            bc.value.contains(hex)
+          }
+        }
+        docs.withColumn("_ls", splitCol).withColumn("_kept", keepU(col("_ls")))
+      } else {
+        val hits = lines.join(hot, Seq("_ld"), "semi")
+          .groupBy(idCol).agg(collect_set(col("_ld")).as("_hot"))
+        docs.join(hits, Seq(idCol), "left")
+          .withColumn("_ls", splitCol)
+          .withColumn("_kept", when(col("_hot").isNull, col("_ls"))
+            .otherwise(filter(col("_ls"),
+              l => !array_contains(col("_hot"), md5(l)))))
+      }
+    withKept.select(col(idCol),
+      array_join(col("_kept"), "\n").as("clean_text"),
+      size(col("_ls")).cast("long").as("n_lines_in"),
+      size(col("_kept")).cast("long").as("n_lines_kept"))
   }
 
   /** One-scan corpus health report, grouped by a corpus label (source /

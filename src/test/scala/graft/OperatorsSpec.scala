@@ -1427,6 +1427,14 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().sortBy(_._1)
     assert(loose(0) == ((0L, "content zero\nfooter x", 4L, 2L)))
     assert(loose(1) == ((1L, "content one\nfooter x", 3L, 2L)))
+    // the hot-lexicon-too-big fallback (per-doc hits join) must agree
+    // with the default broadcast path row for row
+    spark.conf.set("spark.graft.boilerplate.broadcastHotMax", "0")
+    try {
+      val viaJoin = TextAnalysis.removeBoilerplateLines(d, minDocs = 2)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      assert(viaJoin.toSeq == out.toSeq)
+    } finally spark.conf.unset("spark.graft.boilerplate.broadcastHotMax")
   }
 
   test("dedupLinesWithinDoc: kernel path agrees with the fold; pathological doc is linear") {
