@@ -1538,6 +1538,44 @@ object Oracles {
        |  COALESCE(a.n_lines_kept, 0)::BIGINT AS n_lines_kept
        |FROM l LEFT JOIN agg a USING (doc_id) ORDER BY l.doc_id""".stripMargin
 
+  /** q111: `Dedup.urlKeep` ∘ `TextAnalysis.urlNormalize` — URL-level
+    * dedup over the deterministic four-variant URL view; the oracle
+    * replays every normalization step (scheme strip, fragment strip,
+    * first-`?` split, host lowercase + www strip, trailing-slash strip,
+    * tracking-param drop + sort) and keeps the min doc per canonical.
+    */
+  def q111UrlDedup: String =
+    s"""WITH
+       |  d AS (SELECT doc_id, source,
+       |      (CASE doc_id % 4 WHEN 0 THEN 'https://www.' WHEN 1 THEN 'HTTP://'
+       |            WHEN 2 THEN 'https://' ELSE 'http://www.' END)
+       |      || 'site' || ((doc_id // 4) % 7) || '.test/Docs/' || (doc_id // 4)
+       |      || (CASE doc_id % 4 WHEN 0 THEN '/' WHEN 1 THEN '?utm_source=x&b=2&a=1'
+       |            WHEN 2 THEN '?a=1&b=2#frag' ELSE '?b=2&utm_campaign=z&a=1' END) AS url
+       |    FROM documents),
+       |  n1 AS (SELECT doc_id, source,
+       |      regexp_replace(regexp_replace(url, '(?i)^[a-z][a-z0-9+.-]*://', ''),
+       |        '#.*$$', '') AS s FROM d),
+       |  n2 AS (SELECT doc_id, source, s, position('?' IN s) AS qp FROM n1),
+       |  n3 AS (SELECT doc_id, source,
+       |      CASE WHEN qp > 0 THEN substr(s, 1, qp - 1) ELSE s END AS base,
+       |      CASE WHEN qp > 0 THEN substr(s, qp + 1) ELSE '' END AS query FROM n2),
+       |  n4 AS (SELECT doc_id, source, base, query, position('/' IN base) AS sp FROM n3),
+       |  n5 AS (SELECT doc_id, source,
+       |      regexp_replace(lower(CASE WHEN sp > 0 THEN substr(base, 1, sp - 1) ELSE base END),
+       |        '^www\\.', '') AS host,
+       |      regexp_replace(CASE WHEN sp > 0 THEN substr(base, sp) ELSE '' END,
+       |        '/+$$', '') AS path,
+       |      list_sort(list_filter(string_split(query, '&'),
+       |        p -> NOT regexp_matches(p, '^(utm_|fbclid(=|$$))') AND p <> '')) AS ps
+       |    FROM n4),
+       |  norm AS (SELECT doc_id, source, host || path ||
+       |      (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END) AS url_norm
+       |    FROM n5),
+       |  keep AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY url_norm)
+       |SELECT n.doc_id, n.source, n.url_norm FROM norm n
+       |JOIN keep USING (doc_id) ORDER BY n.doc_id""".stripMargin
+
   /** q102: `Dedup.exactKeepAgainst` — incremental EXACT dedup (the q92
     * shape for md5 digests): index = distinct digests of docs < 400,
     * incoming = docs ≥ 400; survivors are unindexed digests' min-id
@@ -1638,6 +1676,7 @@ object Oracles {
     // engine path: one oracle, two independent engine formulations
     "q109_bloom_incremental" -> q102ExactIncremental,
     "q110_boilerplate_lines" -> q110BoilerplateLines,
+    "q111_url_dedup" -> q111UrlDedup,
     "q93_duplicate_spans" -> q93DuplicateSpans,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,

@@ -597,6 +597,28 @@ object SparkEntry {
       TextAnalysis.dedupLinesWithinDoc(documents(s, dir)).orderBy("doc_id")
     }),
 
+    // ---- north star: URL-level dedup (C4's first pass) ----
+    // Deterministic synthetic URL view: four scheme/www/fragment/
+    // tracking-param variants per (doc_id DIV 4) group — variant 0 has
+    // no query (its own canonical), variants 1-3 normalize identically,
+    // so every normalization step is load-bearing in the survivor set
+    "q111_url_dedup" -> ((s, dir) => {
+      val v = pmod(col("doc_id"), lit(4))
+      val g = expr("doc_id DIV 4")
+      val d = documents(s, dir).withColumn("url", concat(
+        when(v === 0, lit("https://www.")).when(v === 1, lit("HTTP://"))
+          .when(v === 2, lit("https://")).otherwise(lit("http://www.")),
+        concat(lit("site"), pmod(g, lit(7)).cast("string")),
+        lit(".test/Docs/"), g.cast("string"),
+        when(v === 0, lit("/")).when(v === 1, lit("?utm_source=x&b=2&a=1"))
+          .when(v === 2, lit("?a=1&b=2#frag"))
+          .otherwise(lit("?b=2&utm_campaign=z&a=1"))))
+      Dedup.urlKeep(d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.urlNormalize(col("url")).as("url_norm"))
+        .orderBy("doc_id")
+    }),
+
     // ---- north star: CORPUS-level boilerplate-line removal (CCNet) ----
     // The corpus is wrapped in a deterministic multi-line view (shared
     // NAV header + per-source footer) so hot-line detection, everywhere-

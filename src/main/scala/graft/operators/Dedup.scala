@@ -102,6 +102,21 @@ object Dedup {
     docs.join(keep, Seq(idCol), "semi") // semi-join: no row duplication, keep-side broadcastable when small
   }
 
+  /** URL-level dedup (C4's first pass): keep the min-id document per
+    * canonical URL ([[graft.operators.TextAnalysis.urlNormalize]]).
+    * Same cost shape as [[exactKeep]] — the groupBy shuffles normalized
+    * URL strings (or md5 them upstream for 16-byte keys), never bodies.
+    */
+  def urlKeep(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame = {
+    val keep = docs
+      .select(col(idCol),
+        graft.operators.TextAnalysis.urlNormalize(col(urlCol)).as("_u"))
+      .groupBy("_u").agg(min(idCol).as(idCol))
+      .select(idCol)
+    docs.join(keep, Seq(idCol), "semi")
+  }
+
   /** Persistable exact-dedup digest index — the exact-dedup counterpart
     * of [[minhashIndex]]: one md5 digest per distinct document body.
     * Build over the accumulated corpus, write as parquet (~16 B/doc),

@@ -708,6 +708,40 @@ object TextAnalysis {
       size(col("_kept")).cast("long").as("n_lines_kept"))
   }
 
+  /** Canonical URL normalization for URL-level dedup (the C4 /
+    * RefinedWeb first-pass dedup key) — pure expressions, map-side:
+    *
+    *  1. strip the scheme (`http://`, `HTTPS://`, any `x+y-z://`);
+    *  2. strip the `#fragment`;
+    *  3. split base / query at the FIRST `?`;
+    *  4. lowercase the HOST (path case is preserved) and strip a
+    *     leading `www.`;
+    *  5. strip trailing `/` runs from the path;
+    *  6. drop tracking params (`utm_*`, `fbclid`), sort the remainder
+    *     byte-lexicographically, rejoin with `&`.
+    *
+    * ASCII URLs normalize identically in Spark and DuckDB (the q111
+    * oracle replays every step); a query value containing a literal
+    * `?` keeps everything after the first one in the query part.
+    */
+  def urlNormalize(url: Column): Column = {
+    val noScheme = regexp_replace(url, "(?i)^[a-z][a-z0-9+.-]*://", "")
+    val noFrag = regexp_replace(noScheme, "#.*$", "")
+    val qpos = locate("?", noFrag)
+    val base = when(qpos > 0, noFrag.substr(lit(1), qpos - 1)).otherwise(noFrag)
+    val query = when(qpos > 0, noFrag.substr(qpos + 1, length(noFrag))).otherwise(lit(""))
+    val spos = locate("/", base)
+    val host0 = when(spos > 0, base.substr(lit(1), spos - 1)).otherwise(base)
+    val path0 = when(spos > 0, base.substr(spos, length(base))).otherwise(lit(""))
+    val host = regexp_replace(lower(host0), "^www\\.", "")
+    val path = regexp_replace(path0, "/+$", "")
+    val params = array_sort(filter(split(query, "&"),
+      p => !p.rlike("^(utm_|fbclid(=|$))") && p =!= ""))
+    concat(host, path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
   /** One-scan corpus health report, grouped by a corpus label (source /
     * domain / shard): doc count, word and word-char totals, and how many
     * docs clear the full Gopher gate. The projection is [[gopherRules]]

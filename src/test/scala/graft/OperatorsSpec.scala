@@ -1404,6 +1404,37 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3) == ((3L, "", 1L, 1L)))   // null text treated as empty
   }
 
+  test("urlNormalize: scheme/www/fragment/tracking/sort/trailing-slash canonicalization") {
+    val cases = Seq(
+      // scheme + www + trailing slash, any scheme case
+      ("https://www.Site.test/Docs/1/", "site.test/Docs/1"),
+      ("HTTP://site.test/Docs/1", "site.test/Docs/1"),
+      // fragment stripped; params sorted; tracking dropped
+      ("https://site.test/a?b=2&a=1#frag", "site.test/a?a=1&b=2"),
+      ("http://www.site.test/a?utm_source=x&b=2&a=1", "site.test/a?a=1&b=2"),
+      ("https://site.test/a?b=2&utm_campaign=z&a=1&fbclid=abc", "site.test/a?a=1&b=2"),
+      // empty query after tracking drop → no '?'
+      ("https://site.test/a?utm_medium=m", "site.test/a"),
+      // host lowercased, PATH case preserved
+      ("https://WWW.SITE.test/CaseSensitive", "site.test/CaseSensitive"),
+      // bare host; no path, no query
+      ("https://www.site.test/", "site.test"),
+      ("site.test/x", "site.test/x"))  // already scheme-less
+    val out = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "url")
+      .select($"i", TextAnalysis.urlNormalize($"url").as("n"))
+      .as[(Int, String)].collect().sortBy(_._1).map(_._2)
+    assert(out.toSeq == cases.map(_._2))
+    // urlKeep: min id per canonical survives
+    val docs = Seq(
+      (0L, "https://www.site.test/p?a=1"),
+      (1L, "http://site.test/p/?a=1#x"),   // same canonical as 0
+      (2L, "https://site.test/q"))
+      .toDF("doc_id", "url")
+    val kept = Dedup.urlKeep(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L))
+  }
+
   test("removeBoilerplateLines: cross-doc lines drop everywhere, within-doc repeats stay") {
     val d = Seq(
       (0L, "NAV\ncontent zero\nNAV\nfooter x"),   // NAV repeated within + across
