@@ -44,7 +44,9 @@ object Bench {
     "q90_perplexity_score", // bigram-LM scoring fold (NEW r7)
     "q94_semantic_dedup",  // SemDeDup: int-Lloyd cells + in-cell prune (NEW r7)
     "q96_gopher_rules",    // Gopher quality rules, scan-speed (NEW r7)
-    "q97_chunk_words")     // context-window chunking generator (NEW r7)
+    "q97_chunk_words",     // context-window chunking generator (NEW r7)
+    "q110_boilerplate_lines", // corpus boilerplate: digest count + broadcast rebuild (NEW r8)
+    "q111_url_dedup")      // URL canonicalization + min-id keep (NEW r8)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine
