@@ -1576,6 +1576,38 @@ object Oracles {
        |SELECT n.doc_id, n.source, n.url_norm FROM norm n
        |JOIN keep USING (doc_id) ORDER BY n.doc_id""".stripMargin
 
+  /** q112: `Dedup.capPerDomain` — registered-domain extraction (scheme
+    * strip → host → lowercase → www strip → last two dot-labels),
+    * blocklist anti join, then the q73 md5-permutation cap keyed on
+    * domain. The URL view is q111's.
+    */
+  def q112DomainCap: String =
+    s"""WITH
+       |  d AS (SELECT doc_id, source,
+       |      (CASE doc_id % 4 WHEN 0 THEN 'https://www.' WHEN 1 THEN 'HTTP://'
+       |            WHEN 2 THEN 'https://' ELSE 'http://www.' END)
+       |      || 'site' || ((doc_id // 4) % 7) || '.test/Docs/' || (doc_id // 4)
+       |      || (CASE doc_id % 4 WHEN 0 THEN '/' WHEN 1 THEN '?utm_source=x&b=2&a=1'
+       |            WHEN 2 THEN '?a=1&b=2#frag' ELSE '?b=2&utm_campaign=z&a=1' END) AS url
+       |    FROM documents),
+       |  h AS (SELECT doc_id, source,
+       |      regexp_replace(regexp_replace(url, '(?i)^[a-z][a-z0-9+.-]*://', ''),
+       |        '[#?].*$$', '') AS nq FROM d),
+       |  host AS (SELECT doc_id, source,
+       |      regexp_replace(lower(CASE WHEN position('/' IN nq) > 0
+       |          THEN substr(nq, 1, position('/' IN nq) - 1) ELSE nq END),
+       |        '^www\\.', '') AS host0 FROM h),
+       |  dom AS (SELECT doc_id, source,
+       |      regexp_extract(host0, '([^.]+\\.)?[^.]+$$') AS domain FROM host),
+       |  allowed AS (SELECT * FROM dom
+       |    WHERE domain NOT IN ('site0.test', 'site3.test')),
+       |  ranked AS (SELECT doc_id, source, domain,
+       |      row_number() OVER (PARTITION BY domain
+       |        ORDER BY md5('3#' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |    FROM allowed)
+       |SELECT doc_id, source, domain FROM ranked
+       |WHERE rk <= 10 ORDER BY doc_id""".stripMargin
+
   /** q102: `Dedup.exactKeepAgainst` — incremental EXACT dedup (the q92
     * shape for md5 digests): index = distinct digests of docs < 400,
     * incoming = docs ≥ 400; survivors are unindexed digests' min-id
@@ -1677,6 +1709,7 @@ object Oracles {
     "q109_bloom_incremental" -> q102ExactIncremental,
     "q110_boilerplate_lines" -> q110BoilerplateLines,
     "q111_url_dedup" -> q111UrlDedup,
+    "q112_domain_cap" -> q112DomainCap,
     "q93_duplicate_spans" -> q93DuplicateSpans,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,

@@ -619,6 +619,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- north star: domain blocklist + per-domain cap (RefinedWeb) ----
+    // Same four-variant URL view as q111; two of the seven synthetic
+    // domains are blocklisted, survivors capped at 10 docs/domain by the
+    // seeded md5 permutation (the q73 idiom keyed on registered domain)
+    "q112_domain_cap" -> ((s, dir) => {
+      val v = pmod(col("doc_id"), lit(4))
+      val g = expr("doc_id DIV 4")
+      val d = documents(s, dir).withColumn("url", concat(
+        when(v === 0, lit("https://www.")).when(v === 1, lit("HTTP://"))
+          .when(v === 2, lit("https://")).otherwise(lit("http://www.")),
+        concat(lit("site"), pmod(g, lit(7)).cast("string")),
+        lit(".test/Docs/"), g.cast("string"),
+        when(v === 0, lit("/")).when(v === 1, lit("?utm_source=x&b=2&a=1"))
+          .when(v === 2, lit("?a=1&b=2#frag"))
+          .otherwise(lit("?b=2&utm_campaign=z&a=1"))))
+      import s.implicits._
+      val bl = Seq("site0.test", "site3.test").toDF("domain")
+      Dedup.capPerDomain(d, bl, maxPerDomain = 10, seed = 3)
+        .select(col("doc_id"), col("source"), col("domain"))
+        .orderBy("doc_id")
+    }),
+
     // ---- north star: CORPUS-level boilerplate-line removal (CCNet) ----
     // The corpus is wrapped in a deterministic multi-line view (shared
     // NAV header + per-source footer) so hot-line detection, everywhere-

@@ -117,6 +117,36 @@ object Dedup {
     docs.join(keep, Seq(idCol), "semi")
   }
 
+  /** Domain-level curation pass (RefinedWeb §3.1): extract the
+    * registered domain ([[graft.operators.TextAnalysis.urlDomain]]),
+    * drop documents whose domain is blocklisted, then cap survivors at
+    * `maxPerDomain` docs per domain so no single site dominates the
+    * mixture — the [[capPerKey]] md5-permutation idiom, keyed on domain.
+    * Output: the surviving rows plus a `domain` column.
+    *
+    * Scale shape: domain extraction is map-side; the blocklist (even
+    * RefinedWeb's 4.6M-domain list is ~100 MB) broadcasts into a
+    * map-side anti join; the only shuffle is the per-domain cap window,
+    * partitioned by domain — no global funnel. A pathologically hot
+    * domain concentrates its rows in one task; at 100 TB pre-aggregate
+    * `count per domain` and route only domains over the cap through the
+    * window (same two-path idea as `removeBoilerplateLines`).
+    */
+  def capPerDomain(docs: DataFrame, blocklist: DataFrame, maxPerDomain: Int,
+      urlCol: String = "url", idCol: String = "doc_id", seed: Long = 0): DataFrame = {
+    require(maxPerDomain > 0, s"maxPerDomain $maxPerDomain must be > 0")
+    val bl = blocklist.select(col(blocklist.columns.head).as("domain")).distinct()
+    val withDomain = docs.withColumn("domain",
+      graft.operators.TextAnalysis.urlDomain(col(urlCol)))
+    val allowed = withDomain.join(broadcast(bl), Seq("domain"), "anti")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")
+      .orderBy(md5(concat_ws("#", lit(seed), col(idCol).cast("string"))),
+        col(idCol))
+    allowed.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxPerDomain)
+      .drop("_rk")
+  }
+
   /** Persistable exact-dedup digest index — the exact-dedup counterpart
     * of [[minhashIndex]]: one md5 digest per distinct document body.
     * Build over the accumulated corpus, write as parquet (~16 B/doc),

@@ -742,6 +742,25 @@ object TextAnalysis {
         .otherwise(lit("")))
   }
 
+  /** Registered-domain heuristic for domain-level curation (RefinedWeb's
+    * blocklist filter / per-domain cap key): scheme strip → host = up to
+    * the first `/` → lowercase → strip leading `www.` → last two
+    * dot-labels (`news.example.test` → `example.test`; a single-label
+    * host is returned whole). Pure expressions, map-side. A real
+    * pipeline substitutes a public-suffix list for the last-two-labels
+    * heuristic (`co.uk` etc.); the heuristic is documented and
+    * oracle-replayed — the plumbing, not the suffix table, is the
+    * operator.
+    */
+  def urlDomain(url: Column): Column = {
+    val noScheme = regexp_replace(url, "(?i)^[a-z][a-z0-9+.-]*://", "")
+    val noQuery = regexp_replace(noScheme, "[#?].*$", "")
+    val spos = locate("/", noQuery)
+    val host0 = when(spos > 0, noQuery.substr(lit(1), spos - 1)).otherwise(noQuery)
+    val host = regexp_replace(lower(host0), "^www\\.", "")
+    regexp_extract(host, "([^.]+\\.)?[^.]+$", 0)
+  }
+
   /** One-scan corpus health report, grouped by a corpus label (source /
     * domain / shard): doc count, word and word-char totals, and how many
     * docs clear the full Gopher gate. The projection is [[gopherRules]]

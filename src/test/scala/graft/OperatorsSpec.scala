@@ -1435,6 +1435,35 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(0L, 2L))
   }
 
+  test("urlDomain + capPerDomain: registered-domain heuristic, blocklist, per-domain cap") {
+    val cases = Seq(
+      ("https://news.example.test/a/b", "example.test"), // subdomain collapses
+      ("HTTP://www.Example.test", "example.test"),       // scheme case + www + host case
+      ("https://site.test?a=1", "site.test"),            // query, no path
+      ("https://site.test#frag", "site.test"),           // fragment, no path
+      ("localhost/x", "localhost"),                      // single-label host
+      ("a.b.c.d.test/p", "d.test"))                      // deep subdomains → last two
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "url")
+      .select($"i", TextAnalysis.urlDomain($"url").as("d"))
+      .as[(Int, String)].collect().sortBy(_._1).map(_._2)
+    assert(got.toSeq == cases.map(_._2))
+    // capPerDomain: blocked domain vanishes; survivors capped at 2/domain;
+    // the kept set is seed-deterministic across runs
+    val docs = (0L until 12L).map { i =>
+      (i, s"https://www.site${i % 3}.test/p/$i")
+    }.toDF("doc_id", "url")
+    val bl = Seq("site2.test").toDF("domain")
+    val out = Dedup.capPerDomain(docs, bl, maxPerDomain = 2, seed = 7)
+      .select($"domain", $"doc_id").as[(String, Long)].collect()
+    assert(!out.exists(_._1 == "site2.test"))
+    assert(out.groupBy(_._1).forall(_._2.length == 2))
+    assert(out.map(_._1).toSet == Set("site0.test", "site1.test"))
+    val again = Dedup.capPerDomain(docs, bl, maxPerDomain = 2, seed = 7)
+      .select($"domain", $"doc_id").as[(String, Long)].collect()
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("removeBoilerplateLines: cross-doc lines drop everywhere, within-doc repeats stay") {
     val d = Seq(
       (0L, "NAV\ncontent zero\nNAV\nfooter x"),   // NAV repeated within + across
