@@ -1576,6 +1576,56 @@ object Oracles {
        |SELECT n.doc_id, n.source, n.url_norm FROM norm n
        |JOIN keep USING (doc_id) ORDER BY n.doc_id""".stripMargin
 
+  /** q113: `Bpe.train` — the Sennrich BPE training loop, every iteration
+    * replayed as a generated CTE block. The engine fuses pairs with a
+    * greedy left-to-right fold; the relational equivalent is the
+    * parity-run rule — within each maximal run of consecutive candidate
+    * positions, even offsets are taken (a candidate at i+1 after a take
+    * at i can only exist when the symbols chain, and the fold's fused
+    * symbol is strictly longer than lhs, so both formulations consume
+    * (i, i+1) and rescan from i+2). `cnt` sums cast to BIGINT (DuckDB
+    * SUM(BIGINT) is HUGEINT); tie-break (pc DESC, l, r) is binary-order
+    * identical cross-engine on the ASCII `words()` alphabet.
+    */
+  def q113BpeTrain: String = {
+    val nMerges = 8
+    val iter = (0 until nMerges).map { k =>
+      s"""  pairs$k AS (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |      i -> {'l': syms[i], 'r': syms[i+1]})) AS g
+         |    FROM w$k WHERE len(syms) >= 2),
+         |  best$k AS (SELECT g.l AS l, g.r AS r, CAST(SUM(cnt) AS BIGINT) AS pc
+         |    FROM pairs$k GROUP BY 1, 2
+         |    ORDER BY pc DESC, l, r LIMIT 1),
+         |  e$k AS (SELECT wid, cnt, syms, unnest(range(1, len(syms) + 1)) AS i FROM w$k),
+         |  c$k AS (SELECT e.wid, e.cnt, e.i, e.syms[e.i] AS s,
+         |      (e.i < len(e.syms) AND e.syms[e.i] = b.l AND e.syms[e.i + 1] = b.r) AS cand,
+         |      b.l || b.r AS m
+         |    FROM e$k e CROSS JOIN best$k b),
+         |  r$k AS (SELECT *, i - row_number() OVER (PARTITION BY wid, cand ORDER BY i) AS grp
+         |    FROM c$k),
+         |  t$k AS (SELECT *, cand AND ((i - min(i) OVER (PARTITION BY wid, cand, grp)) % 2 = 0) AS taken
+         |    FROM r$k),
+         |  f$k AS (SELECT *, coalesce(lag(taken) OVER (PARTITION BY wid ORDER BY i), FALSE) AS consumed
+         |    FROM t$k),
+         |  w${k + 1} AS (SELECT wid, min(cnt) AS cnt,
+         |      list(CASE WHEN taken THEN m ELSE s END ORDER BY i) AS syms
+         |    FROM f$k WHERE NOT consumed GROUP BY wid)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until nMerges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, pc AS pair_count FROM best$k"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH
+       |  w0 AS (SELECT w AS wid, CAST(COUNT(*) AS BIGINT) AS cnt, string_split(w, '') AS syms
+       |    FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |            x -> length(x) > 0)) AS w
+       |          FROM documents)
+       |    GROUP BY w),
+       |$iter
+       |SELECT * FROM (
+       |  $union)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** q112: `Dedup.capPerDomain` — registered-domain extraction (scheme
     * strip → host → lowercase → www strip → last two dot-labels),
     * blocklist anti join, then the q73 md5-permutation cap keyed on
@@ -1710,6 +1760,7 @@ object Oracles {
     "q110_boilerplate_lines" -> q110BoilerplateLines,
     "q111_url_dedup" -> q111UrlDedup,
     "q112_domain_cap" -> q112DomainCap,
+    "q113_bpe_train" -> q113BpeTrain,
     "q93_duplicate_spans" -> q93DuplicateSpans,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,

@@ -446,6 +446,21 @@ object SparkEntry {
     // graft.functions.Bpe: GPT-2-style merge walk over the built-in demo
     // merges table (deployments load merges.txt via Bpe.loadMerges); the
     // oracle replays the walk in recursive SQL (Oracles.q88BpeTokens)
+    // ---- north star: BPE TRAINING (Sennrich 2016) — learn merges ----
+    // The full train side of the q88/q108 tokenize loop: word-frequency
+    // dictionary (one corpus shuffle), then 8 iterations of weighted
+    // pair count → deterministic argmax → greedy left-to-right fuse,
+    // all on the vocab table. The oracle replays every iteration as a
+    // generated CTE chain (parity-run islands ≡ the engine's left fold)
+    "q113_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Bpe
+      Bpe.train(documents(s, dir), nMerges = 8).zipWithIndex
+        .map { case ((l, r, pc), k) => (k.toLong, l, r, pc) }
+        .toDF("merge_rank", "lhs", "rhs", "pair_count")
+        .orderBy("merge_rank")
+    }),
+
     "q88_bpe_tokens" -> ((s, dir) => {
       import graft.functions.Bpe
       documents(s, dir)

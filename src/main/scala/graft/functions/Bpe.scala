@@ -50,6 +50,78 @@ object Bpe {
   /** Merge ranks: pair → rank (lower merges first). */
   type Rank = Map[(String, String), Int]
 
+  /** BPE TRAINING (Sennrich et al. 2016, arXiv:1508.07909 §3.2 — the
+    * word-dictionary variant): learn `nMerges` merge rules from a
+    * corpus. One corpus-sized shuffle builds the word-frequency
+    * dictionary; every iteration after that runs on the dictionary
+    * (cardinality = vocabulary, orders of magnitude below the corpus):
+    * count adjacent symbol pairs weighted by word frequency
+    * (partial-aggregated groupBy), pick the most frequent pair with the
+    * deterministic tie-break (count DESC, pair ASC — byte order), fuse
+    * every non-overlapping occurrence greedily left-to-right (a pure
+    * expression fold, map-side), repeat. Stops early when no pair
+    * reaches `minCount`.
+    *
+    * Returns the learned `(lhs, rhs, pairCount)` rules in rank order —
+    * `result.map(m => (m._1, m._2))` feeds [[tokens]] directly, closing
+    * the train → sidecar → tokenize loop with [[saveMerges]]/
+    * [[loadMerges]].
+    *
+    * Scale: per-iteration cost is one vocab-sized aggregation + a
+    * top-1 TakeOrdered collect (bounded), with the rewritten dictionary
+    * `localCheckpoint`ed so plans don't nest across iterations. The
+    * published 30k–50k-merge trainings prune the dictionary first
+    * (drop hapax words) and run the in-memory pair-delta algorithm on
+    * the pruned table; this operator is the exact published recipe,
+    * practical for the `nMerges` a pipeline derives thresholds or demo
+    * vocabularies from, and the pruning knob is the caller's `docs`
+    * filter.
+    */
+  def train(docs: org.apache.spark.sql.DataFrame, nMerges: Int,
+      minCount: Long = 1, textCol: String = "text"): Seq[(String, String, Long)] = {
+    require(nMerges > 0, s"nMerges $nMerges must be > 0")
+    var vocab = docs
+      .select(explode(graft.operators.TextAnalysis.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(split(col("w"), "").as("syms"), col("cnt"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var stop = false
+    while (learned.size < nMerges && !stop) {
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minCount) stop = true
+      else {
+        val (l, r, pc) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((l, r, pc))
+        // greedy left-to-right fuse: fold the tail with init = [head];
+        // after a fuse the accumulator tail is "lr" != l (strictly
+        // longer), so overlapping matches resolve exactly as the
+        // left-to-right scan of the paper
+        val old = vocab
+        vocab = vocab.select(
+          aggregate(
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            array(element_at(col("syms"), 1)),
+            (acc, x) => when(
+              element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x)))).as("syms"),
+          col("cnt")).localCheckpoint()
+        old.unpersist()
+      }
+    }
+    learned.toSeq
+  }
+
   /** Built-in demo merge table for the driver corpus (multi-level:
     * t+h→th, th+e→the; t+a-b-l-e climbs to the full word "table"; the
     * (k,e)<(e,y) pair pins rank-order semantics). Real deployments load

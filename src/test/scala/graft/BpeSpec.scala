@@ -225,6 +225,38 @@ class BpeSpec extends SparkSpec {
     assert(viaCol.exists(_._2.nonEmpty))
   }
 
+  test("train learns the hand-computed merge sequence with weighted counts") {
+    // the×3, then×2, he×1 → pairs: (h,e)=6, (t,h)=5, (e,n)=2
+    // merge0 (h,e): the→[t,he], then→[t,he,n], he→[he]
+    // merge1 (t,he) pc=5; merge2 (the,n) pc=2
+    val docs = Seq((0L, "the the the"), (1L, "then then"), (2L, "he"))
+      .toDF("doc_id", "text")
+    val learned = Bpe.train(docs, nMerges = 3)
+    assert(learned == Seq(("h", "e", 6L), ("t", "he", 5L), ("the", "n", 2L)))
+    // early stop: after (the,n) every word is one symbol — 3 merges total
+    assert(Bpe.train(docs, nMerges = 10).size == 3)
+    // minCount gate
+    assert(Bpe.train(docs, nMerges = 10, minCount = 3).size == 2)
+  }
+
+  test("train fuses greedily left-to-right: overlapping pairs take even offsets") {
+    // "aaaa"×5: (a,a) appears 3×/word → pc=15; after the fuse each word
+    // is [aa,aa] (positions 0-1 and 2-3, never the overlapping 1-2)
+    val docs = Seq((0L, "aaaa aaaa aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val learned = Bpe.train(docs, nMerges = 2)
+    assert(learned == Seq(("a", "a", 15L), ("aa", "aa", 5L)))
+  }
+
+  test("trained merges feed tokens(): the train->tokenize loop closes") {
+    val docs = Seq((0L, "scan scan scan the scanner")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 6).map(m => (m._1, m._2))
+    val out = docs.select(Bpe.tokens($"text", merges).as("t"))
+      .as[Seq[String]].collect().head
+    // "scan" must have climbed to a single learned token
+    assert(out.contains("scan"))
+    assert(out.count(_ == "scan") == 4) // 3 bare + the "scanner" prefix
+  }
+
   test("packSequences packs by the BPE count when given the token column") {
     val docs = Seq((0L, "the table"), (1L, "window fast"), (2L, "key"))
       .toDF("doc_id", "text")
