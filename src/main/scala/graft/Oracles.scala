@@ -1363,7 +1363,9 @@ object Oracles {
   /** Shared q96/q100 WITH-fragment ending at `flags`: per-doc Gopher
     * counts and the seven integer-ratio rule flags + `pass`.
     */
-  private def gopherFlagsCtes: String = {
+  private def gopherFlagsCtes: String = gopherFlagsCtesFrom("documents")
+
+  private def gopherFlagsCtesFrom(from: String): String = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val stopHits = stops.map(s =>
       s"(CASE WHEN list_contains(ws, '$s') THEN 1 ELSE 0 END)").mkString(" + ")
@@ -1372,7 +1374,7 @@ object Oracles {
        |        w -> length(w) > 0) AS ws,
        |      regexp_split_to_array(COALESCE(text, ''), '\\r?\\n') AS ls,
        |      COALESCE(text, '') AS t
-       |    FROM documents),
+       |    FROM $from),
        |  m AS (SELECT doc_id,
        |      len(ws)::BIGINT AS n_words,
        |      COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)::BIGINT AS n_word_chars,
@@ -1576,6 +1578,66 @@ object Oracles {
        |SELECT n.doc_id, n.source, n.url_norm FROM norm n
        |JOIN keep USING (doc_id) ORDER BY n.doc_id""".stripMargin
 
+  /** q114: the composed curation pipeline — q111's URL dedup, q20's
+    * exact dedup, q96's Gopher gate, and q112's blocklist + domain cap
+    * chained into one relational program. Stage fragments are the same
+    * SQL as the individual gates; the composition order (URL → exact →
+    * quality → cap) is the published pipeline order (RefinedWeb §3).
+    */
+  def q114CurationPipeline: String =
+    s"""WITH
+       |  dwrap AS (SELECT doc_id, source,
+       |      'the of and that ' || COALESCE(text, '') AS text
+       |    FROM documents),
+       |${gopherFlagsCtesFrom("dwrap")},
+       |  d AS (SELECT doc_id, source, text,
+       |      (CASE doc_id % 4 WHEN 0 THEN 'https://www.' WHEN 1 THEN 'HTTP://'
+       |            WHEN 2 THEN 'https://' ELSE 'http://www.' END)
+       |      || 'site' || ((doc_id // 4) % 7) || '.test/Docs/' || (doc_id // 4)
+       |      || (CASE doc_id % 4 WHEN 0 THEN '/' WHEN 1 THEN '?utm_source=x&b=2&a=1'
+       |            WHEN 2 THEN '?a=1&b=2#frag' ELSE '?b=2&utm_campaign=z&a=1' END) AS url
+       |    FROM dwrap),
+       |  n1 AS (SELECT doc_id,
+       |      regexp_replace(regexp_replace(url, '(?i)^[a-z][a-z0-9+.-]*://', ''),
+       |        '#.*$$', '') AS s FROM d),
+       |  n2 AS (SELECT doc_id, s, position('?' IN s) AS qp FROM n1),
+       |  n3 AS (SELECT doc_id,
+       |      CASE WHEN qp > 0 THEN substr(s, 1, qp - 1) ELSE s END AS base,
+       |      CASE WHEN qp > 0 THEN substr(s, qp + 1) ELSE '' END AS query FROM n2),
+       |  n4 AS (SELECT doc_id, base, query, position('/' IN base) AS sp FROM n3),
+       |  n5 AS (SELECT doc_id,
+       |      regexp_replace(lower(CASE WHEN sp > 0 THEN substr(base, 1, sp - 1) ELSE base END),
+       |        '^www\\.', '') AS host,
+       |      regexp_replace(CASE WHEN sp > 0 THEN substr(base, sp) ELSE '' END,
+       |        '/+$$', '') AS path,
+       |      list_sort(list_filter(string_split(query, '&'),
+       |        p -> NOT regexp_matches(p, '^(utm_|fbclid(=|$$))') AND p <> '')) AS ps
+       |    FROM n4),
+       |  norm AS (SELECT doc_id, host || path ||
+       |      (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END) AS url_norm
+       |    FROM n5),
+       |  ukeep AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY url_norm),
+       |  usurv AS (SELECT d.* FROM d JOIN ukeep USING (doc_id)),
+       |  exk AS (SELECT min(doc_id) AS doc_id FROM usurv GROUP BY md5(text)),
+       |  gp AS (SELECT u.doc_id, u.source, u.url, fl.n_words
+       |    FROM usurv u JOIN exk USING (doc_id)
+       |    JOIN flags fl USING (doc_id) WHERE fl.pass),
+       |  h2 AS (SELECT doc_id, source, n_words,
+       |      regexp_replace(regexp_replace(url, '(?i)^[a-z][a-z0-9+.-]*://', ''),
+       |        '[#?].*$$', '') AS nq FROM gp),
+       |  dom2 AS (SELECT doc_id, source, n_words,
+       |      regexp_extract(regexp_replace(lower(CASE WHEN position('/' IN nq) > 0
+       |          THEN substr(nq, 1, position('/' IN nq) - 1) ELSE nq END),
+       |        '^www\\.', ''), '([^.]+\\.)?[^.]+$$') AS domain FROM h2),
+       |  allowed2 AS (SELECT * FROM dom2
+       |    WHERE domain NOT IN ('site0.test', 'site3.test')),
+       |  ranked2 AS (SELECT doc_id, source, domain, n_words,
+       |      row_number() OVER (PARTITION BY domain
+       |        ORDER BY md5('3#' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |    FROM allowed2)
+       |SELECT doc_id, source, domain, n_words FROM ranked2
+       |WHERE rk <= 10 ORDER BY doc_id""".stripMargin
+
   /** q113: `Bpe.train` — the Sennrich BPE training loop, every iteration
     * replayed as a generated CTE block. The engine fuses pairs with a
     * greedy left-to-right fold; the relational equivalent is the
@@ -1761,6 +1823,7 @@ object Oracles {
     "q111_url_dedup" -> q111UrlDedup,
     "q112_domain_cap" -> q112DomainCap,
     "q113_bpe_train" -> q113BpeTrain,
+    "q114_curation_pipeline" -> q114CurationPipeline,
     "q93_duplicate_spans" -> q93DuplicateSpans,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,

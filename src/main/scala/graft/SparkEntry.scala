@@ -446,6 +446,40 @@ object SparkEntry {
     // graft.functions.Bpe: GPT-2-style merge walk over the built-in demo
     // merges table (deployments load merges.txt via Bpe.loadMerges); the
     // oracle replays the walk in recursive SQL (Oracles.q88BpeTokens)
+    // ---- north star: the COMPOSED curation pipeline, gated end-to-end ----
+    // Every stage is oracle-proven alone (q111/q20/q96/q112); this gates
+    // the chain a production pipeline actually runs: URL dedup → exact
+    // dedup → Gopher filter → domain blocklist + cap. One query, one
+    // oracle, four stages — survivors + their domain and word count
+    "q114_curation_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val v = pmod(col("doc_id"), lit(4))
+      val g = expr("doc_id DIV 4")
+      // stopword preamble keeps the full published Gopher gate live on
+      // the synthetic corpus (whose text has no English stopwords —
+      // r_stop would otherwise zero the funnel); same view-wrapping
+      // idiom as q110's NAV/footer
+      val d0 = documents(s, dir)
+        .withColumn("text",
+          concat(lit("the of and that "), coalesce(col("text"), lit(""))))
+        .withColumn("url", concat(
+        when(v === 0, lit("https://www.")).when(v === 1, lit("HTTP://"))
+          .when(v === 2, lit("https://")).otherwise(lit("http://www.")),
+        concat(lit("site"), pmod(g, lit(7)).cast("string")),
+        lit(".test/Docs/"), g.cast("string"),
+        when(v === 0, lit("/")).when(v === 1, lit("?utm_source=x&b=2&a=1"))
+          .when(v === 2, lit("?a=1&b=2#frag"))
+          .otherwise(lit("?b=2&utm_campaign=z&a=1"))))
+      val afterUrl = Dedup.urlKeep(d0)
+      val afterExact = Dedup.exactKeep(afterUrl)
+      val pass = TextAnalysis.gopherRules(afterExact, carry = Seq("source", "url"))
+        .filter(col("pass"))
+      val bl = Seq("site0.test", "site3.test").toDF("domain")
+      Dedup.capPerDomain(pass, bl, maxPerDomain = 10, seed = 3)
+        .select(col("doc_id"), col("source"), col("domain"), col("n_words"))
+        .orderBy("doc_id")
+    }),
+
     // ---- north star: BPE TRAINING (Sennrich 2016) — learn merges ----
     // The full train side of the q88/q108 tokenize loop: word-frequency
     // dictionary (one corpus shuffle), then 8 iterations of weighted
