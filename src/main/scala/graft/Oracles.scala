@@ -1578,6 +1578,22 @@ object Oracles {
        |SELECT n.doc_id, n.source, n.url_norm FROM norm n
        |JOIN keep USING (doc_id) ORDER BY n.doc_id""".stripMargin
 
+  /** q115: `TrainingExport.manifest` — the seeded md5 permutation and
+    * shard split, replayed with a plain global window (the engine runs
+    * it two-phase; the q61/q107 discipline). The id digest joins each
+    * shard's ids in NUMERIC order.
+    */
+  def q115ExportManifest: String =
+    s"""WITH
+       |  ord AS (SELECT doc_id, md5('11#' || CAST(doc_id AS VARCHAR)) AS m
+       |    FROM documents),
+       |  r AS (SELECT doc_id, row_number() OVER (ORDER BY m, doc_id) AS rn
+       |    FROM ord),
+       |  s AS (SELECT doc_id, CAST((rn - 1) // 64 AS BIGINT) AS shard FROM r)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS id_digest
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+
   /** q114: the composed curation pipeline — q111's URL dedup, q20's
     * exact dedup, q96's Gopher gate, and q112's blocklist + domain cap
     * chained into one relational program. Stage fragments are the same
@@ -1824,6 +1840,7 @@ object Oracles {
     "q112_domain_cap" -> q112DomainCap,
     "q113_bpe_train" -> q113BpeTrain,
     "q114_curation_pipeline" -> q114CurationPipeline,
+    "q115_export_manifest" -> q115ExportManifest,
     "q93_duplicate_spans" -> q93DuplicateSpans,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,

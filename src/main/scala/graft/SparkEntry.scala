@@ -446,6 +446,17 @@ object SparkEntry {
     // graft.functions.Bpe: GPT-2-style merge walk over the built-in demo
     // merges table (deployments load merges.txt via Bpe.loadMerges); the
     // oracle replays the walk in recursive SQL (Oracles.q88BpeTokens)
+    // ---- north star: training-shard export manifest ----
+    // The last mile: seeded md5 global permutation → exact two-phase
+    // global position (no global window) → size-bounded shard ids →
+    // per-shard id digest. The oracle replays the permutation with a
+    // plain window; the engine's bucketed sort must agree bit-for-bit
+    "q115_export_manifest" -> ((s, dir) => {
+      import graft.sources.TrainingExport
+      TrainingExport.manifest(documents(s, dir), rowsPerShard = 64, seed = 11)
+        .orderBy("shard")
+    }),
+
     // ---- north star: the COMPOSED curation pipeline, gated end-to-end ----
     // Every stage is oracle-proven alone (q111/q20/q96/q112); this gates
     // the chain a production pipeline actually runs: URL dedup → exact
