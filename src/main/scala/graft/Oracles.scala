@@ -1844,6 +1844,9 @@ object Oracles {
     "q93_duplicate_spans" -> q93DuplicateSpans,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,
+    // q116 = q57's relational semantics through the persisted-index
+    // engine path: one oracle, two independent engine formulations
+    "q116_knn_ivf_indexed" -> q57KnnIvf,
     "q84_knn_pq" -> q84PqTopK,
     "q85_knn_ivfpq" -> q85IvfPq,
     "q86_stream_neardup" -> q86StreamNearDup,

@@ -446,6 +446,23 @@ object SparkEntry {
     // graft.functions.Bpe: GPT-2-style merge walk over the built-in demo
     // merges table (deployments load merges.txt via Bpe.loadMerges); the
     // oracle replays the walk in recursive SQL (Oracles.q88BpeTokens)
+    // ---- north star: ANN serving from a PERSISTED IVF index ----
+    // Build the index, round-trip it through the parquet sidecar, then
+    // serve the query batch from the loaded copy — the build-once/
+    // query-many path. Same math as q57's inline train+search, so the
+    // q57 oracle gates this second engine formulation (the q109≡q102
+    // discipline: one relational truth, two engine paths)
+    "q116_knn_ivf_indexed" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val (cents, assigned) = Similarity.ivfIndexInt8(e, nCells = 16, iters = 2)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      Similarity.saveIvfIndex(cents, assigned, tmp)
+      val (lc, la) = Similarity.loadIvfIndex(s, tmp)
+      Similarity.ivfTopKInt8Against(lc, la, e.filter(col("vec_id") < 20),
+          k = 5, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- north star: training-shard export manifest ----
     // The last mile: seeded md5 global permutation → exact two-phase
     // global position (no global window) → size-bounded shard ids →

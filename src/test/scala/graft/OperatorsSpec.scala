@@ -362,6 +362,24 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.7, s"int8 IVF recall too low: $recall")
   }
 
+  test("IVF index: parquet roundtrip serves the exact inline-path results") {
+    val rnd = new scala.util.Random(404)
+    val corpus = (0L until 200L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 10)
+    val inline = Similarity.ivfTopKInt8(corpus, queries, k = 3,
+      nCells = 8, nProbe = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).sortBy(identity)
+    val (cents, assigned) = Similarity.ivfIndexInt8(corpus, nCells = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    Similarity.saveIvfIndex(cents, assigned, dir)
+    val (lc, la) = Similarity.loadIvfIndex(spark, dir)
+    val served = Similarity.ivfTopKInt8Against(lc, la, queries, k = 3, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).sortBy(identity)
+    assert(served.toSeq == inline.toSeq)
+  }
+
   test("PQ ANN (ADC over codes): recall vs brute force and layout independence") {
     val base = (0 until 60).map { i =>
       val cluster = i % 4
