@@ -192,6 +192,25 @@ object Bpe {
     }
   }
 
+  /** Write a merges sidecar in the public `merges.txt` format (with the
+    * conventional `#version` header) — what [[train]] produces and
+    * [[loadMerges]] reads back, closing the train → sidecar → tokenize
+    * loop. Driver-side write through Hadoop FS, same reach as the
+    * loader.
+    */
+  def saveMerges(spark: SparkSession, merges: Seq[(String, String)],
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      out.write("#version: 0.2\n".getBytes("UTF-8"))
+      merges.foreach { case (a, b) =>
+        out.write(s"$a $b\n".getBytes("UTF-8"))
+      }
+    } finally out.close()
+  }
+
   /** Load a vocab sidecar: one token per line, id = line number. */
   def loadVocab(spark: SparkSession, path: String): Map[String, Int] = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -13,7 +13,10 @@ import graft.operators.{Dedup, Packing, TextAnalysis, Xval}
   *   dedup → MinHash near-dup clustering (keep cluster minimum) →
   *   benchmark decontamination → model-based quality filter → mixture
   *   rebalance to target source weights → context-window chunking →
-  *   sequence packing → train/val/test folds
+  *   sequence packing → train/val/test folds → day-2 incremental
+  *   ingest against persisted indexes → BPE tokenizer trained on the
+  *   curated corpus (merges.txt sidecar round-trip) → deterministic
+  *   training-shard export with a verifiable manifest
   *
   * Each stage is the scale-shaped operator (digest shuffles, banded LSH
   * with skew caps, broadcast decontamination, two-phase prefix sums,
@@ -161,6 +164,34 @@ object PipelineDemo {
       val exactIdx2 = exactIdx
         .union(Dedup.exactIndex(day2)).distinct()
       stage("updated exact index", exactIdx2.count())
+
+      // 9. tokenizer trained ON the curated corpus (the decontaminated
+      // dedup survivors — the corpus a production run would train on):
+      // learn merges, ship them through the merges.txt sidecar, re-count
+      // a sample with the loaded table — the full train → sidecar →
+      // tokenize loop over data this very pipeline curated
+      val learned = graft.functions.Bpe.train(clean, nMerges = 12)
+      stage("BPE merges learned", learned.size)
+      val mergesPath = s"$idxDir/trained_merges.txt"
+      graft.functions.Bpe.saveMerges(spark,
+        learned.map(m => (m._1, m._2)), mergesPath)
+      val loadedMerges = graft.functions.Bpe.loadMerges(spark, mergesPath)
+      require(loadedMerges == learned.map(m => (m._1, m._2)).toVector,
+        "merges sidecar must round-trip in rank order")
+      val sampleToks = clean.limit(50)
+        .agg(sum(graft.functions.Bpe.tokenCount(col("text"), loadedMerges)))
+        .head().getLong(0)
+      stage("tokens (trained BPE, 50 docs)", sampleToks)
+
+      // 10. export the curated corpus as deterministic training shards
+      // with a verifiable manifest — the pipeline's last mile
+      val manifest = graft.sources.TrainingExport.writeShards(
+        clean, s"$idxDir/shards", rowsPerShard = 64, seed = 11)
+      val nShards = manifest.count()
+      val exported = manifest.agg(sum("n_rows")).head().getLong(0)
+      require(exported == clean.count(),
+        s"export covered $exported of ${clean.count()} curated docs")
+      stage("export shards + manifest", nShards)
 
       println("PIPELINE OK")
     }
