@@ -46,7 +46,10 @@ object Bench {
     "q96_gopher_rules",    // Gopher quality rules, scan-speed (NEW r7)
     "q97_chunk_words",     // context-window chunking generator (NEW r7)
     "q110_boilerplate_lines", // corpus boilerplate: digest count + broadcast rebuild (NEW r8)
-    "q111_url_dedup")      // URL canonicalization + min-id keep (NEW r8)
+    "q111_url_dedup",      // URL canonicalization + min-id keep (NEW r8)
+    "q113_bpe_train",      // BPE training loop on the vocab table (NEW r8)
+    "q114_curation_pipeline", // the composed 4-stage curation chain (NEW r8)
+    "q115_export_manifest") // seeded-permutation shard manifest (NEW r8)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine

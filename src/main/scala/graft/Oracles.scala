@@ -1578,6 +1578,55 @@ object Oracles {
        |SELECT n.doc_id, n.source, n.url_norm FROM norm n
        |JOIN keep USING (doc_id) ORDER BY n.doc_id""".stripMargin
 
+  /** q117: tokenizer-fit report — q88's recursive merge-walk replay
+    * (same distinct-word walk), aggregated per source with a
+    * single-char-token (fragmentation) count. All-integer outputs.
+    */
+  def q117TokenizerFit: String = {
+    val values = graft.functions.Bpe.defaultMerges.zipWithIndex
+      .map { case ((a, b), i) => s"('$a','$b',$i)" }.mkString(", ")
+    val head = "WITH RECURSIVE\nmerges(a, b, rnk) AS (VALUES "
+    val body =
+      """),
+        |pre AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s\x00-\x1f]+') AS ws
+        |  FROM documents),
+        |flat AS (SELECT doc_id, s.pos AS widx, s.w AS w FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+        |    i -> {'pos': i, 'w': ws[i+1]})) AS s FROM pre)),
+        |uw AS (SELECT DISTINCT w FROM flat),
+        |init AS (SELECT w, list_aggregate(list_transform(string_split(w, ''),
+        |    c -> chr(30) || c || chr(31)), 'string_agg', '') AS s FROM uw),
+        |walk AS (
+        |  SELECT w, s FROM init
+        |  UNION ALL
+        |  SELECT walk.w, replace(walk.s,
+        |      chr(30)||bm.a||chr(31)||chr(30)||bm.b||chr(31),
+        |      chr(30)||bm.a||bm.b||chr(31))
+        |  FROM walk, LATERAL (SELECT a, b FROM merges
+        |    WHERE walk.s LIKE '%'||chr(30)||a||chr(31)||chr(30)||b||chr(31)||'%'
+        |    ORDER BY rnk LIMIT 1) bm),
+        |fin AS (SELECT w, s FROM walk t WHERE NOT EXISTS (
+        |  SELECT 1 FROM merges m
+        |  WHERE t.s LIKE '%'||chr(30)||m.a||chr(31)||chr(30)||m.b||chr(31)||'%')),
+        |toks AS (SELECT w,
+        |    string_split(trim(s, chr(30)||chr(31)), chr(31)||chr(30)) AS tl
+        |  FROM fin),
+        |tstat AS (SELECT w, len(tl)::BIGINT AS n_toks,
+        |    len(list_filter(tl, t -> length(t) = 1))::BIGINT AS n_single
+        |  FROM toks),
+        |agg AS (SELECT f.doc_id, SUM(t.n_toks)::BIGINT AS ntok,
+        |    SUM(t.n_single)::BIGINT AS nsingle
+        |  FROM flat f JOIN tstat t USING (w) GROUP BY f.doc_id)
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(COALESCE(len(p.ws), 0)) AS BIGINT) AS n_pretokens,
+        |  CAST(SUM(COALESCE(a.ntok, 0)) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(COALESCE(a.nsingle, 0)) AS BIGINT) AS n_single_char_tokens
+        |FROM documents d JOIN pre p USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
+    head + values + body
+  }
+
   /** q115: `TrainingExport.manifest` — the seeded md5 permutation and
     * shard split, replayed with a plain global window (the engine runs
     * it two-phase; the q61/q107 discipline). The id digest joins each
@@ -1847,6 +1896,7 @@ object Oracles {
     // q116 = q57's relational semantics through the persisted-index
     // engine path: one oracle, two independent engine formulations
     "q116_knn_ivf_indexed" -> q57KnnIvf,
+    "q117_tokenizer_fit" -> q117TokenizerFit,
     "q84_knn_pq" -> q84PqTopK,
     "q85_knn_ivfpq" -> q85IvfPq,
     "q86_stream_neardup" -> q86StreamNearDup,

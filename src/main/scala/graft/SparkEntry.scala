@@ -446,6 +446,29 @@ object SparkEntry {
     // graft.functions.Bpe: GPT-2-style merge walk over the built-in demo
     // merges table (deployments load merges.txt via Bpe.loadMerges); the
     // oracle replays the walk in recursive SQL (Oracles.q88BpeTokens)
+    // ---- north star: tokenizer-fit report (vocab eval at corpus scale) ----
+    // How well a merge table fits a corpus, per source: pre-token count,
+    // BPE token count, and single-char-token count (fragmentation). All
+    // integers, one scan + one partial-agg; the oracle replays the q88
+    // merge walk and aggregates per source
+    "q117_tokenizer_fit" -> ((s, dir) => {
+      import graft.functions.Bpe
+      val toks = coalesce(Bpe.tokens(col("text")), array().cast("array<string>"))
+      documents(s, dir)
+        .select(col("source"),
+          coalesce(size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s\\x00-\\x1f]+"), lit(0))), lit(0))
+            .cast("long").as("npre"),
+          size(toks).cast("long").as("ntok"),
+          size(filter(toks, t => length(t) === 1)).cast("long").as("nsingle"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("npre").as("n_pretokens"),
+          sum("ntok").as("n_tokens"),
+          sum("nsingle").as("n_single_char_tokens"))
+        .orderBy("source")
+    }),
+
     // ---- north star: ANN serving from a PERSISTED IVF index ----
     // Build the index, round-trip it through the parquet sidecar, then
     // serve the query batch from the loaded copy — the build-once/
