@@ -521,8 +521,11 @@ object SparkEntry {
         when(v === 0, lit("/")).when(v === 1, lit("?utm_source=x&b=2&a=1"))
           .when(v === 2, lit("?a=1&b=2#frag"))
           .otherwise(lit("?b=2&utm_campaign=z&a=1"))))
-      val afterUrl = Dedup.urlKeep(d0)
-      val afterExact = Dedup.exactKeep(afterUrl)
+      // materialize between keep stages: unboxed, each `df ⋉ keys(df)`
+      // stage doubles lineage (2^k base scans for k stages — 8 observed);
+      // with the stage boundary every stage scans its (smaller) input once
+      val afterUrl = Dedup.materialize(Dedup.urlKeep(d0))
+      val afterExact = Dedup.materialize(Dedup.exactKeep(afterUrl))
       val pass = TextAnalysis.gopherRules(afterExact, carry = Seq("source", "url"))
         .filter(col("pass"))
       val bl = Seq("site0.test", "site3.test").toDF("domain")

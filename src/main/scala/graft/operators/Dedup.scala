@@ -66,6 +66,17 @@ object Dedup {
     df
   }
 
+  /** Materialize a pipeline stage (lazy local checkpoint, registered
+    * with the calling thread's checkpoint scope for cleanup): the
+    * stage-boundary idiom for composed curation chains. Each keep-stage
+    * built as `df ⋉ keys(df)` doubles its input's lineage — chaining k
+    * stages unboxed re-scans the base table 2^k times; a materialize
+    * between stages caps every stage at one scan of the previous
+    * stage's (already filtered, smaller) output.
+    */
+  def materialize(df: DataFrame): DataFrame =
+    tracked(df.localCheckpoint(eager = false))
+
   /** Free every checkpoint block registered in the calling thread's
     * innermost open scope since it opened (or since the last release).
     */
