@@ -45,10 +45,10 @@ object PipelineDemo {
       val cleaned = docs.withColumn("text",
         TextAnalysis.cleanLines(col("text"), minWords = 2,
           requireTerminal = false))
-      val gated = cleaned
+      val gated = Dedup.materialize(cleaned
         .withColumn("q", TextAnalysis.qualityFeatures(col("text")))
         .filter(col("q.n_words") >= 5 && col("q.mean_word_len").between(2, 12))
-        .drop("q")
+        .drop("q"))
       stage("clean + quality gate", gated.count())
 
       // 1b. Gopher-rules gate (integer-ratio compares, scan-speed).
@@ -56,36 +56,37 @@ object PipelineDemo {
       // query-engine vocabulary, so the 50-word floor (r_word_count) and
       // the English-stopword rule (r_stop) are waived here; production
       // gates on `pass`.
-      val gophered = gated.join(
+      val gophered = Dedup.materialize(gated.join(
         TextAnalysis.gopherRules(gated)
           .filter(col("r_word_len") && col("r_symbol") && col("r_bullet") &&
             col("r_ellipsis") && col("r_alpha"))
           .select("doc_id"),
-        Seq("doc_id"))
+        Seq("doc_id")))
       stage("gopher-rules gate", gophered.count())
 
       // 2. exact dedup (md5 digest groupBy — survivors)
-      val exact = Dedup.exactKeep(gophered)
+      val exact = Dedup.materialize(Dedup.exactKeep(gophered))
       stage("exact dedup", exact.count())
 
       // 3. near-dup clustering, keep each cluster's min doc_id
-      val kept = Dedup.nearDupKeep(exact, numHashes = 32, rowsPerBand = 4,
-        k = 5, threshold = 0.5)
+      val kept = Dedup.materialize(Dedup.nearDupKeep(exact, numHashes = 32,
+        rowsPerBand = 4, k = 5, threshold = 0.5))
       stage("near-dup keep", kept.count())
 
       // 4. decontaminate against a "benchmark" (here: the highest-id docs
       // as a stand-in eval set; production passes the real benchmark table)
       val benchmark = exact.orderBy(col("doc_id").desc).limit(20).select("text")
-      val clean = kept.join(
+      val clean = Dedup.materialize(kept.join(
         Dedup.decontaminate(kept, benchmark, n = 5)
           .filter(!col("contaminated")).select("doc_id"),
-        Seq("doc_id"))
+        Seq("doc_id")))
       stage("decontaminated", clean.count())
 
       // 5. model-based quality filter (linear scorer, stand-in weights)
-      val scored = TextAnalysis.scoreLinear(clean, dim = 1024, seed = 42L)
+      val scored = Dedup.materialize(TextAnalysis.scoreLinear(clean, dim = 1024,
+          seed = 42L)
         .filter(col("keep"))
-        .join(clean, Seq("doc_id"))
+        .join(clean, Seq("doc_id")))
       stage("model quality filter", scored.count())
 
       // 5b. rebalance to a target source mixture (upweight the first ten
@@ -178,7 +179,7 @@ object PipelineDemo {
       val loadedMerges = graft.functions.Bpe.loadMerges(spark, mergesPath)
       require(loadedMerges == learned.map(m => (m._1, m._2)).toVector,
         "merges sidecar must round-trip in rank order")
-      val sampleToks = clean.limit(50)
+      val sampleToks = clean.orderBy("doc_id").limit(50)
         .agg(sum(graft.functions.Bpe.tokenCount(col("text"), loadedMerges)))
         .head().getLong(0)
       stage("tokens (trained BPE, 50 docs)", sampleToks)
