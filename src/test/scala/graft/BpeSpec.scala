@@ -247,6 +247,41 @@ class BpeSpec extends SparkSpec {
     assert(learned == Seq(("a", "a", 15L), ("aa", "aa", 5L)))
   }
 
+  test("train properties on random corpora: valid pairs, descending use, monotone compression") {
+    val rnd = new scala.util.Random(1234)
+    val alpha = "abcd"
+    for (trial <- 0 until 3) {
+      val docs = (0 until 40).map { i =>
+        val words = Seq.fill(rnd.nextInt(8) + 3)(
+          Seq.fill(rnd.nextInt(6) + 1)(alpha(rnd.nextInt(alpha.length))).mkString)
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val learned = Bpe.train(docs, nMerges = 6)
+      // ranks are distinct pairs with positive weighted counts
+      assert(learned.map(m => (m._1, m._2)).distinct.size == learned.size)
+      assert(learned.forall(_._3 > 0))
+      // the chosen pair count never increases with rank: a later merge
+      // could at most have been created by an earlier one, never beat it
+      assert(learned.map(_._3).sliding(2).forall(s => s.length < 2 || s(0) >= s(1)),
+        s"trial $trial: counts not non-increasing: ${learned.map(_._3)}")
+      // tokenizing with a longer merge prefix never increases the count
+      val merges = learned.map(m => (m._1, m._2))
+      val counts = (0 to merges.size).map { i =>
+        docs.agg(org.apache.spark.sql.functions.sum(
+          Bpe.tokenCount($"text", merges.take(i).toVector)))
+          .head().getLong(0)
+      }
+      assert(counts.sliding(2).forall(s => s.length < 2 || s(0) >= s(1)),
+        s"trial $trial: token counts not monotone: $counts")
+      // with zero merges every token is a single char
+      val chars = docs.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.regexp_replace($"text", " ", ""))))
+        .head().getLong(0)
+      assert(counts.head == chars)
+    }
+  }
+
   test("trained merges feed tokens(): the train->tokenize loop closes") {
     val docs = Seq((0L, "scan scan scan the scanner")).toDF("doc_id", "text")
     val merges = Bpe.train(docs, nMerges = 6).map(m => (m._1, m._2))

@@ -835,6 +835,34 @@ class SourcesSpec extends SparkSpec {
     assert(deduped.count() == ev.count())
   }
 
+  test("streaming curation: Gopher flags + quality + chunking on a stream == batch") {
+    // the stateless curation projections (pure expressions / generators,
+    // no window, no state) must drop onto readStream unchanged — the
+    // shape a streaming ingest gate runs them in
+    import graft.operators.TextAnalysis
+    val docsPath = s"${sf()}/documents.parquet"
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.gopherRules(df, carry = Seq("source"))
+        .select($"doc_id", $"source", $"n_words", $"pass")
+    val batch = curate(Tables.documents(spark, sf()))
+      .orderBy("doc_id").collect().toSeq
+    val streamed = EventStreams.runOnceOnParquet(spark, docsPath,
+      curate, "test_curation_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+    // chunking (a generator) is equally stream-safe
+    val chunksBatch = TextAnalysis.chunkByWords(
+      Tables.documents(spark, sf()), win = 20, stride = 15)
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    val chunksStream = EventStreams.runOnceOnParquet(spark, docsPath,
+      df => TextAnalysis.chunkByWords(df, win = 20, stride = 15),
+      "test_chunk_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    assert(chunksStream == chunksBatch)
+  }
+
   test("writeShards: bounded shards, manifest matches read-back, deterministic") {
     import graft.sources.TrainingExport
     val docs = (0L until 100L).map(i => (i, s"text $i")).toDF("doc_id", "text")
