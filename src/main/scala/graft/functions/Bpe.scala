@@ -71,18 +71,21 @@ object Bpe {
     * top-1 TakeOrdered collect (bounded), with the rewritten dictionary
     * `localCheckpoint`ed so plans don't nest across iterations. The
     * published 30k–50k-merge trainings prune the dictionary first
-    * (drop hapax words) and run the in-memory pair-delta algorithm on
-    * the pruned table; this operator is the exact published recipe,
-    * practical for the `nMerges` a pipeline derives thresholds or demo
-    * vocabularies from, and the pruning knob is the caller's `docs`
-    * filter.
+    * (drop rare words — `minWordCount`, the standard knob: a 100 TB
+    * corpus has a long hapax tail of noise that contributes nothing to
+    * merge statistics but dominates dictionary size) and run the
+    * in-memory pair-delta algorithm on the pruned table; this operator
+    * is the exact published recipe, practical for the `nMerges` a
+    * pipeline derives thresholds or demo vocabularies from.
     */
   def train(docs: org.apache.spark.sql.DataFrame, nMerges: Int,
-      minCount: Long = 1, textCol: String = "text"): Seq[(String, String, Long)] = {
+      minCount: Long = 1, textCol: String = "text",
+      minWordCount: Long = 1): Seq[(String, String, Long)] = {
     require(nMerges > 0, s"nMerges $nMerges must be > 0")
     var vocab = docs
       .select(explode(graft.operators.TextAnalysis.words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minWordCount)
       .select(split(col("w"), "").as("syms"), col("cnt"))
       .localCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]

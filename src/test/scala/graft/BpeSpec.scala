@@ -237,6 +237,11 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(docs, nMerges = 10).size == 3)
     // minCount gate
     assert(Bpe.train(docs, nMerges = 10, minCount = 3).size == 2)
+    // minWordCount prunes the dictionary BEFORE pair statistics: with
+    // hapax "he" dropped, (h,e) weighs 5 (not 6) and "he" contributes
+    // nothing
+    val pruned = Bpe.train(docs, nMerges = 1, minWordCount = 2)
+    assert(pruned == Seq(("h", "e", 5L)))
   }
 
   test("train fuses greedily left-to-right: overlapping pairs take even offsets") {
