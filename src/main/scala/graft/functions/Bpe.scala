@@ -122,6 +122,7 @@ object Bpe {
         old.unpersist()
       }
     }
+    vocab.unpersist() // the loop's working table; intermediates already freed
     learned.toSeq
   }
 

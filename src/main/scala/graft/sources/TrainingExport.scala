@@ -71,8 +71,10 @@ object TrainingExport {
     */
   def writeShards(df: DataFrame, outDir: String, rowsPerShard: Int,
       seed: Long = 0, idCol: String = "doc_id"): DataFrame = {
-    val sharded = withShards(df, rowsPerShard, seed, idCol)
-      .localCheckpoint() // one computation feeds both the write and the manifest
+    // one computation feeds both the write and the manifest; registered
+    // with the pipeline checkpoint scope so long sessions don't leak it
+    val sharded = graft.operators.Dedup.materialize(
+      withShards(df, rowsPerShard, seed, idCol))
     sharded
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "shard_pos")
