@@ -1480,6 +1480,13 @@ class OperatorsSpec extends SparkSpec {
     val again = Dedup.capPerDomain(docs, bl, maxPerDomain = 2, seed = 7)
       .select($"domain", $"doc_id").as[(String, Long)].collect()
     assert(out.sorted.toSeq == again.sorted.toSeq)
+    // plan: the blocklist rides a broadcast (anti) join — the corpus is
+    // never shuffled for it — and the only window partitions by domain
+    val plan = Dedup.capPerDomain(docs, bl, maxPerDomain = 2, seed = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan.take(600))
+    assert(!plan.contains("Window [") || plan.contains("windowspecdefinition(domain"),
+      plan.take(600))
   }
 
   test("removeBoilerplateLines: cross-doc lines drop everywhere, within-doc repeats stay") {
