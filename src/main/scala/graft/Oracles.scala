@@ -769,6 +769,34 @@ object Oracles {
       |  cum_before % 2048 AS offset_in_seq
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** q118: `Packing.packingReport` — q79's prefix-sum replay wrapped in
+    * the one-row efficiency aggregate (ints only).
+    */
+  def q118PackingReport: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |      w -> length(w) > 0)) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM t),
+      |p AS (
+      |  SELECT doc_id, n_tokens,
+      |    cum_before // 2048 AS seq_start,
+      |    (cum_before + GREATEST(n_tokens, 1) - 1) // 2048 AS seq_end
+      |  FROM c)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(MAX(seq_end) + 1 AS BIGINT) AS n_sequences,
+      |  CAST((MAX(seq_end) + 1) * 2048 AS BIGINT) AS capacity_tokens,
+      |  CAST(SUM(CASE WHEN seq_start <> seq_end THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_spanning_docs
+      |FROM p""".stripMargin
+
   /** q80: `TextAnalysis.scoreLinear` — the q67 tokenizer/FNV/bucket replay
     * joined against the splitmix64 stand-in weight table
     * (`Hashing.qualityWeights`: w(b) = unsigned(splitmix64(42+b)) % 2001
@@ -1903,6 +1931,7 @@ object Oracles {
     "q81_embed_quantize" -> q81EmbedQuantize,
     "q80_quality_filter" -> q80QualityFilter,
     "q79_pack_sequences" -> q79PackSequences,
+    "q118_packing_report" -> q118PackingReport,
     "q77_dedup_segments" -> q77DedupSegments,
     "q78_top_ngrams" -> q78TopNgrams,
     "q74_pii_redaction" -> q74PiiRedaction,

@@ -446,6 +446,15 @@ object SparkEntry {
     // graft.functions.Bpe: GPT-2-style merge walk over the built-in demo
     // merges table (deployments load merges.txt via Bpe.loadMerges); the
     // oracle replays the walk in recursive SQL (Oracles.q88BpeTokens)
+    // ---- north star: packing-efficiency report ----
+    // capacity − tokens = the padding a training run pays for; spanning
+    // docs matter when the loader can't split. One partial agg over the
+    // q79 layout; oracle wraps q79's replay in the same aggregate
+    "q118_packing_report" -> ((s, dir) => {
+      Packing.packingReport(
+        Packing.packSequences(documents(s, dir), budget = 2048), budget = 2048)
+    }),
+
     // ---- north star: tokenizer-fit report (vocab eval at corpus scale) ----
     // How well a merge table fits a corpus, per source: pre-token count,
     // BPE token count, and single-char-token count (fragmentation). All

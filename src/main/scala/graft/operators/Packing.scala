@@ -103,4 +103,24 @@ object Packing {
       .select(col(idCol), col("n_tokens"), col("cum_before"),
         col("seq_start"), col("seq_end"), col("offset_in_seq"))
   }
+
+  /** Packing-efficiency report over a [[packSequences]] layout: document
+    * and token totals, sequence count, the capacity those sequences
+    * represent (`n_sequences × budget` — capacity − tokens is the
+    * padding a training run pays for), and how many documents span a
+    * sequence boundary (relevant when the loader can't split). One
+    * partial-aggregated pass over the packed table; output is a single
+    * row whatever the corpus size.
+    */
+  def packingReport(packed: DataFrame, budget: Int): DataFrame =
+    packed.agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("total_tokens"),
+      max("seq_end").as("_maxseq"),
+      sum(when(col("seq_start") =!= col("seq_end"), 1L).otherwise(0L))
+        .as("n_spanning_docs"))
+      .select(col("n_docs"), col("total_tokens"),
+        (col("_maxseq") + 1).as("n_sequences"),
+        ((col("_maxseq") + 1) * budget).as("capacity_tokens"),
+        col("n_spanning_docs"))
 }
