@@ -769,6 +769,27 @@ object Oracles {
       |  cum_before % 2048 AS offset_in_seq
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** q119: `Dedup.snapshotDiff` — the crawl-over-crawl diff replayed
+    * relationally: digests of both snapshot views, FULL JOIN on id,
+    * CASE status, per-(source,status) counts.
+    */
+  def q119SnapshotDiff: String =
+    s"""WITH
+       |  o AS (SELECT doc_id, source, md5(COALESCE(text, '')) AS d
+       |    FROM documents WHERE doc_id < 400),
+       |  n AS (SELECT doc_id, source,
+       |      md5(COALESCE(CASE WHEN doc_id % 5 = 0
+       |          THEN COALESCE(text, '') || ' v2' ELSE text END, '')) AS d
+       |    FROM documents WHERE doc_id >= 100),
+       |  j AS (SELECT COALESCE(n.source, o.source) AS source,
+       |      CASE WHEN o.d IS NULL THEN 'added'
+       |           WHEN n.d IS NULL THEN 'removed'
+       |           WHEN o.d = n.d THEN 'unchanged'
+       |           ELSE 'changed' END AS status
+       |    FROM o FULL OUTER JOIN n USING (doc_id))
+       |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin
+
   /** q118: `Packing.packingReport` — q79's prefix-sum replay wrapped in
     * the one-row efficiency aggregate (ints only).
     */
@@ -1932,6 +1953,7 @@ object Oracles {
     "q80_quality_filter" -> q80QualityFilter,
     "q79_pack_sequences" -> q79PackSequences,
     "q118_packing_report" -> q118PackingReport,
+    "q119_snapshot_diff" -> q119SnapshotDiff,
     "q77_dedup_segments" -> q77DedupSegments,
     "q78_top_ngrams" -> q78TopNgrams,
     "q74_pii_redaction" -> q74PiiRedaction,

@@ -446,6 +446,22 @@ object SparkEntry {
     // graft.functions.Bpe: GPT-2-style merge walk over the built-in demo
     // merges table (deployments load merges.txt via Bpe.loadMerges); the
     // oracle replays the walk in recursive SQL (Oracles.q88BpeTokens)
+    // ---- north star: corpus snapshot diff (crawl-over-crawl ops view) ----
+    // old = ids < 400 as-is; new = ids ≥ 100 with every 5th body edited —
+    // so [0,100) remove, [100,400) split unchanged/changed by the mod-5
+    // rule, [400,500) add. Per-(source,status) counts, dashboard-sized
+    "q119_snapshot_diff" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val older = d.filter(col("doc_id") < 400)
+      val newer = d.filter(col("doc_id") >= 100)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(coalesce(col("text"), lit("")), lit(" v2")))
+            .otherwise(col("text")))
+      Dedup.snapshotDiff(older, newer)
+        .orderBy("source", "status")
+    }),
+
     // ---- north star: packing-efficiency report ----
     // capacity − tokens = the padding a training run pays for; spanning
     // docs matter when the loader can't split. One partial agg over the

@@ -158,6 +158,33 @@ object Dedup {
       .drop("_rk")
   }
 
+  /** Corpus snapshot diff — the what-changed report between two crawls /
+    * pipeline runs of the same id space: per (source, status) counts
+    * where status ∈ added (id only in `newer`), removed (only in
+    * `older`), changed (both, body digest differs), unchanged. The ops
+    * view that complements [[exactKeepAgainst]]'s dedup view: bodies
+    * collapse to 16-byte md5 digests map-side, the full-outer join
+    * shuffles (id, digest) pairs only, and the result is
+    * dashboard-sized (|sources| × 4 rows) whatever the corpus size.
+    */
+  def snapshotDiff(older: DataFrame, newer: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      keyCol: String = "source"): DataFrame = {
+    def keyed(df: DataFrame, suffix: String): DataFrame = df.select(
+      col(idCol),
+      col(keyCol).as(s"_src$suffix"),
+      md5(coalesce(col(textCol), lit(""))).as(s"_d$suffix"))
+    keyed(older, "_o").join(keyed(newer, "_n"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("_d_o").isNull, lit("added"))
+          .when(col("_d_n").isNull, lit("removed"))
+          .when(col("_d_o") === col("_d_n"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .withColumn(keyCol, coalesce(col("_src_n"), col("_src_o")))
+      .groupBy(keyCol, "status")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Persistable exact-dedup digest index — the exact-dedup counterpart
     * of [[minhashIndex]]: one md5 digest per distinct document body.
     * Build over the accumulated corpus, write as parquet (~16 B/doc),

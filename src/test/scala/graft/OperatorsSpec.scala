@@ -1489,6 +1489,21 @@ class OperatorsSpec extends SparkSpec {
       plan.take(600))
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged per source, null-safe") {
+    val older = Seq((0L, "a", "x"), (1L, "a", "y"), (2L, "b", "z"),
+      (3L, "b", null.asInstanceOf[String])).toDF("doc_id", "source", "text")
+    val newer = Seq((1L, "a", "y2"), (2L, "b", "z"),
+      (3L, "b", null.asInstanceOf[String]), (4L, "c", "w"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.snapshotDiff(older, newer)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("a", "removed", 1L),    // id 0
+      ("a", "changed", 1L),    // id 1: y -> y2
+      ("b", "unchanged", 2L),  // id 2 same; id 3 null == null via coalesce
+      ("c", "added", 1L)))     // id 4
+  }
+
   test("removeBoilerplateLines: cross-doc lines drop everywhere, within-doc repeats stay") {
     val d = Seq(
       (0L, "NAV\ncontent zero\nNAV\nfooter x"),   // NAV repeated within + across
