@@ -82,12 +82,17 @@ object Bpe {
       minCount: Long = 1, textCol: String = "text",
       minWordCount: Long = 1): Seq[(String, String, Long)] = {
     require(nMerges > 0, s"nMerges $nMerges must be > 0")
+    // LAZY checkpoints throughout: each iteration's rewrite materializes
+    // as a by-product of the NEXT iteration's pair-count job (one Spark
+    // job per merge instead of two); the previous table is freed only
+    // after its successor has materialized.
     var vocab = docs
       .select(explode(graft.operators.TextAnalysis.words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minWordCount)
       .select(split(col("w"), "").as("syms"), col("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    var prev: Option[org.apache.spark.sql.DataFrame] = None
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var stop = false
     while (learned.size < nMerges && !stop) {
@@ -101,6 +106,8 @@ object Bpe {
         .agg(sum("cnt").as("pc"))
         .orderBy(col("pc").desc, col("l"), col("r"))
         .limit(1).collect()
+      prev.foreach(_.unpersist()) // vocab just materialized; its parent can go
+      prev = Some(vocab)
       if (best.isEmpty || best(0).getLong(2) < minCount) stop = true
       else {
         val (l, r, pc) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
@@ -109,7 +116,6 @@ object Bpe {
         // after a fuse the accumulator tail is "lr" != l (strictly
         // longer), so overlapping matches resolve exactly as the
         // left-to-right scan of the paper
-        val old = vocab
         vocab = vocab.select(
           aggregate(
             slice(col("syms"), lit(2), size(col("syms")) - 1),
@@ -118,8 +124,7 @@ object Bpe {
               element_at(acc, -1) === lit(l) && x === lit(r),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
               .otherwise(concat(acc, array(x)))).as("syms"),
-          col("cnt")).localCheckpoint()
-        old.unpersist()
+          col("cnt")).localCheckpoint(eager = false)
       }
     }
     vocab.unpersist() // the loop's working table; intermediates already freed
