@@ -440,9 +440,10 @@ object Similarity extends Serializable {
       .withColumn("cell", explode(probeU(col("qvq"))))
     val cands = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", aggregate(
-        zip_with(col("qvq"), col("nv"), (x, y) => x.cast("long") * y.cast("long")),
-        lit(0L), (a, v) => a + v))
+      // fused codegen'd loop (plans.IntDotProduct) — bit-identical to the
+      // zip_with fold, no per-pair products array
+      .withColumn("dot",
+        graft.plans.GraftExtensions.dotIntNative(col("qvq"), col("nv")))
       .withColumn("cosine",
         when(col("na") === 0L || col("nb") === 0L, lit(0.0))
           .otherwise(col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double"))))
@@ -890,9 +891,8 @@ object Similarity extends Serializable {
       .join(capped.select(col("id").as("id_b"), col("qv").as("vb"),
         col("n2").as("nb"), col("cell")), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dot", aggregate(
-        zip_with(col("va"), col("vb"), (x, y) => x.cast("long") * y.cast("long")),
-        lit(0L), (acc, v) => acc + v))
+      .withColumn("dot",
+        graft.plans.GraftExtensions.dotIntNative(col("va"), col("vb")))
       .filter(col("dot") > 0 &&
         lit(thresholdDen * thresholdDen) * col("dot") * col("dot") >=
           lit(thresholdNum * thresholdNum) * col("na") * col("nb"))

@@ -25,6 +25,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_cosine(a, b) takes two array<float> args")
         CosineSimilarity(children.head, children(1))
+      }),
+    (new FunctionIdentifier("graft_dot_int"),
+      new ExpressionInfo(classOf[IntDotProduct].getName, "graft_dot_int"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot_int(a, b) takes two array<int> args")
+        IntDotProduct(children.head, children(1))
       }))
 
   def register(ext: SparkSessionExtensions): Unit =
@@ -46,5 +52,14 @@ object GraftExtensions {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(
       CosineSimilarity(ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
+
+  /** Registration-free integer dot product (see [[cosineNative]]) — the
+    * codegen'd kernel behind the int8 ANN within-cell scorers.
+    */
+  def dotIntNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(
+      IntDotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
   }
 }

@@ -72,4 +72,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.contains("WholeStageCodegen") || "\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
       plan.take(400))
   }
+
+  test("graft_dot_int: bit-equal to the zip_with fold, codegen'd, null-safe") {
+    val s = extSession
+    import s.implicits._
+    val rnd = new scala.util.Random(77)
+    val df = (0 until 500).map { _ =>
+      (Seq.fill(16)(rnd.nextInt(255) - 127), Seq.fill(16)(rnd.nextInt(255) - 127))
+    }.toDF("a", "b")
+    val both = df.select(
+      graft.plans.GraftExtensions.dotIntNative($"a", $"b").as("native"),
+      org.apache.spark.sql.functions.aggregate(
+        org.apache.spark.sql.functions.zip_with($"a", $"b",
+          (x, y) => x.cast("long") * y.cast("long")),
+        org.apache.spark.sql.functions.lit(0L), (acc, v) => acc + v).as("fold"))
+      .collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+    // SQL registration + codegen
+    df.repartition(2).createOrReplaceTempView("ivecs")
+    val q = s.sql("SELECT graft_dot_int(a, b) FROM ivecs")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || "\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
+      plan.take(400))
+    // null-safe: null array -> null result, not a crash
+    val withNull = Seq((Some(Seq(1, 2)), None: Option[Seq[Int]]))
+      .toDF("a", "b")
+      .select(graft.plans.GraftExtensions.dotIntNative($"a", $"b").as("d"))
+    assert(withNull.collect().head.isNullAt(0))
+  }
 }
