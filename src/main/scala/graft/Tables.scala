@@ -35,13 +35,18 @@ object Tables {
     normalizeTs(load(s, d, "events"))
   }
 
-  /** Convert a nanos-as-long `ts` column (legacy parquet read) to a
-    * microsecond TimestampType; no-op when already a timestamp.
+  /** Normalize the `ts` column to microsecond TimestampType regardless of
+    * how the parquet writer encoded it: nanos-as-long (legacy conf read),
+    * TIMESTAMP_NTZ (tz-naive micros — the session tz is pinned to UTC, so a
+    * cast preserves every value), or already TimestampType (no-op).
     */
   def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case org.apache.spark.sql.types.LongType =>
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+        .cast(org.apache.spark.sql.types.TimestampType))
     case _ => df
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

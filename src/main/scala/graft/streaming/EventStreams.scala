@@ -132,7 +132,10 @@ object EventStreams {
         spark.readStream.schema(schema)
           .option("pathGlobFilter", fileName).parquet(parent)
       }
-    val q = transform(stream).writeStream
+    val normalized =
+      if (schema.fieldNames.contains("ts")) graft.Tables.normalizeTs(stream)
+      else stream
+    val q = transform(normalized).writeStream
       .format("memory")
       .queryName(sinkName)
       .outputMode(mode)
