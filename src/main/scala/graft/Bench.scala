@@ -57,17 +57,40 @@ object Bench {
     * load / CPU contention — NOT engine changes — and lets a reader
     * normalize the per-query seconds across rounds. Returns millis.
     */
+  private def xorshiftRun(n: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L; var i = 0L
+    while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    x
+  }
+
   private def calibMs(): Double = {
-    def run(n: Long): Long = {
-      var x = 0x9E3779B97F4A7C15L; var i = 0L
-      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-      x
-    }
-    val sinkW = run(20000000L) // JIT warm
+    val sinkW = xorshiftRun(20000000L) // JIT warm
     val t0 = System.nanoTime()
-    val sink = run(160000000L)
+    val sink = xorshiftRun(160000000L)
     val ms = (System.nanoTime() - t0) / 1e6
     if ((sink ^ sinkW) == 42L) System.err.println("calib sink") // defeat DCE
+    ms
+  }
+
+  /** Same fixed work run on `threads` OS threads at once, wall time in
+    * millis. On an uncontended host with >= `threads` free cores this
+    * matches the single-thread time; inflation over `calib_ms` measures
+    * how much parallel CPU the host actually grants — the axis the
+    * single-thread loop cannot see (cgroup quotas, noisy neighbors,
+    * SMT saturation). The Spark phase runs on this many threads, so
+    * THIS is the number that normalizes per-query seconds across hosts.
+    */
+  private def calibMtMs(threads: Int): Double = {
+    val sinkW = xorshiftRun(20000000L) // JIT warm before spawning
+    val sinks = new java.util.concurrent.atomic.AtomicLong(sinkW)
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { _ =>
+      val t = new Thread(() => { sinks.addAndGet(xorshiftRun(160000000L)); () })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (sinks.get() == 42L) System.err.println("calib sink") // defeat DCE
     ms
   }
 
@@ -87,6 +110,7 @@ object Bench {
     val (load1Pre, load5Pre) = loadAvg()
     val calibPre = calibMs()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val calibMtPre = calibMtMs(cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -132,7 +156,8 @@ object Bench {
     // not contending with executor threads it is trying to measure.
     val (load1Post, load5Post) = loadAvg()
     val calibPost = calibMs()
-    val envJson = f"""{"load1_pre":$load1Pre%.2f,"load5_pre":$load5Pre%.2f,"load1_post":$load1Post%.2f,"load5_post":$load5Post%.2f,"calib_ms_pre":$calibPre%.1f,"calib_ms_post":$calibPost%.1f}"""
+    val calibMtPost = calibMtMs(cpus.toInt)
+    val envJson = f"""{"load1_pre":$load1Pre%.2f,"load5_pre":$load5Pre%.2f,"load1_post":$load1Post%.2f,"load5_post":$load5Post%.2f,"calib_ms_pre":$calibPre%.1f,"calib_ms_post":$calibPost%.1f,"calib_mt_ms_pre":$calibMtPre%.1f,"calib_mt_ms_post":$calibMtPost%.1f,"calib_mt_threads":$cpus}"""
     val jsonLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"failed":$failedJson,"env":$envJson,"queries":$qJson,"queries_min":$minJson,"sf":"$sfDir"}"""
     println(jsonLine)
     // Belt-and-braces: every historical BENCH_r{N}.json shows parsed=None
