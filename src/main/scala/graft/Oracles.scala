@@ -1752,6 +1752,116 @@ object Oracles {
        |SELECT doc_id, source, domain, n_words FROM ranked2
        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin
 
+  /** Shared CTE chain for q120/q121: the q114 composition with per-stage
+    * keep flags instead of sequential filters. `tr` is the per-doc trace
+    * (doc_id, domain, n_words, drop_stage): LEFT joins against each
+    * stage's keep-set replace q114's inner joins, and the CASE runs in
+    * pipeline order so `drop_stage` is the FIRST stage that dropped the
+    * document. The URL-normalization, gopher-flag, domain, and cap
+    * fragments are byte-identical to the q111/q96/q112/q114 oracles.
+    */
+  private def curationTraceCtes: String =
+    s"""  dwrap AS (SELECT doc_id, source,
+       |      'the of and that ' || COALESCE(text, '') AS text
+       |    FROM documents),
+       |${gopherFlagsCtesFrom("dwrap")},
+       |  d AS (SELECT doc_id, source, text,
+       |      (CASE doc_id % 4 WHEN 0 THEN 'https://www.' WHEN 1 THEN 'HTTP://'
+       |            WHEN 2 THEN 'https://' ELSE 'http://www.' END)
+       |      || 'site' || ((doc_id // 4) % 7) || '.test/Docs/' || (doc_id // 4)
+       |      || (CASE doc_id % 4 WHEN 0 THEN '/' WHEN 1 THEN '?utm_source=x&b=2&a=1'
+       |            WHEN 2 THEN '?a=1&b=2#frag' ELSE '?b=2&utm_campaign=z&a=1' END) AS url
+       |    FROM dwrap),
+       |  n1 AS (SELECT doc_id,
+       |      regexp_replace(regexp_replace(url, '(?i)^[a-z][a-z0-9+.-]*://', ''),
+       |        '#.*$$', '') AS s FROM d),
+       |  n2 AS (SELECT doc_id, s, position('?' IN s) AS qp FROM n1),
+       |  n3 AS (SELECT doc_id,
+       |      CASE WHEN qp > 0 THEN substr(s, 1, qp - 1) ELSE s END AS base,
+       |      CASE WHEN qp > 0 THEN substr(s, qp + 1) ELSE '' END AS query FROM n2),
+       |  n4 AS (SELECT doc_id, base, query, position('/' IN base) AS sp FROM n3),
+       |  n5 AS (SELECT doc_id,
+       |      regexp_replace(lower(CASE WHEN sp > 0 THEN substr(base, 1, sp - 1) ELSE base END),
+       |        '^www\\.', '') AS host,
+       |      regexp_replace(CASE WHEN sp > 0 THEN substr(base, sp) ELSE '' END,
+       |        '/+$$', '') AS path,
+       |      list_sort(list_filter(string_split(query, '&'),
+       |        p -> NOT regexp_matches(p, '^(utm_|fbclid(=|$$))') AND p <> '')) AS ps
+       |    FROM n4),
+       |  norm AS (SELECT doc_id, host || path ||
+       |      (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END) AS url_norm
+       |    FROM n5),
+       |  ukeep AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY url_norm),
+       |  exk AS (SELECT min(d.doc_id) AS doc_id
+       |    FROM d JOIN ukeep USING (doc_id) GROUP BY md5(d.text)),
+       |  h2 AS (SELECT doc_id,
+       |      regexp_replace(regexp_replace(url, '(?i)^[a-z][a-z0-9+.-]*://', ''),
+       |        '[#?].*$$', '') AS nq FROM d),
+       |  dom AS (SELECT doc_id,
+       |      regexp_extract(regexp_replace(lower(CASE WHEN position('/' IN nq) > 0
+       |          THEN substr(nq, 1, position('/' IN nq) - 1) ELSE nq END),
+       |        '^www\\.', ''), '([^.]+\\.)?[^.]+$$') AS domain FROM h2),
+       |  reach4 AS (SELECT d.doc_id, dm.domain FROM d
+       |      JOIN ukeep USING (doc_id) JOIN exk USING (doc_id)
+       |      JOIN flags fl USING (doc_id) JOIN dom dm USING (doc_id)
+       |      WHERE fl.pass AND dm.domain NOT IN ('site0.test', 'site3.test')),
+       |  ranked AS (SELECT doc_id, row_number() OVER (PARTITION BY domain
+       |        ORDER BY md5('3#' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |    FROM reach4),
+       |  ckeep AS (SELECT doc_id FROM ranked WHERE rk <= 10),
+       |  tr AS (SELECT d.doc_id, dm.domain, fl.n_words,
+       |      CASE WHEN u.doc_id IS NULL THEN 'url_dup'
+       |           WHEN e.doc_id IS NULL THEN 'exact_dup'
+       |           WHEN NOT fl.pass THEN 'quality'
+       |           WHEN dm.domain IN ('site0.test', 'site3.test') THEN 'domain_block'
+       |           WHEN c.doc_id IS NULL THEN 'domain_cap'
+       |           ELSE 'kept' END AS drop_stage
+       |    FROM d
+       |    LEFT JOIN ukeep u ON d.doc_id = u.doc_id
+       |    LEFT JOIN exk e ON d.doc_id = e.doc_id
+       |    JOIN flags fl ON d.doc_id = fl.doc_id
+       |    JOIN dom dm ON d.doc_id = dm.doc_id
+       |    LEFT JOIN ckeep c ON d.doc_id = c.doc_id)""".stripMargin
+
+  /** q120: `Curation.trace` — the per-doc first-drop-stage view.
+    * NOTE: the already-stripped CTE fragment is concatenated OUTSIDE the
+    * margined strings — its `|| 'x'` concat continuation lines would be
+    * mangled by a second stripMargin.
+    */
+  def q120CurationTrace: String =
+    "WITH\n" + curationTraceCtes +
+      "\nSELECT doc_id, domain, n_words, drop_stage\nFROM tr ORDER BY doc_id"
+
+  /** q121: `Curation.funnel` — per-stage docs/words entering, dropped,
+    * kept: the trace aggregated to one row per group, then cumulative
+    * arithmetic over the constant-size stage list. Same concatenation
+    * discipline as q120 (no double stripMargin).
+    */
+  def q121CurationFunnel: String =
+    "WITH\n" + curationTraceCtes + ",\n" +
+    s"""  drops AS (SELECT drop_stage, count(*)::BIGINT AS n,
+       |      COALESCE(sum(n_words), 0)::BIGINT AS w
+       |    FROM tr GROUP BY drop_stage),
+       |  st AS (SELECT * FROM (VALUES (1, 'url_dup'), (2, 'exact_dup'),
+       |      (3, 'quality'), (4, 'domain_block'), (5, 'domain_cap'))
+       |      v(stage_ord, stage)),
+       |  j AS (SELECT st.stage_ord, st.stage,
+       |      COALESCE(dr.n, 0)::BIGINT AS n, COALESCE(dr.w, 0)::BIGINT AS w
+       |    FROM st LEFT JOIN drops dr ON dr.drop_stage = st.stage),
+       |  tot AS (SELECT sum(n)::BIGINT AS tn, sum(w)::BIGINT AS tw FROM drops),
+       |  pre AS (SELECT j.stage_ord, j.stage, j.n, j.w, tot.tn, tot.tw,
+       |      COALESCE(sum(j.n) OVER w0, 0)::BIGINT AS cn,
+       |      COALESCE(sum(j.w) OVER w0, 0)::BIGINT AS cw
+       |    FROM j, tot
+       |    WINDOW w0 AS (ORDER BY j.stage_ord
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT stage_ord, stage,
+       |  (tn - cn) AS n_docs_in, n AS n_docs_dropped,
+       |  (tn - cn - n) AS n_docs_kept,
+       |  (tw - cw) AS n_words_in, w AS n_words_dropped,
+       |  (tw - cw - w) AS n_words_kept
+       |FROM pre ORDER BY stage_ord""".stripMargin
+
   /** q113: `Bpe.train` — the Sennrich BPE training loop, every iteration
     * replayed as a generated CTE block. The engine fuses pairs with a
     * greedy left-to-right fold; the relational equivalent is the
@@ -1939,6 +2049,8 @@ object Oracles {
     "q113_bpe_train" -> q113BpeTrain,
     "q114_curation_pipeline" -> q114CurationPipeline,
     "q115_export_manifest" -> q115ExportManifest,
+    "q120_curation_trace" -> q120CurationTrace,
+    "q121_curation_funnel" -> q121CurationFunnel,
     "q93_duplicate_spans" -> q93DuplicateSpans,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,

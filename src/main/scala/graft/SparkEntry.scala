@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.DabDataset
 import graft.functions.{AggregationProcessor, Chain, FFTProcessor, Framing, Processor}
-import graft.operators.{Dedup, Multimodal, Packing, Similarity, TextAnalysis, Xval}
+import graft.operators.{Curation, Dedup, Multimodal, Packing, Similarity, TextAnalysis, Xval}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -35,6 +35,28 @@ object SparkEntry {
     revenueByNation(spark, "/root/testdata/sf0.001")
 
   private def dec(c: Column, scale: Int = 4): Column = c.cast(s"decimal(18,$scale)")
+
+  /** The synthetic curation corpus shared by q114/q120/q121: stopword
+    * preamble (keeps the Gopher stopword rule live — the synthetic text
+    * has no English stopwords) + deterministic per-doc URLs spanning 7
+    * domains × 4 scheme/query variants (exercises canonicalization,
+    * the blocklist, and the per-domain cap).
+    */
+  private def curationWrappedDocs(s: SparkSession, dir: String): DataFrame = {
+    val v = pmod(col("doc_id"), lit(4))
+    val g = expr("doc_id DIV 4")
+    documents(s, dir)
+      .withColumn("text",
+        concat(lit("the of and that "), coalesce(col("text"), lit(""))))
+      .withColumn("url", concat(
+        when(v === 0, lit("https://www.")).when(v === 1, lit("HTTP://"))
+          .when(v === 2, lit("https://")).otherwise(lit("http://www.")),
+        concat(lit("site"), pmod(g, lit(7)).cast("string")),
+        lit(".test/Docs/"), g.cast("string"),
+        when(v === 0, lit("/")).when(v === 1, lit("?utm_source=x&b=2&a=1"))
+          .when(v === 2, lit("?a=1&b=2#frag"))
+          .otherwise(lit("?b=2&utm_campaign=z&a=1"))))
+  }
 
   private def revenueByNation(s: SparkSession, dir: String): DataFrame = {
     val l = lineitem(s, dir); val o = orders(s, dir); val c = customer(s, dir)
@@ -557,6 +579,30 @@ object SparkEntry {
       Dedup.capPerDomain(pass, bl, maxPerDomain = 10, seed = 3)
         .select(col("doc_id"), col("source"), col("domain"), col("n_words"))
         .orderBy("doc_id")
+    }),
+
+    // ---- north star: per-doc curation decision trace ----
+    // The q114 composition re-run with per-stage keep FLAGS instead of
+    // sequential filters: every input document gets the FIRST stage that
+    // dropped it ('kept' for survivors) — the why-is-my-doc-missing
+    // debug view a filtered corpus alone cannot answer.
+    "q120_curation_trace" -> ((s, dir) => {
+      import s.implicits._
+      val bl = Seq("site0.test", "site3.test").toDF("domain")
+      Curation.trace(curationWrappedDocs(s, dir), bl,
+          maxPerDomain = 10, seed = 3)
+        .orderBy("doc_id")
+    }),
+
+    // ---- north star: stage-by-stage curation funnel ----
+    // Docs/words entering, dropped, and surviving each stage — the
+    // removal-rate table curation papers publish (RefinedWeb Table 2).
+    "q121_curation_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val bl = Seq("site0.test", "site3.test").toDF("domain")
+      Curation.funnel(Curation.trace(curationWrappedDocs(s, dir), bl,
+          maxPerDomain = 10, seed = 3))
+        .orderBy("stage_ord")
     }),
 
     // ---- north star: BPE TRAINING (Sennrich 2016) — learn merges ----

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Curation-pipeline observability: a per-document decision trace over
+  * the composed curation chain (URL dedup → exact dedup → Gopher
+  * quality gate → domain blocklist → per-domain cap — the q114 /
+  * RefinedWeb §3 order), and the stage-by-stage document/word funnel
+  * derived from it. Production pipelines publish exactly this funnel
+  * (RefinedWeb Table 2, Dolma §4's removal-rate tables), and the
+  * per-doc trace answers the operational question the filtered corpus
+  * alone cannot: WHY is a given document absent from the output.
+  *
+  * Scale shape: one scan of the corpus computes every per-doc fact
+  * (Gopher flags, content digest, canonical URL, registered domain)
+  * map-side and is checkpoint-materialized; every later stage works on
+  * that slim attribute table (ids + digests + flags — never bodies).
+  * Keep-sets are min-id aggregates (partial-agg'd on 16-byte keys) and
+  * the only window partitions by domain, exactly like [[Dedup.capPerDomain]].
+  * The funnel aggregates to ≤ |stages|+1 rows before anything leaves
+  * the executors.
+  */
+object Curation {
+
+  /** Funnel stage names in pipeline order. */
+  val stages: Seq[String] =
+    Seq("url_dup", "exact_dup", "quality", "domain_block", "domain_cap")
+
+  /** One row per input document: (idCol, domain, n_words, drop_stage)
+    * where `drop_stage` ∈ [[stages]] names the FIRST stage that dropped
+    * the document, or 'kept' for survivors. The kept set is identical
+    * to running the composed pipeline itself (spec-asserted).
+    */
+  def trace(docs: DataFrame, blocklist: DataFrame, maxPerDomain: Int,
+      seed: Long = 0, idCol: String = "doc_id", urlCol: String = "url",
+      textCol: String = "text"): DataFrame = {
+    require(maxPerDomain > 0, s"maxPerDomain $maxPerDomain must be > 0")
+    val id = col(idCol)
+    // one corpus scan: every per-doc fact the five stages need, map-side
+    val attrs = Dedup.materialize(
+      TextAnalysis.gopherRules(docs, idCol, textCol,
+          carry = Seq(urlCol, textCol))
+        .select(id, col("n_words"), col("pass"),
+          md5(col(textCol)).as("_dg"),
+          TextAnalysis.urlNormalize(col(urlCol)).as("_u"),
+          TextAnalysis.urlDomain(col(urlCol)).as("domain")))
+    // stage 1: min-id per canonical URL
+    val k1 = attrs.groupBy("_u").agg(min(idCol).as(idCol))
+      .select(id).withColumn("_k1", lit(true))
+    val s1 = Dedup.materialize(attrs.join(k1, Seq(idCol), "left"))
+    // stage 2: min-id per content digest, over stage-1 survivors only
+    val k2 = s1.filter(col("_k1").isNotNull)
+      .groupBy("_dg").agg(min(idCol).as(idCol))
+      .select(id).withColumn("_k2", lit(true))
+    // stage 3 (quality) is the map-side `pass` column — no join; stage 4
+    // blocklist is a broadcast left join on domain
+    val bl = blocklist.select(col(blocklist.columns.head).as("domain"))
+      .distinct().withColumn("_blk", lit(true))
+    val s3 = Dedup.materialize(
+      s1.join(k2, Seq(idCol), "left").join(broadcast(bl), Seq("domain"), "left"))
+    // stage 5: seeded-md5 per-domain cap over docs that reached it
+    val w = Window.partitionBy("domain")
+      .orderBy(md5(concat_ws("#", lit(seed), id.cast("string"))), id)
+    val k5 = s3.filter(col("_k1").isNotNull && col("_k2").isNotNull &&
+        col("pass") && col("_blk").isNull)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxPerDomain)
+      .select(id).withColumn("_k5", lit(true))
+    s3.join(k5, Seq(idCol), "left")
+      .select(id, col("domain"), col("n_words"),
+        when(col("_k1").isNull, "url_dup")
+          .when(col("_k2").isNull, "exact_dup")
+          .when(!col("pass"), "quality")
+          .when(col("_blk").isNotNull, "domain_block")
+          .when(col("_k5").isNull, "domain_cap")
+          .otherwise("kept").as("drop_stage"))
+  }
+
+  /** The stage-by-stage funnel over a [[trace]] result: one row per
+    * stage with documents/words entering, dropped, and surviving. A
+    * single partial-aggregated pass over the trace reduces it to ≤ 6
+    * rows (one per stage + 'kept'); the cumulative window after that
+    * runs over the constant-size stage list, not the corpus.
+    */
+  def funnel(traced: DataFrame): DataFrame = {
+    val spark = traced.sparkSession
+    import spark.implicits._
+    val drops = traced.groupBy("drop_stage")
+      .agg(count(lit(1)).as("_n"), sum("n_words").as("_w"))
+    val st = stages.zipWithIndex.map { case (s, i) => (i + 1, s) }
+      .toDF("stage_ord", "stage")
+    val joined = st.join(drops.withColumnRenamed("drop_stage", "stage"),
+        Seq("stage"), "left")
+      .na.fill(0L, Seq("_n", "_w"))
+    val tot = drops.agg(sum("_n").as("_tn"), sum("_w").as("_tw"))
+    // cumulative drops BEFORE each stage; the window spans |stages| rows
+    val wcum = Window.orderBy("stage_ord")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    joined.crossJoin(broadcast(tot))
+      .withColumn("n_docs_in",
+        col("_tn") - coalesce(sum("_n").over(wcum), lit(0L)))
+      .withColumn("n_words_in",
+        col("_tw") - coalesce(sum("_w").over(wcum), lit(0L)))
+      .select(col("stage_ord"), col("stage"),
+        col("n_docs_in"), col("_n").as("n_docs_dropped"),
+        (col("n_docs_in") - col("_n")).as("n_docs_kept"),
+        col("n_words_in"), col("_w").as("n_words_dropped"),
+        (col("n_words_in") - col("_w")).as("n_words_kept"))
+  }
+}

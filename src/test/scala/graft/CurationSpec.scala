@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, TextAnalysis}
+
+/** The curation decision trace + funnel: the trace's 'kept' set must be
+  * EXACTLY the composed pipeline's output (same stages, same order, same
+  * seeds), and the funnel must satisfy the conservation invariants every
+  * removal-rate table implies.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // text long enough to pass Gopher when wanted; ids span 2 url groups
+  // per canonical url and 3 domains so every stage drops something
+  private def corpus = {
+    val base = "the of and that have with be to " +
+      ("spark engine curates large corpora with deterministic rules " * 8)
+    Seq(
+      (0L, base, "https://www.a.test/x?utm_source=1"),
+      (1L, base + "one", "https://a.test/x"), // url dup of 0 (canonical)
+      (2L, base, "http://b.test/y"), // exact dup of 0 (a URL-stage survivor)
+      (3L, "too short", "https://c.test/z"),  // fails Gopher word count
+      (4L, base + "two", "https://blocked.test/w"), // blocklisted domain
+      (5L, base + "three", "https://b.test/cap1"),
+      (6L, base + "four", "https://b.test/cap2"),
+      (7L, base + "five", "https://b.test/cap3"))
+      .toDF("doc_id", "text", "url")
+  }
+  private def blocklist = Seq("blocked.test").toDF("domain")
+
+  test("trace 'kept' ids equal the composed pipeline's survivors") {
+    val traced = Curation.trace(corpus, blocklist, maxPerDomain = 2, seed = 3)
+    val keptTrace = traced.filter(col("drop_stage") === "kept")
+      .select("doc_id").as[Long].collect().sorted
+    val afterUrl = Dedup.materialize(Dedup.urlKeep(corpus))
+    val afterExact = Dedup.materialize(Dedup.exactKeep(afterUrl))
+    val pass = TextAnalysis.gopherRules(afterExact, carry = Seq("url"))
+      .filter(col("pass"))
+    val keptPipeline = Dedup.capPerDomain(pass, blocklist,
+        maxPerDomain = 2, seed = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptTrace.sameElements(keptPipeline))
+  }
+
+  test("every doc gets the FIRST stage that drops it, in pipeline order") {
+    val t = Curation.trace(corpus, blocklist, maxPerDomain = 2, seed = 3)
+      .select("doc_id", "drop_stage").as[(Long, String)].collect().toMap
+    assert(t(1L) == "url_dup")    // canonical-url dup of 0, dropped first
+    assert(t(2L) == "exact_dup")  // body dup of survivor 0
+    assert(t(3L) == "quality")
+    assert(t(4L) == "domain_block")
+    // b.test has 3 quality-passing docs, cap 2: exactly one dies at cap
+    val bCap = Seq(5L, 6L, 7L).map(t).count(_ == "domain_cap")
+    assert(bCap == 1)
+    assert(t(0L) == "kept")
+  }
+
+  test("funnel conserves docs and words stage to stage") {
+    val traced = Curation.trace(corpus, blocklist, maxPerDomain = 2, seed = 3)
+    val f = Curation.funnel(traced).orderBy("stage_ord").collect()
+    assert(f.map(_.getAs[String]("stage")).toSeq == Curation.stages)
+    val nTotal = corpus.count()
+    assert(f.head.getAs[Long]("n_docs_in") == nTotal)
+    f.foreach { r =>
+      assert(r.getAs[Long]("n_docs_in") ==
+        r.getAs[Long]("n_docs_dropped") + r.getAs[Long]("n_docs_kept"))
+      assert(r.getAs[Long]("n_words_in") ==
+        r.getAs[Long]("n_words_dropped") + r.getAs[Long]("n_words_kept"))
+    }
+    f.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_docs_kept") == b.getAs[Long]("n_docs_in"))
+      assert(a.getAs[Long]("n_words_kept") == b.getAs[Long]("n_words_in"))
+    }
+    // final kept = trace's kept rows
+    val keptDocs = traced.filter(col("drop_stage") === "kept").count()
+    assert(f.last.getAs[Long]("n_docs_kept") == keptDocs)
+  }
+
+  test("empty blocklist and loose cap: only dedup+quality stages drop") {
+    val t = Curation.trace(corpus, spark.emptyDataset[String].toDF("domain"),
+      maxPerDomain = 1000, seed = 3)
+    val byStage = t.groupBy("drop_stage").count()
+      .as[(String, Long)].collect().toMap
+    assert(!byStage.contains("domain_block"))
+    assert(!byStage.contains("domain_cap"))
+    assert(byStage("url_dup") == 1L && byStage("exact_dup") == 1L)
+  }
+}
