@@ -23,6 +23,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => subset.isEmpty || subset(name) }
       .foreach { case (name, fn) =>
@@ -30,6 +31,7 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failed += name -> String.valueOf(e.getMessage)
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +49,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that THROWS leaves no output dir, and a per-name compare
+    // would silently omit it — recording an all-green round over a
+    // shrunken query set (exactly the round-8 TIMESTAMP_NTZ incident).
+    // Persist the failure list next to the outputs so any consumer can
+    // (and tools/check_oracle.py does) fail the gate on omissions, and
+    // exit non-zero so scripted runs can't miss it.
+    val errJson = "{\"full\": " + (subset.isEmpty: Boolean) +
+      ", \"failed\": " + failed
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}") +
+      "}"
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    println(s"VERIFY_FAILED=${failed.size}" +
+      (if (failed.isEmpty) "" else failed.map(_._1).mkString(" [", ",", "]")))
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

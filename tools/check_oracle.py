@@ -1,10 +1,17 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check_oracle.py /tmp/verify_out /root/testdata/sf0.01
+Usage: python3 tools/check_oracle.py /tmp/verify_out /root/testdata/sf0.01 \
+           [prior_CORRECTNESS.json]
 Reads each <out>/<name> parquet (Spark result) + <out>/oracle_sql.json,
 runs the oracle in DuckDB over the sf tables, and compares values
 (columns sorted by name; rows compared both as-emitted and sorted).
+
+Omission guards (the round-8 incident: 10 queries errored at runtime,
+left no output, and the record shrank while staying "all green"):
+- every oracle_sql.json name with no Spark output dir is a FAIL;
+- with a prior CORRECTNESS_r*.json third arg, any query present in the
+  prior round but absent from this output set is a FAIL (superset rule).
 """
 import sys, os, json, glob
 import duckdb
@@ -12,6 +19,7 @@ import pandas as pd
 import numpy as np
 
 out_dir, sf_dir = sys.argv[1], sys.argv[2]
+prior_json = sys.argv[3] if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
@@ -49,6 +57,28 @@ def values_equal(a, b):
 
 names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/q*") if os.path.isdir(p))
 n_ok = n_fail = n_noracle = 0
+errs, was_full = {}, None
+err_path = f"{out_dir}/verify_errors.json"
+if os.path.exists(err_path):
+    manifest = json.load(open(err_path))
+    errs, was_full = manifest["failed"], manifest["full"]
+# omission guard: on a FULL Verify run, every oracle name must have
+# either an output dir or a recorded failure. Legacy out dirs (no
+# manifest) fall back to a size heuristic that can't catch partial
+# omission — re-run Verify to get the manifest.
+full = was_full if was_full is not None else len(names) >= len(oracle)
+if full:
+    for name in sorted(set(oracle) - set(names) - set(errs)):
+        print(f"FAIL  {name}: oracle present but no spark output (silent omission)")
+        n_fail += 1
+for name, msg in sorted(errs.items()):
+    print(f"FAIL  {name}: query errored: {msg[:200]}")
+    n_fail += 1
+if prior_json:
+    prior = set(json.load(open(prior_json)))
+    for name in sorted(prior - set(names)):
+        print(f"FAIL  {name}: in prior round's record but missing here (superset rule)")
+        n_fail += 1
 for name in names:
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
