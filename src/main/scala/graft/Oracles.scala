@@ -1862,6 +1862,132 @@ object Oracles {
        |  (tw - cw - w) AS n_words_kept
        |FROM pre ORDER BY stage_ord""".stripMargin
 
+  /** q122: `Sampling.ppsSystematic` — the systematic PPS pin count
+    * replayed with the engine's own integer arithmetic: seeded md5
+    * placement (15 hex digits ↔ Spark `conv(…,16,10)`), cumulative
+    * weights via a window sum, then g(X) = ((X−1)//W + 1)//2 with every
+    * product in HUGEINT (the engine runs decimal(38,0) — both exact, so
+    * identical). n = 100, seed = 7, weight = n_chars.
+    */
+  def q122PpsSample: String =
+    """WITH w AS (
+      |  SELECT doc_id, COALESCE(n_chars, 0)::BIGINT AS weight,
+      |    CAST('0x' || substr(md5('7#' || CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) AS ord
+      |  FROM documents WHERE COALESCE(n_chars, 0) >= 0),
+      |run AS (
+      |  SELECT doc_id, weight,
+      |    sum(weight) OVER (ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS c_after
+      |  FROM w),
+      |tot AS (SELECT max(c_after)::HUGEINT AS wt FROM run),
+      |h AS (
+      |  SELECT doc_id, weight, wt,
+      |    200::HUGEINT * c_after::HUGEINT AS xa,
+      |    200::HUGEINT * (c_after - weight)::HUGEINT AS xb
+      |  FROM run, tot),
+      |hits AS (
+      |  SELECT doc_id, weight,
+      |    ((CASE WHEN xa <= 0 THEN 0::HUGEINT
+      |        ELSE least(((xa - 1) // wt + 1) // 2, 100::HUGEINT) END)
+      |     - (CASE WHEN xb <= 0 THEN 0::HUGEINT
+      |        ELSE least(((xb - 1) // wt + 1) // 2, 100::HUGEINT) END))::BIGINT AS n_hits
+      |  FROM h)
+      |SELECT doc_id, weight, n_hits FROM hits
+      |WHERE n_hits > 0 ORDER BY doc_id""".stripMargin
+
+  /** q123: `Retrieval.bm25TopK` — BM25 with the engine's determinism
+    * discipline replayed exactly: df/N/Σdl from the corpus, micro-idf
+    * via floor(ln·10⁶ + 0.5) (↔ Java Math.round), contributions as the
+    * same double expression TREE (constants written as the unreduced
+    * arithmetic the engine folds at plan time, e.g. (1.2 + 1.0)), and
+    * the per-(query, doc) sum folded in sorted-term order via
+    * list_reduce — float addition order is part of the contract. The
+    * (query_id, term) VALUES must stay in sync with
+    * SparkEntry.bm25Queries.
+    */
+  def q123Bm25TopK: String =
+    """WITH terms(query_id, term) AS (VALUES
+      |    (1, 'agg'), (1, 'spark'), (1, 'window'),
+      |    (2, 'batch'), (2, 'hash'), (2, 'join'), (2, 'merge'),
+      |    (3, 'customer'), (3, 'data'), (3, 'query')),
+      |docs AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+      |      '[^a-z0-9'']+'), x -> len(x) > 0) AS ws
+      |  FROM documents),
+      |dd AS (SELECT doc_id, ws, len(ws)::BIGINT AS dl FROM docs),
+      |stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl FROM dd),
+      |dfs AS (
+      |  SELECT t.term, count(*)::BIGINT AS df
+      |  FROM (SELECT DISTINCT term FROM terms) t
+      |  JOIN dd d ON list_contains(d.ws, t.term)
+      |  GROUP BY t.term),
+      |idf AS (
+      |  SELECT term,
+      |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0 + 0.5) AS BIGINT) AS idf_micro
+      |  FROM dfs, stats),
+      |contribs AS (
+      |  SELECT t.query_id, d.doc_id, t.term,
+      |    ((i.idf_micro::DOUBLE / 1000000.0)
+      |      * (len(list_filter(d.ws, x -> x = t.term))::DOUBLE * (1.2 + 1.0)))
+      |    / (len(list_filter(d.ws, x -> x = t.term))::DOUBLE
+      |       + 1.2 * ((1.0 - 0.75) + 0.75 * (d.dl::DOUBLE / (s.sumdl::DOUBLE / s.n)))) AS c
+      |  FROM terms t JOIN idf i USING (term), dd d, stats s),
+      |scored AS (
+      |  SELECT query_id, doc_id,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
+      |      (a, b) -> a + b) AS score
+      |  FROM contribs GROUP BY query_id, doc_id),
+      |ranked AS (
+      |  SELECT query_id::BIGINT AS query_id, doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS INT) AS rank
+      |  FROM scored WHERE score > 0.0)
+      |SELECT query_id, doc_id, score, rank FROM ranked
+      |WHERE rank <= 15 ORDER BY query_id, rank""".stripMargin
+
+  /** q124: `plans.UnicodeNormalize` (graft_normalize NFC) — DuckDB's
+    * nfc_normalize over the same decomposed suffix, built with chr()
+    * codepoints (U+0301 combining acute, U+0308 combining diaeresis).
+    * Both engines count length in code points, so the composed form
+    * loses exactly 2.
+    */
+  def q124NormalizeNfc: String =
+    """SELECT doc_id,
+      |  nfc_normalize(COALESCE(text, '') || ' Cafe' || chr(769) || ' nai' || chr(776) || 've') AS text_nfc,
+      |  length(COALESCE(text, '') || ' Cafe' || chr(769) || ' nai' || chr(776) || 've')::BIGINT AS n_chars_raw,
+      |  length(nfc_normalize(COALESCE(text, '') || ' Cafe' || chr(769) || ' nai' || chr(776) || 've'))::BIGINT AS n_chars_nfc
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q125: `Timeseries.gapFillDaily` — daily max per (user, day), a
+    * per-user calendar grid via generate_series (unnest-in-subquery —
+    * this DuckDB rejects lateral generate_series(col)), forward fill via
+    * last_value IGNORE NULLS over the per-user window. Day compared as
+    * yyyy-MM-dd text (q62 discipline); value = max is order-independent
+    * so the double survives the hash compare.
+    */
+  def q125GapfillDaily: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    max(value) AS day_v, count(*)::BIGINT AS n
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+      |  FROM daily GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, CAST(unnest(generate_series(d0::TIMESTAMP,
+      |    d1::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM spans),
+      |j AS (
+      |  SELECT g.user_id, g.day, d.day_v,
+      |    COALESCE(d.n, 0)::BIGINT AS n_events,
+      |    d.day_v IS NULL AS is_gap
+      |  FROM grid g LEFT JOIN daily d USING (user_id, day))
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+      |  last_value(day_v IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+      |  n_events, is_gap
+      |FROM j ORDER BY user_id, day""".stripMargin
+
   /** q113: `Bpe.train` — the Sennrich BPE training loop, every iteration
     * replayed as a generated CTE block. The engine fuses pairs with a
     * greedy left-to-right fold; the relational equivalent is the
@@ -2051,6 +2177,10 @@ object Oracles {
     "q115_export_manifest" -> q115ExportManifest,
     "q120_curation_trace" -> q120CurationTrace,
     "q121_curation_funnel" -> q121CurationFunnel,
+    "q122_pps_sample" -> q122PpsSample,
+    "q123_bm25_topk" -> q123Bm25TopK,
+    "q124_normalize_nfc" -> q124NormalizeNfc,
+    "q125_gapfill_daily" -> q125GapfillDaily,
     "q93_duplicate_spans" -> q93DuplicateSpans,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,

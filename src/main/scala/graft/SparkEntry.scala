@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.DabDataset
 import graft.functions.{AggregationProcessor, Chain, FFTProcessor, Framing, Processor}
-import graft.operators.{Curation, Dedup, Multimodal, Packing, Similarity, TextAnalysis, Xval}
+import graft.operators.{Curation, Dedup, Multimodal, Packing, Retrieval, Sampling, Similarity, TextAnalysis, Timeseries, Xval}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -57,6 +57,15 @@ object SparkEntry {
           .when(v === 2, lit("?a=1&b=2#frag"))
           .otherwise(lit("?b=2&utm_campaign=z&a=1"))))
   }
+
+  /** Fixed q123 retrieval workload: three queries over the synthetic
+    * corpus vocabulary. The oracle hardcodes the same (query_id, term)
+    * pairs — keep them in sync with Oracles.q123Bm25TopK.
+    */
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark window agg",
+    2L -> "hash join merge batch",
+    3L -> "customer query data")
 
   private def revenueByNation(s: SparkSession, dir: String): DataFrame = {
     val l = lineitem(s, dir); val o = orders(s, dir); val c = customer(s, dir)
@@ -603,6 +612,55 @@ object SparkEntry {
       Curation.funnel(Curation.trace(curationWrappedDocs(s, dir), bl,
           maxPerDomain = 10, seed = 3))
         .orderBy("stage_ord")
+    }),
+
+    // ---- north star: PPS weighted sampling without replacement ----
+    // Cut the corpus to a fixed document budget with inclusion
+    // probability ∝ size (weight = n_chars): systematic PPS pins over an
+    // exact integer prefix sum in seeded order — bit-exact on any
+    // engine, Σ n_hits = n
+    "q122_pps_sample" -> ((s, dir) => {
+      Sampling.ppsSystematic(documents(s, dir), n = 100,
+          weightCol = "n_chars", seed = 7)
+        .orderBy("doc_id")
+    }),
+
+    // ---- north star: BM25 lexical retrieval (top-k per query) ----
+    // The targeted-retrieval shape of decontamination sweeps and
+    // domain-adjacent corpus pulls: one stats pass (N, Σdl, df), integer
+    // micro-idf, one map-side scoring pass, TakeOrdered per query
+    "q123_bm25_topk" -> ((s, dir) => {
+      Retrieval.bm25TopK(documents(s, dir), bm25Queries, k = 15)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- north star: Unicode NFC normalization (native expression) ----
+    // Spark has no normalization built-in: graft_normalize is a
+    // codegen'd Catalyst UnaryExpression (plans/UnicodeNormalize) — the
+    // canonicalization pass run before hashing/dedup. Inputs get a
+    // decomposed suffix so the composition is actually exercised
+    "q124_normalize_nfc" -> ((s, dir) => {
+      val raw = concat(coalesce(col("text"), lit("")),
+        lit(" Cafe\u0301 nai\u0308ve"))
+      documents(s, dir)
+        .select(col("doc_id"),
+          graft.plans.GraftExtensions.normalizeNative(raw, "NFC").as("text_nfc"),
+          length(raw).cast("long").as("n_chars_raw"),
+          length(graft.plans.GraftExtensions.normalizeNative(raw, "NFC"))
+            .cast("long").as("n_chars_nfc"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- north star: time-grid resample + forward fill ----
+    // Per-user daily grid from first to last active day, value = daily
+    // max carried across gaps; per-key explode + per-key window only
+    "q125_gapfill_daily" -> ((s, dir) => {
+      // day emitted as yyyy-MM-dd text — the q62 date-compare discipline
+      Timeseries.gapFillDaily(events(s, dir))
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("value"), col("n_events"), col("is_gap"))
+        .orderBy("user_id", "day")
     }),
 
     // ---- north star: BPE TRAINING (Sennrich 2016) — learn merges ----

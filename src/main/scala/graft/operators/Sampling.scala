@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Probability-proportional-to-size sampling without replacement — the
+  * fixed-SIZE counterpart of [[Dedup.weightedSample]]'s fixed-FRACTION
+  * Bernoulli sampler. A curation pipeline asks for exactly this when it
+  * must cut a scored corpus to a token or document budget while keeping
+  * inclusion probability ∝ quality weight (quality-weighted corpus
+  * selection, the sampling step of DoReMi/Dolma-style mixture builds).
+  *
+  * Method: systematic PPS sampling (Madow 1949, the textbook
+  * cumulative-total method): lay documents on a line in a seeded
+  * pseudo-random order, each occupying a segment of length = its weight;
+  * drop `n` equally-spaced pins (offset half a stride) and select the
+  * document under each pin. Inclusion probability is exactly
+  * n·wᵢ/W (documents with wᵢ > W/n can be hit multiple times —
+  * `n_hits` reports multiplicity, as standard for PPS with replacementless
+  * pins). Everything is INTEGER arithmetic: the pin condition
+  * c_before ≤ (2j+1)·W/(2n) < c_after is evaluated as exact
+  * decimal(38,0) products, so the selected set is a pure function of
+  * (seed, ids, weights) on any engine and any cluster size.
+  *
+  * Scale shape: the seeded order is a map-side md5; the only global
+  * state is the exact prefix sum, delegated to
+  * [[Packing.withRunningTotal]] (range-bucketed two-phase — no
+  * partition-less window); the pin count per document is then map-side
+  * arithmetic. One slim shuffle of (id, weight) total.
+  */
+object Sampling {
+
+  /** Select ~`n` documents with probability ∝ `weightCol` (integral,
+    * ≥ 0; zero-weight rows are never selected). Output: (idCol, weight,
+    * n_hits ≥ 1) for selected documents only. Σ n_hits = n exactly
+    * (when W > 0 and n ≥ 1).
+    */
+  def ppsSystematic(df: DataFrame, n: Long, weightCol: String,
+      idCol: String = "doc_id", seed: Long = 0): DataFrame = {
+    require(n >= 1, s"sample size $n must be >= 1")
+    val slim = df.select(col(idCol),
+      coalesce(col(weightCol).cast("long"), lit(0L)).as("weight"))
+      .filter(col("weight") >= 0L)
+      // seeded pseudo-random placement on the line: first 16 hex digits
+      // of a seeded md5 — 64 bits, monotone-castable to the bucketing
+      // double that withRunningTotal's range split needs
+      .withColumn("_ord", conv(substring(
+        md5(concat_ws("#", lit(seed), col(idCol).cast("string"))), 1, 15),
+        16, 10).cast("long"))
+    val run = Packing.withRunningTotal(slim, Seq("_ord", idCol), "weight",
+      outCol = "_c_after")
+    // W = the final running total; cheap max over the already-
+    // materialized checkpoint (withRunningTotal checkpointed its input,
+    // and _c_after is monotone over the order, so max IS the total)
+    val wTotal = run.agg(max("_c_after")).head.getLong(0)
+    if (wTotal <= 0L)
+      return run.filter(lit(false))
+        .select(col(idCol), col("weight"), lit(0L).as("n_hits"))
+    // pin j (0-based) sits at (2j+1)·W / (2n); doc i is hit by pins with
+    // c_before ≤ pin < c_after  ⇔  2n·c_before ≤ (2j+1)·W < 2n·c_after.
+    // hits(i) = g(2n·c_after) − g(2n·c_before) where g(X) = #{odd m ≥ 1 :
+    // m·W < X} = ((X−1) DIV W + 1) DIV 2 for X ≥ 1, clamped to the n
+    // pins. The products run as decimal(38,0) and the divisions as
+    // integral DIV — exact at any magnitude. NB: decimal FLOOR(x/y) would
+    // NOT be exact here (Spark caps division results at 38 digits and
+    // rounds, so (kW−1)/W can round up to k before the floor).
+    run
+      .withColumn("_cb", (col("_c_after") - col("weight")).cast("decimal(38,0)"))
+      .withColumn("_xa",
+        lit(2L * n).cast("decimal(38,0)") * col("_c_after").cast("decimal(38,0)"))
+      .withColumn("_xb", lit(2L * n).cast("decimal(38,0)") * col("_cb"))
+      .withColumn("n_hits", expr(
+        s"""CASE WHEN _xa <= 0 THEN 0L
+           |  ELSE least(((_xa - 1) DIV ${wTotal}L + 1L) DIV 2L, ${n}L) END
+           | - CASE WHEN _xb <= 0 THEN 0L
+           |  ELSE least(((_xb - 1) DIV ${wTotal}L + 1L) DIV 2L, ${n}L) END"""
+          .stripMargin))
+      .filter(col("n_hits") > 0L)
+      .select(col(idCol), col("weight"), col("n_hits"))
+  }
+}

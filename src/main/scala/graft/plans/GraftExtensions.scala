@@ -31,6 +31,20 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot_int(a, b) takes two array<int> args")
         IntDotProduct(children.head, children(1))
+      }),
+    (new FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_normalize(s, 'NFC'|'NFD'|'NFKC'|'NFKD') takes a string and a literal form")
+        val form = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+            v.toString
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_normalize form must be a literal string, got $other")
+        }
+        UnicodeNormalize(children.head, form)
       }))
 
   def register(ext: SparkSessionExtensions): Unit =
@@ -61,5 +75,13 @@ object GraftExtensions {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(
       IntDotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
+
+  /** Registration-free Unicode normalization (see [[cosineNative]]):
+    * `form` ∈ NFC/NFD/NFKC/NFKD, resolved at plan time.
+    */
+  def normalizeNative(s: Column, form: String): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(UnicodeNormalize(ColumnShim.expression(s), form))
   }
 }

@@ -101,4 +101,52 @@ class ExtensionsSpec extends SparkSpec {
       .select(graft.plans.GraftExtensions.dotIntNative($"a", $"b").as("d"))
     assert(withNull.collect().head.isNullAt(0))
   }
+
+  test("graft_normalize: NFC/NFD/NFKC against JDK goldens, null-safe, SQL-registered") {
+    val s = extSession
+    import s.implicits._
+    // decomposed e + COMBINING ACUTE, precomposed é, ligature ﬁ, ASCII
+    val cases = Seq("Café", "Café", "ﬁne", "plain ascii", "")
+    val df = cases.zipWithIndex.map(_.swap).toDF("i", "t").repartition(2) // real codegen path
+    def run(form: String): Seq[String] =
+      df.select($"i", graft.plans.GraftExtensions.normalizeNative($"t", form).as("n"))
+        .orderBy("i").as[(Int, String)].collect().toSeq.map(_._2)
+    import java.text.Normalizer
+    UnicodeFormGoldens.forms.foreach { f =>
+      assert(run(f.name) == cases.map(Normalizer.normalize(_, f)), f.name)
+    }
+    // NFC composes the decomposed pair; NFKC also folds the ligature
+    assert(run("NFC").take(2) == Seq("Café", "Café"))
+    assert(run("NFKC")(2) == "fine")
+    assert(run("NFC")(2) == "ﬁne")
+    // null-safe + SQL registration
+    val withNull = Seq(Some("à"), None).map(Tuple1(_)).toDF("t")
+    withNull.createOrReplaceTempView("norm_in")
+    val viaSql = s.sql("SELECT graft_normalize(t, 'NFC') AS n FROM norm_in")
+      .collect()
+    assert(viaSql(0).getString(0) == "à")
+    assert(viaSql(1).isNullAt(0))
+  }
+
+  test("graft_normalize: literal-foldable inputs and interpreted eval agree") {
+    // nullSafeEval path (no codegen): evaluate via a local relation
+    val s = extSession
+    import s.implicits._
+    val out = Seq(Tuple1("Å")).toDF("t")
+      .select(graft.plans.GraftExtensions.normalizeNative($"t", "NFC").as("n"))
+      .as[String].head()
+    assert(out == "Å")
+    intercept[IllegalArgumentException] {
+      graft.plans.UnicodeNormalize(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), "NFX")
+    }
+  }
+}
+
+/** Forms exercised by the normalize golden test (kept outside the suite
+  * so the list reads as data).
+  */
+object UnicodeFormGoldens {
+  import java.text.Normalizer.Form
+  val forms: Seq[Form] = Seq(Form.NFC, Form.NFD, Form.NFKC, Form.NFKD)
 }

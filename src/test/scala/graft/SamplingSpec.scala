@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Systematic PPS sampling: pin-count parity with a direct driver-side
+  * replay, the Σ n_hits = n invariant, and the structural guarantees
+  * (zero weights never selected, heavy docs always selected, seeded
+  * determinism).
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(nDocs: Int) = {
+    // deterministic uneven weights incl. zeros and one heavy outlier
+    (0 until nDocs).map { i =>
+      val w = if (i % 17 == 0) 0L else ((i * 37 % 211) + 1).toLong
+      (i.toLong, if (i == 42) 50000L else w)
+    }.toDF("doc_id", "w")
+  }
+
+  /** Direct replay: place docs in seeded md5 order, count pins per doc
+    * with BigInt arithmetic — the definition, independent of the
+    * engine's prefix-sum/DIV formulation.
+    */
+  private def replay(rows: Seq[(Long, Long)], n: Long, seed: Long): Map[Long, Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ord(id: Long): Long = {
+      val hex = md.digest(s"$seed#$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val placed = rows.sortBy { case (id, _) => (ord(id), id) }
+    val wTotal = BigInt(placed.map(_._2).sum)
+    var cBefore = BigInt(0)
+    val out = scala.collection.mutable.Map.empty[Long, Long]
+    placed.foreach { case (id, w) =>
+      val cAfter = cBefore + w
+      // pins at (2j+1)·W / (2n), j = 0..n-1, hit iff cBefore ≤ pin < cAfter
+      val hits = (0L until n).count { j =>
+        val lhs = BigInt(2 * j + 1) * wTotal
+        lhs >= cBefore * 2 * n && lhs < cAfter * 2 * n
+      }
+      if (hits > 0) out(id) = hits
+      cBefore = cAfter
+    }
+    out.toMap
+  }
+
+  test("pin counts match the direct BigInt replay exactly") {
+    val df = corpus(300)
+    val got = Sampling.ppsSystematic(df, n = 40, weightCol = "w", seed = 7)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    val want = replay(df.as[(Long, Long)].collect().toSeq, n = 40, seed = 7)
+    assert(got == want)
+  }
+
+  test("sum of hits is exactly n; zero-weight docs never selected") {
+    val df = corpus(300)
+    val res = Sampling.ppsSystematic(df, n = 57, weightCol = "w", seed = 3)
+      .join(df, Seq("doc_id"))
+    assert(res.agg(sum("n_hits")).head.getLong(0) == 57L)
+    assert(res.filter(col("w") === 0L).count() == 0L)
+  }
+
+  test("a doc with weight ≥ W/n is always selected (heavy outlier)") {
+    val df = corpus(300)
+    val sel = Sampling.ppsSystematic(df, n = 57, weightCol = "w", seed = 11)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel.contains(42L)) // 50000 ≥ W/57 by construction
+  }
+
+  test("same seed reproduces; different seed moves the sample") {
+    val df = corpus(200)
+    def ids(seed: Long) =
+      Sampling.ppsSystematic(df, n = 30, weightCol = "w", seed = seed)
+        .select("doc_id").as[Long].collect().toSet
+    assert(ids(5) == ids(5))
+    assert(ids(5) != ids(6))
+  }
+}
