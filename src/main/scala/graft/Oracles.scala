@@ -1966,6 +1966,46 @@ object Oracles {
     * yyyy-MM-dd text (q62 discipline); value = max is order-independent
     * so the double survives the hash compare.
     */
+  /** q126: `Analytics.funnel(view → click → purchase)` — sequential
+    * min-ts chaining: t1 = first view, t2 = first click strictly after
+    * t1, t3 = first purchase strictly after t2. Timestamps compared as
+    * epoch-micros; every user in the table appears (step_reached 0 when
+    * the first step never fired).
+    */
+  def q126EventFunnel: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+      |SELECT u.user_id, epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+      |  epoch_us(t3) AS t3_us,
+      |  (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+      |        WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::INT AS step_reached
+      |FROM (SELECT DISTINCT user_id FROM events) u
+      |LEFT JOIN s1 ON u.user_id = s1.user_id
+      |LEFT JOIN s2 ON u.user_id = s2.user_id
+      |LEFT JOIN s3 ON u.user_id = s3.user_id
+      |ORDER BY u.user_id""".stripMargin
+
+  /** q128: `Analytics.cohortRetention` over orders — cohort = month of
+    * first order, offset in exact integer months (year*12 + month).
+    */
+  def q128CohortRetention: String =
+    """WITH fo AS (SELECT o_custkey, min(o_orderdate) AS f0
+      |  FROM orders GROUP BY o_custkey),
+      |act AS (SELECT DISTINCT f.o_custkey,
+      |    strftime(f.f0, '%Y-%m') AS cohort_month,
+      |    (year(o.o_orderdate)*12 + month(o.o_orderdate))
+      |      - (year(f.f0)*12 + month(f.f0)) AS off
+      |  FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey)
+      |SELECT cohort_month, off::INT AS month_offset, count(*)::BIGINT AS n_customers
+      |FROM act GROUP BY cohort_month, off
+      |ORDER BY cohort_month, month_offset""".stripMargin
+
   def q125GapfillDaily: String =
     """WITH daily AS (
       |  SELECT user_id, CAST(ts AS DATE) AS day,
@@ -2181,6 +2221,8 @@ object Oracles {
     "q123_bm25_topk" -> q123Bm25TopK,
     "q124_normalize_nfc" -> q124NormalizeNfc,
     "q125_gapfill_daily" -> q125GapfillDaily,
+    "q126_event_funnel" -> q126EventFunnel,
+    "q128_cohort_retention" -> q128CohortRetention,
     "q93_duplicate_spans" -> q93DuplicateSpans,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,
     "q57_knn_ivf" -> q57KnnIvf,

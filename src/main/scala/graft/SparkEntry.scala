@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.DabDataset
 import graft.functions.{AggregationProcessor, Chain, FFTProcessor, Framing, Processor}
-import graft.operators.{Curation, Dedup, Multimodal, Packing, Retrieval, Sampling, Similarity, TextAnalysis, Timeseries, Xval}
+import graft.operators.{Analytics, Curation, Dedup, Multimodal, Packing, Retrieval, Sampling, Similarity, TextAnalysis, Timeseries, Xval}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -661,6 +661,26 @@ object SparkEntry {
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("value"), col("n_events"), col("is_gap"))
         .orderBy("user_id", "day")
+    }),
+
+    // ---- north star: ordered event funnel (min-ts chaining) ----
+    // view → click → purchase per user; each step's first completion
+    // strictly after the previous step's. Slim (user, ts) projections
+    // only; every shuffle hashes user_id so the exchange is reused
+    // across the chain. Timestamps compared as epoch-micros (q62
+    // discipline); every user appears, step_reached 0..3.
+    "q126_event_funnel" -> ((s, dir) => {
+      Analytics.funnel(events(s, dir), Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    }),
+
+    // ---- north star: cohort retention triangle ----
+    // Customers by first-order month; distinct customers active k
+    // months later. Integer month index (year*12+month) keeps the
+    // offset engine-exact.
+    "q128_cohort_retention" -> ((s, dir) => {
+      Analytics.cohortRetention(orders(s, dir))
+        .orderBy("cohort_month", "month_offset")
     }),
 
     // ---- north star: BPE TRAINING (Sennrich 2016) — learn merges ----

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics: ordered funnels and cohort retention.
+  *
+  * The reference's event handling stops at windowed aggregation
+  * (cf. reference dataset/abstract.py sample-aligned meta); these two are
+  * the standard product-analytics shapes a query engine over an events
+  * table is expected to answer, and both reduce to slim shuffles on the
+  * entity key — no per-event state, no collect, no partition-less window.
+  */
+object Analytics {
+
+  /** Ordered funnel: for each entity, the earliest time it completed
+    * step k strictly after completing step k-1 (min-ts chaining — the
+    * standard "unordered window" funnel semantics: any qualifying event
+    * after the previous step's first completion counts).
+    *
+    * Output: one row per entity seen in `events` —
+    * (userCol, t1_us .. tN_us nullable epoch-micros, step_reached).
+    *
+    * Scale shape: the input projects to (user, ts) per step BEFORE any
+    * shuffle (slim rows, the type filter pushes to the scan); step 1 is
+    * one partial-agg'd groupBy; each later step joins the running chain
+    * to that step's slim projection on the entity key and re-aggregates.
+    * Every shuffle hashes the same entity key, so Catalyst reuses the
+    * exchange across the chain instead of re-partitioning per step.
+    * Funnel definitions are short, so cost ≈ steps × one slim shuffle,
+    * independent of per-user event counts — no event ever carries its
+    * payload past the first projection.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val u = col(userCol)
+    val base = events.select(u, col(typeCol).as("_t"), col(tsCol).as("_ts"))
+    val universe = base.select(u).distinct()
+    var chain: DataFrame = base.filter(col("_t") === steps.head)
+      .groupBy(u).agg(min(col("_ts")).as("_s1"))
+    for (i <- 1 until steps.length) {
+      val stepEv = base.filter(col("_t") === steps(i))
+        .select(u.as("_u2"), col("_ts"))
+      val keep = (1 to i).map(j => first(col(s"_s$j")).as(s"_s$j")) :+
+        min(when(col("_ts") > col(s"_s$i"), col("_ts"))).as(s"_s${i + 1}")
+      chain = chain.join(stepEv, chain(userCol) === col("_u2"), "left")
+        .groupBy(u).agg(keep.head, keep.tail: _*)
+    }
+    val stepCols = (1 to steps.length).map(i => col(s"_s$i"))
+    val reached = stepCols.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (c, i)) => when(c.isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    universe.join(chain, Seq(userCol), "left")
+      .select(u +:
+        stepCols.zipWithIndex.map { case (c, i) =>
+          unix_micros(c).as(s"t${i + 1}_us") } :+
+        reached.as("step_reached"): _*)
+  }
+
+  /** Cohort retention: entities grouped by the calendar month of their
+    * first event; for every (cohort, month-offset) the number of
+    * distinct entities active that many months later. The classic
+    * retention triangle (offset 0 row = cohort size).
+    *
+    * Month arithmetic is integer (year*12 + month), so the offset is
+    * exact on any engine. Two shuffles: one groupBy entity for the
+    * cohort month, one distinct+count on slim (cohort, offset, entity)
+    * rows — the join back to events is on the entity key and reuses the
+    * first exchange's partitioning.
+    */
+  def cohortRetention(events: DataFrame, userCol: String = "o_custkey",
+      tsCol: String = "o_orderdate"): DataFrame = {
+    val monthIdx = (c: Column) => year(c) * 12 + month(c)
+    val firstEv = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("_first"))
+      .select(col(userCol),
+        date_format(col("_first"), "yyyy-MM").as("cohort_month"),
+        monthIdx(col("_first")).as("_m0"))
+    events.select(col(userCol), monthIdx(col(tsCol)).as("_m"))
+      .join(firstEv, Seq(userCol))
+      .select(col("cohort_month"), (col("_m") - col("_m0")).as("month_offset"),
+        col(userCol))
+      .distinct()
+      .groupBy("cohort_month", "month_offset")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Analytics
+
+/** Funnel min-ts chaining semantics and retention-triangle arithmetic
+  * on hand-computed fixtures (q126/q128 exercise them at scale).
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def us(s: String) = ts(s).getTime * 1000L
+
+  private val events = Seq(
+    // user 1 completes the whole funnel in order
+    (1L, ts("2024-01-01 10:00:00"), "view"),
+    (1L, ts("2024-01-01 11:00:00"), "click"),
+    (1L, ts("2024-01-01 12:00:00"), "purchase"),
+    // user 2: purchase BEFORE the first click — step 3 must not count
+    (2L, ts("2024-01-02 10:00:00"), "view"),
+    (2L, ts("2024-01-02 10:30:00"), "purchase"),
+    (2L, ts("2024-01-02 11:00:00"), "click"),
+    // user 3: clicks but never views — step 1 never fires, reaches 0
+    (3L, ts("2024-01-03 10:00:00"), "click"),
+    (3L, ts("2024-01-03 11:00:00"), "purchase"),
+    // user 4: two views; the SECOND view's later click chain still
+    // counts because chaining is off the FIRST view
+    (4L, ts("2024-01-04 09:00:00"), "view"),
+    (4L, ts("2024-01-04 10:00:00"), "view"),
+    (4L, ts("2024-01-04 10:30:00"), "click"))
+    .toDF("user_id", "ts", "event_type")
+
+  test("funnel chains strictly-after min timestamps per step") {
+    val got = Analytics.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, Some(us("2024-01-01 10:00:00")), Some(us("2024-01-01 11:00:00")),
+        Some(us("2024-01-01 12:00:00")), 3),
+      // user 2: click at 11:00 counts (after first view) but no
+      // purchase after it — reaches 2, t3 null
+      (2L, Some(us("2024-01-02 10:00:00")), Some(us("2024-01-02 11:00:00")),
+        None, 2),
+      // user 3: no view at all — every step null even though later
+      // steps' event types exist
+      (3L, None, None, None, 0),
+      // user 4: t1 = FIRST view; click after it counts; no purchase
+      (4L, Some(us("2024-01-04 09:00:00")), Some(us("2024-01-04 10:30:00")),
+        None, 2)))
+  }
+
+  test("a one-step funnel degenerates to first-completion per user") {
+    val got = Analytics.funnel(events, Seq("click"))
+      .orderBy("user_id")
+      .as[(Long, Option[Long], Int)].collect().toSeq
+    assert(got.map(_._3) == Seq(1, 1, 1, 1))
+    assert(got(2) == ((3L, Some(us("2024-01-03 10:00:00")), 1)))
+  }
+
+  test("funnel events with identical timestamps are NOT strictly after") {
+    val tied = Seq(
+      (9L, ts("2024-01-01 10:00:00"), "view"),
+      (9L, ts("2024-01-01 10:00:00"), "click")) // same instant: no chain
+      .toDF("user_id", "ts", "event_type")
+    val got = Analytics.funnel(tied, Seq("view", "click"))
+      .as[(Long, Option[Long], Option[Long], Int)].collect().head
+    assert(got._4 == 1 && got._3.isEmpty)
+  }
+
+  private val orders = Seq(
+    // custs 1,2 first order 2024-01; cust 1 returns in 02 and 04
+    (1L, ts("2024-01-05 00:00:00")),
+    (1L, ts("2024-02-20 00:00:00")),
+    (1L, ts("2024-04-01 00:00:00")),
+    (2L, ts("2024-01-31 00:00:00")),
+    // cust 3 first order 2024-03, returns 2025-01 (offset 10 across
+    // the year boundary)
+    (3L, ts("2024-03-15 00:00:00")),
+    (3L, ts("2025-01-02 00:00:00")),
+    // two orders same month count once per (cohort, offset)
+    (2L, ts("2024-01-01 00:00:00")))
+    .toDF("o_custkey", "o_orderdate")
+
+  test("cohort retention: offset 0 row equals cohort size; year-boundary offsets exact") {
+    val got = Analytics.cohortRetention(orders)
+      .orderBy("cohort_month", "month_offset")
+      .as[(String, Int, Long)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01", 0, 2L), // custs 1 and 2 (2's two January orders count once)
+      ("2024-01", 1, 1L), // cust 1 in February
+      ("2024-01", 3, 1L), // cust 1 in April
+      ("2024-03", 0, 1L),
+      ("2024-03", 10, 1L))) // cust 3: Mar 2024 → Jan 2025
+  }
+}
