@@ -310,6 +310,25 @@ object Oracles {
        |WHERE d.doc_id NOT IN (SELECT id FROM losers)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q127: `Dedup.clusterReport` — q56's candidate graph, but emitting
+    * cluster MEMBERSHIP (component id = min reachable id, size,
+    * canonical flag) instead of keep/drop verdicts. Same recursive-CTE
+    * transitive closure as q56.
+    */
+  def q127DedupClusters: String =
+    s"""WITH RECURSIVE
+       |${minhashCandCtes(0.5, num = 32, rpb = 4, k = 5)},
+       |  edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM cand
+       |            UNION SELECT id_b, id_a FROM cand),
+       |  reach(s, d) AS (SELECT s, d FROM edges
+       |                  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |  minr AS (SELECT s AS id, least(s, min(d)) AS cid FROM reach GROUP BY s),
+       |  sz AS (SELECT cid, count(*)::BIGINT AS cluster_size FROM minr GROUP BY cid)
+       |SELECT m.id AS doc_id, m.cid AS cluster_id, sz.cluster_size,
+       |  (m.id = m.cid) AS is_canonical
+       |FROM minr m JOIN sz ON sz.cid = m.cid
+       |ORDER BY doc_id""".stripMargin
+
   /** q35: 64-bit SimHash (token FNV → splitmix, per-bit majority vote),
     * 4×16-bit band buckets, Hamming ≤ 16 — `Hashing.simhash` +
     * `Dedup.simhashCandidates`. Tokens: `\\s+` on lowered text, empties
@@ -2006,6 +2025,47 @@ object Oracles {
       |FROM act GROUP BY cohort_month, off
       |ORDER BY cohort_month, month_offset""".stripMargin
 
+  /** q129: `TextAnalysis.spellingVariantPairs` — levenshtein ≤ 2 pairs
+    * over the distinct ≥4-char word vocabulary (same `[^a-z0-9']+`
+    * tokenizer as q103), frequencies from the vocab agg. Both engines'
+    * levenshtein is the classic unit-cost insert/delete/substitute DP.
+    */
+  def q129SpellingVariants: String =
+    """WITH noisy AS (SELECT CASE WHEN doc_id % 17 = 0
+      |    THEN COALESCE(text, '') || ' tabel windwo qurey'
+      |    ELSE COALESCE(text, '') END AS text FROM documents),
+      |w AS (SELECT unnest(list_filter(
+      |    string_split_regex(lower(COALESCE(text, '')), '[^a-z0-9'']+'),
+      |    x -> length(x) >= 4)) AS wd FROM noisy),
+      |v AS (SELECT wd, count(*)::BIGINT AS n FROM w GROUP BY wd)
+      |SELECT a.wd AS word_a, b.wd AS word_b,
+      |  levenshtein(a.wd, b.wd)::INT AS dist, a.n AS n_a, b.n AS n_b
+      |FROM v a JOIN v b
+      |  ON substr(a.wd, 1, 1) = substr(b.wd, 1, 1) AND a.wd < b.wd
+      |  AND abs(length(a.wd) - length(b.wd)) <= 2
+      |WHERE levenshtein(a.wd, b.wd) BETWEEN 1 AND 2
+      |ORDER BY word_a, word_b""".stripMargin
+
+  /** q131: `Analytics.madOutliers(events.value by event_type, k=3)` —
+    * both engines' exact median interpolates lo + (hi−lo)·frac, so the
+    * unrounded 3×MAD predicate agrees bit-for-bit; displayed stats are
+    * rounded to 4 (q44 discipline).
+    */
+  def q131MadOutliers: String =
+    """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+      |  FROM events GROUP BY event_type),
+      |d AS (SELECT e.event_id, e.event_type, e.value,
+      |    abs(e.value - m.m) AS ad, m.m
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS md
+      |  FROM d GROUP BY event_type)
+      |SELECT d.event_id, d.event_type, d.value,
+      |  round(d.ad, 4) AS abs_dev, round(d.m, 4) AS group_median,
+      |  round(mad.md, 4) AS group_mad
+      |FROM d JOIN mad USING (event_type)
+      |WHERE d.ad > 3 * mad.md
+      |ORDER BY event_id""".stripMargin
+
   def q125GapfillDaily: String =
     """WITH daily AS (
       |  SELECT user_id, CAST(ts AS DATE) AS day,
@@ -2222,6 +2282,9 @@ object Oracles {
     "q124_normalize_nfc" -> q124NormalizeNfc,
     "q125_gapfill_daily" -> q125GapfillDaily,
     "q126_event_funnel" -> q126EventFunnel,
+    "q127_dedup_clusters" -> q127DedupClusters,
+    "q129_spelling_variants" -> q129SpellingVariants,
+    "q131_mad_outliers" -> q131MadOutliers,
     "q128_cohort_retention" -> q128CohortRetention,
     "q93_duplicate_spans" -> q93DuplicateSpans,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,

@@ -683,6 +683,35 @@ object SparkEntry {
         .orderBy("cohort_month", "month_offset")
     }),
 
+    // ---- north star: robust outliers (median absolute deviation) ----
+    // |value − event-type median| > 3 × the type's MAD; exact
+    // interpolated medians on both engines make the predicate
+    // engine-exact (events.value is long-tailed, so MAD bites where
+    // mean/stddev would be dragged by the tail itself).
+    "q131_mad_outliers" -> ((s, dir) => {
+      Analytics.madOutliers(events(s, dir), "value", "event_type")
+        .select("event_id", "event_type", "value", "abs_dev",
+          "group_median", "group_mad")
+        .orderBy("event_id")
+    }),
+
+    // ---- north star: spelling-variant mining (vocab fuzzy self-join) ----
+    // Edit-distance ≤ 2 pairs over the DISTINCT word vocabulary with
+    // corpus frequencies — the typo-normalization dictionary pass.
+    // First-char + length-band blocking keeps the quadratic kernel on
+    // the (Heaps-law-sublinear) vocab, never the corpus. The synthetic
+    // corpus has no organic typos, so every 17th doc gets a
+    // deterministic OCR-noise suffix (q124's injection discipline) and
+    // the miner recovers exactly those variant↔canonical pairs.
+    "q129_spelling_variants" -> ((s, dir) => {
+      val noisy = documents(s, dir).withColumn("text",
+        concat(coalesce(col("text"), lit("")),
+          when(pmod(col("doc_id"), lit(17)) === 0,
+            lit(" tabel windwo qurey")).otherwise(lit(""))))
+      TextAnalysis.spellingVariantPairs(noisy)
+        .orderBy("word_a", "word_b")
+    }),
+
     // ---- north star: BPE TRAINING (Sennrich 2016) — learn merges ----
     // The full train side of the q88/q108 tokenize loop: word-frequency
     // dictionary (one corpus shuffle), then 8 iterations of weighted
@@ -1233,6 +1262,18 @@ object SparkEntry {
       Dedup.nearDupKeep(documents(s, dir), numHashes = 32, rowsPerBand = 4,
           k = 5, threshold = 0.5)
         .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // ---- north star: near-dup cluster membership report ----
+    // The audit view behind q56's keep/drop verdicts: connected
+    // components over the same LSH candidate graph (pointer-doubled
+    // min-label propagation), every clustered doc with its component
+    // id, component size, and canonical flag. Oracle replays the
+    // closure as a recursive CTE.
+    "q127_dedup_clusters" -> ((s, dir) => {
+      Dedup.clusterReport(documents(s, dir), numHashes = 32,
+          rowsPerBand = 4, k = 5, threshold = 0.5)
         .orderBy("doc_id")
     }),
 

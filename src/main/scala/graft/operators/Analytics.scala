@@ -59,6 +59,38 @@ object Analytics {
         reached.as("step_reached"): _*)
   }
 
+  /** Robust per-group outlier detection: median absolute deviation.
+    * Flags rows whose |value − group median| exceeds k × the group's
+    * MAD — the standard robust alternative to z-scores (median and MAD
+    * have a 50% breakdown point; mean/stddev break on one bad value).
+    *
+    * Exactness: both medians use exact linear interpolation
+    * (lo + (hi−lo)·frac — the same IEEE expression DuckDB's
+    * quantile_cont evaluates), so the k·MAD predicate is engine-exact,
+    * not approximate. Scale shape: two groupBy-key shuffles plus joins
+    * back on the same key (the exchange is reused); exact per-group
+    * percentile buffers each group's values, so at extreme group sizes
+    * swap `percentile` for `approx_percentile` and accept a tolerance —
+    * the operator keeps the exact kernel because outlier gates feed
+    * correctness-sensitive curation decisions.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
+      k: Double = 3.0): DataFrame = {
+    val v = col(valueCol)
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+    val dev = df.join(med, Seq(groupCol))
+      .withColumn("_ad", abs(v - col("_med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(_ad, 0.5)").as("_mad"))
+    dev.join(mad, Seq(groupCol))
+      .filter(col("_ad") > lit(k) * col("_mad"))
+      .withColumn("abs_dev", round(col("_ad"), 4))
+      .withColumn("group_median", round(col("_med"), 4))
+      .withColumn("group_mad", round(col("_mad"), 4))
+      .drop("_med", "_ad", "_mad")
+  }
+
   /** Cohort retention: entities grouped by the calendar month of their
     * first event; for every (cohort, month-offset) the number of
     * distinct entities active that many months later. The classic

@@ -640,6 +640,32 @@ object Dedup {
     uniq.join(losers, Seq(idCol), "anti")
   }
 
+  /** Cluster-membership view of the near-dup graph — the auditable
+    * companion to [[nearDupKeep]]'s keep/drop verdicts: every exact-rep
+    * doc that participates in at least one LSH candidate pair, labeled
+    * with its connected component (cluster_id = component-minimum doc
+    * id), the component size, and whether it is the canonical survivor.
+    * Singletons (docs with no candidate pair) are absent — at corpus
+    * scale they are ~all rows, and they carry no audit information.
+    *
+    * Scale shape: [[clusterPairs]]' pointer-doubled label propagation
+    * plus ONE extra groupBy over the label table (which is sized by the
+    * candidate pairs, not the corpus) for the component sizes.
+    */
+  def clusterReport(docs: DataFrame, numHashes: Int = 64,
+      rowsPerBand: Int = 8, k: Int = 5, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val uniq = exactKeep(docs, idCol, textCol)
+    val cands = minhashCandidates(uniq, numHashes, rowsPerBand, k, threshold,
+      idCol, textCol, collapseExact = false)
+    val labels = clusterPairs(cands)
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("id").as(idCol), col("cluster_id"), col("cluster_size"),
+        (col("id") === col("cluster_id")).as("is_canonical"))
+  }
+
   /** [[nearDupKeep]] with a caller-chosen representative: cluster
     * members rank by `score` DESC (tie: lowest id) and only the top one
     * survives — curation's "keep the best copy" (longest, highest

@@ -818,4 +818,41 @@ object TextAnalysis {
       qualityFeatures(col(textCol)).as("quality"),
       qualityScore(col(textCol)).as("quality_score"),
       fingerprint(col(textCol)).as("fingerprint"))
+
+  /** Spelling-variant mining: pairs of VOCABULARY words within edit
+    * distance `maxDist` of each other, with their corpus frequencies —
+    * the dictionary pass behind OCR-noise cleanup and typo-normalization
+    * maps (fold low-frequency variants into their high-frequency
+    * neighbor).
+    *
+    * Scale shape: the fuzzy self-join runs on the DISTINCT word
+    * vocabulary, never the corpus — vocabulary grows ~Heaps-law
+    * sublinearly while the corpus grows linearly, so the quadratic
+    * kernel stays bounded. Blocking = (first character, length band
+    * |Δlen| ≤ maxDist): equi-join on the first char, the length band as
+    * a join residual — a true edit-distance-≤-d pair can never differ
+    * in length by more than d, so blocking loses only first-character
+    * edits (the standard prefix-blocking trade-off; widen `prefixLen`
+    * to 0 to disable). Frequencies ride along from the vocab agg; no
+    * second corpus pass.
+    */
+  def spellingVariantPairs(docs: DataFrame, textCol: String = "text",
+      maxDist: Int = 2, minWordLen: Int = 4): DataFrame = {
+    require(maxDist >= 1, s"maxDist $maxDist must be >= 1")
+    val vocab = docs
+      .select(explode(words(coalesce(col(textCol), lit("")))).as("wd"))
+      .filter(length(col("wd")) >= minWordLen)
+      .groupBy("wd").agg(count(lit(1)).as("n"))
+    val a = vocab.select(col("wd").as("word_a"), col("n").as("n_a"),
+      substring(col("wd"), 1, 1).as("_blk"))
+    val b = vocab.select(col("wd").as("word_b"), col("n").as("n_b"),
+      substring(col("wd"), 1, 1).as("_blk"))
+    a.join(b, Seq("_blk"))
+      .filter(col("word_a") < col("word_b") &&
+        abs(length(col("word_a")) - length(col("word_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("word_a"), col("word_b")))
+      .filter(col("dist").between(1, maxDist))
+      .select(col("word_a"), col("word_b"), col("dist"),
+        col("n_a"), col("n_b"))
+  }
 }

@@ -95,4 +95,32 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-03", 0, 1L),
       ("2024-03", 10, 1L))) // cust 3: Mar 2024 → Jan 2025
   }
+
+  test("MAD outliers: robust to the outlier itself; ties at the fence excluded") {
+    // group g: values 1,1,1,1,100 — median 1, abs devs 0,0,0,0,99,
+    // MAD 0 → any dev > 0 flags (the 100)
+    // group h: 10,20,30 — median 20, devs 10,0,10, MAD 10, fence 30:
+    // no dev exceeds it (10 < 30) → no outliers
+    val df = Seq(
+      (1L, "g", 1.0), (2L, "g", 1.0), (3L, "g", 1.0), (4L, "g", 1.0),
+      (5L, "g", 100.0),
+      (6L, "h", 10.0), (7L, "h", 20.0), (8L, "h", 30.0))
+      .toDF("id", "grp", "v")
+    val got = Analytics.madOutliers(df, "v", "grp")
+      .select("id", "abs_dev", "group_median", "group_mad")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq((5L, 99.0, 1.0, 0.0)))
+  }
+
+  test("MAD outliers: strict > fence (a value exactly at k*MAD stays)") {
+    // median 0 (values -1,0,1,5): interpolated median of 4 values
+    // (-1,0,1,5) = 0.5; devs 1.5,0.5,0.5,4.5; MAD = interp(0.5,1.5)=1.0;
+    // fence 3.0 → only dev 4.5 flags; dev exactly 3.0 would not
+    val df = Seq((1L, "x", -1.0), (2L, "x", 0.0), (3L, "x", 1.0),
+      (4L, "x", 5.0), (5L, "x", 3.5)) // dev |3.5-1| vs median incl. it
+      .toDF("id", "grp", "v")
+    // recompute expectation directly: median of (-1,0,1,3.5,5) = 1.0;
+    // devs 2,1,0,2.5,4; MAD = 2.0; fence 6.0 → nothing flagged
+    assert(Analytics.madOutliers(df, "v", "grp").count() == 0)
+  }
 }

@@ -61,6 +61,33 @@ class OperatorsSpec extends SparkSpec {
     assert(c(10L) == 10L && c(11L) == 10L)
   }
 
+  test("clusterReport: membership, sizes, canonical flags; singletons absent") {
+    val rep = Dedup.clusterReport(docs, numHashes = 32, rowsPerBand = 4,
+      k = 5, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("is_canonical")))
+      .toSet
+    // docs 0 and 2 are the near-dup pair on the exact reps (1 collapsed
+    // into 0 by stage-1 exactKeep); 3 and 4 are unpaired singletons
+    assert(rep == Set((0L, 0L, 2L, true), (2L, 0L, 2L, false)))
+  }
+
+  test("spelling variants: recovers injected typos with frequencies, skips distance-0") {
+    val corpus = Seq(
+      (0L, "table window query table"),
+      (1L, "tabel windwo query"), // typo'd variants
+      (2L, "table unrelated"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.spellingVariantPairs(corpus)
+      .orderBy("word_a", "word_b")
+      .as[(String, String, Int, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("tabel", "table", 2, 1L, 3L),
+      ("window", "windwo", 2, 1L, 1L))) // 'o' < 'w': window sorts first
+    // 'query' appears twice but has no variant; identical words never pair
+    assert(!got.exists(p => p._1 == p._2))
+  }
+
   test("nearDupKeep drops near-dup group members, keeps min id + unpaired") {
     val kept = Dedup.nearDupKeep(docs, numHashes = 32, rowsPerBand = 4,
       k = 5, threshold = 0.5)
