@@ -2046,6 +2046,25 @@ object Oracles {
       |WHERE levenshtein(a.wd, b.wd) BETWEEN 1 AND 2
       |ORDER BY word_a, word_b""".stripMargin
 
+  /** q133: `Layout.zorderKey` / native `graft_morton` — the Z-value of
+    * 16-bit-bucketed (o_custkey, o_totalprice DIV 100). The oracle
+    * replays the bit interleave as a 32-term integer sum: bit i of x
+    * contributes 4^i, bit i of y contributes 2·4^i — definitionally the
+    * Morton code, with no engine-specific bit tricks to diverge.
+    */
+  def q133ZorderKey: String = {
+    def bits(c: String, mult: Long): String = (0 until 16).map { i =>
+      s"(($c // ${1L << i}) % 2) * ${mult * (1L << (2 * i))}"
+    }.mkString(" + ")
+    s"""WITH base AS (SELECT o_orderkey,
+       |    CAST(floor(o_custkey / 1) AS BIGINT) % 65536 AS x16,
+       |    CAST(floor(o_totalprice / 100) AS BIGINT) % 65536 AS y16
+       |  FROM orders)
+       |SELECT o_orderkey, x16, y16,
+       |  (${bits("x16", 1)} + ${bits("y16", 2)})::BIGINT AS zkey
+       |FROM base ORDER BY o_orderkey""".stripMargin
+  }
+
   /** q131: `Analytics.madOutliers(events.value by event_type, k=3)` —
     * both engines' exact median interpolates lo + (hi−lo)·frac, so the
     * unrounded 3×MAD predicate agrees bit-for-bit; displayed stats are
@@ -2285,6 +2304,7 @@ object Oracles {
     "q127_dedup_clusters" -> q127DedupClusters,
     "q129_spelling_variants" -> q129SpellingVariants,
     "q131_mad_outliers" -> q131MadOutliers,
+    "q133_zorder_key" -> q133ZorderKey,
     "q128_cohort_retention" -> q128CohortRetention,
     "q93_duplicate_spans" -> q93DuplicateSpans,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,

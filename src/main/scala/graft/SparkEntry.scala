@@ -683,6 +683,21 @@ object SparkEntry {
         .orderBy("cohort_month", "month_offset")
     }),
 
+    // ---- north star: Z-order layout key (native Morton expression) ----
+    // 16-bit bucketed (custkey, totalprice/100) interleaved by the
+    // codegen'd graft_morton kernel — the clustering key that gives
+    // re-laid-out files tight min/max rectangles in BOTH filter
+    // dimensions. Oracle replays the interleave as a 32-term integer
+    // bit sum.
+    "q133_zorder_key" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val x16 = pmod(floor(col("o_custkey") / 1).cast("long"), lit(65536L))
+      val y16 = pmod(floor(col("o_totalprice") / 100).cast("long"), lit(65536L))
+      o.select(col("o_orderkey"), x16.as("x16"), y16.as("y16"),
+          graft.plans.GraftExtensions.mortonNative(x16, y16).as("zkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- north star: robust outliers (median absolute deviation) ----
     // |value − event-type median| > 3 × the type's MAD; exact
     // interpolated medians on both engines make the predicate

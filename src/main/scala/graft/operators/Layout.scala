@@ -58,4 +58,37 @@ object Layout {
     */
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+
+  /** Z-order clustering key for two dimensions: bucket each dimension
+    * to 16 bits (value DIV `xStep` / `yStep`, modulo 2^16) and Morton-
+    * interleave via the native [[graft.plans.MortonInterleave]]
+    * expression. Range-partitioning + sorting a table by `zkey` before
+    * writing gives every output file bounded min/max in BOTH
+    * dimensions, so parquet row-group skipping prunes on either filter
+    * column — the multi-dimension layout story a compound sort cannot
+    * deliver for the trailing column.
+    */
+  def zorderKey(x: org.apache.spark.sql.Column, xStep: Long,
+      y: org.apache.spark.sql.Column, yStep: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.mortonNative(
+      pmod(floor(x / xStep).cast("long"), lit(65536L)),
+      pmod(floor(y / yStep).cast("long"), lit(65536L)))
+  }
+
+  /** Re-layout `df` clustered by the Z-value of two dimensions: range-
+    * partition on `zkey` (one skew-aware shuffle — range bounds come
+    * from Spark's reservoir sampling) and sort within partitions, so a
+    * subsequent parquet write emits files whose per-file min/max are
+    * tight rectangles in (x, y) space.
+    */
+  def zorderBy(df: DataFrame, xCol: String, xStep: Long,
+      yCol: String, yStep: Long, numFiles: Int = 32): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val keyed = df.withColumn("_zkey",
+      zorderKey(col(xCol), xStep, col(yCol), yStep))
+    keyed.repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+  }
 }

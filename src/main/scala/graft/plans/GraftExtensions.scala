@@ -32,6 +32,12 @@ object GraftExtensions {
         require(children.length == 2, "graft_dot_int(a, b) takes two array<int> args")
         IntDotProduct(children.head, children(1))
       }),
+    (new FunctionIdentifier("graft_morton"),
+      new ExpressionInfo(classOf[MortonInterleave].getName, "graft_morton"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_morton(x, y) takes two long args")
+        MortonInterleave(children.head, children(1))
+      }),
     (new FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
       (children: Seq[Expression]) => {
@@ -75,6 +81,13 @@ object GraftExtensions {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(
       IntDotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
+
+  /** Registration-free Morton/Z-order interleave (see [[cosineNative]]). */
+  def mortonNative(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(
+      MortonInterleave(ColumnShim.expression(x), ColumnShim.expression(y)))
   }
 
   /** Registration-free Unicode normalization (see [[cosineNative]]):

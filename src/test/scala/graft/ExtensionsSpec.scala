@@ -128,6 +128,72 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql(1).isNullAt(0))
   }
 
+  test("graft_morton: bit goldens, naive-interleave agreement, codegen'd, null-safe") {
+    import graft.plans.MortonInterleave.interleave
+    // definitional goldens: x at even positions, y at odd
+    assert(interleave(1L, 0L) == 1L)
+    assert(interleave(0L, 1L) == 2L)
+    assert(interleave(3L, 3L) == 15L)
+    assert(interleave(0xFFFFL, 0L) == 0x55555555L)
+    assert(interleave(0L, 0xFFFFL) == 0xAAAAAAAAL)
+    assert(interleave(0xFFFFL, 0xFFFFL) == 0xFFFFFFFFL)
+    // inputs reduce modulo 2^16
+    assert(interleave(0x10001L, 0L) == interleave(1L, 0L))
+    // agreement with the bit-by-bit definition on random inputs
+    def naive(x: Long, y: Long): Long =
+      (0 until 16).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+    val rnd = new scala.util.Random(41)
+    (0 until 500).foreach { _ =>
+      val (x, y) = (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)
+      assert(interleave(x, y) == naive(x, y), s"($x, $y)")
+    }
+    // SQL registration + whole-stage codegen
+    val s = extSession
+    import s.implicits._
+    (0 until 200).map(i => (i.toLong, (i * 7 % 65536).toLong)).toDF("x", "y")
+      .repartition(2).createOrReplaceTempView("zsrc")
+    val q = s.sql("SELECT graft_morton(x, y) AS z FROM zsrc")
+    val got = q.as[Long].collect()
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || "\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
+      plan.take(400))
+    assert(got.toSet == (0 until 200).map(i => naive(i.toLong, i * 7L % 65536)).toSet)
+    // null-safe
+    val withNull = Seq((Some(1L), None: Option[Long])).toDF("x", "y")
+      .select(GraftExtensions.mortonNative($"x", $"y").as("z"))
+    assert(withNull.collect().head.isNullAt(0))
+  }
+
+  test("zorderBy: every partition's bounding box is tight in BOTH dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 64×64 grid of points; Z-order into 16 partitions → each partition
+    // should cover a small rectangle, not a full-width stripe
+    val pts = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val laid = graft.operators.Layout.zorderBy(pts, "x", 1, "y", 1, numFiles = 16)
+    val boxes = laid
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"), count(lit(1)).as("n"))
+      .collect()
+    assert(boxes.map(_.getAs[Long]("n")).sum == 64L * 64)
+    // every non-trivial partition's box is at most half the grid in
+    // each dimension — a leading-column sort would give full-width
+    // (63-wide) stripes in the trailing dimension
+    val nonTrivial = boxes.filter(_.getAs[Long]("n") >= 64)
+    assert(nonTrivial.nonEmpty)
+    nonTrivial.foreach { b =>
+      val w = b.getAs[Long]("x1") - b.getAs[Long]("x0")
+      val h = b.getAs[Long]("y1") - b.getAs[Long]("y0")
+      assert(w <= 32 && h <= 32, s"partition box ${w}x$h too wide")
+    }
+  }
+
   test("graft_normalize: literal-foldable inputs and interpreted eval agree") {
     // nullSafeEval path (no codegen): evaluate via a local relation
     val s = extSession
