@@ -2046,6 +2046,37 @@ object Oracles {
       |WHERE levenshtein(a.wd, b.wd) BETWEEN 1 AND 2
       |ORDER BY word_a, word_b""".stripMargin
 
+  /** q130: `Analytics.histogram(o_totalprice, lo=0, width=25000, n=20)`
+    * — floor((v−lo)/width) clamped into [0, 19]; bounds lo + k·width
+    * are the same double expression on both engines.
+    */
+  def q130Histogram: String =
+    """WITH b AS (SELECT CAST(least(greatest(
+      |    floor((o_totalprice - 0.0) / 25000.0), 0.0), 19.0) AS BIGINT)
+      |    AS bucket FROM orders)
+      |SELECT bucket, 0.0 + bucket * 25000.0 AS bucket_lo,
+      |  0.0 + (bucket + 1) * 25000.0 AS bucket_hi,
+      |  count(*)::BIGINT AS n
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** q132: `Analytics.funnelCounts` — entities reaching step ≥ i of the
+    * q126 funnel; replayed off the same chained-CTE funnel.
+    */
+  def q132FunnelCounts: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+      |SELECT step, n_reached FROM (
+      |  SELECT 1 AS step, count(*)::BIGINT AS n_reached FROM s1
+      |  UNION ALL SELECT 2, count(*)::BIGINT FROM s2
+      |  UNION ALL SELECT 3, count(*)::BIGINT FROM s3)
+      |ORDER BY step""".stripMargin
+
   /** q133: `Layout.zorderKey` / native `graft_morton` — the Z-value of
     * 16-bit-bucketed (o_custkey, o_totalprice DIV 100). The oracle
     * replays the bit interleave as a 32-term integer sum: bit i of x
@@ -2303,7 +2334,9 @@ object Oracles {
     "q126_event_funnel" -> q126EventFunnel,
     "q127_dedup_clusters" -> q127DedupClusters,
     "q129_spelling_variants" -> q129SpellingVariants,
+    "q130_histogram" -> q130Histogram,
     "q131_mad_outliers" -> q131MadOutliers,
+    "q132_funnel_counts" -> q132FunnelCounts,
     "q133_zorder_key" -> q133ZorderKey,
     "q128_cohort_retention" -> q128CohortRetention,
     "q93_duplicate_spans" -> q93DuplicateSpans,

@@ -674,6 +674,25 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- north star: equi-width histogram (no window, no sort) ----
+    // Value-based bucketing of o_totalprice into 20 × 25k buckets;
+    // bounds are exact double arithmetic (lo + k·width) on both
+    // engines.
+    "q130_histogram" -> ((s, dir) => {
+      Analytics.histogram(orders(s, dir), "o_totalprice",
+          lo = 0.0, width = 25000.0, nBuckets = 20)
+        .orderBy("bucket")
+    }),
+
+    // ---- north star: funnel step-conversion summary ----
+    // Aggregate of q126's per-user funnel: entities reaching each step.
+    "q132_funnel_counts" -> ((s, dir) => {
+      Analytics.funnelCounts(
+          Analytics.funnel(events(s, dir), Seq("view", "click", "purchase")),
+          nSteps = 3)
+        .orderBy("step")
+    }),
+
     // ---- north star: cohort retention triangle ----
     // Customers by first-order month; distinct customers active k
     // months later. Integer month index (year*12+month) keeps the

@@ -59,6 +59,44 @@ object Analytics {
         reached.as("step_reached"): _*)
   }
 
+  /** Funnel step-conversion summary over [[funnel]]'s per-entity rows:
+    * one row per step with the number of entities that reached it and
+    * the step-over-step survivor count of the NEXT step (the shape
+    * funnel dashboards plot). Pure aggregation of the per-entity view —
+    * conditional counts, no second pass over events.
+    */
+  def funnelCounts(perEntity: DataFrame, nSteps: Int): DataFrame = {
+    require(nSteps >= 1, "need at least one step")
+    val rows = (1 to nSteps).map { i =>
+      struct(lit(i).as("step"),
+        sum(when(col("step_reached") >= i, 1L).otherwise(0L)).as("n_reached"))
+    }
+    perEntity.agg(array(rows: _*).as("_steps"))
+      .select(explode(col("_steps")).as("s"))
+      .select(col("s.step").as("step"), col("s.n_reached").as("n_reached"))
+  }
+
+  /** Equi-width histogram: value-based bucket assignment
+    * (floor((v − lo) / width), clamped to [0, nBuckets−1]) — one
+    * map-side projection plus one partial-agg'd groupBy; NO global
+    * window or sort, so the plan is two stages at any scale. Emits
+    * every bucket's [lo, hi) bounds and count; empty buckets are
+    * absent (join a bucket spine if a dense axis is needed).
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, width: Double,
+      nBuckets: Int): DataFrame = {
+    require(width > 0 && nBuckets > 0, "width and nBuckets must be positive")
+    val b = least(greatest(floor((col(valueCol) - lo) / width), lit(0.0)),
+      lit((nBuckets - 1).toDouble)).cast("long")
+    df.select(b.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * width).as("bucket_lo"),
+        (lit(lo) + (col("bucket") + 1) * width).as("bucket_hi"),
+        col("n"))
+  }
+
   /** Robust per-group outlier detection: median absolute deviation.
     * Flags rows whose |value − group median| exceeds k × the group's
     * MAD — the standard robust alternative to z-scores (median and MAD

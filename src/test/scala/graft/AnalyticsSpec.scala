@@ -96,6 +96,24 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-03", 10, 1L))) // cust 3: Mar 2024 → Jan 2025
   }
 
+  test("funnelCounts aggregates step_reached; histogram clamps edge buckets") {
+    val counts = Analytics.funnelCounts(
+      Analytics.funnel(events, Seq("view", "click", "purchase")), 3)
+      .orderBy("step").as[(Int, Long)].collect().toSeq
+    // users 1,2,4 reach view; 1,2,4 reach click; only 1 reaches purchase
+    assert(counts == Seq((1, 3L), (2, 3L), (3, 1L)))
+
+    val vals = Seq(-5.0, 0.0, 9.9, 10.0, 25.0, 99.0, 250.0).toDF("v")
+    val h = Analytics.histogram(vals, "v", lo = 0.0, width = 10.0, nBuckets = 10)
+      .orderBy("bucket")
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(h == Seq(
+      (0L, 0.0, 10.0, 3L),   // -5 clamps up; 0.0 and 9.9 in range
+      (1L, 10.0, 20.0, 1L),  // 10.0 lands in [10,20)
+      (2L, 20.0, 30.0, 1L),
+      (9L, 90.0, 100.0, 2L))) // 99 in range; 250 clamps down
+  }
+
   test("MAD outliers: robust to the outlier itself; ties at the fence excluded") {
     // group g: values 1,1,1,1,100 — median 1, abs devs 0,0,0,0,99,
     // MAD 0 → any dev > 0 flags (the 100)
