@@ -53,10 +53,12 @@ object GraftExtensions {
         UnicodeNormalize(children.head, form)
       }))
 
-  def register(ext: SparkSessionExtensions): Unit =
+  def register(ext: SparkSessionExtensions): Unit = {
     functions.foreach { case (id, info, builder) =>
       ext.injectFunction((id, info, builder))
     }
+    ext.injectOptimizerRule(_ => CollapseRedundantNormalize)
+  }
 
   /** Column-API handle for the native expression (requires the function
     * registered in the session — see [[register]] / `withExtensions`).

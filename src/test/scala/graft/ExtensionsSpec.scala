@@ -194,6 +194,28 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("optimizer rule collapses nested same-form graft_normalize, keeps cross-form") {
+    val s = extSession
+    import s.implicits._
+    val df = Seq("Café", "x").toDF("t").repartition(2)
+    // same form twice → optimized plan carries ONE normalize call
+    val same = df.select(
+      GraftExtensions.normalizeNative(
+        GraftExtensions.normalizeNative($"t", "NFC"), "NFC").as("n"))
+    val optimized = same.queryExecution.optimizedPlan
+    val nSame = optimized.expressions.map(_.collect {
+      case u: graft.plans.UnicodeNormalize => u }.size).sum
+    assert(nSame == 1, optimized.toString)
+    assert(same.as[String].collect().toSet == Set("Café", "x"))
+    // different forms must NOT collapse (NFD∘NFC ≠ NFC)
+    val cross = df.select(
+      GraftExtensions.normalizeNative(
+        GraftExtensions.normalizeNative($"t", "NFC"), "NFD").as("n"))
+    val nCross = cross.queryExecution.optimizedPlan.expressions.map(_.collect {
+      case u: graft.plans.UnicodeNormalize => u }.size).sum
+    assert(nCross == 2, cross.queryExecution.optimizedPlan.toString)
+  }
+
   test("graft_normalize: literal-foldable inputs and interpreted eval agree") {
     // nullSafeEval path (no codegen): evaluate via a local relation
     val s = extSession
