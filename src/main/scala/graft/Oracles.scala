@@ -2046,6 +2046,77 @@ object Oracles {
       |WHERE levenshtein(a.wd, b.wd) BETWEEN 1 AND 2
       |ORDER BY word_a, word_b""".stripMargin
 
+  /** q136: `Timeseries.timeWeightedAvg` — lead() interval per key,
+    * DECIMAL(18,4)·micros weighted sum, single final double division
+    * rounded to 6. Single-event keys: span 0, twa NULL.
+    */
+  def q136TimeWeightedAvg: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+      |    value::DECIMAL(18,4) AS v FROM events),
+      |w AS (SELECT user_id, v,
+      |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dt
+      |  FROM e)
+      |SELECT user_id, count(*)::BIGINT AS n_events,
+      |  COALESCE(sum(dt), 0)::BIGINT AS span_us,
+      |  round(CAST(sum(v * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 6) AS twa
+      |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q137: `Timeseries.driftAlerts(threshold=500)` — the ×n-scaled
+    * CUSUM drawup: cᵢ = n·cumsum(v) − i·Σv, alert when cᵢ − min_{j≤i}cⱼ
+    * > 500·n; every compared quantity DECIMAL-exact.
+    */
+  def q137DriftAlerts: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+      |    value::DECIMAL(18,4) AS v FROM events),
+      |st AS (SELECT user_id, sum(v) AS s, count(*) AS n
+      |  FROM e GROUP BY user_id),
+      |c AS (SELECT e.user_id, e.event_id, e.t,
+      |    st.n * sum(e.v) OVER (PARTITION BY e.user_id
+      |      ORDER BY e.t, e.event_id ROWS UNBOUNDED PRECEDING)
+      |      - row_number() OVER (PARTITION BY e.user_id
+      |          ORDER BY e.t, e.event_id) * st.s AS cstat,
+      |    st.n AS n
+      |  FROM e JOIN st USING (user_id)),
+      |d AS (SELECT user_id, event_id, t, n,
+      |    cstat - min(cstat) OVER (PARTITION BY user_id
+      |      ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS drawup
+      |  FROM c)
+      |SELECT user_id, event_id, t AS ts_us,
+      |  round(CAST(drawup AS DOUBLE) / n, 4) AS drift
+      |FROM d WHERE drawup > 500.0::DECIMAL(18,4) * n
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** q134: `Dataset.pivot` with an explicit value list — conditional
+    * FILTER counts per type, zero-filled.
+    */
+  def q134PivotEvents: String =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click')::BIGINT AS click,
+      |  count(*) FILTER (event_type = 'error')::BIGINT AS error,
+      |  count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+      |  count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+      |  count(*) FILTER (event_type = 'view')::BIGINT AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q135: `Dataset.unpivot` of the q134 wide shape — melt replayed as
+    * a 5-way UNION ALL.
+    */
+  def q135UnpivotEvents: String =
+    """WITH wide AS (SELECT user_id,
+      |    count(*) FILTER (event_type = 'click')::BIGINT AS click,
+      |    count(*) FILTER (event_type = 'error')::BIGINT AS error,
+      |    count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+      |    count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+      |    count(*) FILTER (event_type = 'view')::BIGINT AS view
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, event_type, n_events FROM (
+      |  SELECT user_id, 'click' AS event_type, click AS n_events FROM wide
+      |  UNION ALL SELECT user_id, 'error', error FROM wide
+      |  UNION ALL SELECT user_id, 'purchase', purchase FROM wide
+      |  UNION ALL SELECT user_id, 'signup', signup FROM wide
+      |  UNION ALL SELECT user_id, 'view', view FROM wide)
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** q130: `Analytics.histogram(o_totalprice, lo=0, width=25000, n=20)`
     * — floor((v−lo)/width) clamped into [0, 19]; bounds lo + k·width
     * are the same double expression on both engines.
@@ -2338,6 +2409,10 @@ object Oracles {
     "q131_mad_outliers" -> q131MadOutliers,
     "q132_funnel_counts" -> q132FunnelCounts,
     "q133_zorder_key" -> q133ZorderKey,
+    "q134_pivot_events" -> q134PivotEvents,
+    "q135_unpivot_events" -> q135UnpivotEvents,
+    "q136_time_weighted_avg" -> q136TimeWeightedAvg,
+    "q137_drift_alerts" -> q137DriftAlerts,
     "q128_cohort_retention" -> q128CohortRetention,
     "q93_duplicate_spans" -> q93DuplicateSpans,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,

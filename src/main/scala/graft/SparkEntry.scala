@@ -674,6 +674,57 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- north star: time-weighted average (sample-and-hold mean) ----
+    // Σ v·Δt / Σ Δt per user; integer-micros weights × DECIMAL values
+    // keep the weighted sum exact; one lead() window + one agg, both
+    // partitioned by the key.
+    "q136_time_weighted_avg" -> ((s, dir) => {
+      Timeseries.timeWeightedAvg(events(s, dir))
+        .orderBy("user_id")
+    }),
+
+    // ---- north star: CUSUM drift alerts (drawup change detection) ----
+    // Running deviation-from-own-mean sum climbing > 500 above its
+    // running minimum; the ×n scaling keeps every compared quantity
+    // DECIMAL-exact (no mean division inside the predicate).
+    "q137_drift_alerts" -> ((s, dir) => {
+      Timeseries.driftAlerts(events(s, dir), threshold = 500.0)
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- §2.4 pivot: long → wide conditional aggregation ----
+    // Event counts per user × type via Dataset.pivot with an EXPLICIT
+    // value list — the scale-safe form: without it Spark first runs a
+    // distinct scan over the pivot column and caps it at
+    // spark.sql.pivotMaxValues; with it the plan is one partial-agg'd
+    // groupBy, schema fixed at plan time. Oracle = FILTERed counts.
+    "q134_pivot_events" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
+    // ---- §2.7 unpivot: wide → long (melt) ----
+    // The inverse direction over q134's wide shape, via Dataset.unpivot
+    // — one map-side explode, no shuffle beyond the upstream pivot's.
+    "q135_unpivot_events" -> ((s, dir) => {
+      val wide = events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(Array(col("user_id")),
+          Array(col("click"), col("error"), col("purchase"),
+            col("signup"), col("view")),
+          "event_type", "n_events")
+        .orderBy("user_id", "event_type")
+    }),
+
     // ---- north star: equi-width histogram (no window, no sort) ----
     // Value-based bucketing of o_totalprice into 20 × 25k buckets;
     // bounds are exact double arithmetic (lo + k·width) on both

@@ -47,4 +47,75 @@ object Timeseries {
         coalesce(col("_n"), lit(0L)).as("n_events"),
         col("_day_v").isNull.as("is_gap"))
   }
+
+  /** Time-weighted average per key over an irregular sample stream:
+    * each observation's value is held until the next observation, so
+    * TWA = Σ vᵢ·Δtᵢ / Σ Δtᵢ — the correct mean of a sampled-and-held
+    * signal (the arithmetic mean over-weights bursts; dabstract-style
+    * sensor streams are exactly this shape).
+    *
+    * Exactness: Δt in integer micros, values through DECIMAL(18,4), so
+    * the weighted sum is exact and order-independent; the single final
+    * double division is the same IEEE op on any engine. Keys with one
+    * observation have no interval → twa NULL. Scale shape: one window
+    * (lead) and one aggregation, both partitioned by the key.
+    */
+  def timeWeightedAvg(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", valCol: String = "value",
+      ordCol: String = "event_id"): DataFrame = {
+    val t = unix_micros(col(tsCol))
+    val w = Window.partitionBy(keyCol).orderBy(col("_t"), col(ordCol))
+    val dec = col(valCol).cast("decimal(18,4)")
+    events
+      .select(col(keyCol), col(ordCol), t.as("_t"), dec.as("_v"))
+      .withColumn("_dt", lead(col("_t"), 1).over(w) - col("_t"))
+      .groupBy(keyCol)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("_dt")).as("_span"),
+        sum(col("_v") * col("_dt")).as("_wsum"))
+      .select(col(keyCol), col("n_events"),
+        coalesce(col("_span"), lit(0L)).as("span_us"),
+        round(col("_wsum").cast("double") / col("_span").cast("double"), 6)
+          .as("twa"))
+  }
+
+  /** CUSUM-style drift alerts per key: flag observations where the
+    * running sum of deviations from the key's own mean has climbed more
+    * than `threshold` (in value units) above its running minimum — the
+    * classic drawup form of change detection (a sustained upward shift
+    * accumulates; noise does not).
+    *
+    * Exactness without a mean division: with Sᵤ = Σ dec(v) and n = count
+    * per key, the scaled statistic cᵢ = n·Σ_{j≤i} dec(vⱼ) − i·Sᵤ equals
+    * n·Σ(vⱼ − mean) — every term decimal-exact — and the alert predicate
+    * compares (cᵢ − min_{j≤i} cⱼ) against dec(threshold)·n, still exact.
+    * The reported `drift` divides by n once, for display only.
+    *
+    * Scale shape: one per-key aggregate joined back (exchange reuse on
+    * the key) + per-key windows; nothing global.
+    */
+  def driftAlerts(events: DataFrame, threshold: Double,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valCol: String = "value", ordCol: String = "event_id"): DataFrame = {
+    val t = unix_micros(col(tsCol))
+    val dec = col(valCol).cast("decimal(18,4)")
+    val stats = events.groupBy(keyCol)
+      .agg(sum(dec).as("_s"), count(lit(1)).as("_n"))
+    val w = Window.partitionBy(keyCol).orderBy(col("_t"), col(ordCol))
+    val cum = Window.partitionBy(keyCol).orderBy(col("_t"), col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(keyCol), col(ordCol), t.as("_t"), dec.as("_v"))
+      .join(stats, Seq(keyCol))
+      .withColumn("_c",
+        col("_n") * sum(col("_v")).over(cum) -
+          row_number().over(w) * col("_s"))
+      .withColumn("_drawup", col("_c") - min(col("_c")).over(cum))
+      .filter(col("_drawup") >
+        lit(threshold).cast("decimal(18,4)") * col("_n"))
+      .select(col(keyCol), col(ordCol), col("_t").as("ts_us"),
+        round(col("_drawup").cast("double") / col("_n").cast("double"), 4)
+          .as("drift"))
+  }
 }

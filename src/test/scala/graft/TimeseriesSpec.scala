@@ -48,4 +48,39 @@ class TimeseriesSpec extends SparkSpec {
       .filter(col("day") === col("d"))
     assert(firsts.filter(col("is_gap")).count() == 0)
   }
+
+  test("timeWeightedAvg: hold-until-next weighting, not the arithmetic mean") {
+    // user 1: v=10 held 1s, v=0 held 9s → TWA 1.0 (arith mean would be
+    // 10/3 with the final sample, which carries no interval at all)
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, 2L, ts("2024-01-01 00:00:01"), 0.0),
+      (1L, 3L, ts("2024-01-01 00:00:10"), 99.0), // last: no interval
+      (2L, 4L, ts("2024-01-01 00:00:00"), 7.0))  // single event: NULL twa
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = Timeseries.timeWeightedAvg(ev)
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 10000000L, Some(1.0)),
+      (2L, 1L, 0L, None)))
+  }
+
+  test("driftAlerts: sustained shift fires, zero-mean noise does not; ties ordered by event_id") {
+    // user 1: flat 0s then a +10 step — drawup accumulates after the step
+    val stepped = (1 to 10).map(i =>
+      (1L, i.toLong, ts(f"2024-01-01 00:00:$i%02d"), if (i <= 5) 0.0 else 10.0))
+    // user 2: alternating ±5 around its own mean 0 — drawup stays ≤ 10·n/… below threshold
+    val noise = (1 to 10).map(i =>
+      (2L, (100 + i).toLong, ts(f"2024-01-01 00:00:$i%02d"),
+        if (i % 2 == 0) 5.0 else -5.0))
+    val ev = (stepped ++ noise).toDF("user_id", "event_id", "ts", "value")
+    val alerts = Timeseries.driftAlerts(ev, threshold = 8.0)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(alerts.nonEmpty && alerts.forall(_._1 == 1L),
+      s"only the stepped user should alert: $alerts")
+    // mean of user 1 is 5; after the step each obs adds +5 to the cum:
+    // drawup crosses 8 at the 7th observation (cum −25 min, +10 by obs 7)
+    assert(alerts.map(_._2).min == 7L)
+  }
 }
