@@ -2413,6 +2413,9 @@ object Oracles {
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,
     "q137_drift_alerts" -> q137DriftAlerts,
+    // q138 = q126's semantics through the incremental streaming path:
+    // one oracle, two independent engine formulations (q116 discipline)
+    "q138_stream_funnel" -> q126EventFunnel,
     "q128_cohort_retention" -> q128CohortRetention,
     "q93_duplicate_spans" -> q93DuplicateSpans,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,

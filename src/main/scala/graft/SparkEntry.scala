@@ -674,6 +674,25 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- §2.9 streaming funnel (custom state, batch-exact) ----
+    // q126's min-ts chaining re-derived incrementally per trigger via
+    // flatMapGroupsWithState; per-step time lists in state make the
+    // streaming answer equal the batch answer under any arrival order,
+    // so the oracle is exactly q126's SQL.
+    "q138_stream_funnel" -> ((s, dir) => {
+      EventStreams.runOnceOnParquet(s, s"$dir/events.parquet",
+          df => EventStreams.funnelStream(s, df,
+            Seq("view", "click", "purchase")),
+          s"funnel_sink_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("user_id"),
+          element_at(col("times"), 1).as("t1_us"),
+          element_at(col("times"), 2).as("t2_us"),
+          element_at(col("times"), 3).as("t3_us"),
+          col("step_reached"))
+        .orderBy("user_id")
+    }),
+
     // ---- north star: time-weighted average (sample-and-hold mean) ----
     // Σ v·Δt / Σ Δt per user; integer-micros weights × DECIMAL values
     // keep the weighted sum exact; one lead() window + one agg, both

@@ -112,6 +112,69 @@ object EventStreams {
       }.toDF("user_id", "n_events", "total")
   }
 
+  /** Per-user funnel state: every step-event time seen so far, one list
+    * per step (capped at `maxPerStep` — see [[funnelStream]]).
+    */
+  final case class FunnelState(times: Seq[Seq[Long]], emits: Long)
+
+  /** Streaming ordered funnel — the incremental form of
+    * [[graft.operators.Analytics.funnel]]: per entity, the earliest
+    * completion of step k strictly after step k−1's, re-derived as
+    * events arrive. Emits one row per entity per trigger it received
+    * events in: (user_id, emit, times[nSteps] nullable epoch-µs,
+    * step_reached); `emit` counts that entity's emissions, so a
+    * multi-batch consumer keeps the max-emit row per entity.
+    *
+    * Exactness across batches: min-ts chaining is NOT incrementally
+    * monotone (an earlier step-1 arrival can unlock earlier step-2
+    * times already seen), so the state keeps each step's FULL event-
+    * time list and re-chains on every trigger — the only way the
+    * streaming answer equals the batch answer under arbitrary arrival
+    * order. State per entity is O(its step events), capped at
+    * `maxPerStep` per step (beyond the cap, later times are dropped —
+    * production funnels bound the horizon with a watermark + TTL the
+    * way [[StreamingDedup]] does; the cap keeps a hot key from
+    * unbounded state growth meanwhile). Chaining cost is one sort of
+    * each small list per trigger.
+    */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+      steps: Seq[String], maxPerStep: Int = 10000): DataFrame = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepIdx = steps.zipWithIndex.toMap
+    val n = steps.length
+    events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+            state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(Seq.fill(n)(Nil), 0L))
+          val buf = prev.times.map(s => scala.collection.mutable.ArrayBuffer(s: _*))
+          rows.foreach { case (_, tpe, t) =>
+            stepIdx.get(tpe).foreach { i =>
+              if (buf(i).length < maxPerStep) buf(i) += t
+            }
+          }
+          val next = FunnelState(buf.map(_.toSeq), prev.emits + 1)
+          state.update(next)
+          // re-chain from scratch: strictly-after minimum per step
+          var prevT = Option(Long.MinValue)
+          val chained: Seq[Option[Long]] = (0 until n).map { i =>
+            val m = prevT.flatMap { p =>
+              val cand = next.times(i).filter(_ > p)
+              if (cand.isEmpty) None else Some(cand.min)
+            }
+            prevT = m
+            m
+          }
+          val reached = chained.lastIndexWhere(_.isDefined) + 1
+          Iterator((user, next.emits, chained, reached))
+      }
+      .toDF("user_id", "emit", "times", "step_reached")
+  }
+
   /** Batch-mode run of a streaming query over a bounded source, used by
     * tests: read the parquet as a stream with one trigger, write to
     * memory sink, return the result.

@@ -114,6 +114,48 @@ class AnalyticsSpec extends SparkSpec {
       (9L, 90.0, 100.0, 2L))) // 99 in range; 250 clamps down
   }
 
+  test("streaming funnel: out-of-order cross-batch arrival converges to the batch answer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = graft.operators.Analytics // batch reference
+    val streamed = graft.streaming.EventStreams.funnelStream(spark,
+      input.toDF().toDF("user_id", "event_type", "ts"),
+      Seq("view", "click", "purchase"))
+    val q = streamed.writeStream.format("memory").queryName("funnel_conv")
+      .outputMode("append").start()
+    try {
+      // batch 1: click then purchase arrive BEFORE the view — chain empty
+      input.addData((1L, "click", ts("2024-01-01 11:00:00")),
+        (1L, "purchase", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // batch 2: the earlier view arrives late → full chain must unlock
+      // using the ALREADY-SEEN click+purchase times
+      input.addData((1L, "view", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_conv")
+        .orderBy("emit")
+        .as[(Long, Long, Seq[Option[Long]], Int)].collect().toSeq
+      assert(rows.map(_._2) == Seq(1L, 2L))
+      assert(rows.head._4 == 0) // before the view: nothing chained
+      val fin = rows.last
+      assert(fin._4 == 3 && fin._3.flatten == Seq(
+        us("2024-01-01 10:00:00"), us("2024-01-01 11:00:00"),
+        us("2024-01-01 12:00:00")))
+      // final streaming row == batch operator over the union of batches
+      val batch = out.funnel(
+        Seq((1L, ts("2024-01-01 11:00:00"), "click"),
+          (1L, ts("2024-01-01 12:00:00"), "purchase"),
+          (1L, ts("2024-01-01 10:00:00"), "view"))
+          .toDF("user_id", "ts", "event_type"),
+        Seq("view", "click", "purchase"))
+        .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+        .collect().head
+      assert((batch._2, batch._3, batch._4, batch._5) ==
+        (fin._3(0), fin._3(1), fin._3(2), fin._4))
+    } finally q.stop()
+  }
+
   test("MAD outliers: robust to the outlier itself; ties at the fence excluded") {
     // group g: values 1,1,1,1,100 — median 1, abs devs 0,0,0,0,99,
     // MAD 0 → any dev > 0 flags (the 100)
