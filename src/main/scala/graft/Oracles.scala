@@ -2048,7 +2048,9 @@ object Oracles {
 
   /** q136: `Timeseries.timeWeightedAvg` — lead() interval per key,
     * DECIMAL(18,4)·micros weighted sum, single final double division
-    * rounded to 6. Single-event keys: span 0, twa NULL.
+    * (raw quotient: inputs are engine-identical, so the IEEE result is
+    * too; display rounding would diverge on half-boundaries).
+    * Single-event keys: span 0, twa NULL.
     */
   def q136TimeWeightedAvg: String =
     """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
@@ -2058,7 +2060,8 @@ object Oracles {
       |  FROM e)
       |SELECT user_id, count(*)::BIGINT AS n_events,
       |  COALESCE(sum(dt), 0)::BIGINT AS span_us,
-      |  round(CAST(sum(v * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 6) AS twa
+      |  CAST(CAST(sum(v * dt) * 10000 AS BIGINT) AS DOUBLE)
+      |    / (CAST(sum(dt) AS DOUBLE) * 10000.0) AS twa
       |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** q137: `Timeseries.driftAlerts(threshold=500)` — the ×n-scaled
@@ -2082,7 +2085,8 @@ object Oracles {
       |      ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS drawup
       |  FROM c)
       |SELECT user_id, event_id, t AS ts_us,
-      |  round(CAST(drawup AS DOUBLE) / n, 4) AS drift
+      |  CAST(CAST(drawup * 10000 AS BIGINT) AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * 10000.0) AS drift
       |FROM d WHERE drawup > 500.0::DECIMAL(18,4) * n
       |ORDER BY user_id, event_id""".stripMargin
 

@@ -76,8 +76,13 @@ object Timeseries {
         sum(col("_v") * col("_dt")).as("_wsum"))
       .select(col(keyCol), col("n_events"),
         coalesce(col("_span"), lit(0L)).as("span_us"),
-        round(col("_wsum").cast("double") / col("_span").cast("double"), 6)
-          .as("twa"))
+        // engine-exact quotient: go through scaled INTEGERS, not a
+        // decimal→double cast (engines differ by 1 ulp there — the JVM
+        // converts decimals correctly-rounded, DuckDB divides
+        // int64/10^scale in doubles). int64→double is nearest-rounding
+        // everywhere, and then the single division is the same IEEE op.
+        ((col("_wsum") * 10000).cast("long").cast("double") /
+          (col("_span").cast("double") * 10000.0)).as("twa"))
   }
 
   /** CUSUM-style drift alerts per key: flag observations where the
@@ -115,7 +120,11 @@ object Timeseries {
       .filter(col("_drawup") >
         lit(threshold).cast("decimal(18,4)") * col("_n"))
       .select(col(keyCol), col(ordCol), col("_t").as("ts_us"),
-        round(col("_drawup").cast("double") / col("_n").cast("double"), 4)
-          .as("drift"))
+        // engine-exact quotient via scaled integers (see
+        // timeWeightedAvg): decimal→double casts differ by 1 ulp across
+        // engines, int64→double + one division do not; display rounding
+        // would diverge on half-boundaries
+        ((col("_drawup") * 10000).cast("long").cast("double") /
+          (col("_n").cast("double") * 10000.0)).as("drift"))
   }
 }
