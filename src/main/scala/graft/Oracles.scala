@@ -2090,6 +2090,53 @@ object Oracles {
       |FROM d WHERE drawup > 500.0::DECIMAL(18,4) * n
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** q139: `Analytics.eventTransitions` — lag() per user ordered by
+    * (ts, event_id), (from, to) pair counts.
+    */
+  def q139EventTransitions: String =
+    """WITH seq AS (SELECT user_id, event_type AS to_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS from_type
+      |  FROM events)
+      |SELECT from_type, to_type, count(*)::BIGINT AS n
+      |FROM seq WHERE from_type IS NOT NULL
+      |GROUP BY from_type, to_type
+      |ORDER BY from_type, to_type""".stripMargin
+
+  /** q140: `Analytics.rfmScores` — all three dimensions exact integers
+    * (epoch-µs, count, cents via DECIMAL→BIGINT), tercile fences exact
+    * interpolated percentiles over integers (engine-identical doubles),
+    * strict `>` bucketing.
+    */
+  def q140RfmScores: String =
+    """WITH pc AS (SELECT o_custkey,
+      |    max(epoch_us(o_orderdate)) AS recency_us,
+      |    count(*)::BIGINT AS frequency,
+      |    CAST(sum(o_totalprice::DECIMAL(18,2) * 100) AS BIGINT)
+      |      AS monetary_cents
+      |  FROM orders GROUP BY o_custkey),
+      |f AS (SELECT quantile_cont(recency_us, 0.333) AS r1,
+      |    quantile_cont(recency_us, 0.667) AS r2,
+      |    quantile_cont(frequency, 0.333) AS f1,
+      |    quantile_cont(frequency, 0.667) AS f2,
+      |    quantile_cont(monetary_cents, 0.333) AS m1,
+      |    quantile_cont(monetary_cents, 0.667) AS m2
+      |  FROM pc)
+      |SELECT pc.o_custkey, pc.recency_us, pc.frequency, pc.monetary_cents,
+      |  (CASE WHEN recency_us > r2 THEN 3 WHEN recency_us > r1 THEN 2
+      |        ELSE 1 END)::INT AS r_score,
+      |  (CASE WHEN frequency > f2 THEN 3 WHEN frequency > f1 THEN 2
+      |        ELSE 1 END)::INT AS f_score,
+      |  (CASE WHEN monetary_cents > m2 THEN 3 WHEN monetary_cents > m1
+      |        THEN 2 ELSE 1 END)::INT AS m_score,
+      |  ((CASE WHEN recency_us > r2 THEN 3 WHEN recency_us > r1 THEN 2
+      |        ELSE 1 END) * 100
+      |   + (CASE WHEN frequency > f2 THEN 3 WHEN frequency > f1 THEN 2
+      |        ELSE 1 END) * 10
+      |   + (CASE WHEN monetary_cents > m2 THEN 3 WHEN monetary_cents > m1
+      |        THEN 2 ELSE 1 END))::INT AS rfm
+      |FROM pc, f ORDER BY o_custkey""".stripMargin
+
   /** q134: `Dataset.pivot` with an explicit value list — conditional
     * FILTER counts per type, zero-filled.
     */
@@ -2420,6 +2467,8 @@ object Oracles {
     // q138 = q126's semantics through the incremental streaming path:
     // one oracle, two independent engine formulations (q116 discipline)
     "q138_stream_funnel" -> q126EventFunnel,
+    "q139_event_transitions" -> q139EventTransitions,
+    "q140_rfm_scores" -> q140RfmScores,
     "q128_cohort_retention" -> q128CohortRetention,
     "q93_duplicate_spans" -> q93DuplicateSpans,
     "q82_stream_interval_join" -> q82StreamIntervalJoin,

@@ -674,6 +674,23 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- north star: event-type Markov transition counts ----
+    // lag() per user (total-ordered by ts, event_id) → pair counts;
+    // |types|² output.
+    "q139_event_transitions" -> ((s, dir) => {
+      Analytics.eventTransitions(events(s, dir))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // ---- north star: RFM tercile segmentation ----
+    // Recency/frequency/monetary as exact integers (µs, count, cents),
+    // tercile fences as exact percentiles over those integers — scores
+    // engine-exact, no global window.
+    "q140_rfm_scores" -> ((s, dir) => {
+      Analytics.rfmScores(orders(s, dir))
+        .orderBy("o_custkey")
+    }),
+
     // ---- §2.9 streaming funnel (custom state, batch-exact) ----
     // q126's min-ts chaining re-derived incrementally per trigger via
     // flatMapGroupsWithState; per-step time lists in state make the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics: ordered funnels and cohort retention.
@@ -127,6 +128,60 @@ object Analytics {
       .withColumn("group_median", round(col("_med"), 4))
       .withColumn("group_mad", round(col("_mad"), 4))
       .drop("_med", "_ad", "_mad")
+  }
+
+  /** First-order Markov transition counts over each entity's event
+    * sequence: how often type A is immediately followed by type B
+    * (ties broken by `ordCol` so the sequence is total-ordered on any
+    * engine). One per-key lag window + one partial-agg'd groupBy on
+    * the (from, to) pair — the |types|² output is dashboard-sized.
+    */
+  def eventTransitions(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      ordCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+    events
+      .select(col(keyCol), col(tsCol), col(ordCol), col(typeCol).as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** RFM segmentation: recency / frequency / monetary tercile scores
+    * per customer. Every dimension is an exact integer (epoch-micros
+    * recency, count frequency, cents monetary via a DECIMAL sum scaled
+    * to BIGINT), and the tercile fences are exact interpolated
+    * percentiles over those integers — both engine-identical, so the
+    * scores are engine-exact with no float bucketing hazard. Two
+    * aggregations (per-customer, then the 6-number fence row broadcast
+    * back); no global window.
+    */
+  def rfmScores(orders: DataFrame, custCol: String = "o_custkey",
+      tsCol: String = "o_orderdate", amountCol: String = "o_totalprice"): DataFrame = {
+    val perCust = orders.groupBy(col(custCol))
+      .agg(
+        max(unix_micros(col(tsCol))).as("recency_us"),
+        count(lit(1)).as("frequency"),
+        sum(col(amountCol).cast("decimal(18,2)") * 100)
+          .cast("long").as("monetary_cents"))
+    val fences = perCust.agg(
+      expr("percentile(recency_us, 0.333)").as("_r1"),
+      expr("percentile(recency_us, 0.667)").as("_r2"),
+      expr("percentile(frequency, 0.333)").as("_f1"),
+      expr("percentile(frequency, 0.667)").as("_f2"),
+      expr("percentile(monetary_cents, 0.333)").as("_m1"),
+      expr("percentile(monetary_cents, 0.667)").as("_m2"))
+    def score(c: Column, lo: Column, hi: Column): Column =
+      when(c > hi, 3).when(c > lo, 2).otherwise(1)
+    perCust.crossJoin(broadcast(fences))
+      .select(col(custCol), col("recency_us"), col("frequency"),
+        col("monetary_cents"),
+        score(col("recency_us"), col("_r1"), col("_r2")).as("r_score"),
+        score(col("frequency"), col("_f1"), col("_f2")).as("f_score"),
+        score(col("monetary_cents"), col("_m1"), col("_m2")).as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 
   /** Cohort retention: entities grouped by the calendar month of their
