@@ -2417,7 +2417,54 @@ object Oracles {
       |           THEN -((-a.lp_sum) // a.n_bigrams) ELSE 0 END::BIGINT AS mean_lp
       |    FROM base b LEFT JOIN agg a USING (doc_id))""".stripMargin
 
+  /** q141: HLL distinct-count replay — splitmix64 of event_id, bucket =
+    * top p bits, rho = leading zeros of the remaining bits + 1 found by
+    * an INTEGER binary search for the highest set bit (float log2
+    * rounds the 2^k−1 boundary up at 52+ bits, so no log anywhere),
+    * register max per (group, bucket), then the exact estimate
+    * Numer // (S·10^9) in HUGEINT — [[graft.operators.Sketches]]
+    * replayed end-to-end, including the cross-multiplied small-range
+    * flag.
+    */
+  def q141HllDistinct: String = {
+    import graft.operators.Sketches
+    val m = Sketches.HllM
+    val rhoMax = Sketches.HllRhoMax
+    val div = BigInt(1) << (64 - Sketches.HllP)
+    val scale = BigInt(1) << rhoMax
+    val numer = Sketches.HllNumer
+    val smx = staged("SELECT event_type, event_id::HUGEINT AS z FROM events",
+      splitmixStages("z"))
+    val rhoSearch = Seq(32, 16, 8, 4, 2, 1).foldLeft(
+      "SELECT event_type, bucket, rem, rem AS _r, 0 AS _a FROM hb") {
+      case (sql, sh) =>
+        val tp = BigInt(1) << sh
+        s"SELECT event_type, bucket, rem, " +
+          s"CASE WHEN _r >= $tp::HUGEINT THEN _r // $tp::HUGEINT ELSE _r END AS _r, " +
+          s"_a + CASE WHEN _r >= $tp::HUGEINT THEN $sh ELSE 0 END AS _a FROM ($sql)"
+    }
+    val sExpr =
+      s"(($m - n_set)::HUGEINT * $scale::HUGEINT + s_set) * 1000000000::HUGEINT"
+    s"""WITH hb AS (
+       |  SELECT event_type, _sm // $div::HUGEINT AS bucket,
+       |    _sm % $div::HUGEINT AS rem
+       |  FROM ($smx)),
+       |reg AS (
+       |  SELECT event_type, bucket,
+       |    max(CASE WHEN rem = 0 THEN $rhoMax ELSE ${rhoMax - 1} - _a END) AS rho
+       |  FROM ($rhoSearch) GROUP BY 1, 2),
+       |es AS (
+       |  SELECT event_type, COUNT(*) AS n_set,
+       |    SUM((1::BIGINT << ($rhoMax - rho))::HUGEINT) AS s_set
+       |  FROM reg GROUP BY 1)
+       |SELECT event_type, CAST(n_set AS BIGINT) AS n_set,
+       |  CAST($numer::HUGEINT // ($sExpr) AS BIGINT) AS est,
+       |  (2::HUGEINT * $numer::HUGEINT) <= (${5 * m}::HUGEINT * ($sExpr)) AS small_range
+       |FROM es ORDER BY event_type""".stripMargin
+  }
+
   def generated: Map[String, String] = Map(
+    "q141_hll_distinct" -> q141HllDistinct,
     "q94_semantic_dedup" -> q94SemanticDedup,
     "q99_neardup_keep_best" -> q99NearDupKeepBest,
     "q100_corpus_report" -> q100CorpusReport,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.DabDataset
 import graft.functions.{AggregationProcessor, Chain, FFTProcessor, Framing, Processor}
-import graft.operators.{Analytics, Curation, Dedup, Multimodal, Packing, Retrieval, Sampling, Similarity, TextAnalysis, Timeseries, Xval}
+import graft.operators.{Analytics, Curation, Dedup, Multimodal, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Timeseries, Validation, Xval}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -85,6 +85,58 @@ object SparkEntry {
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- sketch tier: HLL distinct-count, sketch-as-table ----
+    // Register table = one partial-agg'd groupBy (≤ |groups|·256 rows),
+    // estimate = exact integer arithmetic end-to-end (register terms
+    // are dyadic rationals summed in DECIMAL; one BigInt floor-div) —
+    // the whole sketch replays bit-for-bit in the DuckDB oracle.
+    "q141_hll_distinct" -> ((s, dir) => {
+      Sketches.hllEstimate(
+          Sketches.hllRegisters(events(s, dir), Seq("event_type"), "event_id"),
+          Seq("event_type"))
+        .orderBy("event_type")
+    }),
+
+    // ---- sketch tier: CMS-screened EXACT heavy hitters ----
+    // Fixed-size counter table screens candidates (est ≥ true count ⇒
+    // no false negatives); only survivors get exact counts, so the
+    // output is exactly HAVING n·120 ≥ total — the oracle needs no
+    // sketch replay, gating the screen's superset property on data.
+    "q142_heavy_hitters" -> ((s, dir) => {
+      Sketches.heavyHitters(events(s, dir), "user_id", relDen = 120L)
+        .orderBy("user_id")
+    }),
+
+    // ---- validation tier: Deequ-style constraint suite, one scan ----
+    "q143_constraint_report" -> ((s, dir) => {
+      Validation.constraintReport(documents(s, dir),
+          Validation.documentSuite(Seq("en", "de", "fr", "es", "zh")))
+        .orderBy("constraint")
+    }),
+
+    // ---- validation tier: SCD2 dimension history merge ----
+    // Base snapshot (ver 0) + first-urgent-order upgrades (ver = event
+    // µs) → validity-ranged history; one union + one per-key window.
+    "q144_scd2_history" -> ((s, dir) => {
+      val base = customer(s, dir).select(col("c_custkey"),
+        col("c_mktsegment").as("segment"), lit(0L).as("ver"))
+      val upd = orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(min(unix_micros(col("o_orderdate"))).as("ver"))
+        .withColumn("segment", lit("URGENT_BUYER"))
+      Validation.scd2Merge(base, upd, "c_custkey", Seq("segment"), "ver")
+        .orderBy("c_custkey", "valid_from")
+    }),
+
+    // ---- validation tier: exact two-sample KS drift statistic ----
+    // click-value vs purchase-value distributions; D kept exact by
+    // cross-multiplied integer CDFs over the two-phase global order.
+    "q145_ks_drift" -> ((s, dir) => {
+      Analytics.ksDrift(
+          events(s, dir).filter(col("event_type").isin("click", "purchase")),
+          "value", col("event_type") === "purchase")
+    }),
 
     // ---- §2.4 aggregation: TPC-H Q1 pricing summary ----
     "q01_pricing_summary" -> ((s, dir) => {
@@ -1686,6 +1738,62 @@ object SparkEntry {
     * checks (documented per-query above).
     */
   def oracleSql: Map[String, String] = Map(
+
+    // The heavy-hitter oracle is deliberately sketch-free: the engine's
+    // CMS screen must be output-invisible (superset property + exact
+    // verify), so plain GROUP BY/HAVING is the correct reference.
+    "q142_heavy_hitters" ->
+      """WITH t AS (SELECT COUNT(*) AS total FROM events)
+        |SELECT user_id, COUNT(*) AS n FROM events, t
+        |GROUP BY user_id, total HAVING COUNT(*) * 120 >= total
+        |ORDER BY user_id""".stripMargin,
+
+    "q143_constraint_report" ->
+      """WITH a AS (SELECT COUNT(*) AS n, COUNT(text) AS ct,
+        |    COUNT(DISTINCT doc_id) AS cd,
+        |    SUM(CASE WHEN n_chars >= 0 THEN 1 ELSE 0 END) AS cn,
+        |    SUM(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS cl,
+        |    SUM(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END) AS ce,
+        |    SUM(n_chars) AS sc
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'complete_text' AS "constraint", CAST(ct AS BIGINT) AS observed,
+        |    CAST(n AS BIGINT) AS expected, ct = n AS passed FROM a
+        |  UNION ALL SELECT 'unique_doc_id', CAST(cd AS BIGINT), CAST(n AS BIGINT), cd = n FROM a
+        |  UNION ALL SELECT 'nonneg_n_chars', CAST(cn AS BIGINT), CAST(n AS BIGINT), cn = n FROM a
+        |  UNION ALL SELECT 'lang_in_domain', CAST(cl AS BIGINT), CAST(n AS BIGINT), cl = n FROM a
+        |  UNION ALL SELECT 'text_nonempty', CAST(ce AS BIGINT), CAST(n AS BIGINT), ce = n FROM a
+        |  UNION ALL SELECT 'sum_chars_floor', CAST(sc AS BIGINT), CAST(n * 100 AS BIGINT), sc >= n * 100 FROM a
+        |) ORDER BY "constraint"""".stripMargin,
+
+    "q144_scd2_history" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment AS segment, CAST(0 AS BIGINT) AS ver
+        |  FROM customer),
+        |upd AS (
+        |  SELECT o_custkey AS c_custkey, 'URGENT_BUYER' AS segment,
+        |    MIN(epoch_us(o_orderdate)) AS ver
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+        |all_v AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+        |SELECT c_custkey, segment, ver AS valid_from,
+        |  lead(ver) OVER (PARTITION BY c_custkey ORDER BY ver) AS valid_to,
+        |  lead(ver) OVER (PARTITION BY c_custkey ORDER BY ver) IS NULL AS is_current
+        |FROM all_v ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "q145_ks_drift" ->
+      """WITH s AS (
+        |  SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS f
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |v AS (SELECT value, SUM(1 - f) AS c1, SUM(f) AS c2 FROM s GROUP BY value),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM v),
+        |c AS (SELECT SUM(c1) OVER (ORDER BY value) AS cum1,
+        |             SUM(c2) OVER (ORDER BY value) AS cum2 FROM v)
+        |SELECT n1, n2,
+        |  CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
+        |  CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT)::DOUBLE
+        |    / (n1 * n2)::DOUBLE AS ks
+        |FROM c, t GROUP BY n1, n2""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

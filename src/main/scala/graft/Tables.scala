@@ -22,7 +22,14 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  /** o_orderdate has shipped as both TIMESTAMP and (newer drops)
+    * TIMESTAMP_NTZ — same normalization as events.ts, so `unix_micros`
+    * consumers (RFM recency, SCD2 versions) analyze under either
+    * encoding. Date-part functions are value-identical across the cast
+    * (session tz pinned UTC).
+    */
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "orders"), "o_orderdate")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
 
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
@@ -40,15 +47,16 @@ object Tables {
     * TIMESTAMP_NTZ (tz-naive micros — the session tz is pinned to UTC, so a
     * cast preserves every value), or already TimestampType (no-op).
     */
-  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
-    case org.apache.spark.sql.types.LongType =>
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    case org.apache.spark.sql.types.TimestampNTZType =>
-      df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
-        .cast(org.apache.spark.sql.types.TimestampType))
-    case _ => df
-  }
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(colName, org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(s"$colName DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(colName, org.apache.spark.sql.functions.col(colName)
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -211,4 +211,55 @@ object Analytics {
       .groupBy("cohort_month", "month_offset")
       .agg(count(lit(1)).as("n_customers"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the standard
+    * distribution-drift monitor between two slices of a numeric column
+    * (yesterday vs today, treatment vs control, source A vs source B).
+    * Rows where `isSample2` is true form sample 2, the rest sample 1.
+    *
+    * D = max_v |F1(v) − F2(v)| is kept EXACT by cross-multiplication:
+    * the output carries `ks_num` = max |cum1·n2 − cum2·n1| (integer)
+    * alongside `ks` = ks_num/(n1·n2) — one IEEE division of exact
+    * integers, so the statistic is bit-identical on any engine.
+    *
+    * Scale shape: the per-distinct-value pre-aggregation is one
+    * partial-agg'd shuffle of slim (value, c1, c2) rows; the running
+    * CDFs use the repo's two-phase global-order idiom (range-bucket on
+    * the value, per-bucket window, driver-collected per-bucket offsets
+    * — ≤ numBuckets rows by construction). No global window, no sort of
+    * the raw data, nothing ∝ input on the driver.
+    */
+  def ksDrift(df: DataFrame, valueCol: String, isSample2: Column,
+      numBuckets: Int = 32): DataFrame = {
+    val perV = Dedup.tracked(
+      df.select(col(valueCol).as("_v"),
+          when(isSample2, 1L).otherwise(0L).as("_f"))
+        .groupBy("_v")
+        .agg(sum(lit(1L) - col("_f")).as("_c1"), sum(col("_f")).as("_c2"))
+        .localCheckpoint(eager = false))
+    val b = perV.withColumn("_b",
+      Ranking.bucketCol("_v", Ranking.rangeCuts(perV, "_v", numBuckets)))
+    val cnt = b.groupBy("_b")
+      .agg(sum("_c1").as("_s1"), sum("_c2").as("_s2"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val n1 = cnt.map(_._2).sum
+    val n2 = cnt.map(_._3).sum
+    val offRows = cnt.scanLeft((0, 0L, 0L, 0L, 0L)) {
+      case ((_, o1, p1, o2, p2), (bid, c1, c2)) =>
+        (bid, o1 + p1, c1, o2 + p2, c2)
+    }.drop(1).map { case (bid, o1, _, o2, _) => (bid, o1, o2) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = offRows.toSeq.toDF("_b", "_o1", "_o2")
+    val w = Window.partitionBy("_b").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(offsets), Seq("_b"))
+      .select((col("_o1") + sum("_c1").over(w)).as("_cum1"),
+        (col("_o2") + sum("_c2").over(w)).as("_cum2"))
+      .agg(max(abs(col("_cum1") * n2 - col("_cum2") * n1)).as("ks_num"))
+      .select(lit(n1).as("n1"), lit(n2).as("n2"), col("ks_num"),
+        (col("ks_num").cast("double") / lit((n1 * n2).toDouble)).as("ks"))
+  }
 }

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, mergeable cardinality / frequency sketches, expressed
+  * Spark-first as SKETCH-AS-TABLE: the sketch state is a small DataFrame
+  * (HLL register table, CMS counter table) produced by one partial-agg'd
+  * shuffle, merged by the same `groupBy` that built it, and persistable
+  * as parquet like any other table. That is the shape a 100 TB pipeline
+  * wants — per-day sketch tables of a few thousand rows that roll up
+  * with `max`/`sum` instead of re-scanning history.
+  *
+  * The reference stops at exact `get_unique` members
+  * (cf. reference dataset/abstract.py summary/unique helpers); these are
+  * the sublinear-state versions of the same questions at corpus scale.
+  *
+  * Every kernel is built on the repo's engine-independent hash
+  * ([[graft.functions.Hashing.splitmix64]]) and pure integer arithmetic
+  * (register terms are dyadic rationals summed exactly in DECIMAL; the
+  * final estimate is one exact integer floor-division), so
+  * [[graft.Oracles]] replays bucket, rho, register, and estimate
+  * bit-for-bit in DuckDB HUGEINT — the sketches are externally audited,
+  * not just self-tested.
+  */
+object Sketches {
+
+  // ---------------------------------------------------------------- HLL
+
+  /** Register-index bits: m = 2^p registers. p=8 keeps the register
+    * table dashboard-sized (256 rows per group) at ~6.5% standard
+    * error — raise p for tighter estimates; every formula below scales.
+    */
+  val HllP: Int = 8
+  val HllM: Int = 1 << HllP
+  /** Max rho = (64 - p) + 1: value when every remaining hash bit is 0. */
+  val HllRhoMax: Int = 64 - HllP + 1
+
+  /** α_m bias constant (Flajolet et al. 2007) rounded to integer parts
+    * per billion — the ONLY non-integer in the HLL estimate, pinned to
+    * an exact integer so both engines multiply the same number.
+    */
+  val HllAlphaPpb: Long =
+    math.round(0.7213 / (1 + 1.079 / HllM) * 1e9)
+
+  /** Exact numerator of the raw estimate, scaled by 2^rhoMax·10^9:
+    * est = floor(α·m² / Σ 2^(−M_j)) = HllNumer ÷ (Σ 2^(rhoMax−M_j)·10^9
+    * ... folded: HllNumer = αppb·m²·2^rhoMax; the register sum S is the
+    * integer Σ 2^(rhoMax−M_j) (empty register ⇒ 2^rhoMax), and
+    * est = HllNumer / (S · 10^9) — all integer, ~6.8e30 ≪ 10^38.
+    */
+  val HllNumer: BigInt = BigInt(HllAlphaPpb) * HllM * HllM *
+    (BigInt(1) << HllRhoMax)
+
+  /** (bucket, rho) of one hashed value: bucket = top p bits, rho = 1 +
+    * leading zeros of the remaining 64−p bits (rhoMax if they are all
+    * zero) — the textbook HLL split, on splitmix64 of the input.
+    */
+  private[graft] def hllBucketRho(value: Long): (Int, Int) = {
+    val h = graft.functions.Hashing.splitmix64(value)
+    val bucket = (h >>> (64 - HllP)).toInt
+    val rem = h & ((1L << (64 - HllP)) - 1)
+    val rho =
+      if (rem == 0L) HllRhoMax
+      else java.lang.Long.numberOfLeadingZeros(rem) - HllP + 1
+    (bucket, rho)
+  }
+
+  /** HLL register table for `valueCol` (long-typed id / pre-hashed key)
+    * per group: (groupCols*, bucket, rho) with rho = the register value
+    * max'd over the group's rows. One slim projection + one partial-
+    * agg'd groupBy; output ≤ |groups|·2^p rows regardless of input
+    * size. Registers from different shards/days MERGE by unioning the
+    * tables and re-running [[hllMerge]] — max is associative, so
+    * sketch(A ∪ B) ≡ merge(sketch(A), sketch(B)) exactly.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val br = udf((v: Long) => hllBucketRho(v))
+    df.select((groupCols.map(col) :+ col(valueCol).cast("long").as("_v")): _*)
+      .withColumn("_br", br(col("_v")))
+      .groupBy((groupCols.map(col) :+ col("_br._1").as("bucket")): _*)
+      .agg(max(col("_br._2")).as("rho"))
+  }
+
+  /** Merge register tables (same group schema): groupBy max — the whole
+    * merge is one shuffle of sketch-sized inputs.
+    */
+  def hllMerge(tables: Seq[DataFrame], groupCols: Seq[String]): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max("rho").as("rho"))
+
+  /** Cardinality estimate per group from a register table:
+    * (groupCols*, n_set, est, small_range).
+    *
+    *  - `n_set` — registers hit (m − n_set empties ⇒ the linear-counting
+    *    input V, kept so callers can apply the small-range correction
+    *    externally; ln() is engine-dependent in the last ulp, so the
+    *    exact gate stops at the raw estimate).
+    *  - `est` — floor(α_m·m²/Σ2^(−M_j)) via exact integer arithmetic:
+    *    register terms 2^(rhoMax−rho) summed in DECIMAL, one BigInt
+    *    floor division at the end. Bit-replayable in any engine with
+    *    128-bit integers.
+    *  - `small_range` — est ≤ 2.5m decided by the exact cross-multiplied
+    *    comparison 2·Numer ≤ 5·m·(S·10^9), flagging estimates in the
+    *    regime where HLL prescribes linear counting instead.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val estU = udf((nSet: Long, sSet: java.math.BigDecimal) => {
+      val s = (BigInt(HllM - nSet) << HllRhoMax) +
+        BigInt(sSet.toBigInteger)
+      val den = s * BigInt(1000000000L)
+      val est = (HllNumer / den).toLong
+      val small = HllNumer * 2 <= den * (5L * HllM)
+      (est, small)
+    })
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_set"),
+        sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $HllRhoMax - rho)" +
+          " AS DECIMAL(38,0))")).as("_s_set"))
+      .withColumn("_e", estU(col("n_set"), col("_s_set")))
+      .select((groupCols.map(col) :+ col("n_set") :+
+        col("_e._1").as("est") :+ col("_e._2").as("small_range")): _*)
+  }
+
+  // ---------------------------------------------------------------- CMS
+
+  /** Count-min sketch geometry: d independent rows × w = 2^WBits
+    * counters. d·w = 8192 cells bounds the counter table regardless of
+    * item cardinality.
+    */
+  val CmsD: Int = 4
+  val CmsWBits: Int = 11
+  val CmsW: Int = 1 << CmsWBits
+
+  /** Row-j bucket of an item: top WBits bits of splitmix64(item +
+    * GOLD·(j+1)) — the same seed schedule as the MinHash family, so the
+    * oracle reuses its replay machinery.
+    */
+  private[graft] def cmsBuckets(item: Long): Seq[Int] =
+    (0 until CmsD).map { j =>
+      (graft.functions.Hashing.splitmix64(
+        item + 0x9e3779b97f4a7c15L * (j + 1)) >>> (64 - CmsWBits)).toInt
+    }
+
+  /** CMS counter table of `itemCol` occurrences: (j, bucket, cnt),
+    * ≤ d·w rows. One slim projection, a d-way explode of (j, bucket)
+    * pairs, one partial-agg'd groupBy — at 100 TB the shuffle carries
+    * at most d·w rows per map task. Counter tables from shards MERGE by
+    * union + groupBy SUM (counts are additive).
+    */
+  def cmsCounters(df: DataFrame, itemCol: String): DataFrame = {
+    val bu = udf((v: Long) => cmsBuckets(v))
+    df.select(col(itemCol).cast("long").as("_v"))
+      .select(posexplode(bu(col("_v"))).as(Seq("j", "bucket")))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  def cmsMerge(tables: Seq[DataFrame]): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** CMS point estimate per candidate item: min over the d rows of the
+    * item's counter — an OVERestimate always (collisions only add), the
+    * property [[heavyHitters]]' exactness rests on. `candidates` is
+    * (itemCol) rows; the counter table rides a broadcast.
+    */
+  def cmsEstimate(counters: DataFrame, candidates: DataFrame,
+      itemCol: String): DataFrame = {
+    val bu = udf((v: Long) => cmsBuckets(v))
+    candidates
+      .select(col(itemCol), col(itemCol).cast("long").as("_v"))
+      .select(col(itemCol), posexplode(bu(col("_v"))).as(Seq("j", "bucket")))
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy(itemCol).agg(min("cnt").as("est"))
+  }
+
+  /** Exact heavy hitters via sketch-screen-then-verify: items whose
+    * TRUE count × `relDen` ≥ total row count, found without ever
+    * shuffling full per-item exact counts for the long tail.
+    *
+    * Pass 1 builds the d·w counter table (fixed size). Pass 2 screens
+    * candidate items through [[cmsEstimate]] — since est ≥ true count,
+    * every real heavy hitter survives the screen (no false negatives,
+    * the CMS guarantee). Pass 3 exactly counts ONLY the screened
+    * survivors (a broadcast semi-join: tail items never aggregate) and
+    * applies the same threshold to the exact count, discarding the
+    * sketch's false positives. Output (itemCol, n) is therefore EXACTLY
+    * `GROUP BY item HAVING count·relDen ≥ total` — the oracle needs no
+    * sketch replay at all, which gates the screen's no-false-negative
+    * property on real data every round.
+    */
+  def heavyHitters(df: DataFrame, itemCol: String,
+      relDen: Long = 120L): DataFrame = {
+    val spark = df.sparkSession
+    val slim = Dedup.tracked(df.select(col(itemCol)).localCheckpoint(false))
+    val total = slim.count()
+    val counters = cmsCounters(slim, itemCol)
+    val screened = cmsEstimate(counters, slim.distinct(), itemCol)
+      .filter(col("est") * relDen >= total)
+      .select(col(itemCol))
+    slim.join(broadcast(screened), Seq(itemCol), "semi")
+      .groupBy(itemCol).agg(count(lit(1)).as("n"))
+      .filter(col("n") * relDen >= total)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-contract validation and dimension-history maintenance — the
+  * operational bookends of a training-data pipeline: assert what goes
+  * IN (constraint suites, Deequ-style) and version what changes OVER
+  * TIME (SCD2 validity ranges).
+  *
+  * The reference validates eagerly at construction (equal-length named
+  * columns, cf. reference dataset/abstract.py `__init__` checks); at
+  * corpus scale validation must instead be a QUERY — one scan emitting
+  * a constraint report — and history a MERGE, not a rewrite.
+  */
+object Validation {
+
+  /** One declarative data-quality constraint: `name`, the aggregated
+    * `observed` count/sum, the `expected` value it is compared to, and
+    * the comparison. All exact integers — a report row never carries a
+    * float, so pass/fail is engine-independent.
+    */
+  final case class Constraint(name: String, observed: Column,
+      expected: Column, geq: Boolean = false)
+
+  /** Evaluate a constraint suite in ONE scan: every `observed` is a
+    * conditional aggregate, so the whole suite folds into a single
+    * partial-agg'd `agg()` (plus Spark's expand for distinct-counts) —
+    * report cost is one pass regardless of suite size, the Deequ
+    * execution model re-expressed as a Catalyst plan.
+    *
+    * Output: (constraint, observed, expected, passed) — one row per
+    * constraint, dashboard-sized.
+    */
+  def constraintReport(df: DataFrame, suite: Seq[Constraint]): DataFrame = {
+    require(suite.nonEmpty, "empty constraint suite")
+    val aggs = suite.zipWithIndex.flatMap { case (c, i) =>
+      Seq(c.observed.cast("long").as(s"_o$i"), c.expected.cast("long").as(s"_e$i"))
+    }
+    val rows = suite.zipWithIndex.map { case (c, i) =>
+      val passed =
+        if (c.geq) col(s"_o$i") >= col(s"_e$i") else col(s"_o$i") === col(s"_e$i")
+      struct(lit(c.name).as("constraint"), col(s"_o$i").as("observed"),
+        col(s"_e$i").as("expected"), passed.as("passed"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("_c"))
+      .select(col("_c.constraint"), col("_c.observed"),
+        col("_c.expected"), col("_c.passed"))
+  }
+
+  /** The standard suite for a document corpus: completeness, key
+    * uniqueness, domain membership, non-emptiness — the checks a crawl
+    * ingest runs before anything downstream touches the shard.
+    */
+  def documentSuite(langs: Seq[String]): Seq[Constraint] = Seq(
+    Constraint("complete_text", count(col("text")), count(lit(1))),
+    Constraint("unique_doc_id", countDistinct(col("doc_id")), count(lit(1))),
+    Constraint("nonneg_n_chars",
+      sum(when(col("n_chars") >= 0, 1L).otherwise(0L)), count(lit(1))),
+    Constraint("lang_in_domain",
+      sum(when(col("lang").isin(langs: _*), 1L).otherwise(0L)), count(lit(1))),
+    Constraint("text_nonempty",
+      sum(when(length(col("text")) > 0, 1L).otherwise(0L)), count(lit(1))),
+    Constraint("sum_chars_floor", sum(col("n_chars")),
+      count(lit(1)) * 100L, geq = true))
+
+  /** SCD2 merge: fold versioned attribute updates into a validity-
+    * ranged dimension history. `base` and `updates` both carry
+    * (keyCol, attrCols*, verCol) — base rows are the original versions,
+    * update rows later ones; ties on (key, ver) must not occur (the
+    * caller picks ver = event time). Output: one row per version with
+    * `valid_from` = its ver, `valid_to` = the NEXT version's ver (null
+    * on the current row), `is_current`.
+    *
+    * Scale shape: one union + one per-key window (lead over ≤ a few
+    * versions per key) — the merge never rewrites unchanged keys'
+    * history and nothing is partition-less. This is the query-side
+    * semantics of a warehouse MERGE INTO for type-2 dimensions.
+    */
+  def scd2Merge(base: DataFrame, updates: DataFrame, keyCol: String,
+      attrCols: Seq[String], verCol: String): DataFrame = {
+    val cols = (keyCol +: attrCols :+ verCol).map(col)
+    val all = base.select(cols: _*).unionByName(updates.select(cols: _*))
+    val w = Window.partitionBy(keyCol).orderBy(col(verCol))
+    all
+      .withColumn("valid_from", col(verCol))
+      .withColumn("valid_to", lead(col(verCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(verCol)
+  }
+}

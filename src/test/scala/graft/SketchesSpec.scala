@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.{Analytics, Sketches, Validation}
+import org.apache.spark.sql.functions._
+
+/** Sketch algebra (HLL merge associativity, CMS superset property),
+  * estimate accuracy in the raw regime, constraint-suite semantics, and
+  * SCD2 validity chains — q141–q145 exercise the same paths against the
+  * DuckDB replay at scale.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hll: merged shard sketches equal the whole-corpus sketch exactly") {
+    val all = (1L to 5000L).toDF("v").withColumn("g", lit("a"))
+    val s1 = (1L to 3000L).toDF("v").withColumn("g", lit("a"))
+    val s2 = (2000L to 5000L).toDF("v").withColumn("g", lit("a"))
+    val whole = Sketches.hllRegisters(all, Seq("g"), "v")
+    val merged = Sketches.hllMerge(
+      Seq(Sketches.hllRegisters(s1, Seq("g"), "v"),
+        Sketches.hllRegisters(s2, Seq("g"), "v")), Seq("g"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
+    val Seq(eW) = Sketches.hllEstimate(whole, Seq("g"))
+      .select("est").as[Long].collect().toSeq
+    val Seq(eM) = Sketches.hllEstimate(merged, Seq("g"))
+      .select("est").as[Long].collect().toSeq
+    assert(eW == eM)
+  }
+
+  test("hll: raw-regime estimate lands within 4 standard errors") {
+    // n = 20000 >> 2.5m = 640: raw regime; se ≈ 1.04/√256 ≈ 6.5%
+    val df = (1L to 20000L).toDF("v").withColumn("g", lit("a"))
+    val row = Sketches.hllEstimate(
+      Sketches.hllRegisters(df, Seq("g"), "v"), Seq("g"))
+      .select("est", "small_range").as[(Long, Boolean)].collect().head
+    assert(!row._2, "20k distinct must clear the small-range fence")
+    assert(math.abs(row._1 - 20000.0) / 20000.0 < 4 * 1.04 / 16,
+      s"est ${row._1} too far from 20000")
+  }
+
+  test("hll: small-range flag trips when n << m") {
+    val df = (1L to 20L).toDF("v").withColumn("g", lit("a"))
+    val row = Sketches.hllEstimate(
+      Sketches.hllRegisters(df, Seq("g"), "v"), Seq("g"))
+      .select("small_range").as[Boolean].collect().head
+    assert(row, "20 distinct over 256 registers is linear-counting range")
+  }
+
+  test("cms: estimate never undercounts, and merge is additive") {
+    val items = ((1L to 50L).flatMap(i => Seq.fill(20)(i)) ++
+      (1000L to 1400L)).toDF("item")
+    val counters = Sketches.cmsCounters(items, "item")
+    val est = Sketches.cmsEstimate(counters,
+        items.select("item").distinct(), "item")
+      .as[(Long, Long)].collect().toMap
+    (1L to 50L).foreach(i => assert(est(i) >= 20, s"undercount at $i"))
+    (1000L to 1400L).foreach(i => assert(est(i) >= 1))
+    // merged shard counters ≡ whole counters (sum is associative);
+    // split deterministically by value
+    val a = items.filter(col("item") <= 40)
+    val b = items.filter(col("item") > 40)
+    val merged = Sketches.cmsMerge(
+      Seq(Sketches.cmsCounters(a, "item"), Sketches.cmsCounters(b, "item")))
+    val whole = counters
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
+  }
+
+  test("heavy hitters: exact counts above a relative threshold, no extras") {
+    // 3 hot items (100×), 200 cold (1×): total 500; n·5 ≥ 500 ⇔ n ≥ 100
+    val items = ((1L to 3L).flatMap(i => Seq.fill(100)(i)) ++
+      (101L to 300L)).toDF("item")
+    val got = Sketches.heavyHitters(items, "item", relDen = 5L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 100L, 2L -> 100L, 3L -> 100L))
+  }
+
+  test("constraint report: one row per constraint, exact pass/fail") {
+    val docs = Seq(
+      (1L, "hello world", "en", 11L),
+      (2L, "guten tag", "de", 9L),
+      (3L, null.asInstanceOf[String], "xx", -1L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = Validation.constraintReport(docs,
+        Validation.documentSuite(Seq("en", "de")))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("complete_text") == ((2L, 3L, false)))
+    assert(got("unique_doc_id") == ((3L, 3L, true)))
+    assert(got("nonneg_n_chars") == ((2L, 3L, false)))
+    assert(got("lang_in_domain") == ((2L, 3L, false)))
+    assert(got("text_nonempty") == ((2L, 3L, false)))
+    assert(got("sum_chars_floor") == ((19L, 300L, false)))
+  }
+
+  test("scd2 merge: validity chains link, current row open-ended") {
+    val base = Seq((1L, "A", 0L), (2L, "B", 0L)).toDF("k", "attr", "ver")
+    val upd = Seq((1L, "C", 10L), (1L, "D", 20L)).toDF("k", "attr", "ver")
+    val got = Validation.scd2Merge(base, upd, "k", Seq("attr"), "ver")
+      .orderBy("k", "valid_from")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "A", 0L, Some(10L), false),
+      (1L, "C", 10L, Some(20L), false),
+      (1L, "D", 20L, None, true),
+      (2L, "B", 0L, None, true)))
+  }
+
+  test("ks drift: hand-computed two-sample statistic, exact numerator") {
+    // s1 = {1,2,3,4}, s2 = {3,4,5,6}: D = 2/4 at v=2
+    val df = (Seq((1.0, 0), (2.0, 0), (3.0, 0), (4.0, 0)) ++
+      Seq((3.0, 1), (4.0, 1), (5.0, 1), (6.0, 1))).toDF("value", "f")
+    val got = Analytics.ksDrift(df, "value", col("f") === 1)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got == ((4L, 4L, 8L, 0.5)))
+  }
+
+  test("ks drift: identical samples give zero") {
+    val df = ((1 to 100).map(i => (i.toDouble, 0)) ++
+      (1 to 100).map(i => (i.toDouble, 1))).toDF("value", "f")
+    val got = Analytics.ksDrift(df, "value", col("f") === 1)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got._3 == 0L && got._4 == 0.0)
+  }
+}
