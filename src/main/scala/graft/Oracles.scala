@@ -2465,6 +2465,9 @@ object Oracles {
 
   def generated: Map[String, String] = Map(
     "q141_hll_distinct" -> q141HllDistinct,
+    // q146 = q141's sketch built through the streaming state store:
+    // one oracle, two independent engine formulations (q116 discipline)
+    "q146_stream_hll" -> q141HllDistinct,
     "q94_semantic_dedup" -> q94SemanticDedup,
     "q99_neardup_keep_best" -> q99NearDupKeepBest,
     "q100_corpus_report" -> q100CorpusReport,

@@ -98,6 +98,20 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- §2.9 streaming HLL: q141's sketch built incrementally ----
+    // The register table IS streaming-friendly state: groupBy max over
+    // ≤ |groups|·256 keys, so the state store is sketch-sized no matter
+    // how much data flows through. Oracle = q141's SQL exactly (one
+    // oracle, two engine paths — the q138/q109 discipline); the
+    // estimate runs batch-side on the final register snapshot.
+    "q146_stream_hll" -> ((s, dir) => {
+      val regs = EventStreams.runOnceOnParquet(s, s"$dir/events.parquet",
+        df => Sketches.hllRegisters(df, Seq("event_type"), "event_id"),
+        s"hll_sink_${System.nanoTime()}")
+      Sketches.hllEstimate(regs, Seq("event_type"))
+        .orderBy("event_type")
+    }),
+
     // ---- sketch tier: CMS-screened EXACT heavy hitters ----
     // Fixed-size counter table screens candidates (est ≥ true count ⇒
     // no false negatives); only survivors get exact counts, so the

@@ -74,6 +74,27 @@ class SketchesSpec extends SparkSpec {
     assert(got == Map(1L -> 100L, 2L -> 100L, 3L -> 100L))
   }
 
+  test("hll: streaming register state equals the batch sketch across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val regs = Sketches.hllRegisters(
+      input.toDF().toDF("g", "v"), Seq("g"), "v")
+    val q = regs.writeStream.format("memory").queryName("hll_sink")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L to 400L).map(i => ("a", i)): _*)
+      q.processAllAvailable()
+      input.addData((300L to 900L).map(i => ("a", i)): _*) // overlap merges
+      q.processAllAvailable()
+      val streamed = spark.table("hll_sink")
+      val batch = Sketches.hllRegisters(
+        (1L to 900L).map(i => ("a", i)).toDF("g", "v"), Seq("g"), "v")
+      assert(batch.exceptAll(streamed).isEmpty &&
+        streamed.exceptAll(batch).isEmpty)
+    } finally q.stop()
+  }
+
   test("constraint report: one row per constraint, exact pass/fail") {
     val docs = Seq(
       (1L, "hello world", "en", 11L),
