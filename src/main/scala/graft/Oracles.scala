@@ -2463,7 +2463,43 @@ object Oracles {
        |FROM es ORDER BY event_type""".stripMargin
   }
 
+  /** q147: integer-fixed-point PageRank replay — co-occurrence edges,
+    * then each of the 3 synchronous rounds unrolled as a (contrib,
+    * score) CTE pair; every hop is floor((score·85)/(deg·100)) and the
+    * restart base floor(scale·15/(100·n)), all HUGEINT-exact — the q57
+    * integer-Lloyd discipline applied to an iterative graph algorithm.
+    */
+  def q147CopurchaseRank: String = {
+    val scale = 1000000000000L
+    val iters = 3
+    val baseSub = s"(SELECT ($scale::HUGEINT * 15) // (100 * COUNT(*)) FROM nodes)"
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS node, SUM((s.score * 85) // (d.deg * 100)) AS cs
+         |  FROM e JOIN s${k - 1} s ON e.src = s.node
+         |         JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |s$k AS (
+         |  SELECT n.node, $baseSub + COALESCE(c.cs, 0) AS score
+         |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+       |ok AS (SELECT g, i FROM e0 WHERE g NOT IN (
+       |  SELECT g FROM e0 GROUP BY g HAVING COUNT(*) > 1000)),
+       |e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+       |      FROM ok a JOIN ok b ON a.g = b.g AND a.i <> b.i),
+       |nodes AS (SELECT DISTINCT src AS node FROM (
+       |  SELECT src FROM e UNION ALL SELECT dst FROM e) t(src)),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |s0 AS (SELECT node, (SELECT $scale::HUGEINT // COUNT(*) FROM nodes) AS score
+       |       FROM nodes),
+       |$iterCtes
+       |SELECT node AS l_partkey, CAST(score AS BIGINT) AS score
+       |FROM s$iters ORDER BY score DESC, l_partkey LIMIT 20""".stripMargin
+  }
+
   def generated: Map[String, String] = Map(
+    "q147_copurchase_rank" -> q147CopurchaseRank,
     "q141_hll_distinct" -> q141HllDistinct,
     // q146 = q141's sketch built through the streaming state store:
     // one oracle, two independent engine formulations (q116 discipline)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.DabDataset
 import graft.functions.{AggregationProcessor, Chain, FFTProcessor, Framing, Processor}
-import graft.operators.{Analytics, Curation, Dedup, Multimodal, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Timeseries, Validation, Xval}
+import graft.operators.{Analytics, Curation, Dedup, Graphs, Multimodal, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Timeseries, Validation, Xval}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -150,6 +150,19 @@ object SparkEntry {
       Analytics.ksDrift(
           events(s, dir).filter(col("event_type").isin("click", "purchase")),
           "value", col("event_type") === "purchase")
+    }),
+
+    // ---- graph tier: co-purchase PageRank, integer fixed-point ----
+    // The domain/URL-ranking family of web-corpus curation (CCNet /
+    // RefinedWeb source weighting) as iterated co-partitioned joins;
+    // every hop is floor arithmetic, so DuckDB replays all 3 rounds.
+    "q147_copurchase_rank" -> ((s, dir) => {
+      val edges = Graphs.coOccurrenceEdges(
+        lineitem(s, dir), "l_orderkey", "l_partkey")
+      Graphs.pageRankInt(edges, iters = 3)
+        .orderBy(col("score").desc, col("node"))
+        .limit(20)
+        .select(col("node").as("l_partkey"), col("score"))
     }),
 
     // ---- §2.4 aggregation: TPC-H Q1 pricing summary ----

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph centrality, Spark-first: edges as a DataFrame
+  * partitioned by source, scores re-joined per iteration — the
+  * fixed-point-by-iterated-join family (PageRank & friends) that web
+  * corpus curation uses to rank domains/URLs before sampling (CCNet /
+  * RefinedWeb-style source weighting; Common Crawl publishes harmonic
+  * centrality the same way). No driver-side graph state: every
+  * iteration is two co-partitioned joins + one aggregation, so the
+  * pattern survives a billion-edge graph unchanged.
+  *
+  * Scores are INTEGER fixed-point (parts-per-`scale`): each hop is
+  * floor((score·damp)/(deg·100)) — exact on any engine, so
+  * [[graft.Oracles]] replays all iterations as unrolled CTEs (the q57
+  * integer-Lloyd discipline applied to graphs).
+  */
+object Graphs {
+
+  /** Undirected co-occurrence edges: items sharing a group (parts in an
+    * order, tokens in a doc, domains in a session) get both directed
+    * edges. Multiplicity is ignored (DISTINCT membership). Groups
+    * larger than `maxGroup` are dropped whole — the capBuckets skew
+    * guard: a single million-item group would emit 10¹² pairs and no
+    * centrality signal worth having.
+    *
+    * The self-join keys on the group column, so it is co-partitioned
+    * (one shuffle of slim (group, item) rows) with per-task cost
+    * bounded by maxGroup².
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+      maxGroup: Int = 1000): DataFrame = {
+    val slim = df.select(col(groupCol).as("_g"), col(itemCol).as("_i"))
+      .distinct()
+    val big = slim.groupBy("_g").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxGroup).select("_g")
+    val ok = slim.join(big, Seq("_g"), "anti")
+    ok.as("a").join(ok.as("b"),
+        col("a._g") === col("b._g") && col("a._i") =!= col("b._i"))
+      .select(col("a._i").as("src"), col("b._i").as("dst"))
+      .distinct()
+  }
+
+  /** PageRank in integer fixed-point, `iters` synchronous rounds.
+    * score₀ = scale/n; per round each node sends
+    * floor(score·dampPct/(deg·100)) along each out-edge and every node
+    * restarts from base = floor(scale·(100−dampPct)/(100·n)). With
+    * symmetric (co-occurrence) edges there are no dangling nodes; for
+    * general digraphs, sink mass simply evaporates (documented choice —
+    * ranking is invariant to the lost constant at these iteration
+    * counts).
+    *
+    * Output: (node, score) for every node. Edges + degrees materialize
+    * once (lazy localCheckpoint) and feed all rounds; each round is a
+    * join on src (reusing the edge partitioning) + one groupBy dst.
+    */
+  def pageRankInt(edges: DataFrame, iters: Int = 3,
+      scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame = {
+    val e = Dedup.tracked(edges.select("src", "dst").localCheckpoint(false))
+    val nodes = Dedup.tracked(
+      e.select(col("src").as("node")).union(e.select(col("dst")))
+        .distinct().localCheckpoint(false))
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val base = (scale * (100 - dampPct)) / (100L * n)
+    var scores = nodes.withColumn("score", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(scores.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr(s"(score * $dampPct) div (deg * 100)").as("_c"))
+        .groupBy("node").agg(sum("_c").as("_cs"))
+      scores = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("_cs"), lit(0L))).as("score"))
+    }
+    scores
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Graphs
+
+/** Co-occurrence edge derivation (skew guard, symmetry) and the
+  * integer-fixed-point PageRank arithmetic on a hand-computed star
+  * graph — q147 exercises the same path against the DuckDB replay.
+  */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("coOccurrenceEdges: symmetric distinct pairs, big groups dropped") {
+    val df = Seq(
+      (1L, 10L), (1L, 11L), (1L, 11L), // dup membership collapses
+      (2L, 10L), (2L, 12L),
+      (3L, 20L), (3L, 21L), (3L, 22L)) // group 3 exceeds maxGroup=2
+      .toDF("g", "item")
+    val got = Graphs.coOccurrenceEdges(df, "g", "item", maxGroup = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 11L), (11L, 10L), (10L, 12L), (12L, 10L)))
+  }
+
+  test("pageRankInt: hand-computed star graph, exact floor arithmetic") {
+    // star: center 0 — leaves 1,2,3 (symmetric edges). n=4, s0=25e10.
+    // base = 15e12/400 = 375e8. After round 1:
+    //   center = 375e8 + 3*floor(25e10*85/100)      = 675_000_000_000
+    //   leaf   = 375e8 + floor(25e10*85/300)        = 108_333_333_333
+    val edges = Seq(0L -> 1L, 1L -> 0L, 0L -> 2L, 2L -> 0L, 0L -> 3L, 3L -> 0L)
+      .toDF("src", "dst")
+    val got = Graphs.pageRankInt(edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) == 675000000000L)
+    assert(got(1L) == 108333333333L && got(2L) == got(1L) && got(3L) == got(1L))
+  }
+
+  test("pageRankInt: inner nodes outrank endpoints on a path, symmetric") {
+    val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graphs.pageRankInt(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(2L) > got(1L) && got(3L) > got(1L),
+      "degree-2 nodes outrank endpoints")
+    assert(got(2L) == got(4L) && got(1L) == got(5L), "path symmetry")
+    assert(got.values.sum <= 1000000000000L, "floor rounding only loses mass")
+  }
+}
