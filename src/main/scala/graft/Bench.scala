@@ -49,7 +49,11 @@ object Bench {
     "q111_url_dedup",      // URL canonicalization + min-id keep (NEW r8)
     "q113_bpe_train",      // BPE training loop on the vocab table (NEW r8)
     "q114_curation_pipeline", // the composed 4-stage curation chain (NEW r8)
-    "q115_export_manifest") // seeded-permutation shard manifest (NEW r8)
+    "q115_export_manifest", // seeded-permutation shard manifest (NEW r8)
+    "q141_hll_distinct",   // HLL sketch-as-table + exact-integer estimate (NEW r9)
+    "q142_heavy_hitters",  // CMS screen + exact verify (NEW r9)
+    "q145_ks_drift",       // two-phase exact KS statistic (NEW r9)
+    "q147_copurchase_rank") // 3-round integer PageRank, iterated joins (NEW r9)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine

@@ -2483,7 +2483,7 @@ object Oracles {
          |  SELECT n.node, $baseSub + COALESCE(c.cs, 0) AS score
          |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    s"""WITH e0 AS (SELECT l_orderkey AS g, l_partkey AS i FROM lineitem),
        |ok AS (SELECT g, i FROM e0 WHERE g NOT IN (
        |  SELECT g FROM e0 GROUP BY g HAVING COUNT(*) > 1000)),
        |e AS (SELECT DISTINCT a.i AS src, b.i AS dst

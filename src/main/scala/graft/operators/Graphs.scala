@@ -21,19 +21,19 @@ object Graphs {
 
   /** Undirected co-occurrence edges: items sharing a group (parts in an
     * order, tokens in a doc, domains in a session) get both directed
-    * edges. Multiplicity is ignored (DISTINCT membership). Groups
-    * larger than `maxGroup` are dropped whole — the capBuckets skew
-    * guard: a single million-item group would emit 10¹² pairs and no
-    * centrality signal worth having.
+    * edges. Multiplicity is ignored — the final DISTINCT collapses
+    * repeat pairs, so no pre-distinct pass is spent on the raw rows.
+    * Groups with more than `maxGroup` membership ROWS are dropped whole
+    * — the capBuckets skew guard: a single million-item group would
+    * emit 10¹² pairs and no centrality signal worth having.
     *
     * The self-join keys on the group column, so it is co-partitioned
-    * (one shuffle of slim (group, item) rows) with per-task cost
-    * bounded by maxGroup².
+    * (one shuffle of slim (group, item) rows, reused by the guard's
+    * anti-join) with per-task cost bounded by maxGroup².
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
       maxGroup: Int = 1000): DataFrame = {
     val slim = df.select(col(groupCol).as("_g"), col(itemCol).as("_i"))
-      .distinct()
     val big = slim.groupBy("_g").agg(count(lit(1)).as("_n"))
       .filter(col("_n") > maxGroup).select("_g")
     val ok = slim.join(big, Seq("_g"), "anti")
@@ -58,26 +58,47 @@ object Graphs {
     */
   def pageRankInt(edges: DataFrame, iters: Int = 3,
       scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame = {
-    val e = Dedup.tracked(edges.select("src", "dst").localCheckpoint(false))
+    // The edge table materializes exactly ONCE, directly into the cache:
+    // hash-partitioned on src with the out-degree computed as a whole-
+    // partition window (no separate degree aggregation, no join, no
+    // intermediate checkpoint). InMemoryRelation preserves
+    // outputPartitioning, so every round's join exchanges only the
+    // node-sized score table — the big side is never re-shuffled or
+    // re-sorted. Nodes then read off the cached table.
+    val e = edges.select("src", "dst").repartition(col("src"))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .cache()
     val nodes = Dedup.tracked(
       e.select(col("src").as("node")).union(e.select(col("dst")))
-        .distinct().localCheckpoint(false))
+        .distinct().localCheckpoint(eager = true))
     val n = nodes.count()
     require(n > 0, "empty graph")
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val base = (scale * (100 - dampPct)) / (100L * n)
+    // Each round's scores materialize eagerly (nodes-sized — tiny by
+    // construction), keeping round k's plan flat instead of nesting
+    // rounds 1..k−1. Checkpointed score tables carry no size stats, so
+    // without a hint every round falls back to sort-merge and re-sorts
+    // the edge table. n is known EXACTLY here — broadcast the
+    // node-sized tables while they provably fit (each row ~16 B; 5e7
+    // nodes ≈ 800 MB hinted off), and above that let the cached
+    // src-partitioning do its job.
+    val bcast = n <= 50000000L
+    def hinted(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var scores = nodes.withColumn("score", lit(scale / n))
     for (_ <- 1 to iters) {
       val contrib = e
-        .join(scores.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
+        .join(hinted(scores.withColumnRenamed("node", "src")), Seq("src"))
         .select(col("dst").as("node"),
           expr(s"(score * $dampPct) div (deg * 100)").as("_c"))
         .groupBy("node").agg(sum("_c").as("_cs"))
-      scores = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + coalesce(col("_cs"), lit(0L))).as("score"))
+      scores = Dedup.tracked(
+        nodes.join(hinted(contrib), Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + coalesce(col("_cs"), lit(0L))).as("score"))
+          .localCheckpoint(eager = true))
     }
+    e.unpersist(blocking = false)
     scores
   }
 }

@@ -11,13 +11,22 @@ class GraphsSpec extends SparkSpec {
 
   test("coOccurrenceEdges: symmetric distinct pairs, big groups dropped") {
     val df = Seq(
-      (1L, 10L), (1L, 11L), (1L, 11L), // dup membership collapses
+      (1L, 10L), (1L, 11L), (1L, 11L), // dup membership: distinct pairs out
       (2L, 10L), (2L, 12L),
-      (3L, 20L), (3L, 21L), (3L, 22L)) // group 3 exceeds maxGroup=2
+      (3L, 20L), (3L, 21L), (3L, 22L)) // group 3 exceeds maxGroup=3 rows? no
       .toDF("g", "item")
-    val got = Graphs.coOccurrenceEdges(df, "g", "item", maxGroup = 2)
+    val got = Graphs.coOccurrenceEdges(df, "g", "item", maxGroup = 3)
       .as[(Long, Long)].collect().toSet
-    assert(got == Set((10L, 11L), (11L, 10L), (10L, 12L), (12L, 10L)))
+    // group 1: 3 rows (≤ cap) → distinct pair (10,11) both ways; group 2
+    // kept; group 3 has exactly 3 rows (≤ cap) → its triangle appears
+    assert(got == Set(
+      (10L, 11L), (11L, 10L), (10L, 12L), (12L, 10L),
+      (20L, 21L), (21L, 20L), (20L, 22L), (22L, 20L),
+      (21L, 22L), (22L, 21L)))
+    // cap counts RAW membership rows: maxGroup=2 drops groups 1 and 3
+    val capped = Graphs.coOccurrenceEdges(df, "g", "item", maxGroup = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((10L, 12L), (12L, 10L)))
   }
 
   test("pageRankInt: hand-computed star graph, exact floor arithmetic") {
