@@ -3,18 +3,20 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Packing, TextAnalysis, Xval}
+import graft.operators.{Dedup, Packing, Sketches, TextAnalysis, Validation, Xval}
 
 /** Dev tool: the canonical LLM-training-data pipeline, end to end, over
   * the driver testdata — the flow a user of the reference library would
   * assemble from this engine's operators:
   *
-  *   documents → text stats/quality gate → Gopher-rules gate → exact
+  *   documents → one-scan constraint gate (structural failures abort)
+  *   → text stats/quality gate → Gopher-rules gate → exact
   *   dedup → MinHash near-dup clustering (keep cluster minimum) →
   *   benchmark decontamination → model-based quality filter → mixture
   *   rebalance to target source weights → context-window chunking →
   *   sequence packing → train/val/test folds → day-2 incremental
-  *   ingest against persisted indexes → BPE tokenizer trained on the
+  *   ingest against persisted indexes (+ persisted-HLL distinct-count
+  *   monitoring across days) → BPE tokenizer trained on the
   *   curated corpus (merges.txt sidecar round-trip) → deterministic
   *   training-shard export with a verifiable manifest
   *
@@ -39,6 +41,19 @@ object PipelineDemo {
     Dedup.withPipeline {
       val docs = Tables.documents(spark, sfDir)
       stage("input", docs.count())
+
+      // 0. contract gate before anything downstream touches the shard:
+      // the Deequ-style suite folds into ONE scan; a failing STRUCTURAL
+      // constraint (missing bodies, duplicate keys, negative lengths)
+      // aborts the run instead of silently curating garbage
+      val report = Validation.constraintReport(docs,
+        Validation.documentSuite(Seq("en", "de", "fr", "es", "zh")))
+      val structFailed = report.filter(!col("passed") &&
+        col("constraint").isin("complete_text", "unique_doc_id",
+          "nonneg_n_chars")).count()
+      require(structFailed == 0,
+        "structural constraint failed on the incoming shard")
+      stage("constraint gate", report.count())
 
       // 1. line-level C4 cleaning (the test corpus is a token stream, so
       // the terminal-punctuation rule is off), then the document gate
@@ -165,6 +180,20 @@ object PipelineDemo {
       val exactIdx2 = exactIdx
         .union(Dedup.exactIndex(day2)).distinct()
       stage("updated exact index", exactIdx2.count())
+
+      // 8b. corpus monitoring without re-scanning history: day 1's HLL
+      // register table persists as parquet (256 rows); day 2 builds its
+      // own and the MERGE (groupBy max over sketch-sized tables)
+      // estimates the union's distinct ids — the nightly distinct-count
+      // dashboard never touches day-1 bodies again
+      val hllGrp = (d: org.apache.spark.sql.DataFrame) =>
+        Sketches.hllRegisters(d.withColumn("g", lit("corpus")), Seq("g"), "doc_id")
+      hllGrp(docs).write.mode("overwrite").parquet(s"$idxDir/hll_day1")
+      val hllMerged = Sketches.hllMerge(
+        Seq(spark.read.parquet(s"$idxDir/hll_day1"), hllGrp(day2)), Seq("g"))
+      val unionEst = Sketches.hllEstimate(hllMerged, Seq("g"))
+        .select("est").as[Long].head()
+      stage("union distinct (HLL merge)", unionEst)
 
       // 9. tokenizer trained ON the curated corpus (the decontaminated
       // dedup survivors — the corpus a production run would train on):

@@ -95,6 +95,18 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("plan shapes: register table is one exchange; screen joins broadcast") {
+    val df = (1L to 1000L).toDF("v").withColumn("g", lit("a"))
+    val regPlan = Sketches.hllRegisters(df, Seq("g"), "v")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(regPlan).size == 1,
+      s"register build must be exactly one partial-agg'd shuffle:\n${regPlan.take(800)}")
+    val hhPlan = Sketches.heavyHitters(df, "v", relDen = 2L)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(hhPlan).nonEmpty,
+      s"exact verify must semi-join against the BROADCAST screened set:\n${hhPlan.take(800)}")
+  }
+
   test("constraint report: one row per constraint, exact pass/fail") {
     val docs = Seq(
       (1L, "hello world", "en", 11L),
