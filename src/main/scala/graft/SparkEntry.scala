@@ -152,6 +152,15 @@ object SparkEntry {
           "value", col("event_type") === "purchase")
     }),
 
+    // ---- validation tier: exact chi-squared categorical drift ----
+    // event_type mix on even vs odd epoch-days; every IEEE op has
+    // exactly-representable operands in a fixed order, cells summed by
+    // an ordered fold — bit-identical across engines.
+    "q148_chisq_drift" -> ((s, dir) => {
+      Analytics.chisqDrift(events(s, dir), "event_type",
+        pmod(expr("unix_micros(ts) DIV 86400000000"), lit(2)) === 1)
+    }),
+
     // ---- graph tier: co-purchase PageRank, integer fixed-point ----
     // The domain/URL-ranking family of web-corpus curation (CCNet /
     // RefinedWeb source weighting) as iterated co-partitioned joins;
@@ -1806,6 +1815,29 @@ object SparkEntry {
         |  lead(ver) OVER (PARTITION BY c_custkey ORDER BY ver) AS valid_to,
         |  lead(ver) OVER (PARTITION BY c_custkey ORDER BY ver) IS NULL AS is_current
         |FROM all_v ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "q148_chisq_drift" ->
+      """WITH s AS (
+        |  SELECT event_type AS cat,
+        |    CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 1 THEN 1 ELSE 0 END AS f
+        |  FROM events),
+        |cells AS (SELECT cat, CAST(SUM(1 - f) AS BIGINT) AS c1,
+        |                 CAST(SUM(f) AS BIGINT) AS c2 FROM s GROUP BY cat),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS r1,
+        |               CAST(SUM(c2) AS BIGINT) AS r2 FROM cells),
+        |terms AS (
+        |  SELECT cat,
+        |    ((c1*(r1+r2) - r1*(c1+c2))::DOUBLE / (r1+r2)::DOUBLE)
+        |      * ((c1*(r1+r2) - r1*(c1+c2))::DOUBLE / (r1*(c1+c2))::DOUBLE)
+        |    + ((c2*(r1+r2) - r2*(c1+c2))::DOUBLE / (r1+r2)::DOUBLE)
+        |      * ((c2*(r1+r2) - r2*(c1+c2))::DOUBLE / (r2*(c1+c2))::DOUBLE) AS t
+        |  FROM cells, tot)
+        |SELECT r1 AS n1, r2 AS n2,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) AS n_cells,
+        |  list_reduce(list_concat([0.0::DOUBLE], list_transform(
+        |      list_sort(list({'cat': cat, 't': t})), x -> x.t)),
+        |    (a, b) -> a + b) AS chisq
+        |FROM terms, tot GROUP BY r1, r2""".stripMargin,
 
     "q145_ks_drift" ->
       """WITH s AS (

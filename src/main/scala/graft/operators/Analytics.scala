@@ -229,6 +229,48 @@ object Analytics {
     * — ≤ numBuckets rows by construction). No global window, no sort of
     * the raw data, nothing ∝ input on the driver.
     */
+  /** Exact two-sample chi-squared statistic over a CATEGORICAL column —
+    * the drift monitor q145's KS cannot cover (source mix, label
+    * distribution, language balance between two slices).
+    *
+    * χ² = Σ_cells (O·N − R·C)²/(N·R·C) is computed with every operand
+    * exactly representable: d = O·N − R·C stays integer (< 2^53 for
+    * class totals up to ~2^26 — far past any per-class count these
+    * report tables see), and each cell contributes
+    * (d/N)·(d/(R·C)) + … — three IEEE ops in fixed order per sample
+    * row. Cells are then summed by an ORDERED sequential fold (sorted
+    * by category), the same discipline as the cosine fold — so the
+    * statistic is bit-identical on any engine.
+    *
+    * One partial-agg'd groupBy over slim (cat, flag) rows; everything
+    * after is arithmetic on the cells table (|categories| rows).
+    * Output: one row (n1, n2, n_cells, chisq); df = n_cells − 1.
+    */
+  def chisqDrift(df: DataFrame, catCol: String,
+      isSample2: Column): DataFrame = {
+    val cells = df.groupBy(col(catCol).as("_cat"))
+      .agg(sum(when(isSample2, 0L).otherwise(1L)).as("_c1"),
+        sum(when(isSample2, 1L).otherwise(0L)).as("_c2"))
+    val tot = cells.agg(sum("_c1").as("_r1"), sum("_c2").as("_r2"))
+    def term(o: Column, r: Column): Column = {
+      val n = col("_r1") + col("_r2")
+      val cc = col("_c1") + col("_c2")
+      val d = (o * n - r * cc).cast("double")
+      (d / n.cast("double")) * (d / (r * cc).cast("double"))
+    }
+    cells.crossJoin(broadcast(tot))
+      .withColumn("_t",
+        term(col("_c1"), col("_r1")) + term(col("_c2"), col("_r2")))
+      .groupBy("_r1", "_r2")
+      .agg(count(lit(1)).as("n_cells"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("_cat"), col("_t")))),
+            x => x.getField("_t")),
+          lit(0.0), (a, b) => a + b).as("chisq"))
+      .select(col("_r1").as("n1"), col("_r2").as("n2"),
+        col("n_cells"), col("chisq"))
+  }
+
   def ksDrift(df: DataFrame, valueCol: String, isSample2: Column,
       numBuckets: Int = 32): DataFrame = {
     val perV = Dedup.tracked(

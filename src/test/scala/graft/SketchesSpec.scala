@@ -147,6 +147,23 @@ class SketchesSpec extends SparkSpec {
     assert(got == ((4L, 4L, 8L, 0.5)))
   }
 
+  test("chisq drift: hand-computed 2x2 contingency table") {
+    // s1: A=30, B=10; s2: A=10, B=30 → E=20 everywhere, χ² = 4·(10²/20) = 20
+    val df = (Seq.fill(30)(("A", 0)) ++ Seq.fill(10)(("B", 0)) ++
+      Seq.fill(10)(("A", 1)) ++ Seq.fill(30)(("B", 1))).toDF("cat", "f")
+    val got = Analytics.chisqDrift(df, "cat", col("f") === 1)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got == ((40L, 40L, 2L, 20.0)))
+  }
+
+  test("chisq drift: identical distributions give zero") {
+    val df = (Seq.fill(25)(("A", 0)) ++ Seq.fill(15)(("B", 0)) ++
+      Seq.fill(25)(("A", 1)) ++ Seq.fill(15)(("B", 1))).toDF("cat", "f")
+    val got = Analytics.chisqDrift(df, "cat", col("f") === 1)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got._4 == 0.0)
+  }
+
   test("ks drift: identical samples give zero") {
     val df = ((1 to 100).map(i => (i.toDouble, 0)) ++
       (1 to 100).map(i => (i.toDouble, 1))).toDF("value", "f")
