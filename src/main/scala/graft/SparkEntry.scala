@@ -152,6 +152,15 @@ object SparkEntry {
           "value", col("event_type") === "purchase")
     }),
 
+    // ---- validation tier: per-source constraint report ----
+    // q143's suite keyed by source (Deequ group-by analyzers): one
+    // partial-agg'd shuffle emits every source's health row.
+    "q149_constraints_by_source" -> ((s, dir) => {
+      Validation.constraintReportBy(documents(s, dir), Seq("source"),
+          Validation.documentSuite(Seq("en", "de", "fr", "es", "zh")))
+        .orderBy("source", "constraint")
+    }),
+
     // ---- validation tier: exact chi-squared categorical drift ----
     // event_type mix on even vs odd epoch-days; every IEEE op has
     // exactly-representable operands in a fixed order, cells summed by
@@ -1815,6 +1824,24 @@ object SparkEntry {
         |  lead(ver) OVER (PARTITION BY c_custkey ORDER BY ver) AS valid_to,
         |  lead(ver) OVER (PARTITION BY c_custkey ORDER BY ver) IS NULL AS is_current
         |FROM all_v ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "q149_constraints_by_source" ->
+      """WITH a AS (SELECT source, COUNT(*) AS n, COUNT(text) AS ct,
+        |    COUNT(DISTINCT doc_id) AS cd,
+        |    SUM(CASE WHEN n_chars >= 0 THEN 1 ELSE 0 END) AS cn,
+        |    SUM(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS cl,
+        |    SUM(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END) AS ce,
+        |    SUM(n_chars) AS sc
+        |  FROM documents GROUP BY source)
+        |SELECT * FROM (
+        |  SELECT source, 'complete_text' AS "constraint", CAST(ct AS BIGINT) AS observed,
+        |    CAST(n AS BIGINT) AS expected, ct = n AS passed FROM a
+        |  UNION ALL SELECT source, 'unique_doc_id', CAST(cd AS BIGINT), CAST(n AS BIGINT), cd = n FROM a
+        |  UNION ALL SELECT source, 'nonneg_n_chars', CAST(cn AS BIGINT), CAST(n AS BIGINT), cn = n FROM a
+        |  UNION ALL SELECT source, 'lang_in_domain', CAST(cl AS BIGINT), CAST(n AS BIGINT), cl = n FROM a
+        |  UNION ALL SELECT source, 'text_nonempty', CAST(ce AS BIGINT), CAST(n AS BIGINT), ce = n FROM a
+        |  UNION ALL SELECT source, 'sum_chars_floor', CAST(sc AS BIGINT), CAST(n * 100 AS BIGINT), sc >= n * 100 FROM a
+        |) ORDER BY source, "constraint"""".stripMargin,
 
     "q148_chisq_drift" ->
       """WITH s AS (

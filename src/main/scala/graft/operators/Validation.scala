@@ -50,6 +50,33 @@ object Validation {
         col("_c.expected"), col("_c.passed"))
   }
 
+  /** [[constraintReport]] per group (Deequ's group-by analyzers): the
+    * same one-scan fold, keyed — a 10k-source corpus yields a
+    * 10k×|suite| report from ONE partial-agg'd shuffle of the group
+    * keys, which is how per-source health checks stay affordable when
+    * the corpus doesn't fit a second pass.
+    *
+    * Output: (groupCols*, constraint, observed, expected, passed).
+    */
+  def constraintReportBy(df: DataFrame, groupCols: Seq[String],
+      suite: Seq[Constraint]): DataFrame = {
+    require(suite.nonEmpty, "empty constraint suite")
+    val aggs = suite.zipWithIndex.flatMap { case (c, i) =>
+      Seq(c.observed.cast("long").as(s"_o$i"), c.expected.cast("long").as(s"_e$i"))
+    }
+    val rows = suite.zipWithIndex.map { case (c, i) =>
+      val passed =
+        if (c.geq) col(s"_o$i") >= col(s"_e$i") else col(s"_o$i") === col(s"_e$i")
+      struct(lit(c.name).as("constraint"), col(s"_o$i").as("observed"),
+        col(s"_e$i").as("expected"), passed.as("passed"))
+    }
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(groupCols.map(col) :+ explode(array(rows: _*)).as("_c"): _*)
+      .select(groupCols.map(col) :+ col("_c.constraint") :+
+        col("_c.observed") :+ col("_c.expected") :+ col("_c.passed"): _*)
+  }
+
   /** The standard suite for a document corpus: completeness, key
     * uniqueness, domain membership, non-emptiness — the checks a crawl
     * ingest runs before anything downstream touches the shard.

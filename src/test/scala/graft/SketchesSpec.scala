@@ -125,6 +125,21 @@ class SketchesSpec extends SparkSpec {
     assert(got("sum_chars_floor") == ((19L, 300L, false)))
   }
 
+  test("constraint report by group: pass/fail independent per segment") {
+    val docs = Seq(
+      (1L, "hello there world", "en", 17L, "good"),
+      (2L, "guten tag", "de", 9L, "good"),
+      (3L, null.asInstanceOf[String], "en", 5L, "bad"),
+      (4L, "bonjour", "fr", 7L, "bad"))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    val got = Validation.constraintReportBy(docs, Seq("source"),
+        Validation.documentSuite(Seq("en", "de", "fr")))
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    assert(got(("good", "complete_text")) && !got(("bad", "complete_text")))
+    assert(got(("good", "unique_doc_id")) && got(("bad", "unique_doc_id")))
+  }
+
   test("scd2 merge: validity chains link, current row open-ended") {
     val base = Seq((1L, "A", 0L), (2L, "B", 0L)).toDF("k", "attr", "ver")
     val upd = Seq((1L, "C", 10L), (1L, "D", 20L)).toDF("k", "attr", "ver")
