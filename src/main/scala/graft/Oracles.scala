@@ -2501,9 +2501,11 @@ object Oracles {
   def generated: Map[String, String] = Map(
     "q147_copurchase_rank" -> q147CopurchaseRank,
     "q141_hll_distinct" -> q141HllDistinct,
-    // q146 = q141's sketch built through the streaming state store:
-    // one oracle, two independent engine formulations (q116 discipline)
+    // q146/q150 = q141's sketch through the streaming state store and
+    // the native TypedImperativeAggregate: one oracle, three
+    // independent engine formulations (q116 discipline)
     "q146_stream_hll" -> q141HllDistinct,
+    "q150_hll_native_agg" -> q141HllDistinct,
     "q94_semantic_dedup" -> q94SemanticDedup,
     "q99_neardup_keep_best" -> q99NearDupKeepBest,
     "q100_corpus_report" -> q100CorpusReport,

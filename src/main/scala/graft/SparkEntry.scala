@@ -98,6 +98,21 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- native-aggregate HLL: q141 through a Catalyst
+    // TypedImperativeAggregate (constant 256-byte state per group,
+    // partial/final merged like sum — the 100 TB-preferred form; no
+    // register-row shuffle at all). Oracle = q141's SQL: one relational
+    // truth, THREE engine paths (table / stream / native agg).
+    "q150_hll_native_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(graft.plans.GraftExtensions.hllNative(
+          col("event_id").cast("long")).as("_h"))
+        .select(col("event_type"), col("_h.n_set").as("n_set"),
+          col("_h.est").as("est"), col("_h.small_range").as("small_range"))
+        .orderBy("event_type")
+    }),
+
     // ---- §2.9 streaming HLL: q141's sketch built incrementally ----
     // The register table IS streaming-friendly state: groupBy max over
     // ≤ |groups|·256 keys, so the state store is sketch-sized no matter

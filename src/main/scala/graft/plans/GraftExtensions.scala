@@ -38,6 +38,12 @@ object GraftExtensions {
         require(children.length == 2, "graft_morton(x, y) takes two long args")
         MortonInterleave(children.head, children(1))
       }),
+    (new FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_hll(v) takes one long arg")
+        HllSketchAgg(children.head)
+      }),
     (new FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
       (children: Seq[Expression]) => {
@@ -90,6 +96,17 @@ object GraftExtensions {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(
       MortonInterleave(ColumnShim.expression(x), ColumnShim.expression(y)))
+  }
+
+  /** Registration-free HLL aggregate (see [[cosineNative]]): 256-byte
+    * constant sketch state per group through standard partial/final
+    * aggregation — the scale-preferred form of `Sketches.hllRegisters`
+    * + `hllEstimate`, bit-identical output.
+    */
+  def hllNative(v: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(
+      HllSketchAgg(ColumnShim.expression(v)).toAggregateExpression())
   }
 
   /** Registration-free Unicode normalization (see [[cosineNative]]):

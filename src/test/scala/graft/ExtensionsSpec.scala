@@ -24,6 +24,21 @@ class ExtensionsSpec extends SparkSpec {
     s
   }
 
+  test("graft_hll registered via extensions, callable from SQL") {
+    val s = extSession
+    import s.implicits._
+    s.range(1, 5001).toDF("v").createOrReplaceTempView("ids")
+    val got = s.sql(
+      "SELECT graft_hll(v).n_set AS n_set, graft_hll(v).est AS est FROM ids")
+      .as[(Long, Long)].collect().head
+    val expected = graft.operators.Sketches.hllEstimate(
+      graft.operators.Sketches.hllRegisters(
+        s.range(1, 5001).toDF("v").withColumn("g", org.apache.spark.sql.functions.lit("x")),
+        Seq("g"), "v"), Seq("g"))
+      .select("n_set", "est").as[(Long, Long)].collect().head
+    assert(got == expected)
+  }
+
   test("graft_cosine registered via extensions, callable from SQL") {
     val s = extSession
     import s.implicits._

@@ -95,6 +95,23 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hll native aggregate: bit-identical to the table formulation") {
+    // 8 partitions force real partial/final merges + buffer serialization
+    val df = spark.range(1, 40001).toDF("v").repartition(8)
+      .withColumn("g", (col("v") % 3).cast("string"))
+    val table = Sketches.hllEstimate(
+        Sketches.hllRegisters(df, Seq("g"), "v"), Seq("g"))
+      .orderBy("g")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    val native = df.groupBy("g")
+      .agg(graft.plans.GraftExtensions.hllNative(col("v")).as("_h"))
+      .select(col("g"), col("_h.n_set"), col("_h.est"), col("_h.small_range"))
+      .orderBy("g")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(native == table)
+    assert(native.forall(r => !r._4), "13k+ distinct per group is raw regime")
+  }
+
   test("plan shapes: register table is one exchange; screen joins broadcast") {
     val df = (1L to 1000L).toDF("v").withColumn("g", lit("a"))
     val regPlan = Sketches.hllRegisters(df, Seq("g"), "v")
