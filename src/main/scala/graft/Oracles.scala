@@ -2426,41 +2426,70 @@ object Oracles {
     * replayed end-to-end, including the cross-multiplied small-range
     * flag.
     */
-  def q141HllDistinct: String = {
+  /** Generic HLL estimate block: `src` yields the group columns plus a
+    * nonneg HUGEINT `z`; output = (groups*, n_set, est, small_range).
+    * `groups` may be empty (whole-input sketch).
+    */
+  private def hllEstimateSql(src: String, groups: Seq[String]): String = {
     import graft.operators.Sketches
     val m = Sketches.HllM
     val rhoMax = Sketches.HllRhoMax
     val div = BigInt(1) << (64 - Sketches.HllP)
     val scale = BigInt(1) << rhoMax
     val numer = Sketches.HllNumer
-    val smx = staged("SELECT event_type, event_id::HUGEINT AS z FROM events",
-      splitmixStages("z"))
+    val g = groups.mkString(", ")
+    val gc = if (groups.isEmpty) "" else s"$g, "
+    val smx = staged(s"SELECT $gc z FROM ($src)", splitmixStages("z"))
     val rhoSearch = Seq(32, 16, 8, 4, 2, 1).foldLeft(
-      "SELECT event_type, bucket, rem, rem AS _r, 0 AS _a FROM hb") {
+      s"SELECT $gc bucket, rem, rem AS _r, 0 AS _a FROM " +
+        s"(SELECT $gc _sm // $div::HUGEINT AS bucket, " +
+        s"_sm % $div::HUGEINT AS rem FROM ($smx))") {
       case (sql, sh) =>
         val tp = BigInt(1) << sh
-        s"SELECT event_type, bucket, rem, " +
+        s"SELECT $gc bucket, rem, " +
           s"CASE WHEN _r >= $tp::HUGEINT THEN _r // $tp::HUGEINT ELSE _r END AS _r, " +
           s"_a + CASE WHEN _r >= $tp::HUGEINT THEN $sh ELSE 0 END AS _a FROM ($sql)"
     }
+    val regBy = (groups :+ "bucket").mkString(", ")
+    val esBy = if (groups.isEmpty) "" else s" GROUP BY $g"
     val sExpr =
       s"(($m - n_set)::HUGEINT * $scale::HUGEINT + s_set) * 1000000000::HUGEINT"
-    s"""WITH hb AS (
-       |  SELECT event_type, _sm // $div::HUGEINT AS bucket,
-       |    _sm % $div::HUGEINT AS rem
-       |  FROM ($smx)),
-       |reg AS (
-       |  SELECT event_type, bucket,
-       |    max(CASE WHEN rem = 0 THEN $rhoMax ELSE ${rhoMax - 1} - _a END) AS rho
-       |  FROM ($rhoSearch) GROUP BY 1, 2),
-       |es AS (
-       |  SELECT event_type, COUNT(*) AS n_set,
-       |    SUM((1::BIGINT << ($rhoMax - rho))::HUGEINT) AS s_set
-       |  FROM reg GROUP BY 1)
-       |SELECT event_type, CAST(n_set AS BIGINT) AS n_set,
+    s"""SELECT $gc CAST(n_set AS BIGINT) AS n_set,
        |  CAST($numer::HUGEINT // ($sExpr) AS BIGINT) AS est,
        |  (2::HUGEINT * $numer::HUGEINT) <= (${5 * m}::HUGEINT * ($sExpr)) AS small_range
-       |FROM es ORDER BY event_type""".stripMargin
+       |FROM (
+       |  SELECT $gc COUNT(*) AS n_set,
+       |    SUM((1::BIGINT << ($rhoMax - rho))::HUGEINT) AS s_set
+       |  FROM (
+       |    SELECT $gc bucket,
+       |      max(CASE WHEN rem = 0 THEN $rhoMax ELSE ${rhoMax - 1} - _a END) AS rho
+       |    FROM ($rhoSearch) GROUP BY $regBy)$esBy)""".stripMargin
+  }
+
+  def q141HllDistinct: String =
+    hllEstimateSql("SELECT event_type, event_id::HUGEINT AS z FROM events",
+      Seq("event_type")) + "\nORDER BY event_type"
+
+  /** q151: the native HLL aggregate composed with SQL ROLLUP — per-day ×
+    * per-type, per-day subtotals, and the grand total, each an
+    * independent exact sketch replay; subtotal keys labeled like the
+    * engine's coalesce.
+    */
+  def q151HllRollup: String = {
+    val base = "SELECT event_type, epoch_us(ts) // 86400000000 AS day, " +
+      "event_id::HUGEINT AS z FROM events"
+    s"""WITH base AS ($base)
+       |SELECT * FROM (
+       |  SELECT day, event_type, n_set, est
+       |  FROM (${hllEstimateSql("SELECT day, event_type, z FROM base",
+                  Seq("day", "event_type"))})
+       |  UNION ALL
+       |  SELECT day, '(all)' AS event_type, n_set, est
+       |  FROM (${hllEstimateSql("SELECT day, z FROM base", Seq("day"))})
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT) AS day, '(all)' AS event_type, n_set, est
+       |  FROM (${hllEstimateSql("SELECT z FROM base", Seq.empty)})
+       |) ORDER BY day, event_type""".stripMargin
   }
 
   /** q147: integer-fixed-point PageRank replay — co-occurrence edges,
@@ -2506,6 +2535,7 @@ object Oracles {
     // independent engine formulations (q116 discipline)
     "q146_stream_hll" -> q141HllDistinct,
     "q150_hll_native_agg" -> q141HllDistinct,
+    "q151_hll_rollup" -> q151HllRollup,
     "q94_semantic_dedup" -> q94SemanticDedup,
     "q99_neardup_keep_best" -> q99NearDupKeepBest,
     "q100_corpus_report" -> q100CorpusReport,

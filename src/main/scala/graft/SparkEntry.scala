@@ -113,6 +113,22 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- native HLL × SQL ROLLUP: per-day, per-(day,type), and grand-
+    // total distinct counts in ONE aggregation — the sketch composes
+    // with Catalyst's grouping-set machinery like any built-in agg
+    // (subtotal keys coalesced to engine-stable labels).
+    "q151_hll_rollup" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+        .rollup("day", "event_type")
+        .agg(graft.plans.GraftExtensions.hllNative(
+          col("event_id").cast("long")).as("_h"))
+        .select(coalesce(col("day"), lit(-1L)).as("day"),
+          coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          col("_h.n_set").as("n_set"), col("_h.est").as("est"))
+        .orderBy("day", "event_type")
+    }),
+
     // ---- §2.9 streaming HLL: q141's sketch built incrementally ----
     // The register table IS streaming-friendly state: groupBy max over
     // ≤ |groups|·256 keys, so the state store is sketch-sized no matter
