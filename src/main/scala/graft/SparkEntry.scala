@@ -201,6 +201,18 @@ object SparkEntry {
         pmod(expr("unix_micros(ts) DIV 86400000000"), lit(2)) === 1)
     }),
 
+    // ---- §2.9 streaming drift monitor: q148's chi-square with cells
+    // built as bounded streaming state (groupBy-sum over |categories|
+    // keys); the exact fold runs batch-side on the final snapshot.
+    // Oracle = q148's SQL (one relational truth, two engine paths).
+    "q152_stream_chisq" -> ((s, dir) => {
+      val cells = EventStreams.runOnceOnParquet(s, s"$dir/events.parquet",
+        df => Analytics.chisqCells(df, "event_type",
+          pmod(expr("unix_micros(ts) DIV 86400000000"), lit(2)) === 1),
+        s"chisq_sink_${System.nanoTime()}")
+      Analytics.chisqFromCells(cells)
+    }),
+
     // ---- graph tier: co-purchase PageRank, integer fixed-point ----
     // The domain/URL-ranking family of web-corpus curation (CCNet /
     // RefinedWeb source weighting) as iterated co-partitioned joins;
@@ -1813,6 +1825,30 @@ object SparkEntry {
   /** DuckDB-runnable equivalents; keys without entries get rows-only
     * checks (documented per-query above).
     */
+  /** q148/q152 share this relational truth (batch vs streaming cells). */
+  private val chisqDriftSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS cat,
+      |    CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 1 THEN 1 ELSE 0 END AS f
+      |  FROM events),
+      |cells AS (SELECT cat, CAST(SUM(1 - f) AS BIGINT) AS c1,
+      |                 CAST(SUM(f) AS BIGINT) AS c2 FROM s GROUP BY cat),
+      |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS r1,
+      |               CAST(SUM(c2) AS BIGINT) AS r2 FROM cells),
+      |terms AS (
+      |  SELECT cat,
+      |    ((c1*(r1+r2) - r1*(c1+c2))::DOUBLE / (r1+r2)::DOUBLE)
+      |      * ((c1*(r1+r2) - r1*(c1+c2))::DOUBLE / (r1*(c1+c2))::DOUBLE)
+      |    + ((c2*(r1+r2) - r2*(c1+c2))::DOUBLE / (r1+r2)::DOUBLE)
+      |      * ((c2*(r1+r2) - r2*(c1+c2))::DOUBLE / (r2*(c1+c2))::DOUBLE) AS t
+      |  FROM cells, tot)
+      |SELECT r1 AS n1, r2 AS n2,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) AS n_cells,
+      |  list_reduce(list_concat([0.0::DOUBLE], list_transform(
+      |      list_sort(list({'cat': cat, 't': t})), x -> x.t)),
+      |    (a, b) -> a + b) AS chisq
+      |FROM terms, tot GROUP BY r1, r2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     // The heavy-hitter oracle is deliberately sketch-free: the engine's
@@ -1874,28 +1910,10 @@ object SparkEntry {
         |  UNION ALL SELECT source, 'sum_chars_floor', CAST(sc AS BIGINT), CAST(n * 100 AS BIGINT), sc >= n * 100 FROM a
         |) ORDER BY source, "constraint"""".stripMargin,
 
-    "q148_chisq_drift" ->
-      """WITH s AS (
-        |  SELECT event_type AS cat,
-        |    CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 1 THEN 1 ELSE 0 END AS f
-        |  FROM events),
-        |cells AS (SELECT cat, CAST(SUM(1 - f) AS BIGINT) AS c1,
-        |                 CAST(SUM(f) AS BIGINT) AS c2 FROM s GROUP BY cat),
-        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS r1,
-        |               CAST(SUM(c2) AS BIGINT) AS r2 FROM cells),
-        |terms AS (
-        |  SELECT cat,
-        |    ((c1*(r1+r2) - r1*(c1+c2))::DOUBLE / (r1+r2)::DOUBLE)
-        |      * ((c1*(r1+r2) - r1*(c1+c2))::DOUBLE / (r1*(c1+c2))::DOUBLE)
-        |    + ((c2*(r1+r2) - r2*(c1+c2))::DOUBLE / (r1+r2)::DOUBLE)
-        |      * ((c2*(r1+r2) - r2*(c1+c2))::DOUBLE / (r2*(c1+c2))::DOUBLE) AS t
-        |  FROM cells, tot)
-        |SELECT r1 AS n1, r2 AS n2,
-        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) AS n_cells,
-        |  list_reduce(list_concat([0.0::DOUBLE], list_transform(
-        |      list_sort(list({'cat': cat, 't': t})), x -> x.t)),
-        |    (a, b) -> a + b) AS chisq
-        |FROM terms, tot GROUP BY r1, r2""".stripMargin,
+    // q152 = q148's statistic with the cells built through streaming
+    // state: one relational truth, two engine paths (q116 discipline)
+    "q152_stream_chisq" -> chisqDriftSql,
+    "q148_chisq_drift" -> chisqDriftSql,
 
     "q145_ks_drift" ->
       """WITH s AS (

@@ -247,10 +247,22 @@ object Analytics {
     * Output: one row (n1, n2, n_cells, chisq); df = n_cells − 1.
     */
   def chisqDrift(df: DataFrame, catCol: String,
-      isSample2: Column): DataFrame = {
-    val cells = df.groupBy(col(catCol).as("_cat"))
+      isSample2: Column): DataFrame =
+    chisqFromCells(chisqCells(df, catCol, isSample2))
+
+  /** The statistic's sufficient state: per-category counts of each
+    * sample — |categories| rows, buildable BATCH or STREAMING (it is
+    * one groupBy-sum, so it runs as bounded streaming state and the
+    * final snapshot feeds [[chisqFromCells]] — drift monitoring on an
+    * ingest stream without re-scanning history).
+    */
+  def chisqCells(df: DataFrame, catCol: String,
+      isSample2: Column): DataFrame =
+    df.groupBy(col(catCol).as("_cat"))
       .agg(sum(when(isSample2, 0L).otherwise(1L)).as("_c1"),
         sum(when(isSample2, 1L).otherwise(0L)).as("_c2"))
+
+  def chisqFromCells(cells: DataFrame): DataFrame = {
     val tot = cells.agg(sum("_c1").as("_r1"), sum("_c2").as("_r2"))
     def term(o: Column, r: Column): Column = {
       val n = col("_r1") + col("_r2")
