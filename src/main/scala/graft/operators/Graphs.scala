@@ -34,12 +34,15 @@ object Graphs {
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
       maxGroup: Int = 1000): DataFrame = {
     val slim = df.select(col(groupCol).as("_g"), col(itemCol).as("_i"))
-    val big = slim.groupBy("_g").agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > maxGroup).select("_g")
-    val ok = slim.join(big, Seq("_g"), "anti")
-    ok.as("a").join(ok.as("b"),
-        col("a._g") === col("b._g") && col("a._i") =!= col("b._i"))
-      .select(col("a._i").as("src"), col("b._i").as("dst"))
+    // group-to-list instead of a self-join: ONE hash-agg shuffle of the
+    // slim rows (no sort anywhere), the size cap falls out of the list
+    // length, and the pair blow-up happens map-side row-at-a-time under
+    // whole-stage codegen (never a maxGroup²-element array in memory).
+    slim.groupBy("_g").agg(collect_list("_i").as("_is"))
+      .filter(size(col("_is")) <= maxGroup)
+      .select(col("_is"), explode(col("_is")).as("src"))
+      .select(col("src"), explode(col("_is")).as("dst"))
+      .filter(col("src") =!= col("dst"))
       .distinct()
   }
 
