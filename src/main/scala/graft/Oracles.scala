@@ -2430,13 +2430,13 @@ object Oracles {
     * nonneg HUGEINT `z`; output = (groups*, n_set, est, small_range).
     * `groups` may be empty (whole-input sketch).
     */
-  private def hllEstimateSql(src: String, groups: Seq[String]): String = {
+  /** Register-table SQL: `src` yields groups + nonneg HUGEINT `z`;
+    * output = (groups*, bucket, rho) — `Sketches.hllRegisters` replayed.
+    */
+  private def hllRegSql(src: String, groups: Seq[String]): String = {
     import graft.operators.Sketches
-    val m = Sketches.HllM
     val rhoMax = Sketches.HllRhoMax
     val div = BigInt(1) << (64 - Sketches.HllP)
-    val scale = BigInt(1) << rhoMax
-    val numer = Sketches.HllNumer
     val g = groups.mkString(", ")
     val gc = if (groups.isEmpty) "" else s"$g, "
     val smx = staged(s"SELECT $gc z FROM ($src)", splitmixStages("z"))
@@ -2451,6 +2451,20 @@ object Oracles {
           s"_a + CASE WHEN _r >= $tp::HUGEINT THEN $sh ELSE 0 END AS _a FROM ($sql)"
     }
     val regBy = (groups :+ "bucket").mkString(", ")
+    s"""SELECT $gc bucket,
+       |  max(CASE WHEN rem = 0 THEN $rhoMax ELSE ${rhoMax - 1} - _a END) AS rho
+       |FROM ($rhoSearch) GROUP BY $regBy""".stripMargin
+  }
+
+  /** Estimate from a register-table SQL (`Sketches.hllEstimate`). */
+  private def hllEstFromRegSql(regSql: String, groups: Seq[String]): String = {
+    import graft.operators.Sketches
+    val m = Sketches.HllM
+    val rhoMax = Sketches.HllRhoMax
+    val scale = BigInt(1) << rhoMax
+    val numer = Sketches.HllNumer
+    val g = groups.mkString(", ")
+    val gc = if (groups.isEmpty) "" else s"$g, "
     val esBy = if (groups.isEmpty) "" else s" GROUP BY $g"
     val sExpr =
       s"(($m - n_set)::HUGEINT * $scale::HUGEINT + s_set) * 1000000000::HUGEINT"
@@ -2460,11 +2474,11 @@ object Oracles {
        |FROM (
        |  SELECT $gc COUNT(*) AS n_set,
        |    SUM((1::BIGINT << ($rhoMax - rho))::HUGEINT) AS s_set
-       |  FROM (
-       |    SELECT $gc bucket,
-       |      max(CASE WHEN rem = 0 THEN $rhoMax ELSE ${rhoMax - 1} - _a END) AS rho
-       |    FROM ($rhoSearch) GROUP BY $regBy)$esBy)""".stripMargin
+       |  FROM ($regSql)$esBy)""".stripMargin
   }
+
+  private def hllEstimateSql(src: String, groups: Seq[String]): String =
+    hllEstFromRegSql(hllRegSql(src, groups), groups)
 
   def q141HllDistinct: String =
     hllEstimateSql("SELECT event_type, event_id::HUGEINT AS z FROM events",
@@ -2527,7 +2541,25 @@ object Oracles {
        |FROM s$iters ORDER BY score DESC, l_partkey LIMIT 20""".stripMargin
   }
 
+  /** q153: trailing-7-day distinct users — daily registers fanned onto
+    * their window's target days, merged by max, estimated per day.
+    */
+  def q153WauSketch: String = {
+    val base = "SELECT epoch_us(ts) // 86400000000 AS day, " +
+      "user_id::HUGEINT AS z FROM events"
+    s"""WITH base AS ($base),
+       |days AS (SELECT DISTINCT day FROM base),
+       |regs AS (${hllRegSql("SELECT day, z FROM base", Seq("day"))}),
+       |win AS (
+       |  SELECT d.day, r.bucket, MAX(r.rho) AS rho
+       |  FROM days d JOIN regs r ON r.day BETWEEN d.day - 6 AND d.day
+       |  GROUP BY d.day, r.bucket)
+       |${hllEstFromRegSql("SELECT * FROM win", Seq("day"))}
+       |ORDER BY day""".stripMargin
+  }
+
   def generated: Map[String, String] = Map(
+    "q153_wau_sketch" -> q153WauSketch,
     "q147_copurchase_rank" -> q147CopurchaseRank,
     "q141_hll_distinct" -> q141HllDistinct,
     // q146/q150 = q141's sketch through the streaming state store and

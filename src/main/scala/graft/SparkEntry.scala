@@ -143,6 +143,19 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- sketch tier: trailing-7-day distinct users (WAU) ----
+    // Daily register tables fan out to their window's target days and
+    // merge by max — the rolling-distinct dashboard from sketch-sized
+    // state, no raw-history re-scan. Every step exact-integer.
+    "q153_wau_sketch" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+      val regs = Sketches.hllRegisters(ev, Seq("day"), "user_id")
+      val win = Sketches.hllTrailingRegisters(regs, "day", windowDays = 7,
+        validDays = ev.select("day").distinct())
+      Sketches.hllEstimate(win, Seq("day")).orderBy("day")
+    }),
+
     // ---- sketch tier: CMS-screened EXACT heavy hitters ----
     // Fixed-size counter table screens candidates (est ≥ true count ⇒
     // no false negatives); only survivors get exact counts, so the

@@ -125,6 +125,25 @@ object Sketches {
         col("_e._1").as("est") :+ col("_e._2").as("small_range")): _*)
   }
 
+  /** Trailing-window register table (the WAU/MAU shape): each source
+    * day's registers fan out to the `windowDays` target days they
+    * belong to, then merge by max — so "distinct users in the trailing
+    * 7 days, per day" costs one explode + one groupBy over
+    * days×window×m register rows, never a re-scan of raw history.
+    * `validDays` restricts output to days that actually occur (the
+    * fan-out would otherwise emit windows past the data's end).
+    */
+  def hllTrailingRegisters(registers: DataFrame, dayCol: String,
+      windowDays: Int, validDays: DataFrame): DataFrame = {
+    registers
+      .select(col("bucket"), col("rho"),
+        explode(sequence(col(dayCol),
+          col(dayCol) + (windowDays - 1))).as("_d"))
+      .join(validDays.select(col(dayCol).as("_d")), Seq("_d"), "semi")
+      .groupBy(col("_d").as(dayCol), col("bucket"))
+      .agg(max("rho").as("rho"))
+  }
+
   // ---------------------------------------------------------------- CMS
 
   /** Count-min sketch geometry: d independent rows × w = 2^WBits

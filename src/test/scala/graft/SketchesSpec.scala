@@ -95,6 +95,21 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hll trailing window: day-d registers equal the window's direct sketch") {
+    // days 10..13, values disjoint per day; window 3 → day 12 covers 10..12
+    val df = (10L to 13L).flatMap(d =>
+      (d * 1000 to d * 1000 + 99).map(v => (d, v))).toDF("day", "v")
+    val regs = Sketches.hllRegisters(df, Seq("day"), "v")
+    val win = Sketches.hllTrailingRegisters(regs, "day", windowDays = 3,
+      validDays = df.select("day").distinct())
+    val d12 = win.filter(col("day") === 12).drop("day")
+    val direct = Sketches.hllRegisters(
+      df.filter(col("day").between(10, 12)).withColumn("g", lit(1)),
+      Seq("g"), "v").drop("g")
+    assert(d12.exceptAll(direct).isEmpty && direct.exceptAll(d12).isEmpty)
+    assert(win.select("day").distinct().count() == 4, "only real days emitted")
+  }
+
   test("hll native aggregate: bit-identical to the table formulation") {
     // 8 partitions force real partial/final merges + buffer serialization
     val df = spark.range(1, 40001).toDF("v").repartition(8)
