@@ -232,8 +232,8 @@ object SparkEntry {
     // every hop is floor arithmetic, so DuckDB replays all 3 rounds.
     "q147_copurchase_rank" -> ((s, dir) => {
       val edges = Graphs.coOccurrenceEdges(
-        lineitem(s, dir), "l_orderkey", "l_partkey")
-      Graphs.pageRankInt(edges, iters = 3)
+        lineitem(s, dir), "l_orderkey", "l_partkey", dedup = false)
+      Graphs.pageRankInt(edges, iters = 3, symmetric = true)
         .orderBy(col("score").desc, col("node"))
         .limit(20)
         .select(col("node").as("l_partkey"), col("score"))

@@ -32,18 +32,21 @@ object Graphs {
     * anti-join) with per-task cost bounded by maxGroup².
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
-      maxGroup: Int = 1000): DataFrame = {
+      maxGroup: Int = 1000, dedup: Boolean = true): DataFrame = {
     val slim = df.select(col(groupCol).as("_g"), col(itemCol).as("_i"))
     // group-to-list instead of a self-join: ONE hash-agg shuffle of the
     // slim rows (no sort anywhere), the size cap falls out of the list
     // length, and the pair blow-up happens map-side row-at-a-time under
     // whole-stage codegen (never a maxGroup²-element array in memory).
-    slim.groupBy("_g").agg(collect_list("_i").as("_is"))
+    val pairs = slim.groupBy("_g").agg(collect_list("_i").as("_is"))
       .filter(size(col("_is")) <= maxGroup)
       .select(col("_is"), explode(col("_is")).as("src"))
       .select(col("src"), explode(col("_is")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+    // dedup=false skips the pair-level exchange when the consumer
+    // dedups anyway (pageRankInt's collect_set adjacency build) — the
+    // multiset and the set describe the same graph.
+    if (dedup) pairs.distinct() else pairs
   }
 
   /** PageRank in integer fixed-point, `iters` synchronous rounds.
@@ -60,21 +63,41 @@ object Graphs {
     * join on src (reusing the edge partitioning) + one groupBy dst.
     */
   def pageRankInt(edges: DataFrame, iters: Int = 3,
-      scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame = {
-    // The edge table materializes exactly ONCE, directly into the cache:
-    // hash-partitioned on src with the out-degree computed as a whole-
-    // partition window (no separate degree aggregation, no join, no
-    // intermediate checkpoint). InMemoryRelation preserves
-    // outputPartitioning, so every round's join exchanges only the
-    // node-sized score table — the big side is never re-shuffled or
-    // re-sorted. Nodes then read off the cached table.
-    val e = edges.select("src", "dst").repartition(col("src"))
-      .withColumn("deg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      scale: Long = 1000000000000L, dampPct: Int = 85,
+      maxNbrsPerRow: Int = 8192, symmetric: Boolean = false): DataFrame = {
+    // The graph materializes as a CHUNKED ADJACENCY table in ONE
+    // shuffle: groupBy(src) + collect_set dedups repeat edges inside
+    // the aggregation (map-side partials shrink them before the wire),
+    // yields the exact out-degree as the set size, and stores each
+    // node's neighbours as ≤ maxNbrsPerRow-element array rows (a 10M-
+    // degree hub becomes ~1.2k bounded rows, never one giant record).
+    // This replaces the previous distinct + repartition + window-sort
+    // pipeline (three exchanges and a sort) with a single hash-agg
+    // exchange; the cache keeps the groupBy's src hash-partitioning,
+    // so non-broadcast rounds still join scores without moving edges.
+    val c = maxNbrsPerRow
+    val e = edges.select("src", "dst")
+      .groupBy("src").agg(collect_set("dst").as("_all"))
+      .select(col("src"), size(col("_all")).as("deg"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(_all)-1) div $c)," +
+            s" i -> slice(_all, i*$c+1, $c))")).as(Seq("_chunk", "nbrs")))
       .cache()
-    val nodes = Dedup.tracked(
-      e.select(col("src").as("node")).union(e.select(col("dst")))
-        .distinct().localCheckpoint(eager = true))
+    // Pure sinks (dst-only nodes of a digraph) still get base mass:
+    // nodes = every src (one bounded row per node via _chunk=0) ∪ every
+    // neighbour, deduped reading the small cached adjacency — never the
+    // raw edge input a second time. `symmetric = true` (the caller
+    // GUARANTEES every dst also appears as a src — coOccurrenceEdges
+    // output by construction) skips the neighbour explode + distinct
+    // entirely: nodes are exactly the chunk-0 adjacency rows.
+    val nodes = Dedup.tracked((
+      if (symmetric)
+        e.filter(col("_chunk") === 0).select(col("src").as("node"))
+      else
+        e.filter(col("_chunk") === 0).select(col("src").as("node"))
+          .union(e.select(explode(col("nbrs")).as("node")))
+          .distinct()
+      ).localCheckpoint(eager = true))
     val n = nodes.count()
     require(n > 0, "empty graph")
     val base = (scale * (100 - dampPct)) / (100L * n)
@@ -90,16 +113,24 @@ object Graphs {
     def hinted(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var scores = nodes.withColumn("score", lit(scale / n))
     for (_ <- 1 to iters) {
+      // Per-chunk hop: the floor division happens once per adjacency
+      // row, then fans out map-side under codegen via explode.
       val contrib = e
         .join(hinted(scores.withColumnRenamed("node", "src")), Seq("src"))
-        .select(col("dst").as("node"),
-          expr(s"(score * $dampPct) div (deg * 100)").as("_c"))
+        .select(expr(s"(score * $dampPct) div (deg * 100)").as("_c"),
+          explode(col("nbrs")).as("node"))
         .groupBy("node").agg(sum("_c").as("_cs"))
-      scores = Dedup.tracked(
-        nodes.join(hinted(contrib), Seq("node"), "left")
-          .select(col("node"),
-            (lit(base) + coalesce(col("_cs"), lit(0L))).as("score"))
-          .localCheckpoint(eager = true))
+      // Symmetric graphs: every node has an in-edge, so contrib already
+      // covers the full node set — no re-join with nodes needed.
+      val next =
+        if (symmetric)
+          contrib.select(col("node"),
+            (lit(base) + col("_cs")).as("score"))
+        else
+          nodes.join(hinted(contrib), Seq("node"), "left")
+            .select(col("node"),
+              (lit(base) + coalesce(col("_cs"), lit(0L))).as("score"))
+      scores = Dedup.tracked(next.localCheckpoint(eager = true))
     }
     e.unpersist(blocking = false)
     scores

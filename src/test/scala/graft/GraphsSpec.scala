@@ -42,6 +42,33 @@ class GraphsSpec extends SparkSpec {
     assert(got(1L) == 108333333333L && got(2L) == got(1L) && got(3L) == got(1L))
   }
 
+  test("pageRankInt: chunked adjacency rows ≡ unchunked; dup edges collapse; sinks keep base mass") {
+    // center 0 has 4 neighbours; maxNbrsPerRow=2 splits it into two
+    // adjacency rows — scores must not change. Edge (0,1) repeated:
+    // collect_set must collapse it (deg stays 4). Node 9 is a pure sink
+    // (only ever a dst): it must appear in the output with base mass +
+    // its inbound contribution.
+    val edges = (Seq(0L -> 1L, 0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 9L) ++
+      Seq(1L -> 0L, 2L -> 0L, 3L -> 0L)).toDF("src", "dst")
+    val full = Graphs.pageRankInt(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val chunked = Graphs.pageRankInt(edges, iters = 2, maxNbrsPerRow = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(full == chunked, "chunking is invisible in the result")
+    assert(full.contains(9L) && full(9L) > 0L, "sink node present with mass")
+    assert(full.size == 5)
+  }
+
+  test("pageRankInt: symmetric fast path ≡ generic path on undirected edges") {
+    val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 2L -> 5L)
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val generic = Graphs.pageRankInt(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val fast = Graphs.pageRankInt(edges, iters = 2, symmetric = true)
+      .as[(Long, Long)].collect().toMap
+    assert(generic == fast)
+  }
+
   test("pageRankInt: inner nodes outrank endpoints on a path, symmetric") {
     val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
     val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
