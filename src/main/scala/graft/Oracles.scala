@@ -2484,6 +2484,22 @@ object Oracles {
     hllEstimateSql("SELECT event_type, event_id::HUGEINT AS z FROM events",
       Seq("event_type")) + "\nORDER BY event_type"
 
+  /** q155: audience overlap by HLL inclusion–exclusion — est(click) +
+    * est(purchase) − est(click ∪ purchase), each term the exact q141
+    * estimate replay; the union term sketches the unioned ROWS, which
+    * equals the engine's register-wise max merge identically.
+    */
+  def q155HllOverlap: String = {
+    def est(where: String): String = hllEstimateSql(
+      s"SELECT user_id::HUGEINT AS z FROM events WHERE $where", Seq.empty)
+    s"""WITH ea AS (${est("event_type = 'click'")}),
+       |eb AS (${est("event_type = 'purchase'")}),
+       |eu AS (${est("event_type IN ('click', 'purchase')")})
+       |SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+       |  ea.est + eb.est - eu.est AS overlap_est
+       |FROM ea, eb, eu""".stripMargin
+  }
+
   /** q151: the native HLL aggregate composed with SQL ROLLUP — per-day ×
     * per-type, per-day subtotals, and the grand total, each an
     * independent exact sketch replay; subtotal keys labeled like the
@@ -2562,6 +2578,10 @@ object Oracles {
     "q153_wau_sketch" -> q153WauSketch,
     "q147_copurchase_rank" -> q147CopurchaseRank,
     "q141_hll_distinct" -> q141HllDistinct,
+    "q155_hll_overlap" -> q155HllOverlap,
+    // q154 = q127's component truth through the forced-distributed
+    // pointer-doubling path: one oracle, two engine formulations
+    "q154_components_distributed" -> q127DedupClusters,
     // q146/q150 = q141's sketch through the streaming state store and
     // the native TypedImperativeAggregate: one oracle, three
     // independent engine formulations (q116 discipline)

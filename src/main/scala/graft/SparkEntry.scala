@@ -239,6 +239,78 @@ object SparkEntry {
         .select(col("node").as("l_partkey"), col("score"))
     }),
 
+    // ---- graph tier: DISTRIBUTED connected components ----
+    // q127's relational truth (LSH near-dup graph → component id /
+    // size / canonical flag) forced through the distributed pointer-
+    // doubling label propagation (driverMaxEdges = 0, never the driver
+    // union-find): one oracle, two engine paths — the q109/q138
+    // discipline, here for the component solver a 100 TB near-dup
+    // graph actually runs.
+    "q154_components_distributed" -> ((s, dir) => {
+      Dedup.clusterReport(documents(s, dir), numHashes = 32,
+          rowsPerBand = 4, k = 5, threshold = 0.5, driverMaxEdges = 0)
+        .orderBy("doc_id")
+    }),
+
+    // ---- sketch tier: audience overlap via HLL inclusion-exclusion ----
+    // click∩purchase distinct users ≈ est(A)+est(B)−est(A∪B); the union
+    // sketch is the register-wise max (exact identity), every term on
+    // the exact integer estimate path — replayed bit-for-bit.
+    "q155_hll_overlap" -> ((s, dir) => {
+      Sketches.hllOverlapEstimate(events(s, dir),
+        col("event_type") === "click", col("event_type") === "purchase",
+        "user_id")
+    }),
+
+    // ---- analytics tier: first-touch attribution ----
+    // Each purchase credits its session's opening event type; revenue
+    // summed DECIMAL-exact, cast to double once at the end.
+    "q156_first_touch" -> ((s, dir) => {
+      Analytics.firstTouchAttribution(events(s, dir), convType = "purchase")
+        .orderBy("first_type")
+    }),
+
+    // ---- graph tier: item-item co-occurrence recommender ----
+    // "also bought": top-3 neighbours per part by integer-scaled squared
+    // cosine over order co-membership counts; window per item, never a
+    // global sort.
+    "q157_also_bought" -> ((s, dir) => {
+      Graphs.itemSimilarityTopK(lineitem(s, dir), "l_orderkey",
+          "l_partkey", k = 3)
+        .orderBy("item", "rank")
+    }),
+
+    // ---- validation tier: incremental rollup state ≡ recompute ----
+    // Daily partial-agg state (count + DECIMAL sum) persists to parquet
+    // and folds back to per-type totals; the oracle recomputes from the
+    // raw events — merged shards must equal the full scan bit-for-bit.
+    "q158_agg_state_merge" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+      val path = s"/tmp/graft_aggstate_${System.nanoTime()}"
+      Validation.aggState(ev, Seq("event_type"), "day", "value")
+        .write.mode("overwrite").parquet(path)
+      Validation.mergeAggStates(Seq(s.read.parquet(path)), Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          col("val_sum").cast("double").as("val_sum"))
+        .orderBy("event_type")
+    }),
+
+    // ---- ops tier: per-key group-size skew report ----
+    // The diagnostic behind every salting/broadcast decision: key
+    // count, exact p50/p90/p99 group sizes, heaviest key.
+    "q159_skew_report" -> ((s, dir) => {
+      Analytics.groupSizeSkew(lineitem(s, dir), "l_partkey")
+    }),
+
+    // ---- analytics tier: top session paths ----
+    // First 8 event types per session joined with '>', counted per
+    // distinct path — top-20 navigation flows.
+    "q160_session_paths" -> ((s, dir) => {
+      Analytics.sessionPaths(events(s, dir), maxLen = 8)
+        .orderBy(col("n_sessions").desc, col("path")).limit(20)
+    }),
+
     // ---- §2.4 aggregation: TPC-H Q1 pricing summary ----
     "q01_pricing_summary" -> ((s, dir) => {
       lineitem(s, dir)
@@ -1927,6 +1999,74 @@ object SparkEntry {
     // state: one relational truth, two engine paths (q116 discipline)
     "q152_stream_chisq" -> chisqDriftSql,
     "q148_chisq_drift" -> chisqDriftSql,
+
+    "q156_first_touch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 300000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e),
+        |r AS (SELECT user_id, sid, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS rn
+        |  FROM s),
+        |f AS (SELECT user_id, sid, event_type AS first_type FROM r WHERE rn = 1),
+        |c AS (SELECT user_id, sid, COUNT(*) AS nc,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS rev
+        |  FROM s WHERE event_type = 'purchase' GROUP BY user_id, sid)
+        |SELECT f.first_type, SUM(c.nc) AS n_conversions,
+        |  CAST(SUM(c.rev) AS DOUBLE) AS revenue
+        |FROM c JOIN f USING (user_id, sid)
+        |GROUP BY f.first_type ORDER BY f.first_type""".stripMargin,
+
+    "q157_also_bought" ->
+      """WITH e0 AS (SELECT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |ok AS (SELECT g, i FROM e0 WHERE g NOT IN (
+        |  SELECT g FROM e0 GROUP BY g HAVING COUNT(*) > 1000)),
+        |d AS (SELECT DISTINCT g, i FROM ok),
+        |pc AS (SELECT a.i AS src, b.i AS dst, COUNT(*) AS n_both
+        |  FROM d a JOIN d b ON a.g = b.g AND a.i <> b.i GROUP BY a.i, b.i),
+        |ic AS (SELECT i, COUNT(*) AS n FROM d GROUP BY i),
+        |sc AS (SELECT src, dst, n_both,
+        |  CAST((n_both::HUGEINT * n_both * 1000000) // (ia.n::HUGEINT * ib.n) AS BIGINT) AS score
+        |  FROM pc JOIN ic ia ON ia.i = pc.src JOIN ic ib ON ib.i = pc.dst),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rank
+        |  FROM sc)
+        |SELECT src AS item, dst AS nbr, n_both, score, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY item, rank""".stripMargin,
+
+    // q158's merged parquet state must equal the full recompute — the
+    // oracle IS the full recompute (count + DECIMAL-exact sum).
+    "q158_agg_state_merge" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q159_skew_report" ->
+      """WITH c AS (SELECT l_partkey AS k, COUNT(*) AS n FROM lineitem GROUP BY l_partkey)
+        |SELECT COUNT(*) AS n_keys, MAX(n) AS max_size,
+        |  ROUND(quantile_cont(n, 0.5), 4) AS p50_size,
+        |  ROUND(quantile_cont(n, 0.9), 4) AS p90_size,
+        |  ROUND(quantile_cont(n, 0.99), 4) AS p99_size,
+        |  (SELECT k FROM c ORDER BY n DESC, k LIMIT 1) AS top_key,
+        |  (SELECT n FROM c ORDER BY n DESC, k LIMIT 1) AS top_size
+        |FROM c""".stripMargin,
+
+    "q160_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 300000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e),
+        |p AS (SELECT array_to_string((list(event_type ORDER BY us, event_id))[1:8], '>') AS path
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT path, COUNT(*) AS n_sessions FROM p
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
 
     "q145_ks_drift" ->
       """WITH s AS (

@@ -316,4 +316,101 @@ object Analytics {
       .select(lit(n1).as("n1"), lit(n2).as("n2"), col("ks_num"),
         (col("ks_num").cast("double") / lit((n1 * n2).toDouble)).as("ks"))
   }
+
+  /** Events with their session id (gap-based sessionization, the q18
+    * shape factored out): a new session starts when the gap to the
+    * previous event of the same key exceeds `gapUs`. Total order within
+    * a key is (ts, ordCol), so session boundaries are engine-exact.
+    * One per-key window — the event payload rides along untouched.
+    */
+  private def withSessionId(events: DataFrame, keyCol: String, tsCol: String,
+      ordCol: String, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("_us"), col(ordCol))
+    events
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_prev", lag(col("_us"), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("_us") - col("_prev") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("_prev", "_new")
+  }
+
+  /** First-touch attribution: every conversion event credits its
+    * session's FIRST event type (the channel that opened the session).
+    * Output: (first_type, n_conversions, revenue) — revenue summed as
+    * DECIMAL(18,4) (exact, order-independent) and cast to double once
+    * at the end, the q136 discipline.
+    *
+    * Scale shape: one per-key window pass to sessionize + mark each
+    * session's opener, one min-struct agg per session, then a slim
+    * groupBy on the credited type. Nothing is ever partitioned by
+    * session globally — sessions nest inside the key partitioning.
+    */
+  def firstTouchAttribution(events: DataFrame, convType: String,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", ordCol: String = "event_id",
+      valueCol: String = "value", gapUs: Long = 300000000L): DataFrame = {
+    val sess = withSessionId(events, keyCol, tsCol, ordCol, gapUs)
+    sess
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        // session opener = type of the (us, ord)-minimal event
+        min(struct(col("_us"), col(ordCol), col(typeCol))).as("_first"),
+        sum(when(col(typeCol) === convType, lit(1L)).otherwise(lit(0L)))
+          .as("_nc"),
+        sum(when(col(typeCol) === convType,
+          col(valueCol).cast("decimal(18,4)"))).as("_rev"))
+      .filter(col("_nc") > 0)
+      .groupBy(col(s"_first.$typeCol").as("first_type"))
+      .agg(sum("_nc").as("n_conversions"),
+        sum("_rev").cast("double").as("revenue"))
+  }
+
+  /** Top session paths: the first `maxLen` event types of each session
+    * joined with '>' — the "how do users move" dashboard. Output: every
+    * distinct path with its session count (callers LIMIT for top-k).
+    *
+    * Scale shape: sessionize (per-key window), then ONE groupBy
+    * (key, session) building the ordered type list via sort_array over
+    * collect_list — per-group state is one session's events, bounded by
+    * the session gap in practice, truncated to `maxLen` for the path
+    * anyway; then a slim groupBy on the path string.
+    */
+  def sessionPaths(events: DataFrame, maxLen: Int = 8,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", ordCol: String = "event_id",
+      gapUs: Long = 300000000L): DataFrame = {
+    val sess = withSessionId(events, keyCol, tsCol, ordCol, gapUs)
+    sess
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(sort_array(collect_list(
+        struct(col("_us"), col(ordCol), col(typeCol).as("_t")))).as("_evs"))
+      .select(concat_ws(">",
+        expr(s"transform(slice(_evs, 1, $maxLen), x -> x._t)")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
+  /** Per-key group-size skew report — the diagnostic a 100 TB operator
+    * runs BEFORE choosing a join/agg strategy on a key: number of keys,
+    * exact interpolated p50/p90/p99 group sizes, the heaviest key and
+    * its size (ties → smallest key). One partial-agg'd groupBy to the
+    * per-key counts, then one global agg over |keys| rows — the raw
+    * table is scanned once and never re-shuffled.
+    */
+  def groupSizeSkew(df: DataFrame, keyCol: String): DataFrame = {
+    df.groupBy(col(keyCol).as("_k")).agg(count(lit(1)).as("_n"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        max(col("_n")).as("max_size"),
+        round(expr("percentile(_n, 0.5)"), 4).as("p50_size"),
+        round(expr("percentile(_n, 0.9)"), 4).as("p90_size"),
+        round(expr("percentile(_n, 0.99)"), 4).as("p99_size"),
+        max(struct(col("_n"), (-col("_k")).as("_nk"))).as("_top"))
+      .select(col("n_keys"), col("max_size"), col("p50_size"),
+        col("p90_size"), col("p99_size"),
+        (-col("_top._nk")).as("top_key"), col("_top._n").as("top_size"))
+  }
 }

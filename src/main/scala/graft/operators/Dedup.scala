@@ -654,11 +654,12 @@ object Dedup {
     */
   def clusterReport(docs: DataFrame, numHashes: Int = 64,
       rowsPerBand: Int = 8, k: Int = 5, threshold: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      driverMaxEdges: Int = -1): DataFrame = {
     val uniq = exactKeep(docs, idCol, textCol)
     val cands = minhashCandidates(uniq, numHashes, rowsPerBand, k, threshold,
       idCol, textCol, collapseExact = false)
-    val labels = clusterPairs(cands)
+    val labels = clusterPairs(cands, driverMaxEdges = driverMaxEdges)
     val sizes = labels.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("cluster_id"))

@@ -49,6 +49,51 @@ object Graphs {
     if (dedup) pairs.distinct() else pairs
   }
 
+  /** Item-item co-occurrence similarity, top-k per item — the
+    * "customers who bought X also bought Y" recommender shape. Counts
+    * are group-set based: n_both(a,b) = groups containing BOTH, n(a) =
+    * groups containing a; the ranking score is the integer-scaled
+    * squared cosine floor(n_both²·scale / (n(a)·n(b))) — monotone in
+    * the real cosine n_both/√(n(a)·n(b)) for positive counts, and
+    * floor-exact on any engine (ties broken by neighbour id). The Long
+    * product bounds n_both ≤ ~3e6 at scale=1e6 — beyond that, shrink
+    * `scale`.
+    *
+    * Scale shape: one groupBy to per-group member sets (raw-row cap =
+    * the coOccurrenceEdges skew guard), lazily checkpointed and shared
+    * by the pair-count and item-count aggregations; item counts
+    * broadcast onto the pair table; the final top-k is a window
+    * partitioned by item — never a global sort.
+    */
+  def itemSimilarityTopK(df: DataFrame, groupCol: String, itemCol: String,
+      k: Int = 3, maxGroup: Int = 1000,
+      scale: Long = 1000000L): DataFrame = {
+    val sets = Dedup.tracked(
+      df.select(col(groupCol).as("_g"), col(itemCol).as("_i"))
+        .groupBy("_g").agg(collect_list("_i").as("_raw"))
+        .filter(size(col("_raw")) <= maxGroup)
+        .select(array_distinct(col("_raw")).as("_is"))
+        .localCheckpoint(eager = false))
+    val pairs = sets.select(col("_is"), explode(col("_is")).as("src"))
+      .select(col("src"), explode(col("_is")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_both"))
+    val items = sets.select(explode(col("_is")).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("_na"))
+    val scored = pairs
+      .join(broadcast(items), Seq("src"))
+      .join(broadcast(items.select(col("src").as("dst"),
+        col("_na").as("_nb"))), Seq("dst"))
+      .withColumn("score",
+        expr(s"(n_both * n_both * ${scale}L) div (_na * _nb)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("score").desc, col("dst"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src").as("item"), col("dst").as("nbr"),
+        col("n_both"), col("score"), col("rank"))
+  }
+
   /** PageRank in integer fixed-point, `iters` synchronous rounds.
     * score₀ = scale/n; per round each node sends
     * floor(score·dampPct/(deg·100)) along each out-edge and every node

@@ -144,6 +144,34 @@ object Sketches {
       .agg(max("rho").as("rho"))
   }
 
+  /** Segment-overlap estimate by inclusion–exclusion over HLL sketches:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union sketch is the
+    * register-wise max of the two segment sketches ([[hllMerge]] —
+    * exact sketch identity, not an approximation of the merge). HLL
+    * cannot sketch intersections directly; this is the standard
+    * audience-overlap composition, and every term stays on the exact
+    * integer estimate path so the whole row replays bit-for-bit.
+    * Output: ONE row (est_a, est_b, est_union, overlap_est);
+    * `overlap_est` may go ≤ 0 within sketch error — reported raw, the
+    * caller decides how to clamp.
+    *
+    * Scale shape: two filtered partial-agg scans (or one shared scan
+    * when Catalyst fuses them) each collapsing to ≤ 2^p register rows;
+    * the merge + estimates touch only sketch-sized tables.
+    */
+  def hllOverlapEstimate(df: DataFrame, condA: Column, condB: Column,
+      valueCol: String): DataFrame = {
+    val ra = hllRegisters(df.filter(condA), Seq.empty, valueCol)
+    val rb = hllRegisters(df.filter(condB), Seq.empty, valueCol)
+    val ru = hllMerge(Seq(ra, rb), Seq.empty)
+    def est(regs: DataFrame, name: String): DataFrame =
+      hllEstimate(regs, Seq.empty).select(col("est").as(name))
+    est(ra, "est_a").crossJoin(est(rb, "est_b"))
+      .crossJoin(est(ru, "est_union"))
+      .withColumn("overlap_est",
+        col("est_a") + col("est_b") - col("est_union"))
+  }
+
   // ---------------------------------------------------------------- CMS
 
   /** Count-min sketch geometry: d independent rows × w = 2^WBits

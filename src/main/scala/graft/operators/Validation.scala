@@ -117,4 +117,29 @@ object Validation {
       .withColumn("is_current", col("valid_to").isNull)
       .drop(verCol)
   }
+
+  /** Partial-aggregate STATE table for incremental rollups: per
+    * (groupCols*, shard) row count + DECIMAL(18,4)-exact value sum.
+    * The state is persistable parquet (tiny — |groups|×|shards| rows);
+    * new shards (days, drops, partitions) append their own state and
+    * [[mergeAggStates]] folds them — so a daily dashboard re-aggregates
+    * sketch-sized state instead of re-scanning history, the same
+    * table-as-state discipline as the HLL register tables.
+    */
+  def aggState(df: DataFrame, groupCols: Seq[String], shardCol: String,
+      valueCol: String): DataFrame =
+    df.groupBy((groupCols :+ shardCol).map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,4)")).as("val_sum"))
+
+  /** Fold state tables to per-group totals: union + one groupBy SUM.
+    * Counts are integers and sums are DECIMAL — both associative-exact,
+    * so merged-state totals ≡ a full recompute bit-for-bit regardless
+    * of how the input was sharded.
+    */
+  def mergeAggStates(states: Seq[DataFrame],
+      groupCols: Seq[String]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum("n").as("n"), sum("val_sum").as("val_sum"))
 }

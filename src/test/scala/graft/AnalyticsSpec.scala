@@ -183,4 +183,52 @@ class AnalyticsSpec extends SparkSpec {
     // devs 2,1,0,2.5,4; MAD = 2.0; fence 6.0 → nothing flagged
     assert(Analytics.madOutliers(df, "v", "grp").count() == 0)
   }
+
+  // micro-timestamps: session gap is 300s = 3e8 µs
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  test("firstTouchAttribution: conversions credit the session opener") {
+    // user 1, session A: view(t0) → click → purchase(10) → purchase(5)
+    // user 1, session B (gap > 300s): purchase(7) opens its own session
+    // user 2: click → view (no purchase) → contributes nothing
+    val df = Seq(
+      (1L, 1L, "view", 2.0, 0L),
+      (1L, 2L, "click", 1.0, 1000000L),
+      (1L, 3L, "purchase", 10.0, 2000000L),
+      (1L, 4L, "purchase", 5.0, 3000000L),
+      (1L, 5L, "purchase", 7.0, 400000000L),
+      (2L, 6L, "click", 1.0, 0L),
+      (2L, 7L, "view", 1.0, 1000000L))
+      .map { case (u, e, t, v, us) => (u, e, t, v, ts(us)) }
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+    val got = Analytics.firstTouchAttribution(df, "purchase")
+      .as[(String, Long, Double)].collect()
+      .map { case (k, n, r) => k -> ((n, r)) }.toMap
+    assert(got == Map("view" -> ((2L, 15.0)), "purchase" -> ((1L, 7.0))))
+  }
+
+  test("sessionPaths: ordered truncated type paths per session") {
+    val df = Seq(
+      (1L, 1L, "a", 0L), (1L, 2L, "b", 1000000L), (1L, 3L, "c", 2000000L),
+      (1L, 4L, "a", 400000000L), // new session
+      (2L, 5L, "a", 0L), (2L, 6L, "b", 1000000L), (2L, 7L, "c", 2000000L))
+      .map { case (u, e, t, us) => (u, e, t, ts(us)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Analytics.sessionPaths(df, maxLen = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a>b" -> 2L, "a" -> 1L))
+  }
+
+  test("groupSizeSkew: counts, exact percentiles, heaviest key min-tie") {
+    // keys: 10×a=3, 20×b=3, 30×c=2 → sizes (3,3,2); max 3; ties on max
+    // size → smallest key 10 wins
+    val df = (Seq.fill(3)(10L) ++ Seq.fill(3)(20L) ++ Seq.fill(2)(30L))
+      .toDF("k")
+    val r = Analytics.groupSizeSkew(df, "k").collect().head
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("max_size") == 3L)
+    assert(r.getAs[Double]("p50_size") == 3.0)
+    assert(r.getAs[Long]("top_key") == 10L)
+    assert(r.getAs[Long]("top_size") == 3L)
+  }
 }

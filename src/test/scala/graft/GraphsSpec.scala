@@ -59,6 +59,39 @@ class GraphsSpec extends SparkSpec {
     assert(full.size == 5)
   }
 
+  test("itemSimilarityTopK: hand-computed co-membership cosine ranks") {
+    // groups: (1: a,b,c) (2: a,b) (3: a,d) — n(a)=3 n(b)=2 n(c)=1 n(d)=1
+    // pair counts: ab=2 ac=1 bc=1 ad=1
+    // score(a,b) = floor(4e6/6)=666666; score(a,c)=floor(1e6/3)=333333;
+    // score(a,d)=333333 → a's rank: b, then c before d (tie → id asc)
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (3L, "a"), (3L, "d"))
+      .toDF("g", "item")
+    val got = Graphs.itemSimilarityTopK(df, "g", "item", k = 2)
+      .select("item", "nbr", "n_both", "score", "rank")
+      .as[(String, String, Long, Long, Int)].collect()
+      .map(r => (r._1, r._5) -> ((r._2, r._3, r._4))).toMap
+    assert(got(("a", 1)) == (("b", 2L, 666666L)))
+    assert(got(("a", 2)) == (("c", 1L, 333333L)))
+    assert(got(("b", 1)) == (("a", 2L, 666666L)))
+    // c sees a (1²·1e6/(1·3)=333333) ranked before b (1²·1e6/2=500000)?
+    // no — 500000 > 333333, so b first
+    assert(got(("c", 1)) == (("b", 1L, 500000L)))
+    assert(got(("c", 2)) == (("a", 1L, 333333L)))
+  }
+
+  test("itemSimilarityTopK: duplicate membership rows collapse; cap drops raw-row-heavy groups") {
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "x"), (2L, "y"), (2L, "z"), (2L, "z"))
+      .toDF("g", "item")
+    // group 2 has 4 RAW rows > maxGroup=3 → dropped whole; group 1's
+    // dup (1,a) collapses: n(a)=n(b)=1, ab=1 → score 1e6
+    val got = Graphs.itemSimilarityTopK(df, "g", "item", k = 3, maxGroup = 3)
+      .select("item", "nbr", "score")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 1000000L), ("b", "a", 1000000L)))
+  }
+
   test("pageRankInt: symmetric fast path ≡ generic path on undirected edges") {
     val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 2L -> 5L)
     val edges = (und ++ und.map(_.swap)).toDF("src", "dst")

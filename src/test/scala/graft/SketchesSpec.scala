@@ -218,4 +218,45 @@ class SketchesSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().head
     assert(got._3 == 0L && got._4 == 0.0)
   }
+
+  test("hll overlap: identical segments → union ≡ each, overlap ≡ estimate") {
+    // A and B tag the same 5000 ids: est_a = est_b = est_union exactly
+    // (same registers), so overlap_est = est_a
+    val df = (1 to 5000).flatMap(i => Seq((i.toLong, "a"), (i.toLong, "b")))
+      .toDF("id", "seg")
+    val r = Sketches.hllOverlapEstimate(df,
+      col("seg") === "a", col("seg") === "b", "id").collect().head
+    assert(r.getAs[Long]("est_a") == r.getAs[Long]("est_b"))
+    assert(r.getAs[Long]("est_union") == r.getAs[Long]("est_a"))
+    assert(r.getAs[Long]("overlap_est") == r.getAs[Long]("est_a"))
+  }
+
+  test("hll overlap: disjoint segments → overlap near zero vs segment size") {
+    val df = ((1 to 4000).map(i => (i.toLong, "a")) ++
+      (100001 to 104000).map(i => (i.toLong, "b"))).toDF("id", "seg")
+    val r = Sketches.hllOverlapEstimate(df,
+      col("seg") === "a", col("seg") === "b", "id").collect().head
+    val overlap = r.getAs[Long]("overlap_est")
+    // true overlap 0; sketch error at p=8 is ~6.5% of 4000 ≈ 260 —
+    // allow 4σ either side
+    assert(math.abs(overlap) < 1100, s"overlap_est=$overlap")
+  }
+
+  test("agg state: sharded parquet-roundtrip merge ≡ direct aggregate") {
+    val df = Seq(("x", 1L, 1.25), ("x", 1L, 2.50), ("x", 2L, 0.25),
+      ("y", 1L, 10.0), ("y", 2L, 0.125))
+      .toDF("k", "day", "v")
+    val s1 = Validation.aggState(df.filter(col("day") === 1), Seq("k"), "day", "v")
+    val s2 = Validation.aggState(df.filter(col("day") === 2), Seq("k"), "day", "v")
+    val dir = java.nio.file.Files.createTempDirectory("aggstate").toString
+    s1.write.mode("overwrite").parquet(s"$dir/s1")
+    s2.write.mode("overwrite").parquet(s"$dir/s2")
+    val merged = Validation.mergeAggStates(
+        Seq(spark.read.parquet(s"$dir/s1"), spark.read.parquet(s"$dir/s2")),
+        Seq("k"))
+      .select(col("k"), col("n"), col("val_sum").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    // 0.125 is dropped by DECIMAL(18,4)? no — exactly representable
+    assert(merged == Set(("x", 3L, 4.0), ("y", 2L, 10.125)))
+  }
 }
