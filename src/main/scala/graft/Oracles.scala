@@ -2484,6 +2484,31 @@ object Oracles {
     hllEstimateSql("SELECT event_type, event_id::HUGEINT AS z FROM events",
       Seq("event_type")) + "\nORDER BY event_type"
 
+  /** q161: CMS join-size estimate replay — the d×w counter table
+    * rebuilt via the splitmix bucket schedule (j-th row seed =
+    * Gold·(j+1), bucket = top WBits of the mix), per-row dot products,
+    * min over rows; the exact self-join size Σ n_k² rides along. Both
+    * sides are lineitem.l_partkey, so one counter table serves both.
+    */
+  def q161JoinSizeEstimate: String = {
+    import graft.operators.Sketches
+    val shift = BigInt(1) << (64 - Sketches.CmsWBits)
+    val seeds = (0 until Sketches.CmsD)
+      .map(j => s"($j, ${(Gold * (j + 1)) & Mask}::HUGEINT)").mkString(", ")
+    val smx = staged(s"SELECT j, (v + km) % $M64 AS z FROM keys CROSS JOIN seeds",
+      splitmixStages("z"))
+    s"""WITH seeds(j, km) AS (VALUES $seeds),
+       |keys AS (SELECT l_partkey::HUGEINT AS v FROM lineitem),
+       |bk AS (SELECT j, _sm // $shift::HUGEINT AS bucket FROM ($smx)),
+       |cnt AS (SELECT j, bucket, COUNT(*)::HUGEINT AS c FROM bk GROUP BY j, bucket),
+       |dots AS (SELECT j, SUM(c * c) AS dot FROM cnt GROUP BY j),
+       |ex AS (SELECT SUM(n::HUGEINT * n) AS x FROM (
+       |  SELECT COUNT(*) AS n FROM lineitem GROUP BY l_partkey))
+       |SELECT CAST(MIN(dot) AS BIGINT) AS est_join,
+       |  CAST((SELECT x FROM ex) AS BIGINT) AS exact_join
+       |FROM dots""".stripMargin
+  }
+
   /** q155: audience overlap by HLL inclusion–exclusion — est(click) +
     * est(purchase) − est(click ∪ purchase), each term the exact q141
     * estimate replay; the union term sketches the unioned ROWS, which
@@ -2579,6 +2604,7 @@ object Oracles {
     "q147_copurchase_rank" -> q147CopurchaseRank,
     "q141_hll_distinct" -> q141HllDistinct,
     "q155_hll_overlap" -> q155HllOverlap,
+    "q161_join_size_est" -> q161JoinSizeEstimate,
     // q154 = q127's component truth through the forced-distributed
     // pointer-doubling path: one oracle, two engine formulations
     "q154_components_distributed" -> q127DedupClusters,

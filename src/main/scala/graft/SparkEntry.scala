@@ -296,6 +296,24 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- sketch tier: CMS join-cardinality pre-flight ----
+    // "How big is lineitem ⋈ lineitem on partkey?" answered from two
+    // 8 KB counter tables (est = min-row dot product, an overestimate
+    // by construction); the exact Σn² rides along to gate the bound.
+    "q161_join_size_est" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      Sketches.cmsJoinSizeEstimate(li, "l_partkey", li, "l_partkey")
+    }),
+
+    // ---- graph tier: exact triangle count, degree-ordered ----
+    // Clustering structure of the co-purchase graph; wedges generate
+    // only from each edge's (degree,id)-lower endpoint, so the count
+    // costs O(m^1.5) instead of Σ deg².
+    "q162_triangles" -> ((s, dir) => {
+      Graphs.triangleCount(Graphs.coOccurrenceEdges(
+        lineitem(s, dir), "l_orderkey", "l_partkey", dedup = false))
+    }),
+
     // ---- ops tier: per-key group-size skew report ----
     // The diagnostic behind every salting/broadcast decision: key
     // count, exact p50/p90/p99 group sizes, heaviest key.
@@ -2043,6 +2061,23 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q162_triangles" ->
+      """WITH e0 AS (SELECT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |ok AS (SELECT g, i FROM e0 WHERE g NOT IN (
+        |  SELECT g FROM e0 GROUP BY g HAVING COUNT(*) > 1000)),
+        |c AS (SELECT DISTINCT least(x.i, y.i) AS a, greatest(x.i, y.i) AS b
+        |  FROM ok x JOIN ok y ON x.g = y.g AND x.i <> y.i),
+        |nd AS (SELECT COUNT(DISTINCT n) AS n_nodes FROM (
+        |  SELECT a AS n FROM c UNION ALL SELECT b FROM c)),
+        |ed AS (SELECT COUNT(*) AS n_edges FROM c),
+        |tri AS (SELECT COUNT(*) AS n_triangles FROM c e1
+        |  JOIN c e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN c e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(n_edges AS BIGINT) AS n_edges,
+        |  CAST(n_triangles AS BIGINT) AS n_triangles
+        |FROM nd, ed, tri""".stripMargin,
 
     "q159_skew_report" ->
       """WITH c AS (SELECT l_partkey AS k, COUNT(*) AS n FROM lineitem GROUP BY l_partkey)

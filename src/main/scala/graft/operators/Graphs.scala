@@ -49,6 +49,50 @@ object Graphs {
     if (dedup) pairs.distinct() else pairs
   }
 
+  /** Exact global triangle count over an undirected edge multiset —
+    * the clustering-structure summary (spam/bot rings in web graphs,
+    * community density in co-occurrence graphs). Output ONE row:
+    * (n_nodes, n_edges, n_triangles) on the canonicalized (a<b,
+    * deduped) edge set.
+    *
+    * Scale shape: the classic degree-ordered wedge join — each edge
+    * orients from its (degree, id)-smaller endpoint, so a node
+    * generates wedges only among HIGHER-ranked neighbours: per-node
+    * wedge work is bounded by its oriented out-degree² ≤ O(√m) per
+    * edge on any graph (Σ wedges = O(m^1.5) worst case instead of
+    * Σ deg² — the hub that breaks the naive join generates nothing).
+    * Wedge closure is one join against the canonical edge set; every
+    * shuffle keys on node or edge ids.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = Dedup.tracked(
+      edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(eager = false))
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient each edge (degree, id)-low → high
+    val o = und
+      .join(deg.select(col("n").as("a"), col("d").as("_da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("_db")), Seq("b"))
+      .select(
+        when(struct(col("_da"), col("a")) < struct(col("_db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("_e"))
+      .select(col("_e.u").as("u"), col("_e.v").as("v"))
+    // wedges at u between its two oriented neighbours, id-canonical
+    val wedges = o.as("x").join(o.as("y"), col("x.u") === col("y.u"))
+      .filter(col("x.v") < col("y.v"))
+      .select(col("x.v").as("a"), col("y.v").as("b"))
+    val tri = wedges.join(und, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = und.agg(count(lit(1)).as("n_edges")).crossJoin(
+      deg.agg(count(lit(1)).as("n_nodes")))
+    stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+  }
+
   /** Item-item co-occurrence similarity, top-k per item — the
     * "customers who bought X also bought Y" recommender shape. Counts
     * are group-set based: n_both(a,b) = groups containing BOTH, n(a) =

@@ -224,6 +224,36 @@ object Sketches {
       .groupBy(itemCol).agg(min("cnt").as("est"))
   }
 
+  /** Join-cardinality estimate from CMS counter tables — the pre-flight
+    * "will this join blow up?" check a planner wants before committing
+    * to a shuffle: |A ⋈_k B| = Σ_key cA(key)·cB(key) is upper-bounded
+    * by min_j Σ_bucket cA[j,b]·cB[j,b] (collisions only ADD mass, so
+    * every row's dot product overestimates; the min is the tightest).
+    * Output: ONE row (est_join, exact_join) — the exact size rides
+    * along (two per-key aggs + one slim join) so the overestimate
+    * property is gated on data, the q142 discipline. Dot products
+    * accumulate in DECIMAL(38,0) (a 10^12-row side would overflow Long
+    * counters); the published columns cast to BIGINT.
+    *
+    * Scale shape: each side collapses to its d·w counter table in one
+    * partial-agg'd shuffle; the dot product joins two ≤8192-row tables.
+    */
+  def cmsJoinSizeEstimate(a: DataFrame, keyColA: String,
+      b: DataFrame, keyColB: String): DataFrame = {
+    val ca = cmsCounters(a, keyColA)
+    val cb = cmsCounters(b, keyColB).withColumnRenamed("cnt", "cnt_b")
+    val est = ca.join(cb, Seq("j", "bucket"))
+      .groupBy("j")
+      .agg(sum(col("cnt").cast("decimal(38,0)") * col("cnt_b")).as("_dot"))
+      .agg(min("_dot").cast("long").as("est_join"))
+    val ea = a.groupBy(col(keyColA).as("_k")).agg(count(lit(1)).as("_na"))
+    val eb = b.groupBy(col(keyColB).as("_k")).agg(count(lit(1)).as("_nb"))
+    val exact = ea.join(eb, Seq("_k"))
+      .agg(sum(col("_na").cast("decimal(38,0)") * col("_nb"))
+        .cast("long").as("exact_join"))
+    est.crossJoin(exact)
+  }
+
   /** Exact heavy hitters via sketch-screen-then-verify: items whose
     * TRUE count × `relDen` ≥ total row count, found without ever
     * shuffling full per-item exact counts for the long tail.

@@ -59,6 +59,25 @@ class GraphsSpec extends SparkSpec {
     assert(full.size == 5)
   }
 
+  test("triangleCount: K4, path, and duplicate/reversed edges") {
+    // K4 = 4 triangles, 6 edges, 4 nodes; dup + reversed edges collapse
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b))
+      .toDF("src", "dst")
+    val r1 = Graphs.triangleCount(k4)
+      .as[(Long, Long, Long)].collect().head
+    assert(r1 == ((4L, 6L, 4L)))
+    // path 1-2-3-4: no triangles
+    val p = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L).toDF("src", "dst")
+    val r2 = Graphs.triangleCount(p)
+      .as[(Long, Long, Long)].collect().head
+    assert(r2 == ((4L, 3L, 0L)))
+    // star + one closing edge: exactly one triangle
+    val star = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 2L)
+      .toDF("src", "dst")
+    assert(Graphs.triangleCount(star)
+      .as[(Long, Long, Long)].collect().head == ((4L, 4L, 1L)))
+  }
+
   test("itemSimilarityTopK: hand-computed co-membership cosine ranks") {
     // groups: (1: a,b,c) (2: a,b) (3: a,d) — n(a)=3 n(b)=2 n(c)=1 n(d)=1
     // pair counts: ab=2 ac=1 bc=1 ad=1

@@ -242,6 +242,18 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(overlap) < 1100, s"overlap_est=$overlap")
   }
 
+  test("cms join-size estimate: never underestimates, exact when collision-free") {
+    // 100 distinct keys × multiplicities 1..4 on side A, 2 on side B:
+    // exact = Σ m_k·2; with 100 keys in 2048 buckets collisions are
+    // rare but possible — est ≥ exact always
+    val a = (1 to 100).flatMap(k => Seq.fill(k % 4 + 1)(k.toLong)).toDF("k")
+    val b = (1 to 100).flatMap(k => Seq.fill(2)(k.toLong)).toDF("k")
+    val r = Sketches.cmsJoinSizeEstimate(a, "k", b, "k").collect().head
+    val exact = (1 to 100).map(k => (k % 4 + 1) * 2L).sum
+    assert(r.getAs[Long]("exact_join") == exact)
+    assert(r.getAs[Long]("est_join") >= exact)
+  }
+
   test("agg state: sharded parquet-roundtrip merge ≡ direct aggregate") {
     val df = Seq(("x", 1L, 1.25), ("x", 1L, 2.50), ("x", 2L, 0.25),
       ("y", 1L, 10.0), ("y", 2L, 0.125))
