@@ -53,7 +53,12 @@ object Bench {
     "q141_hll_distinct",   // HLL sketch-as-table + exact-integer estimate (NEW r9)
     "q142_heavy_hitters",  // CMS screen + exact verify (NEW r9)
     "q145_ks_drift",       // two-phase exact KS statistic (NEW r9)
-    "q147_copurchase_rank") // 3-round integer PageRank, iterated joins (NEW r9)
+    "q147_copurchase_rank", // 3-round integer PageRank, iterated joins (NEW r9)
+    "q154_components_distributed", // pointer-doubled connected components (NEW r9)
+    "q157_also_bought",    // item-item cosine recommender (NEW r9)
+    "q160_session_paths",  // sessionized path mining (NEW r9)
+    "q161_join_size_est",  // CMS join-size pre-flight (NEW r9)
+    "q162_triangles")      // degree-ordered triangle count (NEW r9)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine

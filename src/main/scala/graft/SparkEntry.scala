@@ -314,6 +314,35 @@ object SparkEntry {
         lineitem(s, dir), "l_orderkey", "l_partkey", dedup = false))
     }),
 
+    // ---- validation tier: type-1 upsert (latest-wins MERGE) ----
+    // q144's inputs collapsed to the CURRENT snapshot instead of
+    // type-2 history: one union + one per-key window.
+    "q163_upsert_latest" -> ((s, dir) => {
+      val base = customer(s, dir).select(col("c_custkey"),
+        col("c_mktsegment").as("segment"), lit(0L).as("ver"))
+      val upd = orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(min(unix_micros(col("o_orderdate"))).as("ver"))
+        .withColumn("segment", lit("URGENT_BUYER"))
+      Validation.upsertLatest(base, upd, "c_custkey", Seq("segment"), "ver")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- §2.9 streaming heavy hitters: q142's counter table built
+    // through the streaming state store (groupBy-sum over ≤ d·w keys,
+    // bounded state), batch-side screen + exact verify on the
+    // snapshot. Oracle = q142's sketch-free HAVING (one relational
+    // truth, two engine paths) — and since the counters only screen,
+    // the exact verify keeps the output identical by construction.
+    "q164_stream_heavy" -> ((s, dir) => {
+      val counters = EventStreams.runOnceOnParquet(s, s"$dir/events.parquet",
+        df => Sketches.cmsCounters(df, "user_id"),
+        s"cms_sink_${System.nanoTime()}")
+      Sketches.heavyHittersWithCounters(events(s, dir), counters,
+          "user_id", relDen = 120L)
+        .orderBy("user_id")
+    }),
+
     // ---- ops tier: per-key group-size skew report ----
     // The diagnostic behind every salting/broadcast decision: key
     // count, exact p50/p90/p99 group sizes, heaviest key.
@@ -1962,6 +1991,24 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n FROM events, t
         |GROUP BY user_id, total HAVING COUNT(*) * 120 >= total
         |ORDER BY user_id""".stripMargin,
+
+    // q164 = q142's semantics with the counter table built through
+    // streaming state: one relational truth, two engine paths
+    "q164_stream_heavy" ->
+      """WITH t AS (SELECT COUNT(*) AS total FROM events)
+        |SELECT user_id, COUNT(*) AS n FROM events, t
+        |GROUP BY user_id, total HAVING COUNT(*) * 120 >= total
+        |ORDER BY user_id""".stripMargin,
+
+    "q163_upsert_latest" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment AS segment, 0::BIGINT AS ver FROM customer),
+        |upd AS (SELECT o_custkey AS c_custkey, 'URGENT_BUYER' AS segment,
+        |    MIN(epoch_us(o_orderdate)) AS ver
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+        |a AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY ver DESC) AS rn FROM a)
+        |SELECT c_custkey, segment, ver FROM r WHERE rn = 1
+        |ORDER BY c_custkey""".stripMargin,
 
     "q143_constraint_report" ->
       """WITH a AS (SELECT COUNT(*) AS n, COUNT(text) AS ct,

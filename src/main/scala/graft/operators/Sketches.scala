@@ -271,10 +271,26 @@ object Sketches {
     */
   def heavyHitters(df: DataFrame, itemCol: String,
       relDen: Long = 120L): DataFrame = {
-    val spark = df.sparkSession
     val slim = Dedup.tracked(df.select(col(itemCol)).localCheckpoint(false))
+    screenAndVerify(slim, cmsCounters(slim, itemCol), itemCol, relDen)
+  }
+
+  /** [[heavyHitters]] with a caller-supplied counter table — the entry
+    * point for counters built elsewhere (a streaming state-store
+    * snapshot, merged per-shard tables): same screen-then-exact-verify,
+    * same output contract. The counters only SCREEN; the exact verify
+    * recounts survivors from `df`, so a stale/merged counter table can
+    * add false positives to the screen but never changes the output.
+    */
+  def heavyHittersWithCounters(df: DataFrame, counters: DataFrame,
+      itemCol: String, relDen: Long = 120L): DataFrame = {
+    val slim = Dedup.tracked(df.select(col(itemCol)).localCheckpoint(false))
+    screenAndVerify(slim, counters, itemCol, relDen)
+  }
+
+  private def screenAndVerify(slim: DataFrame, counters: DataFrame,
+      itemCol: String, relDen: Long): DataFrame = {
     val total = slim.count()
-    val counters = cmsCounters(slim, itemCol)
     val screened = cmsEstimate(counters, slim.distinct(), itemCol)
       .filter(col("est") * relDen >= total)
       .select(col(itemCol))

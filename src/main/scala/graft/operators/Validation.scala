@@ -118,6 +118,21 @@ object Validation {
       .drop(verCol)
   }
 
+  /** Type-1 upsert (latest-wins MERGE INTO): base + updates collapse to
+    * the CURRENT row per key — the newest version by `verCol` (exact
+    * integer versions, so "newest" is engine-unambiguous). The type-1
+    * companion to [[scd2Merge]]'s type-2 history: same inputs, one
+    * union + one per-key window, keeps only rn=1.
+    */
+  def upsertLatest(base: DataFrame, updates: DataFrame, keyCol: String,
+      attrCols: Seq[String], verCol: String): DataFrame = {
+    val cols = (keyCol +: attrCols :+ verCol).map(col)
+    val all = base.select(cols: _*).unionByName(updates.select(cols: _*))
+    val w = Window.partitionBy(keyCol).orderBy(col(verCol).desc)
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Partial-aggregate STATE table for incremental rollups: per
     * (groupCols*, shard) row count + DECIMAL(18,4)-exact value sum.
     * The state is persistable parquet (tiny — |groups|×|shards| rows);

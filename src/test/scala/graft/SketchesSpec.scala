@@ -254,6 +254,32 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Long]("est_join") >= exact)
   }
 
+  test("heavy hitters with external counters: inflated screen never changes output") {
+    // 60×a, 30×b, 10×c, relDen=3 → threshold 100/3: a (60) and b (30*3=90 < 100? no)
+    // 60*3=180 ≥ 100 → a; 30*3=90 < 100 → b out; c out
+    val df = (Seq.fill(60)("ha") ++ Seq.fill(30)("hb") ++ Seq.fill(10)("hc"))
+      .zipWithIndex.map { case (s, i) => s.hashCode.toLong + 0L * i -> s }
+      .map(_._1).toDF("item")
+    val exact = Sketches.heavyHitters(df, "item", relDen = 3L)
+      .as[(Long, Long)].collect().toSet
+    // saturate every counter: screen passes everything, verify prunes
+    val sat = spark.range(Sketches.CmsD.toLong).select(col("id").cast("int").as("j"))
+      .crossJoin(spark.range(Sketches.CmsW.toLong).select(col("id").cast("int").as("bucket")))
+      .withColumn("cnt", lit(1000000L))
+    val got = Sketches.heavyHittersWithCounters(df, sat, "item", relDen = 3L)
+      .as[(Long, Long)].collect().toSet
+    assert(got == exact && exact.map(_._2) == Set(60L))
+  }
+
+  test("upsertLatest: newest version wins, untouched keys keep base") {
+    val base = Seq((1L, "A", 0L), (2L, "B", 0L), (3L, "C", 0L))
+      .toDF("k", "attr", "ver")
+    val upd = Seq((1L, "A2", 5L), (3L, "C0", 2L)).toDF("k", "attr", "ver")
+    val got = Validation.upsertLatest(base, upd, "k", Seq("attr"), "ver")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "A2", 5L), (2L, "B", 0L), (3L, "C0", 2L)))
+  }
+
   test("agg state: sharded parquet-roundtrip merge ≡ direct aggregate") {
     val df = Seq(("x", 1L, 1.25), ("x", 1L, 2.50), ("x", 2L, 0.25),
       ("y", 1L, 10.0), ("y", 2L, 0.125))
