@@ -2509,6 +2509,31 @@ object Oracles {
        |FROM dots""".stripMargin
   }
 
+  /** q166: iterated k-core peel — each round's surviving-node set and
+    * restricted edge set unrolled as CTE pairs over the canonical
+    * co-purchase graph; the final degrees read off the last round's
+    * edges. The q147 unroll discipline for iterative graph algorithms.
+    */
+  def q166KCore: String = {
+    val k = 90; val rounds = 3
+    val peels = (1 to rounds).map { r =>
+      s"""k$r AS (SELECT n FROM (
+         |  SELECT a AS n FROM c${r - 1} UNION ALL SELECT b FROM c${r - 1}) t
+         |  GROUP BY n HAVING COUNT(*) >= $k),
+         |c$r AS (SELECT a, b FROM c${r - 1}
+         |  WHERE a IN (SELECT n FROM k$r) AND b IN (SELECT n FROM k$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT l_orderkey AS g, l_partkey AS i FROM lineitem),
+       |ok AS (SELECT g, i FROM e0 WHERE g NOT IN (
+       |  SELECT g FROM e0 GROUP BY g HAVING COUNT(*) > 1000)),
+       |c0 AS (SELECT DISTINCT least(x.i, y.i) AS a, greatest(x.i, y.i) AS b
+       |  FROM ok x JOIN ok y ON x.g = y.g AND x.i <> y.i),
+       |$peels
+       |SELECT n AS node, COUNT(*) AS deg FROM (
+       |  SELECT a AS n FROM c$rounds UNION ALL SELECT b FROM c$rounds) t
+       |GROUP BY n ORDER BY node""".stripMargin
+  }
+
   /** q155: audience overlap by HLL inclusion–exclusion — est(click) +
     * est(purchase) − est(click ∪ purchase), each term the exact q141
     * estimate replay; the union term sketches the unioned ROWS, which
@@ -2605,6 +2630,7 @@ object Oracles {
     "q141_hll_distinct" -> q141HllDistinct,
     "q155_hll_overlap" -> q155HllOverlap,
     "q161_join_size_est" -> q161JoinSizeEstimate,
+    "q166_kcore" -> q166KCore,
     // q154 = q127's component truth through the forced-distributed
     // pointer-doubling path: one oracle, two engine formulations
     "q154_components_distributed" -> q127DedupClusters,

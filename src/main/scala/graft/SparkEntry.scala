@@ -343,6 +343,37 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- §2.9 streaming session windows (Spark-native) ----
+    // q18's gap sessionization expressed as the built-in
+    // `session_window` through the streaming state store; output =
+    // (user, window start/end µs, events). The oracle replays Spark's
+    // merge rule (a new session starts when the gap is ≥ 5 min — the
+    // built-in merges only OVERLAPPING [ts, ts+gap) intervals) with
+    // end = last_ts + gap.
+    "q165_stream_sessions" -> ((s, dir) => {
+      val agg = EventStreams.runOnceOnParquet(s, s"$dir/events.parquet",
+        df => df.groupBy(col("user_id"),
+            session_window(col("ts"), "5 minutes"))
+          .agg(count(lit(1)).as("n_events")),
+        s"sessw_sink_${System.nanoTime()}")
+      agg.select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
+
+    // ---- graph tier: iterated k-core peel ----
+    // 3 synchronous rounds of dropping degree-<90 nodes from the
+    // co-purchase graph; each peel is one agg + two semi-joins, and
+    // the oracle unrolls every round as CTEs (the q147 discipline).
+    "q166_kcore" -> ((s, dir) => {
+      Graphs.kCorePeel(Graphs.coOccurrenceEdges(
+          lineitem(s, dir), "l_orderkey", "l_partkey", dedup = false),
+          k = 90, rounds = 3)
+        .orderBy("node")
+    }),
+
     // ---- ops tier: per-key group-size skew report ----
     // The diagnostic behind every salting/broadcast decision: key
     // count, exact p50/p90/p99 group sizes, heaviest key.
@@ -1999,6 +2030,19 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n FROM events, t
         |GROUP BY user_id, total HAVING COUNT(*) * 120 >= total
         |ORDER BY user_id""".stripMargin,
+
+    "q165_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 300000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
 
     "q163_upsert_latest" ->
       """WITH base AS (SELECT c_custkey, c_mktsegment AS segment, 0::BIGINT AS ver FROM customer),

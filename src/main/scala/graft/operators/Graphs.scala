@@ -93,6 +93,38 @@ object Graphs {
     stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
   }
 
+  /** Iterated k-core peel: `rounds` synchronous rounds of deleting
+    * nodes with degree < k from the canonical (a<b, deduped) edge set,
+    * then the surviving nodes with their within-subgraph degree. With
+    * enough rounds this converges to the k-core; fixing `rounds` keeps
+    * the operator deterministic and lets the oracle unroll each peel as
+    * a CTE (the q147 discipline for iterative graph algorithms).
+    *
+    * Scale shape per round: one degree aggregation + two semi-joins on
+    * node ids, every shuffle keyed on node/edge ids; the edge set only
+    * shrinks. Rounds materialize via localCheckpoint so round r's plan
+    * does not nest rounds 1..r−1.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
+    var und = Dedup.tracked(
+      edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(eager = true))
+    for (_ <- 1 to rounds) {
+      val keep = und.select(col("a").as("n"))
+        .union(und.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("n")
+      und = Dedup.tracked(
+        und.join(keep.select(col("n").as("a")), Seq("a"), "semi")
+          .join(keep.select(col("n").as("b")), Seq("b"), "semi")
+          .localCheckpoint(eager = true))
+    }
+    und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
   /** Item-item co-occurrence similarity, top-k per item — the
     * "customers who bought X also bought Y" recommender shape. Counts
     * are group-set based: n_both(a,b) = groups containing BOTH, n(a) =

@@ -59,6 +59,18 @@ class GraphsSpec extends SparkSpec {
     assert(full.size == 5)
   }
 
+  test("kCorePeel: pendant drops, core survives, cascade empties a path") {
+    // triangle {1,2,3} + pendant 4—1: k=2 drops 4, triangle stays deg 2
+    val g = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 1L).toDF("src", "dst")
+    val core = Graphs.kCorePeel(g, k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // path 1-2-3-4-5, k=2: endpoints peel each round until nothing is left
+    val path = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L).toDF("src", "dst")
+    assert(Graphs.kCorePeel(path, k = 2, rounds = 1).count() == 3)
+    assert(Graphs.kCorePeel(path, k = 2, rounds = 2).count() == 0)
+  }
+
   test("triangleCount: K4, path, and duplicate/reversed edges") {
     // K4 = 4 triangles, 6 edges, 4 nodes; dup + reversed edges collapse
     val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b))
