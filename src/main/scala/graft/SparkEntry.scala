@@ -374,6 +374,49 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- validation tier: point-in-time dimension enrichment ----
+    // Each order joined to the SCD2 segment valid AT its order time
+    // (us ∈ [valid_from, valid_to)): the warehouse "as-of transaction
+    // time" lookup — an equi hash join on the key with the validity
+    // range as residual condition, never a cartesian.
+    "q167_pit_enrich" -> ((s, dir) => {
+      val base = customer(s, dir).select(col("c_custkey"),
+        col("c_mktsegment").as("segment"), lit(0L).as("ver"))
+      val upd = orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(min(unix_micros(col("o_orderdate"))).as("ver"))
+        .withColumn("segment", lit("URGENT_BUYER"))
+      val hist = Validation.scd2Merge(base, upd, "c_custkey",
+        Seq("segment"), "ver")
+      val o = orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey").as("c_custkey"),
+        unix_micros(col("o_orderdate")).as("us"))
+      o.join(hist, o("c_custkey") === hist("c_custkey") &&
+          o("us") >= hist("valid_from") &&
+          (hist("valid_to").isNull || o("us") < hist("valid_to")))
+        .select(col("o_orderkey"), col("segment"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- §2.9 stream-static enrichment join ----
+    // Streaming events broadcast-joined to a batch-derived user-tier
+    // dimension inside the stream, aggregated per (tier, type) through
+    // the state store. Oracle = the same enrichment as batch SQL.
+    "q168_stream_enrich" -> ((s, dir) => {
+      val dim = events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("n_purch"))
+        .withColumn("tier", when(col("n_purch") >= 20, "whale")
+          .when(col("n_purch") >= 10, "regular").otherwise("light"))
+        .select("user_id", "tier")
+      val agg = EventStreams.runOnceOnParquet(s, s"$dir/events.parquet",
+        df => df.join(broadcast(dim), Seq("user_id"), "left")
+          .select(coalesce(col("tier"), lit("none")).as("tier"),
+            col("event_type"))
+          .groupBy("tier", "event_type").agg(count(lit(1)).as("n")),
+        s"enrich_sink_${System.nanoTime()}")
+      agg.orderBy("tier", "event_type")
+    }),
+
     // ---- ops tier: per-key group-size skew report ----
     // The diagnostic behind every salting/broadcast decision: key
     // count, exact p50/p90/p99 group sizes, heaviest key.
@@ -2043,6 +2086,33 @@ object SparkEntry {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    "q167_pit_enrich" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment AS segment, 0::BIGINT AS ver FROM customer),
+        |upd AS (SELECT o_custkey AS c_custkey, 'URGENT_BUYER' AS segment,
+        |    MIN(epoch_us(o_orderdate)) AS ver
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+        |all_v AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        |h AS (SELECT c_custkey, segment, ver AS valid_from,
+        |    lead(ver) OVER (PARTITION BY c_custkey ORDER BY ver) AS valid_to
+        |  FROM all_v),
+        |o AS (SELECT o_orderkey, o_custkey AS c_custkey, epoch_us(o_orderdate) AS us
+        |  FROM orders)
+        |SELECT o.o_orderkey, h.segment
+        |FROM o JOIN h USING (c_custkey)
+        |WHERE o.us >= h.valid_from AND (h.valid_to IS NULL OR o.us < h.valid_to)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q168_stream_enrich" ->
+      """WITH dim AS (
+        |  SELECT user_id,
+        |    CASE WHEN COUNT(*) >= 20 THEN 'whale'
+        |         WHEN COUNT(*) >= 10 THEN 'regular'
+        |         ELSE 'light' END AS tier
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT COALESCE(d.tier, 'none') AS tier, e.event_type, COUNT(*) AS n
+        |FROM events e LEFT JOIN dim d USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q163_upsert_latest" ->
       """WITH base AS (SELECT c_custkey, c_mktsegment AS segment, 0::BIGINT AS ver FROM customer),

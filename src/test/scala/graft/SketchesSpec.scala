@@ -271,6 +271,19 @@ class SketchesSpec extends SparkSpec {
     assert(got == exact && exact.map(_._2) == Set(60L))
   }
 
+  test("scd2 point-in-time lookup: boundary timestamp takes the NEW version") {
+    val base = Seq((1L, "OLD", 0L)).toDF("k", "attr", "ver")
+    val upd = Seq((1L, "NEW", 100L)).toDF("k", "attr", "ver")
+    val hist = Validation.scd2Merge(base, upd, "k", Seq("attr"), "ver")
+    val facts = Seq((10L, 1L, 99L), (11L, 1L, 100L), (12L, 1L, 101L))
+      .toDF("fact_id", "k", "us")
+    val got = facts.join(hist, facts("k") === hist("k") &&
+        facts("us") >= hist("valid_from") &&
+        (hist("valid_to").isNull || facts("us") < hist("valid_to")))
+      .select("fact_id", "attr").as[(Long, String)].collect().toMap
+    assert(got == Map(10L -> "OLD", 11L -> "NEW", 12L -> "NEW"))
+  }
+
   test("upsertLatest: newest version wins, untouched keys keep base") {
     val base = Seq((1L, "A", 0L), (2L, "B", 0L), (3L, "C", 0L))
       .toDF("k", "attr", "ver")
