@@ -2506,7 +2506,7 @@ object Oracles {
        |  SELECT COUNT(*) AS n FROM lineitem GROUP BY l_partkey))
        |SELECT CAST(MIN(dot) AS BIGINT) AS est_join,
        |  CAST((SELECT x FROM ex) AS BIGINT) AS exact_join
-       |FROM dots""".stripMargin
+       |FROM dots ORDER BY est_join""".stripMargin
   }
 
   /** q166: iterated k-core peel — each round's surviving-node set and
@@ -2547,7 +2547,7 @@ object Oracles {
        |eu AS (${est("event_type IN ('click', 'purchase')")})
        |SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
        |  ea.est + eb.est - eu.est AS overlap_est
-       |FROM ea, eb, eu""".stripMargin
+       |FROM ea, eb, eu ORDER BY est_a""".stripMargin
   }
 
   /** q151: the native HLL aggregate composed with SQL ROLLUP — per-day ×
