@@ -2534,6 +2534,30 @@ object Oracles {
        |GROUP BY n ORDER BY node""".stripMargin
   }
 
+  /** q169: synchronous label propagation — each round's neighbour-label
+    * counts and min-tie argmax unrolled as CTE pairs over the distinct
+    * co-purchase edges; labels start as node ids.
+    */
+  def q169Communities: String = {
+    val rounds = 2
+    val rc = (1 to rounds).map { r =>
+      s"""n$r AS (SELECT e.src AS node, l.lab, COUNT(*) AS c
+         |  FROM e JOIN l${r - 1} l ON l.node = e.dst GROUP BY e.src, l.lab),
+         |l$r AS (SELECT node, lab FROM (
+         |  SELECT node, lab,
+         |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+         |  FROM n$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT l_orderkey AS g, l_partkey AS i FROM lineitem),
+       |ok AS (SELECT g, i FROM e0 WHERE g NOT IN (
+       |  SELECT g FROM e0 GROUP BY g HAVING COUNT(*) > 1000)),
+       |e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+       |  FROM ok a JOIN ok b ON a.g = b.g AND a.i <> b.i),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+       |$rc
+       |SELECT node, lab AS community FROM l$rounds ORDER BY node""".stripMargin
+  }
+
   /** q155: audience overlap by HLL inclusion–exclusion — est(click) +
     * est(purchase) − est(click ∪ purchase), each term the exact q141
     * estimate replay; the union term sketches the unioned ROWS, which
@@ -2631,6 +2655,7 @@ object Oracles {
     "q155_hll_overlap" -> q155HllOverlap,
     "q161_join_size_est" -> q161JoinSizeEstimate,
     "q166_kcore" -> q166KCore,
+    "q169_communities" -> q169Communities,
     // q154 = q127's component truth through the forced-distributed
     // pointer-doubling path: one oracle, two engine formulations
     "q154_components_distributed" -> q127DedupClusters,

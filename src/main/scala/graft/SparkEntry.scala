@@ -417,6 +417,17 @@ object SparkEntry {
       agg.orderBy("tier", "event_type")
     }),
 
+    // ---- graph tier: label-propagation communities ----
+    // Two synchronous rounds of adopt-the-majority-neighbour-label
+    // (ties → min label) over the co-purchase graph; deterministic by
+    // construction, every round unrolled in the oracle.
+    "q169_communities" -> ((s, dir) => {
+      Graphs.labelPropagate(Graphs.coOccurrenceEdges(
+          lineitem(s, dir), "l_orderkey", "l_partkey", dedup = false),
+          rounds = 2)
+        .orderBy("node")
+    }),
+
     // ---- ops tier: per-key group-size skew report ----
     // The diagnostic behind every salting/broadcast decision: key
     // count, exact p50/p90/p99 group sizes, heaviest key.

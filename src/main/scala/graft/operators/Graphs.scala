@@ -93,6 +93,40 @@ object Graphs {
     stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
   }
 
+  /** Synchronous label-propagation communities, `rounds` rounds: every
+    * node starts as its own label; each round it adopts the most
+    * frequent label among its NEIGHBOURS (ties → smallest label) — the
+    * classic near-linear community detector (Raghavan et al. 2007),
+    * made deterministic by the fixed round count, the synchronous
+    * schedule, and the min-label tie-break, so the oracle unrolls each
+    * round exactly (the q147 discipline).
+    *
+    * Scale shape per round: one join of the edge table against the
+    * node-sized label table + one (node, label) count + one argmax agg
+    * via max(struct(count, −label)) — no window over anything larger
+    * than a node's neighbour-label set.
+    */
+  def labelPropagate(edges: DataFrame, rounds: Int = 2): DataFrame = {
+    val e = Dedup.tracked(
+      edges.select(col("src"), col("dst")).distinct()
+        .localCheckpoint(eager = true))
+    var labels = Dedup.tracked(
+      e.select(col("src").as("node")).union(e.select(col("dst")))
+        .distinct().withColumn("lab", col("node"))
+        .localCheckpoint(eager = true))
+    for (_ <- 1 to rounds) {
+      labels = Dedup.tracked(
+        e.join(labels.select(col("node").as("dst"), col("lab")), Seq("dst"))
+          .groupBy(col("src").as("node"), col("lab"))
+          .agg(count(lit(1)).as("_c"))
+          .groupBy("node")
+          .agg(max(struct(col("_c"), (-col("lab")).as("_nl"))).as("_m"))
+          .select(col("node"), (-col("_m._nl")).as("lab"))
+          .localCheckpoint(eager = true))
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
+
   /** Iterated k-core peel: `rounds` synchronous rounds of deleting
     * nodes with degree < k from the canonical (a<b, deduped) edge set,
     * then the surviving nodes with their within-subgraph degree. With
