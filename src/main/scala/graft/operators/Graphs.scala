@@ -64,12 +64,14 @@ object Graphs {
     * Wedge closure is one join against the canonical edge set; every
     * shuffle keys on node or edge ids.
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  def triangleCount(edges: DataFrame,
+      broadcastMaxEdges: Long = 5000000L): DataFrame = {
     val und = Dedup.tracked(
       edges.select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint(eager = false))
+    val m = und.count()
     val deg = und.select(col("a").as("n"))
       .union(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -82,15 +84,29 @@ object Graphs {
           struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("_e"))
       .select(col("_e.u").as("u"), col("_e.v").as("v"))
-    // wedges at u between its two oriented neighbours, id-canonical
-    val wedges = o.as("x").join(o.as("y"), col("x.u") === col("y.u"))
-      .filter(col("x.v") < col("y.v"))
-      .select(col("x.v").as("a"), col("y.v").as("b"))
-    val tri = wedges.join(und, Seq("a", "b"))
-      .agg(count(lit(1)).as("n_triangles"))
-    val stats = und.agg(count(lit(1)).as("n_edges")).crossJoin(
-      deg.agg(count(lit(1)).as("n_nodes")))
-    stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+    // Forward counting by adjacency intersection: with the (deg,id)
+    // DAG orientation, triangle u<v<w is counted exactly once — at its
+    // u→v edge, as w ∈ N⁺(u) ∩ N⁺(v). So the count is one pass over
+    // the oriented edges with a per-row set intersection: no wedge
+    // stream ever materializes (the naive wedge join emits Σ outdeg²
+    // rows — 41M at sf0.1 — and its closure probe dominates the
+    // runtime). Out-lists are bounded by the oriented out-degree
+    // (O(√m) under this orientation), so per-row work is bounded too.
+    // The adjacency table (n rows, m total entries) broadcasts while
+    // the exact m says it fits; bigger graphs fall back to u- and
+    // v-keyed hash joins.
+    val adj = o.groupBy("u").agg(collect_set("v").as("_vs"))
+    def hinted(df: DataFrame): DataFrame =
+      if (m <= broadcastMaxEdges) broadcast(df) else df
+    val tri = o
+      .join(hinted(adj.select(col("u"), col("_vs").as("_nu"))), Seq("u"))
+      .join(hinted(adj.select(col("u").as("v"), col("_vs").as("_nv"))),
+        Seq("v"))
+      .select(size(array_intersect(col("_nu"), col("_nv"))).as("_t"))
+      .agg(coalesce(sum("_t"), lit(0L)).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(tri)
+      .select(col("n_nodes"), lit(m).as("n_edges"), col("n_triangles"))
   }
 
   /** Synchronous label-propagation communities, `rounds` rounds: every
