@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.DabDataset
 import graft.functions.{AggregationProcessor, Chain, FFTProcessor, Framing, Processor}
-import graft.operators.{Analytics, Curation, Dedup, Graphs, Multimodal, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Timeseries, Validation, Xval}
+import graft.operators.{Analytics, Asof, Curation, Dedup, Graphs, Multimodal, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Timeseries, Validation, Xval}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -426,6 +426,40 @@ object SparkEntry {
           lineitem(s, dir), "l_orderkey", "l_partkey", dedup = false),
           rounds = 2)
         .orderBy("node")
+    }),
+
+    // ---- curation tier: corpus-level n-gram Jaccard between sources ----
+    // "How similar are these two crawls" as one exact number: distinct
+    // 5-shingle sets per side tagged in ONE groupBy, then a single
+    // global agg — nothing pairwise.
+    "q170_corpus_jaccard" -> ((s, dir) => {
+      Dedup.corpusJaccard(documents(s, dir), "source", "src0", "src1", k = 5)
+    }),
+
+    // ---- analytics tier: windowed funnel (convert within T) ----
+    // q126's chain with each step additionally required to land within
+    // 1 hour of the previous step's first completion.
+    "q171_funnel_windowed" -> ((s, dir) => {
+      Analytics.funnel(events(s, dir), Seq("view", "click", "purchase"),
+          maxGapUs = Some(3600000000L))
+        .orderBy("user_id")
+    }),
+
+    // ---- §2.3 nearest-event as-of join with tolerance ----
+    // pandas merge_asof direction='nearest': each click gets the
+    // nearest purchase of the same user within ±10 min (ties →
+    // backward), via BOTH-direction union+window passes — never a
+    // non-equi join. Oracle is an independent correlated formulation.
+    "q172_asof_nearest" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pus"))
+      Asof.nearestJoin(clicks, purch, "user_id", "us", "pus",
+          toleranceUs = 600000000L)
+        .orderBy("user_id", "event_id")
     }),
 
     // ---- ops tier: per-key group-size skew report ----
@@ -2097,6 +2131,63 @@ object SparkEntry {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    "q170_corpus_jaccard" ->
+      """WITH sh AS (
+        |  SELECT source, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(1, strlen(lower(text)) - 4)),
+        |    i -> substring(lower(text), i, 5)))) AS s
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |g AS (SELECT s,
+        |    MAX(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ina,
+        |    MAX(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS inb
+        |  FROM sh GROUP BY s)
+        |SELECT CAST(SUM(ina) AS BIGINT) AS n_a, CAST(SUM(inb) AS BIGINT) AS n_b,
+        |  CAST(SUM(ina * inb) AS BIGINT) AS n_inter,
+        |  CAST(COUNT(*) AS BIGINT) AS n_union,
+        |  CAST(SUM(ina * inb) AS BIGINT)::DOUBLE / COUNT(*) AS jaccard
+        |FROM g ORDER BY n_a""".stripMargin,
+
+    "q171_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        |    AND epoch_us(e.ts) <= s1.t1 + 3600000000 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        |    AND epoch_us(e.ts) <= s2.t2 + 3600000000 GROUP BY e.user_id)
+        |SELECT u.user_id, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us,
+        |  (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |        WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::INT AS step_reached
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |LEFT JOIN s3 ON u.user_id = s3.user_id
+        |ORDER BY u.user_id""".stripMargin,
+
+    // independent correlated formulation of the engine's two-direction
+    // union+window nearest join
+    "q172_asof_nearest" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS pus FROM events
+        |  WHERE event_type = 'purchase'),
+        |b AS (SELECT c.user_id, c.event_id, c.us, MAX(p.pus) AS bt
+        |  FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.pus <= c.us
+        |  GROUP BY c.user_id, c.event_id, c.us),
+        |f AS (SELECT c.user_id, c.event_id, MIN(p.pus) AS ft
+        |  FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.pus > c.us
+        |  GROUP BY c.user_id, c.event_id)
+        |SELECT b.user_id, b.event_id, b.us,
+        |  CASE WHEN b.bt IS NOT NULL AND b.us - b.bt <= 600000000
+        |         AND (f.ft IS NULL OR b.us - b.bt <= f.ft - b.us) THEN b.bt
+        |       WHEN f.ft IS NOT NULL AND f.ft - b.us <= 600000000 THEN f.ft
+        |  END AS nearest_us
+        |FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id
+        |ORDER BY b.user_id, b.event_id""".stripMargin,
 
     "q167_pit_enrich" ->
       """WITH base AS (SELECT c_custkey, c_mktsegment AS segment, 0::BIGINT AS ver FROM customer),

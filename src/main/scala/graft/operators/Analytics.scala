@@ -34,18 +34,29 @@ object Analytics {
     */
   def funnel(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", tsCol: String = "ts",
-      typeCol: String = "event_type"): DataFrame = {
+      typeCol: String = "event_type",
+      maxGapUs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val u = col(userCol)
-    val base = events.select(u, col(typeCol).as("_t"), col(tsCol).as("_ts"))
+    // epoch-µs internally: gap arithmetic is integer and the output
+    // columns are µs anyway (unix_micros is monotone, so min-chaining
+    // over µs ≡ min-chaining over timestamps)
+    val base = events.select(u, col(typeCol).as("_t"),
+      unix_micros(col(tsCol)).as("_ts"))
     val universe = base.select(u).distinct()
     var chain: DataFrame = base.filter(col("_t") === steps.head)
       .groupBy(u).agg(min(col("_ts")).as("_s1"))
     for (i <- 1 until steps.length) {
       val stepEv = base.filter(col("_t") === steps(i))
         .select(u.as("_u2"), col("_ts"))
+      // windowed funnels (maxGapUs) additionally require step i+1 to
+      // land within the gap of step i's first completion — the
+      // "convert within T" dashboard semantics
+      val qual = maxGapUs.foldLeft(col("_ts") > col(s"_s$i")) {
+        (c, gap) => c && col("_ts") <= col(s"_s$i") + gap
+      }
       val keep = (1 to i).map(j => first(col(s"_s$j")).as(s"_s$j")) :+
-        min(when(col("_ts") > col(s"_s$i"), col("_ts"))).as(s"_s${i + 1}")
+        min(when(qual, col("_ts"))).as(s"_s${i + 1}")
       chain = chain.join(stepEv, chain(userCol) === col("_u2"), "left")
         .groupBy(u).agg(keep.head, keep.tail: _*)
     }
@@ -56,7 +67,7 @@ object Analytics {
     universe.join(chain, Seq(userCol), "left")
       .select(u +:
         stepCols.zipWithIndex.map { case (c, i) =>
-          unix_micros(c).as(s"t${i + 1}_us") } :+
+          c.as(s"t${i + 1}_us") } :+
         reached.as("step_reached"): _*)
   }
 

@@ -47,6 +47,46 @@ object Asof {
       .drop("_side", "_t", "_tb")
   }
 
+  /** Nearest-event as-of join with tolerance (pandas `merge_asof
+    * direction='nearest'`): for each left row, the right row (per key)
+    * minimizing |Δt|, ties broken BACKWARD (the earlier right row),
+    * null when the nearest is further than `toleranceUs`. Times are
+    * epoch-µs longs.
+    *
+    * Same linear union+window discipline as [[join]] run in both
+    * directions: a backward pass (running last over preceding rows) and
+    * a forward pass (running first over following rows) carry the
+    * nearest candidate time each way, then one row-local comparison
+    * picks the side. Cost: one shuffle on the key + one sort, reused by
+    * both window frames — never a non-equi join.
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTimeUs: String, rightTimeUs: String,
+      toleranceUs: Long): DataFrame = {
+    val l = left.withColumn("_side", lit(1))
+      .withColumn("_t", col(leftTimeUs))
+    val r = right.select(col(key), col(rightTimeUs).as("_t"))
+      .withColumn("_side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_rt", when(col("_side") === 0, col("_t")))
+    // right rows order before left at the same µs (side 0 < 1): a right
+    // event exactly at t is "backward-visible" to a left row at t (Δ=0)
+    val ord = Window.partitionBy(key).orderBy(col("_t"), col("_side"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = ord.rowsBetween(0, Window.unboundedFollowing)
+    u
+      .withColumn("_bt", last(col("_rt"), ignoreNulls = true).over(back))
+      .withColumn("_ft", first(col("_rt"), ignoreNulls = true).over(fwd))
+      .filter(col("_side") === 1)
+      .withColumn("_db", when(col("_bt").isNotNull, col("_t") - col("_bt")))
+      .withColumn("_df", when(col("_ft").isNotNull, col("_ft") - col("_t")))
+      .withColumn("nearest_us",
+        when(col("_db").isNotNull && col("_db") <= toleranceUs &&
+          (col("_df").isNull || col("_db") <= col("_df")), col("_bt"))
+        .when(col("_df").isNotNull && col("_df") <= toleranceUs, col("_ft")))
+      .drop("_side", "_t", "_rt", "_bt", "_ft", "_db", "_df")
+  }
+
   /** Interval containment join optimized by time-binning: right intervals
     * `[startCol, endCol]` are exploded onto the bins they overlap, the
     * join becomes equi on (key, bin) + an exact containment filter — a

@@ -482,6 +482,35 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Corpus-level n-gram Jaccard between two sources — "how similar are
+    * these two crawls/snapshots" as ONE number: |shingles(A) ∩
+    * shingles(B)| / |shingles(A) ∪ shingles(B)| over the distinct
+    * k-shingle sets of each side. Output one row: (n_a, n_b, n_inter,
+    * n_union, jaccard) — all exact integers plus one double division of
+    * exact integers (engine-identical).
+    *
+    * Scale shape: one explode + one partial-agg'd groupBy on the
+    * shingle (membership flags via max — dedup and side-tagging in the
+    * same aggregation), then a single global agg; nothing is ever
+    * pairwise. At 100 TB, hash the shingles to 8-byte digests first if
+    * string shuffle volume matters — counts are identical modulo hash
+    * collisions.
+    */
+  def corpusJaccard(docs: DataFrame, srcCol: String, a: String, b: String,
+      k: Int = 5, textCol: String = "text"): DataFrame = {
+    docs.filter(col(srcCol).isin(a, b))
+      .select(col(srcCol).as("_src"),
+        explode(shingles(col(textCol), k)).as("_s"))
+      .groupBy("_s")
+      .agg(max(when(col("_src") === a, 1L).otherwise(0L)).as("_ina"),
+        max(when(col("_src") === b, 1L).otherwise(0L)).as("_inb"))
+      .agg(sum("_ina").as("n_a"), sum("_inb").as("n_b"),
+        sum(col("_ina") * col("_inb")).as("n_inter"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+        (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
+  }
+
   /** Cluster near-duplicate candidate pairs into groups and pick a
     * canonical survivor per group: connected components over the pair
     * edges, labels = component-minimum ids. Two physical paths, same

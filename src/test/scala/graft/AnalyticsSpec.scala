@@ -187,6 +187,27 @@ class AnalyticsSpec extends SparkSpec {
   // micro-timestamps: session gap is 300s = 3e8 µs
   private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
 
+  test("windowed funnel: a step exactly at the gap counts, one µs later does not") {
+    // user 1: view@0, click@T (exactly at gap) → reaches 2
+    // user 2: view@0, click@T+1000 (beyond) → reaches 1
+    val gap = 3600000000L
+    val df = Seq(
+      (1L, 1L, "view", 0L), (1L, 2L, "click", gap),
+      (2L, 3L, "view", 0L), (2L, 4L, "click", gap + 1000000L))
+      .map { case (u, e, t, us) => (u, e, t, ts(us)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Analytics.funnel(df, Seq("view", "click"),
+        maxGapUs = Some(gap))
+      .select("user_id", "step_reached")
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 2, 2L -> 1))
+    // and without the window both reach 2 (regression: unwindowed path)
+    val plain = Analytics.funnel(df, Seq("view", "click"))
+      .select("user_id", "step_reached")
+      .as[(Long, Int)].collect().toMap
+    assert(plain == Map(1L -> 2, 2L -> 2))
+  }
+
   test("firstTouchAttribution: conversions credit the session opener") {
     // user 1, session A: view(t0) → click → purchase(10) → purchase(5)
     // user 1, session B (gap > 300s): purchase(7) opens its own session

@@ -824,6 +824,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out(102L).isEmpty)       // t=10 < first purchase at 50 → null
   }
 
+  test("nearest asof join: tie prefers backward, tolerance nulls, same-µs is Δ=0") {
+    val left = Seq((1L, 100L, 50L), (1L, 101L, 10L), (1L, 102L, 500L),
+      (2L, 103L, 20L))
+      .toDF("user_id", "event_id", "us")
+    val right = Seq((1L, 40L), (1L, 60L), (1L, 10L), (2L, 200L))
+      .toDF("user_id", "pus")
+    val out = graft.operators.Asof.nearestJoin(left, right, "user_id",
+        "us", "pus", toleranceUs = 100L)
+      .select("event_id", "nearest_us")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(100L).contains(40L)) // t=50: 40 (Δ10) vs 60 (Δ10) tie → backward
+    assert(out(101L).contains(10L)) // t=10: right at same µs, Δ=0
+    assert(out(102L).isEmpty)       // t=500: nearest 60 is Δ440 > 100
+    assert(out(103L).isEmpty)       // t=20: forward 200 is Δ180 > 100
+  }
+
+  test("corpus jaccard: identical sources give 1.0, disjoint give 0.0") {
+    val docs = Seq(
+      (1L, "A", "hello world"), (2L, "B", "hello world"),
+      (3L, "C", "zzzzzqqqqq"))
+      .toDF("doc_id", "src", "text")
+    val same = Dedup.corpusJaccard(docs, "src", "A", "B").collect().head
+    assert(same.getAs[Double]("jaccard") == 1.0)
+    assert(same.getAs[Long]("n_a") == same.getAs[Long]("n_union"))
+    val disj = Dedup.corpusJaccard(docs, "src", "A", "C").collect().head
+    assert(disj.getAs[Double]("jaccard") == 0.0)
+    assert(disj.getAs[Long]("n_inter") == 0L)
+  }
+
   test("binned range join equals naive non-equi join") {
     val points = Seq((1L, 5L), (1L, 15L), (1L, 50L), (2L, 15L))
       .toDF("k", "t")
