@@ -2534,6 +2534,38 @@ object Oracles {
        |GROUP BY n ORDER BY node""".stripMargin
   }
 
+  /** q173: weighted integer PageRank — q147's unroll with per-edge
+    * weights (raw co-membership multiplicities) and weighted degrees:
+    * every hop floor((score·85·w)/(wdeg·100)), all HUGEINT-exact.
+    */
+  def q173WeightedRank: String = {
+    val scale = 1000000000000L
+    val iters = 3
+    val baseSub = s"(SELECT ($scale::HUGEINT * 15) // (100 * COUNT(*)) FROM nodes)"
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS node,
+         |    SUM((s.score * 85 * e.w) // (d.wdeg * 100)) AS cs
+         |  FROM e JOIN s${k - 1} s ON e.src = s.node
+         |         JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |s$k AS (SELECT node, $baseSub + cs AS score FROM c$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT l_orderkey AS g, l_partkey AS i FROM lineitem),
+       |ok AS (SELECT g, i FROM e0 WHERE g NOT IN (
+       |  SELECT g FROM e0 GROUP BY g HAVING COUNT(*) > 1000)),
+       |e AS (SELECT a.i AS src, b.i AS dst, COUNT(*)::HUGEINT AS w
+       |      FROM ok a JOIN ok b ON a.g = b.g AND a.i <> b.i
+       |      GROUP BY a.i, b.i),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |deg AS (SELECT src, SUM(w) AS wdeg FROM e GROUP BY src),
+       |s0 AS (SELECT node, (SELECT $scale::HUGEINT // COUNT(*) FROM nodes) AS score
+       |       FROM nodes),
+       |$iterCtes
+       |SELECT node AS l_partkey, CAST(score AS BIGINT) AS score
+       |FROM s$iters ORDER BY score DESC, l_partkey LIMIT 20""".stripMargin
+  }
+
   /** q169: synchronous label propagation — each round's neighbour-label
     * counts and min-tie argmax unrolled as CTE pairs over the distinct
     * co-purchase edges; labels start as node ids.
@@ -2656,6 +2688,7 @@ object Oracles {
     "q161_join_size_est" -> q161JoinSizeEstimate,
     "q166_kcore" -> q166KCore,
     "q169_communities" -> q169Communities,
+    "q173_weighted_rank" -> q173WeightedRank,
     // q154 = q127's component truth through the forced-distributed
     // pointer-doubling path: one oracle, two engine formulations
     "q154_components_distributed" -> q127DedupClusters,

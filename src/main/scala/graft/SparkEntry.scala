@@ -462,6 +462,47 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- graph tier: WEIGHTED integer PageRank ----
+    // Co-membership multiplicities as edge weights: rank flow ∝ how
+    // often the pair co-occurs (the CCNet-style weighted source
+    // ranking); every hop floor((score·85·w)/(wdeg·100)), unrolled in
+    // the oracle like q147.
+    "q173_weighted_rank" -> ((s, dir) => {
+      val edges = Graphs.coOccurrenceWeighted(
+        lineitem(s, dir), "l_orderkey", "l_partkey")
+      Graphs.pageRankIntWeighted(edges, iters = 3)
+        .orderBy(col("score").desc, col("node"))
+        .limit(20)
+        .select(col("node").as("l_partkey"), col("score"))
+    }),
+
+    // ---- analytics tier: multi-touch linear attribution ----
+    // Each purchase's value splits EXACTLY (integer 10⁻⁴ units,
+    // remainder to the earliest touches) across its session's prior
+    // events; Σ credits ≡ Σ purchase values bit-for-bit.
+    "q174_linear_attribution" -> ((s, dir) => {
+      Analytics.linearAttribution(events(s, dir), convType = "purchase")
+        .orderBy("event_type")
+    }),
+
+    // ---- §2.9 streaming dimension upsert ----
+    // q163's latest-wins merge with the UPDATE side folded through the
+    // streaming state store (per-key min urgent-order time — bounded
+    // state) and the snapshot merge batch-side. Oracle = q163's SQL:
+    // one relational truth, two engine paths.
+    "q175_stream_upsert" -> ((s, dir) => {
+      val updAgg = EventStreams.runOnceOnParquet(s, s"$dir/orders.parquet",
+        df => df.filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("o_custkey").as("c_custkey"))
+          .agg(min(unix_micros(col("o_orderdate"))).as("ver")),
+        s"upsert_sink_${System.nanoTime()}")
+      val upd = updAgg.withColumn("segment", lit("URGENT_BUYER"))
+      val base = customer(s, dir).select(col("c_custkey"),
+        col("c_mktsegment").as("segment"), lit(0L).as("ver"))
+      Validation.upsertLatest(base, upd, "c_custkey", Seq("segment"), "ver")
+        .orderBy("c_custkey")
+    }),
+
     // ---- ops tier: per-key group-size skew report ----
     // The diagnostic behind every salting/broadcast decision: key
     // count, exact p50/p90/p99 group sizes, heaviest key.
@@ -2132,6 +2173,34 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
 
+    "q174_linear_attribution" ->
+      """WITH e0 AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |e AS (
+        |  SELECT *, SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 300000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e0),
+        |conv AS (SELECT user_id, sid, us AS pus, event_id AS pord,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vt
+        |  FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT c.user_id, c.sid, c.pord, c.vt, e.us, e.event_id, e.event_type
+        |  FROM conv c JOIN e ON e.user_id = c.user_id AND e.sid = c.sid
+        |    AND (e.us < c.pus OR (e.us = c.pus AND e.event_id < c.pord))),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, sid, pord ORDER BY us, event_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY user_id, sid, pord) AS n
+        |  FROM t),
+        |cr AS (SELECT event_type, vt // n + CASE WHEN rk <= vt % n THEN 1 ELSE 0 END AS credit FROM r),
+        |selfc AS (SELECT 'purchase' AS event_type, vt AS credit FROM conv c
+        |  WHERE NOT EXISTS (SELECT 1 FROM t
+        |    WHERE t.user_id = c.user_id AND t.sid = c.sid AND t.pord = c.pord))
+        |SELECT event_type, COUNT(*) AS n_credits,
+        |  CAST(SUM(credit) AS BIGINT) AS credit_tenk
+        |FROM (SELECT * FROM cr UNION ALL SELECT * FROM selfc)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q170_corpus_jaccard" ->
       """WITH sh AS (
         |  SELECT source, unnest(list_distinct(list_transform(
@@ -2215,6 +2284,18 @@ object SparkEntry {
         |SELECT COALESCE(d.tier, 'none') AS tier, e.event_type, COUNT(*) AS n
         |FROM events e LEFT JOIN dim d USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q175 = q163's semantics with the update side folded through
+    // streaming state: one relational truth, two engine paths
+    "q175_stream_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment AS segment, 0::BIGINT AS ver FROM customer),
+        |upd AS (SELECT o_custkey AS c_custkey, 'URGENT_BUYER' AS segment,
+        |    MIN(epoch_us(o_orderdate)) AS ver
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+        |a AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY ver DESC) AS rn FROM a)
+        |SELECT c_custkey, segment, ver FROM r WHERE rn = 1
+        |ORDER BY c_custkey""".stripMargin,
 
     "q163_upsert_latest" ->
       """WITH base AS (SELECT c_custkey, c_mktsegment AS segment, 0::BIGINT AS ver FROM customer),

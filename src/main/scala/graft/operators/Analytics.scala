@@ -379,6 +379,55 @@ object Analytics {
         sum("_rev").cast("double").as("revenue"))
   }
 
+  /** Multi-touch LINEAR attribution, exact to the 10⁻⁴ value unit:
+    * every conversion's value splits equally across the session events
+    * strictly before it (its "touches"); the integer remainder goes to
+    * the earliest touches one unit each, so Σ credits ≡ Σ conversion
+    * values EXACTLY — no float split, engine-identical. Conversions
+    * with no prior touch keep their own credit. Output: one row per
+    * credited event type — (event_type, n_credits, credit_tenk) where
+    * credit_tenk is in 10⁻⁴ value units (DECIMAL(18,4)·10⁴ is integral
+    * by construction, so the Long cast is exact).
+    *
+    * Scale shape: sessionize (per-key window), join conversions to
+    * their own session's events (per-session self-join — bounded by
+    * session length, which the gap bounds in practice), rank touches
+    * within (key, session, conversion) — never a global window.
+    */
+  def linearAttribution(events: DataFrame, convType: String,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", ordCol: String = "event_id",
+      valueCol: String = "value", gapUs: Long = 300000000L): DataFrame = {
+    val sess = withSessionId(events, keyCol, tsCol, ordCol, gapUs)
+    val ev = sess.select(col(keyCol).as("_k"), col("session_id").as("_sid"),
+      col("_us"), col(ordCol).as("_ord"), col(typeCol).as("_ty"),
+      col(valueCol).as("_v"))
+    val conv = ev.filter(col("_ty") === convType)
+      .select(col("_k"), col("_sid"), col("_us").as("_pus"),
+        col("_ord").as("_pord"),
+        expr("CAST(CAST(_v AS DECIMAL(18,4)) * 10000 AS BIGINT)").as("_vt"))
+    val touches = conv
+      .join(ev.select(col("_k"), col("_sid"), col("_us"), col("_ord"),
+        col("_ty")), Seq("_k", "_sid"))
+      .filter(col("_us") < col("_pus") ||
+        (col("_us") === col("_pus") && col("_ord") < col("_pord")))
+    val part = Window.partitionBy("_k", "_sid", "_pord")
+    val credited = touches
+      .withColumn("_rk", row_number().over(
+        part.orderBy(col("_us"), col("_ord"))))
+      .withColumn("_n", count(lit(1)).over(part))
+      .select(col("_ty"),
+        expr("_vt div _n + CASE WHEN _rk <= _vt % _n THEN 1 ELSE 0 END")
+          .as("_credit"))
+    val untouched = conv.join(
+        touches.select(col("_k"), col("_sid"), col("_pord")).distinct(),
+        Seq("_k", "_sid", "_pord"), "anti")
+      .select(lit(convType).as("_ty"), col("_vt").as("_credit"))
+    credited.unionByName(untouched)
+      .groupBy(col("_ty").as("event_type"))
+      .agg(count(lit(1)).as("n_credits"), sum("_credit").as("credit_tenk"))
+  }
+
   /** Top session paths: the first `maxLen` event types of each session
     * joined with '>' — the "how do users move" dashboard. Output: every
     * distinct path with its session count (callers LIMIT for top-k).

@@ -109,6 +109,63 @@ object Graphs {
       .select(col("n_nodes"), lit(m).as("n_edges"), col("n_triangles"))
   }
 
+  /** Weighted co-occurrence edges: like [[coOccurrenceEdges]] but each
+    * (src, dst) pair carries how many groups contain both — the edge
+    * weight a weighted centrality wants. One extra groupBy over the
+    * pair multiset (partial-agg'd; the cap is the same skew guard).
+    */
+  def coOccurrenceWeighted(df: DataFrame, groupCol: String,
+      itemCol: String, maxGroup: Int = 1000): DataFrame =
+    coOccurrenceEdges(df, groupCol, itemCol, maxGroup, dedup = false)
+      .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+
+  /** Weighted integer fixed-point PageRank: each hop carries
+    * floor(score·dampPct·w / (wdeg·100)) where wdeg = Σ out-weights —
+    * the CCNet/RefinedWeb-style source weighting where heavier
+    * co-occurrence means more rank flow. Same chunked-adjacency shape
+    * as [[pageRankInt]] (neighbour chunks hold (dst, w) structs; the
+    * weighted degree is exact from one aggregation); symmetric-graph
+    * fast path only (co-occurrence output is symmetric by
+    * construction). Long-range bound: score·damp·w ≤ 1e12·85·1e5 <
+    * 2^63 — cap weights upstream if a pair can co-occur > ~10^5 times.
+    */
+  def pageRankIntWeighted(edges: DataFrame, iters: Int = 3,
+      scale: Long = 1000000000000L, dampPct: Int = 85,
+      maxNbrsPerRow: Int = 8192): DataFrame = {
+    val c = maxNbrsPerRow
+    val e = edges.select(col("src"), col("dst"), col("weight"))
+      .groupBy("src").agg(
+        sum("weight").as("wdeg"),
+        collect_list(struct(col("dst"), col("weight").as("w"))).as("_all"))
+      .select(col("src"), col("wdeg"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(_all)-1) div $c)," +
+            s" i -> slice(_all, i*$c+1, $c))")).as(Seq("_chunk", "nbrs")))
+      .cache()
+    val nodes = Dedup.tracked(
+      e.filter(col("_chunk") === 0).select(col("src").as("node"))
+        .localCheckpoint(eager = true))
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val base = (scale * (100 - dampPct)) / (100L * n)
+    val bcast = n <= 50000000L
+    def hinted(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    var scores = nodes.withColumn("score", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(hinted(scores.withColumnRenamed("node", "src")), Seq("src"))
+        .select(col("score"), col("wdeg"), explode(col("nbrs")).as("_nb"))
+        .select(col("_nb.dst").as("node"),
+          expr(s"(score * $dampPct * _nb.w) div (wdeg * 100)").as("_c"))
+        .groupBy("node").agg(sum("_c").as("_cs"))
+      scores = Dedup.tracked(
+        contrib.select(col("node"), (lit(base) + col("_cs")).as("score"))
+          .localCheckpoint(eager = true))
+    }
+    e.unpersist(blocking = false)
+    scores
+  }
+
   /** Synchronous label-propagation communities, `rounds` rounds: every
     * node starts as its own label; each round it adopts the most
     * frequent label among its NEIGHBOURS (ties → smallest label) — the

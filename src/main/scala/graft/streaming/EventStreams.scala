@@ -195,9 +195,20 @@ object EventStreams {
         spark.readStream.schema(schema)
           .option("pathGlobFilter", fileName).parquet(parent)
       }
-    val normalized =
+    val normalized0 =
       if (schema.fieldNames.contains("ts")) graft.Tables.normalizeTs(stream)
       else stream
+    // Any OTHER timestamp column may also ship as TIMESTAMP_NTZ across
+    // driver data drops (the round-8 events.ts incident generalized —
+    // e.g. orders.o_orderdate): cast NTZ → TimestampType everywhere,
+    // value-preserving under the pinned UTC session tz.
+    val normalized = normalized0.schema.fields.foldLeft(normalized0) {
+      (df, f) =>
+        if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+          df.withColumn(f.name, org.apache.spark.sql.functions.col(f.name)
+            .cast(org.apache.spark.sql.types.TimestampType))
+        else df
+    }
     val q = transform(normalized).writeStream
       .format("memory")
       .queryName(sinkName)

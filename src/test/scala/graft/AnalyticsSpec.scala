@@ -240,6 +240,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Map("a>b" -> 2L, "a" -> 1L))
   }
 
+  test("linearAttribution: equal split, remainder to earliest, self-credit, exact conservation") {
+    // user 1 session: view(e1) → click(e2) → purchase(e3, 1.0001) —
+    // vt = 10001, 2 touches → 5000 each + remainder 1 to the EARLIEST
+    // (view). user 2: lone purchase(e4, 2.0) → self-credit 20000.
+    val df = Seq(
+      (1L, 1L, "view", 0.0, 0L),
+      (1L, 2L, "click", 0.0, 1000000L),
+      (1L, 3L, "purchase", 1.0001, 2000000L),
+      (2L, 4L, "purchase", 2.0, 0L))
+      .map { case (u, e, t, v, us) => (u, e, t, v, ts(us)) }
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+    val got = Analytics.linearAttribution(df, "purchase")
+      .as[(String, Long, Long)].collect()
+      .map { case (t, n, c) => t -> ((n, c)) }.toMap
+    assert(got("view") == ((1L, 5001L)))
+    assert(got("click") == ((1L, 5000L)))
+    assert(got("purchase") == ((1L, 20000L)))
+    // conservation: total credit = total purchase value in 1e-4 units
+    assert(got.values.map(_._2).sum == 10001L + 20000L)
+  }
+
   test("groupSizeSkew: counts, exact percentiles, heaviest key min-tie") {
     // keys: 10×a=3, 20×b=3, 30×c=2 → sizes (3,3,2); max 3; ties on max
     // size → smallest key 10 wins

@@ -59,6 +59,24 @@ class GraphsSpec extends SparkSpec {
     assert(full.size == 5)
   }
 
+  test("pageRankIntWeighted: uniform weights ≡ unweighted; heavier edge pulls rank") {
+    val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 2L -> 5L)
+    val sym = und ++ und.map(_.swap)
+    val uw = sym.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "weight")
+    val weighted = Graphs.pageRankIntWeighted(uw, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val plain = Graphs.pageRankInt(sym.toDF("src", "dst"), iters = 2,
+      symmetric = true).as[(Long, Long)].collect().toMap
+    assert(weighted == plain, "w=1 everywhere must reduce to unweighted")
+    // star with one dominant edge: 0-1 weight 9, 0-2 and 0-3 weight 1 →
+    // node 1 outranks 2 and 3
+    val star = Seq((0L, 1L, 9L), (1L, 0L, 9L), (0L, 2L, 1L), (2L, 0L, 1L),
+      (0L, 3L, 1L), (3L, 0L, 1L)).toDF("src", "dst", "weight")
+    val s = Graphs.pageRankIntWeighted(star, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(s(1L) > s(2L) && s(2L) == s(3L))
+  }
+
   test("labelPropagate: two cliques joined by one bridge keep their own communities") {
     // cliques {1,2,3} and {10,11,12}, bridge 3-10. After round 1 every
     // clique node takes its clique's min label (neighbour majority);
