@@ -503,6 +503,41 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- §2.5 RANGE-frame window: trailing-7-day revenue ----
+    // Rows-frames are q60; this is the value-based RANGE frame over
+    // integer days. The window is partition-less BY DESIGN: it runs on
+    // the already-aggregated daily table (dashboard-sized — one row
+    // per day), never on raw events.
+    "q176_trailing_revenue" -> ((s, dir) => {
+      val daily = events(s, dir).filter(col("event_type") === "purchase")
+        .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+        .groupBy("day")
+        .agg(sum(col("value").cast("decimal(18,4)")).as("_rev"))
+      val w = Window.orderBy("day").rangeBetween(-6, 0)
+      daily.select(col("day"),
+          sum(col("_rev")).over(w).cast("double").as("rev_7d"))
+        .orderBy("day")
+    }),
+
+    // ---- layout tier: partitioned write + pruned readback ----
+    // Events written partitionBy(day), read back with a literal day
+    // range — the scan touches only the seven matching partition dirs
+    // (LayoutSpec asserts pruning; here the VALUES are oracle-gated
+    // against a direct filter over the raw table).
+    "q177_partitioned_scan" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+      val path = s"/tmp/graft_part_${System.nanoTime()}"
+      ev.write.mode("overwrite").partitionBy("day").parquet(path)
+      val lo = ev.agg(min("day")).head.getLong(0) + 7
+      s.read.parquet(path)
+        .filter(col("day").between(lo, lo + 6))
+        .groupBy(col("day").cast("long").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("rev"))
+        .orderBy("day")
+    }),
+
     // ---- ops tier: per-key group-size skew report ----
     // The diagnostic behind every salting/broadcast decision: key
     // count, exact p50/p90/p99 group sizes, heaviest key.
@@ -2172,6 +2207,22 @@ object SparkEntry {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    "q176_trailing_revenue" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT day, CAST(SUM(rev) OVER (ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+        |FROM d ORDER BY day""".stripMargin,
+
+    "q177_partitioned_scan" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, value FROM events),
+        |b AS (SELECT MIN(day) + 7 AS lo FROM e)
+        |SELECT day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |FROM e, b WHERE day BETWEEN lo AND lo + 6
+        |GROUP BY day ORDER BY day""".stripMargin,
 
     "q174_linear_attribution" ->
       """WITH e0 AS (
