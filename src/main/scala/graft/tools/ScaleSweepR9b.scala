@@ -18,7 +18,10 @@ object ScaleSweepR9b {
       "q159_skew_report", "q160_session_paths", "q161_join_size_est",
       "q162_triangles", "q163_upsert_latest", "q164_stream_heavy",
       "q165_stream_sessions", "q166_kcore", "q167_pit_enrich",
-      "q168_stream_enrich")
+      "q168_stream_enrich", "q169_communities", "q170_corpus_jaccard",
+      "q171_funnel_windowed", "q172_asof_nearest", "q173_weighted_rank",
+      "q174_linear_attribution", "q175_stream_upsert",
+      "q176_trailing_revenue", "q177_partitioned_scan")
     for (name <- names) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
