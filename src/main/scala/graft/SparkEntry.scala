@@ -538,6 +538,17 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // ---- dedup tier: EXACT all-pairs set-similarity join ----
+    // The complete (recall = 1) complement to q34's MinHash: every doc
+    // pair with 5-shingle Jaccard ≥ 0.5 via AllPairs/PPJoin prefix
+    // filtering — candidates bounded by each doc's RAREST shingles,
+    // never O(n²). Oracle is the unfiltered pairwise truth.
+    "q178_setsim_join" -> ((s, dir) => {
+      Dedup.setSimJoin(documents(s, dir), tau = 0.5)
+        .orderBy("id_a", "id_b")
+        .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
+    }),
+
     // ---- ops tier: per-key group-size skew report ----
     // The diagnostic behind every salting/broadcast decision: key
     // count, exact p50/p90/p99 group sizes, heaviest key.
@@ -2207,6 +2218,26 @@ object SparkEntry {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    // unfiltered pairwise truth: the engine's prefix filter must lose
+    // NOTHING relative to this
+    "q178_setsim_join" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(1, strlen(lower(text)) - 4)),
+        |    i -> substring(lower(text), i, 5)))) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, COUNT(*) AS s FROM tk GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |  inter::DOUBLE / (sa.s + sb.s - inter) AS jaccard
+        |FROM pr
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE inter::DOUBLE / (sa.s + sb.s - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q176_trailing_revenue" ->
       """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,

@@ -482,6 +482,71 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT all-pairs set-similarity join (AllPairs/PPJoin prefix
+    * filtering): every pair of docs whose set Jaccard ≥ `tau` — sets
+    * default to the 5-char [[shingles]] of `text` (pass `setExpr` for
+    * word tokens or anything else). No hashing, no probability of a
+    * miss: the exact complement to [[minhashCandidates]] — use MinHash
+    * when recall < 1 is acceptable, this when the answer must be
+    * complete.
+    *
+    * Prefix-filter guarantee: order each doc's tokens by ascending global
+    * document frequency (rarest first, token string tie-break). If
+    * J(d1,d2) ≥ τ then their overlap o ≥ τ·|d1|, so d1's first
+    * |d1| − ⌈τ·|d1|⌉ + 1 tokens MUST contain a shared token (else all
+    * overlap hides in the last ⌈τ·|d1|⌉ − 1 positions < τ·|d1| ≤ o).
+    * Candidates = prefix-tokens ⋈ full posting list; because prefixes
+    * hold each doc's RAREST tokens, frequent tokens almost never appear
+    * on the probe side and the join stays near-linear. A size filter
+    * (τ·|d2| ≤ |d1| ≤ |d2|/τ) prunes before the exact
+    * intersection verify. The ⌈τ·s⌉ is computed as ceil(τ·s − 1e-9):
+    * float error can only LENGTHEN the prefix (superset of candidates —
+    * completeness is never at risk).
+    *
+    * Scale shape: two explodes + one groupBy(token) for frequencies, one
+    * equi-join on token bounded by prefix rarity, exact verify only on
+    * surviving pairs. The token-list table is materialized once (lazy
+    * localCheckpoint) and shared by the prefix, posting and verify sides.
+    * Output: (id_a, id_b, inter, jaccard), id_a < id_b.
+    */
+  def setSimJoin(docs: DataFrame, tau: Double,
+      idCol: String = "doc_id", setExpr: Column = null): DataFrame = {
+    val sets = Option(setExpr).getOrElse(shingles(col("text"), 5))
+    val toks = docs.select(col(idCol).as("id"),
+        explode(sets).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val lists = materialize(toks.join(dfreq, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("_ord"))
+      .select(col("id"),
+        transform(col("_ord"), x => x("tok")).as("toks"),
+        size(col("_ord")).as("s"))
+      .withColumn("p",
+        col("s") - ceil(lit(tau) * col("s") - lit(1e-9)).cast("int") + lit(1)))
+    val prefix = lists.select(col("id").as("id_p"), col("s").as("s_p"),
+      explode(slice(col("toks"), lit(1), col("p"))).as("tok"))
+    val posting = lists.select(col("id").as("id_f"), col("s").as("s_f"),
+      explode(col("toks")).as("tok"))
+    val cand = prefix.join(posting, "tok")
+      .filter(col("id_p") =!= col("id_f"))
+      .filter(col("s_p") >= lit(tau) * col("s_f") - lit(1e-9) &&
+        col("s_f") >= lit(tau) * col("s_p") - lit(1e-9))
+      .select(least(col("id_p"), col("id_f")).as("id_a"),
+        greatest(col("id_p"), col("id_f")).as("id_b"))
+      .distinct()
+    cand
+      .join(lists.select(col("id").as("id_a"), col("toks").as("_ta"),
+        col("s").as("s_a")), "id_a")
+      .join(lists.select(col("id").as("id_b"), col("toks").as("_tb"),
+        col("s").as("s_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("_ta"), col("_tb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("s_a") + col("s_b") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
+        col("jaccard"))
+  }
+
   /** Corpus-level n-gram Jaccard between two sources — "how similar are
     * these two crawls/snapshots" as ONE number: |shingles(A) ∩
     * shingles(B)| / |shingles(A) ∪ shingles(B)| over the distinct

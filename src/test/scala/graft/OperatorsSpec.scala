@@ -51,6 +51,41 @@ class OperatorsSpec extends SparkSpec {
     assert(v((0L, 3L)) < 0.2)
   }
 
+  test("setSimJoin equals brute-force pairwise Jaccard (recall = 1)") {
+    // 40 docs: 10 templates × 4 variants with per-variant perturbations —
+    // a mix of exact dups, near dups, and unrelated pairs
+    val corpus = (0 until 40).map { i =>
+      val t = i % 10; val v = i / 10
+      val base = s"template $t body with shared phrasing segment alpha beta gamma delta " * 3
+      val text = if (v == 0) base
+        else if (v == 1) base + s" tail$i" // near dup
+        else if (v == 2) base.replace("alpha", s"omega$i") // perturbed
+        else s"unrelated content number $i entirely different words here"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    def brute(tau: Double): Set[(Long, Long, Int)] = {
+      val rows = corpus.select(col("doc_id"),
+        Dedup.shingles(col("text"), 5).as("sh")).collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+      (for {
+        (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+        inter = (sa & sb).size
+        if inter.toDouble / (sa.size + sb.size - inter) >= tau
+      } yield (ia, ib, inter)).toSet
+    }
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.setSimJoin(corpus, tau).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("inter").toInt)).toSet
+      assert(got == brute(tau), s"tau=$tau")
+    }
+    // word-token sets via setExpr: exact dups of the unrelated tier differ
+    val wordPairs = Dedup.setSimJoin(corpus, 0.9,
+        setExpr = array_distinct(filter(split(lower(col("text")), "\\W+"),
+          t => t =!= ""))).count()
+    assert(wordPairs >= 10) // template families share whole vocabularies
+  }
+
   test("clusterPairs: chains merge into one component, min id wins") {
     // components: {1,2,3,4} (chain), {10,11}, singletons absent
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
