@@ -2590,6 +2590,30 @@ object Oracles {
        |SELECT node, lab AS community FROM l$rounds ORDER BY node""".stripMargin
   }
 
+  /** q179: exact BFS layers — each frontier unrolled as (new nodes,
+    * settled set) CTE pairs over the distinct co-purchase edges; the
+    * landmark is the smallest node in the edge set.
+    */
+  def q179BfsHops: String = {
+    val rounds = 3
+    val rc = (1 to rounds).map { r =>
+      s"""f$r AS (SELECT DISTINCT e.dst AS node
+         |  FROM e JOIN d${r - 1} d ON e.src = d.node
+         |  WHERE e.dst NOT IN (SELECT node FROM d${r - 1})),
+         |d$r AS (SELECT node, hops FROM d${r - 1}
+         |  UNION ALL SELECT node, $r AS hops FROM f$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT l_orderkey AS g, l_partkey AS i FROM lineitem),
+       |ok AS (SELECT g, i FROM e0 WHERE g NOT IN (
+       |  SELECT g FROM e0 GROUP BY g HAVING COUNT(*) > 1000)),
+       |e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+       |  FROM ok a JOIN ok b ON a.g = b.g AND a.i <> b.i),
+       |d0 AS (SELECT MIN(src) AS node, 0 AS hops FROM e),
+       |$rc
+       |SELECT node, CAST(hops AS BIGINT) AS hops
+       |FROM d$rounds ORDER BY hops, node""".stripMargin
+  }
+
   /** q155: audience overlap by HLL inclusion–exclusion — est(click) +
     * est(purchase) − est(click ∪ purchase), each term the exact q141
     * estimate replay; the union term sketches the unioned ROWS, which
@@ -2688,6 +2712,7 @@ object Oracles {
     "q161_join_size_est" -> q161JoinSizeEstimate,
     "q166_kcore" -> q166KCore,
     "q169_communities" -> q169Communities,
+    "q179_bfs_hops" -> q179BfsHops,
     "q173_weighted_rank" -> q173WeightedRank,
     // q154 = q127's component truth through the forced-distributed
     // pointer-doubling path: one oracle, two engine formulations

@@ -428,6 +428,16 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- graph tier: BFS hop layers from a landmark ----
+    // Exact frontier expansion (3 hops) from the smallest node of the
+    // co-purchase graph; each layer one frontier⋈edges join + one
+    // anti-join vs the settled set, oracle-unrolled per round.
+    "q179_bfs_hops" -> ((s, dir) => {
+      Graphs.bfsHops(Graphs.coOccurrenceEdges(
+          lineitem(s, dir), "l_orderkey", "l_partkey"), maxHops = 3)
+        .orderBy("hops", "node")
+    }),
+
     // ---- curation tier: corpus-level n-gram Jaccard between sources ----
     // "How similar are these two crawls" as one exact number: distinct
     // 5-shingle sets per side tagged in ONE groupBy, then a single

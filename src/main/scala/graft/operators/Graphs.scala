@@ -232,6 +232,43 @@ object Graphs {
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
 
+  /** Multi-source BFS hop distance, `maxHops` synchronous frontier
+    * expansions over the directed edge set — the "how far is everything
+    * from here" primitive (landmark-distance features, reachability
+    * tiers). Exact BFS layers, fully deterministic, so the oracle
+    * unrolls each frontier as a CTE pair (the q147 discipline).
+    * `sources` is a (node) DataFrame; omit it to start from the
+    * smallest node id in the edge set (computed on the already-
+    * materialized edges — no second co-occurrence pass).
+    *
+    * Scale shape per round: one equi-join of the (typically shrinking)
+    * frontier against the edge table + one anti-join against the
+    * settled set, every shuffle keyed on node ids; rounds flatten
+    * through localCheckpoint so round r's plan never nests rounds
+    * 1..r−1. Output: (node, hops) for every node within `maxHops`.
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame = null,
+      maxHops: Int = 3): DataFrame = {
+    val e = Dedup.tracked(edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(eager = true))
+    val src0 = Option(sources).getOrElse(e.agg(min(col("src")).as("node")))
+    var dist = Dedup.tracked(src0.select(col("node")).distinct()
+      .withColumn("hops", lit(0L)).localCheckpoint(eager = true))
+    var frontier = dist.select("node")
+    for (h <- 1 to maxHops) {
+      val next = Dedup.tracked(
+        e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist.select("node"), Seq("node"), "anti")
+          .localCheckpoint(eager = true))
+      dist = Dedup.tracked(
+        dist.union(next.withColumn("hops", lit(h.toLong)))
+          .localCheckpoint(eager = true))
+      frontier = next
+    }
+    dist
+  }
+
   /** Item-item co-occurrence similarity, top-k per item — the
     * "customers who bought X also bought Y" recommender shape. Counts
     * are group-set based: n_both(a,b) = groups containing BOTH, n(a) =

@@ -184,4 +184,24 @@ class GraphsSpec extends SparkSpec {
     assert(got(2L) == got(4L) && got(1L) == got(5L), "path symmetry")
     assert(got.values.sum <= 1000000000000L, "floor rounding only loses mass")
   }
+
+  test("bfsHops: exact layers on a path graph; unreachable nodes absent") {
+    // path 1-2-3-4-5 (both directions) + disconnected pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val d = Graphs.bfsHops(edges,
+        sources = Seq(1L).toDF("node"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // default source = min node id; disconnected pair stays absent
+    val dm = Graphs.bfsHops(edges, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dm(5L) == 4L && dm(1L) == 0L && !dm.contains(10L))
+    // multi-source: every node takes its NEAREST source's layer
+    val multi = Graphs.bfsHops(edges,
+        sources = Seq(1L, 5L).toDF("node"), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
 }
