@@ -428,6 +428,18 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- analytics tier: 2D skyline (Pareto frontier) ----
+    // Parts not dominated on (cheaper price, larger size): one
+    // partitioned window + a prefix-max over the DISTINCT price groups
+    // + a broadcast join back — never a quadratic dominance check.
+    // Oracle IS the quadratic NOT EXISTS truth.
+    "q180_skyline" -> ((s, dir) => {
+      Analytics.skyline2d(
+          part(s, dir).select("p_partkey", "p_retailprice", "p_size"),
+          minCol = "p_retailprice", maxCol = "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    }),
+
     // ---- graph tier: BFS hop layers from a landmark ----
     // Exact frontier expansion (3 hops) from the smallest node of the
     // co-purchase graph; each layer one frontier⋈edges join + one
@@ -2228,6 +2240,16 @@ object SparkEntry {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    // the quadratic dominance truth the engine's window formulation
+    // must reproduce exactly (incl. duplicate-point survival)
+    "q180_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
 
     // unfiltered pairwise truth: the engine's prefix filter must lose
     // NOTHING relative to this

@@ -460,6 +460,36 @@ object Analytics {
     * per-key counts, then one global agg over |keys| rows — the raw
     * table is scanned once and never re-shuffled.
     */
+  /** 2D skyline (Pareto frontier): rows not dominated on (minimize
+    * `minCol`, maximize `maxCol`). A dominates B iff A.min ≤ B.min ∧
+    * A.max ≥ B.max with at least one strict — identical points do NOT
+    * dominate each other, so exact duplicates all survive.
+    *
+    * Three-stage shape, no quadratic pass anywhere: (1) within each
+    * `minCol` group only the max-`maxCol` rows can survive (one
+    * partitioned window); (2) the strict-dominance scan runs over the
+    * DISTINCT (min, max) group table — bounded by the distinct-x
+    * cardinality, not the row count — as a running prefix max ordered
+    * by x; (3) survivors (a skyline — tiny by construction) broadcast-
+    * join back to re-attach full rows. Skylines are closed under
+    * "frontier of per-subset frontiers", so at extreme x-cardinality
+    * stage 2 can itself be pre-pruned per partition with the same rule.
+    */
+  def skyline2d(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+    val x = col(minCol); val y = col(maxCol)
+    val best = df
+      .withColumn("_gmax", max(y).over(Window.partitionBy(x)))
+      .filter(y === col("_gmax")).drop("_gmax")
+    val groups = best.select(x.as("_x"), y.as("_y")).distinct()
+    val keep = groups
+      .withColumn("_m1", max(col("_y")).over(
+        Window.orderBy("_x").rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("_m1").isNull || col("_m1") < col("_y"))
+      .select(col("_x"), col("_y"))
+    best.join(broadcast(keep), x === col("_x") && y === col("_y"))
+      .drop("_x", "_y")
+  }
+
   def groupSizeSkew(df: DataFrame, keyCol: String): DataFrame = {
     df.groupBy(col(keyCol).as("_k")).agg(count(lit(1)).as("_n"))
       .agg(

@@ -273,4 +273,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("top_key") == 10L)
     assert(r.getAs[Long]("top_size") == 3L)
   }
+
+  test("skyline2d equals brute-force dominance, incl. ties and duplicates") {
+    val rng = new scala.util.Random(7)
+    val pts = (1 to 200).map(i =>
+      (i.toLong, (rng.nextInt(20) * 10).toDouble, rng.nextInt(30).toLong)) ++
+      Seq((900L, 50.0, 25L), (901L, 50.0, 25L)) // exact duplicate pair
+    val df = pts.toDF("id", "price", "size")
+    val got = Analytics.skyline2d(df, "price", "size")
+      .collect().map(_.getLong(0)).toSet
+    val want = pts.filter { case (_, px, sx) =>
+      !pts.exists { case (_, py, sy) =>
+        py <= px && sy >= sx && (py < px || sy > sx)
+      }
+    }.map(_._1).toSet
+    assert(got == want)
+    // duplicates never dominate each other: both survive or neither
+    assert(got.contains(900L) == got.contains(901L))
+  }
 }
