@@ -428,6 +428,19 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- analytics tier: Welch two-sample t-test (A/B readout) ----
+    // Arms by user-id parity, metric = per-user total purchase value;
+    // exact DECIMAL moments per arm, then identical-IEEE double math —
+    // the q148 chi-square discipline applied to the t-test.
+    "q181_ab_ttest" -> ((s, dir) => {
+      val perUser = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("x"))
+      Analytics.welchTTest(perUser, pmod(col("user_id"), lit(2)), col("x"))
+    }),
+
     // ---- analytics tier: 2D skyline (Pareto frontier) ----
     // Parts not dominated on (cheaper price, larger size): one
     // partitioned window + a prefix-max over the DISTINCT price groups
@@ -2240,6 +2253,43 @@ object SparkEntry {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    // same exact-DECIMAL moments, same IEEE double expressions — an
+    // independent engine must land on the identical bits
+    "q181_ab_ttest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |a AS (
+        |  SELECT user_id % 2 AS arm, COUNT(*) AS n, SUM(x) AS s1,
+        |    SUM(CAST(x AS DECIMAL(38,8)) * x) AS s2
+        |  FROM u GROUP BY 1),
+        |w AS (
+        |  SELECT
+        |    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN arm = 0 THEN s1 END) AS s1_0,
+        |    MAX(CASE WHEN arm = 0 THEN s2 END) AS s2_0,
+        |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN arm = 1 THEN s1 END) AS s1_1,
+        |    MAX(CASE WHEN arm = 1 THEN s2 END) AS s2_1
+        |  FROM a),
+        |d AS (
+        |  SELECT n0, n1,
+        |    CAST(s1_0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0,
+        |    CAST(s1_1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+        |    (CAST(s2_0 AS DOUBLE) - CAST(s1_0 AS DOUBLE) * CAST(s1_0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |      / (CAST(n0 AS DOUBLE) - 1.0) AS var0,
+        |    (CAST(s2_1 AS DOUBLE) - CAST(s1_1 AS DOUBLE) * CAST(s1_1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) - 1.0) AS var1
+        |  FROM w)
+        |SELECT n0, n1, mean0, mean1, var0, var1,
+        |  (mean1 - mean0) / sqrt(var0 / CAST(n0 AS DOUBLE) + var1 / CAST(n1 AS DOUBLE)) AS t_stat,
+        |  (var0 / CAST(n0 AS DOUBLE) + var1 / CAST(n1 AS DOUBLE))
+        |    * (var0 / CAST(n0 AS DOUBLE) + var1 / CAST(n1 AS DOUBLE))
+        |    / ((var0 / CAST(n0 AS DOUBLE)) * (var0 / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0)
+        |      + (var1 / CAST(n1 AS DOUBLE)) * (var1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) AS df_welch
+        |FROM d""".stripMargin,
 
     // the quadratic dominance truth the engine's window formulation
     // must reproduce exactly (incl. duplicate-point survival)

@@ -460,6 +460,46 @@ object Analytics {
     * per-key counts, then one global agg over |keys| rows — the raw
     * table is scanned once and never re-shuffled.
     */
+  /** Welch's two-sample t-test between arms 0 and 1 of an experiment —
+    * the A/B-testing primitive (unequal variances; Welch–Satterthwaite
+    * df). Determinism discipline: the per-arm moments (n, Σx, Σx²) are
+    * EXACT DECIMAL sums (order-independent), and every downstream
+    * double operation (mean, sample variance via the moment identity,
+    * t, df) is the same IEEE expression in any engine — so the result
+    * hash-matches an independent implementation bit-for-bit.
+    *
+    * Scale shape: one partial-agg'd groupBy(arm) → 2 rows → one
+    * conditional-agg collapse to a single row. Nothing else moves.
+    * Input: (arm ∈ {0,1}, x DECIMAL(18,4)).
+    */
+  def welchTTest(df: DataFrame, armCol: Column, valueCol: Column): DataFrame = {
+    val perArm = df
+      .select(armCol.as("_arm"), valueCol.cast("decimal(18,4)").as("_x"))
+      .groupBy("_arm")
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s1"),
+        sum(col("_x").cast("decimal(38,8)") * col("_x")).as("_s2"))
+    def arm(i: Int, c: String): Column =
+      max(when(col("_arm") === i, col(c))).as(s"$c$i")
+    val wide = perArm.agg(arm(0, "_n"), arm(0, "_s1"), arm(0, "_s2"),
+      arm(1, "_n"), arm(1, "_s1"), arm(1, "_s2"))
+    def stats(i: Int): (Column, Column, Column) = {
+      val n = col(s"_n$i").cast("double")
+      val s1 = col(s"_s1$i").cast("double")
+      val s2 = col(s"_s2$i").cast("double")
+      val mean = s1 / n
+      val variance = (s2 - s1 * s1 / n) / (n - lit(1.0))
+      (n, mean, variance)
+    }
+    val (n0, m0, v0) = stats(0); val (n1, m1, v1) = stats(1)
+    val se2 = v0 / n0 + v1 / n1
+    wide.select(
+      col("_n0").as("n0"), col("_n1").as("n1"),
+      m0.as("mean0"), m1.as("mean1"), v0.as("var0"), v1.as("var1"),
+      ((m1 - m0) / sqrt(se2)).as("t_stat"),
+      (se2 * se2 / ((v0 / n0) * (v0 / n0) / (n0 - lit(1.0)) +
+        (v1 / n1) * (v1 / n1) / (n1 - lit(1.0)))).as("df_welch"))
+  }
+
   /** 2D skyline (Pareto frontier): rows not dominated on (minimize
     * `minCol`, maximize `maxCol`). A dominates B iff A.min ≤ B.min ∧
     * A.max ≥ B.max with at least one strict — identical points do NOT

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Analytics
 
 /** Funnel min-ts chaining semantics and retention-triangle arithmetic
@@ -272,6 +274,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("p50_size") == 3.0)
     assert(r.getAs[Long]("top_key") == 10L)
     assert(r.getAs[Long]("top_size") == 3L)
+  }
+
+  test("welchTTest: identical arms give t=0; known case matches formula") {
+    val same = Seq((0, 1.0), (0, 2.0), (0, 3.0), (1, 1.0), (1, 2.0), (1, 3.0))
+      .toDF("arm", "x")
+    val r0 = Analytics.welchTTest(same, col("arm"), col("x")).collect().head
+    assert(r0.getAs[Double]("t_stat") == 0.0)
+    assert(r0.getAs[Double]("mean0") == 2.0 && r0.getAs[Double]("var0") == 1.0)
+    // arm1 shifted by +10: t = 10 / sqrt(1/3 + 1/3), df = 4 (equal n, var)
+    val shift = Seq((0, 1.0), (0, 2.0), (0, 3.0), (1, 11.0), (1, 12.0), (1, 13.0))
+      .toDF("arm", "x")
+    val r1 = Analytics.welchTTest(shift, col("arm"), col("x")).collect().head
+    assert(math.abs(r1.getAs[Double]("t_stat") - 10.0 / math.sqrt(2.0 / 3.0)) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("df_welch") - 4.0) < 1e-12)
   }
 
   test("skyline2d equals brute-force dominance, incl. ties and duplicates") {
