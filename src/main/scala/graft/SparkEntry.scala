@@ -428,6 +428,18 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- §2.4 exact weighted quantiles ----
+    // Quantity-weighted price p50/p90 per return flag: duplicates
+    // pre-collapsed, integer thresholds (den·cum ≥ num·W), both
+    // quantiles from one window pass. Complements q44's unweighted
+    // exact median.
+    "q182_weighted_quantiles" -> ((s, dir) => {
+      Analytics.weightedQuantiles(lineitem(s, dir),
+          "l_returnflag", "l_extendedprice", "l_quantity",
+          Seq((1, 2, "p50_weighted"), (9, 10, "p90_weighted")))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- analytics tier: Welch two-sample t-test (A/B readout) ----
     // Arms by user-id parity, metric = per-user total purchase value;
     // exact DECIMAL moments per arm, then identical-IEEE double math —
@@ -2253,6 +2265,22 @@ object SparkEntry {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    "q182_weighted_quantiles" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    SUM(CAST(l_quantity AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, v, w,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tw,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM g)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN cum * 2 >= tw THEN v END) AS p50_weighted,
+        |  MIN(CASE WHEN cum * 10 >= tw * 9 THEN v END) AS p90_weighted
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same exact-DECIMAL moments, same IEEE double expressions — an
     // independent engine must land on the identical bits

@@ -460,6 +460,34 @@ object Analytics {
     * per-key counts, then one global agg over |keys| rows — the raw
     * table is scanned once and never re-shuffled.
     */
+  /** Exact weighted quantiles per group: for each (num, den, alias) the
+    * smallest value whose cumulative weight w(≤ v) satisfies
+    * den·cum ≥ num·W — the lower weighted quantile, thresholded in
+    * INTEGER arithmetic (no p·W float edge). All requested quantiles
+    * come out of ONE window pass.
+    *
+    * Scale shape: duplicates collapse in a partial-agg'd
+    * groupBy(group, value) BEFORE any window, so the sort-window runs
+    * over distinct values per group, not raw rows; both window frames
+    * share one partition-by-group sort. Weights must be integral.
+    */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, ps: Seq[(Int, Int, String)]): DataFrame = {
+    val g = df.groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol).cast("long")).as("_w"))
+    val wp = Window.partitionBy(groupCol)
+    val wc = wp.orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // "_tw", not "_W": analysis is case-insensitive by default, so a
+    // "_W" withColumn would silently REPLACE "_w"
+    val cum = g.withColumn("_tw", sum("_w").over(wp))
+      .withColumn("_cum", sum("_w").over(wc))
+    val aggs = ps.map { case (num, den, name) =>
+      min(when(col("_cum") * den >= col("_tw") * num, col(valueCol))).as(name)
+    }
+    cum.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Welch's two-sample t-test between arms 0 and 1 of an experiment —
     * the A/B-testing primitive (unequal variances; Welch–Satterthwaite
     * df). Determinism discipline: the per-arm moments (n, Σx, Σx²) are

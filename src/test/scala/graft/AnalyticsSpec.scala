@@ -276,6 +276,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("top_size") == 3L)
   }
 
+  test("weightedQuantiles: hand-computed medians, duplicate collapse") {
+    // group a: values 1(w3), 2(w1), 3(w1) → W=5, cum(1)=3 ≥ 2.5 → p50=1
+    // group b: 10(w1), 20(w1) → W=2, cum(10)=1, 2·1 ≥ 2 → p50=10 (lower)
+    val df = Seq(("a", 1.0, 2L), ("a", 1.0, 1L), ("a", 2.0, 1L),
+      ("a", 3.0, 1L), ("b", 10.0, 1L), ("b", 20.0, 1L))
+      .toDF("g", "v", "w")
+    val r = Analytics.weightedQuantiles(df, "g", "v", "w",
+        Seq((1, 2, "p50"), (1, 1, "p100")))
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r("a") == ((1.0, 3.0)))
+    assert(r("b") == ((10.0, 20.0)))
+  }
+
   test("welchTTest: identical arms give t=0; known case matches formula") {
     val same = Seq((0, 1.0), (0, 2.0), (0, 3.0), (1, 1.0), (1, 2.0), (1, 3.0))
       .toDF("arm", "x")
