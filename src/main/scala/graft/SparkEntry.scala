@@ -428,6 +428,25 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- §2.6 native bounded top-k aggregate ----
+    // Top-5 (price, orderkey) per return flag through the
+    // TypedImperativeAggregate (≤ 2k pairs of state per group,
+    // map-side partials — the window formulation sorts every row).
+    // Oracle = the row_number window truth: one relational answer,
+    // two engine paths (the q150 discipline).
+    "q183_topk_native" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(graft.plans.GraftExtensions.topKNative(
+          col("l_extendedprice"), col("l_orderkey"), 5).as("_tk"))
+        .select(col("l_returnflag"), posexplode(col("_tk")))
+        .select(col("l_returnflag"),
+          (col("pos") + 1).cast("long").as("rn"),
+          col("col.ord").as("l_extendedprice"),
+          col("col.id").as("l_orderkey"))
+        .orderBy("l_returnflag", "rn")
+    }),
+
     // ---- §2.4 exact weighted quantiles ----
     // Quantity-weighted price p50/p90 per return flag: duplicates
     // pre-collapsed, integer thresholds (den·cum ≥ num·W), both
@@ -2265,6 +2284,17 @@ object SparkEntry {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    // the window formulation IS the oracle for the native aggregate
+    "q183_topk_native" ->
+      """SELECT l_returnflag, CAST(rn AS BIGINT) AS rn,
+        |  l_extendedprice, l_orderkey
+        |FROM (
+        |  SELECT l_returnflag, l_extendedprice, l_orderkey,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin,
 
     "q182_weighted_quantiles" ->
       """WITH g AS (

@@ -44,6 +44,18 @@ object GraftExtensions {
         require(children.length == 1, "graft_hll(v) takes one long arg")
         HllSketchAgg(children.head)
       }),
+    (new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_topk(ord, id, k) takes (double, long, literal int)")
+        val k = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk k must be a literal int, got $other")
+        }
+        TopKAgg(children.head, children(1), k)
+      }),
     (new FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
       (children: Seq[Expression]) => {
@@ -107,6 +119,18 @@ object GraftExtensions {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(
       HllSketchAgg(ColumnShim.expression(v)).toAggregateExpression())
+  }
+
+  /** Registration-free bounded top-k aggregate (see [[cosineNative]]):
+    * the k largest (ord, id) pairs per group by (ord DESC, id ASC)
+    * through standard partial/final aggregation — ≤ 2k pairs of state
+    * per group where the window formulation sorts every row.
+    */
+  def topKNative(ord: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(
+      TopKAgg(ColumnShim.expression(ord), ColumnShim.expression(id), k)
+        .toAggregateExpression())
   }
 
   /** Registration-free Unicode normalization (see [[cosineNative]]):

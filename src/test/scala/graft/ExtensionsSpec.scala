@@ -39,6 +39,42 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("graft_topk: equals the window top-k, partial-aggregates, SQL-registered") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // heavy ties (ord from a small set) exercise the id tiebreak
+    val df = (1 to 5000).map(i =>
+      (i % 7, (rng.nextInt(40) * 0.5), i.toLong)).toDF("g", "ord", "id")
+    val native = df.groupBy("g")
+      .agg(GraftExtensions.topKNative(col("ord"), col("id"), 10).as("_tk"))
+      .select(col("g"), posexplode(col("_tk")))
+      .select(col("g"), col("pos"), col("col.ord"), col("col.id"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    val w = Window.partitionBy("g").orderBy(col("ord").desc, col("id"))
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("g"), (col("rn") - 1).as("pos"), col("ord"), col("id"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(native == windowed)
+    // the plan partial-aggregates (ObjectHashAggregate), never sorts input
+    val plan = df.groupBy("g")
+      .agg(GraftExtensions.topKNative(col("ord"), col("id"), 10).as("_tk"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(400))
+    assert(plan.contains("partial_graft_topk"), plan.take(400))
+    // SQL registration path
+    val s = extSession
+    s.range(0, 100).selectExpr("id % 3 AS g", "CAST(id AS DOUBLE) AS o", "id AS i")
+      .createOrReplaceTempView("tk")
+    val top = s.sql(
+      "SELECT g, graft_topk(o, i, 2) AS t FROM tk GROUP BY g ORDER BY g")
+      .collect()
+    assert(top.length == 3)
+    assert(top.head.getSeq[org.apache.spark.sql.Row](1).head.getDouble(0) == 99.0)
+  }
+
   test("graft_cosine registered via extensions, callable from SQL") {
     val s = extSession
     import s.implicits._
