@@ -428,6 +428,17 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- dedup tier: blocked fuzzy record linkage ----
+    // Customer names within 1 Levenshtein edit, blocked by nation:
+    // the entity-resolution candidate generator — quadratic only
+    // inside a block, early-exit threshold distance doing the filter.
+    "q184_record_linkage" -> ((s, dir) => {
+      Dedup.blockedLinkPairs(customer(s, dir),
+          idCol = "c_custkey", keyCol = "c_name",
+          blockCol = "c_nationkey", maxDist = 1)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- §2.6 native bounded top-k aggregate ----
     // Top-5 (price, orderkey) per return flag through the
     // TypedImperativeAggregate (≤ 2k pairs of state per group,
@@ -2284,6 +2295,15 @@ object SparkEntry {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    "q184_record_linkage" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a
+        |JOIN customer b ON a.c_nationkey = b.c_nationkey
+        |  AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the window formulation IS the oracle for the native aggregate
     "q183_topk_native" ->

@@ -547,6 +547,32 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Blocked fuzzy record linkage: all pairs within a block whose key
+    * strings are within `maxDist` Levenshtein edits — the entity-
+    * resolution candidate generator (names, addresses, titles).
+    * Blocking is the scale contract: the quadratic comparison runs only
+    * INSIDE each block (equi-join on the block key, co-partitioned),
+    * and blocks larger than `maxBlock` rows are dropped whole (the
+    * coOccurrenceEdges skew guard — a million-row block is a blocking-
+    * key bug, not a linkage signal). The edit distance itself is
+    * Spark's codegen'd `levenshtein` with the early-exit threshold
+    * form doing the filter, so non-matches cost O(maxDist·len), not
+    * O(len²). Output: (id_a, id_b, dist), id_a < id_b, dist ≤ maxDist.
+    */
+  def blockedLinkPairs(df: DataFrame, idCol: String, keyCol: String,
+      blockCol: String, maxDist: Int, maxBlock: Int = 10000): DataFrame = {
+    val slim = df.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
+      col(keyCol).as("_key"))
+    val ok = capBuckets(slim, maxBlock, "_blk")
+    val a = ok.select(col("_blk"), col("_id").as("id_a"), col("_key").as("_ka"))
+    val b = ok.select(col("_blk"), col("_id").as("id_b"), col("_key").as("_kb"))
+    a.join(b, Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(levenshtein(col("_ka"), col("_kb"), maxDist) =!= -1)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("_ka"), col("_kb")).cast("long").as("dist"))
+  }
+
   /** Corpus-level n-gram Jaccard between two sources — "how similar are
     * these two crawls/snapshots" as ONE number: |shingles(A) ∩
     * shingles(B)| / |shingles(A) ∪ shingles(B)| over the distinct

@@ -86,6 +86,25 @@ class OperatorsSpec extends SparkSpec {
     assert(wordPairs >= 10) // template families share whole vocabularies
   }
 
+  test("blockedLinkPairs: within-block edit-distance pairs; cap drops hot blocks") {
+    val recs = Seq(
+      (1L, "smith john", "A"), (2L, "smith jon", "A"),   // dist 1, same block
+      (3L, "smith john", "B"),                            // identical, other block
+      (4L, "smyth joan", "A"),                            // dist 3 from 1
+      (5L, "doe jane", "C"), (6L, "doe jane", "C"))       // dist 0 pair
+      .toDF("id", "name", "blk")
+    val got = Dedup.blockedLinkPairs(recs, "id", "name", "blk", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (5L, 6L, 0L)))
+    // a block over the cap contributes nothing; others are untouched
+    val flood = (100 to 160).map(i => (i.toLong, s"name$i", "A"))
+    val capped = Dedup.blockedLinkPairs(
+        recs.union(flood.toDF("id", "name", "blk")),
+        "id", "name", "blk", maxDist = 1, maxBlock = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((5L, 6L)))
+  }
+
   test("clusterPairs: chains merge into one component, min id wins") {
     // components: {1,2,3,4} (chain), {10,11}, singletons absent
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
