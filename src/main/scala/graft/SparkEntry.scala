@@ -428,6 +428,24 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- §2.9 streaming first-N admission per key ----
+    // The first 3 events per user in event-time order, held as n
+    // bounded state pairs per key through the streaming state store —
+    // the q183 top-k semantics' third engine path (window SQL, native
+    // aggregate, streaming state), one oracle.
+    "q185_stream_first_n" -> ((s, dir) => {
+      val out = EventStreams.runOnceOnParquet(s, s"$dir/events.parquet",
+        df => EventStreams.firstNStream(s, df, 3),
+        s"firstn_sink_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      out.groupBy("user_id")
+        .agg(max(struct(col("emit"), col("pairs"))).as("_m"))
+        .select(col("user_id"), posexplode(col("_m.pairs")))
+        .select(col("user_id"), (col("pos") + 1).cast("long").as("rn"),
+          col("col._1").as("ts_us"), col("col._2").as("event_id"))
+        .orderBy("user_id", "rn")
+    }),
+
     // ---- dedup tier: blocked fuzzy record linkage ----
     // Customer names within 1 Levenshtein edit, blocked by nation:
     // the entity-resolution candidate generator — quadratic only
@@ -2295,6 +2313,17 @@ object SparkEntry {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    // q183's discipline with ASC order: the window truth gates the
+    // streaming-state path
+    "q185_stream_first_n" ->
+      """SELECT user_id, CAST(rn AS BIGINT) AS rn, ts_us, event_id
+        |FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
 
     "q184_record_linkage" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -175,6 +175,40 @@ object EventStreams {
       .toDF("user_id", "emit", "times", "step_reached")
   }
 
+  /** Per-key first-N state: the n smallest (ts, id) pairs seen so far. */
+  final case class FirstNState(pairs: Seq[(Long, Long)], emits: Long)
+
+  /** Streaming per-key admission: the first `n` events per key in
+    * EVENT-TIME order (ties → event id), kept exact under arbitrary
+    * arrival order by holding the n smallest (ts_us, event_id) pairs as
+    * state — the streaming-state form of the q183 bounded top-k
+    * aggregate (min-k here), and the third engine path gated by the
+    * same row_number-window oracle.
+    *
+    * State is HARD-bounded at n pairs per key (unlike a row_number
+    * window, which buffers every row of a key before ranking). Emits
+    * the full current winner list each trigger with an emit counter;
+    * a multi-batch consumer keeps the max-emit row per key
+    * (the [[funnelStream]] convention).
+    */
+  def firstNStream(spark: SparkSession, events: DataFrame, n: Int): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[FirstNState]) =>
+          val prev = state.getOption.getOrElse(FirstNState(Nil, 0L))
+          val merged = (prev.pairs ++ rows.map(r => (r._2, r._3)))
+            .sorted.take(n)
+          val next = FirstNState(merged, prev.emits + 1)
+          state.update(next)
+          Iterator((user, next.emits, merged))
+      }
+      .toDF("user_id", "emit", "pairs")
+  }
+
   /** Batch-mode run of a streaming query over a bounded source, used by
     * tests: read the parquet as a stream with one trigger, write to
     * memory sink, return the result.

@@ -276,6 +276,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("top_size") == 3L)
   }
 
+  test("firstNStream: out-of-order arrival converges to the n earliest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val streamed = graft.streaming.EventStreams.firstNStream(spark,
+      input.toDF().toDF("user_id", "ts", "event_id"), n = 2)
+    val q = streamed.writeStream.format("memory").queryName("firstn_conv")
+      .outputMode("append").start()
+    try {
+      // batch 1: late events first — both admitted provisionally
+      input.addData((1L, ts("2024-01-01 12:00:00"), 103L),
+        (1L, ts("2024-01-01 13:00:00"), 104L))
+      q.processAllAvailable()
+      // batch 2: two EARLIER events arrive — they must evict both
+      input.addData((1L, ts("2024-01-01 10:00:00"), 101L),
+        (1L, ts("2024-01-01 11:00:00"), 102L))
+      q.processAllAvailable()
+      val rows = spark.table("firstn_conv").orderBy("emit")
+        .as[(Long, Long, Seq[(Long, Long)])].collect().toSeq
+      assert(rows.map(_._2) == Seq(1L, 2L))
+      assert(rows.head._3.map(_._2) == Seq(103L, 104L))
+      assert(rows.last._3 == Seq(
+        (us("2024-01-01 10:00:00"), 101L), (us("2024-01-01 11:00:00"), 102L)))
+    } finally q.stop()
+  }
+
   test("weightedQuantiles: hand-computed medians, duplicate collapse") {
     // group a: values 1(w3), 2(w1), 3(w1) → W=5, cum(1)=3 ≥ 2.5 → p50=1
     // group b: 10(w1), 20(w1) → W=2, cum(10)=1, 2·1 ≥ 2 → p50=10 (lower)
