@@ -58,7 +58,10 @@ object Bench {
     "q157_also_bought",    // item-item cosine recommender (NEW r9)
     "q160_session_paths",  // sessionized path mining (NEW r9)
     "q161_join_size_est",  // CMS join-size pre-flight (NEW r9)
-    "q162_triangles")      // degree-ordered triangle count (NEW r9)
+    "q162_triangles",      // degree-ordered triangle count (NEW r9)
+    "q178_setsim_join",    // exact prefix-filtered set-similarity join (NEW r9)
+    "q180_skyline",        // 2D Pareto frontier, window prune (NEW r9)
+    "q183_topk_native")    // native bounded top-k aggregate (NEW r9)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine
