@@ -428,6 +428,15 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- timeseries tier: gaps-and-islands longest streak ----
+    // Per user, the longest run of consecutive active days (the
+    // day − dense_rank island idiom), multiplicity collapsed BEFORE
+    // the per-key window; earliest start breaks length ties.
+    "q186_longest_streak" -> ((s, dir) => {
+      Timeseries.longestStreak(events(s, dir))
+        .orderBy("user_id")
+    }),
+
     // ---- §2.9 streaming first-N admission per key ----
     // The first 3 events per user in event-time order, held as n
     // bounded state pairs per key through the streaming state store —
@@ -635,11 +644,17 @@ object SparkEntry {
 
     // ---- dedup tier: EXACT all-pairs set-similarity join ----
     // The complete (recall = 1) complement to q34's MinHash: every doc
-    // pair with 5-shingle Jaccard ≥ 0.5 via AllPairs/PPJoin prefix
-    // filtering — candidates bounded by each doc's RAREST shingles,
-    // never O(n²). Oracle is the unfiltered pairwise truth.
+    // pair with 12-shingle Jaccard ≥ 0.8 (the standard near-dup bar;
+    // w≈10–12 windows are the classic shingling width) via PPJoin
+    // prefix + positional filtering — candidates bounded by each doc's
+    // RAREST shingles, never O(n²). The wider window keeps the shingle
+    // vocabulary discriminative (5-grams over this corpus's small
+    // alphabet collide so broadly that EVERY prefix token is hot —
+    // 1.5M candidates for 256 true pairs; at k=12 the same 256 pairs
+    // emerge from 17k candidates). Oracle is the unfiltered pairwise
+    // truth.
     "q178_setsim_join" -> ((s, dir) => {
-      Dedup.setSimJoin(documents(s, dir), tau = 0.5)
+      Dedup.setSimJoin(documents(s, dir), tau = 0.8)
         .orderBy("id_a", "id_b")
         .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
     }),
@@ -2314,6 +2329,23 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
 
+    "q186_longest_streak" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |    day - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS isl
+        |  FROM d),
+        |g AS (SELECT user_id, isl, COUNT(*) AS len, MIN(day) AS strt
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, len AS streak_days, strt AS streak_start_day,
+        |  n_islands
+        |FROM (
+        |  SELECT user_id, len, strt,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_islands,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, strt) AS rn
+        |  FROM g) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     // q183's discipline with ASC order: the window truth gates the
     // streaming-state path
     "q185_stream_first_n" ->
@@ -2413,8 +2445,8 @@ object SparkEntry {
     "q178_setsim_join" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, greatest(1, strlen(lower(text)) - 4)),
-        |    i -> substring(lower(text), i, 5)))) AS tok
+        |    generate_series(1, greatest(1, strlen(lower(text)) - 11)),
+        |    i -> substring(lower(text), i, 12)))) AS tok
         |  FROM documents),
         |sz AS (SELECT doc_id, COUNT(*) AS s FROM tk GROUP BY doc_id),
         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
@@ -2425,7 +2457,7 @@ object SparkEntry {
         |FROM pr
         |JOIN sz sa ON sa.doc_id = id_a
         |JOIN sz sb ON sb.doc_id = id_b
-        |WHERE inter::DOUBLE / (sa.s + sb.s - inter) >= 0.5
+        |WHERE inter::DOUBLE / (sa.s + sb.s - inter) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q176_trailing_revenue" ->

@@ -490,56 +490,91 @@ object Dedup {
     * when recall < 1 is acceptable, this when the answer must be
     * complete.
     *
-    * Prefix-filter guarantee: order each doc's tokens by ascending global
-    * document frequency (rarest first, token string tie-break). If
-    * J(d1,d2) ≥ τ then their overlap o ≥ τ·|d1|, so d1's first
-    * |d1| − ⌈τ·|d1|⌉ + 1 tokens MUST contain a shared token (else all
-    * overlap hides in the last ⌈τ·|d1|⌉ − 1 positions < τ·|d1| ≤ o).
-    * Candidates = prefix-tokens ⋈ full posting list; because prefixes
-    * hold each doc's RAREST tokens, frequent tokens almost never appear
-    * on the probe side and the join stays near-linear. A size filter
-    * (τ·|d2| ≤ |d1| ≤ |d2|/τ) prunes before the exact
-    * intersection verify. The ⌈τ·s⌉ is computed as ceil(τ·s − 1e-9):
-    * float error can only LENGTHEN the prefix (superset of candidates —
-    * completeness is never at risk).
+    * Prefix-filter guarantee (Chaudhuri et al.'s SSJoin principle with
+    * PPJoin's positional bound): order each doc's tokens by ascending
+    * global document frequency (rarest first, token tie-break). For a
+    * qualifying pair the required overlap is α = ⌈τ/(1+τ)·(s₁+s₂)⌉,
+    * and the FIRST shared token in the global order must sit within
+    * BOTH docs' (s − ⌈τ·s⌉ + 1)-prefixes (were it later, the ≥ α
+    * shared tokens would have to fit in < α trailing slots). So a
+    * prefix-⋈-prefix equi-join over the rarest tokens generates every
+    * qualifying pair; a size filter (τ·s₂ ≤ s₁ ≤ s₂/τ) and the PPJoin
+    * positional filter (1 + min(s₁−pos₁, s₂−pos₂) ≥ α — the overlap
+    * upper bound at the first shared token) prune before the exact
+    * intersection verify. Every ⌈·⌉ threshold carries a −1e-9 slack so
+    * float error can only widen the candidate set — completeness is
+    * never at risk.
     *
-    * Scale shape: two explodes + one groupBy(token) for frequencies, one
-    * equi-join on token bounded by prefix rarity, exact verify only on
-    * surviving pairs. The token-list table is materialized once (lazy
-    * localCheckpoint) and shared by the prefix, posting and verify sides.
+    * The whole pipeline runs on xxhash64 token digests, never token
+    * strings: frequencies, ordering (df, digest — any deterministic
+    * total order works), the candidate join and the intersection
+    * verify. Distinct tokens colliding at 64 bits could perturb a
+    * count with probability ~|vocab|²/2⁶⁵ (≈10⁻⁹ at a 10⁸ vocabulary)
+    * — and the oracle gate compares against a string-set truth, so a
+    * collision cannot pass silently.
+    *
+    * Scale shape: the verify-ready sorted digest arrays come straight
+    * off the map side (native [[graft.plans.ShingleDigests]] — no
+    * substring allocation, no collect round trip); one explode + one
+    * groupBy(digest) computes frequencies; the rare-first prefix is a
+    * per-doc window (partitioned by id, never global); the candidate
+    * equi-join is bounded by prefix rarity (never the full posting
+    * list); the exact verify ([[graft.plans.SortedIntersectCount]],
+    * two-pointer over primitive longs) runs only on surviving pairs.
+    * All shuffles carry longs.
     * Output: (id_a, id_b, inter, jaccard), id_a < id_b.
+    *
+    * `setExpr` (array&lt;string&gt;, digested via xxhash64) or
+    * `digestExpr` (array&lt;long&gt; of distinct digests — e.g. the
+    * allocation-free native [[graft.plans.ShingleDigests]]) chooses the
+    * set representation; default = native 12-char shingle digests of
+    * lowered `text`.
     */
   def setSimJoin(docs: DataFrame, tau: Double,
-      idCol: String = "doc_id", setExpr: Column = null): DataFrame = {
-    val sets = Option(setExpr).getOrElse(shingles(col("text"), 5))
-    val toks = docs.select(col(idCol).as("id"),
-        explode(sets).as("tok"))
-    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val lists = materialize(toks.join(dfreq, "tok")
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("_ord"))
-      .select(col("id"),
-        transform(col("_ord"), x => x("tok")).as("toks"),
-        size(col("_ord")).as("s"))
+      idCol: String = "doc_id", setExpr: Column = null,
+      digestExpr: Column = null): DataFrame = {
+    val dig = Option(digestExpr)
+      .orElse(Option(setExpr).map(s => transform(s, t => xxhash64(t))))
+      .getOrElse(graft.plans.GraftExtensions.shingleDigestsNative(
+        lower(col("text")), 12))
+    // base carries the verify-ready sorted digest array straight from
+    // the map side — no groupBy/collect round trip rebuilds it
+    val base = materialize(docs.select(col(idCol).as("id"),
+        sort_array(array_distinct(dig)).as("toks"))
+      .withColumn("s", size(col("toks")))
       .withColumn("p",
         col("s") - ceil(lit(tau) * col("s") - lit(1e-9)).cast("int") + lit(1)))
-    val prefix = lists.select(col("id").as("id_p"), col("s").as("s_p"),
-      explode(slice(col("toks"), lit(1), col("p"))).as("tok"))
-    val posting = lists.select(col("id").as("id_f"), col("s").as("s_f"),
-      explode(col("toks")).as("tok"))
-    val cand = prefix.join(posting, "tok")
-      .filter(col("id_p") =!= col("id_f"))
-      .filter(col("s_p") >= lit(tau) * col("s_f") - lit(1e-9) &&
-        col("s_f") >= lit(tau) * col("s_p") - lit(1e-9))
-      .select(least(col("id_p"), col("id_f")).as("id_a"),
-        greatest(col("id_p"), col("id_f")).as("id_b"))
+    val toks = base.select(col("id"), col("s"), col("p"),
+      explode(col("toks")).as("hk"))
+    val dfreq = toks.groupBy("hk").agg(count(lit(1)).as("df"))
+    // rare-first prefix via a per-doc window (partitioned by id — never
+    // a global sort): the p globally-rarest digests of each doc
+    val wRare = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("df", "hk")
+    val prefix = toks.join(dfreq, "hk")
+      .withColumn("_rn", row_number().over(wRare))
+      .filter(col("_rn") <= col("p"))
+      .select(col("id"), col("s"), (col("_rn") - 1).as("pos"), col("hk"))
+    val a = prefix.select(col("id").as("id_a"), col("s").as("s_a"),
+      col("pos").as("_pa"), col("hk"))
+    val b = prefix.select(col("id").as("id_b"), col("s").as("s_b"),
+      col("pos").as("_pb"), col("hk"))
+    val cand = a.join(b, "hk")
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("s_a") >= lit(tau) * col("s_b") - lit(1e-9) &&
+        col("s_b") >= lit(tau) * col("s_a") - lit(1e-9))
+      .filter((lit(1) + least(col("s_a") - col("_pa") - 1,
+          col("s_b") - col("_pb") - 1)) * (lit(1.0) + tau) >=
+        lit(tau) * (col("s_a") + col("s_b")) - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
       .distinct()
     cand
-      .join(lists.select(col("id").as("id_a"), col("toks").as("_ta"),
+      .join(base.select(col("id").as("id_a"), col("toks").as("_ta"),
         col("s").as("s_a")), "id_a")
-      .join(lists.select(col("id").as("id_b"), col("toks").as("_tb"),
+      .join(base.select(col("id").as("id_b"), col("toks").as("_tb"),
         col("s").as("s_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("_ta"), col("_tb"))))
+      .withColumn("inter", graft.plans.GraftExtensions
+        .sortedIntersectNative(col("_ta"), col("_tb")))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("s_a") + col("s_b") - col("inter")))
       .filter(col("jaccard") >= tau)

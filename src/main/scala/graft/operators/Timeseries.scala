@@ -60,6 +60,35 @@ object Timeseries {
     * observation have no interval → twa NULL. Scale shape: one window
     * (lead) and one aggregation, both partitioned by the key.
     */
+  /** Gaps-and-islands: per key, the maximal runs of CONSECUTIVE active
+    * days (island = days where day − dense_rank(day) is constant — the
+    * classic idiom), reduced to each key's longest streak:
+    * (key, streak_days, streak_start_day, n_islands). Ties between
+    * equal-length streaks resolve to the earliest start.
+    *
+    * Scale shape: distinct (key, day) collapses multiplicity first
+    * (partial-agg'd), the dense_rank window is partitioned per key and
+    * ordered by day (no global sort), and the island reduction is one
+    * more groupBy on (key, island) then (key). Every shuffle hashes the
+    * key.
+    */
+  def longestStreak(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val days = events
+      .select(col(keyCol), expr(s"unix_micros($tsCol) DIV 86400000000").as("_day"))
+      .distinct()
+    val w = Window.partitionBy(keyCol).orderBy("_day")
+    val islands = days
+      .withColumn("_isl", col("_day") - dense_rank().over(w))
+      .groupBy(col(keyCol), col("_isl"))
+      .agg(count(lit(1)).as("_len"), min("_day").as("_start"))
+    islands.groupBy(keyCol)
+      .agg(max(struct(col("_len"), (-col("_start")).as("_ns"))).as("_m"),
+        count(lit(1)).as("n_islands"))
+      .select(col(keyCol), col("_m._len").as("streak_days"),
+        (-col("_m._ns")).as("streak_start_day"), col("n_islands"))
+  }
+
   def timeWeightedAvg(events: DataFrame, keyCol: String = "user_id",
       tsCol: String = "ts", valCol: String = "value",
       ordCol: String = "event_id"): DataFrame = {

@@ -133,6 +133,25 @@ object GraftExtensions {
         .toAggregateExpression())
   }
 
+  /** Registration-free k-char shingle digests (see [[cosineNative]]):
+    * sorted distinct FNV-1a window digests with zero substring
+    * allocation — the set-similarity build kernel. Pass lowered text.
+    */
+  def shingleDigestsNative(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(ShingleDigests(ColumnShim.expression(text), k))
+  }
+
+  /** Registration-free sorted-long-array intersection count (see
+    * [[cosineNative]]): two-pointer merge, codegen'd — the
+    * set-similarity verify kernel.
+    */
+  def sortedIntersectNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(SortedIntersectCount(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
+
   /** Registration-free Unicode normalization (see [[cosineNative]]):
     * `form` ∈ NFC/NFD/NFKC/NFKD, resolved at plan time.
     */

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import graft.functions.Hashing
+import graft.operators.Dedup
 import graft.plans.GraftExtensions
 
 /** Native Catalyst expression + SparkSessionExtensions registration:
@@ -73,6 +74,41 @@ class ExtensionsSpec extends SparkSpec {
       .collect()
     assert(top.length == 3)
     assert(top.head.getSeq[org.apache.spark.sql.Row](1).head.getDouble(0) == 99.0)
+  }
+
+  test("sortedIntersect + shingleDigests: equal the built-in formulations") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val pairs = (1 to 200).map { i =>
+      val a = Seq.fill(rng.nextInt(50))(rng.nextInt(100).toLong).distinct.sorted
+      val b = Seq.fill(rng.nextInt(50))(rng.nextInt(100).toLong).distinct.sorted
+      (i, a, b)
+    }
+    val df = pairs.toDF("i", "a", "b")
+    val got = df.select(col("i"),
+        GraftExtensions.sortedIntersectNative(col("a"), col("b")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    pairs.foreach { case (i, a, b) =>
+      assert(got(i) == (a.toSet & b.toSet).size, s"pair $i")
+    }
+    // digests: size and pairwise-intersection parity with string shingles
+    val docs = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"),
+      (3L, "abcdefghijklmXYZ"), (4L, "zz"), (5L, "")).toDF("id", "text")
+    val d = docs.select(col("id"),
+        GraftExtensions.shingleDigestsNative(lower(col("text")), 5).as("dg"),
+        Dedup.shingles(col("text"), 5).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[String](2)))
+    d.foreach { case (id, dg, sh) =>
+      assert(dg.length == sh.distinct.length, s"doc $id size")
+      assert(dg == dg.sorted && dg == dg.distinct, s"doc $id sorted distinct")
+    }
+    val m = d.map(x => x._1 -> x).toMap
+    for (x <- d; y <- d if x._1 < y._1) {
+      assert((x._2.toSet & y._2.toSet).size == (x._3.toSet & y._3.toSet).size,
+        s"pair ${x._1},${y._1} digest-vs-string intersection")
+    }
+    assert(m(4L)._2.length == 1 && m(5L)._2.length == 1) // short/empty text
   }
 
   test("graft_cosine registered via extensions, callable from SQL") {

@@ -73,11 +73,31 @@ class OperatorsSpec extends SparkSpec {
         if inter.toDouble / (sa.size + sb.size - inter) >= tau
       } yield (ia, ib, inter)).toSet
     }
+    // string-set path (xxhash64 of explicit shingles) at k=5
     for (tau <- Seq(0.3, 0.5, 0.8)) {
-      val got = Dedup.setSimJoin(corpus, tau).collect()
+      val got = Dedup.setSimJoin(corpus, tau,
+          setExpr = Dedup.shingles(col("text"), 5)).collect()
         .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
           r.getAs[Long]("inter").toInt)).toSet
       assert(got == brute(tau), s"tau=$tau")
+    }
+    // native digest path (default, k=12): FNV digest intersection counts
+    // must equal the string-set truth at the same width
+    def brute12(tau: Double): Set[(Long, Long, Int)] = {
+      val rows = corpus.select(col("doc_id"),
+        Dedup.shingles(col("text"), 12).as("sh")).collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+      (for {
+        (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+        inter = (sa & sb).size
+        if inter.toDouble / (sa.size + sb.size - inter) >= tau
+      } yield (ia, ib, inter)).toSet
+    }
+    for (tau <- Seq(0.5, 0.8)) {
+      val got = Dedup.setSimJoin(corpus, tau).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("inter").toInt)).toSet
+      assert(got == brute12(tau), s"native k=12 tau=$tau")
     }
     // word-token sets via setExpr: exact dups of the unrelated tier differ
     val wordPairs = Dedup.setSimJoin(corpus, 0.9,

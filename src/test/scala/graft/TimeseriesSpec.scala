@@ -83,4 +83,20 @@ class TimeseriesSpec extends SparkSpec {
     // drawup crosses 8 at the 7th observation (cum −25 min, +10 by obs 7)
     assert(alerts.map(_._2).min == 7L)
   }
+
+  test("longestStreak: islands split on gaps; earliest start wins ties") {
+    def t(day: Int): Timestamp = new Timestamp(day * 86400000L)
+    // user 1: days 1,2,3 then 5,6 → longest 3 starting day 1, 2 islands
+    // user 2: days 1,2 and 10,11 → tie of 2: earliest start (1) wins
+    // user 3: one day, duplicated events → streak 1, 1 island
+    val ev = Seq((1L, 1), (1L, 2), (1L, 3), (1L, 5), (1L, 6),
+      (2L, 1), (2L, 2), (2L, 10), (2L, 11),
+      (3L, 7), (3L, 7))
+      .map { case (u, d) => (u, t(d)) }.toDF("user_id", "ts")
+    val r = Timeseries.longestStreak(ev).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((3L, 1L, 2L)))
+    assert(r(2L) == ((2L, 1L, 2L)))
+    assert(r(3L) == ((1L, 7L, 1L)))
+  }
 }
