@@ -428,6 +428,25 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- validation tier: functional-dependency audit ----
+    // Which part keys fail l_partkey → l_suppkey (all of them — parts
+    // have multiple suppliers): the "is this a key" profiling check,
+    // one grouped count-distinct, witnesses included.
+    "q187_fd_violations" -> ((s, dir) => {
+      Validation.fdViolations(lineitem(s, dir), "l_partkey", "l_suppkey")
+        .orderBy("l_partkey")
+    }),
+
+    // ---- analytics tier: sequence pattern with negation ----
+    // Purchases whose latest preceding view is not separated from them
+    // by any click — A…B-with-no-C-between via two running-max window
+    // columns over one per-user sort (no self-join, no state machine).
+    "q188_pattern_negation" -> ((s, dir) => {
+      Analytics.patternWithNegation(events(s, dir),
+          trigger = "view", blocker = "click", conv = "purchase")
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- timeseries tier: gaps-and-islands longest streak ----
     // Per user, the longest run of consecutive active days (the
     // day − dense_rank island idiom), multiplicity collapsed BEFORE
@@ -2328,6 +2347,31 @@ object SparkEntry {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    "q187_fd_violations" ->
+      """SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_dep,
+        |  COUNT(*) AS n_rows,
+        |  MIN(l_suppkey) AS dep_min, MAX(l_suppkey) AS dep_max
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING COUNT(DISTINCT l_suppkey) > 1
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q188_pattern_negation" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |r AS (SELECT user_id, event_id, event_type, us,
+        |    MAX(CASE WHEN event_type = 'view' THEN us END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+        |    MAX(CASE WHEN event_type = 'click' THEN us END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lb
+        |  FROM e)
+        |SELECT user_id, event_id, us AS conv_us, lt AS trigger_us
+        |FROM r
+        |WHERE event_type = 'purchase' AND lt IS NOT NULL
+        |  AND (lb IS NULL OR lb < lt)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q186_longest_streak" ->
       """WITH d AS (SELECT DISTINCT user_id,

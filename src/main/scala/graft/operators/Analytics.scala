@@ -528,6 +528,37 @@ object Analytics {
         (v1 / n1) * (v1 / n1) / (n1 - lit(1.0)))).as("df_welch"))
   }
 
+  /** Sequence pattern with NEGATION: events of type `conv` whose most
+    * recent preceding `trigger` is not separated from it by any
+    * `blocker` — the "viewed then purchased WITHOUT clicking a
+    * competitor ad in between" MATCH_RECOGNIZE shape. "Preceding" is
+    * the per-entity (ts, event_id) order; the pattern holds iff a
+    * trigger exists before the conversion and the last blocker before
+    * it (if any) is older than that trigger.
+    *
+    * Scale shape: two running-max window columns over ONE per-entity
+    * sort — no self-join, no per-pattern state; the negation is a
+    * comparison of the two running maxima.
+    */
+  def patternWithNegation(events: DataFrame, trigger: String,
+      blocker: String, conv: String, keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val w = Window.partitionBy(keyCol).orderBy(col("_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col(keyCol), col("event_id"), col("event_type"), us.as("_us"))
+      .withColumn("last_trigger",
+        max(when(col("event_type") === trigger, col("_us"))).over(w))
+      .withColumn("last_blocker",
+        max(when(col("event_type") === blocker, col("_us"))).over(w))
+      .filter(col("event_type") === conv && col("last_trigger").isNotNull &&
+        (col("last_blocker").isNull ||
+          col("last_blocker") < col("last_trigger")))
+      .select(col(keyCol), col("event_id"), col("_us").as("conv_us"),
+        col("last_trigger").as("trigger_us"))
+  }
+
   /** 2D skyline (Pareto frontier): rows not dominated on (minimize
     * `minCol`, maximize `maxCol`). A dominates B iff A.min ≤ B.min ∧
     * A.max ≥ B.max with at least one strict — identical points do NOT

@@ -106,6 +106,24 @@ object Validation {
     * history and nothing is partition-less. This is the query-side
     * semantics of a warehouse MERGE INTO for type-2 dimensions.
     */
+  /** Functional-dependency audit: determinant values for which
+    * `detCol → depCol` does NOT hold, with the violation's shape
+    * (distinct dependent count, row count, dependent min/max as
+    * witnesses). The data-profiling primitive behind "is this column a
+    * key for that one" / "did the dimension drift".
+    *
+    * Scale shape: one partial-agg'd groupBy(det) carrying a
+    * count-distinct — Spark plans it as two hash aggregations over the
+    * same key partitioning, no window, no join.
+    */
+  def fdViolations(df: DataFrame, detCol: String, depCol: String): DataFrame =
+    df.groupBy(col(detCol))
+      .agg(countDistinct(col(depCol)).as("n_dep"),
+        count(lit(1)).as("n_rows"),
+        min(col(depCol)).as("dep_min"),
+        max(col(depCol)).as("dep_max"))
+      .filter(col("n_dep") > 1)
+
   def scd2Merge(base: DataFrame, updates: DataFrame, keyCol: String,
       attrCols: Seq[String], verCol: String): DataFrame = {
     val cols = (keyCol +: attrCols :+ verCol).map(col)

@@ -276,6 +276,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("top_size") == 3L)
   }
 
+  test("patternWithNegation: blocker between trigger and conv kills the match") {
+    def e(id: Long, u: Long, t: String, sec: Int) =
+      (u, id, t, new Timestamp(sec * 1000L))
+    val ev = Seq(
+      e(1, 1, "view", 10), e(2, 1, "purchase", 20),           // match
+      e(3, 2, "view", 10), e(4, 2, "click", 15), e(5, 2, "purchase", 20), // blocked
+      e(6, 3, "click", 5), e(7, 3, "view", 10), e(8, 3, "purchase", 20),  // old blocker ok
+      e(9, 4, "purchase", 20),                                 // no trigger
+      e(10, 5, "view", 10), e(11, 5, "click", 15), e(12, 5, "view", 18),
+      e(13, 5, "purchase", 20))                                // re-armed by 2nd view
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Analytics.patternWithNegation(ev, "view", "click", "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (3L, 8L), (5L, 13L)))
+  }
+
   test("firstNStream: out-of-order arrival converges to the n earliest") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
