@@ -2590,6 +2590,29 @@ object Oracles {
        |SELECT node, lab AS community FROM l$rounds ORDER BY node""".stripMargin
   }
 
+  /** q189: KMV bottom-k distinct — splitmix64 replayed per input, the
+    * k-th smallest UNSIGNED hash per group, est = ⌊(k−1)·2⁶⁴/u_k⌋ in
+    * HUGEINT (exact n below k). splitmix64 is bijective, so distinct
+    * hashes ≡ distinct inputs.
+    */
+  def q189KmvDistinct: String = {
+    val k = 256
+    val smx = staged("SELECT event_type, z FROM base", splitmixStages("z"))
+    s"""WITH base AS (SELECT event_type, user_id::HUGEINT AS z FROM events),
+       |h AS (SELECT DISTINCT event_type, _sm AS u FROM ($smx)),
+       |r AS (SELECT event_type, u,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+       |  FROM h)
+       |SELECT event_type, CAST(LEAST(nd, $k) AS BIGINT) AS n_state,
+       |  CAST(CASE WHEN nd < $k THEN nd
+       |    ELSE (${k - 1}::HUGEINT * $M64) // (CASE WHEN u = 0 THEN 1 ELSE u END)
+       |  END AS BIGINT) AS est
+       |FROM r
+       |WHERE (nd >= $k AND rn = $k) OR (nd < $k AND rn = nd)
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** q179: exact BFS layers — each frontier unrolled as (new nodes,
     * settled set) CTE pairs over the distinct co-purchase edges; the
     * landmark is the smallest node in the edge set.
@@ -2713,6 +2736,7 @@ object Oracles {
     "q166_kcore" -> q166KCore,
     "q169_communities" -> q169Communities,
     "q179_bfs_hops" -> q179BfsHops,
+    "q189_kmv_distinct" -> q189KmvDistinct,
     "q173_weighted_rank" -> q173WeightedRank,
     // q154 = q127's component truth through the forced-distributed
     // pointer-doubling path: one oracle, two engine formulations

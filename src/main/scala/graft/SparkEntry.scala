@@ -428,6 +428,21 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- sketch tier: KMV bottom-k distinct sketch ----
+    // Distinct users per event type through the native bounded
+    // aggregate (k=256 smallest splitmix64 hashes as state): exact
+    // below k, integer-exact estimate above — q141's HLL discipline,
+    // different sketch family, same replayed-hash oracle.
+    "q189_kmv_distinct" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(graft.plans.GraftExtensions.kmvNative(col("user_id"), 256)
+          .as("_kmv"))
+        .select(col("event_type"), col("_kmv.n_state").as("n_state"),
+          col("_kmv.est").as("est"))
+        .orderBy("event_type")
+    }),
+
     // ---- validation tier: functional-dependency audit ----
     // Which part keys fail l_partkey → l_suppkey (all of them — parts
     // have multiple suppliers): the "is this a key" profiling check,

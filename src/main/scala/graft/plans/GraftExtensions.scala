@@ -133,6 +133,17 @@ object GraftExtensions {
         .toAggregateExpression())
   }
 
+  /** Registration-free KMV bottom-k distinct sketch (see
+    * [[cosineNative]]): k smallest splitmix64 hashes as bounded state;
+    * exact below k, ~1/√k relative error above — [[hllNative]]'s
+    * higher-accuracy sibling.
+    */
+  def kmvNative(v: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(
+      KmvSketchAgg(ColumnShim.expression(v), k).toAggregateExpression())
+  }
+
   /** Registration-free k-char shingle digests (see [[cosineNative]]):
     * sorted distinct FNV-1a window digests with zero substring
     * allocation — the set-similarity build kernel. Pass lowered text.

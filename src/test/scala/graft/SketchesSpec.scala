@@ -127,6 +127,26 @@ class SketchesSpec extends SparkSpec {
     assert(native.forall(r => !r._4), "13k+ distinct per group is raw regime")
   }
 
+  test("kmv: exact below k, ~1/sqrt(k) above, partitioning-invariant") {
+    import graft.plans.GraftExtensions.kmvNative
+    // below k: the sketch IS the distinct set
+    val small = spark.range(0, 100).toDF("v").repartition(7)
+      .agg(kmvNative(col("v"), 256).as("_k"))
+      .select("_k.n_state", "_k.est").head
+    assert(small.getLong(0) == 100L && small.getLong(1) == 100L)
+    // above k: 20000 distinct, 3σ ≈ 3/√256 ≈ 18.75%
+    val big = spark.range(0, 60000).select((col("id") % 20000).as("v"))
+    val est = big.repartition(8).agg(kmvNative(col("v"), 256).as("_k"))
+      .select("_k.est").head.getLong(0)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.2, s"est=$est")
+    // merge order / partitioning cannot change the k minima
+    val one = big.repartition(1).agg(kmvNative(col("v"), 256).as("_k"))
+      .select("_k.n_state", "_k.est").head
+    val many = big.repartition(37).agg(kmvNative(col("v"), 256).as("_k"))
+      .select("_k.n_state", "_k.est").head
+    assert(one == many)
+  }
+
   test("plan shapes: register table is one exchange; screen joins broadcast") {
     val df = (1L to 1000L).toDF("v").withColumn("g", lit("a"))
     val regPlan = Sketches.hllRegisters(df, Seq("g"), "v")
