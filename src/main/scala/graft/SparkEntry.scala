@@ -428,6 +428,23 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- layout tier: Bloom-filtered join (runtime semi-join) ----
+    // Lineitems of high-balance suppliers: big side sheds non-matching
+    // rows map-side through a broadcast Bloom of the small side's keys
+    // before any shuffle; false positives die in the join, so the
+    // result IS the inner join (the oracle).
+    "q190_bloom_join" -> ((s, dir) => {
+      val rich = supplier(s, dir)
+        .filter(col("s_acctbal") > 9000)
+        .select("s_suppkey", "s_name")
+      graft.operators.Layout.bloomFilteredJoin(
+          lineitem(s, dir), rich, "l_suppkey", "s_suppkey")
+        .groupBy("s_suppkey", "s_name")
+        .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("s_suppkey")
+    }),
+
     // ---- sketch tier: KMV bottom-k distinct sketch ----
     // Distinct users per event type through the native bounded
     // aggregate (k=256 smallest splitmix64 hashes as state): exact
@@ -2362,6 +2379,14 @@ object SparkEntry {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    "q190_bloom_join" ->
+      """SELECT s_suppkey, s_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_acctbal > 9000
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "q187_fd_violations" ->
       """SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_dep,

@@ -68,6 +68,33 @@ object Layout {
     * column — the multi-dimension layout story a compound sort cannot
     * deliver for the trailing column.
     */
+  /** Bloom-filtered join: build a Bloom filter over the small side's
+    * join keys, broadcast it, and drop non-matching big-side rows
+    * BEFORE the join's shuffle — the explicit runtime-filter semi-join
+    * reduction. False positives survive the filter and die in the
+    * actual join, so the result is EXACTLY the inner join.
+    *
+    * When it pays: the small side is too large to broadcast-hash-join
+    * row-for-row (100s of MB) but its key set fits a few MB of Bloom
+    * bits — the big side then sheds (1 − selectivity) of its shuffle
+    * volume map-side. With a truly small side Spark broadcasts anyway
+    * and this adds nothing; with AQE's own runtime bloom injection
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) this is the
+    * deterministic, always-on form of the same plan. Keys are longs;
+    * `fpp` trades bitset size vs wasted shuffle.
+    */
+  def bloomFilteredJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, fpp: Double = 0.01): DataFrame = {
+    val n = small.count()
+    val bf = small.stat.bloomFilter(smallKey, math.max(n, 1L), fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val mightU = org.apache.spark.sql.functions.udf(
+      (k: Long) => bc.value.mightContainLong(k))
+    big.filter(mightU(org.apache.spark.sql.functions.col(bigKey)))
+      .join(small, org.apache.spark.sql.functions.col(bigKey) ===
+        org.apache.spark.sql.functions.col(smallKey))
+  }
+
   def zorderKey(x: org.apache.spark.sql.Column, xStep: Long,
       y: org.apache.spark.sql.Column, yStep: Long): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._

@@ -47,4 +47,23 @@ class LayoutSpec extends SparkSpec {
     val full = Tables.documents(spark, sf())
     assert(q.count() == full.filter(col("lang") === "en").count())
   }
+
+  test("bloomFilteredJoin: equals the inner join; bloom prunes map-side") {
+    import spark.implicits._
+    val big = spark.range(0, 20000)
+      .select((col("id") % 1000).as("k"), col("id").as("payload"))
+    val small = (0L until 50L).map(i => (i, s"dim$i")).toDF("sk", "name")
+    val got = graft.operators.Layout
+      .bloomFilteredJoin(big, small, "k", "sk")
+      .groupBy("sk").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = big.join(small, col("k") === col("sk"))
+      .groupBy("sk").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want && got.size == 50)
+    // the bloom itself rejects (nearly all of) the 95% non-matching keys
+    val bf = small.stat.bloomFilter("sk", 50, 0.01)
+    val passed = (0L until 1000L).count(bf.mightContainLong)
+    assert(passed < 100, s"bloom passed $passed of 1000 keys")
+  }
 }
