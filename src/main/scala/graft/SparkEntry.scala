@@ -2486,7 +2486,7 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
         |a AS (
         |  SELECT user_id % 2 AS arm, COUNT(*) AS n, SUM(x) AS s1,
-        |    SUM(CAST(x AS DECIMAL(38,8)) * x) AS s2
+        |    SUM(x * x) AS s2
         |  FROM u GROUP BY 1),
         |w AS (
         |  SELECT

@@ -504,8 +504,11 @@ object Analytics {
     val perArm = df
       .select(armCol.as("_arm"), valueCol.cast("decimal(18,4)").as("_x"))
       .groupBy("_arm")
+      // (18,4)² → (37,8): stays inside precision 38 on BOTH engines, so
+      // the squared sum is exact — a (38,8)·(18,4) product would
+      // overflow Spark's 38 and round at scale
       .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s1"),
-        sum(col("_x").cast("decimal(38,8)") * col("_x")).as("_s2"))
+        sum(col("_x") * col("_x")).as("_s2"))
     def arm(i: Int, c: String): Column =
       max(when(col("_arm") === i, col(c))).as(s"$c$i")
     val wide = perArm.agg(arm(0, "_n"), arm(0, "_s1"), arm(0, "_s2"),
