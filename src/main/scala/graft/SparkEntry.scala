@@ -2497,13 +2497,16 @@ object SparkEntry {
         |    MAX(CASE WHEN arm = 1 THEN s1 END) AS s1_1,
         |    MAX(CASE WHEN arm = 1 THEN s2 END) AS s2_1
         |  FROM a),
+        |-- decimal→double via VARCHAR: DuckDB's direct decimal cast is
+        |-- not correctly rounded (hugeint/10^s as two float ops); the
+        |-- string round-trip is, matching Java BigDecimal.doubleValue
         |d AS (
         |  SELECT n0, n1,
-        |    CAST(s1_0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0,
-        |    CAST(s1_1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
-        |    (CAST(s2_0 AS DOUBLE) - CAST(s1_0 AS DOUBLE) * CAST(s1_0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |    CAST(CAST(s1_0 AS VARCHAR) AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0,
+        |    CAST(CAST(s1_1 AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+        |    (CAST(CAST(s2_0 AS VARCHAR) AS DOUBLE) - CAST(CAST(s1_0 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1_0 AS VARCHAR) AS DOUBLE) / CAST(n0 AS DOUBLE))
         |      / (CAST(n0 AS DOUBLE) - 1.0) AS var0,
-        |    (CAST(s2_1 AS DOUBLE) - CAST(s1_1 AS DOUBLE) * CAST(s1_1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |    (CAST(CAST(s2_1 AS VARCHAR) AS DOUBLE) - CAST(CAST(s1_1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1_1 AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE))
         |      / (CAST(n1 AS DOUBLE) - 1.0) AS var1
         |  FROM w)
         |SELECT n0, n1, mean0, mean1, var0, var1,
