@@ -428,6 +428,28 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- §2.3 NATIVE as-of join: custom LogicalPlan + Strategy + Exec ----
+    // The (c)-tier extension path end-to-end: q58's as-of semantics
+    // through graft.plans.AsOfJoinExec (co-partition on key, per-
+    // partition (key,time) merge — one shuffle per side, no union
+    // blow-up, no window state). Oracle = the independent correlated
+    // MAX formulation: one truth, three engine paths (q58 union+window,
+    // q172 nearest, this exec). Sides read the table twice — fresh
+    // attribute ids, the self-join contract of the custom node.
+    "q191_asof_native" -> ((s, dir) => {
+      val clicks = events(s, dir).filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val purchases = events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          unix_micros(col("ts")).as("p_us"))
+      graft.plans.AsOfJoinNative.join(clicks, purchases,
+          "user_id", "p_user", "us", "p_us")
+        .select(col("user_id"), col("event_id"), col("us"),
+          col("p_us").as("prev_purchase_us"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- layout tier: Bloom-filtered join (runtime semi-join) ----
     // Lineitems of high-balance suppliers: big side sheds non-matching
     // rows map-side through a broadcast Bloom of the small side's keys
@@ -2379,6 +2401,18 @@ object SparkEntry {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    // independent correlated formulation; ties collapse to MAX exactly
+    // like the exec's last-in-sort-order match
+    "q191_asof_native" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id, c.us,
+        |  (SELECT MAX(pus) FROM p
+        |   WHERE p.user_id = c.user_id AND p.pus <= c.us) AS prev_purchase_us
+        |FROM c ORDER BY user_id, event_id""".stripMargin,
 
     "q190_bloom_join" ->
       """SELECT s_suppkey, s_name,

@@ -111,6 +111,52 @@ class ExtensionsSpec extends SparkSpec {
     assert(m(4L)._2.length == 1 && m(5L)._2.length == 1) // short/empty text
   }
 
+  test("native as-of join: custom plan node, merge exec, matches composition") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.plans.AsOfJoinNative
+    val quotes = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 20L, 2.5),
+      (2L, 5L, 9.0), (3L, 50L, 7.0))
+      .toDF("q_key", "q_ts", "px").repartition(5)
+    val trades = Seq((1L, 9L), (1L, 10L), (1L, 25L), (2L, 100L), (4L, 1L))
+      .toDF("t_key", "t_ts").repartition(3)
+    val j = AsOfJoinNative.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts")
+    val got = j.select("t_key", "t_ts", "q_ts", "px").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    assert(got == Set(
+      (1L, 9L, -1L, -1.0),      // before any quote
+      (1L, 10L, 10L, 1.0),      // equal time admissible
+      (1L, 25L, 20L, 2.5),      // tie at t=20 → last in sort order
+      (2L, 100L, 5L, 9.0),
+      (4L, 1L, -1L, -1.0)))     // key with no quotes
+    // the physical plan IS the custom exec, sorts+exchanges injected
+    val phys = j.queryExecution.executedPlan.toString
+    assert(phys.contains("AsOfJoin"), phys.take(300)) // nodeName strips "Exec"
+    assert(phys.contains("Sort"), "EnsureRequirements added the sorts")
+    // random cross-check vs the relational MAX formulation
+    val rng = new scala.util.Random(5)
+    val qs = (1 to 2000).map(_ =>
+      (rng.nextInt(40).toLong, rng.nextInt(1000).toLong, rng.nextDouble()))
+      .toDF("q_key", "q_ts", "px")
+    val ts = (1 to 1500).map(_ =>
+      (rng.nextInt(50).toLong, rng.nextInt(1000).toLong))
+      .toDF("t_key", "t_ts")
+    val native = AsOfJoinNative.join(ts, qs, "t_key", "q_key", "t_ts", "q_ts")
+      .groupBy("t_key", "t_ts")
+      .agg(count(lit(1)).as("n"), max("q_ts").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val rel = ts.distinct().join(qs,
+        col("t_key") === col("q_key") && col("q_ts") <= col("t_ts"), "left")
+      .groupBy("t_key", "t_ts").agg(max("q_ts").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(native.keySet == rel.keySet)
+    native.foreach { case (k, m) => assert(m == rel(k), s"key $k") }
+  }
+
   test("graft_cosine registered via extensions, callable from SQL") {
     val s = extSession
     import s.implicits._
