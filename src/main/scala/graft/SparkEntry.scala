@@ -428,6 +428,31 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- embedding tier: label-centroid cosine matrix ----
+    // Class/source separation in embedding space: cosine(Σ int8 v) per
+    // label pair — centroid drift as exact integer sums + one IEEE
+    // division, never a materialized centroid.
+    "q193_centroid_shift" -> ((s, dir) => {
+      graft.operators.Embeddings.labelCentroidCosines(embeddings(s, dir))
+        .orderBy("label_a", "label_b")
+    }),
+
+    // ---- analytics tier: grouped OLS trend ----
+    // Daily-revenue slope per event type from exact moments (x
+    // rebased to the corpus' first day), q181's identical-IEEE
+    // discipline for the closed form.
+    "q192_trend_slopes" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("y"))
+      val d0 = daily.agg(min("day")).head.getLong(0)
+      Analytics.groupedTrend(
+          daily.withColumn("x", col("day") - lit(d0)), "event_type", "x", "y")
+        .orderBy("event_type")
+    }),
+
     // ---- §2.3 NATIVE as-of join: custom LogicalPlan + Strategy + Exec ----
     // The (c)-tier extension path end-to-end: q58's as-of semantics
     // through graft.plans.AsOfJoinExec (co-partition on key, per-
@@ -2401,6 +2426,57 @@ object SparkEntry {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    // q81's quantization replay feeding exact per-(label, dim) integer
+    // sums; dot/norms stay < 2^53 so the doubles are engine-identical
+    "q193_centroid_shift" ->
+      """WITH base AS (
+        |  SELECT label, embedding,
+        |    COALESCE(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) AS maxabs
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT label, list_transform(embedding, x -> CAST(floor(x::DOUBLE *
+        |      (CASE WHEN maxabs = 0.0 THEN 1.0 ELSE 127.0 / maxabs END) + 0.5) AS BIGINT)) AS q
+        |  FROM base),
+        |ex AS (SELECT label, unnest(range(1, len(q) + 1)) AS i, q FROM qv),
+        |sv AS (SELECT label, i AS pos, CAST(SUM(q[i]) AS BIGINT) AS v
+        |  FROM ex GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(SUM(a.v * b.v) AS DOUBLE) AS dot,
+        |    CAST(SUM(a.v * a.v) AS DOUBLE) AS na2,
+        |    CAST(SUM(b.v * b.v) AS DOUBLE) AS nb2
+        |  FROM sv a JOIN sv b ON a.label < b.label AND a.pos = b.pos
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b, dot / (sqrt(na2) * sqrt(nb2)) AS cosine
+        |FROM pr ORDER BY label_a, label_b""".stripMargin,
+
+    "q192_trend_slopes" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(day) AS d0 FROM daily),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(day - d0) AS sx, SUM((day - d0) * (day - d0)) AS sx2,
+        |    SUM(y) AS sy, SUM(y * CAST(day - d0 AS DECIMAL(10,0))) AS sxy
+        |  FROM daily, b GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sx2 AS DOUBLE) AS sx2d,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+        |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd
+        |  FROM m),
+        |s AS (
+        |  SELECT event_type, n,
+        |    (nd * sxyd - sxd * syd) / (nd * sx2d - sxd * sxd) AS slope,
+        |    nd, sxd, syd
+        |  FROM d)
+        |SELECT event_type, n, slope,
+        |  (syd - slope * sxd) / nd AS intercept
+        |FROM s ORDER BY event_type""".stripMargin,
 
     // independent correlated formulation; ties collapse to MAX exactly
     // like the exec's last-in-sort-order match

@@ -531,6 +531,32 @@ object Analytics {
         (v1 / n1) * (v1 / n1) / (n1 - lit(1.0)))).as("df_welch"))
   }
 
+  /** Grouped least-squares trend: per group, the OLS slope/intercept of
+    * y over x — "is this segment growing and how fast" as one
+    * aggregation. The q181 determinism discipline: moments (n, Σx, Σx²
+    * as longs; Σy, Σxy as DECIMALs within precision 38) are EXACT, and
+    * the closed-form slope/intercept are the same IEEE double
+    * expressions in any engine. Input: one row per (group, x); callers
+    * pre-aggregate duplicates (x long, y DECIMAL(18,4)).
+    *
+    * Scale shape: one partial-agg'd groupBy(group) — five moments, no
+    * window, no second pass.
+    */
+  def groupedTrend(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol); val y = col(yCol).cast("decimal(18,4)")
+    val m = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("_sx"),
+        sum(x * x).as("_sx2"), sum(y).as("_sy"),
+        sum(y * x.cast("decimal(10,0)")).as("_sxy"))
+    val nd = col("n").cast("double")
+    val sxd = col("_sx").cast("double"); val sx2d = col("_sx2").cast("double")
+    val syd = col("_sy").cast("double"); val sxyd = col("_sxy").cast("double")
+    val slope = (nd * sxyd - sxd * syd) / (nd * sx2d - sxd * sxd)
+    m.select(col(groupCol), col("n"), slope.as("slope"),
+      ((syd - slope * sxd) / nd).as("intercept"))
+  }
+
   /** Sequence pattern with NEGATION: events of type `conv` whose most
     * recent preceding `trigger` is not separated from it by any
     * `blocker` — the "viewed then purchased WITHOUT clicking a

@@ -54,4 +54,35 @@ object Embeddings {
     */
   def dequantize(q: Column, scale: Column): Column =
     transform(q, v => v.cast("double") / scale)
+
+  /** Pairwise cosine between per-label centroids in the int8-quantized
+    * space — "how far apart do the classes / days / sources sit", the
+    * embedding-drift readout. cosine(Σv) ≡ cosine(centroid), so the
+    * centroids are never materialized: per-(label, dim) integer sums
+    * (exact), then exact long dot/norms per label pair and ONE IEEE
+    * sqrt+divide — engine-identical (the q57/q81 integer discipline).
+    *
+    * Scale shape: one explode + partial-agg'd groupBy(label, dim), a
+    * label-sized collect per label, and a label×label broadcast join —
+    * nothing pairwise ever touches row counts.
+    */
+  def labelCentroidCosines(df: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = withInt8Quantized(df, vecCol)
+    val sums = q.select(col(labelCol).as("_lab"), posexplode(col("q")))
+      .groupBy(col("_lab"), col("pos"))
+      .agg(sum(col("col").cast("long")).as("_v"))
+      .groupBy("_lab")
+      .agg(sort_array(collect_list(struct(col("pos"), col("_v")))).as("_sv"))
+      .select(col("_lab"), transform(col("_sv"), x => x("_v")).as("_svec"))
+    def ldot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, r) => p * r), lit(0L), (acc, v) => acc + v)
+    val a = sums.select(col("_lab").as("label_a"), col("_svec").as("_va"))
+    val b = sums.select(col("_lab").as("label_b"), col("_svec").as("_vb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        (ldot(col("_va"), col("_vb")).cast("double") /
+          (sqrt(ldot(col("_va"), col("_va")).cast("double")) *
+            sqrt(ldot(col("_vb"), col("_vb")).cast("double")))).as("cosine"))
+  }
 }

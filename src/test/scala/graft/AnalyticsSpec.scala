@@ -276,6 +276,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("top_size") == 3L)
   }
 
+  test("groupedTrend: exact line recovered; flat series has slope 0") {
+    val rows = (0L to 10L).map(x => ("up", x, BigDecimal(3) * x + 7)) ++
+      (0L to 10L).map(x => ("flat", x, BigDecimal(5)))
+    val df = rows.toDF("g", "x", "y")
+    val r = Analytics.groupedTrend(df, "g", "x", "y").collect()
+      .map(x => x.getString(0) -> ((x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r("up") == ((3.0, 7.0)))
+    assert(r("flat") == ((0.0, 5.0)))
+  }
+
   test("patternWithNegation: blocker between trigger and conv kills the match") {
     def e(id: Long, u: Long, t: String, sec: Int) =
       (u, id, t, new Timestamp(sec * 1000L))
