@@ -428,6 +428,29 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- curation tier: all-pairs corpus similarity matrix ----
+    // q170 for EVERY source pair in one pass: per-shingle source sets
+    // explode into pair counts (bounded by #sources², never rows) —
+    // the "which crawls overlap" dashboard.
+    "q195_corpus_matrix" -> ((s, dir) => {
+      Dedup.corpusJaccardMatrix(documents(s, dir), "source", k = 5)
+        .orderBy("source_a", "source_b")
+    }),
+
+    // ---- analytics tier: Wilson-score segment ranking ----
+    // Share of ≥10-order customers per market segment, ranked by the
+    // CONSERVATIVE Wilson lower bound (the "5/5 beats 900/1000" fix);
+    // exact counts → one closed-form double, engine-identical.
+    "q194_wilson_ranking" -> ((s, dir) => {
+      val ords = orders(s, dir).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_ord"))
+      val cust = customer(s, dir)
+        .join(ords, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment"), coalesce(col("n_ord"), lit(0L)).as("n_ord"))
+      Analytics.wilsonLowerBound(cust, "c_mktsegment", col("n_ord") >= 10)
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- embedding tier: label-centroid cosine matrix ----
     // Class/source separation in embedding space: cosine(Σ int8 v) per
     // label pair — centroid drift as exact integer sums + one IEEE
@@ -2426,6 +2449,45 @@ object SparkEntry {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    "q195_corpus_matrix" ->
+      """WITH sh AS (
+        |  SELECT source, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(1, strlen(lower(text)) - 4)),
+        |    i -> substring(lower(text), i, 5)))) AS s
+        |  FROM documents),
+        |d AS (SELECT DISTINCT source, s FROM sh),
+        |n AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+        |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    COUNT(*) AS inter
+        |  FROM d a JOIN d b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, na.n AS n_a, nb.n AS n_b, inter,
+        |  inter::DOUBLE / (na.n + nb.n - inter) AS jaccard
+        |FROM pr
+        |JOIN n na ON na.source = source_a
+        |JOIN n nb ON nb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // z² written as 1.96*1.96 (not the decimal 3.8416 — a DIFFERENT
+    // double) so both engines square the same literal
+    "q194_wilson_ranking" ->
+      """WITH o AS (SELECT o_custkey, COUNT(*) AS n_ord
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT c_mktsegment, COALESCE(n_ord, 0) AS n_ord
+        |  FROM customer LEFT JOIN o ON c_custkey = o_custkey),
+        |m AS (SELECT c_mktsegment, COUNT(*) AS trials,
+        |    SUM(CASE WHEN n_ord >= 10 THEN 1 ELSE 0 END) AS conversions
+        |  FROM c GROUP BY 1),
+        |d AS (SELECT c_mktsegment, trials, conversions,
+        |    CAST(trials AS DOUBLE) AS n,
+        |    CAST(conversions AS DOUBLE) / CAST(trials AS DOUBLE) AS p
+        |  FROM m)
+        |SELECT c_mktsegment, trials, conversions, p AS rate,
+        |  (p + (1.96 * 1.96) / (2.0 * n)
+        |    - 1.96 * sqrt(p * (1.0 - p) / n + (1.96 * 1.96) / (4.0 * n * n)))
+        |  / (1.0 + (1.96 * 1.96) / n) AS wilson_lb
+        |FROM d ORDER BY c_mktsegment""".stripMargin,
 
     // q81's quantization replay feeding exact per-(label, dim) integer
     // sums; dot/norms stay < 2^53 so the doubles are engine-identical

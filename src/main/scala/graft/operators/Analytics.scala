@@ -531,6 +531,29 @@ object Analytics {
         (v1 / n1) * (v1 / n1) / (n1 - lit(1.0)))).as("df_welch"))
   }
 
+  /** Wilson-score lower bound per group: rank segments by the
+    * conservative end of the binomial confidence interval instead of
+    * the raw rate — the standard fix for "5/5 beats 900/1000". From
+    * exact (conversions, trials) counts the bound is one closed-form
+    * double expression (z fixed), identical in any engine.
+    *
+    * lb = (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    */
+  def wilsonLowerBound(df: DataFrame, groupCol: String, isConv: Column,
+      z: Double = 1.96): DataFrame = {
+    val m = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("trials"),
+        sum(when(isConv, 1L).otherwise(0L)).as("conversions"))
+    val n = col("trials").cast("double")
+    val p = col("conversions").cast("double") / n
+    val z2 = lit(z * z)
+    val lb = (p + z2 / (lit(2.0) * n) -
+      lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))) /
+      (lit(1.0) + z2 / n)
+    m.select(col(groupCol), col("trials"), col("conversions"),
+      p.as("rate"), lb.as("wilson_lb"))
+  }
+
   /** Grouped least-squares trend: per group, the OLS slope/intercept of
     * y over x — "is this segment growing and how fast" as one
     * aggregation. The q181 determinism discipline: moments (n, Σx, Σx²

@@ -637,6 +637,35 @@ object Dedup {
         (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
   }
 
+  /** All-pairs corpus similarity matrix — [[corpusJaccard]] for EVERY
+    * source pair at once: per distinct shingle, the (small) set of
+    * sources containing it; pair counts explode from that set (bounded
+    * by #sources², never by rows); per-source distinct counts and the
+    * final Jaccard matrix follow by broadcast join. Pairs sharing no
+    * shingle are absent (Jaccard 0). Output: (source_a, source_b,
+    * n_a, n_b, inter, jaccard), source_a < source_b.
+    */
+  def corpusJaccardMatrix(docs: DataFrame, srcCol: String, k: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    val sets = materialize(docs
+      .select(col(srcCol).as("_src"),
+        explode(shingles(col(textCol), k)).as("_s"))
+      .groupBy("_s").agg(sort_array(collect_set("_src")).as("_ss")))
+    val counts = sets.select(explode(col("_ss")).as("_src"))
+      .groupBy("_src").agg(count(lit(1)).as("_n"))
+    val pairs = sets.select(col("_ss"), explode(col("_ss")).as("_a"))
+      .select(col("_a"), explode(col("_ss")).as("_b"))
+      .filter(col("_a") < col("_b"))
+      .groupBy("_a", "_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(counts.select(col("_src").as("_a"), col("_n").as("n_a"))), "_a")
+      .join(broadcast(counts.select(col("_src").as("_b"), col("_n").as("n_b"))), "_b")
+      .select(col("_a").as("source_a"), col("_b").as("source_b"),
+        col("n_a"), col("n_b"), col("inter"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+  }
+
   /** Cluster near-duplicate candidate pairs into groups and pick a
     * canonical survivor per group: connected components over the pair
     * edges, labels = component-minimum ids. Two physical paths, same
