@@ -61,7 +61,9 @@ object Bench {
     "q162_triangles",      // degree-ordered triangle count (NEW r9)
     "q178_setsim_join",    // exact prefix-filtered set-similarity join (NEW r9)
     "q180_skyline",        // 2D Pareto frontier, window prune (NEW r9)
-    "q183_topk_native")    // native bounded top-k aggregate (NEW r9)
+    "q183_topk_native",    // native bounded top-k aggregate (NEW r9)
+    "q189_kmv_distinct",   // native KMV bottom-k sketch (NEW r9)
+    "q191_asof_native")    // custom-plan as-of merge exec (NEW r9)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine
