@@ -428,6 +428,19 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- analytics tier: Kaplan–Meier survival curve ----
+    // User lifetime (first→last event day) survival: d/n at risk per
+    // duration, running product in 10⁻¹² fixed-point log space —
+    // order-independent across engines and window implementations.
+    "q196_survival_km" -> ((s, dir) => {
+      val life = events(s, dir)
+        .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+        .groupBy("user_id")
+        .agg((max("day") - min("day")).as("lifetime"))
+      Analytics.kaplanMeier(life, "lifetime")
+        .orderBy("t")
+    }),
+
     // ---- curation tier: all-pairs corpus similarity matrix ----
     // q170 for EVERY source pair in one pass: per-shingle source sets
     // explode into pair counts (bounded by #sources², never rows) —
@@ -2449,6 +2462,30 @@ object SparkEntry {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    "q196_survival_km" ->
+      """WITH life AS (
+        |  SELECT user_id,
+        |    MAX(epoch_us(ts) // 86400000000) - MIN(epoch_us(ts) // 86400000000) AS t
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT t, COUNT(*) AS d FROM life GROUP BY t),
+        |r AS (SELECT t, d,
+        |    SUM(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(d) OVER () AS tot
+        |  FROM g),
+        |k AS (SELECT t, d, tot - cum + d AS n_at_risk FROM r),
+        |q AS (SELECT t, d, n_at_risk,
+        |    CASE WHEN d = n_at_risk THEN 0
+        |      ELSE CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)) * 1e12) AS BIGINT)
+        |    END AS lq,
+        |    CASE WHEN d = n_at_risk THEN 1 ELSE 0 END AS dead
+        |  FROM k)
+        |SELECT t, d, n_at_risk,
+        |  CASE WHEN MAX(dead) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+        |    THEN 0.0
+        |    ELSE exp(CAST(SUM(lq) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e12)
+        |  END AS survival
+        |FROM q ORDER BY t""".stripMargin,
 
     "q195_corpus_matrix" ->
       """WITH sh AS (

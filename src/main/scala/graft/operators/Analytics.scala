@@ -531,6 +531,49 @@ object Analytics {
         (v1 / n1) * (v1 / n1) / (n1 - lit(1.0)))).as("df_welch"))
   }
 
+  /** Kaplan–Meier survival curve over integer durations (no censoring:
+    * every subject contributes one death): at each distinct duration t,
+    * d_t deaths out of n_t = Σ_{s≥t} d_s at risk, and
+    * S(t) = Π_{s≤t} (1 − d_s/n_s).
+    *
+    * Determinism discipline: the product is taken in log space with
+    * each ln(1 − d/n) QUANTIZED to 10⁻¹² fixed-point (floor of an
+    * identical IEEE double → identical long), so the running product
+    * is an exact integer sum — order-independent across engines AND
+    * window implementations (a raw double log-sum would differ by ulps
+    * under DuckDB's segment-tree windows vs Spark's sequential frames).
+    * The final S = exp(cum/10¹²) is one identical double op. The last
+    * point (d = n) pins S = 0 exactly.
+    *
+    * Scale shape: one groupBy(duration) collapses subjects before the
+    * window; the window runs over DISTINCT durations (calendar-bounded,
+    * partition-less by design — document the cap, not the rows).
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String): DataFrame = {
+    val grouped = df.groupBy(col(durationCol).as("t"))
+      .agg(count(lit(1)).as("d"))
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = grouped
+      .withColumn("_cum", sum("d").over(w))
+      .withColumn("_tot", sum("d").over(
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("n_at_risk", col("_tot") - col("_cum") + col("d"))
+    val term = lit(1.0) -
+      col("d").cast("double") / col("n_at_risk").cast("double")
+    withRisk
+      .withColumn("_lq",
+        when(col("d") === col("n_at_risk"), lit(0L))
+          .otherwise(floor(log(term) * lit(1e12)).cast("long")))
+      .withColumn("_dead",
+        max(when(col("d") === col("n_at_risk"), 1).otherwise(0)).over(w))
+      .withColumn("survival",
+        when(col("_dead") === 1, lit(0.0))
+          .otherwise(exp(sum(col("_lq")).over(w).cast("double") / lit(1e12))))
+      .select(col("t"), col("d"), col("n_at_risk"), col("survival"))
+  }
+
   /** Wilson-score lower bound per group: rank segments by the
     * conservative end of the binomial confidence interval instead of
     * the raw rate — the standard fix for "5/5 beats 900/1000". From

@@ -276,6 +276,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("top_size") == 3L)
   }
 
+  test("kaplanMeier: hand-computed curve; terminal point pinned to 0") {
+    val life = Seq(0L, 0L, 1L, 2L, 2L).toDF("lifetime")
+    val km = Analytics.kaplanMeier(life, "lifetime").orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(km.map(x => (x._1, x._2, x._3)).toSeq ==
+      Seq((0L, 2L, 5L), (1L, 1L, 3L), (2L, 2L, 2L)))
+    assert(math.abs(km(0)._4 - 0.6) < 1e-9)        // 3/5
+    assert(math.abs(km(1)._4 - 0.4) < 1e-9)        // 3/5 · 2/3
+    assert(km(2)._4 == 0.0)                        // everyone at risk dies
+  }
+
   test("groupedTrend: exact line recovered; flat series has slope 0") {
     val rows = (0L to 10L).map(x => ("up", x, BigDecimal(3) * x + 7)) ++
       (0L to 10L).map(x => ("flat", x, BigDecimal(5)))
