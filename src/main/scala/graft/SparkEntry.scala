@@ -428,6 +428,15 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- analytics tier: session-level association lift ----
+    // Market-basket lift between event types over 5-min-gap sessions:
+    // exact counts, one double division; pair explosion bounded by
+    // #types² per session, never by rows.
+    "q197_session_lift" -> ((s, dir) => {
+      Analytics.sessionLift(events(s, dir))
+        .orderBy("type_a", "type_b")
+    }),
+
     // ---- analytics tier: Kaplan–Meier survival curve ----
     // User lifetime (first→last event day) survival: d/n at risk per
     // duration, running product in 10⁻¹² fixed-point log space —
@@ -2462,6 +2471,35 @@ object SparkEntry {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    "q197_session_lift" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |s AS (SELECT *, SUM(CASE WHEN prev_us IS NULL
+        |      OR us - prev_us > 300000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e),
+        |st AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+        |ns AS (SELECT COUNT(*) AS n_sessions
+        |  FROM (SELECT DISTINCT user_id, sid FROM st)),
+        |si AS (SELECT event_type AS t, COUNT(*) AS n FROM st GROUP BY 1),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS n_ab
+        |  FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, na.n AS n_a, nb.n AS n_b, n_ab,
+        |  ns.n_sessions,
+        |  CAST(n_ab * ns.n_sessions AS DOUBLE)
+        |    / CAST(na.n * nb.n AS DOUBLE) AS lift
+        |FROM pr
+        |JOIN si na ON na.t = type_a
+        |JOIN si nb ON nb.t = type_b
+        |CROSS JOIN ns
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "q196_survival_km" ->
       """WITH life AS (

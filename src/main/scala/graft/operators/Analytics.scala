@@ -531,6 +531,39 @@ object Analytics {
         (v1 / n1) * (v1 / n1) / (n1 - lit(1.0)))).as("df_welch"))
   }
 
+  /** Session-level association lift between event types: for each type
+    * pair, lift = P(a∧b) / (P(a)·P(b)) over sessions =
+    * (n_ab · n_sessions) / (n_a · n_b) — the market-basket "do these
+    * behaviors co-occur beyond chance" readout. All counts exact longs,
+    * the lift one double division of exact integers.
+    *
+    * Scale shape: sessionization is the per-key window (q18's gap
+    * rule), per-session type SETS collapse in one groupBy, and pair
+    * counts explode from those sets — bounded by #types² per session,
+    * never by event rows. Pairs never co-occurring are absent (lift 0).
+    */
+  def sessionLift(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", gapUs: Long = 300000000L): DataFrame = {
+    val sess = withSessionId(events, keyCol, tsCol, "event_id", gapUs)
+    val sets = sess.groupBy(col(keyCol), col("session_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("_types"))
+    val nSessions = sets.count()
+    val singles = sets.select(explode(col("_types")).as("_t"))
+      .groupBy("_t").agg(count(lit(1)).as("_n"))
+    val pairs = sets.select(col("_types"), explode(col("_types")).as("_a"))
+      .select(col("_a"), explode(col("_types")).as("_b"))
+      .filter(col("_a") < col("_b"))
+      .groupBy("_a", "_b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles.select(col("_t").as("_a"), col("_n").as("n_a"))), "_a")
+      .join(broadcast(singles.select(col("_t").as("_b"), col("_n").as("n_b"))), "_b")
+      .select(col("_a").as("type_a"), col("_b").as("type_b"),
+        col("n_a"), col("n_b"), col("n_ab"),
+        lit(nSessions).as("n_sessions"),
+        ((col("n_ab") * lit(nSessions)).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
   /** Kaplan–Meier survival curve over integer durations (no censoring:
     * every subject contributes one death): at each distinct duration t,
     * d_t deaths out of n_t = Σ_{s≥t} d_s at risk, and
