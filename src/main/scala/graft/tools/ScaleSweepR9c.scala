@@ -19,7 +19,8 @@ object ScaleSweepR9c {
       "q184_record_linkage", "q185_stream_first_n", "q186_longest_streak",
       "q187_fd_violations", "q188_pattern_negation", "q189_kmv_distinct",
       "q190_bloom_join", "q191_asof_native", "q192_trend_slopes",
-      "q193_centroid_shift", "q194_wilson_ranking", "q195_corpus_matrix")
+      "q193_centroid_shift", "q194_wilson_ranking", "q195_corpus_matrix",
+      "q196_survival_km", "q197_session_lift")
     for (name <- names) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
