@@ -2737,6 +2737,9 @@ object Oracles {
     "q169_communities" -> q169Communities,
     "q179_bfs_hops" -> q179BfsHops,
     "q189_kmv_distinct" -> q189KmvDistinct,
+    // q200 = q189's sketch through the streaming state store: one
+    // truth, two engine paths (the q146/q150 HLL discipline)
+    "q200_stream_kmv" -> q189KmvDistinct,
     "q173_weighted_rank" -> q173WeightedRank,
     // q154 = q127's component truth through the forced-distributed
     // pointer-doubling path: one oracle, two engine formulations

@@ -428,6 +428,49 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- §2.9 streaming KMV distinct sketch ----
+    // q189's bottom-k minima through the streaming state store (k
+    // longs of bounded state per key), read out by the same integer
+    // estimate — one oracle, two engine paths.
+    "q200_stream_kmv" -> ((s, dir) => {
+      val out = EventStreams.runOnceOnParquet(s, s"$dir/events.parquet",
+        df => EventStreams.kmvStream(s, df, 256),
+        s"kmv_sink_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      out.groupBy("event_type")
+        .agg(max(struct(col("emit"), col("mins"))).as("_m"))
+        .select(col("event_type"),
+          graft.plans.GraftExtensions.kmvEstimateNative(col("_m.mins"), 256)
+            .as("_e"))
+        .select(col("event_type"), col("_e.n_state").as("n_state"),
+          col("_e.est").as("est"))
+        .orderBy("event_type")
+    }),
+
+    // ---- analytics tier: behavioral entropy per user ----
+    // Shannon entropy of each user's event-type mix, every −p·ln p
+    // term in 10⁻¹² fixed-point so the sum is exact and order-free.
+    "q199_user_entropy" -> ((s, dir) => {
+      Analytics.categoryEntropy(events(s, dir), "user_id", "event_type")
+        .orderBy("user_id")
+    }),
+
+    // ---- analytics tier: Gini concentration index ----
+    // Revenue concentration across customers per market segment:
+    // exact rank-weighted DECIMAL sums, two IEEE ops — "how unequal is
+    // this segment's spend".
+    "q198_gini" -> ((s, dir) => {
+      val rev = orders(s, dir).groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("rev"))
+      val seg = customer(s, dir)
+        .join(rev, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          coalesce(col("rev"), lit(0).cast("decimal(18,4)")).as("rev"))
+      Analytics.giniIndex(seg, "c_mktsegment", "rev", "c_custkey")
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- analytics tier: session-level association lift ----
     // Market-basket lift between event types over 5-min-gap sessions:
     // exact counts, one double division; pair explosion bounded by
@@ -2471,6 +2514,45 @@ object SparkEntry {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    "q199_user_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, c,
+        |    SUM(c) OVER (PARTITION BY user_id) AS n FROM c),
+        |q AS (SELECT user_id, n,
+        |    CAST(floor(-((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1e12) AS BIGINT) AS tq
+        |  FROM t)
+        |SELECT user_id, MAX(n) AS n_events, COUNT(*) AS n_cats,
+        |  CAST(SUM(tq) AS DOUBLE) / 1e12 AS entropy
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q198_gini" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |x AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    COALESCE(rev, CAST(0 AS DECIMAL(18,4))) AS rev
+        |  FROM customer LEFT JOIN rev ON c_custkey = o_custkey),
+        |r AS (
+        |  SELECT c_mktsegment, rev, row_number() OVER (
+        |    PARTITION BY c_mktsegment ORDER BY rev, c_custkey) AS i
+        |  FROM x),
+        |m AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n, SUM(rev) AS sx,
+        |    SUM(rev * CAST(i AS DECIMAL(12,0))) AS six
+        |  FROM r GROUP BY 1),
+        |d AS (
+        |  SELECT c_mktsegment, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+        |    CAST(CAST(six AS VARCHAR) AS DOUBLE) AS sixd
+        |  FROM m)
+        |SELECT c_mktsegment, n, sxd AS total,
+        |  2.0 * sixd / (nd * sxd) - (nd + 1.0) / nd AS gini
+        |FROM d ORDER BY c_mktsegment""".stripMargin,
 
     "q197_session_lift" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,

@@ -531,6 +531,57 @@ object Analytics {
         (v1 / n1) * (v1 / n1) / (n1 - lit(1.0)))).as("df_welch"))
   }
 
+  /** Shannon entropy of a categorical distribution per key — behavioral
+    * diversity ("does this user do one thing or many") as one number.
+    * Each term −p·ln p is QUANTIZED to 10⁻¹² fixed-point (identical
+    * IEEE double → identical floor), so the per-key sum is an exact
+    * integer — order-independent across engines and partitionings (the
+    * q196 log-space discipline applied to entropy).
+    *
+    * Scale shape: one groupBy(key, cat) + a per-key window for the
+    * total + one groupBy(key); every shuffle hashes the key.
+    */
+  def categoryEntropy(df: DataFrame, keyCol: String,
+      catCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol), col(catCol))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_n", sum("_c").over(Window.partitionBy(keyCol)))
+    val p = col("_c").cast("double") / col("_n").cast("double")
+    counts
+      .withColumn("_t", floor(-(p * log(p)) * lit(1e12)).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(max("_n").as("n_events"), count(lit(1)).as("n_cats"),
+        (sum("_t").cast("double") / lit(1e12)).as("entropy"))
+  }
+
+  /** Gini coefficient per group — revenue/usage concentration as one
+    * number from the exact rank-weighted sum: with x₁ ≤ … ≤ xₙ,
+    * G = (2·Σ i·xᵢ) / (n·Σxᵢ) − (n+1)/n. Both sums are exact DECIMALs
+    * (rank·value products stay inside precision 38), the closed form
+    * is two identical-IEEE double ops — the q181 discipline.
+    *
+    * Scale shape: one per-group sort window assigns ranks (ties broken
+    * by the id column — any total order gives the same G because tied
+    * values commute), then one partial-agg'd groupBy.
+    */
+  def giniIndex(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("_x"), col(idCol))
+    val ranked = df
+      .select(col(groupCol), col(valueCol).cast("decimal(18,4)").as("_x"),
+        col(idCol))
+      .withColumn("_i", row_number().over(w).cast("decimal(12,0)"))
+    val m = ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("_x")).as("_sx"),
+        sum(col("_x") * col("_i")).as("_six"))
+    val nd = col("n").cast("double")
+    val sx = col("_sx").cast("double"); val six = col("_six").cast("double")
+    m.select(col(groupCol), col("n"),
+      sx.as("total"),
+      (lit(2.0) * six / (nd * sx) - (nd + lit(1.0)) / nd).as("gini"))
+  }
+
   /** Session-level association lift between event types: for each type
     * pair, lift = P(a∧b) / (P(a)·P(b)) over sessions =
     * (n_ab · n_sessions) / (n_a · n_b) — the market-basket "do these

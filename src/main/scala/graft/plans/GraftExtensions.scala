@@ -144,6 +144,15 @@ object GraftExtensions {
       KmvSketchAgg(ColumnShim.expression(v), k).toAggregateExpression())
   }
 
+  /** Registration-free KMV state readout (see [[kmvNative]]): (n_state,
+    * est) from a sign-flipped sorted minima array — the streaming-state
+    * path's final step.
+    */
+  def kmvEstimateNative(mins: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(KmvEstimate(ColumnShim.expression(mins), k))
+  }
+
   /** Registration-free k-char shingle digests (see [[cosineNative]]):
     * sorted distinct FNV-1a window digests with zero substring
     * allocation — the set-similarity build kernel. Pass lowered text.

@@ -76,18 +76,7 @@ case class KmvSketchAgg(child: Expression, k: Int,
     if (w == out.length) out else java.util.Arrays.copyOf(out, w)
   }
 
-  override def eval(buf: Array[Long]): Any = {
-    val n = buf.length.toLong
-    val est =
-      if (buf.length < k) n
-      else {
-        val uk = (BigInt(buf(k - 1) ^ Long.MinValue) + (BigInt(1) << 64)) %
-          (BigInt(1) << 64)
-        val den = if (uk.signum == 0) BigInt(1) else uk
-        ((BigInt(k - 1) << 64) / den).toLong
-      }
-    new GenericInternalRow(Array[Any](n, est))
-  }
+  override def eval(buf: Array[Long]): Any = KmvSketchAgg.evalState(buf, k)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream(4 + 8 * buf.length)
@@ -109,9 +98,49 @@ case class KmvSketchAgg(child: Expression, k: Int,
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
+  // (companion holds the shared state→(n, est) evaluation)
   override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): KmvSketchAgg =
     copy(child = newChild)
   override def prettyName: String = "graft_kmv"
+}
+
+object KmvSketchAgg {
+  /** (n_state, est) from a sign-flipped sorted distinct state array —
+    * shared by the aggregate's eval and [[KmvEstimate]] (the
+    * streaming-state readout path, q200).
+    */
+  def evalState(buf: Array[Long], k: Int): GenericInternalRow = {
+    val n = buf.length.toLong
+    val est =
+      if (buf.length < k) n
+      else {
+        val uk = (BigInt(buf(k - 1) ^ Long.MinValue) + (BigInt(1) << 64)) %
+          (BigInt(1) << 64)
+        val den = if (uk.signum == 0) BigInt(1) else uk
+        ((BigInt(k - 1) << 64) / den).toLong
+      }
+    new GenericInternalRow(Array[Any](n, est))
+  }
+}
+
+/** Scalar readout of a KMV state array (sign-flipped sorted minima —
+  * e.g. carried through the streaming state store): same struct and
+  * the same integer arithmetic as [[KmvSketchAgg]]'s eval.
+  */
+case class KmvEstimate(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k > 1, "graft_kmv_estimate needs k > 1")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_state", LongType, nullable = false),
+    StructField("est", LongType, nullable = false)))
+  override def nullSafeEval(a: Any): Any =
+    KmvSketchAgg.evalState(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray(), k)
+  override protected def withNewChildInternal(newChild: Expression): KmvEstimate =
+    copy(child = newChild)
+  override def prettyName: String = "graft_kmv_estimate"
 }

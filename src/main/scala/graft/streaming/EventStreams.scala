@@ -209,6 +209,38 @@ object EventStreams {
       .toDF("user_id", "emit", "pairs")
   }
 
+  /** Per-key KMV state: the k smallest sign-flipped splitmix64 hashes
+    * seen so far (sorted, distinct) and an emit counter.
+    */
+  final case class KmvStreamState(mins: Seq[Long], emits: Long)
+
+  /** Streaming KMV distinct sketch: q189's bottom-k minima maintained
+    * through the streaming state store — k longs of HARD-bounded state
+    * per key, merged exactly like the batch aggregate, so the two
+    * paths share ONE oracle (the q146/q150 HLL discipline for KMV).
+    * Emits (key, emit, mins) per trigger; a multi-batch consumer keeps
+    * the max-emit row and reads it out with
+    * [[graft.plans.KmvEstimate]].
+    */
+  def kmvStream(spark: SparkSession, events: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    events.select(col("event_type"), col("user_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long)],
+            state: GroupState[KmvStreamState]) =>
+          val prev = state.getOption.getOrElse(KmvStreamState(Nil, 0L))
+          val incoming = rows
+            .map(r => graft.functions.Hashing.splitmix64(r._2) ^ Long.MinValue)
+            .toArray.sorted.distinct
+          val merged = (prev.mins ++ incoming).sorted.distinct.take(k)
+          val next = KmvStreamState(merged, prev.emits + 1)
+          state.update(next)
+          Iterator((tpe, next.emits, merged))
+      }
+      .toDF("event_type", "emit", "mins")
+  }
+
   /** Batch-mode run of a streaming query over a bounded source, used by
     * tests: read the parquet as a stream with one trigger, write to
     * memory sink, return the result.

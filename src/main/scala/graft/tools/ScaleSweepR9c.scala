@@ -20,7 +20,8 @@ object ScaleSweepR9c {
       "q187_fd_violations", "q188_pattern_negation", "q189_kmv_distinct",
       "q190_bloom_join", "q191_asof_native", "q192_trend_slopes",
       "q193_centroid_shift", "q194_wilson_ranking", "q195_corpus_matrix",
-      "q196_survival_km", "q197_session_lift")
+      "q196_survival_km", "q197_session_lift", "q198_gini",
+      "q199_user_entropy", "q200_stream_kmv")
     for (name <- names) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()

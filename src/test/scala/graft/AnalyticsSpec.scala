@@ -276,6 +276,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("top_size") == 3L)
   }
 
+  test("giniIndex: equality → 0, total concentration → (n-1)/n") {
+    val eq = (1 to 10).map(i => ("a", BigDecimal(5), i.toLong)) ++
+      (1 to 10).map(i => ("b", if (i == 10) BigDecimal(100) else BigDecimal(0), i.toLong))
+    val r = Analytics.giniIndex(eq.toDF("g", "v", "id"), "g", "v", "id")
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(r("a") == 0.0)
+    assert(math.abs(r("b") - 0.9) < 1e-12) // (n-1)/n with n=10
+  }
+
+  test("categoryEntropy: uniform = ln k, single category = 0, order-free") {
+    val rows = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),
+      (2L, "a"), (2L, "a"))
+    val df = rows.toDF("user_id", "event_type")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.categoryEntropy(d, "user_id", "event_type")
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val r = run(df)
+    assert(math.abs(r(1L) - math.log(4.0)) < 1e-9)
+    assert(r(2L) == 0.0)
+    assert(run(df.repartition(7)) == r) // fixed-point sum is order-free
+  }
+
   test("kaplanMeier: hand-computed curve; terminal point pinned to 0") {
     val life = Seq(0L, 0L, 1L, 2L, 2L).toDF("lifetime")
     val km = Analytics.kaplanMeier(life, "lifetime").orderBy("t").collect()

@@ -147,6 +147,31 @@ class SketchesSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("kmv stream: cross-batch state merge equals the batch aggregate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val streamed = graft.streaming.EventStreams.kmvStream(spark,
+      input.toDF().toDF("event_type", "user_id"), k = 64)
+    val q = streamed.writeStream.format("memory").queryName("kmv_conv")
+      .outputMode("append").start()
+    try {
+      input.addData((1L to 300L).map(i => ("x", i * 7)): _*)
+      q.processAllAvailable()
+      input.addData((1L to 300L).map(i => ("x", i * 3)): _*) // overlaps at 21k
+      q.processAllAvailable()
+      val fin = spark.table("kmv_conv").orderBy(col("emit").desc).limit(1)
+        .select(graft.plans.GraftExtensions.kmvEstimateNative(col("mins"), 64)
+          .as("_e"))
+        .select("_e.n_state", "_e.est").head
+      val batch = ((1L to 300L).map(_ * 7) ++ (1L to 300L).map(_ * 3))
+        .toDF("v")
+        .agg(graft.plans.GraftExtensions.kmvNative(col("v"), 64).as("_k"))
+        .select("_k.n_state", "_k.est").head
+      assert(fin == batch)
+    } finally q.stop()
+  }
+
   test("plan shapes: register table is one exchange; screen joins broadcast") {
     val df = (1L to 1000L).toDF("v").withColumn("g", lit("a"))
     val regPlan = Sketches.hllRegisters(df, Seq("g"), "v")
