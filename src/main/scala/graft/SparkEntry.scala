@@ -493,6 +493,21 @@ object SparkEntry {
         .orderBy("t")
     }),
 
+    // ---- analytics tier: Kaplan–Meier WITH censoring ----
+    // Users who never purchase are censored at their last-seen day —
+    // they leave the risk set without a death term (the standard KM
+    // estimator; q196 is the no-censoring special case). Gated in log
+    // space over the shared integer-log kernel like q196.
+    "q201_km_censored" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+      val life = ev.groupBy("user_id")
+        .agg((max("day") - min("day")).as("lifetime"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("event"))
+      Analytics.kaplanMeier(life, "lifetime", Some("event")).orderBy("t")
+    }),
+
     // ---- curation tier: all-pairs corpus similarity matrix ----
     // q170 for EVERY source pair in one pass: per-shingle source sets
     // explode into pair counts (bounded by #sources², never rows) —
@@ -2515,18 +2530,29 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
 
+    // Shared integer log kernel (FixedMath.lnCteSql — the exact
+    // bit-recurrence Spark runs via graft_ln_q12): no libm ln anywhere,
+    // so the hash is a property of the data, not the oracle's build.
+    // E = n·L(n) − Σ c·L(c); entropy_q = E // n (floor ≡ DIV on ≥ 0).
     "q199_user_entropy" ->
-      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+      ("""WITH RECURSIVE
+        |c AS (SELECT user_id, event_type, COUNT(*) AS c
         |  FROM events GROUP BY 1, 2),
         |t AS (SELECT user_id, c,
-        |    SUM(c) OVER (PARTITION BY user_id) AS n FROM c),
-        |q AS (SELECT user_id, n,
-        |    CAST(floor(-((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1e12) AS BIGINT) AS tq
-        |  FROM t)
-        |SELECT user_id, MAX(n) AS n_events, COUNT(*) AS n_cats,
-        |  CAST(SUM(tq) AS DOUBLE) / 1e12 AS entropy
-        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+        |    CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n FROM c),
+        |_ks AS (SELECT DISTINCT k FROM
+        |  (SELECT c AS k FROM t UNION SELECT n FROM t)),
+        |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
+        |q AS (SELECT t.user_id, t.c, t.n, lc.l AS lc, lnn.l AS lnn
+        |  FROM t JOIN _lnq lc ON lc.k = t.c
+        |         JOIN _lnq lnn ON lnn.k = t.n),
+        |e AS (SELECT user_id, MAX(n) AS n_events, COUNT(*) AS n_cats,
+        |    MAX(n)::HUGEINT * MAX(lnn) - SUM(c::HUGEINT * lc) AS e
+        |  FROM q GROUP BY user_id)
+        |SELECT user_id, n_events, n_cats,
+        |  CAST(e // CAST(n_events AS HUGEINT) AS BIGINT) AS entropy_q,
+        |  CAST(CAST(e // CAST(n_events AS HUGEINT) AS BIGINT) AS DOUBLE) / 1e12 AS entropy
+        |FROM e ORDER BY user_id""".stripMargin),
 
     "q198_gini" ->
       """WITH rev AS (
@@ -2583,8 +2609,14 @@ object SparkEntry {
         |CROSS JOIN ns
         |ORDER BY type_a, type_b""".stripMargin,
 
+    // Same integer log kernel as q199; the survival curve is gated in
+    // log space (log_surv_q = Σ L(n−d) − L(n), exact longs) — the
+    // round-9 exp(·) terminal double was a libm property, not a data
+    // property, and is deliberately not emitted. d = n (the necessarily
+    // final row) pins log_surv_q to NULL (S = 0).
     "q196_survival_km" ->
-      """WITH life AS (
+      ("""WITH RECURSIVE
+        |life AS (
         |  SELECT user_id,
         |    MAX(epoch_us(ts) // 86400000000) - MIN(epoch_us(ts) // 86400000000) AS t
         |  FROM events GROUP BY user_id),
@@ -2593,19 +2625,55 @@ object SparkEntry {
         |    SUM(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum,
         |    SUM(d) OVER () AS tot
         |  FROM g),
-        |k AS (SELECT t, d, tot - cum + d AS n_at_risk FROM r),
-        |q AS (SELECT t, d, n_at_risk,
-        |    CASE WHEN d = n_at_risk THEN 0
-        |      ELSE CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)) * 1e12) AS BIGINT)
-        |    END AS lq,
-        |    CASE WHEN d = n_at_risk THEN 1 ELSE 0 END AS dead
-        |  FROM k)
+        |kk AS (SELECT t, d, CAST(tot - cum + d AS BIGINT) AS n_at_risk FROM r),
+        |_ks AS (SELECT DISTINCT k FROM (
+        |  SELECT n_at_risk AS k FROM kk WHERE d < n_at_risk
+        |  UNION SELECT n_at_risk - d FROM kk WHERE d < n_at_risk)),
+        |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
+        |q AS (SELECT kk.t, kk.d, kk.n_at_risk,
+        |    CASE WHEN kk.d = kk.n_at_risk THEN NULL
+        |      ELSE lnd.l - lnn.l END AS lq
+        |  FROM kk LEFT JOIN _lnq lnn ON lnn.k = kk.n_at_risk
+        |          LEFT JOIN _lnq lnd ON lnd.k = kk.n_at_risk - kk.d)
         |SELECT t, d, n_at_risk,
-        |  CASE WHEN MAX(dead) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
-        |    THEN 0.0
-        |    ELSE exp(CAST(SUM(lq) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e12)
-        |  END AS survival
-        |FROM q ORDER BY t""".stripMargin,
+        |  CASE WHEN d = n_at_risk THEN NULL
+        |    ELSE CAST(SUM(lq) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |  END AS log_surv_q
+        |FROM q ORDER BY t""".stripMargin),
+
+    // q196's estimator with censoring: censored subjects (never-
+    // purchasers) shrink the risk set without a death term; d = 0
+    // rows carry the running sum unchanged.
+    "q201_km_censored" ->
+      ("""WITH RECURSIVE
+        |life AS (
+        |  SELECT user_id,
+        |    MAX(epoch_us(ts) // 86400000000) - MIN(epoch_us(ts) // 86400000000) AS t,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS evt
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT t, CAST(SUM(evt) AS BIGINT) AS d,
+        |    CAST(SUM(1 - evt) AS BIGINT) AS c
+        |  FROM life GROUP BY t),
+        |r AS (SELECT t, d, c,
+        |    SUM(d + c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(d + c) OVER () AS tot
+        |  FROM g),
+        |kk AS (SELECT t, d, c, CAST(tot - cum + d + c AS BIGINT) AS n_at_risk FROM r),
+        |_ks AS (SELECT DISTINCT k FROM (
+        |  SELECT n_at_risk AS k FROM kk WHERE d > 0 AND d < n_at_risk
+        |  UNION SELECT n_at_risk - d FROM kk WHERE d > 0 AND d < n_at_risk)),
+        |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
+        |q AS (SELECT kk.t, kk.d, kk.c, kk.n_at_risk,
+        |    CASE WHEN kk.d = 0 THEN 0
+        |      WHEN kk.d = kk.n_at_risk THEN NULL
+        |      ELSE lnd.l - lnn.l END AS lq
+        |  FROM kk LEFT JOIN _lnq lnn ON lnn.k = kk.n_at_risk
+        |          LEFT JOIN _lnq lnd ON lnd.k = kk.n_at_risk - kk.d)
+        |SELECT t, d, c, n_at_risk,
+        |  CASE WHEN d = n_at_risk THEN NULL
+        |    ELSE CAST(SUM(lq) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |  END AS log_surv_q
+        |FROM q ORDER BY t""".stripMargin),
 
     "q195_corpus_matrix" ->
       """WITH sh AS (
@@ -2626,25 +2694,43 @@ object SparkEntry {
         |JOIN n nb ON nb.source = source_b
         |ORDER BY source_a, source_b""".stripMargin,
 
-    // z² written as 1.96*1.96 (not the decimal 3.8416 — a DIFFERENT
-    // double) so both engines square the same literal
+    // Integer Wilson (FixedMath.wilsonLbQ9 / isqrtCteSql): z = 49/25 as
+    // a RATIONAL — the round-9 form's `1.96` literal parses DOUBLE on
+    // DuckDB 1.0.x but DECIMAL(3,2) on newer builds, so `1.96*1.96`
+    // constant-folds to a different double and the hash flips on
+    // exactly the builds the builder can't test against. All integer
+    // ops + floor-isqrt; the derived doubles are single
+    // correctly-rounded divisions of exactly-representable values.
     "q194_wilson_ranking" ->
-      """WITH o AS (SELECT o_custkey, COUNT(*) AS n_ord
+      ("""WITH RECURSIVE
+        |o AS (SELECT o_custkey, COUNT(*) AS n_ord
         |  FROM orders GROUP BY 1),
         |c AS (SELECT c_mktsegment, COALESCE(n_ord, 0) AS n_ord
         |  FROM customer LEFT JOIN o ON c_custkey = o_custkey),
         |m AS (SELECT c_mktsegment, COUNT(*) AS trials,
-        |    SUM(CASE WHEN n_ord >= 10 THEN 1 ELSE 0 END) AS conversions
+        |    CAST(SUM(CASE WHEN n_ord >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS conversions
         |  FROM c GROUP BY 1),
-        |d AS (SELECT c_mktsegment, trials, conversions,
-        |    CAST(trials AS DOUBLE) AS n,
-        |    CAST(conversions AS DOUBLE) / CAST(trials AS DOUBLE) AS p
-        |  FROM m)
-        |SELECT c_mktsegment, trials, conversions, p AS rate,
-        |  (p + (1.96 * 1.96) / (2.0 * n)
-        |    - 1.96 * sqrt(p * (1.0 - p) / n + (1.96 * 1.96) / (4.0 * n * n)))
-        |  / (1.0 + (1.96 * 1.96) / n) AS wilson_lb
-        |FROM d ORDER BY c_mktsegment""".stripMargin,
+        |_sa AS (SELECT c_mktsegment AS id,
+        |    CAST(2500 AS HUGEINT)
+        |      * (CAST(2500 AS HUGEINT) * conversions * (trials - conversions)
+        |         + CAST(2401 AS HUGEINT) * trials)
+        |      * trials * 1000000 AS a
+        |  FROM m),
+        |""".stripMargin + graft.functions.FixedMath.isqrtCteSql + """
+        |SELECT m.c_mktsegment, m.trials, m.conversions,
+        |  CAST(m.conversions AS DOUBLE) / CAST(m.trials AS DOUBLE) AS rate,
+        |  CAST((CAST(62500000 AS HUGEINT) * m.conversions * m.trials
+        |      + CAST(120050000 AS HUGEINT) * m.trials
+        |      - CAST(49 AS HUGEINT) * i.r) * 1000000000
+        |    // (CAST(100000 AS HUGEINT) * m.trials
+        |        * (CAST(625 AS HUGEINT) * m.trials + 2401)) AS BIGINT) AS wilson_lb_q9,
+        |  CAST(CAST((CAST(62500000 AS HUGEINT) * m.conversions * m.trials
+        |      + CAST(120050000 AS HUGEINT) * m.trials
+        |      - CAST(49 AS HUGEINT) * i.r) * 1000000000
+        |    // (CAST(100000 AS HUGEINT) * m.trials
+        |        * (CAST(625 AS HUGEINT) * m.trials + 2401)) AS BIGINT) AS DOUBLE) / 1e9 AS wilson_lb
+        |FROM m JOIN _isq i ON i.id = m.c_mktsegment
+        |ORDER BY m.c_mktsegment""".stripMargin),
 
     // q81's quantization replay feeding exact per-(label, dim) integer
     // sums; dot/norms stay < 2^53 so the doubles are engine-identical
@@ -3098,7 +3184,7 @@ object SparkEntry {
         |    SUM(CAST(value AS DECIMAL(18,4))) AS rev
         |  FROM s WHERE event_type = 'purchase' GROUP BY user_id, sid)
         |SELECT f.first_type, SUM(c.nc) AS n_conversions,
-        |  CAST(SUM(c.rev) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(c.rev) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM c JOIN f USING (user_id, sid)
         |GROUP BY f.first_type ORDER BY f.first_type""".stripMargin,
 

@@ -533,25 +533,48 @@ object Analytics {
 
   /** Shannon entropy of a categorical distribution per key — behavioral
     * diversity ("does this user do one thing or many") as one number.
-    * Each term −p·ln p is QUANTIZED to 10⁻¹² fixed-point (identical
-    * IEEE double → identical floor), so the per-key sum is an exact
-    * integer — order-independent across engines and partitionings (the
-    * q196 log-space discipline applied to entropy).
+    *
+    * Determinism discipline (round-10 hardening): H = ln n − (Σ c·ln c)/n
+    * is computed ENTIRELY in integers over the shared fixed-point log
+    * kernel L(k) ([[graft.functions.FixedMath.lnQ12]], replicated as a
+    * DuckDB recursive CTE): E = n·L(n) − Σ c·L(c) is an exact integer
+    * (DECIMAL(38,0) sums — headroom past 2⁶³ for 10⁹-event keys), and
+    * the gated value entropy_q = E DIV n is fixed-point entropy at
+    * 10⁻¹² — no libm ln anywhere, so the hash survives any oracle
+    * build. The round-9 form quantized each −p·ln p *double* term,
+    * which was order-free within an engine but still assumed both
+    * engines' `ln` returned identical doubles; a different libm flips
+    * the floor (the driver-gate failure this replaces).
     *
     * Scale shape: one groupBy(key, cat) + a per-key window for the
-    * total + one groupBy(key); every shuffle hashes the key.
+    * total + one groupBy(key); every shuffle hashes the key; L runs
+    * codegen'd on the (key, cat) count table.
     */
   def categoryEntropy(df: DataFrame, keyCol: String,
       catCol: String): DataFrame = {
+    import graft.plans.GraftExtensions.lnQ12Native
     val counts = df.groupBy(col(keyCol), col(catCol))
       .agg(count(lit(1)).as("_c"))
       .withColumn("_n", sum("_c").over(Window.partitionBy(keyCol)))
-    val p = col("_c").cast("double") / col("_n").cast("double")
     counts
-      .withColumn("_t", floor(-(p * log(p)) * lit(1e12)).cast("long"))
+      .withColumn("_t",
+        (col("_c").cast("decimal(38,0)") *
+          lnQ12Native(col("_c")).cast("decimal(38,0)")).cast("decimal(38,0)"))
       .groupBy(col(keyCol))
       .agg(max("_n").as("n_events"), count(lit(1)).as("n_cats"),
-        (sum("_t").cast("double") / lit(1e12)).as("entropy"))
+        sum(col("_t")).as("_sc"))
+      .withColumn("_e",
+        (col("n_events").cast("decimal(38,0)") *
+          lnQ12Native(col("n_events")).cast("decimal(38,0)") -
+          col("_sc")).cast("decimal(38,0)"))
+      // E DIV n: truncating integral division ≡ floor here (E ≥ 0 by
+      // concavity), identical to DuckDB's `//` on positives
+      .withColumn("entropy_q", expr("_e DIV n_events"))
+      .select(col(keyCol), col("n_events"), col("n_cats"), col("entropy_q"),
+        // entropy_q ≤ ln(n)·10¹² < 2⁵³, so the long→double conversion is
+        // exact and the single division is correctly rounded — identical
+        // in any engine
+        (col("entropy_q").cast("double") / lit(1e12)).as("entropy"))
   }
 
   /** Gini coefficient per group — revenue/usage concentration as one
@@ -615,70 +638,91 @@ object Analytics {
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
 
-  /** Kaplan–Meier survival curve over integer durations (no censoring:
-    * every subject contributes one death): at each distinct duration t,
-    * d_t deaths out of n_t = Σ_{s≥t} d_s at risk, and
-    * S(t) = Π_{s≤t} (1 − d_s/n_s).
+  /** Kaplan–Meier survival curve over integer durations, optionally
+    * censored: at each distinct duration t, d_t events (deaths) and
+    * c_t censored exits out of n_t = Σ_{s≥t} (d_s + c_s) at risk, and
+    * S(t) = Π_{s≤t, d_s>0} (1 − d_s/n_s). Censored subjects leave the
+    * risk set without contributing a death term — the standard KM
+    * estimator; with `eventCol = None` every subject is an event and
+    * the curve reduces to the no-censoring special case.
     *
-    * Determinism discipline: the product is taken in log space with
-    * each ln(1 − d/n) QUANTIZED to 10⁻¹² fixed-point (floor of an
-    * identical IEEE double → identical long), so the running product
-    * is an exact integer sum — order-independent across engines AND
-    * window implementations (a raw double log-sum would differ by ulps
-    * under DuckDB's segment-tree windows vs Spark's sequential frames).
-    * The final S = exp(cum/10¹²) is one identical double op. The last
-    * point (d = n) pins S = 0 exactly.
+    * Determinism discipline (round-10 hardening): the log-space product
+    * uses the shared integer log kernel — each term is the exact long
+    * L(n−d) − L(n) with L = [[graft.functions.FixedMath.lnQ12]]
+    * (fixed-point ln·10¹², no libm), so the running sum `log_surv_q`
+    * is an exact integer in ANY engine/build — order-independent
+    * across window implementations too. The terminal double
+    * S = exp(·) of round 9 is deliberately NOT emitted: `exp` is not
+    * correctly rounded, so its last bit is a property of the oracle's
+    * libm, not of the data (S = exp(log_surv_q/10¹²) is one call away
+    * for a reader). d = n (everyone remaining dies — necessarily the
+    * final row) pins log_surv_q to NULL, the log-space S = 0.
     *
     * Scale shape: one groupBy(duration) collapses subjects before the
     * window; the window runs over DISTINCT durations (calendar-bounded,
     * partition-less by design — document the cap, not the rows).
     */
-  def kaplanMeier(df: DataFrame, durationCol: String): DataFrame = {
-    val grouped = df.groupBy(col(durationCol).as("t"))
-      .agg(count(lit(1)).as("d"))
+  def kaplanMeier(df: DataFrame, durationCol: String,
+      eventCol: Option[String] = None): DataFrame = {
+    import graft.plans.GraftExtensions.lnQ12Native
+    val evt = eventCol.map(c => col(c).cast("int")).getOrElse(lit(1))
+    val grouped = df
+      .select(col(durationCol).as("t"), evt.as("_evt"))
+      .groupBy(col("t"))
+      .agg(sum(col("_evt")).cast("long").as("d"),
+        sum(lit(1L) - col("_evt")).cast("long").as("c"))
     val w = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withRisk = grouped
-      .withColumn("_cum", sum("d").over(w))
-      .withColumn("_tot", sum("d").over(
+      .withColumn("_cum", (sum("d").over(w) + sum("c").over(w)))
+      .withColumn("_tot", sum(col("d") + col("c")).over(
         Window.orderBy("t").rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
-      .withColumn("n_at_risk", col("_tot") - col("_cum") + col("d"))
-    val term = lit(1.0) -
-      col("d").cast("double") / col("n_at_risk").cast("double")
+      .withColumn("n_at_risk", col("_tot") - col("_cum") + col("d") + col("c"))
     withRisk
       .withColumn("_lq",
-        when(col("d") === col("n_at_risk"), lit(0L))
-          .otherwise(floor(log(term) * lit(1e12)).cast("long")))
-      .withColumn("_dead",
-        max(when(col("d") === col("n_at_risk"), 1).otherwise(0)).over(w))
-      .withColumn("survival",
-        when(col("_dead") === 1, lit(0.0))
-          .otherwise(exp(sum(col("_lq")).over(w).cast("double") / lit(1e12))))
-      .select(col("t"), col("d"), col("n_at_risk"), col("survival"))
+        when(col("d") === lit(0L), lit(0L))
+          .when(col("d") === col("n_at_risk"), lit(null))
+          .otherwise(lnQ12Native(col("n_at_risk") - col("d")) -
+            lnQ12Native(col("n_at_risk"))))
+      .withColumn("log_surv_q",
+        when(col("d") === col("n_at_risk"), lit(null))
+          .otherwise(sum(col("_lq")).over(w)))
+      .select((Seq(col("t"), col("d")) ++
+        (if (eventCol.isDefined) Seq(col("c")) else Nil) ++
+        Seq(col("n_at_risk"), col("log_surv_q"))): _*)
   }
 
   /** Wilson-score lower bound per group: rank segments by the
     * conservative end of the binomial confidence interval instead of
-    * the raw rate — the standard fix for "5/5 beats 900/1000". From
-    * exact (conversions, trials) counts the bound is one closed-form
-    * double expression (z fixed), identical in any engine.
+    * the raw rate — the standard fix for "5/5 beats 900/1000".
     *
-    * lb = (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    *   lb = (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    *
+    * Determinism discipline (round-10 hardening): z is the RATIONAL
+    * 49/25 and the bound is computed as a 10⁻⁹ fixed-point long by
+    * pure integer arithmetic + floor-isqrt
+    * ([[graft.functions.FixedMath.wilsonLbQ9]], replicated as a DuckDB
+    * Newton CTE). The round-9 closed-form double was built from the
+    * literal `1.96`, which DuckDB's newer releases parse as
+    * DECIMAL(3,2) — so `1.96*1.96` constant-folds to the decimal
+    * 3.8416 whose double differs from `1.96d*1.96d` by one ulp, and
+    * the hash flips on exactly the builds the builder can't test
+    * against. Integer in, integer out ends that class of failure; the
+    * derived `wilson_lb` double is lb_q9→double (exact, < 2⁵³) over
+    * the exact literal 1e9 — one correctly-rounded division.
     */
-  def wilsonLowerBound(df: DataFrame, groupCol: String, isConv: Column,
-      z: Double = 1.96): DataFrame = {
+  def wilsonLowerBound(df: DataFrame, groupCol: String,
+      isConv: Column): DataFrame = {
+    import graft.plans.GraftExtensions.wilsonLbQ9Native
     val m = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("trials"),
         sum(when(isConv, 1L).otherwise(0L)).as("conversions"))
-    val n = col("trials").cast("double")
-    val p = col("conversions").cast("double") / n
-    val z2 = lit(z * z)
-    val lb = (p + z2 / (lit(2.0) * n) -
-      lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))) /
-      (lit(1.0) + z2 / n)
+    val p = col("conversions").cast("double") / col("trials").cast("double")
     m.select(col(groupCol), col("trials"), col("conversions"),
-      p.as("rate"), lb.as("wilson_lb"))
+      p.as("rate"),
+      wilsonLbQ9Native(col("trials"), col("conversions")).as("wilson_lb_q9"))
+      .withColumn("wilson_lb", col("wilson_lb_q9").cast("double") / lit(1e9))
   }
 
   /** Grouped least-squares trend: per group, the OLS slope/intercept of

@@ -56,6 +56,19 @@ object GraftExtensions {
         }
         TopKAgg(children.head, children(1), k)
       }),
+    (new FunctionIdentifier("graft_ln_q12"),
+      new ExpressionInfo(classOf[FixedPointLn].getName, "graft_ln_q12"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_ln_q12(k) takes one long arg")
+        FixedPointLn(children.head)
+      }),
+    (new FunctionIdentifier("graft_wilson_lb_q9"),
+      new ExpressionInfo(classOf[WilsonLowerBoundQ9].getName, "graft_wilson_lb_q9"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_wilson_lb_q9(trials, conversions) takes two long args")
+        WilsonLowerBoundQ9(children.head, children(1))
+      }),
     (new FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
       (children: Seq[Expression]) => {
@@ -151,6 +164,25 @@ object GraftExtensions {
   def kmvEstimateNative(mins: Column, k: Int): Column = {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(KmvEstimate(ColumnShim.expression(mins), k))
+  }
+
+  /** Registration-free fixed-point ln(k)·10¹² (see [[cosineNative]]) —
+    * the cross-engine-deterministic log behind entropy/Kaplan–Meier
+    * (graft.functions.FixedMath.lnQ12 as a codegen'd expression).
+    */
+  def lnQ12Native(k: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(FixedPointLn(ColumnShim.expression(k)))
+  }
+
+  /** Registration-free Wilson lower bound at 10⁻⁹ fixed point (see
+    * [[cosineNative]]): integer arithmetic + floor-isqrt from exact
+    * (trials, conversions) — bit-identical on any engine build.
+    */
+  def wilsonLbQ9Native(trials: Column, conversions: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(WilsonLowerBoundQ9(
+      ColumnShim.expression(trials), ColumnShim.expression(conversions)))
   }
 
   /** Registration-free k-char shingle digests (see [[cosineNative]]):

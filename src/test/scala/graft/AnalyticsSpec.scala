@@ -291,22 +291,63 @@ class AnalyticsSpec extends SparkSpec {
     val df = rows.toDF("user_id", "event_type")
     def run(d: org.apache.spark.sql.DataFrame) =
       Analytics.categoryEntropy(d, "user_id", "event_type")
-        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+        .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
     val r = run(df)
     assert(math.abs(r(1L) - math.log(4.0)) < 1e-9)
     assert(r(2L) == 0.0)
-    assert(run(df.repartition(7)) == r) // fixed-point sum is order-free
+    assert(run(df.repartition(7)) == r) // integer sum is order-free
   }
 
-  test("kaplanMeier: hand-computed curve; terminal point pinned to 0") {
+  test("kaplanMeier: hand-computed curve; terminal point pinned to NULL (S=0)") {
     val life = Seq(0L, 0L, 1L, 2L, 2L).toDF("lifetime")
     val km = Analytics.kaplanMeier(life, "lifetime").orderBy("t").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
     assert(km.map(x => (x._1, x._2, x._3)).toSeq ==
       Seq((0L, 2L, 5L), (1L, 1L, 3L), (2L, 2L, 2L)))
-    assert(math.abs(km(0)._4 - 0.6) < 1e-9)        // 3/5
-    assert(math.abs(km(1)._4 - 0.4) < 1e-9)        // 3/5 · 2/3
-    assert(km(2)._4 == 0.0)                        // everyone at risk dies
+    import graft.functions.FixedMath.lnQ12
+    assert(km(0)._4.contains(lnQ12(3) - lnQ12(5)))        // S = 3/5
+    assert(math.abs(math.exp(km(0)._4.get / 1e12) - 0.6) < 1e-9)
+    assert(km(1)._4.contains(lnQ12(3) - lnQ12(5) + lnQ12(2) - lnQ12(3)))
+    assert(math.abs(math.exp(km(1)._4.get / 1e12) - 0.4) < 1e-9) // 3/5 · 2/3
+    assert(km(2)._4.isEmpty)                      // everyone at risk dies
+  }
+
+  test("kaplanMeier censored: censored exits shrink risk set, no death term") {
+    // t=0: 1 death + 1 censored of 5; t=1: 1 death of 3; t=2: 2 censored
+    val life = Seq((0L, 1), (0L, 0), (1L, 1), (2L, 0), (2L, 0))
+      .toDF("lifetime", "event")
+    val km = Analytics.kaplanMeier(life, "lifetime", Some("event"))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    import graft.functions.FixedMath.lnQ12
+    assert(km.map(x => (x._1, x._2, x._3, x._4)).toSeq ==
+      Seq((0L, 1L, 1L, 5L), (1L, 1L, 0L, 3L), (2L, 0L, 2L, 2L)))
+    assert(km(0)._5.contains(lnQ12(4) - lnQ12(5)))        // S = 4/5
+    assert(km(1)._5.contains(lnQ12(4) - lnQ12(5) + lnQ12(2) - lnQ12(3)))
+    assert(km(2)._5 == km(1)._5) // censored-only row leaves S unchanged
+    assert(math.abs(math.exp(km(1)._5.get / 1e12) - 4.0 / 5 * 2 / 3) < 1e-9)
+  }
+
+  test("wilsonLowerBound: integer kernel matches the closed form; 5/5 loses to 900/1000") {
+    val rows = (1 to 5).map(i => ("small", i <= 5)) ++
+      (1 to 1000).map(i => ("big", i <= 900))
+    val r = Analytics.wilsonLowerBound(rows.toDF("g", "conv"), "g", col("conv"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(4), x.getDouble(5)))).toMap
+    val (n5, s5, q5, lb5) = r("small"); val (nB, sB, qB, lbB) = r("big")
+    assert((n5, s5) == ((5L, 5L)) && (nB, sB) == ((1000L, 900L)))
+    assert(lb5 < lbB) // the whole point of Wilson ranking
+    def closed(n: Double, s: Double): Double = {
+      val p = s / n; val z = 1.96; val z2 = z * z
+      (p + z2 / (2 * n) - z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))) /
+        (1 + z2 / n)
+    }
+    assert(math.abs(lb5 - closed(5, 5)) < 1e-7)
+    assert(math.abs(lbB - closed(1000, 900)) < 1e-7)
+    assert(q5 == graft.functions.FixedMath.wilsonLbQ9(5, 5))
+    assert(qB == graft.functions.FixedMath.wilsonLbQ9(1000, 900))
   }
 
   test("groupedTrend: exact line recovered; flat series has slope 0") {
