@@ -172,16 +172,19 @@ object Bench {
     val calibPost = calibMs()
     val calibMtPost = calibMtMs(cpus.toInt)
     val envJson = f"""{"load1_pre":$load1Pre%.2f,"load5_pre":$load5Pre%.2f,"load1_post":$load1Post%.2f,"load5_post":$load5Post%.2f,"calib_ms_pre":$calibPre%.1f,"calib_ms_post":$calibPost%.1f,"calib_mt_ms_pre":$calibMtPre%.1f,"calib_mt_ms_post":$calibMtPost%.1f,"calib_mt_threads":$cpus}"""
-    val jsonLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"failed":$failedJson,"env":$envJson,"queries":$qJson,"queries_min":$minJson,"sf":"$sfDir"}"""
-    println(jsonLine)
-    // Belt-and-braces: every historical BENCH_r{N}.json shows parsed=None
-    // (the driver's stdout capture loses the line in Spark log noise), so
-    // the same line also lands in a well-known file a reader can always
-    // recover the numbers from.
+    // STDOUT line sized for the driver's capture: BENCH_r{N}.json keeps
+    // only the LAST 2000 chars of stdout, and r10's full record (2836
+    // chars with queries_min) overflowed it — the JSON head was cut and
+    // `parsed` came back null every round. The printed line therefore
+    // carries medians only (~1.6k chars incl. env); the COMPLETE record
+    // (plus per-query min) goes to bench_last.json, which is committed.
+    val stdoutLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"failed":$failedJson,"env":$envJson,"queries":$qJson,"sf":"$sfDir"}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"failed":$failedJson,"env":$envJson,"queries":$qJson,"queries_min":$minJson,"sf":"$sfDir"}"""
+    println(stdoutLine)
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (jsonLine + "\n").getBytes("UTF-8"))
+        (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
   }
 }

@@ -287,7 +287,7 @@ object SparkEntry {
     "q158_agg_state_merge" -> ((s, dir) => {
       val ev = events(s, dir)
         .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
-      val path = s"/tmp/graft_aggstate_${System.nanoTime()}"
+      val path = TempDirs.scratch("aggstate")
       Validation.aggState(ev, Seq("event_type"), "day", "value")
         .write.mode("overwrite").parquet(path)
       Validation.mergeAggStates(Seq(s.read.parquet(path)), Seq("event_type"))
@@ -832,7 +832,7 @@ object SparkEntry {
     "q177_partitioned_scan" -> ((s, dir) => {
       val ev = events(s, dir)
         .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
-      val path = s"/tmp/graft_part_${System.nanoTime()}"
+      val path = TempDirs.scratch("part")
       ev.write.mode("overwrite").partitionBy("day").parquet(path)
       val lo = ev.agg(min("day")).head.getLong(0) + 7
       s.read.parquet(path)
@@ -1323,7 +1323,7 @@ object SparkEntry {
     "q116_knn_ivf_indexed" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val (cents, assigned) = Similarity.ivfIndexInt8(e, nCells = 16, iters = 2)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      val tmp = TempDirs.scratch("ivf")
       Similarity.saveIvfIndex(cents, assigned, tmp)
       val (lc, la) = Similarity.loadIvfIndex(s, tmp)
       Similarity.ivfTopKInt8Against(lc, la, e.filter(col("vec_id") < 20),
@@ -2711,10 +2711,12 @@ object SparkEntry {
         |    CAST(SUM(CASE WHEN n_ord >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS conversions
         |  FROM c GROUP BY 1),
         |_sa AS (SELECT c_mktsegment AS id,
-        |    CAST(2500 AS HUGEINT)
+        |    CASE WHEN trials > 477525395
+        |      THEN CAST(error('q194 oracle: trials exceeds the HUGEINT radicand ceiling 477525395 (worst case s=n/2) - rescale or switch to the engine-side BigInteger path') AS HUGEINT)
+        |      ELSE CAST(2500 AS HUGEINT)
         |      * (CAST(2500 AS HUGEINT) * conversions * (trials - conversions)
         |         + CAST(2401 AS HUGEINT) * trials)
-        |      * trials * 1000000 AS a
+        |      * trials * 1000000 END AS a
         |  FROM m),
         |""".stripMargin + graft.functions.FixedMath.isqrtCteSql + """
         |SELECT m.c_mktsegment, m.trials, m.conversions,
@@ -2997,7 +2999,8 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id, sid, pord ORDER BY us, event_id) AS rk,
         |    COUNT(*) OVER (PARTITION BY user_id, sid, pord) AS n
         |  FROM t),
-        |cr AS (SELECT event_type, vt // n + CASE WHEN rk <= vt % n THEN 1 ELSE 0 END AS credit FROM r),
+        |cr AS (SELECT event_type, (vt - ((vt % n) + n) % n) // n
+        |    + CASE WHEN rk <= ((vt % n) + n) % n THEN 1 ELSE 0 END AS credit FROM r),
         |selfc AS (SELECT 'purchase' AS event_type, vt AS credit FROM conv c
         |  WHERE NOT EXISTS (SELECT 1 FROM t
         |    WHERE t.user_id = c.user_id AND t.sid = c.sid AND t.pord = c.pord))

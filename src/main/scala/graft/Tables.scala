@@ -36,6 +36,17 @@ object Tables {
     * Spark's vectorized reader rejects; read nanos as long (legacy conf)
     * and convert to a microsecond TimestampType column (integer DIV —
     * epoch-ns exceeds double precision).
+    *
+    * DAY-BUCKET CONTRACT (every `unix_micros(ts) DIV 86400000000` site
+    * and its oracle `epoch_us(ts) // 86400000000` twin): both Spark's
+    * `DIV` and this container's DuckDB `//` TRUNCATE toward zero on
+    * integers (verified: `(-7) // 2 = -3`), so the engines agree on
+    * any timestamp — but truncation folds the day fractions on either
+    * side of 1970-01-01 into bucket 0. Cross-engine hashes are safe;
+    * the bucket SEMANTICS assume post-epoch event time. If pre-1970
+    * event data ever matters, switch BOTH sides to a pmod-floor form
+    * in one commit — changing only one engine flips every day-bucket
+    * hash.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -53,9 +53,11 @@ object FixedMath {
     * floor(ln2·10^15)/1000. Every step is an integer op with floor
     * division, so any faithful reimplementation (the DuckDB CTE in
     * [[lnCteSql]]) produces the *same long* — the property the
-    * correctness gate needs. Truncation error is < 10⁻⁴ of one
-    * 10⁻¹² unit, so the value is also the mathematically correct
-    * floor except within ~10⁻¹⁶ of a quantization boundary.
+    * correctness gate needs. Dominant truncation error is the
+    * floor(ln2·10¹⁵) constant (≈0.31 per 10¹⁵) scaled by log2(k) ≤ 63
+    * plus the 62-step recurrence floor noise: ≤ ~2·10⁻² of one 10⁻¹²
+    * unit total, so the value is the mathematically correct floor
+    * except within ~2·10⁻¹⁴ of a quantization boundary.
     */
   def lnQ12(k: Long): Long = {
     require(k >= 1L, s"lnQ12 domain is k >= 1, got $k")
@@ -92,8 +94,9 @@ object FixedMath {
     * The 10³ scale under the root keeps the result within 10⁻⁸ of the
     * real-valued bound; s=0 yields exactly 0 (the radicand becomes a
     * perfect square). HUGEINT headroom bounds the oracle side at
-    * n ≲ 4·10⁸ trials per group; the engine side is arbitrary
-    * precision.
+    * n ≤ 477,525,395 trials per group (worst case s = n/2 — exact
+    * boundary asserted in FixedMathSpec; the q194 oracle carries a
+    * loud guard); the engine side is arbitrary precision.
     */
   def wilsonLbQ9(trials: Long, conversions: Long): Long = {
     require(trials >= 0 && conversions >= 0 && conversions <= trials,

@@ -352,7 +352,11 @@ object Analytics {
     * session's FIRST event type (the channel that opened the session).
     * Output: (first_type, n_conversions, revenue) — revenue summed as
     * DECIMAL(18,4) (exact, order-independent) and cast to double once
-    * at the end, the q136 discipline.
+    * at the end VIA STRING: Spark's direct Decimal.toDouble goes
+    * through BigDecimal.doubleValue ((double)unscaled / 10^scale — two
+    * roundings, up to 1 ulp off), while decimal→string→double is
+    * Double.parseDouble, correctly rounded — identical by construction
+    * to DuckDB's VARCHAR→DOUBLE route used by the q156 oracle.
     *
     * Scale shape: one per-key window pass to sessionize + mark each
     * session's opener, one min-struct agg per session, then a slim
@@ -376,7 +380,7 @@ object Analytics {
       .filter(col("_nc") > 0)
       .groupBy(col(s"_first.$typeCol").as("first_type"))
       .agg(sum("_nc").as("n_conversions"),
-        sum("_rev").cast("double").as("revenue"))
+        sum("_rev").cast("string").cast("double").as("revenue"))
   }
 
   /** Multi-touch LINEAR attribution, exact to the 10⁻⁴ value unit:
@@ -417,7 +421,13 @@ object Analytics {
         part.orderBy(col("_us"), col("_ord"))))
       .withColumn("_n", count(lit(1)).over(part))
       .select(col("_ty"),
-        expr("_vt div _n + CASE WHEN _rk <= _vt % _n THEN 1 ELSE 0 END")
+        // floor-division split via pmod so NEGATIVE (refund) values
+        // conserve exactly too: m = pmod(vt,n) ∈ [0,n), base =
+        // (vt−m)/n is exact under ANY division semantics (vt−m is a
+        // multiple of n), and n·base + m ≡ vt. The old `div`/% pair
+        // truncated toward zero and silently under-credited refunds.
+        expr("(_vt - pmod(_vt, _n)) div _n + " +
+          "CASE WHEN _rk <= pmod(_vt, _n) THEN 1 ELSE 0 END")
           .as("_credit"))
     val untouched = conv.join(
         touches.select(col("_k"), col("_sid"), col("_pord")).distinct(),

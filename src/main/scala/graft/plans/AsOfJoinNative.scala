@@ -99,8 +99,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           while (curR == null && rIter.hasNext) {
             val r = rIter.next()
             val k = rk.eval(r)
-            if (k != null) { // null right keys join nothing — drop
-              curR = r.copy(); curRk = k; curRt = rt.eval(curR)
+            // null right keys OR null right times join nothing — drop
+            // both up front (the interpreted time ordering would NPE
+            // on a null operand otherwise).
+            if (k != null) {
+              val t = rt.eval(r)
+              if (t != null) { curR = r.copy(); curRk = k; curRt = t }
             }
           }
         }
@@ -112,6 +116,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val k = lk.eval(l)
           if (k == null) return resultProj(joined(l, nullRight))
           val t = lt.eval(l)
+          // a null left time admits no right row: emit null-extended
+          // without consuming the right side (order is preserved for
+          // the rows that follow).
+          if (t == null) return resultProj(joined(l, nullRight))
           var cont = curR != null
           while (cont) {
             val c = keyOrd.asInstanceOf[Ordering[Any]].compare(curRk, k)

@@ -3,6 +3,7 @@ package graft.plans
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -33,6 +34,12 @@ case class KmvSketchAgg(child: Expression, k: Int,
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
   require(k > 1, "graft_kmv needs k > 1")
+
+  // Strict bigint input — mismatches fail analysis, not update().
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_kmv requires a BIGINT argument, got ${child.dataType.sql}")
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_state", LongType, nullable = false),

@@ -5,6 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
@@ -40,14 +41,28 @@ case class TopKAgg(ord: Expression, id: Expression, k: Int,
   override def left: Expression = ord
   override def right: Expression = id
 
+  // Strict (ord: double, id: bigint) — a DECIMAL/INT input is an
+  // ANALYSIS error, not a runtime ClassCastException in update().
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ord.dataType == DoubleType && id.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_topk requires (DOUBLE ord, BIGINT id), got " +
+        s"(${ord.dataType.sql}, ${id.dataType.sql})")
+
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("ord", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false))), containsNull = false)
   override def nullable: Boolean = false
 
-  // (ord DESC, id ASC) — the window's ORDER BY as an Ordering
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // (ord DESC, id ASC) — the window's ORDER BY as an Ordering.
+  // java.lang.Double.compare, not raw >: a total order (NaN sorts
+  // above +Inf, exactly Spark's DESC NULLS/NaN placement) — raw >
+  // returns false BOTH ways on NaN and breaks sortWith's contract.
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def compact(buf: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
     if (buf.length > k) {

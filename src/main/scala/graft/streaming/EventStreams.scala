@@ -281,7 +281,14 @@ object EventStreams {
       .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    // LOUD timeout: awaitTermination(ms) returns false when the query
+    // is still running — the old code dropped the result and served a
+    // possibly-empty memory table as if the stream had drained.
+    if (!q.awaitTermination(120000)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"stream '$sinkName' did not drain within 120s (source $parquetPath)")
+    }
     spark.table(sinkName)
   }
 }

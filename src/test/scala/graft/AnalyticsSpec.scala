@@ -263,6 +263,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 10001L + 20000L)
   }
 
+  test("linearAttribution: NEGATIVE (refund) values conserve exactly") {
+    // vt = -10001 over 3 touches: floor split gives base -3334 with
+    // pmod remainder 1 → earliest touch gets -3333, total -10001.
+    // The pre-fix truncating div/% under-credited by 1 unit here.
+    val df = Seq(
+      (1L, 1L, "view", 0.0, 0L),
+      (1L, 2L, "click", 0.0, 1000000L),
+      (1L, 3L, "email", 0.0, 2000000L),
+      (1L, 4L, "purchase", -1.0001, 3000000L))
+      .map { case (u, e, t, v, us) => (u, e, t, v, ts(us)) }
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+    val got = Analytics.linearAttribution(df, "purchase")
+      .as[(String, Long, Long)].collect()
+      .map { case (t, n, c) => t -> ((n, c)) }.toMap
+    assert(got("view") == ((1L, -3333L)))  // earliest gets the +1 unit
+    assert(got("click") == ((1L, -3334L)))
+    assert(got("email") == ((1L, -3334L)))
+    assert(got.values.map(_._2).sum == -10001L)
+  }
+
   test("groupSizeSkew: counts, exact percentiles, heaviest key min-tie") {
     // keys: 10×a=3, 20×b=3, 30×c=2 → sizes (3,3,2); max 3; ties on max
     // size → smallest key 10 wins

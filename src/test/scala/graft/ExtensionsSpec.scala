@@ -362,6 +362,83 @@ class ExtensionsSpec extends SparkSpec {
         org.apache.spark.sql.catalyst.expressions.Literal("x"), "NFX")
     }
   }
+
+  test("graft_topk/graft_kmv: wrong input types are ANALYSIS errors") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1, BigDecimal("1.5"), 10L)).toDF("g", "d", "i")
+    // DECIMAL ord → analysis failure, not an executor ClassCastException
+    val eTopk = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g")
+        .agg(GraftExtensions.topKNative(col("d"), col("i"), 3).as("t"))
+        .collect()
+    }
+    assert(eTopk.getMessage.contains("graft_topk"), eTopk.getMessage)
+    // INT id (not BIGINT) is also rejected at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g")
+        .agg(GraftExtensions.topKNative(col("i").cast("double"),
+          col("g"), 3).as("t"))
+        .collect()
+    }
+    // graft_kmv on a DECIMAL column → analysis failure
+    val eKmv = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g")
+        .agg(GraftExtensions.kmvNative(col("d"), 16).as("k"))
+        .collect()
+    }
+    assert(eKmv.getMessage.contains("graft_kmv"), eKmv.getMessage)
+  }
+
+  test("graft_topk: NaN ord sorts like the window's DESC (NaN largest)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // raw `>` is false both ways on NaN and breaks sortWith's contract;
+    // Double.compare puts NaN above +Inf — exactly Spark's DESC order
+    val df = Seq((1, Double.NaN, 1L), (1, 5.0, 2L), (1, Double.NaN, 3L),
+      (1, Double.PositiveInfinity, 4L), (1, 7.0, 5L), (1, 5.0, 6L))
+      .toDF("g", "ord", "id").repartition(3)
+    val native = df.groupBy("g")
+      .agg(GraftExtensions.topKNative(col("ord"), col("id"), 4).as("t"))
+      .select(posexplode(col("t")))
+      .collect().map(r => (r.getInt(0),
+        r.getStruct(1).getDouble(0), r.getStruct(1).getLong(1))).toList
+    val w = Window.partitionBy("g").orderBy(col("ord").desc, col("id"))
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .select((col("rn") - 1).as("pos"), col("ord"), col("id"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toList
+    def key(t: (Int, Double, Long)) =
+      (t._1, java.lang.Double.doubleToLongBits(t._2), t._3)
+    assert(native.map(key).sorted == windowed.map(key).sorted)
+    assert(native.map(_._3).take(2).toSet == Set(1L, 3L)) // NaNs first
+  }
+
+  test("native as-of join: null times on either side are safe") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.AsOfJoinNative
+    val s = spark
+    import s.implicits._
+    // right rows with null q_ts are dropped (match nothing, no NPE);
+    // a left row with null t_ts emits null-extended output
+    val quotes = Seq((java.lang.Long.valueOf(1L), null: java.lang.Long, 1.0),
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(10L), 2.0))
+      .toDF("q_key", "q_ts", "px")
+    val trades = Seq((java.lang.Long.valueOf(1L), null: java.lang.Long),
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(20L)))
+      .toDF("t_key", "t_ts")
+    val got = AsOfJoinNative.join(trades, quotes,
+        "t_key", "q_key", "t_ts", "q_ts")
+      .select("t_key", "t_ts", "q_ts", "px").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    assert(got == Set(
+      (1L, -1L, -1L, -1.0),   // null left time → null-extended
+      (1L, 20L, 10L, 2.0)))   // null-time quote ignored, 10 matches
+  }
 }
 
 /** Forms exercised by the normalize golden test (kept outside the suite

@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Determinism lint over the ENTIRE oracle SQL surface (the r9 lesson,
+  * twice-deferred): four red rows in round 9 traced to libm
+  * transcendentals (`ln`/`exp`) and decimal-literal double rounding
+  * diverging between Spark and DuckDB. The fix class was FixedMath
+  * (integer kernels replayed as recursive CTEs); this lint keeps the
+  * class closed — a future query whose oracle calls a non-correctly-
+  * rounded float function, or embeds a decimal literal that has no
+  * exact binary representation, fails `sbt test` unless it is
+  * explicitly allowlisted here WITH a justification.
+  *
+  * What is and isn't deterministic across engines:
+  *   - `sqrt` IS correctly rounded (IEEE 754 requires it; both JVM
+  *     `Math.sqrt` and DuckDB delegate to the hardware instruction),
+  *     so `sqrt` over bit-identical inputs is engine-identical.
+  *   - `ln`/`exp`/`log`/`pow` are libm, NOT required to be correctly
+  *     rounded — agreement is a build property, not a guarantee.
+  *   - a decimal literal parses correctly-rounded in both engines, so
+  *     the literal itself is safe; non-dyadic literals are flagged
+  *     anyway because every r9 failure started life as one feeding
+  *     float arithmetic (1.96·se, 0.9·x, …) — make the author either
+  *     scale to integers or sign the risk here.
+  */
+class OracleLintSpec extends AnyFunSuite {
+
+  // (query, function) pairs allowed to keep a libm/sqrt call, each with
+  // the reason the cross-engine agreement is sound (or the risk owner).
+  private val fnAllow: Map[(String, String), String] = Map(
+    // sqrt over exact integer/decimal inputs: correctly-rounded IEEE —
+    // deterministic by spec, not by luck.
+    ("q37_knn_brute", "sqrt") -> "cosine denom; exact int inputs",
+    ("q38_knn_lsh", "sqrt") -> "cosine denom; exact int inputs",
+    ("q39_embedding_neardup", "sqrt") -> "cosine denom; exact int inputs",
+    ("q57_knn_ivf", "sqrt") -> "cosine denom; exact int inputs",
+    ("q81_embed_quantize", "sqrt") -> "l2norm of exact decimal squares",
+    ("q104_knn_classify", "sqrt") -> "cosine denom; exact int inputs",
+    ("q106_hard_negatives", "sqrt") -> "cosine denom; exact int inputs",
+    ("q116_knn_ivf_indexed", "sqrt") -> "cosine denom; exact int inputs",
+    ("q181_ab_ttest", "sqrt") -> "Welch denom over exact decimal vars",
+    ("q193_centroid_shift", "sqrt") -> "cosine denom; exact int sums",
+    // The ONE remaining libm site, risk signed: BM25 idf is
+    // floor(ln(r)*1e6 + 0.5) over a small rational grid r =
+    // (n-df+.5)/(df+.5)+1 — quantized to a micro unit, so divergence
+    // needs both engines' libm to disagree by >~5e-13 relative AND the
+    // product to straddle a floor boundary. Verified agreeing on every
+    // (n, df) the corpus can produce at gate SFs; revisit if the BM25
+    // corpus grows unbounded df domains.
+    ("q123_bm25_topk", "ln") -> "floor-quantized idf over bounded grid")
+
+  // Shared justification for small threshold literals: a non-dyadic
+  // literal with unscaled value and 10^scale both ≤ 2^53 converts to
+  // double via ONE correctly-rounded IEEE division (both operands
+  // exact), identically in Spark and DuckDB; downstream it feeds only
+  // IEEE +,-,*,/ comparisons over exact inputs — all correctly
+  // rounded, so the whole compare is engine-identical. (The r9 hazard
+  // was transcendentals and WIDE decimal→double casts, where DuckDB
+  // rounds hugeint and 10^scale separately.)
+  private val SmallThreshold =
+    "small-scale threshold; single correctly-rounded conversion both engines"
+
+  // Non-dyadic decimal literals allowed per query; additions need a
+  // reason string (use SmallThreshold only when the literal has ≤15
+  // significant digits AND feeds only IEEE-basic-op comparisons).
+  private val litAllow: Map[(String, String), String] = Map(
+    ("q02_filter_project", "0.05") -> SmallThreshold,
+    ("q123_bm25_topk", "1.2") -> (SmallThreshold + "; k1 param scaled" +
+      " into the micro-unit integer score before ranking"),
+    ("q140_rfm_scores", "0.333") -> SmallThreshold,
+    ("q140_rfm_scores", "0.667") -> SmallThreshold,
+    ("q159_skew_report", "0.9") -> SmallThreshold,
+    ("q159_skew_report", "0.99") -> SmallThreshold,
+    ("q178_setsim_join", "0.8") -> SmallThreshold,
+    ("q34_minhash_neardup", "0.3") -> SmallThreshold,
+    ("q36_jaccard_verify", "0.3") -> SmallThreshold,
+    ("q36_jaccard_verify", "0.4") -> SmallThreshold,
+    ("q39_embedding_neardup", "0.35") -> SmallThreshold,
+    ("q44_median", "0.9") -> (SmallThreshold + "; quantile fraction, " +
+      "both engines interpolate on exact in-sample values"),
+    ("q61_analytic_ranks", "0.99") -> SmallThreshold,
+    ("q66_quality_score", "0.01") -> SmallThreshold,
+    ("q66_quality_score", "0.3") -> SmallThreshold,
+    ("q86_stream_neardup", "0.3") -> SmallThreshold,
+    ("q92_dedup_incremental", "0.3") -> SmallThreshold)
+
+  private val fnRe =
+    """(?i)\b(ln|exp|log|log2|log10|log1p|expm1|pow|power|sqrt|cbrt|sin|cos|tan|atan|atan2|asin|acos|sinh|cosh|tanh)\s*\(""".r
+  private val litRe = """\b\d+\.\d+\b""".r
+
+  /** Exactly representable as a binary double: after reducing
+    * unscaled/10^scale, the denominator must be a power of two.
+    */
+  private def dyadic(lit: String): Boolean = {
+    val bd = new java.math.BigDecimal(lit).stripTrailingZeros
+    val scale = bd.scale
+    if (scale <= 0) true
+    else {
+      val den = BigInt(10).pow(scale)
+      val reduced = den / BigInt(bd.unscaledValue).gcd(den)
+      reduced.bitCount == 1
+    }
+  }
+
+  test("oracle SQL: no unapproved transcendentals, no unapproved non-dyadic literals") {
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)) {
+      for (m <- fnRe.findAllMatchIn(sql)) {
+        val fn = m.group(1).toLowerCase
+        if (!fnAllow.contains((name, fn)))
+          bad += s"$name: libm/float fn `$fn(` — integerize via FixedMath " +
+            "or allowlist in OracleLintSpec with a justification"
+      }
+      for (lit <- litRe.findAllIn(sql).toSeq.distinct if !dyadic(lit)) {
+        if (!litAllow.contains((name, lit)))
+          bad += s"$name: non-dyadic literal `$lit` — scale to integer " +
+            "units or allowlist in OracleLintSpec with a justification"
+      }
+    }
+    assert(bad.isEmpty, "\n" + bad.mkString("\n"))
+  }
+
+  test("allowlists carry no dead entries") {
+    val sqls = SparkEntry.oracleSql
+    fnAllow.keys.foreach { case (q, fn) =>
+      assert(sqls.contains(q), s"allowlist names unknown query $q")
+      assert(fnRe.findAllMatchIn(sqls(q)).exists(_.group(1).toLowerCase == fn),
+        s"allowlist ($q, $fn) no longer matches — remove it")
+    }
+    litAllow.keys.foreach { case (q, lit) =>
+      assert(sqls.contains(q) && sqls(q).contains(lit),
+        s"allowlist ($q, $lit) no longer matches — remove it")
+    }
+  }
+}
