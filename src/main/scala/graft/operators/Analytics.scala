@@ -525,8 +525,12 @@ object Analytics {
       arm(1, "_n"), arm(1, "_s1"), arm(1, "_s2"))
     def stats(i: Int): (Column, Column, Column) = {
       val n = col(s"_n$i").cast("double")
-      val s1 = col(s"_s1$i").cast("double")
-      val s2 = col(s"_s2$i").cast("double")
+      // decimal→STRING→double (q156 lesson): Spark's direct
+      // Decimal.toDouble double-rounds; the oracle is VARCHAR-routed,
+      // so the string parse makes both engines correctly rounded.
+      // _s2 is DECIMAL(38,8) — wide enough to bite at larger SFs.
+      val s1 = col(s"_s1$i").cast("string").cast("double")
+      val s2 = col(s"_s2$i").cast("string").cast("double")
       val mean = s1 / n
       val variance = (s2 - s1 * s1 / n) / (n - lit(1.0))
       (n, mean, variance)
@@ -609,7 +613,9 @@ object Analytics {
       .agg(count(lit(1)).as("n"), sum(col("_x")).as("_sx"),
         sum(col("_x") * col("_i")).as("_six"))
     val nd = col("n").cast("double")
-    val sx = col("_sx").cast("double"); val six = col("_six").cast("double")
+    // decimal sums via string → correctly rounded, = oracle's VARCHAR route
+    val sx = col("_sx").cast("string").cast("double")
+    val six = col("_six").cast("string").cast("double")
     m.select(col(groupCol), col("n"),
       sx.as("total"),
       (lit(2.0) * six / (nd * sx) - (nd + lit(1.0)) / nd).as("gini"))
@@ -754,8 +760,11 @@ object Analytics {
         sum(x * x).as("_sx2"), sum(y).as("_sy"),
         sum(y * x.cast("decimal(10,0)")).as("_sxy"))
     val nd = col("n").cast("double")
+    // long sums cast directly (single rounding, exact); DECIMAL sums
+    // via string — the oracle VARCHAR-routes exactly these two
     val sxd = col("_sx").cast("double"); val sx2d = col("_sx2").cast("double")
-    val syd = col("_sy").cast("double"); val sxyd = col("_sxy").cast("double")
+    val syd = col("_sy").cast("string").cast("double")
+    val sxyd = col("_sxy").cast("string").cast("double")
     val slope = (nd * sxyd - sxd * syd) / (nd * sx2d - sxd * sxd)
     m.select(col(groupCol), col("n"), slope.as("slope"),
       ((syd - slope * sxd) / nd).as("intercept"))

@@ -318,10 +318,16 @@ object Graphs {
     * score₀ = scale/n; per round each node sends
     * floor(score·dampPct/(deg·100)) along each out-edge and every node
     * restarts from base = floor(scale·(100−dampPct)/(100·n)). With
-    * symmetric (co-occurrence) edges there are no dangling nodes; for
-    * general digraphs, sink mass simply evaporates (documented choice —
-    * ranking is invariant to the lost constant at these iteration
-    * counts).
+    * symmetric (co-occurrence) edges there are no dangling nodes. For
+    * general digraphs pick the sink-mass policy:
+    * `redistributeDangling = false` (default) lets sink mass evaporate
+    * — fine when only the RANKING matters at small iteration counts;
+    * `= true` applies the standard correction: each round the total
+    * score held by out-degree-0 nodes is damped and split evenly,
+    * floor(sinkMass·dampPct/(100·n)) to every node (the ≤ n−1 unit
+    * floor remainder evaporates — deterministic integer form). The
+    * per-round cost is one node-sized semi-join aggregate (a single
+    * long), nothing per-edge — scale posture unchanged.
     *
     * Output: (node, score) for every node. Edges + degrees materialize
     * once (lazy localCheckpoint) and feed all rounds; each round is a
@@ -329,7 +335,8 @@ object Graphs {
     */
   def pageRankInt(edges: DataFrame, iters: Int = 3,
       scale: Long = 1000000000000L, dampPct: Int = 85,
-      maxNbrsPerRow: Int = 8192, symmetric: Boolean = false): DataFrame = {
+      maxNbrsPerRow: Int = 8192, symmetric: Boolean = false,
+      redistributeDangling: Boolean = false): DataFrame = {
     // The graph materializes as a CHUNKED ADJACENCY table in ONE
     // shuffle: groupBy(src) + collect_set dedups repeat edges inside
     // the aggregation (map-side partials shrink them before the wire),
@@ -376,8 +383,26 @@ object Graphs {
     // src-partitioning do its job.
     val bcast = n <= 50000000L
     def hinted(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    // Dangling set (out-degree 0): nodes minus adjacency srcs — node-
+    // sized, computed once, reused every round for the sink-mass agg.
+    val sinks: Option[DataFrame] =
+      if (!symmetric && redistributeDangling)
+        Some(Dedup.tracked(nodes.join(
+            e.filter(col("_chunk") === 0).select(col("src").as("node")),
+            Seq("node"), "anti")
+          .localCheckpoint(eager = true)))
+      else None
     var scores = nodes.withColumn("score", lit(scale / n))
     for (_ <- 1 to iters) {
+      // One scalar per round: Σ score over sinks (damped, split below).
+      // sinkMass ≤ scale = 1e12, ·dampPct stays far inside Long.
+      val sinkShare: Long = sinks match {
+        case Some(sk) =>
+          val m = scores.join(sk, Seq("node"))
+            .agg(coalesce(sum("score"), lit(0L))).head.getLong(0)
+          (m * dampPct) / (100L * n)
+        case None => 0L
+      }
       // Per-chunk hop: the floor division happens once per adjacency
       // row, then fans out map-side under codegen via explode.
       val contrib = e
@@ -394,7 +419,8 @@ object Graphs {
         else
           nodes.join(hinted(contrib), Seq("node"), "left")
             .select(col("node"),
-              (lit(base) + coalesce(col("_cs"), lit(0L))).as("score"))
+              (lit(base + sinkShare) +
+                coalesce(col("_cs"), lit(0L))).as("score"))
       scores = Dedup.tracked(next.localCheckpoint(eager = true))
     }
     e.unpersist(blocking = false)

@@ -59,6 +59,43 @@ class GraphsSpec extends SparkSpec {
     assert(full.size == 5)
   }
 
+  test("pageRankInt redistributeDangling: matches an unrolled integer oracle; default path untouched") {
+    // digraph with a sink: 1→2, 2→3, 1→3; node 3 has out-degree 0.
+    // Unrolled oracle replays the exact integer recurrence incl. the
+    // sink term floor(sinkMass·damp/(100·n)) added to every node.
+    val edges = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L).toDF("src", "dst")
+    val scale = 1000000000000L; val damp = 85; val n = 3L
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L))
+    def unrolled(iters: Int, redistribute: Boolean): Map[Long, Long] = {
+      val base = scale * (100 - damp) / (100L * n)
+      var s = Map(1L -> scale / n, 2L -> scale / n, 3L -> scale / n)
+      (1 to iters).foreach { _ =>
+        val sinkMass = if (redistribute) s(3L) else 0L
+        val sinkShare = (sinkMass * damp) / (100L * n)
+        val contrib = scala.collection.mutable.Map(
+          1L -> 0L, 2L -> 0L, 3L -> 0L)
+        adj.foreach { case (src, ds) =>
+          val c = s(src) * damp / (ds.length * 100L)
+          ds.foreach(d => contrib(d) += c)
+        }
+        s = s.keys.map(k => k -> (base + sinkShare + contrib(k))).toMap
+      }
+      s
+    }
+    Seq(1, 2, 3).foreach { iters =>
+      val withRed = Graphs.pageRankInt(edges, iters = iters,
+          redistributeDangling = true)
+        .as[(Long, Long)].collect().toMap
+      assert(withRed == unrolled(iters, redistribute = true), s"iters=$iters")
+      val without = Graphs.pageRankInt(edges, iters = iters)
+        .as[(Long, Long)].collect().toMap
+      assert(without == unrolled(iters, redistribute = false),
+        s"iters=$iters default")
+      // redistribution conserves more total mass than evaporation
+      assert(withRed.values.sum > without.values.sum, s"iters=$iters mass")
+    }
+  }
+
   test("pageRankIntWeighted: uniform weights ≡ unweighted; heavier edge pulls rank") {
     val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 2L -> 5L)
     val sym = und ++ und.map(_.swap)
