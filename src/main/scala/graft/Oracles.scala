@@ -2710,6 +2710,52 @@ object Oracles {
        |FROM s$iters ORDER BY score DESC, l_partkey LIMIT 20""".stripMargin
   }
 
+  /** q203: personalized PageRank replay — q147's unroll with the
+    * restart mass pinned to the in-graph members of the seed set (top-3
+    * parts by distinct-order count, desc count / asc id): s0 =
+    * scale//|seeds| on seeds else 0, per-round base likewise. Same
+    * HUGEINT-exact hop arithmetic.
+    */
+  def q203PprRelated: String = {
+    val scale = 1000000000000L
+    val iters = 2
+    val nsSub = "(SELECT COUNT(*) FROM seedg)"
+    val baseSub =
+      s"(SELECT ($scale::HUGEINT * 15) // (100 * COUNT(*)) FROM seedg)"
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS node, SUM((s.score * 85) // (d.deg * 100)) AS cs
+         |  FROM e JOIN s${k - 1} s ON e.src = s.node
+         |         JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |s$k AS (
+         |  SELECT n.node,
+         |    (CASE WHEN sg.node IS NOT NULL THEN $baseSub ELSE 0 END)
+         |      + COALESCE(c.cs, 0) AS score
+         |  FROM nodes n LEFT JOIN seedg sg USING (node)
+         |    LEFT JOIN c$k c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT l_orderkey AS g, l_partkey AS i FROM lineitem),
+       |seeds AS (SELECT i AS node FROM (
+       |  SELECT i, COUNT(DISTINCT g) AS cnt FROM e0 GROUP BY i
+       |  ORDER BY cnt DESC, i LIMIT 3)),
+       |ok AS (SELECT g, i FROM e0 WHERE g NOT IN (
+       |  SELECT g FROM e0 GROUP BY g HAVING COUNT(*) > 1000)),
+       |e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+       |      FROM ok a JOIN ok b ON a.g = b.g AND a.i <> b.i),
+       |nodes AS (SELECT DISTINCT src AS node FROM (
+       |  SELECT src FROM e UNION ALL SELECT dst FROM e) t(src)),
+       |seedg AS (SELECT node FROM seeds JOIN nodes USING (node)),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |s0 AS (SELECT n.node,
+       |  CASE WHEN sg.node IS NOT NULL
+       |    THEN $scale::HUGEINT // $nsSub ELSE 0 END AS score
+       |  FROM nodes n LEFT JOIN seedg sg USING (node)),
+       |$iterCtes
+       |SELECT node AS l_partkey, CAST(score AS BIGINT) AS score
+       |FROM s$iters ORDER BY score DESC, l_partkey LIMIT 20""".stripMargin
+  }
+
   /** q153: trailing-7-day distinct users — daily registers fanned onto
     * their window's target days, merged by max, estimated per day.
     */
@@ -2730,6 +2776,7 @@ object Oracles {
   def generated: Map[String, String] = Map(
     "q153_wau_sketch" -> q153WauSketch,
     "q147_copurchase_rank" -> q147CopurchaseRank,
+    "q203_ppr_related" -> q203PprRelated,
     "q141_hll_distinct" -> q141HllDistinct,
     "q155_hll_overlap" -> q155HllOverlap,
     "q161_join_size_est" -> q161JoinSizeEstimate,

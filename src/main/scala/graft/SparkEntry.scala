@@ -508,6 +508,35 @@ object SparkEntry {
       Analytics.kaplanMeier(life, "lifetime", Some("event")).orderBy("t")
     }),
 
+    // ---- graph tier: PERSONALIZED PageRank (NEW r11) ----
+    // "Related to the top sellers": restart mass pinned to the 3 parts
+    // with the most distinct orders (desc count, asc id — total order),
+    // 2 integer rounds on the co-purchase graph; the oracle unrolls
+    // the same recurrence with the same seed rule.
+    "q203_ppr_related" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val seeds = li.groupBy("l_partkey")
+        .agg(countDistinct("l_orderkey").as("_c"))
+        .orderBy(col("_c").desc, col("l_partkey"))
+        .limit(3).select(col("l_partkey").as("node"))
+      val edges = Graphs.coOccurrenceEdges(
+        li, "l_orderkey", "l_partkey", dedup = false)
+      Graphs.personalizedPageRankInt(edges, seeds, iters = 2)
+        .orderBy(col("score").desc, col("node"))
+        .limit(20)
+        .select(col("node").as("l_partkey"), col("score"))
+    }),
+
+    // ---- validation tier: PSI category drift (NEW r11) ----
+    // The third drift statistic beside KS (q145) and chi-sq (q149):
+    // even-day event-type mix as "expected", odd-day as "actual",
+    // add-one smoothed, integer log kernel — psi_q replayed exactly.
+    "q202_psi_drift" -> ((s, dir) => {
+      val ev = events(s, dir)
+      Analytics.psiDrift(ev, "event_type",
+        pmod(expr("unix_micros(ts) DIV 86400000000"), lit(2)) === 1)
+    }),
+
     // ---- curation tier: all-pairs corpus similarity matrix ----
     // q170 for EVERY source pair in one pass: per-shingle source sets
     // explode into pair counts (bounded by #sources², never rows) —
@@ -2674,6 +2703,33 @@ object SparkEntry {
         |    ELSE CAST(SUM(lq) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |  END AS log_surv_q
         |FROM q ORDER BY t""".stripMargin),
+
+    // PSI via the shared integer log kernel: smoothed cross products
+    // (b+1)·nA' and (a+1)·nB' feed _lnq; each term and the sum are
+    // exact integers, one floor division at the end — the q199 shape.
+    "q202_psi_drift" ->
+      ("""WITH RECURSIVE
+        |cells AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb,
+        |    CAST(COUNT(*) AS BIGINT) AS k FROM cells),
+        |sm AS (SELECT (b + 1) * (na + k) AS x, (a + 1) * (nb + k) AS y,
+        |    na, nb, k
+        |  FROM cells, tot),
+        |_ks AS (SELECT DISTINCT k FROM (
+        |  SELECT x AS k FROM sm UNION SELECT y FROM sm)),
+        |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
+        |t AS (SELECT sm.x, sm.y, sm.na, sm.nb, sm.k, lx.l AS lx, ly.l AS ly
+        |  FROM sm JOIN _lnq lx ON lx.k = sm.x JOIN _lnq ly ON ly.k = sm.y),
+        |agg AS (SELECT MAX(na) AS na, MAX(nb) AS nb, MAX(k) AS k,
+        |    SUM(CAST(x - y AS HUGEINT) * (lx - ly)) AS s2
+        |  FROM t)
+        |SELECT na AS n_expected, nb AS n_actual, k AS n_cats,
+        |  CAST(s2 // (CAST(na + k AS HUGEINT) * (nb + k)) AS BIGINT) AS psi_q,
+        |  CAST(CAST(s2 // (CAST(na + k AS HUGEINT) * (nb + k)) AS BIGINT) AS DOUBLE) / 1e12 AS psi
+        |FROM agg""".stripMargin),
 
     "q195_corpus_matrix" ->
       """WITH sh AS (

@@ -294,6 +294,57 @@ object Analytics {
         col("n_cells"), col("chisq"))
   }
 
+  /** Population Stability Index between the expected (isActual false)
+    * and actual (true) category distributions — the model-monitoring
+    * drift metric that joins [[ksDrift]] (continuous) and
+    * [[chisqFromCells]] (independence) in the validation suite:
+    * PSI = Σᵢ (pBᵢ − pAᵢ)·ln(pBᵢ/pAᵢ), conventional reading ≥ 0.25 =
+    * major shift.
+    *
+    * Determinism discipline (the q199 entropy shape): with add-one
+    * smoothing (aᵢ+1, bᵢ+1, nA' = nA+k, nB' = nB+k — zero cells are
+    * the POINT of PSI, so they must not hit the log's domain edge) each
+    * term is ((bᵢ+1)·nA' − (aᵢ+1)·nB')·(L((bᵢ+1)·nA') − L((aᵢ+1)·nB'))
+    * over the shared integer log kernel L = lnQ12 — an exact integer of
+    * matching signs (L monotone), summed in DECIMAL(38,0) and floor-
+    * divided by nA'·nB' once: psi_q is fixed-point PSI at 10⁻¹², no
+    * libm, replayed verbatim by the oracle's recursive CTE. Long-range
+    * bound: (bᵢ+1)·nA' must fit a signed 64-bit int — holds through
+    * ~3·10⁹ rows per side; beyond that pre-aggregate or sample.
+    *
+    * Scale shape: one partial-agg'd groupBy(category) + a 1-row total
+    * broadcast — k+1 rows after the first aggregation, nothing per-row
+    * downstream.
+    */
+  def psiDrift(df: DataFrame, catCol: String, isActual: Column): DataFrame = {
+    import graft.plans.GraftExtensions.lnQ12Native
+    val cells = df.groupBy(col(catCol).as("_cat"))
+      .agg(sum(when(isActual, 0L).otherwise(1L)).as("_a"),
+        sum(when(isActual, 1L).otherwise(0L)).as("_b"))
+    val tot = cells.agg(sum("_a").as("_na"), sum("_b").as("_nb"),
+      count(lit(1)).as("_k"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("_na"), col("_nb"), col("_k"),
+        ((col("_b") + 1) * (col("_na") + col("_k"))).as("_x"),
+        ((col("_a") + 1) * (col("_nb") + col("_k"))).as("_y"))
+      .withColumn("_t",
+        ((col("_x") - col("_y")).cast("decimal(38,0)") *
+          (lnQ12Native(col("_x")) - lnQ12Native(col("_y")))
+            .cast("decimal(38,0)")).cast("decimal(38,0)"))
+      .groupBy("_na", "_nb", "_k")
+      .agg(sum("_t").as("_s"))
+      // _s ≥ 0 (sign-matched factors), so the truncating DIV is floor —
+      // identical to DuckDB's // on the same positive integers
+      .withColumn("psi_q", expr(
+        "CAST(_s DIV (CAST(_na + _k AS DECIMAL(19,0)) * " +
+          "CAST(_nb + _k AS DECIMAL(19,0))) AS BIGINT)"))
+      .select(col("_na").as("n_expected"), col("_nb").as("n_actual"),
+        col("_k").as("n_cats"), col("psi_q"),
+        // psi_q < 2^53 for any realistic PSI: exact conversion + one
+        // correctly-rounded division, engine-identical
+        (col("psi_q").cast("double") / lit(1e12)).as("psi"))
+  }
+
   def ksDrift(df: DataFrame, valueCol: String, isSample2: Column,
       numBuckets: Int = 32): DataFrame = {
     val perV = Dedup.tracked(

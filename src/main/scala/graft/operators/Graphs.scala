@@ -426,4 +426,67 @@ object Graphs {
     e.unpersist(blocking = false)
     scores
   }
+
+  /** PERSONALIZED integer PageRank: identical hop arithmetic to
+    * [[pageRankInt]], but all restart mass returns to the `seeds` set —
+    * score₀ = scale/|seeds| on seeds (0 elsewhere) and per-round base =
+    * floor(scale·(100−dampPct)/(100·|seeds|)) on seeds (0 elsewhere).
+    * The result ranks the graph BY PROXIMITY TO THE SEEDS — the
+    * "related items / similar domains" recommender query, vs the global
+    * importance [[pageRankInt]] computes. Seeds outside the graph are
+    * ignored (|seeds| counts in-graph seeds only). Sink mass
+    * evaporates, as in the default pageRankInt policy — on the
+    * symmetric co-occurrence graphs this serves there are no sinks.
+    *
+    * Scale shape: the pageRankInt loop with one extra node-sized seed
+    * flag column folded into the score table — no extra shuffles; the
+    * seed join happens once before the rounds.
+    */
+  def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 3, scale: Long = 1000000000000L, dampPct: Int = 85,
+      maxNbrsPerRow: Int = 8192): DataFrame = {
+    val c = maxNbrsPerRow
+    val e = edges.select("src", "dst")
+      .groupBy("src").agg(collect_set("dst").as("_all"))
+      .select(col("src"), size(col("_all")).as("deg"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(_all)-1) div $c)," +
+            s" i -> slice(_all, i*$c+1, $c))")).as(Seq("_chunk", "nbrs")))
+      .cache()
+    val nodes = Dedup.tracked(
+      e.filter(col("_chunk") === 0).select(col("src").as("node"))
+        .union(e.select(explode(col("nbrs")).as("node")))
+        .distinct()
+        .localCheckpoint(eager = true))
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    // In-graph seeds, as a 0/1 flag on the node table (one join, once)
+    val seedCol = seeds.columns.head
+    val flagged = Dedup.tracked(nodes
+      .join(seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("_s", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("_s"), lit(0L)).as("_seed"))
+      .localCheckpoint(eager = true))
+    val ns = flagged.filter(col("_seed") === 1L).count()
+    require(ns > 0, "no seed is present in the graph")
+    val baseSeed = (scale * (100 - dampPct)) / (100L * ns)
+    val bcast = n <= 50000000L
+    def hinted(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    var scores = flagged.select(col("node"),
+      (col("_seed") * lit(scale / ns)).as("score"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(hinted(scores.withColumnRenamed("node", "src")), Seq("src"))
+        .select(expr(s"(score * $dampPct) div (deg * 100)").as("_c"),
+          explode(col("nbrs")).as("node"))
+        .groupBy("node").agg(sum("_c").as("_cs"))
+      val next = flagged.join(hinted(contrib), Seq("node"), "left")
+        .select(col("node"),
+          (col("_seed") * lit(baseSeed) +
+            coalesce(col("_cs"), lit(0L))).as("score"))
+      scores = Dedup.tracked(next.localCheckpoint(eager = true))
+    }
+    e.unpersist(blocking = false)
+    scores
+  }
 }

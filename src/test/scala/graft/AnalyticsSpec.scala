@@ -435,6 +435,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(r("b") == ((10.0, 20.0)))
   }
 
+  test("psiDrift: hand case = (2/3)ln2; identical mix = 0; zero cells smoothed; order-free") {
+    import graft.functions.FixedMath
+    // x: expected 3 / actual 1; y: expected 1 / actual 3. Smoothed
+    // (a+1, b+1, n+k): pA=(4/6,2/6), pB=(2/6,4/6) → PSI = (2/3)·ln 2.
+    val rows = Seq.fill(3)(("x", false)) ++ Seq(("x", true)) ++
+      Seq(("y", false)) ++ Seq.fill(3)(("y", true))
+    val df = rows.toDF("cat", "f").repartition(5)
+    val got = Analytics.psiDrift(df, "cat", col("f"))
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got._1 == 4L && got._2 == 4L && got._3 == 2L)
+    // exact integer replay of the documented formula
+    val terms = Seq((3L, 1L), (1L, 3L)).map { case (a, b) =>
+      val x = (b + 1) * 6; val y = (a + 1) * 6
+      BigInt(x - y) * BigInt(FixedMath.lnQ12(x) - FixedMath.lnQ12(y))
+    }
+    val expectQ = (terms.sum / BigInt(36)).toLong
+    assert(got._4 == expectQ)
+    assert(math.abs(got._5 - 2.0 / 3.0 * math.log(2.0)) < 1e-9)
+    // identical distributions → exactly 0
+    val same = (Seq.fill(5)(("x", false)) ++ Seq.fill(5)(("x", true)) ++
+      Seq.fill(2)(("y", false)) ++ Seq.fill(2)(("y", true)))
+      .toDF("cat", "f")
+    assert(Analytics.psiDrift(same, "cat", col("f"))
+      .select("psi_q").as[Long].head() == 0L)
+    // a category absent from one side must not blow up (the PSI point)
+    val zero = (Seq.fill(4)(("x", false)) ++ Seq.fill(3)(("x", true)) ++
+      Seq.fill(1)(("new", true))).toDF("cat", "f")
+    val z = Analytics.psiDrift(zero, "cat", col("f"))
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(z._3 == 2L && z._4 > 0L)
+    // order independence: different partitioning, same integers
+    val shuffled = Analytics.psiDrift(df.repartition(13), "cat", col("f"))
+      .select("psi_q").as[Long].head()
+    assert(shuffled == got._4)
+  }
+
   test("welchTTest: identical arms give t=0; known case matches formula") {
     val same = Seq((0, 1.0), (0, 2.0), (0, 3.0), (1, 1.0), (1, 2.0), (1, 3.0))
       .toDF("arm", "x")

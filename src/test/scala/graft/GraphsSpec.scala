@@ -96,6 +96,51 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("personalizedPageRankInt: unrolled oracle; out-of-graph seeds ignored; mass stays near seeds") {
+    // path graph 1—2—3—4—5 (symmetric), seed = {1}; seed 99 is not in
+    // the graph and must not count toward |seeds|
+    val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("node")
+    val scale = 1000000000000L; val damp = 85
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L),
+      4L -> Seq(3L, 5L), 5L -> Seq(4L))
+    def unrolled(iters: Int): Map[Long, Long] = {
+      val ns = 1L // only seed 1 is in the graph
+      val baseSeed = scale * (100 - damp) / (100L * ns)
+      var s = adj.keys.map(k =>
+        k -> (if (k == 1L) scale / ns else 0L)).toMap
+      (1 to iters).foreach { _ =>
+        val contrib = scala.collection.mutable.Map(
+          adj.keys.map(_ -> 0L).toSeq: _*)
+        adj.foreach { case (src, ds) =>
+          val c = s(src) * damp / (ds.length * 100L)
+          ds.foreach(d => contrib(d) += c)
+        }
+        s = adj.keys.map(k =>
+          k -> ((if (k == 1L) baseSeed else 0L) + contrib(k))).toMap
+      }
+      s
+    }
+    Seq(1, 2, 3).foreach { iters =>
+      val got = Graphs.personalizedPageRankInt(edges, seeds, iters = iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got == unrolled(iters), s"iters=$iters")
+    }
+    // proximity: synchronous rounds make per-node scores OSCILLATE on a
+    // path (the mass wave travels one hop per round), so the robust
+    // qualitative claim is aggregate: the seed half of the path holds
+    // the bulk of the mass, and no score exceeds the seed pool
+    val g3 = Graphs.personalizedPageRankInt(edges, seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(g3(1L) + g3(2L) > g3(3L) + g3(4L) + g3(5L))
+    assert(g3.values.sum <= scale && g3.values.forall(_ >= 0L))
+    // no in-graph seed at all → loud failure
+    intercept[IllegalArgumentException] {
+      Graphs.personalizedPageRankInt(edges, Seq(99L).toDF("node"))
+    }
+  }
+
   test("pageRankIntWeighted: uniform weights ≡ unweighted; heavier edge pulls rank") {
     val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 2L -> 5L)
     val sym = und ++ und.map(_.swap)
