@@ -2613,6 +2613,49 @@ object Oracles {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** q204: KMV set-operation replay — per-set bottom-256 of the
+    * sign-flipped splitmix64 hashes (ascending BIGINT ≡ unsigned hash
+    * order), union re-rank, match count; union_est is the q189
+    * estimator on the union's k-th min, inter_est its floor-scaled
+    * Jaccard share. Pure integer until the final jaccard division.
+    */
+  def q204KmvSetOps: String = {
+    val k = 256
+    val smx = staged("SELECT event_type, z FROM base", splitmixStages("z"))
+    // sign-flip: u = signed(_sm XOR 2^63); unsigned value recovers as
+    // CAST(u AS HUGEINT) + 2^63
+    val flip =
+      s"${signed(s"xor(_sm, 9223372036854775808::HUGEINT)")}"
+    s"""WITH base AS (SELECT event_type, user_id::HUGEINT AS z FROM events
+       |  WHERE event_type IN ('click', 'purchase')),
+       |h AS (SELECT DISTINCT event_type, $flip AS u FROM ($smx)),
+       |ra AS (SELECT u, row_number() OVER (ORDER BY u) AS rn FROM h
+       |  WHERE event_type = 'click'),
+       |rb AS (SELECT u, row_number() OVER (ORDER BY u) AS rn FROM h
+       |  WHERE event_type = 'purchase'),
+       |a AS (SELECT u FROM ra WHERE rn <= $k),
+       |b AS (SELECT u FROM rb WHERE rn <= $k),
+       |un AS (SELECT u, MAX(ina) AS ina, MAX(inb) AS inb FROM (
+       |  SELECT u, 1 AS ina, 0 AS inb FROM a
+       |  UNION ALL SELECT u, 0, 1 FROM b) GROUP BY u),
+       |rk AS (SELECT *, row_number() OVER (ORDER BY u) AS rn FROM un),
+       |agg AS (SELECT COUNT(*) AS k_used,
+       |    CAST(SUM(ina * inb) AS BIGINT) AS matches, MAX(u) AS umax
+       |  FROM rk WHERE rn <= $k),
+       |est AS (SELECT k_used, matches,
+       |    CASE WHEN k_used < $k THEN CAST(k_used AS HUGEINT)
+       |      ELSE (${k - 1}::HUGEINT * $M64) //
+       |        (CASE WHEN CAST(umax AS HUGEINT) + 9223372036854775808::HUGEINT = 0
+       |          THEN 1 ELSE CAST(umax AS HUGEINT) + 9223372036854775808::HUGEINT END)
+       |    END AS ue
+       |  FROM agg)
+       |SELECT CAST(k_used AS BIGINT) AS k_used, matches,
+       |  CAST(ue AS BIGINT) AS union_est,
+       |  CAST(matches AS DOUBLE) / CAST(k_used AS DOUBLE) AS jaccard,
+       |  CAST((matches::HUGEINT * ue) // k_used AS BIGINT) AS inter_est
+       |FROM est""".stripMargin
+  }
+
   /** q179: exact BFS layers — each frontier unrolled as (new nodes,
     * settled set) CTE pairs over the distinct co-purchase edges; the
     * landmark is the smallest node in the edge set.
@@ -2777,6 +2820,7 @@ object Oracles {
     "q153_wau_sketch" -> q153WauSketch,
     "q147_copurchase_rank" -> q147CopurchaseRank,
     "q203_ppr_related" -> q203PprRelated,
+    "q204_kmv_setops" -> q204KmvSetOps,
     "q141_hll_distinct" -> q141HllDistinct,
     "q155_hll_overlap" -> q155HllOverlap,
     "q161_join_size_est" -> q161JoinSizeEstimate,

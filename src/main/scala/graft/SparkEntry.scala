@@ -508,6 +508,20 @@ object SparkEntry {
       Analytics.kaplanMeier(life, "lifetime", Some("event")).orderBy("t")
     }),
 
+    // ---- sketch tier: KMV set operations (NEW r11) ----
+    // Audience overlap WITHOUT inclusion-exclusion noise: bottom-256
+    // tables for click-users and purchase-users, union re-rank, match
+    // count -> Jaccard + intersection estimates, every selection pure
+    // hash order (the q189 sketch as a mergeable TABLE).
+    "q204_kmv_setops" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val a = Sketches.kmvMinsTable(
+        ev.filter(col("event_type") === "click"), Nil, "user_id", 256)
+      val b = Sketches.kmvMinsTable(
+        ev.filter(col("event_type") === "purchase"), Nil, "user_id", 256)
+      Sketches.kmvSetOps(a, b, 256)
+    }),
+
     // ---- graph tier: PERSONALIZED PageRank (NEW r11) ----
     // "Related to the top sellers": restart mass pinned to the 3 parts
     // with the most distinct orders (desc count, asc id — total order),

@@ -298,4 +298,103 @@ object Sketches {
       .groupBy(itemCol).agg(count(lit(1)).as("n"))
       .filter(col("n") * relDen >= total)
   }
+
+  // ---------------------------------------------------------------- KMV
+
+  /** KMV bottom-k sketch AS A TABLE (the [[hllRegisters]] shape for the
+    * q189 native agg): per group the k smallest splitmix64 hashes of
+    * `valueCol`, one row per kept hash — (groupCols*, rn, u) with
+    * rn = 1..k in hash order and u the SIGN-FLIPPED hash (h ⊕ 2⁶³, so
+    * ascending BIGINT order ≡ unsigned hash order in any engine).
+    * Below k distinct values the sketch IS the distinct set. Tables
+    * merge by union + [[kmvMergeMins]] (bottom-k of a union is the
+    * bottom-k of the per-part bottom-k's — exact identity).
+    *
+    * Scale shape: slim projection → distinct hash per group (one
+    * partial-agg'd shuffle) → per-group window rank cut at k; state
+    * out is ≤ |groups|·k rows.
+    */
+  def kmvMinsTable(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sm = udf((v: Long) =>
+      graft.functions.Hashing.splitmix64(v) ^ Long.MinValue)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("u"))
+    val base = df
+      .select((groupCols.map(col) :+ col(valueCol).cast("long").as("_v")): _*)
+      .select((groupCols.map(col) :+ sm(col("_v")).as("u")): _*)
+      .distinct()
+    // Single-set case: the final window is GLOBAL, so pre-cut each
+    // physical partition to its own bottom-k first — bottom-k of the
+    // per-partition bottom-k's is the global bottom-k exactly, and the
+    // global window then sees ≤ partitions·k rows instead of every
+    // distinct hash. (Grouped case already parallelizes by group.)
+    val cut =
+      if (groupCols.nonEmpty) base
+      else {
+        val wp = Window.partitionBy(col("_part")).orderBy(col("u"))
+        base.withColumn("_part", spark_partition_id())
+          .withColumn("_prn", row_number().over(wp))
+          .filter(col("_prn") <= k).drop("_part", "_prn")
+      }
+    cut.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Merge KMV mins tables (same group schema): union, re-dedup, re-rank
+    * to the k smallest — sketch-sized input, one shuffle.
+    */
+  def kmvMergeMins(tables: Seq[DataFrame], groupCols: Seq[String],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("u"))
+    tables.map(_.drop("rn")).reduce(_ unionByName _)
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** KMV set-operation estimates between two single-set mins tables
+    * (schema (rn, u), e.g. [[kmvMinsTable]] with no group columns):
+    * ONE row (k_used, matches, union_est, jaccard, inter_est).
+    *
+    *   - union mins = bottom-k of A ∪ B (exact); k_used = min(k, |mins|)
+    *   - matches = how many of those union mins belong to BOTH input
+    *     sketches — the standard bottom-k Jaccard estimator's numerator
+    *   - jaccard = matches / k_used (EXACT when both sets fit under k —
+    *     then the sketches are the sets themselves)
+    *   - union_est = the q189 estimator on the union mins; inter_est =
+    *     floor(matches·union_est / k_used)
+    *
+    * All selection and counting is integer/hash-order logic; the two
+    * divisions at the end are single correctly-rounded IEEE ops —
+    * engine-replayable like every sketch here.
+    */
+  def kmvSetOps(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("u"))
+    val union = a.select(col("u"), lit(1).as("_ina"), lit(0).as("_inb"))
+      .unionByName(b.select(col("u"), lit(0).as("_ina"), lit(1).as("_inb")))
+      .groupBy("u").agg(max("_ina").as("_ina"), max("_inb").as("_inb"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val estU = udf((kUsed: Long, matches: Long, uMaxFlip: Long) => {
+      val uUnsigned = BigInt(uMaxFlip) - BigInt(Long.MinValue)
+      val est =
+        if (kUsed < k) kUsed // below k the union sketch is the exact set
+        else ((BigInt(k - 1) << 64) /
+          (if (uUnsigned == 0) BigInt(1) else uUnsigned)).toLong
+      // BigInt product: matches·est can pass 2⁶³ for tiny u_k
+      (est, (BigInt(matches) * est / kUsed).toLong)
+    })
+    union.agg(count(lit(1)).as("k_used"),
+        sum((col("_ina") * col("_inb")).cast("long")).as("matches"),
+        max("u").as("_umax"))
+      .withColumn("_e", estU(col("k_used"), col("matches"), col("_umax")))
+      .select(col("k_used"), col("matches"),
+        col("_e._1").as("union_est"),
+        (col("matches").cast("double") / col("k_used").cast("double"))
+          .as("jaccard"),
+        col("_e._2").as("inter_est"))
+  }
 }

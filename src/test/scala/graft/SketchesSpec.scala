@@ -355,4 +355,41 @@ class SketchesSpec extends SparkSpec {
     // 0.125 is dropped by DECIMAL(18,4)? no — exactly representable
     assert(merged == Set(("x", 3L, 4.0), ("y", 2L, 10.125)))
   }
+
+  test("kmv set ops: exact below k; merge identity; estimator within bottom-k error; partition-free") {
+    val k = 64
+    // EXACT regime: |A|=40, |B|=30, |A∩B|=20 — all under k, so jaccard
+    // and inter_est are exact by construction
+    val a = (1L to 40L).toDF("v")
+    val b = (21L to 50L).toDF("v")
+    val sa = Sketches.kmvMinsTable(a, Nil, "v", k)
+    val sb = Sketches.kmvMinsTable(b, Nil, "v", k)
+    val r = Sketches.kmvSetOps(sa, sb, k)
+      .as[(Long, Long, Long, Double, Long)].head()
+    assert(r._1 == 50L && r._2 == 20L && r._3 == 50L && r._5 == 20L)
+    assert(math.abs(r._4 - 0.4) < 1e-12)
+    // merge identity: mins(A ∪ B) == merge(mins(A), mins(B))
+    val direct = Sketches.kmvMinsTable(a.union(b), Nil, "v", k)
+      .as[(Long, Int)].collect().toSet
+    val merged = Sketches.kmvMergeMins(Seq(sa, sb), Nil, k)
+      .as[(Long, Int)].collect().toSet
+    assert(direct == merged)
+    // ESTIMATE regime: 5000 ∪ 5000 with 2500 shared, k=64 → relative
+    // error ~1/√k ≈ 12.5%; accept 4σ
+    val bigA = (1L to 5000L).toDF("v")
+    val bigB = (2501L to 7500L).toDF("v")
+    val rb = Sketches.kmvSetOps(
+        Sketches.kmvMinsTable(bigA, Nil, "v", k),
+        Sketches.kmvMinsTable(bigB.repartition(7), Nil, "v", k), k)
+      .as[(Long, Long, Long, Double, Long)].head()
+    assert(rb._1 == k)
+    assert(math.abs(rb._3 - 7500.0) / 7500.0 < 0.5, s"union_est=${rb._3}")
+    assert(math.abs(rb._4 - 1.0 / 3.0) < 0.25, s"jaccard=${rb._4}")
+    // physical partitioning must not change a single output integer
+    val rb2 = Sketches.kmvSetOps(
+        Sketches.kmvMinsTable(bigA.repartition(13), Nil, "v", k),
+        Sketches.kmvMinsTable(bigB.repartition(3), Nil, "v", k), k)
+      .as[(Long, Long, Long, Double, Long)].head()
+    assert(rb2 == rb)
+  }
 }
