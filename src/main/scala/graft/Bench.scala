@@ -63,7 +63,10 @@ object Bench {
     "q180_skyline",        // 2D Pareto frontier, window prune (NEW r9)
     "q183_topk_native",    // native bounded top-k aggregate (NEW r9)
     "q189_kmv_distinct",   // native KMV bottom-k sketch (NEW r9)
-    "q191_asof_native")    // custom-plan as-of merge exec (NEW r9)
+    "q191_asof_native",    // custom-plan as-of merge exec (NEW r9)
+    "q202_psi_drift",      // PSI drift on the integer log kernel (NEW r11)
+    "q203_ppr_related",    // personalized PageRank rounds (NEW r11)
+    "q204_kmv_setops")     // KMV set-operation tables (NEW r11)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine
