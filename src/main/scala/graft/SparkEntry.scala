@@ -522,6 +522,18 @@ object SparkEntry {
       Sketches.kmvSetOps(a, b, 256)
     }),
 
+    // ---- streaming tier: PSI drift via the state store (NEW r11) ----
+    // q202's cells maintained by a Complete-mode streaming aggregation
+    // (the q152 chi-sq shape), PSI readout shared with the batch path —
+    // one truth, two engine paths.
+    "q205_stream_psi" -> ((s, dir) => {
+      val cells = EventStreams.runOnceOnParquet(s, s"$dir/events.parquet",
+        df => Analytics.chisqCells(df, "event_type",
+          pmod(expr("unix_micros(ts) DIV 86400000000"), lit(2)) === 1),
+        s"psi_sink_${System.nanoTime()}")
+      Analytics.psiFromCells(cells)
+    }),
+
     // ---- graph tier: PERSONALIZED PageRank (NEW r11) ----
     // "Related to the top sellers": restart mass pinned to the 3 parts
     // with the most distinct orders (desc count, asc id — total order),
@@ -2541,6 +2553,33 @@ object SparkEntry {
       |    (a, b) -> a + b) AS chisq
       |FROM terms, tot GROUP BY r1, r2""".stripMargin
 
+  /** q202/q205 shared PSI oracle — batch cells and streaming
+    * state-store cells are gated against the SAME SQL truth.
+    */
+  private val psiOracleSql: String =
+    ("""WITH RECURSIVE
+        |cells AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb,
+        |    CAST(COUNT(*) AS BIGINT) AS k FROM cells),
+        |sm AS (SELECT (b + 1) * (na + k) AS x, (a + 1) * (nb + k) AS y,
+        |    na, nb, k
+        |  FROM cells, tot),
+        |_ks AS (SELECT DISTINCT k FROM (
+        |  SELECT x AS k FROM sm UNION SELECT y FROM sm)),
+        |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
+        |t AS (SELECT sm.x, sm.y, sm.na, sm.nb, sm.k, lx.l AS lx, ly.l AS ly
+        |  FROM sm JOIN _lnq lx ON lx.k = sm.x JOIN _lnq ly ON ly.k = sm.y),
+        |agg AS (SELECT MAX(na) AS na, MAX(nb) AS nb, MAX(k) AS k,
+        |    SUM(CAST(x - y AS HUGEINT) * (lx - ly)) AS s2
+        |  FROM t)
+        |SELECT na AS n_expected, nb AS n_actual, k AS n_cats,
+        |  CAST(s2 // (CAST(na + k AS HUGEINT) * (nb + k)) AS BIGINT) AS psi_q,
+        |  CAST(CAST(s2 // (CAST(na + k AS HUGEINT) * (nb + k)) AS BIGINT) AS DOUBLE) / 1e12 AS psi
+        |FROM agg""".stripMargin)
+
   def oracleSql: Map[String, String] = Map(
 
     // The heavy-hitter oracle is deliberately sketch-free: the engine's
@@ -2721,29 +2760,10 @@ object SparkEntry {
     // PSI via the shared integer log kernel: smoothed cross products
     // (b+1)·nA' and (a+1)·nB' feed _lnq; each term and the sum are
     // exact integers, one floor division at the end — the q199 shape.
-    "q202_psi_drift" ->
-      ("""WITH RECURSIVE
-        |cells AS (SELECT event_type,
-        |    CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS a,
-        |    CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
-        |  FROM events GROUP BY 1),
-        |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb,
-        |    CAST(COUNT(*) AS BIGINT) AS k FROM cells),
-        |sm AS (SELECT (b + 1) * (na + k) AS x, (a + 1) * (nb + k) AS y,
-        |    na, nb, k
-        |  FROM cells, tot),
-        |_ks AS (SELECT DISTINCT k FROM (
-        |  SELECT x AS k FROM sm UNION SELECT y FROM sm)),
-        |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
-        |t AS (SELECT sm.x, sm.y, sm.na, sm.nb, sm.k, lx.l AS lx, ly.l AS ly
-        |  FROM sm JOIN _lnq lx ON lx.k = sm.x JOIN _lnq ly ON ly.k = sm.y),
-        |agg AS (SELECT MAX(na) AS na, MAX(nb) AS nb, MAX(k) AS k,
-        |    SUM(CAST(x - y AS HUGEINT) * (lx - ly)) AS s2
-        |  FROM t)
-        |SELECT na AS n_expected, nb AS n_actual, k AS n_cats,
-        |  CAST(s2 // (CAST(na + k AS HUGEINT) * (nb + k)) AS BIGINT) AS psi_q,
-        |  CAST(CAST(s2 // (CAST(na + k AS HUGEINT) * (nb + k)) AS BIGINT) AS DOUBLE) / 1e12 AS psi
-        |FROM agg""".stripMargin),
+    // q205 = the same cells through the streaming state store: one
+    // truth, two engine paths (the q152/q200 discipline).
+    "q205_stream_psi" -> psiOracleSql,
+    "q202_psi_drift" -> psiOracleSql,
 
     "q195_corpus_matrix" ->
       """WITH sh AS (

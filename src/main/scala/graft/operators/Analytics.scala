@@ -316,11 +316,17 @@ object Analytics {
     * broadcast — k+1 rows after the first aggregation, nothing per-row
     * downstream.
     */
-  def psiDrift(df: DataFrame, catCol: String, isActual: Column): DataFrame = {
+  def psiDrift(df: DataFrame, catCol: String, isActual: Column): DataFrame =
+    psiFromCells(chisqCells(df, catCol, isActual))
+
+  /** PSI readout from a cells table (`_cat`, `_c1` expected, `_c2`
+    * actual — the [[chisqCells]] shape, so the batch and streaming
+    * paths share one readout and one oracle). See [[psiDrift]].
+    */
+  def psiFromCells(cells0: DataFrame): DataFrame = {
     import graft.plans.GraftExtensions.lnQ12Native
-    val cells = df.groupBy(col(catCol).as("_cat"))
-      .agg(sum(when(isActual, 0L).otherwise(1L)).as("_a"),
-        sum(when(isActual, 1L).otherwise(0L)).as("_b"))
+    val cells = cells0.select(col("_cat"), col("_c1").as("_a"),
+      col("_c2").as("_b"))
     val tot = cells.agg(sum("_a").as("_na"), sum("_b").as("_nb"),
       count(lit(1)).as("_k"))
     cells.crossJoin(broadcast(tot))
