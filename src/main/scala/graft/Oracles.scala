@@ -2613,6 +2613,51 @@ object Oracles {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** q206: content-defined chunking replay — the Gear walk
+    * ([[graft.functions.Hashing.cdcChunks]]) as a recursive CTE that
+    * advances every doc one character per step, carrying (h, d, cs)
+    * exactly as the Scala kernel does: h ← (h·2 + G(c mod 256)) mod
+    * 2⁶⁴ with G from a 256-row splitmix64 table, d ← FNV-1a fold,
+    * boundary / reset logic identical, digests emitted signed. The
+    * q88 BPE-walk discipline applied to rolling-hash chunking.
+    */
+  def q206CdcChunks(minLen: Int, maxLen: Int, maskBits: Int): String = {
+    val mod = BigInt(1) << maskBits
+    val gts = staged("SELECT c, c::HUGEINT AS z FROM range(0,256) t(c)",
+      splitmixStages("z"))
+    // step expressions over walk row w and its next char
+    val cExpr = "ascii(substr(w.t, w.i + 1, 1)) % 256"
+    val h1 = s"(w.h * 2 + gt.g) % $M64"
+    val d1 = mulmod(s"xor(w.d, ($cExpr)::HUGEINT)", FnvPrime)
+    val len1 = "(w.i + 1 - w.cs + 1)"
+    val cut = s"(($len1 >= $minLen AND ($h1) % $mod = 0)" +
+      s" OR $len1 >= $maxLen OR w.i + 1 = w.len)"
+    s"""WITH RECURSIVE
+       |gt AS (SELECT c, _sm AS g FROM ($gts)),
+       |docs0 AS (SELECT doc_id, text AS t, strlen(text) AS len
+       |  FROM documents WHERE strlen(text) >= 1),
+       |walk AS (
+       |  SELECT doc_id, t, len, 0 AS i, 0::HUGEINT AS h,
+       |    $FnvBasis::HUGEINT AS d, 1 AS cs,
+       |    FALSE AS cut, 0::HUGEINT AS emit_d, 0 AS emit_len
+       |  FROM docs0
+       |  UNION ALL
+       |  SELECT w.doc_id, w.t, w.len, w.i + 1,
+       |    CASE WHEN $cut THEN 0::HUGEINT ELSE $h1 END,
+       |    CASE WHEN $cut THEN $FnvBasis::HUGEINT ELSE $d1 END,
+       |    CASE WHEN $cut THEN w.i + 2 ELSE w.cs END,
+       |    $cut, $d1, $len1
+       |  FROM walk w JOIN gt ON gt.c = $cExpr
+       |  WHERE w.i < w.len),
+       |chunks AS (SELECT doc_id, ${signed("emit_d")} AS digest,
+       |    emit_len FROM walk WHERE cut)
+       |SELECT digest, COUNT(*) AS n_chunks,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(MAX(emit_len) AS BIGINT) AS chunk_len
+       |FROM chunks GROUP BY digest HAVING COUNT(DISTINCT doc_id) >= 2
+       |ORDER BY n_chunks DESC, digest LIMIT 20""".stripMargin
+  }
+
   /** q204: KMV set-operation replay — per-set bottom-256 of the
     * sign-flipped splitmix64 hashes (ascending BIGINT ≡ unsigned hash
     * order), union re-rank, match count; union_est is the q189
@@ -2821,6 +2866,7 @@ object Oracles {
     "q147_copurchase_rank" -> q147CopurchaseRank,
     "q203_ppr_related" -> q203PprRelated,
     "q204_kmv_setops" -> q204KmvSetOps,
+    "q206_cdc_chunks" -> q206CdcChunks(16, 128, 6),
     "q141_hll_distinct" -> q141HllDistinct,
     "q155_hll_overlap" -> q155HllOverlap,
     "q161_join_size_est" -> q161JoinSizeEstimate,

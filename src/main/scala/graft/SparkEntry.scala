@@ -522,6 +522,17 @@ object SparkEntry {
       Sketches.kmvSetOps(a, b, 256)
     }),
 
+    // ---- curation tier: content-defined chunk dedup (NEW r11) ----
+    // FastCDC-family Gear boundaries: shift-robust chunking (an edit
+    // reshapes only the chunks it touches), corpus-frequency view of
+    // the repeated chunks — the storage-dedup complement to q93's
+    // fixed-window spans. Oracle replays the walk as a recursive CTE.
+    "q206_cdc_chunks" -> ((s, dir) => {
+      Dedup.cdcDuplicateChunks(documents(s, dir))
+        .orderBy(col("n_chunks").desc, col("digest"))
+        .limit(20)
+    }),
+
     // ---- streaming tier: PSI drift via the state store (NEW r11) ----
     // q202's cells maintained by a Complete-mode streaming aggregation
     // (the q152 chi-sq shape), PSI readout shared with the batch path —

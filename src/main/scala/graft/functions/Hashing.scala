@@ -171,4 +171,46 @@ object Hashing {
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
+
+  /** Content-defined chunk boundaries (FastCDC-family Gear hash,
+    * windowless): walk the text once keeping h ← h·2 + G(c mod 256)
+    * (mod 2⁶⁴, G = splitmix64 — the repo hash, so a 256-entry table in
+    * any engine) and cut when the chunk is ≥ minLen AND h ≡ 0
+    * (mod 2^maskBits), or at maxLen, or at end-of-text; h resets at
+    * every cut so chunking is LOCAL — an insertion only reshapes the
+    * chunks it touches, which is the property shingle/fixed-window
+    * span dedup lacks. Alongside h the same pass folds the chunk's
+    * FNV-1a digest (over c mod 256), emitted per chunk.
+    *
+    * Returns (start0, len, digest) per chunk, start0 0-based; empty
+    * text → no chunks. Pure integer Long arithmetic (wrapping ≡
+    * mod 2⁶⁴), replayed verbatim by the q206 recursive CTE.
+    */
+  def cdcChunks(text: String, minLen: Int, maxLen: Int,
+      maskBits: Int): Array[(Int, Int, Long)] = {
+    require(minLen >= 1 && maxLen >= minLen && maskBits >= 1)
+    val FnvBasis = -3750763034362895579L // 0xcbf29ce484222325
+    val FnvPrime = 1099511628211L
+    val mask = (1L << maskBits) - 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    var h = 0L
+    var d = FnvBasis
+    var cs = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = (text.charAt(i) % 256).toLong
+      h = h * 2 + splitmix64(c)
+      d = (d ^ c) * FnvPrime
+      val len = i - cs + 1
+      val cut = (len >= minLen && (h & mask) == 0L) || len >= maxLen ||
+        i == n - 1
+      if (cut) {
+        out += ((cs, len, d))
+        h = 0L; d = FnvBasis; cs = i + 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
 }

@@ -990,6 +990,33 @@ object Dedup {
       .drop("_grp")
   }
 
+  /** Content-defined chunking over the corpus: every doc splits at
+    * Gear-hash boundaries ([[graft.functions.Hashing.cdcChunks]] —
+    * FastCDC-family, so an insertion reshapes only the chunks it
+    * touches, where [[duplicateSpans]]' fixed word windows all shift),
+    * then chunks repeated across ≥ `minDocs` DISTINCT docs aggregate to
+    * (digest, n_chunks, n_docs, chunk_len) — the storage-dedup view of
+    * corpus redundancy, complementary to the span view.
+    *
+    * Scale shape: one map-side walk per doc (no state across docs), a
+    * chunk table of O(chars/avgChunk) slim rows shuffled on digest
+    * once; nothing carries chunk text.
+    */
+  def cdcDuplicateChunks(docs: DataFrame, minLen: Int = 16,
+      maxLen: Int = 128, maskBits: Int = 6, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunker = udf((t: String) =>
+      graft.functions.Hashing.cdcChunks(
+        if (t == null) "" else t, minLen, maxLen, maskBits))
+    docs.select(col(idCol), explode(chunker(col(textCol))).as("_c"))
+      .select(col(idCol), col("_c._2").as("_len"), col("_c._3").as("digest"))
+      .groupBy("digest")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col(idCol)).as("n_docs"),
+        max("_len").cast("long").as("chunk_len"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** ExactSubstr-style duplicate-span REMOVAL — [[duplicateSpans]]'s
     * rewrite half: every `window`-word sliding window that duplicates an
     * earlier occurrence (global first = min (doc, start) per digest,

@@ -1912,4 +1912,52 @@ class OperatorsSpec extends SparkSpec {
     assert(skewed("a") >= 95L)
     assert(skewed("b") > 15L && skewed("b") < 50L)
   }
+
+  test("cdcChunks: exact partition, length bounds, shift-robust resync; corpus op finds planted dup") {
+    import graft.functions.Hashing
+    val rng = new scala.util.Random(206)
+    val text = (1 to 2000).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val chunks = Hashing.cdcChunks(text, 16, 128, 6)
+    // chunks tile the text exactly
+    assert(chunks.head._1 == 0)
+    assert(chunks.map(_._2).sum == text.length)
+    chunks.sliding(2).foreach { case Array(a, b) =>
+      assert(b._1 == a._1 + a._2)
+    case _ => ()
+    }
+    // every non-final chunk obeys [minLen, maxLen]; final ≤ maxLen
+    chunks.dropRight(1).foreach { c =>
+      assert(c._2 >= 16 && c._2 <= 128, c)
+    }
+    assert(chunks.last._2 <= 128)
+    assert(chunks.length > 5, "mask 6 on 2000 chars must cut")
+    // SHIFT ROBUSTNESS (the CDC point): insert one char at pos 500 —
+    // chunk digests resynchronize; the suffix far beyond the edit is
+    // bit-identical, where fixed windows would all shift
+    val edited = text.substring(0, 500) + "X" + text.substring(500)
+    val ce = Hashing.cdcChunks(edited, 16, 128, 6)
+    val tailA = chunks.map(_._3).reverse
+    val tailB = ce.map(_._3).reverse
+    val common = tailA.zip(tailB).takeWhile { case (x, y) => x == y }.length
+    val resyncAt = chunks.dropRight(common).map(_._2).sum
+    assert(common >= 1, "no suffix resync after a single-char insert")
+    assert(resyncAt <= 500 + 1 + 256,
+      s"resync only at offset $resyncAt for an edit at 500")
+    // empty + short texts
+    assert(Hashing.cdcChunks("", 16, 128, 6).isEmpty)
+    assert(Hashing.cdcChunks("ab", 16, 128, 6).toSeq ==
+      Seq((0, 2, Hashing.cdcChunks("ab", 16, 128, 6).head._3)))
+    // corpus operator: a chunk-sized string planted in two docs shows
+    // up with n_docs = 2
+    val shared = (1 to 200).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (1L, (1 to 300).map(_ => ('a' + rng.nextInt(26)).toChar).mkString + shared),
+      (2L, shared + (1 to 300).map(_ => ('a' + rng.nextInt(26)).toChar).mkString),
+      (3L, (1 to 250).map(_ => ('a' + rng.nextInt(26)).toChar).mkString))
+      .toDF("doc_id", "text")
+    val dup = Dedup.cdcDuplicateChunks(docs)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(dup.nonEmpty, "planted 200-char shared run produced no dup chunk")
+    assert(dup.forall(_._3 >= 2L))
+  }
 }
