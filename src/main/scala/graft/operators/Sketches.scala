@@ -78,6 +78,10 @@ object Sketches {
       valueCol: String): DataFrame = {
     val br = udf((v: Long) => hllBucketRho(v))
     df.select((groupCols.map(col) :+ col(valueCol).cast("long").as("_v")): _*)
+      // SQL aggregate convention (and the native agg's behavior): null
+      // values contribute nothing — without this a null emits a
+      // (null, null) register row that inflates n_set and skews est
+      .filter(col("_v").isNotNull)
       .withColumn("_br", br(col("_v")))
       .groupBy((groupCols.map(col) :+ col("_br._1").as("bucket")): _*)
       .agg(max(col("_br._2")).as("rho"))
@@ -322,6 +326,11 @@ object Sketches {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("u"))
     val base = df
       .select((groupCols.map(col) :+ col(valueCol).cast("long").as("_v")): _*)
+      // null values are ignored (the KmvSketchAgg convention) — left
+      // in, the null hash would rank FIRST (Spark windows sort nulls
+      // first) and displace a real minimum; DuckDB ranks nulls last,
+      // so the pollution would also be engine-divergent
+      .filter(col("_v").isNotNull)
       .select((groupCols.map(col) :+ sm(col("_v")).as("u")): _*)
       .distinct()
     // Single-set case: the final window is GLOBAL, so pre-cut each

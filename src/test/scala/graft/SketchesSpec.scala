@@ -392,4 +392,23 @@ class SketchesSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Long)].head()
     assert(rb2 == rb)
   }
+
+  test("sketch tables ignore null values (the native-agg convention)") {
+    val withNulls = Seq(Some(1L), None, Some(2L), None, Some(3L)).toDF("v")
+    val clean = Seq(1L, 2L, 3L).toDF("v")
+    // KMV: a kept null would rank FIRST (Spark sorts nulls first) and
+    // displace a real minimum — and DuckDB ranks nulls last, so it
+    // would also be engine-divergent
+    val kn = Sketches.kmvMinsTable(withNulls, Nil, "v", 8)
+      .as[(Long, Int)].collect().toSet
+    val kc = Sketches.kmvMinsTable(clean, Nil, "v", 8)
+      .as[(Long, Int)].collect().toSet
+    assert(kn == kc && kn.size == 3)
+    // HLL: a kept null emitted a (null, null) register inflating n_set
+    val hn = Sketches.hllRegisters(withNulls, Nil, "v").collect()
+    val hc = Sketches.hllRegisters(clean, Nil, "v").collect()
+    assert(hn.map(r => (r.get(0), r.get(1))).toSet ==
+      hc.map(r => (r.get(0), r.get(1))).toSet)
+    assert(hn.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+  }
 }
