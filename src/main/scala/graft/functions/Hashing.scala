@@ -27,7 +27,10 @@ object Hashing {
     * sig[m] = min over shingles of splitmix(fnv(shingle) + C*(m+1)).
     */
   def minhashSignature(text: String, k: Int, numHashes: Int): Array[Long] = {
-    val t = text.toLowerCase
+    // null text signs like the empty document (curation keeps the row
+    // and lets downstream quality gates reject it, instead of an
+    // executor NPE killing the whole near-dup job)
+    val t = if (text == null) "" else text.toLowerCase
     val n = math.max(1, t.length - (k - 1))
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val seen = new java.util.HashSet[Long](math.min(n * 2, 1 << 16))
@@ -55,7 +58,7 @@ object Hashing {
     */
   def simhash(text: String): Long = {
     val counts = new Array[Int](64)
-    val t = text.toLowerCase
+    val t = if (text == null) "" else text.toLowerCase // null ≡ empty doc
     var i = 0
     val len = t.length
     while (i < len) {

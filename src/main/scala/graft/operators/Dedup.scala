@@ -378,7 +378,10 @@ object Dedup {
 
   /** Character shingles of length `k`, lowercased, as a distinct array. */
   def shingles(text: Column, k: Int = 5): Column = {
-    val lowered = lower(text)
+    // null ≡ empty doc, matching the UDF kernel path: without this,
+    // xxhash64 SKIPS null args and the null doc gets per-seed constant
+    // hashes — a signature unequal to ""'s, so the two paths disagreed
+    val lowered = lower(coalesce(text, lit("")))
     val n = greatest(lit(1), length(lowered) - (k - 1))
     array_distinct(transform(sequence(lit(1), n), i => lowered.substr(i, lit(k))))
   }

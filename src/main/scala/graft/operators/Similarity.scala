@@ -59,11 +59,13 @@ object Similarity extends Serializable {
     import spark.implicits._
     val q: Array[(Long, Array[Float])] = queries
       .select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(vecCol).isNotNull) // null embeddings join nothing
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qB = spark.sparkContext.broadcast(q)
     val partial = corpus
       .select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(vecCol).isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
         val qs = qB.value
@@ -129,7 +131,8 @@ object Similarity extends Serializable {
     val bucketUdf = udf((vec: Seq[Float], t: Int) =>
       graft.functions.Hashing.hyperplaneBucket(vec.toArray, nPlanes, seed = 42 + t))
     def keyed(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
+      df.filter(col(vecCol).isNotNull) // null vectors hash nowhere
+        .select(col(idCol).as(id), col(vecCol).as(vec),
           explode(sequence(lit(0), lit(tables - 1))).as("table"))
         .withColumn("bucket", bucketUdf(col(vec), col("table")))
     // Same skew guard as the near-dup paths: a degenerate hyperplane
@@ -158,6 +161,7 @@ object Similarity extends Serializable {
     import org.apache.spark.sql.functions.{udf => mkUdf}
     var centroids: Array[Array[Float]] = corpus
       .select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull) // a null seed would NPE every round
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(k)
       .collect()
@@ -270,7 +274,10 @@ object Similarity extends Serializable {
 
   /** (id, qv: array<int>) projection with q81-proven int8 quantization. */
   private def quantIds(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    Embeddings.withInt8Quantized(df, vecCol, qCol = "qv", scaleCol = "_qs")
+    // null vectors cannot participate in any distance — drop here so
+    // every int8 path (IVF/PQ/refine) is null-safe at the funnel
+    Embeddings.withInt8Quantized(df.filter(col(vecCol).isNotNull),
+        vecCol, qCol = "qv", scaleCol = "_qs")
       .select(col(idCol).cast("long").as("id"), col("qv"))
 
   /** Integer squared-L2 of v[off..off+|c|) vs c. */
@@ -724,7 +731,8 @@ object Similarity extends Serializable {
     val bucketUdf = udf((vec: Seq[Float], t: Int) =>
       graft.functions.Hashing.hyperplaneBucket(vec.toArray, nPlanes, seed = 42 + t))
     val keyed = Dedup.capBuckets(
-      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      corpus.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("id"), col(vecCol).as("vec"),
           explode(sequence(lit(0), lit(tables - 1))).as("table"))
         .withColumn("bucket", bucketUdf(col("vec"), col("table"))),
       maxBucket, "table", "bucket") // capBuckets materializes the hashed corpus once
