@@ -1008,11 +1008,11 @@ object Dedup {
   def cdcDuplicateChunks(docs: DataFrame, minLen: Int = 16,
       maxLen: Int = 128, maskBits: Int = 6, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val chunker = udf((t: String) =>
-      graft.functions.Hashing.cdcChunks(
-        if (t == null) "" else t, minLen, maxLen, maskBits))
-    docs.select(col(idCol), explode(chunker(col(textCol))).as("_c"))
-      .select(col(idCol), col("_c._2").as("_len"), col("_c._3").as("digest"))
+    val chunker = graft.plans.GraftExtensions.cdcChunksNative(
+      col(textCol), minLen, maxLen, maskBits)
+    docs.select(col(idCol), explode(chunker).as("_c"))
+      .select(col(idCol), col("_c.len").as("_len"),
+        col("_c.digest").as("digest"))
       .groupBy("digest")
       .agg(count(lit(1)).as("n_chunks"),
         countDistinct(col(idCol)).as("n_docs"),

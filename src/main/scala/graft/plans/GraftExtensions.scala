@@ -194,6 +194,16 @@ object GraftExtensions {
     ColumnShim.column(ShingleDigests(ColumnShim.expression(text), k))
   }
 
+  /** Registration-free content-defined chunking (see [[cosineNative]]):
+    * the Gear walk per document without the UDF boxing round-trip.
+    */
+  def cdcChunksNative(text: Column, minLen: Int, maxLen: Int,
+      maskBits: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(
+      CdcChunksExpr(ColumnShim.expression(text), minLen, maxLen, maskBits))
+  }
+
   /** Registration-free sorted-long-array intersection count (see
     * [[cosineNative]]): two-pointer merge, codegen'd — the
     * set-similarity verify kernel.

@@ -363,6 +363,27 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunksNative ≡ the Scala kernel; null doc → null (explode drops)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val texts = (1 to 50).map(i =>
+      (i.toLong, (1 to rng.nextInt(800)).map(_ =>
+        ('a' + rng.nextInt(26)).toChar).mkString)) :+ (99L, null)
+    val df = texts.toDF("id", "t")
+    val got = df.select(col("id"),
+        GraftExtensions.cdcChunksNative(col("t"), 16, 128, 6).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null
+         else r.getSeq[org.apache.spark.sql.Row](1)
+           .map(x => (x.getInt(0), x.getInt(1), x.getLong(2))))).toMap
+    texts.foreach { case (id, t) =>
+      if (t == null) assert(got(id) == null)
+      else assert(got(id) == graft.functions.Hashing
+        .cdcChunks(t, 16, 128, 6).toSeq, s"id=$id")
+    }
+  }
+
   test("graft_topk/graft_kmv: wrong input types are ANALYSIS errors") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
