@@ -1925,7 +1925,7 @@ object Oracles {
     * SparkEntry.bm25Queries.
     */
   def q123Bm25TopK: String =
-    """WITH terms(query_id, term) AS (VALUES
+    """WITH RECURSIVE terms(query_id, term) AS (VALUES
       |    (1, 'agg'), (1, 'spark'), (1, 'window'),
       |    (2, 'batch'), (2, 'hash'), (2, 'join'), (2, 'merge'),
       |    (3, 'customer'), (3, 'data'), (3, 'query')),
@@ -1941,10 +1941,16 @@ object Oracles {
       |  FROM (SELECT DISTINCT term FROM terms) t
       |  JOIN dd d ON list_contains(d.ws, t.term)
       |  GROUP BY t.term),
+      |_ks AS (SELECT DISTINCT k FROM (
+      |  SELECT 2 * (n + 1) AS k FROM stats
+      |  UNION SELECT 2 * df + 1 FROM dfs)),
+      |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
       |idf AS (
-      |  SELECT term,
-      |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0 + 0.5) AS BIGINT) AS idf_micro
-      |  FROM dfs, stats),
+      |  SELECT d.term,
+      |    CAST((ln1.l - ln2.l + 500000000000) // 1000000 AS BIGINT) AS idf_micro
+      |  FROM dfs d, stats s
+      |  JOIN _lnq ln1 ON ln1.k = 2 * (s.n + 1)
+      |  JOIN _lnq ln2 ON ln2.k = 2 * d.df + 1),
       |contribs AS (
       |  SELECT t.query_id, d.doc_id, t.term,
       |    ((i.idf_micro::DOUBLE / 1000000.0)

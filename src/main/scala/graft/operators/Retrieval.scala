@@ -56,9 +56,17 @@ object Retrieval {
     val n = statsRow.getAs[Long]("n")
     val sumdl = statsRow.getAs[Long]("sumdl")
     val avgdl = sumdl.toDouble / n
+    // Robertson idf, libm-free: (n−df+0.5)/(df+0.5)+1 = 2(n+1)/(2df+1),
+    // so round(ln(r)·10⁶) = (L(2n+2) − L(2df+1) + 5·10¹¹) / 10⁶ over
+    // the integer log kernel L = lnQ12 (exact 10⁻¹² fixed point, the
+    // q199 discipline) — removes the last oracle-allowlisted libm call
+    // (r > 1 always, so the difference is nonnegative and the floor
+    // division is engine-identical truncation).
     val idfMicro: Map[String, Long] = allTerms.map { t =>
-      val df = statsRow.getAs[Long](s"df_$t").toDouble
-      t -> Math.round(Math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
+      val df = statsRow.getAs[Long](s"df_$t")
+      val d = graft.functions.FixedMath.lnQ12(2L * (n + 1)) -
+        graft.functions.FixedMath.lnQ12(2L * df + 1L)
+      t -> (d + 500000000000L) / 1000000L
     }.toMap
     // scoring pass: contribution of term t, folded in sorted-term order
     def contrib(t: String): Column = {

@@ -40,15 +40,11 @@ class OracleLintSpec extends AnyFunSuite {
     ("q106_hard_negatives", "sqrt") -> "cosine denom; exact int inputs",
     ("q116_knn_ivf_indexed", "sqrt") -> "cosine denom; exact int inputs",
     ("q181_ab_ttest", "sqrt") -> "Welch denom over exact decimal vars",
-    ("q193_centroid_shift", "sqrt") -> "cosine denom; exact int sums",
-    // The ONE remaining libm site, risk signed: BM25 idf is
-    // floor(ln(r)*1e6 + 0.5) over a small rational grid r =
-    // (n-df+.5)/(df+.5)+1 — quantized to a micro unit, so divergence
-    // needs both engines' libm to disagree by >~5e-13 relative AND the
-    // product to straddle a floor boundary. Verified agreeing on every
-    // (n, df) the corpus can produce at gate SFs; revisit if the BM25
-    // corpus grows unbounded df domains.
-    ("q123_bm25_topk", "ln") -> "floor-quantized idf over bounded grid")
+    ("q193_centroid_shift", "sqrt") -> "cosine denom; exact int sums")
+  // (The former q123 BM25 `ln` allowlist entry is gone: round 11
+  // rewrote idf on the integer log kernel via r = 2(n+1)/(2df+1), so
+  // the oracle surface now carries ZERO libm transcendentals — sqrt,
+  // correctly rounded by IEEE, is the only float function left.)
 
   // Shared justification for small threshold literals: a non-dyadic
   // literal with unscaled value and 10^scale both ≤ 2^53 converts to

@@ -35,8 +35,11 @@ class RetrievalSpec extends SparkSpec {
         val dl = ws.size.toDouble
         var score = 0.0
         terms.foreach { t =>
-          val df = corpus.count(_._2.contains(t)).toDouble
-          val idfMicro = Math.round(Math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
+          val df = corpus.count(_._2.contains(t)).toLong
+          // r11: idf moved onto the integer log kernel (r = 2(n+1)/(2df+1))
+          val idfMicro = (graft.functions.FixedMath.lnQ12(2L * (n.toLong + 1)) -
+            graft.functions.FixedMath.lnQ12(2L * df + 1L) +
+            500000000000L) / 1000000L
           val tf = ws.count(_ == t).toDouble
           score += (idfMicro.toDouble / 1e6 * (tf * (k1 + 1.0))) /
             (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
