@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   *
   * Media payloads are opaque `binary` columns with a typed metadata
   * struct; decode / feature-extract / resize / frame-sample run as
-  * per-row kernels over the binary payload. The image/audio codec
-  * libraries are NOT in this container, so the pixel-level decode is a
-  * clearly-marked deterministic fake ([[fakeDecodeRgb]]) — the Spark-side
-  * contract (schema, batching, partitioning, UDF signature) is real and
-  * tested, and a production deploy swaps one function.
+  * per-row kernels over the binary payload. Decode is REAL for the
+  * formats the JDK itself ships ([[imageioDecodeRgb]] — javax.imageio
+  * handles PNG/JPEG/BMP/GIF with zero extra dependencies, exercised
+  * against PNGs synthesized in the spec); payloads no JDK codec
+  * accepts (the driver's synthetic blobs, video containers) fall back
+  * to a clearly-marked deterministic fake ([[fakeDecodeRgb]]) so the
+  * Spark-side contract (schema, batching, partitioning, UDF
+  * signature) stays testable end-to-end. A production deploy swaps
+  * ONLY the fallback (e.g. ffmpeg bindings for video).
   */
 object Multimodal {
 
@@ -22,12 +26,13 @@ object Multimodal {
     struct(format.as("format"), width.as("width"), height.as("height"),
       nFrames.as("n_frames"), fps.as("fps"))
 
-  /** STUB — deterministic fake image decode. Real deployments replace the
-    * body with an actual codec (e.g. javax.imageio / ffmpeg bindings);
-    * signature and schema are the production contract:
-    * binary → row-major RGB float array of width*height*3 in [0,1].
-    * The fake derives pixels from a hash of the bytes so tests are
-    * deterministic and content-sensitive.
+  /** FALLBACK — deterministic fake decode for payloads no JDK codec
+    * accepts (see [[decodeRgb]]; real PNG/JPEG/BMP/GIF go through
+    * [[imageioDecodeRgb]]). Production swaps this for the remaining
+    * formats (e.g. ffmpeg bindings for video); signature and schema
+    * are the production contract: binary → row-major RGB float array
+    * of width*height*3 in [0,1]. The fake derives pixels from a hash
+    * of the bytes so tests are deterministic and content-sensitive.
     */
   val fakeDecodeRgb: (Array[Byte], Int, Int) => Array[Float] =
     (bytes: Array[Byte], width: Int, height: Int) => {
@@ -45,8 +50,58 @@ object Multimodal {
       out
     }
 
+  /** REAL image decode + resize on the JDK's own codecs: returns null
+    * when no installed ImageReader accepts the payload (garbage or
+    * video), so callers can fall back to [[fakeDecodeRgb]]. PNG decode
+    * is lossless-deterministic; resize is Graphics2D bilinear. Output
+    * contract matches the fake: row-major RGB floats in [0,1].
+    */
+  def imageioDecodeRgb(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Throwable => null }
+    if (img == null) null
+    else {
+      val scaled =
+        if (img.getWidth == w && img.getHeight == h) img
+        else {
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          out
+        }
+      val arr = new Array[Float](w * h * 3)
+      var i = 0; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = scaled.getRGB(x, y)
+          arr(i) = ((rgb >> 16) & 0xff) / 255f
+          arr(i + 1) = ((rgb >> 8) & 0xff) / 255f
+          arr(i + 2) = (rgb & 0xff) / 255f
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      arr
+    }
+  }
+
+  /** Decode dispatch: real JDK codec when one accepts the payload,
+    * deterministic fake otherwise (identical output for the synthetic
+    * driver payloads, which no codec accepts).
+    */
+  def decodeRgb(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
+    val real = imageioDecodeRgb(bytes, w, h)
+    if (real != null) real else fakeDecodeRgb(bytes, w, h)
+  }
+
   private val decodeResizeUdf = udf(
-    (bytes: Array[Byte], w: Int, h: Int) => fakeDecodeRgb(bytes, w, h).toSeq)
+    (bytes: Array[Byte], w: Int, h: Int) => decodeRgb(bytes, w, h).toSeq)
 
   /** Decode + resize to (w, h): binary column → `array<float>` pixels.
     * Per-row kernel, map-side only; partitioning/pushdown unaffected.
@@ -67,7 +122,7 @@ object Multimodal {
         // per-partition (per-"batch") setup happens here — codec handles,
         // scratch buffers — then each row reuses it
         batch.map { case (id, payload) =>
-          (id, fakeDecodeRgb(payload, w, h).toSeq)
+          (id, decodeRgb(payload, w, h).toSeq)
         }
       }
       .toDF("id", "pixels")

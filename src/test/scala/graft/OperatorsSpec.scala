@@ -872,6 +872,38 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: REAL JDK PNG decode — exact pixels, bilinear resize, dispatch") {
+    import java.awt.image.BufferedImage
+    // synthesize a 2×2 PNG with exact channel values
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    // no-resize decode is EXACT (PNG is lossless)
+    val px = Multimodal.imageioDecodeRgb(png, 2, 2)
+    assert(px.toSeq == Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f, 1f, 1f, 1f))
+    // dispatch: a real PNG takes the codec path (≠ the fake's hash
+    // pixels), garbage takes the fake path unchanged
+    assert(Multimodal.decodeRgb(png, 2, 2).toSeq == px.toSeq)
+    assert(Multimodal.imageioDecodeRgb("not an image".getBytes, 2, 2) == null)
+    assert(Multimodal.decodeRgb("not an image".getBytes, 2, 2).toSeq ==
+      Multimodal.fakeDecodeRgb("not an image".getBytes, 2, 2).toSeq)
+    // resize runs and stays in [0,1] with sane mass (4× upscale of the
+    // 4-color square keeps per-channel means near the originals)
+    val up = Multimodal.imageioDecodeRgb(png, 8, 8)
+    assert(up.length == 8 * 8 * 3)
+    assert(up.forall(v => v >= 0f && v <= 1f))
+    val rMean = up.grouped(3).map(_(0)).sum / 64f
+    assert(rMean > 0.2f && rMean < 0.8f, s"rMean=$rMean")
+    // the Spark column path decodes the PNG too
+    val viaCol = Seq((1L, png)).toDF("id", "payload")
+      .select(Multimodal.decodeResize($"payload", 2, 2).as("px"))
+      .as[Seq[Float]].head()
+    assert(viaCol == px.toSeq)
+  }
+
   test("multimodal: fake decode deterministic, media stats real") {
     val a = Multimodal.fakeDecodeRgb("img-a".getBytes, 4, 4)
     val b = Multimodal.fakeDecodeRgb("img-a".getBytes, 4, 4)
