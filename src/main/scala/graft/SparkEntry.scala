@@ -522,6 +522,16 @@ object SparkEntry {
       Sketches.kmvSetOps(a, b, 256)
     }),
 
+    // ---- curation tier: collapsed set-similarity join (NEW r11) ----
+    // q178's exact truth made duplicate-saturation-proof: group docs
+    // by shingle SET, join representatives only, report multiplicities
+    // (Σ n_pairs ≡ the plain join's pair count) — output linear in
+    // DISTINCT sets where the 100× clone corpus made q178 Θ(clones²).
+    "q207_setsim_collapsed" -> ((s, dir) => {
+      Dedup.setSimJoinCollapsed(documents(s, dir), tau = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- curation tier: content-defined chunk dedup (NEW r11) ----
     // FastCDC-family Gear boundaries: shift-robust chunking (an edit
     // reshapes only the chunks it touches), corpus-frequency view of
@@ -3047,6 +3057,37 @@ object SparkEntry {
 
     // unfiltered pairwise truth: the engine's prefix filter must lose
     // NOTHING relative to this
+    // q207 = q178's truth on collapsed exact-duplicate groups: reps by
+    // min doc_id per distinct shingle set, pairwise over reps only,
+    // intra-group multiplicity rows carry the clone pairs.
+    "q207_setsim_collapsed" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(1, strlen(lower(text)) - 11)),
+        |    i -> substring(lower(text), i, 12)))) AS tok
+        |  FROM documents),
+        |ds AS (SELECT doc_id, list_sort(list(tok)) AS toks
+        |  FROM tk GROUP BY doc_id),
+        |g AS (SELECT toks, MIN(doc_id) AS id, COUNT(*) AS n
+        |  FROM ds GROUP BY toks),
+        |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    len(list_intersect(a.toks, b.toks)) AS inter,
+        |    len(a.toks) AS sa, len(b.toks) AS sb,
+        |    a.n AS n_a, b.n AS n_b
+        |  FROM g a JOIN g b ON a.id < b.id),
+        |interg AS (SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |    inter::DOUBLE / (sa + sb - inter) AS jaccard,
+        |    CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |    CAST(n_a * n_b AS BIGINT) AS n_pairs
+        |  FROM pr WHERE inter::DOUBLE / (sa + sb - inter) >= 0.8),
+        |intrag AS (SELECT id AS id_a, id AS id_b,
+        |    CAST(len(toks) AS BIGINT) AS inter, 1.0::DOUBLE AS jaccard,
+        |    CAST(n AS BIGINT) AS n_a, CAST(n AS BIGINT) AS n_b,
+        |    CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+        |  FROM g WHERE n > 1)
+        |SELECT * FROM (SELECT * FROM interg UNION ALL SELECT * FROM intrag)
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q178_setsim_join" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(

@@ -585,6 +585,48 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** [[setSimJoin]] with EXACT-DUPLICATE COLLAPSE — the duplicate-
+    * saturation scale path the plain exact join cannot have: a corpus
+    * where each doc has c exact clones makes the true pairwise answer
+    * Θ(c²) rows (the r11 100× sweep filled local disk exactly this
+    * way), so this variant groups docs BY THEIR SHINGLE SET first
+    * (array groupBy — set equality, no hashing ambiguity), joins only
+    * the ≤ one representative per distinct set, and reports
+    * multiplicities instead of materializing clone×clone pairs:
+    *
+    *   - inter-group rows: (rep_a, rep_b, inter, jaccard, n_a, n_b,
+    *     n_pairs = n_a·n_b) for distinct-set pairs with jaccard ≥ τ
+    *   - intra-group rows: (rep, rep, |set|, 1.0, n, n, n·(n−1)/2)
+    *     for every set occurring n ≥ 2 times (identical docs qualify
+    *     at any τ ≤ 1)
+    *
+    * Σ n_pairs over all rows = the exact pair count [[setSimJoin]]
+    * would emit — same truth, output linear in DISTINCT sets. The
+    * collapse groupBy is one shuffle of (set, id) rows; everything
+    * after runs on the deduplicated corpus.
+    */
+  def setSimJoinCollapsed(docs: DataFrame, tau: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    val dig = graft.plans.GraftExtensions.shingleDigestsNative(
+      lower(col("text")), 12)
+    val groups = materialize(docs
+      .select(col(idCol).cast("long").as("id"),
+        sort_array(array_distinct(dig)).as("toks"))
+      .groupBy("toks").agg(min("id").as("id"), count(lit(1)).as("n")))
+    val inter = setSimJoin(groups, tau, idCol = "id",
+        digestExpr = col("toks"))
+      .join(groups.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(groups.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"),
+        col("n_a"), col("n_b"), (col("n_a") * col("n_b")).as("n_pairs"))
+    val intra = groups.filter(col("n") > 1)
+      .select(col("id").as("id_a"), col("id").as("id_b"),
+        size(col("toks")).cast("long").as("inter"), lit(1.0).as("jaccard"),
+        col("n").as("n_a"), col("n").as("n_b"),
+        expr("(n * (n - 1)) div 2").as("n_pairs"))
+    inter.unionByName(intra)
+  }
+
   /** Blocked fuzzy record linkage: all pairs within a block whose key
     * strings are within `maxDist` Levenshtein edits — the entity-
     * resolution candidate generator (names, addresses, titles).

@@ -1945,6 +1945,32 @@ class OperatorsSpec extends SparkSpec {
     assert(skewed("b") > 15L && skewed("b") < 50L)
   }
 
+  test("setSimJoinCollapsed: Σ n_pairs ≡ the plain exact join's pair count on a cloned corpus") {
+    val rng = new scala.util.Random(207)
+    def doc(): String =
+      (1 to 120).map(_ => ('a' + rng.nextInt(6)).toChar).mkString
+    val bases = Seq.fill(6)(doc())
+    // clone saturation: base i appears (i+1) times; plus one near-dup
+    // of base 0 (base0 with a shared prefix → some cross-set pairs)
+    val rows = bases.zipWithIndex.flatMap { case (t, i) =>
+      (0 to i).map(j => (i * 100L + j, t))
+    } :+ (999L, bases.head.take(110) + "zzzzzzzzzz")
+    val docs = rows.toDF("doc_id", "text")
+    val plain = Dedup.setSimJoin(docs, tau = 0.8)
+    val collapsed = Dedup.setSimJoinCollapsed(docs, tau = 0.8)
+      .as[(Long, Long, Long, Double, Long, Long, Long)].collect()
+    // the multiset of qualifying pairs is conserved exactly
+    assert(collapsed.map(_._7).sum == plain.count())
+    // intra rows: one per set with n >= 2, jaccard exactly 1
+    val intra = collapsed.filter(r => r._1 == r._2)
+    assert(intra.length == 5) // bases 1..5 have n = 2..6
+    assert(intra.forall(r => r._4 == 1.0 && r._7 == r._5 * (r._5 - 1) / 2))
+    // inter rows join REPRESENTATIVES only (min id per set)
+    collapsed.filter(r => r._1 != r._2).foreach { r =>
+      assert(r._7 == r._5 * r._6)
+    }
+  }
+
   test("cdcChunks: exact partition, length bounds, shift-robust resync; corpus op finds planted dup") {
     import graft.functions.Hashing
     val rng = new scala.util.Random(206)

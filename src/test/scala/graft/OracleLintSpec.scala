@@ -69,6 +69,7 @@ class OracleLintSpec extends AnyFunSuite {
     ("q159_skew_report", "0.9") -> SmallThreshold,
     ("q159_skew_report", "0.99") -> SmallThreshold,
     ("q178_setsim_join", "0.8") -> SmallThreshold,
+    ("q207_setsim_collapsed", "0.8") -> SmallThreshold,
     ("q34_minhash_neardup", "0.3") -> SmallThreshold,
     ("q36_jaccard_verify", "0.3") -> SmallThreshold,
     ("q36_jaccard_verify", "0.4") -> SmallThreshold,
