@@ -86,6 +86,16 @@ object Layout {
   def bloomFilteredJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, fpp: Double = 0.01): DataFrame = {
     val n = small.count()
+    // empty build side: Spark's BloomFilterAggregate yields a null
+    // buffer over zero rows and .stat.bloomFilter NPEs deserializing
+    // it — and no screen is needed anyway, the inner join is empty by
+    // construction (broadcast prunes the big side fast)
+    if (n == 0L) {
+      return big.join(
+        org.apache.spark.sql.functions.broadcast(small),
+        org.apache.spark.sql.functions.col(bigKey) ===
+          org.apache.spark.sql.functions.col(smallKey))
+    }
     val bf = small.stat.bloomFilter(smallKey, math.max(n, 1L), fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
     val mightU = org.apache.spark.sql.functions.udf(

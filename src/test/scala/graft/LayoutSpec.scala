@@ -66,4 +66,17 @@ class LayoutSpec extends SparkSpec {
     val passed = (0L until 1000L).count(bf.mightContainLong)
     assert(passed < 100, s"bloom passed $passed of 1000 keys")
   }
+
+  test("bloomFilteredJoin: EMPTY build side is an empty join, not an NPE") {
+    // Spark's BloomFilterAggregate returns a null buffer over zero
+    // rows and .stat.bloomFilter NPE'd deserializing it — found by the
+    // sf0.001 gate where no supplier cleared the q190 filter
+    import spark.implicits._
+    val big = spark.range(0, 100)
+      .select(col("id").as("k"), col("id").as("payload"))
+    val none = Seq.empty[(Long, String)].toDF("sk", "name")
+    val out = graft.operators.Layout.bloomFilteredJoin(big, none, "k", "sk")
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq == Seq("k", "payload", "sk", "name"))
+  }
 }
