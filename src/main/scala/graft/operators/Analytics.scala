@@ -279,7 +279,10 @@ object Analytics {
       val n = col("_r1") + col("_r2")
       val cc = col("_c1") + col("_c2")
       val d = (o * n - r * cc).cast("double")
-      (d / n.cast("double")) * (d / (r * cc).cast("double"))
+      // an empty arm (r = 0) makes chi-sq undefined: null term → null
+      // statistic, instead of an ANSI DIVIDE_BY_ZERO killing the job
+      when(r > 0 && cc > 0,
+        (d / n.cast("double")) * (d / (r * cc).cast("double")))
     }
     cells.crossJoin(broadcast(tot))
       .withColumn("_t",
@@ -382,7 +385,10 @@ object Analytics {
         (col("_o2") + sum("_c2").over(w)).as("_cum2"))
       .agg(max(abs(col("_cum1") * n2 - col("_cum2") * n1)).as("ks_num"))
       .select(lit(n1).as("n1"), lit(n2).as("n2"), col("ks_num"),
-        (col("ks_num").cast("double") / lit((n1 * n2).toDouble)).as("ks"))
+        // an empty sample makes D undefined: null, not ANSI ÷0
+        (if (n1 > 0 && n2 > 0)
+          col("ks_num").cast("double") / lit((n1 * n2).toDouble)
+        else lit(null).cast("double")).as("ks"))
   }
 
   /** Events with their session id (gap-based sessionization, the q18
@@ -588,8 +594,9 @@ object Analytics {
       // _s2 is DECIMAL(38,8) — wide enough to bite at larger SFs.
       val s1 = col(s"_s1$i").cast("string").cast("double")
       val s2 = col(s"_s2$i").cast("string").cast("double")
-      val mean = s1 / n
-      val variance = (s2 - s1 * s1 / n) / (n - lit(1.0))
+      val mean = when(n > 0, s1 / n)
+      // a 0/1-row arm has no sample variance: null, not ANSI ÷0
+      val variance = when(n > 1, (s2 - s1 * s1 / n) / (n - lit(1.0)))
       (n, mean, variance)
     }
     val (n0, m0, v0) = stats(0); val (n1, m1, v1) = stats(1)
@@ -597,9 +604,11 @@ object Analytics {
     wide.select(
       col("_n0").as("n0"), col("_n1").as("n1"),
       m0.as("mean0"), m1.as("mean1"), v0.as("var0"), v1.as("var1"),
-      ((m1 - m0) / sqrt(se2)).as("t_stat"),
-      (se2 * se2 / ((v0 / n0) * (v0 / n0) / (n0 - lit(1.0)) +
-        (v1 / n1) * (v1 / n1) / (n1 - lit(1.0)))).as("df_welch"))
+      // identical-constant arms (se2 = 0) have no defined t — null
+      when(se2 > 0, (m1 - m0) / sqrt(se2)).as("t_stat"),
+      when(se2 > 0,
+        se2 * se2 / ((v0 / n0) * (v0 / n0) / (n0 - lit(1.0)) +
+          (v1 / n1) * (v1 / n1) / (n1 - lit(1.0)))).as("df_welch"))
   }
 
   /** Shannon entropy of a categorical distribution per key — behavioral
@@ -675,7 +684,10 @@ object Analytics {
     val six = col("_six").cast("string").cast("double")
     m.select(col(groupCol), col("n"),
       sx.as("total"),
-      (lit(2.0) * six / (nd * sx) - (nd + lit(1.0)) / nd).as("gini"))
+      // a zero-total group has no concentration to measure: null,
+      // not an ANSI ÷0 that kills the whole query
+      when(nd > 0 && sx =!= 0.0,
+        lit(2.0) * six / (nd * sx) - (nd + lit(1.0)) / nd).as("gini"))
   }
 
   /** Session-level association lift between event types: for each type
@@ -822,7 +834,9 @@ object Analytics {
     val sxd = col("_sx").cast("double"); val sx2d = col("_sx2").cast("double")
     val syd = col("_sy").cast("string").cast("double")
     val sxyd = col("_sxy").cast("string").cast("double")
-    val slope = (nd * sxyd - sxd * syd) / (nd * sx2d - sxd * sxd)
+    val den = nd * sx2d - sxd * sxd
+    // one observation (or all-equal x) has no slope: nulls, not ÷0
+    val slope = when(den =!= 0.0, (nd * sxyd - sxd * syd) / den)
     m.select(col(groupCol), col("n"), slope.as("slope"),
       ((syd - slope * sxd) / nd).as("intercept"))
   }

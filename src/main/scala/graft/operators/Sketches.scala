@@ -112,12 +112,18 @@ object Sketches {
     */
   def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
     val estU = udf((nSet: Long, sSet: java.math.BigDecimal) => {
-      val s = (BigInt(HllM - nSet) << HllRhoMax) +
-        BigInt(sSet.toBigInteger)
-      val den = s * BigInt(1000000000L)
-      val est = (HllNumer / den).toLong
-      val small = HllNumer * 2 <= den * (5L * HllM)
-      (est, small)
+      // an EMPTY register table (zero rows seen) aggregates to a null
+      // sum: the set is empty, report 0 distinct (small-range by
+      // definition) instead of an executor NPE
+      if (sSet == null) (0L, true)
+      else {
+        val s = (BigInt(HllM - nSet) << HllRhoMax) +
+          BigInt(sSet.toBigInteger)
+        val den = s * BigInt(1000000000L)
+        val est = (HllNumer / den).toLong
+        val small = HllNumer * 2 <= den * (5L * HllM)
+        (est, small)
+      }
     })
     registers
       .groupBy(groupCols.map(col): _*)

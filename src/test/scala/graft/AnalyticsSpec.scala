@@ -435,6 +435,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(r("b") == ((10.0, 20.0)))
   }
 
+  test("degenerate inputs yield NULL statistics, not ANSI divide-by-zero job kills") {
+    // found by the 3-rows-per-table sweep: one degenerate group killed
+    // the whole query under ANSI. Contract: undefined statistic → null.
+    import org.apache.spark.sql.Row
+    // Welch with a single-row arm: variance undefined → null t
+    val oneArm = Seq((0, 1.0), (1, 2.0), (1, 3.0)).toDF("arm", "v")
+    val w = Analytics.welchTTest(oneArm, col("arm"), col("v")).head()
+    assert(w.isNullAt(w.fieldIndex("var0")))
+    assert(w.isNullAt(w.fieldIndex("t_stat")))
+    // identical-constant arms: se2 = 0 → null t (not ±Inf/NaN)
+    val const = Seq((0, 5.0), (0, 5.0), (1, 5.0), (1, 5.0)).toDF("arm", "v")
+    assert(Analytics.welchTTest(const, col("arm"), col("v"))
+      .head().isNullAt(6))
+    // trend: a 1-point group nulls its slope; the 2-point group keeps one
+    val tr = Seq(("a", 1L, 1.0), ("b", 1L, 1.0), ("b", 2L, 3.0))
+      .toDF("g", "x", "y")
+    val slopes = Analytics.groupedTrend(tr, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2)))).toMap
+    assert(slopes("a") == null && slopes("b") == 2.0)
+    // gini: zero-total group → null, nonzero group still measured
+    val gi = Seq(("z", 0.0, 1L), ("z", 0.0, 2L), ("p", 1.0, 3L),
+      ("p", 3.0, 4L)).toDF("g", "v", "id")
+    val gmap = Analytics.giniIndex(gi, "g", "v", "id")
+      .collect().map(r => r.getString(0) -> r.isNullAt(3)).toMap
+    assert(gmap("z") && !gmap("p"))
+    // KS with an empty second sample → null statistic row, no throw
+    val ks = Analytics.ksDrift(Seq(1.0, 2.0).toDF("v"), "v",
+        org.apache.spark.sql.functions.lit(false))
+      .head()
+    assert(ks.isNullAt(3))
+    // chi-sq with an empty arm → null statistic
+    val ch = Analytics.chisqFromCells(Analytics.chisqCells(
+      Seq(("x", false), ("y", false)).toDF("c", "f"), "c", col("f"))).head()
+    assert(ch.isNullAt(ch.fieldIndex("chisq")))
+  }
+
   test("psiDrift: hand case = (2/3)ln2; identical mix = 0; zero cells smoothed; order-free") {
     import graft.functions.FixedMath
     // x: expected 3 / actual 1; y: expected 1 / actual 3. Smoothed
