@@ -52,7 +52,10 @@ object Sampling {
     // W = the final running total; cheap max over the already-
     // materialized checkpoint (withRunningTotal checkpointed its input,
     // and _c_after is monotone over the order, so max IS the total)
-    val wTotal = run.agg(max("_c_after")).head.getLong(0)
+    // coalesce: an EMPTY input aggregates max to null and getLong
+    // would NPE before the wTotal <= 0 early-return below fires
+    val wTotal = run.agg(coalesce(max("_c_after"), lit(0L)))
+      .head.getLong(0)
     if (wTotal <= 0L)
       return run.filter(lit(false))
         .select(col(idCol), col("weight"), lit(0L).as("n_hits"))

@@ -48,6 +48,16 @@ class SamplingSpec extends SparkSpec {
     out.toMap
   }
 
+  test("empty and all-zero-weight inputs return empty, not NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "w")
+    assert(graft.operators.Sampling
+      .ppsSystematic(empty, 5, "w").count() == 0L)
+    val zeros = Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "w")
+    assert(graft.operators.Sampling
+      .ppsSystematic(zeros, 5, "w").count() == 0L)
+  }
+
   test("pin counts match the direct BigInt replay exactly") {
     val df = corpus(300)
     val got = Sampling.ppsSystematic(df, n = 40, weightCol = "w", seed = 7)
