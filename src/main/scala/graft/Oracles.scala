@@ -170,6 +170,45 @@ object Oracles {
        |ORDER BY index_id, incoming_id""".stripMargin
   }
 
+  /** q208: `Dedup.fuzzyDecontaminate` — the q92 cross-split band join
+    * with benchmark = doc_id % 13 = 0, aggregated per training doc:
+    * (n_bench_matches, max_est_jaccard ≥ 0.3, contaminated). est =
+    * agreement/32 is an exact dyadic rational; the count/max/flag are
+    * integers and booleans — nothing engine-dependent survives to the
+    * output.
+    */
+  def q208FuzzyDecontaminate: String = {
+    val num = 32; val rpb = 4; val k = 5; val threshold = 0.3
+    val bands = num / rpb
+    val slots = (0 until rpb)
+      .map(j => s"sig[band*$rpb + ${j + 1}] AS s$j").mkString(", ")
+    val joinKeys = ("a.band = b.band" +:
+      (0 until rpb).map(j => s"a.s$j = b.s$j")).mkString(" AND ")
+    val matches = s"list_sum(list_transform(range(1, ${num + 1})," +
+      s" i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END))"
+    s"""WITH
+       |${minhashSigCtes("SELECT doc_id AS id, text AS t FROM documents", num, k)},
+       |  bnd AS (SELECT id, unnest(range(0, $bands)) AS band, sig FROM sig),
+       |  bands AS (SELECT id, band, $slots FROM bnd),
+       |  cand0 AS (SELECT a.id AS bench_id, b.id AS train_id
+       |            FROM bands a JOIN bands b
+       |            ON $joinKeys AND a.id % 13 = 0 AND b.id % 13 != 0
+       |            GROUP BY 1, 2),
+       |  cand AS (SELECT bench_id, train_id,
+       |             $matches::DOUBLE / $num AS est_jaccard
+       |           FROM cand0
+       |           JOIN (SELECT id, sig AS sa FROM sig) x ON cand0.bench_id = x.id
+       |           JOIN (SELECT id, sig AS sb FROM sig) y ON cand0.train_id = y.id
+       |           WHERE $matches::DOUBLE / $num >= $threshold),
+       |  agg AS (SELECT train_id, COUNT(*) AS n, MAX(est_jaccard) AS mx
+       |          FROM cand GROUP BY train_id)
+       |SELECT d.doc_id, COALESCE(a.n, 0)::BIGINT AS n_bench_matches,
+       |  COALESCE(a.mx, 0.0)::DOUBLE AS max_est_jaccard,
+       |  (COALESCE(a.n, 0) > 0) AS contaminated
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.train_id
+       |WHERE d.doc_id % 13 != 0 ORDER BY d.doc_id""".stripMargin
+  }
+
   /** q93: `Dedup.duplicateSpans` — stride-1 5-word window digests,
     * corpus-frequency > 1, overlapping/adjacent windows merged per doc
     * via the running-max gaps-and-islands (both engines: ROWS frame over
@@ -2975,6 +3014,7 @@ object Oracles {
     "q69_stream_dedup" -> q69StreamDedup,
     "q70_colocated_join" -> q70ColocatedJoin,
     "q34_minhash_neardup" -> q34MinhashNearDup,
+    "q208_fuzzy_decontaminate" -> q208FuzzyDecontaminate,
     "q35_simhash_neardup" -> q35SimhashNearDup,
     "q36_jaccard_verify" -> q36JaccardVerify,
     "q37_knn_brute" -> q37KnnBrute,

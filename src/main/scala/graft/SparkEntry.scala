@@ -522,6 +522,33 @@ object SparkEntry {
       Sketches.kmvSetOps(a, b, 256)
     }),
 
+    // ---- curation tier: fuzzy decontamination (NEW r11) ----
+    // The GPT-3-appendix hygiene pass at near-dup granularity: every
+    // training doc screened against the benchmark split (doc_id % 13
+    // == 0 stands in for the eval suite) through the q34/q92 MinHash
+    // band join; a doc is contaminated when its estimated Jaccard vs
+    // ANY benchmark doc reaches 0.3. Exact n-gram decontamination is
+    // q75; this catches the lightly-edited copies it misses.
+    "q208_fuzzy_decontaminate" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Dedup.fuzzyDecontaminate(
+          d.filter(col("doc_id") % 13 =!= 0),
+          d.filter(col("doc_id") % 13 === 0),
+          numHashes = 32, rowsPerBand = 4, k = 5, threshold = 0.3)
+        .orderBy("doc_id")
+    }),
+
+    // ---- curation tier: exact containment join (NEW r11) ----
+    // Directed |A∩B|/|A| ≥ 0.9 over 12-char shingle digests — the
+    // asymmetric complement to q178: catches excerpt/superset
+    // duplication whose symmetric Jaccard stays small. Prefix filter
+    // on the RAREST digests of the contained side, recall 1; oracle is
+    // the unfiltered pairwise truth.
+    "q209_containment_join" -> ((s, dir) => {
+      Dedup.containmentJoin(documents(s, dir), tau = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- curation tier: collapsed set-similarity join (NEW r11) ----
     // q178's exact truth made duplicate-saturation-proof: group docs
     // by shingle SET, join representatives only, report multiplicities
@@ -3086,6 +3113,25 @@ object SparkEntry {
         |    CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
         |  FROM g WHERE n > 1)
         |SELECT * FROM (SELECT * FROM interg UNION ALL SELECT * FROM intrag)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q209 = the unfiltered pairwise containment truth: directed pairs,
+    // containment = inter / |A| over distinct 12-char shingles, one
+    // IEEE division of exact integers (engine-identical).
+    "q209_containment_join" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(1, strlen(lower(text)) - 11)),
+        |    i -> substring(lower(text), i, 12)))) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, COUNT(*) AS s FROM tk GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id != b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |  inter::DOUBLE / sa.s AS containment
+        |FROM pr JOIN sz sa ON sa.doc_id = id_a
+        |WHERE inter::DOUBLE / sa.s >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q178_setsim_join" ->

@@ -1277,4 +1277,103 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Fuzzy (near-duplicate) decontamination: flag training documents
+    * whose MinHash-estimated Jaccard against ANY benchmark document
+    * reaches `threshold` — the published LM-eval hygiene pass that
+    * exact n-gram overlap ([[decontaminate]]) misses when the
+    * contamination is a lightly-edited copy rather than a verbatim one.
+    * Output: one row per `docs` row — (idCol, n_bench_matches,
+    * max_est_jaccard, contaminated) — so the caller either drops
+    * flagged docs or reports leakage per split.
+    *
+    * Scale shape: the benchmark is the SMALL side (eval suites are
+    * thousands of docs, the corpus is billions) — its exploded
+    * signature index shuffles on (band, bucket) keys and broadcasts
+    * under AQE; the corpus side streams through one signature pass +
+    * one band join + one per-doc aggregation. est_jaccard =
+    * agreement/numHashes is an exact dyadic rational — identical on
+    * any engine, which is what lets the DuckDB oracle replay the whole
+    * walk (q208).
+    */
+  def fuzzyDecontaminate(docs: DataFrame, benchmark: DataFrame,
+      numHashes: Int = 32, rowsPerBand: Int = 4, k: Int = 5,
+      threshold: Double = 0.3, idCol: String = "doc_id",
+      textCol: String = "text", maxBucket: Int = 5000): DataFrame = {
+    val bench = minhashIndex(benchmark, numHashes, rowsPerBand, k,
+      idCol, textCol, maxBucket)
+    val hits = minhashCandidatesAgainst(bench, docs, numHashes,
+        rowsPerBand, k, threshold, idCol, textCol, maxBucket)
+      .groupBy(col("incoming_id").as("_id"))
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max("est_jaccard").as("max_est_jaccard"))
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(hits, col(idCol) === col("_id"), "left")
+      .na.fill(0L, Seq("n_bench_matches"))
+      .na.fill(0.0, Seq("max_est_jaccard"))
+      .withColumn("contaminated", col("n_bench_matches") > 0)
+      .select(idCol, "n_bench_matches", "max_est_jaccard", "contaminated")
+  }
+
+  /** EXACT all-pairs set-CONTAINMENT join: directed pairs (a, b), a ≠ b,
+    * where C(a→b) = |Sₐ ∩ S_b| / |Sₐ| ≥ `tau` over distinct 12-char
+    * shingle digests — "a is (nearly) a subset of b". The asymmetric
+    * complement to [[setSimJoin]]'s Jaccard: a short doc quoted whole
+    * inside a long one scores containment ≈ 1 while its Jaccard stays
+    * tiny, so this is the operator that catches quote/excerpt/superset
+    * duplication.
+    *
+    * Prefix filter (recall = 1): with every doc's digests sorted by
+    * global rarity, a true pair must share one of a's p = |Sₐ| −
+    * ⌈τ·|Sₐ|⌉ + 1 rarest digests — if all p are absent from b, the
+    * intersection is < ⌈τ·|Sₐ|⌉. Only a's prefix joins; b indexes ALL
+    * its tokens (any b token can witness), so the join is
+    * prefix(A) ⋈ full(B) — still never O(n²), and the hot-token risk
+    * is bounded because prefixes hold each doc's RAREST digests. The
+    * first shared token in the shared global order also bounds the
+    * intersection by 1 + min(remaining-a, remaining-b) — the PPJoin
+    * positional filter, valid per witness with candidates kept when any
+    * witness passes. Survivors verify with the native sorted-merge
+    * intersect on the digest arrays carried from the map side.
+    */
+  def containmentJoin(docs: DataFrame, tau: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    val dig = graft.plans.GraftExtensions.shingleDigestsNative(
+      lower(col("text")), 12)
+    val base = materialize(docs.select(col(idCol).as("id"),
+        sort_array(array_distinct(dig)).as("toks"))
+      .withColumn("s", size(col("toks"))))
+    val toks = base.select(col("id"), col("s"), explode(col("toks")).as("hk"))
+    val dfreq = toks.groupBy("hk").agg(count(lit(1)).as("df"))
+    val wRare = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("df", "hk")
+    val ranked = toks.join(dfreq, "hk")
+      .withColumn("_rn", row_number().over(wRare))
+    val prefix = ranked
+      .withColumn("p",
+        col("s") - ceil(lit(tau) * col("s") - lit(1e-9)).cast("int") + lit(1))
+      .filter(col("_rn") <= col("p"))
+      .select(col("id").as("id_a"), col("s").as("s_a"),
+        (col("_rn") - 1).as("_pa"), col("hk"))
+    val full = ranked.select(col("id").as("id_b"), col("s").as("s_b"),
+      (col("_rn") - 1).as("_pb"), col("hk"))
+    val cand = prefix.join(full, "hk")
+      .filter(col("id_a") =!= col("id_b"))
+      // |A∩B| ≤ |B|, so τ·|A| > |B| can never qualify
+      .filter(col("s_b") >= lit(tau) * col("s_a") - lit(1e-9))
+      .filter((lit(1) + least(col("s_a") - col("_pa") - 1,
+          col("s_b") - col("_pb") - 1)) >= lit(tau) * col("s_a") - lit(1e-9))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("toks").as("_ta"),
+        col("s").as("s_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("toks").as("_tb")), "id_b")
+      .withColumn("inter", graft.plans.GraftExtensions
+        .sortedIntersectNative(col("_ta"), col("_tb")))
+      .withColumn("containment", col("inter").cast("double") / col("s_a"))
+      .filter(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
+        col("containment"))
+  }
 }

@@ -1945,6 +1945,71 @@ class OperatorsSpec extends SparkSpec {
     assert(skewed("b") > 15L && skewed("b") < 50L)
   }
 
+  test("containmentJoin equals brute-force directed containment (recall = 1) and is asymmetric") {
+    val rng = new scala.util.Random(209)
+    def run(n: Int): String =
+      (1 to n).map(_ => ('a' + rng.nextInt(8)).toChar).mkString
+    val long = run(400)
+    val corpus = Seq(
+      (0L, long),                                  // superset doc
+      (1L, long.substring(50, 170)),               // excerpt: 1 ⊆ 0
+      (2L, long.substring(100, 220) + run(10)),    // excerpt + small tail
+      (3L, run(300)),                              // unrelated long
+      (4L, long),                                  // exact clone of 0
+      (5L, run(60)))                               // unrelated short
+      .toDF("doc_id", "text")
+    def brute(tau: Double): Set[(Long, Long, Int)] = {
+      val rows = corpus.select(col("doc_id"),
+        Dedup.shingles(col("text"), 12).as("sh")).collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+      (for {
+        (ia, sa) <- rows; (ib, sb) <- rows if ia != ib
+        inter = (sa & sb).size
+        if sa.nonEmpty && inter.toDouble / sa.size >= tau
+      } yield (ia, ib, inter)).toSet
+    }
+    for (tau <- Seq(0.5, 0.8, 0.95)) {
+      val got = Dedup.containmentJoin(corpus, tau).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("inter").toInt)).toSet
+      assert(got == brute(tau), s"tau=$tau")
+    }
+    // the defining asymmetry: the excerpt is contained in the superset,
+    // the superset is NOT contained in the excerpt
+    val dir = Dedup.containmentJoin(corpus, 0.95).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(dir.contains((1L, 0L)))
+    assert(!dir.contains((0L, 1L)))
+  }
+
+  test("fuzzyDecontaminate flags near-copies of benchmark docs, not unrelated docs") {
+    val bench = Seq(
+      (1000L, "what is the capital of france the capital of france is paris obviously"),
+      (1001L, "list the first ten prime numbers two three five seven eleven thirteen"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (0L, "what is the capital of france the capital of france is paris obviously"), // verbatim leak
+      (1L, "what is the capital of france the capital of france is paris clearly"),  // near copy
+      (2L, "a completely unrelated training document about distributed query engines"),
+      (3L, "list the first ten prime numbers two three five seven eleven thirteen!"))
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyDecontaminate(train, bench, numHashes = 32,
+        rowsPerBand = 4, k = 5, threshold = 0.3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bench_matches"), r.getAs[Double]("max_est_jaccard"),
+         r.getAs[Boolean]("contaminated"))).toMap
+    assert(out.size == 4, "one row per training doc")
+    assert(out(0L)._3 && out(0L)._2 == 1.0, "verbatim leak: est 1.0")
+    assert(out(1L)._3, "near copy flagged")
+    assert(out(3L)._3, "punctuation-edit copy flagged")
+    assert(!out(2L)._3 && out(2L)._1 == 0L && out(2L)._2 == 0.0,
+      "unrelated doc clean with zeroed stats")
+    // agreement with the raw candidate machinery it composes
+    val pairs = Dedup.minhashCandidatesAgainst(
+      Dedup.minhashIndex(bench, 32, 4, 5), train, 32, 4, 5, 0.3)
+    assert(pairs.count() == out.values.map(_._1).sum)
+  }
+
   test("setSimJoinCollapsed: Σ n_pairs ≡ the plain exact join's pair count on a cloned corpus") {
     val rng = new scala.util.Random(207)
     def doc(): String =
