@@ -932,6 +932,37 @@ object Oracles {
        |FROM s ORDER BY vec_id""".stripMargin
   }
 
+  /** q210: `Embeddings.randomProjection` — the q81 quantization replay
+    * feeding a splitmix64 ±1 sign matrix (sign = +1 iff the unsigned
+    * mix < 2⁶³, i.e. the signed long is ≥ 0) and exact integer sums per
+    * (vec_id, output dim). Order-free integer arithmetic end-to-end.
+    */
+  def q210RandomProjection: String = {
+    val outDim = 16; val inDim = 64; val seed = 2026L
+    val smx = staged(
+      s"SELECT j, d, ($seed + j*$inDim + d)::HUGEINT AS z FROM " +
+        s"(SELECT unnest(range(0, $outDim)) AS j) CROSS JOIN " +
+        s"(SELECT unnest(range(0, $inDim)) AS d)",
+      splitmixStages("z"))
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    COALESCE(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) AS maxabs
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $inDim),
+       |s AS (SELECT vec_id, embedding,
+       |    CASE WHEN maxabs = 0.0 THEN 1.0 ELSE 127.0 / maxabs END AS scale
+       |  FROM base),
+       |qv AS (SELECT vec_id, d,
+       |    CAST(floor(embedding[d+1]::DOUBLE * scale + 0.5) AS BIGINT) AS qd
+       |  FROM s, (SELECT unnest(range(0, $inDim)) AS d)),
+       |sgn AS (SELECT j, d,
+       |    CASE WHEN _sm >= 9223372036854775808::HUGEINT THEN -1 ELSE 1 END AS sg
+       |  FROM ($smx)),
+       |proj AS (SELECT vec_id, j, SUM(sg * qd)::BIGINT AS value
+       |  FROM qv JOIN sgn USING (d) GROUP BY vec_id, j)
+       |SELECT vec_id, j::BIGINT AS dim, value FROM proj
+       |ORDER BY vec_id, dim""".stripMargin
+  }
+
   /** q57: `Similarity.ivfTopKInt8` — int8 quantization (the q81 replay),
     * splitmix64-seeded cells, unrolled integer Lloyd rounds (truncating
     * `//` centroid update ≡ Scala `Long./`; empty cells keep the previous
@@ -2995,6 +3026,7 @@ object Oracles {
     "q85_knn_ivfpq" -> q85IvfPq,
     "q86_stream_neardup" -> q86StreamNearDup,
     "q81_embed_quantize" -> q81EmbedQuantize,
+    "q210_random_projection" -> q210RandomProjection,
     "q80_quality_filter" -> q80QualityFilter,
     "q79_pack_sequences" -> q79PackSequences,
     "q118_packing_report" -> q118PackingReport,

@@ -2487,6 +2487,17 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- ANN tier: seeded random projection (NEW r11) ----
+    // JL sign-matrix reduction 64→16 dims on the int8-quantized
+    // vectors: projection matrix is a pure splitmix64 hash of
+    // (seed, j, d) folded in as literals — map-side, zero shuffle,
+    // integer-exact (oracle replays quantization + sign walk + sums).
+    "q210_random_projection" -> ((s, dir) => {
+      graft.operators.Embeddings.randomProjection(
+          embeddings(s, dir), outDim = 16, seed = 2026L)
+        .orderBy("vec_id", "dim")
+    }),
+
     // ---- north star: duplicate-ngram repetition filter (Gopher-style) ----
     "q71_repetition" -> ((s, dir) => {
       val ng = TextAnalysis.wordNgrams(col("text"), 3)

@@ -85,4 +85,41 @@ object Embeddings {
           (sqrt(ldot(col("_va"), col("_va")).cast("double")) *
             sqrt(ldot(col("_vb"), col("_vb")).cast("double")))).as("cosine"))
   }
+
+  /** Seeded ±1 random projection (the JL / sign-matrix reduction every
+    * billion-vector ANN pre-pass wants): out[j] = Σ_d sign(seed,j,d) ·
+    * q[d] over the int8-quantized vector, with sign = +1 iff
+    * splitmix64(seed + j·inDim + d) ≥ 0 as a SIGNED long. Everything
+    * is integer-exact — quantization is [[withInt8Quantized]]'s
+    * half-up rule, the projection matrix is a pure hash function of
+    * (seed, j, d), and each output is a bounded integer sum (|out| ≤
+    * 127·inDim) — so the DuckDB oracle replays the whole thing
+    * bit-for-bit (q210).
+    *
+    * Scale shape: the outDim×inDim sign matrix folds in as LITERALS
+    * (driver-computed, a few KB) — map-side, zero shuffle, codegen'd;
+    * no broadcast, no join. Output is exploded (id, dim, value) — the
+    * layout a downstream banded-LSH bucketing or per-dim index
+    * consumes. Rows whose vector is null or not `inDim` wide are
+    * dropped (the ANN-path null convention).
+    */
+  def randomProjection(df: DataFrame, outDim: Int = 16, seed: Long = 2026L,
+      inDim: Int = 64, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val q = withInt8Quantized(
+      df.filter(col(vecCol).isNotNull && size(col(vecCol)) === inDim), vecCol)
+    val projCols = (0 until outDim).map { j =>
+      val signs = array((0 until inDim).map { d =>
+        lit(if (graft.functions.Hashing.splitmix64(
+          seed + j.toLong * inDim + d) >= 0L) 1L else -1L)
+      }: _*)
+      aggregate(zip_with(col("q"), signs, (x, sg) => x.cast("long") * sg),
+        lit(0L), (acc, v) => acc + v).as(s"_p$j")
+    }
+    q.select(col(idCol) +: projCols: _*)
+      .select(col(idCol),
+        posexplode(array((0 until outDim).map(j => col(s"_p$j")): _*)))
+      .select(col(idCol), col("pos").cast("long").as("dim"),
+        col("col").as("value"))
+  }
 }

@@ -1945,6 +1945,51 @@ class OperatorsSpec extends SparkSpec {
     assert(skewed("b") > 15L && skewed("b") < 50L)
   }
 
+  test("randomProjection: exact vs driver-side recompute, drops bad rows, roughly preserves cosine") {
+    val rng = new scala.util.Random(210)
+    val inDim = 64; val outDim = 16; val seed = 2026L
+    val rows: Seq[(Long, Seq[Float])] = (0L until 40L).map { i =>
+      (i, Seq.fill(inDim)((rng.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = (rows :+ (98L, null.asInstanceOf[Seq[Float]]) :+
+      (99L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val got = Embeddings.randomProjection(df, outDim, seed, inDim)
+      .as[(Long, Long, Long)].collect()
+    // null / wrong-width rows dropped; everyone else emits outDim rows
+    assert(got.map(_._1).toSet == rows.map(_._1).toSet)
+    assert(got.groupBy(_._1).forall(_._2.length == outDim))
+    // exact recompute: quantize (half-up) then signed sums
+    val proj = got.map(r => (r._1, r._2) -> r._3).toMap
+    for ((id, v) <- rows) {
+      val ma = v.map(x => math.abs(x.toDouble)).max
+      val scale = if (ma == 0.0) 1.0 else 127.0 / ma
+      val q = v.map(x => math.floor(x.toDouble * scale + 0.5).toLong)
+      for (j <- 0 until outDim) {
+        val expect = (0 until inDim).map { d =>
+          val sg = if (graft.functions.Hashing.splitmix64(
+            seed + j.toLong * inDim + d) >= 0L) 1L else -1L
+          sg * q(d)
+        }.sum
+        assert(proj((id, j.toLong)) == expect, s"vec $id dim $j")
+      }
+    }
+    // JL sanity: projected cosine tracks original cosine (loose bound —
+    // 16 dims of ±1 signs; catches a broken sign matrix, not noise)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val pv = rows.map { case (id, _) =>
+      id -> (0 until outDim).map(j => proj((id, j.toLong)).toDouble)
+    }.toMap
+    val errs = for {
+      (ia, va) <- rows; (ib, vb) <- rows if ia < ib
+    } yield math.abs(cos(va.map(_.toDouble), vb.map(_.toDouble)) -
+      cos(pv(ia), pv(ib)))
+    assert(errs.sum / errs.size < 0.25,
+      f"mean cosine distortion ${errs.sum / errs.size}%.3f")
+  }
+
   test("containmentJoin equals brute-force directed containment (recall = 1) and is asymmetric") {
     val rng = new scala.util.Random(209)
     def run(n: Int): String =
