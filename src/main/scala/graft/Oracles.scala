@@ -2614,6 +2614,32 @@ object Oracles {
     * weights (raw co-membership multiplicities) and weighted degrees:
     * every hop floor((score·85·w)/(wdeg·100)), all HUGEINT-exact.
     */
+  /** q211: `Graphs.ssspInt` over the weighted co-purchase graph with
+    * cost = 1000000 // count — each Bellman–Ford round unrolled as a
+    * union+min CTE; the engine's label-correcting frontier computes the
+    * same ≤ r-edge-path minimum as this synchronous unroll.
+    */
+  def q211Sssp: String = {
+    val rounds = 3
+    val rc = (1 to rounds).map { r =>
+      s"""r$r AS (SELECT node, MIN(dist) AS dist FROM (
+         |  SELECT node, dist FROM r${r - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node, d.dist + e.w AS dist
+         |  FROM r${r - 1} d JOIN ew e ON e.src = d.node) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT l_orderkey AS g, l_partkey AS i FROM lineitem),
+       |ok AS (SELECT g, i FROM e0 WHERE g NOT IN (
+       |  SELECT g FROM e0 GROUP BY g HAVING COUNT(*) > 1000)),
+       |ew AS (SELECT a.i AS src, b.i AS dst,
+       |    (1000000 // COUNT(*))::BIGINT AS w
+       |  FROM ok a JOIN ok b ON a.g = b.g AND a.i <> b.i
+       |  GROUP BY a.i, b.i),
+       |r0 AS (SELECT MIN(src) AS node, 0::BIGINT AS dist FROM ew),
+       |$rc
+       |SELECT node, dist FROM r$rounds ORDER BY node""".stripMargin
+  }
+
   def q173WeightedRank: String = {
     val scale = 1000000000000L
     val iters = 3
@@ -2949,6 +2975,7 @@ object Oracles {
     "q166_kcore" -> q166KCore,
     "q169_communities" -> q169Communities,
     "q179_bfs_hops" -> q179BfsHops,
+    "q211_sssp" -> q211Sssp,
     "q189_kmv_distinct" -> q189KmvDistinct,
     // q200 = q189's sketch through the streaming state store: one
     // truth, two engine paths (the q146/q150 HLL discipline)

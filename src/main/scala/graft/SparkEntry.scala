@@ -830,6 +830,18 @@ object SparkEntry {
     // Exact frontier expansion (3 hops) from the smallest node of the
     // co-purchase graph; each layer one frontier⋈edges join + one
     // anti-join vs the settled set, oracle-unrolled per round.
+    // ---- graph tier: bounded-round weighted SSSP (NEW r11) ----
+    // Proximity distances over the co-purchase graph: edge cost =
+    // 1000000 div co-occurrence count (stronger ties are shorter), 3
+    // Bellman-Ford rounds with a label-correcting frontier; oracle
+    // unrolls each round as a union+min CTE (the q147/q179 discipline).
+    "q211_sssp" -> ((s, dir) => {
+      val ew = Graphs.coOccurrenceWeighted(
+          lineitem(s, dir), "l_orderkey", "l_partkey")
+        .withColumn("weight", expr("1000000 div weight"))
+      Graphs.ssspInt(ew, rounds = 3).orderBy("node")
+    }),
+
     "q179_bfs_hops" -> ((s, dir) => {
       Graphs.bfsHops(Graphs.coOccurrenceEdges(
           lineitem(s, dir), "l_orderkey", "l_partkey"), maxHops = 3)

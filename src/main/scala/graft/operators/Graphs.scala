@@ -269,6 +269,50 @@ object Graphs {
     dist
   }
 
+  /** Bounded-round weighted single-source shortest paths (Bellman–Ford
+    * with a label-correcting frontier): after `rounds` rounds, (node,
+    * dist) holds the EXACT shortest integer distance over paths of ≤
+    * `rounds` edges from the source set — the bounded-frontier form a
+    * billion-edge SSSP runs (Δ-stepping's outer loop), and the bound
+    * makes the answer deterministic and oracle-replayable (q211).
+    * Parallel edges collapse to their minimum weight; `sources` omitted
+    * starts from the smallest src id. Weights must be ≥ 0 longs.
+    *
+    * Scale shape per round: one equi-join of the (shrinking) improved
+    * frontier against the edge table + one per-node min — shuffles
+    * keyed on node ids only; rounds flatten through localCheckpoint.
+    * Only nodes whose label improved last round join this round
+    * (contributions from unchanged labels were already applied), and
+    * the result after r rounds equals the synchronous Bellman–Ford
+    * dist over ≤ r-edge paths — what the unrolled oracle computes.
+    */
+  def ssspInt(edges: DataFrame, sources: DataFrame = null,
+      rounds: Int = 3): DataFrame = {
+    val e = Dedup.tracked(edges
+      .select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .localCheckpoint(eager = true))
+    val src0 = Option(sources).getOrElse(e.agg(min(col("src")).as("node")))
+    var dist = Dedup.tracked(src0.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(eager = true))
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val relax = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("_nd"))
+        .groupBy("node").agg(min("_nd").as("_nd"))
+      val improved = Dedup.tracked(relax
+        .join(dist, Seq("node"), "left")
+        .filter(col("dist").isNull || col("_nd") < col("dist"))
+        .select(col("node"), col("_nd").as("dist"))
+        .localCheckpoint(eager = true))
+      dist = Dedup.tracked(dist.unionByName(improved)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(eager = true))
+      frontier = improved
+    }
+    dist
+  }
+
   /** Item-item co-occurrence similarity, top-k per item — the
     * "customers who bought X also bought Y" recommender shape. Counts
     * are group-set based: n_both(a,b) = groups containing BOTH, n(a) =

@@ -286,4 +286,29 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(multi == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
   }
+
+  test("ssspInt: hand-computed distances; relaxation beats greedy; round bound truncates") {
+    // 1 →(10)→ 2 →(1)→ 3 ; 1 →(2)→ 4 →(3)→ 2 (so dist(2) = 5 via 4,
+    // found only after round 2 relaxes the earlier dist(2) = 10);
+    // 3 →(1)→ 5 is a 3-edge-deep node on the short route;
+    // parallel edge 1→2 weight 50 must collapse to the 10
+    val edges = Seq(
+      (1L, 2L, 10L), (1L, 2L, 50L), (2L, 3L, 1L), (1L, 4L, 2L),
+      (4L, 2L, 3L), (3L, 5L, 1L), (6L, 7L, 1L))
+      .toDF("src", "dst", "weight")
+    val src = Seq(1L).toDF("node")
+    val d3 = Graphs.ssspInt(edges, src, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ≤3-edge paths: 2 via 1→4→2 = 5; 3 via 1→4→2→3 = 6; 5 needs 4 edges
+    // on the short route but 1→2→3→5 = 12 reaches in 3
+    assert(d3 == Map(1L -> 0L, 4L -> 2L, 2L -> 5L, 3L -> 6L, 5L -> 12L))
+    val d4 = Graphs.ssspInt(edges, src, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d4(5L) == 7L, "round 4 finds the cheaper 4-edge route")
+    assert(!d4.contains(6L) && !d4.contains(7L), "disconnected absent")
+    // default source = min src id
+    val dm = Graphs.ssspInt(edges, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dm == Map(1L -> 0L, 2L -> 10L, 4L -> 2L))
+  }
 }
