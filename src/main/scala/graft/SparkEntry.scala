@@ -1843,6 +1843,14 @@ object SparkEntry {
     }),
 
     // ---- north star: Gopher-rules quality filter (integer-exact) ----
+    // ---- north star: Flesch-Kincaid readability (NEW r11) ----
+    // Exact integer counts (words / word-bearing sentences / vowel-run
+    // syllables) and the grade as ONE IEEE division of exact integers —
+    // engine-identical, no float accumulation anywhere.
+    "q212_readability" -> ((s, dir) => {
+      TextAnalysis.readability(documents(s, dir)).orderBy("doc_id")
+    }),
+
     "q96_gopher_rules" -> ((s, dir) => {
       TextAnalysis.gopherRules(documents(s, dir)).orderBy("doc_id")
     }),
@@ -3137,6 +3145,25 @@ object SparkEntry {
         |  FROM g WHERE n > 1)
         |SELECT * FROM (SELECT * FROM interg UNION ALL SELECT * FROM intrag)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q212 = the same three integer counts and the single-division
+    // grade; CASE w=0 mirrors the engine's NULL for wordless docs.
+    "q212_readability" ->
+      """WITH base AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(COALESCE(text, '')),
+        |      '[^a-z0-9'']+'), x -> length(x) > 0) AS ws,
+        |    list_filter(string_split_regex(lower(COALESCE(text, '')),
+        |      '[.!?]+'), s -> regexp_matches(s, '[a-z0-9]')) AS sents
+        |  FROM documents),
+        |c AS (SELECT doc_id, len(ws)::BIGINT AS w, len(sents)::BIGINT AS s,
+        |    COALESCE(list_sum(list_transform(ws,
+        |      x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))),
+        |      0)::BIGINT AS y
+        |  FROM base)
+        |SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+        |  CASE WHEN w = 0 THEN NULL ELSE
+        |    (39*w*w + 1180*y*s - 1559*s*w)::DOUBLE / (100*s*w) END AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // q209 = the unfiltered pairwise containment truth: directed pairs,
     // containment = inter / |A| over distinct 12-char shingles, one

@@ -768,6 +768,39 @@ object TextAnalysis {
     * the label — cardinality = number of distinct labels, so the result
     * is dashboard-sized however big the corpus is.
     */
+  /** Flesch–Kincaid grade level per document, on the integer-exact
+    * discipline: word count from the shared [[words]] kernel, sentence
+    * count = word-bearing `[.!?]+` segments, syllables = `[aeiouy]+`
+    * runs per word (min 1) — all exact integers — and the grade
+    *   0.39·W/S + 11.8·Y/W − 15.59
+    * emitted as ONE IEEE division of exact integers:
+    * (39·W² + 1180·Y·S − 1559·S·W) / (100·S·W), identical on any
+    * engine (the q136/q157 scaled-integer-quotient rule). Wordless
+    * docs get a NULL grade (W > 0 implies S ≥ 1 and Y ≥ W, so no other
+    * guard is needed). One scan, map-side, zero shuffle.
+    */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val ws = words(t)
+    val nW = size(ws).cast("long")
+    val nS = size(filter(split(lower(t), "[.!?]+"),
+      s => s.rlike("[a-z0-9]"))).cast("long")
+    val nY = aggregate(ws, lit(0L), (acc, w) => acc +
+      greatest(lit(1), size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))))
+        .cast("long"))
+    docs.select(col(idCol), nW.as("n_words"), nS.as("n_sentences"),
+        nY.as("n_syllables"))
+      .withColumn("fk_grade",
+        when(col("n_words") === 0L, lit(null).cast("double"))
+          .otherwise(
+            (lit(39L) * col("n_words") * col("n_words") +
+              lit(1180L) * col("n_syllables") * col("n_sentences") -
+              lit(1559L) * col("n_sentences") * col("n_words"))
+              .cast("double") /
+            (lit(100L) * col("n_sentences") * col("n_words"))))
+  }
+
   def corpusReport(docs: DataFrame, keyCol: String = "source",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     gopherRules(docs, idCol, textCol, carry = Seq(keyCol))

@@ -1945,6 +1945,25 @@ class OperatorsSpec extends SparkSpec {
     assert(skewed("b") > 15L && skewed("b") < 50L)
   }
 
+  test("readability: hand-computed FK counts and grade; wordless docs NULL") {
+    val df = Seq(
+      (0L, "The cat sat on the mat."),
+      (1L, "Hello world! How are you today? Fine."),
+      (2L, "!!! ... ???"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // doc 0: W=6 S=1 Y=6 → (39·36 + 1180·6 − 1559·6)/600 = −870/600
+    assert(got(0L) == ((6L, 1L, 6L, Some(-870.0 / 600.0))))
+    // doc 1: W=7 S=3, Y = 2+1+1+2+1+2+2 = 11 → 8112/2100
+    assert(got(1L) == ((7L, 3L, 11L, Some(8112.0 / 2100.0))))
+    // punctuation-only and null docs: zero counts, NULL grade
+    assert(got(2L) == ((0L, 0L, 0L, None)))
+    assert(got(3L) == ((0L, 0L, 0L, None)))
+  }
+
   test("randomProjection: exact vs driver-side recompute, drops bad rows, roughly preserves cosine") {
     val rng = new scala.util.Random(210)
     val inDim = 64; val outDim = 16; val seed = 2026L
