@@ -66,7 +66,12 @@ object Bench {
     "q191_asof_native",    // custom-plan as-of merge exec (NEW r9)
     "q202_psi_drift",      // PSI drift on the integer log kernel (NEW r11)
     "q203_ppr_related",    // personalized PageRank rounds (NEW r11)
-    "q204_kmv_setops")     // KMV set-operation tables (NEW r11)
+    "q204_kmv_setops",     // KMV set-operation tables (NEW r11)
+    "q208_fuzzy_decontaminate", // cross-corpus MinHash screen (NEW r11)
+    "q209_containment_join", // exact directed containment join (NEW r11)
+    "q210_random_projection", // JL sign-matrix reduction (NEW r11)
+    "q211_sssp",           // bounded-round weighted SSSP (NEW r11)
+    "q212_readability")    // FK readability, scan-speed (NEW r11)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine

@@ -770,6 +770,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- curation tier: end-to-end entity resolution (NEW r11) ----
+    // q184's fuzzy links closed into entities (transitive min-label
+    // components) + the golden record per entity: canonical name =
+    // name of the smallest key, balances merged on the exact DECIMAL
+    // discipline. Oracle = recursive-CTE closure over the same pair
+    // SQL (the q56/q127 discipline).
+    "q213_entity_resolution" -> ((s, dir) => {
+      Dedup.resolveEntities(customer(s, dir),
+          idCol = "c_custkey", keyCol = "c_name",
+          blockCol = "c_nationkey", maxDist = 1)
+        .groupBy("entity_id")
+        .agg(count(lit(1)).as("n_records"),
+          min_by(col("c_name"), col("c_custkey")).as("canonical_name"),
+          round(sum(dec(col("c_acctbal"), 2)), 2).cast("double")
+            .as("total_acctbal"))
+        .orderBy("entity_id")
+    }),
+
     // ---- §2.6 native bounded top-k aggregate ----
     // Top-5 (price, orderkey) per return flag through the
     // TypedImperativeAggregate (≤ 2k pairs of state per group,
@@ -3026,6 +3044,26 @@ object SparkEntry {
         |      ORDER BY epoch_us(ts), event_id) AS rn
         |  FROM events)
         |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+
+    "q213_entity_resolution" ->
+      """WITH RECURSIVE
+        |p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(s, d) AS (SELECT s, d FROM edges
+        |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |minr AS (SELECT s AS id, least(s, min(d)) AS cid FROM reach GROUP BY s),
+        |ent AS (SELECT c.c_custkey, c.c_name, c.c_acctbal,
+        |    COALESCE(m.cid, c.c_custkey) AS entity_id
+        |  FROM customer c LEFT JOIN minr m ON m.id = c.c_custkey)
+        |SELECT entity_id, COUNT(*)::BIGINT AS n_records,
+        |  min_by(c_name, c_custkey) AS canonical_name,
+        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS total_acctbal
+        |FROM ent GROUP BY entity_id ORDER BY entity_id""".stripMargin,
 
     "q184_record_linkage" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

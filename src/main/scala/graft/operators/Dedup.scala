@@ -1278,6 +1278,33 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** End-to-end entity resolution: fuzzy-link records within blocks
+    * ([[blockedLinkPairs]]), close the match graph into entities
+    * ([[clusterPairs]] min-label components), and append `entity_id`
+    * to every input row (unmatched records are their own entity). The
+    * caller aggregates the golden record per entity (canonical name,
+    * merged balances, …) — that part is domain shape, not engine
+    * shape. Transitivity is the point: A~B and B~C merge all three
+    * even when A and C differ by 2·maxDist.
+    *
+    * Scale shape: the quadratic comparison runs only inside blocks
+    * (capped at `maxBlock`), the component solve sees only the MATCH
+    * graph (≪ corpus; driver union-find under `driverMaxEdges`, else
+    * the distributed pointer-doubling loop), and the label table joins
+    * back on the id key once.
+    */
+  def resolveEntities(df: DataFrame, idCol: String, keyCol: String,
+      blockCol: String, maxDist: Int = 1,
+      maxBlock: Int = 10000): DataFrame = {
+    val pairs = blockedLinkPairs(df, idCol, keyCol, blockCol, maxDist, maxBlock)
+    // internal names: the caller's idCol may itself be "id"/"cluster_id"
+    val labels = clusterPairs(pairs.select("id_a", "id_b"))
+      .select(col("id").as("_er_id"), col("cluster_id").as("_er_cid"))
+    df.join(labels, df(idCol) === col("_er_id"), "left")
+      .withColumn("entity_id", coalesce(col("_er_cid"), df(idCol)))
+      .drop("_er_id", "_er_cid")
+  }
+
   /** Fuzzy (near-duplicate) decontamination: flag training documents
     * whose MinHash-estimated Jaccard against ANY benchmark document
     * reaches `threshold` — the published LM-eval hygiene pass that

@@ -1945,6 +1945,26 @@ class OperatorsSpec extends SparkSpec {
     assert(skewed("b") > 15L && skewed("b") < 50L)
   }
 
+  test("resolveEntities: transitive merge within blocks, singletons self-entity, no cross-block merge") {
+    val recs = Seq(
+      // block 1: smith / smith2 / smith3 chain — pairwise dist 1 via the
+      // shared base, A~B and B~C merge all three transitively
+      (1L, "john smithx", 1),
+      (2L, "john smith1", 1),
+      (3L, "john smith2", 1),
+      // block 1 singleton
+      (4L, "maria garcia", 1),
+      // block 2: same name as id 1 but different block — must NOT merge
+      (5L, "john smithx", 2))
+      .toDF("id", "name", "blk")
+    val out = Dedup.resolveEntities(recs, "id", "name", "blk", maxDist = 1)
+      .select("id", "entity_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+    // chain transitivity: 1 and 3 differ by 2 edits yet share an entity
+    assert(out(1L) == out(3L))
+  }
+
   test("readability: hand-computed FK counts and grade; wordless docs NULL") {
     val df = Seq(
       (0L, "The cat sat on the mat."),
