@@ -722,6 +722,18 @@ object SparkEntry {
         .orderBy("l_partkey")
     }),
 
+    // ---- validation tier: Benford first-digit audit (NEW r11) ----
+    // Fabricated-data / unit-mix-up screen on the price column: first
+    // significant digit via DECIMAL cents -> integer string (no
+    // double rendering), deviation as the exact integer
+    // 1000·n_obs − permille·N. TPC-H prices are uniform-ish, so the
+    // report SHOWS the non-Benford excess — that's the point of an
+    // audit row.
+    "q214_benford_audit" -> ((s, dir) => {
+      Validation.benfordAudit(lineitem(s, dir), "l_extendedprice")
+        .orderBy("digit")
+    }),
+
     // ---- analytics tier: sequence pattern with negation ----
     // Purchases whose latest preceding view is not separated from them
     // by any click — A…B-with-no-C-between via two running-max window
@@ -2991,6 +3003,22 @@ object SparkEntry {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_acctbal > 9000
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q214_benford_audit" ->
+      """WITH v AS (SELECT
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |o AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    COUNT(*) AS n
+        |  FROM v GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS nt FROM v),
+        |e(digit, permille) AS (VALUES (1, 301), (2, 176), (3, 125), (4, 97),
+        |  (5, 79), (6, 67), (7, 58), (8, 51), (9, 46))
+        |SELECT CAST(e.digit AS INT) AS digit, COALESCE(o.n, 0)::BIGINT AS n_obs,
+        |  e.permille::BIGINT AS expected_permille,
+        |  (1000 * COALESCE(o.n, 0) - e.permille * t.nt)::BIGINT AS excess_milli
+        |FROM e CROSS JOIN t LEFT JOIN o ON o.digit = e.digit
+        |ORDER BY digit""".stripMargin,
 
     "q187_fd_violations" ->
       """SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_dep,

@@ -175,4 +175,42 @@ object Validation {
     states.reduce(_ unionByName _)
       .groupBy(groupCols.map(col): _*)
       .agg(sum("n").as("n"), sum("val_sum").as("val_sum"))
+
+  /** Benford's-law first-significant-digit permille table (published
+    * constants, ⌊1000·log₁₀(1 + 1/d)⌋-ish rounded values).
+    */
+  private val BenfordPermille =
+    Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+
+  /** Benford first-digit audit over a positive monetary column — the
+    * classic fabricated-data / unit-mix-up screen. Values route
+    * through DECIMAL(18,2) cents (exact for 2-decimal money) and the
+    * first digit comes from the INTEGER's decimal string — no
+    * double→string rendering anywhere, so both engines see identical
+    * digits. Output per digit 1–9: observed count, expected permille
+    * (literal constants), and excess_milli = 1000·n_obs −
+    * permille·N — an exact integer deviation (positive = over-
+    * represented), so the report carries no float at all.
+    *
+    * Scale shape: one scan + one 9-key groupBy + a 9×1 scalar join.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val digits = df.filter(col(valueCol) > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+    val obs = digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(count(lit(1)).as("n_total"))
+    val expected = BenfordPermille.zipWithIndex
+      .map { case (p, i) => (i + 1, p) }
+      .toDF("digit", "expected_permille")
+    expected.join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(total)
+      .withColumn("excess_milli",
+        lit(1000L) * col("n_obs") - col("expected_permille") * col("n_total"))
+      .select(col("digit"), col("n_obs"), col("expected_permille"),
+        col("excess_milli"))
+  }
 }

@@ -202,6 +202,32 @@ class SketchesSpec extends SparkSpec {
     assert(got("sum_chars_floor") == ((19L, 300L, false)))
   }
 
+  test("benford audit: hand-computed digits and integer deviations; zero/negative rows excluded") {
+    // one value per leading digit (incl. a sub-1 value whose first
+    // SIGNIFICANT digit is 5) + excluded zero/negative rows
+    val vals = Seq(12.34, 210.0, 3.0, 4999.99, 0.05, 61.0, 7.77, 80.0, 9.0,
+      0.0, -55.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val got = Validation.benfordAudit(df, "v")
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == (1 to 9).toSet)
+    val permille = Map(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L, 5 -> 79L,
+      6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
+    for (d <- 1 to 9) {
+      // every digit observed exactly once; N = 9 (zero/neg excluded)
+      assert(got(d) == ((1L, permille(d), 1000L - permille(d) * 9L)), s"digit $d")
+    }
+    // a digit with no observations still reports, with n_obs = 0
+    val sparse = Seq((1L, 12.0), (2L, 13.0)).toDF("id", "v")
+    val g2 = Validation.benfordAudit(sparse, "v")
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(g2(1) == ((2L, 2000L - 301L * 2L)))
+    assert(g2(9) == ((0L, -46L * 2L)))
+  }
+
   test("constraint report by group: pass/fail independent per segment") {
     val docs = Seq(
       (1L, "hello there world", "en", 17L, "good"),
