@@ -1873,6 +1873,15 @@ object SparkEntry {
     }),
 
     // ---- north star: Gopher-rules quality filter (integer-exact) ----
+    // ---- north star: PMI collocations (NEW r11) ----
+    // Adjacent-pair pointwise mutual information on the shared integer
+    // log kernel: pmi_q12 = L(c_ab·N²) − L(c_a·c_b·B), exact BIGINT at
+    // 10⁻¹², top-20 by TakeOrderedAndProject.
+    "q215_pmi_collocations" -> ((s, dir) => {
+      TextAnalysis.pmiCollocations(documents(s, dir), minCount = 5,
+        topN = 20)
+    }),
+
     // ---- north star: Flesch-Kincaid readability (NEW r11) ----
     // Exact integer counts (words / word-bearing sentences / vowel-run
     // syllables) and the grade as ONE IEEE division of exact integers —
@@ -2689,7 +2698,34 @@ object SparkEntry {
         |  CAST(CAST(s2 // (CAST(na + k AS HUGEINT) * (nb + k)) AS BIGINT) AS DOUBLE) / 1e12 AS psi
         |FROM agg""".stripMargin)
 
+  private val pmiOracleSql: String =
+    ("""WITH RECURSIVE
+       |base AS (SELECT list_filter(string_split_regex(lower(COALESCE(text, '')),
+       |    '[^a-z0-9'']+'), x -> length(x) > 0) AS ws FROM documents),
+       |uni AS (SELECT unnest(ws) AS w FROM base),
+       |ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+       |nn AS (SELECT COUNT(*) AS n FROM uni),
+       |bi AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+       |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM base)),
+       |bcnt AS (SELECT w1, w2, COUNT(*) AS cab FROM bi GROUP BY 1, 2
+       |  HAVING COUNT(*) >= 5),
+       |bb AS (SELECT COUNT(*) AS b FROM bi),
+       |sm AS (SELECT w1, w2, cab, ca.c AS c1, cb.c AS c2,
+       |    cab * n * n AS x, ca.c * cb.c * b AS y
+       |  FROM bcnt JOIN ucnt ca ON ca.w = bcnt.w1
+       |  JOIN ucnt cb ON cb.w = bcnt.w2, nn, bb),
+       |_ks AS (SELECT DISTINCT k FROM (
+       |  SELECT x AS k FROM sm UNION SELECT y FROM sm)),
+       |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
+       |t AS (SELECT w1, w2, cab, c1, c2, lx.l - ly.l AS pmi_q12
+       |  FROM sm JOIN _lnq lx ON lx.k = sm.x JOIN _lnq ly ON ly.k = sm.y)
+       |SELECT w1, w2, cab::BIGINT AS n_pair, c1::BIGINT AS n_w1,
+       |  c2::BIGINT AS n_w2, pmi_q12
+       |FROM t ORDER BY pmi_q12 DESC, w1, w2 LIMIT 20""".stripMargin)
+
   def oracleSql: Map[String, String] = Map(
+
+    "q215_pmi_collocations" -> pmiOracleSql,
 
     // The heavy-hitter oracle is deliberately sketch-free: the engine's
     // CMS screen must be output-invisible (superset property + exact

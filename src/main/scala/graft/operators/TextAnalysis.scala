@@ -768,6 +768,52 @@ object TextAnalysis {
     * the label — cardinality = number of distinct labels, so the result
     * is dashboard-sized however big the corpus is.
     */
+  /** Pointwise-mutual-information collocations — the corpus-scale
+    * "which word pairs belong together" miner (phrase detection for
+    * tokenizer vocab planning, NER gazetteer seeding). For adjacent
+    * word pairs with pair count ≥ `minCount`:
+    *   PMI = ln( (c_ab/B) / ((c_a/N)·(c_b/N)) ) = ln(c_ab·N² / (c_a·c_b·B))
+    * computed as lnQ12(c_ab·N²) − lnQ12(c_a·c_b·B) over the shared
+    * integer log kernel ([[graft.functions.FixedMath.lnQ12]]) — an
+    * exact BIGINT at 10⁻¹², no libm, replayed verbatim by the oracle's
+    * recursive CTE (the q199/q202 discipline). Long-range bound:
+    * c_ab·N² must fit int64 — holds to N ≈ 2·10⁶ tokens; beyond that
+    * pre-scale the counts (divide all four by a common factor) before
+    * the kernel.
+    *
+    * Scale shape: one token explode + two partial-agg'd groupBys
+    * (unigrams, bigrams), two vocabulary-keyed joins, a broadcast
+    * 1-row scalar, and TakeOrderedAndProject for the top-N — never a
+    * global sort.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, topN: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    import graft.plans.GraftExtensions.lnQ12Native
+    val ws = words(coalesce(col(textCol), lit("")))
+    val base = Dedup.materialize(docs.select(ws.as("_ws")))
+    val uni = base.select(explode(col("_ws")).as("_w"))
+    val ucnt = uni.groupBy("_w").agg(count(lit(1)).as("_c"))
+    val nm1 = greatest(size(col("_ws")) - 1, lit(0))
+    val bi = base.select(explode(zip_with(
+        slice(col("_ws"), lit(1), nm1), slice(col("_ws"), lit(2), nm1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_p"))
+      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+    val bcnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val scal = uni.agg(count(lit(1)).as("_n"))
+      .crossJoin(bi.agg(count(lit(1)).as("_bt")))
+    bcnt
+      .join(ucnt.select(col("_w").as("w1"), col("_c").as("n_w1")), "w1")
+      .join(ucnt.select(col("_w").as("w2"), col("_c").as("n_w2")), "w2")
+      .crossJoin(broadcast(scal))
+      .withColumn("pmi_q12",
+        lnQ12Native(col("n_pair") * col("_n") * col("_n")) -
+          lnQ12Native(col("n_w1") * col("n_w2") * col("_bt")))
+      .select("w1", "w2", "n_pair", "n_w1", "n_w2", "pmi_q12")
+      .orderBy(col("pmi_q12").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** Flesch–Kincaid grade level per document, on the integer-exact
     * discipline: word count from the shared [[words]] kernel, sentence
     * count = word-bearing `[.!?]+` segments, syllables = `[aeiouy]+`

@@ -1945,6 +1945,42 @@ class OperatorsSpec extends SparkSpec {
     assert(skewed("b") > 15L && skewed("b") < 50L)
   }
 
+  test("pmiCollocations: exact integer PMI vs driver recompute; collocated pair outranks independent pair") {
+    // "new york" always adjacent (strong collocation); "red" and "car"
+    // appear often but rarely adjacent (weak); filler varies
+    val docs = (0 until 30).map { i =>
+      val ny = "new york is large and new york is busy"
+      val rc = if (i % 3 == 0) "red car" else "red paint near a car"
+      (i.toLong, s"$ny $rc filler$i words here")
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, minCount = 5, topN = 50)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // driver-side recompute from raw tokenization
+    val toks = docs.collect().map(_.getString(1)).flatMap(t =>
+      t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty))
+    // per-doc adjacency (the engine never pairs across doc boundaries)
+    val biAll = docs.collect().map(_.getString(1)).flatMap { t =>
+      val w = t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+      w.zip(w.drop(1))
+    }
+    val n = toks.length.toLong
+    val b = biAll.length.toLong
+    val uc = toks.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val bc = biAll.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    for (((w1, w2), (nPair, nW1, nW2, pmi)) <- got) {
+      assert(nPair == bc((w1, w2)) && nW1 == uc(w1) && nW2 == uc(w2))
+      val expect = graft.functions.FixedMath.lnQ12(nPair * n * n) -
+        graft.functions.FixedMath.lnQ12(nW1 * nW2 * b)
+      assert(pmi == expect, s"($w1,$w2)")
+    }
+    // minCount: pairs below 5 absent
+    assert(got.values.forall(_._1 >= 5L))
+    // the always-adjacent pair scores higher than the loosely-coupled
+    // one ("red car" is adjacent in only 1/3 of docs)
+    assert(got(("new", "york"))._4 > got(("red", "car"))._4)
+  }
+
   test("resolveEntities: transitive merge within blocks, singletons self-entity, no cross-block merge") {
     val recs = Seq(
       // block 1: smith / smith2 / smith3 chain — pairwise dist 1 via the
