@@ -3074,6 +3074,9 @@ object Oracles {
     "q70_colocated_join" -> q70ColocatedJoin,
     "q34_minhash_neardup" -> q34MinhashNearDup,
     "q208_fuzzy_decontaminate" -> q208FuzzyDecontaminate,
+    // one relational truth, two engine paths (batch band join vs
+    // stream-static join through the state store)
+    "q216_stream_decontaminate" -> q208FuzzyDecontaminate,
     "q35_simhash_neardup" -> q35SimhashNearDup,
     "q36_jaccard_verify" -> q36JaccardVerify,
     "q37_knn_brute" -> q37KnnBrute,

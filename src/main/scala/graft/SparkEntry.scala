@@ -538,6 +538,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- streaming tier: streaming fuzzy decontamination (NEW r11) ----
+    // q208's band join as a stream-static join: training docs stream
+    // in, the benchmark signature index is the static side; per-doc
+    // distinct-match count + max est through a Complete-mode
+    // aggregation; readout left-joins the roster. Oracle = q208's SQL
+    // (one relational truth, two engine paths — the q86/q205
+    // discipline).
+    "q216_stream_decontaminate" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val benchIdx = Dedup.minhashIndex(
+        d.filter(col("doc_id") % 13 === 0), 32, 4, 5)
+      val hits = EventStreams.runOnceOnParquet(s, s"$dir/documents.parquet",
+        df => graft.streaming.StreamingDedup.decontaminateStream(s,
+          df.filter(col("doc_id") % 13 =!= 0), benchIdx,
+          numHashes = 32, rowsPerBand = 4, k = 5, threshold = 0.3),
+        s"decon_sink_${System.nanoTime()}")
+      d.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_bench_matches"))
+        .na.fill(0.0, Seq("max_est_jaccard"))
+        .withColumn("contaminated", col("n_bench_matches") > 0)
+        .select("doc_id", "n_bench_matches", "max_est_jaccard",
+          "contaminated")
+        .orderBy("doc_id")
+    }),
+
     // ---- curation tier: exact containment join (NEW r11) ----
     // Directed |A∩B|/|A| ≥ 0.9 over 12-char shingle digests — the
     // asymmetric complement to q178: catches excerpt/superset

@@ -138,4 +138,44 @@ object StreamingDedup {
       }
       .toDF("id_a", "id_b", "est_jaccard")
   }
+
+  /** Streaming fuzzy decontamination: each arriving document is
+    * minhash-signed map-side, band-exploded, and joined against a
+    * STATIC benchmark signature index ([[Dedup.minhashIndex]]) — the
+    * stream-static shape of [[Dedup.fuzzyDecontaminate]]'s band join
+    * (the benchmark is fixed for a training run; the corpus is the
+    * firehose). Emits per matched doc: distinct benchmark-match count
+    * and max estimated Jaccard ≥ `threshold`; unmatched docs simply
+    * never appear (the caller's readout left-joins the roster and
+    * fills zeros — the q208 tail). Aggregation runs in Complete mode
+    * over ≤ |matched docs| keys of bounded state.
+    */
+  def decontaminateStream(spark: SparkSession, incoming: DataFrame,
+      benchIndex: DataFrame, numHashes: Int = 32, rowsPerBand: Int = 4,
+      k: Int = 5, threshold: Double = 0.3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val num = numHashes
+    val sigU = udf((t: String) =>
+      graft.functions.Hashing.minhashSignature(t, k, num).toSeq)
+    val banded = incoming
+      .select(col(idCol).cast("long").as("id"), sigU(col(textCol)).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(Dedup.bandKeys(col("sig"), num, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"))
+    banded.join(benchIndex
+        .select(col("band"), col("bucket"), col("id").as("bench_id"),
+          col("sig").as("bsig")),
+        Seq("band", "bucket"))
+      .filter(col("id") =!= col("bench_id"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig"), col("bsig"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / num)
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("id").as(idCol))
+      .agg(size(collect_set(col("bench_id"))).cast("long")
+          .as("n_bench_matches"),
+        max("est_jaccard").as("max_est_jaccard"))
+  }
 }

@@ -442,6 +442,43 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination: cross-batch arrivals match the static index; final counts ≡ batch operator") {
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val benchTxt = "what is the capital of france the capital of france is paris"
+    val bench = Seq(1000L -> benchTxt).toDF("doc_id", "text")
+    val train = Seq(
+      0L -> benchTxt,                                   // verbatim leak
+      1L -> (benchTxt + " indeed"),                     // near copy
+      2L -> "unrelated training document about query engines")
+    val idx = graft.operators.Dedup.minhashIndex(bench, 32, 4, 5)
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingDedup.decontaminateStream(spark,
+      input.toDF().toDF("doc_id", "text"), idx,
+      numHashes = 32, rowsPerBand = 4, k = 5, threshold = 0.3)
+    val q = out.writeStream.format("memory").queryName("decon_sink")
+      .outputMode("complete").start()
+    try {
+      input.addData(train(2)) // batch 1: clean doc only
+      q.processAllAvailable()
+      assert(spark.table("decon_sink").count() == 0)
+      input.addData(train(0), train(1)) // batch 2: the leaks arrive
+      q.processAllAvailable()
+      val got = spark.table("decon_sink")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got.keySet == Set(0L, 1L))
+      assert(got(0L) == ((1L, 1.0)))
+      // batch operator over the union of all batches agrees
+      val batch = graft.operators.Dedup.fuzzyDecontaminate(train.toDF("doc_id", "text"),
+          bench, 32, 4, 5, 0.3)
+        .filter(col("contaminated"))
+        .select("doc_id", "n_bench_matches", "max_est_jaccard")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming near-dup TTL: expired bucket entries stop matching; fresh ones still do") {
     import graft.streaming.StreamingDedup
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
