@@ -932,6 +932,31 @@ object Oracles {
        |FROM s ORDER BY vec_id""".stripMargin
   }
 
+  /** q217: `Sketches.kmvQuantiles` — distinct cents values, the
+    * splitmix walk, bottom-256 by UNSIGNED hash order, and the
+    * value-rank quantile picks at ⌈q·m/100⌉. All hash/rank integer
+    * arithmetic, replayed bit-for-bit.
+    */
+  def q217KmvQuantiles: String = {
+    val k = 256
+    val smx = staged("SELECT v, v::HUGEINT AS z FROM dv",
+      splitmixStages("z"))
+    s"""WITH dv AS (SELECT DISTINCT
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       |hs AS (SELECT v, _sm FROM ($smx)),
+       |rk AS (SELECT v, row_number() OVER (ORDER BY _sm) AS rn FROM hs),
+       |sample AS (SELECT v FROM rk WHERE rn <= $k),
+       |mm AS (SELECT COUNT(*) AS m FROM sample),
+       |vr AS (SELECT v, row_number() OVER (ORDER BY v) AS vr FROM sample)
+       |SELECT mm.m::BIGINT AS m,
+       |  MIN(CASE WHEN vr = (25*mm.m + 99)//100 THEN v END)::BIGINT AS q25,
+       |  MIN(CASE WHEN vr = (50*mm.m + 99)//100 THEN v END)::BIGINT AS q50,
+       |  MIN(CASE WHEN vr = (75*mm.m + 99)//100 THEN v END)::BIGINT AS q75,
+       |  MIN(CASE WHEN vr = (90*mm.m + 99)//100 THEN v END)::BIGINT AS q90
+       |FROM vr, mm GROUP BY mm.m""".stripMargin
+  }
+
   /** q210: `Embeddings.randomProjection` — the q81 quantization replay
     * feeding a splitmix64 ±1 sign matrix (sign = +1 iff the unsigned
     * mix < 2⁶³, i.e. the signed long is ≥ 0) and exact integer sums per
@@ -3054,6 +3079,7 @@ object Oracles {
     "q86_stream_neardup" -> q86StreamNearDup,
     "q81_embed_quantize" -> q81EmbedQuantize,
     "q210_random_projection" -> q210RandomProjection,
+    "q217_kmv_quantiles" -> q217KmvQuantiles,
     "q80_quality_filter" -> q80QualityFilter,
     "q79_pack_sequences" -> q79PackSequences,
     "q118_packing_report" -> q118PackingReport,

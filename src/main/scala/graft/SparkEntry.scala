@@ -522,6 +522,19 @@ object SparkEntry {
       Sketches.kmvSetOps(a, b, 256)
     }),
 
+    // ---- sketch tier: KMV-sample distinct quantiles (NEW r11) ----
+    // Approximate distinct-value quantiles from the value-carrying
+    // bottom-256 hash sample — mergeable, integer-exact selection
+    // (pure hash/rank arithmetic, no t-digest float centroids), exact
+    // when distinct count < k.
+    "q217_kmv_quantiles" -> ((s, dir) => {
+      Sketches.kmvQuantiles(
+        lineitem(s, dir).withColumn("cents",
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")),
+        "cents", k = 256)
+    }),
+
     // ---- curation tier: fuzzy decontamination (NEW r11) ----
     // The GPT-3-appendix hygiene pass at near-dup granularity: every
     // training doc screened against the benchmark split (doc_id % 13

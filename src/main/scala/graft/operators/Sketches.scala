@@ -359,6 +359,51 @@ object Sketches {
   /** Merge KMV mins tables (same group schema): union, re-dedup, re-rank
     * to the k smallest — sketch-sized input, one shuffle.
     */
+  /** Approximate DISTINCT-value quantiles from a value-carrying KMV
+    * bottom-k sample: the k distinct values with the smallest
+    * splitmix64 hashes are a uniform sample of the distinct-value SET
+    * (hash order is independent of value order), so the sample's
+    * value-order statistics estimate the distinct-value quantiles —
+    * EXACTLY when m < k (the sample is then the whole set). One row
+    * out: m (sample size) + the value at rank ⌈q·m/100⌉ per requested
+    * percentile. Every selection is pure hash/rank arithmetic — no
+    * t-digest-style float centroids — so the DuckDB oracle replays it
+    * bit-for-bit (q217), and samples from shards merge by re-ranking
+    * (the [[kmvMinsTable]] mergeability).
+    *
+    * Scale shape: distinct + per-partition bottom-k pre-cut, then the
+    * global rank window sees ≤ partitions·k rows; the quantile pick
+    * runs on ≤ k rows. Estimates quantiles of the DISTINCT-value
+    * distribution (each distinct value weighted once), like
+    * `approx_count_distinct`'s view of the world — for multiset
+    * quantiles use the exact `percentile`/[[Analytics.weightedQuantiles]].
+    */
+  def kmvQuantiles(df: DataFrame, valueCol: String, k: Int = 256,
+      qs: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sm = udf((v: Long) =>
+      graft.functions.Hashing.splitmix64(v) ^ Long.MinValue)
+    val base = df.select(col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull).distinct()
+      .select(col("_v"), sm(col("_v")).as("u"))
+    val wp = Window.partitionBy(col("_part")).orderBy(col("u"))
+    val cut = base.withColumn("_part", spark_partition_id())
+      .withColumn("_prn", row_number().over(wp))
+      .filter(col("_prn") <= k).drop("_part", "_prn")
+    val sample = cut
+      .withColumn("rn", row_number().over(Window.orderBy(col("u"))))
+      .filter(col("rn") <= k)
+    val ranked = sample
+      .withColumn("vr", row_number().over(Window.orderBy(col("_v"))))
+      .crossJoin(broadcast(sample.agg(count(lit(1)).as("m"))))
+    val qcols = qs.map(q =>
+      min(when(col("vr") === expr(s"($q * m + 99) div 100"), col("_v")))
+        .as(s"q$q"))
+    ranked.groupBy("m")
+      .agg(qcols.head, qcols.tail: _*)
+      .select(col("m") +: qs.map(q => col(s"q$q")): _*)
+  }
+
   def kmvMergeMins(tables: Seq[DataFrame], groupCols: Seq[String],
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

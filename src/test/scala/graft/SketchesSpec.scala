@@ -127,6 +127,34 @@ class SketchesSpec extends SparkSpec {
     assert(native.forall(r => !r._4), "13k+ distinct per group is raw regime")
   }
 
+  test("kmvQuantiles: exact below k, ~rank-sigma above, partitioning-invariant") {
+    import graft.operators.Sketches
+    // exact regime: 9 distinct values < k — quantiles are the exact
+    // distinct-value order statistics at ⌈q·9/100⌉
+    val small = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L, 90L, 10L, 20L)
+      .toDF("v")
+    val ex = Sketches.kmvQuantiles(small, "v", k = 256)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(ex == ((9L, 30L, 50L, 70L, 90L)))
+    // sampling regime: 20k distinct uniform values, k = 256 → the rank
+    // estimator's sigma is sqrt(q(1-q)/m)·range; assert within 4 sigma
+    val big = spark.range(1, 20001).toDF("v")
+    val (m, q25, q50, q75, q90) = Sketches.kmvQuantiles(big, "v", k = 256)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(m == 256L)
+    def sigma(q: Double) = math.sqrt(q * (1 - q) / 256) * 20000
+    assert(math.abs(q50 - 10000) < 4 * sigma(0.5), s"q50=$q50")
+    assert(math.abs(q25 - 5000) < 4 * sigma(0.25), s"q25=$q25")
+    assert(math.abs(q75 - 15000) < 4 * sigma(0.75), s"q75=$q75")
+    assert(math.abs(q90 - 18000) < 4 * sigma(0.9), s"q90=$q90")
+    // the selection is pure hash order — identical under any layout
+    val r1 = Sketches.kmvQuantiles(big.repartition(1), "v", k = 256)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val r64 = Sketches.kmvQuantiles(big.repartition(64), "v", k = 256)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r1 == r64 && r1 == ((m, q25, q50, q75, q90)))
+  }
+
   test("kmv: exact below k, ~1/sqrt(k) above, partitioning-invariant") {
     import graft.plans.GraftExtensions.kmvNative
     // below k: the sketch IS the distinct set
