@@ -1913,6 +1913,14 @@ object SparkEntry {
     }),
 
     // ---- north star: Gopher-rules quality filter (integer-exact) ----
+    // ---- north star: vocabulary coverage curve (NEW r11) ----
+    // Tokenizer planning: share of corpus tokens covered by a top-K
+    // vocabulary, K in {100, 1k, 10k} — two-phase global vocab rank,
+    // exact integer coverage + floor permille.
+    "q218_vocab_coverage" -> ((s, dir) => {
+      TextAnalysis.vocabCoverage(documents(s, dir))
+    }),
+
     // ---- north star: PMI collocations (NEW r11) ----
     // Adjacent-pair pointwise mutual information on the shared integer
     // log kernel: pmi_q12 = L(c_ab·N²) − L(c_a·c_b·B), exact BIGINT at
@@ -2766,6 +2774,25 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "q215_pmi_collocations" -> pmiOracleSql,
+
+    "q218_vocab_coverage" ->
+      """WITH wc AS (SELECT w, COUNT(*) AS c FROM (
+        |    SELECT unnest(list_filter(string_split_regex(
+        |      lower(COALESCE(text, '')), '[^a-z0-9'']+'),
+        |      x -> length(x) > 0)) AS w
+        |    FROM documents) GROUP BY w),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn,
+        |    COUNT(*) OVER () AS vocab
+        |  FROM wc),
+        |t AS (SELECT SUM(c) AS tot FROM wc),
+        |ks(k) AS (VALUES (100), (1000), (10000))
+        |SELECT ks.k::BIGINT AS k,
+        |  COALESCE(SUM(CASE WHEN rn <= ks.k THEN c END), 0)::BIGINT AS n_covered,
+        |  MAX(t.tot)::BIGINT AS total_tokens,
+        |  MAX(vocab)::BIGINT AS vocab_size,
+        |  (1000 * COALESCE(SUM(CASE WHEN rn <= ks.k THEN c END), 0)
+        |    // MAX(t.tot))::BIGINT AS coverage_permille
+        |FROM ks CROSS JOIN rk CROSS JOIN t GROUP BY ks.k ORDER BY k""".stripMargin,
 
     // The heavy-hitter oracle is deliberately sketch-free: the engine's
     // CMS screen must be output-invisible (superset property + exact

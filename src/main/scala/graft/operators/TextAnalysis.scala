@@ -768,6 +768,39 @@ object TextAnalysis {
     * the label — cardinality = number of distinct labels, so the result
     * is dashboard-sized however big the corpus is.
     */
+  /** Vocabulary coverage curve — the tokenizer-planning readout "what
+    * share of corpus tokens does a top-K vocabulary cover": word
+    * counts from the shared [[words]] kernel, vocabulary ranked
+    * (count DESC, word ASC) by the TWO-PHASE global row number (never
+    * a partition-less window over the vocab), cumulative coverage at
+    * each requested K as exact integers and a floor-division permille.
+    * Output: one row per K — (k, n_covered, total_tokens, vocab_size,
+    * coverage_permille).
+    *
+    * Scale shape: one explode + one partial-agg'd groupBy(word), then
+    * [[Ranking.withGlobalRowNumber]]'s range-bucketed rank (driver
+    * sees ≤ numBuckets offset rows) and ONE global aggregate.
+    */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(100, 1000, 10000),
+      textCol: String = "text"): DataFrame = {
+    val wcnt = docs
+      .select(explode(words(coalesce(col(textCol), lit("")))).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_c"))
+      .withColumn("_nc", -col("_c"))
+    val ranked = Ranking.withGlobalRowNumber(wcnt, Seq("_nc", "_w"))
+    val covs = ks.map(k =>
+      coalesce(sum(when(col("grank") <= k, col("_c"))), lit(0L))
+        .as(s"_cov$k"))
+    val one = ranked.agg(sum("_c").as("_tot"), (max("gn").as("_vocab") +: covs): _*)
+    val stackArgs = ks.map(k => s"${k}L, _cov$k").mkString(", ")
+    one.selectExpr(
+        s"stack(${ks.size}, $stackArgs) as (k, n_covered)",
+        "_tot as total_tokens", "_vocab as vocab_size")
+      .withColumn("coverage_permille",
+        expr("(1000 * n_covered) div total_tokens"))
+      .orderBy("k")
+  }
+
   /** Pointwise-mutual-information collocations — the corpus-scale
     * "which word pairs belong together" miner (phrase detection for
     * tokenizer vocab planning, NER gazetteer seeding). For adjacent

@@ -1945,6 +1945,25 @@ class OperatorsSpec extends SparkSpec {
     assert(skewed("b") > 15L && skewed("b") < 50L)
   }
 
+  test("vocabCoverage: hand-computed coverage at each K; monotone; total conservation") {
+    // counts: a=5, b=3, c=2, d=1, e=1 → total 12, vocab 5
+    val docs = Seq(
+      (0L, "a a a b b c"),
+      (1L, "a a b c d e"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, ks = Seq(1, 2, 4))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // top-1 = a(5); top-2 = a,b(8); top-4 = a,b,c,d(11) — tie d<e by word
+    assert(got(1L) == ((5L, 12L, 5L, 5000L / 12L)))
+    assert(got(2L) == ((8L, 12L, 5L, 8000L / 12L)))
+    assert(got(4L) == ((11L, 12L, 5L, 11000L / 12L)))
+    // K beyond the vocabulary covers everything
+    val full = TextAnalysis.vocabCoverage(docs, ks = Seq(100))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(full == ((100L, 12L, 12L, 5L, 1000L)))
+  }
+
   test("pmiCollocations: exact integer PMI vs driver recompute; collocated pair outranks independent pair") {
     // "new york" always adjacent (strong collocation); "red" and "car"
     // appear often but rarely adjacent (weak); filler varies
