@@ -549,6 +549,57 @@ object Oracles {
        |FROM chan GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** q219: `Multimodal.perceptualDedup` — the q49 fake-decode replay at
+    * 9×8 (byte fold → 216 LCG states → float pixels), gray = left-assoc
+    * FLOAT sum of each cell's 3 channels, 64 gradient-sign bits, and
+    * the two exact BIGINT halves (bits 32..63 / 0..31 — no 2⁶³ term on
+    * either engine), grouped.
+    */
+  def q219PerceptualDedup: String = {
+    val nPx = 9 * 8 * 3
+    val byteStep = s"(${mulmod("h", BigInt(31))} + c) % $M64"
+    def lcg(h: String) =
+      s"(${mulmod(h, BigInt("6364136223846793005"))} + 1442695040888963407::HUGEINT) % $M64"
+    s"""WITH RECURSIVE
+       |  corpus AS (SELECT doc_id, text FROM documents
+       |             UNION ALL
+       |             SELECT doc_id + 100000, text FROM documents
+       |             WHERE doc_id % 10 = 0),
+       |  seed AS (SELECT doc_id, list_reduce(
+       |             list_concat([1125899906842597::HUGEINT],
+       |               list_transform(split(text, ''), ch -> ascii(ch)::HUGEINT)),
+       |             (h, c) -> $byteStep) AS h
+       |           FROM corpus),
+       |  states(doc_id, i, h) AS (
+       |    SELECT doc_id, 0, ${lcg("h")} FROM seed
+       |    UNION
+       |    SELECT doc_id, i + 1, ${lcg("states.h")} FROM states WHERE i < ${nPx - 1}),
+       |  px AS (SELECT doc_id, i,
+       |           (((h // 1099511627776::HUGEINT) % 65536)::FLOAT / 65535::FLOAT) AS v
+       |         FROM states),
+       |  g AS (SELECT doc_id, i // 3 AS p, list(v ORDER BY i) AS vs
+       |        FROM px GROUP BY doc_id, i // 3),
+       |  g2 AS (SELECT doc_id, p, (vs[1] + vs[2]) + vs[3] AS gray FROM g),
+       |  grid AS (SELECT y, x, y*8 + x AS b
+       |           FROM (SELECT unnest(range(0, 8)) AS y) CROSS JOIN
+       |                (SELECT unnest(range(0, 8)) AS x)),
+       |  bits AS (SELECT gc.doc_id, grid.b,
+       |             CASE WHEN gn.gray > gc.gray THEN 1 ELSE 0 END AS bit
+       |           FROM grid
+       |           JOIN g2 gc ON gc.p = grid.y*9 + grid.x
+       |           JOIN g2 gn ON gn.doc_id = gc.doc_id
+       |             AND gn.p = grid.y*9 + grid.x + 1),
+       |  hh AS (SELECT doc_id,
+       |           SUM(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32))
+       |               ELSE 0 END) AS hash_hi,
+       |           SUM(CASE WHEN b < 32 THEN bit * (1::BIGINT << b)
+       |               ELSE 0 END) AS hash_lo
+       |         FROM bits GROUP BY doc_id)
+       |SELECT hash_hi::BIGINT AS hash_hi, hash_lo::BIGINT AS hash_lo,
+       |  COUNT(*)::BIGINT AS n_images, MIN(doc_id)::BIGINT AS keep_id
+       |FROM hh GROUP BY 1, 2 ORDER BY keep_id""".stripMargin
+  }
+
   /** q66: `TextAnalysis.qualityScore`/`qualityFeatures` — pure
     * length/regex/ratio arithmetic. RE2's `[[:punct:]]` equals Java's
     * `\\p{Punct}` on ASCII (verified over the full 32..126 range);
@@ -3093,6 +3144,7 @@ object Oracles {
     "q72_top_supplier" -> q72TopSupplier,
     "q73_cap_per_source" -> q73CapPerSource,
     "q49_image_features" -> q49ImageFeatures,
+    "q219_perceptual_dedup" -> q219PerceptualDedup,
     "q66_quality_score" -> q66QualityScore,
     "q67_tfidf_buckets" -> q67TfidfBuckets,
     "q68_salted_agg" -> q68SaltedAgg,

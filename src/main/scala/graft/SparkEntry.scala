@@ -2605,6 +2605,23 @@ object SparkEntry {
         .orderBy("vec_id", "dim")
     }),
 
+    // ---- multimodal tier: perceptual image dedup (NEW r11) ----
+    // dHash over the decoded 9x8 grid (fake-decode LCG pixels on the
+    // synthetic payloads; real codecs on real images), identical
+    // hashes grouped — the exact-dedup shape with a perceptual key.
+    // Oracle replays byte fold -> LCG walk -> float grays -> 64
+    // gradient bits -> 32-bit halves.
+    // every 10th doc re-ingested under a shifted id (the q119 crawl
+    // view) so the grouping path is live: those pairs MUST collapse
+    "q219_perceptual_dedup" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      val reingested = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      Multimodal.perceptualDedup(d.unionByName(reingested))
+        .orderBy("keep_id")
+    }),
+
     // ---- north star: duplicate-ngram repetition filter (Gopher-style) ----
     "q71_repetition" -> ((s, dir) => {
       val ng = TextAnalysis.wordNgrams(col("text"), 3)

@@ -162,4 +162,45 @@ object Multimodal {
         .when(head.startsWith("52494646"), "riff")
         .otherwise("unknown").as("format"))
   }
+
+  /** 64-bit dHash (difference hash) over a 9×8 decoded RGB pixel
+    * array — the published perceptual image fingerprint: per grid
+    * cell, gray = r+g+b (left-assoc float sum); bit (y·8+x) is set iff
+    * gray(x+1, y) > gray(x, y). Robust to re-encode/resize on real
+    * codecs because only sign-of-gradient survives. Returned as TWO
+    * 32-bit halves (hash_hi = bits 32..63, hash_lo = bits 0..31) so
+    * neither engine ever forms a 2⁶³ term — every sum stays in exact
+    * BIGINT range, which is what lets the DuckDB oracle replay the
+    * whole hash bit-for-bit over the fake-decode LCG pixels (q219).
+    * Pure expression tree (64 comparisons), codegen'd, map-side.
+    */
+  def dHashHalves(pixels: Column): (Column, Column) = {
+    def gray(p: Int): Column =
+      pixels.getItem(3 * p) + pixels.getItem(3 * p + 1) +
+        pixels.getItem(3 * p + 2)
+    def half(range: Range): Column =
+      range.map { b =>
+        val y = b / 8; val x = b % 8
+        when(gray(y * 9 + x + 1) > gray(y * 9 + x),
+          lit(1L << (b % 32))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    (half(32 until 64), half(0 until 32))
+  }
+
+  /** Perceptual image dedup: decode every payload to the 9×8 grid,
+    * dHash it, and group identical hashes — re-encoded/resized copies
+    * of the same picture collapse to one group on real codecs (the
+    * fake-decode path collapses exact payload duplicates, which is
+    * what the synthetic corpus contains). Output: (hash_hi, hash_lo,
+    * n_images, keep_id = min id). One decode scan + one 64-bit-key
+    * groupBy — the md5-exact-dedup shape with a perceptual key.
+    */
+  def perceptualDedup(df: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val withPx = df.withColumn("_px", decodeResize(col(payloadCol), 9, 8))
+    val (hi, lo) = dHashHalves(col("_px"))
+    withPx.select(col(idCol), hi.as("hash_hi"), lo.as("hash_lo"))
+      .groupBy("hash_hi", "hash_lo")
+      .agg(count(lit(1)).as("n_images"), min(col(idCol)).as("keep_id"))
+  }
 }

@@ -904,6 +904,48 @@ class OperatorsSpec extends SparkSpec {
     assert(viaCol == px.toSeq)
   }
 
+  test("perceptual dHash: hand-computed bits; re-encode/resize invariant on real PNGs; groups collapse") {
+    import java.awt.image.BufferedImage
+    // hand-computable fixture: gray(x,y) = x (horizontal ramp) → every
+    // gradient bit set → hash halves 0xFFFFFFFF each; vertical ramp →
+    // no horizontal gradient → both halves 0
+    def rampPixels(horizontal: Boolean): Seq[Float] =
+      (0 until 8).flatMap(y => (0 until 9).flatMap { x =>
+        val v = (if (horizontal) x else y).toFloat / 10f
+        Seq(v, v, v)
+      })
+    val fixtures = Seq((1L, rampPixels(true)), (2L, rampPixels(false)))
+      .toDF("id", "px")
+    val (hi, lo) = Multimodal.dHashHalves(col("px"))
+    val hs = fixtures.select(col("id"), hi.as("hi"), lo.as("lo"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(hs(1L) == ((0xFFFFFFFFL, 0xFFFFFFFFL)))
+    assert(hs(2L) == ((0L, 0L)))
+    // real-codec robustness: the same picture at 32×32 and re-encoded
+    // at 64×64 must dHash identically; a different picture must not
+    def mkPng(w: Int, h: Int, invert: Boolean): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (255 * x / (w - 1))
+        val g = if (invert) 255 - v else v
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val payloads = Seq(
+      (10L, mkPng(32, 32, invert = false)),
+      (11L, mkPng(64, 64, invert = false)), // same picture, resized
+      (12L, mkPng(32, 32, invert = true))) // different picture
+      .toDF("doc_id", "payload")
+    val groups = Multimodal.perceptualDedup(payloads)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._4 -> r._3).toMap // keep_id -> n_images
+    assert(groups == Map(10L -> 2L, 12L -> 1L),
+      s"resize robustness broken: $groups")
+  }
+
   test("multimodal: fake decode deterministic, media stats real") {
     val a = Multimodal.fakeDecodeRgb("img-a".getBytes, 4, 4)
     val b = Multimodal.fakeDecodeRgb("img-a".getBytes, 4, 4)
