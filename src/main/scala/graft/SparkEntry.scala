@@ -1913,6 +1913,19 @@ object SparkEntry {
     }),
 
     // ---- north star: Gopher-rules quality filter (integer-exact) ----
+    // ---- north star: stupid-backoff trigram LM scoring (NEW r11) ----
+    // Held-out n-gram scoring with the published web-scale backoff
+    // chain (trigram -> 0.4*bigram -> 0.16*unigram, OOV skipped),
+    // every tier a sum of shared-kernel integer logs. Train = docs
+    // with doc_id % 7 != 0; scored = the held-out %7 == 0 split.
+    "q220_stupid_backoff" -> ((s, dir) => {
+      val d = documents(s, dir)
+      TextAnalysis.stupidBackoffScore(
+          d.filter(col("doc_id") % 7 =!= 0),
+          d.filter(col("doc_id") % 7 === 0))
+        .orderBy("doc_id")
+    }),
+
     // ---- north star: vocabulary coverage curve (NEW r11) ----
     // Tokenizer planning: share of corpus tokens covered by a top-K
     // vocabulary, K in {100, 1k, 10k} — two-phase global vocab rank,
@@ -2788,9 +2801,63 @@ object SparkEntry {
        |  c2::BIGINT AS n_w2, pmi_q12
        |FROM t ORDER BY pmi_q12 DESC, w1, w2 LIMIT 20""".stripMargin)
 
+  private val sbOracleSql: String =
+    ("""WITH RECURSIVE
+       |base AS (SELECT doc_id, list_filter(string_split_regex(lower(COALESCE(text, '')),
+       |    '[^a-z0-9'']+'), x -> length(x) > 0) AS ws FROM documents),
+       |tr AS (SELECT ws FROM base WHERE doc_id % 7 != 0),
+       |sc AS (SELECT doc_id, ws FROM base WHERE doc_id % 7 = 0),
+       |ttok AS (SELECT unnest(ws) AS w FROM tr),
+       |uni AS (SELECT w, COUNT(*) AS c1 FROM ttok GROUP BY w),
+       |nn AS (SELECT COUNT(*) AS n FROM ttok),
+       |tbig AS (SELECT ws[i] AS wa, ws[i+1] AS wb, COUNT(*) AS c2
+       |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM tr) GROUP BY 1, 2),
+       |ttri AS (SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3, COUNT(*) AS c3
+       |  FROM (SELECT ws, unnest(range(1, len(ws)-1)) AS i FROM tr) GROUP BY 1, 2, 3),
+       |stri AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i FROM sc)),
+       |jn AS (SELECT s.doc_id, t3.c3, b1.c2 AS c2s, b2.c2 AS c2n,
+       |    u2.c1 AS c1p, u3.c1 AS c1w, nn.n
+       |  FROM stri s
+       |  LEFT JOIN ttri t3 ON t3.w1 = s.w1 AND t3.w2 = s.w2 AND t3.w3 = s.w3
+       |  LEFT JOIN tbig b1 ON b1.wa = s.w1 AND b1.wb = s.w2
+       |  LEFT JOIN tbig b2 ON b2.wa = s.w2 AND b2.wb = s.w3
+       |  LEFT JOIN uni u2 ON u2.w = s.w2
+       |  LEFT JOIN uni u3 ON u3.w = s.w3, nn),
+       |_ks AS (SELECT DISTINCT k FROM (
+       |  SELECT c3 AS k FROM ttri UNION SELECT c2 FROM tbig
+       |  UNION SELECT c1 FROM uni UNION SELECT n FROM nn
+       |  UNION SELECT 2 UNION SELECT 5)),
+       |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
+       |l04 AS (SELECT l2.l - l5.l AS v FROM _lnq l2, _lnq l5
+       |  WHERE l2.k = 2 AND l5.k = 5),
+       |terms AS (SELECT jn.doc_id,
+       |    CASE
+       |      WHEN jn.c3 IS NOT NULL THEN lc3.l - lc2s.l
+       |      WHEN jn.c2n IS NOT NULL THEN (SELECT v FROM l04) + lc2n.l - lc1p.l
+       |      WHEN jn.c1w IS NOT NULL THEN 2*(SELECT v FROM l04) + lc1w.l - lnn.l
+       |    END AS t
+       |  FROM jn
+       |  LEFT JOIN _lnq lc3 ON lc3.k = jn.c3
+       |  LEFT JOIN _lnq lc2s ON lc2s.k = jn.c2s
+       |  LEFT JOIN _lnq lc2n ON lc2n.k = jn.c2n
+       |  LEFT JOIN _lnq lc1p ON lc1p.k = jn.c1p
+       |  LEFT JOIN _lnq lc1w ON lc1w.k = jn.c1w
+       |  LEFT JOIN _lnq lnn ON lnn.k = jn.n),
+       |agg AS (SELECT doc_id, COUNT(t) AS n_scored,
+       |    SUM(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       |    COALESCE(SUM(t), 0) AS score_q12
+       |  FROM terms GROUP BY doc_id)
+       |SELECT s.doc_id, COALESCE(a.n_scored, 0)::BIGINT AS n_scored,
+       |  COALESCE(a.n_oov, 0)::BIGINT AS n_oov,
+       |  COALESCE(a.score_q12, 0)::BIGINT AS score_q12
+       |FROM (SELECT DISTINCT doc_id FROM sc) s LEFT JOIN agg a USING (doc_id)
+       |ORDER BY s.doc_id""".stripMargin)
+
   def oracleSql: Map[String, String] = Map(
 
     "q215_pmi_collocations" -> pmiOracleSql,
+    "q220_stupid_backoff" -> sbOracleSql,
 
     "q218_vocab_coverage" ->
       """WITH wc AS (SELECT w, COUNT(*) AS c FROM (

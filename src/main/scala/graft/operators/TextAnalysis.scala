@@ -768,6 +768,87 @@ object TextAnalysis {
     * the label — cardinality = number of distinct labels, so the result
     * is dashboard-sized however big the corpus is.
     */
+  /** Stupid-backoff trigram LM held-out scoring (Brants et al. 2007 —
+    * the web-scale LM that dropped normalization so counts alone
+    * suffice): score documents against n-gram counts from a TRAINING
+    * split, with the published backoff chain per scored token w₃ after
+    * context (w₁, w₂):
+    *   tier 3: c(w₁w₂w₃) > 0 → S = c(w₁w₂w₃)/c(w₁w₂)
+    *   tier 2: c(w₂w₃)   > 0 → S = 0.4·c(w₂w₃)/c(w₂)
+    *   tier 1: c(w₃)     > 0 → S = 0.4²·c(w₃)/N
+    *   else out-of-vocabulary: token skipped, counted in n_oov.
+    * Log-scores in the shared Q12 integer kernel: each tier is a sum/
+    * difference of lnQ12 values (0.4 = lnQ12(2) − lnQ12(5)) — an exact
+    * BIGINT per token, summed per document. No libm, no floats; the
+    * oracle replays counts + the recursive log CTE verbatim (q220).
+    * Output per scored doc: (idCol, n_scored, n_oov, score_q12).
+    *
+    * Scale shape: count tables are one partial-agg'd groupBy each; the
+    * scored token stream joins them on n-gram string keys (plain hash
+    * joins — n-gram tables can exceed broadcast range); one broadcast
+    * 1-row N; one per-doc aggregation.
+    */
+  def stupidBackoffScore(train: DataFrame, score: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.plans.GraftExtensions.lnQ12Native
+    def withWords(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ words(coalesce(col(textCol), lit(""))).as("_ws"): _*)
+    val tr = Dedup.materialize(withWords(train, Nil))
+    val ttok = tr.select(explode(col("_ws")).as("_w"))
+    val uni = ttok.groupBy("_w").agg(count(lit(1)).as("_c1"))
+    val nTot = ttok.agg(count(lit(1)).as("_n"))
+    val nm1 = greatest(size(col("_ws")) - 1, lit(0))
+    val big = tr.select(explode(zip_with(
+        slice(col("_ws"), lit(1), nm1), slice(col("_ws"), lit(2), nm1),
+        (a, b) => struct(a.as("wa"), b.as("wb")))).as("_p"))
+      .groupBy(col("_p.wa").as("_wa"), col("_p.wb").as("_wb"))
+      .agg(count(lit(1)).as("_c2"))
+    val triExpr = "CASE WHEN size(_ws) >= 3 THEN " +
+      "transform(sequence(0, size(_ws)-3), i -> struct(" +
+      "element_at(_ws, i+1) AS w1, element_at(_ws, i+2) AS w2, " +
+      "element_at(_ws, i+3) AS w3)) ELSE " +
+      "CAST(array() AS array<struct<w1:string,w2:string,w3:string>>) END"
+    val tri = tr.select(explode(expr(triExpr)).as("_t"))
+      .groupBy(col("_t.w1").as("_w1"), col("_t.w2").as("_w2"),
+        col("_t.w3").as("_w3"))
+      .agg(count(lit(1)).as("_c3"))
+    val sc = withWords(score, Seq(col(idCol).cast("long").as("_id")))
+    val stream = sc.select(col("_id"), explode(expr(triExpr)).as("_t"))
+      .select(col("_id"), col("_t.w1").as("w1"), col("_t.w2").as("w2"),
+        col("_t.w3").as("w3"))
+    val l04 = lnQ12Native(lit(2L)) - lnQ12Native(lit(5L))
+    val scored = stream
+      .join(tri, col("w1") === col("_w1") && col("w2") === col("_w2") &&
+        col("w3") === col("_w3"), "left").drop("_w1", "_w2", "_w3")
+      .join(big.select(col("_wa"), col("_wb"), col("_c2").as("_c2s")),
+        col("w1") === col("_wa") && col("w2") === col("_wb"), "left")
+      .drop("_wa", "_wb")
+      .join(big.select(col("_wa"), col("_wb"), col("_c2").as("_c2n")),
+        col("w2") === col("_wa") && col("w3") === col("_wb"), "left")
+      .drop("_wa", "_wb")
+      .join(uni.select(col("_w"), col("_c1").as("_c1p")),
+        col("w2") === col("_w"), "left").drop("_w")
+      .join(uni.select(col("_w"), col("_c1").as("_c1w")),
+        col("w3") === col("_w"), "left").drop("_w")
+      .crossJoin(broadcast(nTot))
+      .withColumn("_t_q12",
+        when(col("_c3").isNotNull,
+          lnQ12Native(col("_c3")) - lnQ12Native(col("_c2s")))
+        .when(col("_c2n").isNotNull,
+          l04 + lnQ12Native(col("_c2n")) - lnQ12Native(col("_c1p")))
+        .when(col("_c1w").isNotNull,
+          lit(2L) * l04 + lnQ12Native(col("_c1w")) - lnQ12Native(col("_n"))))
+      .groupBy(col("_id"))
+      .agg(count(col("_t_q12")).as("n_scored"),
+        sum(when(col("_t_q12").isNull, 1L).otherwise(0L)).as("n_oov"),
+        coalesce(sum("_t_q12"), lit(0L)).as("score_q12"))
+    sc.select(col("_id"))
+      .join(scored, Seq("_id"), "left")
+      .na.fill(0L, Seq("n_scored", "n_oov", "score_q12"))
+      .select(col("_id").as(idCol), col("n_scored"), col("n_oov"),
+        col("score_q12"))
+  }
+
   /** Vocabulary coverage curve — the tokenizer-planning readout "what
     * share of corpus tokens does a top-K vocabulary cover": word
     * counts from the shared [[words]] kernel, vocabulary ranked

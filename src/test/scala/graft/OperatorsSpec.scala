@@ -1987,6 +1987,32 @@ class OperatorsSpec extends SparkSpec {
     assert(skewed("b") > 15L && skewed("b") < 50L)
   }
 
+  test("stupidBackoffScore: all four tiers hand-computed; short docs zero; OOV counted not scored") {
+    import graft.functions.FixedMath.lnQ12
+    // train counts: tri(abc)=2, tri(bca)=1, tri(cab)=1;
+    // big(ab)=2, big(bc)=2, big(ca)=1; uni a=b=c=2; N=6
+    val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "x a b c a z"), // tiers: 2 (xab), 3 (abc), 3 (bca→tier3 c3=1), OOV (caz)
+      (11L, "a b"))         // < 3 words → zero row
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stupidBackoffScore(train, score)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val l04 = lnQ12(2) - lnQ12(5)
+    val expect =
+      (l04 + lnQ12(2) - lnQ12(2)) +        // (x,a,b): tier 2 via big(ab)/uni(a)
+      (lnQ12(2) - lnQ12(2)) +              // (a,b,c): tier 3, c3=2 / c2s=2
+      (lnQ12(1) - lnQ12(2))                // (b,c,a): tier 3, c3=1 / c2s=2
+    assert(got(10L) == ((3L, 1L, expect)))
+    assert(got(11L) == ((0L, 0L, 0L)))
+    // tier 1: unseen context, seen word — score doc "z z c"
+    val t1 = TextAnalysis.stupidBackoffScore(train,
+        Seq((12L, "z z c")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(t1 == ((12L, 1L, 0L, 2 * l04 + lnQ12(2) - lnQ12(6))))
+  }
+
   test("vocabCoverage: hand-computed coverage at each K; monotone; total conservation") {
     // counts: a=5, b=3, c=2, d=1, e=1 → total 12, vocab 5
     val docs = Seq(

@@ -80,7 +80,13 @@ class OracleLintSpec extends AnyFunSuite {
     ("q66_quality_score", "0.01") -> SmallThreshold,
     ("q66_quality_score", "0.3") -> SmallThreshold,
     ("q86_stream_neardup", "0.3") -> SmallThreshold,
-    ("q92_dedup_incremental", "0.3") -> SmallThreshold)
+    ("q92_dedup_incremental", "0.3") -> SmallThreshold,
+    // r11 additions: est-Jaccard / containment thresholds comparing an
+    // exact dyadic (agreement/32, inter/|A|) against the literal — one
+    // correctly-rounded conversion + one IEEE compare, both engines.
+    ("q208_fuzzy_decontaminate", "0.3") -> SmallThreshold,
+    ("q216_stream_decontaminate", "0.3") -> SmallThreshold,
+    ("q209_containment_join", "0.9") -> SmallThreshold)
 
   private val fnRe =
     """(?i)\b(ln|exp|log|log2|log10|log1p|expm1|pow|power|sqrt|cbrt|sin|cos|tan|atan|atan2|asin|acos|sinh|cosh|tanh)\s*\(""".r
