@@ -975,6 +975,18 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- analytics tier: time-decay attribution (NEW r11) ----
+    // The third attribution model: weight 2^(-days-before-conversion)
+    // — dyadic, so the whole split is exact integer arithmetic with
+    // the pmod floor discipline and remainder to the latest touches.
+    // 7-day sessions so multi-day deltas (decay weights 2^30..2^21 on
+    // this data) are live, not degenerate-to-linear.
+    "q221_timedecay_attribution" -> ((s, dir) => {
+      Analytics.timeDecayAttribution(events(s, dir), convType = "purchase",
+          gapUs = 604800000000L)
+        .orderBy("event_type")
+    }),
+
     // ---- §2.9 streaming dimension upsert ----
     // q163's latest-wins merge with the UPDATE side folded through the
     // streaming state store (per-key min urgent-order time — bounded
@@ -3470,6 +3482,48 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS rev
         |FROM e, b WHERE day BETWEEN lo AND lo + 6
         |GROUP BY day ORDER BY day""".stripMargin,
+
+    // q221 = q174's sessionization with the dyadic 2^(-days) split:
+    // num = 1 << (30 - min(30, days)), floor division via pmod,
+    // remainder to the latest touches — all exact integers.
+    "q221_timedecay_attribution" ->
+      """WITH e0 AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |e AS (
+        |  SELECT *, SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 604800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e0),
+        |conv AS (SELECT user_id, sid, us AS pus, event_id AS pord,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vt
+        |  FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT c.user_id, c.sid, c.pord, c.pus, c.vt, e.us, e.event_id, e.event_type
+        |  FROM conv c JOIN e ON e.user_id = c.user_id AND e.sid = c.sid
+        |    AND (e.us < c.pus OR (e.us = c.pus AND e.event_id < c.pord))),
+        |r AS (SELECT *,
+        |    (1::BIGINT << CAST(30 - least(30, (pus - us) // 86400000000) AS INT)) AS num
+        |  FROM t),
+        |r2 AS (SELECT *,
+        |    SUM(num) OVER (PARTITION BY user_id, sid, pord) AS den,
+        |    row_number() OVER (PARTITION BY user_id, sid, pord
+        |      ORDER BY us DESC, event_id DESC) AS rk
+        |  FROM r),
+        |r3 AS (SELECT *,
+        |    (vt*num - (((vt*num) % den) + den) % den) // den AS base
+        |  FROM r2),
+        |r4 AS (SELECT *,
+        |    SUM(base) OVER (PARTITION BY user_id, sid, pord) AS sb
+        |  FROM r3),
+        |cr AS (SELECT event_type,
+        |    base + CASE WHEN rk <= vt - sb THEN 1 ELSE 0 END AS credit FROM r4),
+        |selfc AS (SELECT 'purchase' AS event_type, vt AS credit FROM conv c
+        |  WHERE NOT EXISTS (SELECT 1 FROM t
+        |    WHERE t.user_id = c.user_id AND t.sid = c.sid AND t.pord = c.pord))
+        |SELECT event_type, COUNT(*) AS n_credits,
+        |  CAST(SUM(credit) AS BIGINT) AS credit_tenk
+        |FROM (SELECT * FROM cr UNION ALL SELECT * FROM selfc)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q174_linear_attribution" ->
       """WITH e0 AS (

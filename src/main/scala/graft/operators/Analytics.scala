@@ -461,6 +461,61 @@ object Analytics {
     * session length, which the gap bounds in practice), rank touches
     * within (key, session, conversion) — never a global window.
     */
+  /** Time-decay multi-touch attribution — the third member of the
+    * attribution family (first-touch q156, linear q174): each
+    * conversion's value splits over its session's preceding touches
+    * with weight 2^(−Δdays) (per-day halving — DYADIC, so the weights
+    * are exact integers num = 2^(maxDays − min(Δdays, maxDays)) over
+    * the common denominator). Credit_j = floor(vt·num_j / den) via the
+    * pmod floor-division discipline (negative refund values conserve
+    * exactly), with the remainder r = vt − Σ base ∈ [0, n) distributed
+    * +1 to the r HIGHEST-weight (latest) touches. Σ credits ≡ Σ values
+    * exactly. All integer arithmetic — the oracle replays every step.
+    * vt·num must fit int64: |value|·10⁴·2^maxDays < 2⁶³ (maxDays = 30
+    * → values to ~10⁹ units; raise maxDays only with narrower values).
+    */
+  def timeDecayAttribution(events: DataFrame, convType: String,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", ordCol: String = "event_id",
+      valueCol: String = "value", gapUs: Long = 300000000L,
+      maxDays: Int = 30): DataFrame = {
+    val sess = withSessionId(events, keyCol, tsCol, ordCol, gapUs)
+    val ev = sess.select(col(keyCol).as("_k"), col("session_id").as("_sid"),
+      col("_us"), col(ordCol).as("_ord"), col(typeCol).as("_ty"),
+      col(valueCol).as("_v"))
+    val conv = ev.filter(col("_ty") === convType)
+      .select(col("_k"), col("_sid"), col("_us").as("_pus"),
+        col("_ord").as("_pord"),
+        expr("CAST(CAST(_v AS DECIMAL(18,4)) * 10000 AS BIGINT)").as("_vt"))
+    val touches = conv
+      .join(ev.select(col("_k"), col("_sid"), col("_us"), col("_ord"),
+        col("_ty")), Seq("_k", "_sid"))
+      .filter(col("_us") < col("_pus") ||
+        (col("_us") === col("_pus") && col("_ord") < col("_pord")))
+    val part = Window.partitionBy("_k", "_sid", "_pord")
+    val credited = touches
+      .withColumn("_num", expr(
+        s"shiftleft(CAST(1 AS BIGINT), $maxDays - " +
+          s"CAST(least(CAST($maxDays AS BIGINT), " +
+          "(_pus - _us) div 86400000000) AS INT))"))
+      .withColumn("_den", sum("_num").over(part))
+      .withColumn("_base",
+        expr("(_vt * _num - pmod(_vt * _num, _den)) div _den"))
+      .withColumn("_sb", sum("_base").over(part))
+      .withColumn("_rk", row_number().over(
+        part.orderBy(col("_us").desc, col("_ord").desc)))
+      .select(col("_ty"),
+        expr("_base + CASE WHEN _rk <= _vt - _sb THEN 1 ELSE 0 END")
+          .as("_credit"))
+    val untouched = conv.join(
+        touches.select(col("_k"), col("_sid"), col("_pord")).distinct(),
+        Seq("_k", "_sid", "_pord"), "anti")
+      .select(lit(convType).as("_ty"), col("_vt").as("_credit"))
+    credited.unionByName(untouched)
+      .groupBy(col("_ty").as("event_type"))
+      .agg(count(lit(1)).as("n_credits"), sum("_credit").as("credit_tenk"))
+  }
+
   def linearAttribution(events: DataFrame, convType: String,
       keyCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type", ordCol: String = "event_id",

@@ -283,6 +283,55 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == -10001L)
   }
 
+  test("timeDecayAttribution: hand-computed dyadic decay, remainder to latest, refund conservation") {
+    val day = 86400000000L
+    // one 7-day session: view 2 days before, click 1 day before,
+    // purchase 1.0001 → vt 10001; weights 2^28 : 2^29 (click closer)
+    // → den 3·2^28; base floor(10001·1/3)=3333 (view),
+    // floor(10001·2/3)=6667 (click); r = 10001−10000 = 1 → +1 to the
+    // LATEST touch (click)
+    val df = Seq(
+      (1L, 1L, "view", 0.0, 0L),
+      (1L, 2L, "click", 0.0, 1L * day),
+      (1L, 3L, "purchase", 1.0001, 2L * day))
+      .map { case (u, e, t, v, us) => (u, e, t, v, ts(us)) }
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+    val got = Analytics.timeDecayAttribution(df, "purchase",
+        gapUs = 7L * day)
+      .as[(String, Long, Long)].collect()
+      .map { case (t, n, c) => t -> ((n, c)) }.toMap
+    assert(got("view") == ((1L, 3333L)))
+    assert(got("click") == ((1L, 6668L)))
+    assert(got.values.map(_._2).sum == 10001L)
+    // refund: vt = -10001, same weights → bases floor(-10001/3) =
+    // -3334 (view), floor(-20002/3) = -6668 (click); r = -10001 -
+    // (-10002) = 1 → +1 to click
+    val rf = Seq(
+      (1L, 1L, "view", 0.0, 0L),
+      (1L, 2L, "click", 0.0, 1L * day),
+      (1L, 3L, "purchase", -1.0001, 2L * day))
+      .map { case (u, e, t, v, us) => (u, e, t, v, ts(us)) }
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+    val gr = Analytics.timeDecayAttribution(rf, "purchase",
+        gapUs = 7L * day)
+      .as[(String, Long, Long)].collect()
+      .map { case (t, n, c) => t -> ((n, c)) }.toMap
+    assert(gr("view") == ((1L, -3334L)))
+    assert(gr("click") == ((1L, -6667L)))
+    assert(gr.values.map(_._2).sum == -10001L)
+    // beyond-maxDays touches clamp to the floor weight, not zero
+    val far = Seq(
+      (1L, 1L, "view", 0.0, 0L),
+      (1L, 2L, "purchase", 1.0, 40L * day))
+      .map { case (u, e, t, v, us) => (u, e, t, v, ts(us)) }
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+    val gf = Analytics.timeDecayAttribution(far, "purchase",
+        gapUs = 50L * day)
+      .as[(String, Long, Long)].collect()
+      .map { case (t, n, c) => t -> ((n, c)) }.toMap
+    assert(gf("view") == ((1L, 10000L)), "sole touch gets full credit")
+  }
+
   test("groupSizeSkew: counts, exact percentiles, heaviest key min-tie") {
     // keys: 10×a=3, 20×b=3, 30×c=2 → sizes (3,3,2); max 3; ties on max
     // size → smallest key 10 wins
