@@ -1374,8 +1374,13 @@ object Dedup {
     val dfreq = toks.groupBy("hk").agg(count(lit(1)).as("df"))
     val wRare = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("df", "hk")
-    val ranked = toks.join(dfreq, "hk")
-      .withColumn("_rn", row_number().over(wRare))
+    // materialized ONCE: both the prefix and the full index read this
+    // table, and at 30× the planner's guessed stats on the unmateria-
+    // lized join tried to BROADCAST a multi-million-row side (driver
+    // OOM). Checkpointed sizes are real sizes — the joins below plan
+    // as shuffle joins on the token key, which is the scale shape.
+    val ranked = materialize(toks.join(dfreq.hint("merge"), "hk")
+      .withColumn("_rn", row_number().over(wRare)))
     val prefix = ranked
       .withColumn("p",
         col("s") - ceil(lit(tau) * col("s") - lit(1e-9)).cast("int") + lit(1))
@@ -1384,7 +1389,12 @@ object Dedup {
         (col("_rn") - 1).as("_pa"), col("hk"))
     val full = ranked.select(col("id").as("id_b"), col("s").as("s_b"),
       (col("_rn") - 1).as("_pb"), col("hk"))
-    val cand = prefix.join(full, "hk")
+    // merge (sort-merge) hints: on a clone-saturated corpus the identical
+    // digest arrays compress ~clones× in shuffle stats, so AQE's size
+    // estimate undershoots by that factor and elects a broadcast that
+    // then explodes at build time (observed: driver OOM at 30×). These
+    // sides are never broadcast-safe at scale — pin the join strategy.
+    val cand = prefix.join(full.hint("merge"), "hk")
       .filter(col("id_a") =!= col("id_b"))
       // |A∩B| ≤ |B|, so τ·|A| > |B| can never qualify
       .filter(col("s_b") >= lit(tau) * col("s_a") - lit(1e-9))
@@ -1394,8 +1404,9 @@ object Dedup {
       .distinct()
     cand
       .join(base.select(col("id").as("id_a"), col("toks").as("_ta"),
-        col("s").as("s_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("toks").as("_tb")), "id_b")
+        col("s").as("s_a")).hint("merge"), "id_a")
+      .join(base.select(col("id").as("id_b"), col("toks").as("_tb"))
+        .hint("merge"), "id_b")
       .withColumn("inter", graft.plans.GraftExtensions
         .sortedIntersectNative(col("_ta"), col("_tb")))
       .withColumn("containment", col("inter").cast("double") / col("s_a"))
