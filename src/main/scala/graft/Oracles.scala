@@ -794,6 +794,63 @@ object Oracles {
       |  COALESCE(o.n_overlap, 0) >= 50 AS contaminated
       |FROM documents d LEFT JOIN ov o USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** q224: `Sketches.amsF2Counters`/`amsF2Estimate` — per-user counts,
+    * sign = low bit of splitmix64((user_id + GOLD·(j+1)) mod 2⁶⁴)
+    * replayed through the staged HUGEINT rewrites; counters and the
+    * mean-of-squares floor all exact integers (HUGEINT ↔ DECIMAL(38,0)).
+    */
+  def q224AmsF2: String = {
+    val k = 32
+    val seeds = (0 until k)
+      .map(j => s"($j, ${(Gold * (j + 1)) & Mask}::HUGEINT)").mkString(", ")
+    val smx = staged(
+      s"SELECT v, n, j, (v + kj) % $M64 AS z FROM vals CROSS JOIN seeds",
+      splitmixStages("z"))
+    s"""WITH
+       |  vals AS (SELECT user_id::HUGEINT AS v, COUNT(*)::BIGINT AS n
+       |           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+       |  seeds(j, kj) AS (VALUES $seeds),
+       |  sgn AS (SELECT j, n,
+       |      CASE WHEN _sm % 2 = 1 THEN 1 ELSE -1 END AS s FROM ($smx)),
+       |  cnt AS (SELECT j, CAST(SUM(s * n) AS HUGEINT) AS c FROM sgn GROUP BY j)
+       |SELECT COUNT(*)::BIGINT AS k,
+       |  CAST(SUM(c * c) // COUNT(*) AS DECIMAL(38,0)) AS f2_est
+       |FROM cnt ORDER BY k""".stripMargin
+  }
+
+  /** q223: `TextAnalysis.ngramNovelty` — q75's word split + 3-gram
+    * build; reference = doc_id % 3 = 0 snapshot, scored docs = the
+    * rest; novelty joins raw n-gram strings (the query passes
+    * `hashGrams=false`; OperatorsSpec asserts the hashed production
+    * path agrees); the permille is the exact floor 1000·novel//total.
+    */
+  def q223NgramNovelty: String =
+    """WITH
+      |  base AS (SELECT doc_id,
+      |             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |               w -> length(w) > 0) AS ws
+      |           FROM documents),
+      |  ngrams AS (SELECT doc_id,
+      |           CASE WHEN len(ws) >= 3
+      |             THEN list_transform(range(1, len(ws) - 1),
+      |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |             ELSE [] END AS ng
+      |         FROM base),
+      |  ref AS (SELECT DISTINCT unnest(ng) AS g FROM ngrams WHERE doc_id % 3 = 0),
+      |  train AS (SELECT doc_id, unnest(list_distinct(ng)) AS g
+      |            FROM ngrams WHERE doc_id % 3 <> 0),
+      |  ov AS (SELECT t.doc_id, COUNT(*) AS n_grams,
+      |           SUM(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS n_novel
+      |         FROM train t LEFT JOIN ref r USING (g) GROUP BY t.doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(o.n_grams, 0)::BIGINT AS n_grams,
+      |  COALESCE(o.n_novel, 0)::BIGINT AS n_novel,
+      |  CASE WHEN COALESCE(o.n_grams, 0) = 0 THEN NULL
+      |    ELSE CAST((1000 * o.n_novel) // o.n_grams AS BIGINT)
+      |  END AS novelty_permille
+      |FROM documents d LEFT JOIN ov o USING (doc_id)
+      |WHERE d.doc_id % 3 <> 0 ORDER BY d.doc_id""".stripMargin
+
   /** q76: `Dedup.weightedSample` — survival test on the first 32 md5 bits
     * (`CAST('0x'||hex AS UBIGINT)` ↔ Spark `conv(…,16,10)`), thresholds
     * computed with the *same* `(f * 2³²).toLong` expression the operator
@@ -2748,8 +2805,11 @@ object Oracles {
     * counts and min-tie argmax unrolled as CTE pairs over the distinct
     * co-purchase edges; labels start as node ids.
     */
-  def q169Communities: String = {
-    val rounds = 2
+  /** Shared CTE chain (e0 … l`rounds`) building the capped co-purchase
+    * edge set and `rounds` synchronous label-prop rounds — used by
+    * q169 (the labels themselves) and q225 (modularity of them).
+    */
+  private def labelPropCtes(rounds: Int): String = {
     val rc = (1 to rounds).map { r =>
       s"""n$r AS (SELECT e.src AS node, l.lab, COUNT(*) AS c
          |  FROM e JOIN l${r - 1} l ON l.node = e.dst GROUP BY e.src, l.lab),
@@ -2758,14 +2818,77 @@ object Oracles {
          |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
          |  FROM n$r) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    s"""e0 AS (SELECT l_orderkey AS g, l_partkey AS i FROM lineitem),
        |ok AS (SELECT g, i FROM e0 WHERE g NOT IN (
        |  SELECT g FROM e0 GROUP BY g HAVING COUNT(*) > 1000)),
        |e AS (SELECT DISTINCT a.i AS src, b.i AS dst
        |  FROM ok a JOIN ok b ON a.g = b.g AND a.i <> b.i),
        |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+       |$rc""".stripMargin
+  }
+
+  def q169Communities: String =
+    s"""WITH ${labelPropCtes(2)}
+       |SELECT node, lab AS community FROM l2 ORDER BY node""".stripMargin
+
+  /** q225: `Graphs.modularity` over q169's labels — canonical a<b edge
+    * set, per-community intra-edge and degree sums, and the exact
+    * integer numerator Q_c·4m² = 4m·L_c − D_c² in HUGEINT
+    * (↔ Spark DECIMAL(38,0)); no doubles emitted.
+    */
+  def q225Modularity: String =
+    s"""WITH ${labelPropCtes(2)},
+       |lab AS (SELECT node, lab AS community FROM l2),
+       |canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM e WHERE src <> dst),
+       |mm AS (SELECT COUNT(*)::HUGEINT AS m FROM canon),
+       |deg AS (SELECT node, COUNT(*)::BIGINT AS d FROM (
+       |    SELECT a AS node FROM canon UNION ALL SELECT b FROM canon)
+       |  GROUP BY node),
+       |cs AS (SELECT community, COUNT(*)::BIGINT AS n_nodes,
+       |    CAST(SUM(d) AS BIGINT) AS deg_sum
+       |  FROM deg JOIN lab USING (node) GROUP BY community),
+       |intra AS (SELECT la.community, COUNT(*)::BIGINT AS l_in
+       |  FROM canon c JOIN lab la ON la.node = c.a
+       |               JOIN lab lb ON lb.node = c.b
+       |  WHERE la.community = lb.community GROUP BY la.community)
+       |SELECT cs.community, cs.n_nodes,
+       |  COALESCE(i.l_in, 0)::BIGINT AS l_in, cs.deg_sum,
+       |  CAST(4::HUGEINT * mm.m * COALESCE(i.l_in, 0)::HUGEINT
+       |    - cs.deg_sum::HUGEINT * cs.deg_sum::HUGEINT AS DECIMAL(38,0)) AS q_num,
+       |  CAST(4::HUGEINT * mm.m * mm.m AS DECIMAL(38,0)) AS q_den
+       |FROM cs CROSS JOIN mm LEFT JOIN intra i USING (community)
+       |ORDER BY cs.community""".stripMargin
+
+  /** q226: `Graphs.hitsInt` — two HITS rounds unrolled as CTE pairs;
+    * every normalization the exact HUGEINT ⌊x·10⁶/max⌋ (↔ Spark
+    * DECIMAL DIV); nodes missing a score coalesce to 0.
+    */
+  def q226Hits: String = {
+    val rounds = 2
+    val rc = (1 to rounds).map { r =>
+      s"""ar$r AS (SELECT e.dst AS node, CAST(SUM(h.h) AS HUGEINT) AS a
+         |  FROM e JOIN h${r - 1} h ON h.node = e.src GROUP BY e.dst),
+         |a$r AS (SELECT node, CAST((a * 1000000) //
+         |    (SELECT MAX(a) FROM ar$r) AS BIGINT) AS a FROM ar$r),
+         |hr$r AS (SELECT e.src AS node, CAST(SUM(a.a) AS HUGEINT) AS h
+         |  FROM e JOIN a$r a ON a.node = e.dst GROUP BY e.src),
+         |h$r AS (SELECT node, CAST((h * 1000000) //
+         |    (SELECT MAX(h) FROM hr$r) AS BIGINT) AS h FROM hr$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT l_suppkey AS src,
+       |    o_custkey + 1000000 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_suppkey <> o_custkey + 1000000),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, 1000000::BIGINT AS h FROM nodes),
        |$rc
-       |SELECT node, lab AS community FROM l$rounds ORDER BY node""".stripMargin
+       |SELECT n.node,
+       |  COALESCE(h.h, 0)::BIGINT AS hub_q6,
+       |  COALESCE(a.a, 0)::BIGINT AS auth_q6
+       |FROM nodes n LEFT JOIN h$rounds h ON h.node = n.node
+       |  LEFT JOIN a$rounds a ON a.node = n.node
+       |ORDER BY n.node""".stripMargin
   }
 
   /** q189: KMV bottom-k distinct — splitmix64 replayed per input, the
@@ -3050,6 +3173,8 @@ object Oracles {
     "q161_join_size_est" -> q161JoinSizeEstimate,
     "q166_kcore" -> q166KCore,
     "q169_communities" -> q169Communities,
+    "q225_modularity" -> q225Modularity,
+    "q226_hits" -> q226Hits,
     "q179_bfs_hops" -> q179BfsHops,
     "q211_sssp" -> q211Sssp,
     "q189_kmv_distinct" -> q189KmvDistinct,
@@ -3139,6 +3264,8 @@ object Oracles {
     "q78_top_ngrams" -> q78TopNgrams,
     "q74_pii_redaction" -> q74PiiRedaction,
     "q75_decontaminate" -> q75Decontaminate,
+    "q223_ngram_novelty" -> q223NgramNovelty,
+    "q224_ams_f2" -> q224AmsF2,
     "q76_weighted_sample" -> q76WeightedSample,
     "q71_repetition" -> q71Repetition,
     "q72_top_supplier" -> q72TopSupplier,

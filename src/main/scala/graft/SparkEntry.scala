@@ -428,6 +428,34 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- graph tier: modularity of the communities (NEW r11) ----
+    // "Was the partition any good?" — per-community Newman modularity
+    // of q169's labels on the same co-purchase graph, as the EXACT
+    // integer Q_c·4m² = 4m·L_c − D_c² (no doubles emitted; Q = Σ
+    // q_num / q_den is one division away). The quality gate a
+    // community-detection pipeline ships with.
+    "q225_modularity" -> ((s, dir) => {
+      val edges = Graphs.coOccurrenceEdges(
+        lineitem(s, dir), "l_orderkey", "l_partkey", dedup = false)
+      Graphs.modularity(edges, Graphs.labelPropagate(edges, rounds = 2))
+        .orderBy("community")
+    }),
+
+    // ---- graph tier: HITS hubs/authorities (NEW r11) ----
+    // Two integer fixed-point rounds on the DIRECTED supplier→customer
+    // sales graph (customers offset into their own id space): hub =
+    // suppliers selling to well-connected customers, authority =
+    // customers buying from strong hubs. Max-normalized (no L2 sqrt) —
+    // every score an exact BIGINT, rounds unrolled in the oracle.
+    "q226_hits" -> ((s, dir) => {
+      val li = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val o = orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + lit(1000000L)).as("dst"))
+      Graphs.hitsInt(edges, rounds = 2).orderBy("node")
+    }),
+
     // ---- §2.9 streaming KMV distinct sketch ----
     // q189's bottom-k minima through the streaming state store (k
     // longs of bounded state per key), read out by the same integer
@@ -985,6 +1013,49 @@ object SparkEntry {
       Analytics.timeDecayAttribution(events(s, dir), convType = "purchase",
           gapUs = 604800000000L)
         .orderBy("event_type")
+    }),
+
+    // ---- analytics tier: Nelson–Aalen cumulative hazard (NEW r11) ----
+    // The additive companion to q201's KM: H(t) = Σ d/n over the same
+    // censored life table, each increment the exact integer
+    // ⌊d·10¹²/n⌋ — one integer division per distinct duration, no log
+    // kernel, no libm. Same life table as q201 so the two estimators
+    // cross-validate the risk-set machinery.
+    "q222_nelson_aalen" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+      val life = ev.groupBy("user_id")
+        .agg((max("day") - min("day")).as("lifetime"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("event"))
+      Analytics.nelsonAalen(life, "lifetime", Some("event")).orderBy("t")
+    }),
+
+    // ---- curation tier: n-gram novelty scoring (NEW r11) ----
+    // The additive complement of decontamination: per training doc,
+    // the permille of its distinct 3-grams ABSENT from the reference
+    // snapshot (doc_id % 3 = 0) — the novelty signal a dedup-aware
+    // data-valuation pass ranks on. Raw-string grams so DuckDB
+    // replays the join; a spec asserts the hashed path agrees.
+    "q223_ngram_novelty" -> ((s, dir) => {
+      val d = documents(s, dir)
+      TextAnalysis.ngramNovelty(
+          d.filter(col("doc_id") % 3 =!= 0),
+          d.filter(col("doc_id") % 3 === 0),
+          n = 3, hashGrams = false)
+        .orderBy("doc_id")
+    }),
+
+    // ---- sketch tier: AMS F₂ self-join-size estimate (NEW r11) ----
+    // The tug-of-war sketch: 32 signed counters over per-user event
+    // counts estimate F₂ = Σ n_u² (the events⋈events self-join size on
+    // user_id) in one pass + 32 integers of mergeable state — the
+    // sketch a join planner consults before picking a strategy. Every
+    // sign is a splitmix64 low bit, every sum an exact integer, so the
+    // whole walk replays in DuckDB.
+    "q224_ams_f2" -> ((s, dir) => {
+      Sketches.amsF2Estimate(
+        Sketches.amsF2Counters(events(s, dir), "user_id", k = 32))
     }),
 
     // ---- §2.9 streaming dimension upsert ----
@@ -3064,6 +3135,33 @@ object SparkEntry {
         |    ELSE CAST(SUM(lq) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |  END AS log_surv_q
         |FROM q ORDER BY t""".stripMargin),
+
+    // q201's life table with the additive estimator: each hazard
+    // increment is the exact HUGEINT floor (d·10¹²)//n (positive, so
+    // floor ≡ trunc ≡ Spark's DECIMAL DIV); the running sum is an
+    // exact BIGINT in both engines.
+    "q222_nelson_aalen" ->
+      """WITH
+        |life AS (
+        |  SELECT user_id,
+        |    MAX(epoch_us(ts) // 86400000000) - MIN(epoch_us(ts) // 86400000000) AS t,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS evt
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT t, CAST(SUM(evt) AS BIGINT) AS d,
+        |    CAST(SUM(1 - evt) AS BIGINT) AS c
+        |  FROM life GROUP BY t),
+        |r AS (SELECT t, d, c,
+        |    SUM(d + c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(d + c) OVER () AS tot
+        |  FROM g),
+        |kk AS (SELECT t, d, c, CAST(tot - cum + d + c AS BIGINT) AS n_at_risk FROM r),
+        |h AS (SELECT t, d, c, n_at_risk,
+        |    CAST((CAST(d AS HUGEINT) * 1000000000000) // n_at_risk AS BIGINT) AS h_q12
+        |  FROM kk)
+        |SELECT t, d, c, n_at_risk, h_q12,
+        |  CAST(SUM(h_q12) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_hazard_q12
+        |FROM h ORDER BY t""".stripMargin,
 
     // PSI via the shared integer log kernel: smoothed cross products
     // (b+1)·nA' and (a+1)·nB' feed _lnq; each term and the sum are

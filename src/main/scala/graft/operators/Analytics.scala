@@ -833,6 +833,48 @@ object Analytics {
         Seq(col("n_at_risk"), col("log_surv_q"))): _*)
   }
 
+  /** Nelson–Aalen cumulative hazard over integer durations, censored
+    * like [[kaplanMeier]]: at each distinct duration t the hazard
+    * increment is d_t/n_t and H(t) = Σ_{s≤t} d_s/n_s — the standard
+    * counting-process estimator (≈ −ln S_KM for small increments, but
+    * additive, so it sums where KM multiplies).
+    *
+    * Determinism discipline: each increment is the exact 10⁻¹²
+    * fixed-point floor ⌊d·10¹²/n⌋ — one integer division per distinct
+    * duration, no libm anywhere — so the running sum `cum_hazard_q12`
+    * is an exact integer in any engine. The multiply runs in
+    * DECIMAL(38,0) (d·10¹² overflows BIGINT past d ≈ 9.2·10⁶ subjects
+    * per duration; HUGEINT on the oracle side) and the quotient
+    * (≤ 10¹² per term) returns to BIGINT for the window sum.
+    *
+    * Scale shape: identical to [[kaplanMeier]] — one groupBy(duration)
+    * collapses subjects before the window; the window runs over
+    * DISTINCT durations (calendar-bounded, partition-less by design).
+    */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+      eventCol: Option[String] = None): DataFrame = {
+    val evt = eventCol.map(c => col(c).cast("int")).getOrElse(lit(1))
+    val grouped = df
+      .select(col(durationCol).as("t"), evt.as("_evt"))
+      .groupBy(col("t"))
+      .agg(sum(col("_evt")).cast("long").as("d"),
+        sum(lit(1L) - col("_evt")).cast("long").as("c"))
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped
+      .withColumn("_cum", (sum("d").over(w) + sum("c").over(w)))
+      .withColumn("_tot", sum(col("d") + col("c")).over(
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("n_at_risk", col("_tot") - col("_cum") + col("d") + col("c"))
+      .withColumn("h_q12", expr(
+        "CAST((CAST(d AS DECIMAL(38,0)) * 1000000000000) DIV n_at_risk AS BIGINT)"))
+      .withColumn("cum_hazard_q12", sum(col("h_q12")).over(w))
+      .select((Seq(col("t"), col("d")) ++
+        (if (eventCol.isDefined) Seq(col("c")) else Nil) ++
+        Seq(col("n_at_risk"), col("h_q12"), col("cum_hazard_q12"))): _*)
+  }
+
   /** Wilson-score lower bound per group: rank segments by the
     * conservative end of the binomial confidence interval instead of
     * the raw rate — the standard fix for "5/5 beats 900/1000".

@@ -200,6 +200,105 @@ object Graphs {
     labels.select(col("node"), col("lab").as("community"))
   }
 
+  /** Newman modularity of a community assignment, per community and
+    * EXACT: on the canonical undirected edge set (a<b, deduped) with
+    * m edges, community c with L_c intra-community edges and degree
+    * sum D_c contributes Q_c = L_c/m − (D_c/2m)², so
+    * Q_c·4m² = 4m·L_c − D_c² — an integer. Output one row per
+    * community: (community, n_nodes, l_in, deg_sum, q_num
+    * DECIMAL(38,0)) plus the shared denominator q_den = 4m²;
+    * Q = Σ q_num / q_den. No doubles are emitted — the decimal→double
+    * terminal cast is the one step engines disagree on (the q156
+    * lesson), and the division is one exact op away for a reader.
+    *
+    * Scale shape: one degree agg + one per-community agg + one
+    * edge⋈labels join keyed on node ids (labels shuffle-joined — at
+    * corpus scale the label table is graph-sized, never broadcast
+    * unless the exact count says so); D_c ≤ 2m passes 2⁶³ squared at
+    * ~10⁹ edges, so squares run in DECIMAL(38,0) (HUGEINT oracle-side).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val m = canon.count()
+    val lab = labels.select(col("node"), col("community"))
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("_deg"))
+    val commStats = deg.join(lab, Seq("node"))
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum("_deg").as("deg_sum"))
+    val intra = canon
+      .join(lab.select(col("node").as("a"), col("community").as("_ca")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("community").as("_cb")), Seq("b"))
+      .filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("community"))
+      .agg(count(lit(1)).as("l_in"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    commStats.join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("l_in"))
+      .select(col("community"), col("n_nodes"), col("l_in"), col("deg_sum"),
+        (lit(4L * m).cast(dec) * col("l_in").cast(dec) -
+          col("deg_sum").cast(dec) * col("deg_sum").cast(dec)).as("q_num"),
+        (lit(4L).cast(dec) * lit(m).cast(dec) * lit(m).cast(dec))
+          .as("q_den"))
+  }
+
+  /** HITS hubs/authorities on a DIRECTED edge set, `rounds` synchronous
+    * rounds in 10⁻⁶ fixed point: a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v}
+    * a(v), each vector max-normalized after its update —
+    * x ← ⌊x·10⁶ / max(x)⌋, all integer (max-norm instead of the
+    * classical L2: no square root, exact in any engine; the ranking
+    * and the fixed point are the same up to scale). Nodes with no
+    * in-edges (resp. out-edges) hold authority (resp. hub) 0. Output:
+    * (node, hub_q6, auth_q6) after `rounds` rounds from the uniform
+    * h₀ = 10⁶ start — bounded rounds keep the oracle unrollable (the
+    * q147 PageRank discipline).
+    *
+    * Scale shape per round: two node-keyed agg shuffles (in-sum and
+    * out-sum) + one 1×1 scalar cross-join per normalization; scores
+    * stay BIGINT (≤ 10⁶ post-norm; pre-norm sums ≤ 10⁶·maxdeg, the
+    * rescale multiply runs in DECIMAL(38,0)). Rounds checkpoint so
+    * round r's plan does not nest rounds 1..r−1.
+    */
+  def hitsInt(edges: DataFrame, rounds: Int = 2,
+      scale: Long = 1000000L): DataFrame = {
+    val e = Dedup.tracked(
+      edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+        .distinct().localCheckpoint(eager = true))
+    val nodes = Dedup.tracked(
+      e.select(col("src").as("node")).union(e.select(col("dst")))
+        .distinct().localCheckpoint(eager = true))
+    def maxNorm(df: DataFrame, c: String): DataFrame = {
+      val mx = df.agg(max(col(c)).as("_mx"))
+      // DIV, not decimal `/`: decimal division HALF_UP-rounds to its
+      // result scale before any cast, which can land one above the
+      // true floor — DIV truncates exactly (positive ⇒ floor, the
+      // nelsonAalen discipline) and the quotient ≤ scale fits BIGINT
+      df.crossJoin(mx)
+        .select(col("node"),
+          expr(s"CAST((CAST($c AS DECIMAL(38,0)) * $scale) DIV _mx AS BIGINT)")
+            .as(c))
+    }
+    var h = nodes.withColumn("h", lit(scale))
+    var a = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to rounds) {
+      val aRaw = e.join(h.select(col("node").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum("h").as("a"))
+      a = Dedup.tracked(maxNorm(aRaw, "a").localCheckpoint(eager = true))
+      val hRaw = e.join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum("a").as("h"))
+      h = Dedup.tracked(maxNorm(hRaw, "h").localCheckpoint(eager = true))
+    }
+    nodes
+      .join(h.select(col("node"), col("h").as("hub_q6")), Seq("node"), "left")
+      .join(a.select(col("node"), col("a").as("auth_q6")), Seq("node"), "left")
+      .na.fill(0L, Seq("hub_q6", "auth_q6"))
+  }
+
   /** Iterated k-core peel: `rounds` synchronous rounds of deleting
     * nodes with degree < k from the canonical (a<b, deduped) edge set,
     * then the surviving nodes with their within-subgraph degree. With

@@ -457,4 +457,54 @@ object Sketches {
           .as("jaccard"),
         col("_e._2").as("inter_est"))
   }
+
+  // ---------------------------------------------------------------- AMS
+
+  /** AMS (Alon–Matias–Szegedy) F₂ sketch AS A TABLE: k counters, each
+    * the signed sum Σ_v s_j(v)·n_v over distinct values v with
+    * multiplicity n_v, where s_j(v) = ±1 is the low bit of
+    * splitmix64(v + GOLD·(j+1)) — the same public seeded-hash family
+    * as the MinHash/KMV kernels, so the whole walk replays in DuckDB.
+    * E[counter_j²] = F₂ = Σ n_v² (the self-join size), the classic
+    * tug-of-war estimator. Counters are plain sums, so sketches from
+    * shards MERGE BY ADDING counter-wise — the F₂ analogue of
+    * [[hllMerge]]/[[kmvMergeMins]].
+    *
+    * Scale shape: one partial-agg'd groupBy(value) collapses the
+    * corpus to distinct values; the k-way explode runs on THAT table
+    * (k·|distinct| rows, never k·|corpus|) and the counter agg is
+    * again map-side combined. The sign hash is a UDF on the collapsed
+    * table — a cold path; counters stay BIGINT (|counter| ≤ N).
+    */
+  def amsF2Counters(df: DataFrame, valueCol: String,
+      k: Int = 32): DataFrame = {
+    val gold = BigInt("9e3779b97f4a7c15", 16).toLong
+    val sign = udf((v: Long, j: Int) =>
+      if ((graft.functions.Hashing.splitmix64(v + gold * (j + 1)) & 1L) == 1L)
+        1L else -1L)
+    df.select(col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy("_v").agg(count(lit(1)).as("_n"))
+      .select(col("_v"), col("_n"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .groupBy("j")
+      .agg(sum(sign(col("_v"), col("j")) * col("_n")).as("counter"))
+  }
+
+  /** F₂ (self-join size) readout of an AMS counters table: ONE row
+    * (k, f2_est) with f2_est = ⌊Σ counter² / k⌋ — the unbiased mean
+    * of squares as an exact DECIMAL(38,0) floor (counter² passes 2⁶³
+    * once counters pass ~3·10⁹, i.e. 10 TB-scale inputs — squares and
+    * the sum run in DECIMAL(38,0); HUGEINT on the oracle side).
+    */
+  def amsF2Estimate(counters: DataFrame): DataFrame =
+    counters
+      .select(col("counter").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)).as("_c"))
+      .agg(count(lit(1)).as("k"), sum(col("_c") * col("_c")).as("_ss"))
+      // floor division kept IN decimal: `DIV` would return BIGINT and
+      // overflow once F₂ > 2⁶³ (Σn_v² passes that at ~3·10⁹ rows);
+      // (x − x%k)/k is exact (x ≥ 0) and never leaves DECIMAL(38,0)
+      .select(col("k"),
+        expr("CAST((_ss - (_ss % k)) / k AS DECIMAL(38,0))").as("f2_est"))
 }

@@ -1012,6 +1012,46 @@ object TextAnalysis {
       qualityScore(col(textCol)).as("quality_score"),
       fingerprint(col(textCol)).as("fingerprint"))
 
+  /** N-gram novelty score against a reference corpus: per document,
+    * how many of its DISTINCT word-`n`-grams do NOT occur anywhere in
+    * the reference — the additive complement of decontamination
+    * ([[graft.operators.Dedup.decontaminate]] asks "does it overlap a
+    * benchmark at all"; this asks "how much of it is new next to what
+    * we already have" — the memorization/novelty signal behind
+    * dedup-aware data valuation). Returns (idCol, n_grams, n_novel,
+    * novelty_permille) with the permille an exact integer
+    * ⌊1000·n_novel/n_grams⌋; gram-less docs score NULL.
+    *
+    * Scale shape: unlike the benchmark-decontamination case the
+    * reference here is CORPUS-sized (a prior snapshot, the rest of the
+    * corpus), so its distinct-gram table is NOT broadcast — both sides
+    * shuffle on the 8-byte `xxhash64(gram)` key (`hashGrams=true`) and
+    * the join is a plain shuffle hash/merge join; the per-doc count is
+    * partial-aggregated on doc ids. The oracle-checked query uses
+    * `hashGrams=false` so DuckDB replays the join on raw strings.
+    */
+  def ngramNovelty(docs: DataFrame, reference: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      hashGrams: Boolean = true): DataFrame = {
+    def grams(df: DataFrame, keep: Seq[String]): DataFrame = df
+      .select(keep.map(col) :+
+        explode(array_distinct(wordNgrams(col(textCol), n))).as("_g"): _*)
+      .select(keep.map(col) :+
+        (if (hashGrams) xxhash64(col("_g")) else col("_g")).as("_gram"): _*)
+    val ref = grams(reference, Nil).distinct()
+      .withColumn("_hit", lit(1))
+    val perDoc = grams(docs, Seq(idCol))
+      .join(ref, Seq("_gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+    docs.select(idCol).join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_grams", "n_novel"))
+      .withColumn("novelty_permille",
+        when(col("n_grams") === 0L, lit(null).cast("long"))
+          .otherwise(expr("1000 * n_novel DIV n_grams")))
+  }
+
   /** Spelling-variant mining: pairs of VOCABULARY words within edit
     * distance `maxDist` of each other, with their corpus frequencies —
     * the dictionary pass behind OCR-noise cleanup and typo-normalization

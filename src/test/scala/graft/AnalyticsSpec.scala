@@ -399,6 +399,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(math.exp(km(1)._5.get / 1e12) - 4.0 / 5 * 2 / 3) < 1e-9)
   }
 
+  test("nelsonAalen: hand-computed increments; censored rows add zero hazard") {
+    // same fixture as the censored KM: t=0: 1 death + 1 censored of 5;
+    // t=1: 1 death of 3; t=2: 2 censored of 2
+    val life = Seq((0L, 1), (0L, 0), (1L, 1), (2L, 0), (2L, 0))
+      .toDF("lifetime", "event")
+    val na = Analytics.nelsonAalen(life, "lifetime", Some("event"))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(na.map(x => (x._1, x._2, x._3, x._4)).toSeq ==
+      Seq((0L, 1L, 1L, 5L), (1L, 1L, 0L, 3L), (2L, 0L, 2L, 2L)))
+    assert(na(0)._5 == 1000000000000L / 5)       // ⌊1·10¹²/5⌋
+    assert(na(1)._5 == 1000000000000L / 3)       // ⌊1·10¹²/3⌋ (floor)
+    assert(na(2)._5 == 0L)                       // censored-only: d=0
+    assert(na(2)._6 == na(0)._5 + na(1)._5)      // running sum carries
+    // partitioning invariance: the groupBy collapses before the window
+    val na7 = Analytics.nelsonAalen(life.repartition(7), "lifetime",
+      Some("event")).orderBy("t").collect().map(_.toSeq.toList).toList
+    assert(na7 ==
+      na.map(t => List[Any](t._1, t._2, t._3, t._4, t._5, t._6)).toList)
+  }
+
   test("wilsonLowerBound: integer kernel matches the closed form; 5/5 loses to 900/1000") {
     val rows = (1 to 5).map(i => ("small", i <= 5)) ++
       (1 to 1000).map(i => ("big", i <= 900))

@@ -182,6 +182,56 @@ class GraphsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("modularity: two triangles + bridge, hand-computed integer numerators") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4 → m=7; with the true
+    // communities each side has L_c=3 intra edges and degree sum 7, so
+    // q_num = 4·7·3 − 7² = 35 per community and q_den = 4·7² = 196
+    // (Q = 70/196 ≈ 0.357)
+    val tri = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L,
+      4L -> 5L, 5L -> 6L, 4L -> 6L, 3L -> 4L)
+    val edges = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val labels = Seq(1L -> 100L, 2L -> 100L, 3L -> 100L,
+      4L -> 200L, 5L -> 200L, 6L -> 200L).toDF("node", "community")
+    val got = Graphs.modularity(edges, labels).orderBy("community")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDecimal(4).longValueExact(),
+        r.getDecimal(5).longValueExact()))
+    assert(got.toSeq == Seq(
+      (100L, 3L, 3L, 7L, 35L, 196L),
+      (200L, 3L, 3L, 7L, 35L, 196L)))
+    // everyone in ONE community: Q = L/m − 1 = 0 → q_num = 4m·m − (2m)²
+    val one = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(_ -> 9L).toDF("node", "community")
+    val g1 = Graphs.modularity(edges, one).collect()
+      .map(r => r.getDecimal(4).longValueExact())
+    assert(g1.toSeq == Seq(0L))
+    // a community with NO intra edges gets l_in = 0, q_num = −D_c²
+    val anti = Seq(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L,
+      6L -> 6L).toDF("node", "community")
+    val ga = Graphs.modularity(edges, anti).orderBy("community").collect()
+      .map(r => (r.getLong(2), r.getDecimal(4).longValueExact()))
+    assert(ga.forall(_._1 == 0L))
+    assert(ga.map(_._2).toSeq ==
+      Seq(-4L, -4L, -9L, -9L, -4L, -4L)) // deg² per singleton
+  }
+
+  test("hitsInt: hand-computed one round; pure sources have auth 0, sinks hub 0") {
+    // 1→3, 2→3, 3→4. Round 1: a_raw(3)=2e6, a_raw(4)=1e6 → max-norm
+    // a(3)=1e6, a(4)=5e5; h_raw(1)=h_raw(2)=1e6, h_raw(3)=5e5 → h
+    // unchanged by the norm (max already 1e6).
+    val edges = Seq(1L -> 3L, 2L -> 3L, 3L -> 4L).toDF("src", "dst")
+    val got = Graphs.hitsInt(edges, rounds = 1).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1000000L, 0L), (2L, 1000000L, 0L),
+      (3L, 500000L, 1000000L), (4L, 0L, 500000L)))
+    // determinism + self-loop/duplicate-edge immunity
+    val noisy = (Seq(1L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 4L))
+      .toDF("src", "dst")
+    val again = Graphs.hitsInt(noisy, rounds = 1).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("kCorePeel: pendant drops, core survives, cascade empties a path") {
     // triangle {1,2,3} + pendant 4—1: k=2 drops 4, triangle stays deg 2
     val g = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 1L).toDF("src", "dst")

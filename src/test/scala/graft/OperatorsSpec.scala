@@ -1340,6 +1340,29 @@ class OperatorsSpec extends SparkSpec {
     assert(hashed.toSeq == out.toSeq)
   }
 
+  test("ngramNovelty: permille of distinct grams absent from the reference; hashed path agrees") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // 7 grams, 2 seen
+      (2L, "completely different words entirely"),         // 2 grams, 0 seen
+      (3L, "tiny")) // fewer than n words → zero grams → NULL permille
+      .toDF("doc_id", "text")
+    val ref = Seq((99L, "a quick brown fox jumps high")).toDF("doc_id", "text")
+    // ref 3-grams: {a quick brown, quick brown fox, brown fox jumps, fox jumps high}
+    val out = TextAnalysis.ngramNovelty(docs, ref, n = 3, hashGrams = false)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out(0) == ((1L, 7L, 5L, Some(1000L * 5 / 7)))) // ⌊714.28⌋ = 714
+    assert(out(1) == ((2L, 2L, 2L, Some(1000L))))
+    assert(out(2) == ((3L, 0L, 0L, None)))
+    val hashed = TextAnalysis.ngramNovelty(docs, ref, n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(hashed.toSeq == out.toSeq)
+  }
+
   test("dedupSegments removes repeated spans at all but their first occurrence") {
     import spark.implicits._
     val docs = Seq(

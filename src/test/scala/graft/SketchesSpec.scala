@@ -465,4 +465,40 @@ class SketchesSpec extends SparkSpec {
       hc.map(r => (r.get(0), r.get(1))).toSet)
     assert(hn.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
   }
+
+  test("ams f2: exact counter replay; shard merge ≡ whole; estimate brackets exact F2") {
+    import spark.implicits._
+    val gold = BigInt("9e3779b97f4a7c15", 16).toLong
+    // multiset: value v appears v times, v = 1..40 → F2 = Σ v²
+    val rows = (1L to 40L).flatMap(v => Seq.fill(v.toInt)(v))
+    val df = rows.toDF("v")
+    val counters = Sketches.amsF2Counters(df, "v", k = 8)
+      .orderBy("j").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // exact driver replay of counter 0
+    val c0 = (1L to 40L).map { v =>
+      val s = if ((graft.functions.Hashing.splitmix64(v + gold) & 1L) == 1L)
+        1L else -1L
+      s * v
+    }.sum
+    assert(counters(0) == c0)
+    // shard merge: counters over a split union add counter-wise
+    val aC = Sketches.amsF2Counters(df.filter(col("v") <= 20), "v", k = 8)
+    val bC = Sketches.amsF2Counters(df.filter(col("v") > 20), "v", k = 8)
+    val merged = aC.unionByName(bC).groupBy("j")
+      .agg(sum("counter").as("counter"))
+      .orderBy("j").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged == counters)
+    // unbiased estimator lands within a loose factor of exact F2
+    val f2 = (1L to 40L).map(v => v * v).sum
+    val est = Sketches.amsF2Estimate(
+        Sketches.amsF2Counters(df, "v", k = 32))
+      .collect().head.getDecimal(1).longValueExact()
+    assert(est > f2 / 5 && est < f2 * 5, s"est $est vs exact $f2")
+    // nulls are ignored, not signed
+    val withNull = df.unionByName(
+      Seq[Option[Long]](None).toDF("v"))
+    val cn = Sketches.amsF2Counters(withNull, "v", k = 8)
+      .orderBy("j").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cn == counters)
+  }
 }
