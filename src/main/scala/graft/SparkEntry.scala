@@ -456,6 +456,36 @@ object SparkEntry {
       Graphs.hitsInt(edges, rounds = 2).orderBy("node")
     }),
 
+    // ---- analytics tier: market-basket association rules (NEW r11) ----
+    // Directed co-purchase rules part_a→part_b with integer
+    // support/confidence/lift (‰ and 10⁻⁶ fixed point, DECIMAL-floor
+    // divisions) over distinct order-membership, skew-capped baskets;
+    // the rule miner behind "frequently bought together".
+    "q228_assoc_rules" -> ((s, dir) => {
+      Graphs.associationRules(lineitem(s, dir), "l_orderkey", "l_partkey",
+          minPairCount = 2)
+        .orderBy("item_a", "item_b")
+    }),
+
+    // ---- §2.9 streaming bounded top-k (NEW r11) ----
+    // q183's bounded top-k through the state store: ≤ k (value, id)
+    // pairs per key, batch merge = sort-union-cut (associative, so
+    // arrival order is irrelevant). Oracle = the batch window truth —
+    // one relational answer, two engine paths (the q183/q200
+    // discipline).
+    "q227_stream_topk" -> ((s, dir) => {
+      val out = EventStreams.runOnceOnParquet(s, s"$dir/events.parquet",
+        df => EventStreams.topKStream(s, df, 5),
+        s"topk_sink_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      out.groupBy("event_type")
+        .agg(max(struct(col("emit"), col("pairs"))).as("_m"))
+        .select(col("event_type"), posexplode(col("_m.pairs")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rn"),
+          col("col._1").as("value"), col("col._2").as("event_id"))
+        .orderBy("event_type", "rn")
+    }),
+
     // ---- §2.9 streaming KMV distinct sketch ----
     // q189's bottom-k minima through the streaming state store (k
     // longs of bounded state per key), read out by the same integer
@@ -3135,6 +3165,38 @@ object SparkEntry {
         |    ELSE CAST(SUM(lq) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |  END AS log_surv_q
         |FROM q ORDER BY t""".stripMargin),
+
+    // Distinct membership + capped baskets + self-join pair counts;
+    // every metric an exact HUGEINT floor division.
+    "q228_assoc_rules" ->
+      """WITH slim AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |ok AS (SELECT b FROM slim GROUP BY b HAVING COUNT(*) <= 1000),
+        |m AS (SELECT s.b, s.i FROM slim s JOIN ok USING (b)),
+        |nb AS (SELECT COUNT(DISTINCT b)::BIGINT AS n FROM m),
+        |ic AS (SELECT i, COUNT(*)::BIGINT AS c FROM m GROUP BY i),
+        |p AS (SELECT a.i AS item_a, b2.i AS item_b, COUNT(*)::BIGINT AS c_ab
+        |  FROM m a JOIN m b2 ON a.b = b2.b AND a.i <> b2.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT item_a, item_b, ca.c AS c_a, cb.c AS c_b, c_ab,
+        |  nb.n AS n_baskets,
+        |  CAST((1000 * c_ab) // nb.n AS BIGINT) AS support_permille,
+        |  CAST((1000 * c_ab) // ca.c AS BIGINT) AS confidence_permille,
+        |  CAST((1000000::HUGEINT * c_ab * nb.n)
+        |    // (ca.c::HUGEINT * cb.c) AS BIGINT) AS lift_q6
+        |FROM p JOIN ic ca ON ca.i = item_a JOIN ic cb ON cb.i = item_b
+        |CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // The batch window truth for the streaming bounded top-k — value
+    // DESC with event_id tie-break, exactly the state-store sort.
+    "q227_stream_topk" ->
+      """SELECT event_type, rn, value, event_id FROM (
+        |  SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL)
+        |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
 
     // q201's life table with the additive estimator: each hazard
     // increment is the exact HUGEINT floor (d·10¹²)//n (positive, so

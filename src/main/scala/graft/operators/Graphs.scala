@@ -119,6 +119,54 @@ object Graphs {
     coOccurrenceEdges(df, groupCol, itemCol, maxGroup, dedup = false)
       .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
 
+  /** Market-basket association rules over (basket, item) pairs:
+    * directed rules a→b with integer metrics — c_a/c_b/c_ab basket
+    * counts, support‰ = ⌊1000·c_ab/N⌋, confidence‰ = ⌊1000·c_ab/c_a⌋,
+    * lift in 10⁻⁶ fixed point ⌊10⁶·c_ab·N/(c_a·c_b)⌋ — every division
+    * a DECIMAL(38,0) floor (HUGEINT oracle-side), no libm. Membership
+    * is DISTINCT (an item twice in one basket counts once — the
+    * support semantics), and baskets with more than `maxBasket`
+    * distinct items are dropped BEFORE any count (the
+    * [[coOccurrenceEdges]] skew guard; item counts, N and pairs all
+    * see the same capped basket set, so the metrics stay consistent).
+    *
+    * Scale shape: the pair blow-up is the group-to-list explode under
+    * whole-stage codegen (bounded by maxBasket²), one hash-agg shuffle
+    * per count table, and the two item-count joins key on single item
+    * ids; N joins in as a 1×1 cross.
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 2, maxBasket: Int = 1000): DataFrame = {
+    val dec = "DECIMAL(38,0)"
+    val slim = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+    val ok = slim.groupBy("_b").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBasket).select("_b")
+    val m = slim.join(ok, Seq("_b"), "semi")
+    val nB = m.agg(countDistinct("_b").as("n_baskets"))
+    val itemCnt = m.groupBy("_i").agg(count(lit(1)).as("_c"))
+    val pairs = m.groupBy("_b").agg(collect_list("_i").as("_is"))
+      .select(col("_is"), explode(col("_is")).as("item_a"))
+      .select(col("item_a"), explode(col("_is")).as("item_b"))
+      .filter(col("item_a") =!= col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairCount)
+    pairs
+      .join(itemCnt.select(col("_i").as("item_a"), col("_c").as("c_a")),
+        Seq("item_a"))
+      .join(itemCnt.select(col("_i").as("item_b"), col("_c").as("c_b")),
+        Seq("item_b"))
+      .crossJoin(nB)
+      .select(col("item_a"), col("item_b"), col("c_a"), col("c_b"),
+        col("c_ab"), col("n_baskets"),
+        expr(s"CAST((1000 * c_ab) DIV n_baskets AS BIGINT)")
+          .as("support_permille"),
+        expr(s"CAST((1000 * c_ab) DIV c_a AS BIGINT)")
+          .as("confidence_permille"),
+        expr(s"CAST((CAST(1000000 AS $dec) * c_ab * n_baskets)" +
+          s" DIV (CAST(c_a AS $dec) * c_b) AS BIGINT)").as("lift_q6"))
+  }
+
   /** Weighted integer fixed-point PageRank: each hop carries
     * floor(score·dampPct·w / (wdeg·100)) where wdeg = Σ out-weights —
     * the CCNet/RefinedWeb-style source weighting where heavier

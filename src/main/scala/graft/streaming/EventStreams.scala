@@ -214,6 +214,45 @@ object EventStreams {
     */
   final case class KmvStreamState(mins: Seq[Long], emits: Long)
 
+  final case class TopKStreamState(pairs: Seq[(Double, Long)], emits: Long)
+
+  /** Streaming bounded top-k per key — the state-store twin of the
+    * batch `graft_topk` TypedImperativeAggregate (q183): per
+    * event_type keep the k largest (value, event_id) pairs, ordered
+    * value DESC with event_id ASC tie-break (the exact q183 sort
+    * contract, total under `java.lang.Double.compare` so NaN cannot
+    * break it). State is ≤ k pairs per key — bounded regardless of
+    * stream length — and merging a batch is "sort the union, cut at
+    * k", which is associative, so cross-batch arrival order cannot
+    * change the answer (spec-asserted). Null values are ignored (the
+    * native-agg convention).
+    */
+  def topKStream(spark: SparkSession, events: DataFrame,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val ord = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1) // value DESC
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    events.select(col("event_type"), col("value"), col("event_id"))
+      .filter(col("value").isNotNull)
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Double, Long)],
+            state: GroupState[TopKStreamState]) =>
+          val prev = state.getOption.getOrElse(TopKStreamState(Nil, 0L))
+          val incoming = rows.map(r => (r._2, r._3)).toArray.sorted(ord).take(k)
+          val merged = (prev.pairs ++ incoming).sorted(ord).take(k)
+          val next = TopKStreamState(merged, prev.emits + 1)
+          state.update(next)
+          Iterator((tpe, next.emits, merged))
+      }
+      .toDF("event_type", "emit", "pairs")
+  }
+
   /** Streaming KMV distinct sketch: q189's bottom-k minima maintained
     * through the streaming state store — k longs of HARD-bounded state
     * per key, merged exactly like the batch aggregate, so the two

@@ -493,6 +493,30 @@ class AnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topKStream: cross-batch eviction converges to the batch top-k") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Double, Long)]
+    val streamed = graft.streaming.EventStreams.topKStream(spark,
+      input.toDF().toDF("event_type", "value", "event_id"), k = 2)
+    val q = streamed.writeStream.format("memory").queryName("topk_conv")
+      .outputMode("append").start()
+    try {
+      // batch 1: small values admitted provisionally; tie on 5.0 keeps
+      // the smaller event_id first
+      input.addData(("a", 5.0, 20L), ("a", 5.0, 10L), ("a", 1.0, 30L))
+      q.processAllAvailable()
+      // batch 2: two larger values evict everything from batch 1
+      input.addData(("a", 9.0, 40L), ("a", 7.0, 50L))
+      q.processAllAvailable()
+      val rows = spark.table("topk_conv").orderBy("emit")
+        .as[(String, Long, Seq[(Double, Long)])].collect().toSeq
+      assert(rows.map(_._2) == Seq(1L, 2L))
+      assert(rows.head._3 == Seq((5.0, 10L), (5.0, 20L)))
+      assert(rows.last._3 == Seq((9.0, 40L), (7.0, 50L)))
+    } finally q.stop()
+  }
+
   test("weightedQuantiles: hand-computed medians, duplicate collapse") {
     // group a: values 1(w3), 2(w1), 3(w1) → W=5, cum(1)=3 ≥ 2.5 → p50=1
     // group b: 10(w1), 20(w1) → W=2, cum(10)=1, 2·1 ≥ 2 → p50=10 (lower)

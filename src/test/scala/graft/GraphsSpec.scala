@@ -214,6 +214,24 @@ class GraphsSpec extends SparkSpec {
       Seq(-4L, -4L, -9L, -9L, -4L, -4L)) // deg² per singleton
   }
 
+  test("associationRules: hand-computed metrics; distinct membership; basket cap") {
+    // baskets: {x,y}, {x,y}, {x,z}, {y} (with a duplicate x row in b1)
+    val df = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "y")).toDF("b", "i")
+    val got = Graphs.associationRules(df, "b", "i", minPairCount = 2)
+      .orderBy("item_a", "item_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    // N=4, c_x=3, c_y=3, c_xy=2: support ⌊2000/4⌋=500, conf ⌊2000/3⌋=666,
+    // lift ⌊10⁶·2·4/9⌋=888888; x→z (c=1) falls under minPairCount
+    assert(got.toSeq == Seq(
+      ("x", "y", 3L, 3L, 2L, 4L, 500L, 666L, 888888L),
+      ("y", "x", 3L, 3L, 2L, 4L, 500L, 666L, 888888L)))
+    // cap on DISTINCT items: maxBasket=1 drops every multi-item basket
+    assert(Graphs.associationRules(df, "b", "i", minPairCount = 1,
+      maxBasket = 1).count() == 0)
+  }
+
   test("hitsInt: hand-computed one round; pure sources have auth 0, sinks hub 0") {
     // 1→3, 2→3, 3→4. Round 1: a_raw(3)=2e6, a_raw(4)=1e6 → max-norm
     // a(3)=1e6, a(4)=5e5; h_raw(1)=h_raw(2)=1e6, h_raw(3)=5e5 → h
