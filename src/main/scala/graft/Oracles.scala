@@ -2427,6 +2427,38 @@ object Oracles {
        |FROM base ORDER BY o_orderkey""".stripMargin
   }
 
+  /** q229: `Layout` Hilbert key / native `graft_hilbert` — the
+    * published xy2d walk unrolled: 16 chained CTEs, each one quadrant
+    * step (rx/ry from the current bit, d += s²·gray(rx,ry), then the
+    * reflect-and-swap rotation over the full 2¹⁶ grid), every value a
+    * BIGINT — no bit tricks to diverge between engines.
+    */
+  def q229HilbertKey: String = {
+    val steps = (0 until 16).map { i =>
+      val s = 1L << (15 - i)
+      val ss = s * s
+      s"""h${i + 1} AS (SELECT o_orderkey, ox, oy,
+         |  CASE WHEN (y // $s) % 2 = 1 THEN x
+         |       WHEN (x // $s) % 2 = 1 THEN 65535 - y ELSE y END AS x,
+         |  CASE WHEN (y // $s) % 2 = 1 THEN y
+         |       WHEN (x // $s) % 2 = 1 THEN 65535 - x ELSE x END AS y,
+         |  d + $ss * (CASE WHEN (x // $s) % 2 = 1 AND (y // $s) % 2 = 1 THEN 2
+         |                  WHEN (x // $s) % 2 = 1 THEN 3
+         |                  WHEN (y // $s) % 2 = 1 THEN 1 ELSE 0 END) AS d
+         |  FROM h$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (SELECT o_orderkey,
+       |    CAST(floor(o_custkey / 1) AS BIGINT) % 65536 AS ox,
+       |    CAST(floor(o_totalprice / 100) AS BIGINT) % 65536 AS oy,
+       |    CAST(floor(o_custkey / 1) AS BIGINT) % 65536 AS x,
+       |    CAST(floor(o_totalprice / 100) AS BIGINT) % 65536 AS y,
+       |    0::BIGINT AS d
+       |  FROM orders),
+       |$steps
+       |SELECT o_orderkey, ox AS x16, oy AS y16, d AS hkey
+       |FROM h16 ORDER BY o_orderkey""".stripMargin
+  }
+
   /** q131: `Analytics.madOutliers(events.value by event_type, k=3)` —
     * both engines' exact median interpolates lo + (hi−lo)·frac, so the
     * unrounded 3×MAD predicate agrees bit-for-bit; displayed stats are
@@ -3233,6 +3265,7 @@ object Oracles {
     "q131_mad_outliers" -> q131MadOutliers,
     "q132_funnel_counts" -> q132FunnelCounts,
     "q133_zorder_key" -> q133ZorderKey,
+    "q229_hilbert_key" -> q229HilbertKey,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

@@ -456,6 +456,21 @@ object SparkEntry {
       Graphs.hitsInt(edges, rounds = 2).orderBy("node")
     }),
 
+    // ---- analytics tier: seasonal-naive backtest (NEW r11) ----
+    // MASE components per market segment over daily revenue: forecast
+    // = same-day-last-week (calendar join, so gaps score NULL) vs the
+    // naive previous-day forecast; error sums in exact integer 10⁻⁴
+    // units, MASE as one DECIMAL-floor division. The "is weekly
+    // seasonality real here" gate before any heavier model.
+    "q230_seasonal_backtest" -> ((s, dir) => {
+      val df = orders(s, dir)
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .withColumn("day", expr("unix_micros(o_orderdate) DIV 86400000000"))
+      Timeseries.seasonalBacktest(df, "c_mktsegment", "day",
+          "o_totalprice", season = 7)
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- analytics tier: market-basket association rules (NEW r11) ----
     // Directed co-purchase rules part_a→part_b with integer
     // support/confidence/lift (‰ and 10⁻⁶ fixed point, DECIMAL-floor
@@ -1891,6 +1906,21 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- layout tier: Hilbert-curve layout key (NEW r11) ----
+    // q133's dimensions on the order-16 Hilbert curve (codegen'd
+    // graft_hilbert): consecutive keys are always grid-adjacent, so
+    // range-partitioned files get tighter min/max rectangles than
+    // Z-order at the same file count. Oracle unrolls the 16
+    // reflect-swap rounds as chained CTEs.
+    "q229_hilbert_key" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val x16 = pmod(floor(col("o_custkey") / 1).cast("long"), lit(65536L))
+      val y16 = pmod(floor(col("o_totalprice") / 100).cast("long"), lit(65536L))
+      o.select(col("o_orderkey"), x16.as("x16"), y16.as("y16"),
+          graft.plans.GraftExtensions.hilbertNative(x16, y16).as("hkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- north star: robust outliers (median absolute deviation) ----
     // |value − event-type median| > 3 × the type's MAD; exact
     // interpolated medians on both engines make the predicate
@@ -3165,6 +3195,30 @@ object SparkEntry {
         |    ELSE CAST(SUM(lq) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |  END AS log_surv_q
         |FROM q ORDER BY t""".stripMargin),
+
+    // Calendar-lag self-joins (gaps → NULL, never the previous
+    // OBSERVED day) over integer-tenk daily revenue; MASE one HUGEINT
+    // floor division.
+    "q230_seasonal_backtest" ->
+      """WITH daily AS (SELECT c_mktsegment AS k,
+        |    epoch_us(o_orderdate) // 86400000000 AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |s AS (SELECT a.k, a.d, a.v, b.v AS vs, c.v AS vn
+        |  FROM daily a
+        |  LEFT JOIN daily b ON b.k = a.k AND b.d = a.d - 7
+        |  LEFT JOIN daily c ON c.k = a.k AND c.d = a.d - 1)
+        |SELECT k AS c_mktsegment, COUNT(*)::BIGINT AS n_days,
+        |  COUNT(vs)::BIGINT AS c_seasonal, COUNT(vn)::BIGINT AS c_naive,
+        |  COALESCE(CAST(SUM(ABS(v - vs)) AS BIGINT), 0) AS err_seasonal_tenk,
+        |  COALESCE(CAST(SUM(ABS(v - vn)) AS BIGINT), 0) AS err_naive_tenk,
+        |  CASE WHEN COUNT(vs) > 0 AND COUNT(vn) > 0
+        |      AND COALESCE(SUM(ABS(v - vn)), 0) > 0
+        |    THEN CAST((1000000::HUGEINT * CAST(SUM(ABS(v - vs)) AS HUGEINT)
+        |      * COUNT(vn)) // (CAST(SUM(ABS(v - vn)) AS HUGEINT)
+        |      * COUNT(vs)) AS BIGINT)
+        |  END AS mase_q6
+        |FROM s GROUP BY k ORDER BY k""".stripMargin,
 
     // Distinct membership + capped baskets + self-join pair counts;
     // every metric an exact HUGEINT floor division.

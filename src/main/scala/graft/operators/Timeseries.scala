@@ -156,4 +156,45 @@ object Timeseries {
         ((col("_drawup") * 10000).cast("long").cast("double") /
           (col("_n").cast("double") * 10000.0)).as("drift"))
   }
+
+  /** Seasonal-naive forecast backtest (MASE components) per key: the
+    * "is there a real weekly pattern" gate before any heavier model —
+    * forecast_t = value_{t−season} (calendar lag, via self-join, so a
+    * missing day yields NULL instead of silently reading the previous
+    * OBSERVED row) scored against the naive forecast_t = value_{t−1}.
+    * Per key: observed days, scored-day counts and the two absolute
+    * error sums in exact 10⁻⁴ units (the q174 integer-tenk
+    * discipline), plus mase_q6 = ⌊10⁶·Σ|e_s|·c_n / (Σ|e_n|·c_s)⌋ —
+    * MASE < 1 ⇔ the seasonal forecast beats naive. NULL when naive is
+    * degenerate (no consecutive days or zero naive error).
+    *
+    * Scale shape: one per-(key, day) partial-agg'd shuffle, then two
+    * equi-joins on (key, day±lag) — no windows, nothing global; the
+    * MASE product runs in DECIMAL(38,0) (HUGEINT oracle-side).
+    */
+  def seasonalBacktest(df: DataFrame, keyCol: String, dayCol: String,
+      valCol: String, season: Int = 7): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol).as("_k"), col(dayCol).as("_d"))
+      .agg((sum(col(valCol).cast("decimal(18,4)")) * 10000)
+        .cast("long").as("_v"))
+    def lagged(off: Int, name: String): DataFrame = daily.select(
+      col("_k"), (col("_d") + off).as("_d"), col("_v").as(name))
+    val scored = daily
+      .join(lagged(season, "_vs"), Seq("_k", "_d"), "left")
+      .join(lagged(1, "_vn"), Seq("_k", "_d"), "left")
+    scored.groupBy(col("_k").as(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        count(col("_vs")).as("c_seasonal"),
+        count(col("_vn")).as("c_naive"),
+        sum(abs(col("_v") - col("_vs"))).as("err_seasonal_tenk"),
+        sum(abs(col("_v") - col("_vn"))).as("err_naive_tenk"))
+      .na.fill(0L, Seq("err_seasonal_tenk", "err_naive_tenk"))
+      .withColumn("mase_q6",
+        when(col("c_seasonal") > 0 && col("c_naive") > 0 &&
+            col("err_naive_tenk") > 0,
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * err_seasonal_tenk" +
+            " * c_naive) DIV (CAST(err_naive_tenk AS DECIMAL(38,0))" +
+            " * c_seasonal) AS BIGINT)")))
+  }
 }

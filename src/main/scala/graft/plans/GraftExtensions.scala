@@ -38,6 +38,12 @@ object GraftExtensions {
         require(children.length == 2, "graft_morton(x, y) takes two long args")
         MortonInterleave(children.head, children(1))
       }),
+    (new FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_hilbert(x, y) takes two long args")
+        HilbertIndex(children.head, children(1))
+      }),
     (new FunctionIdentifier("graft_hll"),
       new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll"),
       (children: Seq[Expression]) => {
@@ -121,6 +127,13 @@ object GraftExtensions {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(
       MortonInterleave(ColumnShim.expression(x), ColumnShim.expression(y)))
+  }
+
+  /** Registration-free Hilbert-curve index (see [[cosineNative]]). */
+  def hilbertNative(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(
+      HilbertIndex(ColumnShim.expression(x), ColumnShim.expression(y)))
   }
 
   /** Registration-free HLL aggregate (see [[cosineNative]]): 256-byte

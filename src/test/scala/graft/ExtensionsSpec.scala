@@ -300,6 +300,64 @@ class ExtensionsSpec extends SparkSpec {
     assert(withNull.collect().head.isNullAt(0))
   }
 
+  test("graft_hilbert: round-trip vs test-only inverse, unit-step adjacency, codegen'd, null-safe") {
+    import graft.plans.HilbertIndex.xy2d
+    // test-only inverse (the published d2xy walk, bottom-up)
+    def d2xy(d: Long): (Long, Long) = {
+      var (x, y, t) = (0L, 0L, d)
+      var s = 1L
+      while (s < 65536L) {
+        val rx = (t / 2) % 2
+        val ry = (t ^ rx) % 2
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx
+        y += s * ry
+        t /= 4
+        s <<= 1
+      }
+      (x, y)
+    }
+    // corner golden: d=0 is the origin
+    assert(xy2d(0L, 0L) == 0L)
+    // round-trip over a sampled d range + the locality property that
+    // justifies the operator: consecutive d are ALWAYS grid-adjacent
+    var prev = d2xy(0L)
+    (0L to 4096L).foreach { d =>
+      val (x, y) = d2xy(d)
+      assert(xy2d(x, y) == d, s"round-trip broke at d=$d ($x,$y)")
+      if (d > 0) {
+        val md = math.abs(x - prev._1) + math.abs(y - prev._2)
+        assert(md == 1, s"jump of $md at d=$d")
+      }
+      prev = (x, y)
+    }
+    // bijectivity on a random coordinate sample
+    val rnd = new scala.util.Random(43)
+    val pts = (0 until 2000).map(_ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)).distinct
+    assert(pts.map { case (x, y) => xy2d(x, y) }.distinct.size == pts.size)
+    // inputs reduce modulo 2^16
+    assert(xy2d(0x10001L, 0L) == xy2d(1L, 0L))
+    // SQL registration + codegen + null-safety
+    val s = extSession
+    import s.implicits._
+    (0 until 200).map(i => (i.toLong, (i * 7 % 65536).toLong)).toDF("x", "y")
+      .repartition(2).createOrReplaceTempView("hsrc")
+    val q = s.sql("SELECT graft_hilbert(x, y) AS h FROM hsrc")
+    val got = q.as[Long].collect()
+    q.collect() // finalize AQE so the executed plan is inspectable
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || "\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
+      plan.take(400))
+    assert(got.toSet == (0 until 200).map(i => xy2d(i.toLong, i * 7L % 65536)).toSet)
+    val withNull = Seq((Some(1L), None: Option[Long])).toDF("x", "y")
+      .select(GraftExtensions.hilbertNative($"x", $"y").as("h"))
+    assert(withNull.collect().head.isNullAt(0))
+  }
+
   test("zorderBy: every partition's bounding box is tight in BOTH dimensions") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -99,4 +99,27 @@ class TimeseriesSpec extends SparkSpec {
     assert(r(2L) == ((2L, 1L, 2L)))
     assert(r(3L) == ((1L, 7L, 1L)))
   }
+
+  test("seasonalBacktest: calendar lags skip gaps; hand-computed MASE; same-day rows pre-sum") {
+    import spark.implicits._
+    import graft.operators.Timeseries
+    // key a, days 1,2,3,4,6,8,9 (5 and 7 missing); day 1 split in two rows
+    val df = Seq(("a", 1L, 4.0), ("a", 1L, 6.0), ("a", 2L, 12.0),
+      ("a", 3L, 11.0), ("a", 4L, 11.0), ("a", 6L, 14.0),
+      ("a", 8L, 10.5), ("a", 9L, 13.0)).toDF("k", "day", "v")
+    val r = Timeseries.seasonalBacktest(df, "k", "day", "v", season = 7)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5),
+        if (x.isNullAt(6)) None else Some(x.getLong(6))))
+    // seasonal: d8←d1 |105000−100000|=5000, d9←d2 |130000−120000|=10000
+    // naive: d2←d1 20000, d3←d2 10000, d4←d3 0, d9←d8 25000 (d6,d8 gap)
+    // MASE_q6 = ⌊10⁶·15000·4 / (55000·2)⌋ = 545454
+    assert(r.toSeq == Seq(
+      ("a", 7L, 2L, 4L, 15000L, 55000L, Some(545454L))))
+    // a key with no consecutive or season-apart days → NULL mase
+    val sparse = Seq(("b", 1L, 5.0), ("b", 3L, 6.0)).toDF("k", "day", "v")
+    val rb = Timeseries.seasonalBacktest(sparse, "k", "day", "v", 7)
+      .collect().head
+    assert(rb.getLong(2) == 0L && rb.getLong(3) == 0L && rb.isNullAt(6))
+  }
 }
