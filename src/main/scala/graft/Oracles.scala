@@ -2433,11 +2433,15 @@ object Oracles {
     * reflect-and-swap rotation over the full 2¹⁶ grid), every value a
     * BIGINT — no bit tricks to diverge between engines.
     */
-  def q229HilbertKey: String = {
-    val steps = (0 until 16).map { i =>
+  /** The 16 unrolled Hilbert xy2d rounds as chained CTEs h1..h16 from
+    * an h0 carrying (`payload`*, x, y, d) — shared by q229 and q231.
+    */
+  private def hilbertSteps(payload: Seq[String]): String = {
+    val keep = payload.map(_ + ", ").mkString
+    (0 until 16).map { i =>
       val s = 1L << (15 - i)
       val ss = s * s
-      s"""h${i + 1} AS (SELECT o_orderkey, ox, oy,
+      s"""h${i + 1} AS (SELECT $keep
          |  CASE WHEN (y // $s) % 2 = 1 THEN x
          |       WHEN (x // $s) % 2 = 1 THEN 65535 - y ELSE y END AS x,
          |  CASE WHEN (y // $s) % 2 = 1 THEN y
@@ -2447,6 +2451,10 @@ object Oracles {
          |                  WHEN (y // $s) % 2 = 1 THEN 1 ELSE 0 END) AS d
          |  FROM h$i)""".stripMargin
     }.mkString(",\n")
+  }
+
+  def q229HilbertKey: String = {
+    val steps = hilbertSteps(Seq("o_orderkey", "ox", "oy"))
     s"""WITH h0 AS (SELECT o_orderkey,
        |    CAST(floor(o_custkey / 1) AS BIGINT) % 65536 AS ox,
        |    CAST(floor(o_totalprice / 100) AS BIGINT) % 65536 AS oy,
@@ -2457,6 +2465,46 @@ object Oracles {
        |$steps
        |SELECT o_orderkey, ox AS x16, oy AS y16, d AS hkey
        |FROM h16 ORDER BY o_orderkey""".stripMargin
+  }
+
+  /** q231: `Layout.zoneMaps`/`boxScanStats` across three layouts of
+    * the same points — compound (x-major) vs Z-order (q133's bit sum)
+    * vs Hilbert (q229's unrolled walk); files are 64 equal-width cuts
+    * of each layout's OCCUPIED key span ((k−min) // ((max−min)//64+1)),
+    * scanned iff the min/max box overlaps the fixed query box. All
+    * integer.
+    */
+  def q231ZonemapPruning: String = {
+    def bits(c: String, mult: Long): String = (0 until 16).map { i =>
+      s"(($c // ${1L << i}) % 2) * ${mult * (1L << (2 * i))}"
+    }.mkString(" + ")
+    val hit = "min_x <= 300 AND max_x >= 100 AND min_y <= 500 AND max_y >= 100"
+    s"""WITH base AS (SELECT
+       |    CAST(floor(o_custkey / 1) AS BIGINT) % 65536 AS x,
+       |    CAST(floor(o_totalprice / 100) AS BIGINT) % 65536 AS y
+       |  FROM orders),
+       |h0 AS (SELECT x AS ox, y AS oy, x, y, 0::BIGINT AS d FROM base),
+       |${hilbertSteps(Seq("ox", "oy"))},
+       |keyed AS (
+       |  SELECT 'compound' AS layout, ox * 65536 + oy AS k,
+       |    ox AS x, oy AS y FROM h0
+       |  UNION ALL SELECT 'zorder', (${bits("x", 1)} + ${bits("y", 2)})::BIGINT,
+       |    x, y FROM base
+       |  UNION ALL SELECT 'hilbert', d, ox, oy FROM h16),
+       |ext AS (SELECT layout, MIN(k) AS kmin, MAX(k) AS kmax
+       |  FROM keyed GROUP BY layout),
+       |zm AS (SELECT layout,
+       |    (k - kmin) // ((kmax - kmin) // 64 + 1) AS f,
+       |    COUNT(*)::BIGINT AS n_rows,
+       |    MIN(x) AS min_x, MAX(x) AS max_x,
+       |    MIN(y) AS min_y, MAX(y) AS max_y
+       |  FROM keyed JOIN ext USING (layout) GROUP BY 1, 2)
+       |SELECT layout, COUNT(*)::BIGINT AS n_files,
+       |  CAST(SUM(CASE WHEN $hit THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       |  CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+       |  CAST(SUM(CASE WHEN $hit THEN n_rows ELSE 0 END) AS BIGINT)
+       |    AS rows_scanned
+       |FROM zm GROUP BY layout ORDER BY layout""".stripMargin
   }
 
   /** q131: `Analytics.madOutliers(events.value by event_type, k=3)` —
@@ -3266,6 +3314,7 @@ object Oracles {
     "q132_funnel_counts" -> q132FunnelCounts,
     "q133_zorder_key" -> q133ZorderKey,
     "q229_hilbert_key" -> q229HilbertKey,
+    "q231_zonemap_pruning" -> q231ZonemapPruning,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

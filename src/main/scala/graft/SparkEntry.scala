@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.DabDataset
 import graft.functions.{AggregationProcessor, Chain, FFTProcessor, Framing, Processor}
-import graft.operators.{Analytics, Asof, Curation, Dedup, Graphs, Multimodal, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Timeseries, Validation, Xval}
+import graft.operators.{Analytics, Asof, Curation, Dedup, Graphs, Layout, Multimodal, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Timeseries, Validation, Xval}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -454,6 +454,32 @@ object SparkEntry {
         .select(col("l_suppkey").as("src"),
           (col("o_custkey") + lit(1000000L)).as("dst"))
       Graphs.hitsInt(edges, rounds = 2).orderBy("node")
+    }),
+
+    // ---- layout tier: zone-map pruning report (NEW r11) ----
+    // What is a layout WORTH? The same points under compound (x-major)
+    // vs Z-order vs Hilbert linearization, cut into 64 equal-width
+    // key-range "files" with parquet-footer-style min/max zone maps,
+    // scored against a fixed query box by the row-group skipping rule.
+    // Hilbert ≤ Z-order ≤ compound in files scanned — measured, not
+    // asserted. All integer; both native layout expressions replayed.
+    "q231_zonemap_pruning" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val x16 = pmod(floor(col("o_custkey") / 1).cast("long"), lit(65536L))
+      val y16 = pmod(floor(col("o_totalprice") / 100).cast("long"), lit(65536L))
+      val base = o.select(x16.as("x"), y16.as("y"))
+      def stats(name: String, key: org.apache.spark.sql.Column) =
+        Layout.boxScanStats(
+            Layout.zoneMaps(base.withColumn("k", key), "k", "x", "y", 64),
+            loX = 100, hiX = 300, loY = 100, hiY = 500)
+          .select(lit(name).as("layout"), col("n_files"),
+            col("files_scanned"), col("rows_total"), col("rows_scanned"))
+      stats("compound", col("x") * 65536 + col("y"))
+        .unionByName(stats("zorder",
+          graft.plans.GraftExtensions.mortonNative(col("x"), col("y"))))
+        .unionByName(stats("hilbert",
+          graft.plans.GraftExtensions.hilbertNative(col("x"), col("y"))))
+        .orderBy("layout")
     }),
 
     // ---- analytics tier: seasonal-naive backtest (NEW r11) ----

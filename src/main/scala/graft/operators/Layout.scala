@@ -128,4 +128,59 @@ object Layout {
       .sortWithinPartitions("_zkey")
       .drop("_zkey")
   }
+
+  /** Hilbert sibling of [[zorderKey]]: the order-16 Hilbert index of
+    * the bucketed dimensions (codegen'd `graft_hilbert`) — strictly
+    * better file locality than Z-order at the same file count.
+    */
+  def hilbertKey(x: org.apache.spark.sql.Column, xStep: Long,
+      y: org.apache.spark.sql.Column, yStep: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.hilbertNative(
+      pmod(floor(x / xStep).cast("long"), lit(65536L)),
+      pmod(floor(y / yStep).cast("long"), lit(65536L)))
+  }
+
+  /** Zone maps of a layout: deterministic "files" = `numFiles`
+    * equal-width ranges of the OCCUPIED key span — width = (max−min)
+    * DIV numFiles + 1, file = (key−min) DIV width — so the cut adapts
+    * to any scale factor (a fixed 2³²-based width degenerates to one
+    * file when the data covers a corner of the key space) yet stays
+    * exactly replayable in any engine, unlike reservoir-sampled range
+    * bounds. Each file carries row count and per-dim min/max — the
+    * parquet footer stats a data-skipping scan planner reads. One
+    * min/max agg (1×1 cross join) + one partial-agg'd groupBy(file);
+    * ≤ numFiles rows out.
+    */
+  def zoneMaps(df: DataFrame, keyCol: String, xCol: String, yCol: String,
+      numFiles: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ext = df.agg(min(keyCol).as("_kmin"), max(keyCol).as("_kmax"))
+    df.crossJoin(ext)
+      .withColumn("_file", expr(
+        s"($keyCol - _kmin) DIV ((_kmax - _kmin) DIV $numFiles + 1)"))
+      .groupBy("_file")
+      .agg(count(lit(1)).as("n_rows"),
+        min(xCol).as("min_x"), max(xCol).as("max_x"),
+        min(yCol).as("min_y"), max(yCol).as("max_y"))
+  }
+
+  /** Pruning stats of a rectangular predicate against a [[zoneMaps]]
+    * table: ONE row (n_files, files_scanned, rows_total, rows_scanned)
+    * — a file is scanned iff its (min, max) box overlaps the query
+    * box, exactly the parquet row-group skipping rule. Comparing this
+    * row across layouts of the SAME data (compound sort vs Z-order vs
+    * Hilbert) measures what the layout is worth before any rewrite
+    * ships.
+    */
+  def boxScanStats(zones: DataFrame, loX: Long, hiX: Long,
+      loY: Long, hiY: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hit = col("min_x") <= hiX && col("max_x") >= loX &&
+      col("min_y") <= hiY && col("max_y") >= loY
+    zones.agg(count(lit(1)).as("n_files"),
+      sum(when(hit, 1L).otherwise(0L)).as("files_scanned"),
+      sum("n_rows").as("rows_total"),
+      sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_scanned"))
+  }
 }

@@ -79,4 +79,41 @@ class LayoutSpec extends SparkSpec {
     assert(out.count() == 0L)
     assert(out.columns.toSeq == Seq("k", "payload", "sk", "name"))
   }
+
+  test("zoneMaps: equal-width file cut + per-file min/max; boxScanStats overlap rule") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // keys span [0, 99] with numFiles=10 → width = 99 DIV 10 + 1 = 10,
+    // file = k DIV 10
+    val pts = Seq(
+      (0L, 10L, 20L), (5L, 30L, 5L),        // file 0
+      (10L, 100L, 200L),                     // file 1
+      (95L, 1000L, 1L), (99L, 900L, 3L)).toDF("k", "x", "y") // file 9
+    val zm = Layout.zoneMaps(pts, "k", "x", "y", 10).orderBy("_file")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(zm.toSeq == Seq(
+      (0L, 2L, 10L, 30L, 5L, 20L),
+      (1L, 1L, 100L, 100L, 200L, 200L),
+      (9L, 2L, 900L, 1000L, 1L, 3L)))
+    // offset invariance: shifting every key by a constant moves min
+    // with it — identical files
+    val shifted = pts.select((col("k") + 1000000).as("k"), col("x"), col("y"))
+    val zs = Layout.zoneMaps(shifted, "k", "x", "y", 10).orderBy("_file")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(zs.toSeq == zm.toSeq)
+    // box [25,150]×[10,60]: file 0 overlaps (max_x 30 ≥ 25, min_y 5 ≤ 60,
+    // max_y 20 ≥ 10), file 1 fails on y (min_y 200 > 60), file 9 fails x
+    val st = Layout.boxScanStats(
+        Layout.zoneMaps(pts, "k", "x", "y", 10), 25, 150, 10, 60)
+      .collect().head
+    assert((st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3)) ==
+      ((3L, 1L, 5L, 2L)))
+    // boundary touch counts as overlap (the skipping rule is inclusive)
+    val b = Layout.boxScanStats(
+        Layout.zoneMaps(pts, "k", "x", "y", 10), 30, 30, 20, 20)
+      .collect().head
+    assert(b.getLong(1) == 1L)
+  }
 }
