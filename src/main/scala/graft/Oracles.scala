@@ -2467,6 +2467,76 @@ object Oracles {
        |FROM h16 ORDER BY o_orderkey""".stripMargin
   }
 
+  /** q232: `Analytics.markovAttribution` — q174's sessionization (7-day
+    * gap), journey transitions with START/CONV/NULL markers, per-
+    * scenario dst→NULL redirect, and the six absorption rounds each
+    * unrolled as a CTE computing p(s) = Σc·p // cs in HUGEINT.
+    */
+  def q232MarkovAttribution: String = {
+    val rounds = 6
+    val pk = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT ej.scenario, ej.src AS state,
+         |    SUM(ej.c * COALESCE(pp.p, 0)) // ej.cs AS p
+         |  FROM ej LEFT JOIN p${r - 1} pp
+         |    ON pp.scenario = ej.scenario AND pp.state = ej.dst
+         |  GROUP BY ej.scenario, ej.src, ej.cs
+         |  UNION ALL
+         |  SELECT scenario, '__CONV__', 1000000000000::HUGEINT FROM scen)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+       |  FROM events),
+       |e AS (
+       |  SELECT *, SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 604800000000 THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM e0),
+       |m AS (SELECT user_id, sid, event_id, event_type, us,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id, sid) AS conv
+       |  FROM e),
+       |t AS (SELECT user_id, sid, event_type, us, event_id, conv,
+       |    row_number() OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS rn,
+       |    lead(event_type) OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS nxt
+       |  FROM m WHERE event_type <> 'purchase'),
+       |mid AS (SELECT event_type AS src,
+       |    COALESCE(nxt, CASE WHEN conv = 1 THEN '__CONV__' ELSE '__NULL__' END) AS dst
+       |  FROM t),
+       |st AS (SELECT '__START__' AS src, event_type AS dst FROM t WHERE rn = 1),
+       |lonely AS (SELECT '__START__' AS src, '__CONV__' AS dst
+       |  FROM (SELECT user_id, sid,
+       |      MAX(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS ht
+       |    FROM e GROUP BY 1, 2) WHERE ht = 0),
+       |counts AS (SELECT src, dst, COUNT(*)::HUGEINT AS c FROM (
+       |    SELECT * FROM mid UNION ALL SELECT * FROM st
+       |    UNION ALL SELECT * FROM lonely) GROUP BY 1, 2),
+       |rowsum AS (SELECT src, SUM(c) AS cs FROM counts GROUP BY 1),
+       |chans AS (SELECT DISTINCT ch FROM (
+       |    SELECT src AS ch FROM counts UNION SELECT dst FROM counts)
+       |  WHERE ch NOT IN ('__START__', '__CONV__', '__NULL__')),
+       |scen AS (SELECT ch AS scenario FROM chans
+       |  UNION ALL SELECT '__FULL__' WHERE EXISTS (SELECT 1 FROM chans)),
+       |edges AS (SELECT scenario, src,
+       |    CASE WHEN dst = scenario THEN '__NULL__' ELSE dst END AS dst,
+       |    SUM(c) AS c
+       |  FROM scen CROSS JOIN counts GROUP BY 1, 2, 3),
+       |ej AS (SELECT e2.scenario, e2.src, e2.dst, e2.c, r.cs
+       |  FROM edges e2 JOIN rowsum r USING (src)),
+       |p0 AS (SELECT scenario, '__CONV__' AS state,
+       |    1000000000000::HUGEINT AS p FROM scen),
+       |$pk,
+       |ps AS (SELECT scenario, p FROM p$rounds WHERE state = '__START__'),
+       |pf AS (SELECT p AS pfull FROM ps WHERE scenario = '__FULL__')
+       |SELECT scenario AS event_type, CAST(pfull AS BIGINT) AS p_full_q12,
+       |  CAST(p AS BIGINT) AS p_removed_q12,
+       |  CASE WHEN pfull > 0
+       |    THEN CAST((1000000::HUGEINT * (pfull - p)) // pfull AS BIGINT)
+       |  END AS removal_effect_q6
+       |FROM ps CROSS JOIN pf WHERE scenario <> '__FULL__'
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** q231: `Layout.zoneMaps`/`boxScanStats` across three layouts of
     * the same points — compound (x-major) vs Z-order (q133's bit sum)
     * vs Hilbert (q229's unrolled walk); files are 64 equal-width cuts
@@ -3315,6 +3385,7 @@ object Oracles {
     "q133_zorder_key" -> q133ZorderKey,
     "q229_hilbert_key" -> q229HilbertKey,
     "q231_zonemap_pruning" -> q231ZonemapPruning,
+    "q232_markov_attribution" -> q232MarkovAttribution,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

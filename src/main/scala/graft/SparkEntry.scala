@@ -456,6 +456,18 @@ object SparkEntry {
       Graphs.hitsInt(edges, rounds = 2).orderBy("node")
     }),
 
+    // ---- analytics tier: Markov removal-effect attribution (NEW r11) ----
+    // The data-driven fourth attribution model: journeys START→touch…→
+    // CONV/NULL over 7-day sessions, channel value = conversion-
+    // probability drop when the channel's inbound transitions are
+    // redirected to NULL. Six bounded absorption rounds in 10⁻¹² fixed
+    // point, every round unrolled in the oracle.
+    "q232_markov_attribution" -> ((s, dir) => {
+      Analytics.markovAttribution(events(s, dir), convType = "purchase",
+          gapUs = 604800000000L, rounds = 6)
+        .orderBy("event_type")
+    }),
+
     // ---- layout tier: zone-map pruning report (NEW r11) ----
     // What is a layout WORTH? The same points under compound (x-major)
     // vs Z-order vs Hilbert linearization, cut into 64 equal-width

@@ -516,6 +516,104 @@ object Analytics {
       .agg(count(lit(1)).as("n_credits"), sum("_credit").as("credit_tenk"))
   }
 
+  /** Markov-chain removal-effect attribution, the data-driven
+    * counterweight to the positional models (first-touch q156, linear
+    * q174, time-decay q221): sessions become journeys START → touch…
+    * → CONV/NULL, transition counts build the chain, and each
+    * channel's value is how much the conversion probability DROPS when
+    * every transition into it is redirected to NULL (the standard
+    * removal-effect construction; probabilities NOT renormalized — the
+    * removed channel's traffic is lost, not rerouted).
+    *
+    * Conversion probability is the `rounds`-step absorption
+    * probability in 10⁻¹² fixed point: p₀ = 1 at CONV, each round
+    * p(s) ← ⌊Σ_j c_sj·p(j) / c_s⌋ — exact integers (the q211
+    * bounded-round discipline: "probability of converting within ≤
+    * rounds+1 touches", unrolled round-for-round in the oracle).
+    * Output one row per channel: (typeCol, p_full_q12, p_removed_q12,
+    * removal_effect_q6 = ⌊10⁶·(p_full − p_removed)/p_full⌋).
+    *
+    * Scale shape: sessionization + transition counting are the only
+    * corpus-sized passes (per-key windows, one groupBy(src, dst));
+    * everything after runs on the channel-count-sized chain (≤
+    * |channels|² cells × |channels|+1 scenarios), checkpointed per
+    * round so plans stay flat.
+    */
+  def markovAttribution(events: DataFrame, convType: String,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", ordCol: String = "event_id",
+      gapUs: Long = 300000000L, rounds: Int = 6): DataFrame = {
+    val START = "__START__"; val CONV = "__CONV__"; val NUL = "__NULL__"
+    val FULL = "__FULL__"
+    val dec = "DECIMAL(38,0)"
+    val scale = 1000000000000L
+    val sess = withSessionId(events, keyCol, tsCol, ordCol, gapUs)
+    val sw = Window.partitionBy(col(keyCol), col("session_id"))
+    val w = sw.orderBy(col("_us"), col(ordCol))
+    val marked = sess.withColumn("_conv",
+      max(when(col(typeCol) === convType, 1).otherwise(0)).over(sw))
+    val touches = marked.filter(col(typeCol) =!= convType)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+    val mid = touches.select(col(typeCol).as("src"),
+      coalesce(col("_next"),
+        when(col("_conv") === 1, lit(CONV)).otherwise(lit(NUL))).as("dst"))
+    val startT = touches.filter(col("_rn") === 1)
+      .select(lit(START).as("src"), col(typeCol).as("dst"))
+    // sessions whose every event converts: START → CONV directly
+    val lonely = marked.groupBy(col(keyCol), col("session_id"))
+      .agg(max(when(col(typeCol) =!= convType, 1).otherwise(0)).as("_t"))
+      .filter(col("_t") === 0)
+      .select(lit(START).as("src"), lit(CONV).as("dst"))
+    val counts = Dedup.tracked(
+      mid.unionByName(startT).unionByName(lonely)
+        .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = true))
+    val rowSum = counts.groupBy("src").agg(sum("c").as("cs"))
+    val channels = counts.select(col("src").as("ch"))
+      .union(counts.select(col("dst")))
+      .filter(!col("ch").isin(START, CONV, NUL)).distinct()
+    val scen = channels.select(col("ch").as("scenario"))
+      .unionByName(channels.limit(1).select(lit(FULL).as("scenario")))
+    // per-scenario chain: transitions INTO the removed channel → NULL
+    // (then re-aggregated — they merge with existing →NULL mass); c_s
+    // stays the FULL row sum (removal loses mass by design)
+    val edges = Dedup.tracked(scen.crossJoin(counts)
+      .withColumn("_d",
+        when(col("dst") === col("scenario"), lit(NUL)).otherwise(col("dst")))
+      .groupBy(col("scenario"), col("src"), col("_d").as("dst"))
+      .agg(sum("c").as("c"))
+      .join(rowSum, Seq("src"))
+      .localCheckpoint(eager = true))
+    val absorb = scen.select(col("scenario"), lit(CONV).as("state"),
+      lit(scale).as("p"))
+    var p = absorb
+    for (_ <- 1 to rounds) {
+      val stepped = edges
+        .join(p.select(col("scenario"), col("state").as("dst"), col("p")),
+          Seq("scenario", "dst"), "left")
+        .na.fill(0L, Seq("p"))
+        .groupBy("scenario", "src", "cs")
+        .agg(sum(expr(s"CAST(c AS $dec) * p")).as("_num"))
+        .select(col("scenario"), col("src").as("state"),
+          expr("CAST(_num DIV cs AS BIGINT)").as("p"))
+      p = Dedup.tracked(stepped.unionByName(absorb)
+        .localCheckpoint(eager = true))
+    }
+    val pStart = p.filter(col("state") === START)
+    val pFull = pStart.filter(col("scenario") === FULL)
+      .select(col("p").as("p_full_q12"))
+    pStart.filter(col("scenario") =!= FULL)
+      .select(col("scenario").as(typeCol), col("p").as("p_removed_q12"))
+      .crossJoin(pFull)
+      .withColumn("removal_effect_q6",
+        when(col("p_full_q12") > 0,
+          expr(s"CAST((CAST(1000000 AS $dec) *" +
+            " (p_full_q12 - p_removed_q12)) DIV p_full_q12 AS BIGINT)")))
+      .select(col(typeCol), col("p_full_q12"), col("p_removed_q12"),
+        col("removal_effect_q6"))
+  }
+
   def linearAttribution(events: DataFrame, convType: String,
       keyCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type", ordCol: String = "event_id",

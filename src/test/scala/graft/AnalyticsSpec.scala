@@ -493,6 +493,34 @@ class AnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("markovAttribution: hand-solved chain, removal effects, lonely conversions") {
+    // u1: view→click→purchase; u2: view (no conv); u3: click→purchase;
+    // u4: purchase only (lonely START→CONV). Chain: START→{view:2,
+    // click:1, CONV:1}, view→{click:1, NULL:1}, click→{CONV:2}.
+    // p(click)=1e12, p(view)=5e11, p_full(START)=3e12/4=7.5e11.
+    // remove view → p=5e11 (effect ⌊1e6/3⌋); remove click → p=2.5e11
+    // (effect ⌊2e6/3⌋).
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, t(0), 101L, "view"), (1L, t(1), 102L, "click"),
+      (1L, t(2), 103L, "purchase"),
+      (2L, t(0), 201L, "view"),
+      (3L, t(0), 301L, "click"), (3L, t(1), 302L, "purchase"),
+      (4L, t(0), 401L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.markovAttribution(ev, "purchase")
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("click", 750000000000L, 250000000000L, 666666L),
+      ("view", 750000000000L, 500000000000L, 333333L)))
+    // determinism under repartitioning (integer floors, no float paths)
+    val again = Analytics.markovAttribution(ev.repartition(7), "purchase")
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("topKStream: cross-batch eviction converges to the batch top-k") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
