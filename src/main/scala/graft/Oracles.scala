@@ -1096,6 +1096,50 @@ object Oracles {
        |ORDER BY vec_id, dim""".stripMargin
   }
 
+  /** q233: `Embeddings.dominantDirection` — the q81 int8 quantization
+    * replay, the exact integer Gram matrix via a vec_id self-join, then
+    * `rounds` power-iteration steps each unrolled as (numerator, max,
+    * renormalize) CTEs in HUGEINT; divisions are sign-magnitude
+    * (`ABS(x) // d` re-signed), matching Scala BigInt's truncating `/`
+    * exactly; Rayleigh quotient on the Q6-rescaled vector.
+    */
+  def q233DominantDirection: String = {
+    val dim = 64; val rounds = 8
+    val rk = (1 to rounds).map { r =>
+      s"""n$r AS MATERIALIZED (SELECT g.i, SUM(g.g * v.p) AS num
+         |  FROM gram g JOIN v${r - 1} v ON v.i = g.j GROUP BY 1),
+         |m$r AS (SELECT GREATEST(MAX(ABS(num)) // 1000000000000, 1::HUGEINT) AS dn FROM n$r),
+         |v$r AS MATERIALIZED (SELECT i, CASE WHEN num < 0 THEN -(ABS(num) // dn)
+         |    ELSE ABS(num) // dn END AS p
+         |  FROM n$r CROSS JOIN m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    COALESCE(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) AS maxabs
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |s AS (SELECT vec_id, embedding,
+       |    CASE WHEN maxabs = 0.0 THEN 1.0 ELSE 127.0 / maxabs END AS scale
+       |  FROM base),
+       |qv AS (SELECT vec_id, d,
+       |    CAST(floor(embedding[d+1]::DOUBLE * scale + 0.5) AS BIGINT) AS qd
+       |  FROM s, (SELECT unnest(range(0, $dim)) AS d)),
+       |gram AS MATERIALIZED (SELECT a.d AS i, b.d AS j, SUM(a.qd * b.qd)::HUGEINT AS g
+       |  FROM qv a JOIN qv b USING (vec_id) GROUP BY 1, 2),
+       |v0 AS (SELECT unnest(range(0, $dim)) AS i, 1000000000000::HUGEINT AS p),
+       |$rk,
+       |w AS (SELECT i, CASE WHEN p < 0 THEN -(ABS(p) // 1000000)
+       |    ELSE ABS(p) // 1000000 END AS pw FROM v$rounds),
+       |den AS (SELECT SUM(pw * pw) AS dn FROM w),
+       |nr AS (SELECT SUM(g.g * wa.pw * wb.pw) AS nm
+       |  FROM gram g JOIN w wa ON wa.i = g.i JOIN w wb ON wb.i = g.j),
+       |ray AS (SELECT CASE WHEN dn > 0
+       |    THEN CAST((1000000::HUGEINT * nm) // dn AS BIGINT)
+       |    ELSE 0 END AS rayleigh_q6 FROM den CROSS JOIN nr)
+       |SELECT v.i::BIGINT AS dim, CAST(v.p AS BIGINT) AS component_q12,
+       |  ray.rayleigh_q6
+       |FROM v$rounds v CROSS JOIN ray ORDER BY dim""".stripMargin
+  }
+
   /** q57: `Similarity.ivfTopKInt8` — int8 quantization (the q81 replay),
     * splitmix64-seeded cells, unrolled integer Lloyd rounds (truncating
     * `//` centroid update ≡ Scala `Long./`; empty cells keep the previous
@@ -3386,6 +3430,7 @@ object Oracles {
     "q229_hilbert_key" -> q229HilbertKey,
     "q231_zonemap_pruning" -> q231ZonemapPruning,
     "q232_markov_attribution" -> q232MarkovAttribution,
+    "q233_dominant_direction" -> q233DominantDirection,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

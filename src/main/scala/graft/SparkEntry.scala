@@ -2799,6 +2799,17 @@ object SparkEntry {
         .orderBy("vec_id", "dim")
     }),
 
+    // ---- embedding tier: dominant principal direction (NEW r11) ----
+    // Integer power iteration on the int8 Gram matrix: the anisotropy /
+    // dominant-component readout (ABTT's "all-but-the-top" step 1) with
+    // every round exact and oracle-unrolled. The only corpus-sized pass
+    // is the d²-cell Gram aggregate.
+    "q233_dominant_direction" -> ((s, dir) => {
+      graft.operators.Embeddings.dominantDirection(
+          embeddings(s, dir), dim = 64, rounds = 8)
+        .orderBy("dim")
+    }),
+
     // ---- multimodal tier: perceptual image dedup (NEW r11) ----
     // dHash over the decoded 9x8 grid (fake-decode LCG pixels on the
     // synthetic payloads; real codecs on real images), identical

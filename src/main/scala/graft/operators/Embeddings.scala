@@ -122,4 +122,69 @@ object Embeddings {
       .select(col(idCol), col("pos").cast("long").as("dim"),
         col("col").as("value"))
   }
+
+  /** Dominant principal direction of the (uncentered) second-moment
+    * matrix of the int8-quantized corpus — the "which way does this
+    * embedding space point" readout behind anisotropy checks, whitening
+    * decisions, and ABTT-style dominant-component removal. Returns one
+    * row per dimension: `(dim, component_q12, rayleigh_q6)` — the
+    * power-iteration vector in 10⁻¹² fixed point (normalized so
+    * max|component| ∈ [10¹², ~2·10¹²)) and its Rayleigh quotient
+    * wᵀGw/wᵀw (the top-eigenvalue estimate) in 10⁻⁶ fixed point.
+    *
+    * Everything is integer arithmetic: quantization is
+    * [[withInt8Quantized]]'s half-up rule, the Gram matrix
+    * G[i][j] = Σ_rows q_i·q_j is an exact integer sum, and each of the
+    * `rounds` power steps is v ← G·v renormalized by the
+    * sign-magnitude division v_i ← sign(n_i)·(|n_i| ÷ max(⌊max|n|/10¹²⌋, 1))
+    * (÷ = truncating, identical to DuckDB's `//` on the non-negative
+    * magnitudes) — so the DuckDB oracle replays the whole computation
+    * bit-for-bit with `rounds` unrolled CTEs (q233).
+    *
+    * Scale shape: the ONLY corpus-sized pass is the Gram build — a
+    * per-row outer-product explode (d² cells/row) into one
+    * partial-agg'd groupBy whose shuffle carries ≤ d² rows per map
+    * task; sums ride DECIMAL(30,0) (|q|≤127 ⇒ 1.7·10⁴/row ⇒ headroom
+    * past 10²⁵ rows). The iteration itself runs on the collected d²
+    * Gram — bounded by dims², independent of corpus size (the
+    * centroid-table collect convention).
+    */
+  def dominantDirection(df: DataFrame, dim: Int = 64, rounds: Int = 8,
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val q = withInt8Quantized(
+      df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim), vecCol)
+    val cells = q.select(explode(flatten(transform(col("q"), (qi, i) =>
+        transform(col("q"), (qj, j) =>
+          struct(i.as("i"), j.as("j"),
+            (qi.cast("long") * qj).cast("decimal(20,0)").as("p")))))).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.p"))
+      .groupBy("i", "j").agg(sum("p").as("g"))
+    val gram = Array.ofDim[BigInt](dim, dim)
+    for (i <- 0 until dim; j <- 0 until dim) gram(i)(j) = BigInt(0)
+    val rows = cells.collect()   // ≤ dim² rows, corpus-size-independent
+    import spark.implicits._
+    if (rows.isEmpty)
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("dim", "component_q12", "rayleigh_q6")
+    rows.foreach(r => gram(r.getInt(0))(r.getInt(1)) =
+      BigInt(r.getDecimal(2).toBigInteger))
+    val Q12 = BigInt(1000000000000L); val Q6 = BigInt(1000000L)
+    var v = Array.fill(dim)(Q12)
+    for (_ <- 1 to rounds) {
+      val num = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(BigInt(0))((a, j) => a + gram(i)(j) * v(j)))
+      val dnorm = (num.map(_.abs).max / Q12).max(BigInt(1))
+      v = num.map(n => (if (n.signum < 0) -(n.abs / dnorm) else n.abs / dnorm))
+    }
+    // Rayleigh on the Q6-rescaled vector keeps wᵀGw inside 38 digits
+    // even at 10¹²-row Gram magnitudes.
+    val w = v.map(x => if (x.signum < 0) -(x.abs / Q6) else x.abs / Q6)
+    val den = w.foldLeft(BigInt(0))((a, x) => a + x * x)
+    val numR = (for (i <- 0 until dim; j <- 0 until dim)
+      yield gram(i)(j) * w(i) * w(j)).foldLeft(BigInt(0))(_ + _)
+    val ray = if (den.signum > 0) (Q6 * numR / den).toLong else 0L
+    v.zipWithIndex.map { case (c, i) => (i.toLong, c.toLong, ray) }
+      .toSeq.toDF("dim", "component_q12", "rayleigh_q6")
+  }
 }

@@ -2175,6 +2175,60 @@ class OperatorsSpec extends SparkSpec {
       f"mean cosine distortion ${errs.sum / errs.size}%.3f")
   }
 
+  test("dominantDirection: exact vs BigInt recompute, finds the planted axis, norm invariant") {
+    val rng = new scala.util.Random(233)
+    val dim = 8
+    // planted dominant axis e0: every vector is ±(1, small noise…)
+    val rows: Seq[(Long, Seq[Float])] = (0L until 50L).map { i =>
+      val sg = if (i % 2 == 0) 1.0 else -1.0
+      (i, (sg * 1.0f).toFloat +: Seq.fill(dim - 1)(
+        (rng.nextDouble() * 0.2 - 0.1).toFloat))
+    }
+    val df = (rows :+ (98L, null.asInstanceOf[Seq[Float]]) :+
+      (99L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val got = Embeddings.dominantDirection(df, dim, rounds = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == dim)
+    // exact recompute of the whole integer pipeline
+    val Q12 = BigInt(1000000000000L); val Q6 = BigInt(1000000L)
+    val qs = rows.map { case (_, v) =>
+      val ma = v.map(x => math.abs(x.toDouble)).max
+      val scale = if (ma == 0.0) 1.0 else 127.0 / ma
+      v.map(x => BigInt(math.floor(x.toDouble * scale + 0.5).toLong))
+    }
+    val gram = Array.tabulate(dim, dim)((i, j) =>
+      qs.map(q => q(i) * q(j)).sum)
+    var v = Array.fill(dim)(Q12)
+    for (_ <- 1 to 8) {
+      val num = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(BigInt(0))((a, j) => a + gram(i)(j) * v(j)))
+      val dn = (num.map(_.abs).max / Q12).max(BigInt(1))
+      v = num.map(n => if (n.signum < 0) -(n.abs / dn) else n.abs / dn)
+    }
+    val w = v.map(x => if (x.signum < 0) -(x.abs / Q6) else x.abs / Q6)
+    val den = w.map(x => x * x).sum
+    val nm = (for (i <- 0 until dim; j <- 0 until dim)
+      yield gram(i)(j) * w(i) * w(j)).sum
+    val ray = (Q6 * nm / den).toLong
+    assert(got.map(_._2).toSeq == v.map(_.toLong).toSeq)
+    assert(got.forall(_._3 == ray))
+    // the planted axis dominates and the normalization invariant holds
+    val comps = got.map(_._2)
+    assert(comps.map(math.abs).max == math.abs(comps(0)))
+    assert(comps.map(math.abs).max >= 1000000000000L &&
+      comps.map(math.abs).max < 2000000000000L)
+    assert(ray > 0L)
+    // determinism under repartitioning
+    val again = Embeddings.dominantDirection(df.repartition(7), dim, rounds = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+    // degenerate: no valid vectors → empty result, correct schema
+    val empty = Embeddings.dominantDirection(
+      df.filter(col("vec_id") === 98L), dim)
+    assert(empty.columns.toSeq ==
+      Seq("dim", "component_q12", "rayleigh_q6") && empty.count() == 0L)
+  }
+
   test("containmentJoin equals brute-force directed containment (recall = 1) and is asymmetric") {
     val rng = new scala.util.Random(209)
     def run(n: Int): String =
