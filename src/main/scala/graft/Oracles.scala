@@ -1140,6 +1140,94 @@ object Oracles {
        |FROM v$rounds v CROSS JOIN ray ORDER BY dim""".stripMargin
   }
 
+  /** q234: `Similarity.mmrTopK` — the q81 quantization replay, integer
+    * dots + the q193 one-IEEE-division cosine, ROW_NUMBER top-`pool`
+    * candidate pools (TopKAgg's (ord DESC, id ASC) order), then the
+    * λ=½ greedy unrolled: round r scores every unselected candidate
+    * `0.5·rel − 0.5·MAX(sim to selected)` and picks (score DESC,
+    * vec_id) — doubles identical to Spark's by construction (exact
+    * ints into one division, one max, one fused-free `0.5·a − 0.5·b`).
+    * Every round CTE is MATERIALIZED (the q233 lesson: DuckDB inlines
+    * CTEs, and chained rounds re-expand exponentially otherwise).
+    */
+  def q234MmrTopK: String = {
+    val k = 8; val pool = 40; val nQ = 3
+    val rounds = (2 to k).map { r =>
+      s"""cum${r - 1} AS (SELECT query_id, vec_id FROM picks${r - 1}),
+         |n$r AS MATERIALIZED (
+         |  SELECT c.query_id, c.vec_id, c.rel,
+         |    0.5 * c.rel - 0.5 * MAX(m.s) AS score
+         |  FROM pool c
+         |  JOIN cum${r - 1} u ON u.query_id = c.query_id
+         |  JOIN sim m ON m.query_id = c.query_id AND m.ai = c.vec_id
+         |    AND m.bi = u.vec_id
+         |  LEFT JOIN cum${r - 1} x ON x.query_id = c.query_id
+         |    AND x.vec_id = c.vec_id
+         |  WHERE x.vec_id IS NULL
+         |  GROUP BY 1, 2, 3),
+         |sel$r AS MATERIALIZED (
+         |  SELECT query_id, vec_id, rel, score, $r AS rank FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id) AS rn FROM n$r) WHERE rn = 1),
+         |picks$r AS MATERIALIZED (
+         |  SELECT query_id, vec_id FROM picks${r - 1}
+         |  UNION ALL SELECT query_id, vec_id FROM sel$r)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (2 to k).map(r =>
+      s"UNION ALL SELECT query_id, vec_id, rel, score, rank FROM sel$r")
+      .mkString("\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    COALESCE(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) AS maxabs
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |qv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE *
+       |      (CASE WHEN maxabs = 0.0 THEN 1.0 ELSE 127.0 / maxabs END) + 0.5) AS BIGINT)) AS q
+       |  FROM base),
+       |cell AS MATERIALIZED (
+       |  SELECT vec_id, i, q[i] AS v
+       |  FROM (SELECT vec_id, unnest(range(1, len(q) + 1)) AS i, q FROM qv)),
+       |s2 AS MATERIALIZED (SELECT vec_id, SUM(v * v) AS ssq FROM cell GROUP BY 1),
+       |dots AS MATERIALIZED (
+       |  SELECT qc.vec_id AS query_id, cc.vec_id AS vec_id, SUM(cc.v * qc.v) AS dot
+       |  FROM cell cc JOIN cell qc ON qc.i = cc.i AND qc.vec_id < $nQ
+       |    AND cc.vec_id <> qc.vec_id
+       |  GROUP BY 1, 2),
+       |rel AS MATERIALIZED (
+       |  SELECT d.query_id, d.vec_id, CAST(d.dot AS DOUBLE)
+       |      / (sqrt(CAST(cs.ssq AS DOUBLE)) * sqrt(CAST(qs.ssq AS DOUBLE))) AS rel
+       |  FROM dots d JOIN s2 cs ON cs.vec_id = d.vec_id
+       |  JOIN s2 qs ON qs.vec_id = d.query_id),
+       |pool AS MATERIALIZED (
+       |  SELECT query_id, vec_id, rel FROM (
+       |    SELECT query_id, vec_id, rel, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+       |    FROM rel) WHERE rn <= $pool),
+       |pdots AS MATERIALIZED (
+       |  SELECT a.query_id, a.vec_id AS ai, b.vec_id AS bi, SUM(ca.v * cb.v) AS dot
+       |  FROM pool a JOIN pool b ON a.query_id = b.query_id
+       |  JOIN cell ca ON ca.vec_id = a.vec_id
+       |  JOIN cell cb ON cb.vec_id = b.vec_id AND cb.i = ca.i
+       |  GROUP BY 1, 2, 3),
+       |sim AS MATERIALIZED (
+       |  SELECT p.query_id, p.ai, p.bi, CAST(p.dot AS DOUBLE)
+       |      / (sqrt(CAST(sa.ssq AS DOUBLE)) * sqrt(CAST(sb.ssq AS DOUBLE))) AS s
+       |  FROM pdots p JOIN s2 sa ON sa.vec_id = p.ai
+       |  JOIN s2 sb ON sb.vec_id = p.bi),
+       |sel1 AS MATERIALIZED (
+       |  SELECT query_id, vec_id, rel, score, 1 AS rank FROM (
+       |    SELECT query_id, vec_id, rel, 0.5 * rel AS score, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY 0.5 * rel DESC, vec_id) AS rn
+       |    FROM pool) WHERE rn = 1),
+       |picks1 AS MATERIALIZED (SELECT query_id, vec_id FROM sel1),
+       |$rounds
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       |  rel AS relevance, score AS mmr_score
+       |FROM (SELECT query_id, vec_id, rel, score, rank FROM sel1
+       |$unionAll)
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q57: `Similarity.ivfTopKInt8` — int8 quantization (the q81 replay),
     * splitmix64-seeded cells, unrolled integer Lloyd rounds (truncating
     * `//` centroid update ≡ Scala `Long./`; empty cells keep the previous
@@ -3431,6 +3519,7 @@ object Oracles {
     "q231_zonemap_pruning" -> q231ZonemapPruning,
     "q232_markov_attribution" -> q232MarkovAttribution,
     "q233_dominant_direction" -> q233DominantDirection,
+    "q234_mmr_topk" -> q234MmrTopK,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

@@ -2810,6 +2810,21 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    // ---- embedding tier: MMR diversified top-k (NEW r11) ----
+    // Retrieve-then-diversify: relevance pool through the bounded
+    // native top-k aggregate (no |corpus|x|Q| shuffle), then the
+    // greedy lambda=1/2 MMR re-rank on the collected pool. Sims are
+    // the q193 int-dot + one-IEEE-division discipline, so the oracle
+    // unrolls the greedy rounds exactly.
+    "q234_mmr_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.operators.Similarity.mmrTopK(
+          e, e.filter(col("vec_id") < 3), k = 8, poolSize = 40)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          col("relevance"), col("mmr_score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- multimodal tier: perceptual image dedup (NEW r11) ----
     // dHash over the decoded 9x8 grid (fake-decode LCG pixels on the
     // synthetic payloads; real codecs on real images), identical

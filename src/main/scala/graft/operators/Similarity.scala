@@ -913,4 +913,91 @@ object Similarity extends Serializable {
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
         col("n_dups_earlier").isNull.as("keep"))
   }
+
+  /** Maximal-Marginal-Relevance diversified top-k: for each query,
+    * retrieve a relevance-ranked candidate pool, then greedily re-rank
+    * it so each pick balances relevance against similarity to what was
+    * already picked — `score = λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s)`
+    * with λ = ½ (Carbonell & Goldstein 1998). The "retrieve then
+    * diversify" step of RAG / eval-set assembly: plain top-k returns
+    * near-duplicates; MMR spends the k slots on coverage.
+    *
+    * Exactness: similarities are the q193 discipline — int8 quantized
+    * vectors ([[Embeddings.withInt8Quantized]]'s half-up rule), exact
+    * integer dot/norms (≤ 64·127² per dim, far inside 2⁵³), then one
+    * IEEE `dot / (sqrt(na²)·sqrt(nb²))` identical in both engines; the
+    * greedy scores are `0.5·rel − 0.5·maxsim` of those doubles, ties
+    * broken by id — so the DuckDB oracle replays the whole greedy
+    * bit-for-bit with k unrolled rounds (q234).
+    *
+    * Scale shape: the only corpus-sized stage is pool retrieval —
+    * broadcast queries × corpus scan into the bounded native top-k
+    * aggregate ([[graft.plans.TopKAgg]], map-side partial keeps
+    * ≤ poolSize rows per partition per query; the scored pair set is
+    * never shuffled). The greedy itself is O(k·poolSize²) on the
+    * collected ≤ |Q|·poolSize candidates — the centroid-table collect
+    * convention, corpus-size-independent.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      poolSize: Int = 50, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def quant(df: DataFrame): DataFrame =
+      Embeddings.withInt8Quantized(df.filter(col(vecCol).isNotNull), vecCol)
+        .select(col(idCol).cast("long").as("_id"), col("q"))
+        .withColumn("_ssq", aggregate(col("q"), lit(0L),
+          (a, v) => a + v.cast("long") * v.cast("long")))
+    val c = quant(corpus)
+    // pool: exact integer dot + one IEEE division per (query, row);
+    // bounded top-k aggregate — no |corpus|×|Q| shuffle
+    val pool = c.join(broadcast(quant(queries).select(
+        col("_id").as("_qid"), col("q").as("_qq"),
+        col("_ssq").as("_qssq"))), col("_id") =!= col("_qid"))
+      .withColumn("_dot",
+        graft.plans.GraftExtensions.dotIntNative(col("q"), col("_qq")))
+      .withColumn("_rel", col("_dot").cast("double") /
+        (sqrt(col("_ssq").cast("double")) * sqrt(col("_qssq").cast("double"))))
+      .groupBy("_qid")
+      .agg(graft.plans.GraftExtensions.topKNative(
+        col("_rel"), col("_id"), poolSize).as("_top"))
+      .select(col("_qid"), explode(col("_top")).as("_t"))
+      .select(col("_qid"), col("_t.id").as("_id"), col("_t.ord").as("_rel"))
+    // candidate vectors: bounded (≤ |Q|·poolSize) — broadcast into the
+    // corpus scan, then collect for the driver-side greedy
+    val cand = pool.join(c.select(col("_id"), col("q"), col("_ssq")), Seq("_id"))
+      .select(col("_qid"), col("_id"), col("_rel"), col("q"), col("_ssq"))
+      .collect()
+    val byQ = cand.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    val out = byQ.flatMap { case (qid, rows) =>
+      val cs = rows.map(r => (r.getLong(1), r.getDouble(2),
+        r.getSeq[Int](3).toArray, r.getLong(4))).sortBy(c => (-c._2, c._1))
+      def sim(a: (Long, Double, Array[Int], Long),
+          b: (Long, Double, Array[Int], Long)): Double = {
+        var d = 0L; var i = 0
+        while (i < a._3.length && i < b._3.length) {
+          d += a._3(i).toLong * b._3(i).toLong; i += 1 }
+        d.toDouble / (math.sqrt(a._4.toDouble) * math.sqrt(b._4.toDouble))
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[
+        ((Long, Double, Array[Int], Long), Double)]
+      val remaining = scala.collection.mutable.ArrayBuffer(cs: _*)
+      while (selected.length < k && remaining.nonEmpty) {
+        val scored = remaining.map { cd =>
+          val ms = if (selected.isEmpty) 0.0
+            else selected.map(s => sim(cd, s._1)).max
+          (cd, 0.5 * cd._2 - 0.5 * ms)
+        }
+        // argmax by (score DESC, id ASC) — a total order shared with
+        // the oracle's unrolled rounds
+        val best = scored.minBy { case (cd, sc) => (-sc, cd._1) }(
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+        selected += best
+        remaining -= best._1
+      }
+      selected.zipWithIndex.map { case ((cd, sc), i) =>
+        (qid, (i + 1).toLong, cd._1, cd._2, sc) }
+    }
+    out.toDF("query_id", "rank", "vec_id", "relevance", "mmr_score")
+  }
 }

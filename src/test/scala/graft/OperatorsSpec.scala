@@ -2367,4 +2367,37 @@ class OperatorsSpec extends SparkSpec {
     assert(dup.nonEmpty, "planted 200-char shared run produced no dup chunk")
     assert(dup.forall(_._3 >= 2L))
   }
+
+  test("mmrTopK: rank-1 is argmax relevance, picks diversify across clusters, ranks dense") {
+    val rng = new scala.util.Random(234)
+    def jitter(base: Array[Float]): Seq[Float] =
+      base.map(x => x + (rng.nextDouble() * 0.02 - 0.01).toFloat).toSeq
+    // two tight clusters: A along e0 (ids 10-19), B along e1 (ids 20-29);
+    // query (id 0) sits mostly in A's direction
+    val a = Array(1.0f, 0.1f, 0f, 0f)
+    val b = Array(0.1f, 1.0f, 0f, 0f)
+    val rows: Seq[(Long, Seq[Float])] =
+      (Seq((0L, Seq(1.0f, 0.4f, 0.0f, 0.0f))) ++
+        (10L to 19L).map(i => (i, jitter(a))) ++
+        (20L to 29L).map(i => (i, jitter(b))))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(df, df.filter(col("vec_id") === 0L),
+        k = 6, poolSize = 20)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._2)
+    assert(got.length == 6 && got.forall(_._1 == 0L))
+    assert(got.map(_._2).toSeq == (1L to 6L), "ranks dense 1..k")
+    // rank 1 = plain argmax relevance (all relevances in the pool)
+    assert(got.head._4 == got.map(_._4).max)
+    assert(got.head._5 == 0.5 * got.head._4, "rank-1 mmr = lambda*rel")
+    // diversification: plain top-6 by relevance is all cluster A, but
+    // MMR must reach cluster B within the first 3 picks
+    val firstB = got.indexWhere(r => r._3 >= 20L && r._3 <= 29L)
+    assert(firstB >= 0 && firstB < 3,
+      s"cluster B first appears at position $firstB; got ${got.map(_._3).toSeq}")
+    // mmr_score never exceeds lambda*rel, and scores are the greedy's
+    // non-increasing-by-construction only for equal-rel pools; check
+    // instead each pick's score is <= the previous pick's score
+    assert(got.sliding(2).forall(p => p(1)._5 <= p(0)._5 + 1e-12),
+      "greedy picks have non-increasing MMR scores")
+  }
 }
