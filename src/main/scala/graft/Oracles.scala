@@ -1140,6 +1140,34 @@ object Oracles {
        |FROM v$rounds v CROSS JOIN ray ORDER BY dim""".stripMargin
   }
 
+  /** q235: `Timeseries.ewmaChart` — daily tenk sums, ROW_NUMBER-indexed
+    * per-type series, the α = 1/8 EWMA floor-division recurrence
+    * replayed as a recursive CTE (DuckDB `//` floors exactly like
+    * `Math.floorDiv`), and the scale-free alert as an integer
+    * cross-multiply against the previous smoothed level.
+    */
+  def q235EwmaChart: String =
+    """WITH RECURSIVE daily AS MATERIALIZED (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |idx AS MATERIALIZED (
+      |  SELECT event_type, day, x,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+      |  FROM daily),
+      |walk AS (
+      |  SELECT event_type, day, x, i, x AS s FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT d.event_type, d.day, d.x, d.i, (d.x + 7 * w.s) // 8 AS s
+      |  FROM idx d JOIN walk w ON w.event_type = d.event_type
+      |    AND d.i = w.i + 1)
+      |SELECT w.event_type, w.day, w.x AS x_tenk, w.s AS ewma_tenk,
+      |  CASE WHEN p.s IS NULL THEN FALSE
+      |    ELSE 4 * ABS(w.x - p.s) > ABS(p.s) END AS alert
+      |FROM walk w LEFT JOIN walk p
+      |  ON p.event_type = w.event_type AND p.i = w.i - 1
+      |ORDER BY w.event_type, w.day""".stripMargin
+
   /** q234: `Similarity.mmrTopK` — the q81 quantization replay, integer
     * dots + the q193 one-IEEE-division cosine, ROW_NUMBER top-`pool`
     * candidate pools (TopKAgg's (ord DESC, id ASC) order), then the
@@ -3520,6 +3548,7 @@ object Oracles {
     "q232_markov_attribution" -> q232MarkovAttribution,
     "q233_dominant_direction" -> q233DominantDirection,
     "q234_mmr_topk" -> q234MmrTopK,
+    "q235_ewma_chart" -> q235EwmaChart,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

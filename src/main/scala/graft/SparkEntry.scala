@@ -2825,6 +2825,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- timeseries tier: integer EWMA control chart (NEW r11) ----
+    // alpha=1/8 smoothing as a codegen'd floor-division walk
+    // (graft.plans.IntEwma) over per-type daily tenk sums; alert =
+    // scale-free 25% deviation vs the previous smoothed level. The
+    // order-dependent recurrence is exactly why it is NOT a window agg:
+    // one calendar-bounded array per key, oracle-replayed by a
+    // recursive CTE.
+    "q235_ewma_chart" -> ((s, dir) => {
+      Timeseries.ewmaChart(events(s, dir), alphaDen = 8, relDen = 4)
+        .orderBy("event_type", "day")
+    }),
+
     // ---- multimodal tier: perceptual image dedup (NEW r11) ----
     // dHash over the decoded 9x8 grid (fake-decode LCG pixels on the
     // synthetic payloads; real codecs on real images), identical

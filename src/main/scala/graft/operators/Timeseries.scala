@@ -197,4 +197,56 @@ object Timeseries {
             " * c_naive) DIV (CAST(err_naive_tenk AS DECIMAL(38,0))" +
             " * c_seasonal) AS BIGINT)")))
   }
+
+  /** EWMA control chart per key: smooth the daily value series with
+    * α = 1/alphaDen and flag days whose value deviates from the
+    * PREVIOUS day's smoothed level by more than `relDen`ths of that
+    * level — `relDen·|xᵗ − sᵗ⁻¹| > |sᵗ⁻¹|`, the scale-free alert rule
+    * (relDen = 4 ⇒ a >25 % jump/drop against the chart line alerts).
+    *
+    * Entirely integer: daily sums in 10⁻⁴ units (DECIMAL(18,4)·10⁴ is
+    * integral), the smoothing is [[graft.plans.IntEwma]]'s
+    * floor-division recurrence, and the alert predicate is an integer
+    * cross-multiply — so a recursive-CTE oracle replays every day
+    * bit-for-bit (q235).
+    *
+    * Scale shape: one hash aggregate to daily cells, then one
+    * `collect_list` per key — per-key state is calendar-bounded (the
+    * documented cap shared with [[gapFillDaily]]/[[seasonalBacktest]]:
+    * a 10-year series is ~3.7k cells), never corpus-bounded. The EWMA
+    * walk is a codegen'd native expression, not a window over an
+    * unbounded frame, and nothing is global.
+    */
+  def ewmaChart(events: DataFrame, alphaDen: Int = 8, relDen: Int = 4,
+      keyCol: String = "event_type", tsCol: String = "ts",
+      valCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol).as("_k"),
+        expr(s"unix_micros($tsCol) DIV 86400000000").as("_d"))
+      .agg((sum(col(valCol).cast("decimal(18,4)")) * 10000)
+        .cast("long").as("_v"))
+    daily
+      .groupBy("_k")
+      .agg(sort_array(collect_list(struct(col("_d"), col("_v")))).as("_s"))
+      .select(col("_k"),
+        transform(col("_s"), x => x("_d")).as("_days"),
+        // coalesce is a semantic no-op (group sums are never null) but
+        // flips the element nullability IntEwma's type check demands
+        transform(col("_s"), x => coalesce(x("_v"), lit(0L))).as("_xs"))
+      .withColumn("_ss",
+        graft.plans.GraftExtensions.intEwmaNative(col("_xs"), alphaDen))
+      .select(col("_k"), posexplode(arrays_zip(col("_days"), col("_xs"),
+        col("_ss"))))
+      .select(col("_k").as(keyCol),
+        col("col._days").as("day"),
+        col("col._xs").as("x_tenk"),
+        col("col._ss").as("ewma_tenk"),
+        col("pos"))
+      .withColumn("_prev", lag("ewma_tenk", 1)
+        .over(Window.partitionBy(keyCol).orderBy("day")))
+      .select(col(keyCol), col("day"), col("x_tenk"), col("ewma_tenk"),
+        (col("_prev").isNotNull &&
+          abs(col("x_tenk") - col("_prev")) * relDen > abs(col("_prev")))
+          .as("alert"))
+  }
 }

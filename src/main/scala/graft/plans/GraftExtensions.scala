@@ -75,6 +75,18 @@ object GraftExtensions {
           "graft_wilson_lb_q9(trials, conversions) takes two long args")
         WilsonLowerBoundQ9(children.head, children(1))
       }),
+    (new FunctionIdentifier("graft_int_ewma"),
+      new ExpressionInfo(classOf[IntEwma].getName, "graft_int_ewma"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_int_ewma(xs, den) takes (array<bigint>, literal int)")
+        val den = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_int_ewma den must be a literal int, got $other")
+        }
+        IntEwma(children.head, den)
+      }),
     (new FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
       (children: Seq[Expression]) => {
@@ -233,5 +245,14 @@ object GraftExtensions {
   def normalizeNative(s: Column, form: String): Column = {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(UnicodeNormalize(ColumnShim.expression(s), form))
+  }
+
+  /** Registration-free integer EWMA walk (see [[cosineNative]]):
+    * α = 1/den smoothing over a time-ordered long array, floor-division
+    * recurrence — deterministic on any engine.
+    */
+  def intEwmaNative(xs: Column, den: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(IntEwma(ColumnShim.expression(xs), den))
   }
 }

@@ -518,6 +518,51 @@ class ExtensionsSpec extends SparkSpec {
       (1L, -1L, -1L, -1.0),   // null left time → null-extended
       (1L, 20L, 10L, 2.0)))   // null-time quote ignored, 10 matches
   }
+
+  test("graft_int_ewma: floorDiv recurrence incl. negatives, codegen'd, type-checked, SQL-registered") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // -500 after the 50-level: s = floor(-150/8) = -19, where a
+    // truncating division would give -18 — the floor-vs-truncate case
+    val xs = Seq(100L, -300L, -500L, -50L, 7L, -1L, 0L, 999L)
+    def golden(den: Long): Seq[Long] =
+      xs.tail.scanLeft(xs.head)((s, x) => Math.floorDiv(x + (den - 1) * s, den))
+    val df = Seq(Tuple1(xs)).toDF("v")
+      .select(transform(col("v"), x => coalesce(x, lit(0L))).as("v"))
+    for (den <- Seq(2, 8)) {
+      val got = df.select(GraftExtensions.intEwmaNative(col("v"), den))
+        .as[Seq[Long]].head()
+      assert(got == golden(den.toLong), s"den=$den")
+    }
+    // floor vs truncation actually differs here (negative smoothed level)
+    assert(golden(8).exists(_ < 0))
+    // empty array → empty; null array → null
+    assert(df.select(GraftExtensions.intEwmaNative(
+      slice(col("v"), 1, 0), 8)).as[Seq[Long]].head() == Seq.empty[Long])
+    assert(Seq(Tuple1(null.asInstanceOf[Seq[Long]])).toDF("v")
+      .select(GraftExtensions.intEwmaNative(col("v"), 8)).head().isNullAt(0))
+    // nullable elements / wrong element type → ANALYSIS errors
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(GraftExtensions.intEwmaNative(
+        transform(col("v"), x => when(x >= 0L, x)), 8)).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(GraftExtensions.intEwmaNative(
+        transform(col("v"), x => coalesce(x.cast("int"), lit(0))), 8)).collect()
+    }
+    // SQL registration path on the extensions session
+    val sqlDf = extSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(xs)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false)))))
+    sqlDf.createOrReplaceTempView("ewma_in")
+    val viaSql = extSession.sql(
+      "SELECT graft_int_ewma(v, 8) AS s FROM ewma_in")
+      .collect().head.getSeq[Long](0)
+    assert(viaSql == golden(8L))
+  }
 }
 
 /** Forms exercised by the normalize golden test (kept outside the suite

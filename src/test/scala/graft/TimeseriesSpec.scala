@@ -122,4 +122,31 @@ class TimeseriesSpec extends SparkSpec {
       .collect().head
     assert(rb.getLong(2) == 0L && rb.getLong(3) == 0L && rb.isNullAt(6))
   }
+
+  test("ewmaChart: exact floorDiv recurrence, spike alerts, first day never alerts") {
+    // flat 100s, one 200 spike, flat again: the spike day must alert
+    // (|200−100|·4 > 100), the recovery day must NOT re-alert against
+    // the lifted chart line only if within 25% — here s_prev = 112
+    // (floor((200+700)/8)), |100−112|·4 = 48 ≤ 112 → calm.
+    val rows = Seq(
+      ("x", "2024-03-01 01:00:00", 100.0),
+      ("x", "2024-03-02 01:00:00", 100.0),
+      ("x", "2024-03-03 01:00:00", 200.0),
+      ("x", "2024-03-04 01:00:00", 100.0),
+      ("y", "2024-03-01 01:00:00", 50.0))
+      .map { case (k, t, v) => (k, ts(t), v) }
+      .toDF("event_type", "ts", "value")
+    val got = Timeseries.ewmaChart(rows, alphaDen = 8, relDen = 4)
+      .orderBy("event_type", "day")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val x = got.filter(_._1 == "x")
+    // recurrence: 1000000; (1000000+7e6)/8 = 1000000;
+    // (2000000+7000000)/8 = 1125000; (1000000+7875000)/8 = 1109375
+    assert(x.map(_._3).toSeq ==
+      Seq(1000000L, 1000000L, 1125000L, 1109375L))
+    assert(x.map(_._4).toSeq == Seq(false, false, true, false))
+    // single-day key: no previous level, never alerts
+    assert(got.filter(_._1 == "y").map(_._4).toSeq == Seq(false))
+  }
 }
