@@ -1168,6 +1168,83 @@ object Oracles {
       |  ON p.event_type = w.event_type AND p.i = w.i - 1
       |ORDER BY w.event_type, w.day""".stripMargin
 
+  /** q236: `Retrieval.hybridRrf` — lexical side from the q178
+    * string-shingle truth (digest↔string equivalence is q178's
+    * verified property), integer Jaccard `⌊10⁹·∩/∪⌋`; semantic side
+    * from the q234 quantize→int-dot→one-IEEE-division cosine; RRF is
+    * integer `⌊10⁹/(60+rank)⌋` sums over the two rank lists — ties by
+    * doc id everywhere.
+    */
+  def q236HybridRrf: String = {
+    val nQ = 3; val topN = 20; val fuseK = 10; val c = 60
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(1, strlen(lower(text)) - 11)),
+       |    i -> substring(lower(text), i, 12)))) AS tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS s FROM tk GROUP BY doc_id),
+       |qtk AS MATERIALIZED (SELECT doc_id AS qid, tok FROM tk WHERE doc_id < $nQ),
+       |li AS MATERIALIZED (
+       |  SELECT q.qid, d.doc_id, COUNT(*) AS inter
+       |  FROM tk d JOIN qtk q ON q.tok = d.tok AND d.doc_id <> q.qid
+       |  GROUP BY 1, 2),
+       |lsc AS (
+       |  SELECT li.qid, li.doc_id,
+       |    (1000000000 * li.inter) // (sa.s + sb.s - li.inter) AS score
+       |  FROM li JOIN sz sa ON sa.doc_id = li.doc_id
+       |  JOIN sz sb ON sb.doc_id = li.qid
+       |  WHERE li.inter > 0),
+       |lrank AS MATERIALIZED (
+       |  SELECT qid, doc_id, r FROM (
+       |    SELECT qid, doc_id, ROW_NUMBER() OVER (
+       |      PARTITION BY qid ORDER BY score DESC, doc_id) AS r
+       |    FROM lsc) WHERE r <= $topN),
+       |base AS (
+       |  SELECT vec_id, embedding,
+       |    COALESCE(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) AS maxabs
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |qv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE *
+       |      (CASE WHEN maxabs = 0.0 THEN 1.0 ELSE 127.0 / maxabs END) + 0.5) AS BIGINT)) AS q
+       |  FROM base),
+       |cell AS MATERIALIZED (
+       |  SELECT vec_id, i, q[i] AS v
+       |  FROM (SELECT vec_id, unnest(range(1, len(q) + 1)) AS i, q FROM qv)),
+       |s2 AS MATERIALIZED (SELECT vec_id, SUM(v * v) AS ssq FROM cell GROUP BY 1),
+       |dots AS MATERIALIZED (
+       |  SELECT qc.vec_id AS query_id, cc.vec_id AS vec_id, SUM(cc.v * qc.v) AS dot
+       |  FROM cell cc JOIN cell qc ON qc.i = cc.i AND qc.vec_id < $nQ
+       |    AND cc.vec_id <> qc.vec_id
+       |  GROUP BY 1, 2),
+       |rel AS (
+       |  SELECT d.query_id, d.vec_id, CAST(d.dot AS DOUBLE)
+       |      / (sqrt(CAST(cs.ssq AS DOUBLE)) * sqrt(CAST(qs.ssq AS DOUBLE))) AS rel
+       |  FROM dots d JOIN s2 cs ON cs.vec_id = d.vec_id
+       |  JOIN s2 qs ON qs.vec_id = d.query_id),
+       |srank AS MATERIALIZED (
+       |  SELECT query_id, vec_id, r FROM (
+       |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY rel DESC, vec_id) AS r
+       |    FROM rel) WHERE r <= $topN),
+       |f AS (
+       |  SELECT COALESCE(l.qid, s.query_id) AS query_id,
+       |    COALESCE(l.doc_id, s.vec_id) AS doc_id,
+       |    l.r AS lex_rank, s.r AS sem_rank
+       |  FROM lrank l FULL OUTER JOIN srank s
+       |    ON s.query_id = l.qid AND s.vec_id = l.doc_id),
+       |g AS (
+       |  SELECT query_id, doc_id, lex_rank, sem_rank,
+       |    COALESCE(1000000000 // ($c + lex_rank), 0)
+       |      + COALESCE(1000000000 // ($c + sem_rank), 0) AS rrf_q9
+       |  FROM f)
+       |SELECT query_id, fused_rank, doc_id, rrf_q9, lex_rank, sem_rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY rrf_q9 DESC, doc_id) AS fused_rank
+       |  FROM g)
+       |WHERE fused_rank <= $fuseK
+       |ORDER BY query_id, fused_rank""".stripMargin
+  }
+
   /** q234: `Similarity.mmrTopK` — the q81 quantization replay, integer
     * dots + the q193 one-IEEE-division cosine, ROW_NUMBER top-`pool`
     * candidate pools (TopKAgg's (ord DESC, id ASC) order), then the
@@ -3549,6 +3626,7 @@ object Oracles {
     "q233_dominant_direction" -> q233DominantDirection,
     "q234_mmr_topk" -> q234MmrTopK,
     "q235_ewma_chart" -> q235EwmaChart,
+    "q236_hybrid_rrf" -> q236HybridRrf,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

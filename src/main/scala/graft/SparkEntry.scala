@@ -2837,6 +2837,19 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // ---- retrieval tier: hybrid RRF fusion (NEW r11) ----
+    // Lexical (shingle-Jaccard) + semantic (int8 cosine) rankings
+    // fused by reciprocal rank — integer throughout (ranks only), so
+    // the two scorers' scales never meet. doc_id ≡ vec_id in the
+    // driver corpus. Both per-list rankings ride the bounded native
+    // top-k aggregate; fusion touches ≤ 2·topN rows per query.
+    "q236_hybrid_rrf" -> ((s, dir) => {
+      graft.operators.Retrieval.hybridRrf(
+          documents(s, dir), embeddings(s, dir),
+          nQueries = 3, topN = 20, fuseK = 10)
+        .orderBy("query_id", "fused_rank")
+    }),
+
     // ---- multimodal tier: perceptual image dedup (NEW r11) ----
     // dHash over the decoded 9x8 grid (fake-decode LCG pixels on the
     // synthetic payloads; real codecs on real images), identical

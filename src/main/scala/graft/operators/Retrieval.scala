@@ -94,4 +94,83 @@ object Retrieval {
       .orderBy(col("score").desc, col(idCol))
     topk.withColumn("rank", row_number().over(w))
   }
+
+  /** Hybrid retrieval with Reciprocal-Rank Fusion (Cormack et al. 2009):
+    * a lexical ranking (k-char shingle Jaccard against each query doc)
+    * and a semantic ranking (int8-embedding cosine) are fused by
+    * `rrf(d) = Σ_lists ⌊10⁹ / (C + rank_list(d))⌋` — rank-only fusion,
+    * immune to the two scorers' incomparable scales. The standard
+    * hybrid-search shape: lexical catches exact phrasing, embeddings
+    * catch paraphrase; RRF needs no weight tuning.
+    *
+    * Exactness: the lexical score is an integer Jaccard
+    * `⌊10⁹·|A∩B| / |A∪B|⌋` over shingle-digest sets
+    * ([[graft.plans.ShingleDigests]] + [[graft.plans.SortedIntersectCount]];
+    * the oracle uses the string-set truth — the q178-verified
+    * digest↔string equivalence); the semantic score is the q193
+    * int-dot + one-IEEE-division cosine; fusion is pure integer
+    * arithmetic. Both per-list ranks break ties by doc id.
+    *
+    * Scale shape: two corpus-sized map passes (digest intersect,
+    * int dot) each feeding the bounded native top-k aggregate — the
+    * scored pair sets are never shuffled; fusion runs on ≤ 2·topN rows
+    * per query.
+    */
+  def hybridRrf(docs: DataFrame, embeds: DataFrame, nQueries: Int = 3,
+      topN: Int = 20, fuseK: Int = 10, rrfC: Int = 60,
+      shingleK: Int = 12): DataFrame = {
+    import graft.plans.GraftExtensions
+    // lexical: shingle-digest Jaccard to each query doc
+    val dig = docs.filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("_id"),
+        GraftExtensions.shingleDigestsNative(lower(col("text")), shingleK)
+          .as("_dg"))
+      .withColumn("_sz", size(col("_dg")).cast("long"))
+    val qd = dig.filter(col("_id") < nQueries)
+      .select(col("_id").as("_qid"), col("_dg").as("_qdg"),
+        col("_sz").as("_qsz"))
+    val lex = dig.join(broadcast(qd), col("_id") =!= col("_qid"))
+      .withColumn("_inter", GraftExtensions
+        .sortedIntersectNative(col("_dg"), col("_qdg")).cast("long"))
+      .filter(col("_inter") > 0)
+      .withColumn("_score",
+        expr("(1000000000 * _inter) DIV (_sz + _qsz - _inter)"))
+      .groupBy("_qid")
+      .agg(GraftExtensions.topKNative(
+        col("_score").cast("double"), col("_id"), topN).as("_t"))
+      .select(col("_qid").as("query_id"), posexplode(col("_t")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("lex_rank"))
+    // semantic: int8 cosine to each query vector (the q234 pool shape)
+    def quant(df: DataFrame): DataFrame =
+      Embeddings.withInt8Quantized(
+          df.filter(col("embedding").isNotNull), "embedding")
+        .select(col("vec_id").cast("long").as("_id"), col("q"))
+        .withColumn("_ssq", aggregate(col("q"), lit(0L),
+          (a, v) => a + v.cast("long") * v.cast("long")))
+    val c = quant(embeds)
+    val sem = c.join(broadcast(quant(embeds).filter(col("_id") < nQueries)
+        .select(col("_id").as("_qid"), col("q").as("_qq"),
+          col("_ssq").as("_qssq"))), col("_id") =!= col("_qid"))
+      .withColumn("_dot",
+        GraftExtensions.dotIntNative(col("q"), col("_qq")))
+      .withColumn("_rel", col("_dot").cast("double") /
+        (sqrt(col("_ssq").cast("double")) * sqrt(col("_qssq").cast("double"))))
+      .groupBy("_qid")
+      .agg(GraftExtensions.topKNative(col("_rel"), col("_id"), topN).as("_t"))
+      .select(col("_qid").as("query_id"), posexplode(col("_t")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("sem_rank"))
+    // fusion: pure integer RRF on the ≤ 2·topN rows per query
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_q9").desc, col("doc_id"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_q9",
+        coalesce(expr(s"1000000000 DIV ($rrfC + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000 DIV ($rrfC + sem_rank)"), lit(0L)))
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= fuseK)
+      .select(col("query_id"), col("fused_rank"), col("doc_id"),
+        col("rrf_q9"), col("lex_rank"), col("sem_rank"))
+  }
 }

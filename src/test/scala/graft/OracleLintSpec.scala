@@ -41,7 +41,8 @@ class OracleLintSpec extends AnyFunSuite {
     ("q116_knn_ivf_indexed", "sqrt") -> "cosine denom; exact int inputs",
     ("q181_ab_ttest", "sqrt") -> "Welch denom over exact decimal vars",
     ("q193_centroid_shift", "sqrt") -> "cosine denom; exact int sums",
-    ("q234_mmr_topk", "sqrt") -> "cosine denom; exact int dots/norms")
+    ("q234_mmr_topk", "sqrt") -> "cosine denom; exact int dots/norms",
+    ("q236_hybrid_rrf", "sqrt") -> "cosine denom; exact int dots/norms")
   // (The former q123 BM25 `ln` allowlist entry is gone: round 11
   // rewrote idf on the integer log kernel via r = 2(n+1)/(2df+1), so
   // the oracle surface now carries ZERO libm transcendentals — sqrt,

@@ -69,6 +69,48 @@ class RetrievalSpec extends SparkSpec {
     assert(res.map(_._2).toSeq == Seq(1, 2))
   }
 
+  test("hybridRrf: both-list docs outrank single-list docs; ranks dense; integer rrf") {
+    val rng = new scala.util.Random(236)
+    def sentence(seed: String): String =
+      (seed * 6) + rng.nextInt(1000).toString
+    // doc 0 is the query. doc 10 shares text AND embedding direction
+    // (both lists); doc 20 shares only text (lex-only); doc 30 shares
+    // only the embedding direction (sem-only); 40.. are noise.
+    val qText = "the quick brown fox jumps over the lazy dog repeatedly"
+    val hd = Seq(
+      (0L, qText), (10L, qText + " indeed"), (20L, qText + " truly"),
+      (30L, sentence("unrelated words entirely ")),
+      (40L, sentence("different noise payload ")),
+      (41L, sentence("other filler sentences ")))
+      .toDF("doc_id", "text")
+    def vec(dir: Int, eps: Double): Seq[Float] = {
+      val v = Array.fill(8)(0.05f); v(dir) = (1.0 + eps).toFloat; v.toSeq
+    }
+    val he = Seq(
+      (0L, vec(0, 0.0)), (10L, vec(0, 0.01)), (30L, vec(0, 0.02)),
+      (20L, vec(4, 0.0)), (40L, vec(5, 0.0)), (41L, vec(6, 0.0)))
+      .toDF("vec_id", "embedding")
+    // topN=2: sem list = {10, 30} (the e0-direction docs), lex list =
+    // {10, 20} (the shared-text docs; zero-overlap docs are filtered)
+    val got = Retrieval.hybridRrf(hd, he, nQueries = 1, topN = 2, fuseK = 6)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._2)
+    assert(got.forall(_._1 == 0L))
+    assert(got.map(_._2).toSeq == (1L to got.length))
+    // doc 10 is in both lists near the top → must be fused rank 1
+    assert(got.head._3 == 10L, s"got ${got.toSeq}")
+    val byDoc = got.map(r => r._3 -> r).toMap
+    // lex-only doc 20 has no sem_rank; sem-only doc 30 has no lex_rank
+    assert(byDoc(20L)._5.nonEmpty && byDoc(20L)._6.isEmpty)
+    assert(byDoc(30L)._6.nonEmpty && byDoc(30L)._5.isEmpty)
+    // rrf is exactly the integer formula over the recorded ranks
+    got.foreach { r =>
+      val expect = r._5.map(x => 1000000000L / (60L + x)).getOrElse(0L) +
+        r._6.map(x => 1000000000L / (60L + x)).getOrElse(0L)
+      assert(r._4 == expect, s"rrf mismatch at ${r._3}")
+    }
+  }
+
   test("k truncates per query independently") {
     val res = Retrieval.bm25TopK(docs,
       Seq(1L -> "window", 2L -> "spark hash"), k = 1)
