@@ -1168,6 +1168,38 @@ object Oracles {
       |  ON p.event_type = w.event_type AND p.i = w.i - 1
       |ORDER BY w.event_type, w.day""".stripMargin
 
+  /** q237: `Analytics.robustStats` — tenk-unit values, ROW_NUMBER order
+    * statistics (lower median, MAD around it, winsorize bounds at
+    * ⌊n/10⌋ per side), floor-division integer mean of the clamped sum.
+    * Every statistic reads a value at a rank, so tie order never
+    * matters.
+    */
+  def q237RobustStats: String =
+    """WITH b AS (SELECT o_orderpriority AS g,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |r AS MATERIALIZED (SELECT g, x,
+      |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+      |    COUNT(*) OVER (PARTITION BY g) AS n
+      |  FROM b),
+      |med AS (SELECT g, x AS med, n FROM r WHERE rn = (n + 1) // 2),
+      |d AS (SELECT b.g, ABS(b.x - m.med) AS dx FROM b JOIN med m ON m.g = b.g),
+      |r2 AS (SELECT g, dx,
+      |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY dx) AS rn,
+      |    COUNT(*) OVER (PARTITION BY g) AS n
+      |  FROM d),
+      |mad AS (SELECT g, dx AS mad FROM r2 WHERE rn = (n + 1) // 2),
+      |vlo AS (SELECT g, x AS lo FROM r WHERE rn = n // 10 + 1),
+      |vhi AS (SELECT g, x AS hi FROM r WHERE rn = n - n // 10),
+      |wm AS (SELECT r.g, SUM(GREATEST(LEAST(r.x, h.hi), l.lo)) AS s, MAX(r.n) AS n
+      |  FROM r JOIN vlo l ON l.g = r.g JOIN vhi h ON h.g = r.g
+      |  GROUP BY 1)
+      |SELECT m.g AS o_orderpriority, CAST(m.n AS BIGINT) AS n,
+      |  m.med AS median_tenk, mad.mad AS mad_tenk,
+      |  CAST(wm.s // wm.n AS BIGINT) AS winsor_mean_tenk
+      |FROM med m JOIN mad ON mad.g = m.g JOIN wm ON wm.g = m.g
+      |ORDER BY 1""".stripMargin
+
   /** q236: `Retrieval.hybridRrf` — lexical side from the q178
     * string-shingle truth (digest↔string equivalence is q178's
     * verified property), integer Jaccard `⌊10⁹·∩/∪⌋`; semantic side
@@ -3627,6 +3659,7 @@ object Oracles {
     "q234_mmr_topk" -> q234MmrTopK,
     "q235_ewma_chart" -> q235EwmaChart,
     "q236_hybrid_rrf" -> q236HybridRrf,
+    "q237_robust_stats" -> q237RobustStats,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

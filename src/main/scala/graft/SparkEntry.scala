@@ -2850,6 +2850,16 @@ object SparkEntry {
         .orderBy("query_id", "fused_rank")
     }),
 
+    // ---- analytics tier: grouped robust statistics (NEW r11) ----
+    // Lower median / MAD / 10%-winsorized mean per order priority, all
+    // integer order statistics in tenk units — the outlier-resistant
+    // triple. Order statistics read a value AT a rank, so duplicate
+    // ties can't flip the result.
+    "q237_robust_stats" -> ((s, dir) => {
+      Analytics.robustStats(orders(s, dir), "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- multimodal tier: perceptual image dedup (NEW r11) ----
     // dHash over the decoded 9x8 grid (fake-decode LCG pixels on the
     // synthetic payloads; real codecs on real images), identical

@@ -662,4 +662,28 @@ class AnalyticsSpec extends SparkSpec {
     // duplicates never dominate each other: both survive or neither
     assert(got.contains(900L) == got.contains(901L))
   }
+
+  test("robustStats: hand-computed order statistics; outlier-resistant; even/odd n") {
+    // group a (n=11, odd): 1..10 and one absurd outlier 10000.
+    // sorted tenk: 10000,20000,...,100000,100000000
+    //   median = 6th = 60000; |x-med| sorted: 0,10000×2,20000×2,30000×2,
+    //   40000×2,50000, 99940000 → MAD = 6th = 30000
+    //   n//10 = 1 → lo = 2nd = 20000, hi = 10th = 100000: clamp 10000→
+    //   20000, 10^8→100000; sum = 20000+20000+...+100000+100000
+    //   = (20000+2·30000… ) computed below; winsor mean = sum DIV 11
+    val a = (1 to 10).map(v => ("a", v.toDouble)) :+ (("a", 10000.0))
+    // group b (n=4, even): 1,2,3,4 → lower median = 2nd = 20000;
+    //   deviations 10000,0,10000,20000 sorted 0,10000,10000,20000 →
+    //   MAD = (4+1)//2 = 2nd = 10000; n//10=0 → lo=1st, hi=4th (no
+    //   clamp) → winsor mean = 100000 DIV 4 = 25000
+    val b = (1 to 4).map(v => ("b", v.toDouble))
+    val got = Analytics.robustStats((a ++ b).toDF("g", "v"), "g", "v")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    val sumA = (20000L +: (2 to 10).map(_ * 10000L)) :+ 100000L
+    assert(got == List(
+      ("a", 11L, 60000L, 30000L, sumA.sum / 11L),
+      ("b", 4L, 20000L, 10000L, 25000L)))
+    // resistance: the plain mean of group a is ~918x the winsorized one
+    assert(got.head._5 < 100000L)
+  }
 }
