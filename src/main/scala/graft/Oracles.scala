@@ -1168,6 +1168,36 @@ object Oracles {
       |  ON p.event_type = w.event_type AND p.i = w.i - 1
       |ORDER BY w.event_type, w.day""".stripMargin
 
+  /** q238: `Sampling.budgetSample` — Hamilton allocation in integer
+    * arithmetic (base = (k·n_g)//N, leftovers to the largest
+    * remainders, ties by stratum), then per-stratum ROW_NUMBER over
+    * (md5 hex, id). md5 of the decimal id string is byte-identical in
+    * both engines.
+    */
+  def q238BudgetSample: String = {
+    val k = 100
+    s"""WITH cnt AS (SELECT source AS g, COUNT(*) AS ng FROM documents GROUP BY 1),
+       |tot AS (SELECT SUM(ng) AS n FROM cnt),
+       |alloc AS (SELECT g, ng, ($k * ng) // n AS base, ($k * ng) % n AS rem
+       |  FROM cnt CROSS JOIN tot),
+       |short AS (SELECT $k - SUM(base) AS extra FROM alloc),
+       |rk AS (SELECT g, base, rem,
+       |    ROW_NUMBER() OVER (ORDER BY rem DESC, g) AS rr FROM alloc),
+       |quota AS (SELECT g, base + CASE WHEN rr <= extra THEN 1 ELSE 0 END AS quota
+       |  FROM rk CROSS JOIN short),
+       |sel AS (SELECT d.source AS g, d.doc_id,
+       |    md5(CAST(d.doc_id AS VARCHAR)) AS h
+       |  FROM documents d),
+       |rnk AS (SELECT g, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY h, doc_id) AS rn
+       |  FROM sel)
+       |SELECT r.g AS source, r.doc_id, CAST(r.rn AS BIGINT) AS pick_rank,
+       |  CAST(q.quota AS BIGINT) AS quota
+       |FROM rnk r JOIN quota q ON q.g = r.g AND r.rn <= q.quota
+       |WHERE q.quota > 0
+       |ORDER BY source, pick_rank""".stripMargin
+  }
+
   /** q237: `Analytics.robustStats` — tenk-unit values, ROW_NUMBER order
     * statistics (lower median, MAD around it, winsorize bounds at
     * ⌊n/10⌋ per side), floor-division integer mean of the clamped sum.
@@ -3660,6 +3690,7 @@ object Oracles {
     "q235_ewma_chart" -> q235EwmaChart,
     "q236_hybrid_rrf" -> q236HybridRrf,
     "q237_robust_stats" -> q237RobustStats,
+    "q238_budget_sample" -> q238BudgetSample,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

@@ -2860,6 +2860,16 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- curation tier: stratified budget sample (NEW r11) ----
+    // Exactly 100 docs, per-source quotas by Hamilton largest-
+    // remainder, members picked by md5 order — the reproducible
+    // training-mix assembly step. Integer-only allocation.
+    "q238_budget_sample" -> ((s, dir) => {
+      graft.operators.Sampling.budgetSample(
+          documents(s, dir), k = 100L, strataCol = "source")
+        .orderBy("source", "pick_rank")
+    }),
+
     // ---- multimodal tier: perceptual image dedup (NEW r11) ----
     // dHash over the decoded 9x8 grid (fake-decode LCG pixels on the
     // synthetic payloads; real codecs on real images), identical

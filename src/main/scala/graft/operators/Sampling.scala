@@ -81,4 +81,55 @@ object Sampling {
       .filter(col("n_hits") > 0L)
       .select(col(idCol), col("weight"), col("n_hits"))
   }
+
+  /** Stratified budget sampling with Hamilton (largest-remainder)
+    * allocation: split an exact total budget `k` across strata
+    * proportionally — `base_g = ⌊k·n_g/N⌋`, then the `k − Σ base`
+    * leftover picks go to the largest remainders `k·n_g mod N` (ties
+    * by stratum) — and select each stratum's quota deterministically
+    * by md5(id) order. Exactly `k` rows come back (requires k ≤ N; a
+    * quota never exceeds its stratum because base+1 ≤ n_g when k ≤ N),
+    * every stratum within ±1 row of exact proportionality — the
+    * training-mix assembly primitive ("give me exactly 1M docs, web/
+    * books/code in corpus proportion, reproducibly").
+    *
+    * Determinism: md5 of the decimal id string, compared as lowercase
+    * hex — identical bytes in any engine; ties (impossible in practice)
+    * fall to id. Integer-only allocation arithmetic.
+    *
+    * Scale shape: one count aggregate (|strata| rows) + driver-free
+    * allocation via a window over that tiny table, broadcast back;
+    * selection is a per-STRATUM sort window (the q44 grouped
+    * convention) — at quota ≪ n_g swap in the bounded top-k aggregate
+    * on a 52-bit hash prefix; the window form is kept because it
+    * gates bit-exact against the oracle's ROW_NUMBER.
+    */
+  def budgetSample(df: DataFrame, k: Long, strataCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val cnt = df.groupBy(col(strataCol).as("_g"))
+      .agg(count(lit(1)).as("_ng"))
+    val tot = cnt.agg(sum("_ng")).head.getLong(0)
+    require(k <= tot, s"budgetSample: k=$k exceeds corpus size $tot")
+    val alloc = cnt
+      .withColumn("_base", expr(s"($k * _ng) DIV ${tot}L"))
+      .withColumn("_rem", expr(s"($k * _ng) % ${tot}L"))
+    val extra = k - alloc.agg(sum("_base")).head.getLong(0)
+    val quota = alloc
+      .withColumn("_rr", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("_rem").desc, col("_g"))).cast("long"))
+      .select(col("_g"),
+        (col("_base") + when(col("_rr") <= extra, 1L).otherwise(0L))
+          .as("quota"))
+      .filter(col("quota") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g").orderBy(col("_h"), col(idCol))
+    df.select(col(strataCol).as("_g"), col(idCol))
+      .withColumn("_h", md5(col(idCol).cast("string").cast("binary")))
+      .join(broadcast(quota), Seq("_g"))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .filter(col("_rn") <= col("quota"))
+      .select(col("_g").as(strataCol), col(idCol),
+        col("_rn").as("pick_rank"), col("quota"))
+  }
 }

@@ -89,4 +89,37 @@ class SamplingSpec extends SparkSpec {
     assert(ids(5) == ids(5))
     assert(ids(5) != ids(6))
   }
+
+  test("budgetSample: exactly k rows, Hamilton quotas within 1 of proportional, deterministic") {
+    // strata 70 / 25 / 5 → exact shares of k=20: 14 / 5 / 1
+    val docs = ((1 to 70).map(i => ("web", i.toLong)) ++
+      (71 to 95).map(i => ("book", i.toLong)) ++
+      (96 to 100).map(i => ("code", i.toLong))).toDF("source", "doc_id")
+    val got = Sampling.budgetSample(docs, k = 20L)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length == 20)
+    val byStratum = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byStratum == Map("web" -> 14, "book" -> 5, "code" -> 1))
+    // quota column is consistent with the realized counts
+    assert(got.forall(r => byStratum(r._1).toLong == r._4))
+    // pick ranks dense per stratum
+    assert(got.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._3).sorted.toSeq == (1L to rs.length) })
+    // deterministic: the same call returns the same ids
+    val again = Sampling.budgetSample(docs, k = 20L)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.sortBy(r => (r._1, r._3)).toSeq ==
+      again.sortBy(r => (r._1, r._3)).toSeq)
+    // fractional shares: 3/3/3 over k=2 → largest remainders (ties by
+    // stratum name) pick the lexicographically first two strata
+    val even = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L),
+      ("b", 6L), ("c", 7L), ("c", 8L), ("c", 9L)).toDF("source", "doc_id")
+    val picks = Sampling.budgetSample(even, k = 2L)
+      .as[(String, Long, Long, Long)].collect().map(_._1).sorted.toSeq
+    assert(picks == Seq("a", "b"))
+    // k > N refuses loudly
+    intercept[IllegalArgumentException] {
+      Sampling.budgetSample(even, k = 10L).collect()
+    }
+  }
 }
