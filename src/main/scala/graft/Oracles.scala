@@ -1168,6 +1168,18 @@ object Oracles {
       |  ON p.event_type = w.event_type AND p.i = w.i - 1
       |ORDER BY w.event_type, w.day""".stripMargin
 
+  /** q239: `Validation.profileTable` on `documents` — per-column
+    * COUNT/COUNT(col)/COUNT(DISTINCT col), one branch per column.
+    */
+  def q239TableProfile: String = {
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    cols.map(c =>
+      s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct FROM documents""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   /** q238: `Sampling.budgetSample` — Hamilton allocation in integer
     * arithmetic (base = (k·n_g)//N, leftovers to the largest
     * remainders, ties by stratum), then per-stratum ROW_NUMBER over
@@ -3691,6 +3703,7 @@ object Oracles {
     "q236_hybrid_rrf" -> q236HybridRrf,
     "q237_robust_stats" -> q237RobustStats,
     "q238_budget_sample" -> q238BudgetSample,
+    "q239_table_profile" -> q239TableProfile,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

@@ -2870,6 +2870,14 @@ object SparkEntry {
         .orderBy("source", "pick_rank")
     }),
 
+    // ---- ops tier: one-pass table profile (NEW r11) ----
+    // Per-column null/cardinality profile from a single aggregation
+    // (Expand-planned multi-distinct — one scan, one shuffle, never
+    // #cols jobs).
+    "q239_table_profile" -> ((s, dir) => {
+      Validation.profileTable(documents(s, dir)).orderBy("column")
+    }),
+
     // ---- multimodal tier: perceptual image dedup (NEW r11) ----
     // dHash over the decoded 9x8 grid (fake-decode LCG pixels on the
     // synthetic payloads; real codecs on real images), identical

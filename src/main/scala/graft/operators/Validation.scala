@@ -213,4 +213,31 @@ object Validation {
       .select(col("digit"), col("n_obs"), col("expected_permille"),
         col("excess_milli"))
   }
+
+  /** One-pass table profile: for every column, (column, n_rows,
+    * n_nulls, n_distinct) — the first thing a data engineer asks of an
+    * unfamiliar table, and the null/cardinality inputs to join
+    * planning, skew forecasts, and dq alerting.
+    *
+    * Scale shape: ONE aggregation statement over the scan — Spark
+    * plans the multi-column distinct set via Expand (rows × #cols
+    * inside the map side, one shuffle) instead of #cols separate
+    * jobs/scans. The single result row is schema-bounded (2·#cols+1
+    * numbers) and unpivots on the driver. Exact distinct counts —
+    * swap in `graft_hll` per column for the sketched variant at
+    * petabyte cardinalities.
+    */
+  def profileTable(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.columns.toSeq
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      cols.flatMap(c => Seq(count(col(c)).as(s"_c_$c"),
+        count_distinct(col(c)).as(s"_d_$c")))
+    val r = df.agg(count(lit(1)).as("_n"), aggs: _*).head()
+    val n = r.getAs[Long]("_n")
+    cols.map(c => (c, n, n - r.getAs[Long](s"_c_$c"),
+        r.getAs[Long](s"_d_$c")))
+      .toDF("column", "n_rows", "n_nulls", "n_distinct")
+  }
 }

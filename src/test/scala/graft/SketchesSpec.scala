@@ -501,4 +501,30 @@ class SketchesSpec extends SparkSpec {
       .orderBy("j").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(cn == counters)
   }
+
+  test("profileTable: exact nulls/distincts per column; one scan in the plan") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(10)),
+      (2L, Some("a"), None),
+      (3L, None, Some(10)),
+      (4L, Some("b"), Some(20)),
+      (4L, Some("b"), Some(20)))
+      .toDF("id", "s", "v")
+    val got = Validation.profileTable(df)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List(
+      ("id", 5L, 0L, 4L),
+      ("s", 5L, 1L, 2L),
+      ("v", 5L, 1L, 2L)))
+    // one-pass claim: the multi-distinct aggregate plans as ONE query
+    // over ONE scan (Expand), not #cols separate scans
+    val aggs = df.columns.toSeq.flatMap(c => Seq(count(col(c)),
+      count_distinct(col(c))))
+    val plan = df.agg(count(lit(1)), aggs: _*)
+      .queryExecution.optimizedPlan.toString
+    val scans = "LocalRelation|Scan".r.findAllIn(plan).length
+    assert(plan.contains("Expand") || scans <= 1,
+      s"expected a single-scan Expand plan:\n$plan")
+  }
 }
