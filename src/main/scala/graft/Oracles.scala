@@ -3700,6 +3700,8 @@ object Oracles {
     "q233_dominant_direction" -> q233DominantDirection,
     "q234_mmr_topk" -> q234MmrTopK,
     "q235_ewma_chart" -> q235EwmaChart,
+    // streaming twin: same truth, state-store path
+    "q240_stream_ewma" -> q235EwmaChart,
     "q236_hybrid_rrf" -> q236HybridRrf,
     "q237_robust_stats" -> q237RobustStats,
     "q238_budget_sample" -> q238BudgetSample,

@@ -2878,6 +2878,18 @@ object SparkEntry {
       Validation.profileTable(documents(s, dir)).orderBy("column")
     }),
 
+    // ---- streaming tier: state-store EWMA chart (NEW r11) ----
+    // q235's recurrence through flatMapGroupsWithState — two longs of
+    // state per key — sharing q235's oracle verbatim: one relational
+    // truth, two engine paths (batch array walk, streaming state).
+    "q240_stream_ewma" -> ((s, dir) => {
+      EventStreams.runOnceOnParquet(s, s"$dir/events.parquet",
+        df => EventStreams.ewmaChartStream(s, df, alphaDen = 8, relDen = 4),
+        s"ewma_sink_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("event_type", "day")
+    }),
+
     // ---- multimodal tier: perceptual image dedup (NEW r11) ----
     // dHash over the decoded 9x8 grid (fake-decode LCG pixels on the
     // synthetic payloads; real codecs on real images), identical

@@ -280,6 +280,54 @@ object EventStreams {
       .toDF("event_type", "emit", "mins")
   }
 
+  final case class EwmaStreamState(lastDay: Long, lastEwma: Long,
+      has: Boolean)
+
+  /** Streaming EWMA control chart — the state-store twin of
+    * [[graft.operators.Timeseries.ewmaChart]] (q235): per event_type
+    * the state is TWO longs (last day, last smoothed level), each
+    * trigger folds its days in ascending order through the identical
+    * floor-division recurrence and emits the chart rows with the same
+    * scale-free alert rule — so both engine paths share ONE oracle
+    * (the q205/q227 discipline). Contract: days arrive non-decreasing
+    * across triggers (event-time order between batches); a late day ≤
+    * lastDay would belong to an already-emitted cell and is dropped
+    * rather than silently re-smoothed.
+    */
+  def ewmaChartStream(spark: SparkSession, events: DataFrame,
+      alphaDen: Int = 8, relDen: Int = 4): DataFrame = {
+    import spark.implicits._
+    events.select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        coalesce((col("value").cast("decimal(18,4)") * 10000).cast("long"),
+          lit(0L)).as("xt"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[EwmaStreamState]) =>
+          val prev = state.getOption.getOrElse(EwmaStreamState(Long.MinValue, 0L, has = false))
+          // per-day tenk sums (null value rows contribute 0, like the
+          // batch decimal sum), folded in day order
+          val byDay = rows.foldLeft(Map.empty[Long, Long]) { (m, r) =>
+            m.updated(r._2, m.getOrElse(r._2, 0L) + r._3)
+          }.toArray.sortBy(_._1).filter(_._1 > (if (prev.has) prev.lastDay else Long.MinValue))
+          var s = prev.lastEwma
+          var has = prev.has
+          var day = prev.lastDay
+          val out = byDay.iterator.map { case (d, x) =>
+            val alert = has && relDen * math.abs(x - s) > math.abs(s)
+            s = if (!has) x
+              else Math.floorDiv(x + (alphaDen - 1L) * s, alphaDen.toLong)
+            has = true; day = d
+            (tpe, d, x, s, alert)
+          }.toVector
+          state.update(EwmaStreamState(day, s, has))
+          out.iterator
+      }
+      .toDF("event_type", "day", "x_tenk", "ewma_tenk", "alert")
+  }
+
   /** Batch-mode run of a streaming query over a bounded source, used by
     * tests: read the parquet as a stream with one trigger, write to
     * memory sink, return the result.

@@ -545,6 +545,35 @@ class AnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaChartStream: cross-batch recurrence equals the batch chart; late days dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(d: String) = Timestamp.valueOf(s"$d 06:00:00")
+    val inOrder = Seq(
+      ("a", t("2024-03-01"), 100.0), ("a", t("2024-03-02"), 100.0),
+      ("a", t("2024-03-03"), 200.0), ("a", t("2024-03-04"), 100.0))
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val streamed = graft.streaming.EventStreams.ewmaChartStream(spark,
+      input.toDF().toDF("event_type", "ts", "value"))
+    val q = streamed.writeStream.format("memory").queryName("ewma_conv")
+      .outputMode("append").start()
+    try {
+      input.addData(inOrder.take(2): _*)
+      q.processAllAvailable()
+      // batch 2 carries the state forward AND a late day-1 row that
+      // must be dropped (its cell already emitted)
+      input.addData(inOrder.drop(2) :+ (("a", t("2024-03-01"), 999.0)): _*)
+      q.processAllAvailable()
+      val got = spark.table("ewma_conv")
+        .as[(String, Long, Long, Long, Boolean)].collect().sortBy(_._2).toSeq
+      val batch = graft.operators.Timeseries
+        .ewmaChart(inOrder.toDF("event_type", "ts", "value"))
+        .as[(String, Long, Long, Long, Boolean)].collect().sortBy(_._2).toSeq
+      assert(got == batch)
+      assert(got.map(_._5) == Seq(false, false, true, false))
+    } finally q.stop()
+  }
+
   test("weightedQuantiles: hand-computed medians, duplicate collapse") {
     // group a: values 1(w3), 2(w1), 3(w1) → W=5, cum(1)=3 ≥ 2.5 → p50=1
     // group b: 10(w1), 20(w1) → W=2, cum(10)=1, 2·1 ≥ 2 → p50=10 (lower)
