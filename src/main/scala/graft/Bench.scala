@@ -71,7 +71,12 @@ object Bench {
     "q209_containment_join", // exact directed containment join (NEW r11)
     "q210_random_projection", // JL sign-matrix reduction (NEW r11)
     "q211_sssp",           // bounded-round weighted SSSP (NEW r11)
-    "q212_readability")    // FK readability, scan-speed (NEW r11)
+    "q212_readability",    // FK readability, scan-speed (NEW r11)
+    "q233_dominant_direction", // int8 Gram build + power iteration (NEW r11)
+    "q234_mmr_topk",       // MMR: bounded top-k pool + greedy re-rank (NEW r11)
+    "q236_hybrid_rrf",     // lexical+semantic fusion, two corpus passes (NEW r11)
+    "q237_robust_stats",   // grouped order statistics, per-group windows (NEW r11)
+    "q238_budget_sample")  // Hamilton quotas + md5-ranked picks (NEW r11)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine
@@ -186,8 +191,14 @@ object Bench {
     // `parsed` came back null every round. The printed line therefore
     // carries medians only (~1.6k chars incl. env); the COMPLETE record
     // (plus per-query min) goes to bench_last.json, which is committed.
-    val stdoutLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"failed":$failedJson,"env":$envJson,"queries":$qJson,"sf":"$sfDir"}"""
+    val stdoutFull = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"failed":$failedJson,"env":$envJson,"queries":$qJson,"sf":"$sfDir"}"""
     val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"failed":$failedJson,"env":$envJson,"queries":$qJson,"queries_min":$minJson,"sf":"$sfDir"}"""
+    // self-trimming: as the headline grows, fall back to a line without
+    // the env block (it survives complete in bench_last.json) so the
+    // JSON always fits the 2000-char tail and `parsed` stays non-null.
+    val stdoutLine =
+      if (stdoutFull.length <= 1950) stdoutFull
+      else f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"failed":$failedJson,"env":"see bench_last.json","queries":$qJson,"sf":"$sfDir"}"""
     println(stdoutLine)
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")

@@ -1168,6 +1168,38 @@ object Oracles {
       |  ON p.event_type = w.event_type AND p.i = w.i - 1
       |ORDER BY w.event_type, w.day""".stripMargin
 
+  /** q241: `Sketches.dyadicHistogram` + `dyadicQuantiles` — octave =
+    * `length(bin(x))` (identical SQL both engines), 8 linear cells per
+    * octave by integer floor division, cumulative bucket counts, and
+    * the ⌈p·n⌉ rank bracketed by [lo, hi) edges — integer throughout.
+    */
+  def q241DyadicQuantiles: String =
+    """WITH v AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL
+      |    AND CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) > 0),
+      |o AS (SELECT x, CAST(length(bin(x)) AS BIGINT) AS oct,
+      |    (1::BIGINT << (length(bin(x)) - 1)) AS lo FROM v),
+      |h AS MATERIALIZED (
+      |  SELECT oct,
+      |    CASE WHEN oct = 1 THEN 0 ELSE (8 * (x - lo)) // lo END AS cell,
+      |    COUNT(*) AS n
+      |  FROM o GROUP BY 1, 2),
+      |c AS (SELECT oct, cell, n,
+      |    SUM(n) OVER (ORDER BY oct, cell ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(n) OVER () AS nn,
+      |    (1::BIGINT << (oct - 1)::INT) AS lo1
+      |  FROM h),
+      |p(num, den, pct) AS (VALUES (1, 2, 'p50'), (9, 10, 'p90'), (99, 100, 'p99'))
+      |SELECT pct, CAST(nn AS BIGINT) AS n,
+      |  CAST((num * nn + den - 1) // den AS BIGINT) AS target_rank,
+      |  CASE WHEN oct = 1 THEN 1 ELSE lo1 + (cell * lo1) // 8 END AS est_lo,
+      |  CASE WHEN oct = 1 THEN 2 ELSE lo1 + ((cell + 1) * lo1) // 8 END AS est_hi
+      |FROM c JOIN p ON cum - n < (num * nn + den - 1) // den
+      |  AND (num * nn + den - 1) // den <= cum
+      |ORDER BY pct""".stripMargin
+
   /** q239: `Validation.profileTable` on `documents` — per-column
     * COUNT/COUNT(col)/COUNT(DISTINCT col), one branch per column.
     */
@@ -3706,6 +3738,7 @@ object Oracles {
     "q237_robust_stats" -> q237RobustStats,
     "q238_budget_sample" -> q238BudgetSample,
     "q239_table_profile" -> q239TableProfile,
+    "q241_dyadic_quantiles" -> q241DyadicQuantiles,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

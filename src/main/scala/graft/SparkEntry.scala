@@ -2878,6 +2878,21 @@ object SparkEntry {
       Validation.profileTable(documents(s, dir)).orderBy("column")
     }),
 
+    // ---- sketch tier: dyadic-histogram quantiles (NEW r11) ----
+    // HdrHistogram/DDSketch-style mergeable (octave, cell) table —
+    // ≤ 64·8 cells of state at any corpus size — with p50/p90/p99 read
+    // out as bracketing [lo, hi) edges: relative error ≤ 1/8 by
+    // construction, every step exact integer.
+    "q241_dyadic_quantiles" -> ((s, dir) => {
+      val v = lineitem(s, dir).select(
+        (col("l_extendedprice").cast("decimal(18,4)") * 10000)
+          .cast("long").as("v"))
+      Sketches.dyadicQuantiles(
+          Sketches.dyadicHistogram(v, "v"),
+          Seq((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")))
+        .orderBy("pct")
+    }),
+
     // ---- streaming tier: state-store EWMA chart (NEW r11) ----
     // q235's recurrence through flatMapGroupsWithState — two longs of
     // state per key — sharing q235's oracle verbatim: one relational

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deterministic, mergeable cardinality / frequency sketches, expressed
   * Spark-first as SKETCH-AS-TABLE: the sketch state is a small DataFrame
@@ -507,4 +508,62 @@ object Sketches {
       // (x − x%k)/k is exact (x ≥ 0) and never leaves DECIMAL(38,0)
       .select(col("k"),
         expr("CAST((_ss - (_ss % k)) / k AS DECIMAL(38,0))").as("f2_est"))
+
+  /** Dyadic-histogram quantile sketch over POSITIVE integer values
+    * (HdrHistogram / DDSketch's bucketing idea in exact integer form):
+    * bucket = (⌊log₂ x⌋, one of `sub` linear sub-cells inside the
+    * octave), so each bucket spans a ≤ 1/sub relative range. The
+    * sketch IS a (bucket, count) table — mergeable by summing counts,
+    * with ≤ 64·sub cells of bounded state however large the corpus —
+    * and a quantile reads out as the bucket whose cumulative count
+    * first reaches ⌈p·n⌉, reported as its [lo, hi) edges: the true
+    * p-quantile provably lies inside, giving relative error ≤ 1/sub.
+    *
+    * Everything is integer: the octave is `length(bin(x))` (64 − clz,
+    * identical SQL in both engines), the sub-cell an integer floor
+    * division, the rank target `⌈p·n⌉ = (num·n + den − 1) // den`.
+    *
+    * Scale shape: one hash aggregate to ≤ 64·sub cells, a single
+    * partition-less window over those cells (bounded by the sketch
+    * size, not the data), nothing on the driver.
+    */
+  def dyadicHistogram(df: DataFrame, valueCol: String,
+      sub: Int = 8): DataFrame = {
+    df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(valueCol).cast("long").as("_x"))
+      .withColumn("_oct", length(expr("bin(_x)")).cast("long"))
+      // lo edge of the octave is 2^(oct-1)
+      .withColumn("_lo", expr("shiftleft(CAST(1 AS BIGINT), CAST(_oct - 1 AS INT))"))
+      .withColumn("_cell",
+        expr(s"CASE WHEN _oct = 1 THEN CAST(0 AS BIGINT) ELSE (($sub * (_x - _lo)) DIV _lo) END"))
+      .groupBy(col("_oct").as("oct"), col("_cell").as("cell"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Quantile readout from a [[dyadicHistogram]] sketch table:
+    * `percentiles` are (num, den, label) fractions; output one row per
+    * label with the bracketing [lo, hi) bucket edges and the exact
+    * cumulative machinery (n, target rank). */
+  def dyadicQuantiles(hist: DataFrame, percentiles: Seq[(Int, Int, String)],
+      sub: Int = 8): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val w = Window.orderBy("oct", "cell")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // bounded: ≤ 64·sub rows — the window is over the SKETCH, not data
+    val cum = hist
+      .withColumn("_cum", sum("n").over(w))
+      .withColumn("_n", sum("n").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("_lo1", expr("shiftleft(CAST(1 AS BIGINT), CAST(oct - 1 AS INT))"))
+      .withColumn("lo", expr(s"CASE WHEN oct = 1 THEN CAST(1 AS BIGINT) ELSE _lo1 + (cell * _lo1) DIV $sub END"))
+      .withColumn("hi", expr(s"CASE WHEN oct = 1 THEN CAST(2 AS BIGINT) ELSE _lo1 + ((cell + 1) * _lo1) DIV $sub END"))
+    val pcts = percentiles.toDF("_num", "_den", "pct")
+    cum.join(broadcast(pcts),
+        col("_cum") - col("n") < expr("(_num * _n + _den - 1) DIV _den") &&
+          expr("(_num * _n + _den - 1) DIV _den") <= col("_cum"))
+      .select(col("pct"), col("_n").as("n"),
+        expr("(_num * _n + _den - 1) DIV _den").as("target_rank"),
+        col("lo").as("est_lo"), col("hi").as("est_hi"))
+  }
 }

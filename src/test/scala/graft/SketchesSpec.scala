@@ -502,6 +502,38 @@ class SketchesSpec extends SparkSpec {
     assert(cn == counters)
   }
 
+  test("dyadicHistogram: true quantile inside [lo,hi); shard merge = whole; bounded cells") {
+    import spark.implicits._
+    val rng = new scala.util.Random(241)
+    val xs = Seq.fill(5000)(1L + (math.abs(rng.nextLong()) % 1000000L))
+    val df = xs.toDF("v")
+    val hist = Sketches.dyadicHistogram(df, "v")
+    // bounded state: ≤ 64 octaves × 8 cells
+    assert(hist.count() <= 64L * 8L)
+    val pcts = Seq((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99"))
+    val got = Sketches.dyadicQuantiles(hist, pcts)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val sorted = xs.sorted
+    for ((num, den, label) <- pcts) {
+      val target = (num.toLong * xs.length + den - 1) / den
+      val truth = sorted((target - 1).toInt)
+      val (_, n, tr, lo, hi) = got(label)
+      assert(n == xs.length && tr == target)
+      assert(lo <= truth && truth < hi, s"$label: $truth not in [$lo,$hi)")
+      // relative bucket width ≤ 1/8 of its lower edge (oct > 1 here)
+      assert(hi - lo <= lo / 8 + 1, s"$label bucket too wide: [$lo,$hi)")
+    }
+    // mergeable: sharded sketches sum to the whole-corpus sketch
+    val (aXs, bXs) = xs.splitAt(2000)
+    val merged = Sketches.dyadicHistogram(aXs.toDF("v"), "v")
+      .unionByName(Sketches.dyadicHistogram(bXs.toDF("v"), "v"))
+      .groupBy("oct", "cell").agg(sum("n").as("n"))
+    val whole = hist.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val m2 = merged.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(whole == m2)
+  }
+
   test("profileTable: exact nulls/distincts per column; one scan in the plan") {
     import spark.implicits._
     val df = Seq(
