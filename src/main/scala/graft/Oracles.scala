@@ -1168,6 +1168,88 @@ object Oracles {
       |  ON p.event_type = w.event_type AND p.i = w.i - 1
       |ORDER BY w.event_type, w.day""".stripMargin
 
+  /** q242: `TextAnalysis.codeSwitch` — per-line q23 langid replay
+    * (tokens grouped by an arbitrary-but-grouping-only line id), vote
+    * counts per doc, majority by (votes DESC, lang), runner-up
+    * cross-multiply, and the q199-style integer entropy on the
+    * [[graft.functions.FixedMath.lnCteSql]] kernel.
+    */
+  def q242CodeSwitch: String =
+    """WITH RECURSIVE aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    text || chr(10) || 'el la los las y es un una que por'
+      |      || CASE WHEN doc_id < 125
+      |         THEN chr(10) || 'der die das und ist nicht ein eine zu mit'
+      |         ELSE '' END
+      |  FROM documents WHERE doc_id < 250),
+      |lines AS (
+      |  SELECT doc_id, l, ROW_NUMBER() OVER (PARTITION BY doc_id) AS lid
+      |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+      |        FROM aug)
+      |  WHERE trim(l) <> ''),
+      |w AS (
+      |  SELECT doc_id, lid, w FROM lines,
+      |    unnest(regexp_split_to_array(lower(l), '[^a-z0-9'']+')) AS t(w)
+      |  WHERE w <> ''),
+      |h AS (
+      |  SELECT doc_id, lid,
+      |    SUM(CASE WHEN w IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit') THEN 1 ELSE 0 END) AS h_de,
+      |    SUM(CASE WHEN w IN ('the','and','of','to','in','is','that','it','was','for') THEN 1 ELSE 0 END) AS h_en,
+      |    SUM(CASE WHEN w IN ('el','la','los','las','y','es','un','una','que','por') THEN 1 ELSE 0 END) AS h_es,
+      |    SUM(CASE WHEN w IN ('le','la','les','et','est','une','un','que','pour','dans') THEN 1 ELSE 0 END) AS h_fr,
+      |    SUM(CASE WHEN w IN ('il','la','di','e','che','un','una','per','non','sono') THEN 1 ELSE 0 END) AS h_it,
+      |    SUM(CASE WHEN w IN ('de','het','een','en','van','is','dat','niet','met','op') THEN 1 ELSE 0 END) AS h_nl
+      |  FROM w GROUP BY 1, 2),
+      |ll AS (
+      |  SELECT doc_id, lid,
+      |    CASE
+      |      WHEN GREATEST(h_de,h_en,h_es,h_fr,h_it,h_nl) = 0 THEN 'und'
+      |      WHEN h_de >= GREATEST(h_en,h_es,h_fr,h_it,h_nl) THEN 'de'
+      |      WHEN h_en >= GREATEST(h_es,h_fr,h_it,h_nl) THEN 'en'
+      |      WHEN h_es >= GREATEST(h_fr,h_it,h_nl) THEN 'es'
+      |      WHEN h_fr >= GREATEST(h_it,h_nl) THEN 'fr'
+      |      WHEN h_it >= h_nl THEN 'it'
+      |      ELSE 'nl' END AS lang
+      |  FROM h),
+      |votes AS MATERIALIZED (
+      |  SELECT doc_id, lang, COUNT(*) AS c FROM ll WHERE lang <> 'und'
+      |  GROUP BY 1, 2),
+      |tot AS MATERIALIZED (
+      |  SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_langs FROM votes GROUP BY 1),
+      |_ks AS (SELECT DISTINCT k FROM (
+      |  SELECT c AS k FROM votes UNION SELECT n FROM tot)),
+      |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
+      |ent AS (
+      |  SELECT v.doc_id, SUM(v.c * (ln_n.l - ln_c.l)) AS num
+      |  FROM votes v JOIN tot t ON t.doc_id = v.doc_id
+      |  JOIN _lnq ln_n ON ln_n.k = t.n
+      |  JOIN _lnq ln_c ON ln_c.k = v.c
+      |  GROUP BY 1),
+      |maj AS (
+      |  SELECT doc_id, lang AS majority_lang FROM (
+      |    SELECT doc_id, lang, ROW_NUMBER() OVER (
+      |      PARTITION BY doc_id ORDER BY c DESC, lang) AS r
+      |    FROM votes) WHERE r = 1),
+      |sec AS (
+      |  SELECT v.doc_id, MAX(v.c) AS sec_c
+      |  FROM votes v JOIN maj m ON m.doc_id = v.doc_id
+      |    AND v.lang <> m.majority_lang
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(t.n, 0)::BIGINT AS n_voting_lines,
+      |  COALESCE(m.majority_lang, 'und') AS majority_lang,
+      |  COALESCE(t.n_langs, 0)::BIGINT AS n_langs,
+      |  COALESCE(CAST(e.num // t.n AS BIGINT), 0) AS entropy_q12,
+      |  COALESCE(t.n_langs >= 2 AND 8 * s.sec_c >= t.n, FALSE) AS mixed
+      |FROM aug d
+      |LEFT JOIN tot t ON t.doc_id = d.doc_id
+      |LEFT JOIN maj m ON m.doc_id = d.doc_id
+      |LEFT JOIN ent e ON e.doc_id = d.doc_id
+      |LEFT JOIN sec s ON s.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** q241: `Sketches.dyadicHistogram` + `dyadicQuantiles` — octave =
     * `length(bin(x))` (identical SQL both engines), 8 linear cells per
     * octave by integer floor division, cumulative bucket counts, and
@@ -3739,6 +3821,7 @@ object Oracles {
     "q238_budget_sample" -> q238BudgetSample,
     "q239_table_profile" -> q239TableProfile,
     "q241_dyadic_quantiles" -> q241DyadicQuantiles,
+    "q242_code_switch" -> q242CodeSwitch,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

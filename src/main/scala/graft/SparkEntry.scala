@@ -2878,6 +2878,28 @@ object SparkEntry {
       Validation.profileTable(documents(s, dir)).orderBy("column")
     }),
 
+    // ---- text tier: code-switch detection (NEW r11) ----
+    // Line-level langid votes -> majority, language count, integer
+    // vote entropy (lnQ12), and the 1/8-runner-up mixed flag. The
+    // doc-level q23 langid averages this signal away. The driver
+    // corpus is single-line English-ish word salad (no doc can vote
+    // two languages), so (the q219 convention) docs d < 250 are
+    // re-ingested under a shifted id with appended Spanish — and for
+    // d < 125 also German — marker lines: those docs MUST trip
+    // n_langs/mixed/entropy, keeping the voting path live rather than
+    // vacuously green.
+    "q242_code_switch" -> ((s, dir) => {
+      val esLine = "el la los las y es un una que por"
+      val deLine = "der die das und ist nicht ein eine zu mit"
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val aug = d.filter(col("doc_id") < 250)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit("\n" + esLine),
+            when(col("doc_id") < 125, lit("\n" + deLine)).otherwise(lit("")))
+            .as("text"))
+      TextAnalysis.codeSwitch(d.unionByName(aug)).orderBy("doc_id")
+    }),
+
     // ---- sketch tier: dyadic-histogram quantiles (NEW r11) ----
     // HdrHistogram/DDSketch-style mergeable (octave, cell) table —
     // ≤ 64·8 cells of state at any corpus size — with p50/p90/p99 read

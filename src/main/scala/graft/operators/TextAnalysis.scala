@@ -1088,4 +1088,64 @@ object TextAnalysis {
       .select(col("word_a"), col("word_b"), col("dist"),
         col("n_a"), col("n_b"))
   }
+
+  /** Code-switching / mixed-language detection: [[langId]] votes per
+    * LINE, then per document the majority language, the count of
+    * distinct detected languages, the vote-distribution entropy, and a
+    * `mixed` flag — doc-level langid (q23) averages the signal away;
+    * line-level voting is how real crawls surface half-translated
+    * pages, bilingual forums, and template wrappers worth routing to
+    * per-language pipelines.
+    *
+    * Integer discipline: entropy_q12 = ⌊Σ cᵢ·(L(n) − L(cᵢ)) / n⌋ with
+    * L = [[graft.functions.FixedMath.lnQ12]] (the q199 entropy form —
+    * codegen'd, engine-exact); `mixed` = (≥ 2 languages AND the
+    * runner-up holds ≥ ⅛ of voting lines), an integer cross-multiply.
+    * Lines that vote "und" (no marker hits) are abstentions. Majority
+    * ties break alphabetically.
+    *
+    * Scale shape: explode-to-lines is a map-side generator; votes
+    * aggregate per (doc, lang) — ≤ 7 rows per doc — and every later
+    * step joins doc-bounded tables; no window over the corpus.
+    */
+  def codeSwitch(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("_l"))
+      .filter(trim(col("_l")) =!= "")
+    val votes = lines
+      .select(col(idCol), langId(col("_l")).as("_lang"))
+      .filter(col("_lang") =!= "und")
+      .groupBy(col(idCol), col("_lang"))
+      .agg(count(lit(1)).as("_c"))
+    val tot = votes.groupBy(idCol)
+      .agg(sum("_c").as("_n"), count(lit(1)).as("n_langs"))
+    def ln(c: Column) = graft.plans.GraftExtensions.lnQ12Native(c)
+    val ent = votes.join(tot, Seq(idCol))
+      .withColumn("_term", col("_c") * (ln(col("_n")) - ln(col("_c"))))
+      .groupBy(idCol)
+      .agg(sum("_term").as("_num"))
+    val maj = votes
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+          .orderBy(col("_c").desc, col("_lang"))))
+      .filter(col("_r") === 1)
+      .select(col(idCol), col("_lang").as("majority_lang"))
+    val sec = votes.join(maj, Seq(idCol))
+      .filter(col("_lang") =!= col("majority_lang"))
+      .groupBy(idCol)
+      .agg(max("_c").as("_sec"))
+    docs.select(col(idCol))
+      .join(tot, Seq(idCol), "left")
+      .join(maj, Seq(idCol), "left")
+      .join(ent, Seq(idCol), "left")
+      .join(sec, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_n"), lit(0L)).as("n_voting_lines"),
+        coalesce(col("majority_lang"), lit("und")).as("majority_lang"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+        coalesce(expr("_num DIV _n"), lit(0L)).as("entropy_q12"),
+        coalesce(col("n_langs") >= 2 && lit(8L) * col("_sec") >= col("_n"),
+          lit(false)).as("mixed"))
+  }
 }

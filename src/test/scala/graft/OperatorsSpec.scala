@@ -2368,6 +2368,30 @@ class OperatorsSpec extends SparkSpec {
     assert(dup.forall(_._3 >= 2L))
   }
 
+  test("codeSwitch: mixed bilingual doc flagged, monolingual not, und lines abstain, ln2 entropy") {
+    val en = "the cat and the dog in that house was for it"
+    val es = "el gato y la casa es una que por los"
+    val docs = Seq(
+      (1L, s"$en\n$es"),                    // 1:1 en/es → mixed
+      (2L, s"$en\n$en\n$en"),               // monolingual
+      (3L, "zzz qqq xxx\n" + en),           // und line abstains
+      (4L, s"$en\n$en\n$en\n$en\n$en\n$en\n$en\n$en\n$en\n$es"), // 1/10 < 1/8 → not mixed
+      (5L, ""),                             // no voting lines
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.codeSwitch(docs)
+      .as[(Long, Long, String, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, "en", 2L, 693147180559L, true)))
+    assert(got(2L) == ((2L, 3L, "en", 1L, 0L, false)))
+    assert(got(3L)._2 == 1L && got(3L)._3 == "en" && !got(3L)._6)
+    assert(got(4L)._4 == 2L && !got(4L)._6, "1/10 minority below the 1/8 bar")
+    assert(got(5L) == ((5L, 0L, "und", 0L, 0L, false)))
+    assert(got(6L) == ((6L, 0L, "und", 0L, 0L, false)))
+    // entropy of a 50/50 two-way split is ln 2 in Q12 (floor): lnQ12(2)
+    assert(got(1L)._5 == graft.functions.FixedMath.lnQ12(2L))
+  }
+
   test("mmrTopK: rank-1 is argmax relevance, picks diversify across clusters, ranks dense") {
     val rng = new scala.util.Random(234)
     def jitter(base: Array[Float]): Seq[Float] =
