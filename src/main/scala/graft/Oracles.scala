@@ -1168,6 +1168,35 @@ object Oracles {
       |  ON p.event_type = w.event_type AND p.i = w.i - 1
       |ORDER BY w.event_type, w.day""".stripMargin
 
+  /** q243: `Features.pointInTimeFeatures` — identical value-based RANGE
+    * frames per user ([t−7d, t] trailing + unbounded-preceding running
+    * max), integer tenk spend and microsecond gaps; click rows only.
+    */
+  def q243PitFeatures: String =
+    """WITH b AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    COALESCE(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT), 0) AS vt
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN vt END) OVER (
+      |      PARTITION BY user_id ORDER BY us
+      |      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW), 0)
+      |      AS spend_7d_tenk,
+      |    COUNT(*) OVER (
+      |      PARTITION BY user_id ORDER BY us
+      |      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |      AS n_events_7d,
+      |    us - MAX(CASE WHEN event_type = 'purchase' THEN us END) OVER (
+      |      PARTITION BY user_id ORDER BY us
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS last_purchase_gap_us
+      |  FROM b)
+      |SELECT user_id, event_id, us, spend_7d_tenk,
+      |  CAST(n_events_7d AS BIGINT) AS n_events_7d, last_purchase_gap_us
+      |FROM f WHERE event_type = 'click'
+      |ORDER BY user_id, us, event_id""".stripMargin
+
   /** q242: `TextAnalysis.codeSwitch` — per-line q23 langid replay
     * (tokens grouped by an arbitrary-but-grouping-only line id), vote
     * counts per doc, majority by (votes DESC, lang), runner-up
@@ -3822,6 +3851,7 @@ object Oracles {
     "q239_table_profile" -> q239TableProfile,
     "q241_dyadic_quantiles" -> q241DyadicQuantiles,
     "q242_code_switch" -> q242CodeSwitch,
+    "q243_pit_features" -> q243PitFeatures,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

@@ -2900,6 +2900,16 @@ object SparkEntry {
       TextAnalysis.codeSwitch(d.unionByName(aug)).orderBy("doc_id")
     }),
 
+    // ---- feature tier: point-in-time features (NEW r11) ----
+    // Feature-store materialization: per click, the user's 7-day
+    // spend / event count / purchase recency AS OF the click — RANGE
+    // frames anchored at event time make future leakage impossible by
+    // construction. One per-user window computes all three.
+    "q243_pit_features" -> ((s, dir) => {
+      graft.operators.Features.pointInTimeFeatures(events(s, dir))
+        .orderBy("user_id", "us", "event_id")
+    }),
+
     // ---- sketch tier: dyadic-histogram quantiles (NEW r11) ----
     // HdrHistogram/DDSketch-style mergeable (octave, cell) table —
     // ≤ 64·8 cells of state at any corpus size — with p50/p90/p99 read

@@ -45,4 +45,46 @@ object Features {
     // (the op-log already shaped ds.df itself).
     ds.addDict(DabDataset.fromExisting(featDf))
   }
+
+  /** Point-in-time-correct features (the feature-store materialization
+    * shape): for every CLICK event, the user's trailing-window state AS
+    * OF that event — 7-day spend, 7-day event count, and microseconds
+    * since the last purchase — with no leakage from the future. This
+    * is the training-set assembly step where naive joins silently look
+    * ahead; RANGE frames anchored at each row's own event time make
+    * look-ahead impossible by construction.
+    *
+    * Exactness: spend in 10⁻⁴ units (integer), window membership by
+    * integer microsecond RANGE frames ([t−7d, t], value-based — ties
+    * at the same microsecond land in the frame on both engines
+    * regardless of row order), gap as an integer difference.
+    *
+    * Scale shape: ONE per-user sort window computes all three features
+    * (conditional aggregates over two frames of the same ordering —
+    * single shuffle + sort, exchange/sort reuse across the frames);
+    * nothing global, nothing on the driver.
+    */
+  def pointInTimeFeatures(events: org.apache.spark.sql.DataFrame,
+      windowUs: Long = 604800000000L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"),
+      coalesce((col("value").cast("decimal(18,4)") * 10000).cast("long"),
+        lit(0L)).as("vt"))
+    val trailing = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-windowUs, 0)
+    val upToNow = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(Window.unboundedPreceding, 0)
+    val isP = col("event_type") === "purchase"
+    base
+      .withColumn("spend_7d_tenk",
+        coalesce(sum(when(isP, col("vt"))).over(trailing), lit(0L)))
+      .withColumn("n_events_7d", count(lit(1)).over(trailing))
+      .withColumn("last_purchase_gap_us",
+        col("us") - max(when(isP, col("us"))).over(upToNow))
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("us"),
+        col("spend_7d_tenk"), col("n_events_7d"),
+        col("last_purchase_gap_us"))
+  }
 }

@@ -2368,6 +2368,36 @@ class OperatorsSpec extends SparkSpec {
     assert(dup.forall(_._3 >= 2L))
   }
 
+  test("pointInTimeFeatures: no future leakage, boundary inclusive, null gap before first purchase, one shuffle") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: purchase AFTER the click must not leak into the click
+      (1L, 10L, "click", t("2024-03-08 12:00:00"), null.asInstanceOf[java.lang.Double]),
+      (1L, 11L, "purchase", t("2024-03-08 12:00:01"), java.lang.Double.valueOf(50.0)),
+      // user 2: purchase exactly 7d before the click → INSIDE [t-7d, t]
+      (2L, 20L, "purchase", t("2024-03-01 12:00:00"), java.lang.Double.valueOf(10.0)),
+      (2L, 21L, "click", t("2024-03-08 12:00:00"), null.asInstanceOf[java.lang.Double]),
+      // user 2: a second click 1µs past the window edge → spend drops out
+      (2L, 22L, "click", t("2024-03-08 12:00:00.000001"), null.asInstanceOf[java.lang.Double]),
+      // user 3: click before any purchase → null gap
+      (3L, 30L, "click", t("2024-03-05 00:00:00"), null.asInstanceOf[java.lang.Double]),
+      (3L, 31L, "purchase", t("2024-03-06 00:00:00"), java.lang.Double.valueOf(5.0)))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val out = graft.operators.Features.pointInTimeFeatures(ev)
+    val got = out.as[(Long, Long, Long, Long, Long, Option[Long])]
+      .collect().map(r => r._2 -> r).toMap
+    assert(got(10L)._4 == 0L, "future purchase leaked into the click")
+    assert(got(10L)._6.isEmpty)
+    assert(got(21L)._4 == 100000L, "7d-boundary purchase must be inside")
+    assert(got(21L)._6.contains(604800000000L))
+    assert(got(22L)._4 == 0L, "1us past the window must be outside")
+    assert(got(30L)._4 == 0L && got(30L)._6.isEmpty)
+    // single shuffle: both frames share one (user_id, us) sort order
+    val exchanges = out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected one logical shuffle (plus AQE read), saw $exchanges")
+  }
+
   test("codeSwitch: mixed bilingual doc flagged, monolingual not, und lines abstain, ln2 entropy") {
     val en = "the cat and the dog in that house was for it"
     val es = "el gato y la casa es una que por los"
