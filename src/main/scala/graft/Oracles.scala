@@ -1168,6 +1168,22 @@ object Oracles {
       |  ON p.event_type = w.event_type AND p.i = w.i - 1
       |ORDER BY w.event_type, w.day""".stripMargin
 
+  /** q244: `Analytics.targetEncode` — per-category tenk sums, the
+    * additive-smoothing formula as one HUGEINT floor division.
+    */
+  def q244TargetEncode: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS c,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |per AS (SELECT c, COUNT(*) AS n, CAST(SUM(v) AS HUGEINT) AS s
+      |  FROM b GROUP BY 1),
+      |g AS (SELECT SUM(n) AS nn, SUM(s) AS ss FROM per)
+      |SELECT per.c AS l_returnflag, CAST(per.n AS BIGINT) AS n,
+      |  CAST((1000000::HUGEINT * (per.s * g.nn + 10 * g.ss))
+      |    // (10000::HUGEINT * g.nn * (per.n + 10)) AS BIGINT) AS enc_q6
+      |FROM per CROSS JOIN g ORDER BY 1""".stripMargin
+
   /** q243: `Features.pointInTimeFeatures` — identical value-based RANGE
     * frames per user ([t−7d, t] trailing + unbounded-preceding running
     * max), integer tenk spend and microsecond gaps; click rows only.
@@ -3852,6 +3868,7 @@ object Oracles {
     "q241_dyadic_quantiles" -> q241DyadicQuantiles,
     "q242_code_switch" -> q242CodeSwitch,
     "q243_pit_features" -> q243PitFeatures,
+    "q244_target_encode" -> q244TargetEncode,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

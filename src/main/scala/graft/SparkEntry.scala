@@ -2900,6 +2900,16 @@ object SparkEntry {
       TextAnalysis.codeSwitch(d.unionByName(aug)).orderBy("doc_id")
     }),
 
+    // ---- feature tier: smoothed target encoding (NEW r11) ----
+    // Category -> shrunk mean target (m=10 pseudo-observations of the
+    // global mean), the leakage-prone ML step done exactly: one
+    // integer formula, no float means.
+    "q244_target_encode" -> ((s, dir) => {
+      Analytics.targetEncode(lineitem(s, dir), "l_returnflag",
+          "l_extendedprice", m = 10)
+        .orderBy("l_returnflag")
+    }),
+
     // ---- feature tier: point-in-time features (NEW r11) ----
     // Feature-store materialization: per click, the user's 7-day
     // spend / event count / purchase recency AS OF the click — RANGE

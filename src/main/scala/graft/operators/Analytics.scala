@@ -1111,6 +1111,40 @@ object Analytics {
         (-col("_top._nk")).as("top_key"), col("_top._n").as("top_size"))
   }
 
+  /** Smoothed target encoding (the ML-preprocessing shape): each
+    * category's mean target, shrunk toward the global mean with
+    * additive smoothing — `enc_c = (S_c + m·S/N) / (n_c + m)` — so
+    * rare categories don't memorize noise. Exact integer form:
+    * `enc_q6 = ⌊10⁶·(S_c·N + m·S) / (10⁴·N·(n_c + m))⌋` with tenk-unit
+    * sums carried in DECIMAL(38,0) (true magnitudes ≲ 10²⁹ stay well
+    * inside precision, so Spark's decimal arithmetic is exact) and
+    * floor division via the (x − x%k)/k identity.
+    *
+    * Scale shape: one per-category aggregate + one 2-number global
+    * readback (driver scalars, the centroid convention); the encode
+    * itself is arithmetic on the |categories|-row table. The encoded
+    * map is what broadcast-joins back onto training rows.
+    */
+  def targetEncode(df: DataFrame, catCol: String, valCol: String,
+      m: Int = 10): DataFrame = {
+    val base = df.filter(col(valCol).isNotNull)
+      .select(col(catCol).as("_c"),
+        (col(valCol).cast("decimal(18,4)") * 10000).cast("long").as("_v"))
+    val per = Dedup.materialize(base.groupBy("_c")
+      .agg(count(lit(1)).as("n"),
+        sum(col("_v").cast("decimal(38,0)")).as("_s")))
+    val g = per.agg(sum("n"), sum("_s")).head()
+    val nTot = g.getLong(0)
+    val sTot = g.getDecimal(1).toBigInteger.toString
+    per
+      .withColumn("_num", expr(
+        s"CAST(1000000 AS DECIMAL(38,0)) * (_s * $nTot + CAST($m AS DECIMAL(38,0)) * CAST('$sTot' AS DECIMAL(38,0)))"))
+      .withColumn("_den", expr(
+        s"CAST(10000 AS DECIMAL(38,0)) * $nTot * (n + $m)"))
+      .select(col("_c").as(catCol), col("n"),
+        expr("CAST((_num - (_num % _den)) / _den AS BIGINT)").as("enc_q6"))
+  }
+
   /** Grouped ROBUST statistics, exact to the 10⁻⁴ value unit: per
     * group the lower median, the median absolute deviation around it,
     * and the 10 %-winsorized integer mean — the outlier-resistant

@@ -692,6 +692,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.contains(900L) == got.contains(901L))
   }
 
+  test("targetEncode: shrinks rare categories toward the global mean; hand-computed") {
+    // cat a: 4 rows of 10 → S_a=400000 tenk; cat b: 1 row of 100 →
+    // S_b=1000000 tenk; N=5, S=1400000 (global mean 28).
+    // m=10: enc_a = (40 + 10·28)/(4+10) = 320/14 = 22.857142…
+    //       enc_b = (100 + 280)/11 = 34.5454…
+    // b (n=1, target 100) lands near the global mean, not at 100.
+    val df = (Seq.fill(4)(("a", 10.0)) :+ (("b", 100.0))).toDF("c", "v")
+    val got = Analytics.targetEncode(df, "c", "v", m = 10)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List(("a", 4L, 22857142L), ("b", 1L, 34545454L)))
+    // shrinkage direction: enc_b far below its raw mean of 100
+    assert(got(1)._3 < 50000000L)
+  }
+
   test("robustStats: hand-computed order statistics; outlier-resistant; even/odd n") {
     // group a (n=11, odd): 1..10 and one absurd outlier 10000.
     // sorted tenk: 10000,20000,...,100000,100000000
