@@ -1168,6 +1168,19 @@ object Oracles {
       |  ON p.event_type = w.event_type AND p.i = w.i - 1
       |ORDER BY w.event_type, w.day""".stripMargin
 
+  /** q245: `Analytics.equiFrequencyBins` — shared ROW_NUMBER ordering,
+    * rank-determined bins, exact tenk edges.
+    */
+  def q245EquifreqBins: String =
+    """WITH b AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn,
+      |    COUNT(*) OVER () AS nn FROM b)
+      |SELECT ((rn - 1) * 10) // nn AS bin, MIN(x) AS lo_tenk,
+      |  MAX(x) AS hi_tenk, COUNT(*) AS n
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q244: `Analytics.targetEncode` — per-category tenk sums, the
     * additive-smoothing formula as one HUGEINT floor division.
     */
@@ -3869,6 +3882,7 @@ object Oracles {
     "q242_code_switch" -> q242CodeSwitch,
     "q243_pit_features" -> q243PitFeatures,
     "q244_target_encode" -> q244TargetEncode,
+    "q245_equifreq_bins" -> q245EquifreqBins,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

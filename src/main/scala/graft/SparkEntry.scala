@@ -2900,6 +2900,15 @@ object SparkEntry {
       TextAnalysis.codeSwitch(d.unionByName(aug)).orderBy("doc_id")
     }),
 
+    // ---- feature tier: equi-frequency binning (NEW r11) ----
+    // Decile discretization of order totals: rank-determined bin
+    // populations, exact [min,max] edge table — what a scorer
+    // broadcast-joins to bin unseen rows.
+    "q245_equifreq_bins" -> ((s, dir) => {
+      Analytics.equiFrequencyBins(orders(s, dir), "o_totalprice", bins = 10)
+        .orderBy("bin")
+    }),
+
     // ---- feature tier: smoothed target encoding (NEW r11) ----
     // Category -> shrunk mean target (m=10 pseudo-observations of the
     // global mean), the leakage-prone ML step done exactly: one

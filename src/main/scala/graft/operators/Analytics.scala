@@ -1145,6 +1145,44 @@ object Analytics {
         expr("CAST((_num - (_num % _den)) / _den AS BIGINT)").as("enc_q6"))
   }
 
+  /** Equi-frequency (quantile) binning: discretize a numeric column
+    * into `bins` buckets of (as close as arithmetic allows) equal row
+    * count — `bin = ⌊(rank−1)·B / n⌋` over the value ordering — and
+    * report each bin's exact [min, max] edges and population. The ML
+    * discretization / histogram-equalization step, and the edge table
+    * a scorer broadcast-joins to bin unseen data.
+    *
+    * Deterministic: rank ties share a value, and a bin's min/max/count
+    * read the sorted multiset, so tie order between equal values can
+    * shift which ROWS land in a bin but never the reported edges or
+    * counts... except when a value run straddles a bin boundary — so
+    * counts ARE rank-determined (exactly ⌈k·n/B⌉−⌈(k−1)·n/B⌉ rows per
+    * bin) and only the edge VALUES are data-determined; both are
+    * engine-identical under the shared ROW_NUMBER ordering (ties by
+    * nothing — but equal values are interchangeable for min/max, and
+    * counts depend on ranks alone).
+    *
+    * Scale shape: one sort window in tenk units (the q44 grouped
+    * convention, single global ordering here — swap in the two-phase
+    * Ranking.rangeCuts bucketing at petabyte n); output is B rows.
+    */
+  def equiFrequencyBins(df: DataFrame, valCol: String,
+      bins: Int = 10): DataFrame = {
+    val base = df.filter(col(valCol).isNotNull)
+      .select((col(valCol).cast("decimal(18,4)") * 10000)
+        .cast("long").as("_x"))
+    val w = Window.orderBy("_x")
+    base
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("bin", expr(s"((_rn - 1) * $bins) DIV _n"))
+      .groupBy("bin")
+      .agg(min("_x").as("lo_tenk"), max("_x").as("hi_tenk"),
+        count(lit(1)).as("n"))
+  }
+
   /** Grouped ROBUST statistics, exact to the 10⁻⁴ value unit: per
     * group the lower median, the median absolute deviation around it,
     * and the 10 %-winsorized integer mean — the outlier-resistant

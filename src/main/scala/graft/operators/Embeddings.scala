@@ -154,21 +154,44 @@ object Embeddings {
     val spark = df.sparkSession
     val q = withInt8Quantized(
       df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim), vecCol)
-    val cells = q.select(explode(flatten(transform(col("q"), (qi, i) =>
-        transform(col("q"), (qj, j) =>
-          struct(i.as("i"), j.as("j"),
-            (qi.cast("long") * qj).cast("decimal(20,0)").as("p")))))).as("c"))
-      .select(col("c.i"), col("c.j"), col("c.p"))
-      .groupBy("i", "j").agg(sum("p").as("g"))
+    // Gram partials per PARTITION, not per row: a d² long array
+    // accumulated locally (upper triangle only — G is symmetric), then
+    // d(d+1)/2 rows per partition into the final decimal sum. The
+    // explode formulation churned d² structs per input row (4096×
+    // row amplification before the partial agg) — this emits ≤ 2080
+    // rows per partition total. Long partials are safe to ~5·10¹⁰
+    // rows/partition (127²·rows < 2⁶³); the cross-partition sum rides
+    // DECIMAL for unbounded corpora.
+    import spark.implicits._
+    val cells = q.select(col("q")).as[Seq[Int]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](dim * dim)
+        it.foreach { v =>
+          var i = 0
+          while (i < dim) {
+            val vi = v(i).toLong
+            var j = i
+            while (j < dim) { acc(i * dim + j) += vi * v(j); j += 1 }
+            i += 1
+          }
+        }
+        (for (i <- 0 until dim; j <- i until dim if acc(i * dim + j) != 0L)
+          yield (i, j, acc(i * dim + j))).iterator
+      }
+      .toDF("i", "j", "p")
+      .groupBy("i", "j").agg(sum(col("p").cast("decimal(38,0)")).as("g"))
     val gram = Array.ofDim[BigInt](dim, dim)
     for (i <- 0 until dim; j <- 0 until dim) gram(i)(j) = BigInt(0)
-    val rows = cells.collect()   // ≤ dim² rows, corpus-size-independent
-    import spark.implicits._
+    val rows = cells.collect()   // ≤ dim(dim+1)/2 rows, corpus-size-independent
     if (rows.isEmpty)
       return Seq.empty[(Long, Long, Long)]
         .toDF("dim", "component_q12", "rayleigh_q6")
-    rows.foreach(r => gram(r.getInt(0))(r.getInt(1)) =
-      BigInt(r.getDecimal(2).toBigInteger))
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val v = BigInt(r.getDecimal(2).toBigInteger)
+      gram(i)(j) = v
+      gram(j)(i) = v // upper triangle stored once; G is symmetric
+    }
     val Q12 = BigInt(1000000000000L); val Q6 = BigInt(1000000L)
     var v = Array.fill(dim)(Q12)
     for (_ <- 1 to rounds) {

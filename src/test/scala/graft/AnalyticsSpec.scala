@@ -692,6 +692,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.contains(900L) == got.contains(901L))
   }
 
+  test("equiFrequencyBins: rank-determined populations, exact edges, boundary ties deterministic") {
+    // 10 values into 4 bins: ranks 1-3,4-5,6-8,9-10 → sizes 3,2,3,2
+    val df = Seq(5.0, 1.0, 3.0, 2.0, 4.0, 4.0, 4.0, 9.0, 7.0, 8.0).toDF("v")
+    val got = Analytics.equiFrequencyBins(df, "v", bins = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    // sorted tenk: 1,2,3 | 4,4 | 4,5,7 | 8,9 — the 4-run straddles
+    // bins 1/2 but the edge VALUES are forced: bin1 hi=4, bin2 lo=4
+    assert(got.map(_._4) == List(3L, 2L, 3L, 2L))
+    assert(got == List(
+      (0L, 10000L, 30000L, 3L),
+      (1L, 40000L, 40000L, 2L),
+      (2L, 40000L, 70000L, 3L),
+      (3L, 80000L, 90000L, 2L)))
+  }
+
   test("targetEncode: shrinks rare categories toward the global mean; hand-computed") {
     // cat a: 4 rows of 10 → S_a=400000 tenk; cat b: 1 row of 100 →
     // S_b=1000000 tenk; N=5, S=1400000 (global mean 28).
