@@ -1168,6 +1168,34 @@ object Oracles {
       |  ON p.event_type = w.event_type AND p.i = w.i - 1
       |ORDER BY w.event_type, w.day""".stripMargin
 
+  /** q246: `Layout.shardMigration` — the HRW argmax replayed with the
+    * shared splitmix64 stage machinery (xor-mix seeds, signed-long
+    * compare, ties to the smaller shard), both shard counts read from
+    * ONE hash table.
+    */
+  def q246ShardMigration: String = {
+    val kFrom = 16; val kTo = 20
+    val seeds = (0 until kTo)
+      .map(s => s"($s, ${(Gold * (s + 1)) & Mask}::HUGEINT)").mkString(", ")
+    val smx = staged("SELECT doc_id, s, z FROM z", splitmixStages("z"))
+    s"""WITH seeds(s, ks) AS (VALUES $seeds),
+       |z AS (SELECT doc_id, s, xor(CAST(doc_id AS HUGEINT), ks) AS z
+       |  FROM documents CROSS JOIN seeds),
+       |h AS MATERIALIZED (SELECT doc_id, s, ${signed("_sm")} AS h FROM ($smx)),
+       |f16 AS (SELECT doc_id, s AS s16 FROM (
+       |  SELECT doc_id, s, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY h DESC, s) AS r
+       |  FROM h WHERE s < $kFrom) WHERE r = 1),
+       |f20 AS (SELECT doc_id, s AS s20 FROM (
+       |  SELECT doc_id, s, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY h DESC, s) AS r
+       |  FROM h) WHERE r = 1)
+       |SELECT CAST(f20.s20 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+       |  SUM(CASE WHEN f16.s16 <> f20.s20 THEN 1 ELSE 0 END) AS n_moved_in
+       |FROM f20 JOIN f16 USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q245: `Analytics.equiFrequencyBins` — shared ROW_NUMBER ordering,
     * rank-determined bins, exact tenk edges.
     */
@@ -3883,6 +3911,7 @@ object Oracles {
     "q243_pit_features" -> q243PitFeatures,
     "q244_target_encode" -> q244TargetEncode,
     "q245_equifreq_bins" -> q245EquifreqBins,
+    "q246_shard_migration" -> q246ShardMigration,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

@@ -2900,6 +2900,18 @@ object SparkEntry {
       TextAnalysis.codeSwitch(d.unionByName(aug)).orderBy("doc_id")
     }),
 
+    // ---- layout tier: rendezvous shard migration (NEW r11) ----
+    // Consistent-hashing resize 16 -> 20 shards via highest-random-
+    // weight: only rows whose argmax lands on a NEW shard move
+    // (~(20-16)/20 of the corpus), vs a ~15/16 reshuffle under mod-k.
+    // splitmix64 runs as a codegen'd native expression (the Column
+    // form would trip ANSI overflow on the wrapping multiplies).
+    "q246_shard_migration" -> ((s, dir) => {
+      graft.operators.Layout.shardMigration(
+          documents(s, dir), "doc_id", kFrom = 16, kTo = 20)
+        .orderBy("shard")
+    }),
+
     // ---- feature tier: equi-frequency binning (NEW r11) ----
     // Decile discretization of order totals: rank-determined bin
     // populations, exact [min,max] edge table — what a scorer

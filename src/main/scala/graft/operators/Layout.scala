@@ -183,4 +183,46 @@ object Layout {
       sum("n_rows").as("rows_total"),
       sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_scanned"))
   }
+
+  /** Rendezvous (highest-random-weight) shard of an id among `k`
+    * shards: argmax over s of splitmix64(id ⊕ GOLD·(s+1)), ties to the
+    * smaller s. The consistent-sharding rule behind export/compaction
+    * layouts: when k grows to k′, ONLY ids whose argmax lands on a new
+    * shard move (expected (k′−k)/k′ of rows) — no mass reshuffle, no
+    * ring metadata. Seeds mix by XOR, not +, so ANSI overflow checking
+    * never trips. All comparisons are signed-long, engine-identical.
+    */
+  def rendezvousShard(id: org.apache.spark.sql.Column,
+      k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(k >= 1 && k <= 1024, "rendezvousShard wants 1 <= k <= 1024")
+    val Gold = BigInt("9e3779b97f4a7c15", 16)
+    val Mask = (BigInt(1) << 64) - 1
+    val cands = (0 until k).map { s =>
+      val seed = ((Gold * (s + 1)) & Mask).toLong
+      struct(graft.plans.GraftExtensions
+        .splitmix64Native(id.bitwiseXOR(lit(seed))).as("h"),
+        lit(-s).as("ns"))
+    }
+    (-greatest(cands: _*).getField("ns")).cast("long")
+  }
+
+  /** Shard-migration report for a rendezvous resize `kFrom` → `kTo`:
+    * one row per NEW shard — population, how many rows arrived from a
+    * different old shard, and (sanity) rows whose old shard id ≥ kFrom
+    * (impossible; always 0). The movement total divided by the corpus
+    * is the consistent-hashing guarantee: ≈ (kTo−kFrom)/kTo, never a
+    * full reshuffle. One scan, one k-bounded aggregate.
+    */
+  def shardMigration(df: DataFrame, idCol: String, kFrom: Int,
+      kTo: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(col(idCol).cast("long").as("_id"))
+      .withColumn("_from", rendezvousShard(col("_id"), kFrom))
+      .withColumn("_to", rendezvousShard(col("_id"), kTo))
+      .groupBy(col("_to").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_from") =!= col("_to"), 1L).otherwise(0L))
+          .as("n_moved_in"))
+  }
 }

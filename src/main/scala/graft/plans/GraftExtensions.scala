@@ -75,6 +75,12 @@ object GraftExtensions {
           "graft_wilson_lb_q9(trials, conversions) takes two long args")
         WilsonLowerBoundQ9(children.head, children(1))
       }),
+    (new FunctionIdentifier("graft_splitmix64"),
+      new ExpressionInfo(classOf[SplitMix64Expr].getName, "graft_splitmix64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_splitmix64(x) takes one long arg")
+        SplitMix64Expr(children.head)
+      }),
     (new FunctionIdentifier("graft_int_ewma"),
       new ExpressionInfo(classOf[IntEwma].getName, "graft_int_ewma"),
       (children: Seq[Expression]) => {
@@ -254,5 +260,14 @@ object GraftExtensions {
   def intEwmaNative(xs: Column, den: Int): Column = {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(IntEwma(ColumnShim.expression(xs), den))
+  }
+
+  /** Registration-free splitmix64 finalizer (see [[cosineNative]]):
+    * wrapping multiplies inside codegen — the Column formulation would
+    * trip ANSI overflow checks.
+    */
+  def splitmix64Native(x: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(SplitMix64Expr(ColumnShim.expression(x)))
   }
 }

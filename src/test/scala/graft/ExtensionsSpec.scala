@@ -519,6 +519,30 @@ class ExtensionsSpec extends SparkSpec {
       (1L, 20L, 10L, 2.0)))   // null-time quote ignored, 10 matches
   }
 
+  test("graft_splitmix64: bit-equal to the JVM kernel incl. negatives; HRW growth moves rows only to new shards") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val xs = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 42L,
+      0x9e3779b97f4a7c15L, -987654321L)
+    val got = xs.toDF("x")
+      .select(GraftExtensions.splitmix64Native(col("x")))
+      .as[Long].collect().toSeq
+    assert(got == xs.map(graft.functions.Hashing.splitmix64))
+    // null in → null out
+    assert(Seq[Option[Long]](None).toDF("x")
+      .select(GraftExtensions.splitmix64Native(col("x"))).head.isNullAt(0))
+    // consistent-hashing guarantee: growing 8 → 10 shards, every row
+    // that moves lands on a NEW shard (argmax can only change if a new
+    // seed wins), and roughly (10-8)/10 of rows move
+    val ids = (0L until 2000L).toDF("doc_id")
+    val mig = graft.operators.Layout.shardMigration(ids, "doc_id", 8, 10)
+      .as[(Long, Long, Long)].collect()
+    val movedToOld = mig.filter(r => r._1 < 8 && r._3 > 0)
+    assert(movedToOld.isEmpty, s"rows moved onto pre-existing shards: ${movedToOld.toSeq}")
+    val moved = mig.map(_._3).sum.toDouble / 2000.0
+    assert(moved > 0.1 && moved < 0.3, s"moved fraction $moved, expected ~0.2")
+  }
+
   test("graft_int_ewma: floorDiv recurrence incl. negatives, codegen'd, type-checked, SQL-registered") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
