@@ -1607,6 +1607,50 @@ object Oracles {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q247: `Embeddings.anisotropyProfile` — the q233 chain (quantize →
+    * Gram → unrolled power rounds) re-read per vector: Q6-rescaled w,
+    * exact integer ⟨q,w⟩ and |q|², one HUGEINT floor division for the
+    * squared-cosine energy.
+    */
+  def q247Anisotropy: String = {
+    val dim = 64; val rounds = 8
+    val rk = (1 to rounds).map { r =>
+      s"""n$r AS MATERIALIZED (SELECT g.i, SUM(g.g * v.p) AS num
+         |  FROM gram g JOIN v${r - 1} v ON v.i = g.j GROUP BY 1),
+         |m$r AS (SELECT GREATEST(MAX(ABS(num)) // 1000000000000, 1::HUGEINT) AS dn FROM n$r),
+         |v$r AS MATERIALIZED (SELECT i, CASE WHEN num < 0 THEN -(ABS(num) // dn)
+         |    ELSE ABS(num) // dn END AS p
+         |  FROM n$r CROSS JOIN m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    COALESCE(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) AS maxabs
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |s AS (SELECT vec_id, embedding,
+       |    CASE WHEN maxabs = 0.0 THEN 1.0 ELSE 127.0 / maxabs END AS scale
+       |  FROM base),
+       |qv AS MATERIALIZED (SELECT vec_id, d,
+       |    CAST(floor(embedding[d+1]::DOUBLE * scale + 0.5) AS BIGINT) AS qd
+       |  FROM s, (SELECT unnest(range(0, $dim)) AS d)),
+       |gram AS MATERIALIZED (SELECT a.d AS i, b.d AS j, SUM(a.qd * b.qd)::HUGEINT AS g
+       |  FROM qv a JOIN qv b USING (vec_id) GROUP BY 1, 2),
+       |v0 AS (SELECT unnest(range(0, $dim)) AS i, 1000000000000::HUGEINT AS p),
+       |$rk,
+       |w AS MATERIALIZED (SELECT i, CASE WHEN p < 0 THEN -(ABS(p) // 1000000)
+       |    ELSE ABS(p) // 1000000 END AS pw FROM v$rounds),
+       |wss AS (SELECT SUM(pw * pw) AS ws FROM w),
+       |dots AS (SELECT qv.vec_id, SUM(qv.qd * w.pw) AS dw
+       |  FROM qv JOIN w ON w.i = qv.d GROUP BY 1),
+       |sq AS (SELECT vec_id, SUM(qd * qd) AS ssq FROM qv GROUP BY 1)
+       |SELECT d.vec_id, CAST(d.dw AS BIGINT) AS dot_w_q6,
+       |  CASE WHEN sq.ssq > 0 AND ws.ws > 0
+       |    THEN CAST((1000000::HUGEINT * d.dw * d.dw)
+       |      // (CAST(sq.ssq AS HUGEINT) * ws.ws) AS BIGINT)
+       |    ELSE 0 END AS energy_on_axis_q6
+       |FROM dots d JOIN sq USING (vec_id) CROSS JOIN wss ws
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** q57: `Similarity.ivfTopKInt8` — int8 quantization (the q81 replay),
     * splitmix64-seeded cells, unrolled integer Lloyd rounds (truncating
     * `//` centroid update ≡ Scala `Long./`; empty cells keep the previous
@@ -3912,6 +3956,7 @@ object Oracles {
     "q244_target_encode" -> q244TargetEncode,
     "q245_equifreq_bins" -> q245EquifreqBins,
     "q246_shard_migration" -> q246ShardMigration,
+    "q247_anisotropy" -> q247Anisotropy,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

@@ -2900,6 +2900,17 @@ object SparkEntry {
       TextAnalysis.codeSwitch(d.unionByName(aug)).orderBy("doc_id")
     }),
 
+    // ---- embedding tier: anisotropy profile (NEW r11) ----
+    // ABTT diagnostic on top of q233's axis: each vector's squared
+    // cosine to the dominant direction in Q6 — the mean says whether
+    // this space needs mean-centering before cosine retrieval. One
+    // extra map pass with w as 64 literals.
+    "q247_anisotropy" -> ((s, dir) => {
+      graft.operators.Embeddings.anisotropyProfile(
+          embeddings(s, dir), dim = 64, rounds = 8)
+        .orderBy("vec_id")
+    }),
+
     // ---- layout tier: rendezvous shard migration (NEW r11) ----
     // Consistent-hashing resize 16 -> 20 shards via highest-random-
     // weight: only rows whose argmax lands on a NEW shard move

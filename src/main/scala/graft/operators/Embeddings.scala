@@ -152,6 +152,36 @@ object Embeddings {
   def dominantDirection(df: DataFrame, dim: Int = 64, rounds: Int = 8,
       vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession
+    gramAndPower(df, dim, rounds, vecCol) match {
+      case None =>
+        val spark0 = df.sparkSession
+        import spark0.implicits._
+        Seq.empty[(Long, Long, Long)]
+          .toDF("dim", "component_q12", "rayleigh_q6")
+      case Some((gram, v)) =>
+        val spark0 = df.sparkSession
+        import spark0.implicits._
+        val Q6 = BigInt(1000000L)
+        // Rayleigh on the Q6-rescaled vector keeps wᵀGw inside 38
+        // digits even at 10¹²-row Gram magnitudes.
+        val w = v.map(x => if (x.signum < 0) -(x.abs / Q6) else x.abs / Q6)
+        val den = w.foldLeft(BigInt(0))((a, x) => a + x * x)
+        val numR = (for (i <- 0 until dim; j <- 0 until dim)
+          yield gram(i)(j) * w(i) * w(j)).foldLeft(BigInt(0))(_ + _)
+        val ray = if (den.signum > 0) (Q6 * numR / den).toLong else 0L
+        v.zipWithIndex.map { case (c, i) => (i.toLong, c.toLong, ray) }
+          .toSeq.toDF("dim", "component_q12", "rayleigh_q6")
+    }
+  }
+
+  /** Shared exact kernel of [[dominantDirection]] /
+    * [[anisotropyProfile]]: the integer Gram matrix and the Q12
+    * power-iteration vector (None on an empty corpus). Same scale
+    * shape as documented on [[dominantDirection]].
+    */
+  private def gramAndPower(df: DataFrame, dim: Int, rounds: Int,
+      vecCol: String): Option[(Array[Array[BigInt]], Array[BigInt])] = {
+    val spark = df.sparkSession
     val q = withInt8Quantized(
       df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim), vecCol)
     // Gram partials per PARTITION, not per row: a d² long array
@@ -183,16 +213,14 @@ object Embeddings {
     val gram = Array.ofDim[BigInt](dim, dim)
     for (i <- 0 until dim; j <- 0 until dim) gram(i)(j) = BigInt(0)
     val rows = cells.collect()   // ≤ dim(dim+1)/2 rows, corpus-size-independent
-    if (rows.isEmpty)
-      return Seq.empty[(Long, Long, Long)]
-        .toDF("dim", "component_q12", "rayleigh_q6")
+    if (rows.isEmpty) return None
     rows.foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
       val v = BigInt(r.getDecimal(2).toBigInteger)
       gram(i)(j) = v
       gram(j)(i) = v // upper triangle stored once; G is symmetric
     }
-    val Q12 = BigInt(1000000000000L); val Q6 = BigInt(1000000L)
+    val Q12 = BigInt(1000000000000L)
     var v = Array.fill(dim)(Q12)
     for (_ <- 1 to rounds) {
       val num = Array.tabulate(dim)(i =>
@@ -200,14 +228,59 @@ object Embeddings {
       val dnorm = (num.map(_.abs).max / Q12).max(BigInt(1))
       v = num.map(n => (if (n.signum < 0) -(n.abs / dnorm) else n.abs / dnorm))
     }
-    // Rayleigh on the Q6-rescaled vector keeps wᵀGw inside 38 digits
-    // even at 10¹²-row Gram magnitudes.
-    val w = v.map(x => if (x.signum < 0) -(x.abs / Q6) else x.abs / Q6)
-    val den = w.foldLeft(BigInt(0))((a, x) => a + x * x)
-    val numR = (for (i <- 0 until dim; j <- 0 until dim)
-      yield gram(i)(j) * w(i) * w(j)).foldLeft(BigInt(0))(_ + _)
-    val ray = if (den.signum > 0) (Q6 * numR / den).toLong else 0L
-    v.zipWithIndex.map { case (c, i) => (i.toLong, c.toLong, ray) }
-      .toSeq.toDF("dim", "component_q12", "rayleigh_q6")
+    Some((gram, v))
+  }
+
+  /** Per-vector anisotropy profile (ABTT's "all-but-the-top"
+    * diagnostic, Mu & Viswanath 2018): how much of each embedding's
+    * energy lies ON the corpus' dominant direction —
+    * `energy_on_axis_q6 = ⌊10⁶·⟨q,w⟩² / (|q|²·|w|²)⌋` (squared cosine
+    * to the power-iteration axis w, Q6 fixed point) plus the raw
+    * integer dot. A corpus whose mean is high is anisotropic — the
+    * standard trigger for mean-centering / dominant-component removal
+    * before cosine retrieval.
+    *
+    * Exactness: w is [[dominantDirection]]'s iterate rescaled to Q6
+    * (|wᵢ| ≲ 2·10⁶, so ⟨q,w⟩ ≤ 1.6·10¹⁰ stays in long and
+    * 10⁶·⟨q,w⟩² ≲ 2.7·10²⁶ rides DECIMAL/HUGEINT); the division is a
+    * single floor over exact integers — the DuckDB oracle recomputes w
+    * through the q233 unrolled CTEs and replays every vector
+    * bit-for-bit.
+    *
+    * Scale shape: one Gram pass (the [[dominantDirection]] partials),
+    * then ONE map-side pass over the corpus with w as 64 literals —
+    * no joins, no shuffle beyond the Gram's d²-row aggregate.
+    */
+  def anisotropyProfile(df: DataFrame, dim: Int = 64, rounds: Int = 8,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    gramAndPower(df, dim, rounds, vecCol) match {
+      case None =>
+        Seq.empty[(Long, Long, Long)]
+          .toDF(idCol, "dot_w_q6", "energy_on_axis_q6")
+      case Some((_, v)) =>
+        val Q6 = BigInt(1000000L)
+        val w: Array[Long] =
+          v.map(x => (if (x.signum < 0) -(x.abs / Q6) else x.abs / Q6).toLong)
+        val wss = w.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * BigInt(x))
+        val wLit = array(w.map(lit): _*)
+        val q = withInt8Quantized(
+          df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim), vecCol)
+          .select(col(idCol), col("q"))
+          .withColumn("_ssq", aggregate(col("q"), lit(0L),
+            (a, x) => a + x.cast("long") * x.cast("long")))
+          .withColumn("_dw", aggregate(
+            zip_with(col("q"), wLit, (a, b) => a.cast("long") * b),
+            lit(0L), (a, x) => a + x))
+        q.withColumn("_num",
+            expr("CAST(1000000 AS DECIMAL(38,0)) * _dw * _dw"))
+          .withColumn("_den",
+            expr(s"CAST(_ssq AS DECIMAL(38,0)) * CAST('$wss' AS DECIMAL(38,0))"))
+          .select(col(idCol), col("_dw").as("dot_w_q6"),
+            when(col("_ssq") > 0 && lit(wss.signum > 0),
+              expr("CAST((_num - (_num % _den)) / _den AS BIGINT)"))
+              .otherwise(lit(0L)).as("energy_on_axis_q6"))
+    }
   }
 }

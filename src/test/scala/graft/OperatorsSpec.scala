@@ -2368,6 +2368,39 @@ class OperatorsSpec extends SparkSpec {
     assert(dup.forall(_._3 >= 2L))
   }
 
+  test("anisotropyProfile: on-axis vectors near energy 1, orthogonal near 0, exact rational") {
+    val dim = 8
+    val rows: Seq[(Long, Seq[Float])] =
+      (0L until 40L).map { i =>
+        val sg = if (i % 2 == 0) 1.0f else -1.0f
+        (i, (sg * 1.0f) +: Seq.fill(dim - 1)(0.001f))
+      } ++ Seq((90L, 0.001f +: 1.0f +: Seq.fill(dim - 2)(0.001f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Embeddings.anisotropyProfile(df, dim, rounds = 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // the dominant axis is e0: on-axis vectors carry ≥ 99% of their
+    // energy on it; the lone e1 vector carries ~none
+    (0L until 40L).foreach { i =>
+      assert(got(i)._3 > 990000L, s"vec $i energy ${got(i)._3}")
+    }
+    assert(got(90L)._3 < 10000L, s"orthogonal vec energy ${got(90L)._3}")
+    // exact recompute of one vector's energy from the definition
+    val w = Embeddings.dominantDirection(df, dim, rounds = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+      .map(r => BigInt(r._2) / BigInt(1000000L))
+    val q0 = {
+      val v = rows.head._2
+      val ma = v.map(x => math.abs(x.toDouble)).max
+      val sc = if (ma == 0) 1.0 else 127.0 / ma
+      v.map(x => BigInt(math.floor(x.toDouble * sc + 0.5).toLong))
+    }
+    val dw = q0.zip(w).map { case (a, b) => a * b }.sum
+    val ssq = q0.map(x => x * x).sum
+    val wss = w.map(x => x * x).sum
+    assert(got(0L)._2 == dw.toLong)
+    assert(got(0L)._3 == (BigInt(1000000) * dw * dw / (ssq * wss)).toLong)
+  }
+
   test("pointInTimeFeatures: no future leakage, boundary inclusive, null gap before first purchase, one shuffle") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
