@@ -76,7 +76,10 @@ object Bench {
     "q234_mmr_topk",       // MMR: bounded top-k pool + greedy re-rank (NEW r11)
     "q236_hybrid_rrf",     // lexical+semantic fusion, two corpus passes (NEW r11)
     "q237_robust_stats",   // grouped order statistics, per-group windows (NEW r11)
-    "q238_budget_sample")  // Hamilton quotas + md5-ranked picks (NEW r11)
+    "q238_budget_sample",  // Hamilton quotas + md5-ranked picks (NEW r11)
+    "q241_dyadic_quantiles", // bounded-state histogram sketch + readout (NEW r11)
+    "q243_pit_features",   // leakage-proof RANGE-frame features (NEW r11)
+    "q246_shard_migration") // HRW consistent sharding, native splitmix (NEW r11)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine

@@ -1168,6 +1168,62 @@ object Oracles {
       |  ON p.event_type = w.event_type AND p.i = w.i - 1
       |ORDER BY w.event_type, w.day""".stripMargin
 
+  /** q248: `Curation.greedySetCover` — k unrolled greedy rounds: gains
+    * as anti-join counts against the covered set, argmax (gain DESC,
+    * doc_id), covered set grown per round (every round CTE
+    * MATERIALIZED — the q233 inlining lesson), running coverage as a
+    * window at the end.
+    */
+  def q248SetCover: String = {
+    val k = 8
+    val rounds = (1 to k).map { r =>
+      val notPicked =
+        if (r == 1) ""
+        else s"AND d.doc_id NOT IN (SELECT doc_id FROM picked${r - 1})"
+      val cov =
+        if (r == 1) "SELECT d.t FROM tk d JOIN pick1 p ON d.doc_id = p.doc_id"
+        else s"""SELECT t FROM cov${r - 1}
+                |  UNION SELECT d.t FROM tk d JOIN pick$r p ON d.doc_id = p.doc_id""".stripMargin
+      val anti =
+        if (r == 1) ""
+        else s"LEFT JOIN cov${r - 1} c ON c.t = d.t"
+      val whereCov = if (r == 1) "WHERE TRUE" else "WHERE c.t IS NULL"
+      val picked =
+        if (r == 1) "SELECT doc_id FROM pick1"
+        else s"SELECT doc_id FROM picked${r - 1} UNION SELECT doc_id FROM pick$r"
+      s"""g$r AS MATERIALIZED (
+         |  SELECT d.doc_id, COUNT(*) AS g FROM tk d $anti
+         |  $whereCov $notPicked GROUP BY 1),
+         |pick$r AS MATERIALIZED (
+         |  SELECT doc_id, g, $r AS round FROM (
+         |    SELECT doc_id, g, ROW_NUMBER() OVER (ORDER BY g DESC, doc_id) AS rn
+         |    FROM g$r) WHERE rn = 1),
+         |cov$r AS MATERIALIZED ($cov),
+         |picked$r AS MATERIALIZED ($picked)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to k)
+      .map(r => s"SELECT round, doc_id, g FROM pick$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, t FROM (
+       |    SELECT doc_id, unnest(
+       |      CASE WHEN len(ws) >= 3
+       |        THEN list_transform(range(1, len(ws) - 1),
+       |               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       |        ELSE [] END) AS t
+       |    FROM (SELECT doc_id,
+       |        list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |          w -> length(w) > 0) AS ws
+       |      FROM documents WHERE text IS NOT NULL))),
+       |$rounds
+       |SELECT CAST(round AS BIGINT) AS round, doc_id,
+       |  CAST(g AS BIGINT) AS new_tokens,
+       |  CAST(SUM(g) OVER (ORDER BY round ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS covered_total
+       |FROM ($unionAll)
+       |ORDER BY round""".stripMargin
+  }
+
   /** q246: `Layout.shardMigration` — the HRW argmax replayed with the
     * shared splitmix64 stage machinery (xor-mix seeds, signed-long
     * compare, ties to the smaller shard), both shard counts read from
@@ -3957,6 +4013,7 @@ object Oracles {
     "q245_equifreq_bins" -> q245EquifreqBins,
     "q246_shard_migration" -> q246ShardMigration,
     "q247_anisotropy" -> q247Anisotropy,
+    "q248_set_cover" -> q248SetCover,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

@@ -2900,6 +2900,15 @@ object SparkEntry {
       TextAnalysis.codeSwitch(d.unionByName(aug)).orderBy("doc_id")
     }),
 
+    // ---- curation tier: greedy set-cover selection (NEW r11) ----
+    // The (1-1/e) coverage greedy: 8 picks, each the doc adding the
+    // most uncovered distinct tokens — high-coverage eval-set
+    // assembly. Rounds are bounded; each is one token-keyed anti-join,
+    // argmax through the native top-1 aggregate.
+    "q248_set_cover" -> ((s, dir) => {
+      Curation.greedySetCover(documents(s, dir), k = 8).orderBy("round")
+    }),
+
     // ---- embedding tier: anisotropy profile (NEW r11) ----
     // ABTT diagnostic on top of q233's axis: each vector's squared
     // cosine to the dominant direction in Q6 — the mean says whether

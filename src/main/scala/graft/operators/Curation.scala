@@ -109,4 +109,65 @@ object Curation {
         col("n_words_in"), col("_w").as("n_words_dropped"),
         (col("n_words_in") - col("_w")).as("n_words_kept"))
   }
+
+  /** Greedy set-cover data selection: pick `k` documents one at a time,
+    * each maximizing the count of DISTINCT tokens not yet covered by
+    * the picks so far (ties by doc id) — the classical (1−1/e)
+    * coverage-maximization greedy, used to assemble small high-
+    * coverage eval/calibration sets from a large corpus. Returns one
+    * row per pick: (round, doc_id, new_tokens, covered_total).
+    *
+    * Exact and deterministic: marginal gains are integer counts of a
+    * distinct-token anti-join; the DuckDB oracle unrolls the same k
+    * rounds (q248).
+    *
+    * Scale shape: k is small and bounded; each round is one anti-join
+    * of the (doc, token) table against the covered-token table (both
+    * distributed, token-partitioned — no driver state; the covered set
+    * grows but stays a token-keyed DataFrame) plus one bounded argmax
+    * via the native top-1 aggregate. Lineage is checkpoint-cut per
+    * round so round r's plan does not replay rounds 1..r−1.
+    */
+  def greedySetCover(docs: DataFrame, k: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // elements are word TRIGRAMS: the driver corpus' unigram
+    // vocabulary is ~31 words and one doc covers it all — trigram
+    // coverage is the non-degenerate (and real-world: n-gram
+    // diversity) objective
+    val toks = graft.operators.Dedup.materialize(docs
+      .select(col(idCol).cast("long").as("_id"),
+        explode(array_distinct(
+          TextAnalysis.wordNgrams(col(textCol), 3))).as("_t")))
+    var covered = spark.emptyDataset[String].toDF("_t")
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var total = 0L
+    val pickedIds = scala.collection.mutable.Set.empty[Long]
+    var round = 1
+    while (round <= k) {
+      val gains = toks
+        .join(covered, Seq("_t"), "left_anti")
+        .filter(!col("_id").isin(pickedIds.toSeq.map(java.lang.Long.valueOf): _*))
+        .groupBy("_id").agg(count(lit(1)).as("_g"))
+      // argmax (gain DESC, id ASC) through the bounded native top-k
+      val top = gains.agg(graft.plans.GraftExtensions.topKNative(
+          col("_g").cast("double"), col("_id"), 1).as("_t"))
+        .select(explode(col("_t")).as("p")).select(col("p.id"), col("p.ord"))
+        .collect()
+      if (top.isEmpty) round = k + 1
+      else {
+        val id = top.head.getLong(0)
+        val gain = top.head.getDouble(1).toLong
+        total += gain
+        picks += ((round.toLong, id, gain, total))
+        pickedIds += id
+        covered = graft.operators.Dedup.materialize(
+          covered.unionByName(
+            toks.filter(col("_id") === id).select("_t")).distinct())
+        round += 1
+      }
+    }
+    picks.toSeq.toDF("round", "doc_id", "new_tokens", "covered_total")
+  }
 }

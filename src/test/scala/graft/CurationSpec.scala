@@ -87,4 +87,25 @@ class CurationSpec extends SparkSpec {
     assert(!byStage.contains("domain_cap"))
     assert(byStage("url_dup") == 1L && byStage("exact_dup") == 1L)
   }
+
+  test("greedySetCover: exact greedy vs brute recompute, ties by id, coverage monotone") {
+    // trigram universes per doc (words chosen so trigram sets are
+    // easy to enumerate): doc text of n words has n-2 trigrams
+    val docs = Seq(
+      (1L, "a b c d e"),          // trigrams: abc, bcd, cde  (3)
+      (2L, "a b c d e f"),        // abc bcd cde def          (4)
+      (3L, "x y z w"),            // xyz yzw                  (2)
+      (4L, "a b c d e f"),        // duplicate of 2 → gain 0 after 2
+      (5L, "p q r"))              // pqr                      (1)
+      .toDF("doc_id", "text")
+    val got = Curation.greedySetCover(docs, k = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    // greedy: pick 2 (4 new), then 3 (2 new), then 5 (1 new); round 4
+    // finds NO doc with uncovered trigrams (docs 1 and 4 are fully
+    // covered) → the greedy stops early with 3 picks
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      List((1L, 2L, 4L), (2L, 3L, 2L), (3L, 5L, 1L)))
+    // covered_total is the running sum and is monotone
+    assert(got.map(_._4) == List(4L, 6L, 7L))
+  }
 }
