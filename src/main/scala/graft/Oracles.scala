@@ -1168,6 +1168,49 @@ object Oracles {
       |  ON p.event_type = w.event_type AND p.i = w.i - 1
       |ORDER BY w.event_type, w.day""".stripMargin
 
+  /** q249: `Graphs.recHoldoutEval` — the temporal split, train-side
+    * co-basket counts (distinct items per basket, maxGroup cap can't
+    * trigger at oracle scale), summed scores minus seen items, ROW_NUMBER
+    * top-5 by (score DESC, item), first-hit rank, integer MRR.
+    */
+  def q249RecEval: String =
+    """WITH b AS MATERIALIZED (
+      |  SELECT o_custkey AS c, l_orderkey AS g, l_partkey AS i,
+      |    epoch_us(o_orderdate) // 86400000000 AS d
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |lim AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM b),
+      |cut AS (SELECT lo + 4 * (hi - lo) // 5 AS cutoff FROM lim),
+      |train AS MATERIALIZED (SELECT b.* FROM b CROSS JOIN cut WHERE d < cutoff),
+      |test AS MATERIALIZED (SELECT b.* FROM b CROSS JOIN cut WHERE d >= cutoff),
+      |ti AS MATERIALIZED (SELECT DISTINCT c, i FROM train),
+      |si AS MATERIALIZED (SELECT DISTINCT c, i FROM test),
+      |bi AS (SELECT DISTINCT g, i FROM train),
+      |sz AS (SELECT g FROM bi GROUP BY g HAVING COUNT(*) <= 1000),
+      |cooc AS MATERIALIZED (
+      |  SELECT a.i AS src, x.i AS dst, COUNT(*) AS w
+      |  FROM bi a JOIN bi x ON a.g = x.g AND a.i <> x.i
+      |  JOIN sz ON sz.g = a.g
+      |  GROUP BY 1, 2),
+      |sc AS MATERIALIZED (
+      |  SELECT t.c, o.dst AS j, SUM(o.w) AS s
+      |  FROM ti t JOIN cooc o ON o.src = t.i
+      |  LEFT JOIN ti seen ON seen.c = t.c AND seen.i = o.dst
+      |  WHERE seen.i IS NULL
+      |  GROUP BY 1, 2),
+      |recs AS MATERIALIZED (
+      |  SELECT c, j, rn AS rank FROM (
+      |    SELECT c, j, ROW_NUMBER() OVER (
+      |      PARTITION BY c ORDER BY s DESC, j) AS rn FROM sc)
+      |  WHERE rn <= 5),
+      |elig AS (SELECT DISTINCT r.c FROM recs r
+      |  WHERE EXISTS (SELECT 1 FROM si WHERE si.c = r.c)),
+      |hits AS (SELECT r.c, MIN(r.rank) AS hr
+      |  FROM recs r JOIN si ON si.c = r.c AND si.i = r.j
+      |  GROUP BY 1)
+      |SELECT COUNT(*) AS n_users, COUNT(h.hr) AS n_hit,
+      |  COALESCE(SUM(1000000 // h.hr), 0) AS sum_recip_q6
+      |FROM elig e LEFT JOIN hits h ON h.c = e.c""".stripMargin
+
   /** q248: `Curation.greedySetCover` — k unrolled greedy rounds: gains
     * as anti-join counts against the covered set, argmax (gain DESC,
     * doc_id), covered set grown per round (every round CTE
@@ -4014,6 +4057,7 @@ object Oracles {
     "q246_shard_migration" -> q246ShardMigration,
     "q247_anisotropy" -> q247Anisotropy,
     "q248_set_cover" -> q248SetCover,
+    "q249_rec_eval" -> q249RecEval,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

@@ -2900,6 +2900,19 @@ object SparkEntry {
       TextAnalysis.codeSwitch(d.unionByName(aug)).orderBy("doc_id")
     }),
 
+    // ---- graph tier: recommender holdout evaluation (NEW r11) ----
+    // The q157 co-occurrence recommender evaluated properly: temporal
+    // 80/20 basket split, train-side item-item counts, top-5 per
+    // customer, hit-rate + integer-MRR against held-out purchases.
+    "q249_rec_eval" -> ((s, dir) => {
+      val b = lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_orderkey"), col("l_partkey"),
+          expr("unix_micros(o_orderdate) DIV 86400000000").as("day"))
+      Graphs.recHoldoutEval(b, "o_custkey", "l_orderkey", "l_partkey",
+        "day", topK = 5)
+    }),
+
     // ---- curation tier: greedy set-cover selection (NEW r11) ----
     // The (1-1/e) coverage greedy: 8 picks, each the doc adding the
     // most uncovered distinct tokens — high-coverage eval-set

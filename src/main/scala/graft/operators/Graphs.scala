@@ -31,6 +31,66 @@ object Graphs {
     * (one shuffle of slim (group, item) rows, reused by the guard's
     * anti-join) with per-task cost bounded by maxGroup².
     */
+  /** Temporal holdout evaluation of the co-occurrence recommender (the
+    * q157 family closing its loop): split baskets at the 80 % point of
+    * the calendar span, build item–item co-basket counts on TRAIN,
+    * score each customer's unseen items by summed co-occurrence with
+    * their train items, take top-`topK` (score DESC, item ASC), and
+    * check the recommendations against the customer's TEST items.
+    * Output ONE row: (n_users, n_hit, sum_recip_q6) — users evaluated
+    * (has recs AND test items), users with ≥1 hit in the top-k, and
+    * Σ ⌊10⁶ / first-hit-rank⌋ (the integer MRR numerator).
+    *
+    * All-integer: co-occurrence counts, summed scores, rank ties by
+    * item id, reciprocal ranks as exact floor divisions — the DuckDB
+    * oracle replays the whole evaluation (q249).
+    *
+    * Scale shape: the q157 group-to-list pair build (maxGroup cap, no
+    * self-join), item-keyed score join, per-customer bounded native
+    * top-k — no window over the corpus, nothing on the driver.
+    */
+  def recHoldoutEval(baskets: DataFrame, custCol: String, grpCol: String,
+      itemCol: String, dayCol: String, topK: Int = 5,
+      maxGroup: Int = 1000): DataFrame = {
+    val b = Dedup.materialize(baskets.select(col(custCol).as("_c"),
+      col(grpCol).as("_g"), col(itemCol).as("_i"), col(dayCol).as("_d")))
+    val lim = b.agg(min("_d"), max("_d")).head()
+    val (lo, hi) = (lim.getLong(0), lim.getLong(1))
+    val cutoff = lo + 4L * (hi - lo) / 5L
+    val train = b.filter(col("_d") < cutoff)
+    val test = b.filter(col("_d") >= cutoff)
+    val trainItems = train.select("_c", "_i").distinct()
+    val testItems = test.select("_c", "_i").distinct()
+    val cooc = train.select("_g", "_i").distinct()
+      .groupBy("_g").agg(collect_list("_i").as("_is"))
+      .filter(size(col("_is")) <= maxGroup)
+      .select(col("_is"), explode(col("_is")).as("src"))
+      .select(col("src"), explode(col("_is")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("_w"))
+    val scores = trainItems
+      .join(cooc, col("_i") === col("src"))
+      .select(col("_c"), col("dst").as("_j"), col("_w"))
+      .join(trainItems.select(col("_c"), col("_i").as("_j")),
+        Seq("_c", "_j"), "left_anti")
+      .groupBy("_c", "_j").agg(sum("_w").as("_s"))
+    val recs = scores.groupBy("_c")
+      .agg(graft.plans.GraftExtensions.topKNative(
+        col("_s").cast("double"), col("_j"), topK).as("_t"))
+      .select(col("_c"), posexplode(col("_t")))
+      .select(col("_c"), col("col.id").as("_j"),
+        (col("pos") + 1).cast("long").as("_rank"))
+    val eligible = recs.select("_c").distinct()
+      .join(testItems.select("_c").distinct(), Seq("_c"), "semi")
+    val hits = recs.join(testItems.select(col("_c"), col("_i").as("_j")),
+        Seq("_c", "_j"), "semi")
+      .groupBy("_c").agg(min("_rank").as("_hr"))
+    eligible.join(hits, Seq("_c"), "left")
+      .agg(count(lit(1)).as("n_users"),
+        count(col("_hr")).as("n_hit"),
+        coalesce(sum(expr("1000000 DIV _hr")), lit(0L)).as("sum_recip_q6"))
+  }
+
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
       maxGroup: Int = 1000, dedup: Boolean = true): DataFrame = {
     val slim = df.select(col(groupCol).as("_g"), col(itemCol).as("_i"))

@@ -355,6 +355,36 @@ class GraphsSpec extends SparkSpec {
     assert(multi == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
   }
 
+  test("recHoldoutEval: hand-computed temporal split, eligibility, ranks, integer MRR") {
+    // days span 0..10 → cutoff = 0 + 4·10/5 = 8 (day 8 itself is TEST).
+    // Train: c101 baskets {1,2},{2,3}; c102 basket {1,3}; c103 solo {9};
+    // c104 solo {1}; c105 solo {3}. Global co-basket counts: each of
+    // (1,2),(2,3),(1,3) both ways, weight 1.
+    val b = Seq(
+      (101L, 1L, 1L, 0L), (101L, 1L, 2L, 0L), (101L, 2L, 2L, 1L),
+      (101L, 2L, 3L, 1L), (102L, 3L, 1L, 0L), (102L, 3L, 3L, 0L),
+      (103L, 4L, 9L, 2L), (104L, 8L, 1L, 3L), (105L, 9L, 3L, 4L),
+      (101L, 5L, 3L, 9L), (101L, 5L, 4L, 9L), (102L, 6L, 2L, 10L),
+      (103L, 7L, 1L, 9L), (104L, 10L, 5L, 9L), (105L, 11L, 2L, 9L))
+      .toDF("cust", "basket", "item", "day")
+    val got = Graphs.recHoldoutEval(b, "cust", "basket", "item", "day",
+      topK = 5).collect()
+    // c101: every co-occurring item already in its train set → NO recs
+    //   → ineligible despite having test items. c103: solo item 9 has no
+    //   co-occurrences → no recs → ineligible.
+    // c102 (train {1,3}): candidate 2 scores 1+1=2 → rec [2]; test {2}
+    //   → hit at rank 1 → ⌊10⁶/1⌋.
+    // c104 (train {1}): candidates 2,3 score 1 each → ranks (2→1, 3→2)
+    //   by item tiebreak; test {5} → no hit.
+    // c105 (train {3}): candidates 1,2 score 1 each → ranks (1→1, 2→2);
+    //   test {2} → hit at rank 2 → ⌊10⁶/2⌋.
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 3L, "eligible users = c102, c104, c105")
+    assert(r.getLong(1) == 2L, "hits = c102, c105")
+    assert(r.getLong(2) == 1500000L, "MRR numerator = 10^6 + 10^6/2")
+  }
+
   test("ssspInt: hand-computed distances; relaxation beats greedy; round bound truncates") {
     // 1 →(10)→ 2 →(1)→ 3 ; 1 →(2)→ 4 →(3)→ 2 (so dist(2) = 5 via 4,
     // found only after round 2 relaxes the earlier dist(2) = 10);
