@@ -1168,6 +1168,125 @@ object Oracles {
       |  ON p.event_type = w.event_type AND p.i = w.i - 1
       |ORDER BY w.event_type, w.day""".stripMargin
 
+  /** q250: `Analytics.aucExact` — per-distinct-score cells, strict-
+    * below negative cumsum, tie-aware rank-sum numerator in HUGEINT,
+    * one Q9 floor division.
+    */
+  def q250AucExact: String =
+    """WITH lab AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS s,
+      |    EXISTS (SELECT 1 FROM lineitem
+      |            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') AS y
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |cells AS (SELECT s, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+      |    SUM(CASE WHEN y THEN 0 ELSE 1 END) AS q FROM lab GROUP BY 1),
+      |cum AS (SELECT p, q, COALESCE(SUM(q) OVER (ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+      |  FROM cells),
+      |t AS (SELECT SUM(p) AS np, SUM(q) AS nq,
+      |    SUM(CAST(p AS HUGEINT) * (2 * nb + q)) AS u2 FROM cum)
+      |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nq AS BIGINT) AS n_neg,
+      |  CASE WHEN np * nq <> 0 THEN CAST((u2 * 1000000000)
+      |    // (2 * CAST(np AS HUGEINT) * nq) AS BIGINT) END AS auc_q9
+      |FROM t""".stripMargin
+
+  /** q251: `Analytics.decileLift` — descending (score, key) row
+    * numbers, rank-determined deciles, cumulative capture/lift as
+    * HUGEINT floor divisions.
+    */
+  def q251DecileLift: String =
+    """WITH lab AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS s,
+      |    EXISTS (SELECT 1 FROM lineitem
+      |            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') AS y
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |r AS (SELECT s, y, ROW_NUMBER() OVER (ORDER BY s DESC, k) AS rn,
+      |    COUNT(*) OVER () AS nn FROM lab),
+      |per AS (SELECT ((rn - 1) * 10) // nn AS decile, COUNT(*) AS n,
+      |    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+      |    SUM(CAST(s AS HUGEINT)) AS ss
+      |  FROM r GROUP BY 1),
+      |c AS (SELECT decile, n, np, ss,
+      |    SUM(n) OVER (ORDER BY decile) AS cn,
+      |    SUM(np) OVER (ORDER BY decile) AS cp,
+      |    SUM(n) OVER () AS tn, SUM(np) OVER () AS tp
+      |  FROM per)
+      |SELECT decile, CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+      |  CAST(cn AS BIGINT) AS cum_n, CAST(cp AS BIGINT) AS cum_pos,
+      |  CAST(ss // n AS BIGINT) AS mean_score_tenk,
+      |  CAST((CAST(np AS HUGEINT) * 1000000000) // n AS BIGINT) AS rate_q9,
+      |  CASE WHEN tp <> 0 THEN CAST((CAST(cp AS HUGEINT) * 1000000000)
+      |    // tp AS BIGINT) END AS capture_q9,
+      |  CASE WHEN tp <> 0 THEN CAST((CAST(cp AS HUGEINT) * tn * 1000000000)
+      |    // (CAST(tp AS HUGEINT) * cn) AS BIGINT) END AS lift_q9
+      |FROM c ORDER BY decile""".stripMargin
+
+  /** q252: `Analytics.emdDrift` — hour-of-day cells (odd vs even day),
+    * cross-multiplied |CDF_ref − CDF_cur| integer terms, one Q9 floor
+    * division by n_ref·n_cur.
+    */
+  def q252EmdDrift: String =
+    """WITH b AS (
+      |  SELECT (epoch_us(ts) // 3600000000) % 24 AS h,
+      |    CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 1
+      |      THEN 1 ELSE 0 END AS cur
+      |  FROM events),
+      |cells AS (SELECT h, SUM(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS r,
+      |    SUM(cur) AS c FROM b GROUP BY 1),
+      |tot AS (SELECT SUM(r) AS nr, SUM(c) AS nc, COUNT(*) AS k FROM cells),
+      |cum AS (SELECT SUM(r) OVER (ORDER BY h) AS cr,
+      |    SUM(c) OVER (ORDER BY h) AS cc FROM cells)
+      |SELECT CAST(t.nr AS BIGINT) AS n_ref, CAST(t.nc AS BIGINT) AS n_cur,
+      |  CAST(t.k AS BIGINT) AS n_bins,
+      |  CASE WHEN t.nr * t.nc <> 0 THEN CAST(
+      |    (SUM(ABS(CAST(cr AS HUGEINT) * t.nc - CAST(cc AS HUGEINT) * t.nr))
+      |      * 1000000000) // (CAST(t.nr AS HUGEINT) * t.nc) AS BIGINT)
+      |  END AS emd_q9
+      |FROM cum CROSS JOIN tot t
+      |GROUP BY t.nr, t.nc, t.k""".stripMargin
+
+  /** q253: `Analytics.transitionTopK` — per-user LEAD pairs under the
+    * (ts, event_id) total order, per-src top-3 by (count DESC, dst),
+    * exact Q9 probabilities.
+    */
+  def q253Transitions: String =
+    """WITH p AS (
+      |  SELECT event_type AS src, LEAD(event_type) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst
+      |  FROM events),
+      |c AS (SELECT src, dst, COUNT(*) AS n FROM p
+      |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT src, dst, n, SUM(n) OVER (PARTITION BY src) AS tot,
+      |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rk
+      |  FROM c)
+      |SELECT src, CAST(rk AS BIGINT) AS rank, dst, CAST(n AS BIGINT) AS n,
+      |  CAST((CAST(n AS HUGEINT) * 1000000000) // tot AS BIGINT) AS prob_q9
+      |FROM r WHERE rk <= 3 ORDER BY src, rank""".stripMargin
+
+  /** q254: `Analytics.aucByGroup` — q250's rank-sum kernel partitioned
+    * by order priority.
+    */
+  def q254AucByGroup: String =
+    """WITH lab AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS s,
+      |    EXISTS (SELECT 1 FROM lineitem
+      |            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') AS y
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |cells AS (SELECT g, s, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+      |    SUM(CASE WHEN y THEN 0 ELSE 1 END) AS q FROM lab GROUP BY 1, 2),
+      |cum AS (SELECT g, p, q, COALESCE(SUM(q) OVER (PARTITION BY g
+      |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0) AS nb FROM cells),
+      |t AS (SELECT g, SUM(p) AS np, SUM(q) AS nq,
+      |    SUM(CAST(p AS HUGEINT) * (2 * nb + q)) AS u2 FROM cum GROUP BY 1)
+      |SELECT g AS o_orderpriority, CAST(np AS BIGINT) AS n_pos,
+      |  CAST(nq AS BIGINT) AS n_neg,
+      |  CASE WHEN np * nq <> 0 THEN CAST((u2 * 1000000000)
+      |    // (2 * CAST(np AS HUGEINT) * nq) AS BIGINT) END AS auc_q9
+      |FROM t ORDER BY 1""".stripMargin
+
   /** q249: `Graphs.recHoldoutEval` — the temporal split, train-side
     * co-basket counts (distinct items per basket, maxGroup cap can't
     * trigger at oracle scale), summed scores minus seen items, ROW_NUMBER
@@ -4058,6 +4177,11 @@ object Oracles {
     "q247_anisotropy" -> q247Anisotropy,
     "q248_set_cover" -> q248SetCover,
     "q249_rec_eval" -> q249RecEval,
+    "q250_auc_exact" -> q250AucExact,
+    "q251_decile_lift" -> q251DecileLift,
+    "q252_emd_drift" -> q252EmdDrift,
+    "q253_transitions" -> q253Transitions,
+    "q254_auc_by_group" -> q254AucByGroup,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

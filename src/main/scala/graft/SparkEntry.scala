@@ -2900,6 +2900,64 @@ object SparkEntry {
       TextAnalysis.codeSwitch(d.unionByName(aug)).orderBy("doc_id")
     }),
 
+    // ---- ML-eval tier: exact ROC AUC (NEW r11) ----
+    // "Does price rank return-orders above clean ones" — the tie-aware
+    // rank-sum AUC as one exact Q9 integer. Cells per distinct score,
+    // two-phase bucketed cumsum, no global window.
+    "q250_auc_exact" -> ((s, dir) => {
+      val ret = lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("_rk")).distinct()
+      val d = orders(s, dir).join(ret, col("o_orderkey") === col("_rk"),
+        "left")
+      Analytics.aucExact(d, "o_totalprice", col("_rk").isNotNull)
+    }),
+
+    // ---- ML-eval tier: decile lift & gains (NEW r11) ----
+    // Rank-determined score deciles (descending, o_orderkey tiebreak):
+    // per-decile population/positives/rate plus cumulative capture and
+    // lift, all exact Q9 floor divisions.
+    "q251_decile_lift" -> ((s, dir) => {
+      val ret = lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("_rk")).distinct()
+      val d = orders(s, dir).join(ret, col("o_orderkey") === col("_rk"),
+        "left")
+      Analytics.decileLift(d, "o_totalprice", "o_orderkey",
+          col("_rk").isNotNull)
+        .orderBy("decile")
+    }),
+
+    // ---- validation tier: 1-D EMD drift (NEW r11) ----
+    // Wasserstein-1 between odd- and even-day hour-of-day histograms —
+    // the adjacency-aware companion to q202's PSI. Post-1970 data
+    // invariant (truncating DIV = floor), the q196/q201 convention.
+    "q252_emd_drift" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("hour",
+          pmod(expr("unix_micros(ts) DIV 3600000000"), lit(24)))
+      Analytics.emdDrift(ev, "hour",
+        pmod(expr("unix_micros(ts) DIV 86400000000"), lit(2)) === 1)
+    }),
+
+    // ---- ML-eval tier: transition top-k (NEW r11) ----
+    // First-order Markov transition table over user event streams:
+    // per source type the top-3 next types with exact Q9 probability.
+    "q253_transitions" -> ((s, dir) => {
+      Analytics.transitionTopK(events(s, dir)).orderBy("src", "rank")
+    }),
+
+    // ---- ML-eval tier: per-segment exact AUC (NEW r11) ----
+    // q250 within each order priority — the per-cohort ranker check;
+    // grouped cells + per-group cumsum window (groups parallelize).
+    "q254_auc_by_group" -> ((s, dir) => {
+      val ret = lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("_rk")).distinct()
+      val d = orders(s, dir).join(ret, col("o_orderkey") === col("_rk"),
+        "left")
+      Analytics.aucByGroup(d, "o_orderpriority", "o_totalprice",
+          col("_rk").isNotNull)
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- graph tier: recommender holdout evaluation (NEW r11) ----
     // The q157 co-occurrence recommender evaluated properly: temporal
     // 80/20 basket split, train-side item-item counts, top-5 per

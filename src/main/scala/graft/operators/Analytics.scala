@@ -1237,4 +1237,217 @@ object Analytics {
         col("_med").as("median_tenk"), col("mad_tenk"),
         col("winsor_mean_tenk"))
   }
+
+  /** Exact ROC AUC via the tie-aware rank-sum identity: with
+    * per-distinct-score tallies (pₛ positives, qₛ negatives),
+    * AUC = [Σₛ pₛ·(2·N₍₋₎(s) + qₛ)] / (2·P·N), where N₍₋₎(s) counts
+    * negatives scoring strictly below s — ties contribute ½. Every
+    * term is an exact integer over tenk score units; the readout is
+    * one DECIMAL(38,0) floor division to Q9 (the q244 discipline), so
+    * the DuckDB oracle replays the statistic bit-for-bit. The model-
+    * evaluation primitive: "does this score rank positives above
+    * negatives", label-imbalance-proof.
+    *
+    * Scale shape: rows collapse to per-distinct-score cells in one
+    * partial-agg'd groupBy — never a row-level sort. The strict-below
+    * negative cumsum runs two-phase over the CELLS table: range-bucket
+    * on score ([[Ranking.rangeCuts]]), local window per bucket,
+    * per-bucket totals (≤ numBuckets rows BY CONSTRUCTION) prefix-
+    * summed on the driver and broadcast back — the q61 global-rank
+    * shape, no partition-less window anywhere. Tie groups cannot
+    * straddle buckets because a distinct score is ONE cell row.
+    */
+  def aucExact(df: DataFrame, scoreCol: String, isPos: Column,
+      numBuckets: Int = 32): DataFrame = {
+    val base = df.filter(col(scoreCol).isNotNull)
+      .select((col(scoreCol).cast("decimal(18,4)") * 10000)
+        .cast("long").as("_s"), isPos.cast("boolean").as("_y"))
+    val cells = Dedup.materialize(base.groupBy("_s")
+      .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("_p"),
+        sum(when(!col("_y"), 1L).otherwise(0L)).as("_q")))
+    val cuts = Ranking.rangeCuts(cells, "_s", numBuckets)
+    val b = cells.withColumn("_b", Ranking.bucketCol("_s", cuts))
+    val perB = b.groupBy("_b").agg(sum("_q").as("_c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offRows = perB.scanLeft((0, 0L, 0L)) { case ((_, off, c0), (bid, c)) =>
+      (bid, off + c0, c)
+    }.drop(1).map { case (bid, off, _) => (bid, off) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = offRows.toSeq.toDF("_b", "_off")
+    val w = Window.partitionBy("_b").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(offsets), Seq("_b"))
+      .withColumn("_nb", col("_off") + coalesce(sum("_q").over(w), lit(0L)))
+      .agg(sum("_p").as("n_pos"), sum("_q").as("n_neg"),
+        sum((col("_p").cast("decimal(38,0)") *
+          (col("_nb") * 2 + col("_q")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)")).as("_u2"))
+      .withColumn("_den",
+        (col("n_pos").cast("decimal(19,0)") *
+          col("n_neg").cast("decimal(19,0)")).cast("decimal(38,0)") * 2)
+      // branch guards the ÷0 (degenerate single-class input → null AUC)
+      .withColumn("auc_q9",
+        when(col("_den") =!= 0, expr("(_u2 * 1000000000) DIV _den")))
+      .select(col("n_pos"), col("n_neg"), col("auc_q9"))
+  }
+
+  /** Decile lift & gains table — the "top-k% capture" readout behind
+    * targeting decisions: rows ranked by score DESCENDING (ties broken
+    * by `keyCol`, a unique id, so the ordering is total and engine-
+    * exact), split into `buckets` rank-determined deciles, and per
+    * decile: population, positives, observed positive rate (Q9),
+    * mean score (tenk floor), cumulative capture of all positives
+    * (Q9) and cumulative lift vs the base rate (Q9) — each an exact
+    * integer floor division. Doubles never enter.
+    *
+    * Scale shape: the global descending rank is
+    * [[Ranking.withGlobalRowNumber]] (two-phase bucketed — no global
+    * window over the data); everything after is a `buckets`-row table,
+    * where a partition-less running window is driver-scale by
+    * construction.
+    */
+  def decileLift(df: DataFrame, scoreCol: String, keyCol: String,
+      isPos: Column, buckets: Int = 10): DataFrame = {
+    val base = df.filter(col(scoreCol).isNotNull)
+      .select((-(col(scoreCol).cast("decimal(18,4)") * 10000)
+        .cast("long")).as("_ns"), col(keyCol).as("_k"),
+        isPos.cast("boolean").as("_y"))
+    val ranked = Ranking.withGlobalRowNumber(base, Seq("_ns", "_k"))
+    val per = ranked
+      .withColumn("decile", expr(s"((grank - 1) * $buckets) DIV gn"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
+        sum((-col("_ns")).cast("decimal(38,0)")).as("_ss"))
+    val wc = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wt = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    per
+      .withColumn("cum_n", sum("n").over(wc))
+      .withColumn("cum_pos", sum("n_pos").over(wc))
+      .withColumn("_tn", sum("n").over(wt))
+      .withColumn("_tp", sum("n_pos").over(wt))
+      .withColumn("mean_score_tenk", expr("_ss DIV n"))
+      .withColumn("rate_q9",
+        expr("(CAST(n_pos AS DECIMAL(38,0)) * 1000000000) DIV n"))
+      .withColumn("capture_q9", when(col("_tp") =!= 0,
+        expr("(CAST(cum_pos AS DECIMAL(38,0)) * 1000000000) DIV _tp")))
+      .withColumn("lift_q9", when(col("_tp") =!= 0,
+        expr("(CAST(cum_pos AS DECIMAL(38,0)) * _tn * 1000000000) " +
+          "DIV (CAST(_tp AS DECIMAL(38,0)) * cum_n)")))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"), col("mean_score_tenk"), col("rate_q9"),
+        col("capture_q9"), col("lift_q9"))
+  }
+
+  /** 1-D earth mover's distance (Wasserstein-1) between the reference
+    * (isCurrent false) and current (true) distributions of an ORDERED
+    * integer bin column — the drift metric that, unlike [[psiDrift]],
+    * respects bin adjacency: mass moving one bin costs 1, mass moving
+    * across the histogram costs its distance. With unit bin spacing,
+    * EMD = Σ_bins |CDF_ref − CDF_cur|, computed cross-multiplied so
+    * every term is the exact integer |cumR·nC − cumC·nR|; the readout
+    * floor-divides once to Q9 units of one bin width.
+    *
+    * Scale shape: one partial-agg'd groupBy(bin) collapses the input
+    * to ≤ #bins cells; the cumulative window and the 1-row total
+    * broadcast run on that cells table — driver-scale by construction
+    * (the [[psiFromCells]] contract).
+    */
+  def emdDrift(df: DataFrame, binCol: String,
+      isCurrent: Column): DataFrame = {
+    val cells = df.groupBy(col(binCol).cast("long").as("_h"))
+      .agg(sum(when(isCurrent, 0L).otherwise(1L)).as("_r"),
+        sum(when(isCurrent, 1L).otherwise(0L)).as("_c"))
+    val tot = cells.agg(sum("_r").as("_nr"), sum("_c").as("_nc"),
+      count(lit(1)).as("_k"))
+    val wc = Window.orderBy("_h").rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("_cr", sum("_r").over(wc))
+      .withColumn("_cc", sum("_c").over(wc))
+      .crossJoin(broadcast(tot))
+      .select(col("_nr"), col("_nc"), col("_k"),
+        abs(col("_cr").cast("decimal(38,0)") * col("_nc") -
+          col("_cc").cast("decimal(38,0)") * col("_nr"))
+          .cast("decimal(38,0)").as("_t"))
+      .groupBy("_nr", "_nc", "_k")
+      .agg(sum("_t").as("_s"))
+      .withColumn("emd_q9", when(col("_nr") * col("_nc") =!= 0, expr(
+        "(_s * 1000000000) DIV (CAST(_nr AS DECIMAL(19,0)) * _nc)")))
+      .select(col("_nr").as("n_ref"), col("_nc").as("n_cur"),
+        col("_k").as("n_bins"), col("emd_q9"))
+  }
+
+  /** First-order transition matrix over an event stream: per entity,
+    * consecutive event-type pairs under the (ts, ordCol) total order;
+    * per source type, the top-`k` next types by count (ties by type
+    * name) with their exact Q9 transition probability — the
+    * "what happens after X" readout and the transition table a Markov
+    * simulator broadcast-joins.
+    *
+    * Scale shape: one per-key window pass emits slim (src, dst) pairs;
+    * counts collapse in a partial-agg'd groupBy bounded by #types² —
+    * the per-src total and rank windows run on that tiny cells table.
+    */
+  def transitionTopK(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      ordCol: String = "event_id", k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("_us"), col(ordCol))
+    val pairs = events
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_nxt", lead(col(typeCol), 1).over(w))
+      .filter(col("_nxt").isNotNull)
+      .groupBy(col(typeCol).as("src"), col("_nxt").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val ws = Window.partitionBy("src")
+    val wr = ws.orderBy(col("n").desc, col("dst"))
+    pairs
+      .withColumn("_tot", sum("n").over(ws))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("prob_q9",
+        expr("(CAST(n AS DECIMAL(38,0)) * 1000000000) DIV _tot"))
+      .select(col("src"), col("rank"), col("dst"), col("n"),
+        col("prob_q9"))
+  }
+
+  /** Per-group exact AUC — [[aucExact]] with a segment column: does
+    * the score rank positives over negatives WITHIN each segment (the
+    * per-cohort model-fairness / per-surface-ranker readout). Same
+    * tie-aware rank-sum identity, same Q9 floor division.
+    *
+    * Scale shape: cells collapse per (group, distinct score) in one
+    * partial-agg'd groupBy; the strict-below cumsum is a window
+    * PARTITIONED BY GROUP over those cells (groups are the parallel
+    * unit — the q44 grouped-percentile convention; a skewed group
+    * bounds the sort, never the corpus), then one groupBy readout.
+    */
+  def aucByGroup(df: DataFrame, grpCol: String, scoreCol: String,
+      isPos: Column): DataFrame = {
+    val cells = df.filter(col(scoreCol).isNotNull)
+      .select(col(grpCol).as("_g"),
+        (col(scoreCol).cast("decimal(18,4)") * 10000)
+          .cast("long").as("_s"), isPos.cast("boolean").as("_y"))
+      .groupBy("_g", "_s")
+      .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("_p"),
+        sum(when(!col("_y"), 1L).otherwise(0L)).as("_q"))
+    val w = Window.partitionBy("_g").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("_nb", coalesce(sum("_q").over(w), lit(0L)))
+      .groupBy("_g")
+      .agg(sum("_p").as("n_pos"), sum("_q").as("n_neg"),
+        sum((col("_p").cast("decimal(38,0)") *
+          (col("_nb") * 2 + col("_q")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)")).as("_u2"))
+      .withColumn("_den",
+        (col("n_pos").cast("decimal(19,0)") *
+          col("n_neg").cast("decimal(19,0)")).cast("decimal(38,0)") * 2)
+      .withColumn("auc_q9",
+        when(col("_den") =!= 0, expr("(_u2 * 1000000000) DIV _den")))
+      .select(col("_g").as(grpCol), col("n_pos"), col("n_neg"),
+        col("auc_q9"))
+  }
 }

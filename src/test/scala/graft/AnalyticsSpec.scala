@@ -744,4 +744,76 @@ class AnalyticsSpec extends SparkSpec {
     // resistance: the plain mean of group a is ~918x the winsorized one
     assert(got.head._5 < 100000L)
   }
+
+  test("aucExact: hand-computed rank-sum with ties; degenerate class is null") {
+    // pos {3, 2, 1}, neg {2, 2, 0}: pairs won = (3>all)=3 + (1>0)=1
+    //   + (2>0)=1 = 5, ties (2 vs 2,2) = 2 → AUC = (2·5+2)/(2·3·3)
+    //   = 12/18 → Q9 floor 666666666
+    val df = Seq((3.0, true), (2.0, true), (1.0, true),
+      (2.0, false), (2.0, false), (0.0, false)).toDF("s", "y")
+    val r = Analytics.aucExact(df, "s", col("y")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (3L, 3L, 666666666L))
+    // one bucket per cell exercises the cross-bucket offset path
+    val r32 = Analytics.aucExact(df, "s", col("y"), numBuckets = 32).head()
+    assert(r32.getLong(2) == 666666666L)
+    // all-positive input: no pairs to rank → null, not divide-by-zero
+    val deg = Analytics.aucExact(
+      Seq((1.0, true), (2.0, true)).toDF("s", "y"), "s", col("y")).head()
+    assert(deg.isNullAt(2))
+  }
+
+  test("decileLift: hand-computed buckets, capture and lift exact") {
+    // desc order: 4(pos) 3(neg) 2(neg) 1(pos); buckets=2 → halves
+    val df = Seq((4.0, "a", true), (3.0, "b", false),
+      (2.0, "c", false), (1.0, "d", true)).toDF("s", "k", "y")
+    val got = Analytics.decileLift(df, "s", "k", col("y"), buckets = 2)
+      .orderBy("decile")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(got == List(
+      // top half: 1 of 2 positives captured, lift (1·4)/(2·2) = 1
+      (0L, 2L, 1L, 2L, 1L, 35000L, 500000000L, 500000000L, 1000000000L),
+      (1L, 2L, 1L, 4L, 2L, 15000L, 500000000L, 1000000000L, 1000000000L)))
+  }
+
+  test("emdDrift: hand-computed CDF distance; identical mix is zero") {
+    // bins 0,1,2: ref [2,1,1] cur [0,2,2]; cum cross-terms
+    //   |2·4−0·4|+|3·4−2·4|+|4·4−4·4| = 12 → 12e9 DIV 16 = 0.75 widths
+    val rows = Seq.fill(2)((0, false)) ++ Seq((1, false), (2, false)) ++
+      Seq.fill(2)((1, true)) ++ Seq.fill(2)((2, true))
+    val r = Analytics.emdDrift(rows.toDF("h", "cur"), "h", col("cur")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (4L, 4L, 3L, 750000000L))
+    // same histogram on both sides → EMD exactly 0
+    val same = Seq((0, false), (1, false), (0, true), (1, true))
+    val z = Analytics.emdDrift(same.toDF("h", "cur"), "h", col("cur")).head()
+    assert(z.getLong(3) == 0L)
+  }
+
+  test("transitionTopK: hand-computed counts, rank ties by type, Q9 probs") {
+    // one user: A B A C A B → pairs A→B ×2, B→A, A→C, C→A
+    val seq = Seq("A", "B", "A", "C", "A", "B").zipWithIndex.map {
+      case (t, i) => (1L, i.toLong, t, ts(f"2024-01-01 10:0$i:00"))
+    }
+    val got = Analytics.transitionTopK(
+        seq.toDF("user_id", "event_id", "event_type", "ts"))
+      .orderBy("src", "rank")
+      .as[(String, Long, String, Long, Long)].collect().toList
+    assert(got == List(
+      ("A", 1L, "B", 2L, 666666666L), ("A", 2L, "C", 1L, 333333333L),
+      ("B", 1L, "A", 1L, 1000000000L), ("C", 1L, "A", 1L, 1000000000L)))
+  }
+
+  test("aucByGroup: per-segment rank-sum; degenerate segment null") {
+    val df = Seq(
+      ("g1", 3.0, true), ("g1", 2.0, true), ("g1", 1.0, true),
+      ("g1", 2.0, false), ("g1", 2.0, false), ("g1", 0.0, false),
+      ("g2", 5.0, true), ("g2", 4.0, true)) // no negatives in g2
+      .toDF("g", "s", "y")
+    val got = Analytics.aucByGroup(df, "g", "s", col("y"))
+      .orderBy("g").collect().toList
+    assert(got.head.getString(0) == "g1" &&
+      got.head.getLong(3) == 666666666L)
+    assert(got(1).getString(0) == "g2" && got(1).isNullAt(3))
+  }
 }
