@@ -1168,6 +1168,134 @@ object Oracles {
       |  ON p.event_type = w.event_type AND p.i = w.i - 1
       |ORDER BY w.event_type, w.day""".stripMargin
 
+  /** q256: `Analytics.robustOutliers` — q237's median/MAD replay, the
+    * modified z-score flag (|x − med| > 3·MAD), exact Q9 rate.
+    */
+  def q256RobustOutliers: String =
+    """WITH b AS (SELECT o_orderpriority AS g,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |r AS MATERIALIZED (SELECT g, x,
+      |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+      |    COUNT(*) OVER (PARTITION BY g) AS n FROM b),
+      |med AS (SELECT g, x AS med FROM r WHERE rn = (n + 1) // 2),
+      |d AS (SELECT b.g, ABS(b.x - m.med) AS dx
+      |  FROM b JOIN med m ON m.g = b.g),
+      |r2 AS (SELECT g, dx,
+      |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY dx) AS rn,
+      |    COUNT(*) OVER (PARTITION BY g) AS n FROM d),
+      |mad AS (SELECT g, dx AS mad FROM r2 WHERE rn = (n + 1) // 2),
+      |f AS (SELECT b.g, COUNT(*) AS n,
+      |    SUM(CASE WHEN ABS(b.x - m.med) > 3 * md.mad
+      |      THEN 1 ELSE 0 END) AS n_out
+      |  FROM b JOIN med m ON m.g = b.g JOIN mad md ON md.g = b.g
+      |  GROUP BY 1)
+      |SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+      |  CAST(n_out AS BIGINT) AS n_out,
+      |  CAST((CAST(n_out AS HUGEINT) * 1000000000) // n AS BIGINT)
+      |    AS out_rate_q9
+      |FROM f ORDER BY 1""".stripMargin
+
+  /** q257: `Analytics.cohenKappa` — q23's langid replay as the second
+    * rater, confusion-matrix margins, κ as one SIGNED HUGEINT floor
+    * division (DuckDB `//` floors; the Spark side uses the pmod form).
+    */
+  def q257CohenKappa: String =
+    """WITH w AS (
+      |  SELECT doc_id, w FROM documents,
+      |    unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+')) AS t(w)
+      |  WHERE w <> ''),
+      |h AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN w IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit') THEN 1 ELSE 0 END) AS h_de,
+      |    SUM(CASE WHEN w IN ('the','and','of','to','in','is','that','it','was','for') THEN 1 ELSE 0 END) AS h_en,
+      |    SUM(CASE WHEN w IN ('el','la','los','las','y','es','un','una','que','por') THEN 1 ELSE 0 END) AS h_es,
+      |    SUM(CASE WHEN w IN ('le','la','les','et','est','une','un','que','pour','dans') THEN 1 ELSE 0 END) AS h_fr,
+      |    SUM(CASE WHEN w IN ('il','la','di','e','che','un','una','per','non','sono') THEN 1 ELSE 0 END) AS h_it,
+      |    SUM(CASE WHEN w IN ('de','het','een','en','van','is','dat','niet','met','op') THEN 1 ELSE 0 END) AS h_nl
+      |  FROM w GROUP BY doc_id),
+      |p AS (SELECT d.lang AS a,
+      |  CASE
+      |    WHEN h.doc_id IS NULL OR GREATEST(h_de,h_en,h_es,h_fr,h_it,h_nl) = 0 THEN 'und'
+      |    WHEN h_de >= GREATEST(h_en,h_es,h_fr,h_it,h_nl) THEN 'de'
+      |    WHEN h_en >= GREATEST(h_es,h_fr,h_it,h_nl) THEN 'en'
+      |    WHEN h_es >= GREATEST(h_fr,h_it,h_nl) THEN 'es'
+      |    WHEN h_fr >= GREATEST(h_it,h_nl) THEN 'fr'
+      |    WHEN h_it >= h_nl THEN 'it'
+      |    ELSE 'nl' END AS b
+      |  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+      |  WHERE d.lang IS NOT NULL),
+      |cm AS (SELECT a, b, COUNT(*) AS c FROM p GROUP BY 1, 2),
+      |rw AS (SELECT a AS l, SUM(c) AS ra FROM cm GROUP BY 1),
+      |cl AS (SELECT b AS l, SUM(c) AS rb FROM cm GROUP BY 1),
+      |pe AS (SELECT COALESCE(SUM(CAST(COALESCE(ra, 0) AS HUGEINT)
+      |    * COALESCE(rb, 0)), 0) AS pe
+      |  FROM rw FULL JOIN cl USING (l)),
+      |t AS (SELECT SUM(c) AS n,
+      |    SUM(CASE WHEN a = b THEN c ELSE 0 END) AS agree FROM cm)
+      |SELECT CAST(t.n AS BIGINT) AS n, CAST(t.agree AS BIGINT) AS n_agree,
+      |  CASE WHEN CAST(t.n AS HUGEINT) * t.n - pe.pe <> 0 THEN
+      |    CAST(((CAST(t.agree AS HUGEINT) * t.n - pe.pe) * 1000000000)
+      |      // (CAST(t.n AS HUGEINT) * t.n - pe.pe) AS BIGINT)
+      |  END AS kappa_q9
+      |FROM t CROSS JOIN pe""".stripMargin
+
+  /** q258: `Analytics.abcClassification` — per-part revenue, running
+    * total over (value DESC, key), permille cuts by integer cross-
+    * multiplication.
+    */
+  def q258AbcClasses: String =
+    """WITH rev AS (SELECT l_partkey AS k,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+      |      AS DECIMAL(18,4)) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |b AS (SELECT k, CAST(rev * 10000 AS BIGINT) AS v
+      |  FROM rev WHERE rev IS NOT NULL),
+      |r AS (SELECT k, v, SUM(v) OVER (ORDER BY v DESC, k) AS cum,
+      |    SUM(v) OVER () AS tot FROM b),
+      |c AS (SELECT CASE
+      |    WHEN CAST(cum AS HUGEINT) * 1000 <= CAST(tot AS HUGEINT) * 800
+      |      THEN 'A'
+      |    WHEN CAST(cum AS HUGEINT) * 1000 <= CAST(tot AS HUGEINT) * 950
+      |      THEN 'B'
+      |    ELSE 'C' END AS abc_class, v, tot FROM r)
+      |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(v) AS BIGINT) AS value_tenk,
+      |  CAST((CAST(SUM(v) AS HUGEINT) * 1000000000) // MAX(tot) AS BIGINT)
+      |    AS share_q9
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q259: `Analytics.logRank` — q201's lifetimes in odd/even user
+    * arms; per-event-time O−E and hypergeometric variance as Q9
+    * floor-per-term integers (suffix-sum at-risk counts).
+    */
+  def q259LogRank: String =
+    """WITH life AS (
+      |  SELECT user_id,
+      |    MAX(epoch_us(ts) // 86400000000)
+      |      - MIN(epoch_us(ts) // 86400000000) AS t,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e,
+      |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS a
+      |  FROM events GROUP BY user_id),
+      |cells AS (SELECT t,
+      |    SUM(CASE WHEN a = 1 THEN e ELSE 0 END) AS d1, SUM(e) AS d,
+      |    SUM(a) AS m1, COUNT(*) AS m
+      |  FROM life GROUP BY 1),
+      |ar AS (SELECT t, d1, d,
+      |    SUM(m1) OVER (ORDER BY t DESC) AS n1,
+      |    SUM(m) OVER (ORDER BY t DESC) AS n
+      |  FROM cells),
+      |terms AS (SELECT
+      |    ((CAST(d1 AS HUGEINT) * n - CAST(n1 AS HUGEINT) * d)
+      |      * 1000000000) // n AS oe,
+      |    CASE WHEN n > 1 THEN (CAST(d AS HUGEINT) * n1 * (n - n1)
+      |      * (n - d) * 1000000000)
+      |      // (CAST(n AS HUGEINT) * n * (n - 1)) ELSE 0 END AS v
+      |  FROM ar WHERE d > 0)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+      |  CAST(SUM(oe) AS BIGINT) AS oe_q9, CAST(SUM(v) AS BIGINT) AS var_q9
+      |FROM terms""".stripMargin
+
   /** q250: `Analytics.aucExact` — per-distinct-score cells, strict-
     * below negative cumsum, tie-aware rank-sum numerator in HUGEINT,
     * one Q9 floor division.
@@ -4182,6 +4310,11 @@ object Oracles {
     "q252_emd_drift" -> q252EmdDrift,
     "q253_transitions" -> q253Transitions,
     "q254_auc_by_group" -> q254AucByGroup,
+    "q255_stream_emd" -> q252EmdDrift,
+    "q256_robust_outliers" -> q256RobustOutliers,
+    "q257_cohen_kappa" -> q257CohenKappa,
+    "q258_abc_classes" -> q258AbcClasses,
+    "q259_log_rank" -> q259LogRank,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

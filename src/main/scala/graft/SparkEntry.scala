@@ -2900,6 +2900,64 @@ object SparkEntry {
       TextAnalysis.codeSwitch(d.unionByName(aug)).orderBy("doc_id")
     }),
 
+    // ---- streaming tier: EMD drift via state store (NEW r11) ----
+    // q252's cells built by the streaming engine (the q205 discipline:
+    // one cell builder, two engine paths), batch EMD readout — the
+    // oracle is q252's SQL verbatim.
+    "q255_stream_emd" -> ((s, dir) => {
+      val cells = EventStreams.runOnceOnParquet(s, s"$dir/events.parquet",
+        df => Analytics.chisqCells(
+          df.withColumn("hour",
+            pmod(expr("unix_micros(ts) DIV 3600000000"), lit(24))),
+          "hour",
+          pmod(expr("unix_micros(ts) DIV 86400000000"), lit(2)) === 1),
+        s"emd_sink_${System.nanoTime()}")
+      Analytics.emdFromCells(cells)
+    }),
+
+    // ---- validation tier: robust outlier profile (NEW r11) ----
+    // q237's median/MAD broadcast back over the rows: modified z-score
+    // flags (k=3) per priority, exact Q9 outlier rate.
+    "q256_robust_outliers" -> ((s, dir) => {
+      Analytics.robustOutliers(orders(s, dir), "o_orderpriority",
+          "o_totalprice", k = 3)
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- ML-eval tier: Cohen's kappa (NEW r11) ----
+    // Chance-corrected agreement between the labeled lang column and
+    // the q23 langid heuristic — the annotator-QA readout; signed Q9
+    // floor (pmod form = DuckDB //).
+    "q257_cohen_kappa" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      Analytics.cohenKappa(d, "lang", "lang_pred")
+    }),
+
+    // ---- analytics tier: ABC / Pareto classes (NEW r11) ----
+    // Parts by revenue, 80/95 permille cuts on the exact two-phase
+    // running total — which SKUs carry the corpus.
+    "q258_abc_classes" -> ((s, dir) => {
+      val rev = lineitem(s, dir).groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("rev"))
+      Analytics.abcClassification(rev, "l_partkey", "rev")
+        .orderBy("abc_class")
+    }),
+
+    // ---- analytics tier: log-rank test (NEW r11) ----
+    // q201's censored lifetimes split into odd/even user arms: the
+    // two-cohort survival comparison as floor-per-term Q9 integers.
+    "q259_log_rank" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+      val life = ev.groupBy("user_id")
+        .agg((max("day") - min("day")).as("lifetime"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("event"))
+      Analytics.logRank(life, "lifetime", "event",
+        pmod(col("user_id"), lit(2)) === 1)
+    }),
+
     // ---- ML-eval tier: exact ROC AUC (NEW r11) ----
     // "Does price rank return-orders above clean ones" — the tie-aware
     // rank-sum AUC as one exact Q9 integer. Cells per distinct score,

@@ -1357,10 +1357,17 @@ object Analytics {
     * (the [[psiFromCells]] contract).
     */
   def emdDrift(df: DataFrame, binCol: String,
-      isCurrent: Column): DataFrame = {
-    val cells = df.groupBy(col(binCol).cast("long").as("_h"))
-      .agg(sum(when(isCurrent, 0L).otherwise(1L)).as("_r"),
-        sum(when(isCurrent, 1L).otherwise(0L)).as("_c"))
+      isCurrent: Column): DataFrame =
+    emdFromCells(chisqCells(df, binCol, isCurrent))
+
+  /** EMD readout from a cells table (`_cat` ordered integer bin, `_c1`
+    * reference, `_c2` current — the [[chisqCells]] shape, so the
+    * batch and streaming paths share one cell builder and one oracle,
+    * the [[psiFromCells]] contract). See [[emdDrift]].
+    */
+  def emdFromCells(cells0: DataFrame): DataFrame = {
+    val cells = cells0.select(col("_cat").cast("long").as("_h"),
+      col("_c1").as("_r"), col("_c2").as("_c"))
     val tot = cells.agg(sum("_r").as("_nr"), sum("_c").as("_nc"),
       count(lit(1)).as("_k"))
     val wc = Window.orderBy("_h").rowsBetween(Window.unboundedPreceding, 0)
@@ -1411,6 +1418,170 @@ object Analytics {
         expr("(CAST(n AS DECIMAL(38,0)) * 1000000000) DIV _tot"))
       .select(col("src"), col("rank"), col("dst"), col("n"),
         col("prob_q9"))
+  }
+
+  /** Robust outlier profile per group — [[robustStats]]'s median/MAD
+    * broadcast back over the rows, flagging |x − median| > k·MAD (the
+    * modified z-score rule with an integer k; MAD = 0 degrades to
+    * "any deviation flags", the conservative reading). All tenk-unit
+    * integer comparisons; the rate is one exact Q9 floor division.
+    * The data-quality row-level readout the [[robustStats]] dashboard
+    * drills into.
+    *
+    * Scale shape: the stats table is one row per group (broadcast,
+    * like robustStats' own median join-back); the flag pass is one
+    * map + one partial-agg'd groupBy.
+    */
+  def robustOutliers(df: DataFrame, grpCol: String, valCol: String,
+      k: Int = 3): DataFrame = {
+    val stats = robustStats(df, grpCol, valCol)
+      .select(col(grpCol).as("_g"), col("median_tenk"), col("mad_tenk"))
+    val base = df.filter(col(valCol).isNotNull)
+      .select(col(grpCol).as("_g"),
+        (col(valCol).cast("decimal(18,4)") * 10000).cast("long").as("_x"))
+    base.join(broadcast(stats), Seq("_g"))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("_x") - col("median_tenk")) >
+          col("mad_tenk") * k, 1L).otherwise(0L)).as("n_out"))
+      .withColumn("out_rate_q9",
+        expr("(CAST(n_out AS DECIMAL(38,0)) * 1000000000) DIV n"))
+      .select(col("_g").as(grpCol), col("n"), col("n_out"),
+        col("out_rate_q9"))
+  }
+
+  /** Cohen's kappa between two categorical raters — chance-corrected
+    * agreement, the inter-annotator / model-vs-label QA metric:
+    * κ = (p₀ − pₑ)/(1 − pₑ) = (agree·n − Σℓ rowℓ·colℓ) /
+    * (n² − Σℓ rowℓ·colℓ), every term an exact integer. κ can be
+    * NEGATIVE (worse than chance), so the Q9 readout pins the signed
+    * division to TRUNCATION via the (num − num % den)/den form —
+    * DuckDB's `//` and `%` truncate exactly like Spark's (measured:
+    * −7//2 = −3), so both engines agree below zero by construction.
+    *
+    * Scale shape: rows collapse to a #labels² confusion matrix in one
+    * partial-agg'd groupBy; margins, the diagonal, and the readout all
+    * run on that tiny cells table.
+    */
+  def cohenKappa(df: DataFrame, rater1Col: String,
+      rater2Col: String): DataFrame = {
+    val cm = df
+      .filter(col(rater1Col).isNotNull && col(rater2Col).isNotNull)
+      .groupBy(col(rater1Col).as("_a"), col(rater2Col).as("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val rows = cm.groupBy(col("_a").as("_l")).agg(sum("_c").as("_ra"))
+    val cols = cm.groupBy(col("_b").as("_l")).agg(sum("_c").as("_rb"))
+    val pe = rows.join(cols, Seq("_l"), "full")
+      .agg(coalesce(sum((coalesce(col("_ra"), lit(0L)).cast("decimal(19,0)") *
+        coalesce(col("_rb"), lit(0L)).cast("decimal(19,0)"))
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("_pe"))
+    val agg = cm.agg(sum("_c").as("n"),
+      sum(when(col("_a") === col("_b"), col("_c")).otherwise(0L))
+        .as("n_agree"))
+    agg.crossJoin(broadcast(pe))
+      .withColumn("_num",
+        ((col("n_agree").cast("decimal(19,0)") *
+          col("n").cast("decimal(19,0)")).cast("decimal(38,0)") -
+          col("_pe")) * 1000000000)
+      .withColumn("_den",
+        (col("n").cast("decimal(19,0)") *
+          col("n").cast("decimal(19,0)")).cast("decimal(38,0)") -
+          col("_pe"))
+      // pe = n² ⟺ both raters are the same constant: κ undefined → null
+      .withColumn("kappa_q9", when(col("_den") =!= 0,
+        expr("CAST((_num - (_num % _den)) / _den AS BIGINT)")))
+      .select(col("n"), col("n_agree"), col("kappa_q9"))
+  }
+
+  /** ABC / Pareto classification: keys ranked by value DESCENDING
+    * (ties by key — total order), class A while the running value
+    * share is ≤ `thrA`‰, B while ≤ `thrB`‰, C after — the 80/15/5
+    * inventory-analysis cut, decided by exact integer cross-
+    * multiplication (cum·1000 ≤ thr·total in tenk units, never a
+    * float share). Output per class: keys, value total (tenk), exact
+    * Q9 share.
+    *
+    * Scale shape: the global descending prefix sum is
+    * [[Packing.withRunningTotal]] (two-phase bucketed — no global
+    * window); the classification is a map-side comparison against one
+    * broadcast scalar, and the readout a 3-row groupBy.
+    */
+  def abcClassification(df: DataFrame, keyCol: String, valCol: String,
+      thrA: Int = 800, thrB: Int = 950): DataFrame = {
+    val base = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("_k"),
+        (col(valCol).cast("decimal(18,4)") * 10000).cast("long").as("_v"))
+      .withColumn("_nv", -col("_v"))
+    val run = Packing.withRunningTotal(base, Seq("_nv", "_k"), "_v", "_cum")
+    val tot = run.agg(max("_cum").as("_tot"))
+    run.crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(col("_cum").cast("decimal(38,0)") * 1000 <=
+          col("_tot").cast("decimal(38,0)") * thrA, "A")
+          .when(col("_cum").cast("decimal(38,0)") * 1000 <=
+            col("_tot").cast("decimal(38,0)") * thrB, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_keys"), sum("_v").as("value_tenk"),
+        max("_tot").as("_t"))
+      .withColumn("share_q9", when(col("_t") =!= 0,
+        expr("(CAST(value_tenk AS DECIMAL(38,0)) * 1000000000) DIV _t")))
+      .select(col("abc_class"), col("n_keys"), col("value_tenk"),
+        col("share_q9"))
+  }
+
+  /** Log-rank test between two survival arms (fixed-point variant):
+    * at each distinct event time, the observed-minus-expected arm-1
+    * deaths (d₁ⱼ − n₁ⱼ·dⱼ/nⱼ) and the hypergeometric variance
+    * dⱼ·n₁ⱼ·(nⱼ−n₁ⱼ)·(nⱼ−dⱼ) / (nⱼ²·(nⱼ−1)), each read out as a Q9
+    * TRUNCATE-per-term integer — a deterministic fixed-point statistic
+    * (documented: the division is per event time, not one global
+    * division; O−E terms are signed, so the truncating
+    * (num − num % den)/den form is pinned — DuckDB's `//` truncates on
+    * integers exactly like Spark's DIV, measured −7//2 = −3).
+    * Complements [[kaplanMeier]] (q201) with the two-cohort
+    * comparison. Variance products bound nⱼ ≲ 3·10⁷ inside
+    * DECIMAL(38,0) — per-cohort survival scale, stated here.
+    *
+    * Scale shape: lifetimes collapse to per-(time) cells in one
+    * groupBy; the at-risk counts are suffix sums over the DISTINCT-
+    * duration table (calendar-bounded — the q201 window cap), then
+    * one readout agg.
+    */
+  def logRank(df: DataFrame, durationCol: String, eventCol: String,
+      armCol: Column): DataFrame = {
+    val cells = df
+      .select(col(durationCol).cast("long").as("_t"),
+        col(eventCol).cast("long").as("_e"),
+        when(armCol, 1L).otherwise(0L).as("_a"))
+      .groupBy("_t")
+      .agg(sum(when(col("_a") === 1, col("_e")).otherwise(0L)).as("_d1"),
+        sum(col("_e")).as("_d"),
+        sum(when(col("_a") === 1, 1L).otherwise(0L)).as("_m1"),
+        count(lit(1)).as("_m"))
+    val wd = Window.orderBy(col("_t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("_n1", sum("_m1").over(wd))
+      .withColumn("_n", sum("_m").over(wd))
+      .filter(col("_d") > 0)
+      .withColumn("_oeNum",
+        ((col("_d1").cast("decimal(19,0)") * col("_n") -
+          col("_n1").cast("decimal(19,0)") * col("_d"))
+          .cast("decimal(38,0)") * 1000000000).cast("decimal(38,0)"))
+      .withColumn("_oe", expr(
+        "CAST((_oeNum - (_oeNum % CAST(_n AS DECIMAL(38,0)))) " +
+          "/ CAST(_n AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("_vNum",
+        (col("_d").cast("decimal(38,0)") * col("_n1") *
+          (col("_n") - col("_n1")) * (col("_n") - col("_d")) *
+          1000000000).cast("decimal(38,0)"))
+      // all-positive factors: truncating DIV is floor, = DuckDB //
+      .withColumn("_v", when(col("_n") > 1, expr(
+        "_vNum DIV (CAST(_n AS DECIMAL(38,0)) * _n * (_n - 1))"))
+        .otherwise(lit(0L)))
+      .agg(count(lit(1)).as("n_event_times"),
+        sum("_oe").as("oe_q9"), sum("_v").as("var_q9"))
   }
 
   /** Per-group exact AUC — [[aucExact]] with a segment column: does

@@ -20,7 +20,11 @@ object ScaleSweepR11c {
       "q238_budget_sample", "q239_table_profile", "q240_stream_ewma",
       "q241_dyadic_quantiles", "q242_code_switch", "q243_pit_features",
       "q244_target_encode", "q245_equifreq_bins", "q246_shard_migration",
-      "q247_anisotropy", "q248_set_cover", "q249_rec_eval")
+      "q247_anisotropy", "q248_set_cover", "q249_rec_eval",
+      "q250_auc_exact", "q251_decile_lift", "q252_emd_drift",
+      "q253_transitions", "q254_auc_by_group", "q255_stream_emd",
+      "q256_robust_outliers", "q257_cohen_kappa", "q258_abc_classes",
+      "q259_log_rank")
     for (name <- names) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()

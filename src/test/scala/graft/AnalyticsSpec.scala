@@ -804,6 +804,64 @@ class AnalyticsSpec extends SparkSpec {
       ("B", 1L, "A", 1L, 1000000000L), ("C", 1L, "A", 1L, 1000000000L)))
   }
 
+  test("robustOutliers: modified z-score flags only the planted outlier") {
+    // group a: 1..10 + 10000 → med 60000, MAD 30000, k=3 → threshold
+    // 90000; only the outlier's deviation (99,940,000) crosses it.
+    val a = (1 to 10).map(v => ("a", v.toDouble)) :+ (("a", 10000.0))
+    val b = (1 to 4).map(v => ("b", v.toDouble))
+    val got = Analytics.robustOutliers((a ++ b).toDF("g", "v"), "g", "v")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List(("a", 11L, 1L, 1000000000L / 11L),
+      ("b", 4L, 0L, 0L)))
+  }
+
+  test("cohenKappa: textbook 0.4; perfect disagreement -1; negative trunc matches //") {
+    // 2x2: agree 35/50 (p0=.7), margins 25/25 vs 30/20 (pe=.5) → κ=0.4
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b"))
+    val r = Analytics.cohenKappa(rows.toDF("r1", "r2"), "r1", "r2").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      (50L, 35L, 400000000L))
+    // complete disagreement on a symmetric 2x2 → κ = −1 exactly
+    val k2 = Analytics.cohenKappa(
+      Seq(("a", "b"), ("b", "a")).toDF("r1", "r2"), "r1", "r2").head()
+    assert(k2.getLong(2) == -1000000000L)
+    // non-divisible negative: n=2, agree=0, pe=1 → −10⁹/3 must
+    // TRUNCATE to −333333333 (DuckDB // truncates; floor would be …34)
+    val k3 = Analytics.cohenKappa(
+      Seq(("a", "b"), ("b", "c")).toDF("r1", "r2"), "r1", "r2").head()
+    assert(k3.getLong(2) == -333333333L)
+    // both raters one constant label: pe = n² → undefined, null
+    val k4 = Analytics.cohenKappa(
+      Seq(("a", "a"), ("a", "a")).toDF("r1", "r2"), "r1", "r2").head()
+    assert(k4.isNullAt(2))
+  }
+
+  test("abcClassification: permille boundary inclusive; exact shares") {
+    // desc 50,30,10,6,4 of 100: cum 50,80 → A (80.0% INCLUSIVE),
+    // 90 → B, 96,100 → C
+    val df = Seq(("a", 50.0), ("b", 30.0), ("c", 10.0), ("d", 6.0),
+      ("e", 4.0)).toDF("k", "v")
+    val got = Analytics.abcClassification(df, "k", "v")
+      .orderBy("abc_class")
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(("A", 2L, 800000L, 800000000L),
+      ("B", 1L, 100000L, 100000000L), ("C", 2L, 100000L, 100000000L)))
+  }
+
+  test("logRank: hand-computed O-E and variance; arm swap flips the sign") {
+    // arm1 dies at t=1 (x2); arm0: death t=2, censored t=3
+    // t=1: d1=2 d=2 n1=2 n=4 → O−E = (2·4−2·2)/4 = 1 → 10⁹;
+    //   V = 2·2·2·2/(16·3) → ⌊10⁹/3⌋; t=2: d=1 n1=0 → both 0
+    val df = Seq((1L, 1L, 1L), (1L, 1L, 1L), (2L, 1L, 0L), (3L, 0L, 0L))
+      .toDF("t", "e", "arm")
+    val r = Analytics.logRank(df, "t", "e", col("arm") === 1).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      (2L, 1000000000L, 333333333L))
+    val sw = Analytics.logRank(df, "t", "e", col("arm") === 0).head()
+    assert((sw.getLong(1), sw.getLong(2)) == (-1000000000L, 333333333L))
+  }
+
   test("aucByGroup: per-segment rank-sum; degenerate segment null") {
     val df = Seq(
       ("g1", 3.0, true), ("g1", 2.0, true), ("g1", 1.0, true),
