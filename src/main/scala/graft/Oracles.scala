@@ -1168,6 +1168,113 @@ object Oracles {
       |  ON p.event_type = w.event_type AND p.i = w.i - 1
       |ORDER BY w.event_type, w.day""".stripMargin
 
+  /** q260: `TextAnalysis.zipfProfile` — token counts, top-1000 head,
+    * lnQ12 CTE logs scaled to Q6, exact HUGEINT OLS moments, one
+    * signed truncating division to Q9.
+    */
+  def q260ZipfProfile: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT w FROM documents,
+      |    unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+')) AS t(w)
+      |  WHERE w <> ''),
+      |c AS MATERIALIZED (SELECT w, COUNT(*) AS c FROM w GROUP BY 1),
+      |v AS (SELECT COUNT(*) AS vocab FROM c),
+      |top AS MATERIALIZED (SELECT c, r FROM (
+      |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r FROM c)
+      |  WHERE r <= 1000),
+      |_ks AS (SELECT DISTINCT k FROM (
+      |  SELECT c AS k FROM top UNION SELECT r FROM top)),
+      |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
+      |xy AS (SELECT lr.l // 1000000 AS x, lc.l // 1000000 AS y
+      |  FROM top JOIN _lnq lr ON lr.k = top.r JOIN _lnq lc ON lc.k = top.c),
+      |s AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+      |    SUM(CAST(y AS HUGEINT)) AS sy, SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx FROM xy)
+      |SELECT CAST(v.vocab AS BIGINT) AS vocab_size,
+      |  CAST(s.n AS BIGINT) AS n_fit,
+      |  CASE WHEN s.n * s.sxx - s.sx * s.sx <> 0 THEN
+      |    CAST(((s.n * s.sxy - s.sx * s.sy) * 1000000000)
+      |      // (s.n * s.sxx - s.sx * s.sx) AS BIGINT) END AS slope_q9
+      |FROM s CROSS JOIN v ORDER BY vocab_size""".stripMargin
+
+  /** q261: `Embeddings.matryoshkaProfile` — q81's half-up int8
+    * quantize replay, prefix slices, pure-integer cos² = Sₖ/S_d per
+    * vector in Q9, mean/min/max per prefix.
+    */
+  def q261Matryoshka: String =
+    """WITH base AS (
+      |  SELECT vec_id,
+      |    COALESCE(list_max(list_transform(embedding, x -> abs(x::DOUBLE))),
+      |      0.0) AS maxabs, embedding
+      |  FROM embeddings),
+      |qv AS MATERIALIZED (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(x::DOUBLE *
+      |      (CASE WHEN maxabs = 0.0 THEN 1.0 ELSE 127.0 / maxabs END)
+      |      + 0.5) AS BIGINT)) AS q
+      |  FROM base),
+      |pk AS (SELECT q, CAST(k AS BIGINT) AS prefix_dim
+      |  FROM qv, unnest([16, 32, 48]) AS t(k)),
+      |s AS (SELECT prefix_dim,
+      |    CAST(list_sum(list_transform(q[1:CAST(prefix_dim AS INTEGER)],
+      |      x -> x * x)) AS HUGEINT) AS sk,
+      |    CAST(list_sum(list_transform(q, x -> x * x)) AS HUGEINT) AS sd
+      |  FROM pk),
+      |c AS (SELECT prefix_dim, (sk * 1000000000) // sd AS c2
+      |  FROM s WHERE sd > 0)
+      |SELECT prefix_dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(c2) // COUNT(*) AS BIGINT) AS mean_cos2_q9,
+      |  CAST(MIN(c2) AS BIGINT) AS min_cos2_q9,
+      |  CAST(MAX(c2) AS BIGINT) AS max_cos2_q9
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q262: `Validation.kAnonymityAudit` — quasi-id class sizes on
+    * (nation, segment), min class size, rows in classes < 10, Q9 rate.
+    */
+  def q262KAnonymity: String =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(MIN(n) AS BIGINT) AS min_group_size,
+      |  CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_violating,
+      |  CAST((CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS HUGEINT)
+      |    * 1000000000) // SUM(n) AS BIGINT) AS viol_rate_q9
+      |FROM g ORDER BY n_rows""".stripMargin
+
+  /** q263: `Layout.zoneMapOverlap` — per-bucket [min, max] of the day
+    * under hash(orderkey) and range(day) layouts, overlapping ordered
+    * pair counts, Q9 overlap rate.
+    */
+  def q263ZoneMap: String =
+    """WITH d AS (SELECT o_orderkey AS k,
+      |    epoch_us(o_orderdate) // 86400000000 AS day FROM orders),
+      |mm AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+      |z1 AS MATERIALIZED (SELECT k % 32 AS b, MIN(day) AS lo,
+      |    MAX(day) AS hi FROM d GROUP BY 1),
+      |z2 AS MATERIALIZED (SELECT ((day - mm.lo) * 32)
+      |      // (mm.hi - mm.lo + 1) AS b,
+      |    MIN(day) AS lo, MAX(day) AS hi
+      |  FROM d CROSS JOIN mm GROUP BY 1),
+      |p1 AS (SELECT (SELECT COUNT(*) FROM z1) AS nb, COUNT(*) AS np
+      |  FROM z1 a JOIN z1 b2
+      |  ON a.b <> b2.b AND a.lo <= b2.hi AND b2.lo <= a.hi),
+      |p2 AS (SELECT (SELECT COUNT(*) FROM z2) AS nb, COUNT(*) AS np
+      |  FROM z2 a JOIN z2 b2
+      |  ON a.b <> b2.b AND a.lo <= b2.hi AND b2.lo <= a.hi)
+      |SELECT * FROM (
+      |  SELECT 'hash' AS layout, CAST(nb AS BIGINT) AS n_buckets,
+      |    CAST(np AS BIGINT) AS n_overlap_pairs,
+      |    CASE WHEN nb > 1 THEN CAST((CAST(np AS HUGEINT) * 1000000000)
+      |      // (CAST(nb AS HUGEINT) * (nb - 1)) AS BIGINT) END AS overlap_q9
+      |  FROM p1
+      |  UNION ALL
+      |  SELECT 'range', CAST(nb AS BIGINT), CAST(np AS BIGINT),
+      |    CASE WHEN nb > 1 THEN CAST((CAST(np AS HUGEINT) * 1000000000)
+      |      // (CAST(nb AS HUGEINT) * (nb - 1)) AS BIGINT) END
+      |  FROM p2)
+      |ORDER BY layout""".stripMargin
+
   /** q256: `Analytics.robustOutliers` — q237's median/MAD replay, the
     * modified z-score flag (|x − med| > 3·MAD), exact Q9 rate.
     */
@@ -1238,7 +1345,7 @@ object Oracles {
       |    CAST(((CAST(t.agree AS HUGEINT) * t.n - pe.pe) * 1000000000)
       |      // (CAST(t.n AS HUGEINT) * t.n - pe.pe) AS BIGINT)
       |  END AS kappa_q9
-      |FROM t CROSS JOIN pe""".stripMargin
+      |FROM t CROSS JOIN pe ORDER BY n""".stripMargin
 
   /** q258: `Analytics.abcClassification` — per-part revenue, running
     * total over (value DESC, key), permille cuts by integer cross-
@@ -1417,8 +1524,12 @@ object Oracles {
 
   /** q249: `Graphs.recHoldoutEval` — the temporal split, train-side
     * co-basket counts (distinct items per basket, maxGroup cap can't
-    * trigger at oracle scale), summed scores minus seen items, ROW_NUMBER
-    * top-5 by (score DESC, item), first-hit rank, integer MRR.
+    * trigger at oracle scale), per-source top-20 neighborhood
+    * truncation by (count DESC, item), summed scores minus seen items,
+    * ROW_NUMBER top-5 by (score DESC, item), first-hit rank, integer
+    * MRR. The engine additionally restricts scoring to test-window
+    * customers — output-identical (only they are eligible), so the
+    * oracle keeps the plain form.
     */
   def q249RecEval: String =
     """WITH b AS MATERIALIZED (
@@ -1433,11 +1544,16 @@ object Oracles {
       |si AS MATERIALIZED (SELECT DISTINCT c, i FROM test),
       |bi AS (SELECT DISTINCT g, i FROM train),
       |sz AS (SELECT g FROM bi GROUP BY g HAVING COUNT(*) <= 1000),
-      |cooc AS MATERIALIZED (
+      |cooc0 AS MATERIALIZED (
       |  SELECT a.i AS src, x.i AS dst, COUNT(*) AS w
       |  FROM bi a JOIN bi x ON a.g = x.g AND a.i <> x.i
       |  JOIN sz ON sz.g = a.g
       |  GROUP BY 1, 2),
+      |cooc AS MATERIALIZED (
+      |  SELECT src, dst, w FROM (
+      |    SELECT src, dst, w, ROW_NUMBER() OVER (
+      |      PARTITION BY src ORDER BY w DESC, dst) AS nrn FROM cooc0)
+      |  WHERE nrn <= 20),
       |sc AS MATERIALIZED (
       |  SELECT t.c, o.dst AS j, SUM(o.w) AS s
       |  FROM ti t JOIN cooc o ON o.src = t.i
@@ -4315,6 +4431,10 @@ object Oracles {
     "q257_cohen_kappa" -> q257CohenKappa,
     "q258_abc_classes" -> q258AbcClasses,
     "q259_log_rank" -> q259LogRank,
+    "q260_zipf_profile" -> q260ZipfProfile,
+    "q261_matryoshka" -> q261Matryoshka,
+    "q262_k_anonymity" -> q262KAnonymity,
+    "q263_zone_map" -> q263ZoneMap,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg,

@@ -2900,6 +2900,49 @@ object SparkEntry {
       TextAnalysis.codeSwitch(d.unionByName(aug)).orderBy("doc_id")
     }),
 
+    // ---- text tier: Zipf profile (NEW r11) ----
+    // OLS slope of ln(count) vs ln(rank) over the top-1000 tokens —
+    // integer lnQ12 logs, exact decimal moments, signed truncating Q9
+    // division. Corpus-health: natural text sits near −1.
+    "q260_zipf_profile" -> ((s, dir) => {
+      TextAnalysis.zipfProfile(documents(s, dir), topK = 1000)
+    }),
+
+    // ---- embedding tier: Matryoshka truncation profile (NEW r11) ----
+    // Per prefix length {16,32,48}: exact squared cosine between each
+    // int8 vector and its truncation (pure integer ratio Sk/Sd — no
+    // sqrt), mean/min/max per prefix.
+    "q261_matryoshka" -> ((s, dir) => {
+      graft.operators.Embeddings.matryoshkaProfile(embeddings(s, dir))
+        .orderBy("prefix_dim")
+    }),
+
+    // ---- validation tier: k-anonymity audit (NEW r11) ----
+    // Equivalence classes on (nation, segment): min class size and the
+    // rows exposed in classes under k=10 — the privacy-QA readout.
+    "q262_k_anonymity" -> ((s, dir) => {
+      Validation.kAnonymityAudit(customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"), k = 10)
+    }),
+
+    // ---- layout tier: zone-map pruning profile (NEW r11) ----
+    // Min/max-overlap fraction of bucket pairs under two layouts of
+    // orders — hash(orderkey) vs range(orderdate) — the measurement
+    // behind "sort before you write 100 TB": range layout prunes,
+    // hash layout reads everything.
+    "q263_zone_map" -> ((s, dir) => {
+      val d = Dedup.materialize(orders(s, dir).select(col("o_orderkey"),
+        expr("unix_micros(o_orderdate) DIV 86400000000").as("day")))
+      val mm = d.agg(min("day"), max("day")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      Layout.zoneMapOverlap(d, pmod(col("o_orderkey"), lit(32)),
+          col("day"), "hash")
+        .unionByName(Layout.zoneMapOverlap(d,
+          expr(s"((day - ${lo}L) * 32) DIV ${hi - lo + 1}L"),
+          col("day"), "range"))
+        .orderBy("layout")
+    }),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the

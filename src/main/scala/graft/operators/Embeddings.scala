@@ -283,4 +283,41 @@ object Embeddings {
               .otherwise(lit(0L)).as("energy_on_axis_q6"))
     }
   }
+
+  /** Matryoshka truncation profile: for each prefix length k, the
+    * exact squared cosine between every int8-quantized vector and its
+    * first-k-dims truncation — cos²(v, v₁..ₖ‖0) = Sₖ/S_d with
+    * S = Σ qᵢ², a pure integer ratio (no square root needed) read out
+    * as a per-vector Q9 floor and aggregated mean/min/max. The
+    * "how much retrieval signal survives dim reduction" readout that
+    * decides whether to ship 16- or 32-dim embeddings. Quantization
+    * is the q81-proven half-up int8 kernel, so the oracle replays
+    * everything bit-for-bit.
+    *
+    * Scale shape: one map pass per vector (prefixes explode from a
+    * literal array — one scan, |prefixes|× slim rows), then one
+    * partial-agg'd groupBy(prefix); per-vector Q9 values stay inside
+    * longs (Sₖ·10⁹ ≤ 64·127²·10⁹), means sum in DECIMAL(38,0).
+    */
+  def matryoshkaProfile(df: DataFrame, vecCol: String = "embedding",
+      prefixes: Seq[Int] = Seq(16, 32, 48)): DataFrame = {
+    val q = withInt8Quantized(df, vecCol)
+    q.select(col("q"),
+        explode(array(prefixes.map(p => lit(p.toLong)): _*))
+          .as("prefix_dim"))
+      .withColumn("_sk", aggregate(
+        slice(col("q"), lit(1), col("prefix_dim").cast("int")), lit(0L),
+        (a, x) => a + x.cast("long") * x.cast("long")))
+      .withColumn("_sd", aggregate(col("q"), lit(0L),
+        (a, x) => a + x.cast("long") * x.cast("long")))
+      .filter(col("_sd") > 0)
+      .withColumn("_c2", expr("(_sk * 1000000000) DIV _sd"))
+      .groupBy("prefix_dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("_c2").cast("decimal(38,0)")).as("_s"),
+        min("_c2").as("min_cos2_q9"), max("_c2").as("max_cos2_q9"))
+      .withColumn("mean_cos2_q9", expr("CAST(_s DIV n AS BIGINT)"))
+      .select(col("prefix_dim"), col("n"), col("mean_cos2_q9"),
+        col("min_cos2_q9"), col("max_cos2_q9"))
+  }
 }

@@ -43,15 +43,24 @@ object Graphs {
     *
     * All-integer: co-occurrence counts, summed scores, rank ties by
     * item id, reciprocal ranks as exact floor divisions — the DuckDB
-    * oracle replays the whole evaluation (q249).
+    * oracle replays the whole evaluation (q249), including the
+    * neighborhood truncation.
     *
     * Scale shape: the q157 group-to-list pair build (maxGroup cap, no
-    * self-join), item-keyed score join, per-customer bounded native
-    * top-k — no window over the corpus, nothing on the driver.
+    * self-join), then the standard item-kNN bound — each source item
+    * keeps only its top-`maxNeighbors` co-items by (count DESC, item
+    * ASC) — so candidate generation is |trainItems|·maxNeighbors
+    * instead of |trainItems|·avg-degree (the unbounded form OOM'd the
+    * 30× sweep: ~10⁹ candidate rows into one hash-agg). Scoring is
+    * further restricted to customers that appear in the TEST window —
+    * output-identical (only those customers are eligible) but skips
+    * building recommendations nobody evaluates. Item-keyed score
+    * join, per-customer bounded native top-k — no window over the
+    * corpus, nothing on the driver.
     */
   def recHoldoutEval(baskets: DataFrame, custCol: String, grpCol: String,
       itemCol: String, dayCol: String, topK: Int = 5,
-      maxGroup: Int = 1000): DataFrame = {
+      maxGroup: Int = 1000, maxNeighbors: Int = 20): DataFrame = {
     val b = Dedup.materialize(baskets.select(col(custCol).as("_c"),
       col(grpCol).as("_g"), col(itemCol).as("_i"), col(dayCol).as("_d")))
     val lim = b.agg(min("_d"), max("_d")).head()
@@ -59,8 +68,12 @@ object Graphs {
     val cutoff = lo + 4L * (hi - lo) / 5L
     val train = b.filter(col("_d") < cutoff)
     val test = b.filter(col("_d") >= cutoff)
-    val trainItems = train.select("_c", "_i").distinct()
+    val testCusts = test.select("_c").distinct()
+    val trainItems = Dedup.materialize(train.select("_c", "_i").distinct()
+      .join(testCusts, Seq("_c"), "semi"))
     val testItems = test.select("_c", "_i").distinct()
+    val nbrW = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("_w").desc, col("dst"))
     val cooc = train.select("_g", "_i").distinct()
       .groupBy("_g").agg(collect_list("_i").as("_is"))
       .filter(size(col("_is")) <= maxGroup)
@@ -68,6 +81,8 @@ object Graphs {
       .select(col("src"), explode(col("_is")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("_w"))
+      .withColumn("_rn", row_number().over(nbrW))
+      .filter(col("_rn") <= maxNeighbors).drop("_rn")
     val scores = trainItems
       .join(cooc, col("_i") === col("src"))
       .select(col("_c"), col("dst").as("_j"), col("_w"))

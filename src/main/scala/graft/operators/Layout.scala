@@ -225,4 +225,45 @@ object Layout {
         sum(when(col("_from") =!= col("_to"), 1L).otherwise(0L))
           .as("n_moved_in"))
   }
+
+  /** Zone-map (min/max data-skipping) effectiveness of a layout: with
+    * rows placed into buckets by `bucketCol` (the layout under test),
+    * how many ordered bucket PAIRS have overlapping [min, max] ranges
+    * of `valCol` — the fraction of the table a min/max-pruned point
+    * or range query on `valCol` cannot skip. 0 ≈ perfectly clustered
+    * (sorted layout: only adjacent boundary overlaps); → 1 ≈ every
+    * file must be read (hash layout). Exact integers; the rate is one
+    * Q9 floor division over B·(B−1).
+    *
+    * This is the measurement BEHIND the repo's layout advice: run it
+    * on candidate partition keys before committing a 100 TB rewrite.
+    *
+    * Scale shape: one partial-agg'd groupBy to B (min, max, count)
+    * rows; the pair join is B² on that driver-scale table (B = #files
+    * / partitions under test, ≤ a few thousand) — never touches rows
+    * again.
+    */
+  def zoneMapOverlap(df: DataFrame, bucketCol: org.apache.spark.sql.Column,
+      valCol: org.apache.spark.sql.Column, label: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val z = Dedup.materialize(df
+      .select(bucketCol.cast("long").as("_b"), valCol.cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy("_b")
+      .agg(min("_v").as("_lo"), max("_v").as("_hi")))
+    val nb = z.agg(count(lit(1)).as("n_buckets"))
+    val pairs = z
+      .join(z.select(col("_b").as("_b2"), col("_lo").as("_lo2"),
+        col("_hi").as("_hi2")),
+        col("_b") =!= col("_b2") && col("_lo") <= col("_hi2") &&
+          col("_lo2") <= col("_hi"))
+      .agg(count(lit(1)).as("n_overlap_pairs"))
+    nb.crossJoin(pairs)
+      .withColumn("layout", lit(label))
+      .withColumn("overlap_q9", when(col("n_buckets") > 1, expr(
+        "(CAST(n_overlap_pairs AS DECIMAL(38,0)) * 1000000000) " +
+          "DIV (CAST(n_buckets AS DECIMAL(19,0)) * (n_buckets - 1))")))
+      .select(col("layout"), col("n_buckets"), col("n_overlap_pairs"),
+        col("overlap_q9"))
+  }
 }

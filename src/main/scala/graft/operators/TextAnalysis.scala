@@ -1148,4 +1148,49 @@ object TextAnalysis {
         coalesce(col("n_langs") >= 2 && lit(8L) * col("_sec") >= col("_n"),
           lit(false)).as("mixed"))
   }
+
+  /** Zipf profile of the corpus token distribution: OLS slope of
+    * ln(count) against ln(rank) over the top-`topK` tokens (the
+    * standard head fit; natural corpora land near −1). Logs are the
+    * shared integer [[graft.functions.FixedMath.lnQ12]] kernel scaled
+    * to Q6, all OLS moments exact DECIMAL(38,0) sums, and the slope
+    * one SIGNED truncating division to Q9 (the DuckDB-`//` contract) —
+    * no libm anywhere. The corpus-health readout: a slope far from −1
+    * means boilerplate (too flat) or templated spam (too steep).
+    *
+    * Scale shape: token counts collapse in one groupBy; the head is
+    * `orderBy(...).limit(topK)` — Spark's distributed
+    * TakeOrderedAndProject, never a global sort materialization — and
+    * every window after it runs on ≤ topK rows BY CONSTRUCTION.
+    */
+  def zipfProfile(docs: DataFrame, textCol: String = "text",
+      topK: Int = 1000): DataFrame = {
+    import graft.plans.GraftExtensions.lnQ12Native
+    val counts = Dedup.materialize(docs
+      .select(explode(words(col(textCol))).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_c")))
+    val vocab = counts.agg(count(lit(1)).as("vocab_size"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_c").desc, col("_w"))
+    val xy = counts.orderBy(col("_c").desc, col("_w")).limit(topK)
+      .withColumn("_r", row_number().over(w).cast("long"))
+      .withColumn("_lx", lnQ12Native(col("_r")))
+      .withColumn("_ly", lnQ12Native(col("_c")))
+      .select(expr("_lx DIV 1000000").as("_x"),
+        expr("_ly DIV 1000000").as("_y"))
+    xy.agg(count(lit(1)).as("n_fit"),
+        sum(col("_x").cast("decimal(38,0)")).as("_sx"),
+        sum(col("_y").cast("decimal(38,0)")).as("_sy"),
+        sum((col("_x").cast("decimal(19,0)") *
+          col("_y").cast("decimal(19,0)")).cast("decimal(38,0)")).as("_sxy"),
+        sum((col("_x").cast("decimal(19,0)") *
+          col("_x").cast("decimal(19,0)")).cast("decimal(38,0)")).as("_sxx"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("_num",
+        expr("(n_fit * _sxy - _sx * _sy) * 1000000000"))
+      .withColumn("_den", expr("n_fit * _sxx - _sx * _sx"))
+      .withColumn("slope_q9", when(col("_den") =!= 0,
+        expr("CAST((_num - (_num % _den)) / _den AS BIGINT)")))
+      .select(col("vocab_size"), col("n_fit"), col("slope_q9"))
+  }
 }

@@ -240,4 +240,25 @@ object Validation {
         r.getAs[Long](s"_d_$c")))
       .toDF("column", "n_rows", "n_nulls", "n_distinct")
   }
+
+  /** k-anonymity audit over a quasi-identifier combination: group
+    * sizes on the quasi-id tuple, the minimum equivalence-class size,
+    * and the rows sitting in classes smaller than `k` — the
+    * re-identification exposure of a would-be released projection,
+    * as exact integers (rate in Q9). The privacy-QA counterpart of
+    * [[profileTable]].
+    *
+    * Scale shape: one partial-agg'd groupBy on the quasi-id tuple,
+    * then a 1-row readout agg — nothing per-row downstream.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      k: Int = 10): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit needs quasi-id columns")
+    val g = df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("_n"))
+    g.agg(sum("_n").as("n_rows"), count(lit(1)).as("n_groups"),
+        min("_n").as("min_group_size"),
+        sum(when(col("_n") < k, col("_n")).otherwise(0L)).as("n_violating"))
+      .withColumn("viol_rate_q9", when(col("n_rows") =!= 0,
+        expr("(CAST(n_violating AS DECIMAL(38,0)) * 1000000000) DIV n_rows")))
+  }
 }

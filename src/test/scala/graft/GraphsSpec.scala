@@ -383,6 +383,13 @@ class GraphsSpec extends SparkSpec {
     assert(r.getLong(0) == 3L, "eligible users = c102, c104, c105")
     assert(r.getLong(1) == 2L, "hits = c102, c105")
     assert(r.getLong(2) == 1500000L, "MRR numerator = 10^6 + 10^6/2")
+    // maxNeighbors=1 truncates each item's neighborhood to its single
+    // (w DESC, id ASC) best co-item: item 3's neighborhood {1,2} → {1},
+    // so c105 (train {3}) now recommends [1] and misses test {2};
+    // c102's hit via item 1's kept neighbor 2 survives.
+    val t = Graphs.recHoldoutEval(b, "cust", "basket", "item", "day",
+      topK = 5, maxNeighbors = 1).collect().head
+    assert((t.getLong(0), t.getLong(1), t.getLong(2)) == (3L, 1L, 1000000L))
   }
 
   test("ssspInt: hand-computed distances; relaxation beats greedy; round bound truncates") {

@@ -116,4 +116,19 @@ class LayoutSpec extends SparkSpec {
       .collect().head
     assert(b.getLong(1) == 1L)
   }
+
+  test("zoneMapOverlap: hand-computed pair overlap; sorted layout scores 0") {
+    import spark.implicits._
+    // buckets: 0→[0,10], 1→[5,15] (overlap both ways), 2→[20,30] (clear)
+    val df = Seq((0, 0L), (0, 10L), (1, 5L), (1, 15L), (2, 20L), (2, 30L))
+      .toDF("b", "v")
+    val r = Layout.zoneMapOverlap(df, col("b"), col("v"), "t").collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ("t", 3L, 2L, 2000000000L / 6L))
+    // disjoint ranges (a sorted write): zero overlapping pairs
+    val s = Seq((0, 0L), (0, 4L), (1, 5L), (1, 9L), (2, 10L), (2, 14L))
+      .toDF("b", "v")
+    val z = Layout.zoneMapOverlap(s, col("b"), col("v"), "t").collect().head
+    assert((z.getLong(2), z.getLong(3)) == (0L, 0L))
+  }
 }

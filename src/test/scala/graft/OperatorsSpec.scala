@@ -2487,4 +2487,49 @@ class OperatorsSpec extends SparkSpec {
     assert(got.sliding(2).forall(p => p(1)._5 <= p(0)._5 + 1e-12),
       "greedy picks have non-increasing MMR scores")
   }
+
+  test("zipfProfile: uniform counts give slope 0 exactly; Zipf corpus lands near -1") {
+    // every token appears exactly twice → y constant → OLS numerator 0
+    val uni = Seq("aa bb cc dd", "aa bb cc dd").toDF("text")
+    val u = TextAnalysis.zipfProfile(uni, topK = 10).collect().head
+    assert((u.getLong(0), u.getLong(1), u.getLong(2)) == (4L, 4L, 0L))
+    // word i repeated ⌊1200/i⌋ times, i = 1..12 → slope ≈ −1
+    val zipf = (1 to 12).map(i =>
+      Seq.fill(1200 / i)(s"w$i").mkString(" ")).mkString(" ")
+    val z = TextAnalysis.zipfProfile(Seq(zipf).toDF("text"), topK = 12)
+      .collect().head
+    assert(z.getLong(0) == 12L && z.getLong(1) == 12L)
+    assert(z.getLong(2) < -900000000L && z.getLong(2) > -1100000000L,
+      s"zipf slope_q9 = ${z.getLong(2)}")
+    // topK caps the fit set, not the vocabulary readout
+    val capped = TextAnalysis.zipfProfile(Seq(zipf).toDF("text"), topK = 5)
+      .collect().head
+    assert(capped.getLong(0) == 12L && capped.getLong(1) == 5L)
+  }
+
+  test("matryoshkaProfile: hand-computed int8 prefix cosines") {
+    // v1 = [3,4]: q = [⌊3·31.75+.5⌋, 127] = [95, 127];
+    //   S1 = 9025, Sd = 25154 → c2(1) = ⌊9025e9/25154⌋; c2(2) = 1e9
+    // v2 = [1,0]: q = [127, 0] → c2 = 1e9 at both prefixes
+    val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Embeddings
+      .matryoshkaProfile(df, prefixes = Seq(1, 2))
+      .orderBy("prefix_dim")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    val c2a = 9025L * 1000000000L / 25154L
+    assert(got == List(
+      (1L, 2L, (c2a + 1000000000L) / 2L, c2a, 1000000000L),
+      (2L, 2L, 1000000000L, 1000000000L, 1000000000L)))
+  }
+
+  test("kAnonymityAudit: classes under k counted by rows; exact rate") {
+    val rows = Seq.fill(12)(("x", "p")) ++ Seq.fill(3)(("x", "q")) ++
+      Seq(("y", "p"))
+    val r = graft.operators.Validation
+      .kAnonymityAudit(rows.toDF("a", "b"), Seq("a", "b"), k = 10)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (16L, 3L, 1L, 4L, 250000000L))
+  }
 }
