@@ -194,14 +194,23 @@ object Bench {
     // `parsed` came back null every round. The printed line therefore
     // carries medians only (~1.6k chars incl. env); the COMPLETE record
     // (plus per-query min) goes to bench_last.json, which is committed.
-    val stdoutFull = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"failed":$failedJson,"env":$envJson,"queries":$qJson,"sf":"$sfDir"}"""
+    // calib_mt rides on EVERY stdout variant: a loaded box (r11:
+    // calib_mt 528 vs 337 ms) otherwise reads as a 1.3× regression.
+    val calibJson =
+      f""""calib_mt_ms_pre":$calibMtPre%.0f,"calib_mt_ms_post":$calibMtPost%.0f"""
     val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"failed":$failedJson,"env":$envJson,"queries":$qJson,"queries_min":$minJson,"sf":"$sfDir"}"""
-    // self-trimming: as the headline grows, fall back to a line without
-    // the env block (it survives complete in bench_last.json) so the
-    // JSON always fits the 2000-char tail and `parsed` stays non-null.
-    val stdoutLine =
-      if (stdoutFull.length <= 1950) stdoutFull
-      else f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"failed":$failedJson,"env":"see bench_last.json","queries":$qJson,"sf":"$sfDir"}"""
+    // self-trimming, ITERATIVE (r11 ADVICE: the env-stripped fallback
+    // was itself one growth step from overflowing): try progressively
+    // smaller lines until one fits the driver's 2000-char tail capture.
+    // The last variant is O(1)-sized, so the require can never fire —
+    // it exists to fail loudly at run time if an edit breaks that.
+    val candidates = Seq(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"failed":$failedJson,"env":$envJson,"queries":$qJson,"sf":"$sfDir"}""",
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"failed":$failedJson,$calibJson,"env":"see bench_last.json","queries":$qJson,"sf":"$sfDir"}""",
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"n_failed":${failedNames.size},$calibJson,"env":"see bench_last.json","queries":"see bench_last.json","n_queries":${results.size},"sf":"$sfDir"}""")
+    val stdoutLine = candidates.find(_.length <= 1950).getOrElse(
+      throw new IllegalStateException(
+        s"bench stdout minimal variant is ${candidates.last.length} chars > 1950"))
     println(stdoutLine)
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")

@@ -814,7 +814,7 @@ object Oracles {
        |      CASE WHEN _sm % 2 = 1 THEN 1 ELSE -1 END AS s FROM ($smx)),
        |  cnt AS (SELECT j, CAST(SUM(s * n) AS HUGEINT) AS c FROM sgn GROUP BY j)
        |SELECT COUNT(*)::BIGINT AS k,
-       |  CAST(SUM(c * c) // COUNT(*) AS DECIMAL(38,0)) AS f2_est
+       |  CAST(SUM(c * c) // COUNT(*) AS BIGINT) AS f2_est
        |FROM cnt ORDER BY k""".stripMargin
   }
 
@@ -1571,7 +1571,7 @@ object Oracles {
       |  FROM recs r JOIN si ON si.c = r.c AND si.i = r.j
       |  GROUP BY 1)
       |SELECT COUNT(*) AS n_users, COUNT(h.hr) AS n_hit,
-      |  COALESCE(SUM(1000000 // h.hr), 0) AS sum_recip_q6
+      |  CAST(COALESCE(SUM(1000000 // h.hr), 0) AS BIGINT) AS sum_recip_q6
       |FROM elig e LEFT JOIN hits h ON h.c = e.c""".stripMargin
 
   /** q248: `Curation.greedySetCover` — k unrolled greedy rounds: gains
@@ -1653,7 +1653,8 @@ object Oracles {
        |    PARTITION BY doc_id ORDER BY h DESC, s) AS r
        |  FROM h) WHERE r = 1)
        |SELECT CAST(f20.s20 AS BIGINT) AS shard, COUNT(*) AS n_docs,
-       |  SUM(CASE WHEN f16.s16 <> f20.s20 THEN 1 ELSE 0 END) AS n_moved_in
+       |  CAST(SUM(CASE WHEN f16.s16 <> f20.s20 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_moved_in
        |FROM f20 JOIN f16 USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
@@ -1711,7 +1712,8 @@ object Oracles {
       |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |      AS last_purchase_gap_us
       |  FROM b)
-      |SELECT user_id, event_id, us, spend_7d_tenk,
+      |SELECT user_id, event_id, us,
+      |  CAST(spend_7d_tenk AS BIGINT) AS spend_7d_tenk,
       |  CAST(n_events_7d AS BIGINT) AS n_events_7d, last_purchase_gap_us
       |FROM f WHERE event_type = 'click'
       |ORDER BY user_id, us, event_id""".stripMargin
@@ -4022,8 +4024,8 @@ object Oracles {
        |SELECT cs.community, cs.n_nodes,
        |  COALESCE(i.l_in, 0)::BIGINT AS l_in, cs.deg_sum,
        |  CAST(4::HUGEINT * mm.m * COALESCE(i.l_in, 0)::HUGEINT
-       |    - cs.deg_sum::HUGEINT * cs.deg_sum::HUGEINT AS DECIMAL(38,0)) AS q_num,
-       |  CAST(4::HUGEINT * mm.m * mm.m AS DECIMAL(38,0)) AS q_den
+       |    - cs.deg_sum::HUGEINT * cs.deg_sum::HUGEINT AS BIGINT) AS q_num,
+       |  CAST(4::HUGEINT * mm.m * mm.m AS BIGINT) AS q_den
        |FROM cs CROSS JOIN mm LEFT JOIN intra i USING (community)
        |ORDER BY cs.community""".stripMargin
 

@@ -3817,9 +3817,10 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "q214_benford_audit" ->
-      """WITH v AS (SELECT
+      """WITH v0 AS (SELECT
         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM lineitem WHERE l_extendedprice > 0),
+        |  FROM lineitem),
+        |v AS (SELECT cents FROM v0 WHERE cents >= 1),
         |o AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
         |    COUNT(*) AS n
         |  FROM v GROUP BY 1),
@@ -4344,7 +4345,7 @@ object SparkEntry {
         |c AS (SELECT user_id, sid, COUNT(*) AS nc,
         |    SUM(CAST(value AS DECIMAL(18,4))) AS rev
         |  FROM s WHERE event_type = 'purchase' GROUP BY user_id, sid)
-        |SELECT f.first_type, SUM(c.nc) AS n_conversions,
+        |SELECT f.first_type, CAST(SUM(c.nc) AS BIGINT) AS n_conversions,
         |  CAST(CAST(SUM(c.rev) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM c JOIN f USING (user_id, sid)
         |GROUP BY f.first_type ORDER BY f.first_type""".stripMargin,

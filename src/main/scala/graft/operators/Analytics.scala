@@ -1133,7 +1133,10 @@ object Analytics {
     val per = Dedup.materialize(base.groupBy("_c")
       .agg(count(lit(1)).as("n"),
         sum(col("_v").cast("decimal(38,0)")).as("_s")))
-    val g = per.agg(sum("n"), sum("_s")).head()
+    // empty input → null aggregates; coalesce so the readback stays
+    // NPE-free and the (empty) per-table flows through to 0 rows out
+    val g = per.agg(coalesce(sum("n"), lit(0L)),
+      coalesce(sum("_s"), lit(0).cast("decimal(38,0)"))).head()
     val nTot = g.getLong(0)
     val sTot = g.getDecimal(1).toBigInteger.toString
     per

@@ -19,6 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Broadcast ceiling for the per-round PageRank/PPR score tables, in
+    * NODES. A score row is (node: long, score: long) = 16 B of data,
+    * but a broadcast HashedRelation carries ~3× that in object/hash
+    * overhead, and the driver must hold the serialized relation under
+    * `spark.driver.maxResultSize` (default 1 GiB) while every executor
+    * holds a deserialized copy: 10⁷ nodes ≈ 160 MB data / ~0.5 GB
+    * relation — comfortably inside default executor memory on a real
+    * cluster. (The previous 5·10⁷ gate was ~800 MB serialized — fine
+    * at local[32]/128 GiB, marginal against default driver/executor
+    * limits.) Above the gate the cached src-partitioning carries the
+    * join; GraphsSpec pins the fallback path to the same results.
+    * Mutable ONLY so that spec can force the fallback on a small graph.
+    */
+  private[graft] var broadcastScoreMaxNodes: Long = 10000000L
+
   /** Undirected co-occurrence edges: items sharing a group (parts in an
     * order, tokens in a doc, domains in a session) get both directed
     * edges. Multiplicity is ignored — the final DISTINCT collapses
@@ -63,7 +78,10 @@ object Graphs {
       maxGroup: Int = 1000, maxNeighbors: Int = 20): DataFrame = {
     val b = Dedup.materialize(baskets.select(col(custCol).as("_c"),
       col(grpCol).as("_g"), col(itemCol).as("_i"), col(dayCol).as("_d")))
-    val lim = b.agg(min("_d"), max("_d")).head()
+    // empty input → null min/max; coalesce to 0 so cutoff=0 and every
+    // downstream table is empty → one honest (0, 0, 0) output row
+    val lim = b.agg(coalesce(min("_d"), lit(0L)),
+      coalesce(max("_d"), lit(0L))).head()
     val (lo, hi) = (lim.getLong(0), lim.getLong(1))
     val cutoff = lo + 4L * (hi - lo) / 5L
     val train = b.filter(col("_d") < cutoff)
@@ -271,7 +289,7 @@ object Graphs {
     val n = nodes.count()
     require(n > 0, "empty graph")
     val base = (scale * (100 - dampPct)) / (100L * n)
-    val bcast = n <= 50000000L
+    val bcast = n <= broadcastScoreMaxNodes
     def hinted(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var scores = nodes.withColumn("score", lit(scale / n))
     for (_ <- 1 to iters) {
@@ -328,17 +346,21 @@ object Graphs {
     * m edges, community c with L_c intra-community edges and degree
     * sum D_c contributes Q_c = L_c/m − (D_c/2m)², so
     * Q_c·4m² = 4m·L_c − D_c² — an integer. Output one row per
-    * community: (community, n_nodes, l_in, deg_sum, q_num
-    * DECIMAL(38,0)) plus the shared denominator q_den = 4m²;
-    * Q = Σ q_num / q_den. No doubles are emitted — the decimal→double
-    * terminal cast is the one step engines disagree on (the q156
-    * lesson), and the division is one exact op away for a reader.
+    * community: (community, n_nodes, l_in, deg_sum, q_num BIGINT)
+    * plus the shared denominator q_den = 4m²; Q = Σ q_num / q_den.
+    * No doubles are emitted — the decimal→double terminal cast is the
+    * one step engines disagree on (the q156 lesson), and the division
+    * is one exact op away for a reader.
     *
     * Scale shape: one degree agg + one per-community agg + one
     * edge⋈labels join keyed on node ids (labels shuffle-joined — at
     * corpus scale the label table is graph-sized, never broadcast
-    * unless the exact count says so); D_c ≤ 2m passes 2⁶³ squared at
-    * ~10⁹ edges, so squares run in DECIMAL(38,0) (HUGEINT oracle-side).
+    * unless the exact count says so). Arithmetic runs in
+    * DECIMAL(38,0) (HUGEINT oracle-side) so intermediates never
+    * overflow; the TERMINAL q_num/q_den are cast to BIGINT per the
+    * repo's terminal-type convention — q_den = 4m² binds at
+    * m ≈ 1.5·10⁹ edges, at which scale widen BOTH engines' terminals
+    * to DECIMAL(38,0) in one commit.
     */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val canon = edges
@@ -365,9 +387,10 @@ object Graphs {
       .na.fill(0L, Seq("l_in"))
       .select(col("community"), col("n_nodes"), col("l_in"), col("deg_sum"),
         (lit(4L * m).cast(dec) * col("l_in").cast(dec) -
-          col("deg_sum").cast(dec) * col("deg_sum").cast(dec)).as("q_num"),
+          col("deg_sum").cast(dec) * col("deg_sum").cast(dec))
+          .cast("long").as("q_num"),
         (lit(4L).cast(dec) * lit(m).cast(dec) * lit(m).cast(dec))
-          .as("q_den"))
+          .cast("long").as("q_den"))
   }
 
   /** HITS hubs/authorities on a DIRECTED edge set, `rounds` synchronous
@@ -647,7 +670,7 @@ object Graphs {
     // node-sized tables while they provably fit (each row ~16 B; 5e7
     // nodes ≈ 800 MB hinted off), and above that let the cached
     // src-partitioning do its job.
-    val bcast = n <= 50000000L
+    val bcast = n <= broadcastScoreMaxNodes
     def hinted(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     // Dangling set (out-degree 0): nodes minus adjacency srcs — node-
     // sized, computed once, reused every round for the sink-mass agg.
@@ -736,7 +759,7 @@ object Graphs {
     val ns = flagged.filter(col("_seed") === 1L).count()
     require(ns > 0, "no seed is present in the graph")
     val baseSeed = (scale * (100 - dampPct)) / (100L * ns)
-    val bcast = n <= 50000000L
+    val bcast = n <= broadcastScoreMaxNodes
     def hinted(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var scores = flagged.select(col("node"),
       (col("_seed") * lit(scale / ns)).as("score"))

@@ -57,9 +57,14 @@ object Multimodal {
     * contract matches the fake: row-major RGB floats in [0,1].
     */
   def imageioDecodeRgb(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
+    // catch only ImageIO's documented failure modes — an Error
+    // (OOM/linkage) must propagate, not silently become a fake decode
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Throwable => null }
+      catch {
+        case _: java.io.IOException => null
+        case _: RuntimeException => null
+      }
     if (img == null) null
     else {
       val scaled =

@@ -108,12 +108,15 @@ object Sampling {
       idCol: String = "doc_id"): DataFrame = {
     val cnt = df.groupBy(col(strataCol).as("_g"))
       .agg(count(lit(1)).as("_ng"))
-    val tot = cnt.agg(sum("_ng")).head.getLong(0)
+    // empty input → null sum; coalesce so the require below reports
+    // "exceeds corpus size 0" instead of throwing an NPE
+    val tot = cnt.agg(coalesce(sum("_ng"), lit(0L))).head.getLong(0)
     require(k <= tot, s"budgetSample: k=$k exceeds corpus size $tot")
     val alloc = cnt
       .withColumn("_base", expr(s"($k * _ng) DIV ${tot}L"))
       .withColumn("_rem", expr(s"($k * _ng) % ${tot}L"))
-    val extra = k - alloc.agg(sum("_base")).head.getLong(0)
+    val extra = k - alloc.agg(coalesce(sum("_base"), lit(0L)))
+      .head.getLong(0)
     val quota = alloc
       .withColumn("_rr", row_number().over(
         org.apache.spark.sql.expressions.Window

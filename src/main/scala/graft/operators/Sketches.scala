@@ -493,10 +493,13 @@ object Sketches {
   }
 
   /** F₂ (self-join size) readout of an AMS counters table: ONE row
-    * (k, f2_est) with f2_est = ⌊Σ counter² / k⌋ — the unbiased mean
-    * of squares as an exact DECIMAL(38,0) floor (counter² passes 2⁶³
-    * once counters pass ~3·10⁹, i.e. 10 TB-scale inputs — squares and
-    * the sum run in DECIMAL(38,0); HUGEINT on the oracle side).
+    * (k, f2_est) with f2_est = ⌊Σ counter² / k⌋. The squares and the
+    * sum run in DECIMAL(38,0) (HUGEINT on the oracle side) so the
+    * INTERMEDIATE never overflows; the terminal readout is cast to
+    * BIGINT per the repo's terminal-type convention. Ceiling: f2_est
+    * ≤ N² for N input rows, so the terminal cast binds once N passes
+    * ~3·10⁹ (≈10 TB of events) — at that scale widen the readout to
+    * DECIMAL(38,0) on BOTH sides in one commit.
     */
   def amsF2Estimate(counters: DataFrame): DataFrame =
     counters
@@ -507,7 +510,7 @@ object Sketches {
       // overflow once F₂ > 2⁶³ (Σn_v² passes that at ~3·10⁹ rows);
       // (x − x%k)/k is exact (x ≥ 0) and never leaves DECIMAL(38,0)
       .select(col("k"),
-        expr("CAST((_ss - (_ss % k)) / k AS DECIMAL(38,0))").as("f2_est"))
+        expr("CAST((_ss - (_ss % k)) / k AS BIGINT)").as("f2_est"))
 
   /** Dyadic-histogram quantile sketch over POSITIVE integer values
     * (HdrHistogram / DDSketch's bucketing idea in exact integer form):

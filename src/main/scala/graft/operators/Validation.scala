@@ -197,9 +197,15 @@ object Validation {
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // filter on CENTS >= 1, not value > 0: values in (0, 0.005) round
+    // to 0 cents and would otherwise get first digit '0' — excluded
+    // from every digit row yet counted in n_total, deflating all nine
+    // excess_milli values (r11 ADVICE)
     val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
-    val digits = df.filter(col(valueCol) > 0)
-      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+    val digits = df.select(cents.as("_cents"))
+      .filter(col("_cents") >= 1)
+      .select(substring(col("_cents").cast("string"), 1, 1)
+        .cast("int").as("digit"))
     val obs = digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
     val total = digits.agg(count(lit(1)).as("n_total"))
     val expected = BenfordPermille.zipWithIndex

@@ -42,6 +42,30 @@ class GraphsSpec extends SparkSpec {
     assert(got(1L) == 108333333333L && got(2L) == got(1L) && got(3L) == got(1L))
   }
 
+  test("pageRank/PPR broadcast-gate fallback (shuffle-join path) is result-identical") {
+    // the bcast gate (broadcastScoreMaxNodes) only picks a join
+    // STRATEGY; forcing the fallback on a small graph must not change
+    // one score. Guards the gate constant against result-affecting
+    // refactors (r11 verdict item: the fallback path needs its own pin).
+    val edges = (Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 9L) ++
+      Seq(1L -> 0L, 2L -> 0L, 3L -> 0L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val saved = Graphs.broadcastScoreMaxNodes
+    val (prB, pprB) =
+      (Graphs.pageRankInt(edges, iters = 2).as[(Long, Long)].collect().toMap,
+        Graphs.personalizedPageRankInt(edges, seeds, iters = 2)
+          .as[(Long, Long)].collect().toMap)
+    try {
+      Graphs.broadcastScoreMaxNodes = 0L
+      val prF = Graphs.pageRankInt(edges, iters = 2)
+        .as[(Long, Long)].collect().toMap
+      val pprF = Graphs.personalizedPageRankInt(edges, seeds, iters = 2)
+        .as[(Long, Long)].collect().toMap
+      assert(prF == prB, "pageRankInt fallback diverged from broadcast path")
+      assert(pprF == pprB, "PPR fallback diverged from broadcast path")
+    } finally Graphs.broadcastScoreMaxNodes = saved
+  }
+
   test("pageRankInt: chunked adjacency rows ≡ unchunked; dup edges collapse; sinks keep base mass") {
     // center 0 has 4 neighbours; maxNbrsPerRow=2 splits it into two
     // adjacency rows — scores must not change. Edge (0,1) repeated:
@@ -194,21 +218,20 @@ class GraphsSpec extends SparkSpec {
       4L -> 200L, 5L -> 200L, 6L -> 200L).toDF("node", "community")
     val got = Graphs.modularity(edges, labels).orderBy("community")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDecimal(4).longValueExact(),
-        r.getDecimal(5).longValueExact()))
+        r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(got.toSeq == Seq(
       (100L, 3L, 3L, 7L, 35L, 196L),
       (200L, 3L, 3L, 7L, 35L, 196L)))
     // everyone in ONE community: Q = L/m − 1 = 0 → q_num = 4m·m − (2m)²
     val one = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(_ -> 9L).toDF("node", "community")
     val g1 = Graphs.modularity(edges, one).collect()
-      .map(r => r.getDecimal(4).longValueExact())
+      .map(r => r.getLong(4))
     assert(g1.toSeq == Seq(0L))
     // a community with NO intra edges gets l_in = 0, q_num = −D_c²
     val anti = Seq(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L,
       6L -> 6L).toDF("node", "community")
     val ga = Graphs.modularity(edges, anti).orderBy("community").collect()
-      .map(r => (r.getLong(2), r.getDecimal(4).longValueExact()))
+      .map(r => (r.getLong(2), r.getLong(4)))
     assert(ga.forall(_._1 == 0L))
     assert(ga.map(_._2).toSeq ==
       Seq(-4L, -4L, -9L, -9L, -4L, -4L)) // deg² per singleton

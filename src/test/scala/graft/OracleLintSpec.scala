@@ -126,6 +126,57 @@ class OracleLintSpec extends AnyFunSuite {
     assert(bad.isEmpty, "\n" + bad.mkString("\n"))
   }
 
+  // ---- terminal-type lint (the r11 red class) ----
+  // The driver's hash is TYPE-sensitive: DuckDB SUM(BIGINT) → HUGEINT
+  // and SUM(DECIMAL(38,0)) render differently from Spark's BIGINT even
+  // at equal values — six value-identical queries shipped hash-red in
+  // r11. DuckDB is reachable only via python here, so the DESCRIBE
+  // walk lives in tools/lint_oracle_types.py; this test shells out and
+  // CANCELS (assume) where python3+duckdb or the test tables are
+  // absent, so the suite stays portable while the gate bites on any
+  // box that can run the driver's compare at all.
+  private def runTool(args: String*): (Int, String) = {
+    val pb = new ProcessBuilder(("python3" +: args).toArray: _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+    (p.waitFor(), out)
+  }
+
+  private lazy val lintAvailable: Boolean =
+    new java.io.File("tools/lint_oracle_types.py").exists &&
+      new java.io.File("/root/testdata/sf0.001").exists &&
+      (try runTool("-c", "import duckdb")._1 == 0
+       catch { case _: java.io.IOException => false })
+
+  test("oracle SQL: no HUGEINT/UHUGEINT/DECIMAL(38,0) terminal columns") {
+    assume(lintAvailable, "python3+duckdb or sf0.001 tables unavailable")
+    val tmp = java.nio.file.Files.createTempFile("oracle_lint", ".json")
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(tmp, json)
+    val (code, out) = runTool("tools/lint_oracle_types.py",
+      tmp.toString, "/root/testdata/sf0.001")
+    assert(code == 0, s"oracle terminal-type lint failed:\n$out")
+  }
+
+  test("terminal-type lint rule is itself alive (negative fixture)") {
+    assume(lintAvailable, "python3+duckdb or sf0.001 tables unavailable")
+    val (code, out) = runTool("tools/lint_oracle_types.py",
+      "--self-test", "/root/testdata/sf0.001")
+    assert(code == 0, s"lint self-test failed (rule deleted/broken?):\n$out")
+  }
+
   test("allowlists carry no dead entries") {
     val sqls = SparkEntry.oracleSql
     fnAllow.keys.foreach { case (q, fn) =>

@@ -34,9 +34,60 @@ def canon(df):
     df = df[sorted(df.columns)].reset_index(drop=True)
     return df
 
+def first_nonnull(v):
+    for x in v:
+        if not (np.isscalar(x) and pd.isna(x)) and x is not None:
+            return x
+    return None
+
+def type_class(series):
+    """Rendering class as the driver's hash sees it: DuckDB HUGEINT /
+    DECIMAL(38,0) arrive as float64 and render '819446.0', Spark BIGINT
+    renders '819446' — a class mismatch even at equal values. Bit width
+    within a kind (int32 vs int64) renders identically, so compare the
+    KIND, plus the Python type of the first non-null for object cols."""
+    k = series.dtype.kind  # i/u=int f=float b=bool M=ts O=object
+    if k in "iu":
+        return "int"
+    if k == "O":
+        x = first_nonnull(series.values)
+        return "null" if x is None else f"obj:{type(x).__name__}"
+    return {"f": "float", "b": "bool", "M": "ts"}.get(k, str(series.dtype))
+
+def dtypes_equal(a, b):
+    """Strict type-class compare — the driver's hash is TYPE-sensitive;
+    6 value-identical queries shipped red in r11 because this replica
+    compared values only (Decimal(5)==5 → True)."""
+    for c in a.columns:
+        ta, tb = type_class(a[c]), type_class(b[c])
+        if ta != tb and "null" not in (ta, tb):
+            return False, f"col {c} type class: spark={ta} vs duckdb={tb}"
+    return True, ""
+
+# Oracle terminal-type lint (the r11 red class): DuckDB SUM(BIGINT) →
+# HUGEINT and SUM(DECIMAL(38,0)) stays DECIMAL(38,0); the driver's hash
+# renders those differently from Spark's BIGINT even at equal values.
+# The repo convention is terminal CAST(... AS BIGINT) — flag any oracle
+# whose DESCRIBE output still emits a huge type.
+BANNED_TERMINALS = ("HUGEINT", "UHUGEINT", "DECIMAL(38,0)")
+def lint_terminal_types(name, sql):
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").df()
+    except Exception as e:
+        return [f"describe error: {e}"]
+    bad = []
+    for _, r in desc.iterrows():
+        t = str(r["column_type"]).upper().replace(" ", "")
+        if any(b in t for b in BANNED_TERMINALS):
+            bad.append(f"{r['column_name']}: {r['column_type']}")
+    return bad
+
 def values_equal(a, b):
     if a.shape != b.shape:
         return False, f"shape {a.shape} vs {b.shape}"
+    ok, why = dtypes_equal(a, b)
+    if not ok:
+        return False, why
     for c in a.columns:
         av, bv = a[c].values, b[c].values
         for i in range(len(av)):
@@ -86,6 +137,11 @@ for name in names:
     spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
     if name not in oracle:
         print(f"ROWS  {name}: rows={len(spark_df)} (no oracle)"); n_noracle += 1
+        continue
+    bad_types = lint_terminal_types(name, oracle[name])
+    if bad_types:
+        print(f"FAIL  {name}: oracle terminal-type lint: {bad_types}")
+        n_fail += 1
         continue
     try:
         duck_df = con.execute(oracle[name]).df()
