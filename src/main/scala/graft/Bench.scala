@@ -152,7 +152,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries
-    val results = headline.filter(qs.contains).map { name =>
+    // optional subset (comma-separated names): re-baseline one query at
+    // clean calibration without paying for the whole headline set
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = subset.fold(headline)(s => headline.filter(s))
+    val results = selected.filter(qs.contains).map { name =>
       val fn = qs(name)
       try { fn(spark, sfDir).queryExecution.executedPlan; fn(spark, sfDir).count() } // warm
       catch { case _: Throwable => () }
