@@ -1275,6 +1275,189 @@ object Oracles {
       |  FROM p2)
       |ORDER BY layout""".stripMargin
 
+  /** q264: `Validation.lDiversityAudit` — class × sensitive-band
+    * two-level group, min diversity, classes/rows under l=5, Q9 rate.
+    * Sensitive band shifted positive so // = DIV.
+    */
+  def q264LDiversity: String =
+    """WITH b AS (SELECT c_nationkey, c_mktsegment,
+      |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      + 100000) // 100000 AS sb
+      |  FROM customer),
+      |i AS (SELECT c_nationkey, c_mktsegment, sb, COUNT(*) AS n
+      |  FROM b GROUP BY 1, 2, 3),
+      |g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS l,
+      |    CAST(SUM(n) AS BIGINT) AS nr FROM i GROUP BY 1, 2)
+      |SELECT CAST(SUM(nr) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(MIN(l) AS BIGINT) AS min_l,
+      |  CAST(SUM(CASE WHEN l < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating_classes,
+      |  CAST(SUM(CASE WHEN l < 5 THEN nr ELSE 0 END) AS BIGINT)
+      |    AS n_rows_violating,
+      |  CAST((CAST(SUM(CASE WHEN l < 5 THEN nr ELSE 0 END) AS HUGEINT)
+      |    * 1000000000) // SUM(nr) AS BIGINT) AS viol_rate_q9
+      |FROM g ORDER BY n_rows""".stripMargin
+
+  /** q265: `Sampling.domainMixturePlan` — per-domain floor rate toward
+    * the target permille (downsample-only, LEAST cap), kept tokens,
+    * achieved permille; HUGEINT intermediates, BIGINT terminals.
+    */
+  def q265DomainMixture: String = {
+    val targets = (0 until 20)
+      .map(i => s"('src$i', ${if (i < 10) 80 else 20})").mkString(", ")
+    s"""WITH t(g, pm) AS (VALUES $targets),
+       |p AS (SELECT source AS g, CAST(SUM(n_chars) AS BIGINT) AS toks
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(toks) AS HUGEINT) AS tt FROM p),
+       |r AS (SELECT p.g, p.toks, t.pm,
+       |    CASE WHEN p.toks = 0 THEN 1000000
+       |      ELSE LEAST(1000000, CAST((CAST(t.pm AS HUGEINT) * tot.tt
+       |        * 1000000) // (1000 * CAST(p.toks AS HUGEINT)) AS BIGINT))
+       |    END AS rate_q6
+       |  FROM p JOIN t ON t.g = p.g CROSS JOIN tot),
+       |k AS (SELECT r.*, CAST((CAST(toks AS HUGEINT) * rate_q6)
+       |    // 1000000 AS BIGINT) AS kept_toks FROM r),
+       |kt AS (SELECT CAST(SUM(kept_toks) AS HUGEINT) AS kt FROM k)
+       |SELECT g AS source, toks, CAST(pm AS BIGINT) AS target_pm,
+       |  rate_q6, kept_toks,
+       |  CASE WHEN kt.kt <> 0 THEN CAST((CAST(kept_toks AS HUGEINT)
+       |    * 1000) // kt.kt AS BIGINT) END AS achieved_pm
+       |FROM k CROSS JOIN kt ORDER BY source""".stripMargin
+  }
+
+  /** q266: `TextAnalysis.heapsGrowth` — doc ordinal by doc_id, token
+    * first-seen ordinal, B=10 floor checkpoints, cumulative vocab.
+    */
+  def q266HeapsGrowth: String =
+    """WITH o AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id)
+      |    AS BIGINT) AS ord FROM documents),
+      |nn AS (SELECT COALESCE(MAX(ord), 0) AS n FROM o),
+      |w AS (SELECT DISTINCT d.doc_id, t.w FROM documents d,
+      |    unnest(regexp_split_to_array(lower(d.text), '[^a-z0-9'']+'))
+      |      AS t(w)
+      |  WHERE t.w <> ''),
+      |fs AS (SELECT w.w, MIN(o.ord) AS fs
+      |  FROM w JOIN o ON o.doc_id = w.doc_id GROUP BY 1),
+      |h AS (SELECT fs, COUNT(*) AS nw FROM fs GROUP BY 1),
+      |ck AS (SELECT CAST(x AS BIGINT) AS ckpt,
+      |    (CAST(x AS BIGINT) * nn.n) // 10 AS n_docs
+      |  FROM unnest(generate_series(1, 10)) t(x) CROSS JOIN nn)
+      |SELECT ck.ckpt, CAST(ck.n_docs AS BIGINT) AS n_docs,
+      |  CAST(COALESCE(SUM(h.nw), 0) AS BIGINT) AS vocab
+      |FROM ck LEFT JOIN h ON h.fs <= ck.n_docs
+      |GROUP BY 1, 2 ORDER BY ckpt""".stripMargin
+
+  /** q267: `Graphs.linkPredict` — q157's capped co-purchase build,
+    * canonical edges, hub cap on intermediates, Adamic–Adar term
+    * ⌊10¹⁸/lnQ12(deg)⌋ via the shared ln kernel, non-edge anti-join,
+    * deterministic (aa DESC, a, b) top-100.
+    */
+  def q267LinkPredict: String =
+    """WITH RECURSIVE e0 AS (SELECT l_orderkey AS g, l_partkey AS i
+      |  FROM lineitem),
+      |ok AS (SELECT g, i FROM e0 WHERE g NOT IN (
+      |  SELECT g FROM e0 GROUP BY g HAVING COUNT(*) > 1000)),
+      |d AS (SELECT DISTINCT g, i FROM ok),
+      |canon AS MATERIALIZED (SELECT DISTINCT LEAST(a.i, b.i) AS a,
+      |    GREATEST(a.i, b.i) AS b
+      |  FROM d a JOIN d b ON a.g = b.g AND a.i <> b.i),
+      |bd AS (SELECT a AS z, b AS x FROM canon
+      |  UNION ALL SELECT b, a FROM canon),
+      |deg AS (SELECT z, COUNT(*) AS dg FROM bd GROUP BY 1),
+      |_ks AS (SELECT DISTINCT dg AS k FROM deg
+      |  WHERE dg <= 1000 AND dg >= 2),
+      |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
+      |wz AS (SELECT deg.z, 1000000000000000000 // l.l AS wq6
+      |  FROM deg JOIN _lnq l ON l.k = deg.dg
+      |  WHERE deg.dg <= 1000 AND deg.dg >= 2),
+      |pr AS (SELECT b1.x AS pa, b2.x AS pb, wz.wq6
+      |  FROM bd b1 JOIN bd b2 ON b1.z = b2.z AND b1.x < b2.x
+      |  JOIN wz ON wz.z = b1.z),
+      |cand AS (SELECT pa, pb, COUNT(*) AS cn, SUM(wq6) AS aa
+      |  FROM pr GROUP BY 1, 2),
+      |ne AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+      |  SELECT 1 FROM canon WHERE canon.a = c.pa AND canon.b = c.pb))
+      |SELECT pa AS a, pb AS b, CAST(cn AS BIGINT) AS cn,
+      |  CAST(aa AS BIGINT) AS aa_q6
+      |FROM ne ORDER BY aa DESC, a, b LIMIT 100""".stripMargin
+
+  /** q268: `Dedup.lshPlan` — the exact Q6 truncating power walks as
+    * two recursive CTEs over the (bands, rows, j) grid.
+    */
+  def q268LshPlan: String =
+    """WITH RECURSIVE grid AS (
+      |  SELECT b.b, r.r, CAST(100000 * j.x AS BIGINT) AS j
+      |  FROM (VALUES (1), (2), (4), (8), (16)) b(b),
+      |       (VALUES (2), (4), (8)) r(r),
+      |       (SELECT unnest(generate_series(1, 9)) AS x) j
+      |  WHERE b.b * r.r <= 64),
+      |pr(b, r, j, i, acc) AS (
+      |  SELECT b, r, j, 1, j FROM grid
+      |  UNION ALL SELECT b, r, j, i + 1, (acc * j) // 1000000
+      |  FROM pr WHERE i < r),
+      |p1 AS (SELECT b, r, j, acc AS pband FROM pr WHERE i = r),
+      |pb(b, r, j, pband, i, acc) AS (
+      |  SELECT b, r, j, pband, 1, 1000000 - pband FROM p1
+      |  UNION ALL SELECT b, r, j, pband, i + 1,
+      |    (acc * (1000000 - pband)) // 1000000
+      |  FROM pb WHERE i < b)
+      |SELECT CAST(b AS BIGINT) AS n_bands, CAST(r AS BIGINT) AS n_rows,
+      |  CAST(b * r AS BIGINT) AS n_hashes, j AS j_q6,
+      |  CAST(pband AS BIGINT) AS p_band_q6,
+      |  CAST(1000000 - acc AS BIGINT) AS p_detect_q6
+      |FROM pb WHERE i = b
+      |ORDER BY n_bands, n_rows, j_q6""".stripMargin
+
+  /** q269: `Embeddings.kCenterSelect` — q233's half-up int8 CTEs, then
+    * k−1 unrolled greedy rounds: per-round exact squared-L2 to the new
+    * center, running min, argmax (dist DESC, id ASC) excluding picks.
+    */
+  def q269KCenterCoreset: String = {
+    val k = 6; val dim = 64
+    val rounds = (2 to k).map { r =>
+      val excl = (1 until r).map(i =>
+        if (i == 1) "SELECT id FROM c1"
+        else s"SELECT vec_id FROM p$i").mkString(" UNION ALL ")
+      val prevDm = if (r == 2) "d1" else s"dm${r - 1}"
+      s"""p$r AS MATERIALIZED (SELECT vec_id, dm FROM $prevDm
+         |  WHERE vec_id NOT IN ($excl)
+         |  ORDER BY dm DESC, vec_id LIMIT 1),
+         |nd$r AS (SELECT v.vec_id,
+         |    SUM((v.qd - c.qd) * (v.qd - c.qd)) AS d2
+         |  FROM qv v JOIN qv c ON c.d = v.d
+         |  JOIN p$r ON c.vec_id = p$r.vec_id GROUP BY 1),
+         |dm$r AS MATERIALIZED (SELECT a.vec_id, LEAST(a.dm, b.d2) AS dm
+         |  FROM ${if (r == 2) "d1" else s"dm${r - 1}"} a
+         |  JOIN nd$r b USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to k).map(r =>
+      s"SELECT ${r}::BIGINT, vec_id, CAST(dm AS BIGINT) FROM p$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    COALESCE(list_max(list_transform(embedding,
+       |      x -> abs(x::DOUBLE))), 0.0) AS maxabs
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |s AS (SELECT vec_id, embedding,
+       |    CASE WHEN maxabs = 0.0 THEN 1.0 ELSE 127.0 / maxabs END AS scale
+       |  FROM base),
+       |qv AS MATERIALIZED (SELECT vec_id, d,
+       |    CAST(floor(embedding[d+1]::DOUBLE * scale + 0.5) AS BIGINT) AS qd
+       |  FROM s, (SELECT unnest(range(0, $dim)) AS d)),
+       |c1 AS (SELECT MIN(vec_id) AS id FROM s),
+       |d1 AS MATERIALIZED (SELECT v.vec_id,
+       |    SUM((v.qd - c.qd) * (v.qd - c.qd)) AS dm
+       |  FROM qv v JOIN qv c ON c.d = v.d
+       |  JOIN c1 ON c.vec_id = c1.id GROUP BY 1),
+       |$rounds
+       |SELECT * FROM (
+       |  SELECT 1::BIGINT AS round, c1.id AS vec_id,
+       |    0::BIGINT AS dist_sq FROM c1
+       |  UNION ALL $out)
+       |ORDER BY round""".stripMargin
+  }
+
   /** q256: `Analytics.robustOutliers` — q237's median/MAD replay, the
     * modified z-score flag (|x − med| > 3·MAD), exact Q9 rate.
     */
@@ -4332,6 +4515,12 @@ object Oracles {
   }
 
   def generated: Map[String, String] = Map(
+    "q264_l_diversity" -> q264LDiversity,
+    "q265_domain_mixture" -> q265DomainMixture,
+    "q266_heaps_growth" -> q266HeapsGrowth,
+    "q267_link_predict" -> q267LinkPredict,
+    "q268_lsh_plan" -> q268LshPlan,
+    "q269_kcenter_coreset" -> q269KCenterCoreset,
     "q153_wau_sketch" -> q153WauSketch,
     "q147_copurchase_rank" -> q147CopurchaseRank,
     "q203_ppr_related" -> q203PprRelated,

@@ -2943,6 +2943,67 @@ object SparkEntry {
         .orderBy("layout")
     }),
 
+    // ---- validation tier: l-diversity audit (NEW r12) ----
+    // q262's stronger sibling: a class that is k-anonymous but
+    // single-valued on the sensitive attribute is still exposed
+    // (homogeneity attack). Sensitive = account-balance band (exact
+    // cents, shifted positive so floor = truncate in both engines).
+    "q264_l_diversity" -> ((s, dir) => {
+      Validation.lDiversityAudit(
+        customer(s, dir).withColumn("bal_band", expr(
+          "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " + 100000) DIV 100000")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 5)
+    }),
+
+    // ---- curation tier: domain-mixture planner (NEW r12) ----
+    // The DoReMi/Pile-style rate plan q98's executor would consume:
+    // per-domain keep rate toward a target permille mix (downsample-
+    // only), kept-token projection, ACHIEVED mix after capping — all
+    // exact floor arithmetic. src0-9 target 80‰, src10-19 20‰.
+    "q265_domain_mixture" -> ((s, dir) => {
+      val targets = (0 until 20).map(i =>
+        (s"src$i", if (i < 10) 80L else 20L))
+      Sampling.domainMixturePlan(documents(s, dir), targets)
+        .orderBy("source")
+    }),
+
+    // ---- text tier: Heaps'-law vocabulary growth (NEW r12) ----
+    // q260's companion: distinct-token count after each N/10 prefix of
+    // the corpus in doc_id order — the vocabulary-growth curve that
+    // separates natural text from OCR noise (keeps climbing) and
+    // boilerplate (flattens early).
+    "q266_heaps_growth" -> ((s, dir) => {
+      TextAnalysis.heapsGrowth(documents(s, dir)).orderBy("ckpt")
+    }),
+
+    // ---- graph tier: Adamic-Adar link prediction (NEW r12) ----
+    // Non-edges of the co-purchase graph ranked by Σ 1/ln(deg z) over
+    // common neighbors z (exact Q6 via the shared lnQ12 kernel) — the
+    // "should be connected" shortlist recommendations and entity-
+    // resolution candidate generation start from.
+    "q267_link_predict" -> ((s, dir) => {
+      Graphs.linkPredict(Graphs.coOccurrenceEdges(
+        lineitem(s, dir), "l_orderkey", "l_partkey", dedup = false))
+    }),
+
+    // ---- dedup tier: MinHash-LSH parameter planner (NEW r12) ----
+    // The S-curve table — P(candidate | J) = 1 − (1 − J^r)^b in exact
+    // Q6 truncating fixed point — a 100 TB dedup run reads to pick
+    // (bands, rows) before signing the corpus.
+    "q268_lsh_plan" -> ((s, dir) =>
+      Dedup.lshPlan(s).orderBy("n_bands", "n_rows", "j_q6")),
+
+    // ---- embedding tier: greedy k-center coreset (NEW r12) ----
+    // Farthest-point sampling (Gonzalez 2-approx; CoreSet selection):
+    // min-id seed, then 5 rounds of argmax min-distance-to-centers on
+    // int8 codes — the diverse annotation-budget pick, radius sequence
+    // included. Complements q248 (coverage) and q234 (query-relative).
+    "q269_kcenter_coreset" -> ((s, dir) => {
+      graft.operators.Embeddings.kCenterSelect(embeddings(s, dir), k = 6)
+        .orderBy("round")
+    }),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the

@@ -1624,4 +1624,5 @@ object Analytics {
       .select(col("_g").as(grpCol), col("n_pos"), col("n_neg"),
         col("auc_q9"))
   }
+
 }

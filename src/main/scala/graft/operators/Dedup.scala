@@ -1414,4 +1414,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
         col("containment"))
   }
+
+  /** MinHash-LSH parameter planner: the S-curve a banding scheme
+    * applies to true Jaccard — P(candidate | J=j) = 1 − (1 − j^r)^b —
+    * evaluated EXACTLY in Q6 fixed point (each power step one
+    * truncating ⌊acc·base/10⁶⌋, so both engines walk identical
+    * integers) over the (bands, rows) grid with b·r ≤ `maxHashes` and
+    * j on a 0.1 Jaccard lattice. This is the table a 100 TB dedup run
+    * consults BEFORE signing the corpus: pick (b, r) whose curve is
+    * steep at the target threshold, trade b·r signature cost against
+    * miss rate at j = τ and collision rate at low j.
+    *
+    * Scale shape: ≤ |bands|·|rows|·9 rows total, generated and folded
+    * map-side (the power fold is a codegen'd higher-order aggregate
+    * over `sequence` — no loop on the driver, no shuffle at all).
+    */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession,
+      bandsOpts: Seq[Int] = Seq(1, 2, 4, 8, 16),
+      rowsOpts: Seq[Int] = Seq(2, 4, 8),
+      maxHashes: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(bandsOpts.forall(_ >= 1) && rowsOpts.forall(_ >= 1),
+      "lshPlan needs positive band/row counts")
+    val grid = for {
+      b <- bandsOpts; r <- rowsOpts if b * r <= maxHashes
+      j <- 1 to 9
+    } yield (b.toLong, r.toLong, (b * r).toLong, j * 100000L)
+    grid.toDF("n_bands", "n_rows", "n_hashes", "j_q6")
+      .withColumn("p_band_q6", expr(
+        "CASE WHEN n_rows = 1 THEN j_q6 ELSE aggregate(" +
+          "sequence(2L, n_rows), j_q6," +
+          " (acc, x) -> (acc * j_q6) DIV 1000000) END"))
+      .withColumn("p_detect_q6", expr(
+        "CASE WHEN n_bands = 1 THEN p_band_q6 ELSE 1000000 - aggregate(" +
+          "sequence(2L, n_bands), 1000000 - p_band_q6," +
+          " (acc, x) -> (acc * (1000000 - p_band_q6)) DIV 1000000) END"))
+  }
 }

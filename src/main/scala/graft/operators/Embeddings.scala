@@ -320,4 +320,68 @@ object Embeddings {
       .select(col("prefix_dim"), col("n"), col("mean_cos2_q9"),
         col("min_cos2_q9"), col("max_cos2_q9"))
   }
+
+  /** Greedy k-center coreset (farthest-point sampling, the Gonzalez
+    * 2-approximation): pick the minimum-id vector, then k−1 times the
+    * vector FARTHEST from everything picked so far (max of
+    * min-distance-to-centers, ties → smallest id) — the standard
+    * diverse-subset selection for active learning / annotation budgets
+    * (CoreSet, Sener & Savarese 2018), complementing [[graft.operators
+    * .Curation.greedySetCover]] (coverage objective) and MMR
+    * (query-relative). Exact integers: vectors int8-quantized by the
+    * q81 half-up rule, distance = squared L2 over the int8 codes
+    * (≤ 254²·dim, never near 2⁶³), argmax through the bounded native
+    * top-k. Output per round: (round, vec_id, dist_sq) — dist_sq is
+    * the pick's distance to the PREVIOUS centers (the k-center radius
+    * sequence; round 1 = 0); re-plotted it is the coverage-vs-budget
+    * curve.
+    *
+    * Scale shape: each round is ONE map over the corpus (the new
+    * center's codes fold in as a LITERAL array — zero shuffle, the
+    * q210 sign-matrix discipline) + one 1-row top-k readback; the
+    * running min-distance column materializes per round so round k
+    * never replays rounds 1..k−1. k rounds × one pass — the same
+    * bounded-rounds contract as PageRank/set-cover.
+    */
+  def kCenterSelect(embs: DataFrame, k: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "kCenterSelect needs k >= 1")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val base = withInt8Quantized(
+      embs.filter(col(vecCol).isNotNull).select(col(idCol).as("_id"),
+        col(vecCol)), vecCol = vecCol)
+      .select(col("_id"), col("q"))
+    val first = base.agg(min("_id")).head()
+    if (first.isNullAt(0)) return Seq.empty[(Long, Long, Long)]
+      .toDF("round", idCol, "dist_sq")
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var pickedId = first.getLong(0)
+    picks += ((1L, pickedId, 0L))
+    var state = Dedup.materialize(base
+      .withColumn("_dmin", lit(Long.MaxValue)))
+    for (round <- 2 to k) {
+      val cq = state.filter(col("_id") === pickedId)
+        .select("q").head().getSeq[Int](0)
+      state = Dedup.materialize(state
+        .withColumn("_cq", typedLit(cq))
+        .withColumn("_d2", expr(
+          "aggregate(zip_with(q, _cq, (x, y) -> CAST((x - y) * (x - y)" +
+            " AS BIGINT)), 0L, (a, v) -> a + v)"))
+        .withColumn("_dmin", least(col("_dmin"), col("_d2")))
+        .drop("_d2", "_cq"))
+      val top = state
+        .filter(!col("_id").isin(picks.toSeq.map(_._2).map(
+          java.lang.Long.valueOf): _*))
+        .agg(graft.plans.GraftExtensions.topKNative(
+          col("_dmin").cast("double"), col("_id"), 1).as("_t"))
+        .select(explode(col("_t")).as("p"))
+        .select(col("p.id"), col("p.ord")).collect()
+      if (top.nonEmpty) {
+        pickedId = top.head.getLong(0)
+        picks += ((round.toLong, pickedId, top.head.getDouble(1).toLong))
+      }
+    }
+    picks.toSeq.toDF("round", idCol, "dist_sq")
+  }
 }

@@ -778,4 +778,53 @@ object Graphs {
     e.unpersist(blocking = false)
     scores
   }
+
+  /** Link prediction on an undirected graph: for every NON-edge pair
+    * with ≥1 common neighbor, the common-neighbor count and the
+    * Adamic–Adar score Σ_z 1/ln(deg z) — the classic "who should be
+    * connected next" ranking (recommendations, knowledge-graph
+    * completion, entity-resolution candidates). Exact integers
+    * throughout: every common neighbor z contributes
+    * ⌊10¹⁸ / lnQ12(deg z)⌋ (the Q6 of 1/ln, via the shared codegen'd
+    * [[graft.plans.GraftExtensions.lnQ12Native]] kernel; deg z ≥ 2 by
+    * construction so ln > 0). Top-`topK` by (aa_q6 DESC, a, b) — a
+    * deterministic total order the oracle replays.
+    *
+    * Hubs with degree > `maxDegree` are EXCLUDED as intermediates (the
+    * q157 cap discipline: a million-degree hub contributes deg² pair
+    * candidates and ~0 signal at 1/ln(deg)) but still appear as
+    * endpoints via their other neighbors.
+    *
+    * Scale shape: degree is one agg; pair generation is the q157
+    * group-to-list map-side explode bounded by maxDegree²; the anti-
+    * join on existing edges and the final agg shuffle on the pair key;
+    * top-k is TakeOrderedAndProject, never a global sort.
+    */
+  def linkPredict(edges: DataFrame, topK: Int = 100,
+      maxDegree: Int = 1000): DataFrame = {
+    val canon = Dedup.materialize(edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    val both = canon.select(col("a").as("z"), col("b").as("x"))
+      .unionByName(canon.select(col("b").as("z"), col("a").as("x")))
+    val deg = both.groupBy("z").agg(count(lit(1)).as("_d"))
+    // deg 1 ⇒ ln = 0, and a single-neighbor node contributes no pair
+    // anyway — filter BEFORE the division so it can never see a zero
+    val wz = deg.filter(col("_d") <= maxDegree && col("_d") >= 2)
+      .withColumn("_ln", graft.plans.GraftExtensions.lnQ12Native(col("_d")))
+      .withColumn("_wq6", expr("1000000000000000000 DIV _ln"))
+      .drop("_ln")
+    val pairs = both.join(wz, Seq("z"))
+      .groupBy("z", "_wq6").agg(collect_list("x").as("_xs"))
+      .select(col("_wq6"), explode(col("_xs")).as("pa"), col("_xs"))
+      .select(col("_wq6"), col("pa"), explode(col("_xs")).as("pb"))
+      .filter(col("pa") < col("pb"))
+    pairs
+      .groupBy(col("pa").as("a"), col("pb").as("b"))
+      .agg(count(lit(1)).as("cn"), sum("_wq6").as("aa_q6"))
+      .join(canon, Seq("a", "b"), "left_anti")
+      .orderBy(col("aa_q6").desc, col("a"), col("b"))
+      .limit(topK)
+  }
 }

@@ -135,4 +135,48 @@ object Sampling {
       .select(col("_g").as(strataCol), col(idCol),
         col("_rn").as("pick_rank"), col("quota"))
   }
+
+  /** Domain-mixture planner (DoReMi / The-Pile-style pretraining mix):
+    * given per-domain target shares in PERMILLE, compute the per-domain
+    * keep rate that downsamples over-represented domains toward the
+    * target mix without upsampling anyone —
+    * `rate_q6 = min(10⁶, ⌊10⁶·target‰·T / (1000·tokens_d)⌋)` for corpus
+    * total T — plus the kept-token projection and the ACHIEVED permille
+    * share after capping (domains at rate 10⁶ stay whole, so the
+    * achieved mix is what a one-pass filter can actually deliver; a
+    * second iteration on the reported shares closes the gap if needed).
+    * All floor arithmetic in DECIMAL(38,0), terminals BIGINT.
+    *
+    * Scale shape: one partial-agg'd groupBy to |domains| rows, a 1-row
+    * total, then arithmetic on the |domains|-row table (the centroid
+    * convention). The planner's output is what a `rand() < rate`-style
+    * seeded-hash filter broadcast-joins against at 100 TB.
+    */
+  def domainMixturePlan(docs: DataFrame, targetsPermille: Seq[(String, Long)],
+      domainCol: String = "source", tokenCol: String = "n_chars")
+      : DataFrame = {
+    require(targetsPermille.nonEmpty, "domainMixturePlan needs targets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val per = docs.groupBy(col(domainCol).as("_g"))
+      .agg(sum(tokenCol).as("toks"))
+    val tgt = targetsPermille.toDF("_g", "target_pm")
+    val dec = "DECIMAL(38,0)"
+    val planned = per.join(broadcast(tgt), Seq("_g"))
+      .crossJoin(broadcast(
+        per.agg(coalesce(sum("toks"), lit(0L)).as("_t"))))
+      .withColumn("rate_q6", least(lit(1000000L),
+        expr(s"(CAST(target_pm AS $dec) * _t * 1000000)" +
+          " DIV (CAST(1000 AS DECIMAL(38,0)) * toks)").cast("long")))
+      .withColumn("kept_toks",
+        expr(s"(CAST(toks AS $dec) * rate_q6) DIV 1000000").cast("long"))
+    planned
+      .crossJoin(broadcast(planned.agg(
+        coalesce(sum("kept_toks"), lit(0L)).as("_kt"))))
+      .select(col("_g").as(domainCol), col("toks"), col("target_pm"),
+        col("rate_q6"), col("kept_toks"),
+        when(col("_kt") =!= 0,
+          expr(s"(CAST(kept_toks AS $dec) * 1000) DIV _kt").cast("long"))
+          .as("achieved_pm"))
+  }
 }

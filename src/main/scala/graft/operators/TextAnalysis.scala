@@ -1193,4 +1193,44 @@ object TextAnalysis {
         expr("CAST((_num - (_num % _den)) / _den AS BIGINT)")))
       .select(col("vocab_size"), col("n_fit"), col("slope_q9"))
   }
+
+  /** Heaps'-law vocabulary-growth curve — [[zipfProfile]]'s companion
+    * corpus-health readout: distinct-token count after each ⌊i·N/B⌋-doc
+    * prefix of the corpus in doc_id order (Heaps: V(n) ≈ K·n^β; a curve
+    * that keeps climbing linearly means heavy unique-token noise —
+    * OCR garbage, serial numbers; one that flattens early means
+    * boilerplate). Exact integers: a token's first-seen doc ORDINAL is
+    * min(row_number by doc_id); checkpoint i counts tokens first seen
+    * at ordinal ≤ ⌊i·N/B⌋. Output B rows: (ckpt, n_docs, vocab).
+    *
+    * Scale shape: one explode+distinct to (token, doc) pairs, one
+    * groupBy token for first-seen, one ≤B-row broadcast range-join on
+    * the |vocab|-bounded first-seen histogram. The doc-ordinal
+    * row_number is the q44/q245 single-ordering convention (swap in
+    * the two-phase `Ranking` pass when the DOC TABLE itself is
+    * corpus-sized; tokens never enter a global window).
+    */
+  def heapsGrowth(docs: DataFrame, buckets: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "heapsGrowth needs buckets > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ords = docs.select(col(idCol).as("_id"))
+      .withColumn("_ord", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("_id"))
+        .cast("long"))
+    val n = ords.agg(coalesce(max("_ord"), lit(0L))).head.getLong(0)
+    val firstSeen = docs
+      .select(col(idCol).as("_id"),
+        explode(array_distinct(words(col(textCol)))).as("_w"))
+      .join(ords, Seq("_id"))
+      .groupBy("_w").agg(min("_ord").as("_fs"))
+      .groupBy("_fs").agg(count(lit(1)).as("_nw"))
+    val ckpts = (1 to buckets)
+      .map(i => (i.toLong, i.toLong * n / buckets)).toDF("ckpt", "n_docs")
+    broadcast(ckpts)
+      .join(firstSeen, col("_fs") <= col("n_docs"), "left")
+      .groupBy("ckpt", "n_docs")
+      .agg(coalesce(sum("_nw"), lit(0L)).as("vocab"))
+  }
 }

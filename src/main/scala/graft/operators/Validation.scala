@@ -267,4 +267,38 @@ object Validation {
       .withColumn("viol_rate_q9", when(col("n_rows") =!= 0,
         expr("(CAST(n_violating AS DECIMAL(38,0)) * 1000000000) DIV n_rows")))
   }
+
+  /** l-diversity audit — [[kAnonymityAudit]]'s stronger sibling: a
+    * quasi-id class with many rows is still exposed if they all share
+    * ONE sensitive value (the homogeneity attack k-anonymity misses).
+    * Per class: distinct sensitive values; report the minimum
+    * diversity, classes (and rows) whose diversity < `l`, and the Q9
+    * violating-row rate — all exact integers.
+    *
+    * Scale shape: one partial-agg'd two-level groupBy (class ×
+    * sensitive collapses first, then class — both map-side
+    * combinable), then a 1-row readout agg. Nothing per-row
+    * downstream; no distinct-count sketch needed because the inner
+    * groupBy IS the exact distinct.
+    */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int = 3): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversityAudit needs quasi-id columns")
+    val qs = quasiCols.map(col)
+    val inner = df
+      .groupBy(qs :+ col(sensitiveCol).as("_s"): _*)
+      .agg(count(lit(1)).as("_n"))
+    val g = inner.groupBy(qs: _*)
+      .agg(count(lit(1)).as("_l"), sum("_n").as("_rows"))
+    g.agg(coalesce(sum("_rows"), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min("_l").as("min_l"),
+        coalesce(sum(when(col("_l") < l, lit(1L)).otherwise(0L)), lit(0L))
+          .as("n_violating_classes"),
+        coalesce(sum(when(col("_l") < l, col("_rows")).otherwise(0L)),
+          lit(0L)).as("n_rows_violating"))
+      .withColumn("viol_rate_q9", when(col("n_rows") =!= 0,
+        expr("(CAST(n_rows_violating AS DECIMAL(38,0)) * 1000000000)" +
+          " DIV n_rows")))
+  }
 }

@@ -439,4 +439,30 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dm == Map(1L -> 0L, 2L -> 10L, 4L -> 2L))
   }
+
+  test("linkPredict: Adamic-Adar over common neighbors, non-edges only, hub cap") {
+    // path 1-2-3: the only common-neighbor pair is (1,3) through z=2
+    // (deg 2) → aa = ⌊10¹⁸ / lnQ12(2)⌋, cn = 1
+    val path = Seq(1L -> 2L, 2L -> 3L).toDF("src", "dst")
+    val got = Graphs.linkPredict(path)
+      .as[(Long, Long, Long, Long)].collect().toList
+    val w2 = 1000000000000000000L / graft.functions.FixedMath.lnQ12(2L)
+    assert(got == List((1L, 3L, 1L, w2)))
+    // triangle: every candidate pair is already an edge → empty
+    val tri = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L).toDF("src", "dst")
+    assert(Graphs.linkPredict(tri).count() == 0L)
+    // star 0-{1..5}: center deg 5 > maxDegree=4 excludes it as an
+    // INTERMEDIATE → no candidates; at cap 5 all 10 leaf pairs appear
+    // with cn=1 and weight 1/ln(5)
+    val star = (1L to 5L).map(l => 0L -> l).toDF("src", "dst")
+    assert(Graphs.linkPredict(star, maxDegree = 4).count() == 0L)
+    val s5 = Graphs.linkPredict(star, maxDegree = 5)
+      .as[(Long, Long, Long, Long)].collect()
+    val w5 = 1000000000000000000L / graft.functions.FixedMath.lnQ12(5L)
+    assert(s5.length == 10 && s5.forall(t => t._3 == 1L && t._4 == w5))
+    // topK truncates deterministically (aa DESC, a, b)
+    assert(Graphs.linkPredict(star, topK = 3, maxDegree = 5)
+      .as[(Long, Long, Long, Long)].collect().map(t => (t._1, t._2))
+      .toList == List((1L, 2L), (1L, 3L), (1L, 4L)))
+  }
 }

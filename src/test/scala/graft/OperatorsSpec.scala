@@ -2532,4 +2532,72 @@ class OperatorsSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4)) == (16L, 3L, 1L, 4L, 250000000L))
   }
+
+  test("lDiversityAudit: distinct sensitive per class, violations by rows") {
+    // (x,p): sensitive {1,1,2} → l=2, 3 rows; (x,q): {1,2,3} → l=3;
+    // (y,p): {7,7} → l=1, 2 rows. l=3 ⇒ violating classes 2, rows 5.
+    val rows = Seq(("x", "p", 1L), ("x", "p", 1L), ("x", "p", 2L),
+      ("x", "q", 1L), ("x", "q", 2L), ("x", "q", 3L),
+      ("y", "p", 7L), ("y", "p", 7L))
+    val r = graft.operators.Validation
+      .lDiversityAudit(rows.toDF("a", "b", "s"), Seq("a", "b"), "s", l = 3)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ==
+      (8L, 3L, 1L, 2L, 5L, 5L * 1000000000L / 8L))
+    // empty input: one row of zero counts, NULL rate — no NPE
+    val e = graft.operators.Validation.lDiversityAudit(
+      Seq.empty[(String, String, Long)].toDF("a", "b", "s"),
+      Seq("a"), "s").collect().head
+    assert(e.getLong(0) == 0L && e.isNullAt(5))
+  }
+
+  test("heapsGrowth: first-seen cumulative vocabulary at floor checkpoints") {
+    // docs in id order: 1 "a b", 2 "b c", 3 "c d a a", 4 "d"
+    // first seen: a@1 b@1 c@2 d@3 → vocab(1..4 docs) = 2,3,4,4
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "c d a a"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val b4 = graft.operators.TextAnalysis.heapsGrowth(docs, buckets = 4)
+      .orderBy("ckpt").as[(Long, Long, Long)].collect().toList
+    assert(b4 == List((1L, 1L, 2L), (2L, 2L, 3L), (3L, 3L, 4L),
+      (4L, 4L, 4L)))
+    // B=2: n_docs = ⌊i·4/2⌋ = 2, 4
+    val b2 = graft.operators.TextAnalysis.heapsGrowth(docs, buckets = 2)
+      .orderBy("ckpt").as[(Long, Long, Long)].collect().toList
+    assert(b2 == List((1L, 2L, 3L), (2L, 4L, 4L)))
+  }
+
+  test("lshPlan: exact Q6 S-curve values, grid shape, monotone in J") {
+    val got = graft.operators.Dedup.lshPlan(spark)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // b ∈ {1,2,4,8,16} × r ∈ {2,4,8} minus 16×8 > 64 → 14 × 9 = 126
+    assert(got.length == 126)
+    // hand case (b=2, r=2, j=0.5): p1 = ⌊0.25e6⌋; pd = 1e6 − ⌊0.75²e6⌋
+    val h = got.find(t => t._1 == 2 && t._2 == 2 && t._4 == 500000L).get
+    assert(h._5 == 250000L && h._6 == 437500L)
+    // one band: detect prob = band prob exactly
+    assert(got.filter(_._1 == 1).forall(t => t._6 == t._5))
+    // fixing (b, r): detect prob is non-decreasing in J
+    got.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      val ps = rows.sortBy(_._4).map(_._6)
+      assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("kCenterSelect: farthest-point picks with exact int8 radii") {
+    // maxabs 127 everywhere → scale 1, codes = values. Round 1: min id.
+    // Round 2 argmax d² to p1=(0,127): p2/p4 tie at 32258 → id 2.
+    // Round 3 argmax min(d to p1, d to p2): p4 wins at 32258.
+    val df = Seq(
+      (1L, Seq(0f, 127f)), (2L, Seq(127f, 0f)), (3L, Seq(127f, 127f)),
+      (4L, Seq(-127f, 0f)), (5L, Seq(127f, 126f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Embeddings.kCenterSelect(df, k = 3)
+      .orderBy("round").as[(Long, Long, Long)].collect().toList
+    assert(got == List((1L, 1L, 0L), (2L, 2L, 32258L), (3L, 4L, 32258L)))
+    // k larger than the corpus: picks exhaust, no crash, no repeats
+    val all = graft.operators.Embeddings.kCenterSelect(df, k = 9)
+      .as[(Long, Long, Long)].collect()
+    assert(all.map(_._2).distinct.length == all.length && all.length <= 5)
+  }
 }

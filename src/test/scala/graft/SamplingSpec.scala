@@ -122,4 +122,23 @@ class SamplingSpec extends SparkSpec {
       Sampling.budgetSample(even, k = 10L).collect()
     }
   }
+
+  test("domainMixturePlan: floor rates, downsample-only cap, achieved mix") {
+    // A: 600 tokens, B: 400; targets A 250permille / B 750permille.
+    // rate_A = floor(250*1000*1e6 / (1000*600)) = 416666 -> kept 249;
+    // rate_B caps at 1e6 -> kept 400; achieved = 383 / 616 permille.
+    val docs = Seq(("A", 200L), ("A", 200L), ("A", 200L),
+      ("B", 150L), ("B", 250L)).toDF("source", "n_chars")
+    val got = Sampling.domainMixturePlan(docs,
+        Seq("A" -> 250L, "B" -> 750L))
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      ("A", 600L, 250L, 416666L, 249L, 383L),
+      ("B", 400L, 750L, 1000000L, 400L, 616L)))
+    // a domain absent from the targets is dropped from the plan
+    val withC = docs.union(Seq(("C", 100L)).toDF("source", "n_chars"))
+    assert(Sampling.domainMixturePlan(withC,
+      Seq("A" -> 250L, "B" -> 750L)).count() == 2L)
+  }
 }
