@@ -1423,10 +1423,11 @@ object Oracles {
       s"""p$r AS MATERIALIZED (SELECT vec_id, dm FROM $prevDm
          |  WHERE vec_id NOT IN ($excl)
          |  ORDER BY dm DESC, vec_id LIMIT 1),
+         |cq$r AS MATERIALIZED (SELECT qv.d, qv.qd FROM qv
+         |  JOIN p$r ON qv.vec_id = p$r.vec_id),
          |nd$r AS (SELECT v.vec_id,
          |    SUM((v.qd - c.qd) * (v.qd - c.qd)) AS d2
-         |  FROM qv v JOIN qv c ON c.d = v.d
-         |  JOIN p$r ON c.vec_id = p$r.vec_id GROUP BY 1),
+         |  FROM qv v JOIN cq$r c ON c.d = v.d GROUP BY 1),
          |dm$r AS MATERIALIZED (SELECT a.vec_id, LEAST(a.dm, b.d2) AS dm
          |  FROM ${if (r == 2) "d1" else s"dm${r - 1}"} a
          |  JOIN nd$r b USING (vec_id))""".stripMargin
@@ -1446,16 +1447,82 @@ object Oracles {
        |    CAST(floor(embedding[d+1]::DOUBLE * scale + 0.5) AS BIGINT) AS qd
        |  FROM s, (SELECT unnest(range(0, $dim)) AS d)),
        |c1 AS (SELECT MIN(vec_id) AS id FROM s),
+       |cq1 AS MATERIALIZED (SELECT qv.d, qv.qd FROM qv
+       |  JOIN c1 ON qv.vec_id = c1.id),
        |d1 AS MATERIALIZED (SELECT v.vec_id,
        |    SUM((v.qd - c.qd) * (v.qd - c.qd)) AS dm
-       |  FROM qv v JOIN qv c ON c.d = v.d
-       |  JOIN c1 ON c.vec_id = c1.id GROUP BY 1),
+       |  FROM qv v JOIN cq1 c ON c.d = v.d GROUP BY 1),
        |$rounds
        |SELECT * FROM (
        |  SELECT 1::BIGINT AS round, c1.id AS vec_id,
        |    0::BIGINT AS dist_sq FROM c1
        |  UNION ALL $out)
        |ORDER BY round""".stripMargin
+  }
+
+  /** q270: `Analytics.calibrationCurve` — Q4 pseudo-propensity, 10
+    * fixed value bins, mean-pred / observed-rate, single-floor ECE.
+    */
+  def q270Calibration: String =
+    """WITH r0 AS (SELECT DISTINCT l_orderkey AS rk FROM lineitem
+      |  WHERE l_returnflag = 'R'),
+      |b AS (SELECT LEAST(10000,
+      |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        // 5500) AS p,
+      |    CASE WHEN r0.rk IS NOT NULL THEN 1 ELSE 0 END AS y
+      |  FROM orders LEFT JOIN r0 ON o_orderkey = r0.rk),
+      |c AS (SELECT LEAST(9, (p * 10) // 10000) AS bin, COUNT(*) AS n,
+      |    CAST(SUM(p) AS HUGEINT) AS sp,
+      |    CAST(SUM(y) AS BIGINT) AS n_pos
+      |  FROM b GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+      |    CAST(SUM(ABS(sp - 10000 * n_pos)) AS HUGEINT) AS gap FROM c)
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+      |  CAST(sp // n AS BIGINT) AS mean_pred_q4, n_pos,
+      |  CAST((CAST(n_pos AS HUGEINT) * 1000000000) // n AS BIGINT)
+      |    AS obs_rate_q9,
+      |  CASE WHEN t.nn <> 0 THEN
+      |    CAST((t.gap * 1000000000) // (10000 * t.nn) AS BIGINT)
+      |  END AS ece_q9
+      |FROM c CROSS JOIN t ORDER BY bin""".stripMargin
+
+  /** q271: `TextRank keywords` — adjacent-word co-occurrence edges
+    * (self-pairs dropped, counts capped 10⁵), q173's weighted-PageRank
+    * recurrence unrolled for 3 iterations (odd — synchronous
+    * rounds oscillate on star-ish graphs), top-20 (score DESC, word).
+    */
+  def q271TextRank: String = {
+    val scale = 1000000000000L
+    val iters = 3
+    val baseSub =
+      s"(SELECT ($scale::HUGEINT * 15) // (100 * COUNT(*)) FROM nodes)"
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS node,
+         |    SUM((s.score * 85 * e.w) // (d.wdeg * 100)) AS cs
+         |  FROM e JOIN s${k - 1} s ON e.src = s.node
+         |         JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |s$k AS (SELECT node, $baseSub + cs AS score FROM c$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH l AS (SELECT doc_id, list_filter(string_split_regex(
+       |    lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS ws
+       |  FROM documents),
+       |p0 AS (SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:])) AS pr
+       |  FROM l WHERE len(ws) >= 2),
+       |bi AS (SELECT pr[1] AS a, pr[2] AS b FROM p0 WHERE pr[1] <> pr[2]),
+       |e AS (SELECT src, dst, LEAST(COUNT(*), 100000)::HUGEINT AS w
+       |  FROM (SELECT a AS src, b AS dst FROM bi
+       |        UNION ALL SELECT b, a FROM bi)
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |deg AS (SELECT src, SUM(w) AS wdeg FROM e GROUP BY 1),
+       |s0 AS (SELECT node,
+       |    (SELECT $scale::HUGEINT // COUNT(*) FROM nodes) AS score
+       |  FROM nodes),
+       |$iterCtes
+       |SELECT node AS word, CAST(score AS BIGINT) AS score
+       |FROM s$iters ORDER BY score DESC, word LIMIT 20""".stripMargin
   }
 
   /** q256: `Analytics.robustOutliers` — q237's median/MAD replay, the
@@ -4515,6 +4582,8 @@ object Oracles {
   }
 
   def generated: Map[String, String] = Map(
+    "q270_calibration" -> q270Calibration,
+    "q271_textrank_keywords" -> q271TextRank,
     "q264_l_diversity" -> q264LDiversity,
     "q265_domain_mixture" -> q265DomainMixture,
     "q266_heaps_growth" -> q266HeapsGrowth,

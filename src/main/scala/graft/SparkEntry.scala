@@ -3004,6 +3004,31 @@ object SparkEntry {
         .orderBy("round")
     }),
 
+    // ---- ML-eval tier: calibration curve + ECE (NEW r12) ----
+    // q250 ranks, this checks the score VALUES: price-derived Q4
+    // pseudo-propensity in 10 fixed value bins, mean-pred vs observed
+    // return rate, and the exact single-floor ECE.
+    "q270_calibration" -> ((s, dir) => {
+      val ret = lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("_rk")).distinct()
+      val d = orders(s, dir)
+        .join(ret, col("o_orderkey") === col("_rk"), "left")
+        .withColumn("p_q4", least(lit(10000L), expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " DIV 5500")))
+      Analytics.calibrationCurve(d, "p_q4", col("_rk").isNotNull)
+        .orderBy("bin")
+    }),
+
+    // ---- text tier: TextRank keywords (NEW r12) ----
+    // Weighted PageRank over the adjacent-word co-occurrence graph
+    // (Mihalcea & Tarau 2004, window 2) in exact fixed point — the
+    // unsupervised keyword extractor; counts capped at 1e5 per the
+    // pageRankIntWeighted long-range bound (cap mirrored in the
+    // oracle).
+    "q271_textrank_keywords" -> ((s, dir) =>
+      TextAnalysis.textRankKeywords(documents(s, dir))),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the

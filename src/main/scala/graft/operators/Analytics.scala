@@ -1625,4 +1625,43 @@ object Analytics {
         col("auc_q9"))
   }
 
+  /** Calibration (reliability) curve + expected calibration error: the
+    * ML-eval readout [[aucExact]] can't give — whether the SCORE VALUES
+    * mean what they claim (AUC only ranks). Predictions in tenk units
+    * (Q4 probability, [0, 10⁴]) bin into B fixed-width value bins
+    * (bin = min(B−1, ⌊p·B/10⁴⌋) — value bins, NOT q251's rank deciles);
+    * each bin reports population, mean predicted Q4 and observed
+    * positive rate Q9. ECE — Σ_b (n_b/N)·|mean_pred_b − rate_b| —
+    * telescopes EXACTLY to (Σ_b |Σp_b − 10⁴·pos_b|)·10⁹ / (10⁴·N), so
+    * the whole statistic carries ONE floor division (ece_q9, repeated
+    * per row as the summary column).
+    *
+    * Scale shape: one partial-agg'd groupBy to ≤B cells, then
+    * arithmetic on the B-row table + a 2-number crossJoin — nothing
+    * per-row after the first aggregate.
+    */
+  def calibrationCurve(df: DataFrame, predQ4Col: String, isPos: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, "calibrationCurve needs bins > 0")
+    val base = df.filter(col(predQ4Col).isNotNull)
+      .select(col(predQ4Col).cast("long").as("_p"),
+        isPos.cast("boolean").as("_y"))
+      .withColumn("_b", least(lit(bins - 1L),
+        expr(s"(_p * $bins) DIV 10000")))
+    val cells = base.groupBy("_b").agg(
+      count(lit(1)).as("n"),
+      sum("_p").as("_sp"),
+      sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"))
+    val tot = cells.agg(
+      coalesce(sum("n"), lit(0L)).as("_n"),
+      coalesce(sum(abs(col("_sp") - lit(10000L) * col("n_pos"))), lit(0L))
+        .as("_gap"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("_b").as("bin"), col("n"),
+        expr("_sp DIV n").as("mean_pred_q4"), col("n_pos"),
+        expr("(n_pos * 1000000000) DIV n").as("obs_rate_q9"),
+        when(col("_n") =!= 0, expr(
+          "CAST((CAST(_gap AS DECIMAL(38,0)) * 1000000000)" +
+            " DIV (10000 * _n) AS BIGINT)")).as("ece_q9"))
+  }
 }

@@ -1233,4 +1233,48 @@ object TextAnalysis {
       .groupBy("ckpt", "n_docs")
       .agg(coalesce(sum("_nw"), lit(0L)).as("vocab"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, window 2):
+    * weighted integer PageRank over the adjacent-word co-occurrence
+    * graph — words that co-occur next to many well-connected words
+    * rank highest, the unsupervised keyword baseline. Default 3
+    * rounds: synchronous PageRank OSCILLATES on a star-ish word graph
+    * (even rounds park the hub's mass in its neighbors), so keyword
+    * readouts use an odd round count. Self-pairs
+    * ("the the") are dropped; co-occurrence counts cap at 10⁵ (the
+    * [[graft.operators.Graphs.pageRankIntWeighted]] long-range bound,
+    * mirrored in the oracle). Output top-`topK` (score DESC, word).
+    *
+    * Scale shape: bigram explode is map-side per doc; the edge build
+    * is one groupBy on the (src, dst) pair; the rank loop is
+    * pageRankIntWeighted's bounded-rounds contract on a vocabulary-
+    * sized graph (NOT corpus-sized — the whole point of the collapse).
+    */
+  def textRankKeywords(docs: DataFrame, iters: Int = 3, topK: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    val ws = docs.select(words(col(textCol)).as("_ws"))
+      .filter(size(col("_ws")) >= 2)
+    val bi = ws.select(explode(expr(
+      "transform(sequence(0, size(_ws) - 2)," +
+        " i -> struct(_ws[i] AS a, _ws[i+1] AS b))")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .filter(col("a") =!= col("b"))
+    val edges = graft.operators.Dedup.materialize(
+      bi.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(bi.select(col("b").as("src"), col("a").as("dst")))
+        .groupBy("src", "dst")
+        .agg(least(count(lit(1)), lit(100000L)).as("weight")))
+    // a corpus with no non-self bigram (or no text at all) has no graph
+    // — return an empty keyword table instead of tripping PageRank's
+    // empty-graph require
+    if (edges.head(1).isEmpty) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("word", "score")
+    } else
+      Graphs.pageRankIntWeighted(edges, iters = iters)
+        .orderBy(col("score").desc, col("node"))
+        .limit(topK)
+        .select(col("node").as("word"), col("score"))
+  }
 }

@@ -874,4 +874,25 @@ class AnalyticsSpec extends SparkSpec {
       got.head.getLong(3) == 666666666L)
     assert(got(1).getString(0) == "g2" && got(1).isNullAt(3))
   }
+
+  test("calibrationCurve: hand-computed bins, exact single-floor ECE") {
+    // bin 1: preds {1000, 1000}, one positive -> mean 1000, rate 5e8
+    // bin 9: preds {9000, 9000}, both positive -> mean 9000, rate 1e9
+    // gap = |2000-10000| + |18000-20000| = 10000
+    // ece_q9 = 10000*1e9 / (10000*4) = 250_000_000
+    val df = Seq((1000L, false), (1000L, true), (9000L, true),
+      (9000L, true)).toDF("p", "y")
+    val got = Analytics.calibrationCurve(df, "p", col("y"))
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 2L, 1000L, 1L, 500000000L, 250000000L),
+      (9L, 2L, 9000L, 2L, 1000000000L, 250000000L)))
+    // perfectly calibrated degenerate: p = 10000 & all positive -> ECE 0
+    // (p=10000 lands in the top bin via the least() edge clamp)
+    val perf = Seq((10000L, true), (10000L, true)).toDF("p", "y")
+    val g2 = Analytics.calibrationCurve(perf, "p", col("y"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(g2 == List((9L, 2L, 10000L, 2L, 1000000000L, 0L)))
+  }
 }

@@ -2600,4 +2600,30 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(all.map(_._2).distinct.length == all.length && all.length <= 5)
   }
+
+  test("textRankKeywords: hub word wins; equals direct weighted PageRank on the bigram graph") {
+    // "x" is adjacent to every other word: x a x b x c -> x is the hub
+    val docs = Seq("x a x b x c", "x a x b").toDF("text")
+    val got = graft.operators.TextAnalysis.textRankKeywords(docs, topK = 4)
+      .as[(String, Long)].collect()
+    assert(got.head._1 == "x", s"hub should rank first, got ${got.head}")
+    // cross-check the composition against a hand-built edge table fed
+    // straight into pageRankIntWeighted (same bigrams, both directions)
+    val bigrams = Seq("x a x b x c", "x a x b").flatMap { t =>
+      val ws = t.split(" ").toSeq
+      ws.zip(ws.tail).filter { case (a, b) => a != b }
+    }
+    val edges = (bigrams ++ bigrams.map(_.swap))
+      .groupBy(identity).map { case ((a, b), g) =>
+        (a, b, math.min(g.size.toLong, 100000L)) }.toSeq
+      .toDF("src", "dst", "weight")
+    val direct = graft.operators.Graphs.pageRankIntWeighted(edges, iters = 3)
+      .orderBy(col("score").desc, col("node")).limit(4)
+      .as[(String, Long)].collect().toList
+    assert(got.toList == direct, "composition == direct weighted PageRank")
+    // self-adjacent repeats contribute no edge: single-word repetition
+    // yields an empty graph and an empty result
+    assert(graft.operators.TextAnalysis.textRankKeywords(
+      Seq("the the the").toDF("text")).count() == 0L)
+  }
 }
