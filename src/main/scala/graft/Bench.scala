@@ -79,7 +79,13 @@ object Bench {
     "q238_budget_sample",  // Hamilton quotas + md5-ranked picks (NEW r11)
     "q241_dyadic_quantiles", // bounded-state histogram sketch + readout (NEW r11)
     "q243_pit_features",   // leakage-proof RANGE-frame features (NEW r11)
-    "q246_shard_migration") // HRW consistent sharding, native splitmix (NEW r11)
+    "q246_shard_migration", // HRW consistent sharding, native splitmix (NEW r11)
+    "q266_heaps_growth",   // vocabulary-growth curve, explode+first-seen (NEW r12)
+    "q267_link_predict",   // Adamic-Adar common-neighbor join (NEW r12)
+    "q269_kcenter_coreset", // farthest-point rounds, literal-center maps (NEW r12)
+    "q271_textrank_keywords", // word-graph weighted PageRank (NEW r12)
+    "q273_ndcg",           // graded ranking quality, ln-kernel terms (NEW r12)
+    "q274_silhouette")     // IVF cluster-quality readout, int8 map (NEW r12)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine

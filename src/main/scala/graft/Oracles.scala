@@ -1525,6 +1525,76 @@ object Oracles {
        |FROM s$iters ORDER BY score DESC, word LIMIT 20""".stripMargin
   }
 
+  /** q273: `Retrieval.ndcgAtK` — even-day recs / odd-day graded truth,
+    * integer DCG/IDCG terms ⌊rel·lnQ12(2)·10⁶ / lnQ12(r+1)⌋ via the
+    * shared ln kernel, terminal Q6 division.
+    */
+  def q273Ndcg: String = {
+    val ln2 = graft.functions.FixedMath.lnQ12(2L)
+    s"""WITH RECURSIVE b AS (
+       |  SELECT c_nationkey AS q, l_partkey AS item,
+       |    (epoch_us(o_orderdate) // 86400000000) % 2 AS par
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey),
+       |recs AS (SELECT q, item, rank FROM (
+       |  SELECT q, item, ROW_NUMBER() OVER (
+       |      PARTITION BY q ORDER BY COUNT(*) DESC, item) AS rank
+       |  FROM b WHERE par = 0 GROUP BY q, item) WHERE rank <= 5),
+       |truth AS (SELECT q, item, COUNT(*) AS rel FROM b WHERE par = 1
+       |  GROUP BY 1, 2),
+       |_ks AS (SELECT DISTINCT x + 1 AS k
+       |  FROM unnest(generate_series(1, 5)) t(x)),
+       |""".stripMargin + graft.functions.FixedMath.lnCteSql + s""",
+       |dterm AS (SELECT r.q,
+       |    CASE WHEN t.rel IS NULL THEN 0::HUGEINT
+       |      ELSE (CAST(t.rel AS HUGEINT) * $ln2 * 1000000) // l.l
+       |    END AS tq
+       |  FROM recs r LEFT JOIN truth t USING (q, item)
+       |  JOIN _lnq l ON l.k = r.rank + 1),
+       |dcg AS (SELECT q, CAST(SUM(tq) AS BIGINT) AS dcg_q6
+       |  FROM dterm GROUP BY 1),
+       |ideal AS (SELECT q, item, rel, ROW_NUMBER() OVER (
+       |    PARTITION BY q ORDER BY rel DESC, item) AS rr
+       |  FROM truth WHERE rel > 0),
+       |iterm AS (SELECT i.q,
+       |    (CAST(i.rel AS HUGEINT) * $ln2 * 1000000) // l.l AS tq
+       |  FROM ideal i JOIN _lnq l ON l.k = i.rr + 1 WHERE i.rr <= 5),
+       |idcg AS (SELECT q, CAST(SUM(tq) AS BIGINT) AS idcg_q6
+       |  FROM iterm GROUP BY 1)
+       |SELECT d.q, d.dcg_q6, COALESCE(i.idcg_q6, 0) AS idcg_q6,
+       |  CASE WHEN COALESCE(i.idcg_q6, 0) > 0 THEN
+       |    CAST((CAST(d.dcg_q6 AS HUGEINT) * 1000000) // i.idcg_q6
+       |      AS BIGINT) END AS ndcg_q6
+       |FROM dcg d LEFT JOIN idcg i USING (q) ORDER BY q""".stripMargin
+  }
+
+  /** q274: `Embeddings.silhouetteProfile` — the q57 training chain
+    * (cellAsgnCtes, same nCells/iters), then per vector a = own-cell
+    * d², b = min other-cell d², s = (b−a)·10⁶ // max(a,b), per-cell
+    * readout.
+    */
+  def q274Silhouette: String = {
+    val iters = 2
+    s"""WITH
+       |${cellAsgnCtes(16, iters)},
+       |own AS (SELECT a.vec_id, a.cell, d.d2
+       |  FROM asgn$iters a JOIN d$iters d
+       |  ON d.vec_id = a.vec_id AND d.cell = a.cell),
+       |oth AS (SELECT d.vec_id, MIN(d.d2) AS b
+       |  FROM d$iters d JOIN asgn$iters a
+       |  ON a.vec_id = d.vec_id AND d.cell <> a.cell GROUP BY 1),
+       |sil AS (SELECT o.cell,
+       |    CASE WHEN GREATEST(o.d2, t.b) = 0 THEN 0::HUGEINT
+       |      ELSE ((t.b - o.d2) * 1000000) // GREATEST(o.d2, t.b)
+       |    END AS sq6
+       |  FROM own o JOIN oth t USING (vec_id))
+       |SELECT CAST(cell AS BIGINT) AS cell, COUNT(*)::BIGINT AS n,
+       |  CAST(SUM(sq6) // COUNT(*) AS BIGINT) AS mean_sil_q6,
+       |  CAST(MIN(sq6) AS BIGINT) AS min_sil_q6,
+       |  CAST(MAX(sq6) AS BIGINT) AS max_sil_q6
+       |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q256: `Analytics.robustOutliers` — q237's median/MAD replay, the
     * modified z-score flag (|x − med| > 3·MAD), exact Q9 rate.
     */
@@ -4583,6 +4653,11 @@ object Oracles {
 
   def generated: Map[String, String] = Map(
     "q270_calibration" -> q270Calibration,
+    // q272 = q270's cells through the streaming state store: one
+    // relational truth, two engine paths (the q205/q255 discipline)
+    "q272_stream_calibration" -> q270Calibration,
+    "q273_ndcg" -> q273Ndcg,
+    "q274_silhouette" -> q274Silhouette,
     "q271_textrank_keywords" -> q271TextRank,
     "q264_l_diversity" -> q264LDiversity,
     "q265_domain_mixture" -> q265DomainMixture,

@@ -3029,6 +3029,57 @@ object SparkEntry {
     "q271_textrank_keywords" -> ((s, dir) =>
       TextAnalysis.textRankKeywords(documents(s, dir))),
 
+    // ---- streaming tier: calibration cells via state store (NEW r12) ----
+    // q270's ≤10 cells built by the streaming engine (stream orders,
+    // static returns table, Complete-mode agg — the q205/q255
+    // discipline), batch ECE readout; oracle = q270's SQL verbatim.
+    "q272_stream_calibration" -> ((s, dir) => {
+      val ret = lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("_rk")).distinct()
+      val cells = EventStreams.runOnceOnParquet(s, s"$dir/orders.parquet",
+        df => Analytics.calibrationCells(
+          df.join(ret, col("o_orderkey") === col("_rk"), "left")
+            .withColumn("p_q4", least(lit(10000L), expr(
+              "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+                " DIV 5500"))),
+          "p_q4", col("_rk").isNotNull),
+        s"calib_sink_${System.nanoTime()}")
+      Analytics.calibrationFromCells(cells).orderBy("bin")
+    }),
+
+    // ---- ML-eval tier: nDCG@k retrieval quality (NEW r12) ----
+    // Per-nation top-5 parts by even-day sales vs odd-day purchase
+    // counts as graded relevance — exact integer DCG/IDCG via the
+    // shared lnQ12 kernel (rel/log2(r+1) = rel·ln2/ln(r+1)), one Q6
+    // terminal division. The ranking-quality readout the q249 MRR
+    // can't give (MRR sees only the first hit).
+    "q273_ndcg" -> ((s, dir) => {
+      val base = lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .withColumn("_day", expr("unix_micros(o_orderdate) DIV 86400000000"))
+        .select(col("c_nationkey").as("q"), col("l_partkey").as("item"),
+          pmod(col("_day"), lit(2)).as("_par"))
+      val w = Window.partitionBy("q")
+        .orderBy(col("_cnt").desc, col("item"))
+      val recs = base.filter(col("_par") === 0)
+        .groupBy("q", "item").agg(count(lit(1)).as("_cnt"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5).drop("_cnt")
+      val truth = base.filter(col("_par") === 1)
+        .groupBy("q", "item").agg(count(lit(1)).as("rel"))
+      Retrieval.ndcgAtK(recs, truth, k = 5).orderBy("q")
+    }),
+
+    // ---- embedding tier: centroid silhouette profile (NEW r12) ----
+    // "Was the clustering any good?" for the IVF family (the q225
+    // question asked of q57's cells): per-cell simplified silhouette
+    // (b−a)/max(a,b) on exact int8 squared distances, Q6.
+    "q274_silhouette" -> ((s, dir) => {
+      graft.operators.Embeddings.silhouetteProfile(embeddings(s, dir))
+        .orderBy("cell")
+    }),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the

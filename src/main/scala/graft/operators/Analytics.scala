@@ -1641,17 +1641,30 @@ object Analytics {
     * per-row after the first aggregate.
     */
   def calibrationCurve(df: DataFrame, predQ4Col: String, isPos: Column,
+      bins: Int = 10): DataFrame =
+    calibrationFromCells(calibrationCells(df, predQ4Col, isPos, bins))
+
+  /** The ≤`bins` mergeable cells behind [[calibrationCurve]] — exposed
+    * separately (the chisqCells/psiFromCells discipline) so the
+    * streaming engine can build them through the state store and share
+    * the batch readout + oracle.
+    */
+  def calibrationCells(df: DataFrame, predQ4Col: String, isPos: Column,
       bins: Int = 10): DataFrame = {
     require(bins > 0, "calibrationCurve needs bins > 0")
-    val base = df.filter(col(predQ4Col).isNotNull)
+    df.filter(col(predQ4Col).isNotNull)
       .select(col(predQ4Col).cast("long").as("_p"),
         isPos.cast("boolean").as("_y"))
       .withColumn("_b", least(lit(bins - 1L),
         expr(s"(_p * $bins) DIV 10000")))
-    val cells = base.groupBy("_b").agg(
-      count(lit(1)).as("n"),
-      sum("_p").as("_sp"),
-      sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"))
+      .groupBy("_b").agg(
+        count(lit(1)).as("n"),
+        sum("_p").as("_sp"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"))
+  }
+
+  /** Batch readout over [[calibrationCells]] output. */
+  def calibrationFromCells(cells: DataFrame): DataFrame = {
     val tot = cells.agg(
       coalesce(sum("n"), lit(0L)).as("_n"),
       coalesce(sum(abs(col("_sp") - lit(10000L) * col("n_pos"))), lit(0L))

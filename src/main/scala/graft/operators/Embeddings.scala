@@ -384,4 +384,50 @@ object Embeddings {
     }
     picks.toSeq.toDF("round", idCol, "dist_sq")
   }
+
+  /** Per-cell simplified (centroid) silhouette of the IVF clustering —
+    * "was the partition any good?" asked of [[graft.operators
+    * .Similarity.ivfIndexInt8]]'s cells (the q225-for-graphs question,
+    * for embeddings): per vector a = d² to its OWN centroid, b = min
+    * d² to any OTHER centroid, s = (b−a)/max(a,b) ∈ [0,1] here (a is
+    * the argmin by construction, so b ≥ a). Exact integers: int8
+    * codes, squared-L2 ≤ 254²·dim, one Q6 floor division per vector.
+    * Output per cell: (cell, n, mean_sil_q6, min_sil_q6, max_sil_q6).
+    * Near-zero means the cell boundary cuts through a blob — add
+    * cells or re-seed; the IVF recall planner reads this table.
+    *
+    * Scale shape: the trained centroids (nCells·dim longs) fold in as
+    * LITERAL arrays — the whole a/b computation is ONE codegen'd map
+    * over the coded corpus (no join, no shuffle; the q210 discipline);
+    * the readout is a ≤nCells-row aggregate.
+    */
+  def silhouetteProfile(embs: DataFrame, nCells: Int = 16,
+      iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (cents, assigned) =
+      Similarity.ivfIndexInt8(embs, nCells, iters, idCol, vecCol)
+    val cs: Seq[(Int, Seq[Long])] = cents.orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq
+    def d2(cent: Seq[Long]): Column =
+      aggregate(
+        zip_with(col("nv"), typedLit(cent), (x, y) => {
+          val d = x.cast("long") - y; d * d
+        }),
+        lit(0L), (a, v) => a + v)
+    val all = array(cs.map { case (c, cent) =>
+      struct(lit(c).as("c"), d2(cent).as("d2"))
+    }: _*)
+    assigned
+      .withColumn("_all", all)
+      .withColumn("_a", element_at(
+        filter(col("_all"), s => s("c") === col("cell")), 1)("d2"))
+      .withColumn("_b", array_min(transform(
+        filter(col("_all"), s => s("c") =!= col("cell")), s => s("d2"))))
+      .withColumn("_s", when(greatest(col("_a"), col("_b")) === 0, 0L)
+        .otherwise(expr("((_b - _a) * 1000000) DIV greatest(_a, _b)")))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"),
+        expr("SUM(_s) DIV COUNT(*)").as("mean_sil_q6"),
+        min("_s").as("min_sil_q6"), max("_s").as("max_sil_q6"))
+  }
 }

@@ -173,4 +173,54 @@ object Retrieval {
       .select(col("query_id"), col("fused_rank"), col("doc_id"),
         col("rrf_q9"), col("lex_rank"), col("sem_rank"))
   }
+
+  /** nDCG@k — the graded ranking-quality readout MRR can't give (MRR
+    * sees only the first hit): DCG = Σ_{r≤k} rel_r / log₂(r+1) over a
+    * recommendation list, normalized by the ideal ordering's IDCG.
+    * Exact integers throughout: rel/log₂(r+1) = rel·ln2/ln(r+1), so
+    * each term is ⌊rel·lnQ12(2)·10⁶ / lnQ12(r+1)⌋ (DECIMAL(38,0)
+    * intermediates, the shared codegen'd ln kernel), and
+    * ndcg_q6 = ⌊dcg·10⁶ / idcg⌋ is one terminal floor division. A
+    * recommended item absent from the truth contributes 0; a query
+    * with no positive truth gets NULL ndcg (idcg = 0).
+    *
+    * Inputs: `recs`(q, item, rank 1-based) and `truth`(q, item, rel ≥
+    * 0 integer grades). Output one row per rec-list query:
+    * (q, dcg_q6, idcg_q6, ndcg_q6).
+    *
+    * Scale shape: one item-keyed left join recs⋈truth (recs is
+    * |queries|·k rows), one per-query window over ≤k truth rows for
+    * the ideal ordering (rel DESC, item ASC — deterministic ties),
+    * two |queries|-row aggregates. Queries are the parallel unit.
+    */
+  def ndcgAtK(recs: DataFrame, truth: DataFrame, k: Int,
+      qCol: String = "q", itemCol: String = "item",
+      rankCol: String = "rank", relCol: String = "rel"): DataFrame = {
+    val ln2 = graft.functions.FixedMath.lnQ12(2L)
+    def termQ6(relC: Column, rankC: Column): Column = {
+      val num = relC.cast("decimal(38,0)") * lit(ln2) * lit(1000000L)
+      val den = graft.plans.GraftExtensions.lnQ12Native(rankC + lit(1L))
+        .cast("decimal(38,0)")
+      ((num - num % den) / den).cast("long")
+    }
+    val dcg = recs.filter(col(rankCol) <= k)
+      .join(truth.select(col(qCol), col(itemCol), col(relCol)),
+        Seq(qCol, itemCol), "left")
+      .withColumn("_t",
+        termQ6(coalesce(col(relCol), lit(0L)), col(rankCol)))
+      .groupBy(qCol).agg(coalesce(sum("_t"), lit(0L)).as("dcg_q6"))
+    val iw = Window.partitionBy(qCol)
+      .orderBy(col(relCol).desc, col(itemCol))
+    val idcg = truth.filter(col(relCol) > 0)
+      .withColumn("_r", row_number().over(iw).cast("long"))
+      .filter(col("_r") <= k)
+      .withColumn("_t", termQ6(col(relCol), col("_r")))
+      .groupBy(qCol).agg(sum("_t").as("idcg_q6"))
+    dcg.join(idcg, Seq(qCol), "left")
+      .select(col(qCol), col("dcg_q6"),
+        coalesce(col("idcg_q6"), lit(0L)).as("idcg_q6"))
+      .withColumn("ndcg_q6", when(col("idcg_q6") > 0, expr(
+        "CAST((CAST(dcg_q6 AS DECIMAL(38,0)) * 1000000)" +
+          " DIV idcg_q6 AS BIGINT)")))
+  }
 }

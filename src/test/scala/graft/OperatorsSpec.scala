@@ -2626,4 +2626,28 @@ class OperatorsSpec extends SparkSpec {
     assert(graft.operators.TextAnalysis.textRankKeywords(
       Seq("the the the").toDF("text")).count() == 0L)
   }
+
+  test("silhouetteProfile: degenerate all-identical corpus scores 0; invariants hold") {
+    // every vector identical: a = b = 0 -> the GREATEST()=0 guard makes
+    // s exactly 0 for every vector, regardless of seeding
+    val same = (1L to 8L).map(i => (i, Seq.fill(4)(127f)))
+      .toDF("vec_id", "embedding")
+    val g0 = graft.operators.Embeddings
+      .silhouetteProfile(same, nCells = 2, iters = 1)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(g0.map(_._2).sum == 8L)
+    assert(g0.forall(r => r._3 == 0L && r._4 == 0L && r._5 == 0L))
+    // spread corpus: per-cell counts cover the corpus and every
+    // silhouette stat sits in [0, 1e6] with min <= mean <= max
+    val mixed = (1L to 40L).map(i =>
+      (i, Seq(((i * 37) % 255 - 127).toFloat, ((i * 91) % 255 - 127).toFloat,
+        ((i * 13) % 255 - 127).toFloat, 127f)))
+      .toDF("vec_id", "embedding")
+    val gm = graft.operators.Embeddings
+      .silhouetteProfile(mixed, nCells = 4, iters = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(gm.map(_._2).sum == 40L)
+    assert(gm.forall(r => r._4 >= 0L && r._5 <= 1000000L &&
+      r._4 <= r._3 && r._3 <= r._5))
+  }
 }

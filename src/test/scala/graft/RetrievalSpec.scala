@@ -118,4 +118,30 @@ class RetrievalSpec extends SparkSpec {
     assert(res.groupBy("query_id").count().as[(Long, Long)].collect()
       .forall(_._2 == 1L))
   }
+
+  test("ndcgAtK: hand-computed integer DCG/IDCG; no-truth query gets NULL") {
+    import graft.functions.FixedMath.lnQ12
+    def t(rel: Long, r: Long): Long =
+      (BigInt(rel) * lnQ12(2L) * 1000000 / lnQ12(r + 1)).toLong
+    // q=1: recs [c@1, a@2, x@3]; truth a=3, b=1, c=2 (x absent)
+    val recs = Seq((1L, "c", 1L), (1L, "a", 2L), (1L, "x", 3L),
+      (2L, "a", 1L)).toDF("q", "item", "rank")
+    val truth = Seq((1L, "a", 3L), (1L, "b", 1L), (1L, "c", 2L))
+      .toDF("q", "item", "rel")
+    val got = graft.operators.Retrieval.ndcgAtK(recs, truth, k = 3)
+      .orderBy("q").collect()
+    val dcg = t(2, 1) + t(3, 2)
+    val idcg = t(3, 1) + t(2, 2) + t(1, 3)
+    assert(got(0).getLong(1) == dcg && got(0).getLong(2) == idcg)
+    assert(got(0).getLong(3) == BigInt(dcg) * 1000000 / idcg)
+    // q=2 has recs but NO truth: dcg 0, idcg 0, ndcg NULL
+    assert(got(1).getLong(1) == 0L && got(1).getLong(2) == 0L &&
+      got(1).isNullAt(3))
+    // perfect ranking: recs = ideal order => ndcg exactly 1e6
+    val perfect = Seq((1L, "a", 1L), (1L, "c", 2L), (1L, "b", 3L))
+      .toDF("q", "item", "rank")
+    val g2 = graft.operators.Retrieval.ndcgAtK(perfect, truth, k = 3)
+      .collect().head
+    assert(g2.getLong(3) == 1000000L)
+  }
 }
