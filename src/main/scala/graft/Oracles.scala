@@ -1366,11 +1366,11 @@ object Oracles {
       |  UNION ALL SELECT b, a FROM canon),
       |deg AS (SELECT z, COUNT(*) AS dg FROM bd GROUP BY 1),
       |_ks AS (SELECT DISTINCT dg AS k FROM deg
-      |  WHERE dg <= 1000 AND dg >= 2),
+      |  WHERE dg <= 64 AND dg >= 2),
       |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
       |wz AS (SELECT deg.z, 1000000000000000000 // l.l AS wq6
       |  FROM deg JOIN _lnq l ON l.k = deg.dg
-      |  WHERE deg.dg <= 1000 AND deg.dg >= 2),
+      |  WHERE deg.dg <= 64 AND deg.dg >= 2),
       |pr AS (SELECT b1.x AS pa, b2.x AS pb, wz.wq6
       |  FROM bd b1 JOIN bd b2 ON b1.z = b2.z AND b1.x < b2.x
       |  JOIN wz ON wz.z = b1.z),

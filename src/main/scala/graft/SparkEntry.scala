@@ -2981,10 +2981,15 @@ object SparkEntry {
     // Non-edges of the co-purchase graph ranked by Σ 1/ln(deg z) over
     // common neighbors z (exact Q6 via the shared lnQ12 kernel) — the
     // "should be connected" shortlist recommendations and entity-
-    // resolution candidate generation start from.
+    // resolution candidate generation start from. maxDegree=64: on
+    // this dense graph hub intermediates explode the 2-hop space to
+    // ~all-pairs (measured 101M pairs / 90 s at sf0.1 uncapped) while
+    // adding ~0 AA signal — the cap keeps exactly the informative
+    // rare-neighbor evidence (oracle mirrors it).
     "q267_link_predict" -> ((s, dir) => {
       Graphs.linkPredict(Graphs.coOccurrenceEdges(
-        lineitem(s, dir), "l_orderkey", "l_partkey", dedup = false))
+        lineitem(s, dir), "l_orderkey", "l_partkey", dedup = false),
+        maxDegree = 64)
     }),
 
     // ---- dedup tier: MinHash-LSH parameter planner (NEW r12) ----

@@ -793,7 +793,13 @@ object Graphs {
     * Hubs with degree > `maxDegree` are EXCLUDED as intermediates (the
     * q157 cap discipline: a million-degree hub contributes deg² pair
     * candidates and ~0 signal at 1/ln(deg)) but still appear as
-    * endpoints via their other neighbors.
+    * endpoints via their other neighbors. The cap is the scale lever,
+    * not a footnote: on a DENSE co-occurrence graph the 2-hop space
+    * approaches all-pairs — measured on the sf0.1 co-purchase graph
+    * (20k nodes, max deg 222): cap 1000 binds nothing and the
+    * candidate build emits 101M pairs in ~90 s, while Σdeg² over
+    * deg ≤ 64 nodes is 0.2 % of the total — so pick maxDegree by the
+    * degree histogram, not generosity (q267 runs at 64).
     *
     * Scale shape: degree is one agg; pair generation is the q157
     * group-to-list map-side explode bounded by maxDegree²; the anti-
