@@ -1595,6 +1595,55 @@ object Oracles {
        |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q275: `TextAnalysis.domainTopTerms` — (domain, word) tf, domain
+    * df, Robertson idf as an lnQ12 difference, Q6 score, top-5 per
+    * domain by (score DESC, word). S is read from the data.
+    */
+  def q275DomainTerms: String =
+    """WITH RECURSIVE tw AS (SELECT source AS g, w FROM (
+      |    SELECT source, unnest(list_filter(string_split_regex(
+      |      lower(COALESCE(text, '')), '[^a-z0-9'']+'),
+      |      x -> length(x) > 0)) AS w
+      |    FROM documents)),
+      |tf AS (SELECT g, w, COUNT(*) AS tf FROM tw GROUP BY 1, 2),
+      |dfw AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT COUNT(DISTINCT g) AS s FROM tf),
+      |_ks AS (SELECT DISTINCT k FROM (
+      |  SELECT 2 * (s + 1) AS k FROM sc
+      |  UNION SELECT 2 * df + 1 FROM dfw)),
+      |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
+      |scored AS (SELECT tf.g, tf.w, tf.tf,
+      |    (CAST(tf.tf AS HUGEINT) * (ln.l - ld.l)) // 1000000 AS sq6
+      |  FROM tf JOIN dfw ON dfw.w = tf.w CROSS JOIN sc
+      |  JOIN _lnq ln ON ln.k = 2 * (sc.s + 1)
+      |  JOIN _lnq ld ON ld.k = 2 * dfw.df + 1),
+      |rk AS (SELECT g, w, tf, sq6, ROW_NUMBER() OVER (
+      |    PARTITION BY g ORDER BY sq6 DESC, w) AS rank FROM scored)
+      |SELECT g AS source, CAST(rank AS BIGINT) AS rank, w AS term,
+      |  CAST(tf AS BIGINT) AS tf, CAST(sq6 AS BIGINT) AS score_q6
+      |FROM rk WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
+  /** q276: `TextAnalysis.hillTailIndex` — top-100 n_chars, lnQ12
+    * diffs vs the k-th value, one terminal Q6 division.
+    */
+  def q276HillTail: String =
+    """WITH RECURSIVE v AS (SELECT n_chars AS x FROM documents
+      |  WHERE n_chars > 0 ORDER BY x DESC LIMIT 100),
+      |xk AS (SELECT MIN(x) AS xk, COUNT(*) AS k_eff FROM v),
+      |_ks AS (SELECT DISTINCT x AS k FROM v
+      |  UNION SELECT xk FROM xk),
+      |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
+      |t AS (SELECT xk.k_eff, xk.xk,
+      |    CAST(SUM(la.l - lb.l) AS BIGINT) AS s
+      |  FROM v JOIN _lnq la ON la.k = v.x
+      |  CROSS JOIN xk JOIN _lnq lb ON lb.k = xk.xk
+      |  GROUP BY 1, 2)
+      |SELECT CAST(k_eff AS BIGINT) AS k_eff, CAST(xk AS BIGINT) AS x_k,
+      |  s AS sum_ln_q12,
+      |  CASE WHEN s > 0 THEN CAST((CAST(k_eff - 1 AS HUGEINT)
+      |    * 1000000000000000000) // s AS BIGINT) END AS alpha_q6
+      |FROM t""".stripMargin
+
   /** q256: `Analytics.robustOutliers` — q237's median/MAD replay, the
     * modified z-score flag (|x − med| > 3·MAD), exact Q9 rate.
     */
@@ -4658,6 +4707,8 @@ object Oracles {
     "q272_stream_calibration" -> q270Calibration,
     "q273_ndcg" -> q273Ndcg,
     "q274_silhouette" -> q274Silhouette,
+    "q275_domain_terms" -> q275DomainTerms,
+    "q276_hill_tail" -> q276HillTail,
     "q271_textrank_keywords" -> q271TextRank,
     "q264_l_diversity" -> q264LDiversity,
     "q265_domain_mixture" -> q265DomainMixture,

@@ -3085,6 +3085,23 @@ object SparkEntry {
         .orderBy("cell")
     }),
 
+    // ---- text tier: per-domain characteristic terms (NEW r12) ----
+    // Class-level TF-IDF (c-TF-IDF): top-5 terms per source via the
+    // q123 libm-free Robertson idf — corpus-wide stopwords score ≈ 0
+    // with no stopword list. The "what makes src7 different" readout
+    // a mixture curator pairs with q265.
+    "q275_domain_terms" -> ((s, dir) => {
+      TextAnalysis.domainTopTerms(documents(s, dir), k = 5)
+        .orderBy("source", "rank")
+    }),
+
+    // ---- text tier: Hill tail index of doc lengths (NEW r12) ----
+    // How heavy is the length tail (α ≤ 2 ⇒ infinite variance: plan
+    // for stragglers)? Top-100 n_chars through the shared ln kernel,
+    // one terminal Q6 division.
+    "q276_hill_tail" -> ((s, dir) =>
+      TextAnalysis.hillTailIndex(documents(s, dir), "n_chars", k = 100)),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the

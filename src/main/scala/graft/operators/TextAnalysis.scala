@@ -1234,6 +1234,79 @@ object TextAnalysis {
       .agg(coalesce(sum("_nw"), lit(0L)).as("vocab"))
   }
 
+  /** Per-domain characteristic terms (class-level TF-IDF, the
+    * BERTopic/c-TF-IDF readout): tf over (domain, word), df = number
+    * of DOMAINS containing the word, idf via the q123 libm-free
+    * Robertson form lnQ12(2(S+1)) − lnQ12(2·df+1) (S = domain count)
+    * so corpus-wide stopwords score ≈ 0 without a stopword list.
+    * score_q6 = ⌊tf·idf_q12 / 10⁶⌋ in DECIMAL(38,0); top-`k` terms per
+    * domain by (score DESC, word). "What makes this source different"
+    * — the first question a mixture curator asks of q265's table.
+    *
+    * Scale shape: one (domain, word) partial agg, one word-keyed df
+    * agg, a 1-number driver scalar (domain count — the centroid
+    * convention), one per-domain ≤vocab window. Nothing per-row after
+    * the first aggregate.
+    */
+  def domainTopTerms(docs: DataFrame, k: Int = 5,
+      domainCol: String = "source", textCol: String = "text"): DataFrame = {
+    val tw = docs.select(col(domainCol).as("_g"),
+      explode(words(col(textCol))).as("_w"))
+    val tf = Dedup.materialize(
+      tw.groupBy("_g", "_w").agg(count(lit(1)).as("tf")))
+    val dfw = tf.groupBy("_w").agg(count(lit(1)).as("_df"))
+    val s = tf.select("_g").distinct().count()
+    val lnN = graft.functions.FixedMath.lnQ12(2L * (s + 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g").orderBy(col("score_q6").desc, col("_w"))
+    tf.join(dfw, Seq("_w"))
+      .withColumn("_ln",
+        graft.plans.GraftExtensions.lnQ12Native(col("_df") * 2 + lit(1L)))
+      .withColumn("score_q6", expr(
+        s"CAST((CAST(tf AS DECIMAL(38,0)) * ($lnN - _ln) -" +
+          s" (CAST(tf AS DECIMAL(38,0)) * ($lnN - _ln)) % 1000000)" +
+          " / 1000000 AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("_g").as(domainCol), col("rank"), col("_w").as("term"),
+        col("tf"), col("score_q6"))
+  }
+
+  /** Hill tail-index estimate of a positive integer size column (doc
+    * lengths, file sizes, degree sequences): over the `k` largest
+    * values, α̂ = (k−1) / Σ ln(xᵢ/x₍k₎) — the standard answer to "how
+    * heavy is this corpus' length tail" (α ≤ 2 ⇒ infinite variance:
+    * expect stragglers, cap or chunk upstream). Integer-exact: logs
+    * through the shared lnQ12 kernel, Σ of non-negative Q12 diffs, ONE
+    * terminal floor division to α Q6. Output one row:
+    * (k_eff, x_k, sum_ln_q12, alpha_q6 — NULL when the top-k ties flat,
+    * where the estimator is undefined).
+    *
+    * Scale shape: top-k by value is TakeOrderedAndProject (no global
+    * sort); ties among equal values are interchangeable (equal logs),
+    * so no id tiebreak is needed for determinism; everything after is
+    * a k-row aggregate.
+    */
+  def hillTailIndex(df: DataFrame, valCol: String,
+      k: Int = 100): DataFrame = {
+    require(k >= 2, "hillTailIndex needs k >= 2")
+    val vals = df.select(col(valCol).cast("long").as("_x"))
+      .filter(col("_x") > 0)
+      .orderBy(col("_x").desc).limit(k)
+    val xk = vals.agg(min("_x").as("_xk"), count(lit(1)).as("k_eff"))
+    vals.crossJoin(broadcast(xk))
+      .withColumn("_t",
+        graft.plans.GraftExtensions.lnQ12Native(col("_x")) -
+          graft.plans.GraftExtensions.lnQ12Native(col("_xk")))
+      .groupBy(col("k_eff"), col("_xk").as("x_k"))
+      .agg(sum("_t").as("sum_ln_q12"))
+      .withColumn("alpha_q6", when(col("sum_ln_q12") > 0, expr(
+        "CAST((CAST(k_eff - 1 AS DECIMAL(38,0)) * 1000000000000000000 -" +
+          " (CAST(k_eff - 1 AS DECIMAL(38,0)) * 1000000000000000000)" +
+          " % sum_ln_q12) / sum_ln_q12 AS BIGINT)")))
+      .select(col("k_eff"), col("x_k"), col("sum_ln_q12"), col("alpha_q6"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004, window 2):
     * weighted integer PageRank over the adjacent-word co-occurrence
     * graph — words that co-occur next to many well-connected words

@@ -2627,6 +2627,40 @@ class OperatorsSpec extends SparkSpec {
       Seq("the the the").toDF("text")).count() == 0L)
   }
 
+  test("domainTopTerms: hand-computed c-TF-IDF, stopword-ish shared term scores lower") {
+    import graft.functions.FixedMath.lnQ12
+    // A: "x x y", B: "y z" -> S=2; df: x=1, y=2, z=1
+    val docs = Seq(("A", "x x y"), ("B", "y z")).toDF("source", "text")
+    val i1 = lnQ12(6L) - lnQ12(3L)  // df=1
+    val i2 = lnQ12(6L) - lnQ12(5L)  // df=2 (shared term, much smaller)
+    val got = graft.operators.TextAnalysis.domainTopTerms(docs, k = 5)
+      .orderBy("source", "rank")
+      .as[(String, Long, String, Long, Long)].collect().toList
+    assert(got == List(
+      ("A", 1L, "x", 2L, (BigInt(2) * i1 / 1000000).toLong),
+      ("A", 2L, "y", 1L, i2 / 1000000),
+      ("B", 1L, "z", 1L, i1 / 1000000),
+      ("B", 2L, "y", 1L, i2 / 1000000)))
+    // ln(6/5) vs ln2: the everywhere-term's idf is >3x smaller even at
+    // S=2 domains (it → 0 as S grows: ln(2(S+1)) − ln(2S+1) ~ 1/(2S))
+    assert(i2 * 3 < i1, "shared-term idf collapses toward 0")
+  }
+
+  test("hillTailIndex: hand-computed log sum; flat top-k gives NULL alpha") {
+    import graft.functions.FixedMath.lnQ12
+    val df = Seq(8L, 4L, 2L, 1L, 1L).toDF("v")
+    val got = graft.operators.TextAnalysis.hillTailIndex(df, "v", k = 3)
+      .collect().head
+    val sum = (lnQ12(8L) - lnQ12(2L)) + (lnQ12(4L) - lnQ12(2L))
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == (3L, 2L, sum))
+    assert(got.getLong(3) == (BigInt(2) * BigInt("1000000000000000000") / sum).toLong)
+    // flat tail: estimator undefined -> NULL
+    val flat = Seq(5L, 5L, 5L, 5L).toDF("v")
+    val g2 = graft.operators.TextAnalysis.hillTailIndex(flat, "v", k = 3)
+      .collect().head
+    assert(g2.getLong(2) == 0L && g2.isNullAt(3))
+  }
+
   test("silhouetteProfile: degenerate all-identical corpus scores 0; invariants hold") {
     // every vector identical: a = b = 0 -> the GREATEST()=0 guard makes
     // s exactly 0 for every vector, regardless of seeding
