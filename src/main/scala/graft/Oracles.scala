@@ -1644,6 +1644,71 @@ object Oracles {
       |    * 1000000000000000000) // s AS BIGINT) END AS alpha_q6
       |FROM t""".stripMargin
 
+  /** q277: `Analytics.conformalCoverage` — calibration residual cells,
+    * ⌈(n+1)·0.9⌉-th order statistic via ordered cumsum, test coverage.
+    */
+  def q277Conformal: String =
+    """WITH b AS (SELECT
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS y,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) * 200000
+      |      AS yh,
+      |    l_orderkey % 2 AS par
+      |  FROM lineitem),
+      |r AS (SELECT ABS(y - yh) AS r, par FROM b),
+      |cells AS (SELECT r, COUNT(*) AS c FROM r WHERE par = 0 GROUP BY 1),
+      |tot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_cal
+      |  FROM cells),
+      |kk AS (SELECT n_cal, ((n_cal + 1) * 900 + 999) // 1000 AS k
+      |  FROM tot),
+      |cum AS (SELECT r, SUM(c) OVER (ORDER BY r) AS cum FROM cells),
+      |q AS (SELECT MIN(r) AS q_hat FROM cum CROSS JOIN kk
+      |  WHERE cum >= kk.k),
+      |t AS (SELECT COUNT(*) AS n_test,
+      |    SUM(CASE WHEN q.q_hat IS NULL OR r <= q.q_hat
+      |      THEN 1 ELSE 0 END) AS ncov
+      |  FROM r CROSS JOIN q WHERE par = 1)
+      |SELECT kk.n_cal, CAST(kk.k AS BIGINT) AS k, q.q_hat,
+      |  CAST(t.n_test AS BIGINT) AS n_test,
+      |  CAST(t.ncov AS BIGINT) AS n_covered,
+      |  CASE WHEN t.n_test <> 0 THEN
+      |    CAST((CAST(t.ncov AS HUGEINT) * 1000000000) // t.n_test
+      |      AS BIGINT) END AS coverage_q9
+      |FROM kk CROSS JOIN q CROSS JOIN t ORDER BY n_cal""".stripMargin
+
+  /** q278: `Analytics.signFlipTest` — per-user even−odd tenk diff, 64
+    * splitmix sign patterns (the q224 seed family), permille p.
+    */
+  def q278SignFlip: String = {
+    val seeds = (0 until 64)
+      .map(j => s"($j, ${(Gold * (j + 1)) & Mask}::HUGEINT)").mkString(", ")
+    val smx = staged(
+      "SELECT k, d, j, (k + kj) % " + M64 + " AS z FROM dt CROSS JOIN seeds",
+      splitmixStages("z"))
+    s"""WITH e AS (SELECT user_id,
+       |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vt,
+       |    (epoch_us(ts) // 86400000000) % 2 AS par
+       |  FROM events WHERE event_type = 'purchase'
+       |    AND user_id IS NOT NULL),
+       |dt AS (SELECT user_id::HUGEINT AS k,
+       |    CAST(SUM(CASE WHEN par = 0 THEN vt ELSE -vt END) AS BIGINT)
+       |      AS d
+       |  FROM e GROUP BY 1),
+       |seeds(j, kj) AS (VALUES $seeds),
+       |sgn AS (SELECT j, d,
+       |    CASE WHEN _sm % 2 = 1 THEN 1 ELSE -1 END AS s FROM ($smx)),
+       |tb AS (SELECT j, ABS(CAST(SUM(s * d) AS BIGINT)) AS t
+       |  FROM sgn GROUP BY 1),
+       |obs AS (SELECT ABS(CAST(SUM(d) AS BIGINT)) AS t_obs,
+       |    CAST(COUNT(*) AS BIGINT) AS n_keys FROM dt)
+       |SELECT obs.n_keys, obs.t_obs, 64::BIGINT AS n_perms,
+       |  CAST(SUM(CASE WHEN tb.t >= obs.t_obs THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_ge,
+       |  CAST((SUM(CASE WHEN tb.t >= obs.t_obs THEN 1 ELSE 0 END)
+       |    * 1000) // 64 AS BIGINT) AS p_permille
+       |FROM tb CROSS JOIN obs GROUP BY 1, 2, 3 ORDER BY n_keys""".stripMargin
+  }
+
   /** q256: `Analytics.robustOutliers` — q237's median/MAD replay, the
     * modified z-score flag (|x − med| > 3·MAD), exact Q9 rate.
     */
@@ -4709,6 +4774,8 @@ object Oracles {
     "q274_silhouette" -> q274Silhouette,
     "q275_domain_terms" -> q275DomainTerms,
     "q276_hill_tail" -> q276HillTail,
+    "q277_conformal" -> q277Conformal,
+    "q278_signflip_test" -> q278SignFlip,
     "q271_textrank_keywords" -> q271TextRank,
     "q264_l_diversity" -> q264LDiversity,
     "q265_domain_mixture" -> q265DomainMixture,

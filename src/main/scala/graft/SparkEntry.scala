@@ -3102,6 +3102,40 @@ object SparkEntry {
     "q276_hill_tail" -> ((s, dir) =>
       TextAnalysis.hillTailIndex(documents(s, dir), "n_chars", k = 100)),
 
+    // ---- ML-eval tier: split-conformal coverage (NEW r12) ----
+    // Distribution-free error bars: calibration-half residual quantile
+    // at 1−α = 0.9 (exact order statistic via the q250 cell cumsum),
+    // test-half coverage — the guarantee check a prediction service
+    // ships next to q270's calibration curve.
+    "q277_conformal" -> ((s, dir) => {
+      val d = lineitem(s, dir)
+        .withColumn("y", expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .withColumn("yhat", expr(
+          "CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) * 200000"))
+      Analytics.conformalCoverage(d, "y", "yhat",
+        pmod(col("l_orderkey"), lit(2)) === 0)
+    }),
+
+    // ---- ML-eval tier: seeded sign-flip permutation test (NEW r12) ----
+    // Nonparametric paired-difference test (the q181 t-test with no
+    // normality assumption): per-user even−odd-day purchase diff in
+    // tenk units, 64 deterministic splitmix sign patterns (the q224
+    // tug-of-war family), permille p-value.
+    "q278_signflip_test" -> ((s, dir) => {
+      val e = events(s, dir)
+        .filter(col("event_type") === "purchase" &&
+          col("user_id").isNotNull)
+        .withColumn("vt",
+          expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)"))
+        .withColumn("_par",
+          pmod(expr("unix_micros(ts) DIV 86400000000"), lit(2)))
+      val pairs = e.groupBy("user_id")
+        .agg(sum(when(col("_par") === 0, col("vt"))
+          .otherwise(-col("vt"))).as("d"))
+      Analytics.signFlipTest(pairs, "user_id", "d")
+    }),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the

@@ -1625,6 +1625,100 @@ object Analytics {
         col("auc_q9"))
   }
 
+  /** Split-conformal interval coverage — the distribution-free "how
+    * wide must the error bar be" answer (Vovk; Angelopoulos & Bates
+    * 2021): on a CALIBRATION split, q̂ = the ⌈(n+1)(1−α)⌉-th smallest
+    * absolute residual |y−ŷ|; on the TEST split, the fraction of
+    * residuals ≤ q̂ (guaranteed ≥ 1−α in expectation under
+    * exchangeability). Exact integers: residuals in input units, the
+    * order statistic via a distinct-residual cumsum (the q250 cell
+    * shape — no per-row global window), coverage one Q9 floor
+    * division. k > n (tiny calibration set) ⇒ q̂ = NULL = infinite
+    * interval, coverage 1 — the honest conformal answer. One row:
+    * (n_cal, k, q_hat, n_test, n_covered, coverage_q9).
+    *
+    * Scale shape: one groupBy(residual) on the calibration split, one
+    * ordered cumsum over the ≤|distinct residuals| cell table (swap in
+    * `Ranking.rangeCuts` bucketing when residual cardinality is
+    * corpus-sized), one broadcast of the 1-row q̂ to the test agg.
+    */
+  def conformalCoverage(df: DataFrame, yCol: String, yhatCol: String,
+      isCal: Column, alphaPermille: Int = 100): DataFrame = {
+    require(alphaPermille > 0 && alphaPermille < 1000,
+      "alphaPermille must be in (0, 1000)")
+    val base = df.select(
+      abs(col(yCol).cast("long") - col(yhatCol).cast("long")).as("_r"),
+      isCal.cast("boolean").as("_c"))
+    val cells = base.filter(col("_c"))
+      .groupBy("_r").agg(count(lit(1)).as("_n"))
+    val tot = cells.agg(coalesce(sum("_n"), lit(0L)).as("n_cal"))
+      .withColumn("k", expr(
+        s"((n_cal + 1) * ${1000 - alphaPermille} + 999) DIV 1000"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("_r").rowsBetween(Window.unboundedPreceding, 0)
+    val qhat = cells
+      .withColumn("_cum", sum("_n").over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("_cum") >= col("k"))
+      .groupBy("n_cal", "k").agg(min("_r").as("q_hat"))
+    val q1 = broadcast(tot.join(qhat, Seq("n_cal", "k"), "left"))
+    base.filter(!col("_c")).crossJoin(q1)
+      .groupBy("n_cal", "k", "q_hat")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("q_hat").isNull || col("_r") <= col("q_hat"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .withColumn("coverage_q9", when(col("n_test") =!= 0,
+        expr("(n_covered * 1000000000) DIV n_test")))
+      .select(col("n_cal"), col("k"), col("q_hat"), col("n_test"),
+        col("n_covered"), col("coverage_q9"))
+  }
+
+  /** Seeded sign-flip permutation test for a paired difference — the
+    * nonparametric "is this effect real" companion to the q181 t-test,
+    * with NO normality assumption: under H₀ (symmetric differences)
+    * each key's diff sign is exchangeable, so T_b = |Σ s_{k,b}·d_k|
+    * over `b` deterministic ±1 patterns (low bit of
+    * splitmix64(key + GOLD·(j+1)) — the exact q224 tug-of-war family,
+    * so the walk replays in DuckDB) calibrates T_obs = |Σ d_k|;
+    * p ≈ #{T_b ≥ T_obs}/B. Deterministic by construction — seeded
+    * hash patterns instead of RNG draws (the library's replacement
+    * discipline for the reference's unseeded randomness). One row:
+    * (n_keys, t_obs, n_perms, n_ge, p_permille).
+    *
+    * Scale shape: diffs collapse to one row per key first; the B-way
+    * explode runs on THAT table (B·|keys| rows, map-side, never
+    * B·|corpus|) and the per-pattern sums partial-agg to B rows. The
+    * sign hash is a UDF on the collapsed table (the amsF2Counters
+    * cold-path precedent).
+    */
+  def signFlipTest(pairs: DataFrame, keyCol: String, diffCol: String,
+      b: Int = 64): DataFrame = {
+    require(b > 0, "signFlipTest needs b > 0")
+    val gold = BigInt("9e3779b97f4a7c15", 16).toLong
+    val sign = udf((v: Long, j: Int) =>
+      if ((graft.functions.Hashing.splitmix64(v + gold * (j + 1)) & 1L) == 1L)
+        1L else -1L)
+    val base = Dedup.materialize(pairs
+      .select(col(keyCol).cast("long").as("_k"),
+        col(diffCol).cast("long").as("_d"))
+      .filter(col("_k").isNotNull && col("_d").isNotNull))
+    val obs = base.agg(
+      abs(coalesce(sum("_d"), lit(0L))).as("t_obs"),
+      count(lit(1)).as("n_keys"))
+    base
+      .select(col("_k"), col("_d"),
+        explode(sequence(lit(0), lit(b - 1))).as("j"))
+      .groupBy("j")
+      .agg(abs(sum(sign(col("_k"), col("j")) * col("_d"))).as("_t"))
+      .crossJoin(broadcast(obs))
+      .groupBy("n_keys", "t_obs")
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(col("_t") >= col("t_obs"), 1L).otherwise(0L)).as("n_ge"))
+      .withColumn("p_permille", expr("(n_ge * 1000) DIV n_perms"))
+      .select(col("n_keys"), col("t_obs"), col("n_perms"), col("n_ge"),
+        col("p_permille"))
+  }
+
   /** Calibration (reliability) curve + expected calibration error: the
     * ML-eval readout [[aucExact]] can't give — whether the SCORE VALUES
     * mean what they claim (AUC only ranks). Predictions in tenk units

@@ -875,6 +875,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(1).getString(0) == "g2" && got(1).isNullAt(3))
   }
 
+  test("conformalCoverage: exact order-statistic q-hat; k>n gives infinite interval") {
+    // calibration residuals 1..9 (alpha=0.1): k = ceil(10*0.9) = 9 ->
+    // q_hat = 9; test residuals {5, 9, 10} -> 2 of 3 covered
+    val rows = (1L to 9L).map(r => (r, 0L, true)) ++
+      Seq((5L, 0L, false), (9L, 0L, false), (10L, 0L, false))
+    val df = rows.toDF("y", "yhat", "cal")
+    val got = Analytics.conformalCoverage(df, "y", "yhat", col("cal"))
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5)) ==
+      (9L, 9L, 9L, 3L, 2L, 2L * 1000000000L / 3L))
+    // k > n_cal: q_hat NULL = infinite interval, coverage exactly 1
+    val tiny = Seq((1L, 0L, true), (2L, 0L, true), (100L, 0L, false))
+      .toDF("y", "yhat", "cal")
+    val g2 = Analytics.conformalCoverage(tiny, "y", "yhat", col("cal"))
+      .collect().head
+    assert(g2.getLong(0) == 2L && g2.getLong(1) == 3L && g2.isNullAt(2))
+    assert(g2.getLong(5) == 1000000000L)
+  }
+
+  test("signFlipTest: exact splitmix replay; null-effect p = 1") {
+    import graft.functions.Hashing.splitmix64
+    val gold = BigInt("9e3779b97f4a7c15", 16).toLong
+    def sgn(k: Long, j: Int): Long =
+      if ((splitmix64(k + gold * (j + 1)) & 1L) == 1L) 1L else -1L
+    val diffs = (1L to 20L).map(k => (k, k * 7 - 60))  // mixed signs
+    val tObs = math.abs(diffs.map(_._2).sum)
+    val nGe = (0 until 64).count { j =>
+      math.abs(diffs.map { case (k, d) => sgn(k, j) * d }.sum) >= tObs
+    }
+    val got = Analytics.signFlipTest(diffs.toDF("k", "d"), "k", "d")
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) ==
+      (20L, tObs, 64L, nGe.toLong, nGe * 1000L / 64L))
+    // all-zero diffs: T_obs = 0 and every permutation ties -> p = 1
+    val z = (1L to 5L).map(k => (k, 0L)).toDF("k", "d")
+    val g0 = Analytics.signFlipTest(z, "k", "d").collect().head
+    assert(g0.getLong(1) == 0L && g0.getLong(3) == 64L &&
+      g0.getLong(4) == 1000L)
+  }
+
   test("calibrationCurve: hand-computed bins, exact single-floor ECE") {
     // bin 1: preds {1000, 1000}, one positive -> mean 1000, rate 5e8
     // bin 9: preds {9000, 9000}, both positive -> mean 9000, rate 1e9
