@@ -4776,6 +4776,9 @@ object Oracles {
     "q276_hill_tail" -> q276HillTail,
     "q277_conformal" -> q277Conformal,
     "q278_signflip_test" -> q278SignFlip,
+    // q280 = q265's cells through the streaming state store (the
+    // q272/q255 discipline — one relational truth, two engine paths)
+    "q280_stream_mixture" -> q265DomainMixture,
     "q271_textrank_keywords" -> q271TextRank,
     "q264_l_diversity" -> q264LDiversity,
     "q265_domain_mixture" -> q265DomainMixture,

@@ -3136,6 +3136,32 @@ object SparkEntry {
       Analytics.signFlipTest(pairs, "user_id", "d")
     }),
 
+    // ---- streaming tier: Benford digit cells via state store (NEW r12) ----
+    // q214's 9 digit cells built by the streaming engine (Complete-mode
+    // agg over streamed lineitem), batch excess readout — oracle =
+    // q214's SQL verbatim (one truth, two engine paths).
+    "q279_stream_benford" -> ((s, dir) => {
+      val cells = EventStreams.runOnceOnParquet(s,
+        s"$dir/lineitem.parquet",
+        df => Validation.benfordDigitCells(df, "l_extendedprice"),
+        s"benford_sink_${System.nanoTime()}")
+      Validation.benfordFromCells(cells).orderBy("digit")
+    }),
+
+    // ---- streaming tier: domain token cells via state store (NEW r12) ----
+    // q265's per-domain token sums through the streaming state store
+    // (the live corpus-mixture monitor a 100 TB ingest runs), batch
+    // rate-plan readout — oracle = q265's SQL verbatim.
+    "q280_stream_mixture" -> ((s, dir) => {
+      val cells = EventStreams.runOnceOnParquet(s,
+        s"$dir/documents.parquet",
+        df => Sampling.domainTokenCells(df),
+        s"mixture_sink_${System.nanoTime()}")
+      val targets = (0 until 20).map(i =>
+        (s"src$i", if (i < 10) 80L else 20L))
+      Sampling.mixturePlanFromCells(cells, targets).orderBy("source")
+    }),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the
@@ -3461,6 +3487,23 @@ object SparkEntry {
     * checks (documented per-query above).
     */
   /** q148/q152 share this relational truth (batch vs streaming cells). */
+  private val benfordSql: String =
+    """WITH v0 AS (SELECT
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem),
+      |v AS (SELECT cents FROM v0 WHERE cents >= 1),
+      |o AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+      |    COUNT(*) AS n
+      |  FROM v GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS nt FROM v),
+      |e(digit, permille) AS (VALUES (1, 301), (2, 176), (3, 125), (4, 97),
+      |  (5, 79), (6, 67), (7, 58), (8, 51), (9, 46))
+      |SELECT CAST(e.digit AS INT) AS digit, COALESCE(o.n, 0)::BIGINT AS n_obs,
+      |  e.permille::BIGINT AS expected_permille,
+      |  (1000 * COALESCE(o.n, 0) - e.permille * t.nt)::BIGINT AS excess_milli
+      |FROM e CROSS JOIN t LEFT JOIN o ON o.digit = e.digit
+      |ORDER BY digit""".stripMargin
+
   private val chisqDriftSql: String =
     """WITH s AS (
       |  SELECT event_type AS cat,
@@ -4009,22 +4052,10 @@ object SparkEntry {
         |WHERE s_acctbal > 9000
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
-    "q214_benford_audit" ->
-      """WITH v0 AS (SELECT
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM lineitem),
-        |v AS (SELECT cents FROM v0 WHERE cents >= 1),
-        |o AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
-        |    COUNT(*) AS n
-        |  FROM v GROUP BY 1),
-        |t AS (SELECT COUNT(*) AS nt FROM v),
-        |e(digit, permille) AS (VALUES (1, 301), (2, 176), (3, 125), (4, 97),
-        |  (5, 79), (6, 67), (7, 58), (8, 51), (9, 46))
-        |SELECT CAST(e.digit AS INT) AS digit, COALESCE(o.n, 0)::BIGINT AS n_obs,
-        |  e.permille::BIGINT AS expected_permille,
-        |  (1000 * COALESCE(o.n, 0) - e.permille * t.nt)::BIGINT AS excess_milli
-        |FROM e CROSS JOIN t LEFT JOIN o ON o.digit = e.digit
-        |ORDER BY digit""".stripMargin,
+    "q214_benford_audit" -> benfordSql,
+    // q279 = q214's digit cells through the streaming state store (one
+    // relational truth, two engine paths — the q152/q272 discipline)
+    "q279_stream_benford" -> benfordSql,
 
     "q187_fd_violations" ->
       """SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_dep,

@@ -154,12 +154,27 @@ object Sampling {
     */
   def domainMixturePlan(docs: DataFrame, targetsPermille: Seq[(String, Long)],
       domainCol: String = "source", tokenCol: String = "n_chars")
-      : DataFrame = {
-    require(targetsPermille.nonEmpty, "domainMixturePlan needs targets")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val per = docs.groupBy(col(domainCol).as("_g"))
+      : DataFrame =
+    mixturePlanFromCells(
+      domainTokenCells(docs, domainCol, tokenCol), targetsPermille, domainCol)
+
+  /** The |domains|-row mergeable token-sum cells behind
+    * [[domainMixturePlan]] — exposed separately (the calibrationCells
+    * discipline) so the streaming engine can build them through the
+    * state store and share the batch readout + oracle.
+    */
+  def domainTokenCells(docs: DataFrame, domainCol: String = "source",
+      tokenCol: String = "n_chars"): DataFrame =
+    docs.groupBy(col(domainCol).as("_g"))
       .agg(sum(tokenCol).as("toks"))
+
+  /** Batch readout over [[domainTokenCells]] output. */
+  def mixturePlanFromCells(per: DataFrame,
+      targetsPermille: Seq[(String, Long)],
+      domainCol: String = "source"): DataFrame = {
+    require(targetsPermille.nonEmpty, "domainMixturePlan needs targets")
+    val spark = per.sparkSession
+    import spark.implicits._
     val tgt = targetsPermille.toDF("_g", "target_pm")
     val dec = "DECIMAL(38,0)"
     val planned = per.join(broadcast(tgt), Seq("_g"))

@@ -194,20 +194,32 @@ object Validation {
     *
     * Scale shape: one scan + one 9-key groupBy + a 9×1 scalar join.
     */
-  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame =
+    benfordFromCells(benfordDigitCells(df, valueCol))
+
+  /** The ≤9 mergeable digit-count cells behind [[benfordAudit]] —
+    * exposed separately (the calibrationCells discipline) so the
+    * streaming engine can build them through the state store and share
+    * the batch readout + oracle.
+    */
+  def benfordDigitCells(df: DataFrame, valueCol: String): DataFrame = {
     // filter on CENTS >= 1, not value > 0: values in (0, 0.005) round
     // to 0 cents and would otherwise get first digit '0' — excluded
     // from every digit row yet counted in n_total, deflating all nine
     // excess_milli values (r11 ADVICE)
     val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
-    val digits = df.select(cents.as("_cents"))
+    df.select(cents.as("_cents"))
       .filter(col("_cents") >= 1)
       .select(substring(col("_cents").cast("string"), 1, 1)
         .cast("int").as("digit"))
-    val obs = digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
-    val total = digits.agg(count(lit(1)).as("n_total"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+  }
+
+  /** Batch readout over [[benfordDigitCells]] output. */
+  def benfordFromCells(obs: DataFrame): DataFrame = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val total = obs.agg(coalesce(sum("n_obs"), lit(0L)).as("n_total"))
     val expected = BenfordPermille.zipWithIndex
       .map { case (p, i) => (i + 1, p) }
       .toDF("digit", "expected_permille")
