@@ -4881,6 +4881,9 @@ object Oracles {
     "q251_decile_lift" -> q251DecileLift,
     "q252_emd_drift" -> q252EmdDrift,
     "q253_transitions" -> q253Transitions,
+    // q281 = q253's LEAD pairs through the keyed state store (one
+    // relational truth, two engine paths — the q152/q272 discipline)
+    "q281_stream_transitions" -> q253Transitions,
     "q254_auc_by_group" -> q254AucByGroup,
     "q255_stream_emd" -> q252EmdDrift,
     "q256_robust_outliers" -> q256RobustOutliers,

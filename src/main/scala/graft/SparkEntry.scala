@@ -3162,6 +3162,26 @@ object SparkEntry {
       Sampling.mixturePlanFromCells(cells, targets).orderBy("source")
     }),
 
+    // ---- streaming tier: transition matrix via keyed state (NEW r12) ----
+    // q253's LEAD pairs built through flatMapGroupsWithState (per-user
+    // event buffer, funnelStream exactness: late events splice pairs,
+    // so each trigger re-derives), cells summed batch-side, shared
+    // top-k readout — oracle = q253's SQL verbatim.
+    "q281_stream_transitions" -> ((s, dir) => {
+      val emitted = EventStreams.runOnceOnParquet(s,
+        s"$dir/events.parquet",
+        df => EventStreams.transitionPairsStream(s, df),
+        s"trans_sink_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val cells = emitted
+        .withColumn("_mx", max("emit").over(
+          Window.partitionBy("user_id")))
+        .filter(col("emit") === col("_mx"))
+        .groupBy("src", "dst").agg(sum("n").as("n"))
+      Analytics.transitionFromCells(cells, k = 3)
+        .orderBy("src", "rank")
+    }),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the

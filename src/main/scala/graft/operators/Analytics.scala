@@ -1411,6 +1411,14 @@ object Analytics {
       .filter(col("_nxt").isNotNull)
       .groupBy(col(typeCol).as("src"), col("_nxt").as("dst"))
       .agg(count(lit(1)).as("n"))
+    transitionFromCells(pairs, k)
+  }
+
+  /** Top-k + probability readout over (src, dst, n) transition cells —
+    * exposed separately (the calibrationCells discipline) so the
+    * streaming pair builder shares the batch readout + oracle.
+    */
+  def transitionFromCells(pairs: DataFrame, k: Int = 3): DataFrame = {
     val ws = Window.partitionBy("src")
     val wr = ws.orderBy(col("n").desc, col("dst"))
     pairs

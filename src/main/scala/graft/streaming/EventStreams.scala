@@ -378,4 +378,50 @@ object EventStreams {
     }
     spark.table(sinkName)
   }
+
+  /** Per-key event buffer for [[transitionPairsStream]]: every
+    * (us, ord, type) seen so far (capped), so each trigger re-derives
+    * the key's adjacency pairs — the [[funnelStream]] exactness
+    * argument: consecutive-pair chaining is NOT incrementally monotone
+    * (a late event SPLICES an existing pair into two), so only a
+    * re-derive from the full buffer equals the batch answer under
+    * arbitrary arrival order.
+    */
+  final case class TransitionState(rows: Seq[(Long, Long, String)],
+      emits: Long)
+
+  /** Streaming transition-pair cells — the incremental form of
+    * [[graft.operators.Analytics.transitionTopK]]'s LEAD-pair build:
+    * per key, events buffer in the state store (capped at `maxPerKey`
+    * rows, the funnelStream cap discipline) and each trigger emits the
+    * key's CURRENT (src, dst, n) pair counts with an `emit` counter —
+    * a multi-batch consumer keeps the max-emit rows per key, sums the
+    * cells by (src, dst), and reads them out with
+    * [[graft.operators.Analytics.transitionFromCells]] against the
+    * batch oracle (one relational truth, two engine paths).
+    */
+  def transitionPairsStream(spark: SparkSession, events: DataFrame,
+      maxPerKey: Int = 10000): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[TransitionState]) =>
+          val prev = state.getOption.getOrElse(TransitionState(Nil, 0L))
+          val all = (prev.rows ++ rows.map(r => (r._2, r._3, r._4)))
+            .sortBy(t => (t._1, t._2)).take(maxPerKey)
+          val next = TransitionState(all, prev.emits + 1)
+          state.update(next)
+          if (all.length < 2) Iterator.empty
+          else all.zip(all.tail)
+            .map { case (a, b) => (a._3, b._3) }
+            .groupBy(identity).iterator
+            .map { case ((s, d), g) =>
+              (user, next.emits, s, d, g.size.toLong) }
+      }
+      .toDF("user_id", "emit", "src", "dst", "n")
+  }
 }

@@ -158,6 +158,41 @@ class AnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionPairsStream: late arrival splices an existing pair; converges to batch LEAD pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val streamed = graft.streaming.EventStreams.transitionPairsStream(spark,
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+    val q = streamed.writeStream.format("memory").queryName("trans_conv")
+      .outputMode("append").start()
+    try {
+      // batch 1: view(10:00) -> purchase(12:00): one pair
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+        (1L, ts("2024-01-01 12:00:00"), 3L, "purchase"))
+      q.processAllAvailable()
+      // batch 2: click(11:00) arrives LATE and splices the pair into
+      // view->click and click->purchase
+      input.addData((1L, ts("2024-01-01 11:00:00"), 2L, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("trans_conv")
+        .as[(Long, Long, String, String, Long)].collect().toSeq
+      val fin = rows.filter(_._2 == 2L).map(r => (r._3, r._4) -> r._5).toMap
+      assert(fin == Map(("view", "click") -> 1L, ("click", "purchase") -> 1L))
+      assert(rows.filter(_._2 == 1L).map(r => (r._3, r._4)).toSet ==
+        Set(("view", "purchase")), "pre-splice pair emitted in batch 1")
+      // final streaming cells == the batch operator's LEAD pairs
+      val batch = Analytics.transitionTopK(
+        Seq((1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+          (1L, ts("2024-01-01 12:00:00"), 3L, "purchase"),
+          (1L, ts("2024-01-01 11:00:00"), 2L, "click"))
+          .toDF("user_id", "ts", "event_id", "event_type"), k = 3)
+        .as[(String, Long, String, Long, Long)].collect()
+        .map(r => (r._1, r._3) -> r._4).toMap
+      assert(batch == fin)
+    } finally q.stop()
+  }
+
   test("MAD outliers: robust to the outlier itself; ties at the fence excluded") {
     // group g: values 1,1,1,1,100 — median 1, abs devs 0,0,0,0,99,
     // MAD 0 → any dev > 0 flags (the 100)
