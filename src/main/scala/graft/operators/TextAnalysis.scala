@@ -1205,21 +1205,22 @@ object TextAnalysis {
     *
     * Scale shape: one explode+distinct to (token, doc) pairs, one
     * groupBy token for first-seen, one ≤B-row broadcast range-join on
-    * the |vocab|-bounded first-seen histogram. The doc-ordinal
-    * row_number is the q44/q245 single-ordering convention (swap in
-    * the two-phase `Ranking` pass when the DOC TABLE itself is
-    * corpus-sized; tokens never enter a global window).
+    * the |vocab|-bounded first-seen histogram. Doc ordinals come from
+    * the two-phase [[Ranking.withGlobalRowNumber]] (range-bucket +
+    * per-bucket row_number + broadcast offsets) — the doc table is
+    * corpus-sized, so a partition-less global window here would be a
+    * one-executor sort at 100 TB; tokens never enter a global window.
     */
   def heapsGrowth(docs: DataFrame, buckets: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(buckets > 0, "heapsGrowth needs buckets > 0")
     val spark = docs.sparkSession
     import spark.implicits._
-    val ords = docs.select(col(idCol).as("_id"))
-      .withColumn("_ord", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("_id"))
-        .cast("long"))
-    val n = ords.agg(coalesce(max("_ord"), lit(0L))).head.getLong(0)
+    val ords = Ranking.withGlobalRowNumber(
+        docs.select(col(idCol).as("_id")), Seq("_id"),
+        outCol = "_ord", nCol = "_n")
+      .select(col("_id"), col("_ord").cast("long").as("_ord"))
+    val n = docs.select(col(idCol)).count()
     val firstSeen = docs
       .select(col(idCol).as("_id"),
         explode(array_distinct(words(col(textCol)))).as("_w"))
