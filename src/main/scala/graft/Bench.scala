@@ -191,6 +191,12 @@ object Bench {
     // around: the total covers only clean runs and "failed" names the rest
     val failedNames = results.collect { case (k, med, _) if med < 0 => "\"" + k + "\"" }
     val failedJson = failedNames.mkString("[", ",", "]")
+    // A subset re-baseline must never masquerade as a full-board record:
+    // it rides "subset":true AND "complete":false in every emitted
+    // variant, so a 1-query run can't overwrite the committed headline
+    // total without a reader noticing (r12 ADVICE item).
+    val isSubset = subset.isDefined
+    val completeJson = failedNames.isEmpty && !isSubset
     val total = results.map(_._2).filter(_ >= 0).sum
     spark.stop()
     // post-run snapshot AFTER spark.stop() so the calibration loop is
@@ -209,16 +215,16 @@ object Bench {
     // calib_mt 528 vs 337 ms) otherwise reads as a 1.3× regression.
     val calibJson =
       f""""calib_mt_ms_pre":$calibMtPre%.0f,"calib_mt_ms_post":$calibMtPost%.0f"""
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"failed":$failedJson,"env":$envJson,"queries":$qJson,"queries_min":$minJson,"sf":"$sfDir"}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":$completeJson,"subset":$isSubset,"failed":$failedJson,"env":$envJson,"queries":$qJson,"queries_min":$minJson,"sf":"$sfDir"}"""
     // self-trimming, ITERATIVE (r11 ADVICE: the env-stripped fallback
     // was itself one growth step from overflowing): try progressively
     // smaller lines until one fits the driver's 2000-char tail capture.
     // The last variant is O(1)-sized, so the require can never fire —
     // it exists to fail loudly at run time if an edit breaks that.
     val candidates = Seq(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"failed":$failedJson,"env":$envJson,"queries":$qJson,"sf":"$sfDir"}""",
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"failed":$failedJson,$calibJson,"env":"see bench_last.json","queries":$qJson,"sf":"$sfDir"}""",
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":${failedNames.isEmpty},"n_failed":${failedNames.size},$calibJson,"env":"see bench_last.json","queries":"see bench_last.json","n_queries":${results.size},"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":$completeJson,"subset":$isSubset,"failed":$failedJson,"env":$envJson,"queries":$qJson,"sf":"$sfDir"}""",
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":$completeJson,"subset":$isSubset,"failed":$failedJson,$calibJson,"env":"see bench_last.json","queries":$qJson,"sf":"$sfDir"}""",
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":$completeJson,"subset":$isSubset,"n_failed":${failedNames.size},$calibJson,"env":"see bench_last.json","queries":"see bench_last.json","n_queries":${results.size},"sf":"$sfDir"}""")
     val stdoutLine = candidates.find(_.length <= 1950).getOrElse(
       throw new IllegalStateException(
         s"bench stdout minimal variant is ${candidates.last.length} chars > 1950"))

@@ -1676,7 +1676,8 @@ object Analytics {
         sum(when(col("q_hat").isNull || col("_r") <= col("q_hat"), 1L)
           .otherwise(0L)).as("n_covered"))
       .withColumn("coverage_q9", when(col("n_test") =!= 0,
-        expr("(n_covered * 1000000000) DIV n_test")))
+        expr("CAST((CAST(n_covered AS DECIMAL(38,0)) * 1000000000)" +
+          " DIV n_test AS BIGINT)")))
       .select(col("n_cal"), col("k"), col("q_hat"), col("n_test"),
         col("n_covered"), col("coverage_q9"))
   }
@@ -1774,7 +1775,8 @@ object Analytics {
     cells.crossJoin(broadcast(tot))
       .select(col("_b").as("bin"), col("n"),
         expr("_sp DIV n").as("mean_pred_q4"), col("n_pos"),
-        expr("(n_pos * 1000000000) DIV n").as("obs_rate_q9"),
+        expr("CAST((CAST(n_pos AS DECIMAL(38,0)) * 1000000000) DIV n" +
+          " AS BIGINT)").as("obs_rate_q9"),
         when(col("_n") =!= 0, expr(
           "CAST((CAST(_gap AS DECIMAL(38,0)) * 1000000000)" +
             " DIV (10000 * _n) AS BIGINT)")).as("ece_q9"))

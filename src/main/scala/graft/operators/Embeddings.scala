@@ -423,6 +423,10 @@ object Embeddings {
         filter(col("_all"), s => s("c") === col("cell")), 1)("d2"))
       .withColumn("_b", array_min(transform(
         filter(col("_all"), s => s("c") =!= col("cell")), s => s("d2"))))
+      // Degenerate single-cell training: no "other" centroid exists, _b
+      // is NULL — drop the row, matching the oracle's inner join on the
+      // other-cells table (silhouette is undefined with one cluster).
+      .filter(col("_b").isNotNull)
       .withColumn("_s", when(greatest(col("_a"), col("_b")) === 0, 0L)
         .otherwise(expr("((_b - _a) * 1000000) DIV greatest(_a, _b)")))
       .groupBy(col("cell").cast("long").as("cell"))

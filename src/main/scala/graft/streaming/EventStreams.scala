@@ -387,7 +387,8 @@ object EventStreams {
     * re-derive from the full buffer equals the batch answer under
     * arbitrary arrival order.
     */
-  final case class TransitionState(rows: Seq[(Long, Long, String)],
+  final case class TransitionState(
+      rows: Seq[(Option[Long], Option[Long], Option[String])],
       emits: Long)
 
   /** Streaming transition-pair cells — the incremental form of
@@ -403,12 +404,21 @@ object EventStreams {
   def transitionPairsStream(spark: SparkSession, events: DataFrame,
       maxPerKey: Int = 10000): DataFrame = {
     import spark.implicits._
+    // All four fields ride nullable (Option) encoders so a NULL
+    // user_id/ts/event_id flows through exactly like the batch
+    // window: NULL keys form their own partition, NULL (_us, ord)
+    // sort first (Option's None < Some = Spark's NULLS FIRST), and
+    // NULL-dst pairs drop (the batch `_nxt.isNotNull` filter) while
+    // NULL-src pairs survive into the cells — one relational truth,
+    // two engine paths, including the null partition.
     events.select(col("user_id"), unix_micros(col("ts")).as("_us"),
         col("event_id"), col("event_type"))
-      .as[(Long, Long, Long, String)]
+      .as[(Option[Long], Option[Long], Option[Long], Option[String])]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+        (user: Option[Long],
+            rows: Iterator[(Option[Long], Option[Long], Option[Long],
+              Option[String])],
             state: GroupState[TransitionState]) =>
           val prev = state.getOption.getOrElse(TransitionState(Nil, 0L))
           val all = (prev.rows ++ rows.map(r => (r._2, r._3, r._4)))
@@ -418,6 +428,7 @@ object EventStreams {
           if (all.length < 2) Iterator.empty
           else all.zip(all.tail)
             .map { case (a, b) => (a._3, b._3) }
+            .filter(_._2.isDefined) // batch drops pairs with NULL next
             .groupBy(identity).iterator
             .map { case ((s, d), g) =>
               (user, next.emits, s, d, g.size.toLong) }

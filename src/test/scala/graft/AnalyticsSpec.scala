@@ -193,6 +193,44 @@ class AnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionPairsStream: NULL user_id / event_id / event_type ride the null partition like batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Option[Long], Timestamp, Option[Long], String)]
+    val streamed = graft.streaming.EventStreams.transitionPairsStream(spark,
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+    val q = streamed.writeStream.format("memory").queryName("trans_null")
+      .outputMode("append").start()
+    val data = Seq(
+      // NULL key: its own partition, view -> click
+      (None, ts("2024-01-01 10:00:00"), Some(1L), "view"),
+      (None, ts("2024-01-01 11:00:00"), Some(2L), "click"),
+      // user 7: NULL event_id sorts first at its ts; a NULL event_type
+      // mid-sequence drops the (view -> NULL) pair but keeps the
+      // (NULL -> purchase) pair with a NULL src — batch LEAD semantics
+      (Some(7L), ts("2024-01-01 10:00:00"), None, "view"),
+      (Some(7L), ts("2024-01-01 11:00:00"), Some(8L), null),
+      (Some(7L), ts("2024-01-01 12:00:00"), Some(9L), "purchase"))
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val rows = spark.table("trans_null")
+        .as[(Option[Long], Long, Option[String], Option[String], Long)]
+        .collect().toSeq
+      val streamedCells = rows.groupBy(r => (r._3, r._4))
+        .map { case (k, g) => k -> g.map(_._5).sum }
+      val batchCells = Analytics.transitionTopK(
+        data.toDF("user_id", "ts", "event_id", "event_type"), k = 10)
+        .as[(Option[String], Long, Option[String], Long, Long)].collect()
+        .map(r => (r._1, r._3) -> r._4).toMap
+      assert(streamedCells == batchCells)
+      assert(streamedCells((Some("view"), Some("click"))) == 1L)
+      assert(streamedCells((None, Some("purchase"))) == 1L)
+      assert(!streamedCells.keySet.exists(_._2.isEmpty),
+        "NULL-dst pairs must drop, matching the batch _nxt.isNotNull filter")
+    } finally q.stop()
+  }
+
   test("MAD outliers: robust to the outlier itself; ties at the fence excluded") {
     // group g: values 1,1,1,1,100 — median 1, abs devs 0,0,0,0,99,
     // MAD 0 → any dev > 0 flags (the 100)

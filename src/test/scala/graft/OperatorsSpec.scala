@@ -2683,5 +2683,12 @@ class OperatorsSpec extends SparkSpec {
     assert(gm.map(_._2).sum == 40L)
     assert(gm.forall(r => r._4 >= 0L && r._5 <= 1000000L &&
       r._4 <= r._3 && r._3 <= r._5))
+    // single-cell training: no "other" centroid exists, so silhouette is
+    // undefined — every row drops (the oracle's inner-join semantics),
+    // not retained with a NULL b polluting n and the mean
+    val g1 = graft.operators.Embeddings
+      .silhouetteProfile(mixed, nCells = 1, iters = 1)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(g1.isEmpty)
   }
 }
