@@ -578,7 +578,10 @@ object Analytics {
     // per-scenario chain: transitions INTO the removed channel → NULL
     // (then re-aggregated — they merge with existing →NULL mass); c_s
     // stays the FULL row sum (removal loses mass by design)
-    val edges = Dedup.tracked(scen.crossJoin(counts)
+    // scen is ≤|channels|+1 rows — broadcast it so the expansion plans
+    // as BroadcastNestedLoopJoin, never CartesianProduct (plan-audit
+    // gate: a cartesian repartitions BOTH sides at scale)
+    val edges = Dedup.tracked(broadcast(scen).crossJoin(counts)
       .withColumn("_d",
         when(col("dst") === col("scenario"), lit(NUL)).otherwise(col("dst")))
       .groupBy(col("scenario"), col("src"), col("_d").as("dst"))
@@ -605,7 +608,7 @@ object Analytics {
       .select(col("p").as("p_full_q12"))
     pStart.filter(col("scenario") =!= FULL)
       .select(col("scenario").as(typeCol), col("p").as("p_removed_q12"))
-      .crossJoin(pFull)
+      .crossJoin(broadcast(pFull))
       .withColumn("removal_effect_q6",
         when(col("p_full_q12") > 0,
           expr(s"CAST((CAST(1000000 AS $dec) *" +

@@ -82,6 +82,21 @@ object Dedup {
     */
   def releaseCheckpoints(): Unit = drain(checkpointScopes.get().peek())
 
+  /** Eagerly free ONE materialized stage's checkpoint blocks — the
+    * bounded-round-loop companion to the scope-exit release: round k's
+    * materialized output supersedes round k−1's, so the loop frees the
+    * predecessor as soon as an ACTION has populated the successor's
+    * blocks (localCheckpoint truncates lineage, so the predecessor must
+    * stay persisted until then — never before). Keeps a k-round loop at
+    * ≤2 live corpus-sized blocks instead of k. Harmless double-free
+    * with the scope drain.
+    */
+  def releaseStage(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      lr.rdd.unpersist(blocking = false)
+    case _ => ()
+  }
+
   private def drain(q: java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]): Unit = {
     var r = q.poll()
     while (r != null) { r.unpersist(blocking = false); r = q.poll() }

@@ -342,6 +342,14 @@ object Embeddings {
     * running min-distance column materializes per round so round k
     * never replays rounds 1..k−1. k rounds × one pass — the same
     * bounded-rounds contract as PageRank/set-cover.
+    *
+    * Storage contract: at most TWO corpus-sized checkpoint blocks are
+    * live at any instant — the current round's state and its
+    * predecessor, which is freed ([[Dedup.releaseStage]]) immediately
+    * after the round's top-k action materializes the successor (the
+    * predecessor must outlive that action: localCheckpoint truncates
+    * lineage, so its blocks are the successor's only input). A spec
+    * asserts the ≤ +2 persistent-RDD bound.
     */
   def kCenterSelect(embs: DataFrame, k: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -361,9 +369,10 @@ object Embeddings {
     var state = Dedup.materialize(base
       .withColumn("_dmin", lit(Long.MaxValue)))
     for (round <- 2 to k) {
-      val cq = state.filter(col("_id") === pickedId)
+      val prev = state
+      val cq = prev.filter(col("_id") === pickedId)
         .select("q").head().getSeq[Int](0)
-      state = Dedup.materialize(state
+      state = Dedup.materialize(prev
         .withColumn("_cq", typedLit(cq))
         .withColumn("_d2", expr(
           "aggregate(zip_with(q, _cq, (x, y) -> CAST((x - y) * (x - y)" +
@@ -377,6 +386,10 @@ object Embeddings {
           col("_dmin").cast("double"), col("_id"), 1).as("_t"))
         .select(explode(col("_t")).as("p"))
         .select(col("p.id"), col("p.ord")).collect()
+      // the collect above materialized this round's state — the
+      // predecessor's blocks are superseded; free them now instead of
+      // holding k corpus-sized blocks to scope exit
+      Dedup.releaseStage(prev)
       if (top.nonEmpty) {
         pickedId = top.head.getLong(0)
         picks += ((round.toLong, pickedId, top.head.getDouble(1).toLong))

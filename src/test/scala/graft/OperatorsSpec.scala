@@ -2601,6 +2601,24 @@ class OperatorsSpec extends SparkSpec {
     assert(all.map(_._2).distinct.length == all.length && all.length <= 5)
   }
 
+  test("kCenterSelect: storage contract — superseded round states free eagerly (≤ +2 persistent RDDs)") {
+    // the loop materializes one corpus-sized state per round; the
+    // contract (scaladoc) is that round k−1's blocks are unpersisted as
+    // soon as round k's action lands, so a k-round run leaves at most
+    // the FINAL state behind — not k blocks
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = (1L to 64L)
+      .map(i => (i, Seq(((i * 37) % 255 - 127).toFloat,
+        ((i * 91) % 255 - 127).toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Embeddings.kCenterSelect(df, k = 6).count()
+    assert(got == 6L)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2,
+      s"kCenterSelect leaked ${leaked.size} persistent RDDs (want ≤2: " +
+        "final state + at most one in-flight unpersist)")
+  }
+
   test("textRankKeywords: hub word wins; equals direct weighted PageRank on the bigram graph") {
     // "x" is adjacent to every other word: x a x b x c -> x is the hub
     val docs = Seq("x a x b x c", "x a x b").toDF("text")
