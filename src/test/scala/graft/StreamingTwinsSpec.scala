@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Sampling, Validation}
+
+/** True multi-trigger convergence for the r12 streaming twins (r12
+  * verdict #5): the driver gate runs each twin once via AvailableNow
+  * over parquet, which exercises the state store but only ONE trigger
+  * boundary. These specs push data through `MemoryStream` in several
+  * triggers and assert that AFTER EVERY TRIGGER the streamed cells
+  * equal the batch cell builder applied to the union of data seen so
+  * far — the funnelStream discipline, applied to the shared-cells
+  * twins (q272 calibration, q279 Benford, q280 mixture).
+  */
+class StreamingTwinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run `transform` over a MemoryStream in Complete mode, feeding
+    * `batches` one trigger at a time; after each trigger call `check`
+    * with (sink table, rows seen so far).
+    */
+  private def convergeByTrigger[T <: Product : org.apache.spark.sql.Encoder](
+      cols: Seq[String], batches: Seq[Seq[T]], sinkName: String,
+      transform: DataFrame => DataFrame)(
+      check: (DataFrame, Seq[T]) => Unit): Unit = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[T]
+    val q = transform(input.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete").start()
+    try {
+      var seen = Seq.empty[T]
+      for (b <- batches) {
+        input.addData(b: _*)
+        q.processAllAvailable()
+        seen = seen ++ b
+        check(spark.table(sinkName), seen)
+      }
+    } finally q.stop()
+  }
+
+  private def cellMap(df: DataFrame): Map[Seq[Any], Seq[Any]] =
+    df.collect().toSeq.map { r =>
+      val v = r.toSeq; Seq(v.head) -> v.tail
+    }.toMap
+
+  test("q272 twin: calibration cells converge to the batch builder at every trigger") {
+    val batches = Seq(
+      Seq((500L, true), (2500L, false), (9800L, true)),
+      Seq((2600L, true), (500L, false)),            // merges into bins 0 and 2
+      Seq((10000L, true), (0L, false), (5000L, false))) // edge bins
+    convergeByTrigger[(Long, Boolean)](Seq("p_q4", "y"), batches,
+      "twin_calib",
+      df => Analytics.calibrationCells(df, "p_q4", col("y"))) {
+      (sink, seen) =>
+        val batch = Analytics.calibrationCells(
+          seen.toDF("p_q4", "y"), "p_q4", col("y"))
+        assert(cellMap(sink) == cellMap(batch))
+    }
+    // and the shared readout: final streamed cells through
+    // calibrationFromCells equal the one-shot batch calibrationCurve
+    val all = batches.flatten
+    val streamedFinal = Analytics.calibrationFromCells(
+      Analytics.calibrationCells(all.toDF("p_q4", "y"), "p_q4", col("y")))
+    val direct = Analytics.calibrationCurve(
+      all.toDF("p_q4", "y"), "p_q4", col("y"))
+    assert(streamedFinal.orderBy("bin").collect().toSeq ==
+      direct.orderBy("bin").collect().toSeq)
+  }
+
+  test("q279 twin: Benford digit cells converge to the batch builder at every trigger") {
+    val batches = Seq(
+      Seq(123.45, 19.99, 1.02),        // digits 1,1,1
+      Seq(0.004, 900.0, 23.5),         // sub-cent drop + 9 + 2
+      Seq(345.0, 0.0, 81.81))          // 3, zero drop, 8
+    convergeByTrigger[Tuple1[Double]](Seq("v"),
+      batches.map(_.map(Tuple1(_))), "twin_benford",
+      df => Validation.benfordDigitCells(df, "v")) { (sink, seen) =>
+      val batch = Validation.benfordDigitCells(
+        seen.map(_._1).toDF("v"), "v")
+      assert(cellMap(sink) == cellMap(batch))
+    }
+  }
+
+  test("q280 twin: domain token cells converge to the batch builder at every trigger") {
+    val batches = Seq(
+      Seq(("web", 100L), ("books", 40L)),
+      Seq(("web", 25L), ("code", 7L)),
+      Seq(("books", 3L), ("web", 1L)))
+    convergeByTrigger[(String, Long)](Seq("source", "n_chars"), batches,
+      "twin_mixture",
+      df => Sampling.domainTokenCells(df)) { (sink, seen) =>
+      val batch = Sampling.domainTokenCells(seen.toDF("source", "n_chars"))
+      assert(cellMap(sink) == cellMap(batch))
+    }
+    // readout parity on the final cells
+    val targets = Seq(("web", 600L), ("books", 300L), ("code", 100L))
+    val all = batches.flatten.toDF("source", "n_chars")
+    val a = Sampling.mixturePlanFromCells(
+      Sampling.domainTokenCells(all), targets).orderBy("source")
+    val b = Sampling.domainMixturePlan(all, targets).orderBy("source")
+    assert(a.collect().toSeq == b.collect().toSeq)
+  }
+}
