@@ -18,6 +18,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // managed-table writes (LayoutSpec's bucketed q70 tables) land in
+      // a per-run scratch warehouse, not ./spark-warehouse — the repo
+      // dir stays physically clean across suite runs
+      .config("spark.sql.warehouse.dir", TempDirs.scratch("warehouse"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
