@@ -1676,6 +1676,104 @@ object Oracles {
       |      AS BIGINT) END AS coverage_q9
       |FROM kk CROSS JOIN q CROSS JOIN t ORDER BY n_cal""".stripMargin
 
+  /** q282: `TextAnalysis.domainVocabOverlap` — the q266 tokenizer's
+    * distinct (domain, token) sets, exact pairwise Jaccard in Q6 over
+    * the a < b matrix (zero-overlap pairs completed from the size
+    * table).
+    */
+  def q282DomainOverlap: String =
+    """WITH dt AS (SELECT DISTINCT d.source AS g, t.w
+      |  FROM documents d,
+      |    unnest(regexp_split_to_array(lower(d.text), '[^a-z0-9'']+'))
+      |      AS t(w)
+      |  WHERE t.w <> ''),
+      |sz AS (SELECT g, COUNT(*) AS n FROM dt GROUP BY 1),
+      |iv AS (SELECT a.g AS ga, b.g AS gb, COUNT(*) AS i
+      |  FROM dt a JOIN dt b ON a.w = b.w AND a.g < b.g GROUP BY 1, 2)
+      |SELECT sa.g AS domain_a, sb.g AS domain_b,
+      |  CAST(COALESCE(iv.i, 0) AS BIGINT) AS n_common,
+      |  CAST(sa.n + sb.n - COALESCE(iv.i, 0) AS BIGINT) AS n_union,
+      |  CAST((CAST(COALESCE(iv.i, 0) AS HUGEINT) * 1000000)
+      |    // (sa.n + sb.n - COALESCE(iv.i, 0)) AS BIGINT) AS jaccard_q6
+      |FROM sz sa JOIN sz sb ON sa.g < sb.g
+      |LEFT JOIN iv ON iv.ga = sa.g AND iv.gb = sb.g
+      |ORDER BY domain_a, domain_b""".stripMargin
+
+  /** q283: `Sketches.cmsPlan` — (eps_ppm, 1/δ) grid, width =
+    * ⌈2718282/eps_ppm⌉ (e pinned at Q6), depth = ⌈lnQ12(1/δ)/10¹²⌉
+    * via the shared ln CTE, bytes = w·d·8.
+    */
+  def q283CmsPlan: String =
+    """WITH RECURSIVE _ks AS (SELECT CAST(x AS BIGINT) AS k
+      |  FROM (VALUES (100), (10000), (1000000), (1000000000)) v(x)),
+      |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
+      |grid AS (SELECT CAST(e.x AS BIGINT) AS eps_ppm,
+      |    CAST(d.x AS BIGINT) AS delta_inv
+      |  FROM (VALUES (10000), (1000), (100), (10)) e(x),
+      |    (VALUES (100), (10000), (1000000), (1000000000)) d(x))
+      |SELECT g.eps_ppm, g.delta_inv,
+      |  CAST((2718282 + g.eps_ppm - 1) // g.eps_ppm AS BIGINT) AS width,
+      |  CAST((l.l + 999999999999) // 1000000000000 AS BIGINT) AS depth,
+      |  CAST(((2718282 + g.eps_ppm - 1) // g.eps_ppm)
+      |    * ((l.l + 999999999999) // 1000000000000) * 8 AS BIGINT)
+      |    AS bytes
+      |FROM grid g JOIN _lnq l ON l.k = g.delta_inv
+      |ORDER BY eps_ppm, delta_inv""".stripMargin
+
+  /** q284/q285: `Dedup.dupInflation` — md5 digest multiplicity (the
+    * q20 convention), size histogram, widened Q6 doc share.
+    */
+  def q284DupInflation: String =
+    """WITH c AS (SELECT md5(text) AS digest, COUNT(*) AS n
+      |  FROM documents GROUP BY 1),
+      |h AS (SELECT n AS cluster_size, COUNT(*) AS n_clusters
+      |  FROM c GROUP BY 1),
+      |t AS (SELECT SUM(cluster_size * n_clusters) AS t FROM h)
+      |SELECT CAST(h.cluster_size AS BIGINT) AS cluster_size,
+      |  CAST(h.n_clusters AS BIGINT) AS n_clusters,
+      |  CAST(h.cluster_size * h.n_clusters AS BIGINT) AS n_docs,
+      |  CASE WHEN t.t <> 0 THEN
+      |    CAST((CAST(h.cluster_size * h.n_clusters AS HUGEINT) * 1000000)
+      |      // t.t AS BIGINT) END AS pct_docs_q6
+      |FROM h CROSS JOIN t ORDER BY cluster_size""".stripMargin
+
+  /** q286: `Analytics.conformalCoverageByGroup` — q277's CTEs with
+    * every stage keyed by l_returnflag (per-group n_cal/k/q̂, the
+    * group-conditional Mondrian audit); groups need both splits.
+    */
+  def q286GroupConformal: String =
+    """WITH b AS (SELECT l_returnflag AS g,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS y,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) * 200000
+      |      AS yh,
+      |    l_orderkey % 2 AS par
+      |  FROM lineitem),
+      |r AS (SELECT g, ABS(y - yh) AS r, par FROM b),
+      |cells AS (SELECT g, r, COUNT(*) AS c FROM r WHERE par = 0
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_cal FROM cells
+      |  GROUP BY 1),
+      |kk AS (SELECT g, n_cal, ((n_cal + 1) * 900 + 999) // 1000 AS k
+      |  FROM tot),
+      |cum AS (SELECT g, r, SUM(c) OVER (PARTITION BY g ORDER BY r)
+      |    AS cum FROM cells),
+      |q AS (SELECT cum.g, MIN(r) AS q_hat FROM cum
+      |  JOIN kk ON kk.g = cum.g WHERE cum.cum >= kk.k GROUP BY 1),
+      |t AS (SELECT r.g, COUNT(*) AS n_test,
+      |    SUM(CASE WHEN q.q_hat IS NULL OR r.r <= q.q_hat
+      |      THEN 1 ELSE 0 END) AS ncov
+      |  FROM r JOIN kk ON kk.g = r.g LEFT JOIN q ON q.g = r.g
+      |  WHERE r.par = 1 GROUP BY 1)
+      |SELECT kk.g AS grp, kk.n_cal, CAST(kk.k AS BIGINT) AS k, q.q_hat,
+      |  CAST(t.n_test AS BIGINT) AS n_test,
+      |  CAST(t.ncov AS BIGINT) AS n_covered,
+      |  CASE WHEN t.n_test <> 0 THEN
+      |    CAST((CAST(t.ncov AS HUGEINT) * 1000000000) // t.n_test
+      |      AS BIGINT) END AS coverage_q9
+      |FROM kk LEFT JOIN q ON q.g = kk.g JOIN t ON t.g = kk.g
+      |ORDER BY grp""".stripMargin
+
   /** q278: `Analytics.signFlipTest` — per-user even−odd tenk diff, 64
     * splitmix sign patterns (the q224 seed family), permille p.
     */
@@ -4780,6 +4878,13 @@ object Oracles {
     // q272/q255 discipline — one relational truth, two engine paths)
     "q280_stream_mixture" -> q265DomainMixture,
     "q271_textrank_keywords" -> q271TextRank,
+    "q282_domain_overlap" -> q282DomainOverlap,
+    "q283_cms_plan" -> q283CmsPlan,
+    "q284_dup_inflation" -> q284DupInflation,
+    // q285 = q284's digest cells through the streaming state store
+    // (the q272/q280 discipline — one cell builder, two engine paths)
+    "q285_stream_dup_inflation" -> q284DupInflation,
+    "q286_group_conformal" -> q286GroupConformal,
     "q264_l_diversity" -> q264LDiversity,
     "q265_domain_mixture" -> q265DomainMixture,
     "q266_heaps_growth" -> q266HeapsGrowth,

@@ -3182,6 +3182,58 @@ object SparkEntry {
         .orderBy("src", "rank")
     }),
 
+    // ---- corpus-curation tier: domain vocabulary overlap (NEW r13) ----
+    // Exact pairwise Jaccard of per-domain distinct-token sets, Q6 —
+    // "which sources are the same corpus wearing two names", the
+    // pairwise companion to q275's what-makes-a-source-different.
+    // Token-keyed self-join of the collapsed (domain, token) table:
+    // ≤|domains|² pair rows per token, never a doc-pair blow-up.
+    "q282_domain_overlap" -> ((s, dir) =>
+      TextAnalysis.domainVocabOverlap(documents(s, dir))
+        .orderBy("domain_a", "domain_b")),
+
+    // ---- sketch tier: count-min parameter planner (NEW r13) ----
+    // q268's planning discipline for the CMS family: width = ceil(e/eps)
+    // with e pinned to the Q6 constant 2718282, depth = ceil(ln(1/d))
+    // through the shared lnQ12 kernel, bytes = w*d*8. Zero corpus touch.
+    "q283_cms_plan" -> ((s, dir) =>
+      graft.operators.Sketches.cmsPlan(s).orderBy("eps_ppm", "delta_inv")),
+
+    // ---- dedup tier: duplicate-inflation histogram (NEW r13) ----
+    // Cluster-size histogram of exact-dup groups + Q6 doc share: the
+    // shape report read BEFORE choosing a dedup strategy (fat size-2
+    // head vs few giant boilerplate clusters behave differently; the
+    // r11 q178 clones-squared incident is a row of this table).
+    "q284_dup_inflation" -> ((s, dir) =>
+      Dedup.dupInflation(documents(s, dir)).orderBy("cluster_size")),
+
+    // ---- streaming tier: dup-inflation cells via state store (NEW r13) ----
+    // q284's digest cells built by the streaming engine (the q272/q280
+    // discipline: one cell builder, two engine paths), shared readout.
+    "q285_stream_dup_inflation" -> ((s, dir) => {
+      val cells = EventStreams.runOnceOnParquet(s,
+        s"$dir/documents.parquet",
+        df => Dedup.digestCells(df),
+        s"dupinf_sink_${System.nanoTime()}")
+      Dedup.dupInflationFromCells(cells).orderBy("cluster_size")
+    }),
+
+    // ---- ML-eval tier: per-group (Mondrian) conformal coverage (NEW r13) ----
+    // q277's split-conformal audit per l_returnflag: marginal coverage
+    // can hide a group whose intervals systematically miss — each group
+    // gets its own calibration quantile. Cumsum window PARTITIONED by
+    // group over per-group distinct-residual cells; |groups|-row q-hat
+    // table broadcasts to the test aggregate.
+    "q286_group_conformal" -> ((s, dir) => {
+      val d = lineitem(s, dir)
+        .withColumn("y", expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .withColumn("yhat", expr(
+          "CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) * 200000"))
+      Analytics.conformalCoverageByGroup(d, "l_returnflag", "y", "yhat",
+        pmod(col("l_orderkey"), lit(2)) === 0).orderBy("grp")
+    }),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the

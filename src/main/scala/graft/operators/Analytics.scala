@@ -1685,6 +1685,56 @@ object Analytics {
         col("n_covered"), col("coverage_q9"))
   }
 
+  /** [[conformalCoverage]] per group — the Mondrian (group-conditional)
+    * split-conformal audit: marginal coverage can hide a group whose
+    * intervals systematically miss (the fairness failure mode), so
+    * each group gets its OWN calibration quantile and its own coverage
+    * row. Same exact-integer machinery; a group appears iff it has
+    * BOTH calibration and test rows (coverage of an absent split is
+    * undefined); k > n_cal ⇒ NULL q̂ = infinite interval, coverage 1.
+    * One row per group: (grp, n_cal, k, q_hat, n_test, n_covered,
+    * coverage_q9).
+    *
+    * Scale shape: the cumsum window is PARTITIONED by group over the
+    * per-group distinct-residual cells (never a global window); the
+    * per-group (n_cal, k, q̂) table is |groups|-rows and broadcasts to
+    * the test-side aggregate. Meant for bounded group columns
+    * (segment, domain, flag) — the table a dashboard reads.
+    */
+  def conformalCoverageByGroup(df: DataFrame, groupCol: String,
+      yCol: String, yhatCol: String, isCal: Column,
+      alphaPermille: Int = 100): DataFrame = {
+    require(alphaPermille > 0 && alphaPermille < 1000,
+      "alphaPermille must be in (0, 1000)")
+    val base = df.select(col(groupCol).as("grp"),
+      abs(col(yCol).cast("long") - col(yhatCol).cast("long")).as("_r"),
+      isCal.cast("boolean").as("_c"))
+    val cells = base.filter(col("_c"))
+      .groupBy("grp", "_r").agg(count(lit(1)).as("_n"))
+    val tot = cells.groupBy("grp").agg(sum("_n").as("n_cal"))
+      .withColumn("k", expr(
+        s"((n_cal + 1) * ${1000 - alphaPermille} + 999) DIV 1000"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("_r")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val qhat = cells
+      .withColumn("_cum", sum("_n").over(w))
+      .join(tot, Seq("grp"))
+      .filter(col("_cum") >= col("k"))
+      .groupBy("grp", "n_cal", "k").agg(min("_r").as("q_hat"))
+    val q1 = broadcast(tot.join(qhat, Seq("grp", "n_cal", "k"), "left"))
+    base.filter(!col("_c")).join(q1, Seq("grp"))
+      .groupBy("grp", "n_cal", "k", "q_hat")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("q_hat").isNull || col("_r") <= col("q_hat"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .withColumn("coverage_q9", when(col("n_test") =!= 0,
+        expr("CAST((CAST(n_covered AS DECIMAL(38,0)) * 1000000000)" +
+          " DIV n_test AS BIGINT)")))
+      .select(col("grp"), col("n_cal"), col("k"), col("q_hat"),
+        col("n_test"), col("n_covered"), col("coverage_q9"))
+  }
+
   /** Seeded sign-flip permutation test for a paired difference — the
     * nonparametric "is this effect real" companion to the q181 t-test,
     * with NO normality assumption: under H₀ (symmetric differences)

@@ -1465,4 +1465,46 @@ object Dedup {
           "sequence(2L, n_bands), 1000000 - p_band_q6," +
           " (acc, x) -> (acc * (1000000 - p_band_q6)) DIV 1000000) END"))
   }
+
+  /** Per-digest multiplicity cells behind [[dupInflationFromCells]] —
+    * exposed separately (the calibrationCells discipline) so the
+    * streaming engine can build the same cells through the state store
+    * and share the batch readout + oracle. One row per distinct
+    * content digest: (digest, n). The [[exact]] md5 convention: the
+    * shuffle key is the 32-hex digest, never the body.
+    */
+  def digestCells(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(md5(col(textCol)).as("digest"))
+      .groupBy("digest").agg(count(lit(1)).as("n"))
+
+  /** Duplicate-inflation histogram over [[digestCells]] output: one
+    * row per cluster size — (cluster_size, n_clusters, n_docs,
+    * pct_docs_q6) — the "how duplicated is this corpus, and in what
+    * shape" readout a curator reads BEFORE choosing a dedup strategy
+    * (a fat head of size-2 clusters wants exact dedup; a few
+    * giant clusters want boilerplate removal; the r11 100×-sweep
+    * lesson — q178's Θ(clones²) blow-up — is literally a row of this
+    * table). Exact integers; the share is one widened Q6 floor
+    * division.
+    *
+    * Scale shape: cells are digest-keyed partial-agg output; the
+    * histogram groupBy collapses to ≤|distinct sizes| rows and the
+    * total joins back as a broadcast 1-row aggregate.
+    */
+  def dupInflationFromCells(cells: DataFrame): DataFrame = {
+    val hist = cells.groupBy(col("n").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    val tot = hist.agg(coalesce(sum("n_docs"), lit(0L)).as("_t"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("pct_docs_q6", when(col("_t") =!= 0, expr(
+        "CAST((CAST(n_docs AS DECIMAL(38,0)) * 1000000) DIV _t" +
+          " AS BIGINT)")))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("pct_docs_q6"))
+  }
+
+  /** Batch composition: [[digestCells]] → [[dupInflationFromCells]]. */
+  def dupInflation(docs: DataFrame, textCol: String = "text"): DataFrame =
+    dupInflationFromCells(digestCells(docs, textCol))
 }

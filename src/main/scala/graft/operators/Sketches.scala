@@ -569,4 +569,38 @@ object Sketches {
         expr("(_num * _n + _den - 1) DIV _den").as("target_rank"),
         col("lo").as("est_lo"), col("hi").as("est_hi"))
   }
+
+  /** Count-min parameter planner — [[graft.operators.Dedup.lshPlan]]'s
+    * discipline applied to the CMS family: over an (ε, 1/δ) grid, the
+    * standard sizing width = ⌈e/ε⌉, depth = ⌈ln(1/δ)⌉ (Cormode &
+    * Muthukrishnan 2005) plus the resulting counter-array bytes — the
+    * table consulted BEFORE a 100 TB heavy-hitter pass commits memory
+    * (error ε·N with probability 1−δ at width·depth·8 B per key
+    * domain). Exact integers: e as the fixed Q6 constant 2718282
+    * (round-half-even of e·10⁶, stated here and mirrored in the
+    * oracle), ε in ppm so width = ⌈2718282/eps_ppm⌉ is one ceiling
+    * division, depth through the shared lnQ12 kernel (⌈l/10¹²⌉).
+    *
+    * Scale shape: a |grid|-row driver table, all arithmetic map-side
+    * codegen'd — zero shuffle, zero corpus touch.
+    */
+  def cmsPlan(spark: org.apache.spark.sql.SparkSession,
+      epsPpm: Seq[Long] = Seq(10000L, 1000L, 100L, 10L),
+      deltaInv: Seq[Long] = Seq(100L, 10000L, 1000000L, 1000000000L),
+      counterBytes: Long = 8L): DataFrame = {
+    import spark.implicits._
+    require(epsPpm.forall(e => e >= 1 && e <= 1000000),
+      "cmsPlan wants eps in [1, 1e6] ppm")
+    require(deltaInv.forall(_ >= 2), "cmsPlan wants 1/delta >= 2")
+    val grid = for { e <- epsPpm; d <- deltaInv } yield (e, d)
+    grid.toDF("eps_ppm", "delta_inv")
+      .withColumn("width", expr("(2718282 + eps_ppm - 1) DIV eps_ppm"))
+      .withColumn("_l",
+        graft.plans.GraftExtensions.lnQ12Native(col("delta_inv")))
+      .withColumn("depth", expr(
+        "(_l + 999999999999) DIV 1000000000000"))
+      .withColumn("bytes", col("width") * col("depth") * lit(counterBytes))
+      .select(col("eps_ppm"), col("delta_inv"), col("width"),
+        col("depth"), col("bytes"))
+  }
 }

@@ -1351,4 +1351,44 @@ object TextAnalysis {
         .limit(topK)
         .select(col("node").as("word"), col("score"))
   }
+
+  /** Exact domain-vocabulary overlap matrix: for every unordered
+    * domain pair (a < b), the EXACT Jaccard of their distinct-token
+    * vocabularies in Q6 — "which sources duplicate each other's
+    * language," the pairwise companion to [[domainTopTerms]] (what
+    * makes a source different) and the signal a mixture curator reads
+    * before merging/deduping sources (two near-identical vocabularies
+    * ⇒ the domains are the same corpus wearing two names). One row per
+    * pair: (domain_a, domain_b, n_common, n_union, jaccard_q6);
+    * domains with no tokens never enter (Jaccard undefined on ∅).
+    *
+    * Scale shape: one explode+distinct collapses the corpus to the
+    * ≤|domains|·|vocab| (domain, token) table; the self-join is
+    * token-keyed, so each token contributes ≤|domains|² pair rows
+    * (NEVER a doc-pair blow-up); the matrix completes from the
+    * broadcast |domains|-row size table — output ≤ C(|domains|, 2).
+    */
+  def domainVocabOverlap(docs: DataFrame, domainCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val dt = Dedup.materialize(docs
+      .select(col(domainCol).as("_g"),
+        explode(array_distinct(words(col(textCol)))).as("_w"))
+      .distinct())
+    val sizes = dt.groupBy("_g").agg(count(lit(1)).as("_n"))
+    val inter = dt
+      .join(dt.select(col("_g").as("_g2"), col("_w")), Seq("_w"))
+      .filter(col("_g") < col("_g2"))
+      .groupBy("_g", "_g2").agg(count(lit(1)).as("_i"))
+    broadcast(sizes)
+      .join(broadcast(sizes.select(col("_g").as("_g2"),
+        col("_n").as("_n2"))), col("_g") < col("_g2"))
+      .join(inter, Seq("_g", "_g2"), "left")
+      .na.fill(0L, Seq("_i"))
+      .withColumn("n_union", col("_n") + col("_n2") - col("_i"))
+      .withColumn("jaccard_q6", expr(
+        "CAST((CAST(_i AS DECIMAL(38,0)) * 1000000) DIV n_union" +
+          " AS BIGINT)"))
+      .select(col("_g").as("domain_a"), col("_g2").as("domain_b"),
+        col("_i").as("n_common"), col("n_union"), col("jaccard_q6"))
+  }
 }

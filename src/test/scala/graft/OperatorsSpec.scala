@@ -2709,4 +2709,66 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect()
     assert(g1.isEmpty)
   }
+
+  test("domainVocabOverlap: hand-computed Jaccards; zero-overlap pair completes; empty domain absent") {
+    val docs = Seq(
+      ("a", "cat dog fish"), ("a", "dog bird"),     // vocab a: cat dog fish bird (4)
+      ("b", "dog fish mouse"),                       // vocab b: dog fish mouse (3)
+      ("c", "xyzzy plugh"),                          // vocab c: disjoint (2)
+      ("d", ""))                                     // no tokens: absent
+      .toDF("source", "text")
+    val got = graft.operators.TextAnalysis.domainVocabOverlap(docs)
+      .orderBy("domain_a", "domain_b")
+      .as[(String, String, Long, Long, Long)].collect().toList
+    // a-b: common {dog, fish} = 2, union 5, jaccard floor(2e6/5) = 400000
+    // a-c: common 0, union 6; b-c: common 0, union 5
+    assert(got == List(
+      ("a", "b", 2L, 5L, 400000L),
+      ("a", "c", 0L, 6L, 0L),
+      ("b", "c", 0L, 5L, 0L)))
+  }
+
+  test("dupInflation: size histogram with exact Q6 shares; streaming cells share the readout") {
+    val docs = Seq(
+      (1L, "x"), (2L, "x"), (3L, "x"),  // one size-3 cluster
+      (4L, "y"), (5L, "y"),             // one size-2 cluster
+      (6L, "z"))                        // one singleton
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dupInflation(docs)
+      .orderBy("cluster_size")
+      .as[(Long, Long, Long, Long)].collect().toList
+    // 6 docs total: singleton 1/6, the pair 2/6, the triple 3/6
+    assert(got == List(
+      (1L, 1L, 1L, 166666L),
+      (2L, 1L, 2L, 333333L),
+      (3L, 1L, 3L, 500000L)))
+    // cells → readout composition equals the one-shot path
+    val viaCells = graft.operators.Dedup.dupInflationFromCells(
+      graft.operators.Dedup.digestCells(docs))
+      .orderBy("cluster_size")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(viaCells == got)
+  }
+
+  test("conformalCoverageByGroup: per-group quantiles; k>n group degrades to NULL q-hat / full coverage") {
+    // group g: cal residuals 0,10,20,30 (n=4, k=ceil(5*0.9)=5 > 4 ->
+    // NULL q-hat, coverage 1); group h: cal residuals 0..8 (n=9,
+    // k=ceil(10*0.9)=9 -> q-hat = 8), test residuals 5 and 50 -> 1/2
+    val rows =
+      (Seq(0L, 10L, 20L, 30L).map(r => ("g", r, true)) ++
+        Seq(("g", 99L, false)) ++
+        (0L to 8L).map(r => ("h", r, true)) ++
+        Seq(("h", 5L, false), ("h", 50L, false)) ++
+        Seq(("i", 7L, true))) // cal-only group: no test rows -> absent
+        .map { case (g, r, c) => (g, r, 0L, c) }
+        .toDF("grp0", "y", "yhat", "cal")
+    val got = graft.operators.Analytics.conformalCoverageByGroup(
+      rows, "grp0", "y", "yhat", col("cal"))
+      .orderBy("grp")
+      .as[(String, Long, Long, Option[Long], Long, Long, Option[Long])]
+      .collect().toList
+    assert(got == List(
+      ("g", 4L, 5L, None, 1L, 1L, Some(1000000000L)),
+      ("h", 9L, 9L, Some(8L), 2L, 1L, Some(500000000L))))
+  }
 }

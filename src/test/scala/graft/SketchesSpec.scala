@@ -559,4 +559,21 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("Expand") || scans <= 1,
       s"expected a single-scan Expand plan:\n$plan")
   }
+
+  test("cmsPlan: hand-computed width/depth at canonical (eps, delta) points") {
+    val got = graft.operators.Sketches.cmsPlan(spark)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // eps = 1% (10000 ppm): width = ceil(2718282/10000) = 272;
+    // delta = 1e-6: depth = ceil(ln(1e6)) = ceil(13.8155) = 14
+    assert(got((10000L, 1000000L)) == (272L, 14L, 272L * 14L * 8L))
+    // eps = 0.01% (100 ppm): width = ceil(2718282/100) = 27183;
+    // delta = 1e-2: depth = ceil(ln(100)) = ceil(4.605) = 5
+    assert(got((100L, 100L)) == (27183L, 5L, 27183L * 5L * 8L))
+    // delta = 1e-9: depth = ceil(ln(1e9)) = ceil(20.723) = 21
+    assert(got((1000L, 1000000000L))._2 == 21L)
+    // monotonicity across the grid: tighter eps -> wider, smaller
+    // delta -> deeper
+    assert(got.keySet.size == 16)
+  }
 }

@@ -104,4 +104,25 @@ class StreamingTwinsSpec extends SparkSpec {
     val b = Sampling.domainMixturePlan(all, targets).orderBy("source")
     assert(a.collect().toSeq == b.collect().toSeq)
   }
+
+  test("q285 twin: digest cells converge to the batch builder at every trigger") {
+    val batches = Seq(
+      Seq(Tuple1("x"), Tuple1("x"), Tuple1("y")),
+      Seq(Tuple1("x"), Tuple1("z")),      // grows the x cluster to 3
+      Seq(Tuple1("y"), Tuple1("y")))      // grows y to 3
+    convergeByTrigger[Tuple1[String]](Seq("text"), batches,
+      "twin_dupinf",
+      df => graft.operators.Dedup.digestCells(df)) { (sink, seen) =>
+      val batch = graft.operators.Dedup.digestCells(
+        seen.map(_._1).toDF("text"))
+      assert(cellMap(sink) == cellMap(batch))
+    }
+    // final cells through the shared histogram readout == one-shot batch
+    val all = batches.flatten.map(_._1).toDF("text")
+    val viaCells = graft.operators.Dedup.dupInflationFromCells(
+      graft.operators.Dedup.digestCells(all)).orderBy("cluster_size")
+    val direct = graft.operators.Dedup.dupInflation(all)
+      .orderBy("cluster_size")
+    assert(viaCells.collect().toSeq == direct.collect().toSeq)
+  }
 }
