@@ -85,7 +85,10 @@ object Bench {
     "q269_kcenter_coreset", // farthest-point rounds, literal-center maps (NEW r12)
     "q271_textrank_keywords", // word-graph weighted PageRank (NEW r12)
     "q273_ndcg",           // graded ranking quality, ln-kernel terms (NEW r12)
-    "q274_silhouette")     // IVF cluster-quality readout, int8 map (NEW r12)
+    "q274_silhouette",     // IVF cluster-quality readout, int8 map (NEW r12)
+    "q282_domain_overlap", // token-keyed domain Jaccard matrix (NEW r13)
+    "q284_dup_inflation",  // digest-cells size histogram (NEW r13)
+    "q286_group_conformal") // per-group conformal coverage (NEW r13)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine
