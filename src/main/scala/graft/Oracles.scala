@@ -1737,6 +1737,21 @@ object Oracles {
       |      // t.t AS BIGINT) END AS pct_docs_q6
       |FROM h CROSS JOIN t ORDER BY cluster_size""".stripMargin
 
+  /** q287: `Dedup.domainDupReport` — per-source md5 multiplicity (the
+    * q20/q284 digest convention) collapsed to docs/distinct/redundant
+    * + widened Q6 dup rate.
+    */
+  def q287DomainDupRate: String =
+    """WITH c AS (SELECT source, md5(text) AS d, COUNT(*) AS n
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(n - 1) AS BIGINT) AS n_redundant,
+      |  CASE WHEN SUM(n) <> 0 THEN
+      |    CAST((CAST(SUM(n - 1) AS HUGEINT) * 1000000) // SUM(n)
+      |      AS BIGINT) END AS dup_rate_q6
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   /** q286: `Analytics.conformalCoverageByGroup` — q277's CTEs with
     * every stage keyed by l_returnflag (per-group n_cal/k/q̂, the
     * group-conditional Mondrian audit); groups need both splits.
@@ -4885,6 +4900,7 @@ object Oracles {
     // (the q272/q280 discipline — one cell builder, two engine paths)
     "q285_stream_dup_inflation" -> q284DupInflation,
     "q286_group_conformal" -> q286GroupConformal,
+    "q287_domain_dup_rate" -> q287DomainDupRate,
     "q264_l_diversity" -> q264LDiversity,
     "q265_domain_mixture" -> q265DomainMixture,
     "q266_heaps_growth" -> q266HeapsGrowth,

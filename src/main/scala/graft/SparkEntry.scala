@@ -3234,6 +3234,14 @@ object SparkEntry {
         pmod(col("l_orderkey"), lit(2)) === 0).orderBy("grp")
     }),
 
+    // ---- dedup tier: per-domain duplication report (NEW r13) ----
+    // WHERE the duplication lives — q284's histogram resolved by
+    // source: (n_docs, n_distinct, n_redundant, dup_rate_q6) per
+    // domain, the number that prices per-source dedup before q265's
+    // mixture plan trusts per-domain token counts.
+    "q287_domain_dup_rate" -> ((s, dir) =>
+      Dedup.domainDupReport(documents(s, dir)).orderBy("source")),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the

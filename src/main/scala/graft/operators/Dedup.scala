@@ -1507,4 +1507,31 @@ object Dedup {
   /** Batch composition: [[digestCells]] → [[dupInflationFromCells]]. */
   def dupInflation(docs: DataFrame, textCol: String = "text"): DataFrame =
     dupInflationFromCells(digestCells(docs, textCol))
+
+  /** Per-domain duplication report: for each source, total docs,
+    * distinct contents, redundant docs (n − distinct) and the exact Q6
+    * dup rate — WHERE the duplication lives, the domain-resolved
+    * companion to [[dupInflation]]'s corpus-wide shape (a crawler that
+    * re-fetched one site 50× shows up here, not there) and the number
+    * that prices per-source dedup before a mixture plan ([[graft
+    * .operators.Sampling.domainMixturePlan]]) trusts per-domain token
+    * counts.
+    *
+    * Scale shape: one (domain, digest) partial-agg'd groupBy (shuffle
+    * key = domain + 32-hex digest, never the body), one |domains|-row
+    * collapse. Output ≤ |domains| rows.
+    */
+  def domainDupReport(docs: DataFrame, domainCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(domainCol).as("source"), md5(col(textCol)).as("_d"))
+      .groupBy("source", "_d").agg(count(lit(1)).as("_n"))
+      .groupBy("source").agg(
+        sum("_n").as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("_n") - 1).as("n_redundant"))
+      .withColumn("dup_rate_q6", when(col("n_docs") =!= 0, expr(
+        "CAST((CAST(n_redundant AS DECIMAL(38,0)) * 1000000) DIV n_docs" +
+          " AS BIGINT)")))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        col("n_redundant"), col("dup_rate_q6"))
 }

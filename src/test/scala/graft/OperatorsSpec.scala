@@ -2750,6 +2750,20 @@ class OperatorsSpec extends SparkSpec {
     assert(viaCells == got)
   }
 
+  test("domainDupReport: per-source docs/distinct/redundant and exact Q6 dup rate") {
+    val docs = Seq(
+      ("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"), // a: 4 docs, 2 distinct
+      ("b", "p"), ("b", "q"))                          // b: clean
+      .toDF("source", "text")
+    val got = graft.operators.Dedup.domainDupReport(docs)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    // a: redundant 2, rate floor(2e6/4) = 500000; b: 0
+    assert(got == List(
+      ("a", 4L, 2L, 2L, 500000L),
+      ("b", 2L, 2L, 0L, 0L)))
+  }
+
   test("conformalCoverageByGroup: per-group quantiles; k>n group degrades to NULL q-hat / full coverage") {
     // group g: cal residuals 0,10,20,30 (n=4, k=ceil(5*0.9)=5 > 4 ->
     // NULL q-hat, coverage 1); group h: cal residuals 0..8 (n=9,
