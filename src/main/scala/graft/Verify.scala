@@ -27,6 +27,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
       builder.config("spark.sql.adaptive.enabled", v))
+    // the 2000-partition audit config needs headroom for memory-sink
+    // collects (720 tasks' serialized results > the 1g default on q82)
+    sys.env.get("SPARK_GRAFT_MAX_RESULT_SIZE").foreach(v =>
+      builder.config("spark.driver.maxResultSize", v))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

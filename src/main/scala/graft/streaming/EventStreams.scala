@@ -371,7 +371,12 @@ object EventStreams {
     // LOUD timeout: awaitTermination(ms) returns false when the query
     // is still running — the old code dropped the result and served a
     // possibly-empty memory table as if the stream had drained.
-    if (!q.awaitTermination(120000)) {
+    // drain budget env-overridable: the 2000-shuffle-partition
+    // invariance audit runs the same stream at ~100× the task count of
+    // the normal gate, where 120 s of wall is pure scheduling overhead
+    val drainMs = sys.env.get("SPARK_GRAFT_STREAM_DRAIN_MS")
+      .map(_.toLong).getOrElse(120000L)
+    if (!q.awaitTermination(drainMs)) {
       q.stop()
       throw new IllegalStateException(
         s"stream '$sinkName' did not drain within 120s (source $parquetPath)")
