@@ -1752,6 +1752,41 @@ object Oracles {
       |      AS BIGINT) END AS dup_rate_q6
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  /** q288: `TextAnalysis.langMixBySource` — q23's marker-hit CASE
+    * ladder, crosstabbed by source with widened Q6 shares.
+    */
+  def q288LangMix: String =
+    """WITH w AS (
+      |  SELECT doc_id, w FROM documents,
+      |    unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+')) AS t(w)
+      |  WHERE w <> ''),
+      |h AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN w IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit') THEN 1 ELSE 0 END) AS h_de,
+      |    SUM(CASE WHEN w IN ('the','and','of','to','in','is','that','it','was','for') THEN 1 ELSE 0 END) AS h_en,
+      |    SUM(CASE WHEN w IN ('el','la','los','las','y','es','un','una','que','por') THEN 1 ELSE 0 END) AS h_es,
+      |    SUM(CASE WHEN w IN ('le','la','les','et','est','une','un','que','pour','dans') THEN 1 ELSE 0 END) AS h_fr,
+      |    SUM(CASE WHEN w IN ('il','la','di','e','che','un','una','per','non','sono') THEN 1 ELSE 0 END) AS h_it,
+      |    SUM(CASE WHEN w IN ('de','het','een','en','van','is','dat','niet','met','op') THEN 1 ELSE 0 END) AS h_nl
+      |  FROM w GROUP BY doc_id),
+      |p AS (SELECT d.source,
+      |  CASE
+      |    WHEN h.doc_id IS NULL OR GREATEST(h_de,h_en,h_es,h_fr,h_it,h_nl) = 0 THEN 'und'
+      |    WHEN h_de >= GREATEST(h_en,h_es,h_fr,h_it,h_nl) THEN 'de'
+      |    WHEN h_en >= GREATEST(h_es,h_fr,h_it,h_nl) THEN 'en'
+      |    WHEN h_es >= GREATEST(h_fr,h_it,h_nl) THEN 'es'
+      |    WHEN h_fr >= GREATEST(h_it,h_nl) THEN 'fr'
+      |    WHEN h_it >= h_nl THEN 'it'
+      |    ELSE 'nl' END AS lang_pred
+      |  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id),
+      |c AS (SELECT source, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+      |t AS (SELECT source, SUM(n) AS tn FROM c GROUP BY 1)
+      |SELECT c.source, c.lang_pred, CAST(c.n AS BIGINT) AS n,
+      |  CAST((CAST(c.n AS HUGEINT) * 1000000) // t.tn AS BIGINT)
+      |    AS share_q6
+      |FROM c JOIN t USING (source)
+      |ORDER BY source, lang_pred""".stripMargin
+
   /** q286: `Analytics.conformalCoverageByGroup` — q277's CTEs with
     * every stage keyed by l_returnflag (per-group n_cal/k/q̂, the
     * group-conditional Mondrian audit); groups need both splits.
@@ -4901,6 +4936,7 @@ object Oracles {
     "q285_stream_dup_inflation" -> q284DupInflation,
     "q286_group_conformal" -> q286GroupConformal,
     "q287_domain_dup_rate" -> q287DomainDupRate,
+    "q288_lang_mix" -> q288LangMix,
     "q264_l_diversity" -> q264LDiversity,
     "q265_domain_mixture" -> q265DomainMixture,
     "q266_heaps_growth" -> q266HeapsGrowth,

@@ -3242,6 +3242,14 @@ object SparkEntry {
     "q287_domain_dup_rate" -> ((s, dir) =>
       Dedup.domainDupReport(documents(s, dir)).orderBy("source")),
 
+    // ---- curation tier: per-domain language mix (NEW r13) ----
+    // q23's langId heuristic crosstabbed by source with exact Q6
+    // shares — language targets can't be planned from domain targets
+    // alone, and a 40%-und domain is an OCR/boilerplate flag.
+    "q288_lang_mix" -> ((s, dir) =>
+      TextAnalysis.langMixBySource(documents(s, dir))
+        .orderBy("source", "lang_pred")),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the

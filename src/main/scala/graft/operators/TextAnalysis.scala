@@ -1391,4 +1391,29 @@ object TextAnalysis {
       .select(col("_g").as("domain_a"), col("_g2").as("domain_b"),
         col("_i").as("n_common"), col("n_union"), col("jaccard_q6"))
   }
+
+  /** Per-domain language mix: the [[langId]] marker heuristic
+    * crosstabbed by source — (source, lang_pred, n, share_q6), the
+    * table a multilingual-mixture curator reads next to
+    * [[graft.operators.Sampling.domainMixturePlan]] (a "web" domain
+    * that is 40% undetermined is an OCR/boilerplate flag, and language
+    * targets can't be planned from domain targets alone). Exact
+    * integers; the share is one widened Q6 floor division per cell.
+    *
+    * Scale shape: one scan scoring langId map-side, one partial-agg'd
+    * groupBy to ≤|domains|·|langs+1| cells, per-domain totals joined
+    * back from the broadcast |domains|-row collapse.
+    */
+  def langMixBySource(docs: DataFrame, domainCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val cells = docs
+      .select(col(domainCol).as("source"),
+        langId(col(textCol)).as("lang_pred"))
+      .groupBy("source", "lang_pred").agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy("source").agg(sum("n").as("_t"))
+    cells.join(broadcast(tot), Seq("source"))
+      .withColumn("share_q6", expr(
+        "CAST((CAST(n AS DECIMAL(38,0)) * 1000000) DIV _t AS BIGINT)"))
+      .select(col("source"), col("lang_pred"), col("n"), col("share_q6"))
+  }
 }

@@ -2764,6 +2764,23 @@ class OperatorsSpec extends SparkSpec {
       ("b", 2L, 2L, 0L, 0L)))
   }
 
+  test("langMixBySource: crosstab counts and exact Q6 shares per domain") {
+    val docs = Seq(
+      ("a", "the cat and the dog"),        // en
+      ("a", "der hund ist nicht da"),      // de
+      ("a", "zzz qqq"),                    // und
+      ("b", "the quick fox was here"))     // en
+      .toDF("source", "text")
+    val got = graft.operators.TextAnalysis.langMixBySource(docs)
+      .orderBy("source", "lang_pred")
+      .as[(String, String, Long, Long)].collect().toList
+    assert(got == List(
+      ("a", "de", 1L, 333333L),
+      ("a", "en", 1L, 333333L),
+      ("a", "und", 1L, 333333L),
+      ("b", "en", 1L, 1000000L)))
+  }
+
   test("conformalCoverageByGroup: per-group quantiles; k>n group degrades to NULL q-hat / full coverage") {
     // group g: cal residuals 0,10,20,30 (n=4, k=ceil(5*0.9)=5 > 4 ->
     // NULL q-hat, coverage 1); group h: cal residuals 0..8 (n=9,
