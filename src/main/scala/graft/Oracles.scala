@@ -1787,6 +1787,30 @@ object Oracles {
       |FROM c JOIN t USING (source)
       |ORDER BY source, lang_pred""".stripMargin
 
+  /** q289: `Sampling.temperatureMixturePlan` — per-domain token sums,
+    * w = floor(√toks) via the shared Newton isqrt CTE, widened Q6 raw
+    * and tempered shares.
+    */
+  def q289TemperatureMixture: String =
+    """WITH RECURSIVE cells AS (SELECT source,
+      |    CAST(SUM(n_chars) AS BIGINT) AS toks
+      |  FROM documents GROUP BY 1),
+      |_sa AS (SELECT source AS id, CAST(toks AS HUGEINT) AS a
+      |  FROM cells),
+      |""".stripMargin + graft.functions.FixedMath.isqrtCteSql + """,
+      |w AS (SELECT c.source, c.toks, CAST(i.r AS BIGINT) AS w
+      |  FROM cells c JOIN _isq i ON i.id = c.source),
+      |t AS (SELECT SUM(toks) AS tt, SUM(w) AS tw FROM w)
+      |SELECT w.source, w.toks,
+      |  CASE WHEN t.tt <> 0 THEN
+      |    CAST((CAST(w.toks AS HUGEINT) * 1000000) // t.tt AS BIGINT)
+      |  END AS raw_share_q6,
+      |  w.w AS w_sqrt,
+      |  CASE WHEN t.tw <> 0 THEN
+      |    CAST((CAST(w.w AS HUGEINT) * 1000000) // t.tw AS BIGINT)
+      |  END AS temp_share_q6
+      |FROM w CROSS JOIN t ORDER BY source""".stripMargin
+
   /** q286: `Analytics.conformalCoverageByGroup` — q277's CTEs with
     * every stage keyed by l_returnflag (per-group n_cal/k/q̂, the
     * group-conditional Mondrian audit); groups need both splits.
@@ -4937,6 +4961,7 @@ object Oracles {
     "q286_group_conformal" -> q286GroupConformal,
     "q287_domain_dup_rate" -> q287DomainDupRate,
     "q288_lang_mix" -> q288LangMix,
+    "q289_temperature_mixture" -> q289TemperatureMixture,
     "q264_l_diversity" -> q264LDiversity,
     "q265_domain_mixture" -> q265DomainMixture,
     "q266_heaps_growth" -> q266HeapsGrowth,

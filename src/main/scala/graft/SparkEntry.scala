@@ -3250,6 +3250,15 @@ object SparkEntry {
       TextAnalysis.langMixBySource(documents(s, dir))
         .orderBy("source", "lang_pred")),
 
+    // ---- curation tier: temperature-scaled mixture (NEW r13) ----
+    // The mT5/XLM-R alpha-sampling standard at alpha = 1/2, exactly:
+    // w = floor(sqrt(toks)) via the shared isqrt kernel (Newton-CTE
+    // replayable), raw vs tempered Q6 shares side by side — the
+    // flattening a curator signs off on before q265's plan runs.
+    "q289_temperature_mixture" -> ((s, dir) =>
+      Sampling.temperatureMixturePlan(documents(s, dir))
+        .orderBy("source")),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the

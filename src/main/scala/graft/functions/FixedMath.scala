@@ -98,6 +98,16 @@ object FixedMath {
     * boundary asserted in FixedMathSpec; the q194 oracle carries a
     * loud guard); the engine side is arbitrary precision.
     */
+  /** floor(√k) for k ≥ 0 — the standalone integer square root
+    * ([[wilsonLbQ9]]'s inner step): BigInteger.sqrt here, the Newton
+    * CTE of [[isqrtCteSql]] oracle-side; exact on both by definition
+    * of the floor root.
+    */
+  def isqrt(k: Long): Long = {
+    require(k >= 0L, s"isqrt domain is k >= 0, got $k")
+    BigInteger.valueOf(k).sqrt().longValueExact()
+  }
+
   def wilsonLbQ9(trials: Long, conversions: Long): Long = {
     require(trials >= 0 && conversions >= 0 && conversions <= trials,
       s"wilsonLbQ9 needs 0 <= conversions <= trials, got ($trials, $conversions)")

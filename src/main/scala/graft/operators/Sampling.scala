@@ -194,4 +194,35 @@ object Sampling {
           expr(s"(CAST(kept_toks AS $dec) * 1000) DIV _kt").cast("long"))
           .as("achieved_pm"))
   }
+
+  /** Temperature-scaled (α = 1/2) mixture weights — the multilingual /
+    * multi-domain sampling standard (mT5, XLM-R: qᵢ ∝ pᵢ^α flattens
+    * the head so low-resource domains are not starved) computed
+    * EXACTLY: w = ⌊√toks⌋ through the shared floor-isqrt kernel
+    * (x^(1/2) is the one fractional power integers can take exactly;
+    * the Newton CTE replays it in DuckDB bit-for-bit), shares one
+    * widened Q6 floor division each. Per domain: (source, toks,
+    * raw_share_q6, w_sqrt, temp_share_q6) — raw vs tempered side by
+    * side is the flattening a curator signs off on.
+    *
+    * Scale shape: [[domainTokenCells]]'s |domains|-row collapse, a
+    * broadcast 2-number total, arithmetic on the |domains|-row table.
+    */
+  def temperatureMixturePlan(docs: DataFrame,
+      domainCol: String = "source", tokenCol: String = "n_chars")
+      : DataFrame = {
+    val dec = "DECIMAL(38,0)"
+    val w = domainTokenCells(docs, domainCol, tokenCol)
+      .withColumn("w_sqrt",
+        graft.plans.GraftExtensions.isqrtNative(col("toks")))
+    val tot = w.agg(coalesce(sum("toks"), lit(0L)).as("_t"),
+      coalesce(sum("w_sqrt"), lit(0L)).as("_tw"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("raw_share_q6", when(col("_t") =!= 0, expr(
+        s"CAST((CAST(toks AS $dec) * 1000000) DIV _t AS BIGINT)")))
+      .withColumn("temp_share_q6", when(col("_tw") =!= 0, expr(
+        s"CAST((CAST(w_sqrt AS $dec) * 1000000) DIV _tw AS BIGINT)")))
+      .select(col("_g").as(domainCol), col("toks"), col("raw_share_q6"),
+        col("w_sqrt"), col("temp_share_q6"))
+  }
 }

@@ -37,6 +37,34 @@ case class FixedPointLn(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_ln_q12"
 }
 
+/** Native floor-isqrt of a non-negative BIGINT — the standalone form
+  * of the integer square root inside [[WilsonLowerBoundQ9]], exposed
+  * for fractional-power fixed-point arithmetic (x^(1/2) exactly; the
+  * temperature-mixture α = 1/2 path). Replayed oracle-side by
+  * [[graft.functions.FixedMath.isqrtCteSql]]'s Newton CTE — both
+  * engines agree bit-for-bit.
+  */
+case class FixedPointIsqrt(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_isqrt requires a BIGINT argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(k: Any): Any =
+    graft.functions.FixedMath.isqrt(k.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, k => s"graft.functions.FixedMath.isqrt($k)")
+
+  override protected def withNewChildInternal(newChild: Expression): FixedPointIsqrt =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_isqrt"
+}
+
 /** Native Catalyst expression for
   * [[graft.functions.FixedMath.wilsonLbQ9]]: the Wilson-score lower
   * bound from exact (trials, conversions) longs as a 10⁻⁹ fixed-point

@@ -216,6 +216,15 @@ object GraftExtensions {
       ColumnShim.expression(trials), ColumnShim.expression(conversions)))
   }
 
+  /** Registration-free floor-isqrt of a non-negative BIGINT (see
+    * [[cosineNative]]) — x^(1/2) exactly, the fractional-power step of
+    * temperature-scaled mixture weights; Newton-CTE-replayable.
+    */
+  def isqrtNative(k: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(FixedPointIsqrt(ColumnShim.expression(k)))
+  }
+
   /** Registration-free k-char shingle digests (see [[cosineNative]]):
     * sorted distinct FNV-1a window digests with zero substring
     * allocation — the set-similarity build kernel. Pass lowered text.

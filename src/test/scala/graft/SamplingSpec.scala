@@ -141,4 +141,21 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.domainMixturePlan(withC,
       Seq("A" -> 250L, "B" -> 750L)).count() == 2L)
   }
+
+  test("temperatureMixturePlan: alpha=1/2 flattens exactly (floor-isqrt weights, Q6 shares)") {
+    // A: 100 toks (w=10), B: 900 toks (w=30). Raw 10%/90% flattens to
+    // 25%/75% — the sqrt-temper head-flattening, all exact integers.
+    val docs = Seq(("A", 100L), ("B", 900L))
+      .toDF("source", "n_chars")
+    val got = Sampling.temperatureMixturePlan(docs).orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      ("A", 100L, 100000L, 10L, 250000L),
+      ("B", 900L, 900000L, 30L, 750000L)))
+    // non-square counts floor: w = isqrt(10) = 3
+    val odd = Seq(("C", 10L)).toDF("source", "n_chars")
+    val c = Sampling.temperatureMixturePlan(odd)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(c == (("C", 10L, 1000000L, 3L, 1000000L)))
+  }
 }
