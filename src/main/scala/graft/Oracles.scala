@@ -5075,6 +5075,9 @@ object Oracles {
     "q260_zipf_profile" -> q260ZipfProfile,
     "q261_matryoshka" -> q261Matryoshka,
     "q262_k_anonymity" -> q262KAnonymity,
+    // q290 = q262's cells through the streaming state store (the
+    // q272/q280/q285 discipline — one cell builder, two engine paths)
+    "q290_stream_kanon" -> q262KAnonymity,
     "q263_zone_map" -> q263ZoneMap,
     "q134_pivot_events" -> q134PivotEvents,
     "q135_unpivot_events" -> q135UnpivotEvents,

@@ -3259,6 +3259,20 @@ object SparkEntry {
       Sampling.temperatureMixturePlan(documents(s, dir))
         .orderBy("source")),
 
+    // ---- streaming tier: k-anonymity cells via state store (NEW r13) ----
+    // q262's quasi-class size cells built by the streaming engine (the
+    // q272/q280/q285 discipline) — the live release-safety monitor a
+    // continuously-updated projection needs; shared 1-row readout,
+    // oracle = q262's SQL verbatim.
+    "q290_stream_kanon" -> ((s, dir) => {
+      val cells = EventStreams.runOnceOnParquet(s,
+        s"$dir/customer.parquet",
+        df => Validation.kAnonymityCells(df,
+          Seq("c_nationkey", "c_mktsegment")),
+        s"kanon_sink_${System.nanoTime()}")
+      Validation.kAnonymityFromCells(cells, k = 10)
+    }),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the

@@ -270,15 +270,27 @@ object Validation {
     * then a 1-row readout agg — nothing per-row downstream.
     */
   def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
-      k: Int = 10): DataFrame = {
+      k: Int = 10): DataFrame =
+    kAnonymityFromCells(kAnonymityCells(df, quasiCols), k)
+
+  /** The per-quasi-class size cells behind [[kAnonymityAudit]] —
+    * exposed separately (the calibrationCells discipline) so the
+    * streaming engine can build them through the state store and
+    * share the batch readout + oracle. One row per equivalence class:
+    * (quasi cols…, _n).
+    */
+  def kAnonymityCells(df: DataFrame, quasiCols: Seq[String]): DataFrame = {
     require(quasiCols.nonEmpty, "kAnonymityAudit needs quasi-id columns")
-    val g = df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("_n"))
+    df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("_n"))
+  }
+
+  /** 1-row readout over [[kAnonymityCells]] output. */
+  def kAnonymityFromCells(g: DataFrame, k: Int = 10): DataFrame =
     g.agg(sum("_n").as("n_rows"), count(lit(1)).as("n_groups"),
         min("_n").as("min_group_size"),
         sum(when(col("_n") < k, col("_n")).otherwise(0L)).as("n_violating"))
       .withColumn("viol_rate_q9", when(col("n_rows") =!= 0,
         expr("(CAST(n_violating AS DECIMAL(38,0)) * 1000000000) DIV n_rows")))
-  }
 
   /** l-diversity audit — [[kAnonymityAudit]]'s stronger sibling: a
     * quasi-id class with many rows is still exposed if they all share

@@ -125,4 +125,30 @@ class StreamingTwinsSpec extends SparkSpec {
       .orderBy("cluster_size")
     assert(viaCells.collect().toSeq == direct.collect().toSeq)
   }
+
+  test("q290 twin: k-anonymity cells converge to the batch builder at every trigger") {
+    val batches = Seq(
+      Seq((1L, "A"), (2L, "A"), (1L, "B")),
+      Seq((1L, "A"), (3L, "C")),           // grows (1,A) to 2
+      Seq((2L, "A"), (1L, "B")))           // grows (2,A) and (1,B)
+    convergeByTrigger[(Long, String)](Seq("nat", "seg"), batches,
+      "twin_kanon",
+      df => graft.operators.Validation.kAnonymityCells(df,
+        Seq("nat", "seg"))) { (sink, seen) =>
+      val batch = graft.operators.Validation.kAnonymityCells(
+        seen.toDF("nat", "seg"), Seq("nat", "seg"))
+      val key = (d: org.apache.spark.sql.DataFrame) =>
+        d.collect().toSeq.map(r => (r.getLong(0), r.getString(1)) ->
+          r.getLong(2)).toMap
+      assert(key(sink) == key(batch))
+    }
+    // final cells through the shared 1-row readout == one-shot batch
+    val all = batches.flatten.toDF("nat", "seg")
+    val viaCells = graft.operators.Validation.kAnonymityFromCells(
+      graft.operators.Validation.kAnonymityCells(all, Seq("nat", "seg")),
+      k = 2).collect().toSeq
+    val direct = graft.operators.Validation.kAnonymityAudit(
+      all, Seq("nat", "seg"), k = 2).collect().toSeq
+    assert(viaCells == direct)
+  }
 }
