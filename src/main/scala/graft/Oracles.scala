@@ -1811,6 +1811,62 @@ object Oracles {
       |  END AS temp_share_q6
       |FROM w CROSS JOIN t ORDER BY source""".stripMargin
 
+  /** q291: `Similarity.annRecallAtK(bruteForceTopK, ivfTopKInt8)` —
+    * q57's full unrolled integer-Lloyd IVF replay and q37's exact
+    * float-cosine brute force composed in one statement (brute CTEs
+    * renamed b*), hit join on (query, neighbor), Q6 per-query and
+    * macro recall.
+    */
+  def q291AnnRecall: String = {
+    val nCells = 16; val nProbe = 4; val iters = 2; val k = 5
+    s"""WITH
+       |${cellAsgnCtes(nCells, iters)},
+       |  probe AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |      FROM d$iters WHERE vec_id < 20) WHERE rn <= $nProbe),
+       |  cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
+       |           FROM probe p JOIN asgn$iters a
+       |           ON p.cell = a.cell AND a.vec_id <> p.query_id),
+       |  iscored AS (SELECT c.query_id, c.neighbor_id,
+       |      sum(a.v * b.v)::BIGINT AS dot,
+       |      sum(a.v * a.v)::BIGINT AS na, sum(b.v * b.v)::BIGINT AS nb
+       |    FROM cand c
+       |    JOIN vpos a ON a.vec_id = c.query_id
+       |    JOIN vpos b ON b.vec_id = c.neighbor_id AND b.pos = a.pos
+       |    GROUP BY 1, 2),
+       |  iranked AS (SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY
+       |        (CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |              ELSE dot::DOUBLE / sqrt((na * nb)::DOUBLE) END) DESC,
+       |        neighbor_id)::INT AS rank
+       |    FROM iscored),
+       |  ivf AS (SELECT query_id, neighbor_id FROM iranked
+       |    WHERE rank <= $k),
+       |  bq AS (SELECT vec_id AS query_id, embedding AS qe
+       |    FROM embeddings WHERE vec_id < 20),
+       |  bscored AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |      ${cosExpr("qe", "c.embedding")} AS cosine
+       |    FROM bq CROSS JOIN embeddings c WHERE c.vec_id <> bq.query_id),
+       |  branked AS (SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id)::INT AS rank
+       |    FROM bscored),
+       |  truth AS (SELECT query_id, neighbor_id FROM branked
+       |    WHERE rank <= $k),
+       |  h AS (SELECT t.query_id, COUNT(i.neighbor_id) AS n_hits
+       |    FROM truth t LEFT JOIN ivf i ON i.query_id = t.query_id
+       |      AND i.neighbor_id = t.neighbor_id
+       |    GROUP BY 1),
+       |  o AS (SELECT SUM(n_hits) AS th, COUNT(*) AS nq FROM h)
+       |SELECT h.query_id, CAST(h.n_hits AS BIGINT) AS n_hits,
+       |  CAST((CAST(h.n_hits AS HUGEINT) * 1000000) // $k AS BIGINT)
+       |    AS recall_q6,
+       |  CASE WHEN o.nq <> 0 THEN
+       |    CAST((CAST(o.th AS HUGEINT) * 1000000) // (o.nq * $k)
+       |      AS BIGINT) END AS macro_recall_q6
+       |FROM h CROSS JOIN o ORDER BY query_id""".stripMargin
+  }
+
   /** q286: `Analytics.conformalCoverageByGroup` — q277's CTEs with
     * every stage keyed by l_returnflag (per-group n_cal/k/q̂, the
     * group-conditional Mondrian audit); groups need both splits.
@@ -4962,6 +5018,7 @@ object Oracles {
     "q287_domain_dup_rate" -> q287DomainDupRate,
     "q288_lang_mix" -> q288LangMix,
     "q289_temperature_mixture" -> q289TemperatureMixture,
+    "q291_ann_recall" -> q291AnnRecall,
     "q264_l_diversity" -> q264LDiversity,
     "q265_domain_mixture" -> q265DomainMixture,
     "q266_heaps_growth" -> q266HeapsGrowth,

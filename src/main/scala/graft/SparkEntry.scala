@@ -3273,6 +3273,21 @@ object SparkEntry {
       Validation.kAnonymityFromCells(cells, k = 10)
     }),
 
+    // ---- embedding tier: ANN recall audit (NEW r13) ----
+    // q57's IVF (nProbe=4 of 16 cells) graded against q37's exact
+    // brute-force truth on the sampled query set — THE ANN quality
+    // gate: per-query hits + Q6 recall, macro recall as the summary
+    // column. Both sides replay exactly in DuckDB, so the oracle is
+    // the composed CTEs of both.
+    "q291_ann_recall" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < 20)
+      val truth = Similarity.bruteForceTopK(e, qs, k = 5)
+      val approx = Similarity.ivfTopKInt8(e, qs, k = 5,
+        nCells = 16, nProbe = 4, iters = 2)
+      Similarity.annRecallAtK(truth, approx, k = 5).orderBy("query_id")
+    }),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the

@@ -1000,4 +1000,40 @@ object Similarity extends Serializable {
     }
     out.toDF("query_id", "rank", "vec_id", "relevance", "mmr_score")
   }
+
+  /** Recall@k of an approximate neighbor table against an exact truth
+    * table — THE ANN quality gate (what an IVF/PQ/LSH parameter choice
+    * is graded on before it serves traffic): per query the hit count
+    * and Q6 recall, plus the macro recall repeated as a summary column
+    * (the ece_q9 convention). Both inputs are (query_id, neighbor_id)
+    * top-k tables from any of the family's operators; the standard
+    * protocol is exact truth over a SAMPLED query set — brute force
+    * for 10³ queries is cheap even at corpus scale, and that is
+    * exactly what this measures.
+    *
+    * Scale shape: one (query_id, neighbor_id)-keyed left join of two
+    * |Q|·k-row tables, one |Q|-row groupBy, a broadcast 2-number
+    * total. The expensive parts are the input builds, not this.
+    */
+  def annRecallAtK(truth: DataFrame, approx: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, "annRecallAtK needs k >= 1")
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("_hit", lit(1L))
+    val h = truth.select(col("query_id"), col("neighbor_id"))
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+    val o = h.agg(coalesce(sum("n_hits"), lit(0L)).as("_th"),
+      count(lit(1)).as("_nq"))
+    h.crossJoin(broadcast(o))
+      .withColumn("recall_q6", expr(
+        s"CAST((CAST(n_hits AS DECIMAL(38,0)) * 1000000) DIV $k" +
+          " AS BIGINT)"))
+      .withColumn("macro_recall_q6", when(col("_nq") =!= 0, expr(
+        s"CAST((CAST(_th AS DECIMAL(38,0)) * 1000000) DIV (_nq * $k)" +
+          " AS BIGINT)")))
+      .select(col("query_id"), col("n_hits"), col("recall_q6"),
+        col("macro_recall_q6"))
+  }
 }

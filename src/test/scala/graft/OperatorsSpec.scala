@@ -2764,6 +2764,20 @@ class OperatorsSpec extends SparkSpec {
       ("b", 2L, 2L, 0L, 0L)))
   }
 
+  test("annRecallAtK: hit counting, per-query and macro recall on a hand fixture") {
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    // q1 gets 1 of 2 right; q2 gets both (extra non-truth rows ignored)
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val got = graft.operators.Similarity.annRecallAtK(truth, approx, k = 2)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 1L, 500000L, 750000L),
+      (2L, 2L, 1000000L, 750000L)))
+  }
+
   test("langMixBySource: crosstab counts and exact Q6 shares per domain") {
     val docs = Seq(
       ("a", "the cat and the dog"),        // en
