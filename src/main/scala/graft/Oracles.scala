@@ -2161,6 +2161,40 @@ object Oracles {
       |  CAST((CAST(n AS HUGEINT) * 1000000000) // tot AS BIGINT) AS prob_q9
       |FROM r WHERE rk <= 3 ORDER BY src, rank""".stripMargin
 
+  /** q292: `Analytics.transitionStationary` — q253's LEAD-pair cells,
+    * row-stochastic Q9 matrix, 8 unrolled power-iteration rounds from
+    * the uniform Q12 start with term-wise floors (the PageRank unroll
+    * discipline applied to the behavioral chain).
+    */
+  def q292Stationary: String = {
+    val rounds = 8
+    val iter = (1 to rounds).map { r =>
+      s"""m$r AS (SELECT pm.dst AS s,
+         |    SUM((CAST(pk.pi AS HUGEINT) * pm.pq) // 1000000000) AS pi
+         |  FROM pm JOIN pi${r - 1} pk ON pk.s = pm.src GROUP BY 1),
+         |pi$r AS (SELECT st.s, COALESCE(m.pi, 0) AS pi
+         |  FROM st LEFT JOIN m$r m ON m.s = st.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT event_type AS src, LEAD(event_type) OVER (
+       |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst
+       |  FROM events),
+       |c AS (SELECT src, dst, COUNT(*) AS n FROM p
+       |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |pm AS (SELECT src, dst,
+       |    CAST((CAST(n AS HUGEINT) * 1000000000) //
+       |      SUM(n) OVER (PARTITION BY src) AS BIGINT) AS pq
+       |  FROM c),
+       |st AS (SELECT DISTINCT src AS s FROM c
+       |  UNION SELECT DISTINCT dst FROM c),
+       |ns AS (SELECT COUNT(*) AS n FROM st),
+       |pi0 AS (SELECT st.s, 1000000000000 // ns.n AS pi
+       |  FROM st CROSS JOIN ns),
+       |$iter
+       |SELECT s AS state, CAST(pi AS BIGINT) AS pi_q12 FROM pi$rounds
+       |ORDER BY state""".stripMargin
+  }
+
   /** q254: `Analytics.aucByGroup` — q250's rank-sum kernel partitioned
     * by order priority.
     */
@@ -5019,6 +5053,7 @@ object Oracles {
     "q288_lang_mix" -> q288LangMix,
     "q289_temperature_mixture" -> q289TemperatureMixture,
     "q291_ann_recall" -> q291AnnRecall,
+    "q292_stationary" -> q292Stationary,
     "q264_l_diversity" -> q264LDiversity,
     "q265_domain_mixture" -> q265DomainMixture,
     "q266_heaps_growth" -> q266HeapsGrowth,

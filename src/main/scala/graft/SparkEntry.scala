@@ -3288,6 +3288,14 @@ object SparkEntry {
       Similarity.annRecallAtK(truth, approx, k = 5).orderBy("query_id")
     }),
 
+    // ---- analytics tier: Markov stationary distribution (NEW r13) ----
+    // q253's transition matrix power-iterated 8 rounds from uniform —
+    // "long-run where do users sit", all exact integers (Q9 matrix,
+    // Q12 mass, term-wise floors; oracle unrolls the rounds).
+    "q292_stationary" -> ((s, dir) =>
+      Analytics.transitionStationary(events(s, dir), rounds = 8)
+        .orderBy("state")),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the

@@ -1406,15 +1406,78 @@ object Analytics {
     */
   def transitionTopK(events: DataFrame, keyCol: String = "user_id",
       tsCol: String = "ts", typeCol: String = "event_type",
-      ordCol: String = "event_id", k: Int = 3): DataFrame = {
+      ordCol: String = "event_id", k: Int = 3): DataFrame =
+    transitionFromCells(
+      transitionPairCells(events, keyCol, tsCol, typeCol, ordCol), k)
+
+  /** The (src, dst, n) LEAD-pair cells behind [[transitionTopK]] —
+    * exposed separately so [[transitionStationary]] (and any other
+    * matrix readout) shares one pair builder with the top-k table and
+    * the streaming twin's consumer.
+    */
+  def transitionPairCells(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      ordCol: String = "event_id"): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col("_us"), col(ordCol))
-    val pairs = events
+    events
       .withColumn("_us", unix_micros(col(tsCol)))
       .withColumn("_nxt", lead(col(typeCol), 1).over(w))
       .filter(col("_nxt").isNotNull)
       .groupBy(col(typeCol).as("src"), col("_nxt").as("dst"))
       .agg(count(lit(1)).as("n"))
-    transitionFromCells(pairs, k)
+  }
+
+  /** Stationary distribution of the [[transitionPairCells]] Markov
+    * chain — `rounds` synchronous power-iteration steps from the
+    * uniform start, all in exact integers: row-stochastic P in Q9
+    * (n·10⁹ DIV row total), mass π in Q12, each step
+    * π′(d) = Σ_s ⌊π(s)·P(s,d)/10⁹⌋ — term-wise floors, so any engine
+    * walks identical integers and the oracle unrolls the rounds as
+    * CTEs (the PageRank discipline applied to the behavioral chain).
+    * The "long-run where do users sit" readout the top-k table can't
+    * give. States with no outgoing pairs absorb nothing and leak their
+    * mass (no self-loop is invented) — total Σπ is reported implicitly
+    * by the rows, so the leak is visible, not hidden.
+    *
+    * Scale shape: cells are ≤|types|² rows; every join/agg here runs
+    * on that collapsed table (the per-src total window is partitioned
+    * by src). The one corpus pass is the LEAD pair build.
+    */
+  def transitionStationary(events: DataFrame, rounds: Int = 8,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", ordCol: String = "event_id")
+      : DataFrame =
+    stationaryFromCells(
+      transitionPairCells(events, keyCol, tsCol, typeCol, ordCol), rounds)
+
+  /** Power-iteration readout over (src, dst, n) cells — see
+    * [[transitionStationary]]. */
+  def stationaryFromCells(cells: DataFrame, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, "stationaryFromCells needs rounds >= 1")
+    val wtot = Window.partitionBy("src")
+    val p = Dedup.materialize(cells
+      .withColumn("_tot", sum("n").over(wtot))
+      .withColumn("pq", expr(
+        "CAST((CAST(n AS DECIMAL(38,0)) * 1000000000) DIV _tot" +
+          " AS BIGINT)"))
+      .select("src", "dst", "pq"))
+    val states = Dedup.materialize(
+      cells.select(col("src").as("s"))
+        .union(cells.select(col("dst"))).distinct())
+    val ns = states.count()
+    require(ns > 0, "stationaryFromCells needs a non-empty chain")
+    var pi = states.withColumn("pi", lit(1000000000000L / ns))
+    for (_ <- 1 to rounds) {
+      val m = p
+        .join(pi.withColumnRenamed("s", "src"), Seq("src"))
+        .select(col("dst").as("s"), expr(
+          "CAST((CAST(pi AS DECIMAL(38,0)) * pq) DIV 1000000000" +
+            " AS BIGINT)").as("_c"))
+        .groupBy("s").agg(sum("_c").as("_pi"))
+      pi = Dedup.materialize(states.join(m, Seq("s"), "left")
+        .select(col("s"), coalesce(col("_pi"), lit(0L)).as("pi")))
+    }
+    pi.select(col("s").as("state"), col("pi").as("pi_q12"))
   }
 
   /** Top-k + probability readout over (src, dst, n) transition cells —

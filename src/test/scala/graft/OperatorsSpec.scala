@@ -2764,6 +2764,22 @@ class OperatorsSpec extends SparkSpec {
       ("b", 2L, 2L, 0L, 0L)))
   }
 
+  test("stationaryFromCells: equals a driver-side integer replay; self-heavy state holds more mass") {
+    val cells = Seq(("A", "A", 3L), ("A", "B", 1L),
+      ("B", "A", 1L), ("B", "B", 1L)).toDF("src", "dst", "n")
+    val got = graft.operators.Analytics.stationaryFromCells(cells,
+      rounds = 8).orderBy("state").as[(String, Long)].collect().toList
+    // independent replay of the exact floor arithmetic on the driver
+    val p = Map(("A", "A") -> 750000000L, ("A", "B") -> 250000000L,
+      ("B", "A") -> 500000000L, ("B", "B") -> 500000000L)
+    var pi = Map("A" -> 500000000000L, "B" -> 500000000000L)
+    for (_ <- 1 to 8)
+      pi = Seq("A", "B").map(d => d -> Seq("A", "B").map(s =>
+        BigInt(pi(s)) * p((s, d)) / 1000000000L).sum.toLong).toMap
+    assert(got == pi.toList.sortBy(_._1))
+    assert(got.head._2 > got(1)._2, "self-heavy A should hold more mass")
+  }
+
   test("annRecallAtK: hit counting, per-query and macro recall on a hand fixture") {
     val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
       .toDF("query_id", "neighbor_id")
