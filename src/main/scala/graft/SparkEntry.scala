@@ -3296,6 +3296,17 @@ object SparkEntry {
       Analytics.transitionStationary(events(s, dir), rounds = 8)
         .orderBy("state")),
 
+    // ---- validation tier: PSI drift per cohort (NEW r13) ----
+    // q202's smoothed integer-log PSI keyed by user cohort (user_id%4)
+    // — the drift dashboard: a stable marginal can hide one cohort
+    // drifting hard against another drifting back.
+    "q293_psi_by_cohort" -> ((s, dir) =>
+      Analytics.psiByGroup(events(s, dir),
+          pmod(col("user_id"), lit(4)).as("cohort"), "event_type",
+          pmod(expr("unix_micros(ts) DIV 86400000000"), lit(2)) === 1)
+        .withColumnRenamed("grp", "cohort")
+        .orderBy("cohort")),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the
@@ -3688,6 +3699,36 @@ object SparkEntry {
         |  CAST(CAST(s2 // (CAST(na + k AS HUGEINT) * (nb + k)) AS BIGINT) AS DOUBLE) / 1e12 AS psi
         |FROM agg""".stripMargin)
 
+  /** q293 — [[psiOracleSql]] with every stage keyed by the user
+    * cohort (user_id % 4).
+    */
+  private val psiByCohortOracleSql: String =
+    ("""WITH RECURSIVE
+        |cells AS (SELECT user_id % 4 AS g, event_type,
+        |    CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(SUM(a) AS BIGINT) AS na,
+        |    CAST(SUM(b) AS BIGINT) AS nb,
+        |    CAST(COUNT(*) AS BIGINT) AS k FROM cells GROUP BY 1),
+        |sm AS (SELECT cells.g, (b + 1) * (na + k) AS x,
+        |    (a + 1) * (nb + k) AS y, na, nb, k
+        |  FROM cells JOIN tot ON tot.g = cells.g),
+        |_ks AS (SELECT DISTINCT k FROM (
+        |  SELECT x AS k FROM sm UNION SELECT y FROM sm)),
+        |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
+        |t AS (SELECT sm.g, sm.x, sm.y, sm.na, sm.nb, sm.k,
+        |    lx.l AS lx, ly.l AS ly
+        |  FROM sm JOIN _lnq lx ON lx.k = sm.x JOIN _lnq ly ON ly.k = sm.y),
+        |agg AS (SELECT g, MAX(na) AS na, MAX(nb) AS nb, MAX(k) AS k,
+        |    SUM(CAST(x - y AS HUGEINT) * (lx - ly)) AS s2
+        |  FROM t GROUP BY 1)
+        |SELECT g AS cohort, na AS n_expected, nb AS n_actual,
+        |  k AS n_cats,
+        |  CAST(s2 // (CAST(na + k AS HUGEINT) * (nb + k)) AS BIGINT) AS psi_q,
+        |  CAST(CAST(s2 // (CAST(na + k AS HUGEINT) * (nb + k)) AS BIGINT) AS DOUBLE) / 1e12 AS psi
+        |FROM agg ORDER BY cohort""".stripMargin)
+
   private val pmiOracleSql: String =
     ("""WITH RECURSIVE
        |base AS (SELECT list_filter(string_split_regex(lower(COALESCE(text, '')),
@@ -4055,6 +4096,7 @@ object SparkEntry {
     // truth, two engine paths (the q152/q200 discipline).
     "q205_stream_psi" -> psiOracleSql,
     "q202_psi_drift" -> psiOracleSql,
+    "q293_psi_by_cohort" -> psiByCohortOracleSql,
 
     "q195_corpus_matrix" ->
       """WITH sh AS (

@@ -354,6 +354,45 @@ object Analytics {
         (col("psi_q").cast("double") / lit(1e12)).as("psi"))
   }
 
+  /** [[psiDrift]] per group — the drift DASHBOARD table (per cohort /
+    * segment / region), because a stable marginal distribution can
+    * hide one cohort drifting hard against another drifting back.
+    * Same smoothed integer-log arithmetic with every stage keyed by
+    * the group column; one row per group: (grp, n_expected, n_actual,
+    * n_cats, psi_q, psi).
+    *
+    * Scale shape: one partial-agg'd groupBy(group, category), the
+    * |groups|-row totals broadcast back, per-term arithmetic on the
+    * |groups|·|cats| cell table. Meant for bounded group columns.
+    */
+  def psiByGroup(df: DataFrame, grpCol: Column, catCol: String,
+      isActual: Column): DataFrame = {
+    import graft.plans.GraftExtensions.lnQ12Native
+    val cells = df.select(grpCol.as("grp"), col(catCol).as("_cat"),
+        isActual.cast("boolean").as("_f"))
+      .groupBy("grp", "_cat")
+      .agg(sum(when(col("_f"), 0L).otherwise(1L)).as("_a"),
+        sum(when(col("_f"), 1L).otherwise(0L)).as("_b"))
+    val tot = cells.groupBy("grp").agg(sum("_a").as("_na"),
+      sum("_b").as("_nb"), count(lit(1)).as("_k"))
+    cells.join(broadcast(tot), Seq("grp"))
+      .select(col("grp"), col("_na"), col("_nb"), col("_k"),
+        ((col("_b") + 1) * (col("_na") + col("_k"))).as("_x"),
+        ((col("_a") + 1) * (col("_nb") + col("_k"))).as("_y"))
+      .withColumn("_t",
+        ((col("_x") - col("_y")).cast("decimal(38,0)") *
+          (lnQ12Native(col("_x")) - lnQ12Native(col("_y")))
+            .cast("decimal(38,0)")).cast("decimal(38,0)"))
+      .groupBy("grp", "_na", "_nb", "_k")
+      .agg(sum("_t").as("_s"))
+      .withColumn("psi_q", expr(
+        "CAST(_s DIV (CAST(_na + _k AS DECIMAL(19,0)) * " +
+          "CAST(_nb + _k AS DECIMAL(19,0))) AS BIGINT)"))
+      .select(col("grp"), col("_na").as("n_expected"),
+        col("_nb").as("n_actual"), col("_k").as("n_cats"), col("psi_q"),
+        (col("psi_q").cast("double") / lit(1e12)).as("psi"))
+  }
+
   def ksDrift(df: DataFrame, valueCol: String, isSample2: Column,
       numBuckets: Int = 32): DataFrame = {
     val perV = Dedup.tracked(

@@ -2764,6 +2764,29 @@ class OperatorsSpec extends SparkSpec {
       ("b", 2L, 2L, 0L, 0L)))
   }
 
+  test("psiByGroup: per-cohort PSI matches global psiDrift on each cohort; shifted cohort scores higher") {
+    def rows(g: String, cat: String, act: Boolean, n: Int) =
+      Seq.fill(n)((g, cat, act))
+    val df = (
+      rows("A", "x", false, 10) ++ rows("A", "y", false, 10) ++
+        rows("A", "x", true, 10) ++ rows("A", "y", true, 10) ++ // stable
+        rows("B", "x", false, 18) ++ rows("B", "y", false, 2) ++
+        rows("B", "x", true, 2) ++ rows("B", "y", true, 18)     // flipped
+      ).toDF("g", "cat", "act")
+    val got = graft.operators.Analytics.psiByGroup(df, col("g"), "cat",
+        col("act"))
+      .select("grp", "psi_q").as[(String, Long)].collect().toMap
+    assert(got("A") < got("B"))
+    // parity: the grouped kernel run on ONE cohort's rows equals the
+    // global psiDrift on those rows
+    Seq("A", "B").foreach { g =>
+      val glob = graft.operators.Analytics.psiDrift(
+        df.filter(col("g") === g), "cat", col("act"))
+        .select("psi_q").as[Long].collect().head
+      assert(got(g) == glob, s"cohort $g")
+    }
+  }
+
   test("stationaryFromCells: equals a driver-side integer replay; self-heavy state holds more mass") {
     val cells = Seq(("A", "A", 3L), ("A", "B", 1L),
       ("B", "A", 1L), ("B", "B", 1L)).toDF("src", "dst", "n")
