@@ -88,7 +88,9 @@ object Bench {
     "q274_silhouette",     // IVF cluster-quality readout, int8 map (NEW r12)
     "q282_domain_overlap", // token-keyed domain Jaccard matrix (NEW r13)
     "q284_dup_inflation",  // digest-cells size histogram (NEW r13)
-    "q286_group_conformal") // per-group conformal coverage (NEW r13)
+    "q286_group_conformal", // per-group conformal coverage (NEW r13)
+    "q291_ann_recall",     // IVF vs brute-truth recall audit (NEW r13)
+    "q292_stationary")     // Markov chain power iteration (NEW r13)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine

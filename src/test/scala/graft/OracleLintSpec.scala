@@ -35,6 +35,7 @@ class OracleLintSpec extends AnyFunSuite {
     ("q38_knn_lsh", "sqrt") -> "cosine denom; exact int inputs",
     ("q39_embedding_neardup", "sqrt") -> "cosine denom; exact int inputs",
     ("q57_knn_ivf", "sqrt") -> "cosine denom; exact int inputs",
+    ("q291_ann_recall", "sqrt") -> "q37+q57 CTEs composed; same denoms",
     ("q81_embed_quantize", "sqrt") -> "l2norm of exact decimal squares",
     ("q104_knn_classify", "sqrt") -> "cosine denom; exact int inputs",
     ("q106_hard_negatives", "sqrt") -> "cosine denom; exact int inputs",
