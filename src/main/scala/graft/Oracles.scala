@@ -2195,6 +2195,28 @@ object Oracles {
        |ORDER BY state""".stripMargin
   }
 
+  /** q294: `Analytics.pinballLoss` — q277's (y, ŷ) pair, per-τ
+    * milli-unit integer losses, HUGEINT sum, widened Q6 mean.
+    */
+  def q294PinballLoss: String =
+    """WITH b AS (SELECT
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      - CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) * 200000
+      |      AS d
+      |  FROM lineitem),
+      |t AS (SELECT CAST(x AS BIGINT) AS tau_pm
+      |  FROM (VALUES (100), (500), (900)) v(x)),
+      |l AS (SELECT t.tau_pm,
+      |    CASE WHEN b.d >= 0 THEN t.tau_pm * b.d
+      |         ELSE (t.tau_pm - 1000) * b.d END AS lm
+      |  FROM b CROSS JOIN t)
+      |SELECT tau_pm, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(lm AS HUGEINT)) AS BIGINT) AS sum_loss_milli,
+      |  CASE WHEN COUNT(*) <> 0 THEN
+      |    CAST((SUM(CAST(lm AS HUGEINT)) * 1000) // COUNT(*) AS BIGINT)
+      |  END AS mean_loss_q6
+      |FROM l GROUP BY tau_pm ORDER BY tau_pm""".stripMargin
+
   /** q254: `Analytics.aucByGroup` — q250's rank-sum kernel partitioned
     * by order priority.
     */
@@ -5054,6 +5076,7 @@ object Oracles {
     "q289_temperature_mixture" -> q289TemperatureMixture,
     "q291_ann_recall" -> q291AnnRecall,
     "q292_stationary" -> q292Stationary,
+    "q294_pinball_loss" -> q294PinballLoss,
     "q264_l_diversity" -> q264LDiversity,
     "q265_domain_mixture" -> q265DomainMixture,
     "q266_heaps_growth" -> q266HeapsGrowth,

@@ -3307,6 +3307,20 @@ object SparkEntry {
         .withColumnRenamed("grp", "cohort")
         .orderBy("cohort")),
 
+    // ---- ML-eval tier: exact pinball loss (NEW r13) ----
+    // Quantile-forecast sharpness on the q277 (y, yhat) pair at tau =
+    // 0.1/0.5/0.9 — coverage says the interval contains, pinball says
+    // the quantile prediction is sharp; per-row loss is ONE integer
+    // multiply (tau permille), summed exactly.
+    "q294_pinball_loss" -> ((s, dir) => {
+      val d = lineitem(s, dir)
+        .withColumn("y", expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .withColumn("yhat", expr(
+          "CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) * 200000"))
+      Analytics.pinballLoss(d, "y", "yhat").orderBy("tau_pm")
+    }),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the

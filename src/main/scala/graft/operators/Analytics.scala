@@ -1787,6 +1787,45 @@ object Analytics {
         col("n_covered"), col("coverage_q9"))
   }
 
+  /** Exact pinball (quantile) loss at a set of target quantiles — the
+    * eval the quantile-forecast family needs next to [[conformalCoverage]]
+    * (coverage says the interval CONTAINS; pinball says the quantile
+    * PREDICTION is sharp): per τ,
+    * L_τ = τ·(y−ŷ) if y ≥ ŷ else (τ−1)·(y−ŷ), summed exactly in
+    * milli-units (τ in permille, so each row's loss is one integer
+    * multiply — no division until the readout). One row per τ:
+    * (tau_pm, n, sum_loss_milli, mean_loss_q6). Ceiling: the DECIMAL
+    * sum is exact to 10³⁸; the terminal BIGINT sum column binds at
+    * Σ|loss| ≈ 9.2·10¹⁸ milli-units — widen the terminal in both
+    * engines in one commit if a corpus crosses it.
+    *
+    * Scale shape: one map + explode over the τ literals (|τ| per row),
+    * one partial-agg'd groupBy to |τ| rows.
+    */
+  def pinballLoss(df: DataFrame, yCol: String, yhatCol: String,
+      tausPermille: Seq[Int] = Seq(100, 500, 900)): DataFrame = {
+    require(tausPermille.nonEmpty &&
+      tausPermille.forall(t => t > 0 && t < 1000),
+      "pinballLoss needs taus in (0, 1000) permille")
+    val dec = "DECIMAL(38,0)"
+    df.select((col(yCol).cast("long") - col(yhatCol).cast("long"))
+        .as("_d"))
+      .filter(col("_d").isNotNull)
+      .select(col("_d"),
+        explode(array(tausPermille.map(t => lit(t.toLong)): _*))
+          .as("tau_pm"))
+      .withColumn("_lm", when(col("_d") >= 0, col("tau_pm") * col("_d"))
+        .otherwise((col("tau_pm") - 1000L) * col("_d")))
+      .groupBy("tau_pm")
+      .agg(count(lit(1)).as("n"),
+        sum(col("_lm").cast(dec)).as("_s"))
+      .withColumn("sum_loss_milli", expr("CAST(_s AS BIGINT)"))
+      .withColumn("mean_loss_q6", when(col("n") =!= 0, expr(
+        "CAST((_s * 1000) DIV n AS BIGINT)")))
+      .select(col("tau_pm"), col("n"), col("sum_loss_milli"),
+        col("mean_loss_q6"))
+  }
+
   /** [[conformalCoverage]] per group — the Mondrian (group-conditional)
     * split-conformal audit: marginal coverage can hide a group whose
     * intervals systematically miss (the fairness failure mode), so

@@ -2764,6 +2764,21 @@ class OperatorsSpec extends SparkSpec {
       ("b", 2L, 2L, 0L, 0L)))
   }
 
+  test("pinballLoss: hand-computed asymmetric losses; tau=500 is half absolute error") {
+    // diffs y - yhat: +10, -10, +30
+    val df = Seq((10L, 0L), (0L, 10L), (30L, 0L)).toDF("y", "yhat")
+    val got = graft.operators.Analytics.pinballLoss(df, "y", "yhat",
+        Seq(100, 500, 900)).orderBy("tau_pm")
+      .as[(Long, Long, Long, Long)].collect().toList
+    // tau=100: 100*10 + 900*10 + 100*30 = 13000 milli; mean = 13000*1000/3
+    // tau=500: 0.5 * sum|d| = 0.5*50 = 25 units = 25000 milli
+    // tau=900: 900*10 + 100*10 + 900*30 = 37000 milli
+    assert(got == List(
+      (100L, 3L, 13000L, 13000L * 1000 / 3),
+      (500L, 3L, 25000L, 25000L * 1000 / 3),
+      (900L, 3L, 37000L, 37000L * 1000 / 3)))
+  }
+
   test("psiByGroup: per-cohort PSI matches global psiDrift on each cohort; shifted cohort scores higher") {
     def rows(g: String, cat: String, act: Boolean, n: Int) =
       Seq.fill(n)((g, cat, act))
