@@ -349,6 +349,33 @@ object Oracles {
        |WHERE d.doc_id NOT IN (SELECT id FROM losers)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q295: end-to-end dedup removal rate by domain — q56's keep
+    * verdicts (exact collapse + near-dup component min-keep) counted
+    * against each source's doc total, widened Q6 rate.
+    */
+  def q295DedupRateByDomain: String =
+    s"""WITH RECURSIVE
+       |${minhashCandCtes(0.5, num = 32, rpb = 4, k = 5)},
+       |  edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM cand
+       |            UNION SELECT id_b, id_a FROM cand),
+       |  reach(s, d) AS (SELECT s, d FROM edges
+       |                  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |  minr AS (SELECT s AS id, least(s, min(d)) AS cid FROM reach GROUP BY s),
+       |  losers AS (SELECT id FROM minr WHERE cid < id),
+       |  kept AS (SELECT d.doc_id, d.source FROM documents d
+       |    JOIN reps ON d.doc_id = reps.id
+       |    WHERE d.doc_id NOT IN (SELECT id FROM losers)),
+       |  tot AS (SELECT source, COUNT(*) AS n_docs FROM documents
+       |    GROUP BY 1),
+       |  kc AS (SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY 1)
+       |SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(kc.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(t.n_docs - COALESCE(kc.n_kept, 0) AS BIGINT) AS n_removed,
+       |  CAST((CAST(t.n_docs - COALESCE(kc.n_kept, 0) AS HUGEINT)
+       |    * 1000000) // t.n_docs AS BIGINT) AS removed_rate_q6
+       |FROM tot t LEFT JOIN kc ON kc.source = t.source
+       |ORDER BY t.source""".stripMargin
+
   /** q127: `Dedup.clusterReport` — q56's candidate graph, but emitting
     * cluster MEMBERSHIP (component id = min reachable id, size,
     * canonical flag) instead of keep/drop verdicts. Same recursive-CTE
@@ -5077,6 +5104,7 @@ object Oracles {
     "q291_ann_recall" -> q291AnnRecall,
     "q292_stationary" -> q292Stationary,
     "q294_pinball_loss" -> q294PinballLoss,
+    "q295_dedup_rate_by_domain" -> q295DedupRateByDomain,
     "q264_l_diversity" -> q264LDiversity,
     "q265_domain_mixture" -> q265DomainMixture,
     "q266_heaps_growth" -> q266HeapsGrowth,

@@ -3321,6 +3321,25 @@ object SparkEntry {
       Analytics.pinballLoss(d, "y", "yhat").orderBy("tau_pm")
     }),
 
+    // ---- dedup tier: end-to-end dedup rate by domain (NEW r13) ----
+    // q56's keep verdicts (exact collapse + near-dup min-keep) counted
+    // per source — the where-does-dedup-BITE companion to q287's
+    // exact-only rate, closing the per-domain dedup dashboard.
+    "q295_dedup_rate_by_domain" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val kept = Dedup.nearDupKeep(docs, numHashes = 32,
+        rowsPerBand = 4, k = 5, threshold = 0.5)
+      val tot = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val kc = kept.groupBy("source").agg(count(lit(1)).as("n_kept"))
+      tot.join(kc, Seq("source"), "left")
+        .na.fill(0L, Seq("n_kept"))
+        .withColumn("n_removed", col("n_docs") - col("n_kept"))
+        .withColumn("removed_rate_q6", expr(
+          "CAST((CAST(n_removed AS DECIMAL(38,0)) * 1000000)" +
+            " DIV n_docs AS BIGINT)"))
+        .orderBy("source")
+    }),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the
