@@ -437,14 +437,21 @@ object Embeddings {
       .withColumn("_b", array_min(transform(
         filter(col("_all"), s => s("c") =!= col("cell")), s => s("d2"))))
       // Degenerate single-cell training: no "other" centroid exists, _b
-      // is NULL — drop the row, matching the oracle's inner join on the
-      // other-cells table (silhouette is undefined with one cluster).
-      .filter(col("_b").isNotNull)
-      .withColumn("_s", when(greatest(col("_a"), col("_b")) === 0, 0L)
-        .otherwise(expr("((_b - _a) * 1000000) DIV greatest(_a, _b)")))
+      // is NULL — make _s NULL and let the null-skipping aggregates drop
+      // the row, matching the oracle's inner join on the other-cells
+      // table (silhouette is undefined with one cluster). A Filter here
+      // would force _all (the expensive per-centroid distance array) to
+      // evaluate twice — once in the Filter predicate, once in the
+      // Project above it; no cross-operator subexpression elimination.
+      .withColumn("_s", when(col("_b").isNotNull,
+        when(greatest(col("_a"), col("_b")) === 0, 0L)
+          .otherwise(expr("((_b - _a) * 1000000) DIV greatest(_a, _b)"))))
       .groupBy(col("cell").cast("long").as("cell"))
-      .agg(count(lit(1)).as("n"),
-        expr("SUM(_s) DIV COUNT(*)").as("mean_sil_q6"),
+      .agg(count(col("_s")).as("n"),
+        expr("SUM(_s) DIV COUNT(_s)").as("mean_sil_q6"),
         min("_s").as("min_sil_q6"), max("_s").as("max_sil_q6"))
+      // post-agg on the ≤nCells-row table: a cell whose every row was
+      // degenerate (n = 0) does not exist in the oracle's joined set
+      .filter(col("n") > 0)
   }
 }

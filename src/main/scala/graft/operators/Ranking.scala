@@ -68,7 +68,17 @@ object Ranking {
     */
   def withGlobalRowNumber(df: DataFrame, sortCols: Seq[String],
       outCol: String = "grank", nCol: String = "gn",
-      numBuckets: Int = 32): DataFrame = {
+      numBuckets: Int = 32): DataFrame =
+    withGlobalRowNumberN(df, sortCols, outCol, nCol, numBuckets)._1
+
+  /** [[withGlobalRowNumber]] that also returns the total count N —
+    * already computed on the driver by the bucket-count collect, so
+    * callers that need N (e.g. heapsGrowth's checkpoint grid) read it
+    * here instead of issuing a second corpus pass.
+    */
+  def withGlobalRowNumberN(df: DataFrame, sortCols: Seq[String],
+      outCol: String = "grank", nCol: String = "gn",
+      numBuckets: Int = 32): (DataFrame, Long) = {
     require(sortCols.nonEmpty, "withGlobalRowNumber needs sort columns")
     val mat = Dedup.tracked(df.localCheckpoint(eager = false))
     val b = mat.withColumn("_b",
@@ -85,10 +95,11 @@ object Ranking {
     import spark.implicits._
     val offsets = offRows.toSeq.toDF("_b", "_off")
     val w = Window.partitionBy("_b").orderBy(sortCols.map(col): _*)
-    b.join(broadcast(offsets), Seq("_b"))
+    val out = b.join(broadcast(offsets), Seq("_b"))
       .withColumn(outCol, col("_off") + row_number().over(w))
       .withColumn(nCol, lit(n))
       .drop("_b", "_off")
+    (out, n)
   }
 
   /** Append `prCol` (percent_rank) and `cdCol` (cume_dist) computed over

@@ -1018,9 +1018,13 @@ object Similarity extends Serializable {
   def annRecallAtK(truth: DataFrame, approx: DataFrame,
       k: Int): DataFrame = {
     require(k >= 1, "annRecallAtK needs k >= 1")
-    val a = approx.select(col("query_id"), col("neighbor_id"))
+    // defensive distinct on both sides: a duplicated (query_id,
+    // neighbor_id) row in `approx` would multiply the left join and
+    // push recall_q6 past 10⁶ while the denominator stays k; cheap at
+    // the |Q|·k scale of these inputs
+    val a = approx.select(col("query_id"), col("neighbor_id")).distinct()
       .withColumn("_hit", lit(1L))
-    val h = truth.select(col("query_id"), col("neighbor_id"))
+    val h = truth.select(col("query_id"), col("neighbor_id")).distinct()
       .join(a, Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))

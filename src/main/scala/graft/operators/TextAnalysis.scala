@@ -1216,11 +1216,12 @@ object TextAnalysis {
     require(buckets > 0, "heapsGrowth needs buckets > 0")
     val spark = docs.sparkSession
     import spark.implicits._
-    val ords = Ranking.withGlobalRowNumber(
+    // total N rides out of the ordinal build's driver-side bucket-count
+    // collect — no second corpus pass for the checkpoint grid
+    val (ordsN, n) = Ranking.withGlobalRowNumberN(
         docs.select(col(idCol).as("_id")), Seq("_id"),
         outCol = "_ord", nCol = "_n")
-      .select(col("_id"), col("_ord").cast("long").as("_ord"))
-    val n = docs.select(col(idCol)).count()
+    val ords = ordsN.select(col("_id"), col("_ord").cast("long").as("_ord"))
     val firstSeen = docs
       .select(col(idCol).as("_id"),
         explode(array_distinct(words(col(textCol)))).as("_w"))
@@ -1367,13 +1368,37 @@ object TextAnalysis {
     * token-keyed, so each token contributes ≤|domains|² pair rows
     * (NEVER a doc-pair blow-up); the matrix completes from the
     * broadcast |domains|-row size table — output ≤ C(|domains|, 2).
+    *
+    * 100 TB posture — `maxDomainsPerToken`: at a 10⁵-domain web
+    * corpus the universal tokens ("the", "http") each fan out to
+    * |domains|²/2 pair rows and dominate the self-join while carrying
+    * no Jaccard signal (a token in EVERY domain shifts all pairs'
+    * intersection and union by the same +1). Setting the cap drops
+    * tokens whose domain-frequency exceeds it from BOTH the sizes and
+    * the intersection (the Jaccard is then over the capped vocabulary,
+    * consistently — the q267 hub-cap discipline). Default ∞ keeps the
+    * exact matrix; the gated query runs at the default (≤20 domains).
     */
   def domainVocabOverlap(docs: DataFrame, domainCol: String = "source",
-      textCol: String = "text"): DataFrame = {
-    val dt = Dedup.materialize(docs
+      textCol: String = "text",
+      maxDomainsPerToken: Int = Int.MaxValue): DataFrame = {
+    require(maxDomainsPerToken >= 1,
+      "domainVocabOverlap needs maxDomainsPerToken >= 1")
+    val dtAll = Dedup.materialize(docs
       .select(col(domainCol).as("_g"),
         explode(array_distinct(words(col(textCol)))).as("_w"))
       .distinct())
+    val dt =
+      if (maxDomainsPerToken == Int.MaxValue) dtAll
+      else {
+        // token df over the COLLAPSED table (≤|domains| rows/token),
+        // then a token-keyed semi-join drop of the universal tokens
+        val keep = dtAll.groupBy("_w")
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDomainsPerToken)
+          .select("_w")
+        dtAll.join(keep, Seq("_w"), "left_semi")
+      }
     val sizes = dt.groupBy("_g").agg(count(lit(1)).as("_n"))
     val inter = dt
       .join(dt.select(col("_g").as("_g2"), col("_w")), Seq("_w"))

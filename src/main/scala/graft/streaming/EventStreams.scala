@@ -379,7 +379,8 @@ object EventStreams {
     if (!q.awaitTermination(drainMs)) {
       q.stop()
       throw new IllegalStateException(
-        s"stream '$sinkName' did not drain within 120s (source $parquetPath)")
+        s"stream '$sinkName' did not drain within ${drainMs}ms " +
+          s"(source $parquetPath)")
     }
     spark.table(sinkName)
   }
@@ -391,6 +392,13 @@ object EventStreams {
     * (a late event SPLICES an existing pair into two), so only a
     * re-derive from the full buffer equals the batch answer under
     * arbitrary arrival order.
+    *
+    * STATE-SCHEMA BREAK (round 13): `rows` widened from
+    * `(Long, Long, String)` to Option tuples so NULL keys/timestamps
+    * flow like batch — the state-store encoder schema changed, so a
+    * checkpoint written by the pre-r13 operator will NOT restore.
+    * The driver gate always starts from a fresh sink/checkpoint; any
+    * external deployment must start a new checkpoint directory.
     */
   final case class TransitionState(
       rows: Seq[(Option[Long], Option[Long], Option[String])],
