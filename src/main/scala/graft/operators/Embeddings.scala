@@ -310,12 +310,17 @@ object Embeddings {
         (a, x) => a + x.cast("long") * x.cast("long")))
       .withColumn("_sd", aggregate(col("q"), lit(0L),
         (a, x) => a + x.cast("long") * x.cast("long")))
-      .filter(col("_sd") > 0)
-      .withColumn("_c2", expr("(_sk * 1000000000) DIV _sd"))
+      // zero-norm vectors drop via a null _c2 + null-skipping aggs, not
+      // a Filter: a Filter(_sd > 0) would re-evaluate the full-vector
+      // norm aggregate in the pushed-down predicate AND the Project
+      // above it (the q274 class)
+      .withColumn("_c2",
+        when(col("_sd") > 0, expr("(_sk * 1000000000) DIV _sd")))
       .groupBy("prefix_dim")
-      .agg(count(lit(1)).as("n"),
+      .agg(count(col("_c2")).as("n"),
         sum(col("_c2").cast("decimal(38,0)")).as("_s"),
         min("_c2").as("min_cos2_q9"), max("_c2").as("max_cos2_q9"))
+      .filter(col("n") > 0) // all-degenerate prefix: bounded post-agg drop
       .withColumn("mean_cos2_q9", expr("CAST(_s DIV n AS BIGINT)"))
       .select(col("prefix_dim"), col("n"), col("mean_cos2_q9"),
         col("min_cos2_q9"), col("max_cos2_q9"))

@@ -132,9 +132,12 @@ object Retrieval {
     val lex = dig.join(broadcast(qd), col("_id") =!= col("_qid"))
       .withColumn("_inter", GraftExtensions
         .sortedIntersectNative(col("_dg"), col("_qdg")).cast("long"))
-      .filter(col("_inter") > 0)
-      .withColumn("_score",
-        expr("(1000000000 * _inter) DIV (_sz + _qsz - _inter)"))
+      // zero-overlap pairs drop via a null score (TopKAgg.update skips
+      // null inputs), not a Filter: Filter(_inter > 0) would evaluate
+      // the digest intersection in the pushed-down predicate AND again
+      // in the score Project (the q274 class)
+      .withColumn("_score", when(col("_inter") > 0,
+        expr("(1000000000 * _inter) DIV (_sz + _qsz - _inter)")))
       .groupBy("_qid")
       .agg(GraftExtensions.topKNative(
         col("_score").cast("double"), col("_id"), topN).as("_t"))

@@ -742,8 +742,17 @@ object Similarity extends Serializable {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.vec").as("va"), col("b.vec").as("vb"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosineNative(col("va"), col("vb")))
+      // dedup + score in ONE aggregate: band duplicates of a pair all
+      // carry the same deterministic cosine, so min() == the value. A
+      // dropDuplicates + withColumn + filter chain would (a) shuffle the
+      // raw vectors and (b) re-evaluate cosineNative in the pushed-down
+      // Filter AND the Project above it (the q274 class — no
+      // cross-operator subexpression elimination); here the cosine is
+      // computed map-side in the partial aggregate and the shuffle
+      // carries 3 numbers per pair, and the threshold filter sits above
+      // the Aggregate where Catalyst cannot push it back down.
+      .groupBy("id_a", "id_b")
+      .agg(min(cosineNative(col("va"), col("vb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -899,13 +908,25 @@ object Similarity extends Serializable {
       .join(capped.select(col("id").as("id_b"), col("qv").as("vb"),
         col("n2").as("nb"), col("cell")), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
+      // the threshold test references dot THREE times; as a Filter the
+      // pushed-down predicate would evaluate dotIntNative (the dominant
+      // O(dim) pair-stage cost) three times per pair — FilterExec does
+      // no subexpression elimination across conjuncts. Folded into one
+      // Project column instead (single-Project codegen CSE evaluates
+      // the dot once) with null-skipping aggregates doing the drop.
       .withColumn("dot",
         graft.plans.GraftExtensions.dotIntNative(col("va"), col("vb")))
-      .filter(col("dot") > 0 &&
+      .withColumn("_hit", when(col("dot") > 0 &&
         lit(thresholdDen * thresholdDen) * col("dot") * col("dot") >=
-          lit(thresholdNum * thresholdNum) * col("na") * col("nb"))
+          lit(thresholdNum * thresholdNum) * col("na") * col("nb"),
+        col("id_a")))
       .groupBy(col("id_b").as("id"))
-      .agg(count(lit(1)).as("n_dups_earlier"), min(col("id_a")).as("dup_of"))
+      .agg(count(col("_hit")).as("n_dups_earlier"),
+        min(col("_hit")).as("dup_of"))
+      // ids whose every pair missed the threshold are "no dup found" —
+      // they must be ABSENT from dup (the left join below reads absence
+      // as keep=true); bounded post-agg filter, never pushed back down
+      .filter(col("n_dups_earlier") > 0)
     assigned.select(col("id"), col("cell"))
       .join(dup, Seq("id"), "left")
       .select(col("id").as(idCol), col("cell"),
