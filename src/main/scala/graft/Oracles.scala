@@ -5076,7 +5076,189 @@ object Oracles {
        |ORDER BY day""".stripMargin
   }
 
+  /** q296: `Embeddings.ivfBalanceReport` — the q57/q274 training chain
+    * ([[cellAsgnCtes]], same nCells/iters), per-cell counts, Q6 share,
+    * global max/mean imbalance repeated per row.
+    */
+  def q296IvfBalance: String = {
+    val iters = 2
+    s"""WITH
+       |${cellAsgnCtes(16, iters)},
+       |cells AS (SELECT cell, COUNT(*) AS n FROM asgn$iters GROUP BY 1),
+       |tot AS (SELECT SUM(n) AS t, COUNT(*) AS nc, MAX(n) AS mx
+       |  FROM cells)
+       |SELECT CAST(cell AS BIGINT) AS cell, CAST(n AS BIGINT) AS n,
+       |  CAST((CAST(n AS HUGEINT) * 1000000) // t AS BIGINT)
+       |    AS share_q6,
+       |  CAST((CAST(mx AS HUGEINT) * nc * 1000000) // t AS BIGINT)
+       |    AS imbalance_q6
+       |FROM cells, tot ORDER BY cell""".stripMargin
+  }
+
+  /** q297: `TextAnalysis.domainDivergence` — the q282 tokenizer's
+    * (domain, token) count cells, intersection-only pair join, per-pair
+    * Q12 Jensen–Shannon via the shared lnQ12 kernel with the disjoint
+    * mass folded in as (mass)·lnQ12(2); both KL halves clamped at 0
+    * against per-term ln floor noise, mirrored in the engine.
+    */
+  def q297DomainDivergence: String =
+    """WITH RECURSIVE tw AS (SELECT d.source AS g, t.w
+      |  FROM documents d,
+      |    unnest(regexp_split_to_array(lower(d.text), '[^a-z0-9'']+'))
+      |      AS t(w)
+      |  WHERE t.w <> ''),
+      |c AS (SELECT g, w, COUNT(*) AS c FROM tw GROUP BY 1, 2),
+      |tt AS (SELECT g, SUM(c) AS t FROM c GROUP BY 1),
+      |pr AS (SELECT a.g AS ga, b.g AS gb, a.c AS ca, b.c AS cb,
+      |    2 * a.c * tb.t AS x1, a.c * tb.t + b.c * ta.t AS m,
+      |    2 * b.c * ta.t AS x2
+      |  FROM c a JOIN c b ON a.w = b.w AND a.g < b.g
+      |  JOIN tt ta ON ta.g = a.g JOIN tt tb ON tb.g = b.g),
+      |_ks AS (SELECT DISTINCT k FROM (
+      |  SELECT x1 AS k FROM pr UNION SELECT m FROM pr
+      |  UNION SELECT x2 FROM pr UNION SELECT 2)),
+      |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
+      |s AS (SELECT ga, gb, COUNT(*) AS n_common,
+      |    SUM(CAST(ca AS HUGEINT) * (l1.l - lm.l)) AS s1,
+      |    SUM(CAST(cb AS HUGEINT) * (l2.l - lm.l)) AS s2,
+      |    SUM(ca) AS ia, SUM(cb) AS ib
+      |  FROM pr JOIN _lnq l1 ON l1.k = pr.x1
+      |  JOIN _lnq lm ON lm.k = pr.m
+      |  JOIN _lnq l2 ON l2.k = pr.x2
+      |  GROUP BY 1, 2),
+      |ln2 AS (SELECT l FROM _lnq WHERE k = 2)
+      |SELECT ta.g AS domain_a, tb.g AS domain_b,
+      |  CAST(COALESCE(s.n_common, 0) AS BIGINT) AS n_common,
+      |  CAST((GREATEST(0::HUGEINT, COALESCE(s.s1, 0)
+      |      + CAST(ta.t - COALESCE(s.ia, 0) AS HUGEINT) * ln2.l) // ta.t
+      |    + GREATEST(0::HUGEINT, COALESCE(s.s2, 0)
+      |      + CAST(tb.t - COALESCE(s.ib, 0) AS HUGEINT) * ln2.l) // tb.t)
+      |    // 2 AS BIGINT) AS js_q12
+      |FROM tt ta JOIN tt tb ON ta.g < tb.g
+      |LEFT JOIN s ON s.ga = ta.g AND s.gb = tb.g
+      |CROSS JOIN ln2
+      |ORDER BY domain_a, domain_b""".stripMargin
+
+  /** q298: `Analytics.psiVsBaseline` — q202's smoothed integer-log PSI
+    * kernel per day bucket vs the GLOBAL category distribution; the
+    * bucket×category grid completes with 0 so k is global.
+    */
+  def q298PsiOverTime: String =
+    ("""WITH RECURSIVE
+       |cells AS (SELECT (epoch_us(ts) // 86400000000) AS b, event_type,
+       |    COUNT(*) AS c FROM events GROUP BY 1, 2),
+       |base AS (SELECT event_type, SUM(c) AS a FROM cells GROUP BY 1),
+       |kk AS (SELECT COUNT(*) AS k, SUM(a) AS na FROM base),
+       |bt AS (SELECT b, SUM(c) AS nb FROM cells GROUP BY 1),
+       |grid AS (SELECT bt.b, base.event_type, base.a,
+       |    COALESCE(cells.c, 0) AS bc, bt.nb, kk.k, kk.na
+       |  FROM bt CROSS JOIN base CROSS JOIN kk
+       |  LEFT JOIN cells ON cells.b = bt.b
+       |    AND cells.event_type = base.event_type),
+       |sm AS (SELECT b, (bc + 1) * (na + k) AS x,
+       |    (a + 1) * (nb + k) AS y, na, nb, k FROM grid),
+       |_ks AS (SELECT DISTINCT k FROM (
+       |  SELECT x AS k FROM sm UNION SELECT y FROM sm)),
+       |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
+       |t AS (SELECT sm.b, sm.x, sm.y, sm.na, sm.nb, sm.k,
+       |    lx.l AS lx, ly.l AS ly
+       |  FROM sm JOIN _lnq lx ON lx.k = sm.x
+       |  JOIN _lnq ly ON ly.k = sm.y),
+       |agg AS (SELECT b, MAX(na) AS na, MAX(nb) AS nb, MAX(k) AS k,
+       |    SUM(CAST(x - y AS HUGEINT) * (lx - ly)) AS s2
+       |  FROM t GROUP BY 1)
+       |SELECT CAST(b AS BIGINT) AS bucket,
+       |  CAST(na AS BIGINT) AS n_expected,
+       |  CAST(nb AS BIGINT) AS n_actual, CAST(k AS BIGINT) AS n_cats,
+       |  CAST(s2 // (CAST(na + k AS HUGEINT) * (nb + k)) AS BIGINT)
+       |    AS psi_q,
+       |  CAST(CAST(s2 // (CAST(na + k AS HUGEINT) * (nb + k)) AS BIGINT)
+       |    AS DOUBLE) / 1e12 AS psi
+       |FROM agg ORDER BY bucket""".stripMargin)
+
+  /** q299: `TextAnalysis.tokenBudgetBySource` — the q88 BPE merge walk
+    * (verbatim CTE chain, per globally-distinct pre-token), summed per
+    * source with byte counts; Q6 token share and tokens-per-100-bytes
+    * fertility.
+    */
+  def q299TokenBudget: String = {
+    val values = graft.functions.Bpe.defaultMerges.zipWithIndex
+      .map { case ((a, b), i) => s"('$a','$b',$i)" }.mkString(", ")
+    val head = "WITH RECURSIVE\nmerges(a, b, rnk) AS (VALUES "
+    val body =
+      """),
+        |pre AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s\x00-\x1f]+') AS ws
+        |  FROM documents),
+        |flat AS (SELECT doc_id, s.pos AS widx, s.w AS w FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+        |    i -> {'pos': i, 'w': ws[i+1]})) AS s FROM pre)),
+        |uw AS (SELECT DISTINCT w FROM flat),
+        |init AS (SELECT w, list_aggregate(list_transform(string_split(w, ''),
+        |    c -> chr(30) || c || chr(31)), 'string_agg', '') AS s FROM uw),
+        |walk AS (
+        |  SELECT w, s FROM init
+        |  UNION ALL
+        |  SELECT walk.w, replace(walk.s,
+        |      chr(30)||bm.a||chr(31)||chr(30)||bm.b||chr(31),
+        |      chr(30)||bm.a||bm.b||chr(31))
+        |  FROM walk, LATERAL (SELECT a, b FROM merges
+        |    WHERE walk.s LIKE '%'||chr(30)||a||chr(31)||chr(30)||b||chr(31)||'%'
+        |    ORDER BY rnk LIMIT 1) bm),
+        |fin AS (SELECT w, s FROM walk t WHERE NOT EXISTS (
+        |  SELECT 1 FROM merges m
+        |  WHERE t.s LIKE '%'||chr(30)||m.a||chr(31)||chr(30)||m.b||chr(31)||'%')),
+        |toks AS (SELECT w,
+        |    len(s) - length(replace(s, chr(30), '')) AS n_toks FROM fin),
+        |dagg AS (SELECT f.doc_id, SUM(t.n_toks)::BIGINT AS nt
+        |  FROM flat f JOIN toks t USING (w) GROUP BY 1),
+        |per AS (SELECT d.source, COUNT(*) AS n_docs,
+        |    SUM(COALESCE(strlen(d.text), 0)) AS n_bytes,
+        |    SUM(COALESCE(a.nt, 0)) AS n_tokens
+        |  FROM documents d LEFT JOIN dagg a USING (doc_id) GROUP BY 1),
+        |tot AS (SELECT SUM(n_tokens) AS tt FROM per)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN tt > 0 THEN
+        |    (CAST(n_tokens AS HUGEINT) * 1000000) // tt END AS BIGINT)
+        |    AS token_share_q6,
+        |  CAST(CASE WHEN n_bytes > 0 THEN
+        |    (CAST(n_tokens AS HUGEINT) * 100000000) // n_bytes END
+        |    AS BIGINT) AS fertility_q6
+        |FROM per, tot ORDER BY source""".stripMargin
+    head + values + body
+  }
+
+  /** q300: `Dedup.dupNgramShare` — the q209 per-doc distinct char
+    * 12-gram shingles (string form; digest↔string equivalence is
+    * q178's gate), corpus doc-frequency per shingle, per-source dup
+    * slot share in Q6.
+    */
+  def q300DupNgramShare: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(1, strlen(lower(text)) - 11)),
+      |    i -> substring(lower(text), i, 12)))) AS tok
+      |  FROM documents),
+      |dc AS (SELECT tok, COUNT(*) AS nd FROM tk GROUP BY 1),
+      |sl AS (SELECT t.doc_id,
+      |    CASE WHEN d.nd > 1 THEN 1 ELSE 0 END AS dup
+      |  FROM tk t JOIN dc d USING (tok)),
+      |per AS (SELECT d.source, COUNT(*) AS n_slots, SUM(s.dup) AS n_dup
+      |  FROM sl s JOIN documents d USING (doc_id) GROUP BY 1)
+      |SELECT source, CAST(n_slots AS BIGINT) AS n_shingle_slots,
+      |  CAST(n_dup AS BIGINT) AS n_dup_slots,
+      |  CAST((CAST(n_dup AS HUGEINT) * 1000000) // n_slots AS BIGINT)
+      |    AS dup_share_q6
+      |FROM per ORDER BY source""".stripMargin
+
   def generated: Map[String, String] = Map(
+    "q296_ivf_balance" -> q296IvfBalance,
+    "q297_domain_divergence" -> q297DomainDivergence,
+    "q298_psi_over_time" -> q298PsiOverTime,
+    "q299_token_budget" -> q299TokenBudget,
+    "q300_dup_ngram_share" -> q300DupNgramShare,
     "q270_calibration" -> q270Calibration,
     // q272 = q270's cells through the streaming state store: one
     // relational truth, two engine paths (the q205/q255 discipline)

@@ -3340,6 +3340,54 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- ANN tier: IVF cell-balance report (NEW r14) ----
+    // The capacity-planning companion to q274's quality question: per
+    // cell its row count and Q6 corpus share, plus the global max/mean
+    // imbalance factor repeated per row — "will nProbe cost what the
+    // planner thinks?" before the index serves traffic.
+    "q296_ivf_balance" -> ((s, dir) =>
+      graft.operators.Embeddings.ivfBalanceReport(embeddings(s, dir))
+        .orderBy("cell")),
+
+    // ---- corpus-curation tier: domain JS divergence (NEW r14) ----
+    // Exact pairwise Jensen-Shannon between domain unigram
+    // DISTRIBUTIONS in Q12 nats — the distributional companion to
+    // q282's set Jaccard (shared vocabulary at different rates).
+    // Intersection-only token join; disjoint mass folds in as
+    // (mass)*ln2 from the broadcast totals.
+    "q297_domain_divergence" -> ((s, dir) =>
+      TextAnalysis.domainDivergence(documents(s, dir))
+        .orderBy("domain_a", "domain_b")),
+
+    // ---- validation tier: PSI drift over time (NEW r14) ----
+    // q202's smoothed integer-log kernel per DAY vs the global
+    // baseline distribution — drift as a time series (which buckets
+    // drifted, and when it started); absent categories enter at 0 so
+    // every bucket's k is the global category count.
+    "q298_psi_over_time" -> ((s, dir) =>
+      Analytics.psiVsBaseline(events(s, dir),
+          expr("unix_micros(ts) DIV 86400000000").as("bucket"),
+          "event_type")
+        .orderBy("bucket")),
+
+    // ---- corpus-curation tier: token-budget report (NEW r14) ----
+    // Per domain: docs, bytes, EXACT BPE token count (the q88 merge
+    // walk), Q6 share of the corpus token budget, Q6 fertility
+    // (tokens per 100 bytes) — the table a pretraining mixture is
+    // planned from, with real token counts instead of doc proxies.
+    "q299_token_budget" -> ((s, dir) =>
+      TextAnalysis.tokenBudgetBySource(documents(s, dir))
+        .orderBy("source")),
+
+    // ---- dedup tier: duplicate-ngram exposure by domain (NEW r14) ----
+    // The exact-substring dedup signal (Lee et al. 2022): share of
+    // per-doc distinct char-12-gram shingles (q178/q209 convention)
+    // that recur in another document — where a span-level dedup pass
+    // would bite, at linear cost (no pair join).
+    "q300_dup_ngram_share" -> ((s, dir) =>
+      Dedup.dupNgramShare(documents(s, dir))
+        .orderBy("source")),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the

@@ -366,7 +366,60 @@ object Analytics {
     * |groups|·|cats| cell table. Meant for bounded group columns.
     */
   def psiByGroup(df: DataFrame, grpCol: Column, catCol: String,
-      isActual: Column): DataFrame = {
+      isActual: Column): DataFrame = psiByGroupImpl(df, grpCol, catCol,
+    isActual)
+
+  /** PSI of every time bucket against the GLOBAL category
+    * distribution — drift as a TIME SERIES (per day / hour), the
+    * monitoring chart behind [[psiDrift]]'s single number and
+    * [[psiByGroup]]'s cohort table: which buckets drifted, and when
+    * did it start. Expected = the whole corpus, actual = the bucket;
+    * same smoothed integer-log kernel as q202 with every stage keyed
+    * by the bucket. Categories missing from a bucket enter with
+    * count 0 (the +1 smoothing keeps the log finite), so every
+    * bucket's k is the GLOBAL category count and psi values are
+    * comparable across buckets. One row per bucket:
+    * (bucket, n_expected, n_actual, n_cats, psi_q, psi).
+    *
+    * Scale shape: ONE partial-agg'd groupBy(bucket, category) collapse
+    * of the corpus; the baseline (≤|cats| rows) and bucket totals
+    * (≤|buckets| rows) broadcast back onto the |buckets|·|cats|
+    * completed grid — nothing after the collapse touches the corpus.
+    */
+  def psiVsBaseline(df: DataFrame, bucketCol: Column,
+      catCol: String): DataFrame = {
+    import graft.plans.GraftExtensions.lnQ12Native
+    val cells = Dedup.materialize(
+      df.select(bucketCol.as("bucket"), col(catCol).as("_cat"))
+        .groupBy("bucket", "_cat").agg(count(lit(1)).as("_b")))
+    val base = cells.groupBy("_cat").agg(sum("_b").as("_a")) // global
+    val k = base.agg(count(lit(1)).as("_k"), sum("_a").as("_na"))
+    val btot = cells.groupBy("bucket").agg(sum("_b").as("_nb"))
+    // complete the grid: every (bucket, global category) pair, absent
+    // bucket counts as 0 — bounded |buckets|·|cats|
+    val grid = btot.crossJoin(broadcast(base)).crossJoin(broadcast(k))
+      .join(cells, Seq("bucket", "_cat"), "left")
+      .na.fill(0L, Seq("_b"))
+    grid
+      .select(col("bucket"), col("_na"), col("_nb"), col("_k"),
+        ((col("_b") + 1) * (col("_na") + col("_k"))).as("_x"),
+        ((col("_a") + 1) * (col("_nb") + col("_k"))).as("_y"))
+      .withColumn("_t",
+        ((col("_x") - col("_y")).cast("decimal(38,0)") *
+          (lnQ12Native(col("_x")) - lnQ12Native(col("_y")))
+            .cast("decimal(38,0)")).cast("decimal(38,0)"))
+      .groupBy("bucket", "_na", "_nb", "_k")
+      .agg(sum("_t").as("_s"))
+      .withColumn("psi_q", expr(
+        "CAST(_s DIV (CAST(_na + _k AS DECIMAL(19,0)) * " +
+          "CAST(_nb + _k AS DECIMAL(19,0))) AS BIGINT)"))
+      .select(col("bucket"), col("_na").as("n_expected"),
+        col("_nb").as("n_actual"), col("_k").as("n_cats"), col("psi_q"),
+        (col("psi_q").cast("double") / lit(1e12)).as("psi"))
+  }
+
+  private def psiByGroupImpl(df: DataFrame, grpCol: Column,
+      catCol: String, isActual: Column): DataFrame = {
     import graft.plans.GraftExtensions.lnQ12Native
     val cells = df.select(grpCol.as("grp"), col(catCol).as("_cat"),
         isActual.cast("boolean").as("_f"))

@@ -1534,4 +1534,49 @@ object Dedup {
           " AS BIGINT)")))
       .select(col("source"), col("n_docs"), col("n_distinct"),
         col("n_redundant"), col("dup_rate_q6"))
+
+  /** Per-domain duplicate-substring exposure — the EXACT-SUBSTRING
+    * dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): of each domain's per-doc DISTINCT
+    * character-12-gram shingles, the Q6 share whose shingle also
+    * occurs in at least one OTHER position of the corpus (any doc,
+    * any domain). [[domainDupReport]] sees whole-document copies;
+    * this sees the partial overlap those miss — boilerplate headers,
+    * quoted passages, templated spans — and tells the curator WHERE a
+    * substring-level dedup pass (q93's spans) would bite. One row per
+    * domain: (source, n_shingle_slots, n_dup_slots, dup_share_q6).
+    *
+    * Shingles are the q178/q209 convention (xxhash64 digests of
+    * lower-cased char 12-grams, distinct per doc; digest↔string
+    * equivalence is q178's gate). "slots" counts each (doc, distinct
+    * shingle) once, so a shingle repeated across k docs contributes k
+    * dup slots — occurrence-weighted, matching how much text a span
+    * dedup would actually touch.
+    *
+    * Scale shape: one corpus pass explodes to (doc, digest) slots;
+    * the corpus-frequency table is ONE digest-keyed partial-agg'd
+    * groupBy (token-scale rows, the TF-IDF shuffle class); the
+    * join back is digest-keyed (co-partitioned with the groupBy — one
+    * shuffle feeds both); the readout is a ≤|domains|-row aggregate.
+    * No pair join anywhere — this is the linear-cost screen you run
+    * BEFORE deciding to pay for q178/q209's pair-level passes.
+    */
+  def dupNgramShare(docs: DataFrame, domainCol: String = "source",
+      textCol: String = "text", shingleK: Int = 12): DataFrame = {
+    val slots = materialize(docs
+      .select(col(domainCol).as("source"),
+        explode(array_distinct(graft.plans.GraftExtensions
+          .shingleDigestsNative(lower(col(textCol)), shingleK)))
+          .as("_h")))
+    val freq = slots.groupBy("_h").agg(count(lit(1)).as("_nd"))
+    slots.join(freq, Seq("_h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shingle_slots"),
+        sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_dup_slots"))
+      .withColumn("dup_share_q6", when(col("n_shingle_slots") =!= 0,
+        expr("CAST((CAST(n_dup_slots AS DECIMAL(38,0)) * 1000000)" +
+          " DIV n_shingle_slots AS BIGINT)")))
+      .select(col("source"), col("n_shingle_slots"), col("n_dup_slots"),
+        col("dup_share_q6"))
+  }
 }

@@ -459,4 +459,39 @@ object Embeddings {
       // degenerate (n = 0) does not exist in the oracle's joined set
       .filter(col("n") > 0)
   }
+
+  /** IVF cell-balance report — "will nProbe cost what the planner
+    * thinks?" asked of [[graft.operators.Similarity.ivfIndexInt8]]'s
+    * partition (the capacity-planning companion to
+    * [[silhouetteProfile]]'s quality question): per cell its row count
+    * and Q6 share of the corpus, plus the global imbalance factor
+    * max/mean in Q6 repeated per row (the ece_q9 convention). An
+    * imbalance near 10⁶ means uniform cells (probe cost ≈ nProbe/nCells
+    * of the corpus); 5·10⁶ means the hottest cell costs 5× the plan —
+    * re-seed or add cells before serving.
+    *
+    * Scale shape: the training chain is ivfIndexInt8's (bounded
+    * centroid collects); the readout is ONE partial-agg'd
+    * groupBy(cell) to ≤nCells rows and a broadcast 3-number total —
+    * nothing after the assignment scan is proportional to the corpus.
+    */
+  def ivfBalanceReport(embs: DataFrame, nCells: Int = 16,
+      iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (_, assigned) =
+      Similarity.ivfIndexInt8(embs, nCells, iters, idCol, vecCol)
+    val cells = assigned
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum("n").as("_t"), count(lit(1)).as("_nc"),
+      max("n").as("_mx"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("share_q6", expr(
+        "CAST((CAST(n AS DECIMAL(38,0)) * 1000000) DIV _t AS BIGINT)"))
+      .withColumn("imbalance_q6", expr(
+        "CAST((CAST(_mx AS DECIMAL(38,0)) * _nc * 1000000) DIV _t" +
+          " AS BIGINT)"))
+      .select(col("cell"), col("n"), col("share_q6"),
+        col("imbalance_q6"))
+  }
 }

@@ -1441,4 +1441,114 @@ object TextAnalysis {
         "CAST((CAST(n AS DECIMAL(38,0)) * 1000000) DIV _t AS BIGINT)"))
       .select(col("source"), col("lang_pred"), col("n"), col("share_q6"))
   }
+
+  /** Exact pairwise Jensen–Shannon divergence between the domains'
+    * unigram DISTRIBUTIONS in Q12 nats — the distributional companion
+    * to [[domainVocabOverlap]]'s set Jaccard (two domains can share a
+    * vocabulary yet use it at wildly different rates; JS sees that,
+    * Jaccard can't). Per unordered pair (a < b), with p = a_w/T_a and
+    * q = b_w/T_b over the UNION vocabulary:
+    * 2·JS = Σ_w p·ln(2p/(p+q)) + q·ln(2q/(p+q)). Tokens private to one
+    * domain contribute exactly (their probability mass)·ln2, so only
+    * the INTERSECTION is ever joined — the disjoint tail folds in from
+    * the per-pair intersection mass and the domain totals:
+    * 2·JS·T_a = Σ_inter a·(lnQ12(2aT_b) − lnQ12(aT_b + bT_a))
+    *            + (T_a − Σ_inter a)·lnQ12(2)   [term 1; term 2 mirrors]
+    * all integers (per-term products in DECIMAL(38,0); the two
+    * mathematically-nonnegative KL halves clamp at 0 against ≤1-ulp
+    * per-term lnQ12 floor noise, mirrored in the oracle). Output one
+    * row per pair: (domain_a, domain_b, n_common, js_q12) where
+    * js_q12 ∈ [0, ln2·10¹²] and zero-overlap pairs read exactly
+    * lnQ12(2) (the JS maximum).
+    *
+    * Scale shape: one corpus pass collapses to the (domain, token,
+    * count) cell table; the self-join is token-keyed (≤|domains|² pair
+    * rows per token, never doc pairs — the q282 shape); totals fold in
+    * by broadcast; the matrix completes from the |domains|-row totals.
+    * Long products stay ≤ counts·totals (≲10¹⁴ at 100× sf0.1) before
+    * the DECIMAL widening.
+    */
+  def domainDivergence(docs: DataFrame, domainCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import graft.plans.GraftExtensions.lnQ12Native
+    val ln2 = graft.functions.FixedMath.lnQ12(2L)
+    val cells = Dedup.materialize(docs
+      .select(col(domainCol).as("_g"),
+        explode(words(col(textCol))).as("_w"))
+      .groupBy("_g", "_w").agg(count(lit(1)).as("_c")))
+    val tot = cells.groupBy("_g").agg(sum("_c").as("_t"))
+    val totA = tot.select(col("_g").as("_ga"), col("_t").as("_ta"))
+    val totB = tot.select(col("_g").as("_gb"), col("_t").as("_tb"))
+    val inter = cells.select(col("_g").as("_ga"), col("_w"),
+        col("_c").as("_a"))
+      .join(cells.select(col("_g").as("_gb"), col("_w"),
+        col("_c").as("_b")), Seq("_w"))
+      .filter(col("_ga") < col("_gb"))
+      .join(broadcast(totA), Seq("_ga"))
+      .join(broadcast(totB), Seq("_gb"))
+      .withColumn("_m", col("_a") * col("_tb") + col("_b") * col("_ta"))
+      .withColumn("_t1", (col("_a").cast("decimal(38,0)") *
+        (lnQ12Native(col("_a") * col("_tb") * 2) -
+          lnQ12Native(col("_m"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)"))
+      .withColumn("_t2", (col("_b").cast("decimal(38,0)") *
+        (lnQ12Native(col("_b") * col("_ta") * 2) -
+          lnQ12Native(col("_m"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)"))
+      .groupBy("_ga", "_gb")
+      .agg(sum("_t1").as("_s1"), sum("_t2").as("_s2"),
+        sum("_a").as("_ia"), sum("_b").as("_ib"),
+        count(lit(1)).as("n_common"))
+    broadcast(totA).join(broadcast(totB), col("_ga") < col("_gb"))
+      .join(inter, Seq("_ga", "_gb"), "left")
+      .na.fill(0L, Seq("_ia", "_ib", "n_common"))
+      .na.fill(0, Seq("_s1", "_s2"))
+      .withColumn("js_q12", expr(
+        "CAST((GREATEST(CAST(0 AS DECIMAL(38,0)), " +
+          s"(_s1 + (_ta - _ia) * CAST($ln2 AS DECIMAL(38,0)))) DIV _ta" +
+          " + GREATEST(CAST(0 AS DECIMAL(38,0)), " +
+          s"(_s2 + (_tb - _ib) * CAST($ln2 AS DECIMAL(38,0)))) DIV _tb)" +
+          " DIV 2 AS BIGINT)"))
+      .select(col("_ga").as("domain_a"), col("_gb").as("domain_b"),
+        col("n_common"), col("js_q12"))
+  }
+
+  /** Per-domain token-budget report — the table a pretraining run is
+    * PLANNED from (how many BPE tokens does each source actually
+    * contribute, and at what byte cost): per domain its doc count,
+    * byte count, exact BPE token count (the q88 merge walk via
+    * [[graft.functions.Bpe.tokenCount]]), Q6 share of the corpus
+    * token budget, and Q6 fertility (tokens per 100 bytes — OCR
+    * garbage and non-Latin scripts run hot, boilerplate runs cold).
+    * Feeds [[graft.operators.Sampling.domainMixturePlan]] /
+    * temperature weights with real token counts instead of doc-count
+    * proxies.
+    *
+    * Scale shape: ONE corpus scan (token counting is per-row,
+    * map-side), one partial-agg'd groupBy(domain) to ≤|domains| rows,
+    * a broadcast 1-row total.
+    */
+  def tokenBudgetBySource(docs: DataFrame, domainCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.Bpe
+    val cells = docs
+      .select(col(domainCol).as("source"),
+        coalesce(octet_length(col(textCol)), lit(0)).cast("long")
+          .as("_bytes"),
+        coalesce(Bpe.tokenCount(col(textCol)).cast("long"), lit(0L))
+          .as("_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("_bytes").as("n_bytes"),
+        sum("_toks").as("n_tokens"))
+    val tot = cells.agg(sum("n_tokens").as("_tt"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("token_share_q6", expr(
+        "CAST(CASE WHEN _tt > 0 THEN (CAST(n_tokens AS DECIMAL(38,0))" +
+          " * 1000000) DIV _tt END AS BIGINT)"))
+      .withColumn("fertility_q6", expr(
+        "CAST(CASE WHEN n_bytes > 0 THEN (CAST(n_tokens AS" +
+          " DECIMAL(38,0)) * 100000000) DIV n_bytes END AS BIGINT)"))
+      .select(col("source"), col("n_docs"), col("n_bytes"),
+        col("n_tokens"), col("token_share_q6"), col("fertility_q6"))
+  }
 }

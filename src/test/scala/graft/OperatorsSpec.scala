@@ -2726,6 +2726,113 @@ class OperatorsSpec extends SparkSpec {
       ("a", "b", 2L, 5L, 400000L),
       ("a", "c", 0L, 6L, 0L),
       ("b", "c", 0L, 5L, 0L)))
+    // universal-token cap: "dog" and "fish" sit in two domains each;
+    // capping at 1 drops them from sizes AND intersections, leaving
+    // only each domain's private vocabulary: a {cat bird}, b {mouse},
+    // c {xyzzy plugh}
+    val capped = graft.operators.TextAnalysis
+      .domainVocabOverlap(docs, maxDomainsPerToken = 1)
+      .orderBy("domain_a", "domain_b")
+      .as[(String, String, Long, Long, Long)].collect().toList
+    assert(capped == List(
+      ("a", "b", 0L, 3L, 0L),
+      ("a", "c", 0L, 4L, 0L),
+      ("b", "c", 0L, 3L, 0L)))
+  }
+
+  test("domainDivergence: identical distributions = 0; disjoint = ln2; bounds hold") {
+    val ln2 = graft.functions.FixedMath.lnQ12(2L)
+    val docs = Seq(
+      ("a", "x x y"), ("b", "x x y"),    // identical distributions
+      ("c", "zq zq pw"))                 // disjoint from both
+      .toDF("source", "text")
+    val got = graft.operators.TextAnalysis.domainDivergence(docs)
+      .orderBy("domain_a", "domain_b")
+      .as[(String, String, Long, Long)].collect().toList
+    assert(got == List(
+      ("a", "b", 2L, 0L),            // p = q everywhere -> exact 0
+      ("a", "c", 0L, ln2),           // no shared tokens -> JS max
+      ("b", "c", 0L, ln2)))
+    // skewed-but-overlapping pair: strictly inside (0, ln2)
+    val sk = Seq(("a", "x x x y"), ("b", "x y y y")).toDF("source", "text")
+    val js = graft.operators.TextAnalysis.domainDivergence(sk)
+      .as[(String, String, Long, Long)].collect().head._4
+    assert(js > 0L && js < ln2)
+  }
+
+  test("ivfBalanceReport: counts cover the corpus; shares floor-sum; imbalance >= 1e6 and constant") {
+    val mixed = (1L to 40L).map(i =>
+      (i, Seq(((i * 37) % 255 - 127).toFloat, ((i * 91) % 255 - 127).toFloat,
+        ((i * 13) % 255 - 127).toFloat, 127f)))
+      .toDF("vec_id", "embedding")
+    val rows = graft.operators.Embeddings
+      .ivfBalanceReport(mixed, nCells = 4, iters = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._2).sum == 40L)
+    val shareSum = rows.map(_._3).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length)
+    assert(rows.map(_._4).distinct.length == 1) // global factor repeated
+    assert(rows.head._4 >= 1000000L)            // max/mean >= 1
+  }
+
+  test("psiVsBaseline: proportional buckets score exactly 0; a skewed bucket scores > 0 with global k") {
+    val prop = Seq((0L, "x"), (0L, "x"), (0L, "y"), (0L, "y"),
+      (1L, "x"), (1L, "x"), (1L, "y"), (1L, "y")).toDF("b", "cat")
+    val g0 = graft.operators.Analytics
+      .psiVsBaseline(prop, col("b"), "cat")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(g0.length == 2 && g0.forall(r => r._5 == 0L && r._4 == 2L))
+    // bucket 1 misses category y entirely: its grid row completes at 0
+    // (k stays global = 2) and psi is strictly positive
+    val skew = Seq((0L, "x"), (0L, "y"), (0L, "y"),
+      (1L, "x"), (1L, "x"), (1L, "x")).toDF("b", "cat")
+    val g1 = graft.operators.Analytics
+      .psiVsBaseline(skew, col("b"), "cat")
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(g1.forall(_._4 == 2L))
+    assert(g1(1)._5 > 0L)
+  }
+
+  test("tokenBudgetBySource: bytes/tokens/share/fertility are self-consistent") {
+    val docs = Seq(
+      ("a", "hello world hello"), ("a", "the cat sat"),
+      ("b", "abc 123 def"), ("c", null: String))
+      .toDF("source", "text")
+    val rows = graft.operators.TextAnalysis.tokenBudgetBySource(docs)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toList
+    assert(rows.map(_._1) == List("a", "b", "c"))
+    val a = rows.head
+    assert(a._2 == 2L && a._3 == "hello world hello".length +
+      "the cat sat".length)
+    assert(a._4 > 0L)
+    val tt = rows.map(_._4).sum
+    rows.foreach { r =>
+      assert(r._5.contains(r._4 * 1000000L / tt))
+      if (r._3 > 0) assert(r._6.contains(r._4 * 100000000L / r._3))
+      else assert(r._6.isEmpty)
+    }
+    // null-text domain: 0 bytes, 0 tokens, fertility undefined
+    val c = rows.last
+    assert(c._3 == 0L && c._4 == 0L && c._6.isEmpty)
+  }
+
+  test("dupNgramShare: cloned docs read 1e6; unique docs read 0") {
+    val docs = Seq(
+      ("a", "abcdefghijklmnop"),  // identical pair across domains
+      ("b", "abcdefghijklmnop"),
+      ("c", "zz11yy22xx33ww44vv")) // no 12-gram shared with the clones
+      .toDF("source", "text")
+    val rows = graft.operators.Dedup.dupNgramShare(docs)
+      .orderBy("source")
+      .as[(String, Long, Long, Option[Long])].collect().toList
+    assert(rows.map(_._1) == List("a", "b", "c"))
+    assert(rows(0)._4.contains(1000000L) && rows(1)._4.contains(1000000L))
+    assert(rows(2)._3 == 0L && rows(2)._4.contains(0L))
+    // slots: 16-char doc -> 5 distinct 12-grams each
+    assert(rows(0)._2 == 5L)
   }
 
   test("dupInflation: size histogram with exact Q6 shares; streaming cells share the readout") {
