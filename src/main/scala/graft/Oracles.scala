@@ -5257,7 +5257,12 @@ object Oracles {
     "q296_ivf_balance" -> q296IvfBalance,
     "q297_domain_divergence" -> q297DomainDivergence,
     "q298_psi_over_time" -> q298PsiOverTime,
+    // q301 = q298's cells through the streaming state store (the
+    // q272/q280/q285 discipline — one cell builder, two engine paths)
+    "q301_stream_psi_over_time" -> q298PsiOverTime,
     "q299_token_budget" -> q299TokenBudget,
+    // q302 = q299's cells through the streaming state store
+    "q302_stream_token_budget" -> q299TokenBudget,
     "q300_dup_ngram_share" -> q300DupNgramShare,
     "q270_calibration" -> q270Calibration,
     // q272 = q270's cells through the streaming state store: one

@@ -3325,6 +3325,15 @@ object SparkEntry {
     // q56's keep verdicts (exact collapse + near-dup min-keep) counted
     // per source — the where-does-dedup-BITE companion to q287's
     // exact-only rate, closing the per-domain dedup dashboard.
+    // NO streaming twin, by decision (r14): the near-dup keep verdict
+    // is a GLOBAL LSH band-join property (keep = no earlier-id
+    // neighbor in ANY band bucket), so a trigger-time verdict can be
+    // invalidated by a later-arriving earlier-id document in another
+    // bucket — per-key bounded state cannot express it, and a
+    // replay-the-corpus-per-trigger "twin" would be the batch job in a
+    // trench coat. The dashboard's incrementally-correct pieces ARE
+    // twinned (q285 dup-inflation over digest cells); the
+    // arrival-order-relative near-dup contract is q86's.
     "q295_dedup_rate_by_domain" -> ((s, dir) => {
       val docs = documents(s, dir)
       val kept = Dedup.nearDupKeep(docs, numHashes = 32,
@@ -3387,6 +3396,36 @@ object SparkEntry {
     "q300_dup_ngram_share" -> ((s, dir) =>
       Dedup.dupNgramShare(documents(s, dir))
         .orderBy("source")),
+
+    // ---- streaming tier: PSI-over-time cells via state store (NEW r14) ----
+    // q298's (bucket, category) cells maintained by a Complete-mode
+    // streaming count (the q272/q280/q285 discipline: one cell builder,
+    // two engine paths), shared psiVsBaseline readout, q298's oracle
+    // verbatim.
+    "q301_stream_psi_over_time" -> ((s, dir) => {
+      val cells = EventStreams.runOnceOnParquet(s, s"$dir/events.parquet",
+        df => Analytics.psiTimeCells(df,
+          expr("unix_micros(ts) DIV 86400000000").as("bucket"),
+          "event_type"),
+        s"psitime_sink_${System.nanoTime()}")
+      // materialize before the readout (as the batch path does): the
+      // memory-sink VIEW cannot deduplicate its attributes across the
+      // readout's self-referencing joins
+      Analytics.psiVsBaselineFromCells(Dedup.materialize(cells))
+        .orderBy("bucket")
+    }),
+
+    // ---- streaming tier: token-budget cells via state store (NEW r14) ----
+    // q299's per-domain (docs, bytes, tokens) cells through the state
+    // store — the BPE count is per-row map-side work in both engines;
+    // shared readout, q299's oracle verbatim.
+    "q302_stream_token_budget" -> ((s, dir) => {
+      val cells = EventStreams.runOnceOnParquet(s,
+        s"$dir/documents.parquet",
+        df => TextAnalysis.tokenBudgetCells(df),
+        s"tokbudget_sink_${System.nanoTime()}")
+      TextAnalysis.tokenBudgetFromCells(cells).orderBy("source")
+    }),
 
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:

@@ -387,11 +387,24 @@ object Analytics {
     * completed grid — nothing after the collapse touches the corpus.
     */
   def psiVsBaseline(df: DataFrame, bucketCol: Column,
-      catCol: String): DataFrame = {
+      catCol: String): DataFrame =
+    psiVsBaselineFromCells(Dedup.materialize(
+      psiTimeCells(df, bucketCol, catCol)))
+
+  /** The (bucket, category, count) cell builder behind
+    * [[psiVsBaseline]] — split out so the streaming twin maintains the
+    * SAME cells through the state store (a plain Complete-mode count
+    * aggregation) and gates through the same oracle (the q272/q280/q285
+    * discipline: one cell builder, two engine paths).
+    */
+  def psiTimeCells(df: DataFrame, bucketCol: Column,
+      catCol: String): DataFrame =
+    df.select(bucketCol.as("bucket"), col(catCol).as("_cat"))
+      .groupBy("bucket", "_cat").agg(count(lit(1)).as("_b"))
+
+  /** [[psiVsBaseline]]'s readout over prebuilt cells. */
+  def psiVsBaselineFromCells(cells: DataFrame): DataFrame = {
     import graft.plans.GraftExtensions.lnQ12Native
-    val cells = Dedup.materialize(
-      df.select(bucketCol.as("bucket"), col(catCol).as("_cat"))
-        .groupBy("bucket", "_cat").agg(count(lit(1)).as("_b")))
     val base = cells.groupBy("_cat").agg(sum("_b").as("_a")) // global
     val k = base.agg(count(lit(1)).as("_k"), sum("_a").as("_na"))
     val btot = cells.groupBy("bucket").agg(sum("_b").as("_nb"))

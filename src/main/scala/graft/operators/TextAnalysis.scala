@@ -1529,9 +1529,20 @@ object TextAnalysis {
     * a broadcast 1-row total.
     */
   def tokenBudgetBySource(docs: DataFrame, domainCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    tokenBudgetFromCells(tokenBudgetCells(docs, domainCol, textCol))
+
+  /** The per-domain (docs, bytes, tokens) cell builder behind
+    * [[tokenBudgetBySource]] — a plain Complete-mode aggregation, split
+    * out so the streaming twin maintains the SAME cells through the
+    * state store and gates through the same oracle (the q272/q280/q285
+    * discipline). Token counting is per-row map-side work in both
+    * engines.
+    */
+  def tokenBudgetCells(docs: DataFrame, domainCol: String = "source",
       textCol: String = "text"): DataFrame = {
     import graft.functions.Bpe
-    val cells = docs
+    docs
       .select(col(domainCol).as("source"),
         coalesce(octet_length(col(textCol)), lit(0)).cast("long")
           .as("_bytes"),
@@ -1540,6 +1551,10 @@ object TextAnalysis {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("_bytes").as("n_bytes"),
         sum("_toks").as("n_tokens"))
+  }
+
+  /** [[tokenBudgetBySource]]'s readout over prebuilt cells. */
+  def tokenBudgetFromCells(cells: DataFrame): DataFrame = {
     val tot = cells.agg(sum("n_tokens").as("_tt"))
     cells.crossJoin(broadcast(tot))
       .withColumn("token_share_q6", expr(

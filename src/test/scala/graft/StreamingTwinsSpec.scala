@@ -151,4 +151,54 @@ class StreamingTwinsSpec extends SparkSpec {
       all, Seq("nat", "seg"), k = 2).collect().toSeq
     assert(viaCells == direct)
   }
+
+  test("q301 twin: PSI-over-time cells converge to the batch builder at every trigger") {
+    val batches = Seq(
+      Seq((0L, "x"), (0L, "y"), (1L, "x")),
+      Seq((1L, "y"), (1L, "y"), (2L, "x")),  // new bucket appears
+      Seq((0L, "x"), (2L, "z")))             // new category appears
+    convergeByTrigger[(Long, String)](Seq("b", "cat"), batches,
+      "twin_psitime",
+      df => Analytics.psiTimeCells(df, col("b"), "cat")) {
+      (sink, seen) =>
+        val batch = Analytics.psiTimeCells(
+          seen.toDF("b", "cat"), col("b"), "cat")
+        val key = (d: DataFrame) => d.collect().toSeq
+          .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+        assert(key(sink) == key(batch))
+    }
+    // final cells through the shared readout == one-shot batch
+    val all = batches.flatten.toDF("b", "cat")
+    val viaCells = Analytics.psiVsBaselineFromCells(
+        Analytics.psiTimeCells(all, col("b"), "cat"))
+      .orderBy("bucket").collect().toSeq
+    val direct = Analytics.psiVsBaseline(all, col("b"), "cat")
+      .orderBy("bucket").collect().toSeq
+    assert(viaCells == direct)
+  }
+
+  test("q302 twin: token-budget cells converge to the batch builder at every trigger") {
+    val batches = Seq(
+      Seq(("a", "hello world"), ("b", "abc")),
+      Seq(("a", "the cat"), ("c", null: String)), // null-text doc
+      Seq(("b", "hello hello hello")))
+    convergeByTrigger[(String, String)](Seq("source", "text"), batches,
+      "twin_tokbudget",
+      df => graft.operators.TextAnalysis.tokenBudgetCells(df)) {
+      (sink, seen) =>
+        val batch = graft.operators.TextAnalysis.tokenBudgetCells(
+          seen.toDF("source", "text"))
+        val key = (d: DataFrame) => d.collect().toSeq
+          .map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        assert(key(sink) == key(batch))
+    }
+    val all = batches.flatten.toDF("source", "text")
+    val viaCells = graft.operators.TextAnalysis.tokenBudgetFromCells(
+        graft.operators.TextAnalysis.tokenBudgetCells(all))
+      .orderBy("source").collect().toSeq
+    val direct = graft.operators.TextAnalysis.tokenBudgetBySource(all)
+      .orderBy("source").collect().toSeq
+    assert(viaCells == direct)
+  }
 }
