@@ -90,7 +90,12 @@ object Bench {
     "q284_dup_inflation",  // digest-cells size histogram (NEW r13)
     "q286_group_conformal", // per-group conformal coverage (NEW r13)
     "q291_ann_recall",     // IVF vs brute-truth recall audit (NEW r13)
-    "q292_stationary")     // Markov chain power iteration (NEW r13)
+    "q292_stationary",     // Markov chain power iteration (NEW r13)
+    "q296_ivf_balance",    // IVF cell-balance report (NEW r14)
+    "q297_domain_divergence", // pairwise JS over unigram dists (NEW r14)
+    "q298_psi_over_time",  // PSI per day vs global baseline (NEW r14)
+    "q299_token_budget",   // per-domain BPE token budget (NEW r14)
+    "q300_dup_ngram_share") // exact-substring dup exposure (NEW r14)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine

@@ -5253,7 +5253,120 @@ object Oracles {
       |    AS dup_share_q6
       |FROM per ORDER BY source""".stripMargin
 
+  /** q303: `Packing.contextLengthPlan` — q79's whitespace token count
+    * per doc, crossed with the budget grid, truncation/loss aggregates.
+    */
+  def q303ContextPlan: String =
+    """WITH t AS (SELECT
+      |    CAST(COALESCE(len(list_filter(string_split_regex(text, '\s+'),
+      |      w -> length(w) > 0)), 0) AS BIGINT) AS n
+      |  FROM documents),
+      |g AS (SELECT CAST(x AS BIGINT) AS max_len
+      |  FROM (VALUES (128), (256), (512), (1024)) v(x)),
+      |p AS (SELECT g.max_len, COUNT(*) AS n_docs, SUM(t.n) AS n_tokens,
+      |    SUM(CASE WHEN t.n > g.max_len THEN 1 ELSE 0 END)
+      |      AS n_docs_truncated,
+      |    SUM(GREATEST(0, t.n - g.max_len)) AS tokens_lost
+      |  FROM t CROSS JOIN g GROUP BY 1)
+      |SELECT max_len, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_docs_truncated AS BIGINT) AS n_docs_truncated,
+      |  CAST(tokens_lost AS BIGINT) AS tokens_lost,
+      |  CAST(CASE WHEN n_tokens > 0 THEN
+      |    (CAST(tokens_lost AS HUGEINT) * 1000000) // n_tokens END
+      |    AS BIGINT) AS lost_share_q6
+      |FROM p ORDER BY max_len""".stripMargin
+
+  /** q304: `Similarity.knnHubness` — q37's exact-cosine kNN replay
+    * widened to the vec_id<100 query sample, neighbor in-degrees,
+    * in-degree histogram with Q6 slot shares.
+    */
+  def q304KnnHubness: String =
+    s"""WITH
+       |  q AS (SELECT vec_id AS query_id, embedding AS qe
+       |        FROM embeddings WHERE vec_id < 100),
+       |  scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |               ${cosExpr("qe", "c.embedding")} AS cosine
+       |             FROM q CROSS JOIN embeddings c
+       |             WHERE c.vec_id <> q.query_id),
+       |  ranked AS (SELECT query_id, neighbor_id,
+       |               row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY cosine DESC, neighbor_id)::INT AS rank
+       |             FROM scored),
+       |  knn AS (SELECT query_id, neighbor_id FROM ranked
+       |          WHERE rank <= 5),
+       |  deg AS (SELECT neighbor_id, COUNT(*) AS d FROM knn GROUP BY 1),
+       |  hist AS (SELECT d AS in_degree, COUNT(*) AS n_points
+       |           FROM deg GROUP BY 1),
+       |  tot AS (SELECT COALESCE(SUM(in_degree * n_points), 0) AS s
+       |          FROM hist)
+       |SELECT CAST(in_degree AS BIGINT) AS in_degree,
+       |  CAST(n_points AS BIGINT) AS n_points,
+       |  CAST(CASE WHEN s > 0 THEN
+       |    (CAST(in_degree * n_points AS HUGEINT) * 1000000) // s END
+       |    AS BIGINT) AS slot_share_q6
+       |FROM hist, tot ORDER BY in_degree""".stripMargin
+
+  /** q305: `TextAnalysis.zipfSlope` — q282's tokenizer, top-100 by
+    * (count DESC, token), exact least-squares of lnQ12(freq) on
+    * lnQ12(rank) via the shared ln CTE, α = −slope in Q6 clamped ≥ 0.
+    */
+  def q305ZipfSlope: String =
+    """WITH RECURSIVE tw AS (SELECT t.w
+      |  FROM documents d,
+      |    unnest(regexp_split_to_array(lower(d.text), '[^a-z0-9'']+'))
+      |      AS t(w)
+      |  WHERE t.w <> ''),
+      |f AS (SELECT w, COUNT(*) AS c FROM tw GROUP BY 1),
+      |top AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r
+      |  FROM f ORDER BY c DESC, w LIMIT 100),
+      |_ks AS (SELECT DISTINCT k FROM (
+      |  SELECT c AS k FROM top UNION SELECT r FROM top)),
+      |""".stripMargin + graft.functions.FixedMath.lnCteSql + """,
+      |s AS (SELECT COUNT(*) AS n, MAX(top.c) AS topc,
+      |    SUM(CAST(lr.l AS HUGEINT)) AS sx,
+      |    SUM(CAST(lc.l AS HUGEINT)) AS sy,
+      |    SUM(CAST(lr.l AS HUGEINT) * lc.l) AS sxy,
+      |    SUM(CAST(lr.l AS HUGEINT) * lr.l) AS sxx
+      |  FROM top JOIN _lnq lr ON lr.k = top.r
+      |  JOIN _lnq lc ON lc.k = top.c)
+      |SELECT CAST(n AS BIGINT) AS n_terms,
+      |  CAST(topc AS BIGINT) AS top_freq,
+      |  CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+      |    (GREATEST(0::HUGEINT, sx * sy - n * sxy) * 1000000)
+      |      // (n * sxx - sx * sx) END AS BIGINT) AS alpha_q6
+      |FROM s""".stripMargin
+
+  /** q306: `Embeddings.normProfile` — the q81 int8 quantization
+    * replay, per-vector squared norm (integer sum, order-free), q241
+    * octave histogram with zero vectors pinned to octave 0.
+    */
+  def q306NormProfile: String =
+    """WITH base AS (SELECT vec_id, embedding,
+      |    COALESCE(list_max(list_transform(embedding,
+      |      x -> abs(x::DOUBLE))), 0.0) AS maxabs
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |qv AS (SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(floor(x::DOUBLE * (CASE WHEN maxabs = 0.0 THEN 1.0
+      |      ELSE 127.0 / maxabs END) + 0.5) AS BIGINT)) AS q
+      |  FROM base),
+      |n2 AS (SELECT vec_id,
+      |    CAST(COALESCE(list_sum(list_transform(q, x -> x * x)), 0)
+      |      AS BIGINT) AS n2
+      |  FROM qv),
+      |h AS (SELECT CASE WHEN n2 = 0 THEN 0
+      |    ELSE length(bin(n2)) END AS octave, n2 FROM n2)
+      |SELECT CAST(octave AS BIGINT) AS octave,
+      |  COUNT(*)::BIGINT AS n_vectors,
+      |  CAST(MIN(n2) AS BIGINT) AS min_n2,
+      |  CAST(MAX(n2) AS BIGINT) AS max_n2
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+
   def generated: Map[String, String] = Map(
+    "q303_context_plan" -> q303ContextPlan,
+    "q304_knn_hubness" -> q304KnnHubness,
+    "q305_zipf_slope" -> q305ZipfSlope,
+    "q306_norm_profile" -> q306NormProfile,
     "q296_ivf_balance" -> q296IvfBalance,
     "q297_domain_divergence" -> q297DomainDivergence,
     "q298_psi_over_time" -> q298PsiOverTime,

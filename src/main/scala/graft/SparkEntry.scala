@@ -3427,6 +3427,40 @@ object SparkEntry {
       TextAnalysis.tokenBudgetFromCells(cells).orderBy("source")
     }),
 
+    // ---- packing tier: context-length planner (NEW r14) ----
+    // Per candidate max_len: docs truncated and Q6 token share lost —
+    // the cost table read BEFORE committing to a packing budget (q79
+    // whitespace-token convention; one scan, |budgets|-row output).
+    "q303_context_plan" -> ((s, dir) =>
+      graft.operators.Packing.contextLengthPlan(documents(s, dir))
+        .orderBy("max_len")),
+
+    // ---- ANN tier: kNN hubness audit (NEW r14) ----
+    // In-degree distribution of exact top-5 neighbors over the
+    // vec_id<100 query sample (the q37 protocol): a heavy hub tail
+    // means the neighborhoods carry little information — the
+    // Radovanović high-dimensionality pathology check, cross-read with
+    // q247 anisotropy.
+    "q304_knn_hubness" -> ((s, dir) =>
+      Similarity.knnHubness(embeddings(s, dir), nQueries = 100, k = 5)
+        .orderBy("in_degree")),
+
+    // ---- corpus-health tier: Zipf rank-frequency slope (NEW r14) ----
+    // Exact least-squares slope of lnQ12(freq) on lnQ12(rank) over the
+    // top-100 tokens, reported as alpha = -slope in Q6 — the third
+    // power law next to q266 Heaps and q276 Hill; bounded top-k pull,
+    // driver-side BigInt regression, CTE-replayed ln kernel.
+    "q305_zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(documents(s, dir))),
+
+    // ---- embedding-QA tier: norm profile (NEW r14) ----
+    // Dyadic octave histogram of int8 squared norms with zero vectors
+    // on their own row — failed-embed / padding-row detection before
+    // any index build (the q241 octave discipline).
+    "q306_norm_profile" -> ((s, dir) =>
+      graft.operators.Embeddings.normProfile(embeddings(s, dir))
+        .orderBy("octave")),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the

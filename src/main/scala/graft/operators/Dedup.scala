@@ -1539,8 +1539,8 @@ object Dedup {
     * dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better"): of each domain's per-doc DISTINCT
     * character-12-gram shingles, the Q6 share whose shingle also
-    * occurs in at least one OTHER position of the corpus (any doc,
-    * any domain). [[domainDupReport]] sees whole-document copies;
+    * occurs in at least one OTHER document (any domain).
+    * [[domainDupReport]] sees whole-document copies;
     * this sees the partial overlap those miss — boilerplate headers,
     * quoted passages, templated spans — and tells the curator WHERE a
     * substring-level dedup pass (q93's spans) would bite. One row per

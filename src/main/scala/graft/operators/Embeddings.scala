@@ -475,6 +475,31 @@ object Embeddings {
     * groupBy(cell) to ≤nCells rows and a broadcast 3-number total —
     * nothing after the assignment scan is proportional to the corpus.
     */
+  /** Embedding norm profile — the vector-QA table read BEFORE an
+    * index is built (the q296/q274 questions assume the vectors are
+    * sane; this checks): dyadic (octave) histogram of the int8
+    * squared L2 norms, with zero vectors on their own row (octave 0).
+    * A mass of zero/low-norm vectors means failed embeds or padding
+    * rows — they poison cosine (the kernels zero-guard, but the DATA
+    * should not need the guard); a wide spread across octaves means
+    * un-normalized output, cross-read with q247's anisotropy. One row
+    * per octave: (octave, n_vectors, min_n2, max_n2).
+    *
+    * Scale shape: one map pass per vector (quantize + norm + octave),
+    * one partial-agg'd groupBy to ≤64 rows — the q241 dyadic
+    * discipline.
+    */
+  def normProfile(embs: DataFrame,
+      vecCol: String = "embedding"): DataFrame =
+    withInt8Quantized(embs.filter(col(vecCol).isNotNull), vecCol)
+      .select(aggregate(col("q"), lit(0L),
+        (a, x) => a + x.cast("long") * x.cast("long")).as("_n2"))
+      .withColumn("octave", when(col("_n2") === 0, 0L)
+        .otherwise(length(expr("bin(_n2)")).cast("long")))
+      .groupBy("octave")
+      .agg(count(lit(1)).as("n_vectors"),
+        min("_n2").as("min_n2"), max("_n2").as("max_n2"))
+
   def ivfBalanceReport(embs: DataFrame, nCells: Int = 16,
       iters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

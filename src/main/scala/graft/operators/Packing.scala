@@ -112,6 +112,49 @@ object Packing {
     * partial-aggregated pass over the packed table; output is a single
     * row whatever the corpus size.
     */
+  /** Context-length planner — "what does each max_len cost in lost
+    * text?" asked BEFORE committing to a packing budget (the planning
+    * companion to [[packSequences]]' execution and [[packingReport]]'s
+    * postmortem): for every candidate budget, how many documents
+    * truncate and what Q6 share of the corpus tokens falls off the
+    * end. Tokens are the packing family's q79 whitespace convention
+    * ([[TextAnalysis.tokenCountWs]] — the planner runs before a
+    * tokenizer is even chosen; swap in [[graft.operators.TextAnalysis
+    * .tokenBudgetBySource]]'s exact BPE counts per domain when one
+    * is). One row per budget:
+    * (max_len, n_docs, n_tokens, n_docs_truncated, tokens_lost,
+    * lost_share_q6).
+    *
+    * Scale shape: ONE corpus scan computes per-doc token counts
+    * map-side; the |budgets|-row grid broadcast-crosses onto it and
+    * the partial-agg'd groupBy collapses straight to |budgets| rows.
+    */
+  def contextLengthPlan(docs: DataFrame,
+      budgets: Seq[Int] = Seq(128, 256, 512, 1024),
+      textCol: String = "text"): DataFrame = {
+    require(budgets.nonEmpty, "contextLengthPlan needs budgets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = docs.select(greatest(lit(0L),
+      coalesce(TextAnalysis.tokenCountWs(col(textCol)).cast("long"),
+        lit(0L))).as("_n"))
+    val grid = budgets.map(_.toLong).toDF("max_len")
+    n.crossJoin(broadcast(grid))
+      .groupBy("max_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_n").as("n_tokens"),
+        sum(when(col("_n") > col("max_len"), 1L).otherwise(0L))
+          .as("n_docs_truncated"),
+        sum(greatest(lit(0L), col("_n") - col("max_len")))
+          .as("tokens_lost"))
+      .withColumn("lost_share_q6", when(col("n_tokens") > 0, expr(
+        "CAST((CAST(tokens_lost AS DECIMAL(38,0)) * 1000000)" +
+          " DIV n_tokens AS BIGINT)")))
+      .select(col("max_len"), col("n_docs"), col("n_tokens"),
+        col("n_docs_truncated"), col("tokens_lost"),
+        col("lost_share_q6"))
+  }
+
   def packingReport(packed: DataFrame, budget: Int): DataFrame =
     packed.agg(
       count(lit(1)).as("n_docs"),

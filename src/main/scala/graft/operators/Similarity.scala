@@ -1036,6 +1036,40 @@ object Similarity extends Serializable {
     * |Q|·k-row tables, one |Q|-row groupBy, a broadcast 2-number
     * total. The expensive parts are the input builds, not this.
     */
+  /** kNN hubness audit — the high-dimensional pathology check run on
+    * an embedding space before trusting its neighborhoods (Radovanović
+    * et al. 2010): over a query sample's exact top-k lists, the
+    * in-degree distribution of the points that appear as neighbors. A
+    * heavy tail (a few "hub" points in everyone's top-k) means
+    * neighborhoods carry little information — kNN classify (q104),
+    * SemDeDup (q94) and MMR (q234) all degrade — and usually indicates
+    * un-normalized or anisotropic vectors (cross-read with q247's
+    * anisotropy). One row per observed in-degree:
+    * (in_degree, n_points, slot_share_q6) — slot share of the |Q|·k
+    * neighbor slots, so the histogram's weighted mass sums to ~10⁶.
+    *
+    * Scale shape: the neighbor search is [[bruteForceTopK]] on a
+    * BOUNDED query sample (queries broadcast, corpus never shuffled —
+    * the exact-truth protocol of [[annRecallAtK]]); everything after
+    * is aggregation of the |Q|·k result table.
+    */
+  def knnHubness(corpus: DataFrame, nQueries: Int = 100, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val knn = bruteForceTopK(corpus,
+      corpus.filter(col(idCol) < nQueries), k, idCol, vecCol)
+    val deg = knn.groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    val hist = deg.groupBy("in_degree")
+      .agg(count(lit(1)).as("n_points"))
+    val tot = hist.agg(coalesce(sum(col("in_degree") * col("n_points")),
+      lit(0L)).as("_slots"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("slot_share_q6", when(col("_slots") > 0, expr(
+        "CAST((CAST(in_degree * n_points AS DECIMAL(38,0)) * 1000000)" +
+          " DIV _slots AS BIGINT)")))
+      .select(col("in_degree"), col("n_points"), col("slot_share_q6"))
+  }
+
   def annRecallAtK(truth: DataFrame, approx: DataFrame,
       k: Int): DataFrame = {
     require(k >= 1, "annRecallAtK needs k >= 1")

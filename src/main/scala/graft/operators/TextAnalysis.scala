@@ -1553,6 +1553,59 @@ object TextAnalysis {
         sum("_toks").as("n_tokens"))
   }
 
+  /** Zipf rank-frequency slope of the corpus vocabulary — the
+    * third corpus-health power law next to [[heapsGrowth]] (vocab
+    * growth) and [[hillTailIndex]] (document-length tail): over the
+    * topN tokens the exact least-squares slope of ln(freq) on
+    * ln(rank), reported as α = −slope in Q6 (natural text sits near
+    * α ≈ 1; α ≪ 1 flags boilerplate-flattened frequencies, α ≫ 1 a
+    * template-dominated head). Integer-exact: x = lnQ12(rank),
+    * y = lnQ12(freq), α_q6 = ⌊(Σx·Σy − n·Σxy)·10⁶ / (n·Σx² − (Σx)²)⌋
+    * clamped at 0 (the numerator is positive for any decreasing
+    * rank-frequency curve; the clamp absorbs degenerate uniform
+    * corpora), every lnQ12 the shared [[graft.functions.FixedMath]]
+    * kernel the oracle CTE-replays. Output one row:
+    * (n_terms, top_freq, alpha_q6).
+    *
+    * Scale shape: one corpus pass to (token, count) cells, a bounded
+    * native top-k (never a global sort), and the regression runs on
+    * the ≤topN collected rows — driver-side BigInt arithmetic on a
+    * bounded readout, the kCenter/ranking-offsets discipline.
+    */
+  def zipfSlope(docs: DataFrame, topN: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    require(topN >= 2, "zipfSlope needs topN >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.FixedMath
+    // bounded top-k by (count desc, token asc) — TakeOrderedAndProject
+    // (per-partition heads + merge, never a global sort), with ties
+    // breaking exactly like the oracle's ROW_NUMBER(ORDER BY c DESC, w)
+    // (both engines compare the [a-z0-9'] tokens bytewise)
+    val freq = docs.select(explode(words(col(textCol))).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_c"))
+    val pool = freq.orderBy(col("_c").desc, col("_w")).limit(topN)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (w, c) => (-c, w) } // collect() order is not a contract
+    if (pool.isEmpty)
+      return Seq.empty[(Long, Long, Option[Long])]
+        .toDF("n_terms", "top_freq", "alpha_q6")
+    val xy = pool.zipWithIndex.map { case ((_, c), i) =>
+      (BigInt(FixedMath.lnQ12(i + 1L)), BigInt(FixedMath.lnQ12(c)))
+    }
+    val n = BigInt(xy.length)
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map { case (x, y) => x * y }.sum
+    val sxx = xy.map { case (x, _) => x * x }.sum
+    val den = n * sxx - sx * sx
+    val alpha: Option[Long] =
+      if (den > 0) Some(((sx * sy - n * sxy).max(BigInt(0)) *
+        BigInt(1000000) / den).toLong)
+      else None
+    Seq((xy.length.toLong, pool.head._2, alpha))
+      .toDF("n_terms", "top_freq", "alpha_q6")
+  }
+
   /** [[tokenBudgetBySource]]'s readout over prebuilt cells. */
   def tokenBudgetFromCells(cells: DataFrame): DataFrame = {
     val tot = cells.agg(sum("n_tokens").as("_tt"))

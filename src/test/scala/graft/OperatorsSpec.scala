@@ -2819,6 +2819,66 @@ class OperatorsSpec extends SparkSpec {
     assert(c._3 == 0L && c._4 == 0L && c._6.isEmpty)
   }
 
+  test("contextLengthPlan: hand-computed truncation costs per budget") {
+    val docs = Seq(
+      ("one two three"),                         // 3 tokens
+      ("a b c d e f g h i j"),                   // 10 tokens
+      (null: String))                            // 0 tokens
+      .toDF("text")
+    val got = graft.operators.Packing
+      .contextLengthPlan(docs, budgets = Seq(4, 8))
+      .orderBy("max_len")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toList
+    // 13 tokens total; L=4: doc2 loses 6; L=8: doc2 loses 2
+    assert(got == List(
+      (4L, 3L, 13L, 1L, 6L, Some(6L * 1000000L / 13L)),
+      (8L, 3L, 13L, 1L, 2L, Some(2L * 1000000L / 13L))))
+  }
+
+  test("knnHubness: slots conserve |Q|*k; shares floor-sum to ~1e6") {
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq(((i * 37) % 255 - 127).toFloat, ((i * 91) % 255 - 127).toFloat,
+        ((i * 13) % 255 - 127).toFloat)))
+      .toDF("vec_id", "embedding")
+    val rows = graft.operators.Similarity
+      .knnHubness(vecs, nQueries = 10, k = 3)
+      .as[(Long, Long, Option[Long])].collect()
+    assert(rows.map(r => r._1 * r._2).sum == 10L * 3L)
+    val shareSum = rows.flatMap(_._3).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length)
+  }
+
+  test("zipfSlope: ~1/r corpus reads alpha near 1e6; uniform corpus clamps to 0") {
+    // token t_r repeated floor(60/r) times, r = 1..6: counts 60 30 20 15 12 10
+    val zipfText = (1 to 6).flatMap(r =>
+      Seq.fill(60 / r)(s"tok$r")).mkString(" ")
+    val z = graft.operators.TextAnalysis
+      .zipfSlope(Seq(zipfText).toDF("text"), topN = 6)
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(z._1 == 6L && z._2 == 60L)
+    assert(z._3.exists(a => a > 900000L && a < 1100000L))
+    // uniform frequencies: numerator is exactly 0 -> clamped alpha 0
+    val u = graft.operators.TextAnalysis
+      .zipfSlope(Seq("aa bb cc dd").toDF("text"), topN = 4)
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(u._3.contains(0L))
+  }
+
+  test("normProfile: zero vectors pin to octave 0; known norm lands in its octave") {
+    val vecs = Seq(
+      (1L, Seq(0f, 0f, 0f)),        // n2 = 0 -> octave 0
+      (2L, Seq(1f, 0f, 0f)),        // quantizes to [127,0,0]: n2 = 16129 -> 14 bits
+      (3L, Seq(0.5f, 0.5f, 0f)))    // [127,127,0]: n2 = 32258 -> 15 bits
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Embeddings.normProfile(vecs)
+      .orderBy("octave")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (0L, 1L, 0L, 0L),
+      (14L, 1L, 16129L, 16129L),
+      (15L, 1L, 32258L, 32258L)))
+  }
+
   test("dupNgramShare: cloned docs read 1e6; unique docs read 0") {
     val docs = Seq(
       ("a", "abcdefghijklmnop"),  // identical pair across domains

@@ -36,6 +36,7 @@ class OracleLintSpec extends AnyFunSuite {
     ("q39_embedding_neardup", "sqrt") -> "cosine denom; exact int inputs",
     ("q57_knn_ivf", "sqrt") -> "cosine denom; exact int inputs",
     ("q291_ann_recall", "sqrt") -> "q37+q57 CTEs composed; same denoms",
+    ("q304_knn_hubness", "sqrt") -> "q37's cosine CTE widened to 100 queries; same denom",
     ("q81_embed_quantize", "sqrt") -> "l2norm of exact decimal squares",
     ("q104_knn_classify", "sqrt") -> "cosine denom; exact int inputs",
     ("q106_hard_negatives", "sqrt") -> "cosine denom; exact int inputs",
