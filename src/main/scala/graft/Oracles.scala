@@ -5362,7 +5362,142 @@ object Oracles {
       |  CAST(MAX(n2) AS BIGINT) AS max_n2
       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q307: `Dedup.crossDomainDups` over the mirror-augmented corpus —
+    * distinct (domain, md5) sets, digest-keyed pair intersection,
+    * Q6 containment of the smaller side, zero pairs completed.
+    */
+  def q307CrossDomainDups: String =
+    """WITH aug AS (SELECT source, text FROM documents
+      |  UNION ALL SELECT 'mirror' AS source, text FROM documents
+      |  WHERE doc_id < 50),
+      |dd AS (SELECT DISTINCT source AS g, md5(text) AS d FROM aug),
+      |sz AS (SELECT g, COUNT(*) AS n FROM dd GROUP BY 1),
+      |iv AS (SELECT a.g AS ga, b.g AS gb, COUNT(*) AS i
+      |  FROM dd a JOIN dd b ON a.d = b.d AND a.g < b.g GROUP BY 1, 2)
+      |SELECT sa.g AS domain_a, sb.g AS domain_b,
+      |  CAST(COALESCE(iv.i, 0) AS BIGINT) AS n_shared,
+      |  CAST(sa.n AS BIGINT) AS n_distinct_a,
+      |  CAST(sb.n AS BIGINT) AS n_distinct_b,
+      |  CAST((CAST(COALESCE(iv.i, 0) AS HUGEINT) * 1000000)
+      |    // LEAST(sa.n, sb.n) AS BIGINT) AS containment_q6
+      |FROM sz sa JOIN sz sb ON sa.g < sb.g
+      |LEFT JOIN iv ON iv.ga = sa.g AND iv.gb = sb.g
+      |ORDER BY domain_a, domain_b""".stripMargin
+
+  /** q308: `Retrieval.mrrAtK` on the q273 protocol — first relevant
+    * rank per query, Q6 reciprocal rank, macro MRR repeated.
+    */
+  def q308Mrr: String =
+    """WITH base AS (SELECT c.c_nationkey AS q, l.l_partkey AS item,
+      |    (epoch_us(o.o_orderdate) // 86400000000) % 2 AS par
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey),
+      |recs AS (SELECT q, item, rank FROM (
+      |    SELECT q, item, ROW_NUMBER() OVER (PARTITION BY q
+      |        ORDER BY COUNT(*) DESC, item) AS rank
+      |    FROM base WHERE par = 0 GROUP BY q, item)
+      |  WHERE rank <= 5),
+      |truth AS (SELECT q, item, COUNT(*) AS rel
+      |  FROM base WHERE par = 1 GROUP BY 1, 2),
+      |fr AS (SELECT r.q,
+      |    MIN(CASE WHEN COALESCE(t.rel, 0) > 0 THEN r.rank END)
+      |      AS first_rank
+      |  FROM recs r LEFT JOIN truth t USING (q, item) GROUP BY 1),
+      |rr AS (SELECT q, first_rank,
+      |    COALESCE(1000000 // first_rank, 0) AS rr_q6,
+      |    first_rank IS NOT NULL AS hit
+      |  FROM fr),
+      |m AS (SELECT SUM(rr_q6) AS s, COUNT(*) AS n FROM rr)
+      |SELECT rr.q, CAST(rr.first_rank AS BIGINT) AS first_rank,
+      |  CAST(rr.rr_q6 AS BIGINT) AS rr_q6, rr.hit,
+      |  CAST(CASE WHEN m.n > 0 THEN CAST(m.s AS HUGEINT) // m.n END
+      |    AS BIGINT) AS mrr_q6
+      |FROM rr, m ORDER BY rr.q""".stripMargin
+
+  /** q309: `Validation.tableDiff` over the deterministic orders
+    * drops — keyed full-outer compare, null-safe value equality,
+    * ≤4-row status readout with Q6 shares.
+    */
+  def q309SnapshotDiff: String =
+    """WITH base AS (SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS price_c,
+      |    o_orderstatus AS st FROM orders),
+      |b AS (SELECT * FROM base WHERE k % 11 <> 0),
+      |a AS (SELECT k, CASE WHEN k % 7 = 0 THEN price_c + 100
+      |    ELSE price_c END AS price_c, st
+      |  FROM base WHERE k % 13 <> 0),
+      |tagged AS (SELECT
+      |    CASE WHEN b.k IS NULL THEN 'added'
+      |         WHEN a.k IS NULL THEN 'removed'
+      |         WHEN b.price_c IS NOT DISTINCT FROM a.price_c
+      |           AND b.st IS NOT DISTINCT FROM a.st THEN 'unchanged'
+      |         ELSE 'changed' END AS status
+      |  FROM b FULL OUTER JOIN a ON a.k = b.k),
+      |cells AS (SELECT status, COUNT(*) AS n_rows FROM tagged
+      |  GROUP BY 1),
+      |tot AS (SELECT SUM(n_rows) AS t FROM cells)
+      |SELECT status, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(CASE WHEN t > 0 THEN
+      |    (CAST(n_rows AS HUGEINT) * 1000000) // t END AS BIGINT)
+      |    AS share_q6
+      |FROM cells, tot ORDER BY status""".stripMargin
+
+  /** q310: `Analytics.bradleyTerryFromWins` — within-order supplier
+    * contests (suppkey ≤ 100, higher line price wins), then the MM
+    * fixed point unrolled `rounds` times as CTEs: per-item
+    * X = Σ (g·10¹²)//(s_i+s_j), raw s' = max(1, (W·10¹²)//X),
+    * renormalized to mean 10⁶ — every floor mirrored in the engine.
+    */
+  def q310BradleyTerry: String = {
+    val rounds = 6
+    val iter = (1 to rounds).map { t =>
+      val p = if (t == 1) "s0" else s"s${t - 1}"
+      s"""x$t AS MATERIALIZED (SELECT g.i,
+         |    SUM((CAST(g.g AS HUGEINT) * 1000000000000)
+         |      // (si.s + sj.s)) AS xs
+         |  FROM games g JOIN $p si ON si.i = g.i
+         |  JOIN $p sj ON sj.i = g.j GROUP BY 1),
+         |r$t AS MATERIALIZED (SELECT w.i,
+         |    CASE WHEN x.xs IS NOT NULL AND x.xs > 0
+         |      THEN GREATEST(1, (CAST(w.w AS HUGEINT) * 1000000000000)
+         |        // x.xs)
+         |      ELSE 1 END AS sr
+         |  FROM w LEFT JOIN x$t x ON x.i = w.i),
+         |t$t AS MATERIALIZED (SELECT SUM(CAST(sr AS HUGEINT)) AS t FROM r$t),
+         |s$t AS MATERIALIZED (SELECT r.i,
+         |    GREATEST(1, (CAST(r.sr AS HUGEINT) * nn.n * 1000000)
+         |      // t.t) AS s
+         |  FROM r$t r, t$t t, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_suppkey AS sk,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS p
+       |  FROM lineitem WHERE l_suppkey <= 100),
+       |wins AS MATERIALIZED (SELECT a.sk AS winner, b.sk AS loser, COUNT(*) AS n
+       |  FROM li a JOIN li b ON a.o = b.o AND a.sk <> b.sk AND a.p > b.p
+       |  GROUP BY 1, 2),
+       |games AS MATERIALIZED (SELECT i, j, SUM(n) AS g FROM (
+       |    SELECT winner AS i, loser AS j, n FROM wins
+       |    UNION ALL SELECT loser, winner, n FROM wins)
+       |  GROUP BY 1, 2),
+       |items AS MATERIALIZED (SELECT DISTINCT i FROM games),
+       |nn AS (SELECT COUNT(*) AS n FROM items),
+       |w AS MATERIALIZED (SELECT items.i, CAST(COALESCE(wn.w, 0) AS BIGINT) AS w
+       |  FROM items LEFT JOIN (SELECT winner AS i, SUM(n) AS w
+       |    FROM wins GROUP BY 1) wn ON wn.i = items.i),
+       |s0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS s FROM items),
+       |$iter
+       |SELECT CAST(i AS BIGINT) AS item, CAST(s AS BIGINT) AS bt_q6
+       |FROM s$rounds ORDER BY item""".stripMargin
+  }
+
   def generated: Map[String, String] = Map(
+    "q307_cross_domain_dups" -> q307CrossDomainDups,
+    "q308_mrr" -> q308Mrr,
+    "q309_table_diff" -> q309SnapshotDiff,
+    "q310_bradley_terry" -> q310BradleyTerry,
     "q303_context_plan" -> q303ContextPlan,
     "q304_knn_hubness" -> q304KnnHubness,
     "q305_zipf_slope" -> q305ZipfSlope,

@@ -3461,6 +3461,83 @@ object SparkEntry {
       graft.operators.Embeddings.normProfile(embeddings(s, dir))
         .orderBy("octave")),
 
+    // ---- dedup tier: cross-domain duplicate matrix (NEW r14) ----
+    // Which domain PAIRS share identical documents (mirror/syndication
+    // detection): shared-digest count + Q6 containment of the smaller
+    // side. Driver corpus has no natural cross-domain copies, so a
+    // deterministic 'mirror' domain re-publishes doc_id<50 (the q242
+    // augmentation pattern, replayed verbatim in the oracle).
+    "q307_cross_domain_dups" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val aug = d.select(col("source"), col("text"))
+        .unionByName(d.filter(col("doc_id") < 50)
+          .select(lit("mirror").as("source"), col("text")))
+      Dedup.crossDomainDups(aug).orderBy("domain_a", "domain_b")
+    }),
+
+    // ---- retrieval-eval tier: MRR@k + hit@k (NEW r14) ----
+    // The q273 protocol (recs from even days, truth from odd days),
+    // graded on first-relevant rank instead of graded gain — the RAG
+    // retriever's two headline numbers next to nDCG.
+    "q308_mrr" -> ((s, dir) => {
+      val base = lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .withColumn("_day", expr("unix_micros(o_orderdate) DIV 86400000000"))
+        .select(col("c_nationkey").as("q"), col("l_partkey").as("item"),
+          pmod(col("_day"), lit(2)).as("_par"))
+      val w = Window.partitionBy("q")
+        .orderBy(col("_cnt").desc, col("item"))
+      val recs = base.filter(col("_par") === 0)
+        .groupBy("q", "item").agg(count(lit(1)).as("_cnt"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5).drop("_cnt")
+      val truth = base.filter(col("_par") === 1)
+        .groupBy("q", "item").agg(count(lit(1)).as("rel"))
+      graft.operators.Retrieval.mrrAtK(recs, truth, k = 5).orderBy("q")
+    }),
+
+    // ---- ops tier: generic keyed table diff (NEW r14) ----
+    // Keyed full-outer compare of two deterministic "drops" of orders
+    // (before misses %11 keys, after misses %13 and bumps %7 prices):
+    // added/removed/changed/unchanged counts + Q6 shares — the
+    // dataset-versioning audit next to q44's constraint suite.
+    "q309_table_diff" -> ((s, dir) => {
+      val base = orders(s, dir).select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("price_c"),
+        col("o_orderstatus"))
+      val before = base.filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
+      val after = base.filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+        .withColumn("price_c",
+          when(pmod(col("o_orderkey"), lit(7)) === 0,
+            col("price_c") + 100).otherwise(col("price_c")))
+      graft.operators.Validation.tableDiff(before, after,
+          Seq("o_orderkey"), Seq("price_c", "o_orderstatus"))
+        .orderBy("status")
+    }),
+
+    // ---- preference tier: Bradley-Terry ratings (NEW r14) ----
+    // THE reward-model/arena primitive: within-order supplier
+    // "contests" (higher line price beats lower, suppkey<=100 pool),
+    // MM fixed point in exact Q6 with per-round mean-1e6 renorm,
+    // oracle unrolls the rounds as CTEs (the q292 discipline).
+    "q310_bradley_terry" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .filter(col("l_suppkey") <= 100)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
+            " AS BIGINT)").as("_p"))
+      val wins = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey") &&
+          col("a._p") > col("b._p"))
+        .groupBy(col("a.l_suppkey").as("winner"),
+          col("b.l_suppkey").as("loser"))
+        .agg(count(lit(1)).as("n"))
+      Analytics.bradleyTerryFromWins(wins, rounds = 6).orderBy("item")
+    }),
+
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:
     // one cell builder, two engine paths), batch EMD readout — the

@@ -1553,26 +1553,74 @@ object Dedup {
     * dup slots — occurrence-weighted, matching how much text a span
     * dedup would actually touch.
     *
-    * Scale shape: one corpus pass explodes to (doc, digest) slots;
-    * the corpus-frequency table is ONE digest-keyed partial-agg'd
-    * groupBy (token-scale rows, the TF-IDF shuffle class); the
-    * join back is digest-keyed (co-partitioned with the groupBy — one
-    * shuffle feeds both); the readout is a ≤|domains|-row aggregate.
-    * No pair join anywhere — this is the linear-cost screen you run
-    * BEFORE deciding to pay for q178/q209's pair-level passes.
+    * Scale shape: one corpus pass explodes to (doc, digest) slots and
+    * collapses them in the SAME partial-agg'd shuffle to the
+    * (digest, domain, k) cell table (token-scale rows, the TF-IDF
+    * shuffle class — flows through, never stored: checkpointing an
+    * intermediate 10× the corpus is exactly wrong at 100 TB, the r14
+    * 100×-sweep lesson); per-digest doc counts come from a window
+    * PARTITIONED by digest over the collapsed cells (no global
+    * window, no join back); the readout is a ≤|domains|-row
+    * aggregate. No pair join anywhere — this is the linear-cost
+    * screen you run BEFORE deciding to pay for q178/q209's
+    * pair-level passes.
     */
+  /** Cross-domain exact-duplicate matrix — which domain PAIRS share
+    * identical documents (mirror sites, syndicated feeds, the same
+    * dump ingested twice under two names): for every unordered pair,
+    * the count of md5 digests present in BOTH and its Q6 share of the
+    * SMALLER side's distinct set (containment, not Jaccard — a small
+    * mirror fully inside a big crawl should read 10⁶, not get diluted
+    * by the big side's size). The digest-level companion to
+    * [[domainDupReport]] (within-domain) and q282/q297's vocabulary
+    * views; the pairs this table lights up are where a cross-domain
+    * dedup pass (q56 across sources) recovers the most tokens.
+    *
+    * Scale shape: one corpus pass collapses to the distinct
+    * (domain, digest) table; the self-join is digest-keyed
+    * (≤|domains|² pair rows per digest — never doc pairs, the q282
+    * shape); the matrix completes from the broadcast |domains|-row
+    * size table. Output ≤ C(|domains|, 2).
+    */
+  def crossDomainDups(docs: DataFrame, domainCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val dd = materialize(docs
+      .select(col(domainCol).as("_g"), md5(col(textCol)).as("_d"))
+      .distinct())
+    val sizes = dd.groupBy("_g").agg(count(lit(1)).as("_n"))
+    val inter = dd
+      .join(dd.select(col("_g").as("_g2"), col("_d")), Seq("_d"))
+      .filter(col("_g") < col("_g2"))
+      .groupBy("_g", "_g2").agg(count(lit(1)).as("_i"))
+    broadcast(sizes)
+      .join(broadcast(sizes.select(col("_g").as("_g2"),
+        col("_n").as("_n2"))), col("_g") < col("_g2"))
+      .join(inter, Seq("_g", "_g2"), "left")
+      .na.fill(0L, Seq("_i"))
+      .withColumn("containment_q6", expr(
+        "CAST((CAST(_i AS DECIMAL(38,0)) * 1000000)" +
+          " DIV least(_n, _n2) AS BIGINT)"))
+      .select(col("_g").as("domain_a"), col("_g2").as("domain_b"),
+        col("_i").as("n_shared"), col("_n").as("n_distinct_a"),
+        col("_n2").as("n_distinct_b"), col("containment_q6"))
+  }
+
   def dupNgramShare(docs: DataFrame, domainCol: String = "source",
       textCol: String = "text", shingleK: Int = 12): DataFrame = {
-    val slots = materialize(docs
+    val cells = docs
       .select(col(domainCol).as("source"),
         explode(array_distinct(graft.plans.GraftExtensions
           .shingleDigestsNative(lower(col(textCol)), shingleK)))
-          .as("_h")))
-    val freq = slots.groupBy("_h").agg(count(lit(1)).as("_nd"))
-    slots.join(freq, Seq("_h"))
+          .as("_h"))
+      .groupBy("_h", "source").agg(count(lit(1)).as("_k"))
+    // docs containing the digest, across ALL domains: a digest-keyed
+    // window over the collapsed cells (≤|domains| rows per digest)
+    val wD = org.apache.spark.sql.expressions.Window.partitionBy("_h")
+    cells.withColumn("_nd", sum("_k").over(wD))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_shingle_slots"),
-        sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_dup_slots"))
+      .agg(sum("_k").as("n_shingle_slots"),
+        sum(when(col("_nd") > 1, col("_k")).otherwise(0L))
+          .as("n_dup_slots"))
       .withColumn("dup_share_q6", when(col("n_shingle_slots") =!= 0,
         expr("CAST((CAST(n_dup_slots AS DECIMAL(38,0)) * 1000000)" +
           " DIV n_shingle_slots AS BIGINT)")))

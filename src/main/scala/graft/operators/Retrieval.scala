@@ -196,6 +196,40 @@ object Retrieval {
     * the ideal ordering (rel DESC, item ASC — deterministic ties),
     * two |queries|-row aggregates. Queries are the parallel unit.
     */
+  /** MRR@k + hit@k — the "did the right answer surface AT ALL, and
+    * how high" companion to [[ndcgAtK]]'s graded-gain view (RAG
+    * retrievers are usually graded on exactly these two): per query
+    * the rank of the FIRST relevant item in the top-k list, its Q6
+    * reciprocal rank (0 when nothing relevant surfaced), and the
+    * macro MRR repeated as a summary column (the ece_q9 convention).
+    * Exact integers: rr_q6 = 10⁶ DIV first_rank.
+    *
+    * Scale shape: one (q, item)-keyed left join of the |Q|·k rec
+    * table against the truth, a |Q|-row groupBy, a broadcast 2-number
+    * total — the [[graft.operators.Similarity.annRecallAtK]] shape.
+    */
+  def mrrAtK(recs: DataFrame, truth: DataFrame, k: Int,
+      qCol: String = "q", itemCol: String = "item",
+      rankCol: String = "rank", relCol: String = "rel"): DataFrame = {
+    require(k >= 1, "mrrAtK needs k >= 1")
+    val first = recs.filter(col(rankCol) <= k)
+      .join(truth.select(col(qCol), col(itemCol), col(relCol)),
+        Seq(qCol, itemCol), "left")
+      .groupBy(qCol)
+      .agg(min(when(coalesce(col(relCol), lit(0L)) > 0, col(rankCol)))
+        .as("first_rank"))
+      .withColumn("rr_q6", coalesce(
+        expr("1000000 DIV first_rank"), lit(0L)))
+      .withColumn("hit", col("first_rank").isNotNull)
+    val tot = first.agg(coalesce(sum("rr_q6"), lit(0L)).as("_s"),
+      count(lit(1)).as("_n"))
+    first.crossJoin(broadcast(tot))
+      .withColumn("mrr_q6", when(col("_n") > 0,
+        expr("CAST(CAST(_s AS DECIMAL(38,0)) DIV _n AS BIGINT)")))
+      .select(col(qCol), col("first_rank"), col("rr_q6"), col("hit"),
+        col("mrr_q6"))
+  }
+
   def ndcgAtK(recs: DataFrame, truth: DataFrame, k: Int,
       qCol: String = "q", itemCol: String = "item",
       rankCol: String = "rank", relCol: String = "rel"): DataFrame = {

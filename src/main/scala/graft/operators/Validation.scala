@@ -325,4 +325,50 @@ object Validation {
         expr("(CAST(n_rows_violating AS DECIMAL(38,0)) * 1000000000)" +
           " DIV n_rows")))
   }
+
+  /** Generic table diff — the dataset-versioning audit (what changed
+    * between two drops of the same KEYED table, the question every
+    * reproducibility postmortem starts with; the structured-table
+    * counterpart of [[graft.operators.Dedup.snapshotDiff]]'s
+    * digest-based corpus view): keyed full-outer
+    * compare of two snapshots, each row classified
+    * added / removed / changed / unchanged by null-safe equality over
+    * the value columns, collapsed to one row per status with a Q6
+    * share of the union row count. Pairs with [[constraintSuite]]
+    * (is the new drop WELL-FORMED) — this asks whether it is the
+    * SAME data.
+    *
+    * Scale shape: ONE key-partitioned full-outer join (both sides
+    * shuffle by the key — the minimum possible for a keyed diff; at
+    * 100 TB bucket both snapshots by the key and the Exchanges
+    * vanish, the q70 layout), per-row classification map-side after
+    * the join, a ≤4-row aggregate readout.
+    */
+  def tableDiff(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "tableDiff needs key columns")
+    require(valueCols.nonEmpty, "tableDiff needs value columns")
+    val b = before.select((keyCols ++ valueCols).map(col): _*)
+      .withColumn("_inb", lit(1))
+    val a0 = after.select(
+      keyCols.map(col) ++ valueCols.map(c => col(c).as(s"_a_$c")): _*)
+      .withColumn("_ina", lit(1))
+    val same = valueCols
+      .map(c => col(c) <=> col(s"_a_$c"))
+      .reduce(_ && _)
+    val tagged = b.join(a0, keyCols, "full_outer")
+      .withColumn("_st",
+        when(col("_inb").isNull, "added")
+          .when(col("_ina").isNull, "removed")
+          .when(same, "unchanged")
+          .otherwise("changed"))
+    val cells = tagged.groupBy(col("_st").as("status"))
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = cells.agg(coalesce(sum("n_rows"), lit(0L)).as("_t"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("share_q6", when(col("_t") > 0, expr(
+        "CAST((CAST(n_rows AS DECIMAL(38,0)) * 1000000) DIV _t" +
+          " AS BIGINT)")))
+      .select(col("status"), col("n_rows"), col("share_q6"))
+  }
 }

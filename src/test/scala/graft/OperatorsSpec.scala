@@ -2879,6 +2879,79 @@ class OperatorsSpec extends SparkSpec {
       (15L, 1L, 32258L, 32258L)))
   }
 
+  test("mrrAtK: first-relevant rank, miss reads 0, macro repeats") {
+    val recs = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L),
+      (3L, 30L, 1L)).toDF("q", "item", "rank")
+    val truth = Seq(
+      (1L, 11L, 2L), (1L, 12L, 1L),   // q1: first relevant at rank 2
+      (2L, 99L, 5L))                   // q2: relevant item never surfaced
+      .toDF("q", "item", "rel")
+    val got = graft.operators.Retrieval.mrrAtK(recs, truth, k = 3)
+      .orderBy("q")
+      .as[(Long, Option[Long], Long, Boolean, Option[Long])]
+      .collect().toList
+    // macro = (500000 + 0 + 0) / 3 = 166666
+    assert(got == List(
+      (1L, Some(2L), 500000L, true, Some(166666L)),
+      (2L, None, 0L, false, Some(166666L)),
+      (3L, None, 0L, false, Some(166666L))))
+  }
+
+  test("crossDomainDups: shared digests count once; containment is of the smaller side") {
+    val docs = Seq(
+      ("a", "x"), ("a", "y"), ("a", "z"),
+      ("b", "x"), ("b", "x"), ("b", "w"),  // duplicate copy collapses
+      ("c", "unique"))
+      .toDF("source", "text")
+    val got = graft.operators.Dedup.crossDomainDups(docs)
+      .orderBy("domain_a", "domain_b")
+      .as[(String, String, Long, Long, Long, Long)].collect().toList
+    // a={x,y,z}, b={x,w}, c={unique}: a∩b={x}, containment 1/2
+    assert(got == List(
+      ("a", "b", 1L, 3L, 2L, 500000L),
+      ("a", "c", 0L, 3L, 1L, 0L),
+      ("b", "c", 0L, 2L, 1L, 0L)))
+  }
+
+  test("tableDiff: all four statuses classify and share out") {
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val after = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")
+    val got = graft.operators.Validation
+      .tableDiff(before, after, Seq("k"), Seq("v"))
+      .orderBy("status")
+      .as[(String, Long, Option[Long])].collect().toList
+    assert(got == List(
+      ("added", 1L, Some(250000L)),
+      ("changed", 1L, Some(250000L)),
+      ("removed", 1L, Some(250000L)),
+      ("unchanged", 1L, Some(250000L))))
+    // null-safe equality: NULL == NULL is unchanged, NULL vs value is changed
+    val b2 = Seq((1L, null: String), (2L, null: String)).toDF("k", "v")
+    val a2 = Seq((1L, null: String), (2L, "x")).toDF("k", "v")
+    val g2 = graft.operators.Validation
+      .tableDiff(b2, a2, Seq("k"), Seq("v"))
+      .orderBy("status")
+      .as[(String, Long, Option[Long])].collect().toList
+    assert(g2.map(r => (r._1, r._2)) ==
+      List(("changed", 1L), ("unchanged", 1L)))
+  }
+
+  test("bradleyTerry: dominant winner ranks top; symmetric record ties; mean stays ~1e6") {
+    val wins = Seq(
+      (1L, 2L, 9L), (2L, 1L, 1L),   // 1 dominates 2
+      (2L, 3L, 5L), (3L, 2L, 5L))   // 2 and 3 split evenly
+      .toDF("winner", "loser", "n")
+    val got = graft.operators.Analytics.bradleyTerryFromWins(wins)
+      .orderBy("item")
+      .as[(Long, Long)].collect().toList
+    val s = got.toMap
+    assert(s(1L) > s(2L) && s(1L) > s(3L))
+    val mean = got.map(_._2).sum / got.length
+    assert(mean > 900000L && mean <= 1000001L)
+  }
+
   test("dupNgramShare: cloned docs read 1e6; unique docs read 0") {
     val docs = Seq(
       ("a", "abcdefghijklmnop"),  // identical pair across domains
