@@ -5493,7 +5493,89 @@ object Oracles {
        |FROM s$rounds ORDER BY item""".stripMargin
   }
 
+  /** Shared wins CTE for q310–q312: within-order supplier contests,
+    * suppkey ≤ 100, higher line price wins.
+    */
+  private val winsCtes: String =
+    """li AS (SELECT l_orderkey AS o, l_suppkey AS sk,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS p
+      |  FROM lineitem WHERE l_suppkey <= 100),
+      |wins AS MATERIALIZED (SELECT a.sk AS winner, b.sk AS loser,
+      |    COUNT(*) AS n
+      |  FROM li a JOIN li b ON a.o = b.o AND a.sk <> b.sk AND a.p > b.p
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** q311: `Analytics.winRateMatrix` — unordered-pair fold of the
+    * wins table, Q6 win rate, and the q194 integer Wilson kernel
+    * (z = 49/25 rational, floor isqrt) keyed by the pair.
+    */
+  def q311WinRateMatrix: String =
+    s"""WITH RECURSIVE
+       |$winsCtes,
+       |pr AS (SELECT LEAST(winner, loser) AS a,
+       |    GREATEST(winner, loser) AS b,
+       |    SUM(CASE WHEN winner < loser THEN n ELSE 0 END) AS wa,
+       |    SUM(n) AS g
+       |  FROM wins GROUP BY 1, 2),
+       |_sa AS (SELECT a * 1000000 + b AS id,
+       |    CASE WHEN g > 477525395
+       |      THEN CAST(error('q311 oracle: trials exceeds the HUGEINT radicand ceiling') AS HUGEINT)
+       |      ELSE CAST(2500 AS HUGEINT)
+       |      * (CAST(2500 AS HUGEINT) * wa * (g - wa)
+       |         + CAST(2401 AS HUGEINT) * g)
+       |      * g * 1000000 END AS a
+       |  FROM pr),
+       |""".stripMargin + graft.functions.FixedMath.isqrtCteSql + """
+       |SELECT pr.a AS item_a, pr.b AS item_b,
+       |  CAST(pr.g AS BIGINT) AS n_games,
+       |  CAST(pr.wa AS BIGINT) AS n_a_wins,
+       |  CAST((CAST(pr.wa AS HUGEINT) * 1000000) // pr.g AS BIGINT)
+       |    AS win_rate_q6,
+       |  CAST((CAST(62500000 AS HUGEINT) * pr.wa * pr.g
+       |      + CAST(120050000 AS HUGEINT) * pr.g
+       |      - CAST(49 AS HUGEINT) * i.r) * 1000000000
+       |    // (CAST(100000 AS HUGEINT) * pr.g
+       |        * (CAST(625 AS HUGEINT) * pr.g + 2401)) AS BIGINT)
+       |    AS wilson_lb_q9
+       |FROM pr JOIN _isq i ON i.id = pr.a * 1000000 + pr.b
+       |ORDER BY item_a, item_b""".stripMargin
+
+  /** q312: `Analytics.preferenceCycles` — strict-majority edges per
+    * unordered pair, wedge-joined triples (a < b < c), cyclic iff the
+    * directions chain, 1-row readout.
+    */
+  def q312PreferenceCycles: String =
+    s"""WITH
+       |$winsCtes,
+       |e AS (SELECT LEAST(winner, loser) AS i,
+       |    GREATEST(winner, loser) AS j,
+       |    SUM(CASE WHEN winner < loser THEN n ELSE 0 END) AS wi,
+       |    SUM(n) AS g
+       |  FROM wins GROUP BY 1, 2),
+       |me AS MATERIALIZED (SELECT i, j, wi * 2 > g AS iwins FROM e
+       |  WHERE wi * 2 <> g),
+       |tri AS (SELECT ab.iwins AS abw, bc.iwins AS bcw,
+       |    ac.iwins AS acw
+       |  FROM me ab JOIN me bc ON bc.i = ab.j
+       |  JOIN me ac ON ac.i = ab.i AND ac.j = bc.j),
+       |np AS (SELECT COUNT(*) AS n_majority_pairs FROM me),
+       |ag AS (SELECT COUNT(*) AS n_triangles,
+       |    CAST(COALESCE(SUM(CASE WHEN (abw AND bcw AND NOT acw)
+       |      OR (NOT abw AND NOT bcw AND acw) THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS n_cyclic
+       |  FROM tri)
+       |SELECT CAST(np.n_majority_pairs AS BIGINT) AS n_majority_pairs,
+       |  CAST(ag.n_triangles AS BIGINT) AS n_triangles,
+       |  ag.n_cyclic,
+       |  CAST(CASE WHEN ag.n_triangles > 0 THEN
+       |    (CAST(ag.n_cyclic AS HUGEINT) * 1000000) // ag.n_triangles
+       |    END AS BIGINT) AS cyclic_rate_q6
+       |FROM np, ag""".stripMargin
+
   def generated: Map[String, String] = Map(
+    "q311_win_rate_matrix" -> q311WinRateMatrix,
+    "q312_preference_cycles" -> q312PreferenceCycles,
     "q307_cross_domain_dups" -> q307CrossDomainDups,
     "q308_mrr" -> q308Mrr,
     "q309_table_diff" -> q309SnapshotDiff,

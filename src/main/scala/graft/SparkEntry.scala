@@ -36,6 +36,26 @@ object SparkEntry {
 
   private def dec(c: Column, scale: Int = 4): Column = c.cast(s"decimal(18,$scale)")
 
+  /** Shared pairwise-win table for the preference tier (q310–q312):
+    * within-order supplier contests — the higher-priced line item's
+    * supplier beats the lower's, pool capped at suppkey ≤ 100 so the
+    * contest universe stays bounded at every sf. (winner, loser, n).
+    */
+  private def supplierWins(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .filter(col("l_suppkey") <= 100)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
+          " AS BIGINT)").as("_p"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_suppkey") =!= col("b.l_suppkey") &&
+        col("a._p") > col("b._p"))
+      .groupBy(col("a.l_suppkey").as("winner"),
+        col("b.l_suppkey").as("loser"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** The synthetic curation corpus shared by q114/q120/q121: stopword
     * preamble (keeps the Gopher stopword rule live — the synthetic text
     * has no English stopwords) + deterministic per-doc URLs spanning 7
@@ -3522,21 +3542,24 @@ object SparkEntry {
     // "contests" (higher line price beats lower, suppkey<=100 pool),
     // MM fixed point in exact Q6 with per-round mean-1e6 renorm,
     // oracle unrolls the rounds as CTEs (the q292 discipline).
-    "q310_bradley_terry" -> ((s, dir) => {
-      val li = lineitem(s, dir)
-        .filter(col("l_suppkey") <= 100)
-        .select(col("l_orderkey"), col("l_suppkey"),
-          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
-            " AS BIGINT)").as("_p"))
-      val wins = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") =!= col("b.l_suppkey") &&
-          col("a._p") > col("b._p"))
-        .groupBy(col("a.l_suppkey").as("winner"),
-          col("b.l_suppkey").as("loser"))
-        .agg(count(lit(1)).as("n"))
-      Analytics.bradleyTerryFromWins(wins, rounds = 6).orderBy("item")
-    }),
+    "q310_bradley_terry" -> ((s, dir) =>
+      Analytics.bradleyTerryFromWins(supplierWins(s, dir), rounds = 6)
+        .orderBy("item")),
+
+    // ---- preference tier: win-rate matrix + Wilson (NEW r14) ----
+    // The arena dashboard behind q310's scalar rating: per unordered
+    // pair the games, a-wins, Q6 win rate, and the q194 Wilson Q9
+    // lower bound (2-0 records read LOW, not 100%).
+    "q311_win_rate_matrix" -> ((s, dir) =>
+      Analytics.winRateMatrix(supplierWins(s, dir))
+        .orderBy("item_a", "item_b")),
+
+    // ---- preference tier: Condorcet cycle audit (NEW r14) ----
+    // Among triples with three strict-majority edges, the share
+    // forming a directed 3-cycle — intransitive preference data means
+    // q310's scalar rating is averaging away real structure.
+    "q312_preference_cycles" -> ((s, dir) =>
+      Analytics.preferenceCycles(supplierWins(s, dir))),
 
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:

@@ -1644,6 +1644,87 @@ object Analytics {
     s.select(col("i").as("item"), col("s").as("bt_q6"))
   }
 
+  /** Pairwise win-rate matrix with Wilson lower bounds — the arena
+    * dashboard behind [[bradleyTerryFromWins]]' single score (the
+    * rating collapses HOW i beats j; this table keeps it): per
+    * unordered pair (a < b), total games, a's wins, a's Q6 win rate,
+    * and the Q9 Wilson lower bound of a's rate (the q194 kernel — the
+    * small-sample honesty device: a 2-0 record reads a LOW bound, not
+    * 100%). Output ≤ C(|items|, 2) rows.
+    *
+    * Scale shape: one partial-agg'd fold of the directed win table to
+    * unordered pairs; the Wilson bound is the codegen'd native
+    * expression per (bounded) pair row — nothing touches the corpus.
+    */
+  def winRateMatrix(wins: DataFrame): DataFrame = {
+    import graft.plans.GraftExtensions.wilsonLbQ9Native
+    wins
+      .select(least(col("winner"), col("loser")).as("item_a"),
+        greatest(col("winner"), col("loser")).as("item_b"),
+        when(col("winner") < col("loser"), col("n")).otherwise(0L)
+          .as("_wa"),
+        col("n").as("_g"))
+      .groupBy("item_a", "item_b")
+      .agg(sum("_g").as("n_games"), sum("_wa").as("n_a_wins"))
+      .withColumn("win_rate_q6", expr(
+        "CAST((CAST(n_a_wins AS DECIMAL(38,0)) * 1000000) DIV n_games" +
+          " AS BIGINT)"))
+      .withColumn("wilson_lb_q9",
+        wilsonLbQ9Native(col("n_games"), col("n_a_wins")))
+      .select(col("item_a"), col("item_b"), col("n_games"),
+        col("n_a_wins"), col("win_rate_q6"), col("wilson_lb_q9"))
+  }
+
+  /** Preference-cycle (Condorcet transitivity) audit over a pairwise
+    * win table — "can these contests be summarized by ANY ranking at
+    * all": among item triples whose three pairs each have a strict
+    * majority winner, the share forming a directed 3-cycle
+    * (i beats j beats k beats i). A high cyclic rate means the
+    * preference data is intransitive and a scalar rating
+    * ([[bradleyTerryFromWins]]) is averaging away real structure —
+    * the standard sanity check run on judge/arena data before
+    * fitting. One row: (n_majority_pairs, n_triangles, n_cyclic,
+    * cyclic_rate_q6).
+    *
+    * Scale shape: majority edges are a ≤C(|items|,2)-row fold of the
+    * win table; the triangle join is the bounded-edge wedge join
+    * (items are bounded by construction of any pairwise-contest
+    * design). Nothing touches the corpus.
+    */
+  def preferenceCycles(wins: DataFrame): DataFrame = {
+    // strict-majority directed edge per unordered pair (ties drop)
+    val e = wins
+      .select(least(col("winner"), col("loser")).as("i"),
+        greatest(col("winner"), col("loser")).as("j"),
+        when(col("winner") < col("loser"), col("n")).otherwise(0L)
+          .as("_wi"),
+        col("n").as("_g"))
+      .groupBy("i", "j").agg(sum("_wi").as("_wi"), sum("_g").as("_g"))
+      .filter(col("_wi") * 2 =!= col("_g")) // strict majority only
+      .select(col("i"), col("j"),
+        (col("_wi") * 2 > col("_g")).as("_iwins"))
+    val eIJ = e.select(col("i").as("_a"), col("j").as("_b"),
+      col("_iwins").as("_ab"))
+    val eJK = e.select(col("i").as("_b"), col("j").as("_c"),
+      col("_iwins").as("_bc"))
+    val eIK = e.select(col("i").as("_a"), col("j").as("_c"),
+      col("_iwins").as("_ac"))
+    // triples a < b < c with all three majority edges present; cyclic
+    // iff the directions chain: a→b→c→a or a←b←c←a
+    val tri = eIJ.join(eJK, Seq("_b")).join(eIK, Seq("_a", "_c"))
+      .withColumn("_cyc",
+        (col("_ab") && col("_bc") && !col("_ac")) ||
+          (!col("_ab") && !col("_bc") && col("_ac")))
+    val nPairs = e.agg(count(lit(1)).as("n_majority_pairs"))
+    val agg = tri.agg(count(lit(1)).as("n_triangles"),
+      coalesce(sum(when(col("_cyc"), 1L).otherwise(0L)), lit(0L))
+        .as("n_cyclic"))
+    nPairs.crossJoin(agg)
+      .withColumn("cyclic_rate_q6", when(col("n_triangles") > 0, expr(
+        "CAST((CAST(n_cyclic AS DECIMAL(38,0)) * 1000000)" +
+          " DIV n_triangles AS BIGINT)")))
+  }
+
   /** Top-k + probability readout over (src, dst, n) transition cells —
     * exposed separately (the calibrationCells discipline) so the
     * streaming pair builder shares the batch readout + oracle.

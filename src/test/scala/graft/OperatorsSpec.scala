@@ -2952,6 +2952,38 @@ class OperatorsSpec extends SparkSpec {
     assert(mean > 900000L && mean <= 1000001L)
   }
 
+  test("winRateMatrix: directed folds to unordered; Wilson matches the kernel") {
+    val wins = Seq((1L, 2L, 3L), (2L, 1L, 1L), (3L, 1L, 2L))
+      .toDF("winner", "loser", "n")
+    val got = graft.operators.Analytics.winRateMatrix(wins)
+      .orderBy("item_a", "item_b")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) == List(
+      (1L, 2L, 4L, 3L, 750000L),
+      (1L, 3L, 2L, 0L, 0L)))
+    assert(got.head._6 == graft.functions.FixedMath.wilsonLbQ9(4L, 3L))
+    assert(got(1)._6 == graft.functions.FixedMath.wilsonLbQ9(2L, 0L))
+  }
+
+  test("preferenceCycles: a rock-paper-scissors triple is cyclic; a transitive one is not; ties drop") {
+    val rps = Seq((1L, 2L, 2L), (2L, 3L, 2L), (3L, 1L, 2L))
+      .toDF("winner", "loser", "n")
+    val c = graft.operators.Analytics.preferenceCycles(rps)
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(c == ((3L, 1L, 1L, Some(1000000L))))
+    val trans = Seq((1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 2L))
+      .toDF("winner", "loser", "n")
+    val t = graft.operators.Analytics.preferenceCycles(trans)
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(t == ((3L, 1L, 0L, Some(0L))))
+    // an exactly-tied pair carries no majority edge: triangle vanishes
+    val tied = Seq((1L, 2L, 2L), (2L, 1L, 2L), (2L, 3L, 2L),
+      (3L, 1L, 2L)).toDF("winner", "loser", "n")
+    val d = graft.operators.Analytics.preferenceCycles(tied)
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(d == ((2L, 0L, 0L, None)))
+  }
+
   test("dupNgramShare: cloned docs read 1e6; unique docs read 0") {
     val docs = Seq(
       ("a", "abcdefghijklmnop"),  // identical pair across domains
