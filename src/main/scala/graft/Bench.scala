@@ -95,7 +95,8 @@ object Bench {
     "q297_domain_divergence", // pairwise JS over unigram dists (NEW r14)
     "q298_psi_over_time",  // PSI per day vs global baseline (NEW r14)
     "q299_token_budget",   // per-domain BPE token budget (NEW r14)
-    "q300_dup_ngram_share") // exact-substring dup exposure (NEW r14)
+    "q300_dup_ngram_share", // exact-substring dup exposure (NEW r14)
+    "q310_bradley_terry")  // preference-rating MM fixed point (NEW r14)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine
