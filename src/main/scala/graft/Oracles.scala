@@ -5573,7 +5573,70 @@ object Oracles {
        |    END AS BIGINT) AS cyclic_rate_q6
        |FROM np, ag""".stripMargin
 
+  /** q313: `Sketches.dyadicHistogram` over per-doc whitespace token
+    * counts — the q241 octave/cell replay on the q79 token convention
+    * (zero-token docs drop, as the sketch's >0 domain requires).
+    */
+  def q313SeqLenProfile: String =
+    """WITH v AS (SELECT CAST(COALESCE(len(list_filter(
+      |    string_split_regex(text, '\s+'), w -> length(w) > 0)), 0)
+      |    AS BIGINT) AS x
+      |  FROM documents),
+      |p AS (SELECT x FROM v WHERE x > 0),
+      |o AS (SELECT x, CAST(length(bin(x)) AS BIGINT) AS oct,
+      |    (1::BIGINT << (length(bin(x)) - 1)) AS lo FROM p)
+      |SELECT oct, CAST(CASE WHEN oct = 1 THEN 0
+      |    ELSE (8 * (x - lo)) // lo END AS BIGINT) AS cell,
+      |  COUNT(*)::BIGINT AS n
+      |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q314: `TextAnalysis.langTokenBudget` — q288's langId replay per
+    * doc, bytes + q79 whitespace tokens, per-language budget readout.
+    */
+  def q314LangTokenBudget: String =
+    """WITH w AS (
+      |  SELECT doc_id, w FROM documents,
+      |    unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+')) AS t(w)
+      |  WHERE w <> ''),
+      |h AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN w IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit') THEN 1 ELSE 0 END) AS h_de,
+      |    SUM(CASE WHEN w IN ('the','and','of','to','in','is','that','it','was','for') THEN 1 ELSE 0 END) AS h_en,
+      |    SUM(CASE WHEN w IN ('el','la','los','las','y','es','un','una','que','por') THEN 1 ELSE 0 END) AS h_es,
+      |    SUM(CASE WHEN w IN ('le','la','les','et','est','une','un','que','pour','dans') THEN 1 ELSE 0 END) AS h_fr,
+      |    SUM(CASE WHEN w IN ('il','la','di','e','che','un','una','per','non','sono') THEN 1 ELSE 0 END) AS h_it,
+      |    SUM(CASE WHEN w IN ('de','het','een','en','van','is','dat','niet','met','op') THEN 1 ELSE 0 END) AS h_nl
+      |  FROM w GROUP BY doc_id),
+      |p AS (SELECT
+      |  CASE
+      |    WHEN h.doc_id IS NULL OR GREATEST(h_de,h_en,h_es,h_fr,h_it,h_nl) = 0 THEN 'und'
+      |    WHEN h_de >= GREATEST(h_en,h_es,h_fr,h_it,h_nl) THEN 'de'
+      |    WHEN h_en >= GREATEST(h_es,h_fr,h_it,h_nl) THEN 'en'
+      |    WHEN h_es >= GREATEST(h_fr,h_it,h_nl) THEN 'es'
+      |    WHEN h_fr >= GREATEST(h_it,h_nl) THEN 'fr'
+      |    WHEN h_it >= h_nl THEN 'it'
+      |    ELSE 'nl' END AS lang_pred,
+      |  COALESCE(strlen(d.text), 0) AS bytes,
+      |  COALESCE(len(list_filter(string_split_regex(d.text, '\s+'),
+      |    x -> length(x) > 0)), 0) AS toks
+      |  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id),
+      |c AS (SELECT lang_pred, COUNT(*) AS n_docs, SUM(bytes) AS n_bytes,
+      |    SUM(toks) AS n_tokens FROM p GROUP BY 1),
+      |t AS (SELECT SUM(n_tokens) AS tt FROM c)
+      |SELECT lang_pred, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_bytes AS BIGINT) AS n_bytes,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(CASE WHEN tt > 0 THEN
+      |    (CAST(n_tokens AS HUGEINT) * 1000000) // tt END AS BIGINT)
+      |    AS token_share_q6,
+      |  CAST(CASE WHEN n_bytes > 0 THEN
+      |    (CAST(n_tokens AS HUGEINT) * 100000000) // n_bytes END
+      |    AS BIGINT) AS fertility_q6
+      |FROM c, t ORDER BY lang_pred""".stripMargin
+
   def generated: Map[String, String] = Map(
+    "q313_seq_len_profile" -> q313SeqLenProfile,
+    "q314_lang_token_budget" -> q314LangTokenBudget,
     "q311_win_rate_matrix" -> q311WinRateMatrix,
     "q312_preference_cycles" -> q312PreferenceCycles,
     "q307_cross_domain_dups" -> q307CrossDomainDups,

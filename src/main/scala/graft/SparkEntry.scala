@@ -3554,6 +3554,26 @@ object SparkEntry {
       Analytics.winRateMatrix(supplierWins(s, dir))
         .orderBy("item_a", "item_b")),
 
+    // ---- packing tier: sequence-length profile (NEW r14) ----
+    // Dyadic octave histogram of per-doc whitespace token counts (the
+    // q241 sketch over the q79 convention) — the corpus length SHAPE
+    // q303's budget costs are read against.
+    "q313_seq_len_profile" -> ((s, dir) =>
+      graft.operators.Sketches.dyadicHistogram(
+          documents(s, dir).select(greatest(lit(0L), coalesce(
+            TextAnalysis.tokenCountWs(col("text")).cast("long"),
+            lit(0L))).as("n_tok")),
+          "n_tok")
+        .orderBy("oct", "cell")),
+
+    // ---- corpus-curation tier: per-language token budget (NEW r14) ----
+    // q299's budget question in LANGUAGE space (domains mix languages;
+    // a multilingual mixture is planned per language) — q23's langId
+    // heuristic crosstabbed with bytes + q79 whitespace tokens.
+    "q314_lang_token_budget" -> ((s, dir) =>
+      TextAnalysis.langTokenBudget(documents(s, dir))
+        .orderBy("lang_pred")),
+
     // ---- preference tier: Condorcet cycle audit (NEW r14) ----
     // Among triples with three strict-majority edges, the share
     // forming a directed 3-cycle — intransitive preference data means

@@ -34,31 +34,29 @@ object TextAnalysis {
     "he", "she", "they", "we", "you", "i", "his", "her", "their", "have",
     "has", "had", "do", "does", "did", "will", "would", "can", "could")
 
-  private val markersByLang: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "une", "un", "que", "pour", "dans"),
-    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
-    "nl" -> Seq("de", "het", "een", "en", "van", "is", "dat", "niet", "met", "op"),
-    "it" -> Seq("il", "la", "di", "e", "che", "un", "una", "per", "non", "sono"))
+  // marker table lives in functions.LangMarkers (single source of
+  // truth shared with the native mask expression and its oracles)
+  private val markersByLang: Map[String, Seq[String]] =
+    graft.functions.LangMarkers.markersByLang
 
   /** Heuristic language ID: the language whose stopword-marker list hits
     * the most tokens; ties break alphabetically; no hits → "und"
     * (undetermined). N-gram/stopword heuristics are the standard public
     * approach (langid.py-style) shrunk to an expression.
+    *
+    * Hot-path shape (r14): each token is scored by ONE native hash
+    * probe ([[graft.plans.GraftExtensions.langMarkerMaskNative]] →
+    * per-language bitmask) and the per-language hit counts are bit
+    * tests over the small int array — the previous form ran six
+    * 10-literal `IN` scans per token, which the 100× sweep measured
+    * as 353 s of the q314 corpus pass (now scan-speed). Same hits,
+    * same tiebreak, same answers — all langId oracles unchanged.
     */
-  def langId(text: Column): Column = {
-    val ws = words(text)
-    val scored = markersByLang.toSeq.sortBy(_._1).zipWithIndex.map {
-      case ((lang, markers), i) =>
-        struct(
-          size(filter(ws, w => w.isin(markers.map(lit): _*))).as("hits"),
-          lit(-i).as("tiebreak"), // greatest → alphabetically-first wins ties
-          lit(lang).as("lang"))
-    }
-    val best = greatest(scored: _*)
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def langId(text: Column): Column =
+    // null text → null words array → null-propagating native expr;
+    // the contract (and every oracle's LEFT JOIN) reads null as "und"
+    coalesce(graft.plans.GraftExtensions.langIdNative(words(text)),
+      lit("und"))
 
   /** Quality features: lengths, ratios used by public corpus filters
     * (C4/Gopher-style rules): word count, mean word length, stopword
@@ -1604,6 +1602,42 @@ object TextAnalysis {
       else None
     Seq((xy.length.toLong, pool.head._2, alpha))
       .toDF("n_terms", "top_freq", "alpha_q6")
+  }
+
+  /** Per-LANGUAGE token budget — [[tokenBudgetBySource]]'s question
+    * crosstabbed by the [[langId]] heuristic instead of the domain
+    * column (a multilingual mixture is planned in language space;
+    * domains mix languages, q288's finding): per predicted language
+    * its doc count, byte count, whitespace token count (the q79
+    * convention — fertility ACROSS languages is exactly where a
+    * byte-level tokenizer's cost varies, so bytes-per-token here is
+    * the signal a tokenizer budget is planned from), Q6 token share
+    * and Q6 tokens-per-100-bytes fertility.
+    *
+    * Scale shape: one scan scoring langId + counts map-side, one
+    * partial-agg'd groupBy to ≤|langs|+1 rows, broadcast 1-row total.
+    */
+  def langTokenBudget(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val cells = docs
+      .select(langId(col(textCol)).as("lang_pred"),
+        coalesce(octet_length(col(textCol)), lit(0)).cast("long")
+          .as("_bytes"),
+        greatest(lit(0L), coalesce(tokenCountWs(col(textCol))
+          .cast("long"), lit(0L))).as("_toks"))
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"), sum("_bytes").as("n_bytes"),
+        sum("_toks").as("n_tokens"))
+    val tot = cells.agg(sum("n_tokens").as("_tt"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("token_share_q6", expr(
+        "CAST(CASE WHEN _tt > 0 THEN (CAST(n_tokens AS DECIMAL(38,0))" +
+          " * 1000000) DIV _tt END AS BIGINT)"))
+      .withColumn("fertility_q6", expr(
+        "CAST(CASE WHEN n_bytes > 0 THEN (CAST(n_tokens AS" +
+          " DECIMAL(38,0)) * 100000000) DIV n_bytes END AS BIGINT)"))
+      .select(col("lang_pred"), col("n_docs"), col("n_bytes"),
+        col("n_tokens"), col("token_share_q6"), col("fertility_q6"))
   }
 
   /** [[tokenBudgetBySource]]'s readout over prebuilt cells. */

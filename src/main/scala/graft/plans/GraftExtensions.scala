@@ -225,6 +225,25 @@ object GraftExtensions {
     ColumnShim.column(FixedPointIsqrt(ColumnShim.expression(k)))
   }
 
+  /** Registration-free word → language-marker bitmask (see
+    * [[cosineNative]]): one static hash probe per token — the langId
+    * hot-path kernel (bit i ↔ LangMarkers.langs(i)).
+    */
+  def langMarkerMaskNative(word: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(LangMarkerMask(ColumnShim.expression(word)))
+  }
+
+  /** Registration-free langId verdict over a tokenized words array
+    * (see [[cosineNative]]): the whole 6-language score+argmax in one
+    * array pass — HOF forms re-evaluate the tokenization per language
+    * (codegen subexpression elimination skips higher-order functions).
+    */
+  def langIdNative(words: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(LangIdFromWords(ColumnShim.expression(words)))
+  }
+
   /** Registration-free k-char shingle digests (see [[cosineNative]]):
     * sorted distinct FNV-1a window digests with zero substring
     * allocation — the set-similarity build kernel. Pass lowered text.

@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native word → language-marker bitmask (see
+  * [[graft.functions.LangMarkers]]): ONE static hash probe per token
+  * inside whole-stage codegen, replacing the per-language `IN`-list
+  * scans in the langId hot path. The langId consumers run this over
+  * every token of the corpus — at 100 TB this is scan-speed work or
+  * it is the bottleneck (the r14 q314 100×-sweep lesson: 353 s of
+  * marker `IN` compares on an otherwise sub-minute query). Bit i of
+  * the mask ↔ LangMarkers.langs(i) (sorted codes — the alphabetical
+  * tiebreak is positional).
+  */
+case class LangMarkerMask(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_lang_mask requires a STRING argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(w: Any): Any =
+    graft.functions.LangMarkers.mask(w.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"graft.functions.LangMarkers.mask($w)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangMarkerMask =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_lang_mask"
+}
+
+/** Native langId verdict over a TOKENIZED words array (see
+  * [[graft.functions.LangMarkers.langId]]): one pass, one hash probe
+  * per token, argmax + alphabetical tiebreak in Java. The child is
+  * Spark's own `words()` split — tokenization semantics (and thus
+  * every langId oracle) are untouched; this expression only collapses
+  * the 6-language scoring that whole-stage codegen could not
+  * common-subexpression-eliminate across higher-order functions.
+  */
+case class LangIdFromWords(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_lang_id requires ARRAY<STRING>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(ws: Any): Any =
+    graft.functions.LangMarkers.langId(
+      ws.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      ws => s"graft.functions.LangMarkers.langId($ws)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdFromWords =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_lang_id"
+}

@@ -2984,6 +2984,26 @@ class OperatorsSpec extends SparkSpec {
     assert(d == ((2L, 0L, 0L, None)))
   }
 
+  test("langTokenBudget: language attribution and budget arithmetic agree with langId") {
+    val docs = Seq(
+      ("the cat and the dog is here"),   // en
+      ("der hund und die katze ist da"), // de
+      ("zz qq ww"),                      // no markers -> und
+      (null: String))                    // null -> und, 0 bytes/tokens
+      .toDF("text")
+    val rows = graft.operators.TextAnalysis.langTokenBudget(docs)
+      .orderBy("lang_pred")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toList
+    assert(rows.map(r => (r._1, r._2)) ==
+      List(("de", 1L), ("en", 1L), ("und", 2L)))
+    val tt = rows.map(_._4).sum
+    rows.foreach { r =>
+      assert(r._5.contains(r._4 * 1000000L / tt))
+      if (r._3 > 0) assert(r._6.contains(r._4 * 100000000L / r._3))
+    }
+  }
+
   test("dupNgramShare: cloned docs read 1e6; unique docs read 0") {
     val docs = Seq(
       ("a", "abcdefghijklmnop"),  // identical pair across domains
