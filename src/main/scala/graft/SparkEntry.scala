@@ -1457,14 +1457,16 @@ object SparkEntry {
 
     // ---- north star: text statistics ----
     "q22_text_stats" -> ((s, dir) => {
-      val d = documents(s, dir)
-      val ws = TextAnalysis.words(col("text"))
-      d.select(
-        col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"),
-        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"),
-        size(ws).cast("long").as("n_words"),
-        size(array_distinct(ws)).cast("long").as("n_unique_words"))
+      // _ws materialized: two references of an inline words() would
+      // run the regex split twice (HOFs sit outside codegen CSE)
+      documents(s, dir)
+        .withColumn("_ws", TextAnalysis.words(col("text")))
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+          size(col("_ws")).cast("long").as("n_words"),
+          size(array_distinct(col("_ws"))).cast("long").as("n_unique_words"))
         .orderBy("doc_id")
     }),
 
@@ -2672,14 +2674,20 @@ object SparkEntry {
 
     // ---- north star: C4/Gopher-style quality scoring ----
     "q66_quality_score" -> ((s, dir) => {
-      val f = TextAnalysis.qualityFeatures(col("text"))
+      // two-Project shape (r14): inline, the 6 feature references each
+      // re-tokenize — HOFs are outside codegen subexpression
+      // elimination; a multi-referenced non-cheap alias is not
+      // collapsed, so _ws/_f evaluate once
       documents(s, dir)
+        .withColumn("_ws", TextAnalysis.words(col("text")))
+        .withColumn("_f",
+          TextAnalysis.qualityFeaturesFromWords(col("text"), col("_ws")))
         .select(col("doc_id"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
-          f.getField("n_words").cast("long").as("n_words"),
-          f.getField("mean_word_len").as("mean_word_len"),
-          f.getField("stopword_ratio").as("stopword_ratio"),
-          f.getField("punct_ratio").as("punct_ratio"))
+          TextAnalysis.qualityScoreFromFeatures(col("_f")).as("quality"),
+          col("_f").getField("n_words").cast("long").as("n_words"),
+          col("_f").getField("mean_word_len").as("mean_word_len"),
+          col("_f").getField("stopword_ratio").as("stopword_ratio"),
+          col("_f").getField("punct_ratio").as("punct_ratio"))
         .orderBy("doc_id")
     }),
 

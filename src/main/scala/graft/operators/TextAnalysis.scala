@@ -62,8 +62,20 @@ object TextAnalysis {
     * (C4/Gopher-style rules): word count, mean word length, stopword
     * ratio, punctuation ratio, uppercase ratio, digit ratio.
     */
-  def qualityFeatures(text: Column): Column = {
-    val ws = words(text)
+  def qualityFeatures(text: Column): Column =
+    qualityFeaturesFromWords(text, words(text))
+
+  /** [[qualityFeatures]] with the tokenized array supplied — pass a
+    * MATERIALIZED `_ws` column (a preceding `withColumn("_ws",
+    * words(text))`) when the struct is consumed more than once:
+    * whole-stage codegen's subexpression elimination does not cover
+    * higher-order functions, so every reference of an inline
+    * `words(text)` re-runs the corpus regex split (the r14 langId
+    * lesson — 6× tokenization). A multi-referenced non-cheap alias is
+    * NOT collapsed by CollapseProject, so the two-Project shape
+    * evaluates the split exactly once.
+    */
+  def qualityFeaturesFromWords(text: Column, ws: Column): Column = {
     val nChars = length(text)
     val nWords = size(ws)
     val stopHits = size(filter(ws, w => w.isin(stopwordsEn.map(lit): _*)))
@@ -85,8 +97,15 @@ object TextAnalysis {
     * rules (word count in range, mean word length sane, enough stopwords,
     * not mostly punctuation/digits).
     */
-  def qualityScore(text: Column): Column = {
-    val f = qualityFeatures(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreFromFeatures(qualityFeatures(text))
+
+  /** [[qualityScore]] over an already-computed features struct — pass
+    * a MATERIALIZED features column when it is consumed alongside the
+    * individual fields (see [[qualityFeaturesFromWords]]; the struct
+    * references the tokenization five times).
+    */
+  def qualityScoreFromFeatures(f: Column): Column = {
     val rules = Seq(
       f.getField("n_words").between(5, 100000),
       f.getField("mean_word_len").between(2.0, 12.0),
@@ -542,11 +561,19 @@ object TextAnalysis {
     * [[words]] ASCII tokenizer (oracle agreement by construction);
     * lines split on `\r?\n` (the q87 CRLF discipline).
     */
-  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+  def gopherRules(docs0: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", carry: Seq[String] = Nil): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
-    val ws = words(text)
-    val lines = split(text, "\r?\n")
+    // materialize the tokenizations ONCE (multi-referenced non-cheap
+    // aliases survive CollapseProject): the rule columns reference the
+    // word array 4× and the line array 3×, and codegen subexpression
+    // elimination does not cover HOFs — inline, each reference re-runs
+    // the corpus regex split (the r14 langId lesson)
+    val docs = docs0
+      .withColumn("_gr_ws", words(text))
+      .withColumn("_gr_lines", split(text, "\r?\n"))
+    val ws = col("_gr_ws")
+    val lines = col("_gr_lines")
     val nWords = size(ws).cast("long")
     val totalChars = coalesce(aggregate(ws, lit(0L),
       (acc, w) => acc + length(w).cast("long")), lit(0L))
@@ -998,17 +1025,26 @@ object TextAnalysis {
         array_join(col("_chunk"), " ").as("chunk_text"))
   }
 
-  /** Full document-analysis projection over a documents table. */
+  /** Full document-analysis projection over a documents table. The
+    * words array and the features struct materialize as their own
+    * columns (the [[qualityFeaturesFromWords]] two-Project shape), so
+    * the corpus tokenizes once and the features evaluate once.
+    */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    docs.select(
-      col(idCol),
-      langId(col(textCol)).as("lang_pred"),
-      tokenCountWs(col(textCol)).cast("long").as("n_tokens_ws"),
-      tokenCountBpe(col(textCol)).cast("long").as("n_tokens_bpe"),
-      qualityFeatures(col(textCol)).as("quality"),
-      qualityScore(col(textCol)).as("quality_score"),
-      fingerprint(col(textCol)).as("fingerprint"))
+    docs
+      .withColumn("_an_ws", words(col(textCol)))
+      .withColumn("_an_q",
+        qualityFeaturesFromWords(col(textCol), col("_an_ws")))
+      .select(
+        col(idCol),
+        coalesce(graft.plans.GraftExtensions.langIdNative(col("_an_ws")),
+          lit("und")).as("lang_pred"),
+        tokenCountWs(col(textCol)).cast("long").as("n_tokens_ws"),
+        tokenCountBpe(col(textCol)).cast("long").as("n_tokens_bpe"),
+        col("_an_q").as("quality"),
+        qualityScoreFromFeatures(col("_an_q")).as("quality_score"),
+        fingerprint(col(textCol)).as("fingerprint"))
 
   /** N-gram novelty score against a reference corpus: per document,
     * how many of its DISTINCT word-`n`-grams do NOT occur anywhere in
