@@ -5571,7 +5571,7 @@ object Oracles {
        |  CAST(CASE WHEN ag.n_triangles > 0 THEN
        |    (CAST(ag.n_cyclic AS HUGEINT) * 1000000) // ag.n_triangles
        |    END AS BIGINT) AS cyclic_rate_q6
-       |FROM np, ag""".stripMargin
+       |FROM np, ag ORDER BY n_majority_pairs""".stripMargin
 
   /** q313: `Sketches.dyadicHistogram` over per-doc whitespace token
     * counts — the q241 octave/cell replay on the q79 token convention

@@ -1479,18 +1479,24 @@ object SparkEntry {
 
     // ---- north star: content fingerprint (md5-min over word 8-grams) ----
     "q24_fingerprint" -> ((s, dir) => {
-      val ng = TextAnalysis.wordNgrams(col("text"), 8)
+      // _ws materialized: wordNgrams' two internal references of an
+      // inline words() re-tokenize (HOFs sit outside codegen CSE)
       documents(s, dir)
+        .withColumn("_ws", TextAnalysis.words(col("text")))
         .select(col("doc_id"),
-          array_min(transform(ng, g => md5(g))).as("fingerprint"))
+          array_min(transform(
+            TextAnalysis.wordNgramsFromWords(col("_ws"), 8),
+            g => md5(g))).as("fingerprint"))
         .orderBy("doc_id")
     }),
 
     // ---- north star: n-gram vocabulary per doc ----
     "q25_ngram_count" -> ((s, dir) => {
       documents(s, dir)
+        .withColumn("_ws", TextAnalysis.words(col("text")))
         .select(col("doc_id"),
-          size(array_distinct(TextAnalysis.wordNgrams(col("text"), 3)))
+          size(array_distinct(
+            TextAnalysis.wordNgramsFromWords(col("_ws"), 3)))
             .cast("long").as("n_distinct_3grams"))
         .orderBy("doc_id")
     }),
@@ -3825,12 +3831,19 @@ object SparkEntry {
 
     // ---- north star: duplicate-ngram repetition filter (Gopher-style) ----
     "q71_repetition" -> ((s, dir) => {
-      val ng = TextAnalysis.wordNgrams(col("text"), 3)
+      // _ws AND _ng materialized: inline, this query built the 3-gram
+      // string array FOUR times (size + distinct + twice inside the
+      // ratio), each build itself tokenizing twice — 8 corpus regex
+      // splits per row (HOFs sit outside codegen CSE)
       documents(s, dir)
+        .withColumn("_ws", TextAnalysis.words(col("text")))
+        .withColumn("_ng", TextAnalysis.wordNgramsFromWords(col("_ws"), 3))
         .select(col("doc_id"),
-          size(ng).cast("long").as("n_3grams"),
-          size(array_distinct(ng)).cast("long").as("distinct_3grams"),
-          TextAnalysis.repetitionRatio(col("text"), 3).as("rep_ratio"))
+          size(col("_ng")).cast("long").as("n_3grams"),
+          size(array_distinct(col("_ng"))).cast("long")
+            .as("distinct_3grams"),
+          TextAnalysis.repetitionRatioFromNgrams(col("_ng"))
+            .as("rep_ratio"))
         .orderBy("doc_id")
     }),
 

@@ -120,13 +120,26 @@ object TextAnalysis {
     * reordered lightly still collides on shared runs.
     */
   def fingerprint(text: Column, ngram: Int = 8): Column =
-    array_min(transform(wordNgrams(text, ngram), g => xxhash64(g)))
+    fingerprintFromWords(words(text), ngram)
+
+  /** [[fingerprint]] over an already-tokenized array (see
+    * [[wordNgramsFromWords]]). */
+  def fingerprintFromWords(ws: Column, ngram: Int = 8): Column =
+    array_min(transform(wordNgramsFromWords(ws, ngram), g => xxhash64(g)))
 
   /** Word n-grams as strings (building block for Jaccard / counting).
     * Full n-grams only; fewer than n words → empty array.
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val ws = words(text)
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsFromWords(words(text), n)
+
+  /** [[wordNgrams]] over an already-tokenized array — pass a
+    * MATERIALIZED `_ws` column when possible: inline, the two internal
+    * references of `words(text)` (count + slice source) re-run the
+    * corpus regex split, and HOFs sit outside codegen subexpression
+    * elimination (the r14 langId lesson).
+    */
+  def wordNgramsFromWords(ws: Column, n: Int): Column = {
     val cnt = size(ws) - (n - 1)
     when(cnt >= 1,
       transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(ws, i, lit(n)))))
@@ -171,8 +184,15 @@ object TextAnalysis {
     * `(total − distinct) / total` — a standard published signal for
     * boilerplate/spam. 0 for texts with fewer than n words.
     */
-  def repetitionRatio(text: Column, n: Int = 3): Column = {
-    val ng = wordNgrams(text, n)
+  def repetitionRatio(text: Column, n: Int = 3): Column =
+    repetitionRatioFromNgrams(wordNgrams(text, n))
+
+  /** [[repetitionRatio]] over an already-built n-gram array — pass a
+    * MATERIALIZED column: the ratio references the array twice, and an
+    * inline build costs two tokenizations plus the gram-string
+    * allocation PER REFERENCE (see [[wordNgramsFromWords]]).
+    */
+  def repetitionRatioFromNgrams(ng: Column): Column = {
     val total = size(ng)
     (total - size(array_distinct(ng))).cast("double") / greatest(total, lit(1))
   }
@@ -186,7 +206,8 @@ object TextAnalysis {
     */
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 100,
       textCol: String = "text"): DataFrame =
-    docs.select(explode(wordNgrams(col(textCol), n)).as("gram"))
+    docs.withColumn("_tn_ws", words(col(textCol))) // one tokenize
+      .select(explode(wordNgramsFromWords(col("_tn_ws"), n)).as("gram"))
       .groupBy("gram").agg(count("*").as("cnt"))
       .orderBy(col("cnt").desc, col("gram"))
       .limit(k)
@@ -967,15 +988,19 @@ object TextAnalysis {
   def readability(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
-    val ws = words(t)
-    val nW = size(ws).cast("long")
+    // _ws materialized (HOFs are outside codegen CSE — inline, nW and
+    // nY would each re-tokenize); syllables via the native byte-wise
+    // vowel-run kernel — the HOF regexp_extract_all form paid a regex
+    // Matcher + match-array allocation PER WORD, the worst hot path
+    // the r14 100× ForceSweep found (>20 min for the 5M-doc corpus)
     val nS = size(filter(split(lower(t), "[.!?]+"),
       s => s.rlike("[a-z0-9]"))).cast("long")
-    val nY = aggregate(ws, lit(0L), (acc, w) => acc +
-      greatest(lit(1), size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))))
-        .cast("long"))
-    docs.select(col(idCol), nW.as("n_words"), nS.as("n_sentences"),
-        nY.as("n_syllables"))
+    docs
+      .withColumn("_rd_ws", words(t))
+      .select(col(idCol), size(col("_rd_ws")).cast("long").as("n_words"),
+        nS.as("n_sentences"),
+        graft.plans.GraftExtensions.syllableSumNative(col("_rd_ws"))
+          .as("n_syllables"))
       .withColumn("fk_grade",
         when(col("n_words") === 0L, lit(null).cast("double"))
           .otherwise(
@@ -1044,7 +1069,7 @@ object TextAnalysis {
         tokenCountBpe(col(textCol)).cast("long").as("n_tokens_bpe"),
         col("_an_q").as("quality"),
         qualityScoreFromFeatures(col("_an_q")).as("quality_score"),
-        fingerprint(col(textCol)).as("fingerprint"))
+        fingerprintFromWords(col("_an_ws")).as("fingerprint"))
 
   /** N-gram novelty score against a reference corpus: per document,
     * how many of its DISTINCT word-`n`-grams do NOT occur anywhere in
@@ -1068,8 +1093,10 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text",
       hashGrams: Boolean = true): DataFrame = {
     def grams(df: DataFrame, keep: Seq[String]): DataFrame = df
+      .withColumn("_nn_ws", words(col(textCol))) // one tokenize
       .select(keep.map(col) :+
-        explode(array_distinct(wordNgrams(col(textCol), n))).as("_g"): _*)
+        explode(array_distinct(wordNgramsFromWords(col("_nn_ws"), n)))
+          .as("_g"): _*)
       .select(keep.map(col) :+
         (if (hashGrams) xxhash64(col("_g")) else col("_g")).as("_gram"): _*)
     val ref = grams(reference, Nil).distinct()
@@ -1147,11 +1174,15 @@ object TextAnalysis {
     val lines = docs
       .select(col(idCol), explode(split(col(textCol), "\n")).as("_l"))
       .filter(trim(col("_l")) =!= "")
-    val votes = lines
+    // materialized: four readouts (totals, entropy, majority, runner-
+    // up) branch off this table — un-materialized, each branch re-runs
+    // the line-explode + langId corpus scan; the cells are ≤|docs|·6
+    // rows, doc-scale
+    val votes = Dedup.materialize(lines
       .select(col(idCol), langId(col("_l")).as("_lang"))
       .filter(col("_lang") =!= "und")
       .groupBy(col(idCol), col("_lang"))
-      .agg(count(lit(1)).as("_c"))
+      .agg(count(lit(1)).as("_c")))
     val tot = votes.groupBy(idCol)
       .agg(sum("_c").as("_n"), count(lit(1)).as("n_langs"))
     def ln(c: Column) = graft.plans.GraftExtensions.lnQ12Native(c)

@@ -244,6 +244,16 @@ object GraftExtensions {
     ColumnShim.column(LangIdFromWords(ColumnShim.expression(words)))
   }
 
+  /** Registration-free Flesch–Kincaid syllable sum over a tokenized
+    * words array (see [[cosineNative]]): Σ max(1, vowel runs), one
+    * byte-wise pass — the HOF regex form was the r14 sweep's worst
+    * hot path.
+    */
+  def syllableSumNative(words: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(SyllableSum(ColumnShim.expression(words)))
+  }
+
   /** Registration-free k-char shingle digests (see [[cosineNative]]):
     * sorted distinct FNV-1a window digests with zero substring
     * allocation — the set-similarity build kernel. Pass lowered text.

@@ -70,3 +70,37 @@ case class LangIdFromWords(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_lang_id"
 }
+
+/** Native Flesch–Kincaid syllable sum over a TOKENIZED words array
+  * (see [[graft.functions.TextKernels.syllableSum]]): Σ max(1, vowel
+  * runs) in one byte-wise pass. The HOF form
+  * (`aggregate(ws, regexp_extract_all...)`) pays a regex Matcher and
+  * a match-array allocation per word AND re-tokenizes per reference —
+  * the r14 100× sweep measured it at >20 min for the 5M-doc corpus;
+  * this expression is one scan.
+  */
+case class SyllableSum(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_syllable_sum requires ARRAY<STRING>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(ws: Any): Any =
+    graft.functions.TextKernels.syllableSum(
+      ws.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      ws => s"graft.functions.TextKernels.syllableSum($ws)")
+
+  override protected def withNewChildInternal(newChild: Expression): SyllableSum =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_syllable_sum"
+}
