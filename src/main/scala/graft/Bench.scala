@@ -8,6 +8,17 @@ import org.apache.spark.sql.SparkSession
   * Queries are warmed once (JIT + codegen + file-listing) then timed; the
   * timed run executes the full plan to completion via a count-ish action
   * that forces every operator (no partial evaluation).
+  *
+  * The committed record (bench_last.json) is SELF-ATTRIBUTING since r15:
+  * besides per-query median/min it carries all three raw run seconds
+  * (`queries_raw`), each query's start offset (`queries_t`), and a
+  * fixed-work single-thread calibration tick every 10 queries
+  * (`calib_ticks`: {done, t, ms}) run while Spark is idle — so a
+  * sustained ambient-load window is provable FROM the record (the r14
+  * driver run read 2.15× with 17 execution-order-contiguous queries
+  * elevated and the record could not distinguish load from plans).
+  * tools/bench_diff.py consumes these for calibration-normalized
+  * per-query ratios.
   */
 object Bench {
 
@@ -119,6 +130,25 @@ object Bench {
     ms
   }
 
+  /** The same single-thread fixed-work loop WITHOUT the JIT warm pass
+    * (the startup [[calibMs]] already warmed it) — ~300 ms idle. Runs
+    * INTERLEAVED between query groups while Spark is idle, so a
+    * sustained ambient-load window shows up IN the record: the r14
+    * driver bench read 2.15× with a contiguous q147–q233 block elevated
+    * and nothing inside the record could prove load vs plans (min-of-3
+    * moves with the median once contention outlasts one query's three
+    * consecutive runs). With per-query timestamps + these ticks,
+    * bench_diff normalizes each query by the calibration level at its
+    * own moment and the adjudication is mechanical.
+    */
+  private def calibTickMs(): Double = {
+    val t0 = System.nanoTime()
+    val sink = xorshiftRun(160000000L)
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (sink == 42L) System.err.println("calib sink") // defeat DCE
+    ms
+  }
+
   /** Same fixed work run on `threads` OS threads at once, wall time in
     * millis. On an uncontended host with >= `threads` free cores this
     * matches the single-thread time; inflation over `calib_ms` measures
@@ -174,14 +204,25 @@ object Bench {
     val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = subset.fold(headline)(s => headline.filter(s))
-    val results = selected.filter(qs.contains).map { name =>
+    // clock zero for per-query timestamps + interleaved calibration
+    // ticks: the record must be able to attribute a sustained load
+    // window to wall-clock position on its own (r14 verdict item #1)
+    val phaseT0 = System.nanoTime()
+    def tOff: Double = (System.nanoTime() - phaseT0) / 1e9
+    val ticks = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
+    def tick(done: Int): Unit = { val t = tOff; ticks += ((done, t, calibTickMs())) }
+    val toRun = selected.filter(qs.contains)
+    tick(0)
+    val results = toRun.zipWithIndex.map { case (name, idx) =>
       val fn = qs(name)
       try { fn(spark, sfDir).queryExecution.executedPlan; fn(spark, sfDir).count() } // warm
       catch { case _: Throwable => () }
       // 3 timed runs; BOTH the median (robust to one outlier — the
       // headline stat since round 6) and the min (the round-5-and-earlier
       // stat) are reported per query, so round-over-round comparisons
-      // stay possible on either axis across the statistic change.
+      // stay possible on either axis across the statistic change. ALL
+      // three raw seconds land in bench_last.json (queries_raw): min/
+      // median alone cannot reject contention that outlasts one query.
       def timed(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -189,18 +230,28 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      val tStart = tOff
       val runs = Seq.fill(3)(timed())
+      if ((idx + 1) % 10 == 0 && idx + 1 < toRun.size) tick(idx + 1)
       val failed = runs.exists(_ < 0)
       (name, if (failed) -1.0 else runs.sorted.apply(1),
-        if (failed) -1.0 else runs.min)
+        if (failed) -1.0 else runs.min, runs, tStart)
     }
-    val qJson = results.map { case (k, med, _) => "\"" + k + f"\":$med%.3f" }
+    tick(toRun.size)
+    val qJson = results.map { case (k, med, _, _, _) => "\"" + k + f"\":$med%.3f" }
       .mkString("{", ",", "}")
-    val minJson = results.map { case (k, _, mn) => "\"" + k + f"\":$mn%.3f" }
+    val minJson = results.map { case (k, _, mn, _, _) => "\"" + k + f"\":$mn%.3f" }
       .mkString("{", ",", "}")
+    val rawJson = results.map { case (k, _, _, runs, _) =>
+      "\"" + k + "\":[" + runs.map(r => f"$r%.3f").mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val tJson = results.map { case (k, _, _, _, ts) => "\"" + k + f"\":$ts%.1f" }
+      .mkString("{", ",", "}")
+    val ticksJson = ticks.map { case (done, t, ms) =>
+      f"""{"done":$done,"t":$t%.1f,"ms":$ms%.1f}""" }.mkString("[", ",", "]")
     // a failed query must be visible in the total, not silently summed
     // around: the total covers only clean runs and "failed" names the rest
-    val failedNames = results.collect { case (k, med, _) if med < 0 => "\"" + k + "\"" }
+    val failedNames = results.collect { case (k, med, _, _, _) if med < 0 => "\"" + k + "\"" }
     val failedJson = failedNames.mkString("[", ",", "]")
     // A subset re-baseline must never masquerade as a full-board record:
     // it rides "subset":true AND "complete":false in every emitted
@@ -226,7 +277,7 @@ object Bench {
     // calib_mt 528 vs 337 ms) otherwise reads as a 1.3× regression.
     val calibJson =
       f""""calib_mt_ms_pre":$calibMtPre%.0f,"calib_mt_ms_post":$calibMtPost%.0f"""
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":$completeJson,"subset":$isSubset,"failed":$failedJson,"env":$envJson,"queries":$qJson,"queries_min":$minJson,"sf":"$sfDir"}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":$completeJson,"subset":$isSubset,"failed":$failedJson,"env":$envJson,"queries":$qJson,"queries_min":$minJson,"queries_raw":$rawJson,"queries_t":$tJson,"calib_ticks":$ticksJson,"sf":"$sfDir"}"""
     // self-trimming, ITERATIVE (r11 ADVICE: the env-stripped fallback
     // was itself one growth step from overflowing): try progressively
     // smaller lines until one fits the driver's 2000-char tail capture.

@@ -1894,6 +1894,132 @@ object Oracles {
        |FROM h CROSS JOIN o ORDER BY query_id""".stripMargin
   }
 
+  /** q315: `Similarity.ivfProbePlan` — q291's IVF replay generalized
+    * to a probe SWEEP: candidates carry their probe rank (≤ maxProbe),
+    * a VALUES table of probe counts theta-joins them, per-probe
+    * row_number ranking + the q291 hit join gives recall, and scan
+    * cost sums probed-cell sizes; grid-completed per probe count.
+    */
+  def q315IvfProbePlan: String = {
+    val nCells = 16; val iters = 2; val k = 5
+    val probes = Seq(1, 2, 4, 8)
+    val maxP = probes.max
+    val probeVals = probes.map(p => s"($p)").mkString(", ")
+    s"""WITH
+       |${cellAsgnCtes(nCells, iters)},
+       |  probe AS (SELECT vec_id AS query_id, cell, rn AS prn
+       |    FROM (SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |      FROM d$iters WHERE vec_id < 20) WHERE rn <= $maxP),
+       |  cand AS (SELECT p.query_id, p.prn, a.vec_id AS neighbor_id
+       |           FROM probe p JOIN asgn$iters a
+       |           ON p.cell = a.cell AND a.vec_id <> p.query_id),
+       |  iscored AS (SELECT c.query_id, c.neighbor_id, c.prn,
+       |      sum(a.v * b.v)::BIGINT AS dot,
+       |      sum(a.v * a.v)::BIGINT AS na, sum(b.v * b.v)::BIGINT AS nb
+       |    FROM cand c
+       |    JOIN vpos a ON a.vec_id = c.query_id
+       |    JOIN vpos b ON b.vec_id = c.neighbor_id AND b.pos = a.pos
+       |    GROUP BY 1, 2, 3),
+       |  nprobes(p) AS (VALUES $probeVals),
+       |  iranked AS (SELECT np.p, s.query_id, s.neighbor_id,
+       |      row_number() OVER (PARTITION BY np.p, s.query_id ORDER BY
+       |        (CASE WHEN s.na = 0 OR s.nb = 0 THEN 0.0
+       |              ELSE s.dot::DOUBLE / sqrt((s.na * s.nb)::DOUBLE) END)
+       |          DESC, s.neighbor_id)::INT AS rank
+       |    FROM iscored s JOIN nprobes np ON s.prn <= np.p),
+       |  ivf AS (SELECT p, query_id, neighbor_id FROM iranked
+       |    WHERE rank <= $k),
+       |  bq AS (SELECT vec_id AS query_id, embedding AS qe
+       |    FROM embeddings WHERE vec_id < 20),
+       |  bscored AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |      ${cosExpr("qe", "c.embedding")} AS cosine
+       |    FROM bq CROSS JOIN embeddings c WHERE c.vec_id <> bq.query_id),
+       |  branked AS (SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id)::INT AS rank
+       |    FROM bscored),
+       |  truth AS (SELECT query_id, neighbor_id FROM branked
+       |    WHERE rank <= $k),
+       |  h AS (SELECT np.p, COUNT(i.neighbor_id) AS n_hits
+       |    FROM nprobes np CROSS JOIN truth t
+       |    LEFT JOIN ivf i ON i.p = np.p AND i.query_id = t.query_id
+       |      AND i.neighbor_id = t.neighbor_id
+       |    GROUP BY 1),
+       |  nqv AS (SELECT COUNT(DISTINCT query_id) AS nq FROM truth),
+       |  csz AS (SELECT cell, COUNT(*) AS csz FROM asgn$iters GROUP BY 1),
+       |  ncv AS (SELECT COUNT(*) AS nc FROM asgn$iters),
+       |  sc AS (SELECT np.p, SUM(csz.csz) AS rows_scanned
+       |    FROM nprobes np JOIN probe pr ON pr.prn <= np.p
+       |    JOIN csz ON csz.cell = pr.cell GROUP BY 1)
+       |SELECT np.p::BIGINT AS n_probe,
+       |  COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+       |  CASE WHEN nqv.nq > 0 THEN
+       |    CAST((CAST(COALESCE(h.n_hits, 0) AS HUGEINT) * 1000000)
+       |      // (nqv.nq * $k) AS BIGINT) END AS macro_recall_q6,
+       |  COALESCE(sc.rows_scanned, 0)::BIGINT AS rows_scanned,
+       |  CASE WHEN nqv.nq > 0 AND ncv.nc > 0 THEN
+       |    CAST((CAST(COALESCE(sc.rows_scanned, 0) AS HUGEINT) * 1000000)
+       |      // (nqv.nq * ncv.nc) AS BIGINT) END AS scan_share_q6
+       |FROM nprobes np LEFT JOIN h ON h.p = np.p
+       |LEFT JOIN sc ON sc.p = np.p
+       |CROSS JOIN nqv CROSS JOIN ncv
+       |ORDER BY n_probe""".stripMargin
+  }
+
+  /** q316: `Dedup.dedupThresholdSweep` — the q207 collapsed pair CTEs
+    * at τ_min, a VALUES threshold table theta-joined on jaccard, per-τ
+    * pair sums and distinct-group doc sums, grid-completed.
+    */
+  def q316DedupThresholdSweep: String = {
+    val taus = Seq(0.7, 0.8, 0.9, 0.95, 1.0)
+    val tauVals = taus
+      .map(t => s"(${math.round(t * 1e6)}, ${t}::DOUBLE)").mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(1, strlen(lower(text)) - 11)),
+       |    i -> substring(lower(text), i, 12)))) AS tok
+       |  FROM documents),
+       |ds AS (SELECT doc_id, list_sort(list(tok)) AS toks
+       |  FROM tk GROUP BY doc_id),
+       |g AS (SELECT toks, MIN(doc_id) AS id, COUNT(*) AS n
+       |  FROM ds GROUP BY toks),
+       |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+       |    len(list_intersect(a.toks, b.toks)) AS inter,
+       |    len(a.toks) AS sa, len(b.toks) AS sb,
+       |    a.n AS n_a, b.n AS n_b
+       |  FROM g a JOIN g b ON a.id < b.id),
+       |interg AS (SELECT id_a, id_b,
+       |    inter::DOUBLE / (sa + sb - inter) AS jaccard,
+       |    n_a, n_b, n_a * n_b AS n_pairs
+       |  FROM pr WHERE inter::DOUBLE / (sa + sb - inter) >= ${taus.min}),
+       |intrag AS (SELECT id AS id_a, id AS id_b, 1.0::DOUBLE AS jaccard,
+       |    n AS n_a, n AS n_b, n * (n - 1) // 2 AS n_pairs
+       |  FROM g WHERE n > 1),
+       |allp AS (SELECT * FROM interg UNION ALL SELECT * FROM intrag),
+       |taus(tau_q6, tau) AS (VALUES $tauVals),
+       |qual AS (SELECT t.tau_q6, p.* FROM allp p
+       |  JOIN taus t ON p.jaccard >= t.tau),
+       |pa AS (SELECT tau_q6, SUM(n_pairs) AS n_pairs FROM qual
+       |  GROUP BY 1),
+       |dg AS (SELECT DISTINCT tau_q6, gid, gn FROM (
+       |  SELECT tau_q6, id_a AS gid, n_a AS gn FROM qual
+       |  UNION ALL SELECT tau_q6, id_b, n_b FROM qual)),
+       |da AS (SELECT tau_q6, COUNT(*) AS n_groups, SUM(gn) AS n_docs
+       |  FROM dg GROUP BY 1),
+       |nt AS (SELECT COUNT(*) AS nd FROM documents)
+       |SELECT t.tau_q6::BIGINT AS tau_q6,
+       |  COALESCE(pa.n_pairs, 0)::BIGINT AS n_pairs,
+       |  COALESCE(da.n_groups, 0)::BIGINT AS n_groups,
+       |  COALESCE(da.n_docs, 0)::BIGINT AS n_docs,
+       |  CASE WHEN nt.nd > 0 THEN
+       |    CAST((CAST(COALESCE(da.n_docs, 0) AS HUGEINT) * 1000000)
+       |      // nt.nd AS BIGINT) END AS doc_share_q6
+       |FROM taus t LEFT JOIN pa USING (tau_q6)
+       |LEFT JOIN da USING (tau_q6) CROSS JOIN nt
+       |ORDER BY tau_q6""".stripMargin
+  }
+
   /** q286: `Analytics.conformalCoverageByGroup` — q277's CTEs with
     * every stage keyed by l_returnflag (per-group n_cal/k/q̂, the
     * group-conditional Mondrian audit); groups need both splits.
@@ -5635,6 +5761,8 @@ object Oracles {
       |FROM c, t ORDER BY lang_pred""".stripMargin
 
   def generated: Map[String, String] = Map(
+    "q315_ivf_probe_plan" -> q315IvfProbePlan,
+    "q316_dedup_threshold_sweep" -> q316DedupThresholdSweep,
     "q313_seq_len_profile" -> q313SeqLenProfile,
     "q314_lang_token_budget" -> q314LangTokenBudget,
     "q311_win_rate_matrix" -> q311WinRateMatrix,

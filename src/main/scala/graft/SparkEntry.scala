@@ -3588,6 +3588,27 @@ object SparkEntry {
       TextAnalysis.langTokenBudget(documents(s, dir))
         .orderBy("lang_pred")),
 
+    // ---- ANN tier: IVF serving-parameter planner (NEW r15) ----
+    // The nProbe price curve: recall@5 vs brute truth AND rows-scanned
+    // share per probe count, from ONE index build + ONE scoring pass
+    // at max(nProbes) — q291 audits one operating point, this sweeps
+    // the knob a serving team actually sets.
+    "q315_ivf_probe_plan" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.ivfProbePlan(e, e.filter(col("vec_id") < 20), k = 5,
+          nProbes = Seq(1, 2, 4, 8), nCells = 16, iters = 2)
+        .orderBy("n_probe")
+    }),
+
+    // ---- dedup tier: threshold-sensitivity table (NEW r15) ----
+    // "How much does each Jaccard cutoff bite?" — exact pair counts,
+    // groups and docs touched per τ, all read off ONE collapsed
+    // pair join at τ_min (the q207 duplicate-saturation-proof path).
+    "q316_dedup_threshold_sweep" -> ((s, dir) =>
+      Dedup.dedupThresholdSweep(documents(s, dir),
+          taus = Seq(0.7, 0.8, 0.9, 0.95, 1.0))
+        .orderBy("tau_q6")),
+
     // ---- preference tier: Condorcet cycle audit (NEW r14) ----
     // Among triples with three strict-majority edges, the share
     // forming a directed 3-cycle — intransitive preference data means

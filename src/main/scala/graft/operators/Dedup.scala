@@ -642,6 +642,67 @@ object Dedup {
     inter.unionByName(intra)
   }
 
+  /** Threshold-sensitivity table for pair-level dedup — the curator's
+    * FIRST question before paying for a near-dup pass ("how much does
+    * each Jaccard cutoff actually bite?") answered from ONE pair
+    * computation: run [[setSimJoinCollapsed]] once at min(taus) and
+    * read every higher threshold off the SAME bounded pair table. Per
+    * threshold: the exact qualifying pair count (Σ n_pairs — clone
+    * multiplicities included, what plain [[setSimJoin]] would emit at
+    * that τ), the distinct shingle-set groups touched, the documents
+    * those groups contain, and the Q6 share of the corpus those
+    * documents are. Pairs with q300's linear screen (dupNgramShare) as
+    * the decision kit that runs BEFORE pair-level dedup is paid for.
+    *
+    * Exactness: the prefix filter at τ_min generates a superset of
+    * every higher threshold's pairs and the final `jaccard >= τ`
+    * comparisons are the same IEEE double test on both engines (exact
+    * integer inter/union division — the q178 discipline), so filtering
+    * the τ_min table at τ equals running the join at τ.
+    *
+    * Scale shape: ONE collapsed pair join (the q207 duplicate-
+    * saturation-proof path); the sweep is a broadcast |taus|-row theta
+    * join against the materialized pair table (output bounded by
+    * |taus| · |pairs|), two partial-agg'd groupBys, and a broadcast
+    * 1-row corpus total. No per-threshold corpus pass, no re-join.
+    * Output: (tau_q6, n_pairs, n_groups, n_docs, doc_share_q6), one
+    * row per threshold (zero-filled when nothing qualifies).
+    */
+  def dedupThresholdSweep(docs: DataFrame, taus: Seq[Double] = Seq(0.7, 0.8, 0.9, 0.95, 1.0),
+      idCol: String = "doc_id"): DataFrame = {
+    require(taus.nonEmpty && taus.forall(t => t > 0.0 && t <= 1.0),
+      "dedupThresholdSweep needs thresholds in (0, 1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = materialize(setSimJoinCollapsed(docs, taus.min, idCol))
+    val tausDf = taus.distinct.sorted
+      .map(t => (math.round(t * 1e6), t)).toDF("tau_q6", "_tau")
+    val nTot = docs.agg(count(lit(1)).as("_nd"))
+    val qual = pairs.join(broadcast(tausDf), col("jaccard") >= col("_tau"))
+    val pairAgg = qual.groupBy("tau_q6")
+      .agg(sum("n_pairs").as("n_pairs"))
+    // groups touched at τ: either side of any qualifying row (intra
+    // rows carry id_a = id_b — the distinct collapses the double emit)
+    val docAgg = qual.select(col("tau_q6"), explode(array(
+        struct(col("id_a").as("_gid"), col("n_a").as("_gn")),
+        struct(col("id_b").as("_gid"), col("n_b").as("_gn")))).as("_g"))
+      .select(col("tau_q6"), col("_g._gid").as("_gid"),
+        col("_g._gn").as("_gn"))
+      .distinct()
+      .groupBy("tau_q6")
+      .agg(count(lit(1)).as("n_groups"), sum("_gn").as("n_docs"))
+    tausDf.select("tau_q6")
+      .join(pairAgg, Seq("tau_q6"), "left")
+      .join(docAgg, Seq("tau_q6"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_groups", "n_docs"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("doc_share_q6", when(col("_nd") > 0, expr(
+        "CAST((CAST(n_docs AS DECIMAL(38,0)) * 1000000) DIV _nd" +
+          " AS BIGINT)")))
+      .select(col("tau_q6"), col("n_pairs"), col("n_groups"),
+        col("n_docs"), col("doc_share_q6"))
+  }
+
   /** Blocked fuzzy record linkage: all pairs within a block whose key
     * strings are within `maxDist` Levenshtein edits — the entity-
     * resolution candidate generator (names, addresses, titles).
@@ -1535,36 +1596,6 @@ object Dedup {
       .select(col("source"), col("n_docs"), col("n_distinct"),
         col("n_redundant"), col("dup_rate_q6"))
 
-  /** Per-domain duplicate-substring exposure — the EXACT-SUBSTRING
-    * dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
-    * Language Models Better"): of each domain's per-doc DISTINCT
-    * character-12-gram shingles, the Q6 share whose shingle also
-    * occurs in at least one OTHER document (any domain).
-    * [[domainDupReport]] sees whole-document copies;
-    * this sees the partial overlap those miss — boilerplate headers,
-    * quoted passages, templated spans — and tells the curator WHERE a
-    * substring-level dedup pass (q93's spans) would bite. One row per
-    * domain: (source, n_shingle_slots, n_dup_slots, dup_share_q6).
-    *
-    * Shingles are the q178/q209 convention (xxhash64 digests of
-    * lower-cased char 12-grams, distinct per doc; digest↔string
-    * equivalence is q178's gate). "slots" counts each (doc, distinct
-    * shingle) once, so a shingle repeated across k docs contributes k
-    * dup slots — occurrence-weighted, matching how much text a span
-    * dedup would actually touch.
-    *
-    * Scale shape: one corpus pass explodes to (doc, digest) slots and
-    * collapses them in the SAME partial-agg'd shuffle to the
-    * (digest, domain, k) cell table (token-scale rows, the TF-IDF
-    * shuffle class — flows through, never stored: checkpointing an
-    * intermediate 10× the corpus is exactly wrong at 100 TB, the r14
-    * 100×-sweep lesson); per-digest doc counts come from a window
-    * PARTITIONED by digest over the collapsed cells (no global
-    * window, no join back); the readout is a ≤|domains|-row
-    * aggregate. No pair join anywhere — this is the linear-cost
-    * screen you run BEFORE deciding to pay for q178/q209's
-    * pair-level passes.
-    */
   /** Cross-domain exact-duplicate matrix — which domain PAIRS share
     * identical documents (mirror sites, syndicated feeds, the same
     * dump ingested twice under two names): for every unordered pair,
@@ -1605,6 +1636,36 @@ object Dedup {
         col("_n2").as("n_distinct_b"), col("containment_q6"))
   }
 
+  /** Per-domain duplicate-substring exposure — the EXACT-SUBSTRING
+    * dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): of each domain's per-doc DISTINCT
+    * character-12-gram shingles, the Q6 share whose shingle also
+    * occurs in at least one OTHER document (any domain).
+    * [[domainDupReport]] sees whole-document copies;
+    * this sees the partial overlap those miss — boilerplate headers,
+    * quoted passages, templated spans — and tells the curator WHERE a
+    * substring-level dedup pass (q93's spans) would bite. One row per
+    * domain: (source, n_shingle_slots, n_dup_slots, dup_share_q6).
+    *
+    * Shingles are the q178/q209 convention (xxhash64 digests of
+    * lower-cased char 12-grams, distinct per doc; digest↔string
+    * equivalence is q178's gate). "slots" counts each (doc, distinct
+    * shingle) once, so a shingle repeated across k docs contributes k
+    * dup slots — occurrence-weighted, matching how much text a span
+    * dedup would actually touch.
+    *
+    * Scale shape: one corpus pass explodes to (doc, digest) slots and
+    * collapses them in the SAME partial-agg'd shuffle to the
+    * (digest, domain, k) cell table (token-scale rows, the TF-IDF
+    * shuffle class — flows through, never stored: checkpointing an
+    * intermediate 10× the corpus is exactly wrong at 100 TB, the r14
+    * 100×-sweep lesson); per-digest doc counts come from a window
+    * PARTITIONED by digest over the collapsed cells (no global
+    * window, no join back); the readout is a ≤|domains|-row
+    * aggregate. No pair join anywhere — this is the linear-cost
+    * screen you run BEFORE deciding to pay for q178/q209's
+    * pair-level passes.
+    */
   def dupNgramShare(docs: DataFrame, domainCol: String = "source",
       textCol: String = "text", shingleK: Int = 12): DataFrame = {
     val cells = docs

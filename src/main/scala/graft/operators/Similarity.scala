@@ -1095,4 +1095,99 @@ object Similarity extends Serializable {
       .select(col("query_id"), col("n_hits"), col("recall_q6"),
         col("macro_recall_q6"))
   }
+
+  /** IVF serving-parameter planner — the table a serving team sets
+    * nProbe FROM: for each candidate probe count, recall@k against
+    * brute-force truth on a bounded query sample AND the scan cost
+    * paid for it (corpus code rows read, absolute and as a Q6 share of
+    * |queries|·|corpus| — share 10⁶ = brute force). Recall is bought
+    * with probes; this prints the exact price curve instead of the
+    * folklore "nProbe = √nCells". Completes the family: q291 audits
+    * ONE operating point, q296 audits the index's balance, this sweeps
+    * the knob.
+    *
+    * Exactness/protocol: the index is [[ivfIndexInt8]] (the q57 chain,
+    * oracle-replayed); truth is [[bruteForceTopK]] float cosine (the
+    * q291 protocol); per-probe results are IDENTICAL to running
+    * [[ivfTopKInt8Against]] at that nProbe because a probe list is
+    * rank-ordered — the nProbe=p candidate set is exactly the
+    * max(nProbes) candidates with probe rank < p.
+    *
+    * Scale shape: ONE index build, ONE candidate scoring pass at
+    * max(nProbes) (queries broadcast with their probe ranks, corpus
+    * codes joined by cell — never shuffled), ONE brute-truth pass on
+    * the bounded sample; the per-probe readouts are |nProbes| window
+    * rankings over the MATERIALIZED bounded candidate table (|Q| ·
+    * probed-cell rows) plus broadcast-joined cell-size sums — no
+    * re-search, no per-probe corpus pass.
+    * Output: (n_probe, n_hits, macro_recall_q6, rows_scanned,
+    * scan_share_q6), one row per probe count.
+    */
+  def ivfProbePlan(corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbes: Seq[Int] = Seq(1, 2, 4, 8), nCells: Int = 16,
+      iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(p => p >= 1 && p <= nCells),
+      s"ivfProbePlan needs probe counts in [1, nCells=$nCells]")
+    val ps = nProbes.distinct.sorted
+    val maxP = ps.last
+    val (cents, assigned0) = ivfIndexInt8(corpus, nCells, iters, idCol, vecCol)
+    val assigned = Dedup.materialize(assigned0)
+    val cs: Array[Array[Long]] = cents.orderBy("cell").collect()
+      .map(_.getSeq[Long](1).toArray)
+    import org.apache.spark.sql.functions.{udf => mkUdf}
+    // rank-ordered probe list (same order as ivfTopKInt8Against's take)
+    val probeU = mkUdf((v: Seq[Int]) =>
+      cs.indices.map(i => (dist2At(v, 0, cs(i)), i)).sorted
+        .take(maxP).map(_._2))
+    val q = Dedup.materialize(quantIds(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("qv").as("qvq"))
+      .withColumn("na", n2Col(col("qvq")))
+      .select(col("query_id"), col("qvq"), col("na"),
+        posexplode(probeU(col("qvq"))))
+      .withColumnRenamed("pos", "_prn")   // 0-based probe rank
+      .withColumnRenamed("col", "cell"))
+    val cands = Dedup.materialize(assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot",
+        graft.plans.GraftExtensions.dotIntNative(col("qvq"), col("nv")))
+      .withColumn("cosine",
+        when(col("na") === 0L || col("nb") === 0L, lit(0.0))
+          .otherwise(col("dot").cast("double") /
+            sqrt((col("na") * col("nb")).cast("double"))))
+      .select("query_id", "neighbor_id", "_prn", "cosine"))
+    val truth = Dedup.materialize(
+      bruteForceTopK(corpus, queries, k, idCol, vecCol)
+        .select("query_id", "neighbor_id"))
+    val nq = truth.select("query_id").distinct()
+      .agg(count(lit(1)).as("_nq"))
+    val nc = assigned.agg(count(lit(1)).as("_nc"))
+    val cellSizes = assigned.groupBy("cell").agg(count(lit(1)).as("_csz"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val perProbe = ps.map { p =>
+      val approx = cands.filter(col("_prn") < p)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+      val hits = truth.join(approx, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val scanned = q.filter(col("_prn") < p)
+        .join(broadcast(cellSizes), Seq("cell"))
+        .agg(coalesce(sum("_csz"), lit(0L)).as("rows_scanned"))
+      hits.crossJoin(scanned).withColumn("n_probe", lit(p.toLong))
+    }
+    perProbe.reduce(_.unionByName(_))
+      .crossJoin(broadcast(nq)).crossJoin(broadcast(nc))
+      .withColumn("macro_recall_q6", when(col("_nq") > 0, expr(
+        s"CAST((CAST(n_hits AS DECIMAL(38,0)) * 1000000) DIV (_nq * $k)" +
+          " AS BIGINT)")))
+      .withColumn("scan_share_q6",
+        when(col("_nq") > 0 && col("_nc") > 0, expr(
+          "CAST((CAST(rows_scanned AS DECIMAL(38,0)) * 1000000)" +
+            " DIV (_nq * _nc) AS BIGINT)")))
+      .select(col("n_probe"), col("n_hits"), col("macro_recall_q6"),
+        col("rows_scanned"), col("scan_share_q6"))
+  }
 }

@@ -1530,8 +1530,13 @@ object TextAnalysis {
     * count) cell table; the self-join is token-keyed (≤|domains|² pair
     * rows per token, never doc pairs — the q282 shape); totals fold in
     * by broadcast; the matrix completes from the |domains|-row totals.
-    * Long products stay ≤ counts·totals (≲10¹⁴ at 100× sf0.1) before
-    * the DECIMAL widening.
+    * The lnQ12 arguments (count·total products, ≲10¹⁴ at 100× sf0.1)
+    * are computed in DECIMAL(38,0) and guard-downcast to BIGINT: past
+    * the Long ceiling (count·total·2 > 2⁶³−1, e.g. a 10⁹-count token
+    * against a ≥4.6·10⁹-token domain) the query FAILS LOUDLY — exactly
+    * what the oracle's BIGINT arithmetic does in DuckDB — instead of
+    * wrapping into garbage js_q12. Corpora past that ceiling need
+    * per-domain sharding or count pre-scaling before this readout.
     */
   def domainDivergence(docs: DataFrame, domainCol: String = "source",
       textCol: String = "text"): DataFrame = {
@@ -1544,6 +1549,17 @@ object TextAnalysis {
     val tot = cells.groupBy("_g").agg(sum("_c").as("_t"))
     val totA = tot.select(col("_g").as("_ga"), col("_t").as("_ta"))
     val totB = tot.select(col("_g").as("_gb"), col("_t").as("_tb"))
+    // lnQ12 arguments multiply in DECIMAL(38,0) and downcast guarded:
+    // past the BIGINT ceiling this raises (the oracle's DuckDB BIGINT
+    // products raise out-of-range at the same point) — never wraps.
+    val maxLongD = lit(Long.MaxValue).cast("decimal(38,0)")
+    def asLongChecked(c: Column): Column =
+      when(c.isNotNull && c <= maxLongD, c.cast("long"))
+        .otherwise(raise_error(concat(
+          lit("domainDivergence: count*total product "),
+          coalesce(c.cast("string"), lit("(decimal overflow)")),
+          lit(" exceeds BIGINT range; shard per domain or pre-scale" +
+            " counts before the divergence readout"))))
     val inter = cells.select(col("_g").as("_ga"), col("_w"),
         col("_c").as("_a"))
       .join(cells.select(col("_g").as("_gb"), col("_w"),
@@ -1551,13 +1567,19 @@ object TextAnalysis {
       .filter(col("_ga") < col("_gb"))
       .join(broadcast(totA), Seq("_ga"))
       .join(broadcast(totB), Seq("_gb"))
-      .withColumn("_m", col("_a") * col("_tb") + col("_b") * col("_ta"))
+      .withColumn("_x1", asLongChecked(
+        col("_a").cast("decimal(38,0)") * col("_tb") * 2))
+      .withColumn("_x2", asLongChecked(
+        col("_b").cast("decimal(38,0)") * col("_ta") * 2))
+      .withColumn("_m", asLongChecked(
+        col("_a").cast("decimal(38,0)") * col("_tb") +
+          col("_b").cast("decimal(38,0)") * col("_ta")))
       .withColumn("_t1", (col("_a").cast("decimal(38,0)") *
-        (lnQ12Native(col("_a") * col("_tb") * 2) -
+        (lnQ12Native(col("_x1")) -
           lnQ12Native(col("_m"))).cast("decimal(38,0)"))
         .cast("decimal(38,0)"))
       .withColumn("_t2", (col("_b").cast("decimal(38,0)") *
-        (lnQ12Native(col("_b") * col("_ta") * 2) -
+        (lnQ12Native(col("_x2")) -
           lnQ12Native(col("_m"))).cast("decimal(38,0)"))
         .cast("decimal(38,0)"))
       .groupBy("_ga", "_gb")
@@ -1652,8 +1674,10 @@ object TextAnalysis {
     val pool = freq.orderBy(col("_c").desc, col("_w")).limit(topN)
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (w, c) => (-c, w) } // collect() order is not a contract
+    // a tokenless corpus still yields ONE row — the oracle's ungrouped
+    // aggregate returns (n_terms=0, NULL, NULL), never zero rows
     if (pool.isEmpty)
-      return Seq.empty[(Long, Long, Option[Long])]
+      return Seq((0L, Option.empty[Long], Option.empty[Long]))
         .toDF("n_terms", "top_freq", "alpha_q6")
     val xy = pool.zipWithIndex.map { case ((_, c), i) =>
       (BigInt(FixedMath.lnQ12(i + 1L)), BigInt(FixedMath.lnQ12(c)))

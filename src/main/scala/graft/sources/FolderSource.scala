@@ -37,9 +37,11 @@ object FolderSource {
       .select(
         regexp_replace(col("path"), "^file:", "").as("filepath"),
         col("content"))
-      .withColumn("filename", element_at(split(col("filepath"), "/"), -1))
-      .withColumn("subdb", element_at(split(col("filepath"), "/"), -2))
+      .withColumn("_parts", split(col("filepath"), "/"))
+      .withColumn("filename", element_at(col("_parts"), -1))
+      .withColumn("subdb", element_at(col("_parts"), -2))
       .withColumn("example", concat_ws("/", col("subdb"), col("filename")))
+      .drop("_parts")
     DabDataset.fromDataFrame(files)
   }
 
@@ -57,9 +59,11 @@ object FolderSource {
       .select(
         regexp_replace(col("path"), "^file:", "").as("filepath"),
         col("length").as("file_bytes"))
-      .withColumn("filename", element_at(split(col("filepath"), "/"), -1))
-      .withColumn("subdb", element_at(split(col("filepath"), "/"), -2))
+      .withColumn("_parts", split(col("filepath"), "/"))
+      .withColumn("filename", element_at(col("_parts"), -1))
+      .withColumn("subdb", element_at(col("_parts"), -2))
       .withColumn("example", concat_ws("/", col("subdb"), col("filename")))
+      .drop("_parts")
     DabDataset.fromDataFrame(files)
   }
 

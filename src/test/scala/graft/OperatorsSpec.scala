@@ -2320,6 +2320,63 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("dedupThresholdSweep: per-τ pair counts equal running setSimJoin at that τ; monotone; grid-complete") {
+    val rng = new scala.util.Random(316)
+    def doc(): String =
+      (1 to 120).map(_ => ('a' + rng.nextInt(6)).toChar).mkString
+    val bases = Seq.fill(6)(doc())
+    val rows = bases.zipWithIndex.flatMap { case (t, i) =>
+      (0 to i).map(j => (i * 100L + j, t))
+    } :+ (999L, bases.head.take(110) + "zzzzzzzzzz")
+    val docs = rows.toDF("doc_id", "text")
+    val taus = Seq(0.7, 0.8, 0.9, 1.0)
+    val got = Dedup.dedupThresholdSweep(docs, taus)
+      .orderBy("tau_q6")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got.map(_._1) == taus.map(t => math.round(t * 1e6)).sorted)
+    // exact agreement with a fresh pair join at every τ
+    for ((t, row) <- taus.sorted.zip(got)) {
+      val truth = Dedup.setSimJoin(docs, t).count()
+      assert(row._2 == truth, s"n_pairs at tau=$t: ${row._2} vs $truth")
+    }
+    // biting monotonically less as τ rises; clone pairs survive τ = 1
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse)
+    assert(got.map(_._4) == got.map(_._4).sorted.reverse)
+    assert(got.last._2 == (2 to 6).map(n => n * (n - 1) / 2).sum)
+    // doc share: the τ-min row touches all but the unique-set docs
+    val nd = rows.size
+    assert(got.head._5.contains(got.head._4 * 1000000L / nd))
+  }
+
+  test("ivfProbePlan: monotone recall/scan in nProbe; full probe = full scan share; agrees with ivfTopKInt8") {
+    val base = (0 until 60).map { i =>
+      val cluster = i % 4
+      val v = Array.tabulate(16)(j =>
+        if (j / 4 == cluster) 1.0f + 0.01f * i else 0.01f * ((i + j) % 3))
+      (i.toLong, v.toSeq)
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" < 4)
+    val plan = Similarity.ivfProbePlan(df, qs, k = 3,
+        nProbes = Seq(1, 2, 4, 8), nCells = 8, iters = 2)
+      .orderBy("n_probe")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(plan.map(_._1) == Seq(1L, 2L, 4L, 8L))
+    // more probes never lose recall and never scan less
+    assert(plan.map(_._2) == plan.map(_._2).sorted)
+    assert(plan.map(_._4) == plan.map(_._4).sorted)
+    // probing every cell reads the whole corpus per query (share 10⁶)
+    assert(plan.last._5 == 1000000L)
+    // the nProbe=4 point reproduces the served-path top-k exactly:
+    // recall readout == annRecallAtK over ivfTopKInt8 at that probe
+    val truth = Similarity.bruteForceTopK(df, qs, k = 3)
+    val approx = Similarity.ivfTopKInt8(df, qs, k = 3,
+      nCells = 8, nProbe = 4, iters = 2)
+    val macroQ6 = Similarity.annRecallAtK(truth, approx, k = 3)
+      .select("macro_recall_q6").as[Long].head()
+    assert(plan.find(_._1 == 4L).get._3 == macroQ6)
+  }
+
   test("cdcChunks: exact partition, length bounds, shift-robust resync; corpus op finds planted dup") {
     import graft.functions.Hashing
     val rng = new scala.util.Random(206)
@@ -2862,6 +2919,18 @@ class OperatorsSpec extends SparkSpec {
       .zipfSlope(Seq("aa bb cc dd").toDF("text"), topN = 4)
       .as[(Long, Long, Option[Long])].collect().head
     assert(u._3.contains(0L))
+  }
+
+  test("zipfSlope: tokenless corpus reads ONE (0, null, null) row — the oracle's ungrouped-aggregate shape") {
+    // the q305 oracle's final SELECT aggregates over an empty top-100
+    // pool into exactly one row; an empty DataFrame here would be a
+    // rows_match divergence on a degenerate corpus (r14 ADVICE)
+    for (corpus <- Seq(Seq.empty[String], Seq("", "!!! ---"))) {
+      val rows = graft.operators.TextAnalysis
+        .zipfSlope(corpus.toDF("text"), topN = 5)
+        .as[(Long, Option[Long], Option[Long])].collect().toList
+      assert(rows == List((0L, None, None)))
+    }
   }
 
   test("normProfile: zero vectors pin to octave 0; known norm lands in its octave") {

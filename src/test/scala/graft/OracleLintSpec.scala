@@ -44,7 +44,8 @@ class OracleLintSpec extends AnyFunSuite {
     ("q181_ab_ttest", "sqrt") -> "Welch denom over exact decimal vars",
     ("q193_centroid_shift", "sqrt") -> "cosine denom; exact int sums",
     ("q234_mmr_topk", "sqrt") -> "cosine denom; exact int dots/norms",
-    ("q236_hybrid_rrf", "sqrt") -> "cosine denom; exact int dots/norms")
+    ("q236_hybrid_rrf", "sqrt") -> "cosine denom; exact int dots/norms",
+    ("q315_ivf_probe_plan", "sqrt") -> "q291's IVF+brute CTEs swept over nProbe; same denoms")
   // (The former q123 BM25 `ln` allowlist entry is gone: round 11
   // rewrote idf on the integer log kernel via r = 2(n+1)/(2df+1), so
   // the oracle surface now carries ZERO libm transcendentals — sqrt,
@@ -90,7 +91,13 @@ class OracleLintSpec extends AnyFunSuite {
     // correctly-rounded conversion + one IEEE compare, both engines.
     ("q208_fuzzy_decontaminate", "0.3") -> SmallThreshold,
     ("q216_stream_decontaminate", "0.3") -> SmallThreshold,
-    ("q209_containment_join", "0.9") -> SmallThreshold)
+    ("q209_containment_join", "0.9") -> SmallThreshold,
+    // r15: the q178/q207 jaccard threshold swept over a VALUES table —
+    // same exact-integer division vs literal compare per τ.
+    ("q316_dedup_threshold_sweep", "0.7") -> SmallThreshold,
+    ("q316_dedup_threshold_sweep", "0.8") -> SmallThreshold,
+    ("q316_dedup_threshold_sweep", "0.9") -> SmallThreshold,
+    ("q316_dedup_threshold_sweep", "0.95") -> SmallThreshold)
 
   private val fnRe =
     """(?i)\b(ln|exp|log|log2|log10|log1p|expm1|pow|power|sqrt|cbrt|sin|cos|tan|atan|atan2|asin|acos|sinh|cosh|tanh)\s*\(""".r

@@ -13,37 +13,39 @@ class of defect — unchanged plan SHAPE, doubled expression work — is
 invisible to PlanAudit and hides inside the total; only a per-query
 round-over-round diff sees it.
 
+Since r15 Bench records interleaved calibration ticks (`calib_ticks`)
+and per-query start offsets (`queries_t`). When a record carries them,
+each query's seconds are normalized by the calibration level at its own
+wall-clock moment (interpolated between the bracketing ticks, relative
+to the record's cleanest tick), and the verdict uses the NORMALIZED
+ratio — a sustained mid-run load window (the r14 q147-q233 block) then
+reads as LOAD mechanically instead of by adjudication.
+
 Verdict per regressed query:
-  PLAN  — min ratio ALSO above threshold (both runs' floor moved: the
-          work itself grew; this is the gate-red case)
-  LOAD? — median above but min overlaps the old run (consistent with a
-          loaded box; check calib_mt before acting)
+  PLAN  — min ratio ALSO above threshold AND (when ticks exist) the
+          calib-normalized median ratio is above threshold too: the
+          work itself grew; this is the gate-red case
+  LOAD? — median above but the min or the calib-normalized ratio says
+          the box, not the plan
 
 Exit 1 iff any PLAN regression (unless --no-gate). Improvements and
 added/removed queries are listed informationally.
 """
+import argparse
 import json
 import sys
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-flags = [a for a in sys.argv[1:] if a.startswith("--")]
-if len(args) < 2:
-    print(__doc__)
-    sys.exit(2)
-threshold = 1.5
-for f in flags:
-    if f.startswith("--threshold"):
-        threshold = float(f.split("=", 1)[1]) if "=" in f else 1.5
-gate = "--no-gate" not in flags
 
-old = json.load(open(args[0]))
-new = json.load(open(args[1]))
-if "--threshold" in flags:
-    i = sys.argv.index("--threshold")
-    threshold = float(sys.argv[i + 1])
-
-oq, nq = old.get("queries", {}), new.get("queries", {})
-omin, nmin = old.get("queries_min", {}), new.get("queries_min", {})
+def parse_args():
+    p = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("old", help="baseline bench_last.json")
+    p.add_argument("new", help="candidate bench_last.json")
+    p.add_argument("--threshold", type=float, default=1.5,
+                   help="regression ratio on per-query medians (default 1.5)")
+    p.add_argument("--no-gate", action="store_true",
+                   help="always exit 0, even on PLAN regressions")
+    return p.parse_args()
 
 
 def calib(d):
@@ -53,44 +55,130 @@ def calib(d):
             f"load1 {e.get('load1_pre', '?')}->{e.get('load1_post', '?')}")
 
 
-print(f"old: {args[0]} total={old.get('value')}s  [{calib(old)}]")
-print(f"new: {args[1]} total={new.get('value')}s  [{calib(new)}]")
-print(f"threshold: {threshold}x on per-query medians\n")
+def tick_points(rec):
+    """(t, ms) calibration samples from a record: the interleaved
+    calib_ticks when present (r15+), else the pre/post single-thread
+    calib_ms the env block has carried since r11 (two pseudo-ticks —
+    no per-query placement, but enough for a whole-run level)."""
+    ticks = rec.get("calib_ticks") or []
+    pts = sorted((t["t"], t["ms"]) for t in ticks
+                 if isinstance(t, dict) and t.get("ms", 0) > 0
+                 and isinstance(t.get("t"), (int, float)))
+    if pts:
+        return pts
+    e = rec.get("env", {})
+    pre, post = e.get("calib_ms_pre"), e.get("calib_ms_post")
+    out = []
+    if isinstance(pre, (int, float)) and pre > 0:
+        out.append((0.0, float(pre)))
+    if isinstance(post, (int, float)) and post > 0:
+        out.append((1e18, float(post)))
+    return out
 
-common = sorted(set(oq) & set(nq))
-added = sorted(set(nq) - set(oq))
-removed = sorted(set(oq) - set(nq))
 
-plan_regs, load_regs, improved = [], [], []
-for q in common:
-    if not oq[q] or oq[q] <= 0:
-        continue
-    r = nq[q] / oq[q]
-    rmin = None
-    if q in omin and q in nmin and omin[q] and omin[q] > 0:
-        rmin = nmin[q] / omin[q]
-    if r > threshold:
-        # floor also moved => the work grew, not the box
-        if rmin is not None and rmin > threshold:
-            plan_regs.append((q, r, rmin))
+def norm_factor_fn(rec, base):
+    """Per-query load factor: calibration ms at the query's own start
+    offset (linear interpolation between bracketing ticks) over `base`
+    — the cleanest tick across BOTH records. The tick loop is fixed
+    work, so on the one driver box its idle time is a machine constant
+    and a cross-record base is valid; a uniform whole-run load window
+    (invisible within one record) then still reads as load. Factor is
+    >= 1 by construction of base; 1.0 when the record has no samples."""
+    pts = tick_points(rec)
+    qt = rec.get("queries_t") or {}
+    if not pts or not base or base <= 0:
+        return lambda q: 1.0
+    mean_ms = sum(ms for _, ms in pts) / len(pts)
+
+    def at(ts):
+        if ts is None:
+            ms = mean_ms  # legacy record: no per-query placement
+        elif ts <= pts[0][0]:
+            ms = pts[0][1]
+        elif ts >= pts[-1][0]:
+            ms = pts[-1][1]
         else:
-            load_regs.append((q, r, rmin))
-    elif r < 1.0 / threshold:
-        improved.append((q, r, rmin))
+            ms = pts[-1][1]
+            for (t0, m0), (t1, m1) in zip(pts, pts[1:]):
+                if t0 <= ts <= t1:
+                    f = (ts - t0) / (t1 - t0) if t1 > t0 else 0.0
+                    ms = m0 + f * (m1 - m0)
+                    break
+        return max(1.0, ms / base)
 
-for tag, rows in (("PLAN REGRESSION", plan_regs), ("LOAD?", load_regs),
-                  ("IMPROVED", improved)):
-    for q, r, rmin in sorted(rows, key=lambda t: -t[1]):
-        m = f" min x{rmin:.2f}" if rmin is not None else " min n/a"
-        print(f"{tag:16s} {q:32s} {oq[q]:7.3f}s -> {nq[q]:7.3f}s "
-              f"(x{r:.2f}{m})")
+    return lambda q: at(qt.get(q))
 
-if added:
-    print(f"\nadded ({len(added)}): " + ", ".join(
-        f"{q}={nq[q]:.2f}s" for q in added))
-if removed:
-    print(f"removed ({len(removed)}): " + ", ".join(removed))
 
-print(f"\n{len(common)} common queries, {len(plan_regs)} plan regressions, "
-      f"{len(load_regs)} load-suspect, {len(improved)} improved")
-sys.exit(1 if (gate and plan_regs) else 0)
+def main():
+    a = parse_args()
+    threshold = a.threshold
+
+    def load(path):
+        d = json.load(open(path))
+        # driver BENCH_r{N}.json wraps the bench record under "parsed"
+        if "queries" not in d and isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        return d
+
+    old = load(a.old)
+    new = load(a.new)
+
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    omin, nmin = old.get("queries_min", {}), new.get("queries_min", {})
+    all_ms = [ms for rec in (old, new) for _, ms in tick_points(rec)]
+    base = min(all_ms) if all_ms else None
+    ofac, nfac = norm_factor_fn(old, base), norm_factor_fn(new, base)
+    have_ticks = base is not None and (tick_points(old) and tick_points(new))
+
+    print(f"old: {a.old} total={old.get('value')}s  [{calib(old)}]")
+    print(f"new: {a.new} total={new.get('value')}s  [{calib(new)}]")
+    print(f"threshold: {threshold}x on per-query medians"
+          + (" (calib-normalized verdicts)" if have_ticks else "") + "\n")
+
+    common = sorted(set(oq) & set(nq))
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+
+    plan_regs, load_regs, improved = [], [], []
+    for q in common:
+        if not oq[q] or oq[q] <= 0 or nq[q] <= 0:
+            continue
+        r = nq[q] / oq[q]
+        rnorm = (nq[q] / nfac(q)) / (oq[q] / ofac(q))
+        rmin = None
+        if q in omin and q in nmin and omin[q] and omin[q] > 0:
+            rmin = nmin[q] / omin[q]
+        if r > threshold:
+            # PLAN only when every load-rejecting signal agrees the
+            # work itself grew: the floor moved AND (if measurable)
+            # the calibration-normalized ratio is still regressed
+            if (rmin is not None and rmin > threshold
+                    and rnorm > threshold):
+                plan_regs.append((q, r, rmin, rnorm))
+            else:
+                load_regs.append((q, r, rmin, rnorm))
+        elif r < 1.0 / threshold:
+            improved.append((q, r, rmin, rnorm))
+
+    for tag, rows in (("PLAN REGRESSION", plan_regs), ("LOAD?", load_regs),
+                      ("IMPROVED", improved)):
+        for q, r, rmin, rnorm in sorted(rows, key=lambda t: -t[1]):
+            m = f" min x{rmin:.2f}" if rmin is not None else " min n/a"
+            nrm = f" norm x{rnorm:.2f}" if have_ticks else ""
+            print(f"{tag:16s} {q:32s} {oq[q]:7.3f}s -> {nq[q]:7.3f}s "
+                  f"(x{r:.2f}{m}{nrm})")
+
+    if added:
+        print(f"\nadded ({len(added)}): " + ", ".join(
+            f"{q}={nq[q]:.2f}s" for q in added))
+    if removed:
+        print(f"removed ({len(removed)}): " + ", ".join(removed))
+
+    print(f"\n{len(common)} common queries, {len(plan_regs)} plan "
+          f"regressions, {len(load_regs)} load-suspect, "
+          f"{len(improved)} improved")
+    sys.exit(1 if (plan_regs and not a.no_gate) else 0)
+
+
+if __name__ == "__main__":
+    main()
