@@ -107,7 +107,9 @@ object Bench {
     "q298_psi_over_time",  // PSI per day vs global baseline (NEW r14)
     "q299_token_budget",   // per-domain BPE token budget (NEW r14)
     "q300_dup_ngram_share", // exact-substring dup exposure (NEW r14)
-    "q310_bradley_terry")  // preference-rating MM fixed point (NEW r14)
+    "q310_bradley_terry",  // preference-rating MM fixed point (NEW r14)
+    "q315_ivf_probe_plan", // IVF nProbe recall/cost sweep, one scoring pass (NEW r15)
+    "q316_dedup_threshold_sweep") // per-tau dedup bite off one pair join (NEW r15)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine

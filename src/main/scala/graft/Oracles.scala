@@ -5766,6 +5766,9 @@ object Oracles {
     "q313_seq_len_profile" -> q313SeqLenProfile,
     "q314_lang_token_budget" -> q314LangTokenBudget,
     "q311_win_rate_matrix" -> q311WinRateMatrix,
+    // q317 = q311's win table built by the streaming state store (the
+    // q281 emit-counter discipline — one relational truth, two paths)
+    "q317_stream_win_matrix" -> q311WinRateMatrix,
     "q312_preference_cycles" -> q312PreferenceCycles,
     "q307_cross_domain_dups" -> q307CrossDomainDups,
     "q308_mrr" -> q308Mrr,

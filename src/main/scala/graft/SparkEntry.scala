@@ -3609,6 +3609,29 @@ object SparkEntry {
           taus = Seq(0.7, 0.8, 0.9, 0.95, 1.0))
         .orderBy("tau_q6")),
 
+    // ---- streaming tier: preference win-matrix twin (NEW r15) ----
+    // q311's win table built by the streaming engine: per-order line
+    // buffers in the state store re-derive the order's directed win
+    // pairs each trigger (the q281 emit-counter discipline — a late
+    // line adds pairs against every buffered line, so only a
+    // re-derive equals batch under arbitrary arrival order); consumer
+    // keeps max-emit per order, sums (winner, loser) cells, reads out
+    // through the SHARED winRateMatrix — oracle is q311's SQL verbatim.
+    "q317_stream_win_matrix" -> ((s, dir) => {
+      val emitted = EventStreams.runOnceOnParquet(s,
+        s"$dir/lineitem.parquet",
+        df => EventStreams.winPairsStream(s,
+          df.filter(col("l_suppkey") <= 100)),
+        s"win_sink_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val wins = emitted
+        .withColumn("_mx", max("emit").over(
+          Window.partitionBy("l_orderkey")))
+        .filter(col("emit") === col("_mx"))
+        .groupBy("winner", "loser").agg(sum("n").as("n"))
+      Analytics.winRateMatrix(wins).orderBy("item_a", "item_b")
+    }),
+
     // ---- preference tier: Condorcet cycle audit (NEW r14) ----
     // Among triples with three strict-majority edges, the share
     // forming a directed 3-cycle — intransitive preference data means

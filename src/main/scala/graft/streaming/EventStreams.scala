@@ -414,6 +414,72 @@ object EventStreams {
     * [[graft.operators.Analytics.transitionFromCells]] against the
     * batch oracle (one relational truth, two engine paths).
     */
+  /** Per-order line buffer for [[winPairsStream]]: every
+    * (suppkey, price_cents) line seen so far (capped). Within-order
+    * win pairs are NOT append-only under arbitrary arrival order in
+    * the aggregate sense (a late line adds pairs against every
+    * already-buffered line), so each trigger re-derives the order's
+    * CURRENT pair counts from the full buffer and stamps them with an
+    * emit counter — the [[TransitionState]] exactness discipline.
+    */
+  final case class WinState(
+      rows: Seq[(Option[Long], Option[Long])],
+      emits: Long)
+
+  /** Streaming within-order win-pair cells — the incremental form of
+    * the preference tier's contest build (q310 Bradley–Terry / q311
+    * win-rate matrix / q312 cycle audit all read a (winner, loser, n)
+    * table; batch builds it with a within-order self-join): per order
+    * key, lines buffer in the state store (capped at `maxPerKey`) and
+    * each trigger emits the order's CURRENT directed win-pair counts
+    * (strictly higher line price beats lower, distinct suppliers —
+    * NULL suppkey/price rows never pair, matching the batch join's
+    * NULL-comparison semantics) with an `emit` counter. A multi-batch
+    * consumer keeps the max-emit rows per order, sums cells by
+    * (winner, loser), and reads them out with
+    * [[graft.operators.Analytics.winRateMatrix]] /
+    * [[graft.operators.Analytics.bradleyTerryFromWins]] against the
+    * batch oracle — one relational truth, two engine paths.
+    *
+    * Scale shape: state is per-order line-sized (orders are bounded);
+    * emitted rows are ≤ pairs-within-one-order per trigger; the corpus
+    * never joins against itself across keys.
+    */
+  def winPairsStream(spark: SparkSession, lines: DataFrame,
+      maxPerKey: Int = 10000): DataFrame = {
+    import spark.implicits._
+    lines.select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
+          " AS BIGINT)").as("_p"))
+      .as[(Option[Long], Option[Long], Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (order: Option[Long],
+            rows: Iterator[(Option[Long], Option[Long], Option[Long])],
+            state: GroupState[WinState]) =>
+          val prev = state.getOption.getOrElse(WinState(Nil, 0L))
+          val all = (prev.rows ++ rows.map(r => (r._2, r._3)))
+            .take(maxPerKey)
+          val next = WinState(all, prev.emits + 1)
+          state.update(next)
+          // re-derive the order's directed win pairs: a beats b iff
+          // both suppkeys and prices are non-NULL, suppkeys differ,
+          // and a's price is strictly higher — the batch self-join
+          // condition, where NULL comparisons are false
+          val pairs = for {
+            a <- all.iterator
+            b <- all.iterator
+            sa <- a._1.iterator; sb <- b._1.iterator
+            pa <- a._2.iterator; pb <- b._2.iterator
+            if sa != sb && pa > pb
+          } yield (sa, sb)
+          pairs.toSeq.groupBy(identity).iterator
+            .map { case ((w, l), g) =>
+              (order, next.emits, w, l, g.size.toLong) }
+      }
+      .toDF("l_orderkey", "emit", "winner", "loser", "n")
+  }
+
   def transitionPairsStream(spark: SparkSession, events: DataFrame,
       maxPerKey: Int = 10000): DataFrame = {
     import spark.implicits._

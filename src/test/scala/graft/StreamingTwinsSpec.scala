@@ -201,4 +201,81 @@ class StreamingTwinsSpec extends SparkSpec {
       .orderBy("source").collect().toSeq
     assert(viaCells == direct)
   }
+
+  /** The q311 batch win-table build (within-order self-join: distinct
+    * suppliers, strictly higher price wins) on a test frame — the
+    * relational truth the q317 streaming twin must converge to.
+    */
+  private def batchWins(df: DataFrame): DataFrame = {
+    val li = df.select(col("l_orderkey"), col("l_suppkey"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
+        " AS BIGINT)").as("_p"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_suppkey") =!= col("b.l_suppkey") &&
+        col("a._p") > col("b._p"))
+      .groupBy(col("a.l_suppkey").as("winner"),
+        col("b.l_suppkey").as("loser"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  test("q317 twin: win-pair cells converge to the batch self-join at every trigger; late lines re-derive") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Option[Long], Option[Long], Option[Double])]
+    val cols = Seq("l_orderkey", "l_suppkey", "l_extendedprice")
+    val streamed = graft.streaming.EventStreams.winPairsStream(spark,
+      input.toDF().toDF(cols: _*))
+    val q = streamed.writeStream.format("memory").queryName("win_conv")
+      .outputMode("append").start()
+    // trigger 1: order 1 = supp 10 @ 5.00 beats supp 20 @ 3.00
+    // trigger 2: LATE line supp 30 @ 4.00 into order 1 (pairs against
+    //            BOTH buffered lines); order 2 = exact tie, no pair
+    // trigger 3: order 2 gains a winner; order 1 gains a SECOND supp-20
+    //            line (duplicate-supplier multiplicity) plus NULL
+    //            price / NULL suppkey rows that must never pair
+    val batches = Seq(
+      Seq((Some(1L), Some(10L), Some(5.0)), (Some(1L), Some(20L), Some(3.0))),
+      Seq((Some(1L), Some(30L), Some(4.0)),
+        (Some(2L), Some(10L), Some(2.0)), (Some(2L), Some(20L), Some(2.0))),
+      Seq((Some(2L), Some(30L), Some(2.5)),
+        (Some(1L), Some(20L), Some(1.0)),
+        (Some(1L), Some(40L), None), (Some(1L), None, Some(9.0))))
+    try {
+      var seen = Seq.empty[(Option[Long], Option[Long], Option[Double])]
+      for (b <- batches) {
+        input.addData(b: _*)
+        q.processAllAvailable()
+        seen = seen ++ b
+        // max-emit consumer (the q317 SparkEntry shape) over the sink
+        val fin = spark.table("win_conv")
+          .withColumn("_mx", max("emit").over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("l_orderkey")))
+          .filter(col("emit") === col("_mx"))
+          .groupBy("winner", "loser").agg(sum("n").as("n"))
+        val key = (d: DataFrame) => d.collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(key(fin) == key(batchWins(seen.toDF(cols: _*))),
+          s"streamed cells diverge from batch after ${seen.size} rows")
+      }
+      // final cells through the SHARED readout == one-shot batch q311
+      val finWins = spark.table("win_conv")
+        .withColumn("_mx", max("emit").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("l_orderkey")))
+        .filter(col("emit") === col("_mx"))
+        .groupBy("winner", "loser").agg(sum("n").as("n"))
+      val viaStream = Analytics.winRateMatrix(finWins)
+        .orderBy("item_a", "item_b").collect().toSeq
+      val direct = Analytics.winRateMatrix(batchWins(
+          batches.flatten.toDF(cols: _*)))
+        .orderBy("item_a", "item_b").collect().toSeq
+      assert(viaStream == direct)
+      // the duplicate-supplier multiplicity actually bit: supp 10 beat
+      // supp 20 twice in order 1 (3.00 and 1.00 lines)
+      assert(viaStream.exists(r => r.getLong(0) == 10L &&
+        r.getLong(1) == 20L && r.getLong(2) >= 2L))
+    } finally q.stop()
+  }
 }
