@@ -12,13 +12,17 @@ import org.apache.spark.sql.SparkSession
   * The committed record (bench_last.json) is SELF-ATTRIBUTING since r15:
   * besides per-query median/min it carries all three raw run seconds
   * (`queries_raw`), each query's start offset (`queries_t`), and a
-  * fixed-work single-thread calibration tick every 10 queries
-  * (`calib_ticks`: {done, t, ms}) run while Spark is idle — so a
-  * sustained ambient-load window is provable FROM the record (the r14
-  * driver run read 2.15× with 17 execution-order-contiguous queries
-  * elevated and the record could not distinguish load from plans).
+  * fixed-work calibration tick every 10 queries
+  * (`calib_ticks`: {done, t, ms, mt_ms} — single-thread AND
+  * all-threads, both run while Spark is idle) — so a sustained
+  * ambient-load window is provable FROM the record (the r14 driver
+  * run read 2.15× with 17 execution-order-contiguous queries elevated
+  * and the record could not distinguish load from plans). The
+  * mt member exists because a host granting fewer parallel cores
+  * inflates every Spark query ~uniformly while the single-thread loop
+  * stays flat (measured r15: st 350 ms flat, mt 620 vs 340 ms clean).
   * tools/bench_diff.py consumes these for calibration-normalized
-  * per-query ratios.
+  * per-query ratios, preferring mt when both records carry it.
   */
 object Bench {
 
@@ -151,6 +155,26 @@ object Bench {
     ms
   }
 
+  /** [[calibMtMs]] without the JIT warm pass — the MULTI-thread member
+    * of the interleaved tick (r15 second finding: the single-thread
+    * tick stayed flat at ~350 ms while the 32-thread loop read 620 ms
+    * vs the r13 box's 340 — a host granting fewer parallel cores
+    * inflates every Spark query ~uniformly and is INVISIBLE to a
+    * single-thread probe; only a parallel fixed-work loop sees it).
+    */
+  private def calibMtTickMs(threads: Int): Double = {
+    val sinks = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { _ =>
+      val t = new Thread(() => { sinks.addAndGet(xorshiftRun(160000000L)); () })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (sinks.get() == 42L) System.err.println("calib sink") // defeat DCE
+    ms
+  }
+
   /** Same fixed work run on `threads` OS threads at once, wall time in
     * millis. On an uncontended host with >= `threads` free cores this
     * matches the single-thread time; inflation over `calib_ms` measures
@@ -211,8 +235,11 @@ object Bench {
     // window to wall-clock position on its own (r14 verdict item #1)
     val phaseT0 = System.nanoTime()
     def tOff: Double = (System.nanoTime() - phaseT0) / 1e9
-    val ticks = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
-    def tick(done: Int): Unit = { val t = tOff; ticks += ((done, t, calibTickMs())) }
+    val ticks = scala.collection.mutable.ArrayBuffer[(Int, Double, Double, Double)]()
+    def tick(done: Int): Unit = {
+      val t = tOff
+      ticks += ((done, t, calibTickMs(), calibMtTickMs(cpus.toInt)))
+    }
     val toRun = selected.filter(qs.contains)
     tick(0)
     val results = toRun.zipWithIndex.map { case (name, idx) =>
@@ -249,8 +276,9 @@ object Bench {
       .mkString("{", ",", "}")
     val tJson = results.map { case (k, _, _, _, ts) => "\"" + k + f"\":$ts%.1f" }
       .mkString("{", ",", "}")
-    val ticksJson = ticks.map { case (done, t, ms) =>
-      f"""{"done":$done,"t":$t%.1f,"ms":$ms%.1f}""" }.mkString("[", ",", "]")
+    val ticksJson = ticks.map { case (done, t, ms, mt) =>
+      f"""{"done":$done,"t":$t%.1f,"ms":$ms%.1f,"mt_ms":$mt%.1f}""" }
+      .mkString("[", ",", "]")
     // a failed query must be visible in the total, not silently summed
     // around: the total covers only clean runs and "failed" names the rest
     val failedNames = results.collect { case (k, med, _, _, _) if med < 0 => "\"" + k + "\"" }

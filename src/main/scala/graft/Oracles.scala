@@ -5307,7 +5307,27 @@ object Oracles {
     * source with byte counts; Q6 token share and tokens-per-100-bytes
     * fertility.
     */
-  def q299TokenBudget: String = {
+  def q299TokenBudget: String =
+    bpePerSourceCte +
+      """,
+        |tot AS (SELECT SUM(n_tokens) AS tt FROM per)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN tt > 0 THEN
+        |    (CAST(n_tokens AS HUGEINT) * 1000000) // tt END AS BIGINT)
+        |    AS token_share_q6,
+        |  CAST(CASE WHEN n_bytes > 0 THEN
+        |    (CAST(n_tokens AS HUGEINT) * 100000000) // n_bytes END
+        |    AS BIGINT) AS fertility_q6
+        |FROM per, tot ORDER BY source""".stripMargin
+
+  /** Shared CTE prefix: exact-BPE token supply per source (the q88
+    * merge walk per globally-distinct pre-token, summed per source) —
+    * ends at `per(source, n_docs, n_bytes, n_tokens)`, ready for a
+    * readout continuation (q299 budget report, q318 epochs plan).
+    */
+  private def bpePerSourceCte: String = {
     val values = graft.functions.Bpe.defaultMerges.zipWithIndex
       .map { case ((a, b), i) => s"('$a','$b',$i)" }.mkString(", ")
     val head = "WITH RECURSIVE\nmerges(a, b, rnk) AS (VALUES "
@@ -5341,19 +5361,42 @@ object Oracles {
         |per AS (SELECT d.source, COUNT(*) AS n_docs,
         |    SUM(COALESCE(strlen(d.text), 0)) AS n_bytes,
         |    SUM(COALESCE(a.nt, 0)) AS n_tokens
-        |  FROM documents d LEFT JOIN dagg a USING (doc_id) GROUP BY 1),
-        |tot AS (SELECT SUM(n_tokens) AS tt FROM per)
-        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-        |  CAST(n_bytes AS BIGINT) AS n_bytes,
-        |  CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(CASE WHEN tt > 0 THEN
-        |    (CAST(n_tokens AS HUGEINT) * 1000000) // tt END AS BIGINT)
-        |    AS token_share_q6,
-        |  CAST(CASE WHEN n_bytes > 0 THEN
-        |    (CAST(n_tokens AS HUGEINT) * 100000000) // n_bytes END
-        |    AS BIGINT) AS fertility_q6
-        |FROM per, tot ORDER BY source""".stripMargin
+        |  FROM documents d LEFT JOIN dagg a USING (doc_id) GROUP BY 1)""".stripMargin
     head + values + body
+  }
+
+  /** q318: `TextAnalysis.epochsPlan` — the q299 per-source BPE supply
+    * CTE, joined to the target mixture; needed tokens, Q3 ceil epochs,
+    * cap flag, achieved/shortfall under the cap. Every division a
+    * HUGEINT floor, matching the engine's DECIMAL(38,0) DIVs.
+    */
+  def q318EpochsPlan(targetsPermille: Seq[(String, Long)],
+      budgetTokens: Long, maxEpochsQ3: Long): String = {
+    val tgtValues = targetsPermille
+      .map { case (s, pm) => s"('$s',$pm)" }.mkString(", ")
+    bpePerSourceCte +
+      s""",
+        |tgt(source, target_pm) AS (VALUES $tgtValues),
+        |j AS (SELECT per.source, per.n_tokens, tgt.target_pm,
+        |    (CAST($budgetTokens AS HUGEINT) * tgt.target_pm) // 1000
+        |      AS needed
+        |  FROM per JOIN tgt USING (source)),
+        |k AS (SELECT source, n_tokens, target_pm, needed,
+        |    CASE WHEN n_tokens > 0 THEN
+        |      (CAST(needed AS HUGEINT) * 1000 + n_tokens - 1) // n_tokens
+        |    END AS epochs,
+        |    LEAST(needed,
+        |      (CAST(n_tokens AS HUGEINT) * $maxEpochsQ3) // 1000)
+        |      AS achieved
+        |  FROM j)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(target_pm AS BIGINT) AS target_pm,
+        |  CAST(needed AS BIGINT) AS needed_tokens,
+        |  CAST(epochs AS BIGINT) AS epochs_q3,
+        |  epochs > $maxEpochsQ3 AS capped,
+        |  CAST(achieved AS BIGINT) AS achieved_tokens,
+        |  CAST(needed - achieved AS BIGINT) AS shortfall_tokens
+        |FROM k ORDER BY source""".stripMargin
   }
 
   /** q300: `Dedup.dupNgramShare` — the q209 per-doc distinct char
@@ -5788,6 +5831,9 @@ object Oracles {
     // q302 = q299's cells through the streaming state store
     "q302_stream_token_budget" -> q299TokenBudget,
     "q300_dup_ngram_share" -> q300DupNgramShare,
+    "q318_epochs_plan" -> q318EpochsPlan(
+      (0 until 20).map(i => (s"src$i", if (i < 10) 80L else 20L)),
+      budgetTokens = 200000L, maxEpochsQ3 = 4000L),
     "q270_calibration" -> q270Calibration,
     // q272 = q270's cells through the streaming state store: one
     // relational truth, two engine paths (the q205/q255 discipline)

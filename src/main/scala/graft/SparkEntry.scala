@@ -3632,6 +3632,19 @@ object SparkEntry {
       Analytics.winRateMatrix(wins).orderBy("item_a", "item_b")
     }),
 
+    // ---- corpus-curation tier: mixture-epochs planner (NEW r15) ----
+    // The repetition audit after q265's rate plan: with this target mix
+    // and token budget, how many epochs must each source repeat (exact
+    // BPE supply from the q299 cells), who exceeds the ~4-epoch
+    // data-constrained cap, and what shortfall the cap leaves.
+    "q318_epochs_plan" -> ((s, dir) => {
+      val targets = (0 until 20).map(i =>
+        (s"src$i", if (i < 10) 80L else 20L))
+      TextAnalysis.epochsPlan(documents(s, dir), targets,
+          budgetTokens = 200000L, maxEpochsQ3 = 4000L)
+        .orderBy("source")
+    }),
+
     // ---- preference tier: Condorcet cycle audit (NEW r14) ----
     // Among triples with three strict-majority edges, the share
     // forming a directed 3-cycle — intransitive preference data means

@@ -1731,6 +1731,55 @@ object TextAnalysis {
         col("n_tokens"), col("token_share_q6"), col("fertility_q6"))
   }
 
+  /** Mixture-epochs planner — the repetition audit a data-constrained
+    * pretraining run is sized with (Muennighoff et al. 2023: repeating
+    * a source past ~4 epochs stops buying loss): given a target
+    * mixture (permille per source), a total token budget, and each
+    * source's ACTUAL exact-BPE token supply
+    * ([[tokenBudgetCells]] — the q299 cells, one builder), report per
+    * source the tokens the mix demands, the epochs that demand implies
+    * (Q3, ceil — 1250 = 1.25 passes over the source), whether it
+    * exceeds the repetition cap, and the achieved/shortfall token
+    * counts under the cap. The sources flagged `capped` are exactly
+    * where the planned mix is infeasible without new data or a lower
+    * budget — the first question after q265's rate plan.
+    *
+    * Scale shape: ONE corpus scan (the shared cell build; token
+    * counting map-side), then arithmetic on ≤|sources| rows joined to
+    * a broadcast target list. Nothing else touches the corpus.
+    */
+  def epochsPlan(docs: DataFrame, targetsPermille: Seq[(String, Long)],
+      budgetTokens: Long, maxEpochsQ3: Long = 4000,
+      domainCol: String = "source", textCol: String = "text")
+      : DataFrame = {
+    require(targetsPermille.nonEmpty, "epochsPlan needs targets")
+    require(budgetTokens >= 0, "epochsPlan needs budgetTokens >= 0")
+    require(maxEpochsQ3 >= 1, "epochsPlan needs maxEpochsQ3 >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tgt = targetsPermille.toDF("source", "target_pm")
+    val dec = "DECIMAL(38,0)"
+    tokenBudgetCells(docs, domainCol, textCol)
+      .join(broadcast(tgt), Seq("source"))
+      .withColumn("needed_tokens", expr(
+        s"CAST((CAST($budgetTokens AS $dec) * target_pm) DIV 1000" +
+          " AS BIGINT)"))
+      // ceil(needed / supply) in Q3 milli-epochs; NULL when the source
+      // has no tokens at all (infinite epochs — unplannable, loud)
+      .withColumn("epochs_q3", expr(
+        s"CAST(CASE WHEN n_tokens > 0 THEN (CAST(needed_tokens AS $dec)" +
+          " * 1000 + n_tokens - 1) DIV n_tokens END AS BIGINT)"))
+      .withColumn("capped", col("epochs_q3") > maxEpochsQ3)
+      .withColumn("achieved_tokens", least(col("needed_tokens"), expr(
+        s"CAST((CAST(n_tokens AS $dec) * $maxEpochsQ3) DIV 1000" +
+          " AS BIGINT)")))
+      .withColumn("shortfall_tokens",
+        col("needed_tokens") - col("achieved_tokens"))
+      .select(col("source"), col("n_tokens"), col("target_pm"),
+        col("needed_tokens"), col("epochs_q3"), col("capped"),
+        col("achieved_tokens"), col("shortfall_tokens"))
+  }
+
   /** [[tokenBudgetBySource]]'s readout over prebuilt cells. */
   def tokenBudgetFromCells(cells: DataFrame): DataFrame = {
     val tot = cells.agg(sum("n_tokens").as("_tt"))

@@ -55,19 +55,20 @@ def calib(d):
             f"load1 {e.get('load1_pre', '?')}->{e.get('load1_post', '?')}")
 
 
-def tick_points(rec):
-    """(t, ms) calibration samples from a record: the interleaved
-    calib_ticks when present (r15+), else the pre/post single-thread
-    calib_ms the env block has carried since r11 (two pseudo-ticks —
-    no per-query placement, but enough for a whole-run level)."""
+def tick_points(rec, key="ms"):
+    """(t, <key>) calibration samples from a record: the interleaved
+    calib_ticks when present (r15+; key "ms" = single-thread, "mt_ms" =
+    all-threads), else the pre/post env values (two pseudo-ticks — no
+    per-query placement, but enough for a whole-run level)."""
     ticks = rec.get("calib_ticks") or []
-    pts = sorted((t["t"], t["ms"]) for t in ticks
-                 if isinstance(t, dict) and t.get("ms", 0) > 0
+    pts = sorted((t["t"], t[key]) for t in ticks
+                 if isinstance(t, dict) and t.get(key, 0) > 0
                  and isinstance(t.get("t"), (int, float)))
     if pts:
         return pts
     e = rec.get("env", {})
-    pre, post = e.get("calib_ms_pre"), e.get("calib_ms_post")
+    env_key = "calib_mt_ms" if key == "mt_ms" else "calib_ms"
+    pre, post = e.get(f"{env_key}_pre"), e.get(f"{env_key}_post")
     out = []
     if isinstance(pre, (int, float)) and pre > 0:
         out.append((0.0, float(pre)))
@@ -76,7 +77,16 @@ def tick_points(rec):
     return out
 
 
-def norm_factor_fn(rec, base):
+def pick_tick_key(*recs):
+    """Normalize by the ALL-THREADS loop when every record carries it
+    (r15 finding: a host granting fewer parallel cores inflates every
+    Spark query while the single-thread loop stays flat — st ticks
+    mislabel that as PLAN), else fall back to single-thread."""
+    return ("mt_ms" if all(tick_points(r, "mt_ms") for r in recs)
+            else "ms")
+
+
+def norm_factor_fn(rec, base, key="ms"):
     """Per-query load factor: calibration ms at the query's own start
     offset (linear interpolation between bracketing ticks) over `base`
     — the cleanest tick across BOTH records. The tick loop is fixed
@@ -84,7 +94,7 @@ def norm_factor_fn(rec, base):
     and a cross-record base is valid; a uniform whole-run load window
     (invisible within one record) then still reads as load. Factor is
     >= 1 by construction of base; 1.0 when the record has no samples."""
-    pts = tick_points(rec)
+    pts = tick_points(rec, key)
     qt = rec.get("queries_t") or {}
     if not pts or not base or base <= 0:
         return lambda q: 1.0
@@ -125,15 +135,19 @@ def main():
 
     oq, nq = old.get("queries", {}), new.get("queries", {})
     omin, nmin = old.get("queries_min", {}), new.get("queries_min", {})
-    all_ms = [ms for rec in (old, new) for _, ms in tick_points(rec)]
+    tkey = pick_tick_key(old, new)
+    all_ms = [ms for rec in (old, new) for _, ms in tick_points(rec, tkey)]
     base = min(all_ms) if all_ms else None
-    ofac, nfac = norm_factor_fn(old, base), norm_factor_fn(new, base)
-    have_ticks = base is not None and (tick_points(old) and tick_points(new))
+    ofac = norm_factor_fn(old, base, tkey)
+    nfac = norm_factor_fn(new, base, tkey)
+    have_ticks = base is not None and (
+        tick_points(old, tkey) and tick_points(new, tkey))
 
     print(f"old: {a.old} total={old.get('value')}s  [{calib(old)}]")
     print(f"new: {a.new} total={new.get('value')}s  [{calib(new)}]")
     print(f"threshold: {threshold}x on per-query medians"
-          + (" (calib-normalized verdicts)" if have_ticks else "") + "\n")
+          + (f" (calib-normalized verdicts, {tkey} ticks)"
+             if have_ticks else "") + "\n")
 
     common = sorted(set(oq) & set(nq))
     added = sorted(set(nq) - set(oq))
