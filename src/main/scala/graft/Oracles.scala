@@ -3247,6 +3247,61 @@ object Oracles {
        |    FROM scored)""".stripMargin
   }
 
+  /** q319: `Similarity.pqRefinePlan` — the q84/q89 ADC chain at the
+    * deepest shortlist (k·max(f), adc_rank kept), ONE exact re-score
+    * of those candidates, the exact integer-L2 top-k truth over the
+    * whole int8 corpus, then per refine factor the window re-rank at
+    * `adc_rank ≤ k·f`, recall join, and refine-cost shares — every
+    * division a HUGEINT floor matching the engine's DECIMAL DIVs.
+    */
+  def q319PqRefinePlan: String = {
+    val k = 5; val rfs = Seq(1, 2, 4, 8); val rfMax = rfs.max
+    val rfValues = rfs.map(f => s"($f)").mkString(", ")
+    s"""${pqAdcRankedCtes(ksub = 16, m = 8, iters = 2)},
+       |  cand AS (SELECT query_id, neighbor_id, rank AS adc_rank
+       |           FROM ranked WHERE rank <= ${k * rfMax}),
+       |  exact AS (SELECT c.query_id, c.neighbor_id, c.adc_rank,
+       |      sum((q.v - n.v) * (q.v - n.v))::BIGINT AS dist2
+       |    FROM cand c
+       |    JOIN vpos q ON q.vec_id = c.query_id
+       |    JOIN vpos n ON n.vec_id = c.neighbor_id AND n.pos = q.pos
+       |    GROUP BY 1, 2, 3),
+       |  td AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |      sum((q.v - n.v) * (q.v - n.v))::BIGINT AS dist2
+       |    FROM vpos q JOIN vpos n ON n.pos = q.pos AND n.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 20 GROUP BY 1, 2),
+       |  truth AS (SELECT query_id, neighbor_id FROM (
+       |      SELECT query_id, neighbor_id, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY dist2, neighbor_id) AS rn
+       |      FROM td) WHERE rn <= $k),
+       |  rfs(rf) AS (VALUES $rfValues),
+       |  app AS (SELECT rf, query_id, neighbor_id FROM (
+       |      SELECT r.rf, e.query_id, e.neighbor_id,
+       |        row_number() OVER (PARTITION BY r.rf, e.query_id
+       |          ORDER BY e.dist2, e.neighbor_id) AS rn
+       |      FROM rfs r JOIN exact e ON e.adc_rank <= r.rf * $k)
+       |    WHERE rn <= $k),
+       |  hits AS (SELECT a.rf, count(*)::BIGINT AS n_hits
+       |    FROM app a JOIN truth t USING (query_id, neighbor_id)
+       |    GROUP BY 1),
+       |  nref AS (SELECT r.rf, count(*)::BIGINT AS n_refined
+       |    FROM rfs r JOIN exact e ON e.adc_rank <= r.rf * $k GROUP BY 1),
+       |  nn AS (SELECT
+       |    (SELECT count(DISTINCT vec_id) FROM vpos WHERE vec_id < 20) AS nq,
+       |    (SELECT count(DISTINCT vec_id) FROM vpos) AS ncorp)
+       |SELECT r.rf::BIGINT AS refine_factor, (r.rf * $k)::BIGINT AS depth,
+       |  COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+       |  CASE WHEN nq > 0 THEN ((COALESCE(h.n_hits, 0)::HUGEINT * 1000000)
+       |    // (nq * $k))::BIGINT END AS macro_recall_q6,
+       |  COALESCE(f.n_refined, 0)::BIGINT AS n_refined,
+       |  CASE WHEN nq > 0 AND ncorp > 0 THEN
+       |    ((COALESCE(f.n_refined, 0)::HUGEINT * 1000000)
+       |      // (nq * ncorp))::BIGINT END AS refine_share_q6
+       |FROM rfs r LEFT JOIN hits h ON h.rf = r.rf
+       |LEFT JOIN nref f ON f.rf = r.rf
+       |CROSS JOIN nn ORDER BY refine_factor""".stripMargin
+  }
+
   /** q85: `Similarity.ivfPqTopKInt8` — IVF-PQ with residual encoding,
     * all-integer: the q57 coarse-quantizer chain (cent/asgn), residuals
     * rv = v − cent[own cell], per-subvector residual Lloyd rounds (PQ
@@ -5831,6 +5886,7 @@ object Oracles {
     // q302 = q299's cells through the streaming state store
     "q302_stream_token_budget" -> q299TokenBudget,
     "q300_dup_ngram_share" -> q300DupNgramShare,
+    "q319_pq_refine_plan" -> q319PqRefinePlan,
     "q318_epochs_plan" -> q318EpochsPlan(
       (0 until 20).map(i => (s"src$i", if (i < 10) 80L else 20L)),
       budgetTokens = 200000L, maxEpochsQ3 = 4000L),

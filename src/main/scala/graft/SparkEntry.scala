@@ -3600,6 +3600,18 @@ object SparkEntry {
         .orderBy("n_probe")
     }),
 
+    // ---- ANN tier: PQ refine-depth planner (NEW r15) ----
+    // q315's discipline on the refine knob: recall@5 vs exact-L2
+    // truth + exact-rescore cost per refine factor, from ONE ADC pass
+    // at the deepest shortlist (ADC ranks nest) + ONE broadcast
+    // re-score + ONE heap-bounded truth pass.
+    "q319_pq_refine_plan" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.pqRefinePlan(e, e.filter(col("vec_id") < 20), k = 5,
+          refineFactors = Seq(1, 2, 4, 8), m = 8, ksub = 16, iters = 2)
+        .orderBy("refine_factor")
+    }),
+
     // ---- dedup tier: threshold-sensitivity table (NEW r15) ----
     // "How much does each Jaccard cutoff bite?" — exact pair counts,
     // groups and docs touched per τ, all read off ONE collapsed

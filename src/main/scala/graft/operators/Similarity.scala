@@ -1190,4 +1190,133 @@ object Similarity extends Serializable {
       .select(col("n_probe"), col("n_hits"), col("macro_recall_q6"),
         col("rows_scanned"), col("scan_share_q6"))
   }
+
+  /** PQ refine-depth planner — [[ivfProbePlan]]'s discipline applied
+    * to the OTHER serving knob: how deep must the ADC shortlist be
+    * before the exact re-rank ([[pqRefineTopK]]) recovers the true
+    * top-k? Per refine factor f: recall@k of refine-at-depth-k·f
+    * against the exact integer-L2 truth, plus the price paid — exact
+    * re-scores performed, absolute and as a Q6 share of
+    * |queries|·|corpus| (share 10⁶ = re-ranking everything, i.e. no
+    * PQ at all). q89 serves ONE operating point; this prints the
+    * recall-vs-refine-cost curve the point is chosen from.
+    *
+    * Exactness/protocol: shortlist = [[pqTopKInt8]] at k·max(f) with
+    * its ADC rank kept — rank lists NEST, so the depth-k·f shortlist
+    * is exactly `adc_rank ≤ k·f` (the probe-rank argument of q315);
+    * truth is the exact integer squared-L2 top-k over the int8
+    * corpus — the metric refine targets.
+    *
+    * Scale shape: ONE ADC code pass at the deepest shortlist (the
+    * corpus vectors never scanned there — codes only), ONE broadcast
+    * exact re-score of that bounded shortlist (map-side hash probe
+    * per corpus row, the q89 shape), ONE exact-truth pass with
+    * per-partition bounded heaps (the [[bruteForceTopK]] pattern);
+    * per-factor readouts are window rankings over the MATERIALIZED
+    * |Q|·k·max(f) table — no re-search, no per-factor corpus pass.
+    * Output: (refine_factor, depth, n_hits, macro_recall_q6,
+    * n_refined, refine_share_q6), one row per factor.
+    */
+  def pqRefinePlan(corpus: DataFrame, queries: DataFrame, k: Int,
+      refineFactors: Seq[Int] = Seq(1, 2, 4, 8), m: Int = 8,
+      ksub: Int = 16, iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "pqRefinePlan needs k >= 1")
+    require(refineFactors.nonEmpty && refineFactors.forall(_ >= 1),
+      "pqRefinePlan needs refine factors >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rfs = refineFactors.distinct.sorted
+    val rfMax = rfs.last
+    val shortlist = Dedup.materialize(
+      pqTopKInt8(corpus, queries, k * rfMax, m, ksub, iters, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("_adc_rank")))
+    val qQueries = quantIds(queries, idCol, vecCol).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toArray)).toMap
+    val qB = spark.sparkContext.broadcast(qQueries)
+    val exactU = udf { (qid: Long, nv: Seq[Int]) =>
+      val qv = qB.value(qid)
+      var d = 0L; var i = 0
+      while (i < qv.length) { val t = (qv(i) - nv(i)).toLong; d += t * t; i += 1 }
+      d
+    }
+    val exact = Dedup.materialize(
+      quantIds(corpus, idCol, vecCol).withColumnRenamed("id", "neighbor_id")
+        .join(broadcast(shortlist), Seq("neighbor_id"))
+        .withColumn("dist2", exactU(col("query_id"), col("qv")))
+        .select("query_id", "neighbor_id", "_adc_rank", "dist2"))
+    // exact-L2 truth via per-partition bounded heaps; worst-first under
+    // (dist2 asc, neighbor_id asc) so the head is what a better row evicts
+    val qArr: Array[(Long, Array[Int])] = qQueries.toArray.sortBy(_._1)
+    val qB2 = spark.sparkContext.broadcast(qArr)
+    val partial = quantIds(corpus, idCol, vecCol)
+      .as[(Long, Seq[Int])].mapPartitions { rows =>
+        val qs = qB2.value
+        val ord = new java.util.Comparator[(Long, Long)] {
+          def compare(x: (Long, Long), y: (Long, Long)): Int = {
+            val c = java.lang.Long.compare(y._1, x._1)
+            if (c != 0) c else java.lang.Long.compare(y._2, x._2)
+          }
+        }
+        val heaps = Array.fill(qs.length)(
+          new java.util.PriorityQueue[(Long, Long)](k + 1, ord))
+        rows.foreach { case (nid, nv) =>
+          var i = 0
+          while (i < qs.length) {
+            if (qs(i)._1 != nid) {
+              val qv = qs(i)._2
+              var d = 0L; var j = 0
+              while (j < qv.length) {
+                val t = (qv(j) - nv(j)).toLong; d += t * t; j += 1
+              }
+              val h = heaps(i)
+              if (h.size < k) h.offer((d, nid))
+              else if (ord.compare((d, nid), h.peek()) > 0) {
+                h.poll(); h.offer((d, nid))
+              }
+            }
+            i += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator().asScala.map { case (d, nid) => (qs(i)._1, nid, d) }
+        }
+      }
+    val wT = Window.partitionBy("query_id")
+      .orderBy(col("dist2"), col("neighbor_id"))
+    val truth = Dedup.materialize(
+      partial.toDF("query_id", "neighbor_id", "dist2")
+        .withColumn("rank", row_number().over(wT))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id"))
+    val nc = quantIds(corpus, idCol, vecCol).agg(count(lit(1)).as("_nc"))
+    val nqL = qQueries.size.toLong
+    val perRf = rfs.map { rf =>
+      val app = exact.filter(col("_adc_rank") <= k.toLong * rf)
+        .withColumn("rank", row_number().over(wT))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+      val hits = truth.join(app, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val nref = exact.filter(col("_adc_rank") <= k.toLong * rf)
+        .agg(count(lit(1)).as("n_refined"))
+      hits.crossJoin(nref)
+        .withColumn("refine_factor", lit(rf.toLong))
+        .withColumn("depth", lit(k.toLong * rf))
+    }
+    perRf.reduce(_.unionByName(_))
+      .crossJoin(broadcast(nc))
+      .withColumn("macro_recall_q6", when(lit(nqL) > 0, expr(
+        s"CAST((CAST(n_hits AS DECIMAL(38,0)) * 1000000) DIV ($nqL * $k)" +
+          " AS BIGINT)")))
+      .withColumn("refine_share_q6",
+        when(lit(nqL) > 0 && col("_nc") > 0, expr(
+          s"CAST((CAST(n_refined AS DECIMAL(38,0)) * 1000000)" +
+            s" DIV ($nqL * _nc) AS BIGINT)")))
+      .select(col("refine_factor"), col("depth"), col("n_hits"),
+        col("macro_recall_q6"), col("n_refined"), col("refine_share_q6"))
+  }
 }

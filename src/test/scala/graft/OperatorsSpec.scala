@@ -2377,6 +2377,49 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.find(_._1 == 4L).get._3 == macroQ6)
   }
 
+  test("pqRefinePlan: monotone recall/cost in refine factor; depth >= corpus = exact; agrees with pqRefineTopK") {
+    val base = (0 until 60).map { i =>
+      val cluster = i % 4
+      val v = Array.tabulate(16)(j =>
+        if (j / 4 == cluster) 1.0f + 0.01f * i else 0.01f * ((i + j) % 3))
+      (i.toLong, v.toSeq)
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" < 4)
+    val rfs = Seq(1, 2, 4, 20) // 20·3 = 60 > 59 = corpus-1: full re-rank
+    val plan = Similarity.pqRefinePlan(df, qs, k = 3,
+        refineFactors = rfs, m = 4, ksub = 8, iters = 2)
+      .orderBy("refine_factor")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(plan.map(_._1) == rfs.map(_.toLong))
+    assert(plan.map(_._2) == rfs.map(r => 3L * r))
+    // deeper shortlists never lose recall and never re-score less
+    assert(plan.map(_._3) == plan.map(_._3).sorted)
+    assert(plan.map(_._5) == plan.map(_._5).sorted)
+    // exact re-scores = |Q| · min(depth, corpus−1)
+    assert(plan.map(_._5) == rfs.map(r => 4L * math.min(3L * r, 59L)))
+    // a shortlist covering the whole corpus IS the exact truth
+    assert(plan.last._4 == 1000000L)
+    // each point reproduces the served refine path: n_hits == overlap
+    // of pqRefineTopK's output with the driver-side exact-L2 truth
+    val qv = graft.operators.Embeddings.withInt8Quantized(df)
+      .select($"vec_id", $"q").as[(Long, Seq[Int])].collect().toMap
+    def d2(a: Seq[Int], b: Seq[Int]): Long =
+      a.iterator.zip(b.iterator)
+        .map { case (x, y) => val t = (x - y).toLong; t * t }.sum
+    val truth = (0L until 4L).flatMap { q =>
+      (0L until 60L).filter(_ != q).map(n => (n, d2(qv(q), qv(n))))
+        .sortBy { case (n, d) => (d, n) }.take(3).map(p => (q, p._1))
+    }.toSet
+    for (rf <- Seq(1, 2, 4)) {
+      val served = Similarity.pqRefineTopK(df, qs, k = 3,
+          refineFactor = rf, m = 4, ksub = 8, iters = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      assert(plan.find(_._1 == rf.toLong).get._3 ==
+        (truth intersect served).size.toLong, s"rf=$rf n_hits mismatch")
+    }
+  }
+
   test("cdcChunks: exact partition, length bounds, shift-robust resync; corpus op finds planted dup") {
     import graft.functions.Hashing
     val rng = new scala.util.Random(206)
