@@ -113,7 +113,10 @@ object Bench {
     "q300_dup_ngram_share", // exact-substring dup exposure (NEW r14)
     "q310_bradley_terry",  // preference-rating MM fixed point (NEW r14)
     "q315_ivf_probe_plan", // IVF nProbe recall/cost sweep, one scoring pass (NEW r15)
-    "q316_dedup_threshold_sweep") // per-tau dedup bite off one pair join (NEW r15)
+    "q316_dedup_threshold_sweep", // per-tau dedup bite off one pair join (NEW r15)
+    "q318_epochs_plan",    // mixture-epochs planner over the BPE supply cells (NEW r15)
+    "q319_pq_refine_plan", // PQ refine-depth recall/cost curve, one ADC pass (NEW r15)
+    "q320_dup_cluster_domains") // near-dup cluster domain-spread histogram (NEW r15)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine

@@ -117,7 +117,7 @@ object Oracles {
     * scale (≤ the table's row count) and is omitted.
     */
   private def minhashCandCtes(threshold: Double, num: Int, rpb: Int,
-      k: Int): String = {
+      k: Int, docsRel: String = "documents"): String = {
     val bands = num / rpb
     val slots = (0 until rpb)
       .map(j => s"sig[band*$rpb + ${j + 1}] AS s$j").mkString(", ")
@@ -125,7 +125,7 @@ object Oracles {
       (0 until rpb).map(j => s"a.s$j = b.s$j")).mkString(" AND ")
     val matches = s"list_sum(list_transform(range(1, ${num + 1})," +
       s" i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END))"
-    s"""  reps AS (SELECT min(doc_id) AS id, min(text) AS t FROM documents GROUP BY md5(text)),
+    s"""  reps AS (SELECT min(doc_id) AS id, min(text) AS t FROM $docsRel GROUP BY md5(text)),
        |${minhashSigCtes("SELECT id, t FROM reps", num, k)},
        |  bnd AS (SELECT id, unnest(range(0, $bands)) AS band, sig FROM sig),
        |  bands AS (SELECT id, band, $slots FROM bnd),
@@ -394,6 +394,38 @@ object Oracles {
        |  (m.id = m.cid) AS is_canonical
        |FROM minr m JOIN sz ON sz.cid = m.cid
        |ORDER BY doc_id""".stripMargin
+
+  /** q320: `Dedup.dupClusterDomains` — q127's candidate graph +
+    * closure over the mirror-augmented corpus (doc_id<50 re-published
+    * under a 'mirror' domain with an appended suffix, so the copies
+    * are NEAR-dups that survive the exact collapse — the q307
+    * augmentation pattern, near-dup edition), each cluster's distinct
+    * member domains, then the spread histogram with a Q6 cluster
+    * share.
+    */
+  def q320DupClusterDomains: String =
+    s"""WITH RECURSIVE
+       |  aug AS (SELECT doc_id, source, text FROM documents
+       |          UNION ALL
+       |          SELECT doc_id + 1000000, 'mirror', text || ' via mirror feed'
+       |          FROM documents WHERE doc_id < 50),
+       |${minhashCandCtes(0.5, num = 32, rpb = 4, k = 5, docsRel = "aug")},
+       |  edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM cand
+       |            UNION SELECT id_b, id_a FROM cand),
+       |  reach(s, d) AS (SELECT s, d FROM edges
+       |                  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |  minr AS (SELECT s AS id, least(s, min(d)) AS cid FROM reach GROUP BY s),
+       |  dom AS (SELECT m.cid, count(DISTINCT a.source) AS n_domains,
+       |      count(*)::BIGINT AS n_docs
+       |    FROM minr m JOIN aug a ON a.doc_id = m.id GROUP BY 1),
+       |  hist AS (SELECT n_domains, count(*)::BIGINT AS n_clusters,
+       |      sum(n_docs)::BIGINT AS n_docs FROM dom GROUP BY 1),
+       |  tot AS (SELECT sum(n_clusters) AS tc FROM hist)
+       |SELECT n_domains::BIGINT AS n_domains, n_clusters, n_docs,
+       |  CASE WHEN tc > 0 THEN
+       |    ((n_clusters::HUGEINT * 1000000) // tc)::BIGINT END
+       |    AS cluster_share_q6
+       |FROM hist, tot ORDER BY n_domains""".stripMargin
 
   /** q35: 64-bit SimHash (token FNV → splitmix, per-bit majority vote),
     * 4×16-bit band buckets, Hamming ≤ 16 — `Hashing.simhash` +
@@ -5887,6 +5919,7 @@ object Oracles {
     "q302_stream_token_budget" -> q299TokenBudget,
     "q300_dup_ngram_share" -> q300DupNgramShare,
     "q319_pq_refine_plan" -> q319PqRefinePlan,
+    "q320_dup_cluster_domains" -> q320DupClusterDomains,
     "q318_epochs_plan" -> q318EpochsPlan(
       (0 until 20).map(i => (s"src$i", if (i < 10) 80L else 20L)),
       budgetTokens = 200000L, maxEpochsQ3 = 4000L),

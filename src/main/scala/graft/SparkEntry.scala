@@ -3644,6 +3644,25 @@ object SparkEntry {
       Analytics.winRateMatrix(wins).orderBy("item_a", "item_b")
     }),
 
+    // ---- dedup tier: cluster domain-spread histogram (NEW r15) ----
+    // WHAT KIND of duplication: near-dup clusters confined to one
+    // domain are template/boilerplate; clusters spanning domains are
+    // syndication/mirrors (the near-dup complement to q307's exact
+    // matrix). Corpus mirror-augmented with EDITED copies (suffix
+    // appended) so they survive the exact collapse — the q307
+    // augmentation pattern, near-dup edition.
+    "q320_dup_cluster_domains" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val aug = d.select(col("doc_id"), col("source"), col("text"))
+        .unionByName(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit("mirror").as("source"),
+            concat(col("text"), lit(" via mirror feed")).as("text")))
+      Dedup.dupClusterDomains(aug, numHashes = 32, rowsPerBand = 4,
+          k = 5, threshold = 0.5)
+        .orderBy("n_domains")
+    }),
+
     // ---- corpus-curation tier: mixture-epochs planner (NEW r15) ----
     // The repetition audit after q265's rate plan: with this target mix
     // and token budget, how many epochs must each source repeat (exact

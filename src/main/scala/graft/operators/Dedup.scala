@@ -972,6 +972,46 @@ object Dedup {
         (col("id") === col("cluster_id")).as("is_canonical"))
   }
 
+  /** Domain-spread histogram of the near-dup clusters — the signal
+    * that tells a curator WHAT KIND of duplication the corpus has:
+    * clusters confined to one domain are template/boilerplate
+    * (fix with per-domain cleaning, [[graft.operators.TextAnalysis]]'s
+    * boilerplate pass), clusters spanning domains are
+    * syndication/mirrors (fix with cross-domain dedup before
+    * mixture-weighting, or the weights double-count the shared text).
+    * The near-dup complement to [[crossDomainDups]]' EXACT matrix:
+    * per [[clusterReport]] cluster the distinct member domains, then
+    * one row per spread value — (n_domains, n_clusters, n_docs,
+    * cluster_share_q6).
+    *
+    * Scale shape: [[clusterPairs]]' label table (sized by candidate
+    * pairs, not the corpus) joined once to the docs' domain column,
+    * two partial-agg'd folds to a ≤|domains|-row histogram, broadcast
+    * 1-row total. Nothing else touches the corpus.
+    */
+  def dupClusterDomains(docs: DataFrame, numHashes: Int = 64,
+      rowsPerBand: Int = 8, k: Int = 5, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text",
+      domainCol: String = "source"): DataFrame = {
+    val members = clusterReport(docs, numHashes, rowsPerBand, k,
+        threshold, idCol, textCol)
+      .select(col(idCol), col("cluster_id"))
+    val dom = members
+      .join(docs.select(col(idCol), col(domainCol).as("_dom")), Seq(idCol))
+      .groupBy("cluster_id")
+      .agg(countDistinct("_dom").as("n_domains"),
+        count(lit(1)).as("n_docs"))
+    val hist = dom.groupBy("n_domains")
+      .agg(count(lit(1)).as("n_clusters"), sum("n_docs").as("n_docs"))
+    val tot = hist.agg(coalesce(sum("n_clusters"), lit(0L)).as("_tc"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("cluster_share_q6", when(col("_tc") > 0, expr(
+        "CAST((CAST(n_clusters AS DECIMAL(38,0)) * 1000000) DIV _tc" +
+          " AS BIGINT)")))
+      .select(col("n_domains"), col("n_clusters"), col("n_docs"),
+        col("cluster_share_q6"))
+  }
+
   /** [[nearDupKeep]] with a caller-chosen representative: cluster
     * members rank by `score` DESC (tie: lowest id) and only the top one
     * survives — curation's "keep the best copy" (longest, highest

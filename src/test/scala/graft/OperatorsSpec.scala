@@ -2894,6 +2894,31 @@ class OperatorsSpec extends SparkSpec {
     assert(g1(1)._5 > 0L)
   }
 
+  test("dupClusterDomains: intra- vs cross-domain clusters; exact cross-domain copy collapses before clustering") {
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // intra-domain near-dup pair (A): one appended word
+      (1L, "A", base + " tailA"),
+      (2L, "A", base + " tailB"),
+      // cross-domain near-dup pair (A x B): disjoint from the first
+      // cluster (fresh vocabulary)
+      (3L, "A", (50 until 90).map(i => s"v$i").mkString(" ") + " x"),
+      (4L, "B", (50 until 90).map(i => s"v$i").mkString(" ") + " y"),
+      // EXACT copy of doc 1's text in domain C: md5-collapses to the
+      // min-id rep BEFORE LSH, so domain C never reaches the cluster
+      (5L, "C", base + " tailA"),
+      // unpaired doc: absent from the histogram
+      (6L, "B", (100 until 140).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.Dedup.dupClusterDomains(docs,
+        numHashes = 32, rowsPerBand = 4, k = 5, threshold = 0.5)
+      .orderBy("n_domains")
+      .as[(Long, Long, Long, Option[Long])].collect().toList
+    assert(got == List(
+      (1L, 1L, 2L, Some(500000L)),  // docs 1+2 (domain A only)
+      (2L, 1L, 2L, Some(500000L)))) // docs 3+4 (domains A, B)
+  }
+
   test("tokenBudgetBySource: bytes/tokens/share/fertility are self-consistent") {
     val docs = Seq(
       ("a", "hello world hello"), ("a", "the cat sat"),
