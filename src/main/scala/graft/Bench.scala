@@ -130,51 +130,21 @@ object Bench {
     x
   }
 
-  private def calibMs(): Double = {
-    val sinkW = xorshiftRun(20000000L) // JIT warm
+  /** `warm = false` is the INTERLEAVED-tick variant (the startup call
+    * already JIT-warmed the loop): run between query groups while
+    * Spark is idle, so a sustained ambient-load window shows up IN
+    * the record — the r14 driver bench read 2.15× with a contiguous
+    * q147–q233 block elevated and nothing inside the record could
+    * prove load vs plans. With per-query timestamps + these ticks,
+    * bench_diff normalizes each query by the calibration level at its
+    * own moment and the adjudication is mechanical.
+    */
+  private def calibMs(warm: Boolean = true): Double = {
+    val sinkW = if (warm) xorshiftRun(20000000L) else 0L // JIT warm
     val t0 = System.nanoTime()
     val sink = xorshiftRun(160000000L)
     val ms = (System.nanoTime() - t0) / 1e6
     if ((sink ^ sinkW) == 42L) System.err.println("calib sink") // defeat DCE
-    ms
-  }
-
-  /** The same single-thread fixed-work loop WITHOUT the JIT warm pass
-    * (the startup [[calibMs]] already warmed it) — ~300 ms idle. Runs
-    * INTERLEAVED between query groups while Spark is idle, so a
-    * sustained ambient-load window shows up IN the record: the r14
-    * driver bench read 2.15× with a contiguous q147–q233 block elevated
-    * and nothing inside the record could prove load vs plans (min-of-3
-    * moves with the median once contention outlasts one query's three
-    * consecutive runs). With per-query timestamps + these ticks,
-    * bench_diff normalizes each query by the calibration level at its
-    * own moment and the adjudication is mechanical.
-    */
-  private def calibTickMs(): Double = {
-    val t0 = System.nanoTime()
-    val sink = xorshiftRun(160000000L)
-    val ms = (System.nanoTime() - t0) / 1e6
-    if (sink == 42L) System.err.println("calib sink") // defeat DCE
-    ms
-  }
-
-  /** [[calibMtMs]] without the JIT warm pass — the MULTI-thread member
-    * of the interleaved tick (r15 second finding: the single-thread
-    * tick stayed flat at ~350 ms while the 32-thread loop read 620 ms
-    * vs the r13 box's 340 — a host granting fewer parallel cores
-    * inflates every Spark query ~uniformly and is INVISIBLE to a
-    * single-thread probe; only a parallel fixed-work loop sees it).
-    */
-  private def calibMtTickMs(threads: Int): Double = {
-    val sinks = new java.util.concurrent.atomic.AtomicLong(0L)
-    val t0 = System.nanoTime()
-    val ts = (1 to threads).map { _ =>
-      val t = new Thread(() => { sinks.addAndGet(xorshiftRun(160000000L)); () })
-      t.start(); t
-    }
-    ts.foreach(_.join())
-    val ms = (System.nanoTime() - t0) / 1e6
-    if (sinks.get() == 42L) System.err.println("calib sink") // defeat DCE
     ms
   }
 
@@ -183,11 +153,14 @@ object Bench {
     * matches the single-thread time; inflation over `calib_ms` measures
     * how much parallel CPU the host actually grants — the axis the
     * single-thread loop cannot see (cgroup quotas, noisy neighbors,
-    * SMT saturation). The Spark phase runs on this many threads, so
-    * THIS is the number that normalizes per-query seconds across hosts.
+    * SMT saturation; r15 finding: the st tick sat flat at ~350 ms
+    * while this loop swung 371→1090 ms with steal ≈ 0). The Spark
+    * phase runs on this many threads, so THIS is the number that
+    * normalizes per-query seconds across hosts. `warm = false` for
+    * the interleaved-tick variant, as in [[calibMs]].
     */
-  private def calibMtMs(threads: Int): Double = {
-    val sinkW = xorshiftRun(20000000L) // JIT warm before spawning
+  private def calibMtMs(threads: Int, warm: Boolean = true): Double = {
+    val sinkW = if (warm) xorshiftRun(20000000L) else 0L // JIT warm
     val sinks = new java.util.concurrent.atomic.AtomicLong(sinkW)
     val t0 = System.nanoTime()
     val ts = (1 to threads).map { _ =>
@@ -241,9 +214,15 @@ object Bench {
     val ticks = scala.collection.mutable.ArrayBuffer[(Int, Double, Double, Double)]()
     def tick(done: Int): Unit = {
       val t = tOff
-      ticks += ((done, t, calibTickMs(), calibMtTickMs(cpus.toInt)))
+      ticks += ((done, t, calibMs(warm = false),
+        calibMtMs(cpus.toInt, warm = false)))
     }
     val toRun = selected.filter(qs.contains)
+    // tick cadence: every N queries (default 10 ≈ one tick per 60-90 s
+    // of wall). The r15 final-run burst (4 queries elevated between
+    // ticks 60-90 s apart) showed the default can under-resolve a
+    // short window — tighten via env when re-baselining.
+    val tickEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_TICK_EVERY", "10").toInt
     tick(0)
     val results = toRun.zipWithIndex.map { case (name, idx) =>
       val fn = qs(name)
@@ -264,7 +243,7 @@ object Bench {
       }
       val tStart = tOff
       val runs = Seq.fill(3)(timed())
-      if ((idx + 1) % 10 == 0 && idx + 1 < toRun.size) tick(idx + 1)
+      if ((idx + 1) % tickEvery == 0 && idx + 1 < toRun.size) tick(idx + 1)
       val failed = runs.exists(_ < 0)
       (name, if (failed) -1.0 else runs.sorted.apply(1),
         if (failed) -1.0 else runs.min, runs, tStart)

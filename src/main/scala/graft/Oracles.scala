@@ -5464,10 +5464,11 @@ object Oracles {
     bpePerSourceCte +
       s""",
         |tgt(source, target_pm) AS (VALUES $tgtValues),
-        |j AS (SELECT per.source, per.n_tokens, tgt.target_pm,
+        |j AS (SELECT source, COALESCE(per.n_tokens, 0) AS n_tokens,
+        |    tgt.target_pm,
         |    (CAST($budgetTokens AS HUGEINT) * tgt.target_pm) // 1000
         |      AS needed
-        |  FROM per JOIN tgt USING (source)),
+        |  FROM tgt LEFT JOIN per USING (source)),
         |k AS (SELECT source, n_tokens, target_pm, needed,
         |    CASE WHEN n_tokens > 0 THEN
         |      (CAST(needed AS HUGEINT) * 1000 + n_tokens - 1) // n_tokens

@@ -434,6 +434,10 @@ object Similarity extends Serializable {
   def ivfTopKInt8Against(centroids: DataFrame, assigned: DataFrame,
       queries: DataFrame, k: Int, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // KEEP IN SYNC with ivfProbePlan's candidate build: the planner's
+    // exactness claim (per-probe results ≡ this path) depends on the
+    // probe ordering, tie-breaks, and zero-norm guard staying
+    // identical; OperatorsSpec pins the equivalence at nProbe=4 only.
     val cs: Array[Array[Long]] = centroids.orderBy("cell").collect()
       .map(_.getSeq[Long](1).toArray)
     import org.apache.spark.sql.functions.{udf => mkUdf}
@@ -1136,6 +1140,9 @@ object Similarity extends Serializable {
     val cs: Array[Array[Long]] = cents.orderBy("cell").collect()
       .map(_.getSeq[Long](1).toArray)
     import org.apache.spark.sql.functions.{udf => mkUdf}
+    // KEEP IN SYNC with ivfTopKInt8Against: probe ordering, tie-breaks
+    // and the zero-norm cosine guard below must match it exactly or
+    // the per-probe ≡ served-path claim breaks (spec pins nProbe=4)
     // rank-ordered probe list (same order as ivfTopKInt8Against's take)
     val probeU = mkUdf((v: Seq[Int]) =>
       cs.indices.map(i => (dist2At(v, 0, cs(i)), i)).sorted

@@ -1759,8 +1759,14 @@ object TextAnalysis {
     import spark.implicits._
     val tgt = targetsPermille.toDF("source", "target_pm")
     val dec = "DECIMAL(38,0)"
-    tokenBudgetCells(docs, domainCol, textCol)
-      .join(broadcast(tgt), Seq("source"))
+    // LEFT from the targets (r15 self-review finding): a target source
+    // entirely ABSENT from the corpus is the worst infeasibility —
+    // dropping its row would silently under-account the budget. It
+    // reads supply 0 → NULL epochs, achieved 0, full-demand shortfall,
+    // the same loud shape as a present-but-tokenless source.
+    tgt.join(tokenBudgetCells(docs, domainCol, textCol), Seq("source"),
+        "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
       .withColumn("needed_tokens", expr(
         s"CAST((CAST($budgetTokens AS $dec) * target_pm) DIV 1000" +
           " AS BIGINT)"))

@@ -433,8 +433,10 @@ object EventStreams {
     * key, lines buffer in the state store (capped at `maxPerKey`) and
     * each trigger emits the order's CURRENT directed win-pair counts
     * (strictly higher line price beats lower, distinct suppliers —
-    * NULL suppkey/price rows never pair, matching the batch join's
-    * NULL-comparison semantics) with an `emit` counter. A multi-batch
+    * NULL suppkey/price rows never pair, and NULL ORDER keys are
+    * dropped whole, matching the batch self-join where every
+    * NULL comparison, including the join key's, is false) with an
+    * `emit` counter. A multi-batch
     * consumer keeps the max-emit rows per order, sums cells by
     * (winner, loser), and reads them out with
     * [[graft.operators.Analytics.winRateMatrix]] /
@@ -457,6 +459,14 @@ object EventStreams {
         (order: Option[Long],
             rows: Iterator[(Option[Long], Option[Long], Option[Long])],
             state: GroupState[WinState]) =>
+          if (order.isEmpty) {
+            // batch truth: the self-join key `a.l_orderkey ===
+            // b.l_orderkey` is false on NULLs, so NULL-key lines never
+            // pair. groupByKey would otherwise pool them into ONE
+            // None-key bucket and pair them with each other — drop
+            // them here (no state either: nothing can ever emit).
+            Iterator.empty
+          } else {
           val prev = state.getOption.getOrElse(WinState(Nil, 0L))
           val all = (prev.rows ++ rows.map(r => (r._2, r._3)))
             .take(maxPerKey)
@@ -476,6 +486,7 @@ object EventStreams {
           pairs.toSeq.groupBy(identity).iterator
             .map { case ((w, l), g) =>
               (order, next.emits, w, l, g.size.toLong) }
+          }
       }
       .toDF("l_orderkey", "emit", "winner", "loser", "n")
   }

@@ -43,8 +43,19 @@ class HofReuseLintSpec extends AnyFunSuite {
   private val inlineHeads = Seq("words(", "wordNgrams(", "split(col",
     "split(lower")
 
+  /** Comment- AND string-literal-stripped source. Strings go too (r15
+    * self-review finding): oracle SQL carries DuckDB's floor-division
+    * operator `//` inside string literals, and the old
+    * strip-line-comments pass truncated every such line at the `//` —
+    * unbalancing parens and silently blinding `extractCalls` for the
+    * rest of the def. Order matters: block comments, then string
+    * literals (so an in-string `//` never reads as a comment), then
+    * line comments.
+    */
   private def stripComments(src: String): String =
     src.replaceAll("(?s)/\\*.*?\\*/", "")
+      .replaceAll("(?s)\"\"\".*?\"\"\"", "\"\"")
+      .replaceAll("\"(\\\\.|[^\"\\\\\n])*\"", "\"\"")
       .replaceAll("//[^\n]*", "")
 
   /** rule 1: multi-referenced HOF-built vals. */
@@ -167,5 +178,22 @@ class HofReuseLintSpec extends AnyFunSuite {
         "    * size(array_distinct(words(text))) inline */\n" +
         "  def ok(text: Column): Column = size(words(text))\n}\n"
     assert(inlineViolations(doc, "fixture").isEmpty)
+  }
+
+  test("a `//` inside a string literal does not blind the gate (r15 fix)") {
+    // the old strip truncated the line at the in-string `//`,
+    // unbalancing parens and dropping the later duplicate calls
+    val fixture =
+      "object Bad {\n  def bad(text: Column): Column = {\n" +
+        "    val q = expr(\"CAST(a * 1000000) // tc AS BIGINT)\")\n" +
+        "    size(words(text)) + size(array_distinct(words(text)))\n" +
+        "  }\n}\n"
+    assert(inlineViolations(fixture, "fixture").nonEmpty)
+    // and an in-string builder-looking call is NOT a Scala-side hit
+    val ok =
+      "object Ok {\n  def ok(t: Column): Column = {\n" +
+        "    val q = expr(\"split(col, ' ')[0] || split(col, ' ')[1]\")\n" +
+        "    size(words(t))\n  }\n}\n"
+    assert(inlineViolations(ok, "fixture").isEmpty)
   }
 }

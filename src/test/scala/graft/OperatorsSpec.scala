@@ -2953,16 +2953,19 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("source")
       .as[(String, Long, Long, Long)].collect().toList
       .map(r => r._1 -> r._4).toMap
-    val targets = Seq(("a", 500L), ("b", 300L), ("c", 200L))
+    // "zz" is entirely ABSENT from the corpus: its row must still
+    // appear (supply 0, NULL epochs, full-demand shortfall) — the
+    // infeasible-mix case a silent inner join would hide
+    val targets = Seq(("a", 500L), ("b", 300L), ("c", 200L), ("zz", 100L))
     val budget = 100L; val cap = 2000L // 2.0 epochs
     val got = graft.operators.TextAnalysis.epochsPlan(docs, targets,
         budgetTokens = budget, maxEpochsQ3 = cap)
       .orderBy("source")
       .as[(String, Long, Long, Long, Option[Long], Option[Boolean],
         Long, Long)].collect().toList
-    assert(got.map(_._1) == List("a", "b", "c"))
+    assert(got.map(_._1) == List("a", "b", "c", "zz"))
     for (r <- got) {
-      val supply = cells(r._1)
+      val supply = cells.getOrElse(r._1, 0L)
       val needed = budget * r._3 / 1000L
       assert(r._2 == supply && r._4 == needed)
       if (supply > 0) {

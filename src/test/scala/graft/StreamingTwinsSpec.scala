@@ -240,7 +240,11 @@ class StreamingTwinsSpec extends SparkSpec {
         (Some(2L), Some(10L), Some(2.0)), (Some(2L), Some(20L), Some(2.0))),
       Seq((Some(2L), Some(30L), Some(2.5)),
         (Some(1L), Some(20L), Some(1.0)),
-        (Some(1L), Some(40L), None), (Some(1L), None, Some(9.0))))
+        (Some(1L), Some(40L), None), (Some(1L), None, Some(9.0)),
+        // NULL ORDER KEY lines: the batch self-join key comparison is
+        // false on NULL, so these two must NOT pair with each other
+        // (the stream would otherwise pool them in one None bucket)
+        (None, Some(50L), Some(9.0)), (None, Some(60L), Some(1.0))))
     try {
       var seen = Seq.empty[(Option[Long], Option[Long], Option[Double])]
       for (b <- batches) {

@@ -86,6 +86,15 @@ def pick_tick_key(*recs):
             else "ms")
 
 
+def has_real_ticks(rec, key):
+    """True only for records with INTERLEAVED per-query-placed ticks
+    (r15+) — the env pre/post pseudo-ticks give a whole-run level, not
+    per-moment placement, and the output labels must not claim more
+    than the record carries."""
+    return any(isinstance(t, dict) and t.get(key, 0) > 0
+               for t in (rec.get("calib_ticks") or []))
+
+
 def norm_factor_fn(rec, base, key="ms"):
     """Per-query load factor: calibration ms at the query's own start
     offset (linear interpolation between bracketing ticks) over `base`
@@ -145,17 +154,30 @@ def main():
 
     print(f"old: {a.old} total={old.get('value')}s  [{calib(old)}]")
     print(f"new: {a.new} total={new.get('value')}s  [{calib(new)}]")
-    print(f"threshold: {threshold}x on per-query medians"
-          + (f" (calib-normalized verdicts, {tkey} ticks)"
-             if have_ticks else "") + "\n")
+    if have_ticks:
+        real = has_real_ticks(old, tkey) and has_real_ticks(new, tkey)
+        how = (f"interleaved {tkey} ticks" if real
+               else f"whole-run {tkey} env level (no interleaved ticks)")
+        print(f"threshold: {threshold}x on per-query medians "
+              f"(calib-normalized verdicts, {how})\n")
+    else:
+        print(f"threshold: {threshold}x on per-query medians\n")
 
     common = sorted(set(oq) & set(nq))
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
 
-    plan_regs, load_regs, improved = [], [], []
+    plan_regs, load_regs, improved, failed_new = [], [], [], []
     for q in common:
-        if not oq[q] or oq[q] <= 0 or nq[q] <= 0:
+        old_ok = bool(oq[q]) and oq[q] > 0
+        new_ok = bool(nq[q]) and nq[q] > 0
+        if old_ok and not new_ok:
+            # the worst regression class: passed before, FAILS now
+            # (Bench records -1.0 medians for failed queries) — must
+            # gate, not silently drop from the comparison
+            failed_new.append(q)
+            continue
+        if not old_ok or not new_ok:
             continue
         r = nq[q] / oq[q]
         rnorm = (nq[q] / nfac(q)) / (oq[q] / ofac(q))
@@ -174,6 +196,8 @@ def main():
         elif r < 1.0 / threshold:
             improved.append((q, r, rmin, rnorm))
 
+    for q in sorted(failed_new):
+        print(f"{'NOW FAILING':16s} {q:32s} {oq[q]:7.3f}s -> FAILED")
     for tag, rows in (("PLAN REGRESSION", plan_regs), ("LOAD?", load_regs),
                       ("IMPROVED", improved)):
         for q, r, rmin, rnorm in sorted(rows, key=lambda t: -t[1]):
@@ -188,10 +212,10 @@ def main():
     if removed:
         print(f"removed ({len(removed)}): " + ", ".join(removed))
 
-    print(f"\n{len(common)} common queries, {len(plan_regs)} plan "
-          f"regressions, {len(load_regs)} load-suspect, "
-          f"{len(improved)} improved")
-    sys.exit(1 if (plan_regs and not a.no_gate) else 0)
+    print(f"\n{len(common)} common queries, {len(failed_new)} now "
+          f"failing, {len(plan_regs)} plan regressions, "
+          f"{len(load_regs)} load-suspect, {len(improved)} improved")
+    sys.exit(1 if ((plan_regs or failed_new) and not a.no_gate) else 0)
 
 
 if __name__ == "__main__":
