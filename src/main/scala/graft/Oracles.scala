@@ -2001,7 +2001,10 @@ object Oracles {
 
   /** q316: `Dedup.dedupThresholdSweep` — the q207 collapsed pair CTEs
     * at τ_min, a VALUES threshold table theta-joined on jaccard, per-τ
-    * pair sums and distinct-group doc sums, grid-completed.
+    * pair sums and distinct-group doc sums, grid-completed. Since r15
+    * each threshold row also carries the touched documents' whitespace
+    * token sum (the q79 token convention, summed per shingle-set
+    * group) and its Q6 share of the corpus token total.
     */
   def q316DedupThresholdSweep: String = {
     val taus = Seq(0.7, 0.8, 0.9, 0.95, 1.0)
@@ -2012,10 +2015,15 @@ object Oracles {
        |    generate_series(1, greatest(1, strlen(lower(text)) - 11)),
        |    i -> substring(lower(text), i, 12)))) AS tok
        |  FROM documents),
+       |dtk AS (SELECT doc_id, CAST(GREATEST(0, COALESCE(
+       |    len(list_filter(string_split_regex(text, '\\s+'),
+       |      w -> length(w) > 0)), 0)) AS BIGINT) AS ntk
+       |  FROM documents),
        |ds AS (SELECT doc_id, list_sort(list(tok)) AS toks
        |  FROM tk GROUP BY doc_id),
-       |g AS (SELECT toks, MIN(doc_id) AS id, COUNT(*) AS n
-       |  FROM ds GROUP BY toks),
+       |g AS (SELECT toks, MIN(ds.doc_id) AS id, COUNT(*) AS n,
+       |    SUM(dtk.ntk) AS tk
+       |  FROM ds JOIN dtk ON dtk.doc_id = ds.doc_id GROUP BY toks),
        |pr AS (SELECT a.id AS id_a, b.id AS id_b,
        |    len(list_intersect(a.toks, b.toks)) AS inter,
        |    len(a.toks) AS sa, len(b.toks) AS sb,
@@ -2037,16 +2045,22 @@ object Oracles {
        |dg AS (SELECT DISTINCT tau_q6, gid, gn FROM (
        |  SELECT tau_q6, id_a AS gid, n_a AS gn FROM qual
        |  UNION ALL SELECT tau_q6, id_b, n_b FROM qual)),
-       |da AS (SELECT tau_q6, COUNT(*) AS n_groups, SUM(gn) AS n_docs
-       |  FROM dg GROUP BY 1),
-       |nt AS (SELECT COUNT(*) AS nd FROM documents)
+       |da AS (SELECT tau_q6, COUNT(*) AS n_groups, SUM(gn) AS n_docs,
+       |    SUM(g.tk) AS n_tokens
+       |  FROM dg JOIN g ON g.id = dg.gid GROUP BY 1),
+       |nt AS (SELECT COUNT(*) AS nd, COALESCE(SUM(ntk), 0) AS ntk
+       |  FROM dtk)
        |SELECT t.tau_q6::BIGINT AS tau_q6,
        |  COALESCE(pa.n_pairs, 0)::BIGINT AS n_pairs,
        |  COALESCE(da.n_groups, 0)::BIGINT AS n_groups,
        |  COALESCE(da.n_docs, 0)::BIGINT AS n_docs,
        |  CASE WHEN nt.nd > 0 THEN
        |    CAST((CAST(COALESCE(da.n_docs, 0) AS HUGEINT) * 1000000)
-       |      // nt.nd AS BIGINT) END AS doc_share_q6
+       |      // nt.nd AS BIGINT) END AS doc_share_q6,
+       |  COALESCE(da.n_tokens, 0)::BIGINT AS n_tokens,
+       |  CASE WHEN nt.ntk > 0 THEN
+       |    CAST((CAST(COALESCE(da.n_tokens, 0) AS HUGEINT) * 1000000)
+       |      // nt.ntk AS BIGINT) END AS token_share_q6
        |FROM taus t LEFT JOIN pa USING (tau_q6)
        |LEFT JOIN da USING (tau_q6) CROSS JOIN nt
        |ORDER BY tau_q6""".stripMargin

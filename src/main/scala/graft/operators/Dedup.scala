@@ -620,14 +620,40 @@ object Dedup {
     * collapse groupBy is one shuffle of (set, id) rows; everything
     * after runs on the deduplicated corpus.
     */
-  def setSimJoinCollapsed(docs: DataFrame, tau: Double,
-      idCol: String = "doc_id"): DataFrame = {
+  /** The collapsed shingle-set group table behind
+    * [[setSimJoinCollapsed]] / [[dedupThresholdSweep]]: one row per
+    * DISTINCT shingle set with its min-id representative and member
+    * count; `withTokens` also carries the members' summed whitespace
+    * token counts (the q79 convention) for ROI readouts — kept
+    * optional so the plain pair join pays nothing for it.
+    */
+  private def shingleGroups(docs: DataFrame, idCol: String,
+      withTokens: Boolean): DataFrame = {
     val dig = graft.plans.GraftExtensions.shingleDigestsNative(
       lower(col("text")), 12)
-    val groups = materialize(docs
-      .select(col(idCol).cast("long").as("id"),
-        sort_array(array_distinct(dig)).as("toks"))
-      .groupBy("toks").agg(min("id").as("id"), count(lit(1)).as("n")))
+    if (withTokens)
+      docs.select(col(idCol).cast("long").as("id"),
+          sort_array(array_distinct(dig)).as("toks"),
+          greatest(lit(0L), coalesce(
+            TextAnalysis.tokenCountWs(col("text")).cast("long"),
+            lit(0L))).as("_tk"))
+        .groupBy("toks").agg(min("id").as("id"), count(lit(1)).as("n"),
+          sum("_tk").as("tk"))
+    else
+      docs.select(col(idCol).cast("long").as("id"),
+          sort_array(array_distinct(dig)).as("toks"))
+        .groupBy("toks").agg(min("id").as("id"), count(lit(1)).as("n"))
+  }
+
+  def setSimJoinCollapsed(docs: DataFrame, tau: Double,
+      idCol: String = "doc_id"): DataFrame =
+    collapsedPairsFromGroups(
+      materialize(shingleGroups(docs, idCol, withTokens = false)), tau)
+
+  /** The inter+intra pair build of [[setSimJoinCollapsed]] over a
+    * prebuilt (toks, id, n) group table. */
+  private def collapsedPairsFromGroups(groups: DataFrame,
+      tau: Double): DataFrame = {
     val inter = setSimJoin(groups, tau, idCol = "id",
         digestExpr = col("toks"))
       .join(groups.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
@@ -660,13 +686,24 @@ object Dedup {
     * integer inter/union division — the q178 discipline), so filtering
     * the τ_min table at τ equals running the join at τ.
     *
+    * Token ROI (r15): each threshold row also reports the whitespace
+    * tokens (q79 convention) of the documents it touches and their Q6
+    * share of the corpus token total — "how many TRAINING TOKENS are
+    * at stake at this cutoff", the number the dedup pass is actually
+    * budgeted against (docs are not the currency; tokens are). Token
+    * sums ride the SAME group build (one corpus pass), so the ROI
+    * column is free at the sweep stage.
+    *
     * Scale shape: ONE collapsed pair join (the q207 duplicate-
     * saturation-proof path); the sweep is a broadcast |taus|-row theta
     * join against the materialized pair table (output bounded by
-    * |taus| · |pairs|), two partial-agg'd groupBys, and a broadcast
-    * 1-row corpus total. No per-threshold corpus pass, no re-join.
-    * Output: (tau_q6, n_pairs, n_groups, n_docs, doc_share_q6), one
-    * row per threshold (zero-filled when nothing qualifies).
+    * |taus| · |pairs|), two partial-agg'd groupBys, one key join of
+    * the (bounded) touched-group set back to the group table for
+    * token sums, and a broadcast 1-row corpus total. No per-threshold
+    * corpus pass, no re-join.
+    * Output: (tau_q6, n_pairs, n_groups, n_docs, doc_share_q6,
+    * n_tokens, token_share_q6), one row per threshold (zero-filled
+    * when nothing qualifies).
     */
   def dedupThresholdSweep(docs: DataFrame, taus: Seq[Double] = Seq(0.7, 0.8, 0.9, 0.95, 1.0),
       idCol: String = "doc_id"): DataFrame = {
@@ -674,33 +711,49 @@ object Dedup {
       "dedupThresholdSweep needs thresholds in (0, 1]")
     val spark = docs.sparkSession
     import spark.implicits._
-    val pairs = materialize(setSimJoinCollapsed(docs, taus.min, idCol))
+    val groups = materialize(shingleGroups(docs, idCol, withTokens = true))
+    val pairs = materialize(collapsedPairsFromGroups(
+      groups.select("toks", "id", "n"), taus.min))
     val tausDf = taus.distinct.sorted
       .map(t => (math.round(t * 1e6), t)).toDF("tau_q6", "_tau")
-    val nTot = docs.agg(count(lit(1)).as("_nd"))
+    // share denominators: doc count from the corpus, token total from
+    // the GROUP table — groups partition every doc (null-text docs sit
+    // in the null-toks group at 0 tokens), so Σ tk ≡ the corpus token
+    // total with no second tokenization scan
+    val nTot = docs.agg(count(lit(1)).as("_nd")).crossJoin(
+      groups.agg(coalesce(sum("tk"), lit(0L)).as("_ntk")))
     val qual = pairs.join(broadcast(tausDf), col("jaccard") >= col("_tau"))
     val pairAgg = qual.groupBy("tau_q6")
       .agg(sum("n_pairs").as("n_pairs"))
     // groups touched at τ: either side of any qualifying row (intra
-    // rows carry id_a = id_b — the distinct collapses the double emit)
+    // rows carry id_a = id_b — the distinct collapses the double emit);
+    // token sums joined from the group table by rep id (the touched
+    // set is pair-table-bounded, the join is key-local)
     val docAgg = qual.select(col("tau_q6"), explode(array(
         struct(col("id_a").as("_gid"), col("n_a").as("_gn")),
         struct(col("id_b").as("_gid"), col("n_b").as("_gn")))).as("_g"))
       .select(col("tau_q6"), col("_g._gid").as("_gid"),
         col("_g._gn").as("_gn"))
       .distinct()
+      .join(groups.select(col("id").as("_gid"), col("tk").as("_gtk")),
+        Seq("_gid"))
       .groupBy("tau_q6")
-      .agg(count(lit(1)).as("n_groups"), sum("_gn").as("n_docs"))
+      .agg(count(lit(1)).as("n_groups"), sum("_gn").as("n_docs"),
+        sum("_gtk").as("n_tokens"))
     tausDf.select("tau_q6")
       .join(pairAgg, Seq("tau_q6"), "left")
       .join(docAgg, Seq("tau_q6"), "left")
-      .na.fill(0L, Seq("n_pairs", "n_groups", "n_docs"))
+      .na.fill(0L, Seq("n_pairs", "n_groups", "n_docs", "n_tokens"))
       .crossJoin(broadcast(nTot))
       .withColumn("doc_share_q6", when(col("_nd") > 0, expr(
         "CAST((CAST(n_docs AS DECIMAL(38,0)) * 1000000) DIV _nd" +
           " AS BIGINT)")))
+      .withColumn("token_share_q6", when(col("_ntk") > 0, expr(
+        "CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) DIV _ntk" +
+          " AS BIGINT)")))
       .select(col("tau_q6"), col("n_pairs"), col("n_groups"),
-        col("n_docs"), col("doc_share_q6"))
+        col("n_docs"), col("doc_share_q6"), col("n_tokens"),
+        col("token_share_q6"))
   }
 
   /** Blocked fuzzy record linkage: all pairs within a block whose key

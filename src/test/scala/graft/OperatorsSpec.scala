@@ -2332,7 +2332,8 @@ class OperatorsSpec extends SparkSpec {
     val taus = Seq(0.7, 0.8, 0.9, 1.0)
     val got = Dedup.dedupThresholdSweep(docs, taus)
       .orderBy("tau_q6")
-      .as[(Long, Long, Long, Long, Option[Long])].collect().toSeq
+      .as[(Long, Long, Long, Long, Option[Long], Long, Option[Long])]
+      .collect().toSeq
     assert(got.map(_._1) == taus.map(t => math.round(t * 1e6)).sorted)
     // exact agreement with a fresh pair join at every τ
     for ((t, row) <- taus.sorted.zip(got)) {
@@ -2346,6 +2347,10 @@ class OperatorsSpec extends SparkSpec {
     // doc share: the τ-min row touches all but the unique-set docs
     val nd = rows.size
     assert(got.head._5.contains(got.head._4 * 1000000L / nd))
+    // token ROI: every doc here is ONE whitespace token, so tokens at
+    // stake == docs at stake and the share denominators coincide
+    assert(got.map(_._6) == got.map(_._4))
+    got.foreach { r => assert(r._7.contains(r._6 * 1000000L / nd)) }
   }
 
   test("ivfProbePlan: monotone recall/scan in nProbe; full probe = full scan share; agrees with ivfTopKInt8") {
