@@ -11,8 +11,16 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace token count. */
+  /** Whitespace token count (q79 convention). Since r15 the native
+    * codegen'd byte-run kernel ([[graft.plans.TokenCountWs]]) — value-
+    * identical to the original
+    * `size(filter(split(text, "\\s+"), t => length(t) > 0))` HOF form
+    * (property-tested against it), which is CodegenFallback and paid
+    * regex + array + lambda per row in every token-budget/packing
+    * path.
+    */
   def tokenCountWs(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => length(t) > 0))
+    graft.plans.GraftExtensions.tokenCountWsNative(text)
 
   /** BPE-ish subword token estimate: word-ish chunks + punctuation runs,
     * long words contributing ceil(len/4) subtokens (a public rule-of-thumb

@@ -254,6 +254,16 @@ object GraftExtensions {
     ColumnShim.column(SyllableSum(ColumnShim.expression(words)))
   }
 
+  /** Native whitespace token count (see [[cosineNative]] for the
+    * registration-free pattern): maximal non-`\s` byte runs in one
+    * codegen'd pass — value-identical to the
+    * `size(filter(split(text, "\\s+"), ...))` HOF form it replaces.
+    */
+  def tokenCountWsNative(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(TokenCountWs(ColumnShim.expression(text)))
+  }
+
   /** Registration-free k-char shingle digests (see [[cosineNative]]):
     * sorted distinct FNV-1a window digests with zero substring
     * allocation — the set-similarity build kernel. Pass lowered text.

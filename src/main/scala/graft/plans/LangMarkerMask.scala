@@ -104,3 +104,34 @@ case class SyllableSum(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_syllable_sum"
 }
+
+/** Native whitespace token count (see
+  * [[graft.functions.TextKernels.tokenCountWs]]): the number of
+  * maximal non-`\s` byte runs, value-identical to
+  * `size(filter(split(text, "\\s+"), t => length(t) > 0))` but one
+  * codegen'd byte pass — the HOF form's ArrayFilter is
+  * CodegenFallback and pays regex + array + lambda per row on every
+  * q79-convention token count (packing, context planning, length
+  * profiles, budget tables).
+  */
+case class TokenCountWs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_token_count_ws requires a STRING argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(s: Any): Any =
+    graft.functions.TextKernels.tokenCountWs(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.TextKernels.tokenCountWs($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCountWs =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_token_count_ws"
+}

@@ -2924,6 +2924,35 @@ class OperatorsSpec extends SparkSpec {
       (2L, 1L, 2L, Some(500000L)))) // docs 3+4 (domains A, B)
   }
 
+  test("TokenCountWs native kernel ≡ the split/filter HOF form (property + edges)") {
+    val hof = (c: org.apache.spark.sql.Column) =>
+      size(filter(split(c, "\\s+"), t => length(t) > 0))
+    val edges = Seq("", " ", "  \t\n", "a", " a", "a ",
+      " a b\tc\nde\ff\rg ", // all six Java-\s whitespace bytes
+      "a b",                 // NBSP is NOT Java \s: one token, not two
+      "héllo wörld",              // multi-byte chars must not split
+      "x" * 5000, null)
+    val rng = new scala.util.Random(321)
+    val rand = Seq.fill(300) {
+      (0 until rng.nextInt(40)).map { _ =>
+        rng.nextInt(6) match {
+          case 0 => " "
+          case 1 => "\t"
+          case 2 => "\r\n"
+          case 3 => ('a' + rng.nextInt(26)).toChar.toString
+          case 4 => "é"
+          case _ => " "
+        }
+      }.mkString
+    }
+    val df = (edges ++ rand).toDF("t")
+    val bad = df.select(
+        graft.operators.TextAnalysis.tokenCountWs($"t").as("nat"),
+        hof($"t").as("hof"))
+      .filter(!($"nat" <=> $"hof"))
+    assert(bad.count() == 0L, bad.collect().take(3).mkString("; "))
+  }
+
   test("tokenBudgetBySource: bytes/tokens/share/fertility are self-consistent") {
     val docs = Seq(
       ("a", "hello world hello"), ("a", "the cat sat"),
