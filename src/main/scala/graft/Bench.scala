@@ -12,7 +12,9 @@ import org.apache.spark.sql.SparkSession
   * The committed record (bench_last.json) is SELF-ATTRIBUTING since r15:
   * besides per-query median/min it carries all three raw run seconds
   * (`queries_raw`), each query's start offset (`queries_t`), and a
-  * fixed-work calibration tick every 10 queries
+  * fixed-work calibration tick after EVERY query's 3-run block
+  * (default since r16; the r15 every-10 cadence left 86-156 s
+  * unsampled gaps exactly where slow queries cluster)
   * (`calib_ticks`: {done, t, ms, mt_ms} — single-thread AND
   * all-threads, both run while Spark is idle) — so a sustained
   * ambient-load window is provable FROM the record (the r14 driver
@@ -218,11 +220,26 @@ object Bench {
         calibMtMs(cpus.toInt, warm = false)))
     }
     val toRun = selected.filter(qs.contains)
-    // tick cadence: every N queries (default 10 ≈ one tick per 60-90 s
-    // of wall). The r15 final-run burst (4 queries elevated between
-    // ticks 60-90 s apart) showed the default can under-resolve a
-    // short window — tighten via env when re-baselining.
-    val tickEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_TICK_EVERY", "10").toInt
+    // tick cadence: every N queries, DEFAULT 1 (a tick after every
+    // query's 3-run block). The r15 driver record left 86-156 s
+    // unsampled gaps at the old default of 10 and five load-inflated
+    // queries inside them read as PLAN regressions — per-query ticks
+    // cost ~0.75 s each (~65 s per 87-query record) against a >100 s
+    // phase and make every query's window self-attributing. Raise via
+    // env only for quick local iteration where attribution is moot.
+    // Parse-guarded and clamped to >= 1: "0" used to throw
+    // ArithmeticException mid-bench (modulo by zero) after queries
+    // had already run, and a typo crashed at startup.
+    val tickEvery = sys.env.get("SPARK_GRAFT_BENCH_TICK_EVERY") match {
+      case None => 1
+      case Some(v) => scala.util.Try(v.trim.toInt).toOption match {
+        case Some(n) => math.max(1, n)
+        case None =>
+          System.err.println(
+            s"[bench] SPARK_GRAFT_BENCH_TICK_EVERY='$v' is not an int; using 1")
+          1
+      }
+    }
     tick(0)
     val results = toRun.zipWithIndex.map { case (name, idx) =>
       val fn = qs(name)
@@ -304,7 +321,13 @@ object Bench {
         s"bench stdout minimal variant is ${candidates.last.length} chars > 1950"))
     println(stdoutLine)
     try {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+      // Default out-path is bench_run.json (gitignored scratch), NOT the
+      // committed record bench_last.json: every driver/judge run used to
+      // overwrite the committed builder record in the working tree, and
+      // "which record am I reading" became git archaeology (r15 verdict
+      // hygiene item). Promoting a run to the official record is now an
+      // explicit act: SPARK_GRAFT_BENCH_OUT=bench_last.json or a copy.
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_run.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }

@@ -429,7 +429,9 @@ object Oracles {
 
   /** q35: 64-bit SimHash (token FNV → splitmix, per-bit majority vote),
     * 4×16-bit band buckets, Hamming ≤ 16 — `Hashing.simhash` +
-    * `Dedup.simhashCandidates`. Tokens: `\\s+` on lowered text, empties
+    * `Dedup.simhashCandidates`. Tokens: Java-`\s` split (pinned as the
+    * explicit class `[ \t\n\x0b\f\r]+` — RE2's `\s` lacks \x0B, the
+    * r15 ADVICE divergence) on lowered text, empties
     * dropped (the kernel's isWhitespace scan, identical on this ASCII
     * corpus).
     */
@@ -442,7 +444,7 @@ object Oracles {
       .map(b => s"($b, ${BigInt(1) << (16 * b)}::HUGEINT)").mkString(", ")
     s"""WITH
        |  toks AS (SELECT doc_id,
-       |             unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS tok
+       |             unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), t -> t != '')) AS tok
        |           FROM documents),
        |  th0 AS (SELECT doc_id, list_reduce(
        |            list_concat([$FnvBasis::HUGEINT],
@@ -979,7 +981,7 @@ object Oracles {
   def q79PackSequences: String =
     """WITH t AS (
       |  SELECT doc_id,
-      |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |    CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
       |      w -> length(w) > 0)) AS BIGINT) AS n_tokens
       |  FROM documents),
       |c AS (
@@ -1021,7 +1023,7 @@ object Oracles {
   def q118PackingReport: String =
     """WITH t AS (
       |  SELECT doc_id,
-      |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |    CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
       |      w -> length(w) > 0)) AS BIGINT) AS n_tokens
       |  FROM documents),
       |c AS (
@@ -2016,7 +2018,7 @@ object Oracles {
        |    i -> substring(lower(text), i, 12)))) AS tok
        |  FROM documents),
        |dtk AS (SELECT doc_id, CAST(GREATEST(0, COALESCE(
-       |    len(list_filter(string_split_regex(text, '\\s+'),
+       |    len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
        |      w -> length(w) > 0)), 0)) AS BIGINT) AS ntk
        |  FROM documents),
        |ds AS (SELECT doc_id, list_sort(list(tok)) AS toks
@@ -5529,7 +5531,7 @@ object Oracles {
     */
   def q303ContextPlan: String =
     """WITH t AS (SELECT
-      |    CAST(COALESCE(len(list_filter(string_split_regex(text, '\s+'),
+      |    CAST(COALESCE(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
       |      w -> length(w) > 0)), 0) AS BIGINT) AS n
       |  FROM documents),
       |g AS (SELECT CAST(x AS BIGINT) AS max_len
@@ -5844,13 +5846,85 @@ object Oracles {
        |    END AS BIGINT) AS cyclic_rate_q6
        |FROM np, ag ORDER BY n_majority_pairs""".stripMargin
 
+  /** q321: `Analytics.judgeAgreement` — the q310 contest build with a
+    * judge key (l_orderkey mod 8), per-(judge, unordered pair) net
+    * verdicts (ties abstain), Cohen's κ per judge pair as ONE exact
+    * integer ratio in signed Q6 (positive floor division on |num| —
+    * identical under Spark DIV truncation and DuckDB // flooring),
+    * Krippendorff's α (nominal binary) over the verdict table with
+    * the per-unit Q12 disagreement term, panel scalar cross-joined
+    * onto every pair row.
+    */
+  def q321JudgeAgreement: String =
+    """WITH li AS (SELECT l_orderkey AS o, l_suppkey AS sk,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS p
+      |  FROM lineitem WHERE l_suppkey <= 100),
+      |jwins AS MATERIALIZED (SELECT a.o % 8 AS judge, a.sk AS winner,
+      |    b.sk AS loser, COUNT(*) AS n
+      |  FROM li a JOIN li b ON a.o = b.o AND a.sk <> b.sk AND a.p > b.p
+      |  GROUP BY 1, 2, 3),
+      |pr AS (SELECT judge, LEAST(winner, loser) AS a,
+      |    GREATEST(winner, loser) AS b,
+      |    SUM(CASE WHEN winner < loser THEN n ELSE 0 END) AS wa,
+      |    SUM(n) AS g
+      |  FROM jwins GROUP BY 1, 2, 3),
+      |vv AS MATERIALIZED (SELECT judge, a, b,
+      |    CASE WHEN wa * 2 > g THEN 1 ELSE 0 END AS v
+      |  FROM pr WHERE wa * 2 <> g),
+      |pc AS (SELECT l.judge AS judge_a, r.judge AS judge_b,
+      |    COUNT(*) AS n_items,
+      |    SUM(CASE WHEN l.v = r.v THEN 1 ELSE 0 END) AS n_agree,
+      |    SUM(l.v) AS n1a, SUM(r.v) AS n2a
+      |  FROM vv l JOIN vv r ON l.a = r.a AND l.b = r.b
+      |    AND l.judge < r.judge
+      |  GROUP BY 1, 2),
+      |k AS (SELECT judge_a, judge_b, n_items, n_agree,
+      |    CAST(n_agree AS HUGEINT) * n_items
+      |      - CAST(n1a AS HUGEINT) * n2a
+      |      - CAST(n_items - n1a AS HUGEINT) * (n_items - n2a) AS num,
+      |    CAST(n_items AS HUGEINT) * n_items
+      |      - CAST(n1a AS HUGEINT) * n2a
+      |      - CAST(n_items - n1a AS HUGEINT) * (n_items - n2a) AS den,
+      |    n1a, n2a
+      |  FROM pc),
+      |u AS (SELECT a, b, COUNT(*) AS m, SUM(v) AS ma FROM vv
+      |  GROUP BY 1, 2),
+      |u2 AS (SELECT m, ma,
+      |    (CAST(ma AS HUGEINT) * (m - ma) * 1000000000000) // (m - 1)
+      |      AS t_q12
+      |  FROM u WHERE m >= 2),
+      |al AS (SELECT SUM(m) AS nl, SUM(ma) AS ta, SUM(m - ma) AS tb,
+      |    SUM(t_q12) AS tt FROM u2),
+      |alp AS (SELECT CASE WHEN nl IS NOT NULL AND ta > 0 AND tb > 0
+      |    THEN CAST(1000000 - (CAST(nl - 1 AS HUGEINT) * tt * 1000000)
+      |      // (CAST(ta AS HUGEINT) * tb * 1000000000000) AS BIGINT)
+      |    END AS alpha_q6,
+      |    CAST(COALESCE(nl, 0) AS BIGINT) AS n_labels FROM al)
+      |SELECT CAST(judge_a AS BIGINT) AS judge_a,
+      |  CAST(judge_b AS BIGINT) AS judge_b,
+      |  CAST(n_items AS BIGINT) AS n_items,
+      |  CAST(n_agree AS BIGINT) AS n_agree,
+      |  CAST((CAST(n_agree AS HUGEINT) * 1000000) // n_items AS BIGINT)
+      |    AS po_q6,
+      |  CAST((CAST(n1a AS HUGEINT) * n2a * 1000000
+      |      + CAST(n_items - n1a AS HUGEINT) * (n_items - n2a) * 1000000)
+      |    // (CAST(n_items AS HUGEINT) * n_items) AS BIGINT) AS pe_q6,
+      |  CAST(CASE WHEN den > 0 THEN
+      |      CASE WHEN num < 0 THEN -(((-num) * 1000000) // den)
+      |        ELSE (num * 1000000) // den END
+      |    END AS BIGINT) AS kappa_q6,
+      |  alp.alpha_q6, alp.n_labels
+      |FROM k CROSS JOIN alp
+      |ORDER BY judge_a, judge_b""".stripMargin
+
   /** q313: `Sketches.dyadicHistogram` over per-doc whitespace token
     * counts — the q241 octave/cell replay on the q79 token convention
     * (zero-token docs drop, as the sketch's >0 domain requires).
     */
   def q313SeqLenProfile: String =
     """WITH v AS (SELECT CAST(COALESCE(len(list_filter(
-      |    string_split_regex(text, '\s+'), w -> length(w) > 0)), 0)
+      |    string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> length(w) > 0)), 0)
       |    AS BIGINT) AS x
       |  FROM documents),
       |p AS (SELECT x FROM v WHERE x > 0),
@@ -5888,7 +5962,7 @@ object Oracles {
       |    WHEN h_it >= h_nl THEN 'it'
       |    ELSE 'nl' END AS lang_pred,
       |  COALESCE(strlen(d.text), 0) AS bytes,
-      |  COALESCE(len(list_filter(string_split_regex(d.text, '\s+'),
+      |  COALESCE(len(list_filter(string_split_regex(d.text, '[ \t\n\x0b\f\r]+'),
       |    x -> length(x) > 0)), 0) AS toks
       |  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id),
       |c AS (SELECT lang_pred, COUNT(*) AS n_docs, SUM(bytes) AS n_bytes,
@@ -5915,6 +5989,7 @@ object Oracles {
     // q281 emit-counter discipline — one relational truth, two paths)
     "q317_stream_win_matrix" -> q311WinRateMatrix,
     "q312_preference_cycles" -> q312PreferenceCycles,
+    "q321_judge_agreement" -> q321JudgeAgreement,
     "q307_cross_domain_dups" -> q307CrossDomainDups,
     "q308_mrr" -> q308Mrr,
     "q309_table_diff" -> q309SnapshotDiff,

@@ -56,6 +56,29 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** [[supplierWins]] with a judge key kept: panel = l_orderkey mod 8
+    * (each order is one judge's ballot; a judge meets a given supplier
+    * pair across many orders, so per-(judge, pair) NET verdicts are
+    * well-defined). (judge, winner, loser, n) — the q321 input. Kept a
+    * sibling of [[supplierWins]] rather than a parameter so the
+    * q310–q312 oracles' shared wins CTE stays verbatim.
+    */
+  private def judgedSupplierWins(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .filter(col("l_suppkey") <= 100)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
+          " AS BIGINT)").as("_p"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_suppkey") =!= col("b.l_suppkey") &&
+        col("a._p") > col("b._p"))
+      .groupBy(pmod(col("a.l_orderkey"), lit(8)).as("judge"),
+        col("a.l_suppkey").as("winner"),
+        col("b.l_suppkey").as("loser"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** The synthetic curation corpus shared by q114/q120/q121: stopword
     * preamble (keeps the Gopher stopword rule live — the synthetic text
     * has no English stopwords) + deterministic per-doc URLs spanning 7
@@ -3682,6 +3705,18 @@ object SparkEntry {
     // q310's scalar rating is averaging away real structure.
     "q312_preference_cycles" -> ((s, dir) =>
       Analytics.preferenceCycles(supplierWins(s, dir))),
+
+    // ---- preference tier: inter-rater agreement (NEW r16) ----
+    // Does the panel measure ONE thing? Cohen's κ per judge pair +
+    // Krippendorff's α overall, chance-corrected, over per-judge NET
+    // verdicts on supplier pairs (panel = orderkey mod 8, the q310
+    // contest universe; exact ties abstain). κ is a single exact
+    // integer ratio — num/den, no intermediate rounding — read out in
+    // signed Q6 via positive floor division (engine-identical on
+    // Spark DIV vs DuckDB //).
+    "q321_judge_agreement" -> ((s, dir) =>
+      Analytics.judgeAgreement(judgedSupplierWins(s, dir))
+        .orderBy("judge_a", "judge_b")),
 
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:

@@ -1725,6 +1725,121 @@ object Analytics {
           " DIV n_triangles AS BIGINT)")))
   }
 
+  /** Inter-rater agreement over per-judge contest cells — the panel
+    * audit that belongs NEXT TO the arena readouts ([[
+    * bradleyTerryFromWins]] assumes the judges measure one thing;
+    * this measures whether they do): Cohen's κ for every judge pair
+    * over the items both judged, plus Krippendorff's α for the whole
+    * panel, both chance-corrected (raw agreement reads high whenever
+    * one label dominates — κ/α subtract exactly that).
+    *
+    * Input: (judge, winner, loser, n) per-judge directed win cells
+    * (the [[winRateMatrix]] input with a judge key). Per (judge,
+    * unordered item pair) the judge's VERDICT is the sign of their
+    * net wins (a-wins vs b-wins; exact ties abstain — no label, the
+    * standard treatment). Then per judge pair (j_a < j_b), over the
+    * n_items pairs both labeled: p_o = agree/N and the marginal
+    * chance agreement p_e, with κ as ONE exact integer ratio —
+    * num = agree·N − n1a·n2a − n1b·n2b, den = N² − n1a·n2a − n1b·n2b,
+    * κ = num/den (algebraically identical to (p_o−p_e)/(1−p_e),
+    * no intermediate rounding). Signed Q6 readouts use
+    * sign·(|num|·10⁶ DIV den): all-positive floor division, so Spark
+    * `DIV` (truncating) and DuckDB `//` (flooring) agree bit-for-bit
+    * on negative κ. Krippendorff's α (nominal, binary) rides the
+    * verdict table once: per item with m ≥ 2 labels the within-item
+    * disagreeing pairs a·b scale to Q12 by 10¹² DIV (m−1), and
+    * α_q6 = 10⁶ − (n−1)·Σ·10⁶ DIV (A·B·10¹²·... ) — see the code;
+    * every division is a documented positive floor.
+    *
+    * Output: one row per judge pair (judge_a, judge_b, n_items,
+    * n_agree, po_q6, pe_q6, kappa_q6) with the panel-wide
+    * (alpha_q6, n_labels) broadcast onto every row (1-row
+    * crossJoin). den = 0 (a judge pair with degenerate marginals,
+    * p_e = 1) yields NULL κ; fewer than 2 total labels on every
+    * item yields NULL α.
+    *
+    * Scale shape: ONE fold of the (already partial-agg'd) win cells
+    * to ≤|judges|·C(|items|,2) verdicts; the κ self-join and the α
+    * aggregate run on that bounded table; nothing touches the
+    * corpus. Judges and items are bounded by construction of any
+    * panel design, so every join side here broadcasts.
+    */
+  def judgeAgreement(judgedWins: DataFrame): DataFrame = {
+    // per-(judge, unordered pair) net verdict; ties abstain
+    val verdicts = Dedup.materialize(judgedWins
+      .select(col("judge"),
+        least(col("winner"), col("loser")).as("a"),
+        greatest(col("winner"), col("loser")).as("b"),
+        when(col("winner") < col("loser"), col("n")).otherwise(0L)
+          .as("_wa"),
+        col("n").as("_g"))
+      .groupBy("judge", "a", "b")
+      .agg(sum("_wa").as("_wa"), sum("_g").as("_g"))
+      .filter(col("_wa") * 2 =!= col("_g")) // exact tie → abstain
+      .select(col("judge"), col("a"), col("b"),
+        (col("_wa") * 2 > col("_g")).cast("int").as("v"))) // 1 = a wins
+    // Cohen's κ per judge pair over shared items
+    val l = verdicts.select(col("judge").as("judge_a"), col("a"),
+      col("b"), col("v").as("_v1"))
+    val r = verdicts.select(col("judge").as("judge_b"), col("a"),
+      col("b"), col("v").as("_v2"))
+    val pairCells = l.join(r, Seq("a", "b"))
+      .filter(col("judge_a") < col("judge_b"))
+      .groupBy("judge_a", "judge_b")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("_v1") === col("_v2"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(col("_v1").cast("long")).as("_n1a"),
+        sum(col("_v2").cast("long")).as("_n2a"))
+    val kappa = pairCells
+      .withColumn("_n1b", col("n_items") - col("_n1a"))
+      .withColumn("_n2b", col("n_items") - col("_n2a"))
+      .withColumn("_num", expr(
+        "CAST(n_agree AS DECIMAL(38,0)) * n_items" +
+          " - CAST(_n1a AS DECIMAL(38,0)) * _n2a" +
+          " - CAST(_n1b AS DECIMAL(38,0)) * _n2b"))
+      .withColumn("_den", expr(
+        "CAST(n_items AS DECIMAL(38,0)) * n_items" +
+          " - CAST(_n1a AS DECIMAL(38,0)) * _n2a" +
+          " - CAST(_n1b AS DECIMAL(38,0)) * _n2b"))
+      .withColumn("po_q6", expr(
+        "CAST((CAST(n_agree AS DECIMAL(38,0)) * 1000000) DIV n_items" +
+          " AS BIGINT)"))
+      .withColumn("pe_q6", expr(
+        "CAST((CAST(_n1a AS DECIMAL(38,0)) * _n2a * 1000000" +
+          " + CAST(_n1b AS DECIMAL(38,0)) * _n2b * 1000000)" +
+          " DIV (CAST(n_items AS DECIMAL(38,0)) * n_items) AS BIGINT)"))
+      // signed Q6 via positive floor division (engine-identical)
+      .withColumn("kappa_q6", when(col("_den") > 0, expr(
+        "CAST(CASE WHEN _num < 0 THEN -((-_num * 1000000) DIV _den)" +
+          " ELSE (_num * 1000000) DIV _den END AS BIGINT)")))
+    // Krippendorff's α (nominal, binary) over the whole verdict table
+    val units = verdicts.groupBy("a", "b")
+      .agg(count(lit(1)).as("_m"), sum(col("v").cast("long")).as("_ma"))
+      .filter(col("_m") >= 2) // units with one label have no pairable values
+      .withColumn("_t_q12", expr(
+        "CAST((CAST(_ma AS DECIMAL(38,0)) * (_m - _ma) * 1000000000000)" +
+          " DIV (_m - 1) AS BIGINT)"))
+    val alpha = units
+      .agg(sum("_m").as("_n"), sum("_ma").as("_A"),
+        sum(expr("_m - _ma")).as("_B"),
+        sum(col("_t_q12").cast("decimal(38,0)")).as("_t"))
+      .withColumn("n_labels", coalesce(col("_n"), lit(0L)))
+      .withColumn("alpha_q6",
+        when(col("_n").isNotNull && col("_A") > 0 && col("_B") > 0, expr(
+          "CAST(1000000 - (CAST(_n - 1 AS DECIMAL(38,0)) * _t * 1000000)" +
+            " DIV (CAST(_A AS DECIMAL(38,0)) * _B * 1000000000000)" +
+            " AS BIGINT)"))
+          // one label class across the panel: no expected disagreement
+          // to correct against — α undefined, surface NULL not 10⁶
+          .otherwise(lit(null).cast("long")))
+      .select("alpha_q6", "n_labels")
+    kappa.crossJoin(broadcast(alpha))
+      .select(col("judge_a"), col("judge_b"), col("n_items"),
+        col("n_agree"), col("po_q6"), col("pe_q6"), col("kappa_q6"),
+        col("alpha_q6"), col("n_labels"))
+  }
+
   /** Top-k + probability readout over (src, dst, n) transition cells —
     * exposed separately (the calibrationCells discipline) so the
     * streaming pair builder shares the batch readout + oracle.

@@ -434,22 +434,51 @@ object Similarity extends Serializable {
   def ivfTopKInt8Against(centroids: DataFrame, assigned: DataFrame,
       queries: DataFrame, k: Int, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // KEEP IN SYNC with ivfProbePlan's candidate build: the planner's
-    // exactness claim (per-probe results ≡ this path) depends on the
-    // probe ordering, tie-breaks, and zero-norm guard staying
-    // identical; OperatorsSpec pins the equivalence at nProbe=4 only.
+    val cands = ivfScoreCands(assigned,
+      ivfProbes(centroids, queries, nProbe, idCol, vecCol))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cell", "dot", "rank")
+  }
+
+  /** Probe-ranked (query, cell) table: one row per query × probed
+    * cell, `_prn` the 0-based probe rank under (d² to centroid, cell)
+    * ascending. Rank-ordered, so the nProbe=p probe set is exactly
+    * `_prn < p` of a maxProbe ≥ p build — the property
+    * [[ivfProbePlan]]'s per-probe ≡ served-path claim rides on. ONE
+    * build site shared with [[ivfTopKInt8Against]] (r16: replaces the
+    * r15 KEEP-IN-SYNC twin copies — probe ordering, tie-breaks and
+    * the norm carry can no longer drift apart; OperatorsSpec keeps
+    * the end-to-end equivalence pin at nProbe=4).
+    */
+  private def ivfProbes(centroids: DataFrame, queries: DataFrame,
+      maxProbe: Int, idCol: String, vecCol: String): DataFrame = {
     val cs: Array[Array[Long]] = centroids.orderBy("cell").collect()
       .map(_.getSeq[Long](1).toArray)
     import org.apache.spark.sql.functions.{udf => mkUdf}
     val probeU = mkUdf((v: Seq[Int]) =>
-      cs.indices.map(i => (dist2At(v, 0, cs(i)), i)).sorted.take(nProbe).map(_._2))
-    // norms once per corpus/query vector, carried through the join —
-    // never recomputed per candidate pair
-    val q = quantIds(queries, idCol, vecCol)
+      cs.indices.map(i => (dist2At(v, 0, cs(i)), i)).sorted
+        .take(maxProbe).map(_._2))
+    // norms once per query vector, carried through the join — never
+    // recomputed per candidate pair
+    quantIds(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("qv").as("qvq"))
       .withColumn("na", n2Col(col("qvq")))
-      .withColumn("cell", explode(probeU(col("qvq"))))
-    val cands = assigned.join(broadcast(q), Seq("cell"))
+      .select(col("query_id"), col("qvq"), col("na"),
+        posexplode(probeU(col("qvq"))))
+      .withColumnRenamed("pos", "_prn") // 0-based probe rank
+      .withColumnRenamed("col", "cell")
+  }
+
+  /** Integer-cosine scoring of an [[ivfProbes]] table against the
+    * cell-coded corpus: probes broadcast, corpus codes joined by cell
+    * and never shuffled. The OTHER half of the shared candidate build
+    * (see [[ivfProbes]]); zero-norm rows score 0.0 by the same guard
+    * on both the served and planner paths.
+    */
+  private def ivfScoreCands(assigned: DataFrame, probes: DataFrame): DataFrame =
+    assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       // fused codegen'd loop (plans.IntDotProduct) — bit-identical to the
       // zip_with fold, no per-pair products array
@@ -457,12 +486,8 @@ object Similarity extends Serializable {
         graft.plans.GraftExtensions.dotIntNative(col("qvq"), col("nv")))
       .withColumn("cosine",
         when(col("na") === 0L || col("nb") === 0L, lit(0.0))
-          .otherwise(col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double"))))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cell", "dot", "rank")
-  }
+          .otherwise(col("dot").cast("double") /
+            sqrt((col("na") * col("nb")).cast("double"))))
 
   private def n2Col(cc: Column): Column =
     aggregate(cc, lit(0L), (a, v) => a + v.cast("long") * v.cast("long"))
@@ -508,13 +533,27 @@ object Similarity extends Serializable {
   def pqTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, ksub: Int = 16, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
-    def quant(df: DataFrame): DataFrame = quantIds(df, idCol, vecCol)
     // one materialization feeds seeds + every per-sub Lloyd round + the
     // final coding pass (see ivfTopKInt8)
-    val qc = Dedup.tracked(quant(corpus).localCheckpoint(eager = false))
+    val qc = Dedup.tracked(
+      quantIds(corpus, idCol, vecCol).localCheckpoint(eager = false))
+    pqTopKInt8Quant(qc, queries, k, m, ksub, iters, idCol, vecCol)
+  }
+
+  /** [[pqTopKInt8]] over an ALREADY-materialized int8 corpus (id, qv) —
+    * the shared-scan entry for [[pqRefineTopK]] and [[pqRefinePlan]],
+    * which need the same quantized corpus again for their exact
+    * re-score / truth / count passes: the corpus source is then read
+    * and quantized ONCE per plan instead of once per pass (2 scans →
+    * 1 for q89, 4 → 1 for q319 — the scans that dominate at 100 TB).
+    * Identical math by construction (the public entry delegates here),
+    * so the q84/q89/q319 oracles gate all callers.
+    */
+  private def pqTopKInt8Quant(qc: DataFrame, queries: DataFrame, k: Int,
+      m: Int, ksub: Int, iters: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = qc.sparkSession
+    import spark.implicits._
 
     val seedRows = hashSeedVecs(qc, ksub)
     val dim = seedRows.head.length
@@ -524,7 +563,8 @@ object Similarity extends Serializable {
 
     val coded = qc.select(col("id"), subEncoder(cs, m, ds)(col("qv")).as("codes"))
     // ADC tables: per query, dt(s)(c) = d²(query subvector s, centroid c)
-    val qTables: Array[(Long, Array[Array[Long]])] = quant(queries).collect()
+    val qTables: Array[(Long, Array[Array[Long]])] =
+      quantIds(queries, idCol, vecCol).collect()
       .map { r =>
         val qv = r.getSeq[Int](1)
         (r.getLong(0), Array.tabulate(m, ksub)((s, c) => dist2At(qv, s * ds, cs(s)(c))))
@@ -590,7 +630,10 @@ object Similarity extends Serializable {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(refineFactor >= 1, s"refineFactor $refineFactor must be >= 1")
     val spark = corpus.sparkSession
-    val shortlist = pqTopKInt8(corpus, queries, k * refineFactor,
+    // ONE quantized-corpus materialization feeds both the ADC shortlist
+    // and the exact re-score join (was two source read+quantize passes)
+    val qc = Dedup.materialize(quantIds(corpus, idCol, vecCol))
+    val shortlist = pqTopKInt8Quant(qc, queries, k * refineFactor,
         m, ksub, iters, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
     val qQueries = quantIds(queries, idCol, vecCol).collect()
@@ -603,7 +646,7 @@ object Similarity extends Serializable {
       d
     }
     val w = Window.partitionBy("query_id").orderBy(col("dist2"), col("neighbor_id"))
-    quantIds(corpus, idCol, vecCol).withColumnRenamed("id", "neighbor_id")
+    qc.withColumnRenamed("id", "neighbor_id")
       .join(broadcast(shortlist), Seq("neighbor_id"))
       .withColumn("dist2", exactU(col("query_id"), col("qv")))
       .withColumn("rank", row_number().over(w))
@@ -1137,31 +1180,13 @@ object Similarity extends Serializable {
     val maxP = ps.last
     val (cents, assigned0) = ivfIndexInt8(corpus, nCells, iters, idCol, vecCol)
     val assigned = Dedup.materialize(assigned0)
-    val cs: Array[Array[Long]] = cents.orderBy("cell").collect()
-      .map(_.getSeq[Long](1).toArray)
-    import org.apache.spark.sql.functions.{udf => mkUdf}
-    // KEEP IN SYNC with ivfTopKInt8Against: probe ordering, tie-breaks
-    // and the zero-norm cosine guard below must match it exactly or
-    // the per-probe ≡ served-path claim breaks (spec pins nProbe=4)
-    // rank-ordered probe list (same order as ivfTopKInt8Against's take)
-    val probeU = mkUdf((v: Seq[Int]) =>
-      cs.indices.map(i => (dist2At(v, 0, cs(i)), i)).sorted
-        .take(maxP).map(_._2))
-    val q = Dedup.materialize(quantIds(queries, idCol, vecCol)
-      .select(col("id").as("query_id"), col("qv").as("qvq"))
-      .withColumn("na", n2Col(col("qvq")))
-      .select(col("query_id"), col("qvq"), col("na"),
-        posexplode(probeU(col("qvq"))))
-      .withColumnRenamed("pos", "_prn")   // 0-based probe rank
-      .withColumnRenamed("col", "cell"))
-    val cands = Dedup.materialize(assigned.join(broadcast(q), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot",
-        graft.plans.GraftExtensions.dotIntNative(col("qvq"), col("nv")))
-      .withColumn("cosine",
-        when(col("na") === 0L || col("nb") === 0L, lit(0.0))
-          .otherwise(col("dot").cast("double") /
-            sqrt((col("na") * col("nb")).cast("double"))))
+    // the shared build sites ([[ivfProbes]]/[[ivfScoreCands]]) make the
+    // per-probe ≡ served-path claim structural (one code path) — the
+    // planner only adds the probe-table materialization (reused by the
+    // |nProbes| scanned-rows readouts) and the `_prn` carry
+    val q = Dedup.materialize(
+      ivfProbes(cents, queries, maxP, idCol, vecCol))
+    val cands = Dedup.materialize(ivfScoreCands(assigned, q)
       .select("query_id", "neighbor_id", "_prn", "cosine"))
     val truth = Dedup.materialize(
       bruteForceTopK(corpus, queries, k, idCol, vecCol)
@@ -1220,7 +1245,10 @@ object Similarity extends Serializable {
     * per corpus row, the q89 shape), ONE exact-truth pass with
     * per-partition bounded heaps (the [[bruteForceTopK]] pattern);
     * per-factor readouts are window rankings over the MATERIALIZED
-    * |Q|·k·max(f) table — no re-search, no per-factor corpus pass.
+    * |Q|·k·max(f) table — no re-search, no per-factor corpus pass;
+    * and since r16 the int8 corpus is quantized from source ONCE
+    * (one materialized (id, qv) table shared by shortlist, re-score,
+    * truth and count — was four separate read+quantize passes).
     * Output: (refine_factor, depth, n_hits, macro_recall_q6,
     * n_refined, refine_share_q6), one row per factor.
     */
@@ -1235,8 +1263,14 @@ object Similarity extends Serializable {
     import spark.implicits._
     val rfs = refineFactors.distinct.sorted
     val rfMax = rfs.last
+    // ONE quantized-corpus materialization feeds the ADC shortlist,
+    // the exact re-score, the truth pass AND the corpus count — this
+    // was four separate source read+quantize passes (r16: the single
+    // biggest cost in q319's profile, and the scan count is what
+    // matters at 100 TB)
+    val qc = Dedup.materialize(quantIds(corpus, idCol, vecCol))
     val shortlist = Dedup.materialize(
-      pqTopKInt8(corpus, queries, k * rfMax, m, ksub, iters, idCol, vecCol)
+      pqTopKInt8Quant(qc, queries, k * rfMax, m, ksub, iters, idCol, vecCol)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("_adc_rank")))
     val qQueries = quantIds(queries, idCol, vecCol).collect()
@@ -1249,7 +1283,7 @@ object Similarity extends Serializable {
       d
     }
     val exact = Dedup.materialize(
-      quantIds(corpus, idCol, vecCol).withColumnRenamed("id", "neighbor_id")
+      qc.withColumnRenamed("id", "neighbor_id")
         .join(broadcast(shortlist), Seq("neighbor_id"))
         .withColumn("dist2", exactU(col("query_id"), col("qv")))
         .select("query_id", "neighbor_id", "_adc_rank", "dist2"))
@@ -1257,7 +1291,7 @@ object Similarity extends Serializable {
     // (dist2 asc, neighbor_id asc) so the head is what a better row evicts
     val qArr: Array[(Long, Array[Int])] = qQueries.toArray.sortBy(_._1)
     val qB2 = spark.sparkContext.broadcast(qArr)
-    val partial = quantIds(corpus, idCol, vecCol)
+    val partial = qc
       .as[(Long, Seq[Int])].mapPartitions { rows =>
         val qs = qB2.value
         val ord = new java.util.Comparator[(Long, Long)] {
@@ -1298,7 +1332,7 @@ object Similarity extends Serializable {
         .withColumn("rank", row_number().over(wT))
         .filter(col("rank") <= k)
         .select("query_id", "neighbor_id"))
-    val nc = quantIds(corpus, idCol, vecCol).agg(count(lit(1)).as("_nc"))
+    val nc = qc.agg(count(lit(1)).as("_nc"))
     val nqL = qQueries.size.toLong
     val perRf = rfs.map { rf =>
       val app = exact.filter(col("_adc_rank") <= k.toLong * rf)

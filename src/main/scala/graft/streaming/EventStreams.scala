@@ -402,12 +402,14 @@ object EventStreams {
     */
   final case class TransitionState(
       rows: Seq[(Option[Long], Option[Long], Option[String])],
-      emits: Long)
+      emits: Long,
+      truncated: Boolean = false)
 
   /** Streaming transition-pair cells — the incremental form of
     * [[graft.operators.Analytics.transitionTopK]]'s LEAD-pair build:
     * per key, events buffer in the state store (capped at `maxPerKey`
-    * rows, the funnelStream cap discipline) and each trigger emits the
+    * rows, the funnelStream cap discipline; cap hits ride a sticky
+    * `truncated` column, as in [[winPairsStream]]) and each trigger emits the
     * key's CURRENT (src, dst, n) pair counts with an `emit` counter —
     * a multi-batch consumer keeps the max-emit rows per key, sums the
     * cells by (src, dst), and reads them out with
@@ -424,13 +426,18 @@ object EventStreams {
     */
   final case class WinState(
       rows: Seq[(Option[Long], Option[Long])],
-      emits: Long)
+      emits: Long,
+      truncated: Boolean = false)
 
   /** Streaming within-order win-pair cells — the incremental form of
     * the preference tier's contest build (q310 Bradley–Terry / q311
     * win-rate matrix / q312 cycle audit all read a (winner, loser, n)
     * table; batch builds it with a within-order self-join): per order
-    * key, lines buffer in the state store (capped at `maxPerKey`) and
+    * key, lines buffer in the state store (capped at `maxPerKey`; a
+    * cap hit means the emitted counts can diverge from batch truth
+    * from that trigger on, so it rides every later emit as a STICKY
+    * `truncated` column — consumers filter or alert on it, never read
+    * an undercount as final) and
     * each trigger emits the order's CURRENT directed win-pair counts
     * (strictly higher line price beats lower, distinct suppliers —
     * NULL suppkey/price rows never pair, and NULL ORDER keys are
@@ -468,9 +475,15 @@ object EventStreams {
             Iterator.empty
           } else {
           val prev = state.getOption.getOrElse(WinState(Nil, 0L))
-          val all = (prev.rows ++ rows.map(r => (r._2, r._3)))
-            .take(maxPerKey)
-          val next = WinState(all, prev.emits + 1)
+          val merged = prev.rows ++ rows.map(r => (r._2, r._3))
+          val all = merged.take(maxPerKey)
+          // the cap dropping lines is a divergence from the batch
+          // truth for this order from now on — mark it STICKY and emit
+          // it on every row, never silently undercount (r15 ADVICE:
+          // `emits` kept advancing, so the max-emit consumer read
+          // truncated pair counts as final with no signal)
+          val trunc = prev.truncated || merged.sizeIs > maxPerKey
+          val next = WinState(all, prev.emits + 1, trunc)
           state.update(next)
           // re-derive the order's directed win pairs: a beats b iff
           // both suppkeys and prices are non-NULL, suppkeys differ,
@@ -485,10 +498,10 @@ object EventStreams {
           } yield (sa, sb)
           pairs.toSeq.groupBy(identity).iterator
             .map { case ((w, l), g) =>
-              (order, next.emits, w, l, g.size.toLong) }
+              (order, next.emits, w, l, g.size.toLong, trunc) }
           }
       }
-      .toDF("l_orderkey", "emit", "winner", "loser", "n")
+      .toDF("l_orderkey", "emit", "winner", "loser", "n", "truncated")
   }
 
   def transitionPairsStream(spark: SparkSession, events: DataFrame,
@@ -511,9 +524,13 @@ object EventStreams {
               Option[String])],
             state: GroupState[TransitionState]) =>
           val prev = state.getOption.getOrElse(TransitionState(Nil, 0L))
-          val all = (prev.rows ++ rows.map(r => (r._2, r._3, r._4)))
-            .sortBy(t => (t._1, t._2)).take(maxPerKey)
-          val next = TransitionState(all, prev.emits + 1)
+          val merged = (prev.rows ++ rows.map(r => (r._2, r._3, r._4)))
+            .sortBy(t => (t._1, t._2))
+          val all = merged.take(maxPerKey)
+          // sticky divergence flag when the cap drops rows — same
+          // honesty contract as [[winPairsStream]]'s (r15 ADVICE)
+          val trunc = prev.truncated || merged.sizeIs > maxPerKey
+          val next = TransitionState(all, prev.emits + 1, trunc)
           state.update(next)
           if (all.length < 2) Iterator.empty
           else all.zip(all.tail)
@@ -521,8 +538,8 @@ object EventStreams {
             .filter(_._2.isDefined) // batch drops pairs with NULL next
             .groupBy(identity).iterator
             .map { case ((s, d), g) =>
-              (user, next.emits, s, d, g.size.toLong) }
+              (user, next.emits, s, d, g.size.toLong, trunc) }
       }
-      .toDF("user_id", "emit", "src", "dst", "n")
+      .toDF("user_id", "emit", "src", "dst", "n", "truncated")
   }
 }

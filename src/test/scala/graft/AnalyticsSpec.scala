@@ -176,7 +176,7 @@ class AnalyticsSpec extends SparkSpec {
       input.addData((1L, ts("2024-01-01 11:00:00"), 2L, "click"))
       q.processAllAvailable()
       val rows = spark.table("trans_conv")
-        .as[(Long, Long, String, String, Long)].collect().toSeq
+        .as[(Long, Long, String, String, Long, Boolean)].collect().toSeq
       val fin = rows.filter(_._2 == 2L).map(r => (r._3, r._4) -> r._5).toMap
       assert(fin == Map(("view", "click") -> 1L, ("click", "purchase") -> 1L))
       assert(rows.filter(_._2 == 1L).map(r => (r._3, r._4)).toSet ==
@@ -215,7 +215,8 @@ class AnalyticsSpec extends SparkSpec {
       input.addData(data: _*)
       q.processAllAvailable()
       val rows = spark.table("trans_null")
-        .as[(Option[Long], Long, Option[String], Option[String], Long)]
+        .as[(Option[Long], Long, Option[String], Option[String], Long,
+          Boolean)]
         .collect().toSeq
       val streamedCells = rows.groupBy(r => (r._3, r._4))
         .map { case (k, g) => k -> g.map(_._5).sum }
@@ -1009,5 +1010,43 @@ class AnalyticsSpec extends SparkSpec {
     val g2 = Analytics.calibrationCurve(perf, "p", col("y"))
       .as[(Long, Long, Long, Long, Long, Long)].collect().toList
     assert(g2 == List((9L, 2L, 10000L, 2L, 1000000000L, 0L)))
+  }
+
+  test("judgeAgreement: hand-computed kappa per pair, ties abstain, alpha over the panel") {
+    // verdict design (a = least item of the pair, v = 1 iff a wins):
+    //   item X=(1,2): j1 v=1 (two a-wins), j2 v=0, j3 exact tie → abstain
+    //   item Y=(3,4): j1 v=1, j2 v=1, j3 v=0
+    //   item Z=(5,6): j1 v=0, j2 v=0
+    val wins = Seq(
+      (1L, 1L, 2L, 2L), (1L, 3L, 4L, 1L), (1L, 6L, 5L, 1L),
+      (2L, 2L, 1L, 1L), (2L, 3L, 4L, 1L), (2L, 6L, 5L, 3L),
+      (3L, 1L, 2L, 1L), (3L, 2L, 1L, 1L), (3L, 4L, 3L, 2L))
+      .toDF("judge", "winner", "loser", "n")
+    val out = Analytics.judgeAgreement(wins)
+      .orderBy("judge_a", "judge_b")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    // j1-j2: N=3 agree=2, n1a=2 n2a=1 → num=2 den=5, κ=400000;
+    //   po = 2e6 DIV 3, pe = 4e6 DIV 9
+    // j1-j3 and j2-j3 share only Y, disagree → num=0 den=1, κ=0
+    // α: X t=1e12, Y t=1e12, Z t=0; n=7 A=3 B=4 →
+    //   6·2e12·1e6 DIV 12e12 = 1e6 → α = 0 (panel no better than chance)
+    assert(out == List(
+      (1L, 2L, 3L, 2L, 666666L, 444444L, 400000L, 0L, 7L),
+      (1L, 3L, 1L, 0L, 0L, 0L, 0L, 0L, 7L),
+      (2L, 3L, 1L, 0L, 0L, 0L, 0L, 0L, 7L)))
+  }
+
+  test("judgeAgreement: perfect disagreement reads kappa = -1e6 exactly (signed floor)") {
+    val wins = Seq(
+      (1L, 1L, 2L, 1L), (1L, 4L, 3L, 1L),   // j1: X v=1, Y v=0
+      (2L, 2L, 1L, 1L), (2L, 3L, 4L, 1L))   // j2: X v=0, Y v=1
+      .toDF("judge", "winner", "loser", "n")
+    val out = Analytics.judgeAgreement(wins)
+      .select("judge_a", "judge_b", "n_items", "n_agree", "po_q6",
+        "pe_q6", "kappa_q6")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    // N=2 agree=0 n1a=1 n2a=1 → num=-2 den=2 → κ = -1000000
+    assert(out == List((1L, 2L, 2L, 0L, 0L, 500000L, -1000000L)))
   }
 }

@@ -280,6 +280,50 @@ class StreamingTwinsSpec extends SparkSpec {
       // supp 20 twice in order 1 (3.00 and 1.00 lines)
       assert(viaStream.exists(r => r.getLong(0) == 10L &&
         r.getLong(1) == 20L && r.getLong(2) >= 2L))
+      // no cap hit in this test: every emit must say truncated=false
+      assert(spark.table("win_conv").filter(col("truncated")).count() == 0L)
+    } finally q.stop()
+  }
+
+  test("winPairsStream: buffer-cap hits surface as a STICKY truncated flag, never a silent undercount") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Option[Long], Option[Long], Option[Double])]
+    val cols = Seq("l_orderkey", "l_suppkey", "l_extendedprice")
+    val streamed = graft.streaming.EventStreams.winPairsStream(spark,
+      input.toDF().toDF(cols: _*), maxPerKey = 2)
+    val q = streamed.writeStream.format("memory").queryName("win_trunc")
+      .outputMode("append").start()
+    try {
+      // trigger 1: order 1 fills the cap exactly (2 lines) — NOT truncated
+      input.addData((Some(1L), Some(10L), Some(5.0)),
+        (Some(1L), Some(20L), Some(3.0)))
+      q.processAllAvailable()
+      val t1 = spark.table("win_trunc")
+      assert(t1.count() == 1L && t1.filter(col("truncated")).count() == 0L)
+      // trigger 2: a third line overflows the cap — the emit (from the
+      // surviving buffer) must carry truncated=true even though the
+      // dropped line silently changed nothing visible in the counts
+      input.addData((Some(1L), Some(30L), Some(4.0)))
+      q.processAllAvailable()
+      val e2 = spark.table("win_trunc")
+        .filter(col("emit") === 2L).collect()
+      assert(e2.nonEmpty && e2.forall(_.getAs[Boolean]("truncated")),
+        "cap overflow must mark every emitted row truncated")
+      // trigger 3: STICKY — a later under-cap batch for the same order
+      // still reports truncated (state diverged once, diverged forever)
+      input.addData((Some(1L), Some(5L), Some(0.5)))
+      q.processAllAvailable()
+      val e3 = spark.table("win_trunc")
+        .filter(col("emit") === 3L).collect()
+      assert(e3.nonEmpty && e3.forall(_.getAs[Boolean]("truncated")),
+        "truncated must be sticky across later triggers")
+      // an untouched order stays clean: order 2 under cap
+      input.addData((Some(2L), Some(10L), Some(2.0)),
+        (Some(2L), Some(20L), Some(1.0)))
+      q.processAllAvailable()
+      val o2 = spark.table("win_trunc").filter(col("l_orderkey") === 2L)
+      assert(o2.count() >= 1L && o2.filter(col("truncated")).count() == 0L)
     } finally q.stop()
   }
 }

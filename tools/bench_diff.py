@@ -78,11 +78,16 @@ def tick_points(rec, key="ms"):
 
 
 def pick_tick_key(*recs):
-    """Normalize by the ALL-THREADS loop when every record carries it
-    (r15 finding: a host granting fewer parallel cores inflates every
-    Spark query while the single-thread loop stays flat — st ticks
-    mislabel that as PLAN), else fall back to single-thread."""
-    return ("mt_ms" if all(tick_points(r, "mt_ms") for r in recs)
+    """Normalize by the ALL-THREADS loop when every record carries
+    INTERLEAVED mt ticks (r15 finding: a host granting fewer parallel
+    cores inflates every Spark query while the single-thread loop stays
+    flat — st ticks mislabel that as PLAN), else fall back to
+    single-thread. Interleaved-only, not env pseudo-ticks: an old
+    env-only record paired with a new fine-ticked one used to force
+    mt-on-2-whole-run-points for BOTH sides and mislabel the fine side
+    as whole-run (r15 ADVICE item) — with ms, tick_points still gives
+    the fine side its per-moment placement."""
+    return ("mt_ms" if all(has_real_ticks(r, "mt_ms") for r in recs)
             else "ms")
 
 
@@ -93,6 +98,27 @@ def has_real_ticks(rec, key):
     than the record carries."""
     return any(isinstance(t, dict) and t.get(key, 0) > 0
                for t in (rec.get("calib_ticks") or []))
+
+
+def tick_dist_fn(rec, key):
+    """Seconds from a query's start offset to the nearest INTERLEAVED
+    tick in `rec` — the reader's attribution confidence: a flagged
+    query whose window sits 100 s from the nearest sample (the r15
+    driver record's failure mode at tick-every-10) can't be trusted to
+    normalize; one bracketed within a few seconds can. None when the
+    record lacks interleaved ticks or the query has no start offset."""
+    pts = [(t["t"]) for t in (rec.get("calib_ticks") or [])
+           if isinstance(t, dict) and t.get(key, 0) > 0
+           and isinstance(t.get("t"), (int, float))]
+    qt = rec.get("queries_t") or {}
+
+    def dist(q):
+        ts = qt.get(q)
+        if ts is None or not pts:
+            return None
+        return min(abs(ts - p) for p in pts)
+
+    return dist
 
 
 def norm_factor_fn(rec, base, key="ms"):
@@ -152,16 +178,22 @@ def main():
     have_ticks = base is not None and (
         tick_points(old, tkey) and tick_points(new, tkey))
 
-    print(f"old: {a.old} total={old.get('value')}s  [{calib(old)}]")
-    print(f"new: {a.new} total={new.get('value')}s  [{calib(new)}]")
+    def fidelity(rec):
+        return ("interleaved" if has_real_ticks(rec, tkey)
+                else "whole-run env level")
+
+    print(f"old: {a.old} total={old.get('value')}s  [{calib(old)}] "
+          f"ticks: {fidelity(old)}")
+    print(f"new: {a.new} total={new.get('value')}s  [{calib(new)}] "
+          f"ticks: {fidelity(new)}")
     if have_ticks:
-        real = has_real_ticks(old, tkey) and has_real_ticks(new, tkey)
-        how = (f"interleaved {tkey} ticks" if real
-               else f"whole-run {tkey} env level (no interleaved ticks)")
         print(f"threshold: {threshold}x on per-query medians "
-              f"(calib-normalized verdicts, {how})\n")
+              f"(calib-normalized verdicts, {tkey} ticks; per-record "
+              f"fidelity above)\n")
     else:
         print(f"threshold: {threshold}x on per-query medians\n")
+    odist = tick_dist_fn(old, tkey)
+    ndist = tick_dist_fn(new, tkey)
 
     common = sorted(set(oq) & set(nq))
     added = sorted(set(nq) - set(oq))
@@ -200,11 +232,21 @@ def main():
         print(f"{'NOW FAILING':16s} {q:32s} {oq[q]:7.3f}s -> FAILED")
     for tag, rows in (("PLAN REGRESSION", plan_regs), ("LOAD?", load_regs),
                       ("IMPROVED", improved)):
+        flagged = tag != "IMPROVED"
         for q, r, rmin, rnorm in sorted(rows, key=lambda t: -t[1]):
             m = f" min x{rmin:.2f}" if rmin is not None else " min n/a"
             nrm = f" norm x{rnorm:.2f}" if have_ticks else ""
+            td = ""
+            if flagged:
+                # attribution confidence: how far each record's nearest
+                # interleaved tick sits from this query's own window
+                parts = []
+                for lbl, d in (("old", odist(q)), ("new", ndist(q))):
+                    parts.append(f"{lbl} {d:.0f}s" if d is not None
+                                 else f"{lbl} n/a")
+                td = " tickdist[" + ", ".join(parts) + "]"
             print(f"{tag:16s} {q:32s} {oq[q]:7.3f}s -> {nq[q]:7.3f}s "
-                  f"(x{r:.2f}{m}{nrm})")
+                  f"(x{r:.2f}{m}{nrm}){td}")
 
     if added:
         print(f"\nadded ({len(added)}): " + ", ".join(
