@@ -118,7 +118,10 @@ object Bench {
     "q316_dedup_threshold_sweep", // per-tau dedup bite off one pair join (NEW r15)
     "q318_epochs_plan",    // mixture-epochs planner over the BPE supply cells (NEW r15)
     "q319_pq_refine_plan", // PQ refine-depth recall/cost curve, one ADC pass (NEW r15)
-    "q320_dup_cluster_domains") // near-dup cluster domain-spread histogram (NEW r15)
+    "q320_dup_cluster_domains", // near-dup cluster domain-spread histogram (NEW r15)
+    "q321_judge_agreement", // per-judge-pair kappa + panel alpha (NEW r16)
+    "q322_curation_costs",  // per-stage byte economics off the trace scan (NEW r16)
+    "q323_judge_bias")      // leave-one-out consensus agreement + Wilson (NEW r16)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine

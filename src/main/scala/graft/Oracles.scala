@@ -4025,6 +4025,7 @@ object Oracles {
        |    FROM reach4),
        |  ckeep AS (SELECT doc_id FROM ranked WHERE rk <= 10),
        |  tr AS (SELECT d.doc_id, dm.domain, fl.n_words,
+       |      strlen(d.text)::BIGINT AS n_bytes,
        |      CASE WHEN u.doc_id IS NULL THEN 'url_dup'
        |           WHEN e.doc_id IS NULL THEN 'exact_dup'
        |           WHEN NOT fl.pass THEN 'quality'
@@ -4045,7 +4046,8 @@ object Oracles {
     */
   def q120CurationTrace: String =
     "WITH\n" + curationTraceCtes +
-      "\nSELECT doc_id, domain, n_words, drop_stage\nFROM tr ORDER BY doc_id"
+      "\nSELECT doc_id, domain, n_words, n_bytes, drop_stage" +
+      "\nFROM tr ORDER BY doc_id"
 
   /** q121: `Curation.funnel` — per-stage docs/words entering, dropped,
     * kept: the trace aggregated to one row per group, then cumulative
@@ -4076,6 +4078,41 @@ object Oracles {
        |  (tw - cw) AS n_words_in, w AS n_words_dropped,
        |  (tw - cw - w) AS n_words_kept
        |FROM pre ORDER BY stage_ord""".stripMargin
+
+  /** q322: `Curation.stageCosts` — the q120 trace aggregated to per-
+    * stage byte economics: bytes entering each stage (cumulative-drop
+    * arithmetic, the q121 shape), Q6 share of total stage-work
+    * (Σ bytes-in over the 5 stages), and downstream bytes saved
+    * (bytes dropped × stages remaining). Same concatenation
+    * discipline as q120/q121 (no double stripMargin).
+    */
+  def q322CurationCosts: String =
+    "WITH\n" + curationTraceCtes + ",\n" +
+    s"""  drops AS (SELECT drop_stage, count(*)::BIGINT AS n,
+       |      COALESCE(sum(n_bytes), 0)::BIGINT AS b
+       |    FROM tr GROUP BY drop_stage),
+       |  st AS (SELECT * FROM (VALUES (1, 'url_dup'), (2, 'exact_dup'),
+       |      (3, 'quality'), (4, 'domain_block'), (5, 'domain_cap'))
+       |      v(stage_ord, stage)),
+       |  j AS (SELECT st.stage_ord, st.stage,
+       |      COALESCE(dr.n, 0)::BIGINT AS n, COALESCE(dr.b, 0)::BIGINT AS b
+       |    FROM st LEFT JOIN drops dr ON dr.drop_stage = st.stage),
+       |  tot AS (SELECT sum(n)::BIGINT AS tn, sum(b)::BIGINT AS tb FROM drops),
+       |  pre AS (SELECT j.stage_ord, j.stage, j.n, j.b, tot.tn, tot.tb,
+       |      COALESCE(sum(j.n) OVER w0, 0)::BIGINT AS cn,
+       |      COALESCE(sum(j.b) OVER w0, 0)::BIGINT AS cb
+       |    FROM j, tot
+       |    WINDOW w0 AS (ORDER BY j.stage_ord
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |  wk AS (SELECT sum(tb - cb)::HUGEINT AS work FROM pre)
+       |SELECT stage_ord, stage,
+       |  (tn - cn) AS n_docs_in, n AS n_docs_dropped,
+       |  (tb - cb) AS n_bytes_in, b AS n_bytes_dropped,
+       |  CAST(CASE WHEN wk.work > 0
+       |    THEN (CAST(tb - cb AS HUGEINT) * 1000000) // wk.work
+       |    ELSE 0 END AS BIGINT) AS cost_share_q6,
+       |  (b * (5 - stage_ord))::BIGINT AS saved_downstream_bytes
+       |FROM pre, wk ORDER BY stage_ord""".stripMargin
 
   /** q122: `Sampling.ppsSystematic` — the systematic PPS pin count
     * replayed with the engine's own integer arithmetic: seeded md5
@@ -5725,6 +5762,16 @@ object Oracles {
     */
   def q310BradleyTerry: String = {
     val rounds = 6
+    s"""WITH ${btUnrollCtes(rounds)}
+       |SELECT CAST(i AS BIGINT) AS item, CAST(s AS BIGINT) AS bt_q6
+       |FROM s$rounds ORDER BY item""".stripMargin
+  }
+
+  /** Shared q310/q325 CTE chain: the wins/games/items cells plus the
+    * MM fixed point unrolled `rounds` times (final ratings in
+    * `s{rounds}`). Exactly the q292 round-unroll discipline.
+    */
+  private def btUnrollCtes(rounds: Int): String = {
     val iter = (1 to rounds).map { t =>
       val p = if (t == 1) "s0" else s"s${t - 1}"
       s"""x$t AS MATERIALIZED (SELECT g.i,
@@ -5744,7 +5791,7 @@ object Oracles {
          |      // t.t) AS s
          |  FROM r$t r, t$t t, nn)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (SELECT l_orderkey AS o, l_suppkey AS sk,
+    s"""li AS (SELECT l_orderkey AS o, l_suppkey AS sk,
        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
        |      AS p
        |  FROM lineitem WHERE l_suppkey <= 100),
@@ -5761,9 +5808,35 @@ object Oracles {
        |  FROM items LEFT JOIN (SELECT winner AS i, SUM(n) AS w
        |    FROM wins GROUP BY 1) wn ON wn.i = items.i),
        |s0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS s FROM items),
-       |$iter
-       |SELECT CAST(i AS BIGINT) AS item, CAST(s AS BIGINT) AS bt_q6
-       |FROM s$rounds ORDER BY item""".stripMargin
+       |$iter""".stripMargin
+  }
+
+  /** q325: `Analytics.bradleyTerryConfidence` — the q310 unroll's
+    * final ratings, one more pass over the SAME game cells for the
+    * Q12 Fisher information of each log-rating (per-cell positive
+    * floor division), and se = 10¹² // isqrt(info) via the shared
+    * Newton-isqrt fragment keyed by item.
+    */
+  def q325BtConfidence: String = {
+    val rounds = 6
+    s"""WITH RECURSIVE ${btUnrollCtes(rounds)},
+       |inf AS MATERIALIZED (SELECT g.i,
+       |    SUM(g.g) AS n_games,
+       |    SUM((CAST(g.g AS HUGEINT) * si.s * sj.s * 1000000000000)
+       |      // ((si.s + sj.s) * (si.s + sj.s))) AS info
+       |  FROM games g JOIN s$rounds si ON si.i = g.i
+       |  JOIN s$rounds sj ON sj.i = g.j GROUP BY 1),
+       |_sa AS (SELECT i AS id,
+       |    CASE WHEN info > 0 THEN info ELSE CAST(0 AS HUGEINT) END AS a
+       |  FROM inf),
+       |""".stripMargin + graft.functions.FixedMath.isqrtCteSql + s"""
+       |SELECT CAST(s.i AS BIGINT) AS item, CAST(s.s AS BIGINT) AS bt_q6,
+       |  CAST(inf.n_games AS BIGINT) AS n_games,
+       |  CAST(inf.info AS BIGINT) AS info_q12,
+       |  CAST(CASE WHEN inf.info > 0 AND q.r > 0
+       |    THEN 1000000000000 // q.r END AS BIGINT) AS se_log_q6
+       |FROM s$rounds s JOIN inf ON inf.i = s.i JOIN _isq q ON q.id = s.i
+       |ORDER BY item""".stripMargin
   }
 
   /** Shared wins CTE for q310–q312: within-order supplier contests,
@@ -5918,6 +5991,63 @@ object Oracles {
       |FROM k CROSS JOIN alp
       |ORDER BY judge_a, judge_b""".stripMargin
 
+  /** q323: `Analytics.judgeConsensusBias` — q321's verdict CTE, per-
+    * pair vote totals joined back, leave-one-out majority (remaining
+    * votes tie → pair not scored for that judge), per-judge agreement
+    * rate, and the q311 Wilson Q9 fragment (z = 49/25 rational, floor
+    * isqrt) keyed by judge.
+    */
+  def q323JudgeBias: String =
+    s"""WITH RECURSIVE
+       |li AS (SELECT l_orderkey AS o, l_suppkey AS sk,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS p
+       |  FROM lineitem WHERE l_suppkey <= 100),
+       |jwins AS MATERIALIZED (SELECT a.o % 8 AS judge, a.sk AS winner,
+       |    b.sk AS loser, COUNT(*) AS n
+       |  FROM li a JOIN li b ON a.o = b.o AND a.sk <> b.sk AND a.p > b.p
+       |  GROUP BY 1, 2, 3),
+       |pr AS (SELECT judge, LEAST(winner, loser) AS a,
+       |    GREATEST(winner, loser) AS b,
+       |    SUM(CASE WHEN winner < loser THEN n ELSE 0 END) AS wa,
+       |    SUM(n) AS g
+       |  FROM jwins GROUP BY 1, 2, 3),
+       |vv AS MATERIALIZED (SELECT judge, a, b,
+       |    CASE WHEN wa * 2 > g THEN 1 ELSE 0 END AS v
+       |  FROM pr WHERE wa * 2 <> g),
+       |tv AS (SELECT a, b, COUNT(*) AS m, SUM(v) AS ma FROM vv
+       |  GROUP BY 1, 2),
+       |loo AS (SELECT vv.judge, vv.v, tv.m - 1 AS mp,
+       |    tv.ma - vv.v AS map
+       |  FROM vv JOIN tv ON vv.a = tv.a AND vv.b = tv.b
+       |  WHERE (tv.ma - vv.v) * 2 <> tv.m - 1),
+       |pj AS MATERIALIZED (SELECT judge,
+       |    COUNT(*)::BIGINT AS n_scored,
+       |    SUM(CASE WHEN (v = 1 AND map * 2 > mp)
+       |      OR (v = 0 AND map * 2 < mp) THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_agree
+       |  FROM loo GROUP BY judge),
+       |_sa AS (SELECT judge AS id,
+       |    CASE WHEN n_scored > 477525395
+       |      THEN CAST(error('q323 oracle: trials exceeds the HUGEINT radicand ceiling') AS HUGEINT)
+       |      ELSE CAST(2500 AS HUGEINT)
+       |      * (CAST(2500 AS HUGEINT) * n_agree * (n_scored - n_agree)
+       |         + CAST(2401 AS HUGEINT) * n_scored)
+       |      * n_scored * 1000000 END AS a
+       |  FROM pj),
+       |""".stripMargin + graft.functions.FixedMath.isqrtCteSql + """
+       |SELECT pj.judge AS judge, pj.n_scored, pj.n_agree,
+       |  CAST((CAST(pj.n_agree AS HUGEINT) * 1000000) // pj.n_scored
+       |    AS BIGINT) AS agree_rate_q6,
+       |  CAST((CAST(62500000 AS HUGEINT) * pj.n_agree * pj.n_scored
+       |      + CAST(120050000 AS HUGEINT) * pj.n_scored
+       |      - CAST(49 AS HUGEINT) * i.r) * 1000000000
+       |    // (CAST(100000 AS HUGEINT) * pj.n_scored
+       |        * (CAST(625 AS HUGEINT) * pj.n_scored + 2401)) AS BIGINT)
+       |    AS wilson_lb_q9
+       |FROM pj JOIN _isq i ON i.id = pj.judge
+       |ORDER BY judge""".stripMargin
+
   /** q313: `Sketches.dyadicHistogram` over per-doc whitespace token
     * counts — the q241 octave/cell replay on the q79 token convention
     * (zero-token docs drop, as the sketch's >0 domain requires).
@@ -5990,6 +6120,11 @@ object Oracles {
     "q317_stream_win_matrix" -> q311WinRateMatrix,
     "q312_preference_cycles" -> q312PreferenceCycles,
     "q321_judge_agreement" -> q321JudgeAgreement,
+    "q323_judge_bias" -> q323JudgeBias,
+    // q324 = q323's judged wins built by the streaming state store
+    // (the q317 discipline — one relational truth, two engine paths)
+    "q324_stream_judge_bias" -> q323JudgeBias,
+    "q325_bt_confidence" -> q325BtConfidence,
     "q307_cross_domain_dups" -> q307CrossDomainDups,
     "q308_mrr" -> q308Mrr,
     "q309_table_diff" -> q309SnapshotDiff,
@@ -6106,6 +6241,7 @@ object Oracles {
     "q115_export_manifest" -> q115ExportManifest,
     "q120_curation_trace" -> q120CurationTrace,
     "q121_curation_funnel" -> q121CurationFunnel,
+    "q322_curation_costs" -> q322CurationCosts,
     "q122_pps_sample" -> q122PpsSample,
     "q123_bm25_topk" -> q123Bm25TopK,
     "q124_normalize_nfc" -> q124NormalizeNfc,

@@ -1805,6 +1805,20 @@ object SparkEntry {
         .orderBy("stage_ord")
     }),
 
+    // ---- north star: curation stage-cost attribution (NEW r16) ----
+    // The funnel's economics: per stage, bytes entering (work ∝ bytes
+    // reaching the stage), its Q6 share of total pipeline stage-work
+    // (the deterministic stand-in for wall share), and the downstream
+    // bytes its drops spare later stages — why cheap dedup runs first.
+    // One instrumented pass: rides the q120 trace's single corpus scan.
+    "q322_curation_costs" -> ((s, dir) => {
+      import s.implicits._
+      val bl = Seq("site0.test", "site3.test").toDF("domain")
+      Curation.stageCosts(Curation.trace(curationWrappedDocs(s, dir), bl,
+          maxPerDomain = 10, seed = 3))
+        .orderBy("stage_ord")
+    }),
+
     // ---- north star: PPS weighted sampling without replacement ----
     // Cut the corpus to a fixed document budget with inclusion
     // probability ∝ size (weight = n_chars): systematic PPS pins over an
@@ -3583,6 +3597,15 @@ object SparkEntry {
       Analytics.bradleyTerryFromWins(supplierWins(s, dir), rounds = 6)
         .orderBy("item")),
 
+    // ---- preference tier: rating confidence (NEW r16) ----
+    // The ±CI next to q310's score: asymptotic Fisher information of
+    // each item's log-rating at the fitted ratings (exact Q12 cells)
+    // and se = 1/sqrt(I) in Q6 via the native floor-isqrt — the
+    // leaderboard's error bar, same game cells as the rating itself.
+    "q325_bt_confidence" -> ((s, dir) =>
+      Analytics.bradleyTerryConfidence(supplierWins(s, dir), rounds = 6)
+        .orderBy("item")),
+
     // ---- preference tier: win-rate matrix + Wilson (NEW r14) ----
     // The arena dashboard behind q310's scalar rating: per unordered
     // pair the games, a-wins, Q6 win rate, and the q194 Wilson Q9
@@ -3717,6 +3740,39 @@ object SparkEntry {
     "q321_judge_agreement" -> ((s, dir) =>
       Analytics.judgeAgreement(judgedSupplierWins(s, dir))
         .orderBy("judge_a", "judge_b")),
+
+    // ---- preference tier: per-judge consensus bias (NEW r16) ----
+    // q321 says whether the panel coheres; this names the outlier:
+    // each judge's agreement with the LEAVE-ONE-OUT panel majority
+    // (own vote excluded), Wilson-lower-bounded so thin records read
+    // low — the judge-QA table an arena reads before weighting votes.
+    "q323_judge_bias" -> ((s, dir) =>
+      Analytics.judgeConsensusBias(judgedSupplierWins(s, dir))
+        .orderBy("judge")),
+
+    // ---- streaming tier: judge-bias twin (NEW r16) ----
+    // q323's judged win cells built by the streaming engine: the q317
+    // winPairsStream emits per-order pair counts; the consumer keeps
+    // max-emit per order, derives the judge key (orderkey mod 8 — a
+    // pure function of the stream key, so it needs no extra state),
+    // sums (judge, winner, loser) cells, and reads them out through
+    // the SHARED judgeConsensusBias — oracle is q323's SQL verbatim.
+    "q324_stream_judge_bias" -> ((s, dir) => {
+      val emitted = EventStreams.runOnceOnParquet(s,
+        s"$dir/lineitem.parquet",
+        df => EventStreams.winPairsStream(s,
+          df.filter(col("l_suppkey") <= 100)),
+        s"jbias_sink_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val wins = emitted
+        .withColumn("_mx", max("emit").over(
+          Window.partitionBy("l_orderkey")))
+        .filter(col("emit") === col("_mx"))
+        .groupBy(pmod(col("l_orderkey"), lit(8)).as("judge"),
+          col("winner"), col("loser"))
+        .agg(sum("n").as("n"))
+      Analytics.judgeConsensusBias(wins).orderBy("judge")
+    }),
 
     // ---- streaming tier: EMD drift via state store (NEW r11) ----
     // q252's cells built by the streaming engine (the q205 discipline:

@@ -1604,14 +1604,22 @@ object Analytics {
     * at bounded |items|); nothing downstream of the cell build
     * touches the corpus.
     */
-  def bradleyTerryFromWins(wins: DataFrame, rounds: Int = 8)
-      : DataFrame = {
-    require(rounds >= 1, "bradleyTerryFromWins needs rounds >= 1")
-    val games = Dedup.materialize(wins
+  /** Symmetric game cells (i, j, g) from a directed win table — ONE
+    * build site for [[bradleyTerryFromWins]] and
+    * [[bradleyTerryConfidence]] (the rating and its uncertainty must
+    * count the same games).
+    */
+  private def btGames(wins: DataFrame): DataFrame =
+    Dedup.materialize(wins
       .select(col("winner").as("i"), col("loser").as("j"), col("n"))
       .union(wins.select(col("loser").as("i"), col("winner").as("j"),
         col("n")))
       .groupBy("i", "j").agg(sum("n").as("g")))
+
+  def bradleyTerryFromWins(wins: DataFrame, rounds: Int = 8)
+      : DataFrame = {
+    require(rounds >= 1, "bradleyTerryFromWins needs rounds >= 1")
+    val games = btGames(wins)
     val items = Dedup.materialize(games.select("i").distinct())
     val nItems = items.count()
     require(nItems > 0, "bradleyTerryFromWins needs at least one game")
@@ -1642,6 +1650,59 @@ object Analytics {
             " DIV _t AS BIGINT)")).as("s")))
     }
     s.select(col("i").as("item"), col("s").as("bt_q6"))
+  }
+
+  /** Rating uncertainty for [[bradleyTerryFromWins]] — the ±CI a
+    * leaderboard publishes next to the score: the asymptotic Fisher
+    * information of each item's LOG-rating at the fitted ratings,
+    * I_i = Σ_j g_ij · p_ij(1−p_ij) with p_ij = s_i/(s_i+s_j), i.e.
+    * Σ_j g_ij·s_i·s_j/(s_i+s_j)² — computed in exact Q12 integers
+    * (per-cell positive floor division, engine-replayable), and the
+    * standard error se(log s_i) = 1/√I_i read out in Q6 via the
+    * native floor-isqrt: se_q6 = 10¹² DIV isqrt(info_q12). A 95%
+    * band is multiplicative: s·exp(±1.96·se) — the exponential is
+    * the READER's step; the table carries the exact integers. Items
+    * with zero information (no games — impossible by construction
+    * here, or ratings degenerate) read NULL se rather than a fake 0.
+    *
+    * Output: one row per item (item, bt_q6, n_games, info_q12,
+    * se_log_q6).
+    *
+    * Scale shape: one extra pass over the SAME bounded game cells
+    * ([[btGames]], shared build site) against the broadcast fitted
+    * ratings; nothing touches the corpus. info_q12 ≤ ¼·10¹²·n_games
+    * — BIGINT-safe to ~10⁷ games per item (far past any bounded
+    * panel design).
+    */
+  def bradleyTerryConfidence(wins: DataFrame, rounds: Int = 8)
+      : DataFrame = {
+    // win cells materialized ONCE: ratings (games + win totals) and
+    // the info pass all re-read them; unboxed, each action would
+    // re-run the caller's contest build
+    val wcells = Dedup.materialize(wins)
+    val s = Dedup.materialize(bradleyTerryFromWins(wcells, rounds))
+    val games = btGames(wcells)
+    val info = games
+      .join(broadcast(s.select(col("item").as("i"),
+        col("bt_q6").as("_si"))), Seq("i"))
+      .join(broadcast(s.select(col("item").as("j"),
+        col("bt_q6").as("_sj"))), Seq("j"))
+      .withColumn("_t", expr(
+        "CAST((CAST(g AS DECIMAL(38,0)) * _si * _sj * 1000000000000)" +
+          " DIV ((CAST(_si AS DECIMAL(38,0)) + _sj)" +
+          " * (CAST(_si AS DECIMAL(38,0)) + _sj)) AS BIGINT)"))
+      .groupBy("i")
+      .agg(sum("g").as("n_games"),
+        sum(col("_t").cast("decimal(38,0)")).as("_inf"))
+      .withColumn("info_q12", col("_inf").cast("long"))
+    s.join(info.withColumnRenamed("i", "item"), Seq("item"))
+      .withColumn("_isq",
+        graft.plans.GraftExtensions.isqrtNative(
+          greatest(col("info_q12"), lit(0L))))
+      .withColumn("se_log_q6", when(col("info_q12") > 0 && col("_isq") > 0,
+        expr("CAST(1000000000000 DIV _isq AS BIGINT)")))
+      .select(col("item"), col("bt_q6"), col("n_games"),
+        col("info_q12"), col("se_log_q6"))
   }
 
   /** Pairwise win-rate matrix with Wilson lower bounds — the arena
@@ -1764,9 +1825,15 @@ object Analytics {
     * corpus. Judges and items are bounded by construction of any
     * panel design, so every join side here broadcasts.
     */
-  def judgeAgreement(judgedWins: DataFrame): DataFrame = {
-    // per-(judge, unordered pair) net verdict; ties abstain
-    val verdicts = Dedup.materialize(judgedWins
+  /** Per-(judge, unordered pair) NET verdict from (judge, winner,
+    * loser, n) cells: v = 1 iff the lesser item wins on net; exact
+    * ties abstain (no row). ONE build site shared by
+    * [[judgeAgreement]] and [[judgeConsensusBias]] — the κ table and
+    * the bias table must score the same ballots or the two readouts
+    * stop composing.
+    */
+  private def judgeVerdicts(judgedWins: DataFrame): DataFrame =
+    judgedWins
       .select(col("judge"),
         least(col("winner"), col("loser")).as("a"),
         greatest(col("winner"), col("loser")).as("b"),
@@ -1777,7 +1844,10 @@ object Analytics {
       .agg(sum("_wa").as("_wa"), sum("_g").as("_g"))
       .filter(col("_wa") * 2 =!= col("_g")) // exact tie → abstain
       .select(col("judge"), col("a"), col("b"),
-        (col("_wa") * 2 > col("_g")).cast("int").as("v"))) // 1 = a wins
+        (col("_wa") * 2 > col("_g")).cast("int").as("v")) // 1 = a wins
+
+  def judgeAgreement(judgedWins: DataFrame): DataFrame = {
+    val verdicts = Dedup.materialize(judgeVerdicts(judgedWins))
     // Cohen's κ per judge pair over shared items
     val l = verdicts.select(col("judge").as("judge_a"), col("a"),
       col("b"), col("v").as("_v1"))
@@ -1838,6 +1908,49 @@ object Analytics {
       .select(col("judge_a"), col("judge_b"), col("n_items"),
         col("n_agree"), col("po_q6"), col("pe_q6"), col("kappa_q6"),
         col("alpha_q6"), col("n_labels"))
+  }
+
+  /** Per-judge consensus-bias audit — [[judgeAgreement]] says whether
+    * the panel coheres; this names WHICH judge is the outlier: each
+    * judge's agreement rate with the LEAVE-ONE-OUT panel majority on
+    * every pair they voted on (own vote excluded from the majority —
+    * self-agreement would otherwise inflate every rate, worst for the
+    * judges with the fewest co-voters). Pairs whose remaining votes
+    * tie have no majority to agree with and are not scored. The rate
+    * carries the q194 Wilson Q9 lower bound (native kernel) so a
+    * judge scored on 3 pairs reads LOW, not 100% — the small-sample
+    * honesty device of [[winRateMatrix]].
+    *
+    * Output: one row per judge (judge, n_scored, n_agree,
+    * agree_rate_q6, wilson_lb_q9).
+    *
+    * Scale shape: the verdict fold is [[judgeVerdicts]] (shared build
+    * site); vote totals are a ≤C(|items|,2)-row aggregate broadcast
+    * back against the verdict table; the readout is a ≤|judges|-row
+    * groupBy. Nothing touches the corpus.
+    */
+  def judgeConsensusBias(judgedWins: DataFrame): DataFrame = {
+    val verdicts = Dedup.materialize(judgeVerdicts(judgedWins))
+    val tot = verdicts.groupBy("a", "b")
+      .agg(count(lit(1)).as("_m"), sum(col("v").cast("long")).as("_ma"))
+    val loo = verdicts.join(broadcast(tot), Seq("a", "b"))
+      .withColumn("_mp", col("_m") - 1)
+      .withColumn("_map", col("_ma") - col("v"))
+      .filter(col("_map") * 2 =!= col("_mp")) // LOO majority must exist
+      .withColumn("_agree",
+        (col("v") === 1 && col("_map") * 2 > col("_mp")) ||
+          (col("v") === 0 && col("_map") * 2 < col("_mp")))
+    loo.groupBy("judge")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("_agree"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("agree_rate_q6", expr(
+        "CAST((CAST(n_agree AS DECIMAL(38,0)) * 1000000) DIV n_scored" +
+          " AS BIGINT)"))
+      .withColumn("wilson_lb_q9",
+        graft.plans.GraftExtensions.wilsonLbQ9Native(
+          col("n_scored"), col("n_agree")))
+      .select(col("judge"), col("n_scored"), col("n_agree"),
+        col("agree_rate_q6"), col("wilson_lb_q9"))
   }
 
   /** Top-k + probability readout over (src, dst, n) transition cells —

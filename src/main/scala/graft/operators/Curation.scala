@@ -28,10 +28,14 @@ object Curation {
   val stages: Seq[String] =
     Seq("url_dup", "exact_dup", "quality", "domain_block", "domain_cap")
 
-  /** One row per input document: (idCol, domain, n_words, drop_stage)
+  /** One row per input document: (idCol, domain, n_words, n_bytes,
+    * drop_stage)
     * where `drop_stage` ∈ [[stages]] names the FIRST stage that dropped
     * the document, or 'kept' for survivors. The kept set is identical
-    * to running the composed pipeline itself (spec-asserted).
+    * to running the composed pipeline itself (spec-asserted). n_bytes
+    * (octet length of the text each stage actually processes) feeds
+    * [[stageCosts]]' work attribution — it rides the SAME single
+    * corpus scan, not a second pass.
     */
   def trace(docs: DataFrame, blocklist: DataFrame, maxPerDomain: Int,
       seed: Long = 0, idCol: String = "doc_id", urlCol: String = "url",
@@ -43,6 +47,8 @@ object Curation {
       TextAnalysis.gopherRules(docs, idCol, textCol,
           carry = Seq(urlCol, textCol))
         .select(id, col("n_words"), col("pass"),
+          coalesce(octet_length(col(textCol)), lit(0))
+            .cast("long").as("n_bytes"),
           md5(col(textCol)).as("_dg"),
           TextAnalysis.urlNormalize(col(urlCol)).as("_u"),
           TextAnalysis.urlDomain(col(urlCol)).as("domain")))
@@ -69,7 +75,7 @@ object Curation {
       .filter(col("_rk") <= maxPerDomain)
       .select(id).withColumn("_k5", lit(true))
     s3.join(k5, Seq(idCol), "left")
-      .select(id, col("domain"), col("n_words"),
+      .select(id, col("domain"), col("n_words"), col("n_bytes"),
         when(col("_k1").isNull, "url_dup")
           .when(col("_k2").isNull, "exact_dup")
           .when(!col("pass"), "quality")
@@ -108,6 +114,62 @@ object Curation {
         (col("n_docs_in") - col("_n")).as("n_docs_kept"),
         col("n_words_in"), col("_w").as("n_words_dropped"),
         (col("n_words_in") - col("_w")).as("n_words_kept"))
+  }
+
+  /** Per-stage COST attribution over a [[trace]] result — the funnel's
+    * economics companion ([[funnel]] says what each stage removes;
+    * this says what each stage COSTS and what its removals save
+    * downstream): a stage's work is proportional to the bytes that
+    * reach it, so per stage the table reads bytes entering / dropped,
+    * the stage's Q6 share of the pipeline's total stage-work
+    * (Σ over stages of bytes-in — the deterministic stand-in for wall
+    * share: wall clock is not oracle-replayable, byte throughput is),
+    * and the downstream bytes its drops spare the later stages
+    * (bytes_dropped × stages-remaining — why cheap dedup runs FIRST:
+    * its drops are multiplied by every stage after it).
+    *
+    * Output: one row per stage (stage_ord, stage, n_docs_in,
+    * n_docs_dropped, n_bytes_in, n_bytes_dropped, cost_share_q6,
+    * saved_downstream_bytes).
+    *
+    * Scale shape: ONE partial-agg'd fold of the (already slim) trace
+    * to ≤ 6 drop-stage rows; everything after runs on the constant-
+    * size stage list ([[funnel]]'s discipline — the corpus is touched
+    * only by the trace's own single scan).
+    */
+  def stageCosts(traced: DataFrame): DataFrame = {
+    val spark = traced.sparkSession
+    import spark.implicits._
+    val drops = traced.groupBy("drop_stage")
+      .agg(count(lit(1)).as("_n"), sum("n_bytes").as("_b"))
+    val st = stages.zipWithIndex.map { case (s, i) => (i + 1, s) }
+      .toDF("stage_ord", "stage")
+    val joined = st.join(drops.withColumnRenamed("drop_stage", "stage"),
+        Seq("stage"), "left")
+      .na.fill(0L, Seq("_n", "_b"))
+    val tot = drops.agg(sum("_n").as("_tn"), sum("_b").as("_tb"))
+    val wcum = Window.orderBy("stage_ord")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nStages = stages.size
+    val perStage = joined.crossJoin(broadcast(tot))
+      .withColumn("n_docs_in",
+        col("_tn") - coalesce(sum("_n").over(wcum), lit(0L)))
+      .withColumn("n_bytes_in",
+        col("_tb") - coalesce(sum("_b").over(wcum), lit(0L)))
+    // total stage-work = Σ bytes entering each stage (a doc dropped at
+    // stage s was still processed by stages 1..s — counted s times)
+    val work = perStage.agg(
+      sum(col("n_bytes_in").cast("decimal(38,0)")).as("_work"))
+    perStage.crossJoin(broadcast(work))
+      .withColumn("cost_share_q6", when(col("_work") > 0, expr(
+        "CAST((CAST(n_bytes_in AS DECIMAL(38,0)) * 1000000) DIV _work" +
+          " AS BIGINT)")).otherwise(lit(0L)))
+      .withColumn("saved_downstream_bytes",
+        col("_b") * (lit(nStages) - col("stage_ord")))
+      .select(col("stage_ord"), col("stage"), col("n_docs_in"),
+        col("_n").as("n_docs_dropped"), col("n_bytes_in"),
+        col("_b").as("n_bytes_dropped"), col("cost_share_q6"),
+        col("saved_downstream_bytes"))
   }
 
   /** Greedy set-cover data selection: pick `k` documents one at a time,

@@ -48,6 +48,8 @@ object PlanAudit {
       "row_number over DISTINCT c_nationkey (25 rows)",
     "q121_curation_funnel" ->
       "running product over the per-stage funnel table (4 rows)",
+    "q322_curation_costs" ->
+      "cumulative drops over the 5-row stage list (q121's window shape)",
     "q176_trailing_revenue" ->
       "RANGE frame over the per-DAY aggregate (calendar-bounded)",
     "q180_skyline" ->

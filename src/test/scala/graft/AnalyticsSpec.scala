@@ -1037,6 +1037,50 @@ class AnalyticsSpec extends SparkSpec {
       (2L, 3L, 1L, 0L, 0L, 0L, 0L, 0L, 7L)))
   }
 
+  test("bradleyTerryConfidence: symmetric 2-item case exact by hand; more games shrink se") {
+    // A and B split 2-2: ratings both exactly 1e6, p = 1/2, games
+    // cell g_AB = 4 → info = 4·(s·s·1e12)//(2s)² = 1e12 exactly,
+    // se = 1e12 // isqrt(1e12) = 1e6 (se(log s) = 1.0)
+    val wins = Seq((1L, 2L, 2L), (2L, 1L, 2L))
+      .toDF("winner", "loser", "n")
+    val out = Analytics.bradleyTerryConfidence(wins, rounds = 4)
+      .orderBy("item")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(out == List(
+      (1L, 1000000L, 4L, 1000000000000L, 1000000L),
+      (2L, 1000000L, 4L, 1000000000000L, 1000000L)))
+    // 4× the games at the same ratios: info ×4, se halves (floor ±1)
+    val wins4 = Seq((1L, 2L, 8L), (2L, 1L, 8L))
+      .toDF("winner", "loser", "n")
+    val out4 = Analytics.bradleyTerryConfidence(wins4, rounds = 4)
+      .orderBy("item")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(out4.head._4 == 4000000000000L)
+    assert(out4.head._5 <= out.head._5 / 2 + 1)
+  }
+
+  test("judgeConsensusBias: LOO majority scoring by hand; ties unscored; zero-agree Wilson reads 0") {
+    // same fixture as the kappa test: j1 X=1 Y=1 Z=0; j2 X=0 Y=1 Z=0;
+    // j3 Y=0. LOO: Y always ties for j1/j2 (unscored); X majorities
+    // flip against both voters (disagree); Z agrees for j1/j2; j3's
+    // only pair Y has LOO majority 1 vs their 0 (disagree).
+    val wins = Seq(
+      (1L, 1L, 2L, 2L), (1L, 3L, 4L, 1L), (1L, 6L, 5L, 1L),
+      (2L, 2L, 1L, 1L), (2L, 3L, 4L, 1L), (2L, 6L, 5L, 3L),
+      (3L, 1L, 2L, 1L), (3L, 2L, 1L, 1L), (3L, 4L, 3L, 2L))
+      .toDF("judge", "winner", "loser", "n")
+    val out = Analytics.judgeConsensusBias(wins).orderBy("judge")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(out.map(r => (r._1, r._2, r._3, r._4)) == List(
+      (1L, 2L, 1L, 500000L), (2L, 2L, 1L, 500000L), (3L, 1L, 0L, 0L)))
+    // Wilson honesty: bounded by the rate (Q9 vs Q6·1000), zero at 0/1
+    out.foreach { r =>
+      assert(r._5 >= 0L && r._5 <= r._4 * 1000L,
+        s"wilson ${r._5} must sit in [0, rate] for judge ${r._1}")
+    }
+    assert(out.last._5 == 0L)
+  }
+
   test("judgeAgreement: perfect disagreement reads kappa = -1e6 exactly (signed floor)") {
     val wins = Seq(
       (1L, 1L, 2L, 1L), (1L, 4L, 3L, 1L),   // j1: X v=1, Y v=0

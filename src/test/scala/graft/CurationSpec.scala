@@ -78,6 +78,33 @@ class CurationSpec extends SparkSpec {
     assert(f.last.getAs[Long]("n_docs_kept") == keptDocs)
   }
 
+  test("stageCosts: byte funnel conserves, shares sum to ~1e6, downstream savings arithmetic") {
+    val traced = Curation.trace(corpus, blocklist, maxPerDomain = 2, seed = 3)
+    val c = Curation.stageCosts(traced).orderBy("stage_ord").collect()
+    assert(c.map(_.getAs[String]("stage")).toSeq == Curation.stages)
+    // bytes entering stage 1 = total corpus bytes (trace's own n_bytes)
+    val totalBytes = traced.agg(sum("n_bytes")).collect().head.getLong(0)
+    assert(c.head.getAs[Long]("n_bytes_in") == totalBytes)
+    // stage-to-stage conservation: in − dropped = next stage's in
+    c.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_bytes_in") - a.getAs[Long]("n_bytes_dropped")
+        == b.getAs[Long]("n_bytes_in"))
+      assert(a.getAs[Long]("n_docs_in") - a.getAs[Long]("n_docs_dropped")
+        == b.getAs[Long]("n_docs_in"))
+    }
+    // Q6 shares sum to 1e6 up to per-row floor loss (< |stages|)
+    val shareSum = c.map(_.getAs[Long]("cost_share_q6")).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - Curation.stages.size,
+      s"cost shares sum $shareSum")
+    // downstream savings = dropped bytes × stages remaining; last stage 0
+    c.foreach { r =>
+      assert(r.getAs[Long]("saved_downstream_bytes") ==
+        r.getAs[Long]("n_bytes_dropped") *
+          (Curation.stages.size - r.getAs[Int]("stage_ord")))
+    }
+    assert(c.last.getAs[Long]("saved_downstream_bytes") == 0L)
+  }
+
   test("empty blocklist and loose cap: only dedup+quality stages drop") {
     val t = Curation.trace(corpus, spark.emptyDataset[String].toDF("domain"),
       maxPerDomain = 1000, seed = 3)
