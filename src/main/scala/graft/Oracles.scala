@@ -1852,6 +1852,58 @@ object Oracles {
     * w = floor(√toks) via the shared Newton isqrt CTE, widened Q6 raw
     * and tempered shares.
     */
+  /** [[graft.functions.FixedMath.isqrtCteSql]] with every fragment
+    * name suffixed, so one statement can chain several independent
+    * Newton-isqrt passes (q326 iterates floor-isqrt three times —
+    * ⌊√⌊√x⌋⌋ = ⌊x^¼⌋, the nested-floor identity). `_isq` replaced
+    * before `_sq` (substring hazard).
+    */
+  private def isqrtCteSuffixed(sfx: String): String =
+    graft.functions.FixedMath.isqrtCteSql
+      .replace("_isq", s"_isq$sfx")
+      .replace("_sq", s"_sq$sfx")
+      .replace("_sr", s"_sr$sfx")
+      .replace("_sa", s"_sa$sfx")
+
+  /** q326: `Sampling.temperatureSweep` — q289's cells, three chained
+    * Newton-isqrt passes for the α = ½/¼/⅛ weights, per-α share +
+    * head-share readout.
+    */
+  def q326TemperatureSweep: String =
+    """WITH RECURSIVE cells AS (SELECT source,
+      |    CAST(SUM(n_chars) AS BIGINT) AS toks
+      |  FROM documents GROUP BY 1),
+      |_saA AS (SELECT source AS id, CAST(toks AS HUGEINT) AS a
+      |  FROM cells),
+      |""".stripMargin + isqrtCteSuffixed("A") + """,
+      |w500 AS (SELECT c.source, c.toks, CAST(i.r AS BIGINT) AS w
+      |  FROM cells c JOIN _isqA i ON i.id = c.source),
+      |_saB AS (SELECT source AS id, CAST(w AS HUGEINT) AS a
+      |  FROM w500),
+      |""".stripMargin + isqrtCteSuffixed("B") + """,
+      |w250 AS (SELECT w.source, w.toks, CAST(i.r AS BIGINT) AS w
+      |  FROM w500 w JOIN _isqB i ON i.id = w.source),
+      |_saC AS (SELECT source AS id, CAST(w AS HUGEINT) AS a
+      |  FROM w250),
+      |""".stripMargin + isqrtCteSuffixed("C") + """,
+      |w125 AS (SELECT w.source, w.toks, CAST(i.r AS BIGINT) AS w
+      |  FROM w250 w JOIN _isqC i ON i.id = w.source),
+      |alln AS (
+      |  SELECT 1000 AS alpha_q3, source, toks, toks AS w FROM cells
+      |  UNION ALL SELECT 500, source, toks, w FROM w500
+      |  UNION ALL SELECT 250, source, toks, w FROM w250
+      |  UNION ALL SELECT 125, source, toks, w FROM w125),
+      |t AS (SELECT alpha_q3, SUM(w) AS tw FROM alln GROUP BY 1),
+      |sh AS (SELECT a.alpha_q3, a.source, a.toks, a.w,
+      |    CASE WHEN t.tw <> 0 THEN
+      |      CAST((CAST(a.w AS HUGEINT) * 1000000) // t.tw AS BIGINT)
+      |    END AS share_q6
+      |  FROM alln a JOIN t ON t.alpha_q3 = a.alpha_q3)
+      |SELECT CAST(alpha_q3 AS BIGINT) AS alpha_q3, source, toks, w,
+      |  share_q6,
+      |  MAX(share_q6) OVER (PARTITION BY alpha_q3) AS head_share_q6
+      |FROM sh ORDER BY alpha_q3 DESC, source""".stripMargin
+
   def q289TemperatureMixture: String =
     """WITH RECURSIVE cells AS (SELECT source,
       |    CAST(SUM(n_chars) AS BIGINT) AS toks
@@ -6172,6 +6224,7 @@ object Oracles {
     "q287_domain_dup_rate" -> q287DomainDupRate,
     "q288_lang_mix" -> q288LangMix,
     "q289_temperature_mixture" -> q289TemperatureMixture,
+    "q326_temperature_sweep" -> q326TemperatureSweep,
     "q291_ann_recall" -> q291AnnRecall,
     "q292_stationary" -> q292Stationary,
     "q294_pinball_loss" -> q294PinballLoss,

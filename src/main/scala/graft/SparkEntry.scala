@@ -3597,6 +3597,17 @@ object SparkEntry {
       Analytics.bradleyTerryFromWins(supplierWins(s, dir), rounds = 6)
         .orderBy("item")),
 
+    // ---- corpus-curation tier: temperature sweep (NEW r16) ----
+    // q289's α = ½ point swept across the whole exactly-computable
+    // grid {1, ½, ¼, ⅛} (iterated floor-isqrt — ⌊√⌊√x⌋⌋ = ⌊x^¼⌋, so
+    // every point oracle-replays exactly): per (α, source) tempered
+    // share + the α's head share, the flattening curve a curator
+    // picks a temperature FROM. One corpus collapse, every α read
+    // off the same |domains|-row table.
+    "q326_temperature_sweep" -> ((s, dir) =>
+      Sampling.temperatureSweep(documents(s, dir))
+        .orderBy(col("alpha_q3").desc, col("source"))),
+
     // ---- preference tier: rating confidence (NEW r16) ----
     // The ±CI next to q310's score: asymptotic Fisher information of
     // each item's log-rating at the fitted ratings (exact Q12 cells)

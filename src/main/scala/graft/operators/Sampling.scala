@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Probability-proportional-to-size sampling without replacement — the
@@ -208,6 +209,54 @@ object Sampling {
     * Scale shape: [[domainTokenCells]]'s |domains|-row collapse, a
     * broadcast 2-number total, arithmetic on the |domains|-row table.
     */
+  /** Temperature SWEEP — [[temperatureMixturePlan]]'s single α = ½
+    * point extended to the whole exactly-computable grid: α ∈
+    * {1, ½, ¼, ⅛} (Q3 units 1000/500/250/125), because iterated
+    * floor-isqrt is exact at every halving (⌊√⌊√x⌋⌋ = ⌊x^¼⌋ — the
+    * nested-floor identity), so every α point replays bit-for-bit in
+    * the oracle's Newton CTE with zero new numeric machinery. Per
+    * (α, source): the tempered weight, its Q6 share, and the α's
+    * head share (max share across sources — the dominance number a
+    * curator flattens AGAINST; it falls monotonically as α drops).
+    * The q316/q315 planner discipline: ONE corpus collapse
+    * ([[domainTokenCells]]), every α read off the same |domains|-row
+    * table — no per-α corpus pass.
+    *
+    * Output: one row per (alpha_q3, source): (alpha_q3, source,
+    * toks, w, share_q6, head_share_q6), |alphas|·|domains| rows.
+    */
+  def temperatureSweep(docs: DataFrame,
+      alphasQ3: Seq[Long] = Seq(1000L, 500L, 250L, 125L),
+      domainCol: String = "source", tokenCol: String = "n_chars")
+      : DataFrame = {
+    val grid = Set(1000L, 500L, 250L, 125L)
+    require(alphasQ3.nonEmpty && alphasQ3.forall(grid.contains),
+      s"temperatureSweep's exact grid is $grid (iterated floor-isqrt " +
+        "halvings); got " + alphasQ3)
+    import graft.plans.GraftExtensions.isqrtNative
+    val dec = "DECIMAL(38,0)"
+    val cells = Dedup.materialize(
+      domainTokenCells(docs, domainCol, tokenCol)
+        .withColumn("_w1000", col("toks"))
+        .withColumn("_w500", isqrtNative(col("toks")))
+        .withColumn("_w250", isqrtNative(isqrtNative(col("toks"))))
+        .withColumn("_w125",
+          isqrtNative(isqrtNative(isqrtNative(col("toks"))))))
+    val perAlpha = alphasQ3.distinct.sorted.reverse.map { a =>
+      cells.select(lit(a).as("alpha_q3"), col("_g"), col("toks"),
+        col(s"_w$a").as("w"))
+    }.reduce(_.unionByName(_))
+    val tot = perAlpha.groupBy("alpha_q3")
+      .agg(coalesce(sum("w"), lit(0L)).as("_tw"))
+    val wh = Window.partitionBy("alpha_q3")
+    perAlpha.join(broadcast(tot), Seq("alpha_q3"))
+      .withColumn("share_q6", when(col("_tw") =!= 0, expr(
+        s"CAST((CAST(w AS $dec) * 1000000) DIV _tw AS BIGINT)")))
+      .withColumn("head_share_q6", max("share_q6").over(wh))
+      .select(col("alpha_q3"), col("_g").as(domainCol), col("toks"),
+        col("w"), col("share_q6"), col("head_share_q6"))
+  }
+
   def temperatureMixturePlan(docs: DataFrame,
       domainCol: String = "source", tokenCol: String = "n_chars")
       : DataFrame = {

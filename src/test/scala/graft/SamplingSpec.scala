@@ -158,4 +158,34 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().head
     assert(c == (("C", 10L, 1000000L, 3L, 1000000L)))
   }
+
+  test("temperatureSweep: iterated-floor weights exact by hand; head share falls monotonically") {
+    // A: 10000 toks, B: 16. Weights down the grid:
+    //   α=1:    A 10000, B 16  → head 10000e6 DIV 10016 = 998402
+    //   α=1/2:  A 100,   B 4   → head 100e6 DIV 104     = 961538
+    //   α=1/4:  A 10,    B 2   → head  10e6 DIV 12      = 833333
+    //   α=1/8:  A 3,     B 1   → head   3e6 DIV 4       = 750000
+    // (A at 1/8 is ⌊√10⌋ = 3 — the nested-floor identity ⌊√⌊√x⌋⌋,
+    // not round(10000^0.125) = 3.16 → 3; B's ⌊√2⌋ = 1.)
+    val docs = Seq(("A", 10000L), ("B", 16L)).toDF("source", "n_chars")
+    val got = Sampling.temperatureSweep(docs)
+      .orderBy(col("alpha_q3").desc, col("source"))
+      .as[(Long, String, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1000L, "A", 10000L, 10000L, 998402L, 998402L),
+      (1000L, "B", 16L, 16L, 1597L, 998402L),
+      (500L, "A", 10000L, 100L, 961538L, 961538L),
+      (500L, "B", 16L, 4L, 38461L, 961538L),
+      (250L, "A", 10000L, 10L, 833333L, 833333L),
+      (250L, "B", 16L, 2L, 166666L, 833333L),
+      (125L, "A", 10000L, 3L, 750000L, 750000L),
+      (125L, "B", 16L, 1L, 250000L, 750000L)))
+    // the curve a curator reads: dominance falls as α drops
+    val heads = got.map(r => r._1 -> r._6).distinct.sortBy(-_._1).map(_._2)
+    assert(heads == heads.sorted.reverse && heads.distinct == heads)
+    // off-grid α rejected loudly (only halvings are exactly computable)
+    assertThrows[IllegalArgumentException] {
+      Sampling.temperatureSweep(docs, alphasQ3 = Seq(333L))
+    }
+  }
 }
