@@ -6225,6 +6225,9 @@ object Oracles {
     "q288_lang_mix" -> q288LangMix,
     "q289_temperature_mixture" -> q289TemperatureMixture,
     "q326_temperature_sweep" -> q326TemperatureSweep,
+    // q327 = q326's cells built by the streaming state store (the
+    // q280 discipline — one relational truth, two engine paths)
+    "q327_stream_temperature_sweep" -> q326TemperatureSweep,
     "q291_ann_recall" -> q291AnnRecall,
     "q292_stationary" -> q292Stationary,
     "q294_pinball_loss" -> q294PinballLoss,

@@ -3608,6 +3608,20 @@ object SparkEntry {
       Sampling.temperatureSweep(documents(s, dir))
         .orderBy(col("alpha_q3").desc, col("source"))),
 
+    // ---- streaming tier: temperature-sweep twin (NEW r16) ----
+    // q326's α-grid read off cells built by the streaming engine (the
+    // q280 state-store path — the live ingest monitor a curator reads
+    // the flattening curve from); shared FromCells readout, oracle is
+    // q326's SQL verbatim.
+    "q327_stream_temperature_sweep" -> ((s, dir) => {
+      val cells = EventStreams.runOnceOnParquet(s,
+        s"$dir/documents.parquet",
+        df => Sampling.domainTokenCells(df),
+        s"tsweep_sink_${System.nanoTime()}")
+      Sampling.temperatureSweepFromCells(cells)
+        .orderBy(col("alpha_q3").desc, col("source"))
+    }),
+
     // ---- preference tier: rating confidence (NEW r16) ----
     // The ±CI next to q310's score: asymptotic Fisher information of
     // each item's log-rating at the fitted ratings (exact Q12 cells)

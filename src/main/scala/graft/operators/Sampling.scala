@@ -228,15 +228,25 @@ object Sampling {
   def temperatureSweep(docs: DataFrame,
       alphasQ3: Seq[Long] = Seq(1000L, 500L, 250L, 125L),
       domainCol: String = "source", tokenCol: String = "n_chars")
-      : DataFrame = {
+      : DataFrame =
+    temperatureSweepFromCells(domainTokenCells(docs, domainCol, tokenCol),
+      alphasQ3, domainCol)
+
+  /** Readout of [[temperatureSweep]] over prebuilt [[domainTokenCells]]
+    * output — exposed separately (the calibrationCells discipline) so
+    * the streaming engine's cell builder (the q280 state-store path)
+    * shares the batch readout + oracle.
+    */
+  def temperatureSweepFromCells(cellsIn: DataFrame,
+      alphasQ3: Seq[Long] = Seq(1000L, 500L, 250L, 125L),
+      domainCol: String = "source"): DataFrame = {
     val grid = Set(1000L, 500L, 250L, 125L)
     require(alphasQ3.nonEmpty && alphasQ3.forall(grid.contains),
       s"temperatureSweep's exact grid is $grid (iterated floor-isqrt " +
         "halvings); got " + alphasQ3)
     import graft.plans.GraftExtensions.isqrtNative
     val dec = "DECIMAL(38,0)"
-    val cells = Dedup.materialize(
-      domainTokenCells(docs, domainCol, tokenCol)
+    val cells = Dedup.materialize(cellsIn
         .withColumn("_w1000", col("toks"))
         .withColumn("_w500", isqrtNative(col("toks")))
         .withColumn("_w250", isqrtNative(isqrtNative(col("toks"))))
