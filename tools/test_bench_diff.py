@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Self-test for bench_diff.py — pins the classification semantics the
+round-over-round gate rides on, against synthesized records:
+
+  1. a genuine plan regression (median AND min AND normalized ratio
+     all above threshold, clean ticks) must read PLAN and gate (exit 1)
+  2. the same median inflation during a tick-visible load window
+     (mt ticks elevated exactly around the query) must read LOAD?
+     and NOT gate
+  3. a query that passed before and fails now must gate
+  4. mixed fidelity (old env-only, new interleaved) must fall back to
+     the single-thread key and label each record's fidelity separately
+  5. flagged queries print tickdist for both records
+
+Run: python3 tools/test_bench_diff.py   (exits 0 iff all pass)
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+DIFF = os.path.join(HERE, "bench_diff.py")
+
+
+def rec(queries, qmin, qt, ticks, env=None):
+    return {
+        "metric": "total", "value": sum(queries.values()), "unit": "sec",
+        "queries": queries, "queries_min": qmin, "queries_t": qt,
+        "calib_ticks": ticks,
+        "env": env or {"calib_mt_ms_pre": 400, "calib_mt_ms_post": 400,
+                       "calib_ms_pre": 340, "calib_ms_post": 340},
+    }
+
+
+def run(old, new):
+    with tempfile.TemporaryDirectory() as d:
+        po, pn = os.path.join(d, "o.json"), os.path.join(d, "n.json")
+        json.dump(old, open(po, "w"))
+        json.dump(new, open(pn, "w"))
+        p = subprocess.run([sys.executable, DIFF, po, pn],
+                           capture_output=True, text=True)
+        return p.returncode, p.stdout
+
+
+def flat_ticks(ms, mt, ts=(0, 10, 20, 30)):
+    return [{"done": i, "t": t, "ms": ms, "mt_ms": mt}
+            for i, t in enumerate(ts)]
+
+
+def main():
+    failures = []
+
+    def check(name, cond, detail=""):
+        if not cond:
+            failures.append(f"{name}: {detail}")
+
+    # 1. true plan regression: clean ticks both sides, min moved too
+    old = rec({"q1": 1.0, "q2": 0.5}, {"q1": 0.9, "q2": 0.45},
+              {"q1": 5.0, "q2": 15.0}, flat_ticks(340, 400))
+    new = rec({"q1": 3.0, "q2": 0.5}, {"q1": 2.8, "q2": 0.45},
+              {"q1": 5.0, "q2": 15.0}, flat_ticks(340, 400))
+    rc, out = run(old, new)
+    check("plan-regression gates", rc == 1, f"rc={rc}")
+    check("plan-regression labeled", "PLAN REGRESSION" in out and "q1" in out, out)
+
+    # 2. same inflation but the new record's ticks are elevated around
+    #    the query's window -> normalized ratio ~1 -> LOAD?, no gate
+    loaded = [{"done": 0, "t": 0, "ms": 340, "mt_ms": 400},
+              {"done": 1, "t": 4, "ms": 340, "mt_ms": 1200},
+              {"done": 2, "t": 12, "ms": 340, "mt_ms": 1200},
+              {"done": 3, "t": 30, "ms": 340, "mt_ms": 400}]
+    new2 = rec({"q1": 3.0, "q2": 0.5}, {"q1": 2.8, "q2": 0.45},
+               {"q1": 5.0, "q2": 15.0}, loaded)
+    rc, out = run(old, new2)
+    check("load window not gated", rc == 0, f"rc={rc}\n{out}")
+    check("load window labeled", "LOAD?" in out and "PLAN" not in out, out)
+
+    # 3. now-failing query gates
+    new3 = rec({"q1": 1.0, "q2": -1.0}, {"q1": 0.9, "q2": -1.0},
+               {"q1": 5.0, "q2": 15.0}, flat_ticks(340, 400))
+    rc, out = run(old, new3)
+    check("now-failing gates", rc == 1 and "NOW FAILING" in out, out)
+
+    # 4. mixed fidelity: old has env only -> ms key, per-record labels
+    old_env = rec({"q1": 1.0}, {"q1": 0.9}, {"q1": 5.0}, [])
+    new_fine = rec({"q1": 1.0}, {"q1": 0.9}, {"q1": 5.0},
+                   flat_ticks(340, 400))
+    rc, out = run(old_env, new_fine)
+    check("mixed fidelity labels", "whole-run env level" in out
+          and "interleaved" in out, out)
+    check("mixed fidelity key is ms", "ms ticks" in out and
+          "mt_ms ticks" not in out, out)
+
+    # 5. tickdist printed for flagged rows
+    rc, out = run(old, new)
+    check("tickdist printed", "tickdist[" in out, out)
+
+    if failures:
+        print("FAIL\n" + "\n".join(failures))
+        sys.exit(1)
+    print("bench_diff self-test: 5 checks OK")
+
+
+if __name__ == "__main__":
+    main()
