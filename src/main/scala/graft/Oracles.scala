@@ -6100,6 +6100,42 @@ object Oracles {
        |FROM pj JOIN _isq i ON i.id = pj.judge
        |ORDER BY judge""".stripMargin
 
+  /** q328: `Validation.joinSkewPreflight` — per-key multiplicity
+    * cells on both sides, exact pair products, ROW_NUMBER top-k by
+    * (pairs DESC, key ASC) (= the native bounded top-k's total
+    * order), totals + Q6 skew factor cross-joined.
+    */
+  def q328JoinSkewPreflight: String =
+    """WITH cl AS (SELECT CAST(l_partkey AS BIGINT) AS key,
+      |    COUNT(*) AS n_left
+      |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+      |cr AS (SELECT CAST(l_partkey AS BIGINT) AS key,
+      |    COUNT(*) AS n_right
+      |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+      |cells AS (SELECT cl.key, cl.n_left, cr.n_right,
+      |    CAST(cl.n_left AS HUGEINT) * cr.n_right AS n_pairs
+      |  FROM cl JOIN cr USING (key)),
+      |tot AS (SELECT SUM(n_pairs) AS total_pairs,
+      |    COUNT(*)::BIGINT AS n_keys, MAX(n_pairs) AS maxp FROM cells),
+      |tk AS (SELECT key, n_left, n_right, n_pairs,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_pairs DESC, key) AS BIGINT)
+      |      AS rank
+      |  FROM cells)
+      |SELECT tk.rank, tk.key,
+      |  CAST(tk.n_left AS BIGINT) AS n_left,
+      |  CAST(tk.n_right AS BIGINT) AS n_right,
+      |  CAST(tk.n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(CASE WHEN tot.total_pairs > 0 THEN
+      |    (tk.n_pairs * 1000000) // tot.total_pairs END AS BIGINT)
+      |    AS pair_share_q6,
+      |  CAST(tot.total_pairs AS BIGINT) AS total_pairs,
+      |  tot.n_keys,
+      |  CAST(CASE WHEN tot.total_pairs > 0 THEN
+      |    (tot.maxp * tot.n_keys * 1000000) // tot.total_pairs
+      |    END AS BIGINT) AS skew_q6
+      |FROM tk CROSS JOIN tot WHERE tk.rank <= 10
+      |ORDER BY rank""".stripMargin
+
   /** q313: `Sketches.dyadicHistogram` over per-doc whitespace token
     * counts — the q241 octave/cell replay on the q79 token convention
     * (zero-token docs drop, as the sketch's >0 domain requires).
@@ -6228,6 +6264,7 @@ object Oracles {
     // q327 = q326's cells built by the streaming state store (the
     // q280 discipline — one relational truth, two engine paths)
     "q327_stream_temperature_sweep" -> q326TemperatureSweep,
+    "q328_join_skew_preflight" -> q328JoinSkewPreflight,
     "q291_ann_recall" -> q291AnnRecall,
     "q292_stationary" -> q292Stationary,
     "q294_pinball_loss" -> q294PinballLoss,

@@ -3608,6 +3608,20 @@ object SparkEntry {
       Sampling.temperatureSweep(documents(s, dir))
         .orderBy(col("alpha_q3").desc, col("source"))),
 
+    // ---- ops tier: join-skew preflight (NEW r16) ----
+    // "Will this join explode, and on which keys" — the EXACT per-key
+    // pair table a pipeline reads before a big equi-join (the q178/
+    // q208 clone-saturation class this predicts): per-key left/right
+    // multiplicities collapse map-side, top-k keys by pair product
+    // via the bounded native aggregate, total output size + Q6 skew
+    // factor broadcast on every row. Complements q161's one-pass CMS
+    // estimate with exact per-key attribution.
+    "q328_join_skew_preflight" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      Validation.joinSkewPreflight(li, li, "l_partkey", k = 10)
+        .orderBy("rank")
+    }),
+
     // ---- streaming tier: temperature-sweep twin (NEW r16) ----
     // q326's α-grid read off cells built by the streaming engine (the
     // q280 state-store path — the live ingest monitor a curator reads

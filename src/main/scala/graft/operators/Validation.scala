@@ -371,4 +371,68 @@ object Validation {
           " AS BIGINT)")))
       .select(col("status"), col("n_rows"), col("share_q6"))
   }
+
+  /** Join-skew preflight — the EXACT pre-flight a pipeline runs before
+    * a big equi-join ("will this explode, and on which keys"): per
+    * join key the left/right multiplicities and their PRODUCT (the
+    * join's exact per-key output rows — the number that blows up on
+    * clone-saturated or hot keys, the q178/q208 class this table
+    * predicts), the top-k keys by that product, the join's exact
+    * total output size, and the skew factor (max per-key pairs ×
+    * |matched keys| / total pairs, Q6 — 10⁶ = perfectly uniform; the
+    * salting decision reads directly off it). Complements q161's
+    * CMS ESTIMATE with the exact table: the estimate costs one pass
+    * and no shuffle, this costs the partial-agg'd key collapse and
+    * returns per-key attribution.
+    *
+    * Output: one row per top-k matched key (rank, key, n_left,
+    * n_right, n_pairs, pair_share_q6) with the broadcast scalars
+    * (total_pairs, n_keys, skew_q6) on every row.
+    *
+    * Scale shape: each side collapses map-side to per-key counts
+    * (partial agg on the join key — the shuffle moves |keys| rows,
+    * never the tables); the count-cell join shuffles only those
+    * cells; the top-k is the bounded native aggregate; scalars are
+    * 1-row crossJoins. Nothing corpus-sized leaves the executors.
+    */
+  def joinSkewPreflight(left: DataFrame, right: DataFrame,
+      keyCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, "joinSkewPreflight needs k >= 1")
+    // integral keys only (the native top-k carries BIGINT ids); pair
+    // counts ride the selection as double — exact to 2^53 per key,
+    // far past any per-key multiplicity a survivable join has
+    val cl = left.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("long").as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val cr = right.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("long").as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val cells = Dedup.materialize(cl.join(cr, Seq("key"))
+      .withColumn("n_pairs", expr(
+        "CAST(CAST(n_left AS DECIMAL(38,0)) * n_right AS DECIMAL(38,0))")))
+    val tot = cells.agg(
+      coalesce(sum("n_pairs"), lit(0).cast("decimal(38,0)"))
+        .as("total_pairs"),
+      count(lit(1)).as("n_keys"),
+      coalesce(max("n_pairs"), lit(0).cast("decimal(38,0)"))
+        .as("_maxp"))
+    // rank = position in the (n_pairs DESC, key ASC) bounded top-k array
+    val topk = cells.agg(graft.plans.GraftExtensions.topKNative(
+        col("n_pairs").cast("double"), col("key"), k).as("_t"))
+      .select(posexplode(col("_t")).as(Seq("_pos", "p")))
+      .select((col("_pos") + 1).cast("long").as("rank"),
+        col("p.id").as("key"))
+    topk.join(cells, Seq("key"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pair_share_q6", when(col("total_pairs") > 0, expr(
+        "CAST((n_pairs * 1000000) DIV total_pairs AS BIGINT)")))
+      .withColumn("skew_q6", when(col("total_pairs") > 0, expr(
+        "CAST((_maxp * n_keys * 1000000) DIV total_pairs AS BIGINT)")))
+      .select(col("rank"), col("key"),
+        col("n_left"), col("n_right"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("pair_share_q6"),
+        col("total_pairs").cast("long").as("total_pairs"),
+        col("n_keys"), col("skew_q6"))
+  }
 }

@@ -3375,4 +3375,29 @@ class OperatorsSpec extends SparkSpec {
       ("g", 4L, 5L, None, 1L, 1L, Some(1000000000L)),
       ("h", 9L, 9L, Some(8L), 2L, 1L, Some(500000000L))))
   }
+
+  test("joinSkewPreflight: exact pair products, top-k order, skew factor by hand") {
+    import graft.operators.Validation
+    // left: key 1 x3, key 2 x1, key 3 x2, key 4 x1 (no right match)
+    // right: key 1 x4, key 2 x2, key 3 x1, key 9 x5 (no left match)
+    // matched cells: 1 -> 3*4=12, 2 -> 1*2=2, 3 -> 2*1=2
+    // total = 16, n_keys = 3, max = 12, skew = 12*3*1e6 DIV 16 = 2250000
+    // top-k order (pairs DESC, key ASC): 1, 2, 3 (tie 2=2 by key)
+    val left = Seq(1L,1L,1L,2L,3L,3L,4L).map(k => (k, "x")).toDF("k", "v")
+    val right = Seq(1L,1L,1L,1L,2L,2L,3L,9L,9L,9L,9L,9L)
+      .map(k => (k, "y")).toDF("k", "v")
+    val got = Validation.joinSkewPreflight(left, right, "k", k = 10)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(got == List(
+      (1L, 1L, 3L, 4L, 12L, 750000L, 16L, 3L, 2250000L),
+      (2L, 2L, 1L, 2L, 2L, 125000L, 16L, 3L, 2250000L),
+      (3L, 3L, 2L, 1L, 2L, 125000L, 16L, 3L, 2250000L)))
+    // k smaller than matched keys: bounded output, same leading order
+    val top1 = Validation.joinSkewPreflight(left, right, "k", k = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(top1 == got.take(1))
+  }
 }
