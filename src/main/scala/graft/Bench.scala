@@ -124,7 +124,8 @@ object Bench {
     "q323_judge_bias",      // leave-one-out consensus agreement + Wilson (NEW r16)
     "q325_bt_confidence",   // BT Fisher info + isqrt se over the game cells (NEW r16, post-record)
     "q326_temperature_sweep", // iterated-isqrt α grid over the mixture cells (NEW r16, post-record)
-    "q328_join_skew_preflight") // exact per-key pair products + skew factor (NEW r16, post-record)
+    "q328_join_skew_preflight", // exact per-key pair products + skew factor (NEW r16, post-record)
+    "q329_split_leakage")   // exact-dup groups straddling xval folds (NEW r16, post-record)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine

@@ -6100,6 +6100,39 @@ object Oracles {
        |FROM pj JOIN _isq i ON i.id = pj.judge
        |ORDER BY judge""".stripMargin
 
+  /** q329: `Xval.leakageAudit` — md5Kfold replay (first 8 md5 hex
+    * digits of the id's string form, UBIGINT mod k — the q83 idiom),
+    * (digest, fold, n) cells, straddle self-join on the digest with
+    * fold_a < fold_b, exact cross-fold pair products, panel scalars
+    * cross-joined.
+    */
+  def q329SplitLeakage: String =
+    """WITH f0 AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+      |  WHERE doc_id < 200),
+      |f AS (SELECT doc_id, text,
+      |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |      AS UBIGINT) % 4 AS BIGINT) AS fold
+      |  FROM f0 WHERE text IS NOT NULL),
+      |cells AS (SELECT md5(text) AS dg, fold, COUNT(*) AS n
+      |  FROM f GROUP BY 1, 2),
+      |g AS (SELECT dg, COUNT(DISTINCT fold) AS nf FROM cells GROUP BY 1),
+      |tot AS (SELECT COUNT(*)::BIGINT AS total_groups,
+      |    COALESCE(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+      |      AS n_multi FROM g),
+      |p AS (SELECT a.fold AS fold_a, b.fold AS fold_b,
+      |    COUNT(*)::BIGINT AS n_leaky_groups,
+      |    SUM(CAST(a.n AS HUGEINT) * b.n) AS lp
+      |  FROM cells a JOIN cells b ON a.dg = b.dg AND a.fold < b.fold
+      |  GROUP BY 1, 2)
+      |SELECT p.fold_a, p.fold_b, p.n_leaky_groups,
+      |  CAST(p.lp AS BIGINT) AS n_leaky_pairs,
+      |  tot.total_groups, tot.n_multi AS n_multi_fold_groups,
+      |  CAST(CASE WHEN tot.total_groups > 0 THEN
+      |    (CAST(tot.n_multi AS HUGEINT) * 1000000) // tot.total_groups
+      |    END AS BIGINT) AS leak_share_q6
+      |FROM p CROSS JOIN tot ORDER BY fold_a, fold_b""".stripMargin
+
   /** q328: `Validation.joinSkewPreflight` — per-key multiplicity
     * cells on both sides, exact pair products, ROW_NUMBER top-k by
     * (pairs DESC, key ASC) (= the native bounded top-k's total
@@ -6265,6 +6298,7 @@ object Oracles {
     // q280 discipline — one relational truth, two engine paths)
     "q327_stream_temperature_sweep" -> q326TemperatureSweep,
     "q328_join_skew_preflight" -> q328JoinSkewPreflight,
+    "q329_split_leakage" -> q329SplitLeakage,
     "q291_ann_recall" -> q291AnnRecall,
     "q292_stationary" -> q292Stationary,
     "q294_pinball_loss" -> q294PinballLoss,

@@ -3608,6 +3608,22 @@ object SparkEntry {
       Sampling.temperatureSweep(documents(s, dir))
         .orderBy(col("alpha_q3").desc, col("source"))),
 
+    // ---- ops tier: split-leakage audit (NEW r16) ----
+    // The xval × dedup composition: exact-dup digest groups straddling
+    // md5Kfold folds — every one leaks train into validation and
+    // silently inflates per-fold metrics. Per leaking fold pair the
+    // groups + exact cross-fold member pairs; panel-wide the Q6 share
+    // of digests that straddle at all. folds = 4, the q83 universe.
+    // Corpus mirror-augmented with exact clones under NEW ids (the
+    // q307/q320 pattern — the raw synthetic corpus has no exact dups):
+    // same text, different fold key = precisely the hazard audited.
+    "q329_split_leakage" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val aug = d.unionByName(d.filter(col("doc_id") < 200)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Xval.leakageAudit(aug, folds = 4).orderBy("fold_a", "fold_b")
+    }),
+
     // ---- ops tier: join-skew preflight (NEW r16) ----
     // "Will this join explode, and on which keys" — the EXACT per-key
     // pair table a pipeline reads before a big equi-join (the q178/

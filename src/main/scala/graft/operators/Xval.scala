@@ -155,6 +155,61 @@ object Xval {
       (conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10).cast("long")
         % folds).cast("int"))
 
+  /** Split-leakage audit — the hygiene check the xval and dedup tiers
+    * compose into: EXACT duplicate groups (content digest) whose
+    * members land in more than one [[md5Kfold]] fold. Every such
+    * group leaks its answer from train into validation — per-fold
+    * metrics computed on those folds are optimistic by construction,
+    * the classic silent inflation a dedup-unaware split ships. Per
+    * straddling fold pair: the groups and the exact cross-fold
+    * member-pair count (n_a·n_b per digest); panel-wide, the total
+    * digest count, how many straddle at all, and their Q6 share (the
+    * headline leak number). Fix is upstream: dedup BEFORE splitting,
+    * or fold on the digest instead of the id — this table is the
+    * evidence either way.
+    *
+    * Output: one row per leaking fold pair (fold_a < fold_b):
+    * (fold_a, fold_b, n_leaky_groups, n_leaky_pairs) with
+    * (total_groups, n_multi_fold_groups, leak_share_q6) broadcast on
+    * every row. No straddling groups → zero rows.
+    *
+    * Scale shape: one corpus scan collapses to (digest, fold, n)
+    * cells (partial-agg'd, 16-byte keys — the q20 shuffle); the
+    * straddle join is cells⋈cells on the digest (cell-sized, never
+    * the corpus); readouts are ≤C(folds,2) rows + 1-row scalars.
+    */
+  def leakageAudit(docs: DataFrame, folds: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(folds >= 2, "leakageAudit needs folds >= 2")
+    val cells = Dedup.materialize(
+      md5Kfold(docs.filter(col(textCol).isNotNull), folds, idCol)
+        .groupBy(md5(col(textCol)).as("_dg"), col("fold"))
+        .agg(count(lit(1)).as("_n")))
+    val groups = cells.groupBy("_dg")
+      .agg(countDistinct("fold").as("_nf"))
+    val tot = groups.agg(count(lit(1)).as("total_groups"),
+      coalesce(sum(when(col("_nf") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_multi_fold_groups"))
+    val a = cells.select(col("_dg"), col("fold").as("fold_a"),
+      col("_n").as("_na"))
+    val b = cells.select(col("_dg"), col("fold").as("fold_b"),
+      col("_n").as("_nb"))
+    a.join(b, Seq("_dg")).filter(col("fold_a") < col("fold_b"))
+      .groupBy("fold_a", "fold_b")
+      .agg(count(lit(1)).as("n_leaky_groups"),
+        sum(expr("CAST(_na AS DECIMAL(38,0)) * _nb")).as("_lp"))
+      .crossJoin(broadcast(tot))
+      .withColumn("leak_share_q6", when(col("total_groups") > 0, expr(
+        "CAST((CAST(n_multi_fold_groups AS DECIMAL(38,0)) * 1000000)" +
+          " DIV total_groups AS BIGINT)")))
+      .select(col("fold_a").cast("long").as("fold_a"),
+        col("fold_b").cast("long").as("fold_b"),
+        col("n_leaky_groups"),
+        col("_lp").cast("long").as("n_leaky_pairs"),
+        col("total_groups"), col("n_multi_fold_groups"),
+        col("leak_share_q6"))
+  }
+
   /** Single random train/val/test split (reference `random_split`,
     * xval.py:142-161): seeded, proportions normalized.
     */

@@ -3400,4 +3400,40 @@ class OperatorsSpec extends SparkSpec {
       .collect().toList
     assert(top1 == got.take(1))
   }
+
+  test("leakageAudit: straddling clone groups counted against an independent md5 fold replay") {
+    import graft.operators.Xval
+    // every text cloned once under a shifted id; fold assignment
+    // recomputed HERE with java.security MessageDigest (independent of
+    // the engine's conv/md5 path) to derive the expected counts
+    val n = 40
+    val docs = (0L until n).map(i => (i, s"text body $i")) ++
+      (0L until n).map(i => (i + 1000L, s"text body $i"))
+    val df = docs.toDF("doc_id", "text")
+    def fold(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(8), 16) % 4).toInt
+    }
+    val expectedPairs = (0L until n)
+      .map(i => (fold(i) min fold(i + 1000L), fold(i) max fold(i + 1000L)))
+      .filter(p => p._1 != p._2)
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val nMulti = expectedPairs.values.sum // 1 clone pair per digest
+    val got = Xval.leakageAudit(df, folds = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    val gotPairs = got.map(r => (r._1.toInt, r._2.toInt) -> r._3).toMap
+    assert(gotPairs == expectedPairs, s"fold-pair groups: $gotPairs vs $expectedPairs")
+    // 2-member groups: cross-fold pair count == group count per fold pair
+    got.foreach(r => assert(r._3 == r._4))
+    got.foreach { r =>
+      assert(r._5 == n) // total digests = distinct texts
+      assert(r._6 == nMulti)
+      assert(r._7 == nMulti * 1000000L / n)
+    }
+    // a dedup'd (clone-free) corpus reports NO leakage at all
+    val clean = (0L until n).map(i => (i, s"text body $i")).toDF("doc_id", "text")
+    assert(Xval.leakageAudit(clean, folds = 4).count() == 0L)
+  }
 }
