@@ -6133,6 +6133,130 @@ object Oracles {
       |    END AS BIGINT) AS leak_share_q6
       |FROM p CROSS JOIN tot ORDER BY fold_a, fold_b""".stripMargin
 
+  /** q330: `Xval.nearDupLeakageAudit` — the q56/q320 candidate graph
+    * + recursive-CTE closure over the mirror+clone-augmented corpus,
+    * digest→cluster map through each digest's min-id rep, exact
+    * md5Kfold fold replay, (cluster, fold, n) cells with exact-copy
+    * expansion, straddle self-join with fold_a < fold_b, panel
+    * scalars cross-joined (the q329 shape at the cluster tier).
+    */
+  def q330NearDupSplitLeakage: String =
+    s"""WITH RECURSIVE
+       |  aug AS (SELECT doc_id, text FROM documents
+       |          UNION ALL
+       |          SELECT doc_id + 1000000, text || ' via mirror feed'
+       |          FROM documents WHERE doc_id < 50
+       |          UNION ALL
+       |          SELECT doc_id + 2000000, text
+       |          FROM documents WHERE doc_id < 25),
+       |${minhashCandCtes(0.5, num = 32, rpb = 4, k = 5, docsRel = "aug")},
+       |  edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM cand
+       |            UNION SELECT id_b, id_a FROM cand),
+       |  reach(s, d) AS (SELECT s, d FROM edges
+       |                  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |  minr AS (SELECT s AS id, least(s, min(d)) AS cid FROM reach GROUP BY s),
+       |  repdg AS (SELECT md5(text) AS dg, min(doc_id) AS rid
+       |    FROM aug WHERE text IS NOT NULL GROUP BY 1),
+       |  dgc AS (SELECT r.dg, m.cid FROM repdg r JOIN minr m ON m.id = r.rid),
+       |  f AS (SELECT doc_id, md5(text) AS dg,
+       |      CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |        AS UBIGINT) % 4 AS BIGINT) AS fold
+       |    FROM aug WHERE text IS NOT NULL),
+       |  cells0 AS (SELECT dg, fold, COUNT(*) AS n FROM f GROUP BY 1, 2),
+       |  cells AS (SELECT g.cid, c.fold, SUM(c.n) AS n
+       |    FROM cells0 c JOIN dgc g ON g.dg = c.dg GROUP BY 1, 2),
+       |  grp AS (SELECT cid, COUNT(DISTINCT fold) AS nf FROM cells GROUP BY 1),
+       |  tot AS (SELECT COUNT(*)::BIGINT AS total_clusters,
+       |      COALESCE(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+       |        AS n_multi FROM grp),
+       |  p AS (SELECT a.fold AS fold_a, b.fold AS fold_b,
+       |      COUNT(*)::BIGINT AS n_leaky_clusters,
+       |      SUM(CAST(a.n AS HUGEINT) * b.n) AS lp
+       |    FROM cells a JOIN cells b ON a.cid = b.cid AND a.fold < b.fold
+       |    GROUP BY 1, 2)
+       |SELECT p.fold_a, p.fold_b, p.n_leaky_clusters,
+       |  CAST(p.lp AS BIGINT) AS n_leaky_pairs,
+       |  tot.total_clusters, tot.n_multi AS n_multi_fold_clusters,
+       |  CAST(CASE WHEN tot.total_clusters > 0 THEN
+       |    (CAST(tot.n_multi AS HUGEINT) * 1000000) // tot.total_clusters
+       |    END AS BIGINT) AS leak_share_q6
+       |FROM p CROSS JOIN tot ORDER BY fold_a, fold_b""".stripMargin
+
+  /** q331: `Xval.dedupAwareKfold` + `leakageAuditOn` — fold = first 8
+    * md5 hex of the TEXT mod 4 (the md5Kfold idiom keyed on content),
+    * per-fold doc/group histogram, and the exact audit's row count
+    * (leaking fold pairs — ZERO by construction) cross-joined.
+    */
+  def q331DedupAwareKfold: String =
+    """WITH f0 AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+      |  WHERE doc_id < 200),
+      |f AS (SELECT doc_id, text,
+      |    CAST(CAST('0x' || substr(md5(text), 1, 8)
+      |      AS UBIGINT) % 4 AS BIGINT) AS fold
+      |  FROM f0 WHERE text IS NOT NULL),
+      |hist AS (SELECT fold, COUNT(*)::BIGINT AS n_docs,
+      |    COUNT(DISTINCT md5(text))::BIGINT AS n_groups
+      |  FROM f GROUP BY 1),
+      |cells AS (SELECT md5(text) AS dg, fold, COUNT(*) AS n
+      |  FROM f GROUP BY 1, 2),
+      |leaks AS (SELECT COUNT(*)::BIGINT AS n_leaks FROM (
+      |    SELECT a.fold AS fa, b.fold AS fb FROM cells a
+      |    JOIN cells b ON a.dg = b.dg AND a.fold < b.fold
+      |    GROUP BY 1, 2) q)
+      |SELECT hist.fold, hist.n_docs, hist.n_groups, leaks.n_leaks
+      |FROM hist CROSS JOIN leaks ORDER BY fold""".stripMargin
+
+  /** q332: `Xval.nearDupAwareKfold` + both audits — group key =
+    * 'c#'||cluster of the digest's rep (closure replay) else
+    * 'd#'||digest, fold = first 8 md5 hex of the group key mod 4;
+    * per-fold histogram with the near-dup AND exact audit row counts
+    * (both ZERO by construction) cross-joined.
+    */
+  def q332NearDupAwareKfold: String =
+    s"""WITH RECURSIVE
+       |  aug AS (SELECT doc_id, text FROM documents
+       |          UNION ALL
+       |          SELECT doc_id + 1000000, text || ' via mirror feed'
+       |          FROM documents WHERE doc_id < 50
+       |          UNION ALL
+       |          SELECT doc_id + 2000000, text
+       |          FROM documents WHERE doc_id < 25),
+       |${minhashCandCtes(0.5, num = 32, rpb = 4, k = 5, docsRel = "aug")},
+       |  edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM cand
+       |            UNION SELECT id_b, id_a FROM cand),
+       |  reach(s, d) AS (SELECT s, d FROM edges
+       |                  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |  minr AS (SELECT s AS id, least(s, min(d)) AS cid FROM reach GROUP BY s),
+       |  repdg AS (SELECT md5(text) AS dg, min(doc_id) AS rid
+       |    FROM aug WHERE text IS NOT NULL GROUP BY 1),
+       |  gk AS (SELECT r.dg,
+       |      COALESCE('c#' || CAST(m.cid AS VARCHAR), 'd#' || r.dg) AS gkey
+       |    FROM repdg r LEFT JOIN minr m ON m.id = r.rid),
+       |  f AS (SELECT a.doc_id, md5(a.text) AS dg,
+       |      CAST(CAST('0x' || substr(md5(g.gkey), 1, 8)
+       |        AS UBIGINT) % 4 AS BIGINT) AS fold
+       |    FROM aug a JOIN gk g ON g.dg = md5(a.text)
+       |    WHERE a.text IS NOT NULL),
+       |  hist AS (SELECT fold, COUNT(*)::BIGINT AS n_docs,
+       |      COUNT(DISTINCT dg)::BIGINT AS n_groups FROM f GROUP BY 1),
+       |  ecells AS (SELECT dg, fold, COUNT(*) AS n FROM f GROUP BY 1, 2),
+       |  eleaks AS (SELECT COUNT(*)::BIGINT AS n_exact_leaks FROM (
+       |      SELECT a.fold AS fa, b.fold AS fb FROM ecells a
+       |      JOIN ecells b ON a.dg = b.dg AND a.fold < b.fold
+       |      GROUP BY 1, 2) q1),
+       |  dgc AS (SELECT r.dg, m.cid FROM repdg r JOIN minr m ON m.id = r.rid),
+       |  ncells AS (SELECT g.cid, e.fold, SUM(e.n) AS n
+       |    FROM ecells e JOIN dgc g ON g.dg = e.dg GROUP BY 1, 2),
+       |  nleaks AS (SELECT COUNT(*)::BIGINT AS n_neardup_leaks FROM (
+       |      SELECT a.fold AS fa, b.fold AS fb FROM ncells a
+       |      JOIN ncells b ON a.cid = b.cid AND a.fold < b.fold
+       |      GROUP BY 1, 2) q2)
+       |SELECT hist.fold, hist.n_docs, hist.n_groups,
+       |  nleaks.n_neardup_leaks, eleaks.n_exact_leaks
+       |FROM hist CROSS JOIN nleaks CROSS JOIN eleaks
+       |ORDER BY fold""".stripMargin
+
   /** q328: `Validation.joinSkewPreflight` — per-key multiplicity
     * cells on both sides, exact pair products, ROW_NUMBER top-k by
     * (pairs DESC, key ASC) (= the native bounded top-k's total
@@ -6299,6 +6423,9 @@ object Oracles {
     "q327_stream_temperature_sweep" -> q326TemperatureSweep,
     "q328_join_skew_preflight" -> q328JoinSkewPreflight,
     "q329_split_leakage" -> q329SplitLeakage,
+    "q330_neardup_split_leakage" -> q330NearDupSplitLeakage,
+    "q331_dedup_aware_kfold" -> q331DedupAwareKfold,
+    "q332_neardup_aware_kfold" -> q332NearDupAwareKfold,
     "q291_ann_recall" -> q291AnnRecall,
     "q292_stationary" -> q292Stationary,
     "q294_pinball_loss" -> q294PinballLoss,

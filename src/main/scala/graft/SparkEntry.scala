@@ -3244,10 +3244,11 @@ object SparkEntry {
         df => EventStreams.transitionPairsStream(s, df),
         s"trans_sink_${System.nanoTime()}",
         org.apache.spark.sql.streaming.OutputMode.Append())
+      // sticky-truncated contract: drop ever-capped users (see q317)
       val cells = emitted
         .withColumn("_mx", max("emit").over(
           Window.partitionBy("user_id")))
-        .filter(col("emit") === col("_mx"))
+        .filter(col("emit") === col("_mx") && !col("truncated"))
         .groupBy("src", "dst").agg(sum("n").as("n"))
       Analytics.transitionFromCells(cells, k = 3)
         .orderBy("src", "rank")
@@ -3624,6 +3625,78 @@ object SparkEntry {
       Xval.leakageAudit(aug, folds = 4).orderBy("fold_a", "fold_b")
     }),
 
+    // ---- ops tier: NEAR-DUP split-leakage audit (NEW r17) ----
+    // q329's real-world sibling: paraphrase/near-dup groups straddling
+    // folds — the contamination that actually inflates evals (an
+    // edited copy of a train doc scoring as held-out). The q56/q320
+    // cluster build composed with md5Kfold; membership expands through
+    // exact digests so CLONES of clustered docs count. Corpus
+    // augmented with near-dup mirrors (suffix-edited, q320 pattern)
+    // AND exact clones of some mirrored docs (+2e6 ids) — the clone
+    // lands in a third fold and must be counted via its digest's rep.
+    "q330_neardup_split_leakage" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val aug = d
+        .unionByName(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" via mirror feed")).as("text")))
+        .unionByName(d.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      Xval.nearDupLeakageAudit(aug, folds = 4, numHashes = 32,
+          rowsPerBand = 4, k = 5, threshold = 0.5)
+        .orderBy("fold_a", "fold_b")
+    }),
+
+    // ---- ops tier: dedup-aware k-fold, exact tier (NEW r17) ----
+    // The remedy q329's audit demands: fold on the CONTENT digest, so
+    // exact-dup groups land whole in one fold. Gate: the same
+    // leakageAuditOn that catches q329's straddle reads ZERO rows here
+    // (n_leaks cross-joined onto the fold histogram so the zero is
+    // hash-gated, not just asserted). Same augmented corpus as q329.
+    "q331_dedup_aware_kfold" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val aug = d.unionByName(d.filter(col("doc_id") < 200)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val split = Xval.dedupAwareKfold(
+        aug.filter(col("text").isNotNull), folds = 4)
+      val hist = split.groupBy(col("fold").cast("long").as("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_groups"))
+      hist.crossJoin(broadcast(Xval.leakageAuditOn(split)
+          .agg(count(lit(1)).as("n_leaks"))))
+        .orderBy("fold")
+    }),
+
+    // ---- ops tier: dedup-aware k-fold, near-dup tier (NEW r17) ----
+    // q330's remedy: fold on the near-dup cluster representative
+    // (c#<cluster> / d#<digest> group keys), so BOTH audits — exact
+    // digests and near-dup clusters, same LSH parameters — read ZERO
+    // rows over the split by construction; both zeros ride the output
+    // (hash-gated). Same augmented corpus as q330.
+    "q332_neardup_aware_kfold" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val aug = d
+        .unionByName(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" via mirror feed")).as("text")))
+        .unionByName(d.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .filter(col("text").isNotNull)
+      val split = Xval.nearDupAwareKfold(aug, folds = 4, numHashes = 32,
+        rowsPerBand = 4, k = 5, threshold = 0.5)
+      val hist = split.groupBy(col("fold").cast("long").as("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_groups"))
+      hist
+        .crossJoin(broadcast(
+          Xval.nearDupLeakageAuditOn(split, numHashes = 32,
+            rowsPerBand = 4, k = 5, threshold = 0.5)
+          .agg(count(lit(1)).as("n_neardup_leaks"))))
+        .crossJoin(broadcast(Xval.leakageAuditOn(split)
+          .agg(count(lit(1)).as("n_exact_leaks"))))
+        .orderBy("fold")
+    }),
+
     // ---- ops tier: join-skew preflight (NEW r16) ----
     // "Will this join explode, and on which keys" — the EXACT per-key
     // pair table a pipeline reads before a big equi-join (the q178/
@@ -3737,10 +3810,15 @@ object SparkEntry {
           df.filter(col("l_suppkey") <= 100)),
         s"win_sink_${System.nanoTime()}",
         org.apache.spark.sql.streaming.OutputMode.Append())
+      // the sticky `truncated` contract (r16 ADVICE): a capped order's
+      // counts diverge from batch truth, so the consumer DROPS the
+      // key (the flag is sticky, so the max-emit row carries the
+      // order's ever-truncated status) — never reads an undercount as
+      // final. No-op on this data (orders have ≤7 lines vs the cap).
       val wins = emitted
         .withColumn("_mx", max("emit").over(
           Window.partitionBy("l_orderkey")))
-        .filter(col("emit") === col("_mx"))
+        .filter(col("emit") === col("_mx") && !col("truncated"))
         .groupBy("winner", "loser").agg(sum("n").as("n"))
       Analytics.winRateMatrix(wins).orderBy("item_a", "item_b")
     }),
@@ -3819,10 +3897,11 @@ object SparkEntry {
           df.filter(col("l_suppkey") <= 100)),
         s"jbias_sink_${System.nanoTime()}",
         org.apache.spark.sql.streaming.OutputMode.Append())
+      // sticky-truncated contract: drop ever-capped orders (see q317)
       val wins = emitted
         .withColumn("_mx", max("emit").over(
           Window.partitionBy("l_orderkey")))
-        .filter(col("emit") === col("_mx"))
+        .filter(col("emit") === col("_mx") && !col("truncated"))
         .groupBy(pmod(col("l_orderkey"), lit(8)).as("judge"),
           col("winner"), col("loser"))
         .agg(sum("n").as("n"))

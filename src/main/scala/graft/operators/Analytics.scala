@@ -1617,9 +1617,17 @@ object Analytics {
       .groupBy("i", "j").agg(sum("n").as("g")))
 
   def bradleyTerryFromWins(wins: DataFrame, rounds: Int = 8)
+      : DataFrame =
+    btFit(wins, btGames(wins), rounds)
+
+  /** The MM fixed-point loop over prebuilt [[btGames]] cells — split
+    * out so [[bradleyTerryConfidence]] can fit the rating and run the
+    * Fisher-information pass over the SAME materialized games table
+    * (one build site, r16 verdict item: the cells were built twice).
+    */
+  private def btFit(wins: DataFrame, games: DataFrame, rounds: Int)
       : DataFrame = {
     require(rounds >= 1, "bradleyTerryFromWins needs rounds >= 1")
-    val games = btGames(wins)
     val items = Dedup.materialize(games.select("i").distinct())
     val nItems = items.count()
     require(nItems > 0, "bradleyTerryFromWins needs at least one game")
@@ -1678,10 +1686,12 @@ object Analytics {
       : DataFrame = {
     // win cells materialized ONCE: ratings (games + win totals) and
     // the info pass all re-read them; unboxed, each action would
-    // re-run the caller's contest build
+    // re-run the caller's contest build. The symmetric game cells are
+    // likewise built ONCE and shared between the rating fit and the
+    // information pass (btGames' one-build-site contract).
     val wcells = Dedup.materialize(wins)
-    val s = Dedup.materialize(bradleyTerryFromWins(wcells, rounds))
     val games = btGames(wcells)
+    val s = Dedup.materialize(btFit(wcells, games, rounds))
     val info = games
       .join(broadcast(s.select(col("item").as("i"),
         col("bt_q6").as("_si"))), Seq("i"))

@@ -398,8 +398,22 @@ object Validation {
   def joinSkewPreflight(left: DataFrame, right: DataFrame,
       keyCol: String, k: Int = 10): DataFrame = {
     require(k >= 1, "joinSkewPreflight needs k >= 1")
-    // integral keys only (the native top-k carries BIGINT ids); pair
-    // counts ride the selection as double — exact to 2^53 per key,
+    // integral keys only (the native top-k carries BIGINT ids) — and
+    // enforced loudly (r16 ADVICE): a silent cast would turn string
+    // keys into NULL groups that vanish from the cell equi-join and
+    // truncate-and-merge fractional doubles, so a misused preflight
+    // would read back "no skew" instead of failing. A safety tool
+    // must fail on misuse, not reassure.
+    Seq("left" -> left, "right" -> right).foreach { case (side, df) =>
+      val dt = df.schema(keyCol).dataType
+      val ok = dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType ||
+        dt == org.apache.spark.sql.types.ByteType
+      require(ok, s"joinSkewPreflight needs an integral join key; " +
+        s"$side('$keyCol') is $dt — hash or dictionary-encode it first")
+    }
+    // pair counts ride the selection as double — exact to 2^53 per key,
     // far past any per-key multiplicity a survivable join has
     val cl = left.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol).cast("long").as("key"))

@@ -181,8 +181,25 @@ object Xval {
   def leakageAudit(docs: DataFrame, folds: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(folds >= 2, "leakageAudit needs folds >= 2")
+    leakageAuditOn(
+      md5Kfold(docs.filter(col(textCol).isNotNull), folds, idCol), textCol)
+  }
+
+  /** Fold-agnostic [[leakageAudit]] (r16 verdict item): audits WHATEVER
+    * `fold` column the input carries — the FromCells discipline — so a
+    * pipeline that split with [[randomKfold]], [[groupKfold]],
+    * [[stratifiedKfold]] or a persisted external split can audit its
+    * ACTUAL folds instead of the md5Kfold convenience replay. Same
+    * output contract and scale shape as [[leakageAudit]], which is now
+    * the md5Kfold convenience overload over this core.
+    */
+  def leakageAuditOn(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    require(docs.columns.contains("fold"),
+      "leakageAuditOn needs a `fold` column — assign one with any " +
+        "Xval strategy (or use the leakageAudit(docs, folds) overload)")
     val cells = Dedup.materialize(
-      md5Kfold(docs.filter(col(textCol).isNotNull), folds, idCol)
+      docs.filter(col(textCol).isNotNull)
         .groupBy(md5(col(textCol)).as("_dg"), col("fold"))
         .agg(count(lit(1)).as("_n")))
     val groups = cells.groupBy("_dg")
@@ -208,6 +225,168 @@ object Xval {
         col("_lp").cast("long").as("n_leaky_pairs"),
         col("total_groups"), col("n_multi_fold_groups"),
         col("leak_share_q6"))
+  }
+
+  /** NEAR-DUP split-leakage audit — [[leakageAudit]]'s real-world
+    * sibling (r16 verdict item #1): exact-dup straddle is the easy
+    * case; the contamination that actually inflates evals at corpus
+    * scale is paraphrase/near-dup straddle (a lightly edited copy of a
+    * train document sitting in the validation fold scores as held-out
+    * while being memorizable). Composes the dedup tier's cluster
+    * machinery ([[Dedup.minhashCandidates]] → [[Dedup.clusterPairs]],
+    * the q56/q320 build) with the fold assignment exactly as
+    * [[leakageAuditOn]] composes content digests: per straddling fold
+    * pair the clusters and the exact cross-fold member-pair count,
+    * panel-wide the straddle share.
+    *
+    * Membership counts EXACT copies too: every corpus doc maps to its
+    * digest's representative (min id — [[Dedup.minhashCandidates]]'
+    * collapse-exact rule), and a digest whose rep is clustered carries
+    * all its copies into the cluster's per-fold counts — so a clone of
+    * a clustered doc in a third fold is counted, not lost to the exact
+    * collapse. Docs whose rep has no LSH candidate pair (singletons —
+    * ~the whole corpus, by LSH's point) carry no near-dup leak signal
+    * and are absent; their exact-dup straddle is [[leakageAuditOn]]'s
+    * job, and the two audits read zero rows together iff the split is
+    * dedup-clean at both tiers.
+    *
+    * Output: one row per leaking fold pair (fold_a < fold_b):
+    * (fold_a, fold_b, n_leaky_clusters, n_leaky_pairs) with
+    * (total_clusters, n_multi_fold_clusters, leak_share_q6) broadcast
+    * on every row; leak_share is over near-dup clusters (the at-risk
+    * population). No straddling clusters → zero rows.
+    *
+    * Scale shape: the LSH candidate build + pointer-doubled label
+    * propagation are the q56 cost (banded, skew-capped, never
+    * all-pairs); ONE corpus scan collapses to (digest, fold, n) cells;
+    * the digest→cluster map is label-table-sized (candidate pairs, not
+    * the corpus); cells⋈map and the straddle self-join are cell-sized;
+    * readouts are ≤C(folds,2) rows + 1-row scalars.
+    */
+  def nearDupLeakageAuditOn(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numHashes: Int = 32,
+      rowsPerBand: Int = 4, k: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    require(docs.columns.contains("fold"),
+      "nearDupLeakageAuditOn needs a `fold` column — assign one with " +
+        "any Xval strategy (or use the nearDupLeakageAudit overload)")
+    val base = docs.filter(col(textCol).isNotNull)
+    val cands = Dedup.minhashCandidates(
+      base.select(col(idCol), col(textCol)),
+      numHashes, rowsPerBand, k, threshold, idCol, textCol)
+    val labels = Dedup.clusterPairs(cands)
+    // digest → cluster of its representative (min id per digest — the
+    // same rep rule minhashCandidates' exact collapse used, so the
+    // join key set matches the label table's ids exactly)
+    val dgc = base
+      .groupBy(md5(col(textCol)).as("_dg"))
+      .agg(min(col(idCol)).as("_rid"))
+      .join(labels.select(col("id").as("_rid"), col("cluster_id")),
+        Seq("_rid"))
+      .select("_dg", "cluster_id")
+    val cells = Dedup.materialize(
+      base.groupBy(md5(col(textCol)).as("_dg"), col("fold"))
+        .agg(count(lit(1)).as("_n0"))
+        .join(dgc, Seq("_dg"))
+        .groupBy(col("cluster_id").as("_cid"), col("fold"))
+        .agg(sum("_n0").as("_n")))
+    val groups = cells.groupBy("_cid")
+      .agg(countDistinct("fold").as("_nf"))
+    val tot = groups.agg(count(lit(1)).as("total_clusters"),
+      coalesce(sum(when(col("_nf") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_multi_fold_clusters"))
+    val a = cells.select(col("_cid"), col("fold").as("fold_a"),
+      col("_n").as("_na"))
+    val b = cells.select(col("_cid"), col("fold").as("fold_b"),
+      col("_n").as("_nb"))
+    a.join(b, Seq("_cid")).filter(col("fold_a") < col("fold_b"))
+      .groupBy("fold_a", "fold_b")
+      .agg(count(lit(1)).as("n_leaky_clusters"),
+        sum(expr("CAST(_na AS DECIMAL(38,0)) * _nb")).as("_lp"))
+      .crossJoin(broadcast(tot))
+      .withColumn("leak_share_q6", when(col("total_clusters") > 0, expr(
+        "CAST((CAST(n_multi_fold_clusters AS DECIMAL(38,0)) * 1000000)" +
+          " DIV total_clusters AS BIGINT)")))
+      .select(col("fold_a").cast("long").as("fold_a"),
+        col("fold_b").cast("long").as("fold_b"),
+        col("n_leaky_clusters"),
+        col("_lp").cast("long").as("n_leaky_pairs"),
+        col("total_clusters"), col("n_multi_fold_clusters"),
+        col("leak_share_q6"))
+  }
+
+  /** [[nearDupLeakageAuditOn]] with the [[md5Kfold]] convenience split
+    * — the shape [[leakageAudit]] has for the exact tier.
+    */
+  def nearDupLeakageAudit(docs: DataFrame, folds: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 32, rowsPerBand: Int = 4, k: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    require(folds >= 2, "nearDupLeakageAudit needs folds >= 2")
+    nearDupLeakageAuditOn(
+      md5Kfold(docs.filter(col(textCol).isNotNull), folds, idCol),
+      idCol, textCol, numHashes, rowsPerBand, k, threshold)
+  }
+
+  /** Dedup-aware k-fold, EXACT tier — the remedy [[leakageAudit]]'s
+    * scaladoc promises ("fold on the digest instead of the id"): fold
+    * = md5 of the CONTENT, so every exact-duplicate group lands whole
+    * in one fold and [[leakageAuditOn]] over this split returns ZERO
+    * rows by construction. Pure map-side (the [[md5Kfold]] idiom keyed
+    * on the text — engine-independent, no shuffle); balance holds in
+    * expectation over distinct digests (hash-uniform, the md5Kfold
+    * band). NULL-text rows read a NULL fold — they carry no content to
+    * leak, and routing them is the caller's explicit decision.
+    */
+  def dedupAwareKfold(df: DataFrame, folds: Int,
+      textCol: String = "text"): DataFrame =
+    md5Kfold(df, folds, textCol)
+
+  /** Dedup-aware k-fold, NEAR-DUP tier — folds on the near-dup CLUSTER
+    * representative where one exists, else on the content digest: the
+    * group key is `c#<cluster_id>` for docs whose digest rep sits in a
+    * [[Dedup.clusterPairs]] component (tagged so a numeric id can
+    * never collide with a digest) and `d#<digest>` otherwise, then
+    * fold = md5(group key) first-8-hex mod k — the engine-independent
+    * [[md5Kfold]] idiom. Every near-dup cluster AND every exact-dup
+    * group lands whole in one fold, so both [[leakageAuditOn]] and
+    * [[nearDupLeakageAuditOn]] (same LSH parameters) return ZERO rows
+    * over this split by construction. NULL-text rows read a NULL fold
+    * (as [[dedupAwareKfold]]).
+    *
+    * Scale shape: one LSH candidate build + label propagation (the
+    * q56 cost), one digest-keyed join of the corpus against the
+    * digest→group map (16-byte keys — the exactKeep shuffle class),
+    * then map-side fold arithmetic. Balance holds in expectation over
+    * GROUPS; a pathological corpus that is one giant cluster cannot be
+    * balanced by any leak-free split — that is a fact about the data,
+    * and [[nearDupLeakageAuditOn]]'s zero-rows gate is the honest
+    * trade.
+    */
+  def nearDupAwareKfold(docs: DataFrame, folds: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 32, rowsPerBand: Int = 4, k: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    require(folds >= 2, "nearDupAwareKfold needs folds >= 2")
+    val base = docs.filter(col(textCol).isNotNull)
+    val cands = Dedup.minhashCandidates(
+      base.select(col(idCol), col(textCol)),
+      numHashes, rowsPerBand, k, threshold, idCol, textCol)
+    val labels = Dedup.clusterPairs(cands)
+    val gk = base
+      .groupBy(md5(col(textCol)).as("_dg"))
+      .agg(min(col(idCol)).as("_rid"))
+      .join(labels.select(col("id").as("_rid"), col("cluster_id")),
+        Seq("_rid"), "left")
+      .select(col("_dg"),
+        coalesce(concat(lit("c#"), col("cluster_id").cast("string")),
+          concat(lit("d#"), col("_dg"))).as("_gk"))
+    docs.withColumn("_dg", md5(col(textCol)))
+      .join(gk, Seq("_dg"), "left")
+      .withColumn("fold",
+        (conv(substring(md5(col("_gk")), 1, 8), 16, 10).cast("long")
+          % folds).cast("int"))
+      .drop("_dg", "_gk")
   }
 
   /** Single random train/val/test split (reference `random_split`,

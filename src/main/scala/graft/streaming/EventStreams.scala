@@ -397,8 +397,14 @@ object EventStreams {
     * `(Long, Long, String)` to Option tuples so NULL keys/timestamps
     * flow like batch — the state-store encoder schema changed, so a
     * checkpoint written by the pre-r13 operator will NOT restore.
+    * STATE-SCHEMA BREAK (round 16): the sticky `truncated` field was
+    * added to [[TransitionState]] and [[WinState]] — the GroupState
+    * encoder schema changed again (a Scala default value does NOT
+    * apply to already-stored state), so pre-r16 checkpoints fail
+    * deserialization on resume.
     * The driver gate always starts from a fresh sink/checkpoint; any
-    * external deployment must start a new checkpoint directory.
+    * external deployment must restart these streams from a fresh
+    * checkpoint directory after upgrading across either break.
     */
   final case class TransitionState(
       rows: Seq[(Option[Long], Option[Long], Option[String])],

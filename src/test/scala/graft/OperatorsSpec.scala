@@ -3436,4 +3436,147 @@ class OperatorsSpec extends SparkSpec {
     val clean = (0L until n).map(i => (i, s"text body $i")).toDF("doc_id", "text")
     assert(Xval.leakageAudit(clean, folds = 4).count() == 0L)
   }
+
+  test("leakageAuditOn: audits the ACTUAL fold column — groupKfold splits are auditable (r16 verdict item)") {
+    import graft.operators.Xval
+    // clones placed in different GROUPS leak under a group split;
+    // the md5Kfold convenience replay would see different counts, so
+    // a fold-agnostic audit is the only way to audit this split
+    val docs = Seq(
+      (1L, "g1", "shared body one"), (2L, "g2", "shared body one"),
+      (3L, "g1", "shared body two"), (4L, "g1", "shared body two"),
+      (5L, "g2", "only body")).toDF("doc_id", "grp", "text")
+    val split = Xval.groupKfold(docs, folds = 8, key = "grp")
+    val f = split.select("grp", "fold").distinct()
+      .as[(String, Int)].collect().toMap
+    val audit = Xval.leakageAuditOn(split)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    if (f("g1") != f("g2")) {
+      // exactly one straddling digest ("shared body one"), 1×1 pair
+      assert(audit == List((f("g1").toLong min f("g2").toLong,
+        f("g1").toLong max f("g2").toLong, 1L, 1L, 3L, 1L, 333333L)))
+    } else assert(audit.isEmpty) // same fold: nothing can straddle
+    // same clones confined to one group: a group split cannot leak them
+    val confined = Seq(
+      (1L, "g1", "shared body one"), (2L, "g1", "shared body one"),
+      (5L, "g2", "only body")).toDF("doc_id", "grp", "text")
+    assert(Xval.leakageAuditOn(
+      Xval.groupKfold(confined, folds = 8, key = "grp")).count() == 0L)
+    // the overload is exactly the md5Kfold composition
+    val base = (0L until 30).map(i => (i, s"body $i")) ++
+      (0L until 30).map(i => (i + 500L, s"body $i"))
+    val df = base.toDF("doc_id", "text")
+    val viaOverload = Xval.leakageAudit(df, folds = 4)
+      .orderBy("fold_a", "fold_b").collect().toList
+    val viaOn = Xval.leakageAuditOn(Xval.md5Kfold(df, 4, "doc_id"))
+      .orderBy("fold_a", "fold_b").collect().toList
+    assert(viaOverload == viaOn)
+    // missing fold column fails loudly, not with a wrong-but-plausible table
+    intercept[IllegalArgumentException] { Xval.leakageAuditOn(df) }
+  }
+
+  test("nearDupLeakageAuditOn: cluster straddle with exact-clone expansion; whole-cluster folds read zero") {
+    import graft.operators.Xval
+    // a long shared body so the edited copy is a certain LSH candidate
+    // at τ=0.5 (char-5-shingle Jaccard ≈ 0.95); the deterministic
+    // seeded minhash makes the outcome reproducible for fixed text
+    val bodyA = ("alpha bravo charlie delta echo foxtrot golf hotel " * 5).trim
+    val bodyB = ("november oscar papa quebec romeo sierra tango uniform " * 5).trim
+    val docs = Seq(
+      (1L, bodyA, 0), // cluster A rep
+      (2L, bodyA + " edited tail", 1), // near-dup of A — different fold
+      (3L, bodyA + " edited tail", 2), // EXACT clone of 2 — third fold,
+      // only countable through the digest→rep expansion
+      (4L, bodyB, 0), // cluster B rep
+      (5L, bodyB + " changed end", 0) // near-dup of B — SAME fold
+    ).toDF("doc_id", "text", "fold")
+    val got = Xval.nearDupLeakageAuditOn(docs)
+      .orderBy("fold_a", "fold_b")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    // cluster A members by fold: {0:1, 1:1, 2:1} → all three fold pairs
+    // leak 1 cluster / 1 member pair; cluster B is whole in fold 0.
+    // totals: 2 clusters, 1 straddling → share 500000
+    assert(got == List(
+      (0L, 1L, 1L, 1L, 2L, 1L, 500000L),
+      (0L, 2L, 1L, 1L, 2L, 1L, 500000L),
+      (1L, 2L, 1L, 1L, 2L, 1L, 500000L)))
+    // fold on the doc id (the dedup-unaware hazard) vs whole-cluster
+    // folds: re-fold cluster A into one fold → zero rows
+    val aware = Seq(
+      (1L, bodyA, 3), (2L, bodyA + " edited tail", 3),
+      (3L, bodyA + " edited tail", 3),
+      (4L, bodyB, 0), (5L, bodyB + " changed end", 0)
+    ).toDF("doc_id", "text", "fold")
+    assert(Xval.nearDupLeakageAuditOn(aware).count() == 0L)
+    // singleton-only corpus (no candidate pairs): zero rows, no blowup
+    val singletons = Seq((1L, bodyA, 0), (4L, bodyB, 1))
+      .toDF("doc_id", "text", "fold")
+    assert(Xval.nearDupLeakageAuditOn(singletons).count() == 0L)
+  }
+
+  test("dedupAwareKfold: digest folds kill exact leakage; balance stays in the md5Kfold band") {
+    import graft.operators.Xval
+    val n = 400
+    // heavily cloned corpus: every text ×2, some ×3
+    val docs = ((0L until n).map(i => (i, s"content body $i")) ++
+      (0L until n).map(i => (i + 10000L, s"content body $i")) ++
+      (0L until 100L).map(i => (i + 20000L, s"content body $i")))
+      .toDF("doc_id", "text")
+    val split = Xval.dedupAwareKfold(docs, folds = 4)
+    // the audit that flags the md5Kfold(id) split reads ZERO here
+    assert(Xval.leakageAudit(docs, folds = 4).count() > 0L,
+      "fixture must leak under an id split")
+    assert(Xval.leakageAuditOn(split).count() == 0L)
+    // clones share the fold by construction
+    assert(split.groupBy("text")
+      .agg(countDistinct("fold").as("nf"))
+      .filter(col("nf") > 1).count() == 0L)
+    // balance over distinct digests: each fold within the hash band
+    // (uniform expectation 100/fold over 400 digests)
+    val sizes = split.select("text", "fold").distinct()
+      .groupBy("fold").count().as[(Int, Long)].collect().toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3), s"all folds populated: $sizes")
+    sizes.values.foreach(c => assert(c >= 50 && c <= 150,
+      s"fold sizes outside the md5 band: $sizes"))
+  }
+
+  test("nearDupAwareKfold: cluster-representative folds read zero on BOTH audits") {
+    import graft.operators.Xval
+    val bodies = (0 until 30).map(i =>
+      (s"document number $i with a long deterministic body " * 5).trim)
+    // base + near-dup mirror of the first 10 + exact clone of 5 mirrors
+    val docs = (bodies.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      bodies.take(10).zipWithIndex.map { case (t, i) =>
+        (i + 1000L, t + " via mirror feed") } ++
+      bodies.take(5).zipWithIndex.map { case (t, i) =>
+        (i + 2000L, t + " via mirror feed") })
+      .toDF("doc_id", "text")
+    val split = Xval.nearDupAwareKfold(docs, folds = 4)
+    assert(Xval.nearDupLeakageAuditOn(split).count() == 0L)
+    assert(Xval.leakageAuditOn(split).count() == 0L)
+    // and the hazard is real: the id split leaks at the near-dup tier
+    assert(Xval.nearDupLeakageAudit(docs, folds = 4).count() > 0L,
+      "fixture must leak under an id split")
+    // every doc got a fold; clones of one text share it
+    assert(split.filter(col("fold").isNull).count() == 0L)
+    assert(split.groupBy("text").agg(countDistinct("fold").as("nf"))
+      .filter(col("nf") > 1).count() == 0L)
+  }
+
+  test("joinSkewPreflight: non-integral join keys fail loudly (r16 ADVICE)") {
+    import graft.operators.Validation
+    val s = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val d = Seq((1.5, 1L), (2.5, 2L)).toDF("k", "v")
+    val i = Seq((1L, 1L), (2L, 2L)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Validation.joinSkewPreflight(s, s, "k")
+    }
+    intercept[IllegalArgumentException] {
+      Validation.joinSkewPreflight(d, d, "k")
+    }
+    intercept[IllegalArgumentException] {
+      Validation.joinSkewPreflight(i, s, "k") // one bad side is enough
+    }
+    assert(Validation.joinSkewPreflight(i, i, "k").count() == 2L)
+  }
 }
