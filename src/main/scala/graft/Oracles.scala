@@ -6133,6 +6133,94 @@ object Oracles {
       |    END AS BIGINT) AS leak_share_q6
       |FROM p CROSS JOIN tot ORDER BY fold_a, fold_b""".stripMargin
 
+  /** q333: `Sampling.mixtureFeasibility` — q326's iterated-isqrt α
+    * grid extended with per-α demand/epochs/cap arithmetic: needed =
+    * floor(budget·w / Σw), epochs = ceil-div in Q3, capped at 4000,
+    * achieved = min(needed, toks·4), per-α feasibility + shortfall as
+    * window aggregates over the cell table. budget = 10,000,000.
+    */
+  def q333MixtureFeasibility: String =
+    """WITH RECURSIVE cells AS (SELECT source,
+      |    CAST(SUM(n_chars) AS BIGINT) AS toks
+      |  FROM documents GROUP BY 1),
+      |_saA AS (SELECT source AS id, CAST(toks AS HUGEINT) AS a
+      |  FROM cells),
+      |""".stripMargin + isqrtCteSuffixed("A") + """,
+      |w500 AS (SELECT c.source, c.toks, CAST(i.r AS BIGINT) AS w
+      |  FROM cells c JOIN _isqA i ON i.id = c.source),
+      |_saB AS (SELECT source AS id, CAST(w AS HUGEINT) AS a
+      |  FROM w500),
+      |""".stripMargin + isqrtCteSuffixed("B") + """,
+      |w250 AS (SELECT w.source, w.toks, CAST(i.r AS BIGINT) AS w
+      |  FROM w500 w JOIN _isqB i ON i.id = w.source),
+      |_saC AS (SELECT source AS id, CAST(w AS HUGEINT) AS a
+      |  FROM w250),
+      |""".stripMargin + isqrtCteSuffixed("C") + """,
+      |w125 AS (SELECT w.source, w.toks, CAST(i.r AS BIGINT) AS w
+      |  FROM w250 w JOIN _isqC i ON i.id = w.source),
+      |alln AS (
+      |  SELECT 1000 AS alpha_q3, source, toks, toks AS w FROM cells
+      |  UNION ALL SELECT 500, source, toks, w FROM w500
+      |  UNION ALL SELECT 250, source, toks, w FROM w250
+      |  UNION ALL SELECT 125, source, toks, w FROM w125),
+      |t AS (SELECT alpha_q3, SUM(w) AS tw FROM alln GROUP BY 1),
+      |d AS (SELECT a.alpha_q3, a.source, a.toks, a.w,
+      |    CASE WHEN t.tw <> 0 THEN
+      |      CAST((CAST(10000000 AS HUGEINT) * a.w) // t.tw AS BIGINT)
+      |    ELSE 0 END AS needed_tokens
+      |  FROM alln a JOIN t ON t.alpha_q3 = a.alpha_q3),
+      |e AS (SELECT *,
+      |    CAST(CASE WHEN needed_tokens = 0 THEN 0 WHEN toks > 0 THEN
+      |      (CAST(needed_tokens AS HUGEINT) * 1000 + toks - 1) // toks
+      |      END AS BIGINT) AS epochs_q3
+      |  FROM d),
+      |c AS (SELECT *, (epochs_q3 > 4000) AS capped,
+      |    LEAST(needed_tokens,
+      |      CAST((CAST(toks AS HUGEINT) * 4000) // 1000 AS BIGINT))
+      |      AS achieved_tokens
+      |  FROM e)
+      |SELECT CAST(alpha_q3 AS BIGINT) AS alpha_q3, source, toks, w,
+      |  needed_tokens, epochs_q3, capped, achieved_tokens,
+      |  needed_tokens - achieved_tokens AS shortfall_tokens,
+      |  (MAX(CASE WHEN capped THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY alpha_q3) = 0) AS alpha_feasible,
+      |  SUM(needed_tokens - achieved_tokens)
+      |    OVER (PARTITION BY alpha_q3)::BIGINT
+      |    AS alpha_shortfall_tokens
+      |FROM c ORDER BY alpha_q3 DESC, source""".stripMargin
+
+  /** q334: `TrainingExport.shardSkewPreflight` — the q115 seeded-md5
+    * permutation replayed with a plain global window, shard cells with
+    * token sums, load vs the mean in Q6 (10⁶ = balanced), flagged
+    * outside ±10%.
+    */
+  def q334ShardSkewPreflight: String =
+    s"""WITH
+       |  ord AS (SELECT doc_id, n_chars,
+       |      md5('11#' || CAST(doc_id AS VARCHAR)) AS m
+       |    FROM documents),
+       |  r AS (SELECT doc_id, n_chars,
+       |      row_number() OVER (ORDER BY m, doc_id) AS rn
+       |    FROM ord),
+       |  s AS (SELECT CAST((rn - 1) // 64 AS BIGINT) AS shard, n_chars
+       |    FROM r),
+       |  cells AS (SELECT shard, COUNT(*)::BIGINT AS n_rows,
+       |      SUM(COALESCE(n_chars, 0))::BIGINT AS n_tokens
+       |    FROM s GROUP BY 1),
+       |  tot AS (SELECT COUNT(*)::BIGINT AS n_shards,
+       |      COALESCE(SUM(n_tokens), 0)::BIGINT AS total_tokens
+       |    FROM cells),
+       |  l AS (SELECT c.shard, c.n_rows, c.n_tokens,
+       |      CAST(CASE WHEN t.total_tokens > 0 THEN
+       |        (CAST(c.n_tokens AS HUGEINT) * t.n_shards * 1000000)
+       |          // t.total_tokens END AS BIGINT) AS load_q6,
+       |      t.n_shards, t.total_tokens
+       |    FROM cells c CROSS JOIN tot t)
+       |SELECT shard, n_rows, n_tokens, load_q6,
+       |  (load_q6 > 1100000 OR load_q6 < 900000) AS flagged,
+       |  n_shards, total_tokens
+       |FROM l ORDER BY shard""".stripMargin
+
   /** q330: `Xval.nearDupLeakageAudit` — the q56/q320 candidate graph
     * + recursive-CTE closure over the mirror+clone-augmented corpus,
     * digest→cluster map through each digest's min-id rep, exact
@@ -6426,6 +6514,8 @@ object Oracles {
     "q330_neardup_split_leakage" -> q330NearDupSplitLeakage,
     "q331_dedup_aware_kfold" -> q331DedupAwareKfold,
     "q332_neardup_aware_kfold" -> q332NearDupAwareKfold,
+    "q333_mixture_feasibility" -> q333MixtureFeasibility,
+    "q334_shard_skew_preflight" -> q334ShardSkewPreflight,
     "q291_ann_recall" -> q291AnnRecall,
     "q292_stationary" -> q292Stationary,
     "q294_pinball_loss" -> q294PinballLoss,

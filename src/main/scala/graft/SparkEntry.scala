@@ -3697,6 +3697,29 @@ object SparkEntry {
         .orderBy("fold")
     }),
 
+    // ---- corpus-curation tier: mixture feasibility (NEW r17) ----
+    // q326 × q318 composed: the sweep says what mixture each α
+    // implies; this says which α points a token budget can actually
+    // FUND under the ≤4-epoch repetition cap — per (α, source) the
+    // implied demand, forced epochs, cap breach and shortfall; per α
+    // the feasible verdict and total shortfall. Same domainTokenCells
+    // collapse as q326, everything downstream exact integers.
+    "q333_mixture_feasibility" -> ((s, dir) =>
+      Sampling.mixtureFeasibility(documents(s, dir),
+          budgetTokens = 10000000L, maxEpochsQ3 = 4000)
+        .orderBy(col("alpha_q3").desc, col("source"))),
+
+    // ---- export tier: shard-skew preflight (NEW r17) ----
+    // q328's pre-flight discipline applied to the training-export
+    // write: per planned shard (the q115 permutation, BEFORE any
+    // bytes move) rows + token load vs the mean, flagged outside
+    // ±10% — the stalled-reader predictor. n_rows ties to q115's
+    // manifest exactly (spec-asserted).
+    "q334_shard_skew_preflight" -> ((s, dir) =>
+      graft.sources.TrainingExport.shardSkewPreflight(
+          documents(s, dir), rowsPerShard = 64, seed = 11)
+        .orderBy("shard")),
+
     // ---- ops tier: join-skew preflight (NEW r16) ----
     // "Will this join explode, and on which keys" — the EXACT per-key
     // pair table a pipeline reads before a big equi-join (the q178/

@@ -267,6 +267,77 @@ object Sampling {
         col("w"), col("share_q6"), col("head_share_q6"))
   }
 
+  /** Mixture FEASIBILITY solver — the composition of the temperature
+    * sweep and the epochs planner (r16 verdict item #7): the sweep
+    * ([[temperatureSweepFromCells]]) says what mixture each α implies;
+    * [[graft.operators.TextAnalysis.epochsPlan]] says what repetition a
+    * target mix demands of each source. The missing planner row is the
+    * JOIN: given a token budget and a per-source repetition cap (the
+    * Muennighoff ≤4-epoch constraint — repeating data past a few epochs
+    * stops buying loss), which α grid points are FEASIBLE, and what
+    * budget shortfall does each infeasible one carry.
+    *
+    * Per (α, source): the α-implied demand
+    * `needed = ⌊budget·w / Σw⌋` (w = the sweep's iterated-floor-isqrt
+    * tempered weight — every α point exact), the repetition it forces
+    * `epochs_q3 = ⌈1000·needed / toks⌉`, whether that breaches the cap,
+    * the cap-limited `achieved = min(needed, ⌊toks·maxEpochsQ3/1000⌋)`
+    * and the per-source shortfall. Per α (broadcast on every row of its
+    * group): `alpha_feasible` = no source capped, and the α's total
+    * shortfall — the number a curator trades against the flattening
+    * q326 reports. The floor in `needed` leaves ≤|domains| budget
+    * tokens unassigned — conservative, never over-commits.
+    *
+    * Scale shape: ONE corpus collapse ([[domainTokenCells]], shared
+    * with q326/q318); everything downstream is integer arithmetic and
+    * α-partitioned windows over the |alphas|·|domains|-row cell table.
+    */
+  def mixtureFeasibility(docs: DataFrame, budgetTokens: Long,
+      maxEpochsQ3: Long = 4000,
+      alphasQ3: Seq[Long] = Seq(1000L, 500L, 250L, 125L),
+      domainCol: String = "source", tokenCol: String = "n_chars")
+      : DataFrame =
+    mixtureFeasibilityFromCells(domainTokenCells(docs, domainCol, tokenCol),
+      budgetTokens, maxEpochsQ3, alphasQ3, domainCol)
+
+  /** [[mixtureFeasibility]] over prebuilt [[domainTokenCells]] output
+    * (the FromCells discipline — streaming cells plug in unchanged).
+    */
+  def mixtureFeasibilityFromCells(cellsIn: DataFrame, budgetTokens: Long,
+      maxEpochsQ3: Long = 4000,
+      alphasQ3: Seq[Long] = Seq(1000L, 500L, 250L, 125L),
+      domainCol: String = "source"): DataFrame = {
+    require(budgetTokens >= 0,
+      "mixtureFeasibility needs budgetTokens >= 0")
+    require(maxEpochsQ3 >= 1, "mixtureFeasibility needs maxEpochsQ3 >= 1")
+    val dec = "DECIMAL(38,0)"
+    val wh = Window.partitionBy("alpha_q3")
+    temperatureSweepFromCells(cellsIn, alphasQ3, domainCol)
+      .withColumn("_tw", sum("w").over(wh))
+      .withColumn("needed_tokens", when(col("_tw") =!= 0, expr(
+        s"CAST((CAST($budgetTokens AS $dec) * w) DIV _tw AS BIGINT)"))
+        .otherwise(lit(0L)))
+      // needed = 0 forces 0 epochs even of an empty source; needed > 0
+      // of a tokenless source cannot happen (w = isqrt(toks) = 0)
+      .withColumn("epochs_q3", expr(
+        s"CAST(CASE WHEN needed_tokens = 0 THEN 0 WHEN toks > 0 THEN" +
+          s" (CAST(needed_tokens AS $dec) * 1000 + toks - 1) DIV toks" +
+          " END AS BIGINT)"))
+      .withColumn("capped", col("epochs_q3") > maxEpochsQ3)
+      .withColumn("achieved_tokens", least(col("needed_tokens"), expr(
+        s"CAST((CAST(toks AS $dec) * $maxEpochsQ3) DIV 1000 AS BIGINT)")))
+      .withColumn("shortfall_tokens",
+        col("needed_tokens") - col("achieved_tokens"))
+      .withColumn("alpha_feasible",
+        max(col("capped").cast("int")).over(wh) === 0)
+      .withColumn("alpha_shortfall_tokens",
+        sum("shortfall_tokens").over(wh))
+      .select(col("alpha_q3"), col(domainCol), col("toks"), col("w"),
+        col("needed_tokens"), col("epochs_q3"), col("capped"),
+        col("achieved_tokens"), col("shortfall_tokens"),
+        col("alpha_feasible"), col("alpha_shortfall_tokens"))
+  }
+
   def temperatureMixturePlan(docs: DataFrame,
       domainCol: String = "source", tokenCol: String = "n_chars")
       : DataFrame = {

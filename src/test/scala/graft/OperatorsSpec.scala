@@ -3563,6 +3563,73 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("nf") > 1).count() == 0L)
   }
 
+  test("mixtureFeasibility: hand-computed demand/epochs/cap arithmetic on two sources") {
+    import graft.operators.Sampling
+    // toks: small=100, big=10000; isqrt chain: 100→10→3→1, 10000→100→10→3
+    val cells = Seq(("small", 100L), ("big", 10000L)).toDF("_g", "toks")
+    val got = Sampling.mixtureFeasibilityFromCells(cells,
+        budgetTokens = 10000L, maxEpochsQ3 = 4000)
+      .orderBy(col("alpha_q3").desc, col("source"))
+      .as[(Long, String, Long, Long, Long, Long, Boolean, Long, Long,
+        Boolean, Long)].collect().toList
+    assert(got == List(
+      // α=1: tw=10100 → needed big=10000*10000/10100=9900 (990 epochs),
+      // small=10000*100/10100=99 (990 epochs) — both under cap
+      (1000L, "big", 10000L, 10000L, 9900L, 990L, false, 9900L, 0L, true, 0L),
+      (1000L, "small", 100L, 100L, 99L, 990L, false, 99L, 0L, true, 0L),
+      // α=½: tw=110 → big 9090 (909 ep), small 909 → ⌈9090⌉ ep > 4000:
+      // CAPPED, achieved=min(909,400)=400, shortfall 509
+      (500L, "big", 10000L, 100L, 9090L, 909L, false, 9090L, 0L, false, 509L),
+      (500L, "small", 100L, 10L, 909L, 9090L, true, 400L, 509L, false, 509L),
+      // α=¼: tw=13 → big 7692 (770 ep), small 2307 → 23070 ep: capped,
+      // achieved 400, shortfall 1907
+      (250L, "big", 10000L, 10L, 7692L, 770L, false, 7692L, 0L, false, 1907L),
+      (250L, "small", 100L, 3L, 2307L, 23070L, true, 400L, 1907L, false, 1907L),
+      // α=⅛: tw=4 → big 7500 (750 ep), small 2500 → 25000 ep: capped,
+      // shortfall 2100
+      (125L, "big", 10000L, 3L, 7500L, 750L, false, 7500L, 0L, false, 2100L),
+      (125L, "small", 100L, 1L, 2500L, 25000L, true, 400L, 2100L, false, 2100L)))
+    // zero budget: every demand 0, every α trivially feasible
+    val zero = Sampling.mixtureFeasibilityFromCells(cells, budgetTokens = 0L)
+    assert(zero.filter(!col("alpha_feasible") ||
+      col("needed_tokens") =!= 0).count() == 0L)
+    // off-grid α rejected loudly (the q326 contract)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureFeasibilityFromCells(cells, 100L,
+        alphasQ3 = Seq(700L))
+    }
+  }
+
+  test("shardSkewPreflight: ties to the manifest's shards; flags the ragged tail and heavy shards") {
+    import graft.sources.TrainingExport
+    // 10 docs, 4 per shard: shards of 4/4/2 rows; one doc carries a
+    // huge token count so its shard flags high, the ragged tail low
+    val docs = (0L until 10L)
+      .map(i => (i, if (i == 3L) 10000L else 100L))
+      .toDF("doc_id", "n_chars")
+    val pre = TrainingExport.shardSkewPreflight(docs, rowsPerShard = 4,
+        seed = 7, tokenCol = "n_chars")
+      .orderBy("shard")
+      .as[(Long, Long, Long, Long, Boolean, Long, Long)].collect().toList
+    // permutation-independent invariants
+    assert(pre.map(_._1) == List(0L, 1L, 2L))
+    assert(pre.map(_._2) == List(4L, 4L, 2L))
+    assert(pre.map(_._3).sum == 10900L)
+    assert(pre.forall(r => r._6 == 3L && r._7 == 10900L))
+    pre.foreach { r =>
+      assert(r._4 == r._3 * 3L * 1000000L / 10900L)
+      assert(r._5 == (r._4 > 1100000L || r._4 < 900000L))
+    }
+    // the 10000-token doc's shard must flag high; the 2-row tail low
+    val heavy = pre.find(_._3 >= 10000L).get
+    assert(heavy._5, s"heavy shard not flagged: $pre")
+    assert(pre.last._5, s"ragged tail not flagged: $pre")
+    // n_rows per shard identical to the manifest's (same seed/split)
+    val mani = TrainingExport.manifest(docs, rowsPerShard = 4, seed = 7)
+      .orderBy("shard").as[(Long, Long, String)].collect().toList
+    assert(mani.map(m => (m._1, m._2)) == pre.map(r => (r._1, r._2)))
+  }
+
   test("joinSkewPreflight: non-integral join keys fail loudly (r16 ADVICE)") {
     import graft.operators.Validation
     val s = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
