@@ -30,6 +30,37 @@ Verdict per regressed query:
 
 Exit 1 iff any PLAN regression (unless --no-gate). Improvements and
 added/removed queries are listed informationally.
+
+FLOORS MODE (r16 verdict item — the "floats" class):
+  python3 tools/bench_diff.py --floors BASE1.json [BASE2.json ...] NEW.json
+
+Twice-demonstrated failure mode of single-record compares: a host
+state inflates Spark wall time while BOTH fixed-work calibration loops
+read flat, so an untouched query bounces 0.5-1.2 s across clean
+records (r16: q61/q211/q212) and every round someone adjudicates the
+flags by hand. The mechanized form of that adjudication: compare the
+candidate's per-query FLOOR (min over the record's raw runs) against
+the floors of the N most recent clean records, and flag only a query
+  - elevated above threshold x EVERY baseline record's floor, AND
+  - by more than --abs-delta seconds (default 0.5) over the best-case
+    baseline — sub-second ratio churn stops consuming judge time.
+A floats-class query is fast in at least one baseline record only when
+the candidate also reaches a comparable floor; a real plan regression
+is slow against ALL of history. Exit 1 iff any floor regression or
+now-failing query (unless --no-gate).
+
+The residual floats case — a whole-SESSION host state inflating even a
+record's three raw runs at flat calibration (r16 q61: driver floor
+1.04 s vs committed floors 0.52-0.68) — is indistinguishable from a
+plan change inside the records alone. The adjudication the judge ran
+by hand (re-run the flagged query fresh) is mechanized by --recheck:
+  SPARK_GRAFT_BENCH_QUERIES=q61_analytic_ranks SPARK_GRAFT_BENCH_OUT=\
+    /tmp/recheck.json sbt "runMain graft.Bench"   # on a quiet box
+  python3 tools/bench_diff.py --floors BASE... NEW.json \
+    --recheck /tmp/recheck.json
+A flagged query whose FRESH floor is back inside the band (<= threshold
+x best baseline floor + abs-delta) clears to FLOATS and stops gating;
+one that stays slow on a fresh run is a confirmed regression.
 """
 import argparse
 import json
@@ -39,13 +70,125 @@ import sys
 def parse_args():
     p = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
-    p.add_argument("old", help="baseline bench_last.json")
-    p.add_argument("new", help="candidate bench_last.json")
+    p.add_argument("records", nargs="+", metavar="RECORD",
+                   help="bench records; two (OLD NEW) in default mode, "
+                        "N baselines + 1 candidate with --floors")
     p.add_argument("--threshold", type=float, default=1.5,
                    help="regression ratio on per-query medians (default 1.5)")
     p.add_argument("--no-gate", action="store_true",
                    help="always exit 0, even on PLAN regressions")
+    p.add_argument("--floors", action="store_true",
+                   help="floors mode: candidate floor vs every baseline "
+                        "record's floor (see module doc)")
+    p.add_argument("--abs-delta", type=float, default=0.5,
+                   help="floors mode: minimum absolute seconds over the "
+                        "best baseline floor to flag (default 0.5)")
+    p.add_argument("--recheck", metavar="RECORD",
+                   help="floors mode: a fresh subset bench record of the "
+                        "flagged queries; flags whose fresh floor is back "
+                        "in band clear to FLOATS")
     return p.parse_args()
+
+
+def load_record(path):
+    d = json.load(open(path))
+    # driver BENCH_r{N}.json wraps the bench record under "parsed"
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
+    return d
+
+
+def floors_of(rec):
+    """Per-query floor: min over the record's raw runs (queries_raw),
+    falling back to queries_min, then the median. None for failed or
+    absent queries (non-positive values)."""
+    out = {}
+    raw = rec.get("queries_raw") or {}
+    qmin = rec.get("queries_min") or {}
+    qmed = rec.get("queries") or {}
+    for q in set(raw) | set(qmin) | set(qmed):
+        vals = [v for v in (raw.get(q) or []) if isinstance(v, (int, float))
+                and v > 0]
+        f = min(vals) if vals else None
+        if f is None:
+            for src in (qmin, qmed):
+                v = src.get(q)
+                if isinstance(v, (int, float)) and v > 0:
+                    f = v
+                    break
+        out[q] = f
+    return out
+
+
+def floors_mode(paths, threshold, abs_delta, gate, recheck_path=None):
+    *base_paths, new_path = paths
+    bases = [(p, floors_of(load_record(p))) for p in base_paths]
+    new = floors_of(load_record(new_path))
+    print(f"floors mode: candidate {new_path} vs "
+          f"{len(bases)} baseline record(s); flag iff floor > "
+          f"{threshold}x EVERY baseline floor AND > best baseline "
+          f"+ {abs_delta}s")
+    for p, f in bases:
+        n_ok = sum(1 for v in f.values() if v)
+        print(f"  baseline {p}: {n_ok} queries with floors")
+
+    regs, failing, no_history = [], [], []
+    for q in sorted(new):
+        nf = new[q]
+        hist = [f[q] for _, f in bases if q in f]
+        hist_ok = [h for h in hist if h]
+        if not hist_ok:
+            if nf:
+                no_history.append(q)
+            continue
+        if nf is None:
+            # present-and-passing in history, failed/absent now
+            failing.append(q)
+            continue
+        best = min(hist_ok)
+        if (all(nf > threshold * h for h in hist_ok)
+                and nf - best > abs_delta):
+            regs.append((q, nf, best, hist_ok))
+
+    # --recheck: a fresh subset record adjudicates whole-session floats —
+    # a flagged query whose FRESH floor is back inside the band (what the
+    # r16 judge verified by hand-re-running every flag) clears
+    cleared = []
+    if recheck_path and regs:
+        fresh = floors_of(load_record(recheck_path))
+        still = []
+        for q, nf, best, hist_ok in regs:
+            ff = fresh.get(q)
+            if ff and not (all(ff > threshold * h for h in hist_ok)
+                           and ff - best > abs_delta):
+                cleared.append((q, nf, ff, best))
+            else:
+                still.append((q, ff if ff else nf, best, hist_ok))
+        regs = still
+
+    for q in failing:
+        print(f"{'NOW FAILING':16s} {q}")
+    for q, nf, best, hist_ok in sorted(regs, key=lambda t: -(t[1] / t[2])):
+        floors = ", ".join(f"{h:.3f}" for h in sorted(hist_ok))
+        print(f"{'FLOOR REGRESSION':16s} {q:32s} floor {nf:.3f}s vs "
+              f"[{floors}] (x{nf / best:.2f} over best)")
+    for q, nf, ff, best in cleared:
+        print(f"{'FLOATS (cleared)':16s} {q:32s} record floor {nf:.3f}s, "
+              f"fresh recheck {ff:.3f}s vs best baseline {best:.3f}s")
+    if regs and not recheck_path:
+        qs = ",".join(q for q, *_ in regs)
+        print(f"\nadjudicate on a quiet box:\n"
+              f"  SPARK_GRAFT_BENCH_QUERIES={qs} "
+              f"SPARK_GRAFT_BENCH_OUT=/tmp/recheck.json "
+              f"sbt -batch 'runMain graft.Bench'\n"
+              f"  then re-run this command with --recheck /tmp/recheck.json")
+    if no_history:
+        print(f"\nno baseline floors ({len(no_history)}): "
+              + ", ".join(no_history))
+    print(f"\n{len(new)} candidate queries, {len(failing)} now failing, "
+          f"{len(regs)} floor regressions, {len(cleared)} cleared by "
+          f"recheck")
+    sys.exit(1 if ((regs or failing) and gate) else 0)
 
 
 def calib(d):
@@ -157,16 +300,18 @@ def norm_factor_fn(rec, base, key="ms"):
 def main():
     a = parse_args()
     threshold = a.threshold
+    if a.floors:
+        if len(a.records) < 2:
+            sys.exit("--floors needs at least one baseline + a candidate")
+        floors_mode(a.records, threshold, a.abs_delta, not a.no_gate,
+                    a.recheck)
+        return
+    if len(a.records) != 2:
+        sys.exit("default mode takes exactly OLD.json NEW.json "
+                 "(use --floors for N baselines)")
 
-    def load(path):
-        d = json.load(open(path))
-        # driver BENCH_r{N}.json wraps the bench record under "parsed"
-        if "queries" not in d and isinstance(d.get("parsed"), dict):
-            d = d["parsed"]
-        return d
-
-    old = load(a.old)
-    new = load(a.new)
+    old = load_record(a.records[0])
+    new = load_record(a.records[1])
 
     oq, nq = old.get("queries", {}), new.get("queries", {})
     omin, nmin = old.get("queries_min", {}), new.get("queries_min", {})
@@ -182,9 +327,9 @@ def main():
         return ("interleaved" if has_real_ticks(rec, tkey)
                 else "whole-run env level")
 
-    print(f"old: {a.old} total={old.get('value')}s  [{calib(old)}] "
+    print(f"old: {a.records[0]} total={old.get('value')}s  [{calib(old)}] "
           f"ticks: {fidelity(old)}")
-    print(f"new: {a.new} total={new.get('value')}s  [{calib(new)}] "
+    print(f"new: {a.records[1]} total={new.get('value')}s  [{calib(new)}] "
           f"ticks: {fidelity(new)}")
     if have_ticks:
         print(f"threshold: {threshold}x on per-query medians "

@@ -97,10 +97,101 @@ def main():
     rc, out = run(old, new)
     check("tickdist printed", "tickdist[" in out, out)
 
+    # ---- floors mode (r16 verdict item: the "floats" class) ----
+    def rec_raw(raw, fail=()):
+        qs = {q: sorted(v)[len(v) // 2] for q, v in raw.items()}
+        qs.update({q: -1.0 for q in fail})
+        return {
+            "metric": "total", "value": sum(v for v in qs.values() if v > 0),
+            "unit": "sec", "queries": qs,
+            "queries_min": {q: (min(v) if q not in fail else -1.0)
+                            for q, v in raw.items()},
+            "queries_raw": {q: ([] if q in fail else list(v))
+                            for q, v in raw.items()},
+            "queries_t": {}, "calib_ticks": [],
+            "env": {"calib_mt_ms_pre": 400, "calib_mt_ms_post": 400,
+                    "calib_ms_pre": 340, "calib_ms_post": 340},
+        }
+
+    def run_floors(recs):
+        with tempfile.TemporaryDirectory() as d:
+            paths = []
+            for i, r in enumerate(recs):
+                p = os.path.join(d, f"r{i}.json")
+                json.dump(r, open(p, "w"))
+                paths.append(p)
+            pr = subprocess.run(
+                [sys.executable, DIFF, "--floors"] + paths,
+                capture_output=True, text=True)
+            return pr.returncode, pr.stdout
+
+    # 6. one real regression among floats-class noise: exactly one flag.
+    #    qfloat bounces 0.54<->1.15 across clean records (the r16 q61
+    #    class) — candidate 1.1 is NOT elevated vs ALL history.
+    #    qreg's floor is slow against every record AND >0.5s over best.
+    b1 = rec_raw({"qreg": [1.0, 1.05, 1.1], "qfloat": [0.54, 0.6, 0.58],
+                  "qsmall": [0.10, 0.11, 0.10]})
+    b2 = rec_raw({"qreg": [1.02, 1.0, 1.08], "qfloat": [1.15, 1.1, 1.2],
+                  "qsmall": [0.10, 0.12, 0.11]})
+    cand = rec_raw({"qreg": [2.4, 2.5, 2.6], "qfloat": [1.1, 1.15, 1.12],
+                    "qsmall": [0.30, 0.31, 0.30]})
+    rc, out = run_floors([b1, b2, cand])
+    check("floors: real regression gates", rc == 1, f"rc={rc}\n{out}")
+    check("floors: exactly one flag",
+          out.count("FLOOR REGRESSION") == 1 and "qreg" in out, out)
+    check("floors: floats-class query not flagged", "qfloat" not in
+          "".join(l for l in out.splitlines() if "FLOOR" in l), out)
+    # 7. abs-delta guard: qsmall is 3x but only +0.2s — the r16 q212
+    #    sub-second churn class must not flag
+    check("floors: abs-delta kills sub-second churn", "qsmall" not in
+          "".join(l for l in out.splitlines() if "FLOOR" in l), out)
+
+    # 8. clean candidate: zero flags, exit 0
+    clean = rec_raw({"qreg": [1.0, 1.1, 1.05], "qfloat": [0.6, 0.62, 0.61],
+                     "qsmall": [0.10, 0.10, 0.11]})
+    rc, out = run_floors([b1, b2, clean])
+    check("floors: clean candidate passes", rc == 0
+          and "0 floor regressions" in out, f"rc={rc}\n{out}")
+
+    # 9. passed-in-history, failing-now gates in floors mode too
+    failing = rec_raw({"qreg": [1.0, 1.1, 1.05], "qfloat": [0.6, 0.6, 0.6],
+                       "qsmall": [0.1, 0.1, 0.1]}, fail={"qreg"})
+    rc, out = run_floors([b1, b2, failing])
+    check("floors: now-failing gates", rc == 1 and "NOW FAILING" in out
+          and "qreg" in out, f"rc={rc}\n{out}")
+
+    # 10./11. --recheck adjudication: a fresh in-band floor clears the
+    #    flag (whole-session floats, exit 0); a fresh still-slow floor
+    #    confirms the regression (exit 1)
+    def run_floors_recheck(recs, recheck):
+        with tempfile.TemporaryDirectory() as d:
+            paths = []
+            for i, r in enumerate(recs):
+                p = os.path.join(d, f"r{i}.json")
+                json.dump(r, open(p, "w"))
+                paths.append(p)
+            rp = os.path.join(d, "recheck.json")
+            json.dump(recheck, open(rp, "w"))
+            pr = subprocess.run(
+                [sys.executable, DIFF, "--floors"] + paths
+                + ["--recheck", rp],
+                capture_output=True, text=True)
+            return pr.returncode, pr.stdout
+
+    fresh_ok = rec_raw({"qreg": [1.05, 1.1, 1.02]})
+    rc, out = run_floors_recheck([b1, b2, cand], fresh_ok)
+    check("recheck: in-band fresh floor clears", rc == 0
+          and "FLOATS (cleared)" in out and "FLOOR REGRESSION" not in out,
+          f"rc={rc}\n{out}")
+    fresh_bad = rec_raw({"qreg": [2.5, 2.4, 2.6]})
+    rc, out = run_floors_recheck([b1, b2, cand], fresh_bad)
+    check("recheck: still-slow fresh floor confirms", rc == 1
+          and "FLOOR REGRESSION" in out, f"rc={rc}\n{out}")
+
     if failures:
         print("FAIL\n" + "\n".join(failures))
         sys.exit(1)
-    print("bench_diff self-test: 5 checks OK")
+    print("bench_diff self-test: 11 checks OK")
 
 
 if __name__ == "__main__":
