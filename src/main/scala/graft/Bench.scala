@@ -125,7 +125,11 @@ object Bench {
     "q325_bt_confidence",   // BT Fisher info + isqrt se over the game cells (NEW r16, post-record)
     "q326_temperature_sweep", // iterated-isqrt α grid over the mixture cells (NEW r16, post-record)
     "q328_join_skew_preflight", // exact per-key pair products + skew factor (NEW r16, post-record)
-    "q329_split_leakage")   // exact-dup groups straddling xval folds (NEW r16, post-record)
+    "q329_split_leakage",   // exact-dup groups straddling xval folds (NEW r16, post-record)
+    "q330_neardup_split_leakage", // near-dup clusters straddling folds (NEW r17)
+    "q332_neardup_aware_kfold", // cluster-rep folds + both zero-leak audits (NEW r17)
+    "q333_mixture_feasibility", // per-alpha demand vs epoch cap off the mixture cells (NEW r17)
+    "q334_shard_skew_preflight") // planned-shard token loads before the write (NEW r17)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine
