@@ -6221,6 +6221,41 @@ object Oracles {
        |  n_shards, total_tokens
        |FROM l ORDER BY shard""".stripMargin
 
+  /** q335: `TrainingExport.tokenShardPlan` — the q334 permutation's
+    * exact exclusive prefix token sum via a plain global window (the
+    * engine runs it two-phase), shard = cum_before // 20000, then the
+    * q334 load readout verbatim.
+    */
+  def q335TokenShardPlan: String =
+    s"""WITH
+       |  ord AS (SELECT doc_id, n_chars,
+       |      md5('11#' || CAST(doc_id AS VARCHAR)) AS m
+       |    FROM documents),
+       |  r AS (SELECT doc_id, n_chars,
+       |      SUM(COALESCE(n_chars, 0)) OVER (ORDER BY m, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM ord),
+       |  s AS (SELECT
+       |      CAST((cum - COALESCE(n_chars, 0)) // 20000 AS BIGINT)
+       |        AS shard, n_chars
+       |    FROM r),
+       |  cells AS (SELECT shard, COUNT(*)::BIGINT AS n_rows,
+       |      SUM(COALESCE(n_chars, 0))::BIGINT AS n_tokens
+       |    FROM s GROUP BY 1),
+       |  tot AS (SELECT COUNT(*)::BIGINT AS n_shards,
+       |      COALESCE(SUM(n_tokens), 0)::BIGINT AS total_tokens
+       |    FROM cells),
+       |  l AS (SELECT c.shard, c.n_rows, c.n_tokens,
+       |      CAST(CASE WHEN t.total_tokens > 0 THEN
+       |        (CAST(c.n_tokens AS HUGEINT) * t.n_shards * 1000000)
+       |          // t.total_tokens END AS BIGINT) AS load_q6,
+       |      t.n_shards, t.total_tokens
+       |    FROM cells c CROSS JOIN tot t)
+       |SELECT shard, n_rows, n_tokens, load_q6,
+       |  (load_q6 > 1100000 OR load_q6 < 900000) AS flagged,
+       |  n_shards, total_tokens
+       |FROM l ORDER BY shard""".stripMargin
+
   /** q330: `Xval.nearDupLeakageAudit` — the q56/q320 candidate graph
     * + recursive-CTE closure over the mirror+clone-augmented corpus,
     * digest→cluster map through each digest's min-id rep, exact
@@ -6516,6 +6551,7 @@ object Oracles {
     "q332_neardup_aware_kfold" -> q332NearDupAwareKfold,
     "q333_mixture_feasibility" -> q333MixtureFeasibility,
     "q334_shard_skew_preflight" -> q334ShardSkewPreflight,
+    "q335_token_shard_plan" -> q335TokenShardPlan,
     "q291_ann_recall" -> q291AnnRecall,
     "q292_stationary" -> q292Stationary,
     "q294_pinball_loss" -> q294PinballLoss,

@@ -3720,6 +3720,17 @@ object SparkEntry {
           documents(s, dir), rowsPerShard = 64, seed = 11)
         .orderBy("shard")),
 
+    // ---- export tier: token-balanced shard plan (NEW r17) ----
+    // q334's remedy: shard boundaries on exact token-budget marks
+    // (two-phase prefix sum over the same seeded permutation) instead
+    // of row counts — every non-tail shard reads load_q6 ≈ 10⁶ and
+    // the preflight's flags vanish; same readout as q334 so audit and
+    // remedy are comparable number for number.
+    "q335_token_shard_plan" -> ((s, dir) =>
+      graft.sources.TrainingExport.tokenShardPlan(
+          documents(s, dir), tokensPerShard = 20000L, seed = 11)
+        .orderBy("shard")),
+
     // ---- ops tier: join-skew preflight (NEW r16) ----
     // "Will this join explode, and on which keys" — the EXACT per-key
     // pair table a pipeline reads before a big equi-join (the q178/

@@ -94,9 +94,20 @@ object TrainingExport {
     */
   def shardSkewPreflight(df: DataFrame, rowsPerShard: Int,
       seed: Long = 0, idCol: String = "doc_id",
-      tokenCol: String = "n_chars", tolQ6: Long = 100000): DataFrame = {
+      tokenCol: String = "n_chars", tolQ6: Long = 100000): DataFrame =
+    shardLoadReadout(withShards(df, rowsPerShard, seed, idCol),
+      tokenCol, tolQ6)
+
+  /** The per-shard load table behind [[shardSkewPreflight]] and
+    * [[tokenShardPlan]] — ONE readout for the audit and its remedy, so
+    * the two are comparable number for number: per shard (shard,
+    * n_rows, n_tokens, load_q6, flagged) + broadcast (n_shards,
+    * total_tokens). Input must carry a `shard` column.
+    */
+  private def shardLoadReadout(sharded: DataFrame, tokenCol: String,
+      tolQ6: Long): DataFrame = {
     require(tolQ6 >= 0, s"tolQ6 $tolQ6 must be >= 0")
-    val cells = withShards(df, rowsPerShard, seed, idCol)
+    val cells = sharded
       .groupBy("shard")
       .agg(count(lit(1)).as("n_rows"),
         sum(coalesce(col(tokenCol).cast("long"), lit(0L)))
@@ -114,6 +125,55 @@ object TrainingExport {
         col("load_q6"), col("flagged"), col("n_shards"),
         col("total_tokens"))
   }
+
+  /** Token-BALANCED shard assignment — the remedy
+    * [[shardSkewPreflight]] flags toward: the same seeded md5 global
+    * permutation as [[withShards]], but shard boundaries fall on
+    * TOKEN-budget marks instead of row counts —
+    * `shard = ⌊cum_before / tokensPerShard⌋` where cum_before is the
+    * exact exclusive prefix token sum in permutation order (a document
+    * belongs to the shard its first token lands in). Every shard's
+    * token load sits within ±(max doc tokens) of the budget — the
+    * stalled-reader skew a row-count split ships is gone by
+    * construction, at the cost of ragged row counts (readers stream
+    * tokens, not rows, so that is the right trade). NULL token counts
+    * read 0 (the document still ships, contributes no budget).
+    *
+    * Scale shape: [[graft.operators.Packing.withRunningTotal]]'s
+    * range-bucketed two-phase prefix sum (no partition-less window at
+    * any scale) + map-side arithmetic; deterministic for a given
+    * (corpus, seed, tokensPerShard) on any cluster layout.
+    */
+  def withTokenShards(df: DataFrame, tokensPerShard: Long,
+      seed: Long = 0, idCol: String = "doc_id",
+      tokenCol: String = "n_chars"): DataFrame = {
+    require(tokensPerShard > 0,
+      s"tokensPerShard $tokensPerShard must be > 0")
+    val keyed = df
+      .withColumn("_md5",
+        md5(concat_ws("#", lit(seed), col(idCol).cast("string"))))
+      .withColumn("_ord",
+        conv(substring(col("_md5"), 1, 15), 16, 10).cast("long"))
+    graft.operators.Packing
+      .withRunningTotal(keyed, Seq("_ord", "_md5", idCol), tokenCol,
+        outCol = "_cum")
+      .withColumn("shard", expr(
+        s"CAST((_cum - coalesce(CAST($tokenCol AS BIGINT), 0L))" +
+          s" DIV ${tokensPerShard}L AS BIGINT)"))
+      .drop("_md5", "_ord", "_cum")
+  }
+
+  /** Planned-shard load table for [[withTokenShards]] — the same
+    * readout as [[shardSkewPreflight]] so the audit and the remedy are
+    * directly comparable: with token-budget boundaries every non-tail
+    * shard reads load_q6 ≈ 10⁶ (within ±max-doc/budget), and the
+    * preflight's flags vanish.
+    */
+  def tokenShardPlan(df: DataFrame, tokensPerShard: Long,
+      seed: Long = 0, idCol: String = "doc_id",
+      tokenCol: String = "n_chars", tolQ6: Long = 100000): DataFrame =
+    shardLoadReadout(withTokenShards(df, tokensPerShard, seed, idCol,
+      tokenCol), tokenCol, tolQ6)
 
   /** Write the sharded corpus under `outDir` (one directory + one file
     * per shard via `partitionBy`, rows ordered by `shard_pos` inside

@@ -3630,6 +3630,41 @@ class OperatorsSpec extends SparkSpec {
     assert(mani.map(m => (m._1, m._2)) == pre.map(r => (r._1, r._2)))
   }
 
+  test("withTokenShards: budget boundaries kill the skew the row-count preflight flags; layout-independent") {
+    import graft.sources.TrainingExport
+    // skewed sizes: 4 giants (5000) among 60 small docs (100)
+    val docs = (0L until 64L)
+      .map(i => (i, if (i % 16 == 0) 5000L else 100L))
+      .toDF("doc_id", "n_chars")
+    // the row-count split ships token-skewed shards — preflight flags
+    val pre = TrainingExport.shardSkewPreflight(docs, rowsPerShard = 8,
+      seed = 3)
+    assert(pre.filter(col("flagged")).count() > 0,
+      "skewed fixture must flag under a row-count split")
+    // the token split bounds every non-tail shard to budget ± max doc
+    val plan = TrainingExport.tokenShardPlan(docs, tokensPerShard = 6000L,
+        seed = 3).orderBy("shard")
+      .as[(Long, Long, Long, Long, Boolean, Long, Long)].collect().toList
+    assert(plan.map(_._3).sum == 26000L)
+    plan.dropRight(1).foreach { r =>
+      assert(math.abs(r._3 - 6000L) < 5000L,
+        s"non-tail shard outside budget ± maxdoc: $plan")
+    }
+    // uniform docs: every non-tail shard EXACTLY on budget, zero flags
+    val uniform = (0L until 50L).map(i => (i, 100L)).toDF("doc_id", "n_chars")
+    val uplan = TrainingExport.tokenShardPlan(uniform,
+        tokensPerShard = 1000L, seed = 3).orderBy("shard")
+      .as[(Long, Long, Long, Long, Boolean, Long, Long)].collect().toList
+    uplan.foreach(r => assert(r._3 == 1000L && !r._5, s"uniform: $uplan"))
+    // assignment is a pure function of (corpus, seed, budget) — no
+    // partitioning dependence (md5 order + two-phase prefix sum)
+    val a = TrainingExport.withTokenShards(docs.repartition(1), 6000L,
+      seed = 3).select("doc_id", "shard").collect().toSet
+    val b = TrainingExport.withTokenShards(docs.repartition(13), 6000L,
+      seed = 3).select("doc_id", "shard").collect().toSet
+    assert(a == b)
+  }
+
   test("joinSkewPreflight: non-integral join keys fail loudly (r16 ADVICE)") {
     import graft.operators.Validation
     val s = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
