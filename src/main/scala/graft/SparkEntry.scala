@@ -3682,15 +3682,22 @@ object SparkEntry {
         .unionByName(d.filter(col("doc_id") < 25)
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
         .filter(col("text").isNotNull)
-      val split = Xval.nearDupAwareKfold(aug, folds = 4, numHashes = 32,
-        rowsPerBand = 4, k = 5, threshold = 0.5)
+      // ONE LSH+cluster build (nearDupGroupMap, materialized) feeds
+      // the remedy and the audit — the btGames one-build-site rule
+      val gmap = Some(Dedup.materialize(Xval.nearDupGroupMap(aug,
+        numHashes = 32, rowsPerBand = 4, k = 5, threshold = 0.5)))
+      // split materialized too: three consumers (histogram + both
+      // audits) otherwise re-run the digest join per subtree
+      val split = Dedup.materialize(
+        Xval.nearDupAwareKfold(aug, folds = 4, numHashes = 32,
+          rowsPerBand = 4, k = 5, threshold = 0.5, groupMap = gmap))
       val hist = split.groupBy(col("fold").cast("long").as("fold"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(md5(col("text"))).as("n_groups"))
       hist
         .crossJoin(broadcast(
           Xval.nearDupLeakageAuditOn(split, numHashes = 32,
-            rowsPerBand = 4, k = 5, threshold = 0.5)
+            rowsPerBand = 4, k = 5, threshold = 0.5, groupMap = gmap)
           .agg(count(lit(1)).as("n_neardup_leaks"))))
         .crossJoin(broadcast(Xval.leakageAuditOn(split)
           .agg(count(lit(1)).as("n_exact_leaks"))))

@@ -263,27 +263,44 @@ object Xval {
     * the corpus); cells⋈map and the straddle self-join are cell-sized;
     * readouts are ≤C(folds,2) rows + 1-row scalars.
     */
-  def nearDupLeakageAuditOn(docs: DataFrame, idCol: String = "doc_id",
+  /** ONE build site for the digest → near-dup-cluster map the audit
+    * and the remedy both ride: each digest's representative (min id —
+    * [[Dedup.minhashCandidates]]' collapse-exact rule, so the join key
+    * set matches the label table's ids exactly) carried to its
+    * [[Dedup.clusterPairs]] component. Output: (_dg, cluster_id), one
+    * row per digest whose rep sits in a cluster (candidate-pair-sized,
+    * never the corpus). Build it once — `Dedup.materialize(...)` — and
+    * pass it to [[nearDupLeakageAuditOn]] AND [[nearDupAwareKfold]]:
+    * the LSH candidate build + label propagation (the expensive stage)
+    * then runs once instead of once per consumer.
+    */
+  def nearDupGroupMap(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", numHashes: Int = 32,
       rowsPerBand: Int = 4, k: Int = 5,
       threshold: Double = 0.5): DataFrame = {
-    require(docs.columns.contains("fold"),
-      "nearDupLeakageAuditOn needs a `fold` column — assign one with " +
-        "any Xval strategy (or use the nearDupLeakageAudit overload)")
     val base = docs.filter(col(textCol).isNotNull)
     val cands = Dedup.minhashCandidates(
       base.select(col(idCol), col(textCol)),
       numHashes, rowsPerBand, k, threshold, idCol, textCol)
     val labels = Dedup.clusterPairs(cands)
-    // digest → cluster of its representative (min id per digest — the
-    // same rep rule minhashCandidates' exact collapse used, so the
-    // join key set matches the label table's ids exactly)
-    val dgc = base
-      .groupBy(md5(col(textCol)).as("_dg"))
+    base.groupBy(md5(col(textCol)).as("_dg"))
       .agg(min(col(idCol)).as("_rid"))
       .join(labels.select(col("id").as("_rid"), col("cluster_id")),
         Seq("_rid"))
       .select("_dg", "cluster_id")
+  }
+
+  def nearDupLeakageAuditOn(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numHashes: Int = 32,
+      rowsPerBand: Int = 4, k: Int = 5, threshold: Double = 0.5,
+      groupMap: Option[DataFrame] = None): DataFrame = {
+    require(docs.columns.contains("fold"),
+      "nearDupLeakageAuditOn needs a `fold` column — assign one with " +
+        "any Xval strategy (or use the nearDupLeakageAudit overload)")
+    val base = docs.filter(col(textCol).isNotNull)
+    val dgc = groupMap.getOrElse(
+      nearDupGroupMap(docs, idCol, textCol, numHashes, rowsPerBand, k,
+        threshold))
     val cells = Dedup.materialize(
       base.groupBy(md5(col(textCol)).as("_dg"), col("fold"))
         .agg(count(lit(1)).as("_n0"))
@@ -366,18 +383,16 @@ object Xval {
   def nearDupAwareKfold(docs: DataFrame, folds: Int,
       idCol: String = "doc_id", textCol: String = "text",
       numHashes: Int = 32, rowsPerBand: Int = 4, k: Int = 5,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      groupMap: Option[DataFrame] = None): DataFrame = {
     require(folds >= 2, "nearDupAwareKfold needs folds >= 2")
     val base = docs.filter(col(textCol).isNotNull)
-    val cands = Dedup.minhashCandidates(
-      base.select(col(idCol), col(textCol)),
-      numHashes, rowsPerBand, k, threshold, idCol, textCol)
-    val labels = Dedup.clusterPairs(cands)
+    val dgc = groupMap.getOrElse(
+      nearDupGroupMap(docs, idCol, textCol, numHashes, rowsPerBand, k,
+        threshold))
     val gk = base
-      .groupBy(md5(col(textCol)).as("_dg"))
-      .agg(min(col(idCol)).as("_rid"))
-      .join(labels.select(col("id").as("_rid"), col("cluster_id")),
-        Seq("_rid"), "left")
+      .select(md5(col(textCol)).as("_dg")).distinct()
+      .join(dgc, Seq("_dg"), "left")
       .select(col("_dg"),
         coalesce(concat(lit("c#"), col("cluster_id").cast("string")),
           concat(lit("d#"), col("_dg"))).as("_gk"))
