@@ -6189,6 +6189,68 @@ object Oracles {
       |    AS alpha_shortfall_tokens
       |FROM c ORDER BY alpha_q3 DESC, source""".stripMargin
 
+  /** q336: `Sampling.annealMixturePlan` — q333's iterated-isqrt chain
+    * with a phases VALUES table: per (phase, source) floor demand off
+    * the phase budget, per-source totals folded ACROSS phases for the
+    * epoch/cap/shortfall arithmetic, plan scalars cross-joined.
+    */
+  def q336AnnealMixturePlan: String =
+    """WITH RECURSIVE cells AS (SELECT source,
+      |    CAST(SUM(n_chars) AS BIGINT) AS toks
+      |  FROM documents GROUP BY 1),
+      |_saA AS (SELECT source AS id, CAST(toks AS HUGEINT) AS a
+      |  FROM cells),
+      |""".stripMargin + isqrtCteSuffixed("A") + """,
+      |w500 AS (SELECT c.source, c.toks, CAST(i.r AS BIGINT) AS w
+      |  FROM cells c JOIN _isqA i ON i.id = c.source),
+      |_saB AS (SELECT source AS id, CAST(w AS HUGEINT) AS a
+      |  FROM w500),
+      |""".stripMargin + isqrtCteSuffixed("B") + """,
+      |w250 AS (SELECT w.source, w.toks, CAST(i.r AS BIGINT) AS w
+      |  FROM w500 w JOIN _isqB i ON i.id = w.source),
+      |alln AS (
+      |  SELECT 1000 AS alpha_q3, source, toks, toks AS w FROM cells
+      |  UNION ALL SELECT 250, source, toks, w FROM w250),
+      |ph(phase, phase_pm, alpha_q3) AS
+      |  (VALUES ('main', 900, 1000), ('anneal', 100, 250)),
+      |t AS (SELECT alpha_q3, SUM(w) AS tw FROM alln GROUP BY 1),
+      |r0 AS (SELECT ph.phase, ph.phase_pm, ph.alpha_q3, a.source,
+      |    a.toks, a.w,
+      |    CAST((CAST(10000000 AS HUGEINT) * ph.phase_pm) // 1000
+      |      AS BIGINT) AS phase_budget_tokens,
+      |    CASE WHEN t.tw <> 0 THEN
+      |      CAST((((CAST(10000000 AS HUGEINT) * ph.phase_pm) // 1000)
+      |        * a.w) // t.tw AS BIGINT)
+      |    ELSE 0 END AS needed_tokens
+      |  FROM ph JOIN alln a ON a.alpha_q3 = ph.alpha_q3
+      |  JOIN t ON t.alpha_q3 = ph.alpha_q3),
+      |ps AS (SELECT source, toks,
+      |    SUM(needed_tokens)::BIGINT AS source_needed_tokens
+      |  FROM r0 GROUP BY 1, 2),
+      |ps2 AS (SELECT *,
+      |    CAST(CASE WHEN source_needed_tokens = 0 THEN 0
+      |      WHEN toks > 0 THEN
+      |        (CAST(source_needed_tokens AS HUGEINT) * 1000 + toks - 1)
+      |          // toks END AS BIGINT) AS epochs_q3
+      |  FROM ps),
+      |ps3 AS (SELECT *, (epochs_q3 > 4000) AS capped,
+      |    source_needed_tokens - LEAST(source_needed_tokens,
+      |      CAST((CAST(toks AS HUGEINT) * 4000) // 1000 AS BIGINT))
+      |      AS sshort
+      |  FROM ps2),
+      |plan AS (SELECT
+      |    (COALESCE(MAX(CASE WHEN capped THEN 1 ELSE 0 END), 0) = 0)
+      |      AS plan_feasible,
+      |    COALESCE(SUM(sshort), 0)::BIGINT AS plan_shortfall_tokens
+      |  FROM ps3)
+      |SELECT r.phase, CAST(r.phase_pm AS BIGINT) AS phase_pm,
+      |  CAST(r.alpha_q3 AS BIGINT) AS alpha_q3, r.source, r.toks, r.w,
+      |  r.phase_budget_tokens, r.needed_tokens,
+      |  p.source_needed_tokens, p.epochs_q3, p.capped,
+      |  pl.plan_feasible, pl.plan_shortfall_tokens
+      |FROM r0 r JOIN ps3 p ON p.source = r.source CROSS JOIN plan pl
+      |ORDER BY r.phase, r.source""".stripMargin
+
   /** q334: `TrainingExport.shardSkewPreflight` — the q115 seeded-md5
     * permutation replayed with a plain global window, shard cells with
     * token sums, load vs the mean in Q6 (10⁶ = balanced), flagged
@@ -6552,6 +6614,7 @@ object Oracles {
     "q333_mixture_feasibility" -> q333MixtureFeasibility,
     "q334_shard_skew_preflight" -> q334ShardSkewPreflight,
     "q335_token_shard_plan" -> q335TokenShardPlan,
+    "q336_anneal_mixture_plan" -> q336AnnealMixturePlan,
     "q291_ann_recall" -> q291AnnRecall,
     "q292_stationary" -> q292Stationary,
     "q294_pinball_loss" -> q294PinballLoss,

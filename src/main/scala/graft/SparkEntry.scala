@@ -3727,6 +3727,20 @@ object SparkEntry {
           documents(s, dir), rowsPerShard = 64, seed = 11)
         .orderBy("shard")),
 
+    // ---- corpus-curation tier: anneal-phase mixture plan (NEW r17) ----
+    // The two-phase schedule the open pretraining recipes converge on
+    // (MiniCPM/OLMo-style decay-phase re-mixing): 90% of the budget at
+    // the natural mix, the final 10% flattened at α=¼ so low-resource
+    // sources are up-weighted in the anneal; the epoch cap binds on
+    // each source's TOTAL reuse across phases. q333's arithmetic with
+    // a phase dimension, same domainTokenCells collapse.
+    "q336_anneal_mixture_plan" -> ((s, dir) =>
+      Sampling.annealMixturePlan(documents(s, dir),
+          budgetTokens = 10000000L,
+          phases = Seq(("main", 900L, 1000L), ("anneal", 100L, 250L)),
+          maxEpochsQ3 = 4000)
+        .orderBy("phase", "source")),
+
     // ---- export tier: token-balanced shard plan (NEW r17) ----
     // q334's remedy: shard boundaries on exact token-budget marks
     // (two-phase prefix sum over the same seeded permutation) instead

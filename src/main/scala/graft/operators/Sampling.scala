@@ -338,6 +338,92 @@ object Sampling {
         col("alpha_feasible"), col("alpha_shortfall_tokens"))
   }
 
+  /** Anneal-phase mixture schedule — the two-phase (or N-phase)
+    * training-mix plan the open pretraining recipes converge on
+    * (MiniCPM's decay-phase high-quality up-weighting, OLMo's
+    * end-of-run anneal, Llama-style final-stage data re-mixing): the
+    * run's token budget splits into phases by exact permille, each
+    * phase samples at its own temperature from the q326 grid — the
+    * main phase near the natural mix (α→1), the anneal phase
+    * flattened (α small) so low-resource/high-quality sources are
+    * up-weighted exactly when the schedule says they matter most.
+    * Per (phase, source): the phase budget and the α-implied demand
+    * (the [[mixtureFeasibilityFromCells]] floor arithmetic). Per
+    * source, ACROSS phases: total demand, the repetition it forces
+    * (the epoch cap binds on a source's total reuse over the whole
+    * run, not per phase), cap breach, shortfall. Plan-wide: feasible
+    * verdict + total shortfall, broadcast on every row.
+    *
+    * Scale shape: ONE corpus collapse ([[domainTokenCells]], shared
+    * with q326/q333), then integer arithmetic and joins over
+    * |phases|·|domains|-row cell tables (per-source fold is a groupBy
+    * of that table; plan scalars a broadcast 1-row agg).
+    */
+  def annealMixturePlan(docs: DataFrame, budgetTokens: Long,
+      phases: Seq[(String, Long, Long)] =
+        Seq(("main", 900L, 1000L), ("anneal", 100L, 250L)),
+      maxEpochsQ3: Long = 4000, domainCol: String = "source",
+      tokenCol: String = "n_chars"): DataFrame =
+    annealMixturePlanFromCells(domainTokenCells(docs, domainCol, tokenCol),
+      budgetTokens, phases, maxEpochsQ3, domainCol)
+
+  /** [[annealMixturePlan]] over prebuilt [[domainTokenCells]] output.
+    * `phases` = (name, share_pm, alpha_q3); shares must sum to 1000
+    * (the budget partitions exactly), alphas from the q326 grid.
+    */
+  def annealMixturePlanFromCells(cellsIn: DataFrame, budgetTokens: Long,
+      phases: Seq[(String, Long, Long)], maxEpochsQ3: Long = 4000,
+      domainCol: String = "source"): DataFrame = {
+    require(budgetTokens >= 0, "annealMixturePlan needs budgetTokens >= 0")
+    require(maxEpochsQ3 >= 1, "annealMixturePlan needs maxEpochsQ3 >= 1")
+    require(phases.nonEmpty, "annealMixturePlan needs phases")
+    require(phases.map(_._1).distinct.size == phases.size,
+      "annealMixturePlan phase names must be distinct: " + phases)
+    require(phases.forall(_._2 >= 1),
+      "annealMixturePlan phase shares must be >= 1 pm: " + phases)
+    require(phases.map(_._2).sum == 1000L,
+      "annealMixturePlan phase shares must sum to 1000 pm: " + phases)
+    val spark = cellsIn.sparkSession
+    import spark.implicits._
+    val dec = "DECIMAL(38,0)"
+    val ph = phases.toDF("phase", "phase_pm", "alpha_q3")
+    val sweep = temperatureSweepFromCells(cellsIn,
+      phases.map(_._3).distinct, domainCol)
+    val wh = Window.partitionBy("phase")
+    val rows = ph.join(sweep, Seq("alpha_q3"))
+      .withColumn("phase_budget_tokens", expr(
+        s"CAST((CAST($budgetTokens AS $dec) * phase_pm) DIV 1000" +
+          " AS BIGINT)"))
+      .withColumn("_tw", sum("w").over(wh))
+      .withColumn("needed_tokens", when(col("_tw") =!= 0, expr(
+        s"CAST((CAST(phase_budget_tokens AS $dec) * w) DIV _tw" +
+          " AS BIGINT)")).otherwise(lit(0L)))
+    val perSource = rows.groupBy(col(domainCol), col("toks"))
+      .agg(sum("needed_tokens").as("source_needed_tokens"))
+      .withColumn("epochs_q3", expr(
+        s"CAST(CASE WHEN source_needed_tokens = 0 THEN 0" +
+          s" WHEN toks > 0 THEN (CAST(source_needed_tokens AS $dec)" +
+          " * 1000 + toks - 1) DIV toks END AS BIGINT)"))
+      .withColumn("capped", col("epochs_q3") > maxEpochsQ3)
+      .withColumn("_short", col("source_needed_tokens") -
+        least(col("source_needed_tokens"), expr(
+          s"CAST((CAST(toks AS $dec) * $maxEpochsQ3) DIV 1000" +
+            " AS BIGINT)")))
+    val plan = perSource.agg(
+      (coalesce(max(col("capped").cast("int")), lit(0)) === 0)
+        .as("plan_feasible"),
+      coalesce(sum("_short"), lit(0L)).cast("long")
+        .as("plan_shortfall_tokens"))
+    rows
+      .join(broadcast(perSource.drop("toks", "_short")), Seq(domainCol))
+      .crossJoin(broadcast(plan))
+      .select(col("phase"), col("phase_pm"), col("alpha_q3"),
+        col(domainCol), col("toks"), col("w"),
+        col("phase_budget_tokens"), col("needed_tokens"),
+        col("source_needed_tokens"), col("epochs_q3"), col("capped"),
+        col("plan_feasible"), col("plan_shortfall_tokens"))
+  }
+
   def temperatureMixturePlan(docs: DataFrame,
       domainCol: String = "source", tokenCol: String = "n_chars")
       : DataFrame = {

@@ -3630,6 +3630,50 @@ class OperatorsSpec extends SparkSpec {
     assert(mani.map(m => (m._1, m._2)) == pre.map(r => (r._1, r._2)))
   }
 
+  test("annealMixturePlan: hand-computed two-phase schedule; cap binds on cross-phase totals") {
+    import graft.operators.Sampling
+    val cells = Seq(("small", 100L), ("big", 10000L)).toDF("_g", "toks")
+    val phases = Seq(("main", 900L, 1000L), ("anneal", 100L, 250L))
+    val got = Sampling.annealMixturePlanFromCells(cells, 10000L, phases,
+        maxEpochsQ3 = 4000)
+      .orderBy("phase", "source")
+      .as[(String, Long, Long, String, Long, Long, Long, Long, Long,
+        Long, Boolean, Boolean, Long)].collect().toList
+    // main: budget 9000 at α=1 (tw=10100) → big 8910, small 89;
+    // anneal: budget 1000 at α=¼ (w 10/3, tw=13) → big 769, small 230;
+    // totals: big 9679 → 968 milli-epochs, small 319 → 3190 — feasible
+    assert(got == List(
+      ("anneal", 100L, 250L, "big", 10000L, 10L, 1000L, 769L,
+        9679L, 968L, false, true, 0L),
+      ("anneal", 100L, 250L, "small", 100L, 3L, 1000L, 230L,
+        319L, 3190L, false, true, 0L),
+      ("main", 900L, 1000L, "big", 10000L, 10000L, 9000L, 8910L,
+        9679L, 968L, false, true, 0L),
+      ("main", 900L, 1000L, "small", 100L, 100L, 9000L, 89L,
+        319L, 3190L, false, true, 0L)))
+    // a tighter epoch cap breaks exactly the small source: its 3190
+    // milli-epochs exceed 3000 → achieved 300, shortfall 19, plan
+    // infeasible — the cap correctly reads TOTAL cross-phase reuse
+    val tight = Sampling.annealMixturePlanFromCells(cells, 10000L,
+        phases, maxEpochsQ3 = 3000)
+      .orderBy("phase", "source")
+      .as[(String, Long, Long, String, Long, Long, Long, Long, Long,
+        Long, Boolean, Boolean, Long)].collect().toList
+    tight.foreach { r =>
+      assert(!r._12 && r._13 == 19L, s"tight cap: $tight")
+      assert(r._11 == (r._4 == "small"))
+    }
+    // malformed phase specs fail loudly
+    intercept[IllegalArgumentException] {
+      Sampling.annealMixturePlanFromCells(cells, 100L,
+        Seq(("a", 500L, 1000L), ("b", 400L, 250L)))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.annealMixturePlanFromCells(cells, 100L,
+        Seq(("a", 500L, 1000L), ("a", 500L, 250L)))
+    }
+  }
+
   test("withTokenShards: budget boundaries kill the skew the row-count preflight flags; layout-independent") {
     import graft.sources.TrainingExport
     // skewed sizes: 4 giants (5000) among 60 small docs (100)
