@@ -6608,6 +6608,9 @@ object Oracles {
     "q327_stream_temperature_sweep" -> q326TemperatureSweep,
     "q328_join_skew_preflight" -> q328JoinSkewPreflight,
     "q329_split_leakage" -> q329SplitLeakage,
+    // q337 = q329's cells built by the streaming state store (the
+    // q285 discipline — one relational truth, two engine paths)
+    "q337_stream_split_leakage" -> q329SplitLeakage,
     "q330_neardup_split_leakage" -> q330NearDupSplitLeakage,
     "q331_dedup_aware_kfold" -> q331DedupAwareKfold,
     "q332_neardup_aware_kfold" -> q332NearDupAwareKfold,

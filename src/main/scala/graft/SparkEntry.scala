@@ -3625,6 +3625,28 @@ object SparkEntry {
       Xval.leakageAudit(aug, folds = 4).orderBy("fold_a", "fold_b")
     }),
 
+    // ---- streaming tier: split-leakage twin (NEW r17) ----
+    // q329's (digest, fold, n) cells built by the streaming engine
+    // (the q285 digest-cells discipline: mergeable counts through the
+    // state store) — the live-ingest monitor that catches fold
+    // contamination WHILE documents stream in, not after the split
+    // ships. The mirror augmentation happens inside the streaming
+    // plan (union of the stream with its own shifted projection);
+    // shared FromCells readout, oracle is q329's SQL verbatim.
+    "q337_stream_split_leakage" -> ((s, dir) => {
+      val cells = EventStreams.runOnceOnParquet(s,
+        s"$dir/documents.parquet",
+        df => {
+          val d = df.select(col("doc_id"), col("text"))
+          val aug = d.unionByName(d.filter(col("doc_id") < 200)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              col("text")))
+          Xval.leakageCells(aug, folds = 4)
+        },
+        s"leak_sink_${System.nanoTime()}")
+      Xval.leakageAuditFromCells(cells).orderBy("fold_a", "fold_b")
+    }),
+
     // ---- ops tier: NEAR-DUP split-leakage audit (NEW r17) ----
     // q329's real-world sibling: paraphrase/near-dup groups straddling
     // folds — the contamination that actually inflates evals (an

@@ -198,20 +198,50 @@ object Xval {
     require(docs.columns.contains("fold"),
       "leakageAuditOn needs a `fold` column — assign one with any " +
         "Xval strategy (or use the leakageAudit(docs, folds) overload)")
-    val cells = Dedup.materialize(
-      docs.filter(col(textCol).isNotNull)
-        .groupBy(md5(col(textCol)).as("_dg"), col("fold"))
-        .agg(count(lit(1)).as("_n")))
+    leakageAuditFromCells(Dedup.materialize(leakageCellsOn(docs, textCol)))
+  }
+
+  /** The (digest, fold, count) cells behind [[leakageAuditOn]] — the
+    * mergeable collapse (the q284 digestCells discipline), exposed so
+    * the streaming engine can build them through the state store and
+    * share the batch readout + oracle. Input must carry `fold`.
+    */
+  def leakageCellsOn(docs: DataFrame,
+      textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("_dg"), col("fold"))
+      .agg(count(lit(1)).as("_n"))
+
+  /** [[leakageCellsOn]] with the [[md5Kfold]] convenience split. */
+  def leakageCells(docs: DataFrame, folds: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(folds >= 2, "leakageCells needs folds >= 2")
+    leakageCellsOn(
+      md5Kfold(docs.filter(col(textCol).isNotNull), folds, idCol),
+      textCol)
+  }
+
+  /** Readout of [[leakageAuditOn]] over prebuilt (_dg, fold, _n)
+    * cells (the FromCells discipline — streaming cells plug in
+    * unchanged; q337 rides this with q329's oracle verbatim).
+    */
+  def leakageAuditFromCells(cells: DataFrame): DataFrame = {
     val groups = cells.groupBy("_dg")
       .agg(countDistinct("fold").as("_nf"))
     val tot = groups.agg(count(lit(1)).as("total_groups"),
       coalesce(sum(when(col("_nf") > 1, 1L).otherwise(0L)), lit(0L))
         .as("n_multi_fold_groups"))
+    // the b side renames its digest: a memory-sink view (the streaming
+    // twin's cells) yields the SAME attribute ids on both sides of a
+    // self-join, and two Projects keeping `_dg` un-renamed fail
+    // resolution with conflicting references — a checkpointed batch
+    // input never showed it, the q337 sink did
     val a = cells.select(col("_dg"), col("fold").as("fold_a"),
       col("_n").as("_na"))
-    val b = cells.select(col("_dg"), col("fold").as("fold_b"),
+    val b = cells.select(col("_dg").as("_dgb"), col("fold").as("fold_b"),
       col("_n").as("_nb"))
-    a.join(b, Seq("_dg")).filter(col("fold_a") < col("fold_b"))
+    a.join(b, col("_dg") === col("_dgb")).drop("_dgb")
+      .filter(col("fold_a") < col("fold_b"))
       .groupBy("fold_a", "fold_b")
       .agg(count(lit(1)).as("n_leaky_groups"),
         sum(expr("CAST(_na AS DECIMAL(38,0)) * _nb")).as("_lp"))
