@@ -131,7 +131,8 @@ object Bench {
     "q333_mixture_feasibility", // per-alpha demand vs epoch cap off the mixture cells (NEW r17)
     "q334_shard_skew_preflight", // planned-shard token loads before the write (NEW r17)
     "q335_token_shard_plan", // token-budget shard boundaries, two-phase prefix sum (NEW r17)
-    "q336_anneal_mixture_plan") // two-phase anneal schedule off the mixture cells (NEW r17)
+    "q336_anneal_mixture_plan", // two-phase anneal schedule off the mixture cells (NEW r17)
+    "q338_semantic_split_leakage") // SemDeDup components straddling folds (NEW r17)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine

@@ -3106,7 +3106,8 @@ object Oracles {
     * arbitrary scalar SQL expression (e.g. a subquery over a count
     * CTE) — the replay of the engine's auto-scaled nCells.
     */
-  private def quantSeedCtes(nSeedsExpr: String): String = {
+  private def quantSeedCtes(nSeedsExpr: String,
+      srcRel: String = "embeddings"): String = {
     val smx = staged(s"SELECT vec_id, vec_id::HUGEINT AS z FROM qz",
       splitmixStages("z"))
     s"""  qz AS (SELECT vec_id,
@@ -3114,7 +3115,7 @@ object Oracles {
        |        (CASE WHEN maxabs = 0.0 THEN 1.0 ELSE 127.0 / maxabs END) + 0.5) AS BIGINT)) AS qv
        |    FROM (SELECT vec_id, embedding,
        |            COALESCE(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) AS maxabs
-       |          FROM embeddings)),
+       |          FROM $srcRel)),
        |  vpos0 AS (SELECT vec_id, qv, unnest(range(len(qv))) AS pos FROM qz),
        |  vpos AS (SELECT vec_id, pos, qv[pos + 1] AS v FROM vpos0),
        |  sm AS (SELECT vec_id, ${signed("_sm")} AS h FROM ($smx)),
@@ -3132,7 +3133,8 @@ object Oracles {
   private def cellAsgnCtes(nCells: Int, iters: Int): String =
     cellAsgnCtes(nCells.toString, iters)
 
-  private def cellAsgnCtes(nCellsExpr: String, iters: Int): String = {
+  private def cellAsgnCtes(nCellsExpr: String, iters: Int,
+      srcRel: String = "embeddings"): String = {
     def dCtes(i: Int) =
       s"""  d$i AS (SELECT v.vec_id, c.cell, sum((v.v - c.c) * (v.v - c.c)) AS d2
          |          FROM vpos v JOIN cent$i c ON v.pos = c.pos GROUP BY 1, 2),
@@ -3147,7 +3149,7 @@ object Oracles {
            |       FROM asgn$i a JOIN vpos v ON a.vec_id = v.vec_id GROUP BY 1, 2) s
            |    ON p.cell = s.cell AND p.pos = s.pos)""".stripMargin
     }.mkString(",\n")
-    s"""${quantSeedCtes(nCellsExpr)},
+    s"""${quantSeedCtes(nCellsExpr, srcRel)},
        |  cent0 AS (SELECT s.cell, v.pos, v.v AS c FROM seeds s JOIN vpos v ON s.vec_id = v.vec_id),
        |$lloyd,
        |${dCtes(iters)}""".stripMargin
@@ -3215,6 +3217,63 @@ object Oracles {
        |  (d.vec_id IS NULL) AS keep
        |FROM asgn2 a LEFT JOIN dup d USING (vec_id)
        |ORDER BY vec_id""".stripMargin
+
+  /** q338: `Xval.semanticLeakageAudit` — the q94 chain over the
+    * clone-augmented embeddings (cellAsgnCtes with srcRel=aug;
+    * ncauto replays the auto-scale over the augmented count), the
+    * SemDeDup min-parent edges (dup_of = min matching earlier id —
+    * components of the parent-pointer forest, exactly what the engine
+    * componentizes), recursive closure, md5Kfold fold replay on the
+    * vector id, and the q330 straddle arithmetic.
+    */
+  def q338SemanticSplitLeakage: String =
+    s"""WITH RECURSIVE
+       |  aug AS (SELECT vec_id, embedding FROM embeddings
+       |          UNION ALL
+       |          SELECT vec_id + 1000000, embedding FROM embeddings
+       |          WHERE vec_id < 50),
+       |  ncauto AS (SELECT LEAST(65536, (count(*) + 1023) // 1024)::INT AS n
+       |             FROM aug),
+       |${cellAsgnCtes("(SELECT n FROM ncauto)", 2, "aug")},
+       |  pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |            FROM asgn2 a JOIN asgn2 b
+       |            ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |  scored AS (SELECT p.id_a, p.id_b,
+       |      sum(x.v * y.v)::BIGINT AS dot,
+       |      sum(x.v * x.v)::BIGINT AS na, sum(y.v * y.v)::BIGINT AS nb
+       |    FROM pairs p
+       |    JOIN vpos x ON x.vec_id = p.id_a
+       |    JOIN vpos y ON y.vec_id = p.id_b AND y.pos = x.pos
+       |    GROUP BY 1, 2),
+       |  dup AS (SELECT id_b AS vec_id, min(id_a)::BIGINT AS dup_of
+       |    FROM scored WHERE dot > 0 AND 100 * dot * dot >= 49 * na * nb
+       |    GROUP BY 1),
+       |  edges AS MATERIALIZED (SELECT dup_of AS s, vec_id AS d FROM dup
+       |            UNION SELECT vec_id, dup_of FROM dup),
+       |  reach(s, d) AS (SELECT s, d FROM edges
+       |                  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |  minr AS (SELECT s AS id, least(s, min(d)) AS cid FROM reach GROUP BY s),
+       |  f AS (SELECT m.id, m.cid,
+       |      CAST(CAST('0x' || substr(md5(CAST(m.id AS VARCHAR)), 1, 8)
+       |        AS UBIGINT) % 4 AS BIGINT) AS fold
+       |    FROM minr m),
+       |  cells AS (SELECT cid, fold, COUNT(*) AS n FROM f GROUP BY 1, 2),
+       |  grp AS (SELECT cid, COUNT(DISTINCT fold) AS nf FROM cells GROUP BY 1),
+       |  tot AS (SELECT COUNT(*)::BIGINT AS total_clusters,
+       |      COALESCE(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+       |        AS n_multi FROM grp),
+       |  p AS (SELECT a.fold AS fold_a, b.fold AS fold_b,
+       |      COUNT(*)::BIGINT AS n_leaky_clusters,
+       |      SUM(CAST(a.n AS HUGEINT) * b.n) AS lp
+       |    FROM cells a JOIN cells b ON a.cid = b.cid AND a.fold < b.fold
+       |    GROUP BY 1, 2)
+       |SELECT p.fold_a, p.fold_b, p.n_leaky_clusters,
+       |  CAST(p.lp AS BIGINT) AS n_leaky_pairs,
+       |  tot.total_clusters, tot.n_multi AS n_multi_fold_clusters,
+       |  CAST(CASE WHEN tot.total_clusters > 0 THEN
+       |    (CAST(tot.n_multi AS HUGEINT) * 1000000) // tot.total_clusters
+       |    END AS BIGINT) AS leak_share_q6
+       |FROM p CROSS JOIN tot ORDER BY fold_a, fold_b""".stripMargin
 
   /** q104: `Similarity.knnClassify` — q37's exact-cosine top-k joined
     * to the neighbors' labels, majority vote per query (ties: more
@@ -6613,6 +6672,7 @@ object Oracles {
     "q337_stream_split_leakage" -> q329SplitLeakage,
     "q330_neardup_split_leakage" -> q330NearDupSplitLeakage,
     "q331_dedup_aware_kfold" -> q331DedupAwareKfold,
+    "q338_semantic_split_leakage" -> q338SemanticSplitLeakage,
     "q332_neardup_aware_kfold" -> q332NearDupAwareKfold,
     "q333_mixture_feasibility" -> q333MixtureFeasibility,
     "q334_shard_skew_preflight" -> q334ShardSkewPreflight,

@@ -3669,6 +3669,23 @@ object SparkEntry {
         .orderBy("fold_a", "fold_b")
     }),
 
+    // ---- ops tier: EMBEDDING split-leakage audit (NEW r17) ----
+    // The modality q329/q330 cannot reach: SemDeDup components (the
+    // q94 within-cell integer-cosine parent pointers, componentized)
+    // straddling md5Kfold folds — a paraphrase sharing no 5-gram with
+    // its source still leaks through the embedding space. Corpus
+    // clone-augmented (vec_id<50 under +1e6 ids, identical vectors →
+    // certain semantic dups landing in different folds). Same readout
+    // as q330, one code path.
+    "q338_semantic_split_leakage" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val aug = e.unionByName(e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          col("embedding")))
+      Xval.semanticLeakageAudit(aug, folds = 4)
+        .orderBy("fold_a", "fold_b")
+    }),
+
     // ---- ops tier: dedup-aware k-fold, exact tier (NEW r17) ----
     // The remedy q329's audit demands: fold on the CONTENT digest, so
     // exact-dup groups land whole in one fold. Gate: the same

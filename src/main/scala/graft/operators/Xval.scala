@@ -337,16 +337,27 @@ object Xval {
         .join(dgc, Seq("_dg"))
         .groupBy(col("cluster_id").as("_cid"), col("fold"))
         .agg(sum("_n0").as("_n")))
+    clusterStraddleReadout(cells)
+  }
+
+  /** The straddle readout over (_cid, fold, _n) cluster cells — ONE
+    * code path for every cluster-tier leakage audit (near-dup text,
+    * semantic/embedding), so their tables compare column for column.
+    */
+  private def clusterStraddleReadout(cells: DataFrame): DataFrame = {
     val groups = cells.groupBy("_cid")
       .agg(countDistinct("fold").as("_nf"))
     val tot = groups.agg(count(lit(1)).as("total_clusters"),
       coalesce(sum(when(col("_nf") > 1, 1L).otherwise(0L)), lit(0L))
         .as("n_multi_fold_clusters"))
+    // b renames its key: a memory-sink-backed cells frame yields the
+    // same attribute ids on both sides of a self-join (the q337 class)
     val a = cells.select(col("_cid"), col("fold").as("fold_a"),
       col("_n").as("_na"))
-    val b = cells.select(col("_cid"), col("fold").as("fold_b"),
-      col("_n").as("_nb"))
-    a.join(b, Seq("_cid")).filter(col("fold_a") < col("fold_b"))
+    val b = cells.select(col("_cid").as("_cidb"),
+      col("fold").as("fold_b"), col("_n").as("_nb"))
+    a.join(b, col("_cid") === col("_cidb")).drop("_cidb")
+      .filter(col("fold_a") < col("fold_b"))
       .groupBy("fold_a", "fold_b")
       .agg(count(lit(1)).as("n_leaky_clusters"),
         sum(expr("CAST(_na AS DECIMAL(38,0)) * _nb")).as("_lp"))
@@ -360,6 +371,55 @@ object Xval {
         col("_lp").cast("long").as("n_leaky_pairs"),
         col("total_clusters"), col("n_multi_fold_clusters"),
         col("leak_share_q6"))
+  }
+
+  /** EMBEDDING-tier split-leakage audit — the modality the lexical
+    * audits cannot reach: semantic near-dup groups (SemDeDup —
+    * [[Similarity.semanticDedup]]'s within-cell integer-cosine pairs,
+    * componentized with [[Dedup.clusterPairs]]) whose members straddle
+    * folds. A paraphrase or re-render that shares no 5-gram with its
+    * source still lands in the same embedding cluster, so a split that
+    * passes q329 AND q330 can still leak here. Same output contract as
+    * [[nearDupLeakageAuditOn]] ([[clusterStraddleReadout]], one code
+    * path); members are vectors (embedding identity IS the content —
+    * no digest expansion tier). Input must carry `fold`.
+    *
+    * Scale shape: SemDeDup's cost (IVF-bucketed within-cell pairs,
+    * never all-pairs), the component labels are dup-pair-sized, cells
+    * are cells⋈cells — nothing corpus-sized past the pair stage.
+    */
+  def semanticLeakageAuditOn(vectors: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nCells: Int = -1, iters: Int = 2, thresholdNum: Long = 7,
+      thresholdDen: Long = 10): DataFrame = {
+    require(vectors.columns.contains("fold"),
+      "semanticLeakageAuditOn needs a `fold` column — assign one with " +
+        "any Xval strategy (or use the semanticLeakageAudit overload)")
+    val sem = Similarity.semanticDedup(
+      vectors.select(col(idCol), col(vecCol)), nCells = nCells,
+      iters = iters, thresholdNum = thresholdNum,
+      thresholdDen = thresholdDen, idCol = idCol, vecCol = vecCol)
+    val pairs = sem.filter(col("dup_of") >= 0)
+      .select(col("dup_of").as("id_a"), col(idCol).as("id_b"))
+    val labels = Dedup.clusterPairs(pairs)
+    val cells = Dedup.materialize(
+      vectors.select(col(idCol).as("id"), col("fold"))
+        .join(labels, Seq("id"))
+        .groupBy(col("cluster_id").as("_cid"), col("fold"))
+        .agg(count(lit(1)).as("_n")))
+    clusterStraddleReadout(cells)
+  }
+
+  /** [[semanticLeakageAuditOn]] with the [[md5Kfold]] convenience
+    * split on the vector id.
+    */
+  def semanticLeakageAudit(vectors: DataFrame, folds: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nCells: Int = -1, iters: Int = 2, thresholdNum: Long = 7,
+      thresholdDen: Long = 10): DataFrame = {
+    require(folds >= 2, "semanticLeakageAudit needs folds >= 2")
+    semanticLeakageAuditOn(md5Kfold(vectors, folds, idCol), idCol,
+      vecCol, nCells, iters, thresholdNum, thresholdDen)
   }
 
   /** [[nearDupLeakageAuditOn]] with the [[md5Kfold]] convenience split

@@ -3514,6 +3514,38 @@ class OperatorsSpec extends SparkSpec {
     assert(Xval.nearDupLeakageAuditOn(singletons).count() == 0L)
   }
 
+  test("semanticLeakageAuditOn: SemDeDup clusters straddling explicit folds; co-fold clusters read zero") {
+    import graft.operators.Xval
+    // one semantic-dup pair (identical vectors 1/2) split across
+    // folds; the rest near-orthogonal (cosine < 0.7 threshold)
+    val docs = Seq(
+      (1L, Array(10f, 1f, 0f, 0f), 0),
+      (2L, Array(10f, 1f, 0f, 0f), 1), // exact clone — different fold
+      (3L, Array(0f, 10f, 1f, 0f), 0),
+      (4L, Array(0f, 0f, 10f, 1f), 2),
+      (5L, Array(1f, 0f, 0f, 10f), 3)
+    ).toDF("vec_id", "embedding", "fold")
+    val got = Xval.semanticLeakageAuditOn(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List((0L, 1L, 1L, 1L, 1L, 1L, 1000000L)), s"$got")
+    // clone confined to one fold: nothing straddles
+    val cofold = Seq(
+      (1L, Array(10f, 1f, 0f, 0f), 2),
+      (2L, Array(10f, 1f, 0f, 0f), 2),
+      (3L, Array(0f, 10f, 1f, 0f), 0)
+    ).toDF("vec_id", "embedding", "fold")
+    assert(Xval.semanticLeakageAuditOn(cofold).count() == 0L)
+    // no semantic dups at all: zero rows, no fake clusters
+    val distinctVecs = Seq(
+      (1L, Array(10f, 1f, 0f, 0f), 0),
+      (3L, Array(0f, 10f, 1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "fold")
+    assert(Xval.semanticLeakageAuditOn(distinctVecs).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Xval.semanticLeakageAuditOn(docs.drop("fold"))
+    }
+  }
+
   test("dedupAwareKfold: digest folds kill exact leakage; balance stays in the md5Kfold band") {
     import graft.operators.Xval
     val n = 400

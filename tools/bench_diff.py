@@ -185,6 +185,13 @@ def floors_mode(paths, threshold, abs_delta, gate, recheck_path=None):
     if no_history:
         print(f"\nno baseline floors ({len(no_history)}): "
               + ", ".join(no_history))
+    # queries in history but entirely absent from the candidate record:
+    # not gated (headliner-list edits are deliberate) but never silent —
+    # a dropped query must be visible in the output
+    absent = sorted({q for _, f in bases for q in f} - set(new))
+    if absent:
+        print(f"absent from candidate ({len(absent)}): "
+              + ", ".join(absent))
     print(f"\n{len(new)} candidate queries, {len(failing)} now failing, "
           f"{len(regs)} floor regressions, {len(cleared)} cleared by "
           f"recheck")

@@ -188,10 +188,18 @@ def main():
     check("recheck: still-slow fresh floor confirms", rc == 1
           and "FLOOR REGRESSION" in out, f"rc={rc}\n{out}")
 
+    # 12. a query dropped from the candidate is listed, not silent
+    dropped = rec_raw({"qreg": [1.0, 1.1, 1.05],
+                       "qsmall": [0.1, 0.1, 0.1]})
+    rc, out = run_floors([b1, b2, dropped])
+    check("floors: dropped query listed", rc == 0
+          and "absent from candidate (1): qfloat" in out,
+          f"rc={rc}\n{out}")
+
     if failures:
         print("FAIL\n" + "\n".join(failures))
         sys.exit(1)
-    print("bench_diff self-test: 11 checks OK")
+    print("bench_diff self-test: 12 checks OK")
 
 
 if __name__ == "__main__":
