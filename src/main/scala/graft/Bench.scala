@@ -132,7 +132,15 @@ object Bench {
     "q334_shard_skew_preflight", // planned-shard token loads before the write (NEW r17)
     "q335_token_shard_plan", // token-budget shard boundaries, two-phase prefix sum (NEW r17)
     "q336_anneal_mixture_plan", // two-phase anneal schedule off the mixture cells (NEW r17)
-    "q338_semantic_split_leakage") // SemDeDup components straddling folds (NEW r17)
+    "q338_semantic_split_leakage", // SemDeDup components straddling folds (NEW r17)
+    "q339_salt_plan",       // join-skew remedy: fan-outs + repl cost off q328's cells (NEW r17)
+    "q340_t_closeness",     // privacy triad leg 3: exact Q9 ordered EMD per class (NEW r17)
+    "q341_kanon_suppression", // k-anon remedy: suppression cost ladder (NEW r17)
+    "q343_salted_join",     // salted equi-join EXECUTION, ≡ plain join (NEW r17)
+    "q344_fold_parity",     // per-fold composition vs corpus, Q6 TVD (NEW r17)
+    "q345_kanon_generalization", // rollup ladder, the other k-anon remedy axis (NEW r17)
+    "q347_stratified_parity", // the parity remedy: stratify on the audited attribute (NEW r17)
+    "q348_freshness")       // ingest lag + window ratio off minute cells (NEW r17)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine

@@ -6537,6 +6537,252 @@ object Oracles {
       |FROM tk CROSS JOIN tot WHERE tk.rank <= 10
       |ORDER BY rank""".stripMargin
 
+  /** q339: `Validation.saltPlan` — q328's cells, per-key fan-out
+    * S = ceil(n_big / max(1, target DIV n_small)) (1 when pairs ≤
+    * target), residual ceil(n_big/S)·n_small, replication (S−1)·
+    * n_small, grid flag when n_small > target; per-fan-out histogram
+    * + plan scalars. All integer floor arithmetic, HUGEINT
+    * intermediates.
+    */
+  def q339SaltPlan: String =
+    """WITH cl AS (SELECT CAST(l_partkey AS BIGINT) AS key,
+      |    COUNT(*) AS n_left
+      |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+      |cr AS (SELECT CAST(l_partkey AS BIGINT) AS key,
+      |    COUNT(*) AS n_right
+      |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+      |cells AS (SELECT cl.key, cl.n_left, cr.n_right,
+      |    CAST(cl.n_left AS HUGEINT) * cr.n_right AS n_pairs
+      |  FROM cl JOIN cr USING (key)),
+      |d AS (SELECT key, n_left, n_right, n_pairs,
+      |    CAST(LEAST(n_left, n_right) AS HUGEINT) AS ns,
+      |    CAST(GREATEST(n_left, n_right) AS HUGEINT) AS nb FROM cells),
+      |f AS (SELECT *, CASE WHEN n_pairs <= 256 THEN 1
+      |    ELSE (nb + GREATEST(1, 256 // ns) - 1) // GREATEST(1, 256 // ns)
+      |    END AS s FROM d),
+      |r AS (SELECT *, ((nb + s - 1) // s) * ns AS residual,
+      |    (s - 1) * ns AS repl,
+      |    CASE WHEN n_pairs > 256 AND ns > 256 THEN 1 ELSE 0 END AS grid
+      |  FROM f),
+      |tot AS (SELECT SUM(n_pairs) AS total_pairs,
+      |    SUM(CASE WHEN s > 1 THEN 1 ELSE 0 END) AS n_salted,
+      |    SUM(repl) AS total_repl, MAX(residual) AS max_after,
+      |    SUM(grid) AS n_grid FROM r)
+      |SELECT CAST(s AS BIGINT) AS salt_fanout,
+      |  COUNT(*)::BIGINT AS n_keys,
+      |  CAST(SUM(n_pairs) AS BIGINT) AS sum_pairs,
+      |  CAST(SUM(repl) AS BIGINT) AS repl_rows,
+      |  CAST(MAX(residual) AS BIGINT) AS max_task_pairs,
+      |  CAST(tot.n_salted AS BIGINT) AS n_salted_keys,
+      |  CAST(tot.total_repl AS BIGINT) AS total_repl_rows,
+      |  CAST(tot.max_after AS BIGINT) AS max_task_pairs_after,
+      |  CAST(tot.total_pairs AS BIGINT) AS total_pairs,
+      |  CAST(tot.n_grid AS BIGINT) AS n_grid_keys
+      |FROM r CROSS JOIN tot
+      |GROUP BY s, tot.n_salted, tot.total_repl, tot.max_after,
+      |  tot.total_pairs, tot.n_grid
+      |ORDER BY salt_fanout""".stripMargin
+
+  /** q340 (and q342's streaming twin): `Validation.tClosenessAudit` —
+    * (class × band) cells, global band cums via the bounded band self-
+    * join, class cums on the class×band grid, per-class exact EMD
+    * numerator Σ|cumC·N − cumG·n| in Q9 over n·N·(B−1), 1-row readout
+    * at t = 0.15. Bands are the q264 shifted-positive balance bands so
+    * // ≡ DIV.
+    */
+  def q340TCloseness: String =
+    """WITH b0 AS (SELECT c_nationkey, c_mktsegment,
+      |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      + 100000) // 100000 AS band
+      |  FROM customer),
+      |cells AS (SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS n
+      |  FROM b0 GROUP BY 1, 2, 3),
+      |bands AS (SELECT band, SUM(n) AS g FROM cells GROUP BY 1),
+      |bc AS (SELECT x.band, SUM(y.g) AS cumg FROM bands x
+      |  JOIN bands y ON y.band <= x.band GROUP BY 1),
+      |scal AS (SELECT CAST(SUM(g) AS HUGEINT) AS nn,
+      |    COUNT(*)::BIGINT AS nb FROM bands),
+      |cls AS (SELECT c_nationkey, c_mktsegment, SUM(n) AS nc
+      |  FROM cells GROUP BY 1, 2),
+      |grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.nc,
+      |    bc.band, bc.cumg FROM cls CROSS JOIN bc),
+      |cum AS (SELECT g.c_nationkey, g.c_mktsegment, g.nc, g.band,
+      |    g.cumg, COALESCE(SUM(c.n), 0) AS cumc
+      |  FROM grid g LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+      |    AND c.c_mktsegment = g.c_mktsegment AND c.band <= g.band
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |pc AS (SELECT m.c_nationkey, m.c_mktsegment, m.nc,
+      |    SUM(ABS(CAST(m.cumc AS HUGEINT) * scal.nn
+      |      - CAST(m.cumg AS HUGEINT) * m.nc)) AS num,
+      |    MAX(scal.nn) AS nn, MAX(scal.nb) AS nb
+      |  FROM cum m CROSS JOIN scal GROUP BY 1, 2, 3),
+      |e AS (SELECT *, CASE WHEN nb > 1 THEN
+      |    CAST((num * 1000000000)
+      |      // (CAST(nc AS HUGEINT) * nn * (nb - 1)) AS BIGINT)
+      |    ELSE 0 END AS emd FROM pc)
+      |SELECT CAST(MAX(nn) AS BIGINT) AS n_rows,
+      |  COUNT(*)::BIGINT AS n_classes,
+      |  CAST(MAX(nb) AS BIGINT) AS n_bands,
+      |  MAX(emd) AS max_emd_q9,
+      |  SUM(CASE WHEN emd > 150000000 THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_violating_classes,
+      |  CAST(SUM(CASE WHEN emd > 150000000 THEN nc ELSE 0 END)
+      |    AS BIGINT) AS n_rows_violating,
+      |  CAST((CAST(SUM(CASE WHEN emd > 150000000 THEN nc ELSE 0 END)
+      |    AS HUGEINT) * 1000000000) // SUM(nc) AS BIGINT)
+      |    AS viol_rate_q9
+      |FROM e ORDER BY n_rows""".stripMargin
+
+  /** q341: `Validation.kAnonSuppressionLadder` — q262's cells crossed
+    * with the k ladder, per-k suppression cost + kept floor + Q6 kept
+    * share.
+    */
+  def q341KanonSuppression: String =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      |  FROM customer GROUP BY 1, 2),
+      |ks(k) AS (VALUES (2), (5), (10), (25), (50)),
+      |tot AS (SELECT SUM(n) AS t FROM g)
+      |SELECT CAST(k AS BIGINT) AS k,
+      |  SUM(CASE WHEN n < k THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_groups_suppressed,
+      |  CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_rows_suppressed,
+      |  CAST(SUM(CASE WHEN n >= k THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_rows_kept,
+      |  CAST(MIN(CASE WHEN n >= k THEN n END) AS BIGINT)
+      |    AS min_kept_group_size,
+      |  CAST((CAST(SUM(CASE WHEN n >= k THEN n ELSE 0 END) AS HUGEINT)
+      |    * 1000000) // tot.t AS BIGINT) AS kept_share_q6
+      |FROM g CROSS JOIN ks CROSS JOIN tot
+      |GROUP BY k, tot.t ORDER BY k""".stripMargin
+
+  /** q343: `Skew.saltedEquiJoin` — the oracle runs the PLAIN join
+    * (semantic equality is the whole claim of the salted executor)
+    * and the exact weighted aggregate.
+    */
+  def q343SaltedJoin: String =
+    """WITH a AS (SELECT l_partkey, COUNT(*) AS n_lines
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag, COUNT(*)::BIGINT AS n_rows,
+      |  CAST(SUM(CAST(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100
+      |    AS BIGINT) AS HUGEINT) * a.n_lines) AS BIGINT) AS qq_cents
+      |FROM lineitem l JOIN a USING (l_partkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q344: `Xval.foldParityAudit` — md5Kfold replay, (fold, source)
+    * cells, folds×groups grid with zero-filled absences, per-fold max
+    * Q6 deviation + Q6 total variation distance, all cross-multiplied
+    * integers.
+    */
+  def q344FoldParity: String =
+    """WITH f AS (SELECT doc_id, source,
+      |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |      AS UBIGINT) % 4 AS BIGINT) AS fold
+      |  FROM documents WHERE source IS NOT NULL),
+      |cells AS (SELECT fold, source AS src, COUNT(*) AS n
+      |  FROM f GROUP BY 1, 2),
+      |grp AS (SELECT src, SUM(n) AS ng FROM cells GROUP BY 1),
+      |ft AS (SELECT fold, SUM(n) AS nf FROM cells GROUP BY 1),
+      |scal AS (SELECT CAST(SUM(ng) AS HUGEINT) AS nn FROM grp),
+      |grid AS (SELECT ft.fold, ft.nf, grp.src, grp.ng,
+      |    COALESCE(c.n, 0) AS nfb
+      |  FROM ft CROSS JOIN grp LEFT JOIN cells c
+      |    ON c.fold = ft.fold AND c.src = grp.src),
+      |d AS (SELECT fold, nf,
+      |    ABS(CAST(nfb AS HUGEINT) * scal.nn
+      |      - CAST(ng AS HUGEINT) * nf) AS dev,
+      |    scal.nn AS nn
+      |  FROM grid CROSS JOIN scal)
+      |SELECT CAST(fold AS BIGINT) AS fold,
+      |  CAST(MAX(nf) AS BIGINT) AS n_rows,
+      |  COUNT(*)::BIGINT AS n_groups,
+      |  CAST(MAX((dev * 1000000) // (CAST(nf AS HUGEINT) * nn))
+      |    AS BIGINT) AS max_dev_q6,
+      |  CAST((SUM(dev) * 1000000)
+      |    // (2 * CAST(MAX(nf) AS HUGEINT) * MAX(nn)) AS BIGINT)
+      |    AS tvd_q6
+      |FROM d GROUP BY fold ORDER BY fold""".stripMargin
+
+  /** q347: `Xval.stratifiedKfold(source, keyCol=doc_id)` replayed —
+    * per-stratum row_number over the md5('seed#tag#key') order (the
+    * /2³² normalization is monotone, so ordering by the 32-bit integer
+    * is identical) — then q344's parity readout verbatim.
+    */
+  def q347StratifiedParity: String =
+    """WITH f AS (SELECT doc_id, source,
+      |    (ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+      |      CAST('0x' || substr(md5('0#0#' || CAST(doc_id AS VARCHAR)),
+      |        1, 8) AS UBIGINT), doc_id) - 1) % 4 AS fold
+      |  FROM documents WHERE source IS NOT NULL),
+      |cells AS (SELECT fold, source AS src, COUNT(*) AS n
+      |  FROM f GROUP BY 1, 2),
+      |grp AS (SELECT src, SUM(n) AS ng FROM cells GROUP BY 1),
+      |ft AS (SELECT fold, SUM(n) AS nf FROM cells GROUP BY 1),
+      |scal AS (SELECT CAST(SUM(ng) AS HUGEINT) AS nn FROM grp),
+      |grid AS (SELECT ft.fold, ft.nf, grp.src, grp.ng,
+      |    COALESCE(c.n, 0) AS nfb
+      |  FROM ft CROSS JOIN grp LEFT JOIN cells c
+      |    ON c.fold = ft.fold AND c.src = grp.src),
+      |d AS (SELECT fold, nf,
+      |    ABS(CAST(nfb AS HUGEINT) * scal.nn
+      |      - CAST(ng AS HUGEINT) * nf) AS dev,
+      |    scal.nn AS nn
+      |  FROM grid CROSS JOIN scal)
+      |SELECT CAST(fold AS BIGINT) AS fold,
+      |  CAST(MAX(nf) AS BIGINT) AS n_rows,
+      |  COUNT(*)::BIGINT AS n_groups,
+      |  CAST(MAX((dev * 1000000) // (CAST(nf AS HUGEINT) * nn))
+      |    AS BIGINT) AS max_dev_q6,
+      |  CAST((SUM(dev) * 1000000)
+      |    // (2 * CAST(MAX(nf) AS HUGEINT) * MAX(nn)) AS BIGINT)
+      |    AS tvd_q6
+      |FROM d GROUP BY fold ORDER BY fold""".stripMargin
+
+  /** q348: `Timeseries.freshnessAudit` — (type, minute) cells, global
+    * max minute, per-type lag + trailing/previous 60-minute window
+    * counts, Q6 ratio.
+    */
+  def q348Freshness: String =
+    """WITH c AS (SELECT event_type, epoch_us(ts) // 60000000 AS m,
+      |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+      |g AS (SELECT MAX(m) AS gm FROM c)
+      |SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+      |  CAST(MAX(m) AS BIGINT) AS last_minute,
+      |  CAST(MAX(g.gm) - MAX(m) AS BIGINT) AS lag_min,
+      |  CAST(SUM(CASE WHEN m > g.gm - 60 THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_last_w,
+      |  CAST(SUM(CASE WHEN m <= g.gm - 60 AND m > g.gm - 120
+      |    THEN n ELSE 0 END) AS BIGINT) AS n_prev_w,
+      |  CAST(CASE WHEN SUM(CASE WHEN m <= g.gm - 60 AND m > g.gm - 120
+      |      THEN n ELSE 0 END) > 0
+      |    THEN (CAST(SUM(CASE WHEN m > g.gm - 60 THEN n ELSE 0 END)
+      |      AS HUGEINT) * 1000000)
+      |      // SUM(CASE WHEN m <= g.gm - 60 AND m > g.gm - 120
+      |        THEN n ELSE 0 END)
+      |    END AS BIGINT) AS ratio_q6
+      |FROM c CROSS JOIN g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q345: `Validation.kAnonGeneralizationLadder` — one ROLLUP pass,
+    * level = Σ GROUPING(cᵢ) (convention-free), per-level class stats
+    * at k=10.
+    */
+  def q345KanonGeneralization: String =
+    """WITH cells AS (SELECT
+      |    GROUPING(c_nationkey) + GROUPING(c_mktsegment) AS lvl,
+      |    COUNT(*) AS n
+      |  FROM customer GROUP BY ROLLUP (c_nationkey, c_mktsegment))
+      |SELECT CAST(lvl AS BIGINT) AS level,
+      |  CASE lvl WHEN 0 THEN 'c_nationkey,c_mktsegment'
+      |    WHEN 1 THEN 'c_nationkey' ELSE '<all>' END AS quasi,
+      |  CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  COUNT(*)::BIGINT AS n_classes,
+      |  CAST(MIN(n) AS BIGINT) AS min_class_size,
+      |  CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_rows_violating,
+      |  CAST((CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS HUGEINT)
+      |    * 1000000000) // SUM(n) AS BIGINT) AS viol_rate_q9
+      |FROM cells GROUP BY lvl ORDER BY level""".stripMargin
+
   /** q313: `Sketches.dyadicHistogram` over per-doc whitespace token
     * counts — the q241 octave/cell replay on the q79 token convention
     * (zero-token docs drop, as the sketch's >0 domain requires).
@@ -6678,6 +6924,20 @@ object Oracles {
     "q334_shard_skew_preflight" -> q334ShardSkewPreflight,
     "q335_token_shard_plan" -> q335TokenShardPlan,
     "q336_anneal_mixture_plan" -> q336AnnealMixturePlan,
+    "q339_salt_plan" -> q339SaltPlan,
+    "q340_t_closeness" -> q340TCloseness,
+    // q342 = q340's cells built by the streaming state store (the
+    // q290 discipline — one relational truth, two engine paths)
+    "q342_stream_t_closeness" -> q340TCloseness,
+    "q341_kanon_suppression" -> q341KanonSuppression,
+    "q343_salted_join" -> q343SaltedJoin,
+    "q344_fold_parity" -> q344FoldParity,
+    // q346 = q344's cells built by the streaming state store (the
+    // q337/q342 discipline — one relational truth, two engine paths)
+    "q346_stream_fold_parity" -> q344FoldParity,
+    "q345_kanon_generalization" -> q345KanonGeneralization,
+    "q347_stratified_parity" -> q347StratifiedParity,
+    "q348_freshness" -> q348Freshness,
     "q291_ann_recall" -> q291AnnRecall,
     "q292_stationary" -> q292Stationary,
     "q294_pinball_loss" -> q294PinballLoss,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.DabDataset
 import graft.functions.{AggregationProcessor, Chain, FFTProcessor, Framing, Processor}
-import graft.operators.{Analytics, Asof, Curation, Dedup, Graphs, Layout, Multimodal, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Timeseries, Validation, Xval}
+import graft.operators.{Analytics, Asof, Curation, Dedup, Graphs, Layout, Multimodal, Packing, Retrieval, Sampling, Similarity, Sketches, Skew, TextAnalysis, Timeseries, Validation, Xval}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -3684,6 +3684,143 @@ object SparkEntry {
           col("embedding")))
       Xval.semanticLeakageAudit(aug, folds = 4)
         .orderBy("fold_a", "fold_b")
+    }),
+
+    // ---- ops tier: salting plan, the join-skew remedy (NEW r17) ----
+    // q328's audit says which keys blow up; this says what to DO: per
+    // hot key the exact salt fan-out that brings its worst task under
+    // the 256-pair target, the replication rows that costs, and the
+    // residual task load — folded to a per-fan-out histogram off the
+    // SAME joinSkewCells build (one cells site, audit + remedy).
+    "q339_salt_plan" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      Validation.saltPlan(li, li, "l_partkey", targetPairs = 256L)
+        .orderBy("salt_fanout")
+    }),
+
+    // ---- privacy tier: t-closeness audit (NEW r17) ----
+    // The triad's third leg after q262 (class size) and q264 (distinct
+    // sensitive values): a large, diverse class still leaks if its
+    // sensitive DISTRIBUTION deviates — exact Q9 ordered EMD via
+    // cross-multiplied integer cumulative counts, the q264 balance
+    // bands as the ordered sensitive attribute, t = 0.15.
+    "q340_t_closeness" -> ((s, dir) => {
+      Validation.tClosenessAudit(
+        customer(s, dir).withColumn("bal_band", expr(
+          "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " + 100000) DIV 100000")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band",
+        tQ9 = 150000000L)
+    }),
+
+    // ---- privacy tier: k-anon suppression ladder (NEW r17) ----
+    // The remedy q262's audit demands: at each k on the ladder, what
+    // the release loses (groups/rows suppressed, Q6 kept share) and
+    // what it then guarantees (min kept class ≥ k; post-suppression
+    // re-audit reads zero, spec-gated) — pick k off the curve.
+    "q341_kanon_suppression" -> ((s, dir) => {
+      Validation.kAnonSuppressionLadder(customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"), Seq(2, 5, 10, 25, 50))
+        .orderBy("k")
+    }),
+
+    // ---- skew tier: salted equi-join EXECUTION (NEW r17) ----
+    // The tier closes: q68 salts aggregations, q328 audits the join,
+    // q339 plans it, this RUNS it — every lineitem enriched with its
+    // part's line count through the salted (key, salt) join (target 8
+    // pairs/task so the plan engages at every sf), then an exact
+    // aggregate the oracle reproduces off a PLAIN join: the remedy
+    // preserves join semantics row-for-row, hash-gated.
+    "q343_salted_join" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val stats = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"))
+      val j = Skew.saltedEquiJoin(
+        li.select(col("l_partkey"), col("l_returnflag"),
+          col("l_quantity")),
+        stats, "l_partkey", targetPairs = 8L)
+      j.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100" +
+            " AS DECIMAL(38,0)) * n_lines AS DECIMAL(38,0))"))
+            .cast("long").as("qq_cents"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- xval tier: fold-parity audit (NEW r17) ----
+    // The leakage family's complement: not "do folds share content"
+    // but "does each fold REPRESENT the corpus" — per fold the exact
+    // Q6 worst per-source share deviation and total variation
+    // distance vs the corpus mix, over the md5Kfold split.
+    "q344_fold_parity" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("source"))
+      Xval.foldParityAudit(Xval.md5Kfold(d, 4, "doc_id"), "source")
+        .orderBy("fold")
+    }),
+
+    // ---- streaming tier: fold-parity twin (NEW r17) ----
+    // q344's (fold, source) cells built by the streaming engine — the
+    // live split monitor next to q337's leakage monitor: fold and
+    // composition checked WHILE documents stream in. Shared FromCells
+    // readout, oracle is q344's SQL verbatim.
+    "q346_stream_fold_parity" -> ((s, dir) => {
+      val cells = EventStreams.runOnceOnParquet(s,
+        s"$dir/documents.parquet",
+        df => Xval.foldParityCells(
+          Xval.md5Kfold(df.select(col("doc_id"), col("source")), 4,
+            "doc_id"), "source"),
+        s"fparity_sink_${System.nanoTime()}")
+      Xval.foldParityFromCells(cells).orderBy("fold")
+    }),
+
+    // ---- xval tier: stratified parity remedy (NEW r17) ----
+    // The remedy q344's audit points at: stratify on the attribute you
+    // need represented. stratifiedKfold (md5-ordered, layout-
+    // independent) on source, then the SAME parity readout — per-fold
+    // TVD collapses to the integer-remainder floor by construction.
+    "q347_stratified_parity" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("source"))
+      Xval.foldParityAudit(
+        Xval.stratifiedKfold(d, 4, "source", seed = 0,
+          keyCol = Some("doc_id")), "source")
+        .orderBy("fold")
+    }),
+
+    // ---- ops tier: ingest-freshness audit (NEW r17) ----
+    // The first page of the pipeline dashboard: per event type the lag
+    // vs the global newest minute and trailing-vs-previous 60-minute
+    // window counts (Q6 ratio) — stalls and slowdowns as exact
+    // integers off (type, minute) cells, one partial-agg'd scan.
+    "q348_freshness" -> ((s, dir) => {
+      Timeseries.freshnessAudit(events(s, dir), windowMinutes = 60)
+        .orderBy("event_type")
+    }),
+
+    // ---- privacy tier: generalization ladder (NEW r17) ----
+    // The OTHER k-anon remedy axis (q341 drops rows; this drops
+    // columns): the release audited at every rollup level of the
+    // quasi tuple in ONE scan — the first zero-violation level is the
+    // minimum generalization, its class collapse the utility price.
+    "q345_kanon_generalization" -> ((s, dir) => {
+      Validation.kAnonGeneralizationLadder(customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .orderBy("level")
+    }),
+
+    // ---- streaming tier: t-closeness twin (NEW r17) ----
+    // q340's (class × band) cells built by the streaming engine (the
+    // q290 state-store path — the live release monitor), shared
+    // FromCells readout, oracle is q340's SQL verbatim.
+    "q342_stream_t_closeness" -> ((s, dir) => {
+      val cells = EventStreams.runOnceOnParquet(s,
+        s"$dir/customer.parquet",
+        df => Validation.tClosenessCells(df.withColumn("bal_band", expr(
+            "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+              " + 100000) DIV 100000")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_band"),
+        s"tclose_sink_${System.nanoTime()}")
+      Validation.tClosenessFromCells(cells,
+        Seq("c_nationkey", "c_mktsegment"), tQ9 = 150000000L)
     }),
 
     // ---- ops tier: dedup-aware k-fold, exact tier (NEW r17) ----

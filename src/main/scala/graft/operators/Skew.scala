@@ -44,4 +44,58 @@ object Skew {
       .groupBy(col(key))
       .agg(merges.head, merges.tail: _*)
   }
+
+  /** Salted equi-join — the EXECUTOR of [[Validation.saltPlan]]'s
+    * remedy, completing the skew tier: q68 salts aggregations, q328
+    * audits the join, q339 plans it, this RUNS it. Per hot key (pair
+    * product > `targetPairs`, fan-out from the plan's ONE formula
+    * site, [[Validation.withFanout]]): the bigger side's rows each
+    * take one hash salt in [0, S), the smaller side's rows replicate
+    * across all S salts, and the join runs on (key, salt) — so the
+    * hot key's pairs spread over S tasks instead of one. Every (l, r)
+    * pair appears EXACTLY once (the split side takes exactly one
+    * salt; the replicate side covers all of them), so the result is
+    * the plain join row-for-row — spec-gated by multiset equality.
+    * Cold keys pass through with salt 0 on both sides.
+    *
+    * Column names must be disjoint apart from the key (pre-rename for
+    * self-joins) — REQUIREd loudly.
+    *
+    * Scale shape: the hot-key map is the |hot keys|-row slice of the
+    * skew cells (tiny by the definition of skew) and BROADCASTS to
+    * both sides; the replicate side grows by Σ(S−1)·n_small — the
+    * plan's `total_repl_rows`, priced BEFORE running; the shuffle key
+    * becomes (key, salt) so AQE-invisible single-key hotspots split.
+    * The hash salt spreads the split side approximately (the plan's
+    * residual bound assumes balanced assignment); exactness does not
+    * depend on the spread.
+    */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      targetPairs: Long): DataFrame = {
+    val overlap = (left.columns.toSet & right.columns.toSet) - keyCol
+    require(overlap.isEmpty,
+      s"saltedEquiJoin needs disjoint non-key columns; shared: " +
+        s"${overlap.toSeq.sorted.mkString(", ")} — rename before joining")
+    val hot = graft.operators.Validation
+      .withFanout(Validation.joinSkewCells(left, right, keyCol), targetPairs)
+      .filter(col("_s") > 1)
+      .select(col("key").as("_hk"), col("_s").cast("long").as("_fan"),
+        (col("n_left") >= col("n_right")).as("_left_big"))
+    def salted(df: DataFrame, isLeft: Boolean): DataFrame = {
+      val splits = if (isLeft) col("_left_big") else !col("_left_big")
+      val others0 = df.columns.filter(_ != keyCol).map(col)
+      val others = if (others0.isEmpty) Array(col(keyCol)) else others0
+      val salts = when(col("_fan").isNull, array(lit(0L)))
+        .when(splits, array(pmod(xxhash64(struct(others: _*)),
+          col("_fan"))))
+        .otherwise(sequence(lit(0L), col("_fan") - 1))
+      df.join(broadcast(hot), col(keyCol).cast("long") <=> col("_hk"),
+          "left")
+        .withColumn("_salt", explode(salts))
+        .drop("_hk", "_fan", "_left_big")
+    }
+    salted(left, isLeft = true)
+      .join(salted(right, isLeft = false), Seq(keyCol, "_salt"))
+      .drop("_salt")
+  }
 }

@@ -249,4 +249,52 @@ object Timeseries {
           abs(col("x_tenk") - col("_prev")) * relDen > abs(col("_prev")))
           .as("alert"))
   }
+
+  /** Ingest-freshness audit — the first page of every pipeline ops
+    * dashboard: per source/type, how far behind the newest data is
+    * this feed (lag vs the GLOBAL newest minute) and is it slowing
+    * (trailing window vs the window before it). Minute-resolution by
+    * design: the corpus collapses to (type, minute) count cells in one
+    * partial-agg'd scan, so the audit is exact, cheap, and the cells
+    * are mergeable (streamable through the state store like every
+    * cells family).
+    *
+    * Output per type: (event_type, n_events, last_minute, lag_min,
+    * n_last_w, n_prev_w, ratio_q6) — ratio = trailing/previous window
+    * counts in Q6 (NULL when the previous window is empty); a stalled
+    * feed reads n_last_w = 0 with a big lag_min.
+    */
+  def freshnessAudit(events: DataFrame, windowMinutes: Int = 60,
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame =
+    freshnessFromCells(freshnessCells(events, typeCol, tsCol),
+      windowMinutes)
+
+  /** The (type, minute, n) cells behind [[freshnessAudit]]. */
+  def freshnessCells(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame =
+    events
+      .groupBy(col(typeCol).as("_t"),
+        expr(s"unix_micros($tsCol) DIV 60000000").as("_min"))
+      .agg(count(lit(1)).as("_n"))
+
+  /** Readout over [[freshnessCells]] output. */
+  def freshnessFromCells(cells: DataFrame,
+      windowMinutes: Int = 60): DataFrame = {
+    require(windowMinutes >= 1, "freshnessAudit needs windowMinutes >= 1")
+    val w = windowMinutes.toLong
+    val scal = cells.agg(max("_min").as("_gmax"))
+    cells.crossJoin(broadcast(scal))
+      .groupBy(col("_t").as("event_type"))
+      .agg(sum("_n").as("n_events"),
+        max("_min").as("last_minute"),
+        (max(col("_gmax")) - max("_min")).as("lag_min"),
+        coalesce(sum(when(col("_min") > col("_gmax") - w, col("_n"))
+          .otherwise(0L)), lit(0L)).as("n_last_w"),
+        coalesce(sum(when(col("_min") <= col("_gmax") - w &&
+            col("_min") > col("_gmax") - 2 * w, col("_n"))
+          .otherwise(0L)), lit(0L)).as("n_prev_w"))
+      .withColumn("ratio_q6", when(col("n_prev_w") > 0, expr(
+        "CAST((CAST(n_last_w AS DECIMAL(38,0)) * 1000000)" +
+          " DIV n_prev_w AS BIGINT)")))
+  }
 }

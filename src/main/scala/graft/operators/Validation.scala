@@ -398,32 +398,7 @@ object Validation {
   def joinSkewPreflight(left: DataFrame, right: DataFrame,
       keyCol: String, k: Int = 10): DataFrame = {
     require(k >= 1, "joinSkewPreflight needs k >= 1")
-    // integral keys only (the native top-k carries BIGINT ids) — and
-    // enforced loudly (r16 ADVICE): a silent cast would turn string
-    // keys into NULL groups that vanish from the cell equi-join and
-    // truncate-and-merge fractional doubles, so a misused preflight
-    // would read back "no skew" instead of failing. A safety tool
-    // must fail on misuse, not reassure.
-    Seq("left" -> left, "right" -> right).foreach { case (side, df) =>
-      val dt = df.schema(keyCol).dataType
-      val ok = dt == org.apache.spark.sql.types.LongType ||
-        dt == org.apache.spark.sql.types.IntegerType ||
-        dt == org.apache.spark.sql.types.ShortType ||
-        dt == org.apache.spark.sql.types.ByteType
-      require(ok, s"joinSkewPreflight needs an integral join key; " +
-        s"$side('$keyCol') is $dt — hash or dictionary-encode it first")
-    }
-    // pair counts ride the selection as double — exact to 2^53 per key,
-    // far past any per-key multiplicity a survivable join has
-    val cl = left.filter(col(keyCol).isNotNull)
-      .groupBy(col(keyCol).cast("long").as("key"))
-      .agg(count(lit(1)).as("n_left"))
-    val cr = right.filter(col(keyCol).isNotNull)
-      .groupBy(col(keyCol).cast("long").as("key"))
-      .agg(count(lit(1)).as("n_right"))
-    val cells = Dedup.materialize(cl.join(cr, Seq("key"))
-      .withColumn("n_pairs", expr(
-        "CAST(CAST(n_left AS DECIMAL(38,0)) * n_right AS DECIMAL(38,0))")))
+    val cells = joinSkewCells(left, right, keyCol)
     val tot = cells.agg(
       coalesce(sum("n_pairs"), lit(0).cast("decimal(38,0)"))
         .as("total_pairs"),
@@ -448,5 +423,343 @@ object Validation {
         col("pair_share_q6"),
         col("total_pairs").cast("long").as("total_pairs"),
         col("n_keys"), col("skew_q6"))
+  }
+
+  /** The per-key multiplicity cells behind [[joinSkewPreflight]] AND
+    * [[saltPlan]] — one build site (the calibrationCells discipline):
+    * (key, n_left, n_right, n_pairs DECIMAL(38,0)), materialized so
+    * audit and remedy read the same table. Each side collapses
+    * map-side to per-key counts; the shuffle moves |keys| rows, never
+    * the tables.
+    */
+  def joinSkewCells(left: DataFrame, right: DataFrame,
+      keyCol: String): DataFrame = {
+    // integral keys only (the native top-k carries BIGINT ids) — and
+    // enforced loudly (r16 ADVICE): a silent cast would turn string
+    // keys into NULL groups that vanish from the cell equi-join and
+    // truncate-and-merge fractional doubles, so a misused preflight
+    // would read back "no skew" instead of failing. A safety tool
+    // must fail on misuse, not reassure.
+    Seq("left" -> left, "right" -> right).foreach { case (side, df) =>
+      val dt = df.schema(keyCol).dataType
+      val ok = dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType ||
+        dt == org.apache.spark.sql.types.ByteType
+      require(ok, s"joinSkewCells needs an integral join key; " +
+        s"$side('$keyCol') is $dt — hash or dictionary-encode it first")
+    }
+    val cl = left.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("long").as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val cr = right.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("long").as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    Dedup.materialize(cl.join(cr, Seq("key"))
+      .withColumn("n_pairs", expr(
+        "CAST(CAST(n_left AS DECIMAL(38,0)) * n_right AS DECIMAL(38,0))")))
+  }
+
+  /** Salting plan — the remedy [[joinSkewPreflight]] demands: for every
+    * key whose exact pair product exceeds `targetPairs`, the salt
+    * fan-out that brings its worst task back under the target, the
+    * replication rows that fan-out costs, and the residual worst-task
+    * load — the audit→remedy loop for joins (the q331/q335 discipline:
+    * remedy numbers read through the same cells as the audit).
+    *
+    * Mechanics (one-sided salting): the LARGER side of a hot key
+    * splits into S salt buckets, the smaller side replicates S ways.
+    * With n_small ≤ target, `rows_per_task = max(1, target DIV
+    * n_small)` and `S = ceil(n_big / rows_per_task)` guarantees every
+    * salted task carries `ceil(n_big/S)·n_small ≤ target` pairs —
+    * exact integer arithmetic, no estimate anywhere. The residual
+    * bound assumes the split side salts BALANCED within the key
+    * (round-robin on a per-key rank — spec-verified); a random hash
+    * salt only approximates it. When n_small >
+    * target one-sided salting CANNOT reach the target (even a
+    * single big-side row pairs with the whole small side); those keys
+    * are flagged `n_grid_keys` (they need both-side grid salting) and
+    * planned at S = n_big, the one-sided floor.
+    *
+    * Output: one row per distinct fan-out (bounded by log-ish many
+    * values, dashboard-sized regardless of key count): salt_fanout,
+    * n_keys, sum_pairs, repl_rows (Σ (S−1)·n_small), max_task_pairs
+    * (worst residual task among these keys) — with the plan-wide
+    * scalars (n_salted_keys, total_repl_rows, max_task_pairs_after,
+    * total_pairs, n_grid_keys) on every row.
+    *
+    * Scale shape: arithmetic on the |keys|-row cell table + one
+    * fan-out groupBy + a 1-row broadcast scalar join. Nothing
+    * corpus-sized moves.
+    */
+  def saltPlan(left: DataFrame, right: DataFrame, keyCol: String,
+      targetPairs: Long): DataFrame =
+    saltPlanFromCells(joinSkewCells(left, right, keyCol), targetPairs)
+
+  /** The per-key fan-out derivation shared by [[saltPlanFromCells]]
+    * (the plan readout) and [[Skew.saltedEquiJoin]] (the executor) —
+    * ONE formula site. Adds to the cells: _ns/_nb (small/big side),
+    * _s (fan-out), _residual (worst-task pairs), _repl (replication
+    * rows), _grid (one-sided salting cannot reach the target).
+    */
+  private[operators] def withFanout(cells: DataFrame,
+      targetPairs: Long): DataFrame = {
+    require(targetPairs >= 1, "saltPlan needs targetPairs >= 1")
+    val t = lit(targetPairs).cast("decimal(38,0)")
+    cells
+      .withColumn("_ns", least(col("n_left"), col("n_right"))
+        .cast("decimal(38,0)"))
+      .withColumn("_nb", greatest(col("n_left"), col("n_right"))
+        .cast("decimal(38,0)"))
+      // rows of the split side each salted task may carry — integral
+      // DIV (a decimal divide would ROUND, not floor)
+      .withColumn("_tr",
+        greatest(lit(1L), expr(s"${targetPairs}L DIV _ns")))
+      .withColumn("_s", when(col("n_pairs") <= t, lit(1L))
+        .otherwise(expr("(_nb + _tr - 1) DIV _tr")))
+      .withColumn("_residual",
+        expr("CAST(((_nb + _s - 1) DIV _s) AS DECIMAL(38,0)) * _ns"))
+      .withColumn("_repl",
+        expr("CAST((_s - 1) AS DECIMAL(38,0)) * _ns"))
+      .withColumn("_grid",
+        when(col("n_pairs") > t && col("_ns") > t, lit(1L)).otherwise(0L))
+  }
+
+  /** [[saltPlan]] readout over a prebuilt [[joinSkewCells]] table. */
+  def saltPlanFromCells(cells: DataFrame, targetPairs: Long): DataFrame = {
+    val planned = withFanout(cells, targetPairs)
+    val tot = planned.agg(
+      coalesce(sum("n_pairs"), lit(0).cast("decimal(38,0)"))
+        .as("_total_pairs"),
+      coalesce(sum(when(col("_s") > 1, lit(1L)).otherwise(0L)), lit(0L))
+        .as("_n_salted"),
+      coalesce(sum("_repl"), lit(0).cast("decimal(38,0)")).as("_total_repl"),
+      coalesce(max("_residual"), lit(0).cast("decimal(38,0)")).as("_max_after"),
+      coalesce(sum("_grid"), lit(0L)).as("_n_grid"))
+    planned.groupBy(col("_s").cast("long").as("salt_fanout"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum("n_pairs").cast("long").as("sum_pairs"),
+        sum("_repl").cast("long").as("repl_rows"),
+        max("_residual").cast("long").as("max_task_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("salt_fanout"), col("n_keys"), col("sum_pairs"),
+        col("repl_rows"), col("max_task_pairs"),
+        col("_n_salted").as("n_salted_keys"),
+        col("_total_repl").cast("long").as("total_repl_rows"),
+        col("_max_after").cast("long").as("max_task_pairs_after"),
+        col("_total_pairs").cast("long").as("total_pairs"),
+        col("_n_grid").as("n_grid_keys"))
+  }
+
+  /** t-closeness audit — the third leg of the privacy triad after
+    * [[kAnonymityAudit]] (class size) and [[lDiversityAudit]] (distinct
+    * sensitive values): a class can be large AND diverse yet still
+    * leak if its sensitive DISTRIBUTION deviates from the table's (a
+    * class that is 90% top-band salaries discloses plenty). Per
+    * quasi-class: the Earth-Mover's Distance between the class's and
+    * the global sensitive-band distribution under the standard ordered
+    * metric, EMD = Σᵢ |cumP(i) − cumQ(i)| / (B−1) — computed EXACTLY in
+    * Q9 via cross-multiplied integer cumulative counts
+    * (|cumC·N − cumG·n| avoids every intermediate fraction), so both
+    * engines see identical numbers. Bands must be integral (the
+    * ordered ground metric is band distance; the loud-failure
+    * discipline of [[joinSkewCells]]).
+    *
+    * Output (1 row): n_rows, n_classes, n_bands, max_emd_q9,
+    * n_violating_classes (emd > tQ9), n_rows_violating, viol_rate_q9.
+    *
+    * Scale shape: one partial-agg'd (class × band) collapse = the
+    * cells; everything after is cells-sized — band cum via a ≤B×B
+    * self-join (no partition-less window), the class×band grid via a
+    * broadcast of the ≤B cum rows, per-class sums, a 1-row readout.
+    */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+      bandCol: String, tQ9: Long = 150000000L): DataFrame =
+    tClosenessFromCells(tClosenessCells(df, quasiCols, bandCol),
+      quasiCols, tQ9)
+
+  /** The (quasi…, _band, _n) count cells behind [[tClosenessAudit]] —
+    * exposed separately (the calibrationCells discipline) so the
+    * streaming engine can build them through the state store and
+    * share the batch readout + oracle.
+    */
+  def tClosenessCells(df: DataFrame, quasiCols: Seq[String],
+      bandCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "tClosenessAudit needs quasi-id columns")
+    val dt = df.schema(bandCol).dataType
+    val ok = dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType ||
+      dt == org.apache.spark.sql.types.ShortType ||
+      dt == org.apache.spark.sql.types.ByteType
+    require(ok, s"tClosenessAudit needs an integral ordered band " +
+      s"column; '$bandCol' is $dt — band it first")
+    df.groupBy(quasiCols.map(col) :+
+        col(bandCol).cast("long").as("_band"): _*)
+      .agg(count(lit(1)).as("_n"))
+  }
+
+  /** 1-row readout over [[tClosenessCells]] output. */
+  def tClosenessFromCells(cells: DataFrame, quasiCols: Seq[String],
+      tQ9: Long): DataFrame = {
+    require(tQ9 >= 0, "tClosenessAudit needs tQ9 >= 0")
+    val qs = quasiCols.map(col)
+    val bands = cells.groupBy("_band").agg(sum("_n").as("_g"))
+    // global cumulative counts via a bounded band×band self-join —
+    // B is the sensitive-band count (tens at most), so no window.
+    // One side RENAMES its columns: a memory-sink (streaming twin)
+    // plan yields the same attribute ids on both sides and the
+    // as("x")/as("y") aliases fail resolution (the q337 lesson)
+    val bandsY = bands.select(col("_band").as("_yband"),
+      col("_g").as("_yg"))
+    val bandsCum = bands
+      .join(bandsY, col("_yband") <= col("_band"))
+      .groupBy(col("_band").as("_gband"))
+      .agg(sum(col("_yg")).as("_cumg"))
+    val scal = bands.agg(
+      coalesce(sum("_g"), lit(0L)).as("_N"),
+      count(lit(1)).as("_B"))
+    val classes = cells.groupBy(qs: _*).agg(sum("_n").as("_nc"))
+    // every class evaluates at every GLOBAL band (a band absent from
+    // the class still contributes |0·N − cumG·n|); the term at the top
+    // band is identically 0 (both cums saturate), so no filter needed
+    val cellsR = cells.select(
+      quasiCols.map(c => col(c).as(s"_r_$c")) :+
+        col("_band").as("_rband") :+ col("_n").as("_rn"): _*)
+    val joinCond = quasiCols.map(c => col(c) <=> col(s"_r_$c"))
+      .reduce(_ && _) && col("_rband") <= col("_gband")
+    val cum = classes.crossJoin(broadcast(bandsCum))
+      .join(cellsR, joinCond, "left")
+      .groupBy(qs ++ Seq(col("_nc"), col("_gband"), col("_cumg")): _*)
+      .agg(coalesce(sum("_rn"), lit(0L)).as("_cumc"))
+    val perClass = cum.crossJoin(broadcast(scal))
+      .withColumn("_term", expr(
+        "abs(CAST(_cumc AS DECIMAL(38,0)) * _N" +
+          " - CAST(_cumg AS DECIMAL(38,0)) * _nc)"))
+      .groupBy(qs ++ Seq(col("_nc"), col("_N"), col("_B")): _*)
+      .agg(sum("_term").as("_num"))
+      .withColumn("emd_q9", when(col("_B") > 1, expr(
+          "CAST((_num * 1000000000) DIV" +
+            " (CAST(_nc AS DECIMAL(38,0)) * _N * (_B - 1)) AS BIGINT)"))
+        .otherwise(lit(0L)))
+    perClass.agg(
+        coalesce(max("_N"), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        coalesce(max("_B"), lit(0L)).as("n_bands"),
+        max("emd_q9").as("max_emd_q9"),
+        coalesce(sum(when(col("emd_q9") > tQ9, lit(1L)).otherwise(0L)),
+          lit(0L)).as("n_violating_classes"),
+        coalesce(sum(when(col("emd_q9") > tQ9, col("_nc")).otherwise(0L)),
+          lit(0L)).as("n_rows_violating"))
+      .withColumn("viol_rate_q9", when(col("n_rows") =!= 0, expr(
+        "CAST((CAST(n_rows_violating AS DECIMAL(38,0)) * 1000000000)" +
+          " DIV n_rows AS BIGINT)")))
+  }
+
+  /** k-anonymity suppression ladder — the remedy [[kAnonymityAudit]]
+    * demands: for each k in the ladder, what releasing the projection
+    * at that privacy level COSTS (groups and rows suppressed, rows
+    * kept, Q6 kept share) and what it guarantees (min kept class size
+    * ≥ k — the post-suppression audit reads zero violations by
+    * construction, spec-gated). The privacy counterpart of the
+    * q316 threshold-sensitivity sweep: pick k off the curve, not by
+    * folklore.
+    *
+    * Scale shape: the |classes|-row cell table crossJoins a broadcast
+    * |ladder|-row literal, one groupBy(k) — cells-sized throughout.
+    */
+  def kAnonSuppressionLadder(df: DataFrame, quasiCols: Seq[String],
+      ks: Seq[Int]): DataFrame =
+    kAnonSuppressionPlan(kAnonymityCells(df, quasiCols), ks)
+
+  /** [[kAnonSuppressionLadder]] readout over prebuilt
+    * [[kAnonymityCells]].
+    */
+  def kAnonSuppressionPlan(cells: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "kAnonSuppressionPlan needs a k ladder")
+    require(ks.forall(_ >= 1), "every k must be >= 1")
+    require(ks.distinct.size == ks.size, "k ladder must be distinct")
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val ksDf = ks.map(_.toLong).toDF("k")
+    val tot = cells.agg(coalesce(sum("_n"), lit(0L)).as("_tot"))
+    val per = cells.crossJoin(broadcast(ksDf))
+      .groupBy("k")
+      .agg(
+        sum(when(col("_n") < col("k"), lit(1L)).otherwise(0L))
+          .as("n_groups_suppressed"),
+        sum(when(col("_n") < col("k"), col("_n")).otherwise(0L))
+          .as("n_rows_suppressed"),
+        sum(when(col("_n") >= col("k"), col("_n")).otherwise(0L))
+          .as("n_rows_kept"),
+        min(when(col("_n") >= col("k"), col("_n")))
+          .as("min_kept_group_size"))
+    // left join from the ladder so an EMPTY release still reads one
+    // all-zero row per k instead of vanishing
+    ksDf.join(per, Seq("k"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("k"),
+        coalesce(col("n_groups_suppressed"), lit(0L))
+          .as("n_groups_suppressed"),
+        coalesce(col("n_rows_suppressed"), lit(0L)).as("n_rows_suppressed"),
+        coalesce(col("n_rows_kept"), lit(0L)).as("n_rows_kept"),
+        col("min_kept_group_size"), col("_tot"))
+      .withColumn("kept_share_q6", when(col("_tot") > 0, expr(
+        "CAST((CAST(n_rows_kept AS DECIMAL(38,0)) * 1000000)" +
+          " DIV _tot AS BIGINT)")))
+      .drop("_tot")
+  }
+
+  /** k-anonymity generalization ladder — the OTHER remedy axis
+    * ([[kAnonSuppressionLadder]] drops ROWS; this drops COLUMNS):
+    * audit the release at every generalization level of the quasi-id
+    * — the full tuple, then successively coarser suffixes-dropped
+    * projections, down to the single-class full generalization. The
+    * first level reading zero violations is the minimum
+    * generalization that buys k-anonymity without suppressing anyone;
+    * what it costs is the class-count collapse (utility) read off the
+    * same rows.
+    *
+    * Output: one row per level (level = quasi columns dropped from
+    * the right; `quasi` labels the remaining tuple): (level, quasi,
+    * n_rows, n_classes, min_class_size, n_rows_violating,
+    * viol_rate_q9).
+    *
+    * Scale shape: ONE scan — `rollup` plans all |q|+1 levels through
+    * a single Expand + partial-agg'd shuffle (rows × levels map-side,
+    * one exchange) instead of |q|+1 separate jobs; the per-level
+    * readout aggregates the rollup cells. Level identity comes from
+    * Σ grouping(cᵢ) — convention-free across engines (no grouping_id
+    * bit-order assumption), unambiguous even when quasi values are
+    * themselves NULL.
+    */
+  def kAnonGeneralizationLadder(df: DataFrame, quasiCols: Seq[String],
+      k: Int = 10): DataFrame = {
+    require(quasiCols.nonEmpty,
+      "kAnonGeneralizationLadder needs quasi-id columns")
+    val levelCol = quasiCols.map(c => grouping(col(c)).cast("long"))
+      .reduce(_ + _)
+    // grouping() is only legal INSIDE the rollup's aggregate list
+    val cells = df.rollup(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"), levelCol.as("_lvl"))
+    val labels = (0 to quasiCols.size).map { j =>
+      val kept = quasiCols.dropRight(j)
+      j.toLong -> (if (kept.isEmpty) "<all>" else kept.mkString(","))
+    }
+    val labelCol = labels.foldLeft(lit(null).cast("string")) {
+      case (acc, (j, s)) => when(col("level") === j, lit(s)).otherwise(acc)
+    }
+    cells.groupBy(col("_lvl").as("level"))
+      .agg(sum("_n").as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min("_n").as("min_class_size"),
+        coalesce(sum(when(col("_n") < k, col("_n")).otherwise(0L)),
+          lit(0L)).as("n_rows_violating"))
+      .withColumn("viol_rate_q9", when(col("n_rows") =!= 0, expr(
+        "CAST((CAST(n_rows_violating AS DECIMAL(38,0)) * 1000000000)" +
+          " DIV n_rows AS BIGINT)")))
+      .withColumn("quasi", labelCol)
+      .select(col("level"), col("quasi"), col("n_rows"),
+        col("n_classes"), col("min_class_size"),
+        col("n_rows_violating"), col("viol_rate_q9"))
   }
 }

@@ -257,6 +257,73 @@ object Xval {
         col("leak_share_q6"))
   }
 
+  /** Fold-parity audit — the leakage family's complement: leakage
+    * asks whether folds share CONTENT they shouldn't; parity asks
+    * whether each fold REPRESENTS the corpus (a fold starved of a
+    * domain/language reads as a distribution-shift eval, and per-fold
+    * metrics stop being comparable). Per fold, the composition over
+    * `byCol` vs the corpus composition: the worst per-group share
+    * deviation and the total variation distance, both exact in Q6 via
+    * cross-multiplied counts (|n_fb·N − n_b·n_f| over n_f·N — no
+    * intermediate fraction). A group absent from a fold still
+    * contributes its full corpus share (the t-closeness grid rule).
+    *
+    * Output: one row per fold: (fold, n_rows, n_groups, max_dev_q6,
+    * tvd_q6) — tvd = Σ|·|/2, the mass that would have to move.
+    *
+    * Scale shape: one corpus scan collapses to (fold, group, n)
+    * cells; the folds×groups grid is cells-sized (broadcast of the
+    * group totals); readout is |folds| rows.
+    */
+  def foldParityAudit(docs: DataFrame, byCol: String): DataFrame = {
+    require(docs.columns.contains("fold"),
+      "foldParityAudit needs a `fold` column — assign one with any " +
+        "Xval strategy first")
+    foldParityFromCells(foldParityCells(docs, byCol))
+  }
+
+  /** The (fold, _by, _n) cells behind [[foldParityAudit]] — the
+    * mergeable collapse (the leakageCells discipline), exposed so the
+    * streaming engine can build them through the state store and
+    * share the batch readout + oracle.
+    */
+  def foldParityCells(docs: DataFrame, byCol: String): DataFrame =
+    docs.filter(col(byCol).isNotNull)
+      .groupBy(col("fold"), col(byCol).cast("string").as("_by"))
+      .agg(count(lit(1)).as("_n"))
+
+  /** Readout of [[foldParityAudit]] over prebuilt (fold, _by, _n)
+    * cells.
+    */
+  def foldParityFromCells(cells: DataFrame): DataFrame = {
+    val groups = cells.groupBy("_by").agg(sum("_n").as("_ngrp"))
+    val foldsT = cells.groupBy("fold").agg(sum("_n").as("_nf"))
+    val scal = groups.agg(coalesce(sum("_ngrp"), lit(0L)).as("_N"))
+    // the cells side renames everything: the grid's fold/_by come from
+    // aggregates of the SAME plan (the q337 conflicting-reference rule)
+    val cellsR = cells.select(col("fold").as("_rfold"),
+      col("_by").as("_rby"), col("_n").as("_rn"))
+    val grid = foldsT.crossJoin(broadcast(groups))
+      .join(cellsR,
+        col("fold") <=> col("_rfold") && col("_by") <=> col("_rby"),
+        "left")
+      .select(col("fold"), col("_nf"), col("_ngrp"),
+        coalesce(col("_rn"), lit(0L)).as("_nfb"))
+    grid.crossJoin(broadcast(scal))
+      .withColumn("_dev", expr(
+        "abs(CAST(_nfb AS DECIMAL(38,0)) * _N" +
+          " - CAST(_ngrp AS DECIMAL(38,0)) * _nf)"))
+      .groupBy(col("fold").cast("long").as("fold"))
+      .agg(max("_nf").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        max(expr("CAST((_dev * 1000000) DIV" +
+          " (CAST(_nf AS DECIMAL(38,0)) * _N) AS BIGINT)"))
+          .as("max_dev_q6"),
+        expr("CAST((SUM(_dev) * 1000000) DIV" +
+          " (2 * CAST(MAX(_nf) AS DECIMAL(38,0)) * MAX(_N)) AS BIGINT)")
+          .as("tvd_q6"))
+  }
+
   /** NEAR-DUP split-leakage audit — [[leakageAudit]]'s real-world
     * sibling (r16 verdict item #1): exact-dup straddle is the easy
     * case; the contamination that actually inflates evals at corpus

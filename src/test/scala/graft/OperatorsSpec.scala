@@ -3757,4 +3757,237 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(Validation.joinSkewPreflight(i, i, "k").count() == 2L)
   }
+
+  test("saltPlan: fan-outs, replication cost, residual bound by hand") {
+    import graft.operators.Validation
+    // key1: nl=6, nr=5 -> pairs 30 > 8; ns=5, nb=6; rows/task = 8 DIV 5
+    //   = 1 -> S = 6; residual = ceil(6/6)*5 = 5; repl = 5*5 = 25
+    // key2: 2*3 = 6 <= 8 -> S=1, residual 6; key3: 1*1 -> S=1
+    val left = (Seq.fill(6)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val right = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong + 100L) }
+      .toDF("k", "v")
+    val got = Validation.saltPlan(left, right, "k", targetPairs = 8L)
+      .orderBy("salt_fanout")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(got == List(
+      (1L, 2L, 7L, 0L, 6L, 1L, 25L, 6L, 37L, 0L),
+      (6L, 1L, 30L, 25L, 5L, 1L, 25L, 6L, 37L, 0L)))
+    // executing the plan: split side salted into S buckets, small side
+    // replicated S ways -> the salted join is EXACTLY the plain join
+    // (row for row) and no (key, salt) task exceeds the residual bound
+    val cells = Validation.joinSkewCells(left, right, "k")
+      .collect().map { r =>
+      val (nl, nr) = (r.getAs[Long]("n_left"), r.getAs[Long]("n_right"))
+      val pairs = nl * nr
+      val ns = math.min(nl, nr); val nb = math.max(nl, nr)
+      val s = if (pairs <= 8L) 1L
+        else { val tr = math.max(1L, 8L / ns); (nb + tr - 1) / tr }
+      (r.getAs[Long]("key"), s, ((nb + s - 1) / s) * ns)
+    }
+    val fanouts = cells.map(c => (c._1, c._2)).toMap
+    val sOf = udf((k: Long) => fanouts.getOrElse(k, 1L))
+    // big side here is left (6 vs 5 on the hot key); salt left rows
+    // ROUND-ROBIN within the key (the balanced assignment the residual
+    // bound assumes — a random hash salt only approximates it),
+    // replicate right rows across all salts of their key
+    val lSalted = left.withColumn("_salt",
+      pmod(row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("v")).cast("long") - 1, sOf(col("k"))))
+    val rSalted = right.withColumn("_salt",
+      explode(sequence(lit(0L), sOf(col("k")) - 1)))
+    val salted = lSalted.join(rSalted, Seq("k", "_salt"))
+    assert(salted.count() == left.join(right, "k").count())
+    val worst = salted.groupBy("k", "_salt").count()
+      .agg(max("count")).head().getLong(0)
+    assert(worst <= cells.map(_._3).max)
+  }
+
+  test("saltPlan: n_small > target flags grid keys; one-sided floor kept") {
+    import graft.operators.Validation
+    // 3x3 key with target 2: ns=3 > 2 -> one-sided salting cannot reach
+    // the target; planned at the floor S = nb = 3, residual = ns = 3
+    val df = Seq.fill(3)(1L).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val got = Validation.saltPlan(df, df, "k", targetPairs = 2L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(got == List((3L, 1L, 9L, 6L, 3L, 1L, 6L, 3L, 9L, 1L)))
+    intercept[IllegalArgumentException] {
+      Validation.saltPlan(df, df, "k", targetPairs = 0L)
+    }
+  }
+
+  test("tClosenessAudit: exact ordered EMD per class by hand") {
+    import graft.operators.Validation
+    // bands: A = {1x4}; B = {1x2, 2x1, 3x1}; C = {3x2}; N=10
+    // global g = (6,1,3), cumG = (6,7,10), B=3
+    // A: cumC (4,4,4): |40-24|+|40-28|+0 = 28 -> 28e9 DIV 80 = 350000000
+    // B: cumC (2,3,4): 4+2+0 = 6        -> 6e9 DIV 80  =  75000000
+    // C: cumC (0,0,2): 12+14+0 = 26     -> 26e9 DIV 40 = 650000000
+    val rows = Seq.fill(4)(("A", 1L)) ++
+      Seq(("B", 1L), ("B", 1L), ("B", 2L), ("B", 3L)) ++
+      Seq.fill(2)(("C", 3L))
+    val got = Validation.tClosenessAudit(rows.toDF("cls", "band"),
+      Seq("cls"), "band", tQ9 = 300000000L).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5), got.getLong(6)) ==
+      (10L, 3L, 3L, 650000000L, 2L, 6L, 600000000L))
+    // class distribution == global -> EMD 0 everywhere
+    val unif = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L))
+    val z = Validation.tClosenessAudit(unif.toDF("cls", "band"),
+      Seq("cls"), "band").collect().head
+    assert(z.getLong(3) == 0L && z.getLong(4) == 0L)
+    // single band: EMD defined 0 (no ordered mass to move)
+    val one = Validation.tClosenessAudit(
+      Seq(("A", 7L), ("B", 7L)).toDF("cls", "band"),
+      Seq("cls"), "band").collect().head
+    assert(one.getLong(2) == 1L && one.getLong(3) == 0L)
+    // non-integral band fails loudly (the joinSkewCells discipline)
+    intercept[IllegalArgumentException] {
+      Validation.tClosenessAudit(
+        Seq(("A", "hi")).toDF("cls", "band"), Seq("cls"), "band")
+    }
+  }
+
+  test("kAnonSuppressionLadder: cost curve by hand; remedy re-audit reads zero") {
+    import graft.operators.Validation
+    // classes: (x,p)=12, (x,q)=3, (y,p)=1 -> total 16
+    val rows = Seq.fill(12)(("x", "p")) ++ Seq.fill(3)(("x", "q")) ++
+      Seq(("y", "p"))
+    val df = rows.toDF("a", "b")
+    val got = Validation
+      .kAnonSuppressionLadder(df, Seq("a", "b"), Seq(2, 5, 13))
+      .orderBy("k")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toList
+    assert(got == List(
+      (2L, 1L, 1L, 15L, Some(3L), Some(937500L)),
+      (5L, 2L, 4L, 12L, Some(12L), Some(750000L)),
+      (13L, 3L, 16L, 0L, None, Some(0L))))
+    // the remedy loop: suppress at k=5, re-audit at k=5 -> zero
+    // violations (min kept class size >= k by construction)
+    val kept = Validation.kAnonymityCells(df, Seq("a", "b"))
+      .filter(col("_n") >= 5).select("a", "b")
+    val released = df.join(kept, Seq("a", "b"), "left_semi")
+    val audit = Validation.kAnonymityAudit(released, Seq("a", "b"), k = 5)
+      .collect().head
+    assert(audit.getLong(3) == 0L && audit.getLong(2) >= 5L)
+    // empty release: one all-zero row per k, NULL share
+    val empty = Validation.kAnonSuppressionPlan(
+      Validation.kAnonymityCells(df.filter(lit(false)), Seq("a", "b")),
+      Seq(2, 5)).orderBy("k")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toList
+    assert(empty == List((2L, 0L, 0L, 0L, None, None),
+      (5L, 0L, 0L, 0L, None, None)))
+  }
+
+  test("saltedEquiJoin: multiset-equal to the plain join, both split sides") {
+    import graft.operators.Skew
+    // key 1: left-big (6x2), key 2: right-big (2x5), key 3: cold (1x1)
+    val left = ((1 to 6).map(i => (1L, s"l$i")) ++
+      Seq((2L, "la"), (2L, "lb")) :+ (3L, "lc")).toDF("k", "lv")
+    val right = (Seq((1L, "ra"), (1L, "rb")) ++
+      (1 to 5).map(i => (2L, s"r$i")) :+ (3L, "rc")).toDF("k", "rv")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, String)].collect().toList.sorted
+    val plain = sorted(left.join(right, "k"))
+    // target 1: everything hot, maximum fan-out
+    assert(sorted(Skew.saltedEquiJoin(left, right, "k", 1L)) == plain)
+    // target 4: keys 1 and 2 salt, key 3 passes through cold
+    assert(sorted(Skew.saltedEquiJoin(left, right, "k", 4L)) == plain)
+    // target huge: nothing salts, still the plain join
+    assert(sorted(Skew.saltedEquiJoin(left, right, "k", 1000L)) == plain)
+    // shared non-key columns fail loudly (self-join misuse)
+    intercept[IllegalArgumentException] {
+      Skew.saltedEquiJoin(left, left, "k", 8L)
+    }
+  }
+
+  test("foldParityAudit: exact Q6 deviation and TVD by hand") {
+    import graft.operators.Xval
+    // fold0: x*3, y*1; fold1: x*1, y*3 — N=8, ng=4 each, nf=4 each
+    // dev(x,f0)=|3*8-4*4|=8 -> 8e6 DIV 32 = 250000; tvd = 16e6 DIV 64
+    val rows = Seq.fill(3)((0, "x")) ++ Seq((0, "y")) ++
+      Seq((1, "x")) ++ Seq.fill(3)((1, "y"))
+    val got = Xval.foldParityAudit(rows.toDF("fold", "src"), "src")
+      .orderBy("fold").as[(Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(got == List((0L, 4L, 2L, 250000L, 250000L),
+      (1L, 4L, 2L, 250000L, 250000L)))
+    // a group ABSENT from a fold still contributes its corpus share:
+    // fold0 all-x, fold1 all-y -> TVD = 0.5 exactly
+    val split = Seq((0, "x"), (0, "x"), (1, "y"), (1, "y"))
+    val g2 = Xval.foldParityAudit(split.toDF("fold", "src"), "src")
+      .orderBy("fold").as[(Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(g2 == List((0L, 2L, 2L, 500000L, 500000L),
+      (1L, 2L, 2L, 500000L, 500000L)))
+    // perfectly proportional folds read zero everywhere
+    val prop = Seq((0, "x"), (0, "y"), (1, "x"), (1, "y"))
+    assert(Xval.foldParityAudit(prop.toDF("fold", "src"), "src")
+      .filter(col("tvd_q6") =!= 0L || col("max_dev_q6") =!= 0L)
+      .count() == 0L)
+    intercept[IllegalArgumentException] {
+      Xval.foldParityAudit(Seq(("x", 1)).toDF("src", "v"), "src")
+    }
+  }
+
+  test("freshnessAudit: lag and window ratio off minute cells by hand") {
+    import graft.operators.Timeseries
+    // minutes (w=2): type a at 100,101,103 (fresh: last=103=gmax,
+    // lag 0; window (101,103]: 101? no — m>103-2=101 -> 103 only... )
+    // a: m=100 n=1, m=101 n=2, m=103 n=1; b: m=99 n=3
+    // gmax=103; a: last=103 lag=0, last_w (m>101): 1, prev_w
+    // (99<m<=101): 3; ratio=333333; b: last=99 lag=4, last_w 0,
+    // prev_w (m=99? 99<=101 and 99>99 false) -> 0, ratio NULL
+    val rows = Seq(("a", 100L), ("a", 101L), ("a", 101L), ("a", 103L),
+      ("b", 99L), ("b", 99L), ("b", 99L))
+      .map { case (t, m) => (t, new java.sql.Timestamp(m * 60000L)) }
+    val df = rows.toDF("event_type", "ts")
+    val got = Timeseries.freshnessAudit(df, windowMinutes = 2)
+      .orderBy("event_type")
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toList
+    assert(got == List(
+      ("a", 4L, 103L, 0L, 1L, 3L, Some(333333L)),
+      ("b", 3L, 99L, 4L, 0L, 0L, None)))
+  }
+
+  test("stratifiedKfold parity: stratifying on the audited attribute floors TVD") {
+    import graft.operators.Xval
+    // 8 docs per source, 4 sources, folds=4: stratified on source puts
+    // exactly 2 of each source in every fold -> TVD = 0 in every fold;
+    // the md5 id split on the same data reads nonzero somewhere
+    val docs = (0L until 32L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val strat = Xval.foldParityAudit(
+      Xval.stratifiedKfold(docs, 4, "source", seed = 0,
+        keyCol = Some("doc_id")), "source")
+    assert(strat.filter(col("tvd_q6") =!= 0L).count() == 0L)
+    val id = Xval.foldParityAudit(Xval.md5Kfold(docs, 4, "doc_id"),
+      "source")
+    assert(id.filter(col("tvd_q6") =!= 0L).count() > 0L)
+  }
+
+  test("kAnonGeneralizationLadder: per-level class stats off one rollup") {
+    import graft.operators.Validation
+    // classes: (x,p)=12, (x,q)=3, (y,p)=1 -> 16 rows
+    // level0: 3 classes, min 1, viol 4; level1 (a): x=15, y=1 -> viol 1;
+    // level2 (<all>): 1 class of 16 -> viol 0
+    val rows = Seq.fill(12)(("x", "p")) ++ Seq.fill(3)(("x", "q")) ++
+      Seq(("y", "p"))
+    val got = Validation
+      .kAnonGeneralizationLadder(rows.toDF("a", "b"), Seq("a", "b"), k = 10)
+      .orderBy("level")
+      .as[(Long, String, Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(got == List(
+      (0L, "a,b", 16L, 3L, 1L, 4L, 250000000L),
+      (1L, "a", 16L, 2L, 1L, 1L, 62500000L),
+      (2L, "<all>", 16L, 1L, 16L, 0L, 0L)))
+  }
 }
