@@ -6738,6 +6738,41 @@ object Oracles {
       |    AS tvd_q6
       |FROM d GROUP BY fold ORDER BY fold""".stripMargin
 
+  /** q350: `Xval.semanticFoldParity` — q193's int8 centroid-cosine
+    * chain over the md5Kfold-labeled folds ∪ the '_all' corpus
+    * relation.
+    */
+  def q350SemanticFoldParity: String =
+    """WITH folded AS (SELECT embedding,
+      |    'f' || CAST(CAST(CAST('0x' ||
+      |      substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+      |      AS UBIGINT) % 4 AS BIGINT) AS VARCHAR) AS label
+      |  FROM embeddings),
+      |aug AS (SELECT label, embedding FROM folded
+      |  UNION ALL SELECT '_all', embedding FROM embeddings),
+      |base AS (
+      |  SELECT label, embedding,
+      |    COALESCE(list_max(list_transform(embedding,
+      |      x -> abs(x::DOUBLE))), 0.0) AS maxabs
+      |  FROM aug),
+      |qv AS (
+      |  SELECT label, list_transform(embedding, x -> CAST(floor(x::DOUBLE *
+      |      (CASE WHEN maxabs = 0.0 THEN 1.0 ELSE 127.0 / maxabs END)
+      |      + 0.5) AS BIGINT)) AS q
+      |  FROM base),
+      |ex AS (SELECT label, unnest(range(1, len(q) + 1)) AS i, q FROM qv),
+      |sv AS (SELECT label, i AS pos, CAST(SUM(q[i]) AS BIGINT) AS v
+      |  FROM ex GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    CAST(SUM(a.v * b.v) AS DOUBLE) AS dot,
+      |    CAST(SUM(a.v * a.v) AS DOUBLE) AS na2,
+      |    CAST(SUM(b.v * b.v) AS DOUBLE) AS nb2
+      |  FROM sv a JOIN sv b ON a.label < b.label AND a.pos = b.pos
+      |  GROUP BY 1, 2)
+      |SELECT label_a, label_b, dot / (sqrt(na2) * sqrt(nb2)) AS cosine
+      |FROM pr ORDER BY label_a, label_b""".stripMargin
+
   /** q348: `Timeseries.freshnessAudit` — (type, minute) cells, global
     * max minute, per-type lag + trailing/previous 60-minute window
     * counts, Q6 ratio.
@@ -6938,6 +6973,10 @@ object Oracles {
     "q345_kanon_generalization" -> q345KanonGeneralization,
     "q347_stratified_parity" -> q347StratifiedParity,
     "q348_freshness" -> q348Freshness,
+    // q349 = q348's cells built by the streaming state store (the
+    // q346 discipline — one relational truth, two engine paths)
+    "q349_stream_freshness" -> q348Freshness,
+    "q350_semantic_fold_parity" -> q350SemanticFoldParity,
     "q291_ann_recall" -> q291AnnRecall,
     "q292_stationary" -> q292Stationary,
     "q294_pinball_loss" -> q294PinballLoss,

@@ -3796,6 +3796,31 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- streaming tier: freshness twin (NEW r17) ----
+    // q348's (type, minute) cells built by the streaming engine — the
+    // natural home for a freshness monitor (lag read live off the
+    // ingest stream); shared FromCells readout, oracle is q348's SQL
+    // verbatim.
+    "q349_stream_freshness" -> ((s, dir) => {
+      val cells = EventStreams.runOnceOnParquet(s,
+        s"$dir/events.parquet",
+        df => Timeseries.freshnessCells(df),
+        s"fresh_sink_${System.nanoTime()}")
+      Timeseries.freshnessFromCells(cells, windowMinutes = 60)
+        .orderBy("event_type")
+    }),
+
+    // ---- xval tier: semantic fold parity (NEW r17) ----
+    // The parity family's third modality (q344 counts, q347 remedy,
+    // this: embedding distribution): cosine between each fold's int8
+    // centroid and every other fold's + the corpus ('_all') — q193's
+    // exact-integer-sums machinery over the md5Kfold split.
+    "q350_semantic_fold_parity" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      Xval.semanticFoldParity(Xval.md5Kfold(e, 4, "vec_id"))
+        .orderBy("label_a", "label_b")
+    }),
+
     // ---- privacy tier: generalization ladder (NEW r17) ----
     // The OTHER k-anon remedy axis (q341 drops rows; this drops
     // columns): the release audited at every rollup level of the

@@ -324,6 +324,33 @@ object Xval {
           .as("tvd_q6"))
   }
 
+  /** Semantic fold-parity audit — the parity family's third modality,
+    * mirroring the leakage family's tiers: [[foldParityAudit]] checks
+    * COMPOSITION (counts per group), this checks the embedding
+    * DISTRIBUTION — per fold-pair and fold-vs-corpus ('_all') the
+    * cosine between int8 centroids
+    * ([[Embeddings.labelCentroidCosines]]: cosine(Σv) ≡
+    * cosine(centroid), exact integer sums, ONE IEEE sqrt+divide). A
+    * fold whose centroid drifts from '_all' is a distribution-shift
+    * eval in disguise even when q344 reads balanced counts.
+    *
+    * Scale shape: the q193 shape — one explode + partial-agg'd
+    * (label, dim) collapse over folds ∪ corpus, then a
+    * (folds+1)²-pair broadcast join; nothing pairwise touches rows.
+    */
+  def semanticFoldParity(vectors: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    require(vectors.columns.contains("fold"),
+      "semanticFoldParity needs a `fold` column — assign one with any " +
+        "Xval strategy first")
+    val lab = vectors.select(
+      concat(lit("f"), col("fold").cast("string")).as("label"),
+      col(vecCol).as("embedding"))
+    val all = vectors.select(lit("_all").as("label"),
+      col(vecCol).as("embedding"))
+    Embeddings.labelCentroidCosines(lab.unionByName(all))
+  }
+
   /** NEAR-DUP split-leakage audit — [[leakageAudit]]'s real-world
     * sibling (r16 verdict item #1): exact-dup straddle is the easy
     * case; the contamination that actually inflates evals at corpus

@@ -3973,6 +3973,28 @@ class OperatorsSpec extends SparkSpec {
     assert(id.filter(col("tvd_q6") =!= 0L).count() > 0L)
   }
 
+  test("semanticFoldParity: aligned folds read cosine 1, a drifted fold reads low") {
+    import graft.operators.Xval
+    // folds 0/1 share a direction; fold 2 is orthogonal.
+    // int8: (1,0) -> (127,0); sums: f0=(254,0) f1=(127,0) f2=(0,127),
+    // _all=(381,127) -> cos(_all,f0) = 381/sqrt(381^2+127^2)
+    val vecs = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(1.0f, 0.0f)),
+      (1, Array(1.0f, 0.0f)),
+      (2, Array(0.0f, 1.0f)))
+    val df = vecs.toDF("fold", "embedding")
+    val got = Xval.semanticFoldParity(df).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(got.size == 6) // C(5,2) with '_all' sorted first
+    assert(math.abs(got(("f0", "f1")) - 1.0) < 1e-12)
+    assert(math.abs(got(("f1", "f2"))) < 1e-12)
+    val exp = 381.0 / math.sqrt(381.0 * 381 + 127.0 * 127)
+    assert(math.abs(got(("_all", "f0")) - exp) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Xval.semanticFoldParity(df.select(col("embedding")))
+    }
+  }
+
   test("kAnonGeneralizationLadder: per-level class stats off one rollup") {
     import graft.operators.Validation
     // classes: (x,p)=12, (x,q)=3, (y,p)=1 -> 16 rows

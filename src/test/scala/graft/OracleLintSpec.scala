@@ -45,7 +45,8 @@ class OracleLintSpec extends AnyFunSuite {
     ("q193_centroid_shift", "sqrt") -> "cosine denom; exact int sums",
     ("q234_mmr_topk", "sqrt") -> "cosine denom; exact int dots/norms",
     ("q236_hybrid_rrf", "sqrt") -> "cosine denom; exact int dots/norms",
-    ("q315_ivf_probe_plan", "sqrt") -> "q291's IVF+brute CTEs swept over nProbe; same denoms")
+    ("q315_ivf_probe_plan", "sqrt") -> "q291's IVF+brute CTEs swept over nProbe; same denoms",
+    ("q350_semantic_fold_parity", "sqrt") -> "q193's cosine denom over fold labels; exact int sums")
   // (The former q123 BM25 `ln` allowlist entry is gone: round 11
   // rewrote idf on the integer log kernel via r = 2(n+1)/(2df+1), so
   // the oracle surface now carries ZERO libm transcendentals — sqrt,
