@@ -141,7 +141,8 @@ object Bench {
     "q345_kanon_generalization", // rollup ladder, the other k-anon remedy axis (NEW r17)
     "q347_stratified_parity", // the parity remedy: stratify on the audited attribute (NEW r17)
     "q348_freshness",       // ingest lag + window ratio off minute cells (NEW r17)
-    "q350_semantic_fold_parity") // fold-centroid cosines vs corpus, q193 machinery (NEW r17)
+    "q350_semantic_fold_parity", // fold-centroid cosines vs corpus, q193 machinery (NEW r17)
+    "q351_ivf_staleness")   // frozen-centroid appendix routing, re-index trigger (NEW r17)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine

@@ -5472,6 +5472,61 @@ object Oracles {
        |FROM cells, tot ORDER BY cell""".stripMargin
   }
 
+  /** q351: `Similarity.ivfStalenessAudit` — the q57 Lloyd chain
+    * ([[cellAsgnCtes]]) trained on the 80% base relation, the 20%
+    * appendix quantized independently (per-vector maxabs, the
+    * engine's rule) and routed to the FROZEN final centroids
+    * (argmin squared-L2, tie → lowest cell), then per-cell growth
+    * and the before/after imbalance factors.
+    */
+  def q351IvfStaleness: String = {
+    val iters = 2
+    s"""WITH
+       |${cellAsgnCtes(
+            "LEAST(16, (SELECT COUNT(*) FROM embeddings" +
+              " WHERE vec_id % 5 <> 0))", iters,
+            "(SELECT * FROM embeddings WHERE vec_id % 5 <> 0)")},
+       |aq AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE *
+       |      (CASE WHEN maxabs = 0.0 THEN 1.0 ELSE 127.0 / maxabs END)
+       |      + 0.5) AS BIGINT)) AS qv
+       |  FROM (SELECT vec_id, embedding,
+       |      COALESCE(list_max(list_transform(embedding,
+       |        x -> abs(x::DOUBLE))), 0.0) AS maxabs
+       |    FROM embeddings WHERE vec_id % 5 = 0)),
+       |apos0 AS (SELECT vec_id, qv, unnest(range(len(qv))) AS pos
+       |  FROM aq),
+       |apos AS (SELECT vec_id, pos, qv[pos + 1] AS v FROM apos0),
+       |da AS (SELECT v.vec_id, c.cell,
+       |    sum((v.v - c.c) * (v.v - c.c)) AS d2
+       |  FROM apos v JOIN cent$iters c ON v.pos = c.pos GROUP BY 1, 2),
+       |asgna AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell)
+       |      AS rn FROM da) WHERE rn = 1),
+       |bcells AS (SELECT cell, COUNT(*) AS n_base FROM asgn$iters
+       |  GROUP BY 1),
+       |acells AS (SELECT cell, COUNT(*) AS n_new FROM asgna GROUP BY 1),
+       |cells AS (SELECT COALESCE(b.cell, a.cell) AS cell,
+       |    COALESCE(b.n_base, 0) AS n_base, COALESCE(a.n_new, 0) AS n_new
+       |  FROM bcells b FULL OUTER JOIN acells a ON b.cell = a.cell),
+       |tot AS (SELECT SUM(n_base) AS tb, SUM(n_new) AS tn,
+       |    COUNT(*) AS nc, MAX(n_base) AS mxb,
+       |    MAX(n_base + n_new) AS mxa FROM cells)
+       |SELECT CAST(cell AS BIGINT) AS cell,
+       |  CAST(n_base AS BIGINT) AS n_base,
+       |  CAST(n_new AS BIGINT) AS n_new,
+       |  CAST(CASE WHEN n_base > 0 THEN
+       |    (CAST(n_new AS HUGEINT) * 1000000) // n_base END AS BIGINT)
+       |    AS growth_q6,
+       |  CAST(CASE WHEN tb > 0 THEN
+       |    (CAST(mxb AS HUGEINT) * nc * 1000000) // tb END AS BIGINT)
+       |    AS imbalance_before_q6,
+       |  CAST(CASE WHEN tb + tn > 0 THEN
+       |    (CAST(mxa AS HUGEINT) * nc * 1000000) // (tb + tn) END
+       |    AS BIGINT) AS imbalance_after_q6
+       |FROM cells CROSS JOIN tot ORDER BY cell""".stripMargin
+  }
+
   /** q297: `TextAnalysis.domainDivergence` — the q282 tokenizer's
     * (domain, token) count cells, intersection-only pair join, per-pair
     * Q12 Jensen–Shannon via the shared lnQ12 kernel with the disjoint
@@ -6977,6 +7032,7 @@ object Oracles {
     // q346 discipline — one relational truth, two engine paths)
     "q349_stream_freshness" -> q348Freshness,
     "q350_semantic_fold_parity" -> q350SemanticFoldParity,
+    "q351_ivf_staleness" -> q351IvfStaleness,
     "q291_ann_recall" -> q291AnnRecall,
     "q292_stationary" -> q292Stationary,
     "q294_pinball_loss" -> q294PinballLoss,

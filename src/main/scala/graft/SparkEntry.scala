@@ -3821,6 +3821,19 @@ object SparkEntry {
         .orderBy("label_a", "label_b")
     }),
 
+    // ---- embedding tier: IVF staleness audit (NEW r17) ----
+    // The serving-index question between rebuilds: train on the 80%
+    // base (vec_id % 5 != 0), route the 20% appendix to the FROZEN
+    // centroids, read per-cell growth + the imbalance factor before
+    // vs after — the re-index trigger as a number.
+    "q351_ivf_staleness" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      Similarity.ivfStalenessAudit(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0))
+        .orderBy("cell")
+    }),
+
     // ---- privacy tier: generalization ladder (NEW r17) ----
     // The OTHER k-anon remedy axis (q341 drops rows; this drops
     // columns): the release audited at every rollup level of the

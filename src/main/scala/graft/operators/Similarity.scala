@@ -1360,4 +1360,60 @@ object Similarity extends Serializable {
       .select(col("refine_factor"), col("depth"), col("n_hits"),
         col("macro_recall_q6"), col("n_refined"), col("refine_share_q6"))
   }
+
+  /** IVF index-staleness audit — the ANN-ops question q296 (balance)
+    * and q315 (probe plan) don't answer: the index was trained on
+    * BASE; since then APPENDED arrived and was routed to the FROZEN
+    * centroids (what every serving index does between rebuilds). Per
+    * cell: base/new counts and Q6 growth; plan-wide the imbalance
+    * factor (max·cells / total, the q296 convention) BEFORE vs AFTER
+    * the appendix — the re-index trigger as a number (growth
+    * concentrating in few cells drives imbalance_after up; uniform
+    * growth leaves it flat).
+    *
+    * Scale shape: one bounded Lloyd train on base (the q57 cost),
+    * map-side assignment of both sets (centroids are a driver-held
+    * array, the cellAssigner closure), two partial-agg'd cell
+    * collapses, a cells⋈cells full-outer, 1-row broadcast scalars.
+    */
+  def ivfStalenessAudit(base: DataFrame, appended: DataFrame,
+      nCells: Int = 16, iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qc = Dedup.tracked(
+      quantIds(base, idCol, vecCol).localCheckpoint(eager = false))
+    // clamp the codebook to the base size (the semanticDedup
+    // auto-scale convention) so a tiny base degrades to one-vector
+    // cells instead of failing the seed requirement
+    val n = qc.count()
+    require(n > 0, "ivfStalenessAudit on an empty base")
+    val nc = math.min(nCells.toLong, n).toInt
+    val cs = trainCellCentroids(qc, hashSeedVecs(qc, nc), iters)
+    val bCells = qc.withColumn("cell", cellAssigner(cs)(col("qv")))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_base"))
+    val aCells = quantIds(appended, idCol, vecCol)
+      .withColumn("cell", cellAssigner(cs)(col("qv")))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_new"))
+    val cells = bCells.join(aCells, Seq("cell"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_new"))
+    val tot = cells.agg(
+      coalesce(sum("n_base"), lit(0L)).as("_tb"),
+      coalesce(sum("n_new"), lit(0L)).as("_tn"),
+      count(lit(1)).as("_nc"),
+      coalesce(max("n_base"), lit(0L)).as("_mxb"),
+      coalesce(max(col("n_base") + col("n_new")), lit(0L)).as("_mxa"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("growth_q6", when(col("n_base") > 0, expr(
+        "CAST((CAST(n_new AS DECIMAL(38,0)) * 1000000) DIV n_base" +
+          " AS BIGINT)")))
+      .withColumn("imbalance_before_q6", when(col("_tb") > 0, expr(
+        "CAST((CAST(_mxb AS DECIMAL(38,0)) * _nc * 1000000) DIV _tb" +
+          " AS BIGINT)")))
+      .withColumn("imbalance_after_q6", when(col("_tb") + col("_tn") > 0,
+        expr("CAST((CAST(_mxa AS DECIMAL(38,0)) * _nc * 1000000)" +
+          " DIV (_tb + _tn) AS BIGINT)")))
+      .select(col("cell"), col("n_base"), col("n_new"), col("growth_q6"),
+        col("imbalance_before_q6"), col("imbalance_after_q6"))
+  }
 }

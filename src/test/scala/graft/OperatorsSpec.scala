@@ -3995,6 +3995,39 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ivfStalenessAudit: clone appendix doubles every cell; empty appendix is flat") {
+    import graft.operators.Similarity
+    // 40 spread-out 4-dim vectors; the appendix is the SAME vectors
+    // under shifted ids -> every appended vector routes to its base
+    // cell: n_new == n_base per cell, growth exactly 1e6, and the
+    // imbalance factor is unchanged by the appendix
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array(math.sin(i * 1.7).toFloat,
+        math.cos(i * 2.3).toFloat, math.sin(i * 0.9 + 1).toFloat,
+        math.cos(i * 1.1 + 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val clone = base.select((col("vec_id") + 1000L).as("vec_id"),
+      col("embedding"))
+    val got = Similarity.ivfStalenessAudit(base, clone, nCells = 4,
+      iters = 2).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_new") == r.getAs[Long]("n_base"))
+      assert(r.getAs[Long]("growth_q6") == 1000000L)
+      assert(r.getAs[Long]("imbalance_after_q6") ==
+        r.getAs[Long]("imbalance_before_q6"))
+    }
+    // empty appendix: zero growth, imbalance unchanged
+    val none = Similarity.ivfStalenessAudit(base,
+      base.filter(lit(false)), nCells = 4, iters = 2).collect()
+    none.foreach { r =>
+      assert(r.getAs[Long]("n_new") == 0L &&
+        r.getAs[Long]("growth_q6") == 0L)
+      assert(r.getAs[Long]("imbalance_after_q6") ==
+        r.getAs[Long]("imbalance_before_q6"))
+    }
+  }
+
   test("kAnonGeneralizationLadder: per-level class stats off one rollup") {
     import graft.operators.Validation
     // classes: (x,p)=12, (x,q)=3, (y,p)=1 -> 16 rows
