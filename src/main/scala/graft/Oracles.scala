@@ -6688,6 +6688,44 @@ object Oracles {
       |    AS viol_rate_q9
       |FROM e ORDER BY n_rows""".stripMargin
 
+  /** q352: `Validation.tClosenessByClass` — q340's per-class CTE chain
+    * through `e`, top-10 by EMD with the quasi tuple as tie-break.
+    */
+  def q352TClosenessClasses: String =
+    """WITH b0 AS (SELECT c_nationkey, c_mktsegment,
+      |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      + 100000) // 100000 AS band
+      |  FROM customer),
+      |cells AS (SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS n
+      |  FROM b0 GROUP BY 1, 2, 3),
+      |bands AS (SELECT band, SUM(n) AS g FROM cells GROUP BY 1),
+      |bc AS (SELECT x.band, SUM(y.g) AS cumg FROM bands x
+      |  JOIN bands y ON y.band <= x.band GROUP BY 1),
+      |scal AS (SELECT CAST(SUM(g) AS HUGEINT) AS nn,
+      |    COUNT(*)::BIGINT AS nb FROM bands),
+      |cls AS (SELECT c_nationkey, c_mktsegment, SUM(n) AS nc
+      |  FROM cells GROUP BY 1, 2),
+      |grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.nc,
+      |    bc.band, bc.cumg FROM cls CROSS JOIN bc),
+      |cum AS (SELECT g.c_nationkey, g.c_mktsegment, g.nc, g.band,
+      |    g.cumg, COALESCE(SUM(c.n), 0) AS cumc
+      |  FROM grid g LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+      |    AND c.c_mktsegment = g.c_mktsegment AND c.band <= g.band
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |pc AS (SELECT m.c_nationkey, m.c_mktsegment, m.nc,
+      |    SUM(ABS(CAST(m.cumc AS HUGEINT) * scal.nn
+      |      - CAST(m.cumg AS HUGEINT) * m.nc)) AS num,
+      |    MAX(scal.nn) AS nn, MAX(scal.nb) AS nb
+      |  FROM cum m CROSS JOIN scal GROUP BY 1, 2, 3),
+      |e AS (SELECT *, CASE WHEN nb > 1 THEN
+      |    CAST((num * 1000000000)
+      |      // (CAST(nc AS HUGEINT) * nn * (nb - 1)) AS BIGINT)
+      |    ELSE 0 END AS emd FROM pc)
+      |SELECT c_nationkey, c_mktsegment, CAST(nc AS BIGINT) AS n_rows,
+      |  emd AS emd_q9
+      |FROM e ORDER BY emd_q9 DESC, c_nationkey, c_mktsegment
+      |LIMIT 10""".stripMargin
+
   /** q341: `Validation.kAnonSuppressionLadder` — q262's cells crossed
     * with the k ladder, per-k suppression cost + kept floor + Q6 kept
     * share.
@@ -7033,6 +7071,7 @@ object Oracles {
     "q349_stream_freshness" -> q348Freshness,
     "q350_semantic_fold_parity" -> q350SemanticFoldParity,
     "q351_ivf_staleness" -> q351IvfStaleness,
+    "q352_t_closeness_classes" -> q352TClosenessClasses,
     "q291_ann_recall" -> q291AnnRecall,
     "q292_stationary" -> q292Stationary,
     "q294_pinball_loss" -> q294PinballLoss,

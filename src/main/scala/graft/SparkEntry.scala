@@ -3821,6 +3821,20 @@ object SparkEntry {
         .orderBy("label_a", "label_b")
     }),
 
+    // ---- privacy tier: t-closeness worst classes (NEW r17) ----
+    // The per-class attribution q340's 1-row readout hides: WHICH
+    // quasi-classes carry the distributional leak — top 10 by Q9 EMD,
+    // ties on the quasi tuple. The remediation worklist.
+    "q352_t_closeness_classes" -> ((s, dir) => {
+      val cells = Validation.tClosenessCells(
+        customer(s, dir).withColumn("bal_band", expr(
+          "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " + 100000) DIV 100000")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band")
+      Validation.tClosenessByClass(cells,
+        Seq("c_nationkey", "c_mktsegment"), k = 10)
+    }),
+
     // ---- embedding tier: IVF staleness audit (NEW r17) ----
     // The serving-index question between rebuilds: train on the 80%
     // base (vec_id % 5 != 0), route the 20% appendix to the FROZEN

@@ -602,6 +602,43 @@ object Validation {
   def tClosenessFromCells(cells: DataFrame, quasiCols: Seq[String],
       tQ9: Long): DataFrame = {
     require(tQ9 >= 0, "tClosenessAudit needs tQ9 >= 0")
+    val perClass = tClosenessPerClass(cells, quasiCols)
+    perClass.agg(
+        coalesce(max("_N"), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        coalesce(max("_B"), lit(0L)).as("n_bands"),
+        max("emd_q9").as("max_emd_q9"),
+        coalesce(sum(when(col("emd_q9") > tQ9, lit(1L)).otherwise(0L)),
+          lit(0L)).as("n_violating_classes"),
+        coalesce(sum(when(col("emd_q9") > tQ9, col("_nc")).otherwise(0L)),
+          lit(0L)).as("n_rows_violating"))
+      .withColumn("viol_rate_q9", when(col("n_rows") =!= 0, expr(
+        "CAST((CAST(n_rows_violating AS DECIMAL(38,0)) * 1000000000)" +
+          " DIV n_rows AS BIGINT)")))
+  }
+
+  /** Worst classes by t-closeness EMD — the per-class attribution the
+    * 1-row [[tClosenessFromCells]] readout intentionally hides: WHICH
+    * quasi-classes carry the distributional leak, top-k by Q9 EMD
+    * (ties broken on the quasi tuple — deterministic on both
+    * engines). The remediation worklist next to the audit number.
+    */
+  def tClosenessByClass(cells: DataFrame, quasiCols: Seq[String],
+      k: Int = 10): DataFrame = {
+    require(k >= 1, "tClosenessByClass needs k >= 1")
+    val qs = quasiCols.map(col)
+    tClosenessPerClass(cells, quasiCols)
+      .select(qs :+ col("_nc").as("n_rows") :+ col("emd_q9"): _*)
+      .orderBy(col("emd_q9").desc +: qs: _*)
+      .limit(k)
+  }
+
+  /** The per-class EMD frame shared by both t-closeness readouts
+    * (one formula site): quasi cols + _nc (class rows) + _N / _B
+    * scalars + emd_q9.
+    */
+  private def tClosenessPerClass(cells: DataFrame,
+      quasiCols: Seq[String]): DataFrame = {
     val qs = quasiCols.map(col)
     val bands = cells.groupBy("_band").agg(sum("_n").as("_g"))
     // global cumulative counts via a bounded band×band self-join —
@@ -631,7 +668,7 @@ object Validation {
       .join(cellsR, joinCond, "left")
       .groupBy(qs ++ Seq(col("_nc"), col("_gband"), col("_cumg")): _*)
       .agg(coalesce(sum("_rn"), lit(0L)).as("_cumc"))
-    val perClass = cum.crossJoin(broadcast(scal))
+    cum.crossJoin(broadcast(scal))
       .withColumn("_term", expr(
         "abs(CAST(_cumc AS DECIMAL(38,0)) * _N" +
           " - CAST(_cumg AS DECIMAL(38,0)) * _nc)"))
@@ -641,18 +678,6 @@ object Validation {
           "CAST((_num * 1000000000) DIV" +
             " (CAST(_nc AS DECIMAL(38,0)) * _N * (_B - 1)) AS BIGINT)"))
         .otherwise(lit(0L)))
-    perClass.agg(
-        coalesce(max("_N"), lit(0L)).as("n_rows"),
-        count(lit(1)).as("n_classes"),
-        coalesce(max("_B"), lit(0L)).as("n_bands"),
-        max("emd_q9").as("max_emd_q9"),
-        coalesce(sum(when(col("emd_q9") > tQ9, lit(1L)).otherwise(0L)),
-          lit(0L)).as("n_violating_classes"),
-        coalesce(sum(when(col("emd_q9") > tQ9, col("_nc")).otherwise(0L)),
-          lit(0L)).as("n_rows_violating"))
-      .withColumn("viol_rate_q9", when(col("n_rows") =!= 0, expr(
-        "CAST((CAST(n_rows_violating AS DECIMAL(38,0)) * 1000000000)" +
-          " DIV n_rows AS BIGINT)")))
   }
 
   /** k-anonymity suppression ladder — the remedy [[kAnonymityAudit]]

@@ -3835,6 +3835,12 @@ class OperatorsSpec extends SparkSpec {
     assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
       got.getLong(4), got.getLong(5), got.getLong(6)) ==
       (10L, 3L, 3L, 650000000L, 2L, 6L, 600000000L))
+    // per-class attribution: worst classes ordered C, A, B by hand
+    val byClass = Validation.tClosenessByClass(
+      Validation.tClosenessCells(rows.toDF("cls", "band"), Seq("cls"),
+        "band"), Seq("cls"), k = 2)
+      .as[(String, Long, Long)].collect().toList
+    assert(byClass == List(("C", 2L, 650000000L), ("A", 4L, 350000000L)))
     // class distribution == global -> EMD 0 everywhere
     val unif = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L))
     val z = Validation.tClosenessAudit(unif.toDF("cls", "band"),
