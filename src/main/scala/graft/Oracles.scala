@@ -6643,7 +6643,11 @@ object Oracles {
     * join, class cums on the class×band grid, per-class exact EMD
     * numerator Σ|cumC·N − cumG·n| in Q9 over n·N·(B−1), 1-row readout
     * at t = 0.15. Bands are the q264 shifted-positive balance bands so
-    * // ≡ DIV.
+    * // ≡ DIV. The class-cells grid join is IS NOT DISTINCT FROM —
+    * the engine joins quasi columns null-safely (`<=>`), so a NULL
+    * quasi value forms a class both engines count identically (r17
+    * ADVICE: plain `=` would zero the NULL class's cumulative cells on
+    * the oracle side only).
     */
   def q340TCloseness: String =
     """WITH b0 AS (SELECT c_nationkey, c_mktsegment,
@@ -6663,8 +6667,10 @@ object Oracles {
       |    bc.band, bc.cumg FROM cls CROSS JOIN bc),
       |cum AS (SELECT g.c_nationkey, g.c_mktsegment, g.nc, g.band,
       |    g.cumg, COALESCE(SUM(c.n), 0) AS cumc
-      |  FROM grid g LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
-      |    AND c.c_mktsegment = g.c_mktsegment AND c.band <= g.band
+      |  FROM grid g LEFT JOIN cells c
+      |    ON c.c_nationkey IS NOT DISTINCT FROM g.c_nationkey
+      |    AND c.c_mktsegment IS NOT DISTINCT FROM g.c_mktsegment
+      |    AND c.band <= g.band
       |  GROUP BY 1, 2, 3, 4, 5),
       |pc AS (SELECT m.c_nationkey, m.c_mktsegment, m.nc,
       |    SUM(ABS(CAST(m.cumc AS HUGEINT) * scal.nn
@@ -6709,8 +6715,10 @@ object Oracles {
       |    bc.band, bc.cumg FROM cls CROSS JOIN bc),
       |cum AS (SELECT g.c_nationkey, g.c_mktsegment, g.nc, g.band,
       |    g.cumg, COALESCE(SUM(c.n), 0) AS cumc
-      |  FROM grid g LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
-      |    AND c.c_mktsegment = g.c_mktsegment AND c.band <= g.band
+      |  FROM grid g LEFT JOIN cells c
+      |    ON c.c_nationkey IS NOT DISTINCT FROM g.c_nationkey
+      |    AND c.c_mktsegment IS NOT DISTINCT FROM g.c_mktsegment
+      |    AND c.band <= g.band
       |  GROUP BY 1, 2, 3, 4, 5),
       |pc AS (SELECT m.c_nationkey, m.c_mktsegment, m.nc,
       |    SUM(ABS(CAST(m.cumc AS HUGEINT) * scal.nn

@@ -2106,10 +2106,25 @@ object Analytics {
     * Scale shape: lifetimes collapse to per-(time) cells in one
     * groupBy; the at-risk counts are suffix sums over the DISTINCT-
     * duration table (calendar-bounded — the q201 window cap), then
-    * one readout agg.
+    * one readout agg. The suffix-sum window is partition-less over
+    * those cells, so the duration column MUST be integral and
+    * calendar-banded (day/week counts — tens of thousands of distinct
+    * values at most); a continuous double duration would make the
+    * cells corpus-sized and the window a single-task sort, so it is
+    * REFUSED loudly (the [[Validation.joinSkewCells]] misuse
+    * discipline) instead of silently cast.
     */
   def logRank(df: DataFrame, durationCol: String, eventCol: String,
       armCol: Column): DataFrame = {
+    val ddt = df.schema(durationCol).dataType
+    val integral = ddt == org.apache.spark.sql.types.LongType ||
+      ddt == org.apache.spark.sql.types.IntegerType ||
+      ddt == org.apache.spark.sql.types.ShortType ||
+      ddt == org.apache.spark.sql.types.ByteType
+    require(integral, s"logRank needs an integral banded duration " +
+      s"column (day/week counts); '$durationCol' is $ddt — band it " +
+      s"first (a continuous duration makes the partition-less " +
+      s"suffix-sum window corpus-sized)")
     val cells = df
       .select(col(durationCol).cast("long").as("_t"),
         col(eventCol).cast("long").as("_e"),

@@ -59,40 +59,77 @@ object Skew {
     * Cold keys pass through with salt 0 on both sides.
     *
     * Column names must be disjoint apart from the key (pre-rename for
-    * self-joins) — REQUIREd loudly.
+    * self-joins) and must avoid the reserved working names `_salt`,
+    * `_hk`, `_fan`, `_left_big`, `_rr` (a silent withColumn overwrite
+    * would corrupt the output) — both REQUIREd loudly.
+    *
+    * Grid-flagged keys (n_small > targetPairs — one-sided salting
+    * cannot reach the target; [[Validation.saltPlan]] reports them as
+    * `n_grid_keys`) would execute at the one-sided floor S = n_big,
+    * replicating every small-side row n_big times — the full pair
+    * product as replicated rows. That explosion must be priced off the
+    * plan, not discovered mid-shuffle, so the executor REFUSES them
+    * unless `allowGridKeys = true` (the caller has read the plan and
+    * accepts the floor). The guard costs one count over the
+    * already-materialized cells table.
     *
     * Scale shape: the hot-key map is the |hot keys|-row slice of the
     * skew cells (tiny by the definition of skew) and BROADCASTS to
     * both sides; the replicate side grows by Σ(S−1)·n_small — the
     * plan's `total_repl_rows`, priced BEFORE running; the shuffle key
     * becomes (key, salt) so AQE-invisible single-key hotspots split.
-    * The hash salt spreads the split side approximately (the plan's
-    * residual bound assumes balanced assignment); exactness does not
-    * depend on the spread.
+    * The split side salts by row position (`monotonically_increasing_
+    * id() mod S` — round-robin within each scan partition, the
+    * balanced assignment the plan's residual bound assumes; a
+    * content hash would collapse to ONE salt whenever non-key columns
+    * are absent or constant within a key). The salt is layout-
+    * dependent; the OUTPUT is not (every pair appears exactly once
+    * whatever salt each row took).
     */
   def saltedEquiJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      targetPairs: Long): DataFrame = {
+      targetPairs: Long, allowGridKeys: Boolean = false): DataFrame = {
     val overlap = (left.columns.toSet & right.columns.toSet) - keyCol
     require(overlap.isEmpty,
       s"saltedEquiJoin needs disjoint non-key columns; shared: " +
         s"${overlap.toSeq.sorted.mkString(", ")} — rename before joining")
-    val hot = graft.operators.Validation
+    val reserved = Set("_salt", "_hk", "_fan", "_left_big", "_rr")
+    val taken = (left.columns.toSet | right.columns.toSet) & reserved
+    require(taken.isEmpty,
+      s"saltedEquiJoin reserves working columns ${reserved.toSeq.sorted
+        .mkString(", ")}; input carries ${taken.toSeq.sorted
+        .mkString(", ")} — rename before joining")
+    val fanned = graft.operators.Validation
       .withFanout(Validation.joinSkewCells(left, right, keyCol), targetPairs)
+    if (!allowGridKeys) {
+      // cells are materialized by joinSkewCells — this is a cells-sized
+      // count, not a corpus scan
+      val nGrid = fanned.filter(col("_grid") === 1L).count()
+      require(nGrid == 0L,
+        s"saltedEquiJoin: $nGrid grid key(s) have n_small > targetPairs" +
+          s" = $targetPairs — one-sided salting executes them at the" +
+          s" S = n_big floor (full pair product as replicated rows)." +
+          s" Read Validation.saltPlan's n_grid_keys, then pass" +
+          s" allowGridKeys = true to accept the floor or grid-salt" +
+          s" those keys separately")
+    }
+    val hot = fanned
       .filter(col("_s") > 1)
       .select(col("key").as("_hk"), col("_s").cast("long").as("_fan"),
         (col("n_left") >= col("n_right")).as("_left_big"))
     def salted(df: DataFrame, isLeft: Boolean): DataFrame = {
       val splits = if (isLeft) col("_left_big") else !col("_left_big")
-      val others0 = df.columns.filter(_ != keyCol).map(col)
-      val others = if (others0.isEmpty) Array(col(keyCol)) else others0
       val salts = when(col("_fan").isNull, array(lit(0L)))
-        .when(splits, array(pmod(xxhash64(struct(others: _*)),
-          col("_fan"))))
+        .when(splits, array(col("_rr")))
         .otherwise(sequence(lit(0L), col("_fan") - 1))
       df.join(broadcast(hot), col(keyCol).cast("long") <=> col("_hk"),
           "left")
+        // nondeterministic exprs live in a Project, not under the
+        // Generate: the round-robin position is taken here, the
+        // explode below only references the materialized column
+        .withColumn("_rr", pmod(monotonically_increasing_id(),
+          coalesce(col("_fan"), lit(1L))))
         .withColumn("_salt", explode(salts))
-        .drop("_hk", "_fan", "_left_big")
+        .drop("_hk", "_fan", "_left_big", "_rr")
     }
     salted(left, isLeft = true)
       .join(salted(right, isLeft = false), Seq(keyCol, "_salt"))

@@ -934,6 +934,15 @@ class AnalyticsSpec extends SparkSpec {
       (2L, 1000000000L, 333333333L))
     val sw = Analytics.logRank(df, "t", "e", col("arm") === 0).head()
     assert((sw.getLong(1), sw.getLong(2)) == (-1000000000L, 333333333L))
+    // a continuous (double) duration fails LOUDLY instead of silently
+    // casting into a corpus-sized partition-less window (r17 verdict
+    // hygiene item — the joinSkewCells misuse discipline)
+    val ex = intercept[IllegalArgumentException] {
+      Analytics.logRank(
+        Seq((1.5, 1L, 1L)).toDF("t", "e", "arm"), "t", "e",
+        col("arm") === 1)
+    }
+    assert(ex.getMessage.contains("integral banded duration"))
   }
 
   test("aucByGroup: per-segment rank-sum; degenerate segment null") {

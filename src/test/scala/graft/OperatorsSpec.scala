@@ -3901,15 +3901,39 @@ class OperatorsSpec extends SparkSpec {
     def sorted(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, String, String)].collect().toList.sorted
     val plain = sorted(left.join(right, "k"))
-    // target 1: everything hot, maximum fan-out
-    assert(sorted(Skew.saltedEquiJoin(left, right, "k", 1L)) == plain)
+    // target 1: everything hot, maximum fan-out — keys 1 and 2 have
+    // n_small = 2 > 1, so the executor REFUSES the grid floor unless
+    // the caller accepts it explicitly (r17 ADVICE #4)
+    intercept[IllegalArgumentException] {
+      Skew.saltedEquiJoin(left, right, "k", 1L)
+    }
+    assert(sorted(Skew.saltedEquiJoin(left, right, "k", 1L,
+      allowGridKeys = true)) == plain)
     // target 4: keys 1 and 2 salt, key 3 passes through cold
     assert(sorted(Skew.saltedEquiJoin(left, right, "k", 4L)) == plain)
     // target huge: nothing salts, still the plain join
     assert(sorted(Skew.saltedEquiJoin(left, right, "k", 1000L)) == plain)
+    // constant non-key values: the case where the old content-hash
+    // salt collapsed every big-side row onto ONE salt (r17 ADVICE #3;
+    // position-based round-robin spreads by construction) — gate the
+    // join stays exact there
+    val constLeft = (1 to 6).map(_ => (1L, "same")).toDF("k", "lv")
+    val constRight = Seq((1L, "ra"), (1L, "rb")).toDF("k", "rv")
+    assert(sorted(Skew.saltedEquiJoin(constLeft, constRight, "k", 4L))
+      == sorted(constLeft.join(constRight, "k")))
     // shared non-key columns fail loudly (self-join misuse)
     intercept[IllegalArgumentException] {
       Skew.saltedEquiJoin(left, left, "k", 8L)
+    }
+    // reserved working columns fail loudly instead of being
+    // overwritten (r17 ADVICE #2)
+    intercept[IllegalArgumentException] {
+      Skew.saltedEquiJoin(left.withColumn("_salt", lit(1)),
+        right, "k", 8L)
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedEquiJoin(left, right.withColumn("_fan", lit(1)),
+        "k", 8L)
     }
   }
 
