@@ -143,7 +143,8 @@ object Bench {
     "q348_freshness",       // ingest lag + window ratio off minute cells (NEW r17)
     "q350_semantic_fold_parity", // fold-centroid cosines vs corpus, q193 machinery (NEW r17)
     "q351_ivf_staleness",   // frozen-centroid appendix routing, re-index trigger (NEW r17)
-    "q352_t_closeness_classes") // per-class EMD attribution, the remediation worklist (NEW r17)
+    "q352_t_closeness_classes", // per-class EMD attribution, the remediation worklist (NEW r17)
+    "q353_semantic_decontaminate") // benchmark decontamination, semantic tier (NEW r18)
 
   /** Fixed-work single-thread calibration loop (~1.6e8 xorshift64 steps
     * after a JIT warm pass). Its wall time on an idle core is a machine

@@ -3275,6 +3275,45 @@ object Oracles {
        |    END AS BIGINT) AS leak_share_q6
        |FROM p CROSS JOIN tot ORDER BY fold_a, fold_b""".stripMargin
 
+  /** q353: `Similarity.semanticDecontaminate` — the q94 training chain
+    * over the corpus ∪ re-keyed benchmark union (cellAsgnCtes with
+    * srcRel = uni; ncauto replays the auto-scale over the UNION
+    * count), within-cell corpus×bench pairs scored with the
+    * rational-threshold integer cosine (7/10), per-corpus-vector hit
+    * count / smallest matching bench id / contaminated flag.
+    */
+  def q353SemanticDecontaminate: String =
+    s"""WITH
+       |  bench AS (SELECT vec_id + 1000000000000 AS vec_id, embedding
+       |            FROM embeddings WHERE vec_id % 7 = 3),
+       |  uni AS (SELECT vec_id, embedding FROM embeddings
+       |          UNION ALL SELECT vec_id, embedding FROM bench),
+       |  ncauto AS (SELECT LEAST(65536, (count(*) + 1023) // 1024)::INT AS n
+       |             FROM uni),
+       |${cellAsgnCtes("(SELECT n FROM ncauto)", 2, "uni")},
+       |  pairs AS (SELECT a.vec_id AS cid, b.vec_id AS bid
+       |            FROM asgn2 a JOIN asgn2 b ON a.cell = b.cell
+       |            WHERE a.vec_id < 1000000000000
+       |              AND b.vec_id >= 1000000000000),
+       |  scored AS (SELECT p.cid, p.bid,
+       |      sum(x.v * y.v)::BIGINT AS dot,
+       |      sum(x.v * x.v)::BIGINT AS na, sum(y.v * y.v)::BIGINT AS nb
+       |    FROM pairs p
+       |    JOIN vpos x ON x.vec_id = p.cid
+       |    JOIN vpos y ON y.vec_id = p.bid AND y.pos = x.pos
+       |    GROUP BY 1, 2),
+       |  hits AS (SELECT cid AS vec_id, count(*)::BIGINT AS n_bench_hits,
+       |      min(bid)::BIGINT AS hit_bench_id
+       |    FROM scored WHERE dot > 0 AND 100 * dot * dot >= 49 * na * nb
+       |    GROUP BY 1)
+       |SELECT a.vec_id, a.cell,
+       |  COALESCE(h.n_bench_hits, 0)::BIGINT AS n_bench_hits,
+       |  COALESCE(h.hit_bench_id, -1)::BIGINT AS hit_bench_id,
+       |  (h.vec_id IS NOT NULL) AS contaminated
+       |FROM asgn2 a LEFT JOIN hits h USING (vec_id)
+       |WHERE a.vec_id < 1000000000000
+       |ORDER BY a.vec_id""".stripMargin
+
   /** q104: `Similarity.knnClassify` — q37's exact-cosine top-k joined
     * to the neighbors' labels, majority vote per query (ties: more
     * votes, then smallest label).
@@ -7080,6 +7119,7 @@ object Oracles {
     "q350_semantic_fold_parity" -> q350SemanticFoldParity,
     "q351_ivf_staleness" -> q351IvfStaleness,
     "q352_t_closeness_classes" -> q352TClosenessClasses,
+    "q353_semantic_decontaminate" -> q353SemanticDecontaminate,
     "q291_ann_recall" -> q291AnnRecall,
     "q292_stationary" -> q292Stationary,
     "q294_pinball_loss" -> q294PinballLoss,

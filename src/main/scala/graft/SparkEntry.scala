@@ -3835,6 +3835,24 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), k = 10)
     }),
 
+    // ---- curation tier: SEMANTIC decontamination (NEW r18) ----
+    // The q338 move applied to benchmarks: the lexical decontaminate
+    // tier (q75 exact n-grams, q208 fuzzy, q216 streaming) misses
+    // paraphrased eval items; here corpus ∪ re-keyed benchmark ride
+    // ONE q94 cell assignment and a corpus vector is contaminated iff
+    // a same-cell benchmark vector passes the integer-rational cosine
+    // threshold — benchmark side broadcast (the q75 discipline).
+    // Fixture: every 7th embedding re-keyed +1e12 (above any ScaleUp
+    // clone id) as the "benchmark",
+    // so contamination is guaranteed by construction and the verdict
+    // columns (hit id, count) are hash-gated.
+    "q353_semantic_decontaminate" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val bench = e.filter(col("vec_id") % 7 === 3)
+        .select((col("vec_id") + 1000000000000L).as("vec_id"), col("embedding"))
+      Similarity.semanticDecontaminate(e, bench).orderBy("vec_id")
+    }),
+
     // ---- embedding tier: IVF staleness audit (NEW r17) ----
     // The serving-index question between rebuilds: train on the 80%
     // base (vec_id % 5 != 0), route the 20% appendix to the FROZEN

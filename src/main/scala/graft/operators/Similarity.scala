@@ -1416,4 +1416,91 @@ object Similarity extends Serializable {
       .select(col("cell"), col("n_base"), col("n_new"), col("growth_q6"),
         col("imbalance_before_q6"), col("imbalance_after_q6"))
   }
+
+  /** SEMANTIC benchmark decontamination — the q338 move applied to the
+    * eval-leak scrub: [[graft.operators.Dedup.decontaminate]] (exact
+    * n-grams) and its fuzzy/stream siblings stop at LEXICAL overlap,
+    * but a paraphrased or re-rendered eval item shares no 5-gram with
+    * its source while still being memorizable — the exact gap the
+    * semantic leakage audit closed for folds. Here: corpus and
+    * benchmark embeddings ride ONE shared cell assignment (centroids
+    * trained on the union — the q94/SemDeDup chain, auto-scaled
+    * nCells), and a corpus vector is contaminated iff a SAME-CELL
+    * benchmark vector passes the all-integer rational-threshold cosine
+    * (dot > 0 ∧ den²·dot² ≥ num²·‖a‖²·‖b‖² — the [[semanticDedup]]
+    * test, bit-replayable by the DuckDB oracle).
+    *
+    * Output: one row per corpus vector — (idCol, cell, n_bench_hits,
+    * hit_bench_id, contaminated); `hit_bench_id` = the smallest
+    * matching benchmark id (−1 when clean), mirroring
+    * [[semanticDedup]]'s dup_of so drop/flag pipelines compose the
+    * same way. Corpus and benchmark id spaces MUST be disjoint
+    * (re-key the benchmark with an offset — the q338 convention):
+    * ids seed the splitmix64 codebook, and a collision would make the
+    * seed rank nondeterministic.
+    *
+    * Scale shape: training is the q94 cost (iters × broadcast +
+    * map-side assignment + nCells×dim aggregate over union rows); the
+    * match join BROADCASTS the benchmark side (eval sets are tiny next
+    * to a training corpus — the q75 discipline) and pairs only within
+    * a cell, so pair work is Σ_cell |corpus∩cell|·|bench∩cell| —
+    * linear in the corpus for a bounded benchmark, never all-pairs.
+    * No skew cap needed: a degenerate boilerplate cell costs
+    * |cell|·|bench-in-cell|, still linear in the corpus.
+    */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      nCells: Int = -1, iters: Int = 2, thresholdNum: Long = 7,
+      thresholdDen: Long = 10, idCol: String = "vec_id",
+      vecCol: String = "embedding", targetCellSize: Int = 1024): DataFrame = {
+    require(thresholdDen > 0 && thresholdNum >= 0,
+      s"threshold $thresholdNum/$thresholdDen not a nonnegative rational")
+    require(thresholdDen <= 1000, s"thresholdDen $thresholdDen too large (≤1000)")
+    require(thresholdNum <= thresholdDen,
+      s"thresholdNum $thresholdNum > thresholdDen $thresholdDen (cosine threshold > 1)")
+    require(targetCellSize > 0, s"targetCellSize $targetCellSize must be positive")
+    val qcC = quantIds(corpus, idCol, vecCol)
+      .select(col("id"), col("qv"), lit(false).as("_bench"))
+    val qcB = quantIds(benchmark, idCol, vecCol)
+      .select(col("id"), col("qv"), lit(true).as("_bench"))
+    val qcU = Dedup.tracked(
+      qcC.unionByName(qcB).localCheckpoint(eager = false))
+    val nc = if (nCells > 0) nCells else {
+      val n = qcU.count()
+      require(n > 0, "semanticDecontaminate on empty input")
+      math.min(65536L, (n + targetCellSize - 1) / targetCellSize).toInt
+    }
+    val idqv = qcU.select(col("id"), col("qv"))
+    val cs = trainCellCentroids(idqv, hashSeedVecs(idqv, nc), iters)
+    def n2(c: Column) = aggregate(c, lit(0L),
+      (acc, v) => acc + v.cast("long") * v.cast("long"))
+    val assigned = Dedup.tracked(
+      qcU.withColumn("cell", cellAssigner(cs)(col("qv")))
+        .withColumn("n2", n2(col("qv")))
+        .localCheckpoint(eager = false))
+    val corpusA = assigned.filter(!col("_bench"))
+    val benchA = assigned.filter(col("_bench"))
+      .select(col("id").as("_bid"), col("qv").as("_bv"),
+        col("n2").as("_bn2"), col("cell"))
+    val hits = corpusA.select(col("id"), col("qv"), col("n2"), col("cell"))
+      .join(broadcast(benchA), Seq("cell"))
+      // dot referenced three times by the threshold — one Project
+      // column (codegen CSE), not a pushed-down triple-eval Filter
+      // (the semanticDedup lesson)
+      .withColumn("dot",
+        graft.plans.GraftExtensions.dotIntNative(col("qv"), col("_bv")))
+      .withColumn("_hit", when(col("dot") > 0 &&
+        lit(thresholdDen * thresholdDen) * col("dot") * col("dot") >=
+          lit(thresholdNum * thresholdNum) * col("n2") * col("_bn2"),
+        col("_bid")))
+      .groupBy(col("id"))
+      .agg(count(col("_hit")).as("n_bench_hits"),
+        min(col("_hit")).as("hit_bench_id"))
+      .filter(col("n_bench_hits") > 0)
+    corpusA.select(col("id"), col("cell"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+        coalesce(col("hit_bench_id"), lit(-1L)).as("hit_bench_id"),
+        col("n_bench_hits").isNotNull.as("contaminated"))
+  }
 }

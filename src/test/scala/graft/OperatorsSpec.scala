@@ -1505,6 +1505,54 @@ class OperatorsSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("semanticDecontaminate: paraphrase caught semantically, missed by BOTH lexical tiers") {
+    // the hazard proof (the q331/q338 convention): an eval item
+    // paraphrased with ZERO shared words — hence zero 5-grams for the
+    // exact tier and negligible shingle Jaccard for the fuzzy tier —
+    // still sits next to its source in embedding space, so only the
+    // semantic tier catches it
+    val benchText = "the quick brown fox jumps over the lazy dog" +
+      " near the river bank today"
+    val paraText = "a swift auburn vulpine leaps above an idle hound" +
+      " beside that stream edge now"
+    val cleanText = "completely unrelated treatise regarding integer" +
+      " arithmetic inside columnar engines"
+    val corpusDocs = Seq((0L, paraText), (1L, cleanText))
+      .toDF("doc_id", "text")
+    val benchDocs = Seq((100L, benchText)).toDF("doc_id", "text")
+    // lexical tier 1 (q75, exact word-5-grams): both corpus docs clean
+    val exact = Dedup.decontaminate(corpusDocs, benchDocs, n = 5)
+      .as[(Long, Long, Boolean)].collect()
+    assert(exact.length == 2 && exact.forall(r => !r._3 && r._2 == 0L))
+    // lexical tier 2 (q208, MinHash-estimated Jaccard): clean as well
+    val fuzzy = Dedup.fuzzyDecontaminate(corpusDocs, benchDocs)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(fuzzy.length == 2 && fuzzy.forall(r => !r._4))
+    // semantic tier: the paraphrase's embedding is near the
+    // benchmark's (cosine ≈ .994 > 7/10), the clean doc orthogonal
+    val corpusVecs = Seq(
+      (0L, Array(9f, 1f, 0f, 0f)),
+      (1L, Array(0f, 0f, 10f, 0f))).toDF("vec_id", "embedding")
+    val benchVecs = Seq((1000000L, Array(10f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val sem = Similarity.semanticDecontaminate(corpusVecs, benchVecs,
+        nCells = 1)
+      .as[(Long, Int, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(sem.length == 2) // one row per CORPUS vector, bench absent
+    assert(sem(0) == ((0L, 0, 1L, 1000000L, true)))
+    assert(sem(1) == ((1L, 0, 0L, -1L, false)))
+    // empty benchmark: every corpus vector reads clean (no hits, -1)
+    val none = Similarity.semanticDecontaminate(corpusVecs,
+        benchVecs.filter(lit(false)), nCells = 1)
+      .as[(Long, Int, Long, Long, Boolean)].collect()
+    assert(none.length == 2 && none.forall(r => !r._5 && r._4 == -1L))
+    // layout independence: verdicts survive a repartition
+    val again = Similarity.semanticDecontaminate(
+        corpusVecs.repartition(5), benchVecs, nCells = 1)
+      .as[(Long, Int, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(again.toSeq == sem.toSeq)
+  }
+
   test("semanticDedup: auto-scaled nCells = ceil(N/target), bounds pair work") {
     val rnd = new scala.util.Random(7)
     val vecs = (0 until 300).map { i =>
