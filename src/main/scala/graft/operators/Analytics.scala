@@ -1324,26 +1324,40 @@ object Analytics {
     val ranked = Dedup.materialize(base
       .withColumn("_rn", row_number().over(w).cast("long"))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy("_g"))))
-    val med = ranked.filter(col("_rn") === expr("(_n + 1) DIV 2"))
-      .select(col("_g"), col("_x").as("_med"), col("_n").as("n"))
-    val mad = base.join(broadcast(med.select(col("_g"), col("_med"))), Seq("_g"))
+    // ONE pass over `ranked` picks all three order statistics (median,
+    // winsor lo, winsor hi) — the previous three filter+join subtrees
+    // each re-scanned the checkpointed table and shuffled separately
+    // (r18: ~40% of the q237 cost was this readout fan-out, not the
+    // sort). max(when) per rank is exact: a row can carry two target
+    // ranks only when they coincide, and then the values coincide too.
+    val stats = Dedup.materialize(ranked
+      .filter(col("_rn") === expr("(_n + 1) DIV 2") ||
+        col("_rn") === expr("_n DIV 10 + 1") ||
+        col("_rn") === expr("_n - _n DIV 10"))
+      .groupBy("_g")
+      .agg(max(when(col("_rn") === expr("(_n + 1) DIV 2"), col("_x")))
+          .as("_med"),
+        max(when(col("_rn") === expr("_n DIV 10 + 1"), col("_x")))
+          .as("_lo"),
+        max(when(col("_rn") === expr("_n - _n DIV 10"), col("_x")))
+          .as("_hi"),
+        max("_n").as("n")))
+    val mad = base.join(broadcast(stats.select(col("_g"), col("_med"))), Seq("_g"))
       .select(col("_g"), abs(col("_x") - col("_med")).as("_d"))
       .withColumn("_rn", row_number().over(
         Window.partitionBy("_g").orderBy("_d")).cast("long"))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy("_g")))
       .filter(col("_rn") === expr("(_n + 1) DIV 2"))
       .select(col("_g"), col("_d").as("mad_tenk"))
-    val vLo = ranked.filter(col("_rn") === expr("_n DIV 10 + 1"))
-      .select(col("_g"), col("_x").as("_lo"))
-    val vHi = ranked.filter(col("_rn") === expr("_n - _n DIV 10"))
-      .select(col("_g"), col("_x").as("_hi"))
     val wm = ranked
-      .join(broadcast(vLo), Seq("_g")).join(broadcast(vHi), Seq("_g"))
+      .join(broadcast(stats.select(col("_g"), col("_lo"), col("_hi"))),
+        Seq("_g"))
       .groupBy("_g")
       .agg(sum(greatest(least(col("_x"), col("_hi")), col("_lo"))).as("_s"),
         max(col("_n")).as("_wn"))
       .select(col("_g"), expr("_s DIV _wn").as("winsor_mean_tenk"))
-    med.join(mad, Seq("_g")).join(wm, Seq("_g"))
+    stats.select(col("_g"), col("_med"), col("n"))
+      .join(mad, Seq("_g")).join(wm, Seq("_g"))
       .select(col("_g").as(grpCol), col("n"),
         col("_med").as("median_tenk"), col("mad_tenk"),
         col("winsor_mean_tenk"))
@@ -1555,6 +1569,21 @@ object Analytics {
     stationaryFromCells(
       transitionPairCells(events, keyCol, tsCol, typeCol, ordCol), rounds)
 
+  /** Driver-side ceiling (in STATES) for [[stationaryFromCells]]' fixed
+    * point. The state set is bounded by contract (event types, page
+    * kinds — never the corpus), so at any scale the power iteration is
+    * arithmetic over ≤|states|² cells; running `rounds` of it as Spark
+    * jobs pays ~`rounds` × (join + shuffle + checkpoint) of pure
+    * scheduling for microseconds of math (measured r18: 1.6 s of the
+    * q292 bench cost was the 8-round loop over a 25-cell table). Below
+    * the gate the cells collect once and the rounds run on the driver
+    * with the IDENTICAL floor-division arithmetic (BigInt for the
+    * widened products — the DECIMAL(38,0) twin); above it the
+    * distributed loop is unchanged. Mutable only so the spec can force
+    * and equality-check both paths.
+    */
+  private[graft] var stationaryDriverMaxStates: Long = 65536L
+
   /** Power-iteration readout over (src, dst, n) cells — see
     * [[transitionStationary]]. */
   def stationaryFromCells(cells: DataFrame, rounds: Int = 8): DataFrame = {
@@ -1571,18 +1600,48 @@ object Analytics {
         .union(cells.select(col("dst"))).distinct())
     val ns = states.count()
     require(ns > 0, "stationaryFromCells needs a non-empty chain")
-    var pi = states.withColumn("pi", lit(1000000000000L / ns))
-    for (_ <- 1 to rounds) {
-      val m = p
-        .join(pi.withColumnRenamed("s", "src"), Seq("src"))
-        .select(col("dst").as("s"), expr(
-          "CAST((CAST(pi AS DECIMAL(38,0)) * pq) DIV 1000000000" +
-            " AS BIGINT)").as("_c"))
-        .groupBy("s").agg(sum("_c").as("_pi"))
-      pi = Dedup.materialize(states.join(m, Seq("s"), "left")
-        .select(col("s"), coalesce(col("_pi"), lit(0L)).as("pi")))
+    if (ns <= stationaryDriverMaxStates) {
+      // bounded-cells driver fixed point (see the gate's scaladoc):
+      // per round π′(d) = Σ_s ⌊π(s)·pq/10⁹⌋ — the exact arithmetic of
+      // the distributed branch, BigInt where the SQL widens to
+      // DECIMAL(38,0); states with no in-mass stay at the 0 the
+      // left-join coalesce would give them.
+      val spark = cells.sparkSession
+      val stateRows = states.collect().map(_.get(0))
+      val idx = stateRows.zipWithIndex.toMap
+      val pArr = p.collect().map(r =>
+        (idx(r.get(0)), idx(r.get(1)), r.getLong(2)))
+      var pi = Array.fill(stateRows.length)(1000000000000L / ns)
+      for (_ <- 1 to rounds) {
+        val next = Array.fill(stateRows.length)(0L)
+        pArr.foreach { case (s, d, pq) =>
+          next(d) += (BigInt(pi(s)) * pq / 1000000000L).toLong
+        }
+        pi = next
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("state",
+          states.schema.head.dataType, states.schema.head.nullable),
+        org.apache.spark.sql.types.StructField("pi_q12",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = stateRows.zipWithIndex.map { case (s, i) =>
+        org.apache.spark.sql.Row(s, pi(i)) }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+    } else {
+      var pi = states.withColumn("pi", lit(1000000000000L / ns))
+      for (_ <- 1 to rounds) {
+        val m = p
+          .join(pi.withColumnRenamed("s", "src"), Seq("src"))
+          .select(col("dst").as("s"), expr(
+            "CAST((CAST(pi AS DECIMAL(38,0)) * pq) DIV 1000000000" +
+              " AS BIGINT)").as("_c"))
+          .groupBy("s").agg(sum("_c").as("_pi"))
+        pi = Dedup.materialize(states.join(m, Seq("s"), "left")
+          .select(col("s"), coalesce(col("_pi"), lit(0L)).as("pi")))
+      }
+      pi.select(col("s").as("state"), col("pi").as("pi_q12"))
     }
-    pi.select(col("s").as("state"), col("pi").as("pi_q12"))
   }
 
   /** Bradley–Terry ratings from a pairwise-win table — THE
@@ -1625,6 +1684,20 @@ object Analytics {
     * Fisher-information pass over the SAME materialized games table
     * (one build site, r16 verdict item: the cells were built twice).
     */
+  /** Driver-side ceiling (in ITEMS) for [[btFit]]'s MM fixed point —
+    * the [[stationaryDriverMaxStates]] argument applied to the arena:
+    * items are bounded by contract (models, suppliers, judged
+    * candidates), game cells are ≤|items|², and the 6-round
+    * distributed loop paid ~6 × (2 broadcasts + shuffle + checkpoint)
+    * of scheduling for microseconds of math (measured r18: 3.0 s of
+    * q310's bench cost was the loop; the win-table build was 0.1 s).
+    * Below the gate the cells collect once and the rounds run on the
+    * driver with the identical floor arithmetic (BigInt = the
+    * DECIMAL(38,0) twin); above it the distributed loop is unchanged.
+    * Mutable only so the spec can force and equality-check both paths.
+    */
+  private[graft] var btDriverMaxItems: Long = 65536L
+
   private def btFit(wins: DataFrame, games: DataFrame, rounds: Int)
       : DataFrame = {
     require(rounds >= 1, "bradleyTerryFromWins needs rounds >= 1")
@@ -1635,6 +1708,47 @@ object Analytics {
         wins.groupBy(col("winner").as("i")).agg(sum("n").as("_w")),
         Seq("i"), "left")
       .na.fill(0L, Seq("_w"))
+    if (nItems <= btDriverMaxItems) {
+      // bounded-cells driver fixed point (see the gate's scaladoc).
+      // Same update as the distributed branch below, term for term:
+      //   x_ij = ⌊g·10¹² / (s_i + s_j)⌋           (summed per i)
+      //   sr_i = xs_i > 0 ? max(1, ⌊w_i·10¹² / xs_i⌋) : 1
+      //   s_i  = max(1, ⌊sr_i·n·10⁶ / Σ sr⌋)      (mean-10⁶ renorm)
+      // xs accumulates in Long exactly as the SQL sum over BIGINT _x.
+      val spark = wins.sparkSession
+      val wRows = w.select("i", "_w").collect()
+      val itemVals = wRows.map(_.get(0))
+      val idx = itemVals.zipWithIndex.toMap
+      val wArr = wRows.map(_.getLong(1))
+      val gArr = games.select("i", "j", "g").collect().map(r =>
+        (idx(r.get(0)), idx(r.get(1)), r.getLong(2)))
+      val n = itemVals.length
+      var s = Array.fill(n)(1000000L)
+      val q12 = BigInt(1000000000000L)
+      for (_ <- 1 to rounds) {
+        val xs = Array.fill(n)(0L)
+        gArr.foreach { case (i, j, g) =>
+          xs(i) += (BigInt(g) * q12 / (s(i) + s(j))).toLong
+        }
+        val sr = Array.tabulate(n) { i =>
+          if (xs(i) > 0) math.max(1L, (BigInt(wArr(i)) * q12 / xs(i)).toLong)
+          else 1L
+        }
+        val tot = sr.foldLeft(BigInt(0))(_ + _)
+        s = Array.tabulate(n) { i =>
+          math.max(1L, (BigInt(sr(i)) * nItems * 1000000L / tot).toLong)
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item",
+          w.schema.head.dataType, w.schema.head.nullable),
+        org.apache.spark.sql.types.StructField("bt_q6",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = itemVals.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(v, s(i)) }
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+    }
     var s = items.withColumn("s", lit(1000000L))
     for (_ <- 1 to rounds) {
       val x = games

@@ -932,6 +932,18 @@ object Dedup {
     val edges = tracked(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()) // reused by every round — materialize once
+    // Checkpointed tables carry no size stats, so every round's joins
+    // plan as sort-merge without a hint. The label table is bounded by
+    // the edge-endpoint count, which is EXACT here (edges are already
+    // materialized — the count is a cached-block scan); broadcast the
+    // node-sized sides while they provably fit (the pageRankInt
+    // `hinted` discipline; ~48 B/row serialized ⇒ the 10⁷ gate is
+    // ~0.5 GB, inside default executor memory on a real cluster).
+    // Above the gate the loop runs unchanged.
+    val nDirEdges = edges.count()
+    val bcastLabels = nDirEdges <= 10000000L
+    def hinted(df: DataFrame): DataFrame =
+      if (bcastLabels) broadcast(df) else df
     // init folds the first hop in: label = min(self, direct neighbors).
     // Every node appears as a src (edges are bidirectional), so this one
     // aggregation replaces the distinct-nodes scan AND saves a full
@@ -948,8 +960,8 @@ object Dedup {
     while (!converged && iter < maxIterations) {
       // hop: each node adopts the min label among itself and its neighbors
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("cluster_id", "n_label"), Seq("dst"))
+        .join(hinted(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster_id", "n_label")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("n_label").as("n_min"))
       val stepped = labels.join(neighborMin, Seq("id"), "left")
@@ -960,7 +972,7 @@ object Dedup {
       // every mid_cid has a row); this is the pointer-doubling step
       val parents = stepped.select(col("id").as("pid"), col("mid_cid").as("p_label"))
       val updated = tracked(
-        stepped.join(parents, stepped("mid_cid") === parents("pid"), "left")
+        stepped.join(hinted(parents), stepped("mid_cid") === parents("pid"), "left")
           .select(col("id"), col("old_cid"),
             least(col("mid_cid"), coalesce(col("p_label"), col("mid_cid")))
               .as("cluster_id"))

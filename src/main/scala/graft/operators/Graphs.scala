@@ -541,21 +541,43 @@ object Graphs {
     var dist = Dedup.tracked(src0.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(eager = true))
     var frontier = dist
-    for (_ <- 1 to rounds) {
-      val relax = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+    // The frontier is materialized every round (its checkpoint blocks
+    // are already populated), so its EXACT row count is a cheap cached
+    // scan — broadcast it while it provably fits (the pageRankInt
+    // `hinted` discipline). Checkpointed tables carry no size stats, so
+    // without the hint every round's relax plans as a sort-merge join
+    // that re-shuffles and re-sorts the FULL edge table by src
+    // (measured r18: the 3 edge-table shuffles were q211's dominant
+    // cost — the rounds cost more than the co-occurrence build itself).
+    var frontierCount = frontier.count()
+    for (r <- 1 to rounds) {
+      val fr = frontier.withColumnRenamed("node", "src")
+      val frH = if (frontierCount <= broadcastScoreMaxNodes) broadcast(fr)
+        else fr
+      val relax = e.join(frH, Seq("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("_nd"))
         .groupBy("node").agg(min("_nd").as("_nd"))
-      val improved = Dedup.tracked(relax
-        .join(dist, Seq("node"), "left")
-        .filter(col("dist").isNull || col("_nd") < col("dist"))
-        .select(col("node"), col("_nd").as("dist"))
+      // One node-keyed FULL OUTER join folds the old improved-filter +
+      // union/min-regroup pair (two dist-sized shuffles and two
+      // checkpoint jobs per round) into a single pass: both sides hold
+      // distinct nodes (dist by invariant, relax by its groupBy), so
+      // per node the merge is least(dist, _nd) and "improved" is
+      // exactly "_nd exists and beats the old dist" — the same label-
+      // correcting frontier, one shuffle cheaper per round.
+      val merged = Dedup.tracked(dist
+        .join(relax, Seq("node"), "full")
+        .select(col("node"),
+          when(col("dist").isNull || (col("_nd").isNotNull &&
+            col("_nd") < col("dist")), col("_nd"))
+            .otherwise(col("dist")).as("dist"),
+          (col("dist").isNull || (col("_nd").isNotNull &&
+            col("_nd") < col("dist"))).as("_imp"))
         .localCheckpoint(eager = true))
-      dist = Dedup.tracked(dist.unionByName(improved)
-        .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint(eager = true))
-      frontier = improved
+      dist = merged.select("node", "dist")
+      frontier = merged.filter(col("_imp")).select("node", "dist")
+      if (r < rounds) frontierCount = frontier.count() // cached-block scan
     }
-    dist
+    dist.select("node", "dist")
   }
 
   /** Item-item co-occurrence similarity, top-k per item — the

@@ -1402,14 +1402,19 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val ws = docs.select(words(col(textCol)).as("_ws"))
       .filter(size(col("_ws")) >= 2)
+    // BOTH orientations emitted by the one map-side explode (r18): the
+    // previous unionByName of the bigram subtree with its own swap
+    // planned as TWO corpus scans + two explodes — same multiset,
+    // twice the pass count. flatten(transform(...)) keeps the blow-up
+    // row-at-a-time under whole-stage codegen.
     val bi = ws.select(explode(expr(
-      "transform(sequence(0, size(_ws) - 2)," +
-        " i -> struct(_ws[i] AS a, _ws[i+1] AS b))")).as("p"))
+      "flatten(transform(sequence(0, size(_ws) - 2)," +
+        " i -> array(struct(_ws[i] AS a, _ws[i+1] AS b)," +
+        " struct(_ws[i+1] AS a, _ws[i] AS b))))")).as("p"))
       .select(col("p.a"), col("p.b"))
       .filter(col("a") =!= col("b"))
     val edges = graft.operators.Dedup.materialize(
       bi.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(bi.select(col("b").as("src"), col("a").as("dst")))
         .groupBy("src", "dst")
         .agg(least(count(lit(1)), lit(100000L)).as("weight")))
     // a corpus with no non-self bigram (or no text at all) has no graph

@@ -1102,4 +1102,43 @@ class AnalyticsSpec extends SparkSpec {
     // N=2 agree=0 n1a=1 n2a=1 → num=-2 den=2 → κ = -1000000
     assert(out == List((1L, 2L, 2L, 0L, 0L, 500000L, -1000000L)))
   }
+
+  test("stationaryFromCells: driver fixed point ≡ distributed loop (r18 gate)") {
+    // asymmetric 3-state chain incl. a mass-leaking state (C has no
+    // outgoing row) — exercises the left-join-coalesce-0 semantics on
+    // both paths
+    val cells = Seq(("A", "A", 3L), ("A", "B", 2L), ("B", "C", 5L),
+      ("B", "A", 1L)).toDF("src", "dst", "n")
+    val viaDriver = Analytics.stationaryFromCells(cells, rounds = 7)
+      .orderBy("state").as[(String, Long)].collect().toList
+    val saved = Analytics.stationaryDriverMaxStates
+    Analytics.stationaryDriverMaxStates = 0L
+    try {
+      val viaSpark = Analytics.stationaryFromCells(cells, rounds = 7)
+        .orderBy("state").as[(String, Long)].collect().toList
+      assert(viaDriver == viaSpark,
+        "driver fixed point must equal the distributed loop exactly")
+    } finally Analytics.stationaryDriverMaxStates = saved
+    assert(viaDriver.map(_._1) == List("A", "B", "C"))
+  }
+
+  test("bradleyTerryFromWins: driver fixed point ≡ distributed loop (r18 gate)") {
+    // 4 items, asymmetric records incl. an all-losses item (4) whose
+    // rating must floor at 1 on both paths
+    val wins = Seq((1L, 2L, 5L), (2L, 1L, 2L), (1L, 3L, 1L),
+      (3L, 2L, 4L), (1L, 4L, 9L), (2L, 4L, 1L))
+      .toDF("winner", "loser", "n")
+    val viaDriver = Analytics.bradleyTerryFromWins(wins, rounds = 6)
+      .orderBy("item").as[(Long, Long)].collect().toList
+    val saved = Analytics.btDriverMaxItems
+    Analytics.btDriverMaxItems = 0L
+    try {
+      val viaSpark = Analytics.bradleyTerryFromWins(wins, rounds = 6)
+        .orderBy("item").as[(Long, Long)].collect().toList
+      assert(viaDriver == viaSpark,
+        "driver MM fixed point must equal the distributed loop exactly")
+    } finally Analytics.btDriverMaxItems = saved
+    assert(viaDriver.map(_._1) == List(1L, 2L, 3L, 4L))
+    assert(viaDriver.minBy(_._2)._1 == 4L, "all-losses item rates lowest")
+  }
 }
