@@ -789,7 +789,8 @@ object SparkEntry {
         .limit(3).select(col("l_partkey").as("node"))
       val edges = Graphs.coOccurrenceEdges(
         li, "l_orderkey", "l_partkey", dedup = false)
-      Graphs.personalizedPageRankInt(edges, seeds, iters = 2)
+      Graphs.personalizedPageRankInt(edges, seeds, iters = 2,
+          symmetric = true)
         .orderBy(col("score").desc, col("node"))
         .limit(20)
         .select(col("node").as("l_partkey"), col("score"))

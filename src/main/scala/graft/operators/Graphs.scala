@@ -755,7 +755,7 @@ object Graphs {
     */
   def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame,
       iters: Int = 3, scale: Long = 1000000000000L, dampPct: Int = 85,
-      maxNbrsPerRow: Int = 8192): DataFrame = {
+      maxNbrsPerRow: Int = 8192, symmetric: Boolean = false): DataFrame = {
     val c = maxNbrsPerRow
     val e = edges.select("src", "dst")
       .groupBy("src").agg(collect_set("dst").as("_all"))
@@ -764,11 +764,19 @@ object Graphs {
           s"transform(sequence(0, (size(_all)-1) div $c)," +
             s" i -> slice(_all, i*$c+1, $c))")).as(Seq("_chunk", "nbrs")))
       .cache()
-    val nodes = Dedup.tracked(
-      e.filter(col("_chunk") === 0).select(col("src").as("node"))
-        .union(e.select(explode(col("nbrs")).as("node")))
-        .distinct()
-        .localCheckpoint(eager = true))
+    // `symmetric = true` (the caller GUARANTEES every dst also appears
+    // as a src — coOccurrenceEdges output by construction) skips the
+    // neighbour explode + distinct, exactly as in [[pageRankInt]] (r18:
+    // the explode re-scanned the whole cached adjacency and shuffled a
+    // node row per EDGE for a node set the chunk-0 rows already hold).
+    val nodes = Dedup.tracked((
+      if (symmetric)
+        e.filter(col("_chunk") === 0).select(col("src").as("node"))
+      else
+        e.filter(col("_chunk") === 0).select(col("src").as("node"))
+          .union(e.select(explode(col("nbrs")).as("node")))
+          .distinct()
+      ).localCheckpoint(eager = true))
     val n = nodes.count()
     require(n > 0, "empty graph")
     // In-graph seeds, as a 0/1 flag on the node table (one join, once)

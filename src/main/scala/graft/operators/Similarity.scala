@@ -1195,22 +1195,33 @@ object Similarity extends Serializable {
       .agg(count(lit(1)).as("_nq"))
     val nc = assigned.agg(count(lit(1)).as("_nc"))
     val cellSizes = assigned.groupBy("cell").agg(count(lit(1)).as("_csz"))
-    val w = Window.partitionBy("query_id")
+    // ONE grouped readout over the materialized candidate table (r18):
+    // the previous per-probe loop planned |nProbes| separate window +
+    // semi-join + aggregate branches (4× the exchanges for the same
+    // bounded table). Probe sets NEST (`_prn < p`), so a theta join
+    // against the |nProbes|-row literal table replicates each candidate
+    // into exactly the probe levels that see it, and one window
+    // partitioned by (query, n_probe) ranks all levels in one pass.
+    // Levels with zero hits re-enter via the left join (the old
+    // ungrouped aggregate's implicit zero row).
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val psDf = ps.map(_.toLong).toDF("n_probe")
+    val wP = Window.partitionBy("query_id", "n_probe")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    val perProbe = ps.map { p =>
-      val approx = cands.filter(col("_prn") < p)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select("query_id", "neighbor_id")
-      val hits = truth.join(approx, Seq("query_id", "neighbor_id"),
-          "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      val scanned = q.filter(col("_prn") < p)
-        .join(broadcast(cellSizes), Seq("cell"))
-        .agg(coalesce(sum("_csz"), lit(0L)).as("rows_scanned"))
-      hits.crossJoin(scanned).withColumn("n_probe", lit(p.toLong))
-    }
-    perProbe.reduce(_.unionByName(_))
+    val approx = cands.join(broadcast(psDf), col("_prn") < col("n_probe"))
+      .withColumn("rank", row_number().over(wP))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "n_probe")
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("n_probe").agg(count(lit(1)).as("n_hits"))
+    val scanned = q.join(broadcast(psDf), col("_prn") < col("n_probe"))
+      .join(broadcast(cellSizes), Seq("cell"))
+      .groupBy("n_probe")
+      .agg(coalesce(sum("_csz"), lit(0L)).as("rows_scanned"))
+    psDf.join(hits, Seq("n_probe"), "left")
+      .join(scanned, Seq("n_probe"), "left")
+      .na.fill(0L, Seq("n_hits", "rows_scanned"))
       .crossJoin(broadcast(nq)).crossJoin(broadcast(nc))
       .withColumn("macro_recall_q6", when(col("_nq") > 0, expr(
         s"CAST((CAST(n_hits AS DECIMAL(38,0)) * 1000000) DIV (_nq * $k)" +
@@ -1334,21 +1345,28 @@ object Similarity extends Serializable {
         .select("query_id", "neighbor_id"))
     val nc = qc.agg(count(lit(1)).as("_nc"))
     val nqL = qQueries.size.toLong
-    val perRf = rfs.map { rf =>
-      val app = exact.filter(col("_adc_rank") <= k.toLong * rf)
-        .withColumn("rank", row_number().over(wT))
-        .filter(col("rank") <= k)
-        .select("query_id", "neighbor_id")
-      val hits = truth.join(app, Seq("query_id", "neighbor_id"),
-          "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      val nref = exact.filter(col("_adc_rank") <= k.toLong * rf)
-        .agg(count(lit(1)).as("n_refined"))
-      hits.crossJoin(nref)
-        .withColumn("refine_factor", lit(rf.toLong))
-        .withColumn("depth", lit(k.toLong * rf))
-    }
-    perRf.reduce(_.unionByName(_))
+    // ONE grouped readout over the materialized shortlist (r18): the
+    // per-factor loop planned |rfs| window + semi-join + aggregate
+    // branches; ADC ranks NEST (`_adc_rank ≤ k·f`), so the same theta-
+    // join-against-literals shape as ivfProbePlan ranks every depth in
+    // one window pass. Zero-hit factors re-enter via the left join.
+    val rfsDf = rfs.map(_.toLong).toDF("refine_factor")
+    val exactP = exact.join(broadcast(rfsDf),
+      col("_adc_rank") <= lit(k.toLong) * col("refine_factor"))
+    val wTP = Window.partitionBy("query_id", "refine_factor")
+      .orderBy(col("dist2"), col("neighbor_id"))
+    val app = exactP
+      .withColumn("rank", row_number().over(wTP))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "refine_factor")
+    val hits = truth.join(app, Seq("query_id", "neighbor_id"))
+      .groupBy("refine_factor").agg(count(lit(1)).as("n_hits"))
+    val nref = exactP.groupBy("refine_factor")
+      .agg(count(lit(1)).as("n_refined"))
+    rfsDf.join(hits, Seq("refine_factor"), "left")
+      .join(nref, Seq("refine_factor"), "left")
+      .na.fill(0L, Seq("n_hits", "n_refined"))
+      .withColumn("depth", lit(k.toLong) * col("refine_factor"))
       .crossJoin(broadcast(nc))
       .withColumn("macro_recall_q6", when(lit(nqL) > 0, expr(
         s"CAST((CAST(n_hits AS DECIMAL(38,0)) * 1000000) DIV ($nqL * $k)" +

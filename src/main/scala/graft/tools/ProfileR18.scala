@@ -75,6 +75,32 @@ object ProfileR18 {
           TextAnalysis.textRankKeywords(Tables.documents(spark, dir)).count())
       }
 
+      if (on("q271ab")) {
+        val docs = Tables.documents(spark, dir)
+        val ws = docs.select(graft.operators.TextAnalysis.words(col("text"))
+          .as("_ws")).filter(size(col("_ws")) >= 2)
+        val biOld = ws.select(explode(expr(
+          "transform(sequence(0, size(_ws) - 2)," +
+            " i -> struct(_ws[i] AS a, _ws[i+1] AS b))")).as("p"))
+          .select(col("p.a"), col("p.b"))
+          .filter(col("a") =!= col("b"))
+        t("q271 edges OLD (union of swap)")(
+          biOld.select(col("a").as("src"), col("b").as("dst"))
+            .unionByName(biOld.select(col("b").as("src"), col("a").as("dst")))
+            .groupBy("src", "dst")
+            .agg(least(count(lit(1)), lit(100000L)).as("weight")).count())
+        val biNew = ws.select(explode(expr(
+          "flatten(transform(sequence(0, size(_ws) - 2)," +
+            " i -> array(struct(_ws[i] AS a, _ws[i+1] AS b)," +
+            " struct(_ws[i+1] AS a, _ws[i] AS b))))")).as("p"))
+          .select(col("p.a"), col("p.b"))
+          .filter(col("a") =!= col("b"))
+        t("q271 edges NEW (one-pass both dirs)")(
+          biNew.select(col("a").as("src"), col("b").as("dst"))
+            .groupBy("src", "dst")
+            .agg(least(count(lit(1)), lit(100000L)).as("weight")).count())
+      }
+
       if (on("q211")) {
         val ew = Graphs.coOccurrenceWeighted(
             Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
@@ -82,6 +108,20 @@ object ProfileR18 {
         t("q211 edge build (count)")(ew.count())
         t("q211 ssspInt full")(
           Graphs.ssspInt(ew, rounds = 3).count())
+      }
+
+      if (on("q203")) {
+        val li = Tables.lineitem(spark, dir)
+        val seeds = t("q203 seeds (top-3 parts)")(
+          Dedup.materialize(li.groupBy("l_partkey")
+            .agg(countDistinct("l_orderkey").as("_c"))
+            .orderBy(col("_c").desc, col("l_partkey"))
+            .limit(3).select(col("l_partkey").as("node"))))
+        seeds.count()
+        val edges = Graphs.coOccurrenceEdges(
+          li, "l_orderkey", "l_partkey", dedup = false)
+        t("q203 PPR (2 iters, incl. adjacency)")(
+          Graphs.personalizedPageRankInt(edges, seeds, iters = 2).count())
       }
 
       if (on("q315")) {
@@ -133,11 +173,51 @@ object ProfileR18 {
           .select("id_a", "id_b")
           .distinct())
         t("q209 candidate pairs")(cand.count())
-        t("q209 verify joins")(cand
+        println(s"[phase] q209 cand pairs = ${cand.count()}," +
+          s" base rows = ${base.count()}")
+        t("q209 verify joins (merge, current)")(cand
           .join(base.select(col("id").as("id_a"), col("toks").as("_ta"),
             col("s").as("s_a")).hint("merge"), "id_a")
           .join(base.select(col("id").as("id_b"), col("toks").as("_tb"))
             .hint("merge"), "id_b")
+          .withColumn("inter", graft.plans.GraftExtensions
+            .sortedIntersectNative(col("_ta"), col("_tb")))
+          .filter(col("inter").cast("double") / col("s_a") >= tau)
+          .count())
+        t("q209 verify joins (double-bcast cand)") {
+          val j1 = base.select(col("id").as("id_a"), col("toks").as("_ta"),
+              col("s").as("s_a"))
+            .join(broadcast(cand), Seq("id_a"))
+          val j2 = base.select(col("id").as("id_b"), col("toks").as("_tb"))
+            .join(broadcast(cand), Seq("id_b"))
+            .select("id_a", "id_b", "_tb")
+          j1.join(j2, Seq("id_a", "id_b"))
+            .withColumn("inter", graft.plans.GraftExtensions
+              .sortedIntersectNative(col("_ta"), col("_tb")))
+            .filter(col("inter").cast("double") / col("s_a") >= tau)
+            .count()
+        }
+        t("q209 verify joins (shuffle_hash)")(cand
+          .join(base.select(col("id").as("id_a"), col("toks").as("_ta"),
+            col("s").as("s_a")).hint("shuffle_hash"), "id_a")
+          .join(base.select(col("id").as("id_b"), col("toks").as("_tb"))
+            .hint("shuffle_hash"), "id_b")
+          .withColumn("inter", graft.plans.GraftExtensions
+            .sortedIntersectNative(col("_ta"), col("_tb")))
+          .filter(col("inter").cast("double") / col("s_a") >= tau)
+          .count())
+        // ranked-join variant: shuffle_hash dfreq instead of merge
+        val ranked2 = Dedup.materialize(toks
+          .join(dfreq.hint("shuffle_hash"), "hk")
+          .withColumn("_rn", row_number().over(wRare)))
+        t("q209 ranked (shuffle_hash dfreq)")(ranked2.count())
+        t("q209 verify joins (shuffle_hash CAND build)")(cand
+          .hint("shuffle_hash")
+          .join(base.select(col("id").as("id_a"), col("toks").as("_ta"),
+            col("s").as("s_a")), "id_a")
+          .hint("shuffle_hash")
+          .join(base.select(col("id").as("id_b"), col("toks").as("_tb")),
+            "id_b")
           .withColumn("inter", graft.plans.GraftExtensions
             .sortedIntersectNative(col("_ta"), col("_tb")))
           .filter(col("inter").cast("double") / col("s_a") >= tau)

@@ -66,6 +66,20 @@ class GraphsSpec extends SparkSpec {
     } finally Graphs.broadcastScoreMaxNodes = saved
   }
 
+  test("personalizedPageRankInt: symmetric fast path ≡ default on a symmetric graph (r18)") {
+    // undirected triangle + pendant, both directions present — the
+    // coOccurrenceEdges contract the fast path rides on
+    val und = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L)
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val dflt = Graphs.personalizedPageRankInt(edges, seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val sym = Graphs.personalizedPageRankInt(edges, seeds, iters = 3,
+        symmetric = true)
+      .as[(Long, Long)].collect().toMap
+    assert(sym == dflt, "symmetric node-set shortcut changed a score")
+  }
+
   test("pageRankInt: chunked adjacency rows ≡ unchunked; dup edges collapse; sinks keep base mass") {
     // center 0 has 4 neighbours; maxNbrsPerRow=2 splits it into two
     // adjacency rows — scores must not change. Edge (0,1) repeated:
