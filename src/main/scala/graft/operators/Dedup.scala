@@ -82,6 +82,24 @@ object Dedup {
     */
   def releaseCheckpoints(): Unit = drain(checkpointScopes.get().peek())
 
+  /** Scale-adaptive scan-parallelism guard (guide §2.5 "input skew: one
+    * huge unsplittable file → repartition immediately after the read"):
+    * when a source scans into FEWER partitions than the cluster has
+    * cores — a single parquet row group, one gzip file — every map-side
+    * kernel downstream (shingle digests, int8 quantization, Lloyd
+    * assignment, per-partition top-k heaps) runs on ONE core while the
+    * rest idle. Below `defaultParallelism` input partitions this adds
+    * one round-robin exchange of the raw rows so the expensive kernels
+    * run wide; at real scale a table scans into thousands of splits and
+    * the branch is a no-op (the repartition never appears in the plan).
+    * `.rdd.getNumPartitions` only plans the scan — no job runs.
+    */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val p = df.rdd.getNumPartitions
+    if (p > 0 && p < target) df.repartition(target) else df
+  }
+
   /** Eagerly free ONE materialized stage's checkpoint blocks — the
     * bounded-round-loop companion to the scope-exit release: round k's
     * materialized output supersedes round k−1's, so the loop frees the
@@ -556,8 +574,9 @@ object Dedup {
       .getOrElse(graft.plans.GraftExtensions.shingleDigestsNative(
         lower(col("text")), 12))
     // base carries the verify-ready sorted digest array straight from
-    // the map side — no groupBy/collect round trip rebuilds it
-    val base = materialize(docs.select(col(idCol).as("id"),
+    // the map side — no groupBy/collect round trip rebuilds it; spread
+    // first so the digest kernel runs wide on low-split inputs (r18)
+    val base = materialize(spread(docs).select(col(idCol).as("id"),
         sort_array(array_distinct(dig)).as("toks"))
       .withColumn("s", size(col("toks")))
       .withColumn("p",
@@ -641,7 +660,7 @@ object Dedup {
     val dig = graft.plans.GraftExtensions.shingleDigestsNative(
       lower(col("text")), 12)
     if (withTokens)
-      docs.select(col(idCol).cast("long").as("id"),
+      spread(docs).select(col(idCol).cast("long").as("id"),
           sort_array(array_distinct(dig)).as("toks"),
           greatest(lit(0L), coalesce(
             TextAnalysis.tokenCountWs(col("text")).cast("long"),
@@ -649,7 +668,7 @@ object Dedup {
         .groupBy("toks").agg(min("id").as("id"), count(lit(1)).as("n"),
           sum("_tk").as("tk"))
     else
-      docs.select(col(idCol).cast("long").as("id"),
+      spread(docs).select(col(idCol).cast("long").as("id"),
           sort_array(array_distinct(dig)).as("toks"))
         .groupBy("toks").agg(min("id").as("id"), count(lit(1)).as("n"))
   }
@@ -1557,7 +1576,7 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val dig = graft.plans.GraftExtensions.shingleDigestsNative(
       lower(col("text")), 12)
-    val base = materialize(docs.select(col(idCol).as("id"),
+    val base = materialize(spread(docs).select(col(idCol).as("id"),
         sort_array(array_distinct(dig)).as("toks"))
       .withColumn("s", size(col("toks"))))
     val toks = base.select(col("id"), col("s"), explode(col("toks")).as("hk"))

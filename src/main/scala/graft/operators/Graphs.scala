@@ -168,10 +168,16 @@ object Graphs {
     val deg = und.select(col("a").as("n"))
       .union(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+    // the degree table is node-sized (≤ 2m rows, m EXACT here) —
+    // broadcast it under the same gate as the adjacency below instead
+    // of letting the stats-free checkpointed edge table plan two
+    // sort-merge joins (r18)
+    def dHinted(df: DataFrame): DataFrame =
+      if (m <= broadcastMaxEdges) broadcast(df) else df
     // orient each edge (degree, id)-low → high
     val o = und
-      .join(deg.select(col("n").as("a"), col("d").as("_da")), Seq("a"))
-      .join(deg.select(col("n").as("b"), col("d").as("_db")), Seq("b"))
+      .join(dHinted(deg.select(col("n").as("a"), col("d").as("_da"))), Seq("a"))
+      .join(dHinted(deg.select(col("n").as("b"), col("d").as("_db"))), Seq("b"))
       .select(
         when(struct(col("_da"), col("a")) < struct(col("_db"), col("b")),
           struct(col("a").as("u"), col("b").as("v")))
@@ -842,6 +848,12 @@ object Graphs {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct())
+    // canon is materialized — its exact edge count gates the node-sized
+    // broadcasts below (the pageRankInt hinted discipline; without the
+    // hint the stats-free checkpoint plans sort-merge joins, r18)
+    val m = canon.count()
+    def hinted(df: DataFrame): DataFrame =
+      if (m <= Graphs.broadcastScoreMaxNodes) broadcast(df) else df
     val both = canon.select(col("a").as("z"), col("b").as("x"))
       .unionByName(canon.select(col("b").as("z"), col("a").as("x")))
     val deg = both.groupBy("z").agg(count(lit(1)).as("_d"))
@@ -851,7 +863,7 @@ object Graphs {
       .withColumn("_ln", graft.plans.GraftExtensions.lnQ12Native(col("_d")))
       .withColumn("_wq6", expr("1000000000000000000 DIV _ln"))
       .drop("_ln")
-    val pairs = both.join(wz, Seq("z"))
+    val pairs = both.join(hinted(wz), Seq("z"))
       .groupBy("z", "_wq6").agg(collect_list("x").as("_xs"))
       .select(col("_wq6"), explode(col("_xs")).as("pa"), col("_xs"))
       .select(col("_wq6"), col("pa"), explode(col("_xs")).as("pb"))
@@ -859,7 +871,7 @@ object Graphs {
     pairs
       .groupBy(col("pa").as("a"), col("pb").as("b"))
       .agg(count(lit(1)).as("cn"), sum("_wq6").as("aa_q6"))
-      .join(canon, Seq("a", "b"), "left_anti")
+      .join(hinted(canon), Seq("a", "b"), "left_anti")
       .orderBy(col("aa_q6").desc, col("a"), col("b"))
       .limit(topK)
   }

@@ -1400,7 +1400,10 @@ object TextAnalysis {
     */
   def textRankKeywords(docs: DataFrame, iters: Int = 3, topK: Int = 20,
       textCol: String = "text"): DataFrame = {
-    val ws = docs.select(words(col(textCol)).as("_ws"))
+    // spread before the tokenize+explode so the bigram kernel runs wide
+    // on low-split inputs (r18, Dedup.spread's scale-adaptive no-op)
+    val ws = graft.operators.Dedup.spread(docs.select(col(textCol)))
+      .select(words(col(textCol)).as("_ws"))
       .filter(size(col("_ws")) >= 2)
     // BOTH orientations emitted by the one map-side explode (r18): the
     // previous unionByName of the bigram subtree with its own swap

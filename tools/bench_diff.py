@@ -61,6 +61,28 @@ by hand (re-run the flagged query fresh) is mechanized by --recheck:
 A flagged query whose FRESH floor is back inside the band (<= threshold
 x best baseline floor + abs-delta) clears to FLOATS and stops gating;
 one that stays slow on a fresh run is a confirmed regression.
+
+FLOORS LEDGER (r17 verdict item #1 — make the record load-independent):
+a committed per-query best-known-floor table, bench_floors.json:
+  {"<query>": {"floor": 1.234, "record": "...", "calib_mt_ms_pre": 360,
+               "load1_pre": 0.4, "sf": "..."}}
+Floors only MOVE DOWN (ambient load can only inflate a run, never
+deflate it), so folding any record in is safe — the min over all
+history is the closest observable to the engine's true cost on this
+box. Two commands:
+
+  # fold one or more records into the ledger (creates it if absent)
+  python3 tools/bench_diff.py --update-ledger bench_floors.json R1.json [R2.json ...]
+
+  # adjudicate a candidate record against the ledger (exit 1 on
+  # regressions unless --no-gate); prints the ledger-floors headline
+  # SUM(ledger floor) and the candidate's per-query delta against it
+  python3 tools/bench_diff.py --ledger bench_floors.json NEW.json
+
+A candidate query flags iff its floor > threshold x ledger floor AND
+> ledger floor + abs-delta (the floors-mode criteria against the
+all-history best instead of N recent records); --recheck clears
+floats-class flags exactly as in floors mode.
 """
 import argparse
 import json
@@ -87,7 +109,116 @@ def parse_args():
                    help="floors mode: a fresh subset bench record of the "
                         "flagged queries; flags whose fresh floor is back "
                         "in band clear to FLOATS")
+    p.add_argument("--update-ledger", metavar="LEDGER",
+                   help="fold the records' per-query floors into LEDGER "
+                        "(bench_floors.json), keeping the min + provenance")
+    p.add_argument("--ledger", metavar="LEDGER",
+                   help="adjudicate ONE candidate record against LEDGER "
+                        "floors; prints the ledger headline and deltas")
     return p.parse_args()
+
+
+def load_ledger(path):
+    try:
+        return json.load(open(path))
+    except FileNotFoundError:
+        return {}
+
+
+def update_ledger(ledger_path, record_paths):
+    led = load_ledger(ledger_path)
+    changed = 0
+    for rp in record_paths:
+        rec = load_record(rp)
+        env = rec.get("env") or {}
+        if isinstance(env, str):
+            env = {}
+        prov = {
+            "record": rp,
+            "calib_mt_ms_pre": env.get("calib_mt_ms_pre"),
+            "load1_pre": env.get("load1_pre"),
+            "sf": rec.get("sf"),
+        }
+        for q, f in floors_of(rec).items():
+            if not f:
+                continue
+            cur = led.get(q)
+            if cur is None or f < cur.get("floor", float("inf")):
+                led[q] = dict(floor=round(f, 3), **prov)
+                changed += 1
+    json.dump(dict(sorted(led.items())), open(ledger_path, "w"), indent=1)
+    print(f"{ledger_path}: {len(led)} queries, {changed} floors "
+          f"lowered/added from {len(record_paths)} record(s)")
+
+
+def ledger_mode(ledger_path, new_path, threshold, abs_delta, gate,
+                recheck_path=None):
+    led = load_ledger(ledger_path)
+    if not led:
+        sys.exit(f"{ledger_path}: empty or missing ledger")
+    new = floors_of(load_record(new_path))
+    print(f"ledger mode: candidate {new_path} vs {ledger_path} "
+          f"({len(led)} queries); flag iff floor > {threshold}x ledger "
+          f"AND > ledger + {abs_delta}s")
+    regs, failing, no_history = [], [], []
+    common = 0
+    led_sum = cand_sum = 0.0
+    for q in sorted(set(led) | set(new)):
+        lf = led.get(q, {}).get("floor")
+        nf = new.get(q)
+        if lf is None:
+            if nf:
+                no_history.append(q)
+            continue
+        if q not in new:
+            continue  # subset candidate: absent queries aren't failures
+        if nf is None:
+            failing.append(q)
+            continue
+        common += 1
+        led_sum += lf
+        cand_sum += nf
+        if nf > threshold * lf and nf - lf > abs_delta:
+            regs.append((q, nf, lf))
+    cleared = []
+    if recheck_path and regs:
+        fresh = floors_of(load_record(recheck_path))
+        still = []
+        for q, nf, lf in regs:
+            ff = fresh.get(q)
+            if ff and not (ff > threshold * lf and ff - lf > abs_delta):
+                cleared.append((q, nf, ff, lf))
+            else:
+                still.append((q, ff if ff else nf, lf))
+        regs = still
+    for q in failing:
+        print(f"{'NOW FAILING':16s} {q}")
+    for q, nf, lf in sorted(regs, key=lambda t: -(t[1] / t[2])):
+        prov = led[q]
+        print(f"{'FLOOR REGRESSION':16s} {q:32s} floor {nf:.3f}s vs "
+              f"ledger {lf:.3f}s (x{nf / lf:.2f}; ledger from "
+              f"{prov.get('record')})")
+    for q, nf, ff, lf in cleared:
+        print(f"{'FLOATS (cleared)':16s} {q:32s} record floor {nf:.3f}s, "
+              f"fresh recheck {ff:.3f}s vs ledger {lf:.3f}s")
+    if regs and not recheck_path:
+        qs = ",".join(q for q, *_ in regs)
+        print(f"\nadjudicate on a quiet box:\n"
+              f"  SPARK_GRAFT_BENCH_QUERIES={qs} "
+              f"SPARK_GRAFT_BENCH_OUT=/tmp/recheck.json "
+              f"sbt -batch 'runMain graft.Bench'\n"
+              f"  then re-run with --recheck /tmp/recheck.json")
+    if no_history:
+        print(f"\nnot in ledger ({len(no_history)}): "
+              + ", ".join(no_history))
+    print(f"\nledger headline over the {common} common queries: "
+          f"SUM(ledger floors) = {led_sum:.3f}s; candidate floors = "
+          f"{cand_sum:.3f}s (x{cand_sum / led_sum:.3f} of ledger)"
+          if common else "\nno common queries")
+    print(f"{len(new)} candidate queries, {len(failing)} now failing, "
+          f"{len(regs)} floor regressions, {len(cleared)} cleared by "
+          f"recheck")
+    sys.exit(1 if ((regs or failing) and gate) else 0)
 
 
 def load_record(path):
@@ -307,6 +438,15 @@ def norm_factor_fn(rec, base, key="ms"):
 def main():
     a = parse_args()
     threshold = a.threshold
+    if a.update_ledger:
+        update_ledger(a.update_ledger, a.records)
+        return
+    if a.ledger:
+        if len(a.records) != 1:
+            sys.exit("--ledger takes exactly one candidate record")
+        ledger_mode(a.ledger, a.records[0], threshold, a.abs_delta,
+                    not a.no_gate, a.recheck)
+        return
     if a.floors:
         if len(a.records) < 2:
             sys.exit("--floors needs at least one baseline + a candidate")

@@ -196,10 +196,44 @@ def main():
           and "absent from candidate (1): qfloat" in out,
           f"rc={rc}\n{out}")
 
+    # 13. ledger: floors only move down; provenance kept; candidate
+    # adjudication flags against the all-history best
+    with tempfile.TemporaryDirectory() as d:
+        led = os.path.join(d, "bench_floors.json")
+        r1 = os.path.join(d, "r1.json")
+        r2 = os.path.join(d, "r2.json")
+        json.dump(rec_raw({"qa": [1.0, 1.2, 1.1], "qb": [2.0, 2.2, 2.1]}),
+                  open(r1, "w"))
+        json.dump(rec_raw({"qa": [0.6, 3.0, 3.0], "qb": [9.0, 9.0, 9.0]}),
+                  open(r2, "w"))
+        subprocess.run([sys.executable, DIFF, "--update-ledger", led, r1],
+                       capture_output=True, text=True)
+        subprocess.run([sys.executable, DIFF, "--update-ledger", led, r2],
+                       capture_output=True, text=True)
+        got = json.load(open(led))
+        check("ledger: min floor wins, inflated record can't raise",
+              got["qa"]["floor"] == 0.6 and got["qb"]["floor"] == 2.0
+              and got["qa"]["record"].endswith("r2.json")
+              and got["qb"]["record"].endswith("r1.json"), str(got))
+        # candidate: qa regressed (3.0 > 1.5x0.6 and > 0.6+0.5), qb in band
+        cand_p = os.path.join(d, "cand.json")
+        json.dump(rec_raw({"qa": [3.0, 3.1, 3.2], "qb": [2.1, 2.2, 2.3]}),
+                  open(cand_p, "w"))
+        pr = subprocess.run([sys.executable, DIFF, "--ledger", led, cand_p],
+                            capture_output=True, text=True)
+        check("ledger: regression gates, in-band passes",
+              pr.returncode == 1 and "FLOOR REGRESSION" in pr.stdout
+              and "qa" in pr.stdout and "qb" not in
+              [l.split()[2] for l in pr.stdout.splitlines()
+               if l.startswith("FLOOR")],
+              f"rc={pr.returncode}\n{pr.stdout}")
+        check("ledger: headline sums printed",
+              "SUM(ledger floors)" in pr.stdout, pr.stdout)
+
     if failures:
         print("FAIL\n" + "\n".join(failures))
         sys.exit(1)
-    print("bench_diff self-test: 12 checks OK")
+    print("bench_diff self-test: 15 checks OK")
 
 
 if __name__ == "__main__":
