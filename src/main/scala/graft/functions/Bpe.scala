@@ -78,6 +78,36 @@ object Bpe {
     * is the exact published recipe, practical for the `nMerges` a
     * pipeline derives thresholds or demo vocabularies from.
     */
+  /** Driver-side ceiling (in DISTINCT WORDS) for [[train]]'s merge
+    * loop — the r18 bounded-table-rounds discipline
+    * (Analytics.btDriverMaxItems): each merge round is one vocab-sized
+    * aggregation + a top-1 collect, i.e. a full Spark job for
+    * microseconds of pair counting once the dictionary is small. Below
+    * the gate (exact count — the vocab table is materialized either
+    * way) the dictionary collects once and the merges run on the
+    * driver with code-point ordering matching Spark's UTF8 binary
+    * comparison; above it the per-round jobs are unchanged. The
+    * published trainings prune to a bounded dictionary first
+    * (minWordCount), so the gate is the common case at any corpus
+    * scale. Mutable only so the spec can force and compare both paths.
+    */
+  private[graft] var trainDriverMaxVocab: Long = 2000000L
+
+  /** UTF8-binary string ordering (code-point compare) — Spark's
+    * `orderBy` on strings compares UTF8 bytes, which is code-point
+    * order; Java's String.compareTo is UTF-16 code-unit order and
+    * disagrees for supplementary characters.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    a.length - i < b.length - j
+  }
+
   def train(docs: org.apache.spark.sql.DataFrame, nMerges: Int,
       minCount: Long = 1, textCol: String = "text",
       minWordCount: Long = 1): Seq[(String, String, Long)] = {
@@ -92,6 +122,62 @@ object Bpe {
       .filter(col("cnt") >= minWordCount)
       .select(split(col("w"), "").as("syms"), col("cnt"))
       .localCheckpoint(eager = false)
+    val nVocab = vocab.count()
+    if (nVocab <= trainDriverMaxVocab) {
+      // bounded-dictionary driver fast path: same greedy algorithm,
+      // same (count DESC, pair ASC by UTF8 order) tie-break, same
+      // left-to-right fuse — one Spark job total instead of one per
+      // merge round.
+      var dict = vocab.collect().map(r =>
+        (r.getSeq[String](0).toArray, r.getLong(1)))
+      vocab.unpersist()
+      val learned =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var stop = false
+      while (learned.size < nMerges && !stop) {
+        val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        dict.foreach { case (syms, cnt) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            pc.update(k, pc.getOrElse(k, 0L) + cnt)
+            i += 1
+          }
+        }
+        if (pc.isEmpty) stop = true
+        else {
+          var best: ((String, String), Long) = null
+          pc.foreach { case (k, v) =>
+            if (best == null || v > best._2 ||
+              (v == best._2 && (utf8Lt(k._1, best._1._1) ||
+                (k._1 == best._1._1 && utf8Lt(k._2, best._1._2)))))
+              best = (k, v)
+          }
+          if (best._2 < minCount) stop = true
+          else {
+            val ((l, r), n) = best
+            learned += ((l, r, n))
+            val lr = l + r
+            dict = dict.map { case (syms, cnt) =>
+              if (syms.length < 2) (syms, cnt)
+              else {
+                val out = new scala.collection.mutable.ArrayBuffer[String](
+                  syms.length)
+                out += syms(0)
+                var i = 1
+                while (i < syms.length) {
+                  if (out.last == l && syms(i) == r) out(out.length - 1) = lr
+                  else out += syms(i)
+                  i += 1
+                }
+                (out.toArray, cnt)
+              }
+            }
+          }
+        }
+      }
+      return learned.toSeq
+    }
     var prev: Option[org.apache.spark.sql.DataFrame] = None
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var stop = false

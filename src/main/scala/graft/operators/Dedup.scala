@@ -93,6 +93,14 @@ object Dedup {
     * run wide; at real scale a table scans into thousands of splits and
     * the branch is a no-op (the repartition never appears in the plan).
     * `.rdd.getNumPartitions` only plans the scan — no job runs.
+    *
+    * Apply ONLY where a profile shows a heavy per-row kernel trapped in
+    * the scan stage (shingle digests, tokenize+explode): the r18 A/B on
+    * the int8 ANN tier showed the exchange plus 32-task scheduling per
+    * (numerous, tiny) downstream job COSTS more than it parallelizes
+    * when the kernel is light (q37 +0.2 s, q353 +0.75 s) — those sites
+    * were reverted; the digest/text sites (profiled 0.5–3.5 s
+    * single-task kernels) keep it.
     */
   private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

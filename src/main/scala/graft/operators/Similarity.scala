@@ -63,11 +63,9 @@ object Similarity extends Serializable {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qB = spark.sparkContext.broadcast(q)
-    // spread before the heap scan: a single-row-group input otherwise
-    // runs EVERY per-partition heap on one core (r18)
-    val partial = Dedup.spread(corpus
+    val partial = corpus
       .select(col(idCol).cast("long"), col(vecCol))
-      .filter(col(vecCol).isNotNull))
+      .filter(col(vecCol).isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
         val qs = qB.value
@@ -415,8 +413,7 @@ object Similarity extends Serializable {
     // the Ranking/Packing idiom) instead of re-reading + re-quantizing
     // the source per pass. Freed via Dedup.withPipeline or plan GC.
     val qc = Dedup.tracked(
-      quantIds(Dedup.spread(corpus), idCol, vecCol)
-        .localCheckpoint(eager = false))
+      quantIds(corpus, idCol, vecCol).localCheckpoint(eager = false))
     val cs = trainCellCentroids(qc, hashSeedVecs(qc, nCells), iters)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -539,8 +536,7 @@ object Similarity extends Serializable {
     // one materialization feeds seeds + every per-sub Lloyd round + the
     // final coding pass (see ivfTopKInt8)
     val qc = Dedup.tracked(
-      quantIds(Dedup.spread(corpus), idCol, vecCol)
-        .localCheckpoint(eager = false))
+      quantIds(corpus, idCol, vecCol).localCheckpoint(eager = false))
     pqTopKInt8Quant(qc, queries, k, m, ksub, iters, idCol, vecCol)
   }
 
@@ -636,7 +632,7 @@ object Similarity extends Serializable {
     val spark = corpus.sparkSession
     // ONE quantized-corpus materialization feeds both the ADC shortlist
     // and the exact re-score join (was two source read+quantize passes)
-    val qc = Dedup.materialize(quantIds(Dedup.spread(corpus), idCol, vecCol))
+    val qc = Dedup.materialize(quantIds(corpus, idCol, vecCol))
     val shortlist = pqTopKInt8Quant(qc, queries, k * refineFactor,
         m, ksub, iters, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
@@ -686,8 +682,7 @@ object Similarity extends Serializable {
     import spark.implicits._
 
     val qc = Dedup.tracked(
-      quantIds(Dedup.spread(corpus), idCol, vecCol)
-        .localCheckpoint(eager = false))
+      quantIds(corpus, idCol, vecCol).localCheckpoint(eager = false))
     val ivfSeeds = hashSeedVecs(qc, math.max(nCells, ksub))
     val dim = ivfSeeds.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subvectors")
@@ -935,8 +930,7 @@ object Similarity extends Serializable {
     require(thresholdNum <= thresholdDen,
       s"thresholdNum $thresholdNum > thresholdDen $thresholdDen (cosine threshold > 1)")
     val qc = Dedup.tracked(
-      quantIds(Dedup.spread(corpus), idCol, vecCol)
-        .localCheckpoint(eager = false))
+      quantIds(corpus, idCol, vecCol).localCheckpoint(eager = false))
     // nCells ≤ 0 → auto-scale with corpus size (see scaladoc). The
     // count() forces the checkpoint that training re-reads — one extra
     // job over materialized data, nothing shuffled.
@@ -1285,7 +1279,7 @@ object Similarity extends Serializable {
     // was four separate source read+quantize passes (r16: the single
     // biggest cost in q319's profile, and the scan count is what
     // matters at 100 TB)
-    val qc = Dedup.materialize(quantIds(Dedup.spread(corpus), idCol, vecCol))
+    val qc = Dedup.materialize(quantIds(corpus, idCol, vecCol))
     val shortlist = Dedup.materialize(
       pqTopKInt8Quant(qc, queries, k * rfMax, m, ksub, iters, idCol, vecCol)
         .select(col("query_id"), col("neighbor_id"),
@@ -1404,8 +1398,7 @@ object Similarity extends Serializable {
       nCells: Int = 16, iters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val qc = Dedup.tracked(
-      quantIds(Dedup.spread(base), idCol, vecCol)
-        .localCheckpoint(eager = false))
+      quantIds(base, idCol, vecCol).localCheckpoint(eager = false))
     // clamp the codebook to the base size (the semanticDedup
     // auto-scale convention) so a tiny base degrades to one-vector
     // cells instead of failing the seed requirement
@@ -1416,7 +1409,7 @@ object Similarity extends Serializable {
     val bCells = qc.withColumn("cell", cellAssigner(cs)(col("qv")))
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n_base"))
-    val aCells = quantIds(Dedup.spread(appended), idCol, vecCol)
+    val aCells = quantIds(appended, idCol, vecCol)
       .withColumn("cell", cellAssigner(cs)(col("qv")))
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n_new"))
@@ -1483,9 +1476,9 @@ object Similarity extends Serializable {
     require(thresholdNum <= thresholdDen,
       s"thresholdNum $thresholdNum > thresholdDen $thresholdDen (cosine threshold > 1)")
     require(targetCellSize > 0, s"targetCellSize $targetCellSize must be positive")
-    val qcC = quantIds(Dedup.spread(corpus), idCol, vecCol)
+    val qcC = quantIds(corpus, idCol, vecCol)
       .select(col("id"), col("qv"), lit(false).as("_bench"))
-    val qcB = quantIds(Dedup.spread(benchmark), idCol, vecCol)
+    val qcB = quantIds(benchmark, idCol, vecCol)
       .select(col("id"), col("qv"), lit(true).as("_bench"))
     val qcU = Dedup.tracked(
       qcC.unionByName(qcB).localCheckpoint(eager = false))

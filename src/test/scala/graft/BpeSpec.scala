@@ -244,6 +244,20 @@ class BpeSpec extends SparkSpec {
     assert(pruned == Seq(("h", "e", 5L)))
   }
 
+  test("train: driver fast path ≡ distributed merge loop (r18 gate)") {
+    val docs = Seq((0L, "the the the"), (1L, "then then"), (2L, "he"),
+      (3L, "aaaa abab"), (4L, "zz zz zz the"))
+      .toDF("doc_id", "text")
+    val viaDriver = Bpe.train(docs, nMerges = 5)
+    val saved = Bpe.trainDriverMaxVocab
+    Bpe.trainDriverMaxVocab = 0L
+    try {
+      val viaSpark = Bpe.train(docs, nMerges = 5)
+      assert(viaDriver == viaSpark,
+        "driver merge loop must equal the distributed loop exactly")
+    } finally Bpe.trainDriverMaxVocab = saved
+  }
+
   test("train fuses greedily left-to-right: overlapping pairs take even offsets") {
     // "aaaa"×5: (a,a) appears 3×/word → pc=15; after the fuse each word
     // is [aa,aa] (positions 0-1 and 2-3, never the overlapping 1-2)
