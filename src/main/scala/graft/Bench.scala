@@ -338,9 +338,23 @@ object Bench {
     // smaller lines until one fits the driver's 2000-char tail capture.
     // The last variant is O(1)-sized, so the require can never fire —
     // it exists to fail loudly at run time if an edit breaks that.
+    //
+    // Variant 3 (NEW r19, the r18 verdict's #2): the full 113-query map
+    // with long names (~3.2k chars) never fit, so the driver's per-query
+    // and scaling comparisons ran empty both optimization rounds
+    // (PERF_r18 per_query: {}). This variant keys each query by its
+    // NUMERIC id ("315" for q315_ivf_probe_plan — ids are unique across
+    // the board) at 2 decimals: ~1.3k chars for 113 queries, fits the
+    // capture with headroom. Full names + min/raw/ticks stay in
+    // bench_last.json; this is a measurement-path fix only — no query
+    // was removed or renamed (the id is a 1:1 projection of the name).
+    val qIdJson = results.map { case (k, med, _, _, _) =>
+      "\"" + k.drop(1).takeWhile(_.isDigit) + f"\":$med%.2f" }
+      .mkString("{", ",", "}")
     val candidates = Seq(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":$completeJson,"subset":$isSubset,"failed":$failedJson,"env":$envJson,"queries":$qJson,"sf":"$sfDir"}""",
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":$completeJson,"subset":$isSubset,"failed":$failedJson,$calibJson,"env":"see bench_last.json","queries":$qJson,"sf":"$sfDir"}""",
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":$completeJson,"subset":$isSubset,"n_failed":${failedNames.size},$calibJson,"env":"see bench_last.json","queries":$qIdJson,"queries_by":"numeric id; names in bench_last.json","n_queries":${results.size},"sf":"$sfDir"}""",
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"stat":"median","complete":$completeJson,"subset":$isSubset,"n_failed":${failedNames.size},$calibJson,"env":"see bench_last.json","queries":"see bench_last.json","n_queries":${results.size},"sf":"$sfDir"}""")
     val stdoutLine = candidates.find(_.length <= 1950).getOrElse(
       throw new IllegalStateException(

@@ -1584,6 +1584,14 @@ object Analytics {
     */
   private[graft] var stationaryDriverMaxStates: Long = 65536L
 
+  /** Driver-side ceiling in CELLS for the same gate (r18 verdict #3 /
+    * ADVICE: the state gate alone admits a dense 65k-state chain whose
+    * ~4.3e9 cells would then be collect()ed — a driver OOM the gate
+    * never sees). The cell table is already materialized, so the count
+    * is cheap; 1M cells ≈ tens of MB collected. Mutable for the spec.
+    */
+  private[graft] var stationaryDriverMaxCells: Long = 1000000L
+
   /** Power-iteration readout over (src, dst, n) cells — see
     * [[transitionStationary]]. */
   def stationaryFromCells(cells: DataFrame, rounds: Int = 8): DataFrame = {
@@ -1600,7 +1608,7 @@ object Analytics {
         .union(cells.select(col("dst"))).distinct())
     val ns = states.count()
     require(ns > 0, "stationaryFromCells needs a non-empty chain")
-    if (ns <= stationaryDriverMaxStates) {
+    if (ns <= stationaryDriverMaxStates && p.count() <= stationaryDriverMaxCells) {
       // bounded-cells driver fixed point (see the gate's scaladoc):
       // per round π′(d) = Σ_s ⌊π(s)·pq/10⁹⌋ — the exact arithmetic of
       // the distributed branch, BigInt where the SQL widens to
@@ -1609,7 +1617,10 @@ object Analytics {
       val spark = cells.sparkSession
       val stateRows = states.collect().map(_.get(0))
       val idx = stateRows.zipWithIndex.toMap
-      val pArr = p.collect().map(r =>
+      // NULL pq (a src whose cells are all n=0 makes _tot=0 and DIV
+      // yields NULL) contributes nothing in the distributed branch's
+      // SUM; drop those rows here instead of NPE-ing on getLong.
+      val pArr = p.filter(col("pq").isNotNull).collect().map(r =>
         (idx(r.get(0)), idx(r.get(1)), r.getLong(2)))
       var pi = Array.fill(stateRows.length)(1000000000000L / ns)
       for (_ <- 1 to rounds) {
@@ -1698,6 +1709,15 @@ object Analytics {
     */
   private[graft] var btDriverMaxItems: Long = 65536L
 
+  /** Driver-side ceiling in GAME CELLS for the same gate — the
+    * [[stationaryDriverMaxCells]] argument applied to the arena: the
+    * item gate alone admits a dense 65k-item arena whose ~4.3e9
+    * symmetric cells would then be collect()ed (r18 verdict #3).
+    * `games` is already materialized; the count is cheap. Mutable for
+    * the spec.
+    */
+  private[graft] var btDriverMaxGameCells: Long = 1000000L
+
   private def btFit(wins: DataFrame, games: DataFrame, rounds: Int)
       : DataFrame = {
     require(rounds >= 1, "bradleyTerryFromWins needs rounds >= 1")
@@ -1708,7 +1728,7 @@ object Analytics {
         wins.groupBy(col("winner").as("i")).agg(sum("n").as("_w")),
         Seq("i"), "left")
       .na.fill(0L, Seq("_w"))
-    if (nItems <= btDriverMaxItems) {
+    if (nItems <= btDriverMaxItems && games.count() <= btDriverMaxGameCells) {
       // bounded-cells driver fixed point (see the gate's scaladoc).
       // Same update as the distributed branch below, term for term:
       //   x_ij = ⌊g·10¹² / (s_i + s_j)⌋           (summed per i)

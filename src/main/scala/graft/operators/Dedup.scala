@@ -582,9 +582,12 @@ object Dedup {
       .getOrElse(graft.plans.GraftExtensions.shingleDigestsNative(
         lower(col("text")), 12))
     // base carries the verify-ready sorted digest array straight from
-    // the map side — no groupBy/collect round trip rebuilds it; spread
-    // first so the digest kernel runs wide on low-split inputs (r18)
-    val base = materialize(spread(docs).select(col(idCol).as("id"),
+    // the map side — no groupBy/collect round trip rebuilds it. The r18
+    // spread() here and in shingleGroups was REVERTED in r19: the q316
+    // quiet A/B charged the extra round-robin exchange + 32-task
+    // scheduling ~0.65 s (2.62 → 1.96 s min), and at real scale the
+    // branch is a no-op anyway (scans split past defaultParallelism).
+    val base = materialize(docs.select(col(idCol).as("id"),
         sort_array(array_distinct(dig)).as("toks"))
       .withColumn("s", size(col("toks")))
       .withColumn("p",
@@ -596,11 +599,24 @@ object Dedup {
     // a global sort): the p globally-rarest digests of each doc
     val wRare = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("df", "hk")
-    // shuffle_hash (r18): the df-annotation join builds the 16 B/row
-    // (hk, df) vocabulary slice per partition instead of sorting the
-    // exploded token table by hk — see containmentJoin's ranked join
-    // for the measurement and the scale argument.
-    val prefix = toks.join(dfreq.hint("shuffle_hash"), "hk")
+    // df-annotation join, byte-gated (r19): |dfreq| ≤ Σs, known exactly
+    // from the materialized base for the price of one tiny agg job.
+    // When the whole vocabulary slice fits the session broadcast
+    // threshold, BROADCAST it — the exploded token table then never
+    // exchanges before its per-doc window (the r18 blanket shuffle_hash
+    // hint forced that exchange even on a 249-group sweep input, the
+    // biggest slice of q316's 2.26×-above-floor flag: A/B'd 2.62 →
+    // 1.84 s min with the spread revert below). Above the gate,
+    // shuffle_hash as in r18: per-partition build of the 16 B/row
+    // (hk, df) vocabulary slice, no sort of the exploded token table by
+    // hk — see containmentJoin's ranked join for the measurement and
+    // the scale argument.
+    val nTokUb = base.agg(coalesce(sum(col("s")), lit(0L)))
+      .first.getLong(0)
+    val dfreqSide =
+      if (Gates.fitsAutoBroadcast(nTokUb, 32L)) broadcast(dfreq)
+      else dfreq.hint("shuffle_hash")
+    val prefix = toks.join(dfreqSide, "hk")
       .withColumn("_rn", row_number().over(wRare))
       .filter(col("_rn") <= col("p"))
       .select(col("id"), col("s"), (col("_rn") - 1).as("pos"), col("hk"))
@@ -668,7 +684,7 @@ object Dedup {
     val dig = graft.plans.GraftExtensions.shingleDigestsNative(
       lower(col("text")), 12)
     if (withTokens)
-      spread(docs).select(col(idCol).cast("long").as("id"),
+      docs.select(col(idCol).cast("long").as("id"),
           sort_array(array_distinct(dig)).as("toks"),
           greatest(lit(0L), coalesce(
             TextAnalysis.tokenCountWs(col("text")).cast("long"),
@@ -676,7 +692,7 @@ object Dedup {
         .groupBy("toks").agg(min("id").as("id"), count(lit(1)).as("n"),
           sum("_tk").as("tk"))
     else
-      spread(docs).select(col(idCol).cast("long").as("id"),
+      docs.select(col(idCol).cast("long").as("id"),
           sort_array(array_distinct(dig)).as("toks"))
         .groupBy("toks").agg(min("id").as("id"), count(lit(1)).as("n"))
   }

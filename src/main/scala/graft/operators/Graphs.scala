@@ -289,9 +289,10 @@ object Graphs {
           s"transform(sequence(0, (size(_all)-1) div $c)," +
             s" i -> slice(_all, i*$c+1, $c))")).as(Seq("_chunk", "nbrs")))
       .cache()
-    val nodes = Dedup.tracked(
-      e.filter(col("_chunk") === 0).select(col("src").as("node"))
-        .localCheckpoint(eager = true))
+    // nodes are a pure projection of the CACHED adjacency — no
+    // separate eager checkpoint (r19, the pageRankInt symmetric fix;
+    // weighted edges are symmetric-caller-only in this engine)
+    val nodes = e.filter(col("_chunk") === 0).select(col("src").as("node"))
     val n = nodes.count()
     require(n > 0, "empty graph")
     val base = (scale * (100 - dampPct)) / (100L * n)
@@ -305,9 +306,11 @@ object Graphs {
         .select(col("_nb.dst").as("node"),
           expr(s"(score * $dampPct * _nb.w) div (wdeg * 100)").as("_c"))
         .groupBy("node").agg(sum("_c").as("_cs"))
+      // lazy checkpoint (r19): materializes inside the next round's
+      // broadcast build / final readout, not a dedicated job per round
       scores = Dedup.tracked(
         contrib.select(col("node"), (lit(base) + col("_cs")).as("score"))
-          .localCheckpoint(eager = true))
+          .localCheckpoint(eager = false))
     }
     e.unpersist(blocking = false)
     scores
@@ -679,14 +682,17 @@ object Graphs {
     // GUARANTEES every dst also appears as a src — coOccurrenceEdges
     // output by construction) skips the neighbour explode + distinct
     // entirely: nodes are exactly the chunk-0 adjacency rows.
-    val nodes = Dedup.tracked((
+    // symmetric nodes are a pure projection of the CACHED adjacency —
+    // a separate eager checkpoint paid one extra job per invocation
+    // for rows the cache already holds (r19)
+    val nodes =
       if (symmetric)
         e.filter(col("_chunk") === 0).select(col("src").as("node"))
       else
-        e.filter(col("_chunk") === 0).select(col("src").as("node"))
-          .union(e.select(explode(col("nbrs")).as("node")))
-          .distinct()
-      ).localCheckpoint(eager = true))
+        Dedup.tracked(
+          e.filter(col("_chunk") === 0).select(col("src").as("node"))
+            .union(e.select(explode(col("nbrs")).as("node")))
+            .distinct().localCheckpoint(eager = true))
     val n = nodes.count()
     require(n > 0, "empty graph")
     val base = (scale * (100 - dampPct)) / (100L * n)
@@ -738,7 +744,10 @@ object Graphs {
             .select(col("node"),
               (lit(base + sinkShare) +
                 coalesce(col("_cs"), lit(0L))).as("score"))
-      scores = Dedup.tracked(next.localCheckpoint(eager = true))
+      // lazy checkpoint (r19): still truncates lineage per round, but
+      // the materialization folds into the next round's broadcast
+      // build / final readout instead of a dedicated job per round
+      scores = Dedup.tracked(next.localCheckpoint(eager = false))
     }
     e.unpersist(blocking = false)
     scores
@@ -775,14 +784,17 @@ object Graphs {
     // neighbour explode + distinct, exactly as in [[pageRankInt]] (r18:
     // the explode re-scanned the whole cached adjacency and shuffled a
     // node row per EDGE for a node set the chunk-0 rows already hold).
-    val nodes = Dedup.tracked((
+    // symmetric nodes are a pure projection of the CACHED adjacency —
+    // a separate eager checkpoint paid one extra job per invocation
+    // for rows the cache already holds (r19)
+    val nodes =
       if (symmetric)
         e.filter(col("_chunk") === 0).select(col("src").as("node"))
       else
-        e.filter(col("_chunk") === 0).select(col("src").as("node"))
-          .union(e.select(explode(col("nbrs")).as("node")))
-          .distinct()
-      ).localCheckpoint(eager = true))
+        Dedup.tracked(
+          e.filter(col("_chunk") === 0).select(col("src").as("node"))
+            .union(e.select(explode(col("nbrs")).as("node")))
+            .distinct().localCheckpoint(eager = true))
     val n = nodes.count()
     require(n > 0, "empty graph")
     // In-graph seeds, as a 0/1 flag on the node table (one join, once)
@@ -809,7 +821,10 @@ object Graphs {
         .select(col("node"),
           (col("_seed") * lit(baseSeed) +
             coalesce(col("_cs"), lit(0L))).as("score"))
-      scores = Dedup.tracked(next.localCheckpoint(eager = true))
+      // lazy checkpoint (r19): still truncates lineage per round, but
+      // the materialization folds into the next round's broadcast
+      // build / final readout instead of a dedicated job per round
+      scores = Dedup.tracked(next.localCheckpoint(eager = false))
     }
     e.unpersist(blocking = false)
     scores

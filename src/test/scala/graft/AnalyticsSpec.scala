@@ -1141,4 +1141,56 @@ class AnalyticsSpec extends SparkSpec {
     assert(viaDriver.map(_._1) == List(1L, 2L, 3L, 4L))
     assert(viaDriver.minBy(_._2)._1 == 4L, "all-losses item rates lowest")
   }
+
+  test("stationaryFromCells: CELL-count gate forces the distributed branch (r19)") {
+    // few states, but a cell table over the cell ceiling: the r18 gate
+    // (states only) would collect it; the r19 gate must route to the
+    // distributed loop — and both must agree exactly
+    val cells = Seq(("A", "A", 3L), ("A", "B", 2L), ("B", "C", 5L),
+      ("B", "A", 1L), ("C", "A", 4L)).toDF("src", "dst", "n")
+    val viaDriver = Analytics.stationaryFromCells(cells, rounds = 5)
+      .orderBy("state").as[(String, Long)].collect().toList
+    val saved = Analytics.stationaryDriverMaxCells
+    Analytics.stationaryDriverMaxCells = 2L // < 5 cells, states stay under gate
+    try {
+      val viaSpark = Analytics.stationaryFromCells(cells, rounds = 5)
+        .orderBy("state").as[(String, Long)].collect().toList
+      assert(viaDriver == viaSpark,
+        "cell-gated distributed loop must equal the driver fixed point")
+    } finally Analytics.stationaryDriverMaxCells = saved
+  }
+
+  test("stationaryFromCells: all-zero-count src (NULL pq) agrees across branches (r19)") {
+    // src C has only n=0 cells → _tot=0 → pq NULL: the driver branch
+    // must drop the row like the distributed SUM does, not NPE
+    val cells = Seq(("A", "A", 3L), ("A", "B", 2L), ("B", "A", 1L),
+      ("C", "A", 0L), ("C", "B", 0L)).toDF("src", "dst", "n")
+    val viaDriver = Analytics.stationaryFromCells(cells, rounds = 4)
+      .orderBy("state").as[(String, Long)].collect().toList
+    val saved = Analytics.stationaryDriverMaxStates
+    Analytics.stationaryDriverMaxStates = 0L
+    try {
+      val viaSpark = Analytics.stationaryFromCells(cells, rounds = 4)
+        .orderBy("state").as[(String, Long)].collect().toList
+      assert(viaDriver == viaSpark,
+        "NULL-pq rows must drop identically on both paths")
+    } finally Analytics.stationaryDriverMaxStates = saved
+    assert(viaDriver.map(_._1) == List("A", "B", "C"))
+  }
+
+  test("bradleyTerryFromWins: GAME-cell gate forces the distributed branch (r19)") {
+    val wins = Seq((1L, 2L, 5L), (2L, 1L, 2L), (1L, 3L, 1L),
+      (3L, 2L, 4L), (1L, 4L, 9L), (2L, 4L, 1L))
+      .toDF("winner", "loser", "n")
+    val viaDriver = Analytics.bradleyTerryFromWins(wins, rounds = 6)
+      .orderBy("item").as[(Long, Long)].collect().toList
+    val saved = Analytics.btDriverMaxGameCells
+    Analytics.btDriverMaxGameCells = 3L // < 12 symmetric cells, items under gate
+    try {
+      val viaSpark = Analytics.bradleyTerryFromWins(wins, rounds = 6)
+        .orderBy("item").as[(Long, Long)].collect().toList
+      assert(viaDriver == viaSpark,
+        "cell-gated distributed loop must equal the driver MM fixed point")
+    } finally Analytics.btDriverMaxGameCells = saved
+  }
 }

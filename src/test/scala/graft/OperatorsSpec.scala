@@ -106,6 +106,27 @@ class OperatorsSpec extends SparkSpec {
     assert(wordPairs >= 10) // template families share whole vocabularies
   }
 
+  test("setSimJoin: byte-gated dfreq join — broadcast and shuffle_hash branches agree (r19)") {
+    // the df-annotation join picks broadcast under the session
+    // autoBroadcastJoinThreshold and shuffle_hash above/with it
+    // disabled; both branches must emit the identical pair set
+    val corpus = (0 until 30).map { i =>
+      val t = i % 6
+      (i.toLong, s"family $t shared shingle stream alpha beta gamma " * 4 +
+        (if (i >= 24) s"divergent tail content $i" else ""))
+    }.toDF("doc_id", "text")
+    val viaBroadcast = Dedup.setSimJoin(corpus, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaShj = Dedup.setSimJoin(corpus, 0.7).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(viaShj == viaBroadcast,
+        "shuffle_hash branch must emit the same pairs as the broadcast branch")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("blockedLinkPairs: within-block edit-distance pairs; cap drops hot blocks") {
     val recs = Seq(
       (1L, "smith john", "A"), (2L, "smith jon", "A"),   // dist 1, same block
